@@ -1,0 +1,98 @@
+"""CDP consolidation: PDP step table → archive rollup tables.
+
+Reference semantics (update_cdp / initialize_cdp_val,
+src/rrd_update.c:2006-2141):
+
+* A CDP window covers ``pdp_cnt`` consecutive PDPs, aligned so the window
+  END is a multiple of ``pdp_cnt*step`` (the RRA row grid).
+* unknown_pdps = PDPs in the window that are unknown; the CDP is unknown iff
+  ``unknown_pdps > pdp_cnt * xff`` (src/rrd_update.c:2040-2045).
+* AVERAGE = Σ(known)/(pdp_cnt − unknown_pdps) — i.e. the mean of the known
+  PDPs; MIN/MAX over the known PDPs; LAST is the literal PDP of the window's
+  final step (unknown stays unknown even when xff passes) —
+  ``initialize_cdp_val`` CF_LAST assigns pdp_temp_val unconditionally.
+
+Spark design: a single groupBy on the window end — partial aggregation
+(map-side combine) makes this one shuffle of pre-reduced data. The PDP table
+omits unknown steps, so unknown_pdps = pdp_cnt − count(present rows); present
+rows are never NULL by construction.
+
+Retention (the RRA's row_cnt ≙ circular capacity) is a time predicate
+``ts > now − row_cnt*resolution`` applied at read/vacuum time instead of a
+wrap-around overwrite — see catalog.RRADef.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rrdtool_1_x_spark.operators.dst import SERIES_KEYS
+
+BASIC_CFS = ("AVERAGE", "MIN", "MAX", "LAST")
+
+
+def consolidate(
+    pdp: DataFrame,
+    step: int,
+    pdp_cnt: int,
+    cf: str = "AVERAGE",
+    xff: float = 0.5,
+    keys: tuple[str, ...] = SERIES_KEYS,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """pdp(keys..., ts=step end, value) → (keys..., ts=window end, value).
+
+    Unknown CDPs are not materialized (same convention as the PDP table).
+    ``pdp_cnt == 1`` short-circuits to the identity for every CF — matching
+    the reference rule that a 1-pdp RRA of any basic CF serves any other
+    (src/rrd_fetch.c:350-372).
+    """
+    cf = cf.upper()
+    if cf not in BASIC_CFS:
+        raise ValueError(f"consolidate handles {BASIC_CFS}, got {cf!r}")
+    if pdp_cnt == 1:
+        return pdp.select(*keys, F.col(ts_col).alias("ts"), F.col(value_col).alias("value"))
+
+    res = float(step * pdp_cnt)
+    ts, val = F.col(ts_col), F.col(value_col)
+    # window END on the row grid: smallest multiple of res that is >= ts
+    win_end = (F.ceil(ts / F.lit(res)) * F.lit(res)).alias("ts")
+
+    grouped = pdp.groupBy(*keys, win_end)
+    if cf == "LAST":
+        # literal final-step PDP; if the final step is unknown (absent) the
+        # when() never fires and the max is NULL
+        value_expr = F.max(F.when(ts == F.ceil(ts / F.lit(res)) * F.lit(res), val))
+    elif cf == "AVERAGE":
+        value_expr = F.avg(val)
+    elif cf == "MIN":
+        value_expr = F.min(val)
+    else:
+        value_expr = F.max(val)
+    out = grouped.agg(value_expr.alias("value"), F.count(val).alias("_known"))
+
+    unknown = F.lit(pdp_cnt) - F.col("_known")
+    out = out.filter(unknown <= F.lit(float(pdp_cnt) * xff)).drop("_known")
+    return out.filter(F.col("value").isNotNull())
+
+
+def rollup_all(
+    pdp: DataFrame,
+    step: int,
+    rras: list,
+    keys: tuple[str, ...] = SERIES_KEYS,
+) -> dict[int, DataFrame]:
+    """Materialize every basic-CF RRA of a dataset from one PDP table.
+
+    Returns {rra_index: DataFrame}. The write-time pre-aggregation cascade of
+    the reference (every update maintains all RRAs,
+    src/rrd_update.c:1840-1915) becomes N independent rollup plans over one
+    cached PDP scan.
+    """
+    out = {}
+    for i, rra in enumerate(rras):
+        if rra.cf in BASIC_CFS:
+            out[i] = consolidate(pdp, step, rra.pdp_cnt, rra.cf, rra.xff, keys=keys)
+    return out
