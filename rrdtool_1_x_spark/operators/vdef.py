@@ -1,0 +1,160 @@
+"""VDEF: series → scalar aggregations (with extremum timestamps).
+
+Reference: vdef_parse (src/rrd_graph.c:5760-5860), vdef_calc
+(src/rrd_graph.c:5863-6119), enum vdef_op (src/rrd_graph.h:71-84).
+
+Semantics notes carried over exactly:
+
+* STDEV is the *population* stddev (÷cnt, src/rrd_graph.c:5985-5997).
+* TOTAL = sum(known) * step — rate→volume integration.
+* PERCENT sorts ALL steps with unknown lowest and picks nearest-rank
+  round(p·(n−1)/100); PERCENTNAN does the same over known values only.
+* MAXIMUM/MINIMUM/FIRST/LAST return the extremum's timestamp too:
+  MAXIMUM/MINIMUM/LAST report the interval END, FIRST the interval START
+  (src/rrd_graph.c:6029-6063). Ties resolve to the earliest step (the
+  reference scans forward with a strict comparison).
+* LSLSLOPE/LSLINT/LSLCORREL regress value against the 0-based step index,
+  skipping unknown rows but keeping their x positions
+  (src/rrd_graph.c:6065-6115).
+
+The input is expected to be a complete padded step grid per series (what
+``fetch`` returns), so row positions match the reference's array indexing.
+
+Spark design: one groupBy per VDEF over the series keys; everything is a
+built-in aggregate (struct-ordering tricks give "earliest argmax" without a
+second pass). PERCENT uses exact ``percentile`` at an integer rank, so no
+collect and no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+VDEF_OPS = (
+    "MAXIMUM",
+    "MINIMUM",
+    "AVERAGE",
+    "STDEV",
+    "TOTAL",
+    "FIRST",
+    "LAST",
+    "PERCENT",
+    "PERCENTNAN",
+    "LSLSLOPE",
+    "LSLINT",
+    "LSLCORREL",
+)
+
+
+def vdef(
+    df: DataFrame,
+    op: str,
+    param: float | None = None,
+    step: float | None = None,
+    keys: tuple[str, ...] = (),
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Compute one VDEF over ``df`` per group of ``keys``.
+
+    Returns (keys..., value double, when double|null). ``step`` is required
+    for TOTAL and FIRST.
+    """
+    op = op.upper()
+    if op not in VDEF_OPS:
+        raise ValueError(f"unknown VDEF {op!r}")
+    ts, val = F.col(ts_col).cast("double"), F.col(value_col)
+    gb = list(keys)
+    none_when = F.lit(None).cast("double")
+
+    if op in ("MAXIMUM", "MINIMUM", "FIRST", "LAST"):
+        if op == "MAXIMUM":
+            # earliest argmax: order by (value, -ts) and take max
+            s = F.max(F.when(val.isNotNull(), F.struct(val.alias("v"), (-ts).alias("nts"))))
+            agg = df.groupBy(*gb).agg(s.alias("_s"))
+            return agg.select(
+                *gb, F.col("_s.v").alias("value"), (-F.col("_s.nts")).alias("when")
+            )
+        if op == "MINIMUM":
+            s = F.min(F.when(val.isNotNull(), F.struct(val.alias("v"), ts.alias("t"))))
+            agg = df.groupBy(*gb).agg(s.alias("_s"))
+            return agg.select(*gb, F.col("_s.v").alias("value"), F.col("_s.t").alias("when"))
+        if op == "FIRST":
+            if step is None:
+                raise ValueError("FIRST needs step (reports interval start)")
+            s = F.min(F.when(val.isNotNull(), F.struct(ts.alias("t"), val.alias("v"))))
+            agg = df.groupBy(*gb).agg(s.alias("_s"))
+            return agg.select(
+                *gb,
+                F.col("_s.v").alias("value"),
+                (F.col("_s.t") - F.lit(float(step))).alias("when"),
+            )
+        s = F.max(F.when(val.isNotNull(), F.struct(ts.alias("t"), val.alias("v"))))
+        agg = df.groupBy(*gb).agg(s.alias("_s"))
+        return agg.select(*gb, F.col("_s.v").alias("value"), F.col("_s.t").alias("when"))
+
+    if op in ("AVERAGE", "STDEV", "TOTAL"):
+        if op == "AVERAGE":
+            expr = F.avg(val)
+        elif op == "STDEV":
+            expr = F.stddev_pop(val)
+        else:
+            if step is None:
+                raise ValueError("TOTAL needs step")
+            expr = F.sum(val) * F.lit(float(step))
+        return df.groupBy(*gb).agg(expr.alias("value")).select(
+            *gb, "value", none_when.alias("when")
+        )
+
+    if op in ("PERCENT", "PERCENTNAN"):
+        if param is None:
+            raise ValueError(f"{op} needs a percentile parameter")
+        if op == "PERCENT":
+            # rank over ALL steps, unknown lowest: idx0 = round(p*(n-1)/100);
+            # if idx0 falls among the unknowns the result is unknown, else it
+            # is the (idx0 - n_null)-th (0-based) smallest known value.
+            agg = df.groupBy(*gb).agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.count(val).alias("_m"),
+                F.collect_list(val).alias("_vals"),
+            )
+            idx0 = F.round(F.lit(param) * (F.col("_n") - 1).cast("double") / 100.0).cast("long")
+            kth = idx0 - (F.col("_n") - F.col("_m"))  # 0-based rank among known
+            sorted_known = F.array_sort(F.col("_vals"))
+            value = F.when(kth >= 0, F.element_at(sorted_known, (kth + 1).cast("int")))
+            return agg.select(*gb, value.alias("value"), none_when.alias("when"))
+        agg = df.groupBy(*gb).agg(
+            F.count(val).alias("_m"), F.collect_list(val).alias("_vals")
+        )
+        idx0 = F.round(F.lit(param) * (F.col("_m") - 1).cast("double") / 100.0).cast("long")
+        value = F.when(
+            F.col("_m") > 0, F.element_at(F.array_sort(F.col("_vals")), (idx0 + 1).cast("int"))
+        )
+        return agg.select(*gb, value.alias("value"), none_when.alias("when"))
+
+    # least-squares family: x = 0-based step index over the padded grid
+    w = Window.partitionBy(*gb).orderBy(ts)
+    x = (F.row_number().over(w) - 1).cast("double")
+    d = df.withColumn("_x", x).filter(val.isNotNull())
+    agg = d.groupBy(*gb).agg(
+        F.count(val).alias("cnt"),
+        F.sum("_x").alias("sx"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum(F.col("_x") * val).alias("sxy"),
+        F.sum(val).alias("sy"),
+        F.sum(val * val).alias("syy"),
+    )
+    cnt = F.col("cnt").cast("double")
+    slope = (F.col("sx") * F.col("sy") - cnt * F.col("sxy")) / (
+        F.col("sx") * F.col("sx") - cnt * F.col("sxx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / cnt
+    correl = (F.col("sxy") - F.col("sx") * F.col("sy") / cnt) / F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / cnt)
+        * (F.col("syy") - F.col("sy") * F.col("sy") / cnt)
+    )
+    expr = {"LSLSLOPE": slope, "LSLINT": intercept, "LSLCORREL": correl}[op]
+    return agg.select(
+        *gb, F.nanvl(expr, none_when).alias("value"), none_when.alias("when")
+    )

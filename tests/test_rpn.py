@@ -1,0 +1,154 @@
+"""RPN compiler unit tests — op-by-op semantics from src/rrd_rpncalc.c."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from rrdtool_1_x_spark.rpn import RpnContext, RpnError, compile_rpn
+
+from tests.goldens import close
+
+
+def ev(spark, expr, a=None, b=None, c=None):
+    """Evaluate an RPN over a single row with variables a, b, c."""
+    df = spark.createDataFrame([(a, b, c)], "a double, b double, c double")
+    env = {"a": F.col("a"), "b": F.col("b"), "c": F.col("c")}
+    return df.select(compile_rpn(expr, env).alias("r")).first()["r"]
+
+
+CASES = [
+    # arithmetic (NaN/unknown propagating)
+    ("a,b,+", 2.0, 3.0, None, 5.0),
+    ("a,b,+", None, 3.0, None, None),
+    ("a,b,-", 2.0, 3.0, None, -1.0),
+    ("a,b,*", 2.0, 3.0, None, 6.0),
+    ("a,b,/", 3.0, 2.0, None, 1.5),
+    ("a,b,/", 1.0, 0.0, None, float("inf")),  # IEEE: 1/0 = inf
+    ("a,b,/", 0.0, 0.0, None, None),  # 0/0 = unknown
+    ("a,b,%", 7.0, 3.0, None, 1.0),
+    ("a,b,%", -7.0, 3.0, None, -1.0),  # fmod: sign of dividend
+    ("a,b,ADDNAN", None, 3.0, None, 3.0),
+    ("a,b,ADDNAN", 2.0, None, None, 2.0),
+    ("a,b,ADDNAN", None, None, None, None),
+    ("a,b,POW", 2.0, 10.0, None, 1024.0),
+    ("a,SQRT", 9.0, None, None, 3.0),
+    ("a,SQRT", -1.0, None, None, None),  # NaN → unknown
+    ("a,LOG", math.e, None, None, 1.0),
+    ("a,EXP", 0.0, None, None, 1.0),
+    ("a,SIN", 0.0, None, None, 0.0),
+    ("a,COS", 0.0, None, None, 1.0),
+    ("a,ATAN", 1.0, None, None, math.pi / 4),
+    ("a,b,ATAN2", 1.0, 1.0, None, math.pi / 4),
+    ("a,DEG2RAD", 180.0, None, None, math.pi),
+    ("a,RAD2DEG", math.pi, None, None, 180.0),
+    ("a,FLOOR", 1.7, None, None, 1.0),
+    ("a,CEIL", 1.2, None, None, 2.0),
+    ("a,ABS", -3.0, None, None, 3.0),
+    ("a,ROUND", 2.5, None, None, 3.0),
+    # comparisons: 1/0, unknown-propagating
+    ("a,b,LT", 1.0, 2.0, None, 1.0),
+    ("a,b,LT", 2.0, 1.0, None, 0.0),
+    ("a,b,LT", None, 1.0, None, None),
+    ("a,b,GE", 2.0, 2.0, None, 1.0),
+    ("a,b,EQ", 2.0, 2.0, None, 1.0),
+    ("a,b,NE", 2.0, 3.0, None, 1.0),
+    # IF: unknown or 0 condition → false branch
+    ("a,b,c,IF", 1.0, 10.0, 20.0, 10.0),
+    ("a,b,c,IF", 0.0, 10.0, 20.0, 20.0),
+    ("a,b,c,IF", None, 10.0, 20.0, 20.0),
+    # MIN/MAX contaminate, MINNAN/MAXNAN skip
+    ("a,b,MIN", 1.0, None, None, None),
+    ("a,b,MINNAN", 1.0, None, None, 1.0),
+    ("a,b,MAX", 1.0, None, None, None),
+    ("a,b,MAXNAN", 1.0, 2.0, None, 2.0),
+    # LIMIT
+    ("a,b,c,LIMIT", 5.0, 0.0, 10.0, 5.0),
+    ("a,b,c,LIMIT", 15.0, 0.0, 10.0, None),
+    # UN / ISINF / constants
+    ("a,UN", None, None, None, 1.0),
+    ("a,UN", 5.0, None, None, 0.0),
+    ("a,ISINF", 5.0, None, None, 0.0),
+    ("INF,ISINF", None, None, None, 1.0),
+    ("NEGINF", None, None, None, float("-inf")),
+    ("UNKN", None, None, None, None),
+    ("UNKN,UN", None, None, None, 1.0),
+    # stack ops
+    ("a,DUP,+", 3.0, None, None, 6.0),
+    ("a,b,EXC,-", 1.0, 5.0, None, 4.0),
+    ("a,b,POP", 7.0, 1.0, None, 7.0),
+    ("a,b,2,INDEX,+,+", 1.0, 5.0, None, 7.0),  # INDEX copies n-th from top
+    # n-ary set ops
+    ("1,3,2,3,SORT,POP,POP", None, None, None, 1.0),
+    ("1,3,2,3,REV,POP,POP", None, None, None, 2.0),
+    ("1,3,2,a,4,AVG", None, None, None, 2.0),  # unknown skipped
+    ("1,3,2,3,MEDIAN", None, None, None, 2.0),
+    ("1.0,5,2,a,4,SMAX", None, None, None, 5.0),
+    ("1.0,5,2,a,4,SMIN", None, None, None, 1.0),
+    ("1,2,3,4,50,4,PERCENT", None, None, None, 2.0),
+    ("1,2,3,4,100,4,PERCENT", None, None, None, 4.0),
+]
+
+
+@pytest.mark.parametrize("expr,a,b,c,want", CASES)
+def test_rpn_op(spark, expr, a, b, c, want):
+    got = ev(spark, expr, a, b, c)
+    if want is None:
+        assert got is None, f"{expr}: got {got}, want unknown"
+    elif math.isinf(want):
+        assert got == want, f"{expr}: got {got}"
+    else:
+        assert got is not None and close(got, want), f"{expr}: got {got}, want {want}"
+
+
+def test_rpn_time_ops(spark):
+    rows = [("s", 300.0 * i, float(i)) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "k string, ts double, v double")
+    ctx = RpnContext(ts=F.col("ts"), step=300, keys=("k",))
+    out = df.select(
+        "ts",
+        compile_rpn("TIME", {}, ctx).alias("t"),
+        compile_rpn("COUNT", {}, ctx).alias("cnt"),
+        compile_rpn("STEPWIDTH", {}, ctx).alias("sw"),
+        compile_rpn("PREV(v)", {"v": F.col("v")}, ctx).alias("pv"),
+    ).orderBy("ts").collect()
+    assert [r["cnt"] for r in out] == [float(i) for i in range(1, 11)]
+    assert out[0]["sw"] == 300.0
+    assert out[0]["pv"] is None and out[1]["pv"] == 1.0
+
+
+def test_rpn_trend(spark):
+    # series 1..10; TRENDNAN over 900s (3 steps) = trailing mean of 3
+    rows = [("s", 300.0 * i, float(i) if i != 4 else None) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "k string, ts double, v double")
+    ctx = RpnContext(ts=F.col("ts"), step=300, keys=("k",))
+    out = (
+        df.select(
+            "ts",
+            compile_rpn("v,900,TREND", {"v": F.col("v")}, ctx).alias("t"),
+            compile_rpn("v,900,TRENDNAN", {"v": F.col("v")}, ctx).alias("tn"),
+        )
+        .orderBy("ts")
+        .collect()
+    )
+    # rows 1,2 incomplete → unknown
+    assert out[0]["t"] is None and out[1]["t"] is None
+    assert close(out[2]["t"], 2.0)  # (1+2+3)/3
+    # windows containing the unknown row 4: TREND → unknown, TRENDNAN skips
+    assert out[3]["t"] is None and out[4]["t"] is None and out[5]["t"] is None
+    assert close(out[3]["tn"], (2 + 3) / 2)
+    assert close(out[5]["tn"], (5 + 6) / 2)
+    assert close(out[6]["t"], 6.0)  # (5+6+7)/3
+
+
+def test_rpn_errors(spark):
+    with pytest.raises(RpnError):
+        ev(spark, "a,+", 1.0)
+    with pytest.raises(RpnError):
+        ev(spark, "bogus", 1.0)
+    with pytest.raises(RpnError):
+        ev(spark, "a,b", 1.0, 2.0)  # two values left
+    with pytest.raises(RpnError):
+        ev(spark, "PREV", 1.0)  # self-PREV unsupported in compiled path
