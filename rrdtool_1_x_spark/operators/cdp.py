@@ -41,6 +41,8 @@ def consolidate(
     keys: tuple[str, ...] = SERIES_KEYS,
     ts_col: str = "ts",
     value_col: str = "value",
+    exact: bool = False,
+    exact_scale: float = 1e6,
 ) -> DataFrame:
     """pdp(keys..., ts=step end, value) → (keys..., ts=window end, value).
 
@@ -66,7 +68,21 @@ def consolidate(
         # when() never fires and the max is NULL
         value_expr = F.max(F.when(ts == F.ceil(ts / F.lit(res)) * F.lit(res), val))
     elif cf == "AVERAGE":
-        value_expr = F.avg(val)
+        if exact:
+            # bitwise-reproducible mean: fixed-point integer summation is
+            # associative, so the result is identical across partitionings,
+            # re-runs and engines (floating sums are not), and the half-up
+            # rounding happens in the integer domain (floor((2S+N)/2N)) so
+            # no decimal-tie ambiguity survives to the float output. Inputs
+            # must be quantized at 1/exact_scale.
+            s = F.sum(F.round(val * F.lit(exact_scale)).cast("long"))
+            n = F.count(val)
+            value_expr = (
+                F.floor((s * 2 + n).cast("double") / (n * 2).cast("double")).cast("double")
+                / F.lit(exact_scale)
+            )
+        else:
+            value_expr = F.avg(val)
     elif cf == "MIN":
         value_expr = F.min(val)
     else:
