@@ -1,0 +1,137 @@
+"""End-to-end query lifecycle: store → DEF/CDEF/VDEF → xport formats.
+
+Uses the F1 fixture (tests/rpn1 counter series) whose engine outputs were
+verified against a build of the reference.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from rrdtool_1_x_spark.catalog import DSDef, RRADef, create
+from rrdtool_1_x_spark.plans.graph import Query, _format_print
+from rrdtool_1_x_spark.sources.store import DatasetStore, list_datasets
+from rrdtool_1_x_spark.xport import to_csv, to_json, to_xml
+
+from tests.goldens import close
+
+UPDATES = [
+    (920804700, 12345), (920805000, 12357), (920805300, 12363), (920805600, 12363),
+    (920805900, 12363), (920806200, 12373), (920806500, 12383), (920806800, 12393),
+    (920807100, 12399), (920807400, 12405), (920807700, 12411), (920808000, 12415),
+    (920808300, 12420), (920808600, 12422), (920808900, 12423),
+]
+# reference-verified AVERAGE rates at step 300 (rrdtool tutorial values / 3600)
+WANT_RATES = {
+    920805000: 0.04, 920805300: 0.02, 920805600: 0.0, 920805900: 0.0,
+    920806200: 1 / 30, 920806500: 1 / 30, 920806800: 1 / 30, 920807100: 0.02,
+    920807400: 0.02, 920807700: 0.02, 920808000: 1 / 75, 920808300: 1 / 60,
+    920808600: 1 / 150, 920808900: 1 / 300,
+}
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("dsroot")
+    ds = create(
+        "speed_ds",
+        step=300,
+        ds=[DSDef(name="speed", dst="COUNTER", heartbeat=600)],
+        rra=[
+            RRADef(cf="AVERAGE", xff=0.5, pdp_cnt=1, row_cnt=24),
+            RRADef(cf="AVERAGE", xff=0.5, pdp_cnt=6, row_cnt=10),
+        ],
+        start=920804400,
+    )
+    st = DatasetStore.create(spark, str(root / "speed_ds"), ds)
+    samples = spark.createDataFrame(
+        [("speed_ds", "speed", float(t), float(v)) for t, v in UPDATES],
+        "series_id string, ds_name string, ts double, value double",
+    )
+    st.update(samples)
+    assert list_datasets(str(root)) == ["speed_ds"]
+    return st
+
+
+def test_store_fetch(store):
+    df, plan = store.fetch("AVERAGE", 920804400, 920808900, 300)
+    got = {int(r["ts"]): r["value"] for r in df.collect()}
+    assert plan.step == 300
+    for ts, want in WANT_RATES.items():
+        assert close(got[ts], want), (ts, got[ts], want)
+    assert got[920804700] is None  # first PDP unknown (counter needs a base)
+
+
+def test_store_meta(store):
+    assert store.last() == 920808900
+    info = store.info()
+    assert info["ds[speed].type"] == "COUNTER"
+    assert info["rra[1].pdp_per_row"] == 6
+    lu = store.lastupdate().first()
+    assert lu["value"] == 12423.0 and lu["ts"] == 920808900.0
+
+
+def test_query_cdef_vdef_xport(spark, store):
+    rollups = {i: store._read(f"rra_{i}") for i in range(2)}
+    q = (
+        Query(start=920804400, end=920808900, step=300)
+        .def_("myspeed", rollups, store.dataset, "speed", "AVERAGE", last_up=store.last())
+        .cdef("kmh", "myspeed,3600,*")
+        .cdef("fast", "kmh,100,GT,kmh,0,IF")
+        .vdef("vmax", "kmh,MAXIMUM")
+        .xport("kmh", legend="km/h")
+        .xport("fast", legend="fast only")
+        .print_("vmax", "max %.2lf")
+    )
+    res = q.execute(spark)
+    assert res.step == 300
+    assert res.legends == ["km/h", "fast only"]
+    assert close(res.scalars["vmax"]["value"], 144.0)
+    assert res.scalars["vmax"]["when"] == 920805000.0
+    assert res.prints == ["max 144.00"]
+    rows = {int(r["ts"]): (r["kmh"], r["fast"]) for r in res.frame.collect()}
+    assert close(rows[920805000][0], 144.0) and close(rows[920805000][1], 144.0)
+    assert close(rows[920805300][0], 72.0) and rows[920805300][1] == 0.0
+
+    js = json.loads(to_json(res))
+    assert js["meta"]["legend"] == ["km/h", "fast only"]
+    assert js["meta"]["step"] == 300
+    assert len(js["data"]) == (res.end - res.start) // res.step + 1
+    xml = to_xml(res)
+    assert "<columns>2</columns>" in xml and "<v0>" in xml
+    csv = to_csv(res)
+    assert csv.splitlines()[0] == "t,km/h,fast only"
+
+
+def test_query_multi_resolution_alignment(spark, store):
+    """A 300s DEF and an 1800s DEF align on the GCD grid with
+    sample-and-hold upsampling of the coarse one."""
+    rollups = {i: store._read(f"rra_{i}") for i in range(2)}
+    q = (
+        Query(start=920805000, end=920808900)
+        .def_("fine", rollups, store.dataset, "speed", "AVERAGE", last_up=store.last())
+        .def_("coarse", rollups, store.dataset, "speed", "AVERAGE", step=1800,
+              last_up=store.last())
+        .cdef("diff", "fine,coarse,-")
+        .xport("fine")
+        .xport("coarse")
+        .xport("diff")
+    )
+    res = q.execute(spark)
+    assert res.step == 300
+    rows = {int(r["ts"]): r for r in res.frame.collect()}
+    # the coarse value for the 1800s window ending 920808000 repeats at all
+    # 6 fine steps inside it (sample-and-hold upsampling)
+    coarse_vals = [rows[t]["coarse"] for t in range(920806500, 920808001, 300)]
+    assert len(coarse_vals) == 6
+    assert len({round(v, 12) for v in coarse_vals}) == 1
+    # and diff = fine - coarse is defined wherever both are
+    assert rows[920806500]["diff"] is not None
+
+
+def test_format_print():
+    assert _format_print("%.2lf", 3.14159, None) == "3.14"
+    assert _format_print("%.1lf %sB", 1536.0, None) == "1.5 kB"
+    assert _format_print("%.0lf %s", 2_000_000.0, None) == "2 M"
