@@ -1,0 +1,199 @@
+"""Holt-Winters aberrant-behavior detection (HWPREDICT family).
+
+Reference: recurrences in src/rrd_hw_math.c:21-143, update driver in
+src/rrd_hw_update.c:38-475, archive wiring in src/rrd_create.c:508-554.
+Per step, with phase p = step index mod period, state
+(intercept a, slope b, null_count k, seasonal S[p], deviation D[p]):
+
+* prediction  = a + b·k + S[p]            (additive; multiplicative:
+                                           (a + b·k)·S[p])
+* on a known observation x:
+    a' = α(x − S[p]) + (1−α)(a + b·k);  b' = β(a' − a) + (1−β)b;  k = 1
+    S[p] = γ(x − a') + (1−γ)S[p]          (init: x − a when S[p] unknown)
+    D[p] = γ|pred − x| + (1−γ)D[p]        (init: |pred − x|)
+  on unknown x: k += 1, S/D unchanged.
+* bootstrap: first known x sets a = x, b = 0 (init_slope_intercept,
+  src/rrd_hw_update.c:10-25); while S[p] is unknown the prediction is
+  unknown and a/b are frozen (src/rrd_hw_update.c:70-76).
+* FAILURES: violation iff x outside pred ± δ±·D[p] (using the deviation
+  from the PREVIOUS cycle, hw_is_violation src/rrd_hw_update.c:27-36);
+  failure = 1 when ≥ threshold violations in the last window_len steps.
+* DEVPREDICT simply republishes D (src/rrd_hw_update.c:232-260).
+
+Spark design: the recurrence is inherently sequential per series — the one
+operator family with no Catalyst primitive (SURVEY §4). It runs as an
+Arrow-batched applyInPandas over series groups: one shuffle on the series
+key, then a vectorized-state numpy loop per group. At 100 TB the
+parallelism is across series (millions of groups), which is exactly how the
+reference scales too (one file per series).
+
+Divergence note: the reference's periodic seasonal smoother
+(apply_smoother, src/rrd_hw.c:128-330) is applied when smooth_window > 0;
+this implementation currently models smoothing-window=0 (no smoothing),
+which the reference also supports per-RRA.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from rrdtool_1_x_spark.operators.dst import SERIES_KEYS
+
+OUT_FIELDS = ("ts double, prediction double, seasonal double, "
+              "devpredict double, devseasonal double, failures double")
+
+
+def _hw_series(
+    ts: np.ndarray,
+    vals: np.ndarray,
+    alpha: float,
+    beta: float,
+    gamma: float,
+    period: int,
+    delta_pos: float,
+    delta_neg: float,
+    threshold: int,
+    window_len: int,
+    multiplicative: bool,
+) -> pd.DataFrame:
+    n = len(ts)
+    pred = np.full(n, np.nan)
+    seas_out = np.full(n, np.nan)
+    dev_out = np.full(n, np.nan)
+    devs_out = np.full(n, np.nan)
+    fail = np.zeros(n)
+    S = np.full(period, np.nan)
+    D = np.full(period, np.nan)
+    a = b = np.nan
+    k = 0
+    viol = np.zeros(window_len, dtype=np.int64)
+    for i in range(n):
+        p = i % period
+        x = vals[i]
+        sc = S[p]
+        # ---- HWPREDICT (src/rrd_hw_update.c:38-115)
+        last_a = a
+        if np.isnan(a) or np.isnan(b) or np.isnan(sc):
+            pr = np.nan
+            if np.isnan(a) and not np.isnan(x):
+                a = last_a = x
+                b = 0.0
+                k = 1
+        else:
+            if multiplicative:
+                pr = (a + b * k) * sc
+            else:
+                pr = a + b * k + sc
+            if np.isnan(x):
+                k += 1
+            else:
+                if multiplicative:
+                    a_new = np.nan if sc <= 0 else alpha * (x / sc) + (1 - alpha) * (a + b * k)
+                else:
+                    a_new = alpha * (x - sc) + (1 - alpha) * (a + b * k)
+                b = beta * (a_new - last_a) + (1 - beta) * b
+                a = a_new
+                k = 1
+        pred[i] = pr
+        # ---- FAILURES uses the deviation before this step's update
+        dv = D[p]
+        v = 0
+        if not (np.isnan(x) or np.isnan(pr) or np.isnan(dv)):
+            v = int(x > pr + delta_pos * dv or x < pr - delta_neg * dv)
+        viol = np.roll(viol, 1)
+        viol[0] = v
+        fail[i] = 1.0 if viol.sum() >= threshold else 0.0
+        # ---- SEASONAL (src/rrd_hw_update.c:117-230)
+        if not np.isnan(x):
+            if np.isnan(sc):
+                if not np.isnan(last_a):
+                    if multiplicative:
+                        S[p] = np.nan if last_a <= 0 else x / last_a
+                    else:
+                        S[p] = x - last_a
+            elif not np.isnan(a):
+                if multiplicative:
+                    S[p] = np.nan if a <= 0 else gamma * (x / a) + (1 - gamma) * sc
+                else:
+                    S[p] = gamma * (x - a) + (1 - gamma) * sc
+        seas_out[i] = S[p]
+        # ---- DEVSEASONAL (src/rrd_hw_update.c:262-365); DEVPREDICT
+        # publishes the deviation as of BEFORE this step's update
+        # (CDP_last_seasonal_deviation, src/rrd_hw_update.c:232-260)
+        dev_out[i] = dv
+        if not (np.isnan(x) or np.isnan(pr)):
+            if np.isnan(dv):
+                D[p] = abs(pr - x)
+            else:
+                D[p] = gamma * abs(pr - x) + (1 - gamma) * dv
+        devs_out[i] = D[p]
+    return pd.DataFrame(
+        {
+            "ts": ts,
+            "prediction": pred,
+            "seasonal": seas_out,
+            "devpredict": dev_out,
+            "devseasonal": devs_out,
+            "failures": fail,
+        }
+    )
+
+
+def hw_predict(
+    pdp: DataFrame,
+    alpha: float = 0.1,
+    beta: float = 0.0035,
+    gamma: float | None = None,
+    period: int = 288,
+    delta_pos: float = 2.0,
+    delta_neg: float = 2.0,
+    threshold: int = 7,
+    window_len: int = 9,
+    multiplicative: bool = False,
+    keys: tuple[str, ...] = SERIES_KEYS,
+    step: float | None = None,
+    start: float | None = None,
+) -> DataFrame:
+    """Run the HW family over a complete PDP grid per series.
+
+    ``pdp``: (keys..., ts, value) — the PDP step table, which may omit
+    unknown steps; the grid is completed internally (the recurrence must see
+    every step, like the reference's per-step RRA updates). ``start``/
+    ``step`` pin the grid origin; default: each series' first step.
+    Returns (keys..., ts, prediction, seasonal, devpredict, failures) where
+    failures is the 0/1 failure flag.
+    """
+    if gamma is None:
+        gamma = alpha
+    schema = ", ".join(f"{k} string" for k in keys) + ", " + OUT_FIELDS
+
+    keys_l = list(keys)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts")
+        ts = pdf["ts"].to_numpy(dtype=np.float64)
+        vals = pdf["value"].to_numpy(dtype=np.float64)
+        if step is not None:
+            s = float(step)
+        elif len(ts) > 1:
+            s = float(np.min(np.diff(ts)))
+        else:
+            s = 1.0
+        t0 = float(start) if start is not None else ts[0] - s
+        grid = np.arange(t0 + s, ts[-1] + s / 2, s)
+        full = np.full(len(grid), np.nan)
+        idx = np.searchsorted(grid, ts)
+        # tolerate sub-step jitter by snapping to the nearest slot
+        idx = np.clip(idx, 0, len(grid) - 1)
+        full[idx] = vals
+        out = _hw_series(
+            grid, full, alpha, beta, gamma, period,
+            delta_pos, delta_neg, threshold, window_len, multiplicative,
+        )
+        for k in keys_l:
+            out[k] = pdf[k].iloc[0]
+        return out[keys_l + ["ts", "prediction", "seasonal", "devpredict", "devseasonal", "failures"]]
+
+    return pdp.groupBy(*keys).applyInPandas(run, schema=schema)
