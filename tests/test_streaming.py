@@ -1,0 +1,94 @@
+"""Streaming ingest ≙ rrdcached (fixture F7): micro-batched ingestion must
+produce rollups identical to a one-shot batch load, and late rows are
+rejected per series."""
+
+from __future__ import annotations
+
+import pytest
+
+from rrdtool_1_x_spark.catalog import DSDef, RRADef, create
+from rrdtool_1_x_spark.sources.store import DatasetStore
+from rrdtool_1_x_spark.streaming.ingest import StreamingIngest
+
+UPDATES = [
+    (920804700, 12345), (920805000, 12357), (920805300, 12363), (920805600, 12363),
+    (920805900, 12363), (920806200, 12373), (920806500, 12383), (920806800, 12393),
+    (920807100, 12399), (920807400, 12405), (920807700, 12411), (920808000, 12415),
+    (920808300, 12420), (920808600, 12422), (920808900, 12423),
+]
+SCHEMA = "series_id string, ds_name string, ts double, value double"
+
+
+def _dataset():
+    return create(
+        "speed",
+        step=300,
+        ds=[DSDef(name="speed", dst="COUNTER", heartbeat=600)],
+        rra=[
+            RRADef(cf="AVERAGE", xff=0.5, pdp_cnt=1, row_cnt=24),
+            RRADef(cf="AVERAGE", xff=0.5, pdp_cnt=6, row_cnt=10),
+        ],
+        start=920804400,
+    )
+
+
+def _rows(spark, updates):
+    return spark.createDataFrame(
+        [("speed", "speed", float(t), float(v)) for t, v in updates], SCHEMA
+    )
+
+
+def _rollup_map(store, i):
+    return {
+        (r["series_id"], r["ds_name"], r["ts"]): round(r["value"], 12)
+        for r in store._read(f"rra_{i}").collect()
+    }
+
+
+def test_microbatch_equals_batch(spark, tmp_path):
+    batch_store = DatasetStore.create(spark, str(tmp_path / "batch"), _dataset())
+    batch_store.update(_rows(spark, UPDATES))
+
+    stream_store = DatasetStore.create(spark, str(tmp_path / "stream"), _dataset())
+    ing = StreamingIngest(stream_store)
+    for lo in range(0, len(UPDATES), 4):  # 4 samples per micro-batch
+        ing.process_batch(_rows(spark, UPDATES[lo : lo + 4]), lo)
+
+    for i in range(2):
+        assert _rollup_map(stream_store, i) == _rollup_map(batch_store, i), f"rra_{i}"
+
+
+def test_late_rows_rejected(spark, tmp_path):
+    store = DatasetStore.create(spark, str(tmp_path / "late"), _dataset())
+    ing = StreamingIngest(store)
+    ing.process_batch(_rows(spark, UPDATES[:8]))
+    head = store.last()
+    # replay old rows + a duplicate: all must be dropped
+    ing.process_batch(_rows(spark, [(920805000, 99999), (920806800, 1)]))
+    assert store.last() == head
+    assert store._read("samples").count() == 8
+    # a genuinely new row still lands
+    ing.process_batch(_rows(spark, [UPDATES[8]]))
+    assert store._read("samples").count() == 9
+
+
+def test_real_stream_available_now(spark, tmp_path):
+    """End-to-end writeStream path with a file source and AvailableNow."""
+    src = tmp_path / "incoming"
+    src.mkdir()
+    _rows(spark, UPDATES).coalesce(1).write.json(str(src / "b1"))
+    store = DatasetStore.create(spark, str(tmp_path / "ds"), _dataset())
+    ing = StreamingIngest(store)
+    stream = (
+        spark.readStream.schema(SCHEMA).json(str(src / "b1"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(ing.process_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert store._read("samples").count() == len(UPDATES)
+    got = {r["ts"]: r["value"] for r in store._read("rra_0").collect()}
+    assert round(got[920805000.0], 9) == 0.04
