@@ -336,6 +336,65 @@ def q_minhash_sig(spark, sf_dir):
     return sh.groupBy("doc_id").agg(*sigs).orderBy("doc_id")
 
 
+def q_quality(spark, sf_dir):
+    """Text quality scoring (datapipe.textstats.quality_metrics)."""
+    from rrdtool_1_x_spark.datapipe.textstats import quality_metrics
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = quality_metrics(d)
+    return out.select(
+        "doc_id",
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        F.round("upper_ratio", 6).alias("upper_ratio"),
+        F.round("quality_score", 6).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+def q_lang_guess(spark, sf_dir):
+    """Stopword-density language ID (datapipe.textstats.language_scores)."""
+    from rrdtool_1_x_spark.datapipe.textstats import language_scores
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = language_scores(d)
+    return out.select(
+        "doc_id",
+        "lang",
+        F.round("score_en", 6).alias("score_en"),
+        F.round("score_de", 6).alias("score_de"),
+        F.round("score_fr", 6).alias("score_fr"),
+        F.round("score_es", 6).alias("score_es"),
+        "lang_guess",
+    ).orderBy("doc_id")
+
+
+def q_hw_predict(spark, sf_dir):
+    """Holt-Winters prediction over the events PDP grid (operators.hw).
+    Sequential recurrence — no SQL oracle (driver records rows-only)."""
+    from rrdtool_1_x_spark.operators.hw import hw_predict
+
+    p = _pdp(spark, sf_dir)
+    out = hw_predict(
+        p, alpha=0.1, beta=0.0035, gamma=0.1, period=24,
+        keys=KEYS, step=STEP,
+    )
+    return (
+        out.filter(F.col("prediction").isNotNull())
+        .select("series_id", "ts", F.round("prediction", 6).alias("prediction"),
+                "failures")
+        .orderBy("series_id", "ts")
+    )
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash fingerprints (datapipe.dedup.simhash). xxhash64 is
+    engine-specific — rows-only check."""
+    from rrdtool_1_x_spark.datapipe.dedup import simhash
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash(d).orderBy("doc_id")
+
+
 def q_ann_cosine_top10(spark, sf_dir):
     """Brute-force cosine top-10 against the lowest-id embedding."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -397,6 +456,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_density": q_stopword_density,
         "minhash_sig": q_minhash_sig,
         "ann_cosine_top10": q_ann_cosine_top10,
+        "quality": q_quality,
+        "lang_guess": q_lang_guess,
+        "hw_predict": q_hw_predict,
+        "simhash": q_simhash,
     }
 
 
@@ -610,6 +673,46 @@ sh AS (
 SELECT doc_id,
   {sig_cols}
 FROM sh ORDER BY doc_id"""
+    sql["quality"] = """
+WITH m AS (
+  SELECT doc_id, length(text)::DOUBLE AS n,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS a,
+    length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS d,
+    length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g'))::DOUBLE AS p,
+    length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE AS u
+  FROM documents)
+SELECT doc_id,
+  round(a/n, 6) AS alpha_ratio,
+  round(d/n, 6) AS digit_ratio,
+  round(u/n, 6) AS upper_ratio,
+  round(least(a/n*1.25, 1.0)*0.5 + (1.0 - least(d/n*4, 1.0))*0.2
+        + (1.0 - least(p/n*5, 1.0))*0.2 + (1.0 - least(u/n*3, 1.0))*0.1, 6)
+    AS quality_score
+FROM m ORDER BY doc_id"""
+    lang_exprs = []
+    for lang, words in (
+        ("en", ("the", "and", "of", "to", "in", "a", "is", "that", "it", "for")),
+        ("de", ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den")),
+        ("fr", ("le", "la", "les", "et", "est", "un", "une", "des", "du", "que")),
+        ("es", ("el", "la", "los", "y", "es", "un", "una", "de", "que", "en")),
+    ):
+        wl = ", ".join(f"'{w}'" for w in words)
+        lang_exprs.append(
+            f"len(list_filter(toks, x -> x IN ({wl})))::DOUBLE / len(toks) AS score_{lang}"
+        )
+    sql["lang_guess"] = f"""
+WITH t AS (SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+           FROM documents),
+s AS (SELECT doc_id, lang, {", ".join(lang_exprs)} FROM t),
+g AS (SELECT *, greatest(score_en, score_de, score_fr, score_es) AS best FROM s)
+SELECT doc_id, lang,
+  round(score_en, 6) AS score_en, round(score_de, 6) AS score_de,
+  round(score_fr, 6) AS score_fr, round(score_es, 6) AS score_es,
+  CASE WHEN score_en = best AND best > 0 THEN 'en'
+       WHEN score_de = best AND best > 0 THEN 'de'
+       WHEN score_fr = best AND best > 0 THEN 'fr'
+       WHEN score_es = best AND best > 0 THEN 'es' END AS lang_guess
+FROM g ORDER BY doc_id"""
     sql["ann_cosine_top10"] = """
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
            ORDER BY vec_id LIMIT 1),

@@ -1,0 +1,25 @@
+"""Large-scale training-data pipeline operators.
+
+Beyond the reference's surface (which is pure time-series), these are the
+operations a 100 TB corpus pipeline needs: deduplication (exact, MinHash/
+LSH, SimHash, n-gram Jaccard), similarity search over embeddings, text
+quality analysis, and multimodal column plumbing.
+"""
+
+from rrdtool_1_x_spark.datapipe.dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_signatures,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from rrdtool_1_x_spark.datapipe.similarity import (  # noqa: F401
+    brute_force_topk,
+    cosine_similarity_col,
+    lsh_bucketed_topk,
+)
+from rrdtool_1_x_spark.datapipe.textstats import (  # noqa: F401
+    language_scores,
+    quality_metrics,
+    token_stats,
+)

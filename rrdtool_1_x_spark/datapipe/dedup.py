@@ -1,0 +1,181 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design notes (the point of these over naive pairwise comparison):
+
+* exact: hash-groupBy — one shuffle on a 128-bit digest, no pairwise work.
+* MinHash+LSH: per-doc signatures (embarrassingly parallel) → band buckets
+  → candidate pairs only within buckets (the quadratic blowup is confined
+  to hash collisions) → exact Jaccard verification on the candidates.
+* SimHash: 64-bit fingerprint per doc; near-dups share fingerprints at
+  small Hamming distance; bucket by rotated prefixes for banding.
+* n-gram Jaccard: exact verification primitive; only ever run on candidate
+  pairs, never the full cross product.
+
+All hashing is md5-based (deterministic, portable across engines) and runs
+in whole-stage codegen after an explode — lambda-heavy higher-order
+functions stay off the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def _shingle_frame(
+    df: DataFrame, id_col: str, text_col: str, shingle_len: int
+) -> DataFrame:
+    """(id, shingle) rows — codegen-friendly shingling via posexplode+lead."""
+    toks = _tokens(F.col(text_col))
+    t = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(toks).alias("_n"),
+        F.posexplode(toks).alias("_pos", "_tok"),
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    parts = ["_tok"] + [f"_l{i}" for i in range(1, shingle_len)]
+    for i in range(1, shingle_len):
+        t = t.withColumn(f"_l{i}", F.lead("_tok", i).over(w))
+    t = t.withColumn("_s", F.concat_ws(" ", *parts))
+    return t.filter(
+        (F.col("_pos") <= F.col("_n") - shingle_len)
+        | ((F.col("_n") < shingle_len) & (F.col("_pos") == 0))
+    ).select("_id", "_s")
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: (text_hash, keeper, copies, ids)."""
+    return (
+        df.select(F.md5(F.col(text_col).cast("binary")).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keeper"),
+            F.count("*").alias("copies"),
+            F.sort_array(F.collect_list(id_col)).alias("ids"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_len: int = 3,
+) -> DataFrame:
+    """(id, sig0..sigN) MinHash signatures over token shingles."""
+    sh = _shingle_frame(df, id_col, text_col, shingle_len)
+    sigs = [
+        F.min(F.md5(F.concat(F.lit(f"mh{i}:"), F.col("_s")).cast("binary"))).alias(f"sig{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(F.col("_id").alias(id_col)).agg(*sigs)
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_len: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs via banded LSH + exact Jaccard verification.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    The pairwise work happens only inside LSH buckets; with b bands of r
+    rows the collision probability is 1-(1-j^r)^b (standard MinHash-LSH).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_len)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).cast("binary")
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(id_col, *band_cols)
+    pairs = None
+    for b in range(bands):
+        left = banded.select(F.col(id_col).alias("id_a"), F.col(f"band{b}").alias("_b"))
+        right = banded.select(F.col(id_col).alias("id_b"), F.col(f"band{b}").alias("_b"))
+        cand = left.join(right, "_b").filter(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b"
+        )
+        pairs = cand if pairs is None else pairs.unionByName(cand)
+    pairs = pairs.distinct()
+    verified = ngram_jaccard_pairs(
+        pairs, df, id_col=id_col, text_col=text_col, shingle_len=shingle_len
+    )
+    return verified.filter(F.col("jaccard") >= jaccard_threshold)
+
+
+def ngram_jaccard_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_len: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate (id_a, id_b) pairs.
+
+    Set algebra on exploded shingles: |A∩B| counted by joining each pair's
+    distinct shingles, |A∪B| = |A|+|B|-|A∩B|. No arrays are collected."""
+    sh = _shingle_frame(docs, id_col, text_col, shingle_len).distinct()
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_sz"))
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_s"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_s"))
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "_s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_i"))
+    )
+    out = (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"_i": 0})
+        .join(sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sa")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sb")), "id_b")
+    )
+    jac = F.col("_i") / (F.col("_sa") + F.col("_sb") - F.col("_i"))
+    return out.select("id_a", "id_b", jac.alias("jaccard"))
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash fingerprints: (id, simhash long).
+
+    Per token: a 64-bit hash (xxhash64 — JVM-side, stable); each bit votes
+    ±1; the fingerprint takes the majority sign per bit. Near-duplicate
+    texts differ in few bits (compare via bit_count(a XOR b))."""
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(_tokens(F.col(text_col))).alias("_tok")
+    )
+    h = toks.select("_id", F.xxhash64("_tok").alias("_h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{i}")
+        for i in range(bits)
+    ]
+    agg = h.groupBy("_id").agg(*votes)
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp + F.when(F.col(f"_b{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(0)
+    return agg.select(F.col("_id").alias(id_col), fp.alias("simhash"))
+
+
+def simhash_hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two simhash fingerprints."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``brute_force_topk``: exact cosine top-k — the correctness baseline.
+  The query set is broadcast; scoring is a single scan of the corpus with
+  no shuffle until the final per-query top-k (a windowed rank over
+  query-partitioned scores, map-side combinable).
+* ``lsh_bucketed_topk``: the scale path — random-hyperplane LSH confines
+  scoring to matching buckets. Hyperplanes are derived deterministically
+  from md5, so plans are reproducible across runs/engines. Recall is tuned
+  by (num_planes, num_tables): candidates = documents sharing a bucket in
+  ANY table.
+
+Dot products run through ``aggregate(zip_with(...))`` — JVM-side, no
+Python. For 100 TB corpora the intended physical layout is: corpus
+pre-bucketed (bucketBy on bucket id) so queries prune buckets at scan time.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def cosine_similarity_col(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns (double math)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(ad, F.lit(0.0), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate(bd, F.lit(0.0), lambda s, x: s + x * x))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    ``queries``: (query_id, embedding). Returns
+    (query_id, vec_id, cos_sim, rank)."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        F.col("_qid").alias(query_id_col),
+        F.col(id_col),
+        cosine_similarity_col(F.col(vec_col), F.col("_qvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: str = "lsh") -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes from md5 bits."""
+    planes = []
+    for p in range(num_planes):
+        vals = []
+        i = 0
+        while len(vals) < dim:
+            h = hashlib.md5(f"{seed}:{p}:{i}".encode()).digest()
+            for off in range(0, 16, 4):
+                u = int.from_bytes(h[off : off + 4], "big")
+                vals.append((u / 2**31) - 1.0)  # uniform [-1, 1)
+            i += 1
+        norm = math.sqrt(sum(v * v for v in vals[:dim])) or 1.0
+        planes.append([v / norm for v in vals[:dim]])
+    return planes
+
+
+def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Bucket id = sign-pattern of the vector against the hyperplanes."""
+    bits = []
+    for plane in planes:
+        arr = F.array(*[F.lit(float(v)) for v in plane])
+        dot = F.aggregate(
+            F.zip_with(F.transform(vec, lambda x: x.cast("double")), arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int | None = None,
+    num_planes: int = 8,
+    num_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: score only candidates sharing an LSH bucket with
+    the query in at least one hash table."""
+    from pyspark.sql import Window
+
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    cand = None
+    for t in range(num_tables):
+        planes = _hyperplanes(dim, num_planes, seed=f"lsh{t}")
+        cb = corpus.select(
+            F.col(id_col), F.col(vec_col), lsh_bucket_col(F.col(vec_col), planes).alias("_b")
+        )
+        qb = queries.select(
+            F.col(query_id_col).alias("_qid"),
+            F.col(vec_col).alias("_qvec"),
+            lsh_bucket_col(F.col(vec_col), planes).alias("_b"),
+        )
+        c = cb.join(F.broadcast(qb), "_b").select(
+            "_qid", id_col, "_qvec", vec_col
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.dropDuplicates(["_qid", id_col])
+    scored = cand.select(
+        F.col("_qid").alias(query_id_col),
+        F.col(id_col),
+        cosine_similarity_col(F.col(vec_col), F.col("_qvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,118 @@
+"""Text analysis: token statistics, quality scoring, language-ID heuristics,
+document fingerprinting.
+
+All built-in column expressions (regexp + length arithmetic) — the hot path
+stays inside whole-stage codegen; nothing leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword-density heuristic
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "a", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "du", "que"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "de", "que", "en"),
+}
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds token_cnt, char_cnt, avg_token_len, plus a BPE-ish subword count
+    (alphanumeric runs + individual non-space symbols — a cheap proxy for
+    tokenizer load)."""
+    text = F.col(text_col)
+    toks = F.size(_tokens(text))
+    chars = F.length(text)
+    subwords = F.size(
+        F.filter(
+            F.split(text, r"(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
+            lambda x: (x != "") & (x != " "),
+        )
+    )
+    return df.withColumns(
+        {
+            "token_cnt": toks,
+            "char_cnt": chars,
+            "avg_token_len": F.when(toks > 0, chars / toks),
+            "subword_cnt": subwords,
+        }
+    )
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds alpha_ratio, digit_ratio, punct_ratio, upper_ratio,
+    whitespace_ratio and a composite quality_score in [0,1]."""
+    text = F.col(text_col)
+    n = F.length(text).cast("double")
+    alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", "")) / n
+    digit = F.length(F.regexp_replace(text, "[^0-9]", "")) / n
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]-]", "")) / n
+    upper = F.length(F.regexp_replace(text, "[^A-Z]", "")) / n
+    ws = F.length(F.regexp_replace(text, r"[^\s]", "")) / n
+    score = (
+        F.least(alpha * 1.25, F.lit(1.0)) * 0.5
+        + (1.0 - F.least(digit * 4, F.lit(1.0))) * 0.2
+        + (1.0 - F.least(punct * 5, F.lit(1.0))) * 0.2
+        + (1.0 - F.least(upper * 3, F.lit(1.0))) * 0.1
+    )
+    return df.withColumns(
+        {
+            "alpha_ratio": alpha,
+            "digit_ratio": digit,
+            "punct_ratio": punct,
+            "upper_ratio": upper,
+            "whitespace_ratio": ws,
+            "quality_score": F.when(n > 0, score),
+        }
+    )
+
+
+def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-density score per language + argmax guess (lang_guess).
+
+    An n-gram-free heuristic: the language whose stopword list is densest
+    in the token stream. Ties or all-zero → NULL guess."""
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    out = df
+    score_cols = []
+    for lang, words in STOPWORDS.items():
+        hits = F.size(F.filter(toks, lambda x: x.isin(*words)))
+        col = f"score_{lang}"
+        out = out.withColumn(col, F.when(n > 0, hits / n).otherwise(0.0))
+        score_cols.append(col)
+    best = F.greatest(*[F.col(c) for c in score_cols])
+    guess = F.lit(None).cast("string")
+    for lang in reversed(list(STOPWORDS)):
+        guess = F.when(
+            (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(guess)
+    return out.withColumn("lang_guess", guess)
+
+
+def rolling_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Document fingerprint: min rolling hash over token windows (winnowing
+    lite) — stable under small edits away from the minimizing window."""
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.posexplode(_tokens(F.col(text_col))).alias("_p", "_t")
+    )
+    w = Window.partitionBy("_id").orderBy("_p")
+    parts = ["_t"] + [f"_w{i}" for i in range(1, window)]
+    for i in range(1, window):
+        toks = toks.withColumn(f"_w{i}", F.lead("_t", i).over(w))
+    toks = toks.withColumn("_win", F.concat_ws(" ", *parts))
+    return toks.groupBy(F.col("_id").alias(id_col)).agg(
+        F.min(F.xxhash64("_win")).alias("fingerprint")
+    )
