@@ -114,23 +114,25 @@ def fetch(
     series: DataFrame | None = None,
     pad: bool = True,
     keys: tuple[str, ...] = SERIES_KEYS,
+    sort: bool = False,
 ) -> DataFrame:
     """Read the chosen archive over the aligned range, optionally padding
     missing slots with NULL (reference NaN padding).
 
     ``rollup``: the archive table (keys..., ts, value), ts = window end.
+    ``sort=True`` adds the presentation-order global sort (a full range
+    shuffle — leave it off when the consumer aggregates anyway).
     """
     scan = rollup.filter(
         (F.col("ts") > F.lit(float(plan.start))) & (F.col("ts") <= F.lit(float(plan.end)))
     )
-    if not pad:
-        return scan.orderBy(*keys, "ts")
-    spark = rollup.sparkSession
-    if series is None:
-        series = rollup.select(*keys).distinct()
-    grid = time_grid(spark, series, plan.start, plan.end, plan.step)
-    out = grid.join(scan, [*keys, "ts"], "left")
-    return out.orderBy(*keys, "ts")
+    if pad:
+        spark = rollup.sparkSession
+        if series is None:
+            series = rollup.select(*keys).distinct()
+        grid = time_grid(spark, series, plan.start, plan.end, plan.step)
+        scan = grid.join(scan, [*keys, "ts"], "left")
+    return scan.orderBy(*keys, "ts") if sort else scan
 
 
 def reduce_data(

@@ -57,17 +57,21 @@ from rrdtool_1_x_spark.operators.dst import SERIES_KEYS
 def pdp_normalize(
     rated: DataFrame,
     step: int,
-    heartbeat: float,
+    heartbeat,
     keys: tuple[str, ...] = SERIES_KEYS,
 ) -> DataFrame:
     """rated(keys..., ts, prev_ts, interval, rate) → (keys..., ts, value).
 
     Input is the output of ``dst.with_rates``; output has one row per step
     whose PDP is known, ``ts`` = epoch seconds of the step's end.
+    ``heartbeat`` may be a float or the NAME of a column of ``rated``
+    holding a per-row heartbeat (multi-DS single-pass normalization, see
+    ``pdp_table_multi``).
     """
     kcols = [F.col(k) for k in keys]
     stp = F.lit(float(step))
-    hb = F.lit(float(heartbeat))
+    per_row_hb = isinstance(heartbeat, str)
+    hb = F.col("_hb") if per_row_hb else F.lit(float(heartbeat))
 
     s = rated.filter(F.col("prev_ts").isNotNull()).select(
         *keys,
@@ -75,6 +79,7 @@ def pdp_normalize(
         F.col("ts").alias("t1"),
         F.col("interval"),
         F.col("rate"),
+        *([F.col(heartbeat).alias("_hb")] if per_row_hb else []),
     )
     first_end = (F.floor(F.col("t0") / stp) + 1).cast("double") * stp
     last_end = F.ceil(F.col("t1") / stp).cast("double") * stp  # last overlapped step end
@@ -105,6 +110,7 @@ def pdp_normalize(
         )
     )
     p = s.select(*kcols, "t0", "t1", "interval", "rate", "first_end", "occu", "k", "L",
+                 *(["_hb"] if per_row_hb else []),
                  F.explode(ends).alias("_e"))
     e = (F.col("_e") * stp).cast("double")
     overlap = F.least(F.col("t1"), e) - F.greatest(F.col("t0"), e - stp)
@@ -171,3 +177,58 @@ def pdp_table(
         samples, dst, heartbeat, min_val=min_val, max_val=max_val, start=start, keys=keys
     )
     return pdp_normalize(rated, step, heartbeat, keys=keys)
+
+
+def pdp_table_multi(
+    samples: DataFrame,
+    step: int,
+    specs: list,
+    start: float | None = None,
+    keys: tuple[str, ...] = SERIES_KEYS,
+) -> DataFrame:
+    """Single-pass PDP normalization for EVERY data source of a dataset.
+
+    ``specs``: list of catalog.DSDef. One window pass computes all rates
+    (per-DS DST/heartbeat/clamps selected by ``ds_name`` CASE chains) and
+    one per-step aggregation normalizes them — instead of #DS separate
+    scans. This is what makes write-time rollup maintenance O(one scan):
+    the reference updates all archives per sample for the same reason
+    (src/rrd_update.c:1840-1915).
+    ``keys`` must contain ``ds_name``.
+    """
+    from pyspark.sql import Window
+
+    from rrdtool_1_x_spark.operators.dst import rate_expr
+
+    w = Window.partitionBy(*keys).orderBy("ts")
+    prev_ts = F.lag("ts").over(w)
+    if start is not None:
+        prev_ts = F.coalesce(prev_ts, F.lit(float(start)))
+    out = samples.withColumn("prev_ts", prev_ts).withColumn(
+        "prev_value", F.lag("value").over(w)
+    )
+    out = out.filter(F.col("prev_ts").isNull() | (F.col("ts") > F.col("prev_ts")))
+    out = out.withColumn(
+        "interval", F.when(F.col("prev_ts").isNotNull(), F.col("ts") - F.col("prev_ts"))
+    )
+    rate = None
+    hb = None
+    for ds in specs:
+        if ds.dst == "COMPUTE":
+            continue
+        r = rate_expr(
+            ds.dst,
+            F.col("value"),
+            F.col("prev_value"),
+            F.col("interval"),
+            ds.heartbeat,
+            ds.min_val,
+            ds.max_val,
+        )
+        cond = F.col("ds_name") == ds.name
+        rate = r if rate is None else F.when(cond, r).otherwise(rate)
+        hbv = F.lit(float(ds.heartbeat))
+        hb = hbv if hb is None else F.when(cond, hbv).otherwise(hb)
+    rate = F.when(F.col("interval").isNull(), F.lit(None)).otherwise(rate)
+    out = out.withColumn("rate", rate).withColumn("hb", hb)
+    return pdp_normalize(out, step, "hb", keys=keys)

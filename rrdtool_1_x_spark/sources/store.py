@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from rrdtool_1_x_spark.catalog import DatasetDef
 from rrdtool_1_x_spark.operators.cdp import BASIC_CFS, consolidate
 from rrdtool_1_x_spark.operators.fetch import FetchPlan, fetch, select_rra
-from rrdtool_1_x_spark.operators.pdp import pdp_table
+from rrdtool_1_x_spark.operators.pdp import pdp_table_multi
 
 SAMPLE_SCHEMA = "series_id string, ds_name string, ts double, value double"
 
@@ -83,37 +83,33 @@ class DatasetStore:
         foreachBatch target (streaming/ingest.py).
         """
         self._write(samples.select("series_id", "ds_name", "ts", "value"), "samples")
+        self._last_cache = None
         self.rebuild()
 
     def rebuild(self) -> None:
         """Full rollup recompute from samples (exact; incremental variant in
-        streaming/ingest.py merges only touched windows)."""
+        streaming/ingest.py merges only touched windows).
+
+        One PDP pass feeds every archive: rates for all data sources are
+        computed in a single window scan (pdp_table_multi) and the PDP table
+        is cached while the per-archive consolidations (cheap groupBys)
+        derive from it — the batch analogue of the reference maintaining all
+        RRAs per update (src/rrd_update.c:1840-1915)."""
         samples = self._read("samples")
         if samples is None:
             return
-        for i, rra in enumerate(self.dataset.rra):
-            if rra.cf not in BASIC_CFS:
-                continue
-            parts = []
-            for ds in self.dataset.ds:
-                if ds.dst == "COMPUTE":
+        d = self.dataset
+        pdp = pdp_table_multi(
+            samples, d.step, d.ds, start=float(d.start) if d.start else None
+        ).cache()
+        try:
+            for i, rra in enumerate(d.rra):
+                if rra.cf not in BASIC_CFS:
                     continue
-                pdp = pdp_table(
-                    samples.filter(F.col("ds_name") == ds.name),
-                    self.dataset.step,
-                    ds.dst,
-                    ds.heartbeat,
-                    min_val=ds.min_val,
-                    max_val=ds.max_val,
-                    start=float(self.dataset.start) if self.dataset.start else None,
-                )
-                parts.append(
-                    consolidate(pdp, self.dataset.step, rra.pdp_cnt, rra.cf, rra.xff)
-                )
-            out = parts[0]
-            for p in parts[1:]:
-                out = out.unionByName(p)
-            self._write(out, f"rra_{i}", mode="overwrite")
+                out = consolidate(pdp, d.step, rra.pdp_cnt, rra.cf, rra.xff)
+                self._write(out, f"rra_{i}", mode="overwrite")
+        finally:
+            pdp.unpersist()
 
     # -- reads ----------------------------------------------------------------
     def fetch(
@@ -140,13 +136,23 @@ class DatasetStore:
         res = self.dataset.resolution(rra_index)
         return int(last_up - last_up % res - self.dataset.retention(rra_index) + res)
 
+    _last_cache: int | None = None
+
     def last(self) -> int:
-        """≙ rrd_last (src/rrd_last.c:71-122): newest sample time."""
+        """≙ rrd_last (src/rrd_last.c:71-122): newest sample time.
+
+        Cached per store instance (invalidated by update()): fetch planning
+        must not cost a table scan per query. The scan itself is
+        footer-stats only on parquet (max(ts) needs no row reads), but the
+        job overhead matters for interactive fetch latency."""
+        if self._last_cache is not None:
+            return self._last_cache
         s = self._read("samples")
         if s is None:
             return self.dataset.start or 0
         row = s.agg(F.max("ts").alias("m")).first()
-        return int(row["m"]) if row["m"] is not None else (self.dataset.start or 0)
+        self._last_cache = int(row["m"]) if row["m"] is not None else (self.dataset.start or 0)
+        return self._last_cache
 
     def lastupdate(self) -> DataFrame:
         """≙ rrd_lastupdate (src/rrd_lastupdate.c:98-173): last raw reading

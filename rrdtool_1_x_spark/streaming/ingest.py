@@ -66,6 +66,7 @@ class StreamingIngest:
         if batch.isEmpty():
             return
         store._write(batch.select("series_id", "ds_name", "ts", "value"), "samples")
+        store._last_cache = None
         self._refresh_rollups(batch)
 
     def _refresh_rollups(self, batch: DataFrame) -> None:
