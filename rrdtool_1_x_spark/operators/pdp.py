@@ -231,4 +231,32 @@ def pdp_table_multi(
         hb = hbv if hb is None else F.when(cond, hbv).otherwise(hb)
     rate = F.when(F.col("interval").isNull(), F.lit(None)).otherwise(rate)
     out = out.withColumn("rate", rate).withColumn("hb", hb)
-    return pdp_normalize(out, step, "hb", keys=keys)
+    pdp = pdp_normalize(out, step, "hb", keys=keys)
+
+    # COMPUTE data sources: per-step RPN over the sibling DSs' PDP values
+    # (src/rrd_update.c:1785-1815; parse blacklist src/rrd_rpncalc.c:274-293).
+    computes = [ds for ds in specs if ds.dst == "COMPUTE"]
+    if computes:
+        from rrdtool_1_x_spark.rpn import RpnContext, compile_rpn
+
+        other = [k for k in keys if k != "ds_name"]
+        names = [ds.name for ds in specs if ds.dst != "COMPUTE"]
+        wide = pdp.groupBy(*other, "ts").pivot("ds_name", names).agg(F.first("value"))
+        ctx = RpnContext(ts=F.col("ts"), step=float(step), keys=tuple(other))
+        env = {n: F.col(n) for n in names}
+        parts = [pdp]
+        for ds in computes:
+            col = compile_rpn(ds.cdef, env, ctx)
+            parts.append(
+                wide.select(
+                    *other,
+                    F.lit(ds.name).alias("ds_name"),
+                    F.col("ts"),
+                    col.alias("value"),
+                ).filter(F.col("value").isNotNull())
+            )
+        out_pdp = parts[0]
+        for p_ in parts[1:]:
+            out_pdp = out_pdp.unionByName(p_.select(*pdp.columns))
+        return out_pdp
+    return pdp

@@ -145,3 +145,21 @@ def test_pod_example(spark):
     assert set(got) == set(want)
     for k, v in want.items():
         assert close(got[k], v), f"step {k}: got {got[k]}, want {v}"
+
+
+def test_compute_ds(spark):
+    """DST=COMPUTE: per-step RPN over sibling DSs (src/rrd_update.c:1785-1815)."""
+    from rrdtool_1_x_spark.catalog import DSDef
+    from rrdtool_1_x_spark.operators.pdp import pdp_table_multi
+
+    rows = [("s", "g", 300.0 * i, float(i)) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "series_id string, ds_name string, ts double, value double")
+    specs = [
+        DSDef(name="g", dst="GAUGE", heartbeat=600),
+        DSDef(name="double_g", dst="COMPUTE", cdef="g,2,*"),
+    ]
+    pdp = pdp_table_multi(df, 300, specs, start=0.0)
+    got = {(r["ds_name"], int(r["ts"])): r["value"] for r in pdp.collect()}
+    assert got[("g", 600)] == 2.0
+    assert got[("double_g", 600)] == 4.0
+    assert ("double_g", 300) in got  # first step known for gauge → computed
