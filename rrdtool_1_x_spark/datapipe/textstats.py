@@ -105,9 +105,10 @@ def rolling_fingerprint(
 ) -> DataFrame:
     """Document fingerprint: min rolling hash over token windows (winnowing
     lite) — stable under small edits away from the minimizing window."""
+    # pre-project the token array (generator siblings re-evaluate per row)
     toks = df.select(
-        F.col(id_col).alias("_id"), F.posexplode(_tokens(F.col(text_col))).alias("_p", "_t")
-    )
+        F.col(id_col).alias("_id"), _tokens(F.col(text_col)).alias("_toks")
+    ).select("_id", F.posexplode("_toks").alias("_p", "_t"))
     w = Window.partitionBy("_id").orderBy("_p")
     parts = ["_t"] + [f"_w{i}" for i in range(1, window)]
     for i in range(1, window):
