@@ -1,0 +1,119 @@
+"""Differential property test: random update sequences through BOTH the
+reference engine (local build) and this engine must produce identical PDP
+and CDP series.
+
+This is the strongest correctness instrument in the suite: it explores the
+irregular-interval / unknown / heartbeat / min-max / multi-step edge space
+far beyond the committed fixtures.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import subprocess
+
+import pytest
+
+from rrdtool_1_x_spark.operators.cdp import consolidate
+from rrdtool_1_x_spark.operators.pdp import pdp_table
+
+from tests.goldens import close, parse_fetch_output
+from tests.rrdmini import ensure_binary
+
+BIN = ensure_binary()
+pytestmark = pytest.mark.skipif(BIN is None, reason="reference build unavailable")
+
+STEP = 60
+START = 1000000020  # on the step grid
+
+
+def _run_reference(tmp, dst, hb, mn, mx, updates, cf, res, row_cnt=5000):
+    # row_cnt must exceed the whole update span so circular retention never
+    # drops rows (the engine has no such cap; fetch would pad NaN there)
+    rrd = f"{tmp}/d.rrd"
+    mnx = "U" if mn is None else str(mn)
+    mxx = "U" if mx is None else str(mx)
+    subprocess.run(
+        [BIN, "create", rrd, "--start", str(START), "--step", str(STEP),
+         f"DS:x:{dst}:{hb}:{mnx}:{mxx}",
+         f"RRA:AVERAGE:0.5:1:{row_cnt}", f"RRA:{cf}:0.5:{res}:{row_cnt}"],
+        check=True, capture_output=True,
+    )
+    args = [f"{t}:{'U' if v is None else v}" for t, v in updates]
+    for k in range(0, len(args), 50):
+        subprocess.run([BIN, "update", rrd] + args[k : k + 50], check=True,
+                       capture_output=True)
+    end = updates[-1][0]
+    out1 = subprocess.run(
+        [BIN, "fetch", rrd, "AVERAGE", "-r", str(STEP), "-s", str(START),
+         "-e", str(end)], check=True, capture_output=True, text=True).stdout
+    out2 = subprocess.run(
+        [BIN, "fetch", rrd, cf, "-r", str(STEP * res), "-s", str(START),
+         "-e", str(end)], check=True, capture_output=True, text=True).stdout
+    import os
+
+    with open(f"{tmp}/f1", "w") as f:
+        f.write(out1)
+    with open(f"{tmp}/f2", "w") as f:
+        f.write(out2)
+    _, fine = parse_fetch_output(f"{tmp}/f1")
+    _, coarse = parse_fetch_output(f"{tmp}/f2")
+    os.remove(rrd)
+    return fine, coarse
+
+
+def _gen_updates(rng, n, dst):
+    t = START
+    counter = rng.randint(0, 1000)
+    out = []
+    for _ in range(n):
+        t += rng.choice([5, 17, 30, 59, 60, 61, 120, 200, 301, 523, 900, 2000])
+        if rng.random() < 0.12:
+            out.append((t, None))
+            continue
+        if dst in ("COUNTER", "DERIVE"):
+            counter += rng.randint(0, 500)
+            out.append((t, counter))
+        elif dst == "ABSOLUTE":
+            out.append((t, rng.randint(0, 400)))
+        else:
+            out.append((t, round(rng.uniform(-5, 105), 3)))
+    return out
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_differential_random(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    dst = rng.choice(["GAUGE", "COUNTER", "DERIVE", "ABSOLUTE"])
+    hb = rng.choice([65, 120, 400, 1800])
+    mn, mx = (0.0, 100.0) if (dst == "GAUGE" and rng.random() < 0.5) else (None, None)
+    cf = rng.choice(["AVERAGE", "MIN", "MAX", "LAST"])
+    res = rng.choice([4, 6])
+    updates = _gen_updates(rng, 80, dst)
+
+    fine_ref, coarse_ref = _run_reference(str(tmp_path), dst, hb, mn, mx, updates, cf, res)
+
+    df = spark.createDataFrame(
+        [("s", "x", float(t), None if v is None else float(v)) for t, v in updates],
+        "series_id string, ds_name string, ts double, value double",
+    )
+    pdp = pdp_table(df, STEP, dst, hb, min_val=mn, max_val=mx, start=float(START)).cache()
+    mine_fine = {int(r["ts"]): r["value"] for r in pdp.collect()}
+    cdp = consolidate(pdp, STEP, res, cf, 0.5)
+    mine_coarse = {int(r["ts"]): r["value"] for r in cdp.collect()}
+
+    bad = []
+    for ts, vals in fine_ref.items():
+        got = mine_fine.get(ts)
+        if not close(got, vals[0]):
+            bad.append(("fine", ts, got, vals[0]))
+    for ts, vals in coarse_ref.items():
+        got = mine_coarse.get(ts)
+        if not close(got, vals[0]):
+            bad.append((cf, ts, got, vals[0]))
+    assert not bad, (
+        f"seed={seed} dst={dst} hb={hb} cf={cf} res={res}: "
+        f"{len(bad)} mismatches, first 5: {bad[:5]}"
+    )
+    assert len(fine_ref) > 20
