@@ -285,8 +285,8 @@ def compile_rpn(
             push((cur_t != prev_t).cast("double"))
         elif up == "PREV":
             raise RpnError(
-                "PREV (self-reference) is a sequential recurrence; "
-                "use operators.hw/applyInPandas path"
+                "PREV (self-reference) is a sequential recurrence with no "
+                "compiled form; evaluate with rpn_seq.eval_sequential"
             )
         elif up.startswith("PREV(") and up.endswith(")"):
             name = tok[5:-1]

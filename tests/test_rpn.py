@@ -152,3 +152,26 @@ def test_rpn_errors(spark):
         ev(spark, "a,b", 1.0, 2.0)  # two values left
     with pytest.raises(RpnError):
         ev(spark, "PREV", 1.0)  # self-PREV unsupported in compiled path
+
+
+def test_prev_self_sequential(spark):
+    """Self-referential PREV via the sequential evaluator (rpn_seq):
+    running max expressed as PREV,v,MAXNAN."""
+    from rrdtool_1_x_spark.rpn_seq import eval_sequential
+
+    rows = [("s", 300.0 * i, v) for i, v in enumerate([3.0, 1.0, None, 7.0, 5.0], start=1)]
+    df = spark.createDataFrame(rows, "series_id string, ts double, v double")
+    out = eval_sequential(df, "PREV,v,MAXNAN", {"v": "v"}, keys=("series_id",), step=300)
+    got = [r["value"] for r in out.orderBy("ts").collect()]
+    assert got == [3.0, 3.0, 3.0, 7.0, 7.0]
+
+
+def test_prev_self_gap_fill(spark):
+    """Classic gap-fill idiom: v,UN,PREV,v,IF carries the last known."""
+    from rrdtool_1_x_spark.rpn_seq import eval_sequential
+
+    rows = [("s", 300.0 * i, v) for i, v in enumerate([2.0, None, None, 9.0], start=1)]
+    df = spark.createDataFrame(rows, "series_id string, ts double, v double")
+    out = eval_sequential(df, "v,UN,PREV,v,IF", {"v": "v"}, keys=("series_id",), step=300)
+    got = [r["value"] for r in out.orderBy("ts").collect()]
+    assert got == [2.0, 2.0, 2.0, 9.0]
