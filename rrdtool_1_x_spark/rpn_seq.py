@@ -143,6 +143,26 @@ def eval_sequential(
     ``var_cols`` maps RPN variable names → DataFrame column names.
     Returns (keys..., ts, out_col)."""
     tokens = [t for t in expr.split(",") if t != ""]
+    # validate on the driver so unsupported ops fail fast with a clear error
+    # instead of a worker-side stack trace
+    supported = (
+        set(_BIN) | set(_UN) | set(_CMP)
+        | {"PREV", "UNKN", "INF", "NEGINF", "TIME", "COUNT", "STEPWIDTH",
+           "ADDNAN", "IF", "MIN", "MAX", "MINNAN", "MAXNAN", "LIMIT", "UN",
+           "ISINF", "DUP", "EXC", "POP"}
+    )
+    for tok in tokens:
+        up = tok.upper()
+        if not (
+            _NUM_RE.match(tok)
+            or tok in var_cols
+            or up in supported
+            or (up.startswith("PREV(") and up.endswith(")") and tok[5:-1] in var_cols)
+        ):
+            raise ValueError(
+                f"op {tok!r} not supported in sequential RPN eval "
+                "(window/set ops belong in the compiled path, rpn.compile_rpn)"
+            )
     keys_l = list(keys)
     schema = ", ".join(f"{k} string" for k in keys_l) + f", {ts_col} double, {out_col} double"
 

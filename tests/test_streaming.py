@@ -92,3 +92,19 @@ def test_real_stream_available_now(spark, tmp_path):
     assert store._read("samples").count() == len(UPDATES)
     got = {r["ts"]: r["value"] for r in store._read("rra_0").collect()}
     assert round(got[920805000.0], 9) == 0.04
+
+
+def test_partitioned_store_roundtrip(spark, tmp_path):
+    """partition_by_day=True: day-partitioned parquet layout (partition
+    pruning for time-range fetches) must behave identically."""
+    store = DatasetStore.create(
+        spark, str(tmp_path / "pd"), _dataset(), partition_by_day=True
+    )
+    store.update(_rows(spark, UPDATES))
+    import os
+
+    days = [d for d in os.listdir(str(tmp_path / "pd" / "samples")) if d.startswith("pday=")]
+    assert days, "expected pday= partition directories"
+    df, plan = store.fetch("AVERAGE", 920804400, 920808900, 300)
+    got = {int(r["ts"]): r["value"] for r in df.collect()}
+    assert round(got[920805000], 9) == 0.04
