@@ -185,3 +185,82 @@ def simhash(
 def simhash_hamming(a: Column, b: Column) -> Column:
     """Hamming distance between two simhash fingerprints."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def duplicate_groups(
+    pairs: DataFrame,
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Group near-duplicate pairs into connected components.
+
+    (id_a, id_b) pairs → (doc_id, group_id) where group_id is the smallest
+    doc id in the component. Distributed label propagation: each node
+    repeatedly adopts the minimum label among itself and its neighbors;
+    converges in O(component diameter) join rounds (dedup components are
+    shallow in practice — near-dup clusters are cliques from LSH buckets).
+    Iteration is driver-controlled with early exit on fixpoint.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("group_id"))
+
+
+def dedup_report(
+    docs: DataFrame,
+    groups: DataFrame,
+    id_col: str = "doc_id",
+) -> dict:
+    """Corpus-level dedup summary: total docs, docs in duplicate groups,
+    number of groups, documents kept after keep-one-per-group."""
+    total = docs.count()
+    g = groups.groupBy("group_id").agg(F.count("*").alias("sz"))
+    dup_groups = g.filter(F.col("sz") > 1)
+    stats = dup_groups.agg(
+        F.count("*").alias("groups"), F.sum("sz").alias("members")
+    ).first()
+    n_groups = stats["groups"] or 0
+    members = stats["members"] or 0
+    removed = members - n_groups  # keep one per group
+    return {
+        "total_docs": total,
+        "docs_in_dup_groups": int(members),
+        "dup_groups": int(n_groups),
+        "docs_removed": int(removed),
+        "docs_kept": int(total - removed),
+        "dup_rate": (removed / total) if total else 0.0,
+    }

@@ -57,6 +57,7 @@ def _hw_series(
     threshold: int,
     window_len: int,
     multiplicative: bool,
+    smooth_window: float = 0.0,
 ) -> pd.DataFrame:
     n = len(ts)
     pred = np.full(n, np.nan)
@@ -69,6 +70,19 @@ def _hw_series(
     a = b = np.nan
     k = 0
     viol = np.zeros(window_len, dtype=np.int64)
+    smooth_offset = int(np.floor(smooth_window / 2.0 * period))
+
+    def _smooth(arr: np.ndarray) -> tuple[np.ndarray, float]:
+        # circular centered moving average of width 2*offset+1 over the
+        # coefficient array (apply_smoother, src/rrd_hw.c:128-245); only
+        # applied when every slot is known, like the reference
+        m = len(arr)
+        sm = np.empty(m)
+        for kk in range(m):
+            idx = (np.arange(kk - smooth_offset, kk + smooth_offset + 1)) % m
+            sm[kk] = arr[idx].mean()
+        return sm, float(sm.mean())
+
     for i in range(n):
         p = i % period
         x = vals[i]
@@ -129,6 +143,23 @@ def _hw_series(
             else:
                 D[p] = gamma * abs(pr - x) + (1 - gamma) * dv
         devs_out[i] = D[p]
+        # ---- periodic seasonal smoother at each completed cycle
+        # (src/rrd_hw.c:128-330; the reference anchors post-burn-in runs at
+        # a filename-hash index, so the deterministic every-cycle schedule
+        # here matches its burn-in behavior)
+        if smooth_offset > 0 and (i + 1) % period == 0:
+            if not np.isnan(S).any():
+                sm, baseline = _smooth(S)
+                # SEASONAL: recenter around 0 and move the baseline into
+                # the intercept (src/rrd_hw.c:248-282)
+                if multiplicative:
+                    S = sm / baseline if baseline > 0 else sm
+                else:
+                    S = sm - baseline
+                if not np.isnan(a):
+                    a += baseline
+            if not np.isnan(D).any():
+                D, _ = _smooth(D)
     return pd.DataFrame(
         {
             "ts": ts,
@@ -152,6 +183,7 @@ def hw_predict(
     threshold: int = 7,
     window_len: int = 9,
     multiplicative: bool = False,
+    smooth_window: float = 0.0,
     keys: tuple[str, ...] = SERIES_KEYS,
     step: float | None = None,
     start: float | None = None,
@@ -191,6 +223,7 @@ def hw_predict(
         out = _hw_series(
             grid, full, alpha, beta, gamma, period,
             delta_pos, delta_neg, threshold, window_len, multiplicative,
+            smooth_window,
         )
         for k in keys_l:
             out[k] = pdf[k].iloc[0]

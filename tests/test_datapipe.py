@@ -166,3 +166,20 @@ def test_multimodal_features(spark, docs):
 
     with _pt.raises(Exception, match="NotImplementedError|no codec"):
         extract_features(media, strict=True).collect()
+
+
+def test_duplicate_groups_and_report(spark, docs):
+    from rrdtool_1_x_spark.datapipe.dedup import dedup_report, duplicate_groups
+
+    # chain: a-b, b-c in one component; d-e separate
+    pairs = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 3.0), (10.0, 11.0)], "id_a double, id_b double"
+    )
+    groups = duplicate_groups(pairs)
+    got = {r["doc_id"]: r["group_id"] for r in groups.collect()}
+    assert got == {1.0: 1.0, 2.0: 1.0, 3.0: 1.0, 10.0: 10.0, 11.0: 10.0}
+
+    rep = dedup_report(docs, groups)
+    assert rep["dup_groups"] == 2
+    assert rep["docs_removed"] == 3  # 5 members - 2 keepers
+    assert rep["docs_kept"] == rep["total_docs"] - 3

@@ -67,3 +67,29 @@ def test_hw_failures_flag_anomaly(hw_out):
     # the anomaly burst at i in (120..122) → ts 1000036200.. should trip
     # violations shortly after; at least one failure in the run
     assert any(r["failures"] == 1.0 for r in hw_out.values())
+
+
+def test_seasonal_smoother(spark):
+    """apply_smoother math: circular centered moving average + baseline
+    recentering into the intercept (src/rrd_hw.c:128-282). Scheduling
+    parity is filename-hash-dependent in the reference; the math is checked
+    directly on a full-cycle run."""
+    import math as m
+
+    period = 12
+    rows = [
+        ("s", 300.0 * (i + 1), 10.0 + 5 * m.sin(2 * m.pi * i / period) + (2.0 if i % period == 3 else 0.0))
+        for i in range(period * 4)
+    ]
+    pdp = spark.createDataFrame(rows, "series_id string, ts double, value double")
+    out_ns = hw_predict(pdp, alpha=0.5, gamma=0.5, period=period, keys=("series_id",),
+                        step=300.0, start=0.0, smooth_window=0.0)
+    out_sm = hw_predict(pdp, alpha=0.5, gamma=0.5, period=period, keys=("series_id",),
+                        step=300.0, start=0.0, smooth_window=0.4)
+    s_ns = [r["seasonal"] for r in out_ns.orderBy("ts").collect()][-period:]
+    s_sm = [r["seasonal"] for r in out_sm.orderBy("ts").collect()][-period:]
+    # smoothing reduces the total variation of the seasonal coefficients
+    tv = lambda xs: sum(abs(xs[i] - xs[i - 1]) for i in range(1, len(xs)))
+    assert tv(s_sm) < tv(s_ns)
+    # and recenters them near zero mean
+    assert abs(sum(s_sm) / len(s_sm)) < abs(sum(s_ns) / len(s_ns)) + 1e-9

@@ -75,6 +75,10 @@ def _gen_updates(rng, n, dst):
         if dst in ("COUNTER", "DERIVE"):
             counter += rng.randint(0, 500)
             out.append((t, counter))
+        elif dst in ("DCOUNTER", "DDERIVE"):
+            # float counter; occasional decrease = DCOUNTER reset
+            counter += rng.uniform(-50, 300)
+            out.append((t, round(counter, 4)))
         elif dst == "ABSOLUTE":
             out.append((t, rng.randint(0, 400)))
         else:
@@ -85,7 +89,7 @@ def _gen_updates(rng, n, dst):
 @pytest.mark.parametrize("seed", range(12))
 def test_differential_random(spark, tmp_path, seed):
     rng = random.Random(seed)
-    dst = rng.choice(["GAUGE", "COUNTER", "DERIVE", "ABSOLUTE"])
+    dst = rng.choice(["GAUGE", "COUNTER", "DERIVE", "ABSOLUTE", "DCOUNTER", "DDERIVE"])
     hb = rng.choice([65, 120, 400, 1800])
     mn, mx = (0.0, 100.0) if (dst == "GAUGE" and rng.random() < 0.5) else (None, None)
     cf = rng.choice(["AVERAGE", "MIN", "MAX", "LAST"])
