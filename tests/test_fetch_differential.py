@@ -1,0 +1,112 @@
+"""Differential test for archive selection + fetch: sweep wished
+resolutions against the reference build and require the same chosen step
+and the same values (fixture uses several archives with distinct CFs and
+resolutions so best-full/best-partial tie-breaks are exercised)."""
+
+from __future__ import annotations
+
+import subprocess
+
+import pytest
+
+from rrdtool_1_x_spark.catalog import DSDef, RRADef, create
+from rrdtool_1_x_spark.operators.cdp import consolidate
+from rrdtool_1_x_spark.operators.fetch import select_rra
+from rrdtool_1_x_spark.operators.pdp import pdp_table
+
+from tests.goldens import close, parse_fetch_output
+from tests.rrdmini import ensure_binary
+
+BIN = ensure_binary()
+pytestmark = pytest.mark.skipif(BIN is None, reason="reference build unavailable")
+
+STEP = 300
+START = 1000000200  # on the grid
+N = 500
+RRAS = [
+    ("AVERAGE", 1, 600),
+    ("AVERAGE", 6, 300),
+    ("MAX", 6, 300),
+    ("AVERAGE", 24, 100),
+    ("LAST", 1, 600),
+]
+
+
+@pytest.fixture(scope="module")
+def rrd(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("fetchdiff")
+    rrd = str(tmp / "f.rrd")
+    args = [BIN, "create", rrd, "--start", str(START), "--step", str(STEP),
+            "DS:x:GAUGE:600:U:U"]
+    args += [f"RRA:{cf}:0.5:{p}:{r}" for cf, p, r in RRAS]
+    subprocess.run(args, check=True, capture_output=True)
+    ups = [f"{START + STEP * i}:{(i * 7) % 90}" for i in range(1, N + 1)]
+    for k in range(0, N, 100):
+        subprocess.run([BIN, "update", rrd] + ups[k : k + 100], check=True,
+                       capture_output=True)
+    return rrd
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    ups = [(START + STEP * i, float((i * 7) % 90)) for i in range(1, N + 1)]
+    df = spark.createDataFrame(
+        [("s", "x", float(t), v) for t, v in ups],
+        "series_id string, ds_name string, ts double, value double",
+    )
+    pdp = pdp_table(df, STEP, "GAUGE", 600, start=float(START)).cache()
+    rollups = {
+        i: consolidate(pdp, STEP, p, cf, 0.5).cache()
+        for i, (cf, p, _r) in enumerate(RRAS)
+    }
+    ds = create(
+        "f", step=STEP, ds=[DSDef(name="x", dst="GAUGE", heartbeat=600)],
+        rra=[RRADef(cf=cf, xff=0.5, pdp_cnt=p, row_cnt=r) for cf, p, r in RRAS],
+        start=START,
+    )
+    return ds, rollups
+
+
+LAST_UP = START + STEP * N
+
+
+@pytest.mark.parametrize("cf,wish,span", [
+    ("AVERAGE", 300, 40000),
+    ("AVERAGE", 1800, 40000),
+    ("AVERAGE", 2000, 40000),
+    ("AVERAGE", 7200, 40000),
+    ("AVERAGE", 300, 200000),   # start beyond fine retention → coarser RRA
+    ("MAX", 1800, 40000),
+    ("LAST", 300, 40000),
+    ("MAX", 300, 40000),        # CF substitution from 1-pdp archives
+    ("MIN", 300, 40000),        # no MIN RRA: 1-pdp AVERAGE/LAST substitute
+])
+def test_fetch_selection_matches(spark, tmp_path, rrd, engine, cf, wish, span):
+    ds, rollups = engine
+    end = LAST_UP
+    start = end - span
+    ref = subprocess.run(
+        [BIN, "fetch", rrd, cf, "-r", str(wish), "-s", str(start), "-e", str(end)],
+        check=True, capture_output=True, text=True).stdout
+    f = tmp_path / "ref.out"
+    f.write_text(ref)
+    _, want = parse_fetch_output(str(f))
+    tss = sorted(want)
+    ref_step = tss[1] - tss[0]
+
+    plan = select_rra(ds, cf, start, end, wish, LAST_UP)
+    assert plan.step == ref_step, f"chose step {plan.step}, reference {ref_step}"
+
+    got = {int(r["ts"]): r["value"] for r in rollups[plan.rra_index].collect()}
+    lo = (LAST_UP - LAST_UP % plan.step) - plan.step * ds.rra[plan.rra_index].row_cnt
+    checked = 0
+    for ts in tss:
+        if not (lo < ts <= LAST_UP - LAST_UP % plan.step):
+            continue  # reference pads NaN outside retention / data
+        if not (plan.start < ts <= plan.end):
+            continue
+        assert close(got.get(ts), want[ts][0]), (
+            f"{cf} r={wish} ts={ts}: got {got.get(ts)}, want {want[ts][0]}"
+        )
+        checked += 1
+    assert checked >= min(10, span // ref_step - 1)
