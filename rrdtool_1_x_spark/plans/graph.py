@@ -89,11 +89,22 @@ class Query:
     --step, defaulting to the finest DEF resolution).
     """
 
-    def __init__(self, start: int, end: int, step: int | None = None, tz: str = "UTC"):
+    def __init__(
+        self,
+        start: int,
+        end: int,
+        step: int | None = None,
+        tz: str = "UTC",
+        maxrows: int | None = None,
+    ):
         self.start = int(start)
         self.end = int(end)
         self.step_wish = step
         self.tz = tz
+        # --maxrows ≙ the graph width cap: each DEF is reduced at fetch time
+        # so the output has at most this many rows (rrd_xport.c:100,140-147,
+        # data_fetch reduce src/rrd_graph.c:1055-1070)
+        self.maxrows = maxrows
         self._defs: list[_Def] = []
         self._cdefs: list[_CDef] = []
         self._vdefs: list[_VDef] = []
@@ -156,17 +167,23 @@ class Query:
         frames: dict[str, DataFrame] = {}
         steps: dict[str, int] = {}
         memo: dict[tuple, tuple[DataFrame, int]] = {}
+        min_step = None
+        if self.maxrows:
+            min_step = math.ceil((self.end - self.start) / self.maxrows)
         for d in self._defs:
-            key = (id(d.rollups), d.ds_name, d.cf, d.step_wish)
+            wish = d.step_wish
+            if min_step is not None:
+                wish = max(wish or 0, min_step)
+            key = (id(d.rollups), d.ds_name, d.cf, wish)
             if key not in memo:
                 plan: FetchPlan = select_rra(
-                    d.dataset, d.cf, self.start, self.end, d.step_wish, d.last_up
+                    d.dataset, d.cf, self.start, self.end, wish, d.last_up
                 )
                 scan = fetch(d.rollups[plan.rra_index], plan, pad=False, keys=())
                 step = plan.step
-                if d.step_wish and d.step_wish > step:
-                    scan = reduce_data(scan, step, d.step_wish, d.cf, keys=())
-                    step = step * math.ceil(d.step_wish / step)
+                if wish and wish > step:
+                    scan = reduce_data(scan, step, wish, d.cf, keys=())
+                    step = step * math.ceil(wish / step)
                 memo[key] = (scan.select("ts", "value"), step)
             frames[d.vname], steps[d.vname] = memo[key]
         return frames, steps

@@ -61,7 +61,9 @@ def to_json(res: QueryResult, showtime: bool = False) -> str:
     return "\n".join(lines)
 
 
-def to_xml(res: QueryResult) -> str:
+def to_xml(res: QueryResult, enumds: bool = False) -> str:
+    """``enumds`` numbers the value tags <v0><v1>… (the reference's
+    --enumds); default is plain <v> per column (rrd_xport.c formatters)."""
     rows = _collect_rows(res)
     lines = [
         '<?xml version="1.0" encoding="ISO-8859-1"?>',
@@ -78,9 +80,10 @@ def to_xml(res: QueryResult) -> str:
     lines += [f"      <entry>{leg}</entry>" for leg in res.legends]
     lines += ["    </legend>", "  </meta>", "  <data>"]
     for t, row in rows:
-        cells = "".join(
-            f"<v{i}>{_fmt(v)}</v{i}>" for i, v in enumerate(row)
-        )
+        if enumds:
+            cells = "".join(f"<v{i}>{_fmt(v)}</v{i}>" for i, v in enumerate(row))
+        else:
+            cells = "".join(f"<v>{_fmt(v)}</v>" for v in row)
         lines.append(f"    <row><t>{t}</t>{cells}</row>")
     lines += ["  </data>", "</xport>", ""]
     return "\n".join(lines)

@@ -121,3 +121,29 @@ def test_differential_random(spark, tmp_path, seed):
         f"{len(bad)} mismatches, first 5: {bad[:5]}"
     )
     assert len(fine_ref) > 20
+
+
+def test_counter_wrap_healing(spark, tmp_path):
+    """32-bit counter wrap: the reference heals negative diffs by adding
+    2^32-1 (src/rrd_update.c:1489-1498); engine must agree."""
+    ups = [
+        (START + 300, 4294960000),
+        (START + 600, 4294966000),
+        (START + 900, 2000),      # wrapped past 2^32
+        (START + 1200, 8000),
+        (START + 1500, 4000),     # wraps again (looks like reset)
+    ]
+    fine_ref, _ = _run_reference(
+        str(tmp_path), "COUNTER", 1800, None, None, ups, "AVERAGE", 4
+    )
+    df = spark.createDataFrame(
+        [("s", "x", float(t), float(v)) for t, v in ups],
+        "series_id string, ds_name string, ts double, value double",
+    )
+    pdp = pdp_table(df, STEP, "COUNTER", 1800, start=float(START))
+    mine = {int(r["ts"]): r["value"] for r in pdp.collect()}
+    for ts, vals in fine_ref.items():
+        assert close(mine.get(ts), vals[0]), (ts, mine.get(ts), vals[0])
+    # sanity: the wrap row healed to (2^32-1 - 4294966000 + 2000 + 1)/300
+    want = (4294967295 - 4294966000 + 2000) / 300.0
+    assert close(mine[START + 900], want)

@@ -99,7 +99,7 @@ def test_query_cdef_vdef_xport(spark, store):
     assert js["meta"]["legend"] == ["km/h", "fast only"]
     assert js["meta"]["step"] == 300
     assert len(js["data"]) == (res.end - res.start) // res.step + 1
-    xml = to_xml(res)
+    xml = to_xml(res, enumds=True)
     assert "<columns>2</columns>" in xml and "<v0>" in xml
     csv = to_csv(res)
     assert csv.splitlines()[0] == "t,km/h,fast only"
@@ -135,3 +135,27 @@ def test_format_print():
     assert _format_print("%.2lf", 3.14159, None) == "3.14"
     assert _format_print("%.1lf %sB", 1536.0, None) == "1.5 kB"
     assert _format_print("%.0lf %s", 2_000_000.0, None) == "2 M"
+
+
+def test_maxrows_caps_output(spark, store):
+    rollups = {i: store._read(f"rra_{i}") for i in range(2)}
+    q = (
+        Query(start=920804400, end=920808900, maxrows=5)
+        .def_("v", rollups, store.dataset, "speed", "AVERAGE", last_up=store.last())
+        .xport("v")
+    )
+    res = q.execute(spark)
+    n_rows = (res.end - res.start) // res.step
+    assert n_rows <= 5 + 1
+    assert res.step >= (920808900 - 920804400) / 6  # coarsened
+
+
+def test_xml_enumds_modes(spark, store):
+    rollups = {i: store._read(f"rra_{i}") for i in range(2)}
+    res = (
+        Query(start=920804400, end=920808900)
+        .def_("v", rollups, store.dataset, "speed", "AVERAGE", last_up=store.last())
+        .xport("v")
+    ).execute(spark)
+    assert "<v>" in to_xml(res) and "<v0>" not in to_xml(res)
+    assert "<v0>" in to_xml(res, enumds=True)
