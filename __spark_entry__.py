@@ -36,19 +36,26 @@ KEYS = ("series_id",)
 # ---------------------------------------------------------------- engine side
 
 
+_SAMPLES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the driver's parquet stores TIMESTAMP(NANOS) which Spark only reads as
     # long; truncate to MICROseconds with integer division (nanos overflow
     # double precision) — DuckDB's reader truncates to micros the same way
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    t = (F.expr("ts DIV 1000").cast("double") / F.lit(1e6)).alias("ts")
-    return (
-        ev.select("event_type", t, "value")
-        .groupBy("event_type", "ts")
-        .agg(F.avg("value").alias("value"))
-        .select(F.col("event_type").alias("series_id"), "ts", "value")
-    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SAMPLES_CACHE:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        t = (F.expr("ts DIV 1000").cast("double") / F.lit(1e6)).alias("ts")
+        _SAMPLES_CACHE[key] = (
+            ev.select("event_type", t, "value")
+            .groupBy("event_type", "ts")
+            .agg(F.avg("value").alias("value"))
+            .select(F.col("event_type").alias("series_id"), "ts", "value")
+            .cache()
+        )
+    return _SAMPLES_CACHE[key]
 
 
 _PDP_CACHE: dict[tuple[str, str], DataFrame] = {}

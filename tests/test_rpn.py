@@ -175,3 +175,27 @@ def test_prev_self_gap_fill(spark):
     out = eval_sequential(df, "v,UN,PREV,v,IF", {"v": "v"}, keys=("series_id",), step=300)
     got = [r["value"] for r in out.orderBy("ts").collect()]
     assert got == [2.0, 2.0, 2.0, 9.0]
+
+
+def test_rpn_ltime_newday_tz(spark):
+    """LTIME/NEWDAY honor the query timezone (src/rrd_rpncalc.c:704-744):
+    Europe/Zurich is UTC+1 in winter, and the local-midnight flag fires at
+    23:00 UTC."""
+    # steps around 2024-01-10 midnight Zurich (= 2024-01-09 23:00 UTC)
+    base = 1704841200  # 2024-01-09 23:00:00 UTC
+    rows = [("s", float(base + 3600 * i), 1.0) for i in range(-2, 3)]
+    df = spark.createDataFrame(rows, "k string, ts double, v double")
+    ctx = RpnContext(ts=F.col("ts"), step=3600, keys=("k",), tz="Europe/Zurich")
+    out = {
+        int(r["ts"]): (r["lt"], r["nd"])
+        for r in df.select(
+            "ts",
+            compile_rpn("LTIME", {}, ctx).alias("lt"),
+            compile_rpn("NEWDAY", {}, ctx).alias("nd"),
+        ).collect()
+    }
+    # winter: LTIME = TIME + 3600
+    assert out[base][0] == base + 3600
+    # the step at 23:00 UTC is the first of the new local day
+    assert out[base][1] == 1.0
+    assert out[base - 3600][1] == 0.0 and out[base + 3600][1] == 0.0
