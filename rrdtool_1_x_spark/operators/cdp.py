@@ -43,6 +43,7 @@ def consolidate(
     value_col: str = "value",
     exact: bool = False,
     exact_scale: float = 1e6,
+    clock: DataFrame | None = None,
 ) -> DataFrame:
     """pdp(keys..., ts=step end, value) → (keys..., ts=window end, value).
 
@@ -50,6 +51,14 @@ def consolidate(
     ``pdp_cnt == 1`` short-circuits to the identity for every CF — matching
     the reference rule that a 1-pdp RRA of any basic CF serves any other
     (src/rrd_fetch.c:350-372).
+
+    ``clock``: optional (keys..., clock double) frame giving each series'
+    last finalized step boundary (= floor(last raw update / step) * step).
+    The reference only writes a CDP once time passes the window end
+    (write_to_rras, src/rrd_update.c:2333-2411); without the clock the
+    trailing in-progress window would be emitted from its partial PDPs
+    (visible at high xff). The storage layer passes it; ad-hoc callers may
+    omit it when the trailing window is acceptable.
     """
     cf = cf.upper()
     if cf not in BASIC_CFS:
@@ -91,7 +100,12 @@ def consolidate(
 
     unknown = F.lit(pdp_cnt) - F.col("_known")
     out = out.filter(unknown <= F.lit(float(pdp_cnt) * xff)).drop("_known")
-    return out.filter(F.col("value").isNotNull())
+    out = out.filter(F.col("value").isNotNull())
+    if clock is not None:
+        out = out.join(F.broadcast(clock), list(keys), "left").filter(
+            F.col("clock").isNull() | (F.col("ts") <= F.col("clock"))
+        ).drop("clock")
+    return out
 
 
 def rollup_all(

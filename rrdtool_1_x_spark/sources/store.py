@@ -102,11 +102,17 @@ class DatasetStore:
         pdp = pdp_table_multi(
             samples, d.step, d.ds, start=float(d.start) if d.start else None
         ).cache()
+        # each series' last finalized step boundary: the reference only
+        # writes a CDP once time passes the window end, so the trailing
+        # in-progress window must not be materialized
+        clock = samples.groupBy("series_id", "ds_name").agg(
+            (F.floor(F.max("ts") / d.step) * d.step).cast("double").alias("clock")
+        )
         try:
             for i, rra in enumerate(d.rra):
                 if rra.cf not in BASIC_CFS:
                     continue
-                out = consolidate(pdp, d.step, rra.pdp_cnt, rra.cf, rra.xff)
+                out = consolidate(pdp, d.step, rra.pdp_cnt, rra.cf, rra.xff, clock=clock)
                 self._write(out, f"rra_{i}", mode="overwrite")
         finally:
             pdp.unpersist()

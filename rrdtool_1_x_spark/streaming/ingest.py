@@ -94,6 +94,9 @@ class StreamingIngest:
                 # include the preceding sample for rate conversion
                 F.col("ts") > F.col("_wlo") - lookback
             )
+            clock = touched.groupBy("series_id", "ds_name").agg(
+                (F.floor(F.max("ts") / d.step) * d.step).cast("double").alias("clock")
+            )
             parts = []
             for ds in d.ds:
                 if ds.dst == "COMPUTE":
@@ -107,7 +110,9 @@ class StreamingIngest:
                     max_val=ds.max_val,
                     start=float(d.start) if d.start else None,
                 )
-                parts.append(consolidate(pdp, d.step, rra.pdp_cnt, rra.cf, rra.xff))
+                parts.append(
+                    consolidate(pdp, d.step, rra.pdp_cnt, rra.cf, rra.xff, clock=clock)
+                )
             fresh = parts[0]
             for p in parts[1:]:
                 fresh = fresh.unionByName(p)

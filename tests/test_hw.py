@@ -93,3 +93,39 @@ def test_seasonal_smoother(spark):
     assert tv(s_sm) < tv(s_ns)
     # and recenters them near zero mean
     assert abs(sum(s_sm) / len(s_sm)) < abs(sum(s_ns) / len(s_ns)) + 1e-9
+
+
+@pytest.fixture(scope="module")
+def hwm_out(spark):
+    """Multiplicative Holt-Winters run (MHWPREDICT golden set)."""
+    _, avg = parse_fetch_output(f"{D}/hwm_AVERAGE.golden")
+    rows = [("s", float(ts), v[0]) for ts, v in sorted(avg.items()) if v[0] is not None]
+    pdp = spark.createDataFrame(rows, "series_id string, ts double, value double")
+    out = hw_predict(
+        pdp, alpha=0.1, beta=0.0035, gamma=0.1, period=PERIOD,
+        threshold=7, window_len=9, multiplicative=True,
+        keys=("series_id",), step=300.0, start=1000000200.0 - 300.0,
+    )
+    return {int(r["ts"]): r for r in out.collect()}
+
+
+@pytest.mark.parametrize(
+    "golden,col",
+    [
+        ("hwm_MHWPREDICT.golden", "prediction"),
+        ("hwm_DEVPREDICT.golden", "devpredict"),
+        ("hwm_FAILURES.golden", "failures"),
+        ("hwm_SEASONAL.golden", "seasonal"),
+        ("hwm_DEVSEASONAL.golden", "devseasonal"),
+    ],
+)
+def test_hw_multiplicative_golden(hwm_out, golden, col):
+    _, want = parse_fetch_output(f"{D}/{golden}")
+    known = [ts for ts, v in want.items() if v[0] is not None]
+    assert len(known) >= 40, f"golden {golden} too sparse"
+    for ts in known:
+        got = hwm_out.get(ts)
+        assert got is not None, f"missing output at {ts}"
+        assert close(got[col], want[ts][0]), (
+            f"{col}@{ts}: got {got[col]}, want {want[ts][0]}"
+        )

@@ -14,6 +14,7 @@ import random
 import subprocess
 
 import pytest
+from pyspark.sql import functions as F
 
 from rrdtool_1_x_spark.operators.cdp import consolidate
 from rrdtool_1_x_spark.operators.pdp import pdp_table
@@ -28,7 +29,7 @@ STEP = 60
 START = 1000000020  # on the step grid
 
 
-def _run_reference(tmp, dst, hb, mn, mx, updates, cf, res, row_cnt=5000):
+def _run_reference(tmp, dst, hb, mn, mx, updates, cf, res, row_cnt=5000, xff=0.5):
     # row_cnt must exceed the whole update span so circular retention never
     # drops rows (the engine has no such cap; fetch would pad NaN there)
     rrd = f"{tmp}/d.rrd"
@@ -37,7 +38,7 @@ def _run_reference(tmp, dst, hb, mn, mx, updates, cf, res, row_cnt=5000):
     subprocess.run(
         [BIN, "create", rrd, "--start", str(START), "--step", str(STEP),
          f"DS:x:{dst}:{hb}:{mnx}:{mxx}",
-         f"RRA:AVERAGE:0.5:1:{row_cnt}", f"RRA:{cf}:0.5:{res}:{row_cnt}"],
+         f"RRA:AVERAGE:0.5:1:{row_cnt}", f"RRA:{cf}:{xff}:{res}:{row_cnt}"],
         check=True, capture_output=True,
     )
     args = [f"{t}:{'U' if v is None else v}" for t, v in updates]
@@ -94,9 +95,11 @@ def test_differential_random(spark, tmp_path, seed):
     mn, mx = (0.0, 100.0) if (dst == "GAUGE" and rng.random() < 0.5) else (None, None)
     cf = rng.choice(["AVERAGE", "MIN", "MAX", "LAST"])
     res = rng.choice([4, 6])
+    xff = rng.choice([0.0, 0.3, 0.5, 0.9])
     updates = _gen_updates(rng, 80, dst)
 
-    fine_ref, coarse_ref = _run_reference(str(tmp_path), dst, hb, mn, mx, updates, cf, res)
+    fine_ref, coarse_ref = _run_reference(
+        str(tmp_path), dst, hb, mn, mx, updates, cf, res, xff=xff)
 
     df = spark.createDataFrame(
         [("s", "x", float(t), None if v is None else float(v)) for t, v in updates],
@@ -104,7 +107,11 @@ def test_differential_random(spark, tmp_path, seed):
     )
     pdp = pdp_table(df, STEP, dst, hb, min_val=mn, max_val=mx, start=float(START)).cache()
     mine_fine = {int(r["ts"]): r["value"] for r in pdp.collect()}
-    cdp = consolidate(pdp, STEP, res, cf, 0.5)
+    # as in DatasetStore.refresh: suppress the trailing in-progress window
+    clock = df.groupBy("series_id", "ds_name").agg(
+        (F.floor(F.max("ts") / STEP) * STEP).cast("double").alias("clock")
+    )
+    cdp = consolidate(pdp, STEP, res, cf, xff, clock=clock)
     mine_coarse = {int(r["ts"]): r["value"] for r in cdp.collect()}
 
     bad = []
@@ -117,7 +124,7 @@ def test_differential_random(spark, tmp_path, seed):
         if not close(got, vals[0]):
             bad.append((cf, ts, got, vals[0]))
     assert not bad, (
-        f"seed={seed} dst={dst} hb={hb} cf={cf} res={res}: "
+        f"seed={seed} dst={dst} hb={hb} cf={cf} res={res} xff={xff}: "
         f"{len(bad)} mismatches, first 5: {bad[:5]}"
     )
     assert len(fine_ref) > 20
