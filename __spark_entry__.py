@@ -444,6 +444,98 @@ def q_ann_cosine_top10(spark, sf_dir):
     )
 
 
+_ND_KW = dict(num_hashes=8, bands=4, shingle_len=3, jaccard_threshold=0.5)
+
+
+def _near_dup(spark, sf_dir):
+    """MinHash-LSH near-dup pairs, shared by the pair/group/report queries."""
+    from rrdtool_1_x_spark.datapipe.dedup import minhash_near_duplicates
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_near_duplicates(d, **_ND_KW)
+
+
+def q_near_dup_pairs(spark, sf_dir):
+    """MinHash+LSH near-duplicate pairs with exact Jaccard verification
+    (datapipe.dedup.minhash_near_duplicates): 8 md5 minhashes, 4 bands of 2,
+    candidates only within band buckets."""
+    out = _near_dup(spark, sf_dir)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+def q_dup_groups(spark, sf_dir):
+    """Near-dup connected components via distributed label propagation
+    (datapipe.dedup.duplicate_groups): (doc_id, group_id = min id in
+    component)."""
+    from rrdtool_1_x_spark.datapipe.dedup import duplicate_groups
+
+    return duplicate_groups(_near_dup(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_dedup_report(spark, sf_dir):
+    """Corpus dedup-rate report: one row of keep-one-per-group accounting."""
+    from rrdtool_1_x_spark.datapipe.dedup import duplicate_groups
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    groups = duplicate_groups(_near_dup(spark, sf_dir))
+    g = groups.groupBy("group_id").agg(F.count("*").alias("_sz"))
+    stats = g.agg(
+        F.count("*").alias("dup_groups"), F.sum("_sz").alias("dup_docs")
+    )
+    total = d.agg(F.count("*").alias("total_docs"))
+    removed = F.col("dup_docs") - F.col("dup_groups")
+    return total.crossJoin(stats).select(
+        "total_docs",
+        "dup_docs",
+        "dup_groups",
+        removed.alias("docs_removed"),
+        (F.col("total_docs") - removed).alias("docs_kept"),
+        F.round(removed / F.col("total_docs"), 6).alias("dup_rate"),
+    )
+
+
+def q_embed_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, LSH-confined then exactly verified
+    (datapipe.similarity.embedding_near_duplicates)."""
+    from rrdtool_1_x_spark.datapipe.similarity import embedding_near_duplicates
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_near_duplicates(
+        e, threshold=0.35, dim=64, num_planes=4, num_tables=3
+    )
+    return out.select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
+    ).orderBy("id_a", "id_b")
+
+
+def q_lsh_topk(spark, sf_dir):
+    """ANN scale path: random-hyperplane LSH bucketed top-10
+    (datapipe.similarity.lsh_bucketed_topk) for the two lowest-id vectors."""
+    from rrdtool_1_x_spark.datapipe.similarity import lsh_bucketed_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.orderBy("vec_id").limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_bucketed_topk(
+        e, q, k=10, dim=64, num_planes=6, num_tables=2
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+def q_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint (winnowing lite) in the portable
+    md5 mode (datapipe.textstats.rolling_fingerprint)."""
+    from rrdtool_1_x_spark.datapipe.textstats import rolling_fingerprint
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return rolling_fingerprint(d, window=8, hash_fn="md5").orderBy("doc_id")
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -486,6 +578,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_guess": q_lang_guess,
         "hw_predict": q_hw_predict,
         "simhash": q_simhash,
+        "near_dup_pairs": q_near_dup_pairs,
+        "dup_groups": q_dup_groups,
+        "dedup_report": q_dedup_report,
+        "embed_near_dup": q_embed_near_dup,
+        "lsh_topk": q_lsh_topk,
+        "fingerprint": q_fingerprint,
     }
 
 
@@ -755,4 +853,125 @@ ranked AS (SELECT vec_id, cos_sim,
                   row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rank
            FROM sims)
 SELECT vec_id, cos_sim, rank FROM ranked WHERE rank <= 10 ORDER BY rank"""
+
+    # --- MinHash-LSH near-dup pipeline (mirrors datapipe.dedup exactly:
+    # md5 minhashes with "mh{i}:" seeds, 4 bands of 2, candidates within
+    # band buckets, exact Jaccard on distinct shingles, threshold 0.5)
+    sig_list = ",\n    ".join(
+        f"list_aggregate(list_transform(shingles, s -> md5('mh{i}:' || s)), 'min') AS sig{i}"
+        for i in range(8)
+    )
+    band_list = ", ".join(
+        f"md5(sig{2 * b} || '|' || sig{2 * b + 1}) AS b{b}" for b in range(4)
+    )
+    band_or = " OR ".join(f"x.b{b} = y.b{b}" for b in range(4))
+    nd_cte = f"""
+t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents),
+sh AS (SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(range(1, len(toks) - 1),
+                                  i -> array_to_string(toks[i:i+2], ' '))
+              ELSE [array_to_string(toks, ' ')] END AS shingles
+       FROM t),
+sig AS (SELECT doc_id,
+    {sig_list}
+  FROM sh),
+band AS (SELECT doc_id, {band_list} FROM sig),
+cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         FROM band x JOIN band y ON x.doc_id < y.doc_id AND ({band_or})),
+ds AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+ver AS (SELECT id_a, id_b,
+          len(list_intersect(x.s, y.s))::DOUBLE
+            / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS j
+        FROM cand JOIN ds x ON x.doc_id = id_a JOIN ds y ON y.doc_id = id_b),
+nd_pairs AS (SELECT id_a, id_b, j FROM ver WHERE j >= 0.5)"""
+    sql["near_dup_pairs"] = f"""WITH {nd_cte}
+SELECT id_a, id_b, round(j, 6) AS jaccard FROM nd_pairs ORDER BY id_a, id_b"""
+    # connected components: recursive reachability, label = min reachable id
+    cc_cte = f"""{nd_cte},
+edges AS (SELECT id_a AS u, id_b AS v FROM nd_pairs
+          UNION ALL SELECT id_b, id_a FROM nd_pairs),
+reach AS (SELECT u AS node, v AS r FROM edges
+          UNION
+          SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u),
+labels AS (SELECT node AS doc_id, least(node, min(r)) AS group_id
+           FROM reach GROUP BY node)"""
+    sql["dup_groups"] = f"""WITH RECURSIVE {cc_cte}
+SELECT doc_id, group_id FROM labels ORDER BY doc_id"""
+    sql["dedup_report"] = f"""WITH RECURSIVE {cc_cte},
+g AS (SELECT group_id, count(*) AS sz FROM labels GROUP BY 1),
+s AS (SELECT count(*) AS dup_groups, sum(sz)::BIGINT AS dup_docs FROM g),
+tot AS (SELECT count(*) AS total_docs FROM documents)
+SELECT total_docs, dup_docs, dup_groups,
+       dup_docs - dup_groups AS docs_removed,
+       total_docs - (dup_docs - dup_groups) AS docs_kept,
+       round((dup_docs - dup_groups)::DOUBLE / total_docs, 6) AS dup_rate
+FROM tot, s"""
+
+    # --- LSH-bucketed similarity (hyperplanes inlined so DuckDB computes
+    # the identical bucket ids; repr() round-trips the exact doubles)
+    from rrdtool_1_x_spark.datapipe.similarity import _hyperplanes
+
+    def _bits(vec_expr: str, planes: list[list[float]]) -> str:
+        return " || ".join(
+            "CASE WHEN list_dot_product(%s, [%s]) >= 0 THEN '1' ELSE '0' END"
+            % (vec_expr, ", ".join(repr(v) for v in plane))
+            for plane in planes
+        )
+
+    nd_planes = [_hyperplanes(64, 4, seed=f"nd{t}") for t in range(3)]
+    nd_bucket_cols = ", ".join(
+        f"{_bits('v', nd_planes[t])} AS b{t}" for t in range(3)
+    )
+    nd_bucket_or = " OR ".join(f"x.b{t} = y.b{t}" for t in range(3))
+    sql["embed_near_dup"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+b AS (SELECT vec_id, v, {nd_bucket_cols} FROM e),
+cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         FROM b x JOIN b y ON x.vec_id < y.vec_id AND ({nd_bucket_or})),
+s AS (SELECT id_a, id_b, list_dot_product(x.v, y.v) AS dot,
+             list_dot_product(x.v, x.v) AS na2, list_dot_product(y.v, y.v) AS nb2
+      FROM cand JOIN e x ON x.vec_id = id_a JOIN e y ON y.vec_id = id_b),
+c AS (SELECT id_a, id_b,
+             CASE WHEN na2 > 0 AND nb2 > 0 THEN dot / (sqrt(na2) * sqrt(nb2)) END AS cs
+      FROM s)
+SELECT id_a, id_b, round(cs, 6) AS cos_sim FROM c
+WHERE cs >= 0.35 ORDER BY id_a, id_b"""
+
+    tk_planes = [_hyperplanes(64, 6, seed=f"lsh{t}") for t in range(2)]
+    cb_cols = ", ".join(f"{_bits('v', tk_planes[t])} AS b{t}" for t in range(2))
+    qb_cols = ", ".join(f"{_bits('qv', tk_planes[t])} AS b{t}" for t in range(2))
+    tk_or = " OR ".join(f"cb.b{t} = qb.b{t}" for t in range(2))
+    sql["lsh_topk"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e ORDER BY vec_id LIMIT 2),
+cb AS (SELECT vec_id, v, {cb_cols} FROM e),
+qb AS (SELECT query_id, qv, {qb_cols} FROM q),
+cand AS (SELECT DISTINCT query_id, vec_id FROM cb JOIN qb ON {tk_or}),
+s AS (SELECT query_id, vec_id,
+             CASE WHEN na2 > 0 AND nb2 > 0 THEN dot / (sqrt(na2) * sqrt(nb2)) END AS cs
+      FROM (SELECT cand.query_id, cand.vec_id,
+                   list_dot_product(x.v, y.qv) AS dot,
+                   list_dot_product(x.v, x.v) AS na2,
+                   list_dot_product(y.qv, y.qv) AS nb2
+            FROM cand JOIN e x ON x.vec_id = cand.vec_id
+                      JOIN q y ON y.query_id = cand.query_id) _),
+r AS (SELECT query_id, vec_id, cs,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, vec_id ASC) AS rank
+      FROM s)
+SELECT query_id, vec_id, round(cs, 6) AS cos_sim, rank FROM r
+WHERE rank <= 10 ORDER BY query_id, rank"""
+
+    sql["fingerprint"] = """
+WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+           FROM documents)
+SELECT doc_id,
+  list_aggregate(list_transform(range(1, len(toks) + 1),
+                                i -> md5(array_to_string(toks[i:i+7], ' '))),
+                 'min') AS fingerprint
+FROM t ORDER BY doc_id"""
     return sql

@@ -45,6 +45,11 @@ def main() -> None:
         "text_stats",
         "minhash_sig",
         "ann_cosine_top10",
+        "near_dup_pairs",
+        "dup_groups",
+        "embed_near_dup",
+        "lsh_topk",
+        "fingerprint",
     ]
     # warm-run protocol (BASELINE.md): first execution pays JVM JIT +
     # whole-stage-codegen compilation, which dominates at small SF and

@@ -94,6 +94,48 @@ def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    num_planes: int = 4,
+    num_tables: int = 3,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-confined.
+
+    Candidate pairs are documents sharing a random-hyperplane bucket in at
+    least one table (the quadratic work is confined to bucket collisions);
+    candidates are then exactly verified: (id_a, id_b, cos_sim) with
+    id_a < id_b and cos_sim >= threshold. At corpus scale the bucket join
+    shuffles on the bucket id only — no cross product ever forms.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    cand = None
+    for t in range(num_tables):
+        planes = _hyperplanes(dim, num_planes, seed=f"nd{t}")
+        b = corpus.select(
+            F.col(id_col), lsh_bucket_col(F.col(vec_col), planes).alias("_b")
+        )
+        left = b.select(F.col(id_col).alias("id_a"), "_b")
+        right = b.select(F.col(id_col).alias("id_b"), "_b")
+        c = left.join(right, "_b").filter(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b"
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.distinct()
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    bb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    scored = cand.join(a, "id_a").join(bb, "id_b").select(
+        "id_a",
+        "id_b",
+        cosine_similarity_col(F.col("_va"), F.col("_vb")).alias("cos_sim"),
+    )
+    return scored.filter(F.col("cos_sim") >= threshold)
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -102,9 +102,14 @@ def rolling_fingerprint(
     id_col: str = "doc_id",
     text_col: str = "text",
     window: int = 8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Document fingerprint: min rolling hash over token windows (winnowing
-    lite) — stable under small edits away from the minimizing window."""
+    lite) — stable under small edits away from the minimizing window.
+
+    ``hash_fn``: "xxhash64" (fast, JVM-specific, fingerprint is a long) or
+    "md5" (portable across engines — use when the fingerprint must be
+    reproducible outside Spark; fingerprint is a hex string)."""
     # pre-project the token array (generator siblings re-evaluate per row)
     toks = df.select(
         F.col(id_col).alias("_id"), _tokens(F.col(text_col)).alias("_toks")
@@ -114,6 +119,5 @@ def rolling_fingerprint(
     for i in range(1, window):
         toks = toks.withColumn(f"_w{i}", F.lead("_t", i).over(w))
     toks = toks.withColumn("_win", F.concat_ws(" ", *parts))
-    return toks.groupBy(F.col("_id").alias(id_col)).agg(
-        F.min(F.xxhash64("_win")).alias("fingerprint")
-    )
+    h = F.md5(F.col("_win").cast("binary")) if hash_fn == "md5" else F.xxhash64("_win")
+    return toks.groupBy(F.col("_id").alias(id_col)).agg(F.min(h).alias("fingerprint"))
