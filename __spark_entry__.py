@@ -536,6 +536,66 @@ def q_fingerprint(spark, sf_dir):
     return rolling_fingerprint(d, window=8, hash_fn="md5").orderBy("doc_id")
 
 
+_GRAPH_MASK = 60.0  # error values above this plot as unknown (gap exercise)
+
+
+def _graph_plots(spark, sf_dir):
+    """Shared data_proc invocation for the graph_stack / graph_scale pair:
+    AREA click / STACK masked-error / STACK purchase / LINE const /
+    TICK signup over the pivoted 4h AVERAGE rollup."""
+    from rrdtool_1_x_spark.plans.graph import GraphElement, data_proc
+
+    c = _cdp(spark, sf_dir, "AVERAGE")
+    wide = (
+        c.groupBy("ts")
+        .pivot("series_id", ["click", "error", "purchase", "signup"])
+        .agg(F.first("value"))
+        .withColumn(
+            "error_m",
+            F.when(F.col("error") <= _GRAPH_MASK, F.col("error")),
+        )
+    )
+    return data_proc(
+        wide,
+        [
+            GraphElement("AREA", "click", legend="click_area"),
+            GraphElement("STACK", "error_m", legend="error_stack"),
+            GraphElement("STACK", "purchase", legend="purchase_stack"),
+            GraphElement("LINE", 50.0, legend="baseline"),
+            GraphElement("TICK", "signup", legend="signup_tick"),
+        ],
+    )
+
+
+def q_graph_stack(spark, sf_dir):
+    """Graph data_proc value resolution (src/rrd_graph.c:1365-1471): stacked
+    AREA chain with an unknown gap that keeps the paint base, a constant
+    LINE, and a TICK."""
+    plots, _ = _graph_plots(spark, sf_dir)
+    return plots.select(
+        "ts",
+        *[
+            F.round(n, 6).alias(n)
+            for n in [
+                "click_area",
+                "error_stack",
+                "purchase_stack",
+                "baseline",
+                "signup_tick",
+            ]
+        ],
+    ).orderBy("ts")
+
+
+def q_graph_scale(spark, sf_dir):
+    """Graph autoscale bounds from data_proc (TICK and skipscale excluded)."""
+    _, scale = _graph_plots(spark, sf_dir)
+    return scale.select(
+        F.round("value_min", 6).alias("value_min"),
+        F.round("value_max", 6).alias("value_max"),
+    )
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -584,6 +644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": q_embed_near_dup,
         "lsh_topk": q_lsh_topk,
         "fingerprint": q_fingerprint,
+        "graph_stack": q_graph_stack,
+        "graph_scale": q_graph_scale,
     }
 
 
@@ -757,6 +819,38 @@ SELECT ts,
   max(value) FILTER (series_id = 'signup') AS signup,
   max(value) FILTER (series_id = 'view') AS view
 FROM cdp GROUP BY ts ORDER BY ts"""
+    # --- graph data_proc (paint-chain association mirrors
+    # plans.graph.data_proc exactly: left-nested base + coalesce(val, 0))
+    graph_cte = f"""{_PDP_CTE}, {cdp_avg_cte},
+w AS (SELECT ts,
+  max(value) FILTER (series_id = 'click') AS click,
+  max(value) FILTER (series_id = 'error') AS error,
+  max(value) FILTER (series_id = 'purchase') AS purchase,
+  max(value) FILTER (series_id = 'signup') AS signup
+  FROM cdp GROUP BY ts),
+m AS (SELECT *, CASE WHEN error <= {_GRAPH_MASK} THEN error END AS error_m FROM w),
+p AS (SELECT ts,
+  (0.0 + click) AS click_area,
+  ((0.0 + coalesce(click, 0.0)) + error_m) AS error_stack,
+  (((0.0 + coalesce(click, 0.0)) + coalesce(error_m, 0.0)) + purchase)
+    AS purchase_stack,
+  (0.0 + 50.0) AS baseline,
+  (0.0 + signup) AS signup_tick
+  FROM m)"""
+    sql["graph_stack"] = f"""WITH {graph_cte}
+SELECT ts, round(click_area, 6) AS click_area,
+       round(error_stack, 6) AS error_stack,
+       round(purchase_stack, 6) AS purchase_stack,
+       round(baseline, 6) AS baseline,
+       round(signup_tick, 6) AS signup_tick
+FROM p ORDER BY ts"""
+    sql["graph_scale"] = f"""WITH {graph_cte}
+SELECT round(least(min(click_area), min(error_stack), min(purchase_stack),
+                   min(baseline)), 6) AS value_min,
+       round(greatest(max(click_area), max(error_stack), max(purchase_stack),
+                      max(baseline)), 6) AS value_max
+FROM p"""
+
     sql["first_last"] = f"""WITH {_PDP_CTE}
 SELECT series_id, min(ts) AS first_ts, max(ts) AS last_ts, count(*) AS n_rows
 FROM pdp GROUP BY 1 ORDER BY 1"""

@@ -280,6 +280,94 @@ class Query:
         )
 
 
+@dataclass
+class GraphElement:
+    """One plottable graph statement: LINE / AREA / TICK / STACK.
+
+    ``source`` is a vname (column of the aligned frame) or a number (the
+    reference's yrule path — LINE2:42 plots a constant). ``STACK`` kind
+    inherits the previous element's kind with stack=True, mirroring the
+    parser (rrd_graph_helper.c turns STACK into LINE/AREA before data_proc;
+    src/rrd_graph.c:1455-1459 asserts it)."""
+
+    kind: str  # LINE | AREA | TICK | STACK
+    source: str | float
+    stack: bool = False
+    skipscale: bool = False
+    legend: str = ""
+
+
+def data_proc(
+    frame: DataFrame, elements: list[GraphElement], ts_col: str = "ts"
+) -> tuple[DataFrame, DataFrame]:
+    """The reference's data_proc (src/rrd_graph.c:1365-1471): resolve each
+    LINE/AREA/TICK element to its *plotted* value — stacked elements ride on
+    a running paint total that resets at each non-stacked element — and
+    derive the graph's autoscale bounds.
+
+    Semantics carried over exactly:
+
+    * unknown plots as unknown (NULL here, DNAN there) but does NOT break
+      the stack — the paint total is retained, so the next stacked element
+      sits on the pre-gap base (paintval is only advanced on known values);
+    * TICK and skipscale elements never contribute to the scale bounds;
+    * empty/all-unknown graphs scale to [0, 1] (the reference's dummy
+      bounds for the non-logarithmic case).
+
+    Spark-first: the whole resolution is column arithmetic over the aligned
+    wide frame — one narrow projection, no shuffle, no UDF; the bounds are
+    a single global aggregate. Returns (plots, scale) where ``plots`` is
+    ts + one column per element (legend or plot{i}) and ``scale`` is one
+    row (value_min, value_max).
+    """
+    paint: Column = F.lit(0.0)
+    cols: list[Column] = [F.col(ts_col)]
+    scale_names: list[str] = []
+    prev_kind: str | None = None
+    names: set[str] = set()
+    for i, el in enumerate(elements):
+        kind, stacked = el.kind.upper(), el.stack
+        if kind == "STACK":
+            if prev_kind is None:
+                raise ValueError("STACK needs a preceding LINE/AREA/TICK")
+            kind, stacked = prev_kind, True
+        elif kind not in ("LINE", "AREA", "TICK"):
+            raise ValueError(f"unknown graph element kind {el.kind!r}")
+        prev_kind = kind
+        val = (
+            F.col(el.source).cast("double")
+            if isinstance(el.source, str)
+            else F.lit(float(el.source))
+        )
+        base = paint if stacked else F.lit(0.0)
+        name = el.legend or f"plot{i}"
+        if name in names:
+            raise ValueError(f"duplicate element name {name!r}")
+        names.add(name)
+        cols.append((base + val).alias(name))
+        paint = base + F.coalesce(val, F.lit(0.0))
+        if kind != "TICK" and not el.skipscale:
+            scale_names.append(name)
+    plots = frame.select(*cols)
+    if scale_names:
+        mins = [F.min(n) for n in scale_names]
+        maxs = [F.max(n) for n in scale_names]
+        mn = F.least(*mins) if len(mins) > 1 else mins[0]
+        mx = F.greatest(*maxs) if len(maxs) > 1 else maxs[0]
+        agg = plots.agg(mn.alias("_mn"), mx.alias("_mx"))
+    else:
+        agg = plots.sparkSession.range(1).select(
+            F.lit(None).cast("double").alias("_mn"),
+            F.lit(None).cast("double").alias("_mx"),
+        )
+    missing = F.col("_mn").isNull() | F.col("_mx").isNull()
+    scale = agg.select(
+        F.when(missing, F.lit(0.0)).otherwise(F.col("_mn")).alias("value_min"),
+        F.when(missing, F.lit(1.0)).otherwise(F.col("_mx")).alias("value_max"),
+    )
+    return plots, scale
+
+
 def _format_print(fmt: str, value, when) -> str:
     """printf-ish PRINT formatting (print_calc, src/rrd_graph.c:1832-2113):
     %lf/%le/%lg + %s/%S SI autoscaling; %c strftime of the VDEF time."""

@@ -159,3 +159,48 @@ def test_xml_enumds_modes(spark, store):
     ).execute(spark)
     assert "<v>" in to_xml(res) and "<v0>" not in to_xml(res)
     assert "<v0>" in to_xml(res, enumds=True)
+
+
+def test_data_proc_stack_semantics(spark):
+    """src/rrd_graph.c:1365-1471: stacked elements ride the paint total, an
+    unknown plots unknown but keeps the base for the next stacked element,
+    non-stacked elements reset, TICK is excluded from the scale bounds."""
+    from rrdtool_1_x_spark.plans.graph import GraphElement, data_proc
+
+    rows = [
+        (1.0, 10.0, 1.0, 100.0, 7.0),
+        (2.0, 20.0, None, 200.0, 7.0),  # gap in the middle of the stack
+        (3.0, None, 3.0, 300.0, 7.0),  # gap at the stack base
+    ]
+    df = spark.createDataFrame(rows, "ts double, a double, b double, c double, t double")
+    plots, scale = data_proc(
+        df,
+        [
+            GraphElement("AREA", "a"),
+            GraphElement("STACK", "b"),
+            GraphElement("STACK", "c"),
+            GraphElement("LINE", 5.0),
+            GraphElement("TICK", "t"),
+        ],
+    )
+    got = {r["ts"]: r for r in plots.collect()}
+    # ts=1: straightforward chain 10, 11, 111
+    assert (got[1.0]["plot0"], got[1.0]["plot1"], got[1.0]["plot2"]) == (10, 11, 111)
+    # ts=2: b unknown -> plot1 NULL, c stacks on a's base (20 + 200)
+    assert got[2.0]["plot1"] is None and got[2.0]["plot2"] == 220.0
+    # ts=3: base unknown -> plot0 NULL, b stacks on 0
+    assert got[3.0]["plot0"] is None and got[3.0]["plot1"] == 3.0
+    # constant LINE resets the chain; TICK column present
+    assert got[1.0]["plot3"] == 5.0 and got[2.0]["plot4"] == 7.0
+    s = scale.first()
+    # min over plotted (3.0 from b@ts3), max 303 (c@ts3); TICK's 7 ignored
+    assert (s["value_min"], s["value_max"]) == (3.0, 303.0)
+
+
+def test_data_proc_empty_scale(spark):
+    from rrdtool_1_x_spark.plans.graph import GraphElement, data_proc
+
+    df = spark.createDataFrame([(1.0, None)], "ts double, a double")
+    _, scale = data_proc(df, [GraphElement("LINE", "a")])
+    s = scale.first()
+    assert (s["value_min"], s["value_max"]) == (0.0, 1.0)
