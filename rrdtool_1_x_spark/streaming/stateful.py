@@ -151,6 +151,154 @@ def _process_series(
     return out, (last_ts, last_v, s_val, s_unk)
 
 
+CDP_STATE_SCHEMA = (
+    "win_end double, known long, fix long, fsum double,"
+    " vmin double, vmax double, vlast double"
+)
+CDP_OUTPUT_SCHEMA = "series_id string, ds_name string, ts double, value double"
+
+
+def _cdp_series(
+    pdps: list[tuple[float, float]],
+    st: tuple | None,
+    step: float,
+    pdp_cnt: int,
+    cf: str,
+    xff: float,
+    exact: bool,
+    exact_scale: float,
+):
+    """The reference's cdp_prep scratch (src/rrd_format.h:381-386) as a pure
+    state machine: per finalized PDP, accumulate into the open CDP window;
+    when a PDP belonging to a later window arrives, the window is complete —
+    apply the xff rule and emit. Mirrors operators/cdp.py consolidate
+    exactly, including the fixed-point exact mean (integer-domain half-up)
+    and the clock rule (the trailing in-progress window stays in state, the
+    analogue of write_to_rras only writing past window ends,
+    src/rrd_update.c:2333-2411).
+
+    Returns (emitted [(window_end, value)], new_state). PDPs are known by
+    construction (the PDP stream omits unknown steps); late PDPs (older than
+    the open window) are dropped like out-of-order raw updates.
+    """
+    cf = cf.upper()
+    if cf not in ("AVERAGE", "MIN", "MAX", "LAST"):
+        raise ValueError(f"stateful CDP handles basic CFs, got {cf!r}")
+    res = step * pdp_cnt
+    out: list[tuple[float, float]] = []
+    if st is None or st[0] is None or math.isnan(st[0]):
+        win_end: float | None = None
+        known, fix, fsum = 0, 0, 0.0
+        vmin, vmax, vlast = math.inf, -math.inf, math.nan
+    else:
+        win_end, known, fix, fsum, vmin, vmax, vlast = st
+        known, fix = int(known), int(fix)
+
+    def flush() -> None:
+        if win_end is None or known == 0:
+            return
+        if (pdp_cnt - known) > pdp_cnt * xff:
+            return
+        if cf == "AVERAGE":
+            if exact:
+                v = (
+                    math.floor(float(fix * 2 + known) / float(known * 2))
+                    / exact_scale
+                )
+            else:
+                v = fsum / known
+        elif cf == "MIN":
+            v = vmin
+        elif cf == "MAX":
+            v = vmax
+        else:  # LAST: literal final-step PDP; unknown stays unknown
+            if math.isnan(vlast):
+                return
+            v = vlast
+        out.append((win_end, v))
+
+    for t, v in pdps:
+        we = math.ceil(t / res) * res
+        if win_end is None or we > win_end:
+            flush()
+            win_end = we
+            known, fix, fsum = 0, 0, 0.0
+            vmin, vmax, vlast = math.inf, -math.inf, math.nan
+        elif we < win_end:
+            continue
+        known += 1
+        fix += int(round(v * exact_scale))
+        fsum += v
+        vmin = min(vmin, v)
+        vmax = max(vmax, v)
+        if t == win_end:
+            vlast = v
+    return out, (
+        math.nan if win_end is None else win_end,
+        known,
+        fix,
+        fsum,
+        vmin,
+        vmax,
+        vlast,
+    )
+
+
+def stateful_cdp_stream(
+    pdp_stream: DataFrame,
+    step: int,
+    pdp_cnt: int,
+    cf: str = "AVERAGE",
+    xff: float = 0.5,
+    exact: bool = False,
+    exact_scale: float = 1e6,
+) -> DataFrame:
+    """streaming finalized PDPs → streaming finalized CDPs (one RRA).
+
+    The in-memory-state maintenance of an archive rollup: per-series
+    cdp_prep scratch lives in operator state, one output row per completed
+    window. ``pdp_cnt == 1`` is the identity, like the batch operator.
+    Chain from a PDP stream persisted by the ingest path (Spark does not
+    allow two applyInPandasWithState operators in one query); run one
+    stateful query per RRA off the same PDP topic — each maintains its own
+    scratch, the streaming analogue of rrd_update maintaining every RRA
+    per update (src/rrd_update.c:1840-1915)."""
+    if pdp_cnt == 1:
+        return pdp_stream.select("series_id", "ds_name", "ts", "value")
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows: list[tuple[float, float]] = []
+        for pdf in pdfs:
+            for t, v in zip(pdf["ts"], pdf["value"]):
+                if not pd.isna(v):
+                    rows.append((float(t), float(v)))
+        rows.sort(key=lambda x: x[0])
+        st = state.get if state.exists else None
+        out, new_state = _cdp_series(
+            rows, st, float(step), int(pdp_cnt), cf, float(xff), exact, exact_scale
+        )
+        state.update(new_state)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "series_id": key[0],
+                    "ds_name": key[1],
+                    "ts": [o[0] for o in out],
+                    "value": [o[1] for o in out],
+                }
+            )
+
+    return pdp_stream.groupBy("series_id", "ds_name").applyInPandasWithState(
+        fn,
+        outputStructType=CDP_OUTPUT_SCHEMA,
+        stateStructType=CDP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stateful_pdp_stream(
     stream: DataFrame,
     step: int,

@@ -95,3 +95,103 @@ def test_stateful_stream_end_to_end(spark, tmp_path):
     assert set(got) == set(want)
     for ts, v in want.items():
         assert close(got[ts], v), (ts, got[ts], v)
+
+
+# ---------------------------------------------------------------- CDP state
+
+
+def _batch_cdp(spark, pdp_rows, step, pdp_cnt, cf, xff, exact):
+    from rrdtool_1_x_spark.operators.cdp import consolidate
+
+    df = spark.createDataFrame(
+        [("s", float(t), float(v)) for t, v in pdp_rows],
+        "series_id string, ts double, value double",
+    )
+    # clock: suppress the trailing in-progress window, like streaming state
+    last = max(t for t, _ in pdp_rows)
+    clock = spark.createDataFrame([("s", float(last))], "series_id string, clock double")
+    c = consolidate(df, step, pdp_cnt, cf, xff, keys=("series_id",),
+                    exact=exact, clock=clock)
+    # the batch clock rule admits ts <= clock; streaming only flushes once a
+    # strictly later PDP arrives, so drop the window ending exactly at the
+    # final PDP for comparison
+    return {int(r["ts"]): r["value"] for r in c.collect() if r["ts"] < last
+            or (last % (step * pdp_cnt)) != 0}
+
+
+def _stateful_cdp(pdp_rows, step, pdp_cnt, cf, xff, exact, chunks=4):
+    from rrdtool_1_x_spark.streaming.stateful import _cdp_series
+
+    st, out = None, {}
+    n = max(1, len(pdp_rows) // chunks)
+    for k in range(0, len(pdp_rows), n):
+        emitted, st = _cdp_series(
+            [(float(t), float(v)) for t, v in pdp_rows[k : k + n]],
+            st, float(step), pdp_cnt, cf, xff, exact, 1e6,
+        )
+        for ts, v in emitted:
+            out[int(ts)] = v
+    return out
+
+
+@pytest.mark.parametrize("cf", ["AVERAGE", "MIN", "MAX", "LAST"])
+@pytest.mark.parametrize("seed", range(3))
+def test_cdp_state_machine_matches_batch(spark, cf, seed):
+    rng = random.Random(300 + seed)
+    step, pdp_cnt, xff = 60, 4, rng.choice([0.0, 0.5, 0.9])
+    # gappy PDP table: ~70% of steps known, quantized to 1e-6
+    rows = [
+        (920804400 + i * step, round(rng.uniform(0, 100), 6))
+        for i in range(1, 80)
+        if rng.random() < 0.7
+    ]
+    exact = cf == "AVERAGE"
+    batch = _batch_cdp(spark, rows, step, pdp_cnt, cf, xff, exact)
+    stream = _stateful_cdp(rows, step, pdp_cnt, cf, xff, exact, chunks=5)
+    # windows the stream has not flushed yet (trailing) were dropped from
+    # batch too; everything else must agree exactly
+    assert set(stream) == set(batch), (
+        cf, xff, sorted(set(stream) ^ set(batch)))
+    for ts, v in batch.items():
+        assert close(stream[ts], v), (cf, ts, stream[ts], v)
+
+
+def test_cdp_identity_when_single_pdp():
+    rows = [(60.0, 1.5), (120.0, 2.5)]
+    out = _stateful_cdp(rows, 60, 4, "AVERAGE", 0.5, False, chunks=1)
+    assert 120 in out or len(out) <= 1  # only first window can flush
+
+
+def test_stateful_cdp_stream_end_to_end(spark, tmp_path):
+    from rrdtool_1_x_spark.streaming.stateful import stateful_cdp_stream
+
+    rng = random.Random(7)
+    step, pdp_cnt = 60, 4
+    rows = [
+        (920804400 + i * step, round(rng.uniform(0, 100), 6))
+        for i in range(1, 50)
+        if rng.random() < 0.8
+    ]
+    src = tmp_path / "pdps_in"
+    spark.createDataFrame(
+        [("s", "x", float(t), float(v)) for t, v in rows],
+        "series_id string, ds_name string, ts double, value double",
+    ).coalesce(1).write.json(str(src))
+    stream = spark.readStream.schema(
+        "series_id string, ds_name string, ts double, value double"
+    ).json(str(src))
+    cdps = stateful_cdp_stream(stream, step, pdp_cnt, "AVERAGE", 0.5, exact=True)
+    q = (
+        cdps.writeStream.format("memory")
+        .queryName("cdps")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {int(r["ts"]): r["value"] for r in spark.sql("select * from cdps").collect()}
+    want = _batch_cdp(spark, rows, step, pdp_cnt, "AVERAGE", 0.5, True)
+    assert set(got) == set(want)
+    for ts, v in want.items():
+        assert close(got[ts], v), (ts, got[ts], v)
