@@ -200,10 +200,15 @@ def duplicate_groups(
     shallow in practice — near-dup clusters are cliques from LSH buckets).
     Iteration is driver-controlled with early exit on fixpoint.
     """
+    # materialize the edge list once: ``pairs`` is typically the whole
+    # LSH→verify pipeline, and the propagation loop references edges in
+    # every iteration join AND the fixpoint check — without this the
+    # upstream pipeline re-executes O(iterations) times
     edges = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("u").alias("node"))

@@ -48,13 +48,27 @@ def brute_force_topk(
     (query_id, vec_id, cos_sim, rank)."""
     from pyspark.sql import Window
 
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    n2 = F.aggregate(vd, F.lit(0.0), lambda s, x: s + x * x)
     q = queries.select(
-        F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+        F.col(query_id_col).alias("_qid"), vd.alias("_qvec"), n2.alias("_qn2")
     )
-    scored = corpus.crossJoin(F.broadcast(q)).select(
-        F.col("_qid").alias(query_id_col),
-        F.col(id_col),
-        cosine_similarity_col(F.col(vec_col), F.col("_qvec")).alias("cos_sim"),
+    dot = F.aggregate(
+        F.zip_with(F.col("_v"), F.col("_qvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    scored = (
+        corpus.select(F.col(id_col), vd.alias("_v"), n2.alias("_n2"))
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col(id_col),
+            F.when(
+                (F.col("_n2") > 0) & (F.col("_qn2") > 0),
+                dot / (F.sqrt("_n2") * F.sqrt("_qn2")),
+            ).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (
@@ -84,7 +98,13 @@ def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
     """Bucket id = sign-pattern of the vector against the hyperplanes."""
     bits = []
     for plane in planes:
-        arr = F.array(*[F.lit(float(v)) for v in plane])
+        # one parsed literal per plane: building dim-many F.lit columns
+        # costs thousands of py4j round-trips per query construction (it
+        # dominated wall time before execution even started); repr() is
+        # shortest-round-trip so the parsed doubles are bit-identical
+        arr = F.expr(
+            "array(" + ",".join(f"{float(v)!r}D" for v in plane) + ")"
+        )
         dot = F.aggregate(
             F.zip_with(F.transform(vec, lambda x: x.cast("double")), arr, lambda x, y: x * y),
             F.lit(0.0),
@@ -126,12 +146,34 @@ def embedding_near_duplicates(
         )
         cand = c if cand is None else cand.unionByName(c)
     cand = cand.distinct()
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    bb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    # squared norms are per-VECTOR, not per-pair: fold them once over the
+    # corpus (the n² candidate stage then runs one dot fold per pair
+    # instead of three interpreted HOF folds — same float op order, so
+    # bit-identical to folding inside the pair)
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    withn = corpus.select(
+        F.col(id_col),
+        vd.alias("_v"),
+        F.aggregate(vd, F.lit(0.0), lambda s, x: s + x * x).alias("_n2"),
+    )
+    a = withn.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_n2").alias("_na2")
+    )
+    bb = withn.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_n2").alias("_nb2")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
     scored = cand.join(a, "id_a").join(bb, "id_b").select(
         "id_a",
         "id_b",
-        cosine_similarity_col(F.col("_va"), F.col("_vb")).alias("cos_sim"),
+        F.when(
+            (F.col("_na2") > 0) & (F.col("_nb2") > 0),
+            dot / (F.sqrt("_na2") * F.sqrt("_nb2")),
+        ).alias("cos_sim"),
     )
     return scored.filter(F.col("cos_sim") >= threshold)
 
@@ -153,26 +195,43 @@ def lsh_bucketed_topk(
 
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
+    # per-vector squared norms fold once per side, not once per candidate
+    # (the interpreted HOF fold is the per-row cost driver; the dot is the
+    # only fold that genuinely needs the pair)
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    n2 = F.aggregate(vd, F.lit(0.0), lambda s, x: s + x * x)
     cand = None
     for t in range(num_tables):
         planes = _hyperplanes(dim, num_planes, seed=f"lsh{t}")
         cb = corpus.select(
-            F.col(id_col), F.col(vec_col), lsh_bucket_col(F.col(vec_col), planes).alias("_b")
+            F.col(id_col),
+            vd.alias("_v"),
+            n2.alias("_n2"),
+            lsh_bucket_col(F.col(vec_col), planes).alias("_b"),
         )
         qb = queries.select(
             F.col(query_id_col).alias("_qid"),
-            F.col(vec_col).alias("_qvec"),
+            vd.alias("_qvec"),
+            n2.alias("_qn2"),
             lsh_bucket_col(F.col(vec_col), planes).alias("_b"),
         )
         c = cb.join(F.broadcast(qb), "_b").select(
-            "_qid", id_col, "_qvec", vec_col
+            "_qid", id_col, "_qvec", "_qn2", "_v", "_n2"
         )
         cand = c if cand is None else cand.unionByName(c)
     cand = cand.dropDuplicates(["_qid", id_col])
+    dot = F.aggregate(
+        F.zip_with(F.col("_v"), F.col("_qvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
     scored = cand.select(
         F.col("_qid").alias(query_id_col),
         F.col(id_col),
-        cosine_similarity_col(F.col(vec_col), F.col("_qvec")).alias("cos_sim"),
+        F.when(
+            (F.col("_n2") > 0) & (F.col("_qn2") > 0),
+            dot / (F.sqrt("_n2") * F.sqrt("_qn2")),
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
