@@ -16,12 +16,19 @@ consolidated interval ending at t.
 from __future__ import annotations
 
 import json
+import time as _time
 
 from rrdtool_1_x_spark.plans.graph import QueryResult
 
 
 def _fmt(v: float | None) -> str:
     return "NaN" if v is None else "%.7e" % v
+
+
+def _fmt_t(t: int, timefmt: str | None) -> str:
+    """--timefmt: strftime the row time (rrd_xport_format_sv,
+    src/rrd_xport.c:668-674; UTC here — sessions pin UTC)."""
+    return str(t) if timefmt is None else _time.strftime(timefmt, _time.gmtime(t))
 
 
 def _collect_rows(res: QueryResult) -> list[tuple[int, list[float | None]]]:
@@ -35,9 +42,12 @@ def _collect_rows(res: QueryResult) -> list[tuple[int, list[float | None]]]:
     return out
 
 
-def to_json(res: QueryResult, showtime: bool = False) -> str:
+def to_json(res: QueryResult, showtime: bool = False, timefmt: str | None = None) -> str:
     """Assembled by hand so numbers print in the reference's 7-significant-
-    digit scientific notation (json.dumps would reformat them)."""
+    digit scientific notation (json.dumps would reformat them).
+
+    ``--showtime`` prepends the row time as a QUOTED string (the xmljson
+    formatter, src/rrd_xport.c:917-924)."""
     rows = _collect_rows(res)
     lines = [
         '{ "about": "RRDtool graph JSON output",',
@@ -54,16 +64,27 @@ def to_json(res: QueryResult, showtime: bool = False) -> str:
     for i, (t, row) in enumerate(rows):
         cells = ["null" if v is None else _fmt(v) for v in row]
         if showtime:
-            cells = [str(t), *cells]
+            cells = [json.dumps(_fmt_t(t, timefmt)), *cells]
         comma = "," if i + 1 < len(rows) else ""
         lines.append(f"    [ {', '.join(cells)} ]{comma}")
     lines += ["  ]", "}"]
     return "\n".join(lines)
 
 
-def to_xml(res: QueryResult, enumds: bool = False) -> str:
+def to_xml(
+    res: QueryResult,
+    enumds: bool = False,
+    showtime: bool = True,
+    timefmt: str | None = None,
+) -> str:
     """``enumds`` numbers the value tags <v0><v1>… (the reference's
-    --enumds); default is plain <v> per column (rrd_xport.c formatters)."""
+    --enumds); default is plain <v> per column (rrd_xport.c formatters).
+
+    ``showtime`` controls the <t> tag per row — the reference's xmljson
+    formatter only writes it under -t (src/rrd_xport.c:925-932); it
+    defaults to True here because the golden shapes
+    (tests/xport1.xml.output, produced with ``--enumds -t``) carry it and
+    a time-less row set is rarely what a caller wants."""
     rows = _collect_rows(res)
     lines = [
         '<?xml version="1.0" encoding="ISO-8859-1"?>',
@@ -84,14 +105,21 @@ def to_xml(res: QueryResult, enumds: bool = False) -> str:
             cells = "".join(f"<v{i}>{_fmt(v)}</v{i}>" for i, v in enumerate(row))
         else:
             cells = "".join(f"<v>{_fmt(v)}</v>" for v in row)
-        lines.append(f"    <row><t>{t}</t>{cells}</row>")
+        tcell = f"<t>{_fmt_t(t, timefmt)}</t>" if showtime else ""
+        lines.append(f"    <row>{tcell}{cells}</row>")
     lines += ["  </data>", "</xport>", ""]
     return "\n".join(lines)
 
 
-def to_csv(res: QueryResult, sep: str = ",") -> str:
+def to_csv(res: QueryResult, sep: str = ",", timefmt: str | None = None) -> str:
+    """The reference's separated-values writer (rrd_xport_format_sv,
+    src/rrd_xport.c:614-706): quoted "time" + quoted legends header,
+    unquoted time cell, quoted %.7e values ("NaN" for unknown), CRLF line
+    endings. ``sep``: ',' (csv), '\\t' (tsv), ';' (ssv)."""
     rows = _collect_rows(res)
-    out = [sep.join(["t", *res.legends])]
+    out = [sep.join(['"time"', *[f'"{leg.lstrip()}"' for leg in res.legends]])]
     for t, row in rows:
-        out.append(sep.join([str(t), *[_fmt(v) for v in row]]))
-    return "\n".join(out) + "\n"
+        out.append(
+            sep.join([_fmt_t(t, timefmt), *[f'"{_fmt(v)}"' for v in row]])
+        )
+    return "\r\n".join(out) + "\r\n"

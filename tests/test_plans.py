@@ -102,7 +102,8 @@ def test_query_cdef_vdef_xport(spark, store):
     xml = to_xml(res, enumds=True)
     assert "<columns>2</columns>" in xml and "<v0>" in xml
     csv = to_csv(res)
-    assert csv.splitlines()[0] == "t,km/h,fast only"
+    assert csv.splitlines()[0] == '"time","km/h","fast only"'
+    assert csv.endswith("\r\n") and '"NaN"' in csv or '"' in csv
 
 
 def test_query_multi_resolution_alignment(spark, store):
@@ -204,3 +205,21 @@ def test_data_proc_empty_scale(spark):
     _, scale = data_proc(df, [GraphElement("LINE", "a")])
     s = scale.first()
     assert (s["value_min"], s["value_max"]) == (0.0, 1.0)
+
+
+def test_showtime_and_timefmt_modes(spark, store):
+    rollups = {i: store._read(f"rra_{i}") for i in range(2)}
+    res = (
+        Query(start=920804400, end=920808900)
+        .def_("v", rollups, store.dataset, "speed", "AVERAGE", last_up=store.last())
+        .xport("v")
+    ).execute(spark)
+    # xmljson semantics: <t> only under showtime (default True = golden shape)
+    assert "<t>" in to_xml(res) and "<t>" not in to_xml(res, showtime=False)
+    # JSON --showtime prepends the time as a QUOTED string
+    js = to_json(res, showtime=True)
+    first_row = next(l for l in js.splitlines() if l.strip().startswith("["))
+    assert first_row.strip().startswith('[ "9')
+    # --timefmt strftimes the time cell everywhere
+    csv = to_csv(res, timefmt="%Y-%m-%d %H:%M")
+    assert csv.splitlines()[1].startswith("1999-")
