@@ -110,3 +110,81 @@ def test_fetch_selection_matches(spark, tmp_path, rrd, engine, cf, wish, span):
         )
         checked += 1
     assert checked >= min(10, span // ref_step - 1)
+
+
+# ---------------------------------------------------------------- xff sweep
+
+
+XFF_STEP = 300
+XFF_START = 1100000100  # on the grid
+XFF_N = 400
+XFF_VALUES = [0.0, 0.3, 0.5, 0.9]
+
+
+def _gappy_updates():
+    """Deterministic gaps in runs of 1, 2 and 5 steps per 24-step period:
+    the 5-run makes whole windows unknown (exercises every xff), the 2-run
+    straddles window boundaries, the single skip stays within heartbeat
+    (600 s ≥ 2 steps) so it must NOT produce an unknown PDP."""
+    out = []
+    for i in range(1, XFF_N + 1):
+        m = i % 24
+        if m in (0, 1, 2, 3, 4) or m in (10, 11) or m == 17:
+            continue
+        out.append((XFF_START + XFF_STEP * i, float((i * 11) % 97)))
+    return out
+
+
+@pytest.mark.parametrize("xff", XFF_VALUES)
+def test_xff_sweep_matches_reference(spark, tmp_path, xff):
+    """The unknown-fraction rule (unknown_pdps > pdp_cnt*xff → unknown CDP,
+    src/rrd_update.c:2040-2045) over a gappy series, at each xff: the
+    engine's consolidate must mark exactly the windows unknown that the
+    reference marks NaN, and match the known values."""
+    ups = _gappy_updates()
+    rrd = str(tmp_path / f"x{int(xff * 10)}.rrd")
+    subprocess.run(
+        [BIN, "create", rrd, "--start", str(XFF_START), "--step", str(XFF_STEP),
+         "DS:x:GAUGE:600:U:U", f"RRA:AVERAGE:{xff}:6:200"],
+        check=True, capture_output=True)
+    args = [f"{t}:{v:g}" for t, v in ups]
+    for k in range(0, len(args), 100):
+        subprocess.run([BIN, "update", rrd] + args[k : k + 100],
+                       check=True, capture_output=True)
+    last_up = ups[-1][0]
+    res = XFF_STEP * 6
+    ref = subprocess.run(
+        [BIN, "fetch", rrd, "AVERAGE", "-r", str(res),
+         "-s", str(XFF_START), "-e", str(last_up)],
+        check=True, capture_output=True, text=True).stdout
+    f = tmp_path / "ref.out"
+    f.write_text(ref)
+    _, want = parse_fetch_output(str(f))
+
+    df = spark.createDataFrame(
+        [("s", "x", float(t), v) for t, v in ups],
+        "series_id string, ds_name string, ts double, value double",
+    )
+    pdp = pdp_table(df, XFF_STEP, "GAUGE", 600, start=float(XFF_START))
+    clock = spark.createDataFrame(
+        [("s", float(last_up - last_up % XFF_STEP))], "series_id string, clock double"
+    )
+    cdp = consolidate(pdp, XFF_STEP, 6, "AVERAGE", xff, keys=("series_id",),
+                      clock=clock)
+    got = {int(r["ts"]): r["value"] for r in cdp.collect()}
+
+    checked_known = checked_unknown = 0
+    last_win = last_up - last_up % res
+    for ts, vals in want.items():
+        if not (XFF_START + res <= ts <= last_win):
+            continue
+        if vals[0] is None:
+            assert ts not in got, f"xff={xff} ts={ts}: engine has {got[ts]}, reference NaN"
+            checked_unknown += 1
+        else:
+            assert close(got.get(ts), vals[0]), (
+                f"xff={xff} ts={ts}: got {got.get(ts)}, want {vals[0]}")
+            checked_known += 1
+    assert checked_known >= 10
+    if xff < 0.9:
+        assert checked_unknown >= 3  # the sweep must actually exercise gaps
