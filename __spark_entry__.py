@@ -533,6 +533,20 @@ def q_lsh_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q_weighted_jaccard(spark, sf_dir):
+    """DF-weighted Jaccard rerank of the near-dup pairs
+    (datapipe.dedup.weighted_jaccard_pairs): rare shingles count more than
+    boilerplate; integer idf-quantized weights keep it deterministic."""
+    from rrdtool_1_x_spark.datapipe.dedup import weighted_jaccard_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = _near_dup(spark, sf_dir).select("id_a", "id_b")
+    out = weighted_jaccard_pairs(pairs, d, shingle_len=3)
+    return out.select(
+        "id_a", "id_b", F.round("wjaccard", 6).alias("wjaccard")
+    ).orderBy("id_a", "id_b")
+
+
 def q_fingerprint(spark, sf_dir):
     """Rolling-hash document fingerprint (winnowing lite) in the portable
     md5 mode (datapipe.textstats.rolling_fingerprint)."""
@@ -672,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": q_embed_near_dup,
         "lsh_topk": q_lsh_topk,
         "fingerprint": q_fingerprint,
+        "weighted_jaccard": q_weighted_jaccard,
         "graph_stack": q_graph_stack,
         "graph_scale": q_graph_scale,
     }
@@ -1022,6 +1037,27 @@ labels AS (SELECT node AS doc_id, least(node, min(r)) AS group_id
            FROM reach GROUP BY node)"""
     sql["dup_groups"] = f"""WITH RECURSIVE {cc_cte}
 SELECT doc_id, group_id FROM labels ORDER BY doc_id"""
+    # DF-weighted Jaccard over the near-dup pairs: w(s) = floor(1e6/df(s)),
+    # integer sums (associative → engine-independent), ratio rounded last
+    sql["weighted_jaccard"] = f"""WITH {nd_cte},
+allsh AS (SELECT doc_id, unnest(s) AS shingle FROM ds),
+wts AS (SELECT shingle, CAST(floor(1000000.0 / count(*)) AS BIGINT) AS w
+        FROM allsh GROUP BY 1),
+dw AS (SELECT doc_id, sum(w) AS tw FROM allsh JOIN wts USING (shingle) GROUP BY 1),
+pi AS (SELECT p.id_a, p.id_b, sum(w) AS iw
+       FROM nd_pairs p
+       JOIN allsh a ON a.doc_id = p.id_a
+       JOIN allsh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+       JOIN wts ON wts.shingle = a.shingle
+       GROUP BY 1, 2)
+SELECT p.id_a, p.id_b,
+       round(coalesce(iw, 0)::DOUBLE / (x.tw + y.tw - coalesce(iw, 0)), 6)
+         AS wjaccard
+FROM nd_pairs p
+LEFT JOIN pi ON pi.id_a = p.id_a AND pi.id_b = p.id_b
+JOIN dw x ON x.doc_id = p.id_a
+JOIN dw y ON y.doc_id = p.id_b
+ORDER BY p.id_a, p.id_b"""
     sql["dedup_report"] = f"""WITH RECURSIVE {cc_cte},
 g AS (SELECT group_id, count(*) AS sz FROM labels GROUP BY 1),
 s AS (SELECT count(*) AS dup_groups, sum(sz)::BIGINT AS dup_docs FROM g),

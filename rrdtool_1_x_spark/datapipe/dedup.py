@@ -154,6 +154,53 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", jac.alias("jaccard"))
 
 
+def weighted_jaccard_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_len: int = 3,
+    weight_scale: int = 1_000_000,
+) -> DataFrame:
+    """Document-frequency-weighted Jaccard for candidate (id_a, id_b) pairs.
+
+    Rare shingles carry more near-dup evidence than boilerplate; each
+    shingle weighs w(s) = floor(scale / df(s)) where df is the number of
+    corpus documents containing it (quantized inverse document frequency —
+    INTEGER weights keep the sums associative, hence identical across
+    partitionings and engines). J_w(A,B) = Σ_{s∈A∩B} w / Σ_{s∈A∪B} w,
+    union weight computed as Sa + Sb − I like the unweighted verifier.
+
+    Same shuffle shape as ngram_jaccard_pairs (explode → two bucket joins →
+    pair aggregation); the df table adds one extra aggregation over the
+    exploded shingles, amortized across all pairs.
+    """
+    sh = _shingle_frame(docs, id_col, text_col, shingle_len).distinct()
+    dfreq = sh.groupBy("_s").agg(F.count("*").alias("_df"))
+    w = sh.join(dfreq, "_s").select(
+        "_id",
+        "_s",
+        F.floor(F.lit(float(weight_scale)) / F.col("_df")).alias("_w"),
+    )
+    totals = w.groupBy("_id").agg(F.sum("_w").alias("_tw"))
+    a = w.select(F.col("_id").alias("id_a"), "_s", "_w")
+    b = w.select(F.col("_id").alias("id_b"), F.col("_s"))
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "_s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("_w").alias("_iw"))
+    )
+    out = (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"_iw": 0})
+        .join(totals.select(F.col("_id").alias("id_a"), F.col("_tw").alias("_ta")), "id_a")
+        .join(totals.select(F.col("_id").alias("id_b"), F.col("_tw").alias("_tb")), "id_b")
+    )
+    wj = F.col("_iw").cast("double") / (F.col("_ta") + F.col("_tb") - F.col("_iw"))
+    return out.select("id_a", "id_b", wj.alias("wjaccard"))
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",

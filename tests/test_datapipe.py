@@ -183,3 +183,28 @@ def test_duplicate_groups_and_report(spark, docs):
     assert rep["dup_groups"] == 2
     assert rep["docs_removed"] == 3  # 5 members - 2 keepers
     assert rep["docs_kept"] == rep["total_docs"] - 3
+
+
+def test_weighted_jaccard_hand_computed(spark):
+    """w(s) = floor(1e6/df); rare shared shingles dominate boilerplate."""
+    from rrdtool_1_x_spark.datapipe.dedup import weighted_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common base rare pair"),
+            (2, "common base rare pair"),
+            (3, "common base other text"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    # shingle_len=2 shingles: d1=d2={common base, base rare, rare pair},
+    # d3={common base, base other, other text}
+    # df: common base=3, base rare=2, rare pair=2, base other=1, other text=1
+    out = {(r["id_a"], r["id_b"]): r["wjaccard"]
+           for r in weighted_jaccard_pairs(pairs, docs, shingle_len=2).collect()}
+    w_cb, w_half, w_uniq = 1_000_000 // 3, 500_000, 1_000_000
+    t12 = w_cb + 2 * w_half
+    assert abs(out[(1, 2)] - 1.0) < 1e-12  # identical docs
+    want13 = w_cb / (t12 + (w_cb + 2 * w_uniq) - w_cb)
+    assert abs(out[(1, 3)] - want13) < 1e-12
