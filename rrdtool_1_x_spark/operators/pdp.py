@@ -41,9 +41,16 @@ Spark design — no UDFs, and the aggregation is a plain per-step groupBy
 A step's canonical timestamp is the END of the interval it covers, matching
 ``rrdtool fetch`` row timestamps ((t-step, t] convention).
 
-Divergence note: the reference truncates unknown-second accounting to whole
-seconds (floor(), src/rrd_update.c:1667); we keep exact floats. Identical
-results for whole-second timestamps (all reference tests).
+Divergence note (sub-second timestamps only): the reference truncates
+sub-second time to whole seconds in two places — unknown-second accounting
+(floor(), src/rrd_update.c:1667 and 1822, flagged "not really accurate" in
+its own comment) and the JKammler open-PDP split, which casts pre_int to
+unsigned long before taking the step remainder (src/rrd_update.c:1184).
+We keep exact floats in both. Identical results for whole-second
+timestamps (all reference tests) and for sub-second timestamps whenever no
+unknown mass straddles the xff threshold and no multi-step gap has a
+fractional open PDP (tests/test_pdp_differential.py
+test_differential_subsecond exercises the exact envelope).
 """
 
 from __future__ import annotations

@@ -154,3 +154,70 @@ def test_counter_wrap_healing(spark, tmp_path):
     # sanity: the wrap row healed to (2^32-1 - 4294966000 + 2000 + 1)/300
     want = (4294967295 - 4294966000 + 2000) / 300.0
     assert close(mine[START + 900], want)
+
+
+@pytest.mark.parametrize("seed,dst", [(0, "GAUGE"), (1, "COUNTER"), (2, "ABSOLUTE")])
+def test_differential_subsecond(spark, tmp_path, seed, dst):
+    """Sub-second update timestamps: the fractional pre/post interval split
+    must match the reference. Gapless by construction (all values known,
+    intervals ≤ heartbeat) and intervals stay ≤ one step (elapsed ≤ 1), so
+    neither of the reference's two integer truncations of sub-second time
+    triggers: unknown-second flooring (src/rrd_update.c:1667, 1822) needs
+    unknowns, and the JKammler open-PDP split truncates pre_int to whole
+    seconds ((unsigned long) cast, src/rrd_update.c:1184) but only runs at
+    elapsed > 1. Within this envelope the reference is exact in doubles and
+    the engine must match. Timestamps are dyadic fractions (k/8 s) so their
+    decimal strings round-trip to the same doubles."""
+    rng = random.Random(400 + seed)
+    hb = 1800
+    t = float(START)
+    counter = 500
+    updates = []
+    for i in range(90):
+        # first interval pinned: COUNTER/DERIVE have no baseline, so their
+        # first rate is unknown — 59.875 s puts the unknown mass clearly
+        # past step/2 on BOTH sides of the reference's floor() (59 and
+        # 59.875 are both > 30), keeping the window unknown in both engines
+        # instead of straddling the threshold (where the floor() divergence
+        # is real and documented)
+        t += 59.875 if i == 0 else rng.choice(
+            [5.25, 17.5, 23.75, 30.125, 44.5, 51.375, 59.875])
+        if dst == "COUNTER":
+            counter += rng.randint(0, 500)
+            updates.append((t, counter))
+        elif dst == "ABSOLUTE":
+            updates.append((t, rng.randint(0, 400)))
+        else:
+            updates.append((t, round(rng.uniform(-5, 105), 3)))
+
+    rrd = f"{tmp_path}/s.rrd"
+    subprocess.run(
+        [BIN, "create", rrd, "--start", str(START), "--step", str(STEP),
+         f"DS:x:{dst}:{hb}:U:U", "RRA:AVERAGE:0.5:1:5000"],
+        check=True, capture_output=True)
+    args = [f"{t!r}:{v}" for t, v in updates]
+    for k in range(0, len(args), 50):
+        subprocess.run([BIN, "update", rrd] + args[k : k + 50], check=True,
+                       capture_output=True)
+    end = int(updates[-1][0])
+    out = subprocess.run(
+        [BIN, "fetch", rrd, "AVERAGE", "-r", str(STEP), "-s", str(START),
+         "-e", str(end)], check=True, capture_output=True, text=True).stdout
+    with open(f"{tmp_path}/sf", "w") as f:
+        f.write(out)
+    _, ref = parse_fetch_output(f"{tmp_path}/sf")
+
+    df = spark.createDataFrame(
+        [("s", "x", t, float(v)) for t, v in updates],
+        "series_id string, ds_name string, ts double, value double",
+    )
+    pdp = pdp_table(df, STEP, dst, hb, start=float(START))
+    mine = {int(r["ts"]): r["value"] for r in pdp.collect()}
+    last_final = int(updates[-1][0] // STEP * STEP)
+    bad = [
+        (ts, mine.get(ts), vals[0])
+        for ts, vals in ref.items()
+        if ts <= last_final and not close(mine.get(ts), vals[0])
+    ]
+    assert not bad, f"dst={dst}: {len(bad)} mismatches, first 5: {bad[:5]}"
+    assert sum(1 for ts in ref if ts <= last_final and ref[ts][0] is not None) > 30
