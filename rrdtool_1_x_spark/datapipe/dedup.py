@@ -154,6 +154,26 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", jac.alias("jaccard"))
 
 
+def shingle_weight_frame(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_len: int = 3,
+    weight_scale: int = 1_000_000,
+) -> DataFrame:
+    """(_id, _s, _w) distinct shingles with idf-quantized integer weights
+    w(s) = floor(scale / df(s)) — the shared corpus-wide input of
+    weighted_jaccard_pairs, worth materializing once when several pair
+    batches score against the same corpus."""
+    sh = _shingle_frame(docs, id_col, text_col, shingle_len).distinct()
+    dfreq = sh.groupBy("_s").agg(F.count("*").alias("_df"))
+    return sh.join(dfreq, "_s").select(
+        "_id",
+        "_s",
+        F.floor(F.lit(float(weight_scale)) / F.col("_df")).alias("_w"),
+    )
+
+
 def weighted_jaccard_pairs(
     pairs: DataFrame,
     docs: DataFrame,
@@ -161,6 +181,7 @@ def weighted_jaccard_pairs(
     text_col: str = "text",
     shingle_len: int = 3,
     weight_scale: int = 1_000_000,
+    shingle_weights: DataFrame | None = None,
 ) -> DataFrame:
     """Document-frequency-weighted Jaccard for candidate (id_a, id_b) pairs.
 
@@ -175,12 +196,10 @@ def weighted_jaccard_pairs(
     pair aggregation); the df table adds one extra aggregation over the
     exploded shingles, amortized across all pairs.
     """
-    sh = _shingle_frame(docs, id_col, text_col, shingle_len).distinct()
-    dfreq = sh.groupBy("_s").agg(F.count("*").alias("_df"))
-    w = sh.join(dfreq, "_s").select(
-        "_id",
-        "_s",
-        F.floor(F.lit(float(weight_scale)) / F.col("_df")).alias("_w"),
+    w = (
+        shingle_weights
+        if shingle_weights is not None
+        else shingle_weight_frame(docs, id_col, text_col, shingle_len, weight_scale)
     )
     totals = w.groupBy("_id").agg(F.sum("_w").alias("_tw"))
     a = w.select(F.col("_id").alias("id_a"), "_s", "_w")
