@@ -59,17 +59,50 @@ def _hw_series(
     multiplicative: bool,
     smooth_window: float = 0.0,
 ) -> pd.DataFrame:
+    out, _state = _hw_loop(
+        ts, vals, alpha, beta, gamma, period, delta_pos, delta_neg,
+        threshold, window_len, multiplicative, smooth_window, state=None,
+    )
+    return out
+
+
+def _hw_loop(
+    ts: np.ndarray,
+    vals: np.ndarray,
+    alpha: float,
+    beta: float,
+    gamma: float,
+    period: int,
+    delta_pos: float,
+    delta_neg: float,
+    threshold: int,
+    window_len: int,
+    multiplicative: bool,
+    smooth_window: float = 0.0,
+    state: tuple | None = None,
+) -> tuple[pd.DataFrame, tuple]:
+    """The HW recurrence with explicit carried state — shared by the batch
+    operator (fresh state) and the streaming variant (state from the
+    operator store). ``state`` = (i0, a, b, k, S, D, viol): global step
+    index, intercept, slope, null-count, seasonal/deviation arrays of
+    length ``period``, violation ring of length ``window_len``."""
     n = len(ts)
     pred = np.full(n, np.nan)
     seas_out = np.full(n, np.nan)
     dev_out = np.full(n, np.nan)
     devs_out = np.full(n, np.nan)
     fail = np.zeros(n)
-    S = np.full(period, np.nan)
-    D = np.full(period, np.nan)
-    a = b = np.nan
-    k = 0
-    viol = np.zeros(window_len, dtype=np.int64)
+    if state is None:
+        i0 = 0
+        S = np.full(period, np.nan)
+        D = np.full(period, np.nan)
+        a = b = np.nan
+        k = 0
+        viol = np.zeros(window_len, dtype=np.int64)
+    else:
+        i0, a, b, k, S, D, viol = state
+        S, D = np.asarray(S, dtype=float).copy(), np.asarray(D, dtype=float).copy()
+        viol = np.asarray(viol, dtype=np.int64).copy()
     smooth_offset = int(np.floor(smooth_window / 2.0 * period))
 
     def _smooth(arr: np.ndarray) -> tuple[np.ndarray, float]:
@@ -84,7 +117,7 @@ def _hw_series(
         return sm, float(sm.mean())
 
     for i in range(n):
-        p = i % period
+        p = (i0 + i) % period
         x = vals[i]
         sc = S[p]
         # ---- HWPREDICT (src/rrd_hw_update.c:38-115)
@@ -147,7 +180,7 @@ def _hw_series(
         # (src/rrd_hw.c:128-330; the reference anchors post-burn-in runs at
         # a filename-hash index, so the deterministic every-cycle schedule
         # here matches its burn-in behavior)
-        if smooth_offset > 0 and (i + 1) % period == 0:
+        if smooth_offset > 0 and (i0 + i + 1) % period == 0:
             if not np.isnan(S).any():
                 sm, baseline = _smooth(S)
                 # SEASONAL: recenter around 0 and move the baseline into
@@ -160,7 +193,7 @@ def _hw_series(
                     a += baseline
             if not np.isnan(D).any():
                 D, _ = _smooth(D)
-    return pd.DataFrame(
+    out = pd.DataFrame(
         {
             "ts": ts,
             "prediction": pred,
@@ -170,6 +203,7 @@ def _hw_series(
             "failures": fail,
         }
     )
+    return out, (i0 + n, a, b, k, S, D, viol)
 
 
 def hw_predict(

@@ -299,6 +299,85 @@ def stateful_cdp_stream(
     )
 
 
+HW_STATE_SCHEMA = (
+    "i long, a double, b double, k long,"
+    " s array<double>, d array<double>, viol array<long>, last_ts double"
+)
+HW_OUTPUT_SCHEMA = (
+    "series_id string, ts double, prediction double, seasonal double,"
+    " devpredict double, devseasonal double, failures double"
+)
+
+
+def stateful_hw_stream(
+    pdp_stream: DataFrame,
+    alpha: float,
+    beta: float,
+    gamma: float,
+    period: int,
+    delta_pos: float = 2.0,
+    delta_neg: float = 2.0,
+    threshold: int = 7,
+    window_len: int = 9,
+    multiplicative: bool = False,
+    smooth_window: float = 0.0,
+) -> DataFrame:
+    """streaming per-step PDPs → streaming Holt-Winters aberrant outputs.
+
+    The online form of operators/hw.py: the full HWPREDICT-family scratch —
+    intercept/slope/null-count plus the SEASONAL and DEVSEASONAL
+    coefficient arrays and the FAILURES violation ring (the reference keeps
+    these in the RRA cdp_preps, src/rrd_hw_update.c:38-475) — lives in
+    operator state, one output row per step. Input must be the padded
+    per-step stream (unknown steps present with NULL value, in order):
+    the recurrence advances its phase every step, known or not."""
+    import numpy as np
+
+    from rrdtool_1_x_spark.operators.hw import _hw_loop
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows: list[tuple[float, float]] = []
+        for pdf in pdfs:
+            for t, v in zip(pdf["ts"], pdf["value"]):
+                rows.append((float(t), math.nan if pd.isna(v) else float(v)))
+        rows.sort(key=lambda x: x[0])
+        st = None
+        last_ts = -math.inf
+        if state.exists:
+            i0, a, b, k, s, d, viol, last_ts = state.get
+            st = (int(i0), a, b, int(k), s, d, viol)
+        # strictly-increasing rule: a late step would advance the phase out
+        # of line with wall time — drop it like the PDP stream drops late
+        # raw updates
+        rows = [r for r in rows if r[0] > last_ts]
+        if rows:
+            last_ts = rows[-1][0]
+        out, (i1, a, b, k, s, d, viol) = _hw_loop(
+            np.array([r[0] for r in rows]),
+            np.array([r[1] for r in rows]),
+            alpha, beta, gamma, period, delta_pos, delta_neg,
+            threshold, window_len, multiplicative, smooth_window, state=st,
+        )
+        state.update(
+            (int(i1), float(a), float(b), int(k),
+             [float(x) for x in s], [float(x) for x in d],
+             [int(x) for x in viol], float(last_ts))
+        )
+        if len(out):
+            out.insert(0, "series_id", key[0])
+            yield out
+
+    return pdp_stream.groupBy("series_id").applyInPandasWithState(
+        fn,
+        outputStructType=HW_OUTPUT_SCHEMA,
+        stateStructType=HW_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stateful_pdp_stream(
     stream: DataFrame,
     step: int,

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd
+
 import pytest
 
 from rrdtool_1_x_spark.operators.pdp import pdp_table
@@ -195,3 +197,79 @@ def test_stateful_cdp_stream_end_to_end(spark, tmp_path):
     assert set(got) == set(want)
     for ts, v in want.items():
         assert close(got[ts], v), (ts, got[ts], v)
+
+
+# ----------------------------------------------------------------- HW state
+
+
+def _hw_input(n=120, period=12, gaps=True):
+    import math as m
+
+    rows = []
+    for i in range(1, n + 1):
+        if gaps and i % 17 == 0:
+            rows.append((i * 60.0, None))
+        else:
+            rows.append((i * 60.0, 50 + 20 * m.sin(2 * m.pi * i / period) + (i % 5)))
+    return rows
+
+
+@pytest.mark.parametrize("mult,smooth", [(False, 0.0), (False, 0.05), (True, 0.0)])
+def test_hw_loop_chunked_equals_oneshot(mult, smooth):
+    """Carrying (i, a, b, k, S, D, viol) across chunk boundaries must be
+    exactly equivalent to one pass — the streaming correctness core."""
+    import numpy as np
+
+    from rrdtool_1_x_spark.operators.hw import _hw_loop
+
+    rows = _hw_input()
+    ts = np.array([r[0] for r in rows])
+    vals = np.array([np.nan if r[1] is None else r[1] for r in rows])
+    args = (0.5, 0.3, 0.4, 12, 2.0, 2.0, 3, 5, mult, smooth)
+    one, _ = _hw_loop(ts, vals, *args, state=None)
+    st = None
+    parts = []
+    for k in range(0, len(rows), 23):
+        out, st = _hw_loop(ts[k : k + 23], vals[k : k + 23], *args, state=st)
+        parts.append(out)
+    import pandas as pd
+
+    chunked = pd.concat(parts, ignore_index=True)
+    for col in one.columns:
+        a, b = one[col].to_numpy(), chunked[col].to_numpy()
+        assert ((a == b) | (pd.isna(a) & pd.isna(b))).all(), col
+
+
+def test_stateful_hw_stream_end_to_end(spark, tmp_path):
+    import numpy as np
+
+    from rrdtool_1_x_spark.operators.hw import _hw_loop
+    from rrdtool_1_x_spark.streaming.stateful import stateful_hw_stream
+
+    rows = _hw_input(n=96)
+    src = tmp_path / "hw_in"
+    spark.createDataFrame(
+        [("s", t, v) for t, v in rows], "series_id string, ts double, value double"
+    ).coalesce(1).write.json(str(src))
+    stream = spark.readStream.schema(
+        "series_id string, ts double, value double").json(str(src))
+    out = stateful_hw_stream(stream, 0.5, 0.3, 0.4, 12, threshold=3, window_len=5)
+    q = (
+        out.writeStream.format("memory").queryName("hw")
+        .option("checkpointLocation", str(tmp_path / "ckhw"))
+        .trigger(availableNow=True).outputMode("append").start()
+    )
+    q.awaitTermination(120)
+    got = {int(r["ts"]): r for r in spark.sql("select * from hw").collect()}
+    want, _ = _hw_loop(
+        np.array([r[0] for r in rows]),
+        np.array([np.nan if r[1] is None else r[1] for r in rows]),
+        0.5, 0.3, 0.4, 12, 2.0, 2.0, 3, 5, False, 0.0, state=None,
+    )
+    assert len(got) == len(rows)
+    for i, t in enumerate(want["ts"]):
+        for col in ("prediction", "seasonal", "devpredict", "devseasonal", "failures"):
+            w = want[col][i]
+            g = got[int(t)][col]
+            ok = (g is None and pd.isna(w)) or (g is not None and close(g, w))
+            assert ok, (int(t), col, g, w)
