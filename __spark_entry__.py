@@ -413,12 +413,13 @@ def q_hw_predict(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    """SimHash fingerprints (datapipe.dedup.simhash). xxhash64 is
-    engine-specific — rows-only check."""
+    """SimHash fingerprints (datapipe.dedup.simhash) in the portable md5
+    hash mode — bit-reproducible in any engine with md5 + integer bit ops,
+    so the DuckDB oracle hash-gates it."""
     from rrdtool_1_x_spark.datapipe.dedup import simhash
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash(d).orderBy("doc_id")
+    return simhash(d, hash_fn="md5").orderBy("doc_id")
 
 
 def q_ann_cosine_top10(spark, sf_dir):
@@ -946,6 +947,33 @@ sh AS (
 SELECT doc_id,
   {sig_cols}
 FROM sh ORDER BY doc_id"""
+    # simhash md5 mode: nibble j = hex digit j of md5(token); token-hash bit
+    # i = (nibble[i//4] >> (i%4)) & 1 — identical formula to dedup.simhash
+    nib_cols = ",\n    ".join(
+        f"strpos('0123456789abcdef', substr(hx, {j + 1}, 1)) - 1 AS n{j}"
+        for j in range(16)
+    )
+    vote_cols = ",\n    ".join(
+        f"sum(CASE WHEN ((n{i // 4} >> {i % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    )
+    fp_terms = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN {2**i if i < 63 else '(-9223372036854775807 - 1)'}::BIGINT ELSE 0 END"
+        for i in range(64)
+    )
+    sql["simhash"] = f"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM documents),
+h AS (SELECT doc_id, md5(tok) AS hx FROM t),
+n AS (SELECT doc_id,
+    {nib_cols}
+  FROM h),
+v AS (SELECT doc_id,
+    {vote_cols}
+  FROM n GROUP BY doc_id)
+SELECT doc_id, {fp_terms} AS simhash
+FROM v ORDER BY doc_id"""
     sql["quality"] = """
 WITH m AS (
   SELECT doc_id, length(text)::DOUBLE AS n,

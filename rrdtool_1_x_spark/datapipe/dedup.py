@@ -225,22 +225,48 @@ def simhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash fingerprints: (id, simhash long).
 
-    Per token: a 64-bit hash (xxhash64 — JVM-side, stable); each bit votes
-    ±1; the fingerprint takes the majority sign per bit. Near-duplicate
-    texts differ in few bits (compare via bit_count(a XOR b))."""
+    Per token: a 64-bit hash; each bit votes ±1; the fingerprint takes the
+    majority sign per bit. Near-duplicate texts differ in few bits (compare
+    via bit_count(a XOR b)).
+
+    ``hash_fn``: "xxhash64" (fast, JVM-specific) or "md5" (portable across
+    engines — the token hash is the first 64 bits of md5, extracted
+    nibble-wise from the hex digest, so any engine with md5 + integer bit
+    ops reproduces the fingerprint exactly). Both stay in whole-stage
+    codegen; md5 costs one extra hash per token."""
     toks = df.select(
         F.col(id_col).alias("_id"), F.explode(_tokens(F.col(text_col))).alias("_tok")
     )
-    h = toks.select("_id", F.xxhash64("_tok").alias("_h"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"_b{i}")
-        for i in range(bits)
-    ]
+    if hash_fn == "md5":
+        # nibble j = value of hex digit j of md5(token); bit i of the token
+        # hash = (nibble[i//4] >> (i%4)) & 1 — mirrored 1:1 in the oracle SQL
+        nibbles = [
+            F.conv(F.substring(F.md5(F.col("_tok").cast("binary")), j + 1, 1), 16, 10)
+            .cast("int")
+            .alias(f"_n{j}")
+            for j in range(bits // 4)
+        ]
+        h = toks.select("_id", *nibbles)
+        votes = [
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(f"_n{i // 4}"), i % 4).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"_b{i}")
+            for i in range(bits)
+        ]
+    else:
+        h = toks.select("_id", F.xxhash64("_tok").alias("_h"))
+        votes = [
+            F.sum(
+                F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_b{i}")
+            for i in range(bits)
+        ]
     agg = h.groupBy("_id").agg(*votes)
     fp = F.lit(0).cast("long")
     for i in range(bits):
