@@ -396,7 +396,8 @@ def q_lang_guess(spark, sf_dir):
 
 def q_hw_predict(spark, sf_dir):
     """Holt-Winters prediction over the events PDP grid (operators.hw).
-    Sequential recurrence — no SQL oracle (driver records rows-only)."""
+    Sequential recurrence — the oracle replays it as a DuckDB recursive CTE
+    carrying (a, b, k, seasonal[], deviation[], violation-ring[]) state."""
     from rrdtool_1_x_spark.operators.hw import hw_predict
 
     p = _pdp(spark, sf_dir)
@@ -1172,4 +1173,76 @@ SELECT doc_id,
                                 i -> md5(array_to_string(toks[i:i+7], ' '))),
                  'min') AS fingerprint
 FROM t ORDER BY doc_id"""
+    # Holt-Winters (operators/hw.py _hw_loop; reference src/rrd_hw_math.c:
+    # 21-126): per-series sequential recurrence replayed as a recursive CTE.
+    # State per step: intercept a, slope b, null-count k, seasonal s[24],
+    # deviation d[24], violation ring viol[9]. Constants are written exactly
+    # as the Python loop computes them (1-0.1=0.9, 1-0.0035=0.9965 — repr
+    # round-trip) so every double op matches numpy bit-for-bit.
+    sql["hw_predict"] = f"""
+WITH RECURSIVE {_PDP_CTE},{_GRID_CTE},
+hwg AS (
+  SELECT series_id,
+         CAST((ts - min(ts) OVER (PARTITION BY series_id)) / {STEP} AS INT) AS i,
+         ts, value AS x
+  FROM padded),
+hw AS (
+  SELECT series_id, -1 AS i, CAST(NULL AS DOUBLE) AS ts,
+         CAST(NULL AS DOUBLE) AS a, CAST(NULL AS DOUBLE) AS b, 0 AS k,
+         list_transform(range(1, 25), j -> CAST(NULL AS DOUBLE)) AS s,
+         list_transform(range(1, 25), j -> CAST(NULL AS DOUBLE)) AS d,
+         list_transform(range(1, 10), j -> 0) AS viol,
+         CAST(NULL AS DOUBLE) AS pr, CAST(0 AS DOUBLE) AS fail
+  FROM (SELECT DISTINCT series_id FROM pdp) _
+  UNION ALL
+  SELECT series_id, i, ts, a2, b2, k2,
+         list_transform(range(1, 25), j -> CASE WHEN j = pidx THEN s_new ELSE s[j] END),
+         list_transform(range(1, 25), j -> CASE WHEN j = pidx THEN d_new ELSE d[j] END),
+         viol2, pr,
+         CASE WHEN list_sum(viol2) >= 7 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+  FROM (
+    SELECT *,
+      CASE WHEN boot THEN CAST(0 AS DOUBLE)
+           WHEN pr IS NOT NULL AND x IS NOT NULL
+             THEN 0.0035::DOUBLE*(a2 - a) + 0.9965::DOUBLE*b
+           ELSE b END AS b2,
+      CASE WHEN x IS NOT NULL AND sc IS NULL AND last_a IS NOT NULL THEN x - last_a
+           WHEN x IS NOT NULL AND sc IS NOT NULL AND a2 IS NOT NULL
+             THEN 0.1::DOUBLE*(x - a2) + 0.9::DOUBLE*sc
+           ELSE sc END AS s_new,
+      CASE WHEN x IS NOT NULL AND pr IS NOT NULL AND dv IS NULL THEN abs(pr - x)
+           WHEN x IS NOT NULL AND pr IS NOT NULL
+             THEN 0.1::DOUBLE*abs(pr - x) + 0.9::DOUBLE*dv
+           ELSE dv END AS d_new
+    FROM (
+      SELECT *,
+        CASE WHEN boot THEN x ELSE a END AS last_a,
+        CASE WHEN boot THEN x
+             WHEN pr IS NOT NULL AND x IS NOT NULL
+               THEN 0.1::DOUBLE*(x - sc) + 0.9::DOUBLE*(a + b*k)
+             ELSE a END AS a2,
+        CASE WHEN boot THEN 1
+             WHEN pr IS NOT NULL AND x IS NULL THEN k + 1
+             WHEN pr IS NOT NULL AND x IS NOT NULL THEN 1
+             ELSE k END AS k2,
+        list_prepend(CASE WHEN x IS NOT NULL AND pr IS NOT NULL AND dv IS NOT NULL
+                          AND (x > pr + 2.0*dv OR x < pr - 2.0*dv) THEN 1 ELSE 0 END,
+                     viol[1:8]) AS viol2
+      FROM (
+        SELECT r.series_id, q.i, q.ts, q.x, r.a, r.b, r.k, r.s, r.d, r.viol,
+               (q.i % 24) + 1 AS pidx,
+               r.s[(q.i % 24) + 1] AS sc,
+               r.d[(q.i % 24) + 1] AS dv,
+               (r.a IS NULL AND q.x IS NOT NULL) AS boot,
+               CASE WHEN r.a IS NOT NULL AND r.b IS NOT NULL
+                         AND r.s[(q.i % 24) + 1] IS NOT NULL
+                    THEN r.a + r.b*r.k + r.s[(q.i % 24) + 1] END AS pr
+        FROM hw r JOIN hwg q ON q.series_id = r.series_id AND q.i = r.i + 1
+      ) s1
+    ) s2
+  ) s3
+)
+SELECT series_id, ts, round(pr, 6) AS prediction, fail AS failures
+FROM hw WHERE pr IS NOT NULL
+ORDER BY series_id, ts"""
     return sql
