@@ -1042,10 +1042,14 @@ SELECT vec_id, cos_sim, rank FROM ranked WHERE rank <= 10 ORDER BY rank"""
     band_list = ", ".join(
         f"md5(sig{2 * b} || '|' || sig{2 * b + 1}) AS b{b}" for b in range(4)
     )
-    band_or = " OR ".join(f"x.b{b} = y.b{b}" for b in range(4))
+    band_names = ", ".join(f"b{b}" for b in range(4))
+    # mirrors the Spark skew guards: exact-duplicate collapse to the min-id
+    # representative, long-format banding, and the 512 hot-bucket cap
     nd_cte = f"""
+reps AS (SELECT doc_id, text FROM documents
+         QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
 t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
-      FROM documents),
+      FROM reps),
 sh AS (SELECT doc_id,
          CASE WHEN len(toks) >= 3
               THEN list_transform(range(1, len(toks) - 1),
@@ -1056,8 +1060,12 @@ sig AS (SELECT doc_id,
     {sig_list}
   FROM sh),
 band AS (SELECT doc_id, {band_list} FROM sig),
+bandl AS (SELECT doc_id, bi, bh FROM band UNPIVOT (bh FOR bi IN ({band_names}))),
+keep AS (SELECT bi, bh FROM bandl GROUP BY 1, 2 HAVING count(*) <= 512),
+bk AS (SELECT bandl.* FROM bandl JOIN keep USING (bi, bh)),
 cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         FROM band x JOIN band y ON x.doc_id < y.doc_id AND ({band_or})),
+         FROM bk x JOIN bk y
+           ON x.bi = y.bi AND x.bh = y.bh AND x.doc_id < y.doc_id),
 ds AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
 ver AS (SELECT id_a, id_b,
           len(list_intersect(x.s, y.s))::DOUBLE
@@ -1123,13 +1131,17 @@ FROM tot, s"""
     nd_bucket_cols = ", ".join(
         f"{_bits('v', nd_planes[t])} AS b{t}" for t in range(3)
     )
-    nd_bucket_or = " OR ".join(f"x.b{t} = y.b{t}" for t in range(3))
+    nd_bucket_names = ", ".join(f"b{t}" for t in range(3))
     sql["embed_near_dup"] = f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
            FROM embeddings),
 b AS (SELECT vec_id, v, {nd_bucket_cols} FROM e),
+bl AS (SELECT vec_id, bi, bh FROM b UNPIVOT (bh FOR bi IN ({nd_bucket_names}))),
+keep AS (SELECT bi, bh FROM bl GROUP BY 1, 2 HAVING count(*) <= 512),
+bk AS (SELECT bl.* FROM bl JOIN keep USING (bi, bh)),
 cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-         FROM b x JOIN b y ON x.vec_id < y.vec_id AND ({nd_bucket_or})),
+         FROM bk x JOIN bk y
+           ON x.bi = y.bi AND x.bh = y.bh AND x.vec_id < y.vec_id),
 s AS (SELECT id_a, id_b, list_dot_product(x.v, y.v) AS dot,
              list_dot_product(x.v, x.v) AS na2, list_dot_product(y.v, y.v) AS nb2
       FROM cand JOIN e x ON x.vec_id = id_a JOIN e y ON y.vec_id = id_b),

@@ -82,6 +82,65 @@ def minhash_signatures(
     return sh.groupBy(F.col("_id").alias(id_col)).agg(*sigs)
 
 
+def minhash_band_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_len: int = 3,
+    collapse_exact: bool = True,
+) -> DataFrame:
+    """(id, band_idx, bucket_hash) long-format LSH band assignments.
+
+    The shared candidate-generation input of minhash_near_duplicates; also
+    the audit surface for the hot-bucket cap — e.g.
+    ``minhash_band_buckets(df).groupBy("band_idx", "bucket").count()``
+    filtered above the cap shows exactly which buckets (and how many docs)
+    a capped run drops."""
+    base = df
+    if collapse_exact:
+        # identical texts have identical signatures: a 10k-copy document
+        # would alone put 10k rows in one bucket per band (k²/2 candidate
+        # rows on one shuffle key — the classic dedup scale-killer). Exact
+        # duplicates are exact_dedup's job; keep one representative here.
+        w = Window.partitionBy(F.md5(F.col(text_col).cast("binary"))).orderBy(
+            F.col(id_col)
+        )
+        base = (
+            df.select(id_col, text_col)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(base, id_col, text_col, num_hashes, shingle_len)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"sig{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    ).cast("binary")
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    # pre-project the array before exploding (generator siblings re-evaluate
+    # per generated row)
+    return (
+        sigs.select(id_col, band_structs.alias("_ba"))
+        .select(id_col, F.explode("_ba").alias("_bb"))
+        .select(id_col, F.col("_bb.band_idx").alias("band_idx"), F.col("_bb.bucket").alias("bucket"))
+    )
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -90,35 +149,56 @@ def minhash_near_duplicates(
     bands: int = 4,
     shingle_len: int = 3,
     jaccard_threshold: float = 0.7,
+    max_bucket_size: int | None = 512,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via banded LSH + exact Jaccard verification.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     The pairwise work happens only inside LSH buckets; with b bands of r
     rows the collision probability is 1-(1-j^r)^b (standard MinHash-LSH).
+
+    Skew guards (what keeps this alive on a 100 TB corpus):
+    * ``collapse_exact``: exact duplicates are collapsed to one
+      representative before signatures — identical texts pairwise-match
+      trivially and belong to exact_dedup, not the LSH join. Pairs among
+      exact copies are therefore NOT emitted here.
+    * ``max_bucket_size``: buckets larger than this are dropped from
+      candidate generation (a k-doc bucket emits k²/2 candidate rows on one
+      shuffle key). Oversized buckets are boilerplate collisions where the
+      band carries no signal; audit what a cap drops via
+      minhash_band_buckets(). ``None`` disables the cap.
     """
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_len)
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|", *[F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).cast("binary")
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = sigs.select(id_col, *band_cols)
-    pairs = None
-    for b in range(bands):
-        left = banded.select(F.col(id_col).alias("id_a"), F.col(f"band{b}").alias("_b"))
-        right = banded.select(F.col(id_col).alias("id_b"), F.col(f"band{b}").alias("_b"))
-        cand = left.join(right, "_b").filter(F.col("id_a") < F.col("id_b")).select(
-            "id_a", "id_b"
+    base = df
+    if collapse_exact:
+        w = Window.partitionBy(F.md5(F.col(text_col).cast("binary"))).orderBy(
+            F.col(id_col)
         )
-        pairs = cand if pairs is None else pairs.unionByName(cand)
-    pairs = pairs.distinct()
+        base = (
+            df.select(id_col, text_col)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    melted = minhash_band_buckets(
+        base, id_col, text_col, num_hashes, bands, shingle_len, collapse_exact=False
+    )
+    if max_bucket_size is not None:
+        sizes = melted.groupBy("band_idx", "bucket").agg(F.count("*").alias("_sz"))
+        melted = melted.join(
+            sizes.filter(F.col("_sz") <= max_bucket_size).select("band_idx", "bucket"),
+            ["band_idx", "bucket"],
+        )
+    left = melted.select(F.col(id_col).alias("id_a"), "band_idx", "bucket")
+    right = melted.select(F.col(id_col).alias("id_b"), "band_idx", "bucket")
+    pairs = (
+        left.join(right, ["band_idx", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     verified = ngram_jaccard_pairs(
-        pairs, df, id_col=id_col, text_col=text_col, shingle_len=shingle_len
+        pairs, base, id_col=id_col, text_col=text_col, shingle_len=shingle_len
     )
     return verified.filter(F.col("jaccard") >= jaccard_threshold)
 

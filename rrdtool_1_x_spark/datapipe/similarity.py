@@ -122,6 +122,7 @@ def embedding_near_duplicates(
     dim: int | None = None,
     num_planes: int = 4,
     num_tables: int = 3,
+    max_bucket_size: int | None = 512,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-confined.
 
@@ -129,23 +130,47 @@ def embedding_near_duplicates(
     least one table (the quadratic work is confined to bucket collisions);
     candidates are then exactly verified: (id_a, id_b, cos_sim) with
     id_a < id_b and cos_sim >= threshold. At corpus scale the bucket join
-    shuffles on the bucket id only — no cross product ever forms.
+    shuffles on the bucket id only — no cross product ever forms, and
+    buckets above ``max_bucket_size`` are dropped from candidate generation
+    (a hot bucket of k vectors would emit k²/2 rows on one shuffle key).
+    Pass ``dim`` from the catalog; the ``None`` fallback probes the first
+    row (a driver-side job at plan-construction time — avoid at scale).
     """
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    cand = None
-    for t in range(num_tables):
-        planes = _hyperplanes(dim, num_planes, seed=f"nd{t}")
-        b = corpus.select(
-            F.col(id_col), lsh_bucket_col(F.col(vec_col), planes).alias("_b")
+    # long-format (id, table_idx, bucket): all tables share one self-join,
+    # and bucket sizes can be counted (and capped) in one aggregation
+    tbl_structs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("_bi"),
+                lsh_bucket_col(F.col(vec_col), _hyperplanes(dim, num_planes, seed=f"nd{t}")).alias("_bh"),
+            )
+            for t in range(num_tables)
+        ]
+    )
+    melted = (
+        corpus.select(F.col(id_col), tbl_structs.alias("_ba"))
+        .select(id_col, F.explode("_ba").alias("_bb"))
+        .select(id_col, F.col("_bb._bi").alias("_bi"), F.col("_bb._bh").alias("_bh"))
+    )
+    if max_bucket_size is not None:
+        # a k-vector bucket emits k²/2 candidate rows on one shuffle key;
+        # oversized buckets (near-identical boilerplate embeddings, zero
+        # vectors) are dropped from candidate generation
+        sizes = melted.groupBy("_bi", "_bh").agg(F.count("*").alias("_sz"))
+        melted = melted.join(
+            sizes.filter(F.col("_sz") <= max_bucket_size).select("_bi", "_bh"),
+            ["_bi", "_bh"],
         )
-        left = b.select(F.col(id_col).alias("id_a"), "_b")
-        right = b.select(F.col(id_col).alias("id_b"), "_b")
-        c = left.join(right, "_b").filter(F.col("id_a") < F.col("id_b")).select(
-            "id_a", "id_b"
-        )
-        cand = c if cand is None else cand.unionByName(c)
-    cand = cand.distinct()
+    left = melted.select(F.col(id_col).alias("id_a"), "_bi", "_bh")
+    right = melted.select(F.col(id_col).alias("id_b"), "_bi", "_bh")
+    cand = (
+        left.join(right, ["_bi", "_bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     # squared norms are per-VECTOR, not per-pair: fold them once over the
     # corpus (the n² candidate stage then runs one dot fold per pair
     # instead of three interpreted HOF folds — same float op order, so

@@ -63,16 +63,60 @@ def test_minhash_near_duplicates(docs):
         docs, num_hashes=16, bands=4, jaccard_threshold=0.5
     ).cache()
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
-    # all exact copies must be found (jaccard 1.0 collides in every band)
-    exact_pairs = {(float(i), float(i + 20000)) for i in range(10)}
     ids = {(a, b) for a, b in got}
+    # exact copies are collapsed before LSH (exact_dedup's job) — no
+    # pairwise rows among identical texts
+    exact_pairs = {(float(i), float(i + 20000)) for i in range(10)}
     for a, b in exact_pairs:
-        assert (a, b) in ids, f"missing exact pair {a},{b}"
+        assert (a, b) not in ids, f"exact pair {a},{b} should be collapsed"
     # most one-word-changed docs should also surface
     near_hits = sum(1 for a, b in got if b - a == 10000)
     assert near_hits >= 10
     # and jaccard values are sane
     assert pairs.filter((F.col("jaccard") > 1.0) | (F.col("jaccard") < 0.5)).count() == 0
+    # with collapse disabled the exact pairs come back (jaccard 1.0
+    # collides in every band)
+    raw = minhash_near_duplicates(
+        docs, num_hashes=16, bands=4, jaccard_threshold=0.5, collapse_exact=False
+    )
+    raw_ids = {(r["id_a"], r["id_b"]) for r in raw.collect()}
+    for a, b in exact_pairs:
+        assert (a, b) in raw_ids, f"missing exact pair {a},{b}"
+
+
+def test_minhash_hot_bucket_guards(spark):
+    # 10k identical docs + one small near-dup cluster: without the guards
+    # the identical block alone would emit ~50M candidate rows on one
+    # shuffle key. With exact-collapse the block contributes nothing; the
+    # genuine near-dups still surface.
+    n = 10_000
+    clones = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated in every single document here").alias("text"),
+    )
+    near = spark.createDataFrame(
+        [
+            (100_001, "alpha beta gamma delta epsilon zeta eta theta"),
+            (100_002, "alpha beta gamma delta epsilon zeta eta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = clones.unionByName(near)
+    pairs = minhash_near_duplicates(
+        corpus, num_hashes=16, bands=4, jaccard_threshold=0.5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (100_001, 100_002) in got
+    assert len(got) == 1  # the clone block emitted no pairwise rows
+    # cap alone (collapse disabled): the 10k-doc bucket is over every
+    # sane cap, so candidate generation drops it instead of exploding
+    capped = minhash_near_duplicates(
+        corpus, num_hashes=16, bands=4, jaccard_threshold=0.5,
+        collapse_exact=False, max_bucket_size=512,
+    ).collect()
+    capped_ids = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (100_001, 100_002) in capped_ids
+    assert len(capped_ids) == 1
 
 
 def test_jaccard_exact_value(spark):
