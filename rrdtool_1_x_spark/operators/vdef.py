@@ -22,8 +22,8 @@ The input is expected to be a complete padded step grid per series (what
 
 Spark design: one groupBy per VDEF over the series keys; everything is a
 built-in aggregate (struct-ordering tricks give "earliest argmax" without a
-second pass). PERCENT uses exact ``percentile`` at an integer rank, so no
-collect and no UDF.
+second pass). PERCENT/PERCENTNAN select by window row_number at the integer
+nearest-rank — no per-group array, no collect, no UDF.
 """
 
 from __future__ import annotations
@@ -110,28 +110,37 @@ def vdef(
     if op in ("PERCENT", "PERCENTNAN"):
         if param is None:
             raise ValueError(f"{op} needs a percentile parameter")
+        # rank-based nearest-rank selection — no per-group array ever
+        # materializes (collect_list would hold the whole series in one
+        # aggregation buffer; a multi-million-row series OOMs an executor).
+        # PERCENT ranks over ALL steps with unknown lowest: idx0 =
+        # round(p*(n-1)/100); if idx0 falls among the unknowns the result is
+        # unknown, else it is the (idx0-n_null)-th (0-based) smallest known.
+        # PERCENTNAN does the same over known values only.
+        src, g = df, gb
+        if not g:
+            src, g = df.withColumn("_g", F.lit(1)), ["_g"]
+        counts = src.groupBy(*g).agg(
+            F.count(F.lit(1)).alias("_n"), F.count(val).alias("_m")
+        )
+        w = Window.partitionBy(*g).orderBy(F.col("_v"))
+        known = (
+            src.filter(val.isNotNull())
+            .select(*g, val.alias("_v"))
+            .withColumn("_rn", F.row_number().over(w))
+        )
         if op == "PERCENT":
-            # rank over ALL steps, unknown lowest: idx0 = round(p*(n-1)/100);
-            # if idx0 falls among the unknowns the result is unknown, else it
-            # is the (idx0 - n_null)-th (0-based) smallest known value.
-            agg = df.groupBy(*gb).agg(
-                F.count(F.lit(1)).alias("_n"),
-                F.count(val).alias("_m"),
-                F.collect_list(val).alias("_vals"),
-            )
             idx0 = F.round(F.lit(param) * (F.col("_n") - 1).cast("double") / 100.0).cast("long")
-            kth = idx0 - (F.col("_n") - F.col("_m"))  # 0-based rank among known
-            sorted_known = F.array_sort(F.col("_vals"))
-            value = F.when(kth >= 0, F.element_at(sorted_known, (kth + 1).cast("int")))
-            return agg.select(*gb, value.alias("value"), none_when.alias("when"))
-        agg = df.groupBy(*gb).agg(
-            F.count(val).alias("_m"), F.collect_list(val).alias("_vals")
+            target = idx0 - (F.col("_n") - F.col("_m")) + 1  # 1-based among known
+        else:
+            idx0 = F.round(F.lit(param) * (F.col("_m") - 1).cast("double") / 100.0).cast("long")
+            target = F.when(F.col("_m") > 0, idx0 + 1)
+        out = (
+            counts.join(known, g, "left")
+            .groupBy(*g)
+            .agg(F.max(F.when(F.col("_rn") == target, F.col("_v"))).alias("value"))
         )
-        idx0 = F.round(F.lit(param) * (F.col("_m") - 1).cast("double") / 100.0).cast("long")
-        value = F.when(
-            F.col("_m") > 0, F.element_at(F.array_sort(F.col("_vals")), (idx0 + 1).cast("int"))
-        )
-        return agg.select(*gb, value.alias("value"), none_when.alias("when"))
+        return out.select(*gb, "value", none_when.alias("when"))
 
     # least-squares family: x = 0-based step index over the padded grid
     w = Window.partitionBy(*gb).orderBy(ts)
