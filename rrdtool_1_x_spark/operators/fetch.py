@@ -108,6 +108,44 @@ def time_grid(
     return series.crossJoin(grid)
 
 
+def _gap_fill(scan: DataFrame, plan: FetchPlan, keys: tuple[str, ...]) -> DataFrame:
+    """Pad missing slots from the scan itself: one window pass per series
+    generates NULL rows for the slot-index gaps (head/tail included) and
+    unions them with the scanned rows — no grid table, no distinct-keys
+    job, no join shuffle. A series with zero rows in range contributes
+    nothing (pass an explicit ``series`` frame to fetch() to pad those)."""
+    from pyspark.sql import Window
+
+    s = float(plan.step)
+    lo_i = plan.start // plan.step  # exclusive start slot index
+    hi_i = plan.end // plan.step  # inclusive end slot index
+    w = Window.partitionBy(*keys).orderBy("ts")
+    base = scan.select(*keys, "ts", "value")
+    g = (
+        scan.withColumn("_i", (F.col("ts") / F.lit(s)).cast("long"))
+        .withColumn("_pi", F.coalesce(F.lag("_i").over(w), F.lit(int(lo_i))))
+        .withColumn("_last", F.lead("_i").over(w).isNull())
+    )
+    gap = F.col("_i") - F.col("_pi") > 1
+    tail = F.col("_last") & (F.col("_i") < int(hi_i))
+    empty = F.slice(F.array(F.lit(0).cast("long")), 1, 0)
+    idxs = F.concat(
+        F.when(gap, F.sequence(F.col("_pi") + 1, F.col("_i") - 1)).otherwise(empty),
+        F.when(tail, F.sequence(F.col("_i") + 1, F.lit(int(hi_i)))).otherwise(empty),
+    )
+    missing = (
+        g.filter(gap | tail)
+        .select(*keys, idxs.alias("_idxs"))  # pre-project before the generator
+        .select(*keys, F.explode("_idxs").alias("_slot"))
+        .select(
+            *keys,
+            (F.col("_slot") * F.lit(s)).alias("ts"),
+            F.lit(None).cast("double").alias("value"),
+        )
+    )
+    return base.unionByName(missing)
+
+
 def fetch(
     rollup: DataFrame,
     plan: FetchPlan,
@@ -122,16 +160,22 @@ def fetch(
     ``rollup``: the archive table (keys..., ts, value), ts = window end.
     ``sort=True`` adds the presentation-order global sort (a full range
     shuffle — leave it off when the consumer aggregates anyway).
+
+    Padding: with no explicit ``series`` frame the missing slots are
+    gap-filled from the scan in a single window pass (no grid join, no
+    distinct-keys job); series entirely absent from the range then produce
+    no rows. Pass ``series`` to force the grid outer-join path that pads
+    all-unknown series too.
     """
     scan = rollup.filter(
         (F.col("ts") > F.lit(float(plan.start))) & (F.col("ts") <= F.lit(float(plan.end)))
     )
     if pad:
-        spark = rollup.sparkSession
         if series is None:
-            series = rollup.select(*keys).distinct()
-        grid = time_grid(spark, series, plan.start, plan.end, plan.step)
-        scan = grid.join(scan, [*keys, "ts"], "left")
+            scan = _gap_fill(scan, plan, keys)
+        else:
+            grid = time_grid(rollup.sparkSession, series, plan.start, plan.end, plan.step)
+            scan = grid.join(scan, [*keys, "ts"], "left")
     return scan.orderBy(*keys, "ts") if sort else scan
 
 

@@ -16,7 +16,11 @@ src/rrd_update.c:1840-1915).
 
 Scale design: tables are optionally hash-bucketed by series and partitioned
 by day so a fetch prunes to (series bucket, time range); rollups are tiny
-relative to samples and read-optimized.
+relative to samples and read-optimized. Rollup rewrites are transactional
+snapshot commits (immutable version dirs + an atomically-renamed manifest
+pointer — the moral equivalent of an Iceberg/Delta commit on plain
+parquet), so concurrent readers during an incremental refresh keep a
+consistent pinned snapshot.
 """
 
 from __future__ import annotations
@@ -60,20 +64,98 @@ class DatasetStore:
 
     partition_by_day: bool = False
 
+    # -- versioned snapshot storage -------------------------------------------
+    # Overwrites are transactional: each rewrite lands in a fresh immutable
+    # snapshot directory (<sub>/_v/<NNNNNNNN>/) and becomes visible via an
+    # atomic manifest-pointer rename (<sub>/_MANIFEST). Readers always
+    # resolve the manifest at DataFrame-construction time and then pin an
+    # immutable directory — a reader started before a refresh keeps reading
+    # its snapshot; it never sees the FAILED_READ of an in-place rewrite.
+    # The last KEEP_SNAPSHOTS versions are retained (snapshot expiry, like
+    # Iceberg's): a pinned DataFrame older than that may lose its files.
+    # Appends (the samples log) go into the current directory — append-only
+    # mutation is safe for concurrent listings. On a real lake the
+    # os.replace commit becomes the table catalog's atomic swap (HDFS
+    # rename / Iceberg-Delta commit); the layout maps 1:1.
+    KEEP_SNAPSHOTS = 3
+
+    _df_cache: dict | None = None
+
+    def _current(self, sub: str) -> tuple[int, str]:
+        """(version, data dir); version 0 = legacy flat directory."""
+        try:
+            with open(f"{self.path}/{sub}/_MANIFEST") as f:
+                doc = json.load(f)
+            return int(doc["version"]), f"{self.path}/{sub}/{doc['dir']}"
+        except (FileNotFoundError, NotADirectoryError):
+            return 0, f"{self.path}/{sub}"
+
     def _write(self, df: DataFrame, sub: str, mode: str = "append") -> None:
-        w = df.write.mode(mode)
         if self.partition_by_day:
             df = df.withColumn("pday", F.floor(F.col("ts") / 86400.0))
-            w = df.write.mode(mode).partitionBy("pday")
-        w.parquet(f"{self.path}/{sub}")
+        ver, cur = self._current(sub)
+        if mode == "overwrite":
+            new_ver = ver + 1
+            vdir = f"{self.path}/{sub}/_v/{new_ver:08d}"
+            w = df.write.mode("overwrite")
+            if self.partition_by_day:
+                w = w.partitionBy("pday")
+            w.parquet(vdir)
+            tmp = f"{self.path}/{sub}/_MANIFEST.tmp"
+            with open(tmp, "w") as f:
+                json.dump({"version": new_ver, "dir": f"_v/{new_ver:08d}"}, f)
+            os.replace(tmp, f"{self.path}/{sub}/_MANIFEST")  # the commit point
+            self._gc(sub, new_ver)
+        else:
+            w = df.write.mode("append")
+            if self.partition_by_day:
+                w = w.partitionBy("pday")
+            w.parquet(cur)
+        if self._df_cache is not None:
+            for k in [k for k in self._df_cache if k[0] == sub]:
+                self._df_cache.pop(k, None)
+
+    def _gc(self, sub: str, latest: int) -> None:
+        """Expire snapshots beyond KEEP_SNAPSHOTS and retire legacy flat
+        files once the first versioned commit exists (best-effort)."""
+        import shutil
+
+        root = f"{self.path}/{sub}"
+        keep = {f"{latest - k:08d}" for k in range(self.KEEP_SNAPSHOTS)}
+        vroot = f"{root}/_v"
+        for name in os.listdir(vroot):
+            if name not in keep:
+                shutil.rmtree(f"{vroot}/{name}", ignore_errors=True)
+        for name in os.listdir(root):
+            if name == "_v" or name.startswith("_MANIFEST"):
+                continue
+            full = f"{root}/{name}"
+            if os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+            else:
+                try:
+                    os.remove(full)
+                except OSError:
+                    pass
 
     def _read(self, sub: str) -> DataFrame | None:
-        p = f"{self.path}/{sub}"
+        """Memoized per (store, sub, snapshot version): constructing a
+        parquet DataFrame costs a driver-side file listing + schema read
+        every call, which dominates interactive fetch planning. A version
+        bump naturally misses the cache; appends invalidate explicitly."""
+        if self._df_cache is None:
+            self._df_cache = {}
+        ver, cur = self._current(sub)
+        key = (sub, ver)
+        if key in self._df_cache:
+            return self._df_cache[key]
         try:
-            df = self.spark.read.parquet(p)
+            df = self.spark.read.parquet(cur)
         except Exception:
             return None
-        return df.drop("pday") if "pday" in df.columns else df
+        df = df.drop("pday") if "pday" in df.columns else df
+        self._df_cache[key] = df
+        return df
 
     def update(self, samples: DataFrame) -> None:
         """Append raw readings and rebuild the touched rollup windows.
@@ -109,11 +191,24 @@ class DatasetStore:
             (F.floor(F.max("ts") / d.step) * d.step).cast("double").alias("clock")
         )
         try:
-            for i, rra in enumerate(d.rra):
-                if rra.cf not in BASIC_CFS:
-                    continue
+            # materialize the shared PDP cache once, then run the archive
+            # writes concurrently: each is a tiny groupBy+write job whose
+            # wall time is scheduler overhead, not compute — on a cluster
+            # these are independent jobs the scheduler interleaves anyway
+            pdp.count()
+            targets = [
+                (i, rra) for i, rra in enumerate(d.rra) if rra.cf in BASIC_CFS
+            ]
+
+            def _one(arg):
+                i, rra = arg
                 out = consolidate(pdp, d.step, rra.pdp_cnt, rra.cf, rra.xff, clock=clock)
                 self._write(out, f"rra_{i}", mode="overwrite")
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(4, len(targets)) or 1) as ex:
+                list(ex.map(_one, targets))
         finally:
             pdp.unpersist()
 
@@ -136,6 +231,57 @@ class DatasetStore:
         rollup = rollup.filter(F.col("ts") > F.lit(float(lo)))
         return fetch(rollup, plan, pad=pad), plan
 
+    def fetch_local(
+        self,
+        cf: str,
+        start: int,
+        end: int,
+        resolution: int | None = None,
+        pad: bool = True,
+    ):
+        """Interactive latency path ≙ the reference's single-process fetch
+        (src/rrd_fetch.c: one sequential read of a small file). Plans
+        exactly like fetch(), then reads the pruned archive parquet on the
+        driver via pyarrow — no Spark job, so no scheduler overhead — and
+        pads with a vectorized reindex. Produces the same rows as fetch()
+        (tests/test_plans.py asserts equality); use it for human-scale
+        windows, and the distributed fetch() for cluster-scale ranges.
+        Returns (pandas.DataFrame, FetchPlan)."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.dataset as pads
+
+        last_up = self.last()
+        plan = select_rra(self.dataset, cf, start, end, resolution, last_up)
+        lo = (last_up - last_up % plan.step) - self.dataset.retention(plan.rra_index)
+        cut = max(float(lo), float(plan.start))
+        _, data_dir = self._current(f"rra_{plan.rra_index}")
+        dset = pads.dataset(
+            data_dir,
+            format="parquet",
+            partitioning="hive" if self.partition_by_day else None,
+        )
+        tbl = dset.to_table(
+            filter=(pads.field("ts") > cut) & (pads.field("ts") <= float(plan.end))
+        )
+        keys = ["series_id", "ds_name"]
+        cols = keys + ["ts", "value"]
+        pdf = tbl.to_pandas()[cols]
+        if not pad:
+            return pdf, plan
+        s = plan.step
+        grid = np.arange(plan.start + s, plan.end + s, s, dtype=np.float64)
+        out = []
+        for kv, grp in pdf.groupby(keys, sort=False):
+            vals = grp.set_index("ts")["value"].reindex(grid)
+            o = pd.DataFrame({"ts": grid, "value": vals.to_numpy()})
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            for k, v in zip(keys, kv):
+                o[k] = v
+            out.append(o[cols])
+        res = pd.concat(out, ignore_index=True) if out else pdf.iloc[0:0]
+        return res, plan
+
     def first(self, rra_index: int = 0) -> int:
         """≙ rrd_first (src/rrd_first.c:84-150): oldest retained slot."""
         last_up = self.last()
@@ -153,6 +299,24 @@ class DatasetStore:
         job overhead matters for interactive fetch latency."""
         if self._last_cache is not None:
             return self._last_cache
+        # parquet footer stats carry max(ts) per row group — read them
+        # driver-side (no Spark job; planning latency) with a Spark fallback
+        try:
+            import pyarrow.dataset as pads
+
+            m = None
+            for frag in pads.dataset(f"{self.path}/samples", format="parquet").get_fragments():
+                md = frag.metadata
+                ts_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["ts"]
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ts_idx).statistics
+                    if st is not None and st.max is not None:
+                        m = st.max if m is None else max(m, st.max)
+            if m is not None:
+                self._last_cache = int(m)
+                return self._last_cache
+        except Exception:
+            pass
         s = self._read("samples")
         if s is None:
             return self.dataset.start or 0

@@ -130,19 +130,11 @@ class StreamingIngest:
                     | (F.col("ts") > F.col("_whi"))
                 ).select("series_id", "ds_name", "ts", "value")
                 merged = keep.unionByName(fresh)
-            if old is None:
-                store._write(merged, f"rra_{i}", mode="overwrite")
-            else:
-                # cannot lazily overwrite a parquet dir being read: write the
-                # merged table next to it, then swap directories (executors do
-                # the work; the driver only renames). A transactional format
-                # (Delta/Iceberg MERGE) replaces this dance on a real lake.
-                import shutil
-
-                tmp = f"rra_{i}.tmp"
-                store._write(merged, tmp, mode="overwrite")
-                shutil.rmtree(f"{store.path}/rra_{i}")
-                shutil.move(f"{store.path}/{tmp}", f"{store.path}/rra_{i}")
+            # the store's overwrite is a snapshot commit: ``merged`` reads
+            # the old snapshot while the new one is written, and readers
+            # that resolved the manifest earlier keep their pinned snapshot
+            # (MERGE-style transactional refresh; see DatasetStore._write)
+            store._write(merged, f"rra_{i}", mode="overwrite")
 
     # -- stream wiring --------------------------------------------------------
     def start(

@@ -64,6 +64,27 @@ def test_store_fetch(store):
     assert got[920804700] is None  # first PDP unknown (counter needs a base)
 
 
+def test_store_fetch_local_matches_spark(store):
+    import math
+
+    df, plan = store.fetch("AVERAGE", 920804400, 920808900, 300)
+    pdf, lplan = store.fetch_local("AVERAGE", 920804400, 920808900, 300)
+    assert (lplan.rra_index, lplan.step, lplan.start, lplan.end) == (
+        plan.rra_index, plan.step, plan.start, plan.end,
+    )
+    want = {int(r["ts"]): r["value"] for r in df.collect()}
+    got = {
+        int(t): (None if isinstance(v, float) and math.isnan(v) else v)
+        for t, v in zip(pdf["ts"], pdf["value"])
+    }
+    assert got == want
+    # coarse-resolution request drives the same RRA selection too
+    dfc, planc = store.fetch("AVERAGE", 920804400, 920808900, 1800)
+    pdfc, lplanc = store.fetch_local("AVERAGE", 920804400, 920808900, 1800)
+    assert lplanc.rra_index == planc.rra_index == 1
+    assert len(pdfc) == dfc.count()
+
+
 def test_store_meta(store):
     assert store.last() == 920808900
     info = store.info()

@@ -58,6 +58,35 @@ def test_microbatch_equals_batch(spark, tmp_path):
         assert _rollup_map(stream_store, i) == _rollup_map(batch_store, i), f"rra_{i}"
 
 
+def test_concurrent_reader_during_refresh(spark, tmp_path):
+    """Snapshot isolation: a DataFrame resolved before an incremental
+    refresh keeps reading its pinned (immutable) snapshot while and after
+    new versions commit; a fresh read sees the new data."""
+    store = DatasetStore.create(spark, str(tmp_path / "txn"), _dataset())
+    ing = StreamingIngest(store)
+    ing.process_batch(_rows(spark, UPDATES[:8]))
+    pinned = store._read("rra_0")
+    rows_before = pinned.count()
+    # refreshes within the snapshot-retention window (each a commit that
+    # supersedes rra_0): the pinned reader still scans its old snapshot —
+    # same rows, no FAILED_READ from an in-place rewrite
+    for k, lo in enumerate(range(8, len(UPDATES), 2)):
+        ing.process_batch(_rows(spark, UPDATES[lo : lo + 2]), lo)
+        if k < store.KEEP_SNAPSHOTS - 1:
+            assert pinned.count() == rows_before
+    fresh = store._read("rra_0")
+    assert fresh.count() > rows_before
+    # the manifest advanced and old snapshots were expired to the cap
+    import json
+    import os
+
+    with open(f"{store.path}/rra_0/_MANIFEST") as f:
+        ver = json.load(f)["version"]
+    assert ver >= 2
+    kept = os.listdir(f"{store.path}/rra_0/_v")
+    assert len(kept) <= store.KEEP_SNAPSHOTS
+
+
 def test_late_rows_rejected(spark, tmp_path):
     store = DatasetStore.create(spark, str(tmp_path / "late"), _dataset())
     ing = StreamingIngest(store)
