@@ -299,6 +299,15 @@ class DatasetStore:
         job overhead matters for interactive fetch latency."""
         if self._last_cache is not None:
             return self._last_cache
+        # a store restored from a reference XML dump carries the source
+        # file's exact lastupdate (sources/rrdxml.py) — newer raw samples
+        # appended since then supersede it
+        restored = None
+        try:
+            with open(f"{self.path}/restored.json") as f:
+                restored = int(json.load(f)["lastupdate"])
+        except (FileNotFoundError, KeyError, ValueError):
+            pass
         # parquet footer stats carry max(ts) per row group — read them
         # driver-side (no Spark job; planning latency) with a Spark fallback
         try:
@@ -313,15 +322,16 @@ class DatasetStore:
                     if st is not None and st.max is not None:
                         m = st.max if m is None else max(m, st.max)
             if m is not None:
-                self._last_cache = int(m)
+                self._last_cache = max(int(m), restored or 0)
                 return self._last_cache
         except Exception:
             pass
         s = self._read("samples")
         if s is None:
-            return self.dataset.start or 0
+            return restored if restored is not None else (self.dataset.start or 0)
         row = s.agg(F.max("ts").alias("m")).first()
-        self._last_cache = int(row["m"]) if row["m"] is not None else (self.dataset.start or 0)
+        m = int(row["m"]) if row["m"] is not None else (self.dataset.start or 0)
+        self._last_cache = max(m, restored or 0)
         return self._last_cache
 
     def lastupdate(self) -> DataFrame:

@@ -75,3 +75,73 @@ def test_dump_restore_roundtrip(spark, store, tmp_path):
     a = {(r["ds_name"], r["ts"]): r["value"] for r in store._read("rra_0").collect()}
     b = {(r["ds_name"], r["ts"]): r["value"] for r in st2._read("rra_0").collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------- XML dump
+
+
+def test_xml_dump_restore_dump_identity(spark, tmp_path):
+    """The reference's tests/dump-restore cycle: create → update → dump →
+    restore → dump → byte-identical diff (GAUGE, like the golden test)."""
+    from rrdtool_1_x_spark.sources.rrdxml import dump_xml, restore_xml
+
+    ds = create(
+        "a1",
+        step=60,
+        ds=[DSDef(name="a", dst="GAUGE", heartbeat=120, min_val=0.0)],
+        rra=[
+            RRADef(cf="AVERAGE", xff=0.5, pdp_cnt=1, row_cnt=20),
+            RRADef(cf="AVERAGE", xff=0.5, pdp_cnt=5, row_cnt=2),
+            RRADef(cf="MIN", xff=0.5, pdp_cnt=5, row_cnt=2),
+            RRADef(cf="MAX", xff=0.5, pdp_cnt=5, row_cnt=2),
+            RRADef(cf="LAST", xff=0.5, pdp_cnt=5, row_cnt=2),
+        ],
+        start=1300000000 - 1,
+    )
+    st = DatasetStore.create(spark, str(tmp_path / "a1"), ds)
+    rows = [
+        ("a1", "a", float(1300000000 + 60 * i), float(10 + 20 * (i + 1)))
+        for i in range(25)
+    ]
+    st.update(spark.createDataFrame(
+        rows, "series_id string, ds_name string, ts double, value double"))
+
+    x1 = str(tmp_path / "a1.xml")
+    dump_xml(st, x1)
+    st2 = restore_xml(spark, x1, str(tmp_path / "r1"), series_id="a1")
+    x2 = str(tmp_path / "r1.xml")
+    dump_xml(st2, x2)
+    with open(x1) as f1, open(x2) as f2:
+        assert f1.read() == f2.read()
+
+
+def test_xml_restore_reference_golden(spark, tmp_path):
+    """Parse a dump produced by the reference engine itself
+    (tests/modify-test1.create.dump) and check schema + row fidelity."""
+    import math
+
+    from rrdtool_1_x_spark.sources.rrdxml import restore_xml
+
+    golden = "/root/reference/tests/modify-test1.create.dump"
+    st = restore_xml(spark, golden, str(tmp_path / "ref"), series_id="bw")
+    d = st.dataset
+    assert d.step == 60
+    assert [ds.name for ds in d.ds] == ["a"]
+    assert d.ds[0].dst == "GAUGE" and d.ds[0].heartbeat == 120
+    assert d.ds[0].min_val == 0.0 and d.ds[0].max_val is None
+    assert [r.cf for r in d.rra] == ["AVERAGE", "AVERAGE"]
+    assert [r.pdp_cnt for r in d.rra] == [1, 5]
+    assert st.last() == 1300003020
+    # newest row of the fine archive is 510 at the aligned lastupdate
+    fine = {r["ts"]: r["value"] for r in st._read("rra_0").collect()}
+    assert fine[1300003020.0] == 510.0
+    assert fine[1300002480.0] == 420.0
+    # fetch over the restored archives works end-to-end
+    df, plan = st.fetch("AVERAGE", 1300002480, 1300003020, 60)
+    got = {int(r["ts"]): r["value"] for r in df.collect()}
+    assert got[1300003020] == 510.0
+    assert plan.step == 60
+    # coarse archives restored too (5-pdp AVERAGE, 10 rows in the golden)
+    coarse = {r["ts"]: r["value"] for r in st._read("rra_1").collect()}
+    assert len(coarse) == 10 and not any(math.isnan(v) for v in coarse.values())
+    assert coarse[1300002900.0] == 470.0  # golden's newest 5-step average
