@@ -175,13 +175,16 @@ def pdp_table(
     max_val: float | None = None,
     start: float | None = None,
     keys: tuple[str, ...] = SERIES_KEYS,
+    raw_col: str | None = None,
 ) -> DataFrame:
     """samples(keys..., ts, value) → PDP step table, composing
-    ``dst.with_rates`` + ``pdp_normalize``."""
+    ``dst.with_rates`` + ``pdp_normalize``. ``raw_col``: optional
+    decimal-string readings for the exact >2^53 counter path."""
     from rrdtool_1_x_spark.operators.dst import with_rates
 
     rated = with_rates(
-        samples, dst, heartbeat, min_val=min_val, max_val=max_val, start=start, keys=keys
+        samples, dst, heartbeat, min_val=min_val, max_val=max_val, start=start,
+        keys=keys, raw_col=raw_col,
     )
     return pdp_normalize(rated, step, heartbeat, keys=keys)
 
@@ -214,6 +217,10 @@ def pdp_table_multi(
     out = samples.withColumn("prev_ts", prev_ts).withColumn(
         "prev_value", F.lag("value").over(w)
     )
+    # optional decimal-string readings → exact >2^53 COUNTER/DERIVE diffs
+    has_raw = "raw" in samples.columns
+    if has_raw:
+        out = out.withColumn("prev_raw", F.lag("raw").over(w))
     out = out.filter(F.col("prev_ts").isNull() | (F.col("ts") > F.col("prev_ts")))
     out = out.withColumn(
         "interval", F.when(F.col("prev_ts").isNotNull(), F.col("ts") - F.col("prev_ts"))
@@ -231,6 +238,8 @@ def pdp_table_multi(
             ds.heartbeat,
             ds.min_val,
             ds.max_val,
+            raw_value=F.col("raw") if has_raw else None,
+            prev_raw=F.col("prev_raw") if has_raw else None,
         )
         cond = F.col("ds_name") == ds.name
         rate = r if rate is None else F.when(cond, r).otherwise(rate)

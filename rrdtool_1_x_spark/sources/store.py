@@ -37,6 +37,16 @@ from rrdtool_1_x_spark.operators.fetch import FetchPlan, fetch, select_rra
 from rrdtool_1_x_spark.operators.pdp import pdp_table_multi
 
 SAMPLE_SCHEMA = "series_id string, ds_name string, ts double, value double"
+# optional extra column: raw string — the untouched decimal-string reading,
+# kept when present so COUNTER/DERIVE diffs stay exact beyond 2^53
+# (≙ pdp_prep.last_ds holding ASCII, src/rrd_format.h:299-315)
+
+
+def _sample_cols(df: DataFrame) -> list[str]:
+    cols = ["series_id", "ds_name", "ts", "value"]
+    if "raw" in df.columns:
+        cols.append("raw")
+    return cols
 
 
 class DatasetStore:
@@ -164,7 +174,7 @@ class DatasetStore:
         called once with the full history; for streaming it is the
         foreachBatch target (streaming/ingest.py).
         """
-        self._write(samples.select("series_id", "ds_name", "ts", "value"), "samples")
+        self._write(samples.select(*_sample_cols(samples)), "samples")
         self._last_cache = None
         self.rebuild()
 

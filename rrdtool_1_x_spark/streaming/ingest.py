@@ -65,7 +65,9 @@ class StreamingIngest:
         batch = batch.dropDuplicates(["series_id", "ds_name", "ts"]).localCheckpoint(eager=True)
         if batch.isEmpty():
             return
-        store._write(batch.select("series_id", "ds_name", "ts", "value"), "samples")
+        from rrdtool_1_x_spark.sources.store import _sample_cols
+
+        store._write(batch.select(*_sample_cols(batch)), "samples")
         store._last_cache = None
         self._refresh_rollups(batch)
 
@@ -109,6 +111,7 @@ class StreamingIngest:
                     min_val=ds.min_val,
                     max_val=ds.max_val,
                     start=float(d.start) if d.start else None,
+                    raw_col="raw" if "raw" in touched.columns else None,
                 )
                 parts.append(
                     consolidate(pdp, d.step, rra.pdp_cnt, rra.cf, rra.xff, clock=clock)

@@ -188,3 +188,56 @@ def test_xff_sweep_matches_reference(spark, tmp_path, xff):
     assert checked_known >= 10
     if xff < 0.9:
         assert checked_unknown >= 3  # the sweep must actually exercise gaps
+
+
+def test_counter_beyond_2_53_exact(spark, tmp_path):
+    """>2^53 SNMP counters: diffs must be exact where doubles lose the
+    increments entirely (rrd_diff on ASCII, src/rrd_update.c:1486-1498;
+    here decimal(38,0) on the raw string column)."""
+    rrd = str(tmp_path / "big.rrd")
+    subprocess.run(
+        [BIN, "create", rrd, "--start", str(START), "--step", str(STEP),
+         "DS:c:COUNTER:600:U:U", "RRA:AVERAGE:0.5:1:600"],
+        check=True, capture_output=True,
+    )
+    # counter walks near 2^63: steps of 7, 600, 1 — all below double ulp
+    # at this magnitude (ulp(2^63) = 2048)
+    base = 2**63 + 5
+    incs = [7, 600, 1, 299, 3000, 12]
+    vals, acc = [], base
+    for inc in incs:
+        acc += inc
+        vals.append(acc)
+    ups = [f"{START + STEP * (i + 1)}:{v}" for i, v in enumerate(vals)]
+    subprocess.run([BIN, "update", rrd] + ups, check=True, capture_output=True)
+    out = subprocess.run(
+        [BIN, "fetch", rrd, "AVERAGE", "-r", str(STEP),
+         "-s", str(START), "-e", str(START + STEP * len(vals))],
+        check=True, capture_output=True, text=True,
+    )
+    f = tmp_path / "fetch.out"
+    f.write_text(out.stdout)
+    _, rows_ref = parse_fetch_output(str(f))
+    want = {ts: vs[0] for ts, vs in rows_ref.items()}
+
+    rows = [
+        ("s", "c", float(START + STEP * (i + 1)), float(v), str(v))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "series_id string, ds_name string, ts double, value double, raw string"
+    )
+    pdp = pdp_table(df, STEP, "COUNTER", 600, start=float(START), raw_col="raw")
+    got = {int(r["ts"]): r["value"] for r in pdp.collect()}
+    # the reference's rates: inc/300 for each full step
+    for ts, wv in want.items():
+        if wv is None:
+            continue
+        assert ts in got and close(got[ts], wv), (ts, got.get(ts), wv)
+    # sanity: the double path CANNOT see these increments (all-zero rates)
+    pdp_double = pdp_table(
+        df.drop("raw"), STEP, "COUNTER", 600, start=float(START)
+    )
+    dbl = {int(r["ts"]): r["value"] for r in pdp_double.collect()}
+    assert any(abs(v) < 1e-12 for v in dbl.values())
+    assert any(abs(got[t] - dbl[t]) > 1e-9 for t in dbl)
