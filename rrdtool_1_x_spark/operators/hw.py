@@ -27,10 +27,21 @@ key, then a vectorized-state numpy loop per group. At 100 TB the
 parallelism is across series (millions of groups), which is exactly how the
 reference scales too (one file per series).
 
-Divergence note: the reference's periodic seasonal smoother
-(apply_smoother, src/rrd_hw.c:128-330) is applied when smooth_window > 0;
-this implementation currently models smoothing-window=0 (no smoothing),
-which the reference also supports per-RRA.
+Smoother schedule: apply_smoother (src/rrd_hw.c:128-330) runs at each
+RRA's rotating-row wrap during the BURNIN_CYCLES burn-in (NaN-skipped
+fires still consume burn-in slots), then anchors where the row pointer
+crosses smooth_idx = FnvHash(filename) % row_cnt (do_schedule_smooth,
+src/rrd_update.c:1920-1952; seed src/rrd_create.c:598-599). SEASONAL and
+DEVSEASONAL schedule independently from their own random initial rows
+(rrd_select_initial_row, src/rrd_open.c:1200) — ``smooth_idx`` +
+``r0_seasonal``/``r0_devseasonal`` reproduce any concrete file's schedule,
+and the fire-sequence formulas are differentially tested against a -DDEBUG
+reference build (tests/test_fetch_differential.py). The smoother also
+rewrites the trailing archive rows; emitted rows in the current batch are
+back-patched to match (earlier streaming batches cannot be). Known open
+nuance: the reference's archive-row read path around a smoothing event can
+serve the pre-smooth coefficient for one step; post-smoothing values can
+differ transiently from this implementation at those steps.
 """
 
 from __future__ import annotations
@@ -43,6 +54,21 @@ from rrdtool_1_x_spark.operators.dst import SERIES_KEYS
 
 OUT_FIELDS = ("ts double, prediction double, seasonal double, "
               "devpredict double, devseasonal double, failures double")
+
+BURNIN_CYCLES = 3  # src/rrd_hw.h:47
+
+
+def fnv32(s: str) -> int:
+    """FNV-1 32-bit (public-domain Fowler–Noll–Vo; ≙ FnvHash,
+    src/hash_32.c:152). The reference anchors each dataset's post-burn-in
+    seasonal-smoothing row at FnvHash(filename) % row_cnt
+    (src/rrd_create.c:598-599); pass ``fnv32(name) % period`` as
+    ``smooth_idx`` for bit parity with a reference file of that name."""
+    h = 0x811C9DC5
+    for b in s.encode():
+        h = (h * 0x01000193) & 0xFFFFFFFF
+        h ^= b
+    return h
 
 
 def _hw_series(
@@ -58,10 +84,15 @@ def _hw_series(
     window_len: int,
     multiplicative: bool,
     smooth_window: float = 0.0,
+    smooth_idx: int = 0,
+    r0_seasonal: int | None = None,
+    r0_devseasonal: int | None = None,
 ) -> pd.DataFrame:
     out, _state = _hw_loop(
         ts, vals, alpha, beta, gamma, period, delta_pos, delta_neg,
         threshold, window_len, multiplicative, smooth_window, state=None,
+        smooth_idx=smooth_idx, r0_seasonal=r0_seasonal,
+        r0_devseasonal=r0_devseasonal,
     )
     return out
 
@@ -80,6 +111,9 @@ def _hw_loop(
     multiplicative: bool,
     smooth_window: float = 0.0,
     state: tuple | None = None,
+    smooth_idx: int = 0,
+    r0_seasonal: int | None = None,
+    r0_devseasonal: int | None = None,
 ) -> tuple[pd.DataFrame, tuple]:
     """The HW recurrence with explicit carried state — shared by the batch
     operator (fresh state) and the streaming variant (state from the
@@ -104,6 +138,30 @@ def _hw_loop(
         S, D = np.asarray(S, dtype=float).copy(), np.asarray(D, dtype=float).copy()
         viol = np.asarray(viol, dtype=np.int64).copy()
     smooth_offset = int(np.floor(smooth_window / 2.0 * period))
+    # smoother schedule phases (1-based update count mod period): burn-in at
+    # each archive-row wrap, post-burn-in where the row pointer crosses
+    # smooth_idx; r0_* is each archive's (random) initial row. Defaults put
+    # burn-in at cycle ends and the post anchor at phase smooth_idx. The
+    # consumed-burn-in count is derived from the carried step index, so the
+    # streaming state needs no extra field.
+    r0_s = (period - 1) if r0_seasonal is None else r0_seasonal % period
+    r0_d = (period - 1) if r0_devseasonal is None else r0_devseasonal % period
+    burn_s = (period - 1 - r0_s) % period
+    post_s = (smooth_idx - r0_s - 1) % period
+    burn_d = (period - 1 - r0_d) % period
+    post_d = (smooth_idx - r0_d - 1) % period
+
+    def _consumed(burn_phase: int) -> int:
+        if i0 <= 0:
+            return 0
+        if burn_phase == 0:
+            cnt = i0 // period
+        else:
+            cnt = i0 // period + (1 if i0 % period >= burn_phase else 0)
+        return min(BURNIN_CYCLES, cnt)
+
+    fires_s = _consumed(burn_s)
+    fires_d = _consumed(burn_d)
 
     def _smooth(arr: np.ndarray) -> tuple[np.ndarray, float]:
         # circular centered moving average of width 2*offset+1 over the
@@ -176,23 +234,47 @@ def _hw_loop(
             else:
                 D[p] = gamma * abs(pr - x) + (1 - gamma) * dv
         devs_out[i] = D[p]
-        # ---- periodic seasonal smoother at each completed cycle
-        # (src/rrd_hw.c:128-330; the reference anchors post-burn-in runs at
-        # a filename-hash index, so the deterministic every-cycle schedule
-        # here matches its burn-in behavior)
-        if smooth_offset > 0 and (i0 + i + 1) % period == 0:
-            if not np.isnan(S).any():
-                sm, baseline = _smooth(S)
-                # SEASONAL: recenter around 0 and move the baseline into
-                # the intercept (src/rrd_hw.c:248-282)
-                if multiplicative:
-                    S = sm / baseline if baseline > 0 else sm
-                else:
-                    S = sm - baseline
-                if not np.isnan(a):
-                    a += baseline
-            if not np.isnan(D).any():
-                D, _ = _smooth(D)
+        # ---- periodic seasonal smoother (apply_smoother src/rrd_hw.c:
+        # 128-330; schedule do_schedule_smooth src/rrd_update.c:1920-1952).
+        # Observed reference behavior (verified against a -DDEBUG build):
+        # the SEASONAL and DEVSEASONAL archives schedule INDEPENDENTLY,
+        # each firing at its own rotating-row wrap for the first
+        # BURNIN_CYCLES fires (a fire skipped for NaN still consumes a
+        # burn-in slot), then anchoring where its row pointer crosses
+        # smooth_idx = FnvHash(filename) % row_cnt. The row origin is
+        # random per RRA (rrd_select_initial_row, src/rrd_open.c:1200) —
+        # ``r0_seasonal``/``r0_devseasonal`` expose it; the defaults make
+        # burn-in fire at cycle ends and the post-burn-in anchor land at
+        # phase smooth_idx. The smoother also REWRITES the trailing
+        # row_cnt archive rows in place, so already-emitted outputs within
+        # this batch are back-patched (a streaming emitter cannot patch
+        # rows emitted in earlier batches).
+        g1 = i0 + i + 1
+        if smooth_offset > 0:
+            due_s = g1 % period == (burn_s if fires_s < BURNIN_CYCLES else post_s)
+            due_d = g1 % period == (burn_d if fires_d < BURNIN_CYCLES else post_d)
+            if due_s:
+                if fires_s < BURNIN_CYCLES:
+                    fires_s += 1
+                if not np.isnan(S).any():
+                    sm, baseline = _smooth(S)
+                    # SEASONAL: recenter around 0 and move the baseline
+                    # into the intercept (src/rrd_hw.c:248-282)
+                    if multiplicative:
+                        S = sm / baseline if baseline > 0 else sm
+                    else:
+                        S = sm - baseline
+                    if not np.isnan(a):
+                        a += baseline
+                    for o in range(min(period, i + 1)):
+                        seas_out[i - o] = S[(i0 + i - o) % period]
+            if due_d:
+                if fires_d < BURNIN_CYCLES:
+                    fires_d += 1
+                if not np.isnan(D).any():
+                    D, _ = _smooth(D)
+                    for o in range(min(period, i + 1)):
+                        devs_out[i - o] = D[(i0 + i - o) % period]
     out = pd.DataFrame(
         {
             "ts": ts,
@@ -218,6 +300,9 @@ def hw_predict(
     window_len: int = 9,
     multiplicative: bool = False,
     smooth_window: float = 0.0,
+    smooth_idx: int = 0,
+    r0_seasonal: int | None = None,
+    r0_devseasonal: int | None = None,
     keys: tuple[str, ...] = SERIES_KEYS,
     step: float | None = None,
     start: float | None = None,
@@ -257,7 +342,8 @@ def hw_predict(
         out = _hw_series(
             grid, full, alpha, beta, gamma, period,
             delta_pos, delta_neg, threshold, window_len, multiplicative,
-            smooth_window,
+            smooth_window, smooth_idx=smooth_idx,
+            r0_seasonal=r0_seasonal, r0_devseasonal=r0_devseasonal,
         )
         for k in keys_l:
             out[k] = pdf[k].iloc[0]

@@ -103,6 +103,37 @@ def _array_of(vals: list[Column]) -> Column:
     return F.array(*vals)
 
 
+_FIRST_WEEKDAY: int | None = None
+
+
+def first_weekday() -> int:
+    """The locale's first weekday, 0=Sunday 1=Monday — the NEWWEEK boundary.
+
+    Replays find_first_weekday (src/rrd_rpncalc.c:548-596): glibc
+    nl_langinfo(_NL_TIME_FIRST_WEEKDAY / _NL_TIME_WEEK_1STDAY) with the
+    reference's Monday default when the query is unavailable. Note the C
+    locale yields Sunday, so the reference (and this engine) start weeks on
+    Sunday on an unconfigured host. Cached like the reference's static."""
+    global _FIRST_WEEKDAY
+    if _FIRST_WEEKDAY is None:
+        _FIRST_WEEKDAY = 1
+        try:
+            import ctypes
+
+            libc = ctypes.CDLL(None)
+            libc.nl_langinfo.restype = ctypes.c_char_p
+            fw = libc.nl_langinfo(131176)[0]  # _NL_TIME_FIRST_WEEKDAY
+            libc.nl_langinfo.restype = ctypes.c_void_p
+            w1 = int(libc.nl_langinfo(131174) or 0)  # _NL_TIME_WEEK_1STDAY
+            if w1 == 19971130 or (w1 >> 32) == 19971130:
+                _FIRST_WEEKDAY = (0 + fw - 1) % 7
+            elif w1 == 19971201 or (w1 >> 32) == 19971201:
+                _FIRST_WEEKDAY = (1 + fw - 1) % 7
+        except Exception:
+            pass
+    return _FIRST_WEEKDAY
+
+
 class RpnError(ValueError):
     pass
 
@@ -280,8 +311,15 @@ def compile_rpn(
             unit = {"NEWDAY": "DAY", "NEWMONTH": "MONTH", "NEWYEAR": "YEAR"}.get(up)
             if unit:
                 cur_t, prev_t = F.date_trunc(unit, lts), F.date_trunc(unit, prev)
-            else:  # NEWWEEK: locale first weekday — reference defaults Monday
-                cur_t, prev_t = F.date_trunc("WEEK", lts), F.date_trunc("WEEK", prev)
+            else:
+                # NEWWEEK boundary = the locale's first weekday
+                # (find_first_weekday, src/rrd_rpncalc.c:548-596); Spark's
+                # WEEK truncation is Monday-anchored, so shift by d days,
+                # truncate, shift back — d=(1-fw) mod 7 re-anchors the week
+                # start to weekday fw (0=Sunday, 1=Monday, ...)
+                d = (1 - first_weekday()) % 7
+                cur_t = F.date_sub(F.date_trunc("WEEK", F.date_add(lts, d)).cast("date"), d)
+                prev_t = F.date_sub(F.date_trunc("WEEK", F.date_add(prev, d)).cast("date"), d)
             push((cur_t != prev_t).cast("double"))
         elif up == "PREV":
             raise RpnError(

@@ -230,9 +230,16 @@ class DatasetStore:
         end: int,
         resolution: int | None = None,
         pad: bool = True,
+        align_start: bool = False,
     ) -> tuple[DataFrame, FetchPlan]:
         """≙ rrdtool fetch (src/rrd_fetch.c:277-587): archive best-match +
-        aligned scan + unknown padding, with retention applied."""
+        aligned scan + unknown padding, with retention applied.
+        ``align_start`` ≙ -a/--align-start (src/rrd_fetch.c:169-173): shift
+        both ends down by start % resolution."""
+        if align_start and resolution:
+            delta = start % resolution
+            start -= delta
+            end -= delta
         last_up = self.last()
         plan = select_rra(self.dataset, cf, start, end, resolution, last_up)
         rollup = self._read(f"rra_{plan.rra_index}")
@@ -248,6 +255,7 @@ class DatasetStore:
         end: int,
         resolution: int | None = None,
         pad: bool = True,
+        align_start: bool = False,
     ):
         """Interactive latency path ≙ the reference's single-process fetch
         (src/rrd_fetch.c: one sequential read of a small file). Plans
@@ -261,6 +269,10 @@ class DatasetStore:
         import pandas as pd
         import pyarrow.dataset as pads
 
+        if align_start and resolution:
+            delta = start % resolution
+            start -= delta
+            end -= delta
         last_up = self.last()
         plan = select_rra(self.dataset, cf, start, end, resolution, last_up)
         lo = (last_up - last_up % plan.step) - self.dataset.retention(plan.rra_index)

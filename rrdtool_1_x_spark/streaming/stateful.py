@@ -321,6 +321,7 @@ def stateful_hw_stream(
     window_len: int = 9,
     multiplicative: bool = False,
     smooth_window: float = 0.0,
+    smooth_idx: int = 0,
 ) -> DataFrame:
     """streaming per-step PDPs → streaming Holt-Winters aberrant outputs.
 
@@ -359,6 +360,7 @@ def stateful_hw_stream(
             np.array([r[1] for r in rows]),
             alpha, beta, gamma, period, delta_pos, delta_neg,
             threshold, window_len, multiplicative, smooth_window, state=st,
+            smooth_idx=smooth_idx,
         )
         state.update(
             (int(i1), float(a), float(b), int(k),

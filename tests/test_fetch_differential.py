@@ -241,3 +241,135 @@ def test_counter_beyond_2_53_exact(spark, tmp_path):
     dbl = {int(r["ts"]): r["value"] for r in pdp_double.collect()}
     assert any(abs(v) < 1e-12 for v in dbl.values())
     assert any(abs(got[t] - dbl[t]) > 1e-9 for t in dbl)
+
+
+def test_align_start_matches_reference(spark, rrd, engine):
+    """-a/--align-start (src/rrd_fetch.c:169-173): both ends shift down by
+    start %% resolution before archive selection."""
+    res = STEP * 6
+    start, end = START + 1000, START + STEP * 120  # off-grid start
+    out = subprocess.run(
+        [BIN, "fetch", rrd, "AVERAGE", "-a", "-r", str(res),
+         "-s", str(start), "-e", str(end)],
+        check=True, capture_output=True, text=True,
+    )
+    f = "/tmp/align_fetch.out"
+    with open(f, "w") as fh:
+        fh.write(out.stdout)
+    _, want = parse_fetch_output(f)
+
+    delta = start % res
+    a_start, a_end = start - delta, end - delta
+    ds, rollups = engine
+    plan = select_rra(ds, "AVERAGE", a_start, a_end, res, LAST_UP)
+    # the aligned request selects the same rows the reference printed
+    ref_ts = sorted(want)
+    assert ref_ts[0] == plan.start + plan.step and ref_ts[-1] == plan.end
+    got = {int(r["ts"]): r["value"] for r in rollups[plan.rra_index].collect()}
+    want_known = {ts: vs[0] for ts, vs in want.items() if vs[0] is not None}
+    assert want_known, "reference returned no known rows"
+    for ts, wv in want_known.items():
+        assert ts in got and close(got[ts], wv), (ts, got.get(ts), wv)
+
+
+def _debug_binary():
+    """Build the reference with -DDEBUG (do_schedule_smooth prints each
+    smoothing fire with cur_row and smooth idx)."""
+    import os
+
+    from tests import rrdmini as rm
+
+    dbg = "/tmp/rrdmini_dbg"
+    if os.path.exists(dbg):
+        return dbg
+    if rm.ensure_binary() is None:
+        return None
+    try:
+        xml = subprocess.run(
+            ["pkg-config", "--cflags", "--libs", "libxml-2.0"],
+            capture_output=True, text=True, check=True).stdout.split()
+        cmd = (["gcc", "-O1", "-DDEBUG", f"-I{rm.SRC}/src", "-o", dbg,
+                f"{rm.SRC}/mini.c"]
+               + [f"{rm.SRC}/src/{x}.c" for x in rm._SOURCES]
+               + ["-lm", "-lpthread",
+                  "/usr/lib/x86_64-linux-gnu/libglib-2.0.so.0"] + xml)
+        subprocess.run(cmd, capture_output=True, check=True)
+        return dbg
+    except Exception:
+        return None
+
+
+def test_hw_smoother_anchor_matches_reference(tmp_path):
+    """The smoothing SCHEDULE (do_schedule_smooth, src/rrd_update.c:
+    1920-1952): each seasonal-family RRA fires at its rotating-row wrap for
+    the first BURNIN_CYCLES fires (NaN-skipped fires still consume burn-in
+    slots), then anchors where the row pointer crosses
+    seasonal_smooth_idx = FnvHash(filename) %% row_cnt
+    (src/rrd_create.c:598-599). A -DDEBUG reference build prints each fire;
+    this test derives each RRA's (random) initial row from its first fire
+    and requires the engine's schedule formulas to reproduce the
+    reference's complete fire sequence exactly."""
+    import math as _m
+    import re
+
+    dbg = _debug_binary()
+    if dbg is None:
+        import pytest as _pytest
+
+        _pytest.skip("debug reference build unavailable")
+    from rrdtool_1_x_spark.operators.hw import BURNIN_CYCLES
+
+    period, step, ncyc = 12, 300, 9
+    n = period * ncyc
+    rrd = str(tmp_path / "hw.rrd")
+    t0 = 1000000200
+    subprocess.run(
+        [dbg, "create", rrd, "--start", str(t0), "--step", str(step),
+         "DS:x:GAUGE:600:U:U",
+         f"RRA:AVERAGE:0.5:1:{n + 10}",
+         f"RRA:HWPREDICT:{n + 10}:0.1:0.0035:{period}:3",
+         f"RRA:SEASONAL:{period}:0.1:2:smoothing-window=0.5",
+         f"RRA:DEVSEASONAL:{period}:0.1:2:smoothing-window=0.5",
+         f"RRA:DEVPREDICT:{n + 10}:4",
+         f"RRA:FAILURES:{n + 10}:7:9:4"],
+        check=True, capture_output=True,
+    )
+    vals = [50 + 40 * _m.sin(2 * _m.pi * i / period) + (i % 5) for i in range(1, n + 1)]
+    fires: list[tuple[int, int, int]] = []  # (update#, cur_row, smooth_idx)
+    for i in range(1, n + 1):
+        out = subprocess.run(
+            [dbg, "update", rrd, f"{t0 + step * i}:{vals[i - 1]:.6f}"],
+            capture_output=True, text=True,
+        )
+        for m in re.finditer(
+            r"schedule_smooth: cur_row (\d+), elapsed_pdp_st 1, smooth idx (\d+)",
+            out.stderr + out.stdout,
+        ):
+            fires.append((i, int(m.group(1)), int(m.group(2))))
+    assert fires, "debug build reported no smoothing fires"
+    smooth_idx = fires[0][2]
+
+    # the two seasonal-family RRAs fire independently; group fires by their
+    # burn-in phase (update# mod period while cur_row == row_cnt-1)
+    streams: dict[int, list[int]] = {}
+    for upd, cur_row, _ in fires:
+        if cur_row == period - 1:  # burn-in wrap fire
+            streams.setdefault(upd % period, []).append(upd)
+    assert len(streams) <= 2
+    post_fires = sorted(upd for upd, cur_row, _ in fires if cur_row != period - 1)
+
+    predicted: set[int] = set()
+    post_phases: set[int] = set()
+    for burn_phase, burn_fires in streams.items():
+        # initial row from the burn phase: wrap fires when
+        # (r0 + upd) % period == period - 1
+        r0 = (period - 1 - burn_phase) % period
+        post_phase = (smooth_idx - r0 - 1) % period
+        post_phases.add(post_phase)
+        # burn-in fires: first BURNIN_CYCLES hits of the wrap phase
+        expect_burn = [u for u in range(1, n + 1) if u % period == burn_phase][:BURNIN_CYCLES]
+        assert burn_fires == expect_burn, (burn_phase, burn_fires, expect_burn)
+        start_post = expect_burn[-1]
+        predicted |= {u for u in range(start_post + 1, n + 1)
+                      if u % period == post_phase}
+    assert predicted == set(post_fires), (sorted(predicted), post_fires)

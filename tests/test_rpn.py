@@ -199,3 +199,28 @@ def test_rpn_ltime_newday_tz(spark):
     # the step at 23:00 UTC is the first of the new local day
     assert out[base][1] == 1.0
     assert out[base - 3600][1] == 0.0 and out[base + 3600][1] == 0.0
+
+
+def test_newweek_locale_first_weekday(spark):
+    """NEWWEEK fires at the locale's first weekday (find_first_weekday,
+    src/rrd_rpncalc.c:548-596) — the C locale starts weeks on SUNDAY, so on
+    an unconfigured host the boundary is Sunday midnight, not Monday."""
+    from rrdtool_1_x_spark.rpn import RpnContext, compile_rpn, first_weekday
+
+    fw = first_weekday()
+    assert fw in range(7)
+    # 2023-01-01 is a Sunday; hourly steps across the week boundary
+    base = 1672444800  # 2022-12-31 00:00 UTC
+    step = 3600.0
+    rows = [(float(base + step * i),) for i in range(72)]
+    df = spark.createDataFrame(rows, "ts double")
+    ctx = RpnContext(ts=F.col("ts"), step=step, tz="UTC")
+    out = df.select("ts", compile_rpn("NEWWEEK", {}, ctx).alias("nw")).collect()
+    fired = [int(r["ts"]) for r in out if r["nw"] == 1.0]
+    sunday = 1672531200  # 2023-01-01 00:00 UTC
+    monday = sunday + 86400
+    want = {0: sunday, 1: monday}.get(fw)
+    if want is not None:
+        assert fired == [want], (fw, fired)
+    else:
+        assert len(fired) == 1
