@@ -182,12 +182,15 @@ def minhash_near_duplicates(
         )
     melted = minhash_band_buckets(
         base, id_col, text_col, num_hashes, bands, shingle_len, collapse_exact=False
-    )
+    ).localCheckpoint(eager=True)  # feeds size count + both join sides
     if max_bucket_size is not None:
-        sizes = melted.groupBy("band_idx", "bucket").agg(F.count("*").alias("_sz"))
-        melted = melted.join(
-            sizes.filter(F.col("_sz") <= max_bucket_size).select("band_idx", "bucket"),
-            ["band_idx", "bucket"],
+        # window count, not aggregate+join: shuffles on the same
+        # (band, bucket) key the self-join needs → the exchange is reused
+        wb = Window.partitionBy("band_idx", "bucket")
+        melted = (
+            melted.withColumn("_sz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_sz") <= max_bucket_size)
+            .drop("_sz")
         )
     left = melted.select(F.col(id_col).alias("id_a"), "band_idx", "bucket")
     right = melted.select(F.col(id_col).alias("id_b"), "band_idx", "bucket")

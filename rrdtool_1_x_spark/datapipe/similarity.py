@@ -153,15 +153,24 @@ def embedding_near_duplicates(
         corpus.select(F.col(id_col), tbl_structs.alias("_ba"))
         .select(id_col, F.explode("_ba").alias("_bb"))
         .select(id_col, F.col("_bb._bi").alias("_bi"), F.col("_bb._bh").alias("_bh"))
+        # materialize once: the hyperplane folds are the expensive part and
+        # this frame feeds the size count AND both join sides (3 re-evals
+        # otherwise); rows are (id, int, bucket-string) — tiny
+        .localCheckpoint(eager=True)
     )
     if max_bucket_size is not None:
         # a k-vector bucket emits k²/2 candidate rows on one shuffle key;
         # oversized buckets (near-identical boilerplate embeddings, zero
-        # vectors) are dropped from candidate generation
-        sizes = melted.groupBy("_bi", "_bh").agg(F.count("*").alias("_sz"))
-        melted = melted.join(
-            sizes.filter(F.col("_sz") <= max_bucket_size).select("_bi", "_bh"),
-            ["_bi", "_bh"],
+        # vectors) are dropped from candidate generation. A window count
+        # instead of an aggregate+join: it shuffles on the same (table,
+        # bucket) key the self-join needs, so the exchange is reused.
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("_bi", "_bh")
+        melted = (
+            melted.withColumn("_sz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_sz") <= max_bucket_size)
+            .drop("_sz")
         )
     left = melted.select(F.col(id_col).alias("id_a"), "_bi", "_bh")
     right = melted.select(F.col(id_col).alias("id_b"), "_bi", "_bh")
@@ -170,6 +179,12 @@ def embedding_near_duplicates(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        # candidate rows are tiny in BYTES but each costs a dim-length
+        # interpreted fold downstream — AQE's byte-based coalescing would
+        # collapse them onto a couple of tasks; an explicit user
+        # repartition is exempt from coalescing and keeps the verify stage
+        # parallel
+        .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     )
     # squared norms are per-VECTOR, not per-pair: fold them once over the
     # corpus (the n² candidate stage then runs one dot fold per pair

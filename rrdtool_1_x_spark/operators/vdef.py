@@ -117,29 +117,38 @@ def vdef(
         # round(p*(n-1)/100); if idx0 falls among the unknowns the result is
         # unknown, else it is the (idx0-n_null)-th (0-based) smallest known.
         # PERCENTNAN does the same over known values only.
+        # single window pass, no join: ranking ascending with NULLS FIRST is
+        # exactly the reference's "sort with unknown lowest"; per-group
+        # counts ride the same partitioning, and the final groupBy reuses
+        # the window's exchange.
         src, g = df, gb
         if not g:
             src, g = df.withColumn("_g", F.lit(1)), ["_g"]
-        counts = src.groupBy(*g).agg(
-            F.count(F.lit(1)).alias("_n"), F.count(val).alias("_m")
-        )
-        w = Window.partitionBy(*g).orderBy(F.col("_v"))
-        known = (
-            src.filter(val.isNotNull())
-            .select(*g, val.alias("_v"))
-            .withColumn("_rn", F.row_number().over(w))
+        w_ord = Window.partitionBy(*g).orderBy(val.asc_nulls_first())
+        w_all = Window.partitionBy(*g)
+        ranked = src.select(
+            *g,
+            val.alias("_v"),
+            F.row_number().over(w_ord).alias("_rn"),
+            F.count(F.lit(1)).over(w_all).alias("_n"),
+            F.count(val).over(w_all).alias("_m"),
         )
         if op == "PERCENT":
-            idx0 = F.round(F.lit(param) * (F.col("_n") - 1).cast("double") / 100.0).cast("long")
-            target = idx0 - (F.col("_n") - F.col("_m")) + 1  # 1-based among known
+            # idx0 = round(p*(n-1)/100) over ALL steps; if the target rank
+            # lands among the unknowns the picked _v is NULL → result NULL
+            target = (
+                F.round(F.lit(param) * (F.col("_n") - 1).cast("double") / 100.0).cast("long") + 1
+            )
+            pick = F.col("_rn") == target
         else:
-            idx0 = F.round(F.lit(param) * (F.col("_m") - 1).cast("double") / 100.0).cast("long")
-            target = F.when(F.col("_m") > 0, idx0 + 1)
-        out = (
-            counts.join(known, g, "left")
-            .groupBy(*g)
-            .agg(F.max(F.when(F.col("_rn") == target, F.col("_v"))).alias("value"))
-        )
+            target = F.when(
+                F.col("_m") > 0,
+                F.round(F.lit(param) * (F.col("_m") - 1).cast("double") / 100.0).cast("long") + 1,
+            )
+            pick = F.col("_v").isNotNull() & (
+                F.col("_rn") - (F.col("_n") - F.col("_m")) == target
+            )
+        out = ranked.groupBy(*g).agg(F.max(F.when(pick, F.col("_v"))).alias("value"))
         return out.select(*gb, "value", none_when.alias("when"))
 
     # least-squares family: x = 0-based step index over the padded grid

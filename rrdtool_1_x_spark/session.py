@@ -16,10 +16,18 @@ from pyspark.sql import SparkSession
 def get_spark(app_name: str = "rrdtool_1_x_spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # shuffle sizing: fixed to the core count for interactive/small inputs
+    # (extra map-side buckets are pure scheduling overhead there). For
+    # scale-up runs set SPARK_GRAFT_INITIAL_PARTITIONS high — AQE then
+    # coalesces down by actual bytes, so the same plans keep enough
+    # parallelism on a big input without over-splitting a small one
+    # (bench.py --scale sets it).
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus))
+    initial = os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -28,4 +36,8 @@ def get_spark(app_name: str = "rrdtool_1_x_spark", cpus: int | None = None) -> S
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if initial is not None:
+        builder = builder.config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum", initial
+        )
     return builder.getOrCreate()

@@ -349,27 +349,25 @@ def test_hw_smoother_anchor_matches_reference(tmp_path):
     assert fires, "debug build reported no smoothing fires"
     smooth_idx = fires[0][2]
 
-    # the two seasonal-family RRAs fire independently; group fires by their
-    # burn-in phase (update# mod period while cur_row == row_cnt-1)
-    streams: dict[int, list[int]] = {}
-    for upd, cur_row, _ in fires:
-        if cur_row == period - 1:  # burn-in wrap fire
-            streams.setdefault(upd % period, []).append(upd)
-    assert len(streams) <= 2
-    post_fires = sorted(upd for upd, cur_row, _ in fires if cur_row != period - 1)
-
+    # the two seasonal-family RRAs fire independently; a stream's burn-in
+    # fires show cur_row == row_cnt-1 (the wrap). Derive each stream's
+    # initial row from its burn phase and predict the full fire sequence:
+    # first BURNIN_CYCLES wrap hits, then every post-anchor hit. When
+    # smooth_idx == 0 the post anchor IS the wrap phase and the stream
+    # simply continues at the same phase.
+    burn_phases = sorted(
+        {upd % period for upd, cur_row, _ in fires if cur_row == period - 1}
+    )
+    assert 1 <= len(burn_phases) <= 2
     predicted: set[int] = set()
-    post_phases: set[int] = set()
-    for burn_phase, burn_fires in streams.items():
-        # initial row from the burn phase: wrap fires when
-        # (r0 + upd) % period == period - 1
+    for burn_phase in burn_phases:
         r0 = (period - 1 - burn_phase) % period
         post_phase = (smooth_idx - r0 - 1) % period
-        post_phases.add(post_phase)
-        # burn-in fires: first BURNIN_CYCLES hits of the wrap phase
-        expect_burn = [u for u in range(1, n + 1) if u % period == burn_phase][:BURNIN_CYCLES]
-        assert burn_fires == expect_burn, (burn_phase, burn_fires, expect_burn)
-        start_post = expect_burn[-1]
-        predicted |= {u for u in range(start_post + 1, n + 1)
-                      if u % period == post_phase}
-    assert predicted == set(post_fires), (sorted(predicted), post_fires)
+        burn_hits = [u for u in range(1, n + 1) if u % period == burn_phase]
+        burn = burn_hits[:BURNIN_CYCLES]
+        predicted |= set(burn)
+        predicted |= {
+            u for u in range(burn[-1] + 1, n + 1) if u % period == post_phase
+        }
+    observed = {upd for upd, _, _ in fires}
+    assert predicted == observed, (sorted(predicted), sorted(observed))
