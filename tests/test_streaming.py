@@ -5,6 +5,7 @@ rejected per series."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from rrdtool_1_x_spark.catalog import DSDef, RRADef, create
 from rrdtool_1_x_spark.sources.store import DatasetStore
@@ -137,3 +138,54 @@ def test_partitioned_store_roundtrip(spark, tmp_path):
     df, plan = store.fetch("AVERAGE", 920804400, 920808900, 300)
     got = {int(r["ts"]): r["value"] for r in df.collect()}
     assert round(got[920805000], 9) == 0.04
+
+
+def test_daemon_command_surface(spark, tmp_path):
+    """rrdcached command parity (src/rrd_daemon.c:1478-1626, 2838-2896):
+    FLUSH/FLUSHALL/PENDING/FORGET/QUEUE/SUSPEND/RESUME over the buffered
+    ingest."""
+    import pytest as _pytest
+
+    from rrdtool_1_x_spark.streaming.daemon import IngestDaemon
+
+    store = DatasetStore.create(spark, str(tmp_path / "d"), _dataset())
+    d = IngestDaemon(StreamingIngest(store), write_interval=1e9)
+
+    rows = [("speed", float(t), float(v)) for t, v in UPDATES[:6]]
+    d.update("speed_ds", rows[:4])
+    d.update("other_ds", [("speed", 920805000.0, 1.0)])
+    # PENDING/QUEUE inspect the buffer; nothing written yet
+    assert len(d.pending("speed_ds")) == 4
+    assert sorted(d.queue()) == [(1, "other_ds"), (4, "speed_ds")]
+    assert store._read("samples") is None
+
+    # FLUSH one series writes it through the ingest
+    assert d.flush("speed_ds").startswith("Successfully flushed")
+    assert store._read("samples").filter(F.col("series_id") == "speed_ds").count() == 4
+    assert d.pending("speed_ds") == []
+    assert d.flush("speed_ds") == "Nothing to flush: speed_ds."
+
+    # SUSPEND caches through FLUSHALL until RESUME
+    d.update("speed_ds", rows[4:6])
+    assert d.suspend("speed_ds") == "speed_ds suspended"
+    assert d.suspend("speed_ds") == "speed_ds already suspended"
+    d.flush_all()
+    assert len(d.pending("speed_ds")) == 2  # suspended: still cached
+    assert store._read("samples").filter(F.col("series_id") == "other_ds").count() == 1
+    assert d.resume("speed_ds") == "speed_ds resumed"
+    d.flush_all()
+    assert store._read("samples").filter(F.col("series_id") == "speed_ds").count() == 6
+
+    # FORGET drops without writing
+    d.update("tmp_ds", [("speed", 920805300.0, 2.0)])
+    assert d.forget("tmp_ds") == "Gone!"
+    with _pytest.raises(KeyError):
+        d.forget("tmp_ds")
+    assert store._read("samples").filter(F.col("series_id") == "tmp_ds").count() == 0
+
+    # late rows still rejected by the ingest underneath (daemon semantics)
+    head = store.last()
+    d.update("speed_ds", [("speed", 920805000.0, 99.0)])
+    d.flush("speed_ds")
+    assert store.last() == head
+    assert d.stats["updates_received"] == 9
