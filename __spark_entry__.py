@@ -423,6 +423,27 @@ def q_simhash(spark, sf_dir):
     return simhash(d, hash_fn="md5").orderBy("doc_id")
 
 
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end (datapipe.multimodal): synthesize a
+    media table from documents, Arrow-batched mapInPandas decode+pool, one
+    row per (doc, feature index) — the deterministic stub codec makes the
+    whole path hash-gateable against SQL byte math."""
+    from rrdtool_1_x_spark.datapipe.multimodal import extract_features, synthesize_media
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = extract_features(synthesize_media(spark, d), feat_dim=64)
+    pre = feats.select("doc_id", F.col("feat").alias("_f"))
+    return (
+        pre.select("doc_id", F.posexplode("_f").alias("feat_idx", "_v"))
+        .select(
+            "doc_id",
+            F.col("feat_idx").cast("long").alias("feat_idx"),
+            F.round(F.col("_v").cast("double"), 6).alias("feat_val"),
+        )
+        .orderBy("doc_id", "feat_idx")
+    )
+
+
 def q_ann_cosine_top10(spark, sf_dir):
     """Brute-force cosine top-10 against the lowest-id embedding."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -693,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_guess": q_lang_guess,
         "hw_predict": q_hw_predict,
         "simhash": q_simhash,
+        "media_features": q_media_features,
         "near_dup_pairs": q_near_dup_pairs,
         "dup_groups": q_dup_groups,
         "dedup_report": q_dedup_report,
@@ -975,6 +997,26 @@ v AS (SELECT doc_id,
   FROM n GROUP BY doc_id)
 SELECT doc_id, {fp_terms} AS simhash
 FROM v ORDER BY doc_id"""
+    # media_features: the deterministic stub codec is plain byte math —
+    # byte i of the utf-8 payload (zero-padded to 256), pooled 4-at-a-time
+    # as (b0/255 + b1/255 + b2/255 + b3/255)/4 in doubles, rounded to
+    # float32 once (datapipe/multimodal.py). Bytes come from hex(encode())
+    # nibbles so multi-byte text is handled identically.
+    sql["media_features"] = """
+WITH t AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+b AS (SELECT doc_id, list_transform(range(0, 256), i ->
+        CASE WHEN 2*i + 2 <= len(hx)
+             THEN 16*(strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1)
+                  + (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1)
+             ELSE 0 END) AS bytes
+      FROM t),
+f AS (SELECT doc_id, list_transform(range(0, 64), j ->
+        (((bytes[4*j+1]/255.0 + bytes[4*j+2]/255.0) + bytes[4*j+3]/255.0)
+         + bytes[4*j+4]/255.0) / 4.0) AS feat
+      FROM b)
+SELECT doc_id, j AS feat_idx, round((feat[j+1]::FLOAT)::DOUBLE, 6) AS feat_val
+FROM f, range(0, 64) r(j)
+ORDER BY doc_id, feat_idx"""
     sql["quality"] = """
 WITH m AS (
   SELECT doc_id, length(text)::DOUBLE AS n,

@@ -70,7 +70,10 @@ def _decode_stub(content: bytes, kind: str, strict: bool) -> np.ndarray:
     if content is None:
         content = b""
     arr = np.frombuffer(content[:256].ljust(256, b"\0"), dtype=np.uint8)
-    return (arr.astype(np.float32) / 255.0)
+    # float64 domain until the final float32 cast: the pooling then has one
+    # well-defined rounding point, reproducible in any engine (the DuckDB
+    # oracle mirrors byte/255.0 sums exactly)
+    return arr.astype(np.float64) / 255.0
 
 
 def extract_features(
@@ -89,7 +92,7 @@ def extract_features(
             for content, kind in zip(pdf["content"], pdf["kind"]):
                 raw = _decode_stub(content, kind, strict)
                 # mean-pool into feat_dim buckets (stands in for a real
-                # embedding/resize step)
+                # embedding/resize step); float32 rounding happens once
                 pad = (-len(raw)) % feat_dim
                 pooled = np.pad(raw, (0, pad)).reshape(feat_dim, -1).mean(axis=1)
                 feats.append(pooled.astype(np.float32))
