@@ -556,6 +556,24 @@ def q_lsh_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q_ivf_topk(spark, sf_dir):
+    """ANN scale path #2: IVF cell-probe top-10
+    (datapipe.similarity.ivf_topk) for the two lowest-id vectors — nearest
+    of 16 md5-selected centroid cells per vector, 4 probed cells per query.
+    The centroid model is trained in one TakeOrdered job and inlined as
+    literals, so corpus assignment is a shuffle-free map."""
+    from rrdtool_1_x_spark.datapipe.similarity import ivf_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.orderBy("vec_id").limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(e, q, k=10, nlist=16, nprobe=4)
+    return out.select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    ).orderBy("query_id", "rank")
+
+
 _SW_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -720,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_report": q_dedup_report,
         "embed_near_dup": q_embed_near_dup,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "fingerprint": q_fingerprint,
         "weighted_jaccard": q_weighted_jaccard,
         "graph_stack": q_graph_stack,
@@ -1216,6 +1235,49 @@ r AS (SELECT query_id, vec_id, cs,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY cs DESC, vec_id ASC) AS rank
       FROM s)
+SELECT query_id, vec_id, round(cs, 6) AS cos_sim, rank FROM r
+WHERE rank <= 10 ORDER BY query_id, rank"""
+
+    # IVF cell-probe ANN: the oracle re-derives the same centroid model in
+    # SQL (nlist smallest md5(id) vectors), assigns every vector to its
+    # best cell with the identical coalesce(-2.0) zero-vector rule and
+    # (s DESC, cid ASC) tie-break, probes nprobe cells per query, and
+    # scores only probed cells. Quadratic assignment is fine at oracle
+    # scale; the Spark side inlines the model as literals instead.
+    sql["ivf_topk"] = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+sc AS (SELECT n.vec_id, cent.cid,
+              coalesce(CASE WHEN n.n2 > 0 AND cent.cn2 > 0
+                            THEN list_dot_product(n.v, cent.cv)
+                                 / (sqrt(n.n2) * sqrt(cent.cn2)) END,
+                       -2.0) AS s
+       FROM n CROSS JOIN cent),
+asg AS (SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY s DESC, cid ASC) AS rn
+          FROM sc) _ WHERE rn = 1),
+q AS (SELECT vec_id AS query_id FROM e ORDER BY vec_id LIMIT 2),
+probe AS (SELECT query_id, cid FROM (
+            SELECT sc.vec_id AS query_id, sc.cid,
+                   row_number() OVER (PARTITION BY sc.vec_id
+                                      ORDER BY sc.s DESC, sc.cid ASC) AS rn
+            FROM sc JOIN q ON sc.vec_id = q.query_id) _ WHERE rn <= 4),
+cand AS (SELECT probe.query_id, asg.vec_id FROM probe JOIN asg USING (cid)),
+s2 AS (SELECT cand.query_id, cand.vec_id,
+              CASE WHEN x.n2 > 0 AND y.n2 > 0
+                   THEN list_dot_product(x.v, y.v)
+                        / (sqrt(x.n2) * sqrt(y.n2)) END AS cs
+       FROM cand JOIN n x ON x.vec_id = cand.vec_id
+                 JOIN n y ON y.vec_id = cand.query_id),
+r AS (SELECT query_id, vec_id, cs,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, vec_id ASC) AS rank
+      FROM s2)
 SELECT query_id, vec_id, round(cs, 6) AS cos_sim, rank FROM r
 WHERE rank <= 10 ORDER BY query_id, rank"""
 

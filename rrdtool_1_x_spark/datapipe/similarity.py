@@ -218,6 +218,141 @@ def embedding_near_duplicates(
     return scored.filter(F.col("cos_sim") >= threshold)
 
 
+def ivf_centroid_model(
+    corpus: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float], float]]:
+    """Train the IVF coarse quantizer: the ``nlist`` corpus vectors with
+    the smallest md5(id) digest are the centroids.
+
+    Deterministic and engine-portable by construction — a Lloyd/k-means
+    refinement would converge to engine-specific floats and break
+    cross-engine verification; hash-sampled corpus vectors are the standard
+    cheap initialization and give comparable recall at equal nlist on
+    near-isotropic corpora. Runs ONE TakeOrdered job over the corpus (the
+    offline "training" step every IVF index has) and returns the model as
+    plain Python ``[(cid, vec_doubles, norm2), ...]`` — nlist×dim small,
+    meant to be inlined as literals so that assignment is a join-free,
+    shuffle-free map over the corpus. norm2 is folded left-to-right to
+    match the engines' sequential list folds bit-for-bit.
+    """
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("cid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "cid")
+        .limit(nlist)
+        .collect()
+    )
+    model = []
+    for r in rows:
+        v = [float(x) for x in r["cv"]]
+        n2 = 0.0
+        for x in v:
+            n2 += x * x
+        model.append((r["cid"], v, n2))
+    model.sort(key=lambda t: t[0])
+    return model
+
+
+def _centroid_scores(vec: Column, model: list[tuple[int, list[float], float]]) -> Column:
+    """array<struct<s,nc>> of (cosine-to-centroid, -cid), one per centroid.
+
+    ``array_max`` of this is the assignment (highest similarity, ties to the
+    lowest centroid id via the negated id); a descending sort's prefix is
+    the probe list. Zero vectors score -2.0 (below the cosine range) against
+    every centroid, so they land deterministically in the lowest-cid cell.
+    """
+    vd = F.transform(vec, lambda x: x.cast("double"))
+    vn2 = F.aggregate(vd, F.lit(0.0), lambda s, x: s + x * x)
+    entries = []
+    for cid, cv, cn2 in model:
+        if cn2 > 0:
+            arr = F.expr("array(" + ",".join(f"{v!r}D" for v in cv) + ")")
+            dot = F.aggregate(
+                F.zip_with(vd, arr, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+            )
+            sim = F.coalesce(
+                F.when(vn2 > 0, dot / (F.sqrt(vn2) * F.lit(math.sqrt(cn2)))),
+                F.lit(-2.0),
+            )
+        else:
+            sim = F.lit(-2.0)
+        entries.append(F.struct(sim.alias("s"), F.lit(-cid).cast("long").alias("nc")))
+    return F.array(*entries)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    model: list[tuple[int, list[float], float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: assign every corpus vector to its nearest
+    centroid cell, probe the ``nprobe`` cells nearest each query, score only
+    vectors in probed cells.
+
+    The 100-TB shape: the model is literals, so assignment is a map-only
+    scan (no shuffle, no join — compare the LSH table unions); scoring joins
+    the broadcast (query, probe-cell) pairs against the assigned corpus, so
+    the quadratic work is confined to nprobe/nlist of the corpus per query.
+    At cluster scale the cell id becomes a partition/bucket column written
+    at ingest, and the probe join prunes cells at scan time.
+    """
+    from pyspark.sql import Window
+
+    if model is None:
+        model = ivf_centroid_model(corpus, nlist=nlist, id_col=id_col, vec_col=vec_col)
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    n2 = F.aggregate(vd, F.lit(0.0), lambda s, x: s + x * x)
+    assigned = corpus.select(
+        F.col(id_col),
+        vd.alias("_v"),
+        n2.alias("_n2"),
+        (-F.array_max(_centroid_scores(F.col(vec_col), model))["nc"]).alias("_cell"),
+    )
+    # probe list: descending sort of the score structs = s desc, cid asc
+    # (natural ascending struct order is (s asc, nc asc); reversed, equal-s
+    # runs come out nc desc = cid asc — exactly the oracle's row_number
+    # ORDER BY s DESC, cid ASC). Heavy arrays are projected BEFORE the
+    # explode so the fold doesn't run once per generated row.
+    probes = F.transform(
+        F.slice(F.reverse(F.array_sort(_centroid_scores(F.col(vec_col), model))), 1, nprobe),
+        lambda t: -t["nc"],
+    )
+    qpre = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        vd.alias("_qvec"),
+        n2.alias("_qn2"),
+        probes.alias("_cells"),
+    )
+    qcells = qpre.select("_qid", "_qvec", "_qn2", F.explode("_cells").alias("_cell"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_v"), F.col("_qvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    scored = assigned.join(F.broadcast(qcells), "_cell").select(
+        F.col("_qid").alias(query_id_col),
+        F.col(id_col),
+        F.when(
+            (F.col("_n2") > 0) & (F.col("_qn2") > 0),
+            dot / (F.sqrt("_n2") * F.sqrt("_qn2")),
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -172,6 +172,36 @@ def test_lsh_topk_recall(emb):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_ivf_topk(emb):
+    from rrdtool_1_x_spark.datapipe.similarity import ivf_centroid_model, ivf_topk
+
+    q = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    # a probed query finds itself: the query's own cell is always probed
+    # first, so rank 1 is the query at cos 1.0
+    out = ivf_topk(emb, q, k=5, nlist=8, nprobe=2).cache()
+    for r in out.filter(F.col("rank") == 1).collect():
+        assert r["vec_id"] == r["query_id"] and abs(r["cos_sim"] - 1.0) < 1e-6
+    # probing every cell is exhaustive: equals brute force exactly
+    exact = brute_force_topk(emb, q, k=5)
+    full = ivf_topk(emb, q, k=5, nlist=8, nprobe=8)
+    e = [(r["query_id"], r["vec_id"], r["rank"]) for r in exact.collect()]
+    a = [(r["query_id"], r["vec_id"], r["rank"]) for r in full.collect()]
+    assert sorted(e) == sorted(a)
+    # training is deterministic: same corpus -> same model
+    m1 = ivf_centroid_model(emb, nlist=8)
+    m2 = ivf_centroid_model(emb, nlist=8)
+    assert m1 == m2
+    # every corpus vector lands in exactly one of the nlist cells
+    from rrdtool_1_x_spark.datapipe.similarity import _centroid_scores
+
+    cells = (
+        emb.select((-F.array_max(_centroid_scores(F.col("embedding"), m1))["nc"]).alias("c"))
+        .groupBy("c").count()
+    )
+    assert cells.count() <= 8
+    assert cells.agg(F.sum("count")).first()[0] == emb.count()
+
+
 def test_cosine_col(spark):
     df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])],
                                "a array<double>, b array<double>")
