@@ -127,6 +127,29 @@ def test_query_cdef_vdef_xport(spark, store):
     assert csv.endswith("\r\n") and '"NaN"' in csv or '"' in csv
 
 
+def test_write_csv_distributed(spark, store, tmp_path):
+    """The executor-side CSV sink reproduces to_csv line-for-line."""
+    import glob
+
+    from rrdtool_1_x_spark.xport import write_csv
+
+    rollups = {i: store._read(f"rra_{i}") for i in range(2)}
+    q = (
+        Query(start=920804400, end=920808900, step=300)
+        .def_("myspeed", rollups, store.dataset, "speed", "AVERAGE", last_up=store.last())
+        .cdef("kmh", "myspeed,3600,*")
+        .xport("kmh", legend="km/h")
+    )
+    res = q.execute(spark)
+    write_csv(res, str(tmp_path / "x"))
+    lines = []
+    for part in sorted(glob.glob(str(tmp_path / "x" / "rows" / "part-*"))):
+        with open(part, newline="") as f:
+            lines.extend(f.read().splitlines())
+    header = open(glob.glob(str(tmp_path / "x" / "header" / "part-*"))[0], newline="").read().splitlines()
+    assert [*header, *lines] == to_csv(res).splitlines()
+
+
 def test_query_multi_resolution_alignment(spark, store):
     """A 300s DEF and an 1800s DEF align on the GCD grid with
     sample-and-hold upsampling of the coarse one."""
