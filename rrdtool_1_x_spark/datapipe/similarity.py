@@ -353,6 +353,95 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    model: list[tuple[int, list[float], float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the corpus as an IVF index: parquet partitioned by the cell
+    id, vectors stored with their precomputed squared norms.
+
+    This is the cluster-scale layout the probe path wants: a query that
+    probes nprobe of nlist cells reads nprobe directories — partition
+    pruning happens at file-listing time, before any task launches. The
+    assignment scan is shuffle-free (model is literals); the only movement
+    is the partitioned write itself.
+    """
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    n2 = F.aggregate(vd, F.lit(0.0), lambda s, x: s + x * x)
+    (
+        corpus.select(
+            F.col(id_col),
+            vd.alias("vec"),
+            n2.alias("norm2"),
+            (-F.array_max(_centroid_scores(F.col(vec_col), model))["nc"]).alias("cell"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    model: list[tuple[int, list[float], float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over a persisted IVF index written by ``write_ivf_index``.
+
+    The probed cells are computed from the literal model, so the cell
+    filter is a literal IN-list and prunes index partitions at scan time
+    (``.explain`` shows it in PartitionFilters — asserted in tests). One
+    scan serves all queries: the filter is the union of every query's
+    probe list; per-pair confinement happens in the broadcast-hash join on
+    the cell id.
+    """
+    from pyspark.sql import Window
+
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    n2 = F.aggregate(vd, F.lit(0.0), lambda s, x: s + x * x)
+    probes = F.transform(
+        F.slice(F.reverse(F.array_sort(_centroid_scores(F.col(vec_col), model))), 1, nprobe),
+        lambda t: -t["nc"],
+    )
+    qpre = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        vd.alias("_qvec"),
+        n2.alias("_qn2"),
+        probes.alias("_cells"),
+    )
+    qcells = qpre.select("_qid", "_qvec", "_qn2", F.explode("_cells").alias("cell"))
+    # literal probe union -> partition pruning at file listing; computed on
+    # the (small) query frame, so this collect is a quantizer-sized job
+    probe_union = sorted(
+        {r["cell"] for r in qcells.select("cell").distinct().collect()}
+    )
+    idx = spark.read.parquet(path).filter(F.col("cell").isin(probe_union))
+    dot = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("_qvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    scored = idx.join(F.broadcast(qcells), "cell").select(
+        F.col("_qid").alias(query_id_col),
+        F.col(id_col),
+        F.when(
+            (F.col("norm2") > 0) & (F.col("_qn2") > 0),
+            dot / (F.sqrt("norm2") * F.sqrt("_qn2")),
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

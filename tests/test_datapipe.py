@@ -202,6 +202,30 @@ def test_ivf_topk(emb):
     assert cells.agg(F.sum("count")).first()[0] == emb.count()
 
 
+def test_ivf_index_pruning(spark, emb, tmp_path):
+    """The persisted IVF index serves the same results as the inline path,
+    and the probe filter prunes index partitions at scan time."""
+    from rrdtool_1_x_spark.datapipe.similarity import (
+        ivf_centroid_model,
+        ivf_topk,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+
+    m = ivf_centroid_model(emb, nlist=8)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, m)
+    q = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    inline = ivf_topk(emb, q, k=5, nlist=8, nprobe=2, model=m)
+    indexed = ivf_topk_indexed(spark, path, q, m, k=5, nprobe=2)
+    a = sorted((r["query_id"], r["vec_id"], r["rank"]) for r in inline.collect())
+    b = sorted((r["query_id"], r["vec_id"], r["rank"]) for r in indexed.collect())
+    assert a == b
+    # pruning is visible in the physical plan's partition filters
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan.replace("#", " #").replace("  ", " ") or "cell" in plan.split("PartitionFilters")[1][:120]
+
+
 def test_cosine_col(spark):
     df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])],
                                "a array<double>, b array<double>")
