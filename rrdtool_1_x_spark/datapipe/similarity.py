@@ -4,11 +4,18 @@
   The query set is broadcast; scoring is a single scan of the corpus with
   no shuffle until the final per-query top-k (a windowed rank over
   query-partitioned scores, map-side combinable).
-* ``lsh_bucketed_topk``: the scale path — random-hyperplane LSH confines
+* ``lsh_bucketed_topk``: scale path #1 — random-hyperplane LSH confines
   scoring to matching buckets. Hyperplanes are derived deterministically
   from md5, so plans are reproducible across runs/engines. Recall is tuned
   by (num_planes, num_tables): candidates = documents sharing a bucket in
   ANY table.
+* ``ivf_topk`` (+ ``ivf_centroid_model``, ``write_ivf_index``,
+  ``ivf_topk_indexed``): scale path #2 — inverted-file cell probing.
+  The coarse quantizer is the nlist corpus vectors with smallest md5(id)
+  (deterministic, engine-portable), trained once and inlined as literals;
+  assignment is a shuffle-free map and the persisted index prunes probed
+  cells at scan time. nprobe/nlist is the recall-vs-cost dial
+  (BASELINE.md recall sweep).
 
 Dot products run through ``aggregate(zip_with(...))`` — JVM-side, no
 Python. For 100 TB corpora the intended physical layout is: corpus
