@@ -206,6 +206,139 @@ def minhash_near_duplicates(
     return verified.filter(F.col("jaccard") >= jaccard_threshold)
 
 
+def write_band_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_len: int = 3,
+) -> None:
+    """Persist the LSH state for append-only near-dup maintenance.
+
+    Layout: ``{path}/docs`` (exact-collapsed representative texts),
+    ``{path}/reps`` (text_hash → rep id, the exact-dup registry),
+    ``{path}/bands`` (id, band_idx, bucket). ``append_band_index`` then
+    shingles ONLY new documents — the point of the index: an append to a
+    100 TB corpus costs the new batch's signatures plus a bucket join, not
+    a corpus rescan. Appends are plain parquet appends here; production
+    writes go through a transactional commit (see sources.store's
+    manifest-snapshot pattern).
+    """
+    hashed = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.md5(F.col(text_col).cast("binary")).alias("text_hash"),
+    )
+    w = Window.partitionBy("text_hash").orderBy(id_col)
+    reps = (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    reps.select(id_col, text_col).write.mode("overwrite").parquet(f"{path}/docs")
+    reps.select("text_hash", F.col(id_col).alias("rep_id")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/reps")
+    minhash_band_buckets(
+        reps, id_col, text_col, num_hashes, bands, shingle_len, collapse_exact=False
+    ).write.mode("overwrite").parquet(f"{path}/bands")
+
+
+def append_band_index(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_len: int = 3,
+    jaccard_threshold: float = 0.7,
+    max_bucket_size: int | None = 512,
+) -> DataFrame:
+    """Append a batch to a ``write_band_index`` index and return the new
+    verified near-dup pairs (new↔old and new↔new; id_a < id_b).
+
+    Only the batch is shingled/signed; exact copies of already-indexed
+    texts are dropped against the hash registry (exact_dedup's job, same
+    rule as the batch pipeline's collapse). With append-only increasing
+    ids this composes exactly: batch-pipeline pairs over the full corpus
+    == initial pairs ∪ every append's pairs (tested). The bucket cap is
+    evaluated on post-append bucket sizes, so a bucket that crosses the
+    cap stops generating NEW candidates; pairs it produced earlier stand
+    (no retraction — matching the cap's drop-and-log semantics).
+    """
+    spark = new_docs.sparkSession
+    hashed = new_docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.md5(F.col(text_col).cast("binary")).alias("text_hash"),
+    )
+    w = Window.partitionBy("text_hash").orderBy(id_col)
+    batch_reps = (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    fresh = batch_reps.join(
+        spark.read.parquet(f"{path}/reps"), "text_hash", "left_anti"
+    ).localCheckpoint(eager=True)
+    new_bands = minhash_band_buckets(
+        fresh, id_col, text_col, num_hashes, bands, shingle_len, collapse_exact=False
+    ).localCheckpoint(eager=True)  # feeds the join AND the index append
+    old_bands = spark.read.parquet(f"{path}/bands")
+    all_bands = old_bands.unionByName(new_bands)
+    if max_bucket_size is not None:
+        keep = (
+            all_bands.groupBy("band_idx", "bucket")
+            .count()
+            .filter(F.col("count") <= max_bucket_size)
+            .select("band_idx", "bucket")
+        )
+        new_side = new_bands.join(keep, ["band_idx", "bucket"], "left_semi")
+        all_side = all_bands.join(keep, ["band_idx", "bucket"], "left_semi")
+    else:
+        new_side, all_side = new_bands, all_bands
+    j = new_side.select(F.col(id_col).alias("_x"), "band_idx", "bucket").join(
+        all_side.select(F.col(id_col).alias("_y"), "band_idx", "bucket"),
+        ["band_idx", "bucket"],
+    )
+    pairs = (
+        j.filter(F.col("_x") != F.col("_y"))
+        .select(
+            F.least("_x", "_y").alias("id_a"), F.greatest("_x", "_y").alias("id_b")
+        )
+        .distinct()
+    )
+    # verification shingles only the documents that appear in a candidate
+    # pair: semi-join the (old reps ∪ batch) texts down before exploding
+    all_docs = (
+        spark.read.parquet(f"{path}/docs")
+        .unionByName(fresh.select(id_col, text_col))
+    )
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    needed = all_docs.join(ids, id_col, "left_semi")
+    out = (
+        ngram_jaccard_pairs(pairs, needed, id_col=id_col, text_col=text_col, shingle_len=shingle_len)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        # materialize BEFORE the index appends: the plan reads {path}/bands
+        # and {path}/docs, and a lazy re-evaluation after the appends would
+        # see the new files
+        .localCheckpoint(eager=True)
+    )
+    new_bands.write.mode("append").parquet(f"{path}/bands")
+    fresh.select("text_hash", F.col(id_col).alias("rep_id")).write.mode(
+        "append"
+    ).parquet(f"{path}/reps")
+    fresh.select(id_col, text_col).write.mode("append").parquet(f"{path}/docs")
+    return out
+
+
 def ngram_jaccard_pairs(
     pairs: DataFrame,
     docs: DataFrame,

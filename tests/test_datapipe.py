@@ -172,6 +172,31 @@ def test_lsh_topk_recall(emb):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_incremental_band_index(docs, tmp_path):
+    """Append-only LSH maintenance composes exactly with the batch
+    pipeline: full-corpus pairs == initial-build pairs ∪ append pairs."""
+    from rrdtool_1_x_spark.datapipe.dedup import append_band_index, write_band_index
+
+    kw = dict(num_hashes=8, bands=4, shingle_len=3)
+    d1 = docs.filter(F.col("doc_id") < 10000)       # original corpus
+    d2 = docs.filter(F.col("doc_id") >= 10000)      # near-dups + exact copies
+    path = str(tmp_path / "bidx")
+    write_band_index(d1, path, **kw)
+    initial = minhash_near_duplicates(d1, jaccard_threshold=0.5, **kw)
+    appended = append_band_index(d2, path, jaccard_threshold=0.5, **kw)
+    full = minhash_near_duplicates(docs, jaccard_threshold=0.5, **kw)
+    key = lambda r: (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+    f = {key(r) for r in full.collect()}
+    inc = {key(r) for r in initial.collect()} | {key(r) for r in appended.collect()}
+    assert f == inc and len(f) > 0
+    # exact copies were dropped against the registry: appending them again
+    # yields nothing new
+    again = append_band_index(
+        d2.filter(F.col("doc_id") >= 20000), path, jaccard_threshold=0.5, **kw
+    )
+    assert again.count() == 0
+
+
 def test_ivf_topk(emb):
     from rrdtool_1_x_spark.datapipe.similarity import ivf_centroid_model, ivf_topk
 
