@@ -495,6 +495,81 @@ def simhash_hamming(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    blocks: int = 4,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = 512,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: (id_a, id_b, hamming) with
+    id_a < id_b and hamming <= max_hamming.
+
+    Pigeonhole blocking makes this bucketed, not all-pairs: fingerprints
+    differing in <= max_hamming bits agree on at least one of ``blocks``
+    equal-width bit blocks whenever max_hamming < blocks, so candidates
+    are documents sharing (block_idx, block_value) and verification is one
+    bit_count per candidate pair. Same skew guard as the MinHash path: a
+    hot block value (all-zero fingerprints from empty texts, boilerplate)
+    is dropped above ``max_bucket_size`` instead of exploding k²/2 on one
+    shuffle key.
+    """
+    if max_hamming >= blocks:
+        raise ValueError("pigeonhole blocking needs max_hamming < blocks")
+    width = bits // blocks
+    mask = (1 << width) - 1
+    fp = simhash(df, id_col, text_col, bits=bits, hash_fn=hash_fn)
+    block_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("block_idx"),
+                F.shiftrightunsigned(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("block_val"),
+            )
+            for b in range(blocks)
+        ]
+    )
+    melted = (
+        fp.select(id_col, "simhash", block_structs.alias("_ba"))
+        .select(id_col, "simhash", F.explode("_ba").alias("_bb"))
+        .select(
+            id_col,
+            "simhash",
+            F.col("_bb.block_idx").alias("block_idx"),
+            F.col("_bb.block_val").alias("block_val"),
+        )
+        .localCheckpoint(eager=True)  # feeds the size count and both sides
+    )
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("block_idx", "block_val")
+        melted = (
+            melted.withColumn("_sz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_sz") <= max_bucket_size)
+            .drop("_sz")
+        )
+    left = melted.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("_fa"), "block_idx", "block_val"
+    )
+    right = melted.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("_fb"), "block_idx", "block_val"
+    )
+    return (
+        left.join(right, ["block_idx", "block_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            simhash_hamming(F.col("_fa"), F.col("_fb")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def duplicate_groups(
     pairs: DataFrame,
     max_iterations: int = 10,

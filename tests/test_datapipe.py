@@ -172,6 +172,26 @@ def test_lsh_topk_recall(emb):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_simhash_near_duplicates(docs):
+    """Pigeonhole blocking finds EXACTLY the brute-force hamming<=3 pairs
+    (blocking is lossless below the block count)."""
+    from rrdtool_1_x_spark.datapipe.dedup import simhash_near_duplicates
+
+    fp = simhash(docs).cache()
+    a = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_fa"))
+    b = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_fb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", simhash_hamming(F.col("_fa"), F.col("_fb")).alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+    )
+    banded = simhash_near_duplicates(docs, max_hamming=3, blocks=4)
+    bt = {(r["id_a"], r["id_b"], r["hamming"]) for r in brute.collect()}
+    bd = {(r["id_a"], r["id_b"], r["hamming"]) for r in banded.collect()}
+    assert bt == bd and len(bd) > 0  # exact copies (+20000) give hamming 0
+
+
 def test_incremental_band_index(docs, tmp_path):
     """Append-only LSH maintenance composes exactly with the batch
     pipeline: full-corpus pairs == initial-build pairs ∪ append pairs."""
