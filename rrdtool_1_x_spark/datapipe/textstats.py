@@ -109,15 +109,20 @@ def rolling_fingerprint(
 
     ``hash_fn``: "xxhash64" (fast, JVM-specific, fingerprint is a long) or
     "md5" (portable across engines — use when the fingerprint must be
-    reproducible outside Spark; fingerprint is a hex string)."""
-    # pre-project the token array (generator siblings re-evaluate per row)
-    toks = df.select(
-        F.col(id_col).alias("_id"), _tokens(F.col(text_col)).alias("_toks")
-    ).select("_id", F.posexplode("_toks").alias("_p", "_t"))
-    w = Window.partitionBy("_id").orderBy("_p")
-    parts = ["_t"] + [f"_w{i}" for i in range(1, window)]
-    for i in range(1, window):
-        toks = toks.withColumn(f"_w{i}", F.lead("_t", i).over(w))
-    toks = toks.withColumn("_win", F.concat_ws(" ", *parts))
-    h = F.md5(F.col("_win").cast("binary")) if hash_fn == "md5" else F.xxhash64("_win")
-    return toks.groupBy(F.col("_id").alias(id_col)).agg(F.min(h).alias("fingerprint"))
+    reproducible outside Spark; fingerprint is a hex string).
+
+    Map-only: the rolling windows fold over the document's own token array
+    (slice clamps at the end, so trailing windows shorten exactly like the
+    lead()-with-nulls formulation this replaced — bit-identical output,
+    minus that version's two shuffles)."""
+    toks = _tokens(F.col(text_col))
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, window)),
+    )
+    pre = df.select(F.col(id_col), wins.alias("_wins"))
+    hashed = F.transform(
+        F.col("_wins"),
+        (lambda s: F.md5(s.cast("binary"))) if hash_fn == "md5" else F.xxhash64,
+    )
+    return pre.select(id_col, F.array_min(hashed).alias("fingerprint"))
