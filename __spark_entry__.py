@@ -40,14 +40,24 @@ _SAMPLES_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _samples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the driver's parquet stores TIMESTAMP(NANOS) which Spark only reads as
-    # long; truncate to MICROseconds with integer division (nanos overflow
-    # double precision) — DuckDB's reader truncates to micros the same way
+    # normalize `ts` to epoch-second doubles regardless of the physical
+    # parquet type: the driver has shipped both TIMESTAMP(NANOS) (which Spark
+    # reads as long under legacy.parquet.nanosAsLong) and timestamp[us]
+    # (read as TIMESTAMP_NTZ). DuckDB's epoch(ts) treats naive timestamps as
+    # UTC, so NTZ is converted under an explicit UTC session timezone.
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SAMPLES_CACHE:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-        t = (F.expr("ts DIV 1000").cast("double") / F.lit(1e6)).alias("ts")
+        ts_type = dict(ev.dtypes)["ts"]
+        if ts_type.startswith("timestamp"):
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            t = (
+                F.unix_micros(F.col("ts").cast("timestamp_ltz")).cast("double")
+                / F.lit(1e6)
+            ).alias("ts")
+        else:  # legacy nanos-as-long: truncate to micros (nanos overflow double)
+            t = (F.expr("ts DIV 1000").cast("double") / F.lit(1e6)).alias("ts")
         _SAMPLES_CACHE[key] = (
             ev.select("event_type", t, "value")
             .groupBy("event_type", "ts")
@@ -347,13 +357,15 @@ def q_minhash_sig(spark, sf_dir):
     # project the shingle array FIRST: sibling expressions re-evaluate per
     # output column otherwise
     g = d.select("doc_id", grams.alias("_sh"))
+    # NOTE: the hash lambda MUST take exactly one parameter. A defaulted
+    # second param (`lambda s, seed=seed: ...`) makes PySpark pass the
+    # (element, index) form, silently replacing the seed with the shingle's
+    # array position and collapsing the hash family to one function.
+    def _seed_hash(seed):
+        return lambda s: F.md5(F.concat(F.lit(seed), s).cast("binary"))
+
     sigs = [
-        F.array_min(
-            F.transform(
-                F.col("_sh"),
-                lambda s, seed=seed: F.md5(F.concat(F.lit(seed), s).cast("binary")),
-            )
-        ).alias(f"sig{i}")
+        F.array_min(F.transform(F.col("_sh"), _seed_hash(seed))).alias(f"sig{i}")
         for i, seed in enumerate(_MINHASH_SEEDS)
     ]
     return g.select("doc_id", *sigs).orderBy("doc_id")
@@ -665,6 +677,73 @@ def q_graph_scale(spark, sf_dir):
     )
 
 
+def q_decontam_overlap(spark, sf_dir):
+    """Benchmark decontamination (datapipe.decontam.contamination_pairs):
+    8-gram exact-overlap pairs against a benchmark derived from every 50th
+    document; the benchmark n-gram table is broadcast so the corpus scan is
+    never shuffled."""
+    from rrdtool_1_x_spark.datapipe.decontam import contamination_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    out = contamination_pairs(d, bench, n=8, min_overlap_frac=0.5)
+    return out.select(
+        "doc_id",
+        "bench_id",
+        "overlap_ngrams",
+        "bench_ngrams",
+        F.round("overlap_frac", 6).alias("overlap_frac"),
+    ).orderBy("doc_id", "bench_id")
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (datapipe.sampling.hash_split):
+    md5-keyed, map-only, stable under appends/retries/repartitioning."""
+    from rrdtool_1_x_spark.datapipe.sampling import hash_split
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = hash_split(d, {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.select("doc_id", "split").orderBy("doc_id")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-language stratified sample of 20 docs in deterministic hash order
+    (datapipe.sampling.stratified_sample)."""
+    from rrdtool_1_x_spark.datapipe.sampling import stratified_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample(d, ["lang"], 20)
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+def q_token_budget(spark, sf_dir):
+    """Token-budget data mixing (datapipe.sampling.token_budget_sample):
+    fill per-language token quotas in deterministic hash order — one
+    shuffle on the group key, running totals via a window."""
+    from rrdtool_1_x_spark.datapipe.sampling import token_budget_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "token_cnt", F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    )
+    out = token_budget_sample(
+        d, {"en": 2000, "de": 1000, "fr": 1500}, group_col="lang"
+    )
+    return out.select("doc_id", "lang", "token_cnt", "tokens_before").orderBy(
+        "doc_id"
+    )
+
+
+def q_vocab_top(spark, sf_dir):
+    """Corpus vocabulary: top-50 unigrams by document frequency
+    (datapipe.decontam.vocab_top_ngrams)."""
+    from rrdtool_1_x_spark.datapipe.decontam import vocab_top_ngrams
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_top_ngrams(d, n=1, k=50).orderBy("rank")
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -740,6 +819,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_jaccard": q_weighted_jaccard,
         "graph_stack": q_graph_stack,
         "graph_scale": q_graph_scale,
+        "decontam_overlap": q_decontam_overlap,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "token_budget": q_token_budget,
+        "vocab_top": q_vocab_top,
     }
     return {k: _memo(k, fn) for k, fn in qs.items()}
 
@@ -1358,4 +1442,71 @@ hw AS (
 SELECT series_id, ts, round(pr, 6) AS prediction, fail AS failures
 FROM hw WHERE pr IS NOT NULL
 ORDER BY series_id, ts"""
+
+    # --- decontamination / sampling (datapipe.decontam, datapipe.sampling)
+    # 8-gram overlap: i ranges over 1..len-7 with inclusive slicing
+    # toks[i:i+7] = 8 tokens — same windows as the Spark transform.
+    ngrams8 = """CASE WHEN len(toks) >= 8
+         THEN list_transform(range(1, len(toks) - 6),
+                             i -> array_to_string(toks[i:i+7], ' '))
+         ELSE [array_to_string(toks, ' ')] END"""
+    sql["decontam_overlap"] = f"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+           FROM documents),
+dg AS (SELECT DISTINCT doc_id, g AS ngram
+       FROM (SELECT doc_id, unnest({ngrams8}) AS g FROM t) _),
+bg AS (SELECT doc_id AS bench_id, ngram FROM dg WHERE doc_id % 50 = 0),
+bsz AS (SELECT bench_id, count(*) AS bench_ngrams FROM bg GROUP BY 1),
+ov AS (SELECT dg.doc_id, bg.bench_id, count(*) AS overlap_ngrams
+       FROM dg JOIN bg USING (ngram) GROUP BY 1, 2)
+SELECT ov.doc_id, ov.bench_id, overlap_ngrams, bench_ngrams,
+       round(overlap_ngrams::DOUBLE / bench_ngrams, 6) AS overlap_frac
+FROM ov JOIN bsz USING (bench_id)
+WHERE overlap_ngrams::DOUBLE / bench_ngrams >= 0.5
+ORDER BY ov.doc_id, ov.bench_id"""
+    # hash_u01: first 8 hex nibbles of md5(seed:id) as a uint32 / 2^32 —
+    # rebuilt nibble-by-nibble (same formula as sampling.hash_u01)
+    u01 = (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1) * {16 ** (7 - j)}.0"
+            for j in range(8)
+        )
+        + ") / 4294967296.0"
+    )
+    sql["hash_split"] = f"""
+WITH t AS (SELECT doc_id, md5('split:' || CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+u AS (SELECT doc_id, {u01} AS u FROM t)
+SELECT doc_id,
+  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+FROM u ORDER BY doc_id"""
+    sql["stratified_sample"] = """
+WITH r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents)
+SELECT doc_id, lang FROM r WHERE rk <= 20 ORDER BY doc_id"""
+    sql["token_budget"] = """
+WITH t AS (SELECT doc_id, lang,
+             len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS token_cnt
+           FROM documents),
+b AS (SELECT *, CASE lang WHEN 'en' THEN 2000 WHEN 'de' THEN 1000
+                          WHEN 'fr' THEN 1500 END AS budget
+      FROM t),
+r AS (SELECT *, sum(token_cnt) OVER (PARTITION BY lang
+        ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM b WHERE budget IS NOT NULL)
+SELECT doc_id, lang, token_cnt, (run - token_cnt)::BIGINT AS tokens_before
+FROM r WHERE run <= budget ORDER BY doc_id"""
+    sql["vocab_top"] = """
+WITH tok AS (SELECT DISTINCT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS ngram
+             FROM documents),
+c AS (SELECT ngram, count(*) AS doc_freq FROM tok GROUP BY 1),
+r AS (SELECT ngram, doc_freq,
+             row_number() OVER (ORDER BY doc_freq DESC, ngram ASC) AS rank
+      FROM c)
+SELECT ngram, doc_freq, rank FROM r WHERE rank <= 50 ORDER BY rank"""
     return sql

@@ -89,13 +89,15 @@ def minhash_signatures(
     pre = df.select(
         F.col(id_col), _shingle_array(F.col(text_col), shingle_len).alias("_sh")
     )
+    # NOTE: the hash lambda MUST take exactly one parameter. A defaulted
+    # second param (`lambda s, i=i: ...`) makes PySpark pass the
+    # (element, index) form, silently replacing the seed with the shingle's
+    # array position — every sig column collapses to the same hash function.
+    def _seed_hash(seed):
+        return lambda s: F.md5(F.concat(F.lit(f"mh{seed}:"), s).cast("binary"))
+
     sigs = [
-        F.array_min(
-            F.transform(
-                F.col("_sh"),
-                lambda s, i=i: F.md5(F.concat(F.lit(f"mh{i}:"), s).cast("binary")),
-            )
-        ).alias(f"sig{i}")
+        F.array_min(F.transform(F.col("_sh"), _seed_hash(i))).alias(f"sig{i}")
         for i in range(num_hashes)
     ]
     return pre.select(id_col, *sigs)

@@ -461,7 +461,14 @@ def lsh_bucketed_topk(
     num_tables: int = 4,
 ) -> DataFrame:
     """Approximate top-k: score only candidates sharing an LSH bucket with
-    the query in at least one hash table."""
+    the query in at least one hash table.
+
+    ONE corpus scan for all hash tables: each row melts to num_tables
+    (table_idx, bucket) rows via an exploded struct array — the long-format
+    banding shape the MinHash near-dup path uses — instead of one full
+    corpus scan per table unioned together. The bucket match against the
+    (broadcast) query side is map-side, so the only exchange carries the
+    already-tiny candidate set into the dedup."""
     from pyspark.sql import Window
 
     if dim is None:
@@ -471,26 +478,53 @@ def lsh_bucketed_topk(
     # only fold that genuinely needs the pair)
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     n2 = F.aggregate(vd, F.lit(0.0), lambda s, x: s + x * x)
-    cand = None
-    for t in range(num_tables):
-        planes = _hyperplanes(dim, num_planes, seed=f"lsh{t}")
-        cb = corpus.select(
-            F.col(id_col),
-            vd.alias("_v"),
-            n2.alias("_n2"),
-            lsh_bucket_col(F.col(vec_col), planes).alias("_b"),
+    tbl_structs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("_bi"),
+                lsh_bucket_col(
+                    F.col(vec_col), _hyperplanes(dim, num_planes, seed=f"lsh{t}")
+                ).alias("_b"),
+            )
+            for t in range(num_tables)
+        ]
+    )
+    # expensive expressions are projected BEFORE the explode so the
+    # generator passes them through instead of re-evaluating per output row
+    cb = (
+        corpus.select(
+            F.col(id_col), vd.alias("_v"), n2.alias("_n2"), tbl_structs.alias("_ba")
         )
-        qb = queries.select(
+        .select(id_col, "_v", "_n2", F.explode("_ba").alias("_bb"))
+        .select(
+            id_col,
+            "_v",
+            "_n2",
+            F.col("_bb._bi").alias("_bi"),
+            F.col("_bb._b").alias("_b"),
+        )
+    )
+    qb = (
+        queries.select(
             F.col(query_id_col).alias("_qid"),
             vd.alias("_qvec"),
             n2.alias("_qn2"),
-            lsh_bucket_col(F.col(vec_col), planes).alias("_b"),
+            tbl_structs.alias("_ba"),
         )
-        c = cb.join(F.broadcast(qb), "_b").select(
-            "_qid", id_col, "_qvec", "_qn2", "_v", "_n2"
+        .select("_qid", "_qvec", "_qn2", F.explode("_ba").alias("_bb"))
+        .select(
+            "_qid",
+            "_qvec",
+            "_qn2",
+            F.col("_bb._bi").alias("_bi"),
+            F.col("_bb._b").alias("_b"),
         )
-        cand = c if cand is None else cand.unionByName(c)
-    cand = cand.dropDuplicates(["_qid", id_col])
+    )
+    cand = (
+        cb.join(F.broadcast(qb), ["_bi", "_b"])
+        .select("_qid", id_col, "_qvec", "_qn2", "_v", "_n2")
+        .dropDuplicates(["_qid", id_col])
+    )
     dot = F.aggregate(
         F.zip_with(F.col("_v"), F.col("_qvec"), lambda x, y: x * y),
         F.lit(0.0),

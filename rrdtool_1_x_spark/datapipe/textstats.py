@@ -123,6 +123,10 @@ def rolling_fingerprint(
     pre = df.select(F.col(id_col), wins.alias("_wins"))
     hashed = F.transform(
         F.col("_wins"),
-        (lambda s: F.md5(s.cast("binary"))) if hash_fn == "md5" else F.xxhash64,
+        # wrap xxhash64: HOF callables must expose a fixed 1-arg signature
+        # (F.xxhash64's *cols signature is rejected by the lambda inspector)
+        (lambda s: F.md5(s.cast("binary")))
+        if hash_fn == "md5"
+        else (lambda s: F.xxhash64(s)),
     )
     return pre.select(id_col, F.array_min(hashed).alias("fingerprint"))

@@ -215,19 +215,45 @@ class Query:
                 .drop("_src_ts")
             )
 
-        # VDEF scalars (over the source's own resolution frame)
+        # VDEF scalars (over the source's own resolution frame). Evaluation
+        # is DEFERRED: each VDEF's 1-row frame is built lazily and pending
+        # frames are unioned into ONE driver job at flush time — N VDEFs in
+        # a query cost one Spark job, not N sequential .first() jobs. A
+        # flush is forced only when a later CDEF constant-folds a pending
+        # VDEF scalar (src/rrd_graph.c:1201-1210), which genuinely
+        # sequentializes the plan.
         scalars: dict[str, dict] = {}
         cdef_by_name = {c.vname: c for c in self._cdefs}
         done_cdefs: set[str] = set()
         env: dict[str, Column] = {v: F.col(v) for v in frames}
         ctx = RpnContext(ts=F.col("ts"), step=float(step), keys=(), tz=self.tz)
+        pending_vdefs: list[tuple[str, DataFrame]] = []
+
+        def flush_vdefs() -> None:
+            if not pending_vdefs:
+                return
+            u = None
+            for vname, vdf in pending_vdefs:
+                one = vdf.select(
+                    F.lit(vname).alias("_vname"),
+                    F.col("value").cast("double").alias("value"),
+                    F.col("when").cast("double").alias("when"),
+                )
+                u = one if u is None else u.unionByName(one)
+            for r in u.collect():
+                scalars[r["_vname"]] = {"value": r["value"], "when": r["when"]}
+                env[r["_vname"]] = F.lit(r["value"]).cast("double")
+            pending_vdefs.clear()
 
         def ensure_cdef(name: str) -> None:
             if name in frames or name in done_cdefs or name not in cdef_by_name:
                 return
             nonlocal wide
             c = cdef_by_name[name]
-            for tok in c.rpn.split(","):
+            toks = c.rpn.split(",")
+            if any(t in {v for v, _ in pending_vdefs} for t in toks):
+                flush_vdefs()
+            for tok in toks:
                 ensure_cdef(tok)
             wide = wide.withColumn(c.vname, compile_rpn(c.rpn, env, ctx))
             env[c.vname] = F.col(c.vname)
@@ -248,12 +274,18 @@ class Query:
                     vstep = steps[vd.source]
                 else:
                     vstep = step
-                row = vdef_mod.vdef(
-                    src_df.select("ts", "value"), vd.op, param=vd.param, step=vstep
-                ).first()
-                scalars[name] = {"value": row["value"], "when": row["when"]}
-                # constant-fold into later CDEFs (src/rrd_graph.c:1201-1210)
-                env[name] = F.lit(scalars[name]["value"]).cast("double")
+                pending_vdefs.append(
+                    (
+                        name,
+                        vdef_mod.vdef(
+                            src_df.select("ts", "value"),
+                            vd.op,
+                            param=vd.param,
+                            step=vstep,
+                        ),
+                    )
+                )
+        flush_vdefs()
 
         cols = [F.col("ts")]
         legends = []
