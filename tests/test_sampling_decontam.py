@@ -1,0 +1,194 @@
+"""Unit tests for datapipe.sampling and datapipe.decontam.
+
+The oracle-replay suite (test_entry_oracle.py) hash-gates these against
+DuckDB; the tests here check the *properties* the modules promise:
+determinism, append-stability, nesting, budget semantics, broadcast-side
+correctness of the contamination join.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rrdtool_1_x_spark.datapipe.decontam import (
+    contamination_pairs,
+    decontaminate,
+    vocab_top_ngrams,
+)
+from rrdtool_1_x_spark.datapipe.sampling import (
+    hash_sample,
+    hash_split,
+    hash_u01,
+    stratified_sample,
+    token_budget_sample,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_hash_split_deterministic_and_complete(docs):
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs, w).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(docs, w).collect()}
+    assert a == b  # reproducible
+    assert set(a.values()) <= {"train", "val", "test"}
+    assert len(a) == docs.count()  # every row assigned exactly once
+    # roughly proportional (loose bound — 50 docs at sf0.001)
+    train = sum(1 for s in a.values() if s == "train")
+    assert train > len(a) * 0.5
+
+
+def test_hash_split_append_stable(docs):
+    """Appending rows never reassigns existing ones: the split is a pure
+    function of the id."""
+    w = {"train": 0.9, "val": 0.1}
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    full_assign = {
+        r["doc_id"]: r["split"] for r in hash_split(docs, w).collect()
+    }
+    half_assign = {
+        r["doc_id"]: r["split"] for r in hash_split(half, w).collect()
+    }
+    assert all(full_assign[k] == v for k, v in half_assign.items())
+
+
+def test_hash_sample_nested(docs):
+    """hash_sample(p1) ⊆ hash_sample(p2) for p1 < p2 with the same seed —
+    the nested-subsets property scaling-law runs rely on."""
+    s10 = {r["doc_id"] for r in hash_sample(docs, 0.1, seed="s").collect()}
+    s50 = {r["doc_id"] for r in hash_sample(docs, 0.5, seed="s").collect()}
+    assert s10 <= s50
+    assert len(s50) < docs.count()
+
+
+def test_hash_u01_range(docs):
+    vals = [
+        r["u"]
+        for r in docs.select(hash_u01(F.col("doc_id")).alias("u")).collect()
+    ]
+    assert all(0.0 <= v < 1.0 for v in vals)
+    assert len(set(vals)) == len(vals)  # md5 over distinct ids: no collisions
+
+
+def test_stratified_sample_sizes(docs):
+    n = 5
+    out = stratified_sample(docs, ["lang"], n)
+    sizes = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    avail = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes == {k: min(n, v) for k, v in avail.items()}
+    # deterministic selection
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in stratified_sample(docs, ["lang"], n).collect())
+    assert a == b
+
+
+def test_token_budget_semantics(docs):
+    d = docs.withColumn(
+        "token_cnt", F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    )
+    budgets = {"en": 300, "de": 200}
+    out = token_budget_sample(d, budgets, group_col="lang").cache()
+    # groups absent from the budget map are dropped
+    assert {r["lang"] for r in out.select("lang").distinct().collect()} <= set(budgets)
+    # each group's kept tokens fit its budget
+    sums = {
+        r["lang"]: r["s"]
+        for r in out.groupBy("lang").agg(F.sum("token_cnt").alias("s")).collect()
+    }
+    for lang, s in sums.items():
+        assert s <= budgets[lang]
+    # tokens_before is the running total excluding the row itself: the max
+    # (tokens_before + token_cnt) per group equals the group's kept sum
+    chk = out.groupBy("lang").agg(
+        F.max(F.col("tokens_before") + F.col("token_cnt")).alias("m")
+    )
+    for r in chk.collect():
+        assert r["m"] == sums[r["lang"]]
+    # budget binds: the first *excluded* doc in hash order would overflow
+    order_hash = F.md5(
+        F.concat(F.lit("mix:"), F.col("doc_id").cast("string")).cast("binary")
+    )
+    en = (
+        d.filter(F.col("lang") == "en")
+        .select("doc_id", "token_cnt", order_hash.alias("_h"))
+        .orderBy("_h", "doc_id")
+        .collect()
+    )
+    kept_en = {r["doc_id"] for r in out.filter(F.col("lang") == "en").collect()}
+    running = 0
+    for r in en:
+        running += r["token_cnt"]
+        assert (r["doc_id"] in kept_en) == (running <= budgets["en"])
+
+
+def test_contamination_pairs_and_decontaminate(docs):
+    # benchmark = verbatim copies of 3 documents → each contaminates its
+    # source with overlap_frac 1.0
+    bench = (
+        docs.orderBy("doc_id")
+        .limit(3)
+        .select((F.col("doc_id") + 900000).alias("bench_id"), "text")
+    )
+    pairs = contamination_pairs(docs, bench, n=8, min_overlap_frac=0.5).cache()
+    got = {(r["doc_id"], r["bench_id"]): r for r in pairs.collect()}
+    src_ids = [r["doc_id"] for r in docs.orderBy("doc_id").limit(3).collect()]
+    for sid in src_ids:
+        r = got[(sid, sid + 900000)]
+        assert r["overlap_ngrams"] == r["bench_ngrams"]
+        assert abs(r["overlap_frac"] - 1.0) < 1e-12
+    clean = decontaminate(docs, bench, n=8, min_overlap_frac=0.5)
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    contaminated = {k[0] for k in got}
+    assert kept == {
+        r["doc_id"] for r in docs.collect()
+    } - contaminated
+    assert set(src_ids) <= contaminated
+
+
+def test_vocab_top_ngrams(docs):
+    out = vocab_top_ngrams(docs, n=1, k=10).collect()
+    assert len(out) == 10
+    freqs = [r["doc_freq"] for r in out]
+    assert freqs == sorted(freqs, reverse=True)
+    assert [r["rank"] for r in out] == list(range(1, 11))
+    # document frequency, not raw count: a gram can appear at most once per doc
+    assert max(freqs) <= docs.count()
+    # per-group variant covers every group with its own ranking
+    by = vocab_top_ngrams(docs, n=1, k=3, by="lang")
+    sizes = {
+        r["lang"]: r["n"]
+        for r in by.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert set(sizes) == langs and all(v <= 3 for v in sizes.values())
+
+
+def test_minhash_seeds_distinct(docs):
+    """Regression for the F.transform two-parameter-lambda trap: a defaulted
+    second lambda param makes PySpark bind the element INDEX over the seed,
+    collapsing every sig column to the same hash function. On a corpus of
+    multi-shingle docs the per-seed minima must differ for most docs."""
+    from rrdtool_1_x_spark.datapipe.dedup import minhash_signatures
+
+    sigs = minhash_signatures(docs, num_hashes=4).cache()
+    n = sigs.count()
+    same = sigs.filter(
+        (F.col("sig0") == F.col("sig1"))
+        & (F.col("sig1") == F.col("sig2"))
+        & (F.col("sig2") == F.col("sig3"))
+    ).count()
+    # all-identical signatures across 4 independent hash families should be
+    # essentially impossible on real text; the broken-seed bug makes it 100%
+    assert same < n * 0.1
