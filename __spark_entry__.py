@@ -343,17 +343,13 @@ def q_minhash_sig(spark, sf_dir):
     The earlier posexplode+lead(window)+groupBy formulation paid two
     doc_id shuffles and a big codegen compile to regroup rows that were
     never ungrouped; this shape is ~10x faster cold and bit-identical."""
+    from rrdtool_1_x_spark.datapipe.dedup import _shingle_array
+
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = F.split(F.lower(F.trim("text")), r"\s+")
     # docs with >=3 tokens: full 3-token shingles; shorter docs keep the
-    # single partial shingle built from what's there
-    grams = F.when(
-        F.size(toks) >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    # single partial shingle built from what's there (zip-based build —
+    # the split is evaluated O(1) times per doc, not once per shingle)
+    grams = _shingle_array(F.col("text"), 3)
     # project the shingle array FIRST: sibling expressions re-evaluate per
     # output column otherwise
     g = d.select("doc_id", grams.alias("_sh"))

@@ -32,17 +32,27 @@ def _shingle_array(text: Column, shingle_len: int) -> Column:
     Map-only by construction — the posexplode+lead(window) formulation this
     replaced shuffled and sorted every token row TWICE (window + groupBy)
     before a single byte of real work; the per-document transform keeps
-    shingling inside the scan task (measured 10x faster end-to-end on the
-    signature path, bit-identical output). Documents shorter than the
-    shingle length keep one partial shingle, matching the old filter."""
+    shingling inside the scan task. Documents shorter than the shingle
+    length keep one partial shingle, matching the old filter.
+
+    The token split is evaluated a CONSTANT number of times per document:
+    the k shifted copies are arguments of arrays_zip (each evaluated once),
+    never expressions inside the lambda body — an interpreted HOF re-runs
+    its lambda per element, so a ``slice(split(text), i, k)`` body would
+    re-split the document once per shingle (O(tokens²); measured 4x slower
+    at sf0.1, and growing with document length)."""
+    k = shingle_len
     toks = _tokens(text)
-    return F.when(
-        F.size(toks) >= shingle_len,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - shingle_len),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle_len)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    zipped = F.arrays_zip(
+        *[F.slice(toks, i + 1, F.size(toks)).alias(f"t{i}") for i in range(k)]
+    )
+    full = F.transform(
+        F.slice(zipped, 1, F.size(toks) - (k - 1)),
+        lambda x: F.concat_ws(" ", *[x[f"t{i}"] for i in range(k)]),
+    )
+    return F.when(F.size(toks) >= k, full).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
 
 
 def _shingle_frame(

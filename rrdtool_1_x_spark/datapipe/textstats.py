@@ -112,13 +112,20 @@ def rolling_fingerprint(
     reproducible outside Spark; fingerprint is a hex string).
 
     Map-only: the rolling windows fold over the document's own token array
-    (slice clamps at the end, so trailing windows shorten exactly like the
-    lead()-with-nulls formulation this replaced — bit-identical output,
-    minus that version's two shuffles)."""
+    (arrays_zip pads with nulls at the end and concat_ws skips them, so
+    trailing windows shorten exactly like the lead()-with-nulls formulation
+    this replaced — bit-identical output, minus that version's two
+    shuffles). The ``window`` shifted copies are arrays_zip ARGUMENTS —
+    each evaluated once — never expressions inside the lambda body, where
+    an interpreted HOF would re-split the text once per window (O(tokens²)
+    per document)."""
     toks = _tokens(F.col(text_col))
+    zipped = F.arrays_zip(
+        *[F.slice(toks, i + 1, F.size(toks)).alias(f"t{i}") for i in range(window)]
+    )
     wins = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, window)),
+        zipped,
+        lambda x: F.concat_ws(" ", *[x[f"t{i}"] for i in range(window)]),
     )
     pre = df.select(F.col(id_col), wins.alias("_wins"))
     hashed = F.transform(

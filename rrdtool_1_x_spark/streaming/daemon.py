@@ -1,5 +1,7 @@
 """rrdcached command surface: FLUSH / FLUSHALL / PENDING / FORGET / QUEUE /
-SUSPEND / RESUME / STATS over the streaming ingest.
+SUSPEND / RESUME / STATS over the streaming ingest — as an in-process
+object (``IngestDaemon``) and over the wire (``DaemonServer``, the
+reference's line protocol on a TCP socket).
 
 Reference: the daemon's command handlers (src/rrd_daemon.c:1478-1626
 flush/pending/forget/queue, :2838-2896 suspend/resume, :1426-1476 stats,
@@ -139,3 +141,253 @@ class IngestDaemon:
     def resume_all(self) -> str:
         self._suspended.clear()
         return "Resumed all"
+
+
+class DaemonServer:
+    """The rrdcached network protocol over a TCP socket.
+
+    Line protocol and response framing follow the reference
+    (src/rrd_daemon.c:479-545 ``send_response``, command table
+    :3100-3177): every reply starts with a status line ``<code> <message>``
+    where a non-negative code is the number of detail lines that follow and
+    a negative code is an error. Commands mirror the daemon's:
+
+    UPDATE <series> <ts:v1[:v2...]>... / FLUSH / FLUSHALL / PENDING /
+    FORGET / QUEUE / STATS / SUSPEND / RESUME / SUSPENDALL / RESUMEALL /
+    BATCH (dot-terminated, src/rrd_daemon.c:2904-2960) /
+    FETCH <series> <CF> [start [end]] (text variant, :3080-3092 — the
+    header lines Start/End/Step/DSCount/DSName then one ``ts: v...`` row
+    per step) / HELP / QUIT.
+
+    Concurrency: the listener is a threading TCP server (the reference
+    runs a listen-thread pool over one shared cache tree,
+    src/rrd_daemon.c:2993-3056); all command execution is serialized on one
+    lock because the underlying ``IngestDaemon`` buffers aren't
+    thread-safe — correct first, and the Spark write it fronts is the real
+    cost. FETCH serves from ``DatasetStore.fetch_local`` (driver-side
+    pyarrow — the daemon answers human-scale windows, not cluster scans).
+    """
+
+    def __init__(self, daemon: IngestDaemon, host: str = "127.0.0.1", port: int = 0):
+        import socketserver
+        import threading
+
+        self.daemon = daemon
+        self._lock = threading.Lock()
+        outer = self
+
+        class _Handler(socketserver.StreamRequestHandler):
+            def handle(self) -> None:
+                while True:
+                    raw = self.rfile.readline()
+                    if not raw:
+                        return
+                    line = raw.decode("utf-8", "replace").strip()
+                    if not line:
+                        continue
+                    if line.split()[0].upper() == "BATCH":
+                        # the go-ahead MUST be written before reading the
+                        # batched lines (the client waits for it); only the
+                        # execution itself takes the lock
+                        self.wfile.write(
+                            outer._reply(
+                                0, "Go ahead.  End with dot '.' on its own line."
+                            ).encode()
+                        )
+                        self.wfile.flush()
+                        batch: list[str] = []
+                        while True:
+                            braw = self.rfile.readline()
+                            if not braw:
+                                return
+                            bline = braw.decode("utf-8", "replace").strip()
+                            if bline == ".":
+                                break
+                            if bline:
+                                batch.append(bline)
+                        with outer._lock:
+                            reply = outer._batch(batch)
+                        self.wfile.write(reply.encode())
+                        self.wfile.flush()
+                        continue
+                    with outer._lock:
+                        quit_, reply = outer._dispatch(line)
+                    self.wfile.write(reply.encode())
+                    self.wfile.flush()
+                    if quit_:
+                        return
+
+        class _Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = _Server((host, port), _Handler)
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+
+    # -- lifecycle ------------------------------------------------------------
+    @property
+    def address(self) -> tuple[str, int]:
+        return self._server.server_address
+
+    def start(self) -> "DaemonServer":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+    def __enter__(self) -> "DaemonServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    # -- protocol -------------------------------------------------------------
+    @staticmethod
+    def _reply(code: int, msg: str, lines: list[str] | None = None) -> str:
+        body = "".join(f"{ln}\n" for ln in (lines or []))
+        return f"{code} {msg}\n{body}"
+
+    def _dispatch(self, line: str) -> tuple[bool, str]:
+        parts = line.split()
+        cmd, args = parts[0].upper(), parts[1:]
+        try:
+            if cmd == "QUIT":
+                return True, ""
+            return False, self._command(cmd, args)
+        except KeyError as e:
+            return False, self._reply(-1, str(e).strip("'\""))
+        except Exception as e:  # malformed input must not kill the listener
+            return False, self._reply(-1, f"{type(e).__name__}: {e}")
+
+    def _command(self, cmd: str, args: list[str]) -> str:
+        d = self.daemon
+        if cmd == "UPDATE":
+            if len(args) < 2:
+                return self._reply(-1, "Usage: UPDATE <series> <values> [<values> ...]")
+            rows = self._parse_updates(args[1:])
+            d.update(args[0], rows)
+            return self._reply(0, "errors, enqueued {}".format(len(rows)))
+        if cmd == "FLUSH":
+            return self._reply(0, d.flush(args[0]))
+        if cmd == "FLUSHALL":
+            return self._reply(0, d.flush_all())
+        if cmd == "PENDING":
+            lines = self._pending_lines(args[0])
+            return self._reply(len(lines), "updates pending", lines)
+        if cmd == "FORGET":
+            return self._reply(0, d.forget(args[0]))
+        if cmd == "QUEUE":
+            q = [f"{n} {s}" for n, s in d.queue()]
+            return self._reply(len(q), "in queue.", q)
+        if cmd == "STATS":
+            st = [f"{k}: {v}" for k, v in d.stats.items()]
+            return self._reply(len(st), "Statistics follow", st)
+        if cmd == "SUSPEND":
+            return self._reply(0, d.suspend(args[0]))
+        if cmd == "RESUME":
+            return self._reply(0, d.resume(args[0]))
+        if cmd == "SUSPENDALL":
+            return self._reply(0, d.suspend_all())
+        if cmd == "RESUMEALL":
+            return self._reply(0, d.resume_all())
+        if cmd == "FETCH":
+            return self._fetch(args)
+        if cmd == "HELP":
+            cmds = (
+                "UPDATE FLUSH FLUSHALL PENDING FORGET QUEUE STATS "
+                "SUSPEND RESUME SUSPENDALL RESUMEALL BATCH FETCH HELP QUIT"
+            ).split()
+            return self._reply(len(cmds), "Command overview", cmds)
+        return self._reply(-1, f"Unknown command: {cmd}")
+
+    def _parse_updates(self, values: list[str]) -> list[tuple]:
+        """``<ts:v1[:v2...]>`` update strings → (ds_name, ts, value) rows
+        in the dataset's DS order (the reference's update value grammar,
+        src/rrd_update.c:701-760; 'U' is unknown)."""
+        ds_names = [ds.name for ds in self.daemon.ingest.store.dataset.ds]
+        rows: list[tuple] = []
+        for v in values:
+            fields = v.split(":")
+            ts = float(fields[0])
+            vals = fields[1:]
+            if len(vals) > len(ds_names):
+                raise ValueError(f"more values than data sources in {v!r}")
+            for name, sval in zip(ds_names, vals):
+                rows.append((name, ts, None if sval.upper() == "U" else float(sval)))
+        return rows
+
+    def _pending_lines(self, series_id: str) -> list[str]:
+        """Buffered updates re-serialized as ``ts:v...`` lines (one per
+        distinct timestamp, values in DS order — PENDING's reply shape,
+        src/rrd_daemon.c:1551-1578)."""
+        ds_order = {ds.name: i for i, ds in enumerate(self.daemon.ingest.store.dataset.ds)}
+        by_ts: dict[float, dict[int, str]] = {}
+        for ds_name, ts, val in self.daemon.pending(series_id):
+            s = "U" if val is None else repr(float(val))
+            by_ts.setdefault(ts, {})[ds_order[ds_name]] = s
+        lines = []
+        for ts in sorted(by_ts):
+            vals = [by_ts[ts].get(i, "U") for i in range(len(ds_order))]
+            lines.append(f"{ts:.0f}:" + ":".join(vals[: max(by_ts[ts]) + 1]))
+        return lines
+
+    def _fetch(self, args: list[str]) -> str:
+        if len(args) < 2:
+            return self._reply(-1, "Usage: FETCH <series> <CF> [start [end]]")
+        series, cf = args[0], args[1].upper()
+        store = self.daemon.ingest.store
+        last = store.last()
+        end = int(float(args[3])) if len(args) > 3 else last
+        start = int(float(args[2])) if len(args) > 2 else end - 3600
+        # the reference daemon flushes the file before serving FETCH
+        # (src/rrd_daemon.c:3084: flush_file before rrd_fetch_r)
+        self.daemon.flush(series)
+        pdf, plan = store.fetch_local(cf, start, end)
+        pdf = pdf[pdf["series_id"] == series]
+        ds_names = [ds.name for ds in store.dataset.ds]
+        wide = pdf.pivot_table(
+            index="ts", columns="ds_name", values="value", dropna=False
+        )
+        header = [
+            "FlushVersion: 1",
+            f"Start: {plan.start}",
+            f"End: {plan.end}",
+            f"Step: {plan.step}",
+            f"DSCount: {len(ds_names)}",
+            "DSName: " + " ".join(ds_names),
+        ]
+        rows = []
+        for ts, r in wide.iterrows():
+            vals = " ".join(
+                "U" if _isnan(r.get(n)) else repr(float(r.get(n))) for n in ds_names
+            )
+            rows.append(f"{ts:.0f}: {vals}")
+        lines = header + rows
+        return self._reply(len(lines), f"Success (rows: {len(rows)})", lines)
+
+    def _batch(self, pending: list[str]) -> str:
+        """BATCH execution: the dot-terminated command list, one combined
+        error report with 1-based line indices (src/rrd_daemon.c:2904-2960).
+        The handler has already sent the go-ahead and collected the lines —
+        sending it before reading is what makes the protocol deadlock-free."""
+        errors: list[str] = []
+        for i, cmdline in enumerate(pending, start=1):
+            parts = cmdline.split()
+            try:
+                reply = self._command(parts[0].upper(), parts[1:])
+            except Exception as e:
+                reply = self._reply(-1, str(e))
+            if reply.startswith("-"):
+                errors.append(f"{i} {reply.split(' ', 1)[1].strip()}")
+        return self._reply(len(errors), "errors", errors)
+
+
+def _isnan(x) -> bool:
+    import math
+
+    try:
+        return x is None or math.isnan(float(x))
+    except (TypeError, ValueError):
+        return True

@@ -189,3 +189,124 @@ def test_daemon_command_surface(spark, tmp_path):
     d.flush("speed_ds")
     assert store.last() == head
     assert d.stats["updates_received"] == 9
+
+
+class _Client:
+    """Minimal line-protocol client for DaemonServer tests."""
+
+    def __init__(self, addr):
+        import socket
+
+        self.sock = socket.create_connection(addr, timeout=30)
+        self.f = self.sock.makefile("rwb")
+
+    def send(self, line: str) -> tuple[int, str, list[str]]:
+        self.f.write((line + "\n").encode())
+        self.f.flush()
+        return self.read_reply()
+
+    def read_reply(self) -> tuple[int, str, list[str]]:
+        status = self.f.readline().decode().rstrip("\n")
+        code_s, _, msg = status.partition(" ")
+        code = int(code_s)
+        lines = [
+            self.f.readline().decode().rstrip("\n") for _ in range(max(code, 0))
+        ]
+        return code, msg, lines
+
+    def send_raw(self, line: str) -> None:
+        self.f.write((line + "\n").encode())
+        self.f.flush()
+
+    def close(self):
+        self.f.close()
+        self.sock.close()
+
+
+def test_daemon_socket_protocol(spark, tmp_path):
+    """The rrdcached network protocol end-to-end over a real TCP socket:
+    UPDATE/PENDING/QUEUE buffer, FLUSH writes through the ingest, STATS /
+    HELP / errors use the reference's <code> <message> framing, BATCH is
+    dot-terminated, and FETCH serves header + rows from the store
+    (src/rrd_daemon.c:3080-3092, :479-545)."""
+    from rrdtool_1_x_spark.streaming.daemon import DaemonServer, IngestDaemon
+
+    store = DatasetStore.create(spark, str(tmp_path / "d"), _dataset())
+    daemon = IngestDaemon(StreamingIngest(store), write_interval=1e9)
+    with DaemonServer(daemon) as srv:
+        c = _Client(srv.address)
+        # UPDATE buffers; PENDING and QUEUE see it; nothing written yet
+        vals = " ".join(f"{t}:{v}" for t, v in UPDATES[:4])
+        code, msg, _ = c.send(f"UPDATE speed_ds {vals}")
+        assert code == 0 and "enqueued 4" in msg
+        code, msg, lines = c.send("PENDING speed_ds")
+        assert code == 4 and len(lines) == 4
+        assert lines[0] == f"{UPDATES[0][0]}:{float(UPDATES[0][1])!r}"
+        code, _, lines = c.send("QUEUE")
+        assert code == 1 and lines == ["4 speed_ds"]
+        assert store._read("samples") is None
+
+        # FLUSH writes through the ingest
+        code, msg, _ = c.send("FLUSH speed_ds")
+        assert code == 0 and "Successfully flushed" in msg
+        assert store._read("samples").count() == 4
+        code, _, lines = c.send("PENDING speed_ds")
+        assert code == 0 and lines == []
+
+        # STATS framing: code == number of detail lines
+        code, msg, lines = c.send("STATS")
+        assert msg == "Statistics follow" and code == len(lines) >= 4
+        stats = dict(ln.split(": ") for ln in lines)
+        assert stats["updates_received"] == "4"
+
+        # errors are negative codes, and malformed input doesn't kill the
+        # listener
+        code, msg, _ = c.send("FORGET nosuch")
+        assert code < 0 and "nosuch" in msg
+        code, _, _ = c.send("NOSUCHCOMMAND")
+        assert code < 0
+        code, _, _ = c.send("UPDATE speed_ds not_a_number")
+        assert code < 0
+
+        # SUSPEND caches through FLUSHALL until RESUME
+        vals = " ".join(f"{t}:{v}" for t, v in UPDATES[4:6])
+        c.send(f"UPDATE speed_ds {vals}")
+        assert c.send("SUSPEND speed_ds")[0] == 0
+        c.send("FLUSHALL")
+        assert c.send("PENDING speed_ds")[0] == 2  # still cached
+        assert c.send("RESUME speed_ds")[0] == 0
+        c.send("FLUSHALL")
+        assert store._read("samples").count() == 6
+
+        # BATCH: dot-terminated, one combined error report
+        code, msg, _ = c.send("BATCH")
+        assert code == 0 and msg.startswith("Go ahead")
+        c.send_raw(f"UPDATE speed_ds {UPDATES[6][0]}:{UPDATES[6][1]}")
+        c.send_raw("FORGET nosuch2")
+        c.send_raw(".")
+        code, msg, lines = c.read_reply()
+        assert code == 1 and msg == "errors"
+        assert lines[0].startswith("2 ")  # 1-based index of the failing cmd
+        assert c.send("PENDING speed_ds")[0] == 1
+
+        # FETCH flushes first, then serves header + rows
+        code, msg, lines = c.send(
+            f"FETCH speed_ds AVERAGE {UPDATES[0][0]} {UPDATES[6][0]}"
+        )
+        assert code == len(lines) and code > 6
+        hdr = dict(ln.split(": ", 1) for ln in lines[:6])
+        assert hdr["Step"] == "300" and hdr["DSCount"] == "1"
+        assert hdr["DSName"] == "speed"
+        rows = lines[6:]
+        assert len(rows) >= 5
+        # the known COUNTER rates appear on the wire (first full step 0.04)
+        assert any(ln.endswith(" 0.04") for ln in rows)
+        assert c.send("PENDING speed_ds")[0] == 0  # FETCH flushed the buffer
+
+        # HELP and a second concurrent client
+        assert c.send("HELP")[0] > 0
+        c2 = _Client(srv.address)
+        assert c2.send("STATS")[0] > 0
+        c2.close()
+        c.send_raw("QUIT")
+        c.close()
