@@ -68,6 +68,39 @@ def _samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _SAMPLES_CACHE[key]
 
 
+_TBL_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table via the balanced reader: the driver writes each table
+    as ONE single-row-group parquet file, which a scan cannot split — every
+    map-heavy text operator would run on one core. The balanced read
+    repartitions tiny inputs to the session parallelism and is a no-op on
+    multi-row-group (cluster-scale) inputs. Safe here: all document-side
+    pipelines are per-row maps or integer/min aggregates, so partition
+    order never reaches the hash gate."""
+    from rrdtool_1_x_spark.io import read_parquet_balanced
+
+    key = (spark.sparkContext.applicationId, sf_dir, "documents")
+    if key not in _TBL_CACHE:
+        _TBL_CACHE[key] = read_parquet_balanced(
+            spark, f"{sf_dir}/documents.parquet"
+        )
+    return _TBL_CACHE[key]
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings table via the balanced reader (see _docs)."""
+    from rrdtool_1_x_spark.io import read_parquet_balanced
+
+    key = (spark.sparkContext.applicationId, sf_dir, "embeddings")
+    if key not in _TBL_CACHE:
+        _TBL_CACHE[key] = read_parquet_balanced(
+            spark, f"{sf_dir}/embeddings.parquet"
+        )
+    return _TBL_CACHE[key]
+
+
 _PDP_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -294,7 +327,7 @@ def q_align_outer(spark, sf_dir):
 
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup: hash-groupBy on text, keep lowest doc_id."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return (
         d.select(F.md5(F.col("text").cast("binary")).alias("text_hash"), "doc_id")
         .groupBy("text_hash")
@@ -305,7 +338,7 @@ def q_dedup_exact(spark, sf_dir):
 
 def q_text_stats(spark, sf_dir):
     """Text quality metrics: token count, alpha/digit ratios."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     toks = F.size(F.split(F.trim("text"), r"\s+"))
     alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", "")) / F.col("n_chars")
     digit = F.length(F.regexp_replace("text", "[^0-9]", "")) / F.col("n_chars")
@@ -322,7 +355,7 @@ _STOPWORDS = ("the", "and", "of", "to", "in", "a", "is", "that", "it", "for")
 
 def q_stopword_density(spark, sf_dir):
     """English stopword density — language-ID heuristic feature."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     toks = F.split(F.lower("text"), r"\s+")
     hits = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
     return d.select(
@@ -340,12 +373,12 @@ def q_minhash_sig(spark, sf_dir):
 
     Entirely map-side: shingles are a per-document array transform and each
     seed's minimum folds over that array (array_min) — no shuffle at all.
-    The earlier posexplode+lead(window)+groupBy formulation paid two
-    doc_id shuffles and a big codegen compile to regroup rows that were
-    never ungrouped; this shape is ~10x faster cold and bit-identical."""
+    With the balanced reader splitting the tiny input across cores, the
+    sf0.1 sweep runs this in ~0.7 s (vs 16 s when the whole corpus mapped
+    on one core and each shingle re-split the text — see _shingle_array)."""
     from rrdtool_1_x_spark.datapipe.dedup import _shingle_array
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     # docs with >=3 tokens: full 3-token shingles; shorter docs keep the
     # single partial shingle built from what's there (zip-based build —
     # the split is evaluated O(1) times per doc, not once per shingle)
@@ -371,7 +404,7 @@ def q_quality(spark, sf_dir):
     """Text quality scoring (datapipe.textstats.quality_metrics)."""
     from rrdtool_1_x_spark.datapipe.textstats import quality_metrics
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     out = quality_metrics(d)
     return out.select(
         "doc_id",
@@ -386,7 +419,7 @@ def q_lang_guess(spark, sf_dir):
     """Stopword-density language ID (datapipe.textstats.language_scores)."""
     from rrdtool_1_x_spark.datapipe.textstats import language_scores
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     out = language_scores(d)
     return out.select(
         "doc_id",
@@ -424,7 +457,7 @@ def q_simhash(spark, sf_dir):
     so the DuckDB oracle hash-gates it."""
     from rrdtool_1_x_spark.datapipe.dedup import simhash
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return simhash(d, hash_fn="md5").orderBy("doc_id")
 
 
@@ -435,7 +468,7 @@ def q_media_features(spark, sf_dir):
     whole path hash-gateable against SQL byte math."""
     from rrdtool_1_x_spark.datapipe.multimodal import extract_features, synthesize_media
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     feats = extract_features(synthesize_media(spark, d), feat_dim=64)
     pre = feats.select("doc_id", F.col("feat").alias("_f"))
     return (
@@ -451,7 +484,7 @@ def q_media_features(spark, sf_dir):
 
 def q_ann_cosine_top10(spark, sf_dir):
     """Brute-force cosine top-10 against the lowest-id embedding."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _emb(spark, sf_dir)
     qv = e.orderBy("vec_id").limit(1).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
@@ -484,7 +517,7 @@ def _near_dup(spark, sf_dir):
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _ND_CACHE:
-        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        d = _docs(spark, sf_dir)
         _ND_CACHE[key] = minhash_near_duplicates(d, **_ND_KW).cache()
     return _ND_CACHE[key]
 
@@ -512,7 +545,7 @@ def q_dedup_report(spark, sf_dir):
     """Corpus dedup-rate report: one row of keep-one-per-group accounting."""
     from rrdtool_1_x_spark.datapipe.dedup import duplicate_groups
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     groups = duplicate_groups(_near_dup(spark, sf_dir))
     g = groups.groupBy("group_id").agg(F.count("*").alias("_sz"))
     stats = g.agg(
@@ -535,7 +568,7 @@ def q_embed_near_dup(spark, sf_dir):
     (datapipe.similarity.embedding_near_duplicates)."""
     from rrdtool_1_x_spark.datapipe.similarity import embedding_near_duplicates
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _emb(spark, sf_dir)
     out = embedding_near_duplicates(
         e, threshold=0.35, dim=64, num_planes=4, num_tables=3
     )
@@ -549,7 +582,7 @@ def q_lsh_topk(spark, sf_dir):
     (datapipe.similarity.lsh_bucketed_topk) for the two lowest-id vectors."""
     from rrdtool_1_x_spark.datapipe.similarity import lsh_bucketed_topk
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _emb(spark, sf_dir)
     q = e.orderBy("vec_id").limit(2).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -569,7 +602,7 @@ def q_ivf_topk(spark, sf_dir):
     literals, so corpus assignment is a shuffle-free map."""
     from rrdtool_1_x_spark.datapipe.similarity import ivf_topk
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _emb(spark, sf_dir)
     q = e.orderBy("vec_id").limit(2).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -593,7 +626,7 @@ def q_weighted_jaccard(spark, sf_dir):
         weighted_jaccard_pairs,
     )
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SW_CACHE:
         _SW_CACHE[key] = shingle_weight_frame(d, shingle_len=3).cache()
@@ -609,7 +642,7 @@ def q_fingerprint(spark, sf_dir):
     md5 mode (datapipe.textstats.rolling_fingerprint)."""
     from rrdtool_1_x_spark.datapipe.textstats import rolling_fingerprint
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return rolling_fingerprint(d, window=8, hash_fn="md5").orderBy("doc_id")
 
 
@@ -680,7 +713,7 @@ def q_decontam_overlap(spark, sf_dir):
     never shuffled."""
     from rrdtool_1_x_spark.datapipe.decontam import contamination_pairs
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     bench = d.filter(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("bench_id"), "text"
     )
@@ -699,7 +732,7 @@ def q_hash_split(spark, sf_dir):
     md5-keyed, map-only, stable under appends/retries/repartitioning."""
     from rrdtool_1_x_spark.datapipe.sampling import hash_split
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     out = hash_split(d, {"train": 0.8, "val": 0.1, "test": 0.1})
     return out.select("doc_id", "split").orderBy("doc_id")
 
@@ -709,7 +742,7 @@ def q_stratified_sample(spark, sf_dir):
     (datapipe.sampling.stratified_sample)."""
     from rrdtool_1_x_spark.datapipe.sampling import stratified_sample
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     out = stratified_sample(d, ["lang"], 20)
     return out.select("doc_id", "lang").orderBy("doc_id")
 
@@ -720,7 +753,7 @@ def q_token_budget(spark, sf_dir):
     shuffle on the group key, running totals via a window."""
     from rrdtool_1_x_spark.datapipe.sampling import token_budget_sample
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+    d = _docs(spark, sf_dir).withColumn(
         "token_cnt", F.size(F.split(F.trim("text"), r"\s+")).cast("long")
     )
     out = token_budget_sample(
@@ -736,7 +769,7 @@ def q_vocab_top(spark, sf_dir):
     (datapipe.decontam.vocab_top_ngrams)."""
     from rrdtool_1_x_spark.datapipe.decontam import vocab_top_ngrams
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return vocab_top_ngrams(d, n=1, k=50).orderBy("rank")
 
 

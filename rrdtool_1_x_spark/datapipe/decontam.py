@@ -24,7 +24,16 @@ from pyspark.sql import functions as F
 def _ngram_frame(df: DataFrame, id_col: str, text_col: str, n: int, out_id: str) -> DataFrame:
     """(out_id, ngram) distinct word n-grams, built from the token array
     with transform over indices (no per-row window needed — the array is
-    already in document order)."""
+    already in document order).
+
+    Per-document uniqueness comes from ``array_distinct`` BEFORE the
+    explode — a map-side dedup inside the scan task — never from
+    ``.distinct()`` after it, which would shuffle every exploded n-gram
+    row of the corpus just to remove within-document repeats. The rows
+    are already unique across documents by construction (the id is part
+    of the row), so the map-side dedup is complete and the corpus-side
+    claim of the contamination join ("the corpus is never shuffled")
+    actually holds."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     pre = df.select(F.col(id_col).alias(out_id), toks.alias("_toks"))
     grams = F.when(
@@ -34,10 +43,8 @@ def _ngram_frame(df: DataFrame, id_col: str, text_col: str, n: int, out_id: str)
             lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, n)),
         ),
     ).otherwise(F.array(F.concat_ws(" ", "_toks")))
-    return (
-        pre.select(out_id, grams.alias("_g"))
-        .select(out_id, F.explode("_g").alias("ngram"))
-        .distinct()
+    return pre.select(
+        out_id, F.explode(F.array_distinct(grams)).alias("ngram")
     )
 
 
@@ -133,9 +140,11 @@ def vocab_top_ngrams(
             .select(F.col("_by").alias(by), "ngram", "doc_freq", "rank")
         )
     counted = grams.groupBy("ngram").agg(F.count("*").alias("doc_freq"))
+    # top-k via orderBy+limit (TakeOrdered: per-partition heaps, no
+    # single-partition window over the whole vocabulary); the rank window
+    # then runs over k rows only
+    top = counted.orderBy(F.desc("doc_freq"), F.asc("ngram")).limit(k)
     w = Window.orderBy(F.desc("doc_freq"), F.asc("ngram"))
-    return (
-        counted.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("ngram", "doc_freq", "rank")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "ngram", "doc_freq", "rank"
     )

@@ -601,6 +601,126 @@ def simhash_near_duplicates(
     )
 
 
+def write_simhash_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    blocks: int = 4,
+    bits: int = 64,
+    hash_fn: str = "md5",
+) -> None:
+    """Persist SimHash state for append-only near-dup maintenance:
+    ``{path}/fps`` (id, simhash) and ``{path}/blocks`` (id, block_idx,
+    block_val). The simhash analogue of write_band_index — an append
+    fingerprints ONLY the new batch and joins it against the persisted
+    block table, never re-reading the corpus text."""
+    width = bits // blocks
+    mask = (1 << width) - 1
+    fp = simhash(docs, id_col, text_col, bits=bits, hash_fn=hash_fn)
+    fp.write.mode("overwrite").parquet(f"{path}/fps")
+    _simhash_blocks(fp, id_col, blocks, width, mask).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/blocks")
+
+
+def _simhash_blocks(
+    fp: DataFrame, id_col: str, blocks: int, width: int, mask: int
+) -> DataFrame:
+    block_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("block_idx"),
+                F.shiftrightunsigned(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("block_val"),
+            )
+            for b in range(blocks)
+        ]
+    )
+    return (
+        fp.select(id_col, "simhash", block_structs.alias("_ba"))
+        .select(id_col, "simhash", F.explode("_ba").alias("_bb"))
+        .select(
+            id_col,
+            "simhash",
+            F.col("_bb.block_idx").alias("block_idx"),
+            F.col("_bb.block_val").alias("block_val"),
+        )
+    )
+
+
+def append_simhash_index(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    blocks: int = 4,
+    bits: int = 64,
+    hash_fn: str = "md5",
+    max_bucket_size: int | None = 512,
+) -> DataFrame:
+    """Append a batch to a ``write_simhash_index`` index; return the NEW
+    verified pairs (new↔old and new↔new, id_a < id_b, hamming <=
+    max_hamming).
+
+    Composes exactly with the batch pipeline under append-only increasing
+    ids: simhash_near_duplicates over the full corpus == initial pairs ∪
+    every append's pairs (tested). Unlike the MinHash index there is no
+    exact-copy registry — identical texts have identical fingerprints and
+    the batch path emits those hamming-0 pairs, so the append path must
+    too. The block cap is evaluated on post-append block sizes (same
+    drop-don't-retract semantics as append_band_index)."""
+    if max_hamming >= blocks:
+        raise ValueError("pigeonhole blocking needs max_hamming < blocks")
+    spark = new_docs.sparkSession
+    width = bits // blocks
+    mask = (1 << width) - 1
+    fp = simhash(new_docs, id_col, text_col, bits=bits, hash_fn=hash_fn)
+    new_blocks = _simhash_blocks(fp, id_col, blocks, width, mask).localCheckpoint(
+        eager=True
+    )  # feeds the cap count, the join, and the index append
+    old_blocks = spark.read.parquet(f"{path}/blocks")
+    all_blocks = old_blocks.unionByName(new_blocks)
+    if max_bucket_size is not None:
+        keep = (
+            all_blocks.groupBy("block_idx", "block_val")
+            .count()
+            .filter(F.col("count") <= max_bucket_size)
+            .select("block_idx", "block_val")
+        )
+        new_side = new_blocks.join(keep, ["block_idx", "block_val"], "left_semi")
+        all_side = all_blocks.join(keep, ["block_idx", "block_val"], "left_semi")
+    else:
+        new_side, all_side = new_blocks, all_blocks
+    j = new_side.select(
+        F.col(id_col).alias("_x"), F.col("simhash").alias("_fx"), "block_idx", "block_val"
+    ).join(
+        all_side.select(
+            F.col(id_col).alias("_y"), F.col("simhash").alias("_fy"), "block_idx", "block_val"
+        ),
+        ["block_idx", "block_val"],
+    )
+    out = (
+        j.filter(F.col("_x") != F.col("_y"))
+        .select(
+            F.least("_x", "_y").alias("id_a"),
+            F.greatest("_x", "_y").alias("id_b"),
+            simhash_hamming(F.col("_fx"), F.col("_fy")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        # materialize BEFORE the appends below rewrite what the plan reads
+        .localCheckpoint(eager=True)
+    )
+    new_blocks.select(id_col, "simhash").dropDuplicates([id_col]).write.mode(
+        "append"
+    ).parquet(f"{path}/fps")
+    new_blocks.write.mode("append").parquet(f"{path}/blocks")
+    return out
+
+
 def duplicate_groups(
     pairs: DataFrame,
     max_iterations: int = 10,

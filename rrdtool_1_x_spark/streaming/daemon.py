@@ -294,10 +294,23 @@ class DaemonServer:
             return self._reply(0, d.resume_all())
         if cmd == "FETCH":
             return self._fetch(args)
+        if cmd == "LIST":
+            # ≙ the daemon's LIST (src/rrd_daemon.c list handler wrapping
+            # rrd_list): datasets under the store's root directory
+            import os
+
+            from rrdtool_1_x_spark.sources.store import list_datasets
+
+            names = list_datasets(os.path.dirname(d.ingest.store.path.rstrip("/")))
+            return self._reply(len(names), "datasets", names)
+        if cmd == "INFO":
+            info = [f"{k} = {v}" for k, v in d.ingest.store.info().items()]
+            return self._reply(len(info), "Info follows", info)
         if cmd == "HELP":
             cmds = (
                 "UPDATE FLUSH FLUSHALL PENDING FORGET QUEUE STATS "
-                "SUSPEND RESUME SUSPENDALL RESUMEALL BATCH FETCH HELP QUIT"
+                "SUSPEND RESUME SUSPENDALL RESUMEALL BATCH FETCH LIST INFO "
+                "HELP QUIT"
             ).split()
             return self._reply(len(cmds), "Command overview", cmds)
         return self._reply(-1, f"Unknown command: {cmd}")

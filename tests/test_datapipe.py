@@ -351,3 +351,86 @@ def test_weighted_jaccard_hand_computed(spark):
     assert abs(out[(1, 2)] - 1.0) < 1e-12  # identical docs
     want13 = w_cb / (t12 + (w_cb + 2 * w_uniq) - w_cb)
     assert abs(out[(1, 3)] - want13) < 1e-12
+
+
+def test_incremental_simhash_index(docs, tmp_path):
+    """SimHash append-only maintenance composes exactly with the batch
+    pipeline (full == initial ∪ appends), including the hamming-0 pairs of
+    exact copies — simhash has no exact-dup registry by design."""
+    from rrdtool_1_x_spark.datapipe.dedup import (
+        append_simhash_index,
+        simhash_near_duplicates,
+        write_simhash_index,
+    )
+
+    kw = dict(max_hamming=3, blocks=4, hash_fn="md5")
+    d1 = docs.filter(F.col("doc_id") < 10000)
+    d2 = docs.filter(F.col("doc_id") >= 10000)
+    path = str(tmp_path / "sidx")
+    write_simhash_index(d1, path, blocks=4, hash_fn="md5")
+    initial = simhash_near_duplicates(d1, **kw)
+    appended = append_simhash_index(d2, path, **kw)
+    full = simhash_near_duplicates(docs, **kw)
+    key = lambda r: (r["id_a"], r["id_b"], r["hamming"])
+    f = {key(r) for r in full.collect()}
+    inc = {key(r) for r in initial.collect()} | {key(r) for r in appended.collect()}
+    assert f == inc and len(f) > 0
+    # the exact copies surface as hamming-0 pairs through the append path
+    assert any(a + 20000 == b and h == 0 for a, b, h in inc)
+
+
+def test_near_dup_streams_match_batch(spark, docs, tmp_path):
+    """Structured Streaming drive: documents streamed file-by-file through
+    foreachBatch into the persisted indexes accumulate exactly the batch
+    pipeline's pairs (minhash and simhash)."""
+    from rrdtool_1_x_spark.datapipe.dedup import (
+        simhash_near_duplicates,
+        write_band_index,
+        write_simhash_index,
+    )
+    from rrdtool_1_x_spark.streaming.datapipe_stream import (
+        start_minhash_stream,
+        start_simhash_stream,
+    )
+
+    mkw = dict(num_hashes=8, bands=4, shingle_len=3)
+    skw = dict(max_hamming=3, blocks=4, hash_fn="md5")
+    d1 = docs.filter(F.col("doc_id") < 10000)
+    d2 = docs.filter(F.col("doc_id") >= 10000)
+    midx, sidx = str(tmp_path / "midx"), str(tmp_path / "sidx")
+    write_band_index(d1, midx, **mkw)
+    write_simhash_index(d1, sidx, blocks=4, hash_fn="md5")
+
+    # two appends arrive as two files → two micro-batches
+    src = str(tmp_path / "in")
+    d2.filter(F.col("doc_id") < 20000).coalesce(1).write.mode("append").parquet(src)
+    d2.filter(F.col("doc_id") >= 20000).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q1 = start_minhash_stream(
+        stream, midx, str(tmp_path / "ck1"), jaccard_threshold=0.5, **mkw
+    )
+    q1.awaitTermination(300)
+    q2 = start_simhash_stream(stream, sidx, str(tmp_path / "ck2"), **skw)
+    q2.awaitTermination(300)
+
+    mkey = lambda r: (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+    full_m = {mkey(r) for r in minhash_near_duplicates(docs, jaccard_threshold=0.5, **mkw).collect()}
+    init_m = {mkey(r) for r in minhash_near_duplicates(d1, jaccard_threshold=0.5, **mkw).collect()}
+    streamed_m = {
+        mkey(r)
+        for r in spark.read.parquet(f"{midx}/pairs").dropDuplicates(["id_a", "id_b"]).collect()
+    }
+    assert full_m == init_m | streamed_m and len(streamed_m) > 0
+
+    skey = lambda r: (r["id_a"], r["id_b"], r["hamming"])
+    full_s = {skey(r) for r in simhash_near_duplicates(docs, **skw).collect()}
+    init_s = {skey(r) for r in simhash_near_duplicates(d1, **skw).collect()}
+    streamed_s = {
+        skey(r)
+        for r in spark.read.parquet(f"{sidx}/pairs").dropDuplicates(["id_a", "id_b"]).collect()
+    }
+    assert full_s == init_s | streamed_s and len(streamed_s) > 0

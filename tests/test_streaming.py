@@ -303,6 +303,13 @@ def test_daemon_socket_protocol(spark, tmp_path):
         assert any(ln.endswith(" 0.04") for ln in rows)
         assert c.send("PENDING speed_ds")[0] == 0  # FETCH flushed the buffer
 
+        # LIST enumerates datasets under the store root; INFO dumps the header
+        code, _, lines = c.send("LIST")
+        assert code == 1 and lines == ["d"]
+        code, _, lines = c.send("INFO")
+        info = dict(ln.split(" = ", 1) for ln in lines)
+        assert info["step"] == "300" and info["ds[speed].type"] == "COUNTER"
+
         # HELP and a second concurrent client
         assert c.send("HELP")[0] > 0
         c2 = _Client(srv.address)
