@@ -496,10 +496,13 @@ def q_ann_cosine_top10(spark, sf_dir):
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
     sim = F.round(dot / (na * nb), 6)
     out = j.select("vec_id", sim.alias("cos_sim"))
+    # top-k via orderBy+limit (TakeOrdered: per-partition heaps) — an
+    # unpartitioned rank window here would funnel every scored corpus row
+    # through one partition; the rank window runs over the 10 survivors
+    top = out.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10)
     w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
-        out.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+        top.withColumn("rank", F.row_number().over(w))
         .select("vec_id", "cos_sim", "rank")
         .orderBy("rank")
     )

@@ -391,6 +391,37 @@ def write_ivf_index(
     )
 
 
+def append_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    model: list[tuple[int, list[float], float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a vector batch to a ``write_ivf_index`` index.
+
+    The centroid model is FROZEN at build time (the standard IVF contract —
+    FAISS/Milvus-style indexes retrain offline, never on append), so an
+    append is a map-only assignment of the new batch plus a partitioned
+    parquet append into the touched cells: appending to a 100 TB index
+    costs the batch's own assignment, never a corpus rescan or an index
+    rewrite. Cell partition pruning keeps working because the layout is
+    unchanged."""
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    n2 = F.aggregate(vd, F.lit(0.0), lambda s, x: s + x * x)
+    (
+        new_vectors.select(
+            F.col(id_col),
+            vd.alias("vec"),
+            n2.alias("norm2"),
+            (-F.array_max(_centroid_scores(F.col(vec_col), model))["nc"]).alias("cell"),
+        )
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
 def ivf_topk_indexed(
     spark,
     path: str,

@@ -168,7 +168,16 @@ class DaemonServer:
     pyarrow — the daemon answers human-scale windows, not cluster scans).
     """
 
-    def __init__(self, daemon: IngestDaemon, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        daemon: IngestDaemon,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        unix_path: str | None = None,
+    ):
+        """``unix_path`` switches to a UNIX-domain socket — the reference
+        daemon's default transport (rrdcached -l unix:/path,
+        src/rrd_daemon.c listen-socket setup); TCP host:port otherwise."""
         import socketserver
         import threading
 
@@ -217,11 +226,19 @@ class DaemonServer:
                     if quit_:
                         return
 
-        class _Server(socketserver.ThreadingTCPServer):
-            allow_reuse_address = True
-            daemon_threads = True
+        if unix_path is not None:
 
-        self._server = _Server((host, port), _Handler)
+            class _Server(socketserver.ThreadingUnixStreamServer):
+                daemon_threads = True
+
+            self._server = _Server(unix_path, _Handler)
+        else:
+
+            class _Server(socketserver.ThreadingTCPServer):
+                allow_reuse_address = True
+                daemon_threads = True
+
+            self._server = _Server((host, port), _Handler)
         self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
 
     # -- lifecycle ------------------------------------------------------------

@@ -434,3 +434,28 @@ def test_near_dup_streams_match_batch(spark, docs, tmp_path):
         for r in spark.read.parquet(f"{sidx}/pairs").dropDuplicates(["id_a", "id_b"]).collect()
     }
     assert full_s == init_s | streamed_s and len(streamed_s) > 0
+
+
+def test_append_ivf_index(spark, emb, tmp_path):
+    """Appending to a persisted IVF index equals rebuilding it: assignment
+    is a pure function of the frozen model, so old rows never move and the
+    probe path sees the union."""
+    from rrdtool_1_x_spark.datapipe.similarity import (
+        append_ivf_index,
+        ivf_centroid_model,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+
+    model = ivf_centroid_model(emb, nlist=8)
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    inc_path, full_path = str(tmp_path / "inc"), str(tmp_path / "full")
+    write_ivf_index(half, inc_path, model)
+    append_ivf_index(rest, inc_path, model)
+    write_ivf_index(emb, full_path, model)
+    q = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    key = lambda r: (r["query_id"], r["vec_id"], r["rank"])
+    a = sorted(key(r) for r in ivf_topk_indexed(spark, inc_path, q, model, k=5, nprobe=8).collect())
+    b = sorted(key(r) for r in ivf_topk_indexed(spark, full_path, q, model, k=5, nprobe=8).collect())
+    assert a == b and len(a) == 15

@@ -317,3 +317,33 @@ def test_daemon_socket_protocol(spark, tmp_path):
         c2.close()
         c.send_raw("QUIT")
         c.close()
+
+
+def test_daemon_unix_socket(spark, tmp_path):
+    """The daemon protocol over its reference-default transport: a
+    UNIX-domain socket."""
+    import socket
+
+    from rrdtool_1_x_spark.streaming.daemon import DaemonServer, IngestDaemon
+
+    store = DatasetStore.create(spark, str(tmp_path / "d"), _dataset())
+    sock_path = str(tmp_path / "rrdcached.sock")
+    with DaemonServer(
+        IngestDaemon(StreamingIngest(store), write_interval=1e9),
+        unix_path=sock_path,
+    ) as srv:
+        assert srv.address == sock_path
+        s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        s.settimeout(30)
+        s.connect(sock_path)
+        f = s.makefile("rwb")
+        f.write(b"UPDATE speed_ds 920804700:12345\n")
+        f.flush()
+        assert f.readline().decode().startswith("0 ")
+        f.write(b"STATS\n")
+        f.flush()
+        head = f.readline().decode()
+        n = int(head.split(" ", 1)[0])
+        lines = [f.readline().decode() for _ in range(n)]
+        assert any(ln.startswith("updates_received: 1") for ln in lines)
+        s.close()
