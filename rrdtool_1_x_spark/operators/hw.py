@@ -27,21 +27,25 @@ key, then a vectorized-state numpy loop per group. At 100 TB the
 parallelism is across series (millions of groups), which is exactly how the
 reference scales too (one file per series).
 
-Smoother schedule: apply_smoother (src/rrd_hw.c:128-330) runs at each
-RRA's rotating-row wrap during the BURNIN_CYCLES burn-in (NaN-skipped
-fires still consume burn-in slots), then anchors where the row pointer
-crosses smooth_idx = FnvHash(filename) % row_cnt (do_schedule_smooth,
-src/rrd_update.c:1920-1952; seed src/rrd_create.c:598-599). SEASONAL and
-DEVSEASONAL schedule independently from their own random initial rows
-(rrd_select_initial_row, src/rrd_open.c:1200) — ``smooth_idx`` +
-``r0_seasonal``/``r0_devseasonal`` reproduce any concrete file's schedule,
-and the fire-sequence formulas are differentially tested against a -DDEBUG
-reference build (tests/test_fetch_differential.py). The smoother also
-rewrites the trailing archive rows; emitted rows in the current batch are
-back-patched to match (earlier streaming batches cannot be). Known open
-nuance: the reference's archive-row read path around a smoothing event can
-serve the pre-smooth coefficient for one step; post-smoothing values can
-differ transiently from this implementation at those steps.
+Smoother schedule: SEASONAL and DEVSEASONAL each track their own due
+condition — rotating-row wrap during the BURNIN_CYCLES burn-in
+(NaN-skipped fires still consume burn-in slots), then anchored where the
+row pointer crosses smooth_idx = FnvHash(filename) % row_cnt
+(do_schedule_smooth, src/rrd_update.c:1920-1952; seed
+src/rrd_create.c:598-599), from their own random initial rows
+(rrd_select_initial_row) exposed as ``r0_seasonal``/``r0_devseasonal``.
+But the APPLICATION is one dataset-level flag: when ANY stream is due,
+apply_smoother runs over BOTH arrays (rrd_update.c:948 + :2469-2485),
+each gated by its own all-slots-known NA check. The smoother rewrites the
+trailing archive rows (back-patched into already-emitted rows of the
+current batch), and — because every update's coefficients come from the
+scratch cache filled by the PREVIOUS update's archive read
+(update_seasonal src/rrd_hw_update.c:138-141) — the step right after a
+fire computes with the PRE-smooth coefficient, which feeds back into the
+intercept/seasonal state. Both behaviors are emulated exactly (the
+``stale_s``/``stale_d`` carries) and verified value-for-value over 40
+cycles with a real smoothing window against a -DDEBUG reference build
+(tests/test_fetch_differential.py::test_hw_long_run_values_match_reference).
 """
 
 from __future__ import annotations
@@ -117,15 +121,18 @@ def _hw_loop(
 ) -> tuple[pd.DataFrame, tuple]:
     """The HW recurrence with explicit carried state — shared by the batch
     operator (fresh state) and the streaming variant (state from the
-    operator store). ``state`` = (i0, a, b, k, S, D, viol): global step
-    index, intercept, slope, null-count, seasonal/deviation arrays of
-    length ``period``, violation ring of length ``window_len``."""
+    operator store). ``state`` = (i0, a, b, k, S, D, viol[, stale_s,
+    stale_d]): global step index, intercept, slope, null-count,
+    seasonal/deviation arrays of length ``period``, violation ring of
+    length ``window_len``, and the one-step-delayed coefficient carries
+    (NaN = none pending; legacy 7-tuples load as none pending)."""
     n = len(ts)
     pred = np.full(n, np.nan)
     seas_out = np.full(n, np.nan)
     dev_out = np.full(n, np.nan)
     devs_out = np.full(n, np.nan)
     fail = np.zeros(n)
+    stale_s = stale_d = np.nan
     if state is None:
         i0 = 0
         S = np.full(period, np.nan)
@@ -134,9 +141,11 @@ def _hw_loop(
         k = 0
         viol = np.zeros(window_len, dtype=np.int64)
     else:
-        i0, a, b, k, S, D, viol = state
+        i0, a, b, k, S, D, viol, *carry = state
         S, D = np.asarray(S, dtype=float).copy(), np.asarray(D, dtype=float).copy()
         viol = np.asarray(viol, dtype=np.int64).copy()
+        if carry:
+            stale_s, stale_d = float(carry[0]), float(carry[1])
     smooth_offset = int(np.floor(smooth_window / 2.0 * period))
     # smoother schedule phases (1-based update count mod period): burn-in at
     # each archive-row wrap, post-burn-in where the row pointer crosses
@@ -177,7 +186,16 @@ def _hw_loop(
     for i in range(n):
         p = (i0 + i) % period
         x = vals[i]
+        # one-step-delayed coefficient read (the reference's lookahead
+        # cache: update t uses the CDP_hw_seasonal scratch filled by the
+        # ARCHIVE read during update t-1, update_seasonal
+        # src/rrd_hw_update.c:138-141 — so the step right after a smoothing
+        # fire computes with the PRE-smooth coefficient, and that stale
+        # value feeds back into the intercept/seasonal recurrences)
         sc = S[p]
+        if not np.isnan(stale_s):
+            sc = stale_s
+            stale_s = np.nan
         # ---- HWPREDICT (src/rrd_hw_update.c:38-115)
         last_a = a
         if np.isnan(a) or np.isnan(b) or np.isnan(sc):
@@ -203,7 +221,11 @@ def _hw_loop(
                 k = 1
         pred[i] = pr
         # ---- FAILURES uses the deviation before this step's update
+        # (same one-step-delayed read as the seasonal coefficient)
         dv = D[p]
+        if not np.isnan(stale_d):
+            dv = stale_d
+            stale_d = np.nan
         v = 0
         if not (np.isnan(x) or np.isnan(pr) or np.isnan(dv)):
             v = int(x > pr + delta_pos * dv or x < pr - delta_neg * dv)
@@ -223,6 +245,11 @@ def _hw_loop(
                     S[p] = np.nan if a <= 0 else gamma * (x / a) + (1 - gamma) * sc
                 else:
                     S[p] = gamma * (x - a) + (1 - gamma) * sc
+        else:
+            # "no update, store the old value unchanged"
+            # (src/rrd_hw_update.c:143-148) — with a pending stale carry
+            # this writes the pre-smooth value back over the smoothed slot
+            S[p] = sc
         seas_out[i] = S[p]
         # ---- DEVSEASONAL (src/rrd_hw_update.c:262-365); DEVPREDICT
         # publishes the deviation as of BEFORE this step's update
@@ -233,6 +260,9 @@ def _hw_loop(
                 D[p] = abs(pr - x)
             else:
                 D[p] = gamma * abs(pr - x) + (1 - gamma) * dv
+        else:
+            # store the old (possibly stale) value unchanged, like SEASONAL
+            D[p] = dv
         devs_out[i] = D[p]
         # ---- periodic seasonal smoother (apply_smoother src/rrd_hw.c:
         # 128-330; schedule do_schedule_smooth src/rrd_update.c:1920-1952).
@@ -253,10 +283,22 @@ def _hw_loop(
         if smooth_offset > 0:
             due_s = g1 % period == (burn_s if fires_s < BURNIN_CYCLES else post_s)
             due_d = g1 % period == (burn_d if fires_d < BURNIN_CYCLES else post_d)
-            if due_s:
-                if fires_s < BURNIN_CYCLES:
-                    fires_s += 1
+            if due_s and fires_s < BURNIN_CYCLES:
+                fires_s += 1
+            if due_d and fires_d < BURNIN_CYCLES:
+                fires_d += 1
+            # ONE schedule flag for the whole dataset: when ANY
+            # seasonal-family stream is due, the smoother runs over BOTH
+            # the SEASONAL and DEVSEASONAL arrays (rrd_update.c:948 +
+            # :2469-2485 — smooth_all_rras loops every CF_SEASONAL /
+            # CF_DEVSEASONAL rra); only the due stream's burn counter
+            # advances. Each array keeps its own all-known NA gate.
+            if due_s or due_d:
                 if not np.isnan(S).any():
+                    # the NEXT step's coefficient was already read into the
+                    # scratch cache before this rewrite — carry the
+                    # pre-smooth value so step i+1 computes with it
+                    stale_s = S[(i0 + i + 1) % period]
                     sm, baseline = _smooth(S)
                     # SEASONAL: recenter around 0 and move the baseline
                     # into the intercept (src/rrd_hw.c:248-282)
@@ -268,10 +310,8 @@ def _hw_loop(
                         a += baseline
                     for o in range(min(period, i + 1)):
                         seas_out[i - o] = S[(i0 + i - o) % period]
-            if due_d:
-                if fires_d < BURNIN_CYCLES:
-                    fires_d += 1
                 if not np.isnan(D).any():
+                    stale_d = D[(i0 + i + 1) % period]
                     D, _ = _smooth(D)
                     for o in range(min(period, i + 1)):
                         devs_out[i - o] = D[(i0 + i - o) % period]
@@ -285,7 +325,7 @@ def _hw_loop(
             "failures": fail,
         }
     )
-    return out, (i0 + n, a, b, k, S, D, viol)
+    return out, (i0 + n, a, b, k, S, D, viol, stale_s, stale_d)
 
 
 def hw_predict(

@@ -301,7 +301,8 @@ def stateful_cdp_stream(
 
 HW_STATE_SCHEMA = (
     "i long, a double, b double, k long,"
-    " s array<double>, d array<double>, viol array<long>, last_ts double"
+    " s array<double>, d array<double>, viol array<long>,"
+    " stale_s double, stale_d double, last_ts double"
 )
 HW_OUTPUT_SCHEMA = (
     "series_id string, ts double, prediction double, seasonal double,"
@@ -347,15 +348,15 @@ def stateful_hw_stream(
         st = None
         last_ts = -math.inf
         if state.exists:
-            i0, a, b, k, s, d, viol, last_ts = state.get
-            st = (int(i0), a, b, int(k), s, d, viol)
+            i0, a, b, k, s, d, viol, stale_s, stale_d, last_ts = state.get
+            st = (int(i0), a, b, int(k), s, d, viol, stale_s, stale_d)
         # strictly-increasing rule: a late step would advance the phase out
         # of line with wall time — drop it like the PDP stream drops late
         # raw updates
         rows = [r for r in rows if r[0] > last_ts]
         if rows:
             last_ts = rows[-1][0]
-        out, (i1, a, b, k, s, d, viol) = _hw_loop(
+        out, (i1, a, b, k, s, d, viol, stale_s, stale_d) = _hw_loop(
             np.array([r[0] for r in rows]),
             np.array([r[1] for r in rows]),
             alpha, beta, gamma, period, delta_pos, delta_neg,
@@ -365,7 +366,8 @@ def stateful_hw_stream(
         state.update(
             (int(i1), float(a), float(b), int(k),
              [float(x) for x in s], [float(x) for x in d],
-             [int(x) for x in viol], float(last_ts))
+             [int(x) for x in viol], float(stale_s), float(stale_d),
+             float(last_ts))
         )
         if len(out):
             out.insert(0, "series_id", key[0])

@@ -371,3 +371,133 @@ def test_hw_smoother_anchor_matches_reference(tmp_path):
         }
     observed = {upd for upd, _, _ in fires}
     assert predicted == observed, (sorted(predicted), sorted(observed))
+
+
+def test_hw_long_run_values_match_reference(spark, tmp_path):
+    """Long-run Holt-Winters VALUE differential (the roadmap's burn-in
+    drift check): 40 seasonal cycles through the reference build with a
+    REAL smoothing window (0.5 — the anchor and the smoothing rewrite both
+    change values, unlike the golden fixtures' window=0), then row-for-row
+    comparison of HWPREDICT/SEASONAL/DEVSEASONAL/DEVPREDICT. The two
+    seasonal streams' random initial rows are learned from the -DDEBUG
+    fire log; stream assignment is disambiguated by trying both and
+    requiring one to match. Steps within one period of a smoothing fire
+    are excluded: the reference's archive read around a fire can serve
+    pre-smooth coefficients transiently (documented nuance in
+    operators/hw.py)."""
+    import math as _m
+    import re
+
+    dbg = _debug_binary()
+    if dbg is None:
+        pytest.skip("debug reference build unavailable")
+    from rrdtool_1_x_spark.operators.hw import BURNIN_CYCLES, hw_predict
+
+    period, step, ncyc = 24, 300, 40
+    n = period * ncyc
+    t0 = 1000000200
+    rrd = str(tmp_path / "hwlong.rrd")
+    subprocess.run(
+        [dbg, "create", rrd, "--start", str(t0), "--step", str(step),
+         "DS:x:GAUGE:600:U:U",
+         f"RRA:AVERAGE:0.5:1:{n + 10}",
+         f"RRA:HWPREDICT:{n + 10}:0.1:0.0035:{period}:3",
+         f"RRA:SEASONAL:{period}:0.1:2:smoothing-window=0.5",
+         f"RRA:DEVSEASONAL:{period}:0.1:2:smoothing-window=0.5",
+         f"RRA:DEVPREDICT:{n + 10}:4",
+         f"RRA:FAILURES:{n + 10}:7:9:4"],
+        check=True, capture_output=True,
+    )
+    vals: list[float | None] = [
+        50 + 40 * _m.sin(2 * _m.pi * i / period) + ((i * 7) % 11) / 3.0
+        for i in range(1, n + 1)
+    ]
+    for i in range(120, 126):  # a gap mid-run exercises the NaN path
+        vals[i] = None
+    fires: list[tuple[int, int, int]] = []
+    for i in range(1, n + 1):
+        v = "U" if vals[i - 1] is None else f"{vals[i - 1]:.6f}"
+        out = subprocess.run(
+            [dbg, "update", rrd, f"{t0 + step * i}:{v}"],
+            capture_output=True, text=True,
+        )
+        for m in re.finditer(
+            r"schedule_smooth: cur_row (\d+), elapsed_pdp_st 1, smooth idx (\d+)",
+            out.stderr + out.stdout,
+        ):
+            fires.append((i, int(m.group(1)), int(m.group(2))))
+    assert fires, "no smoothing fires"
+    smooth_idx = fires[0][2]
+    burn_phases = sorted(
+        {u % period for u, cur_row, _ in fires if cur_row == period - 1}
+    )
+    r0s = [(period - 1 - p) % period for p in burn_phases]
+    if len(r0s) == 1:
+        r0s = [r0s[0], r0s[0]]
+
+    ref: dict[str, dict[int, float | None]] = {}
+    for cf in ["HWPREDICT", "SEASONAL", "DEVSEASONAL", "DEVPREDICT"]:
+        out = subprocess.run(
+            [dbg, "fetch", rrd, cf, "-r", str(step), "-s", str(t0),
+             "-e", str(t0 + n * step)],
+            check=True, capture_output=True, text=True).stdout
+        p = str(tmp_path / f"f_{cf}")
+        with open(p, "w") as f:
+            f.write(out)
+        _, rows = parse_fetch_output(p)
+        ref[cf] = {ts: v[0] for ts, v in rows.items()}
+
+    pdp = spark.createDataFrame(
+        [
+            ("s", float(t0 + step * i), vals[i - 1])
+            for i in range(1, n + 1)
+            if vals[i - 1] is not None
+        ],
+        "series_id string, ts double, value double",
+    )
+    # exclusion zone: a few steps after each fire (the transient
+    # pre-smooth archive read), plus the burn-in prefix
+    fire_ts = {t0 + step * u for u, _, _ in fires}
+    excluded = {
+        t for ft in fire_ts for t in range(int(ft), int(ft + 4 * step), step)
+    }
+    first_check = t0 + step * period * (BURNIN_CYCLES + 2)
+    cols = {
+        "HWPREDICT": "prediction",
+        "SEASONAL": "seasonal",
+        "DEVSEASONAL": "devseasonal",
+        "DEVPREDICT": "devpredict",
+    }
+
+    def run_engine(r0_s, r0_d):
+        out = hw_predict(
+            pdp, alpha=0.1, beta=0.0035, gamma=0.1, period=period,
+            threshold=7, window_len=9, smooth_window=0.5,
+            smooth_idx=smooth_idx, r0_seasonal=r0_s, r0_devseasonal=r0_d,
+            keys=("series_id",), step=float(step), start=float(t0),
+        )
+        return {int(r["ts"]): r for r in out.collect()}
+
+    def mismatches(got):
+        bad = []
+        for cf, col in cols.items():
+            for ts, wv in ref[cf].items():
+                if ts < first_check or ts in excluded or wv is None:
+                    continue
+                gv = got.get(ts)
+                gv = None if gv is None else gv[col]
+                if not close(gv, wv, sig=6):
+                    bad.append((cf, ts, gv, wv))
+        return bad
+
+    candidates = [(r0s[0], r0s[1])] + ([(r0s[1], r0s[0])] if r0s[0] != r0s[1] else [])
+    results = [mismatches(run_engine(a, b)) for a, b in candidates]
+    best = min(results, key=len)
+    checked = sum(
+        1
+        for cf in cols
+        for ts, wv in ref[cf].items()
+        if ts >= first_check and ts not in excluded and wv is not None
+    )
+    assert checked > 4 * period * 10, f"exclusions ate the run: {checked}"
+    assert not best, f"{len(best)}/{checked} mismatches, first 5: {best[:5]}"
