@@ -221,7 +221,10 @@ class DaemonServer:
                         continue
                     with outer._lock:
                         quit_, reply = outer._dispatch(line)
-                    self.wfile.write(reply.encode())
+                    # FETCHBIN replies carry raw binary sections
+                    self.wfile.write(
+                        reply if isinstance(reply, bytes) else reply.encode()
+                    )
                     self.wfile.flush()
                     if quit_:
                         return
@@ -311,6 +314,8 @@ class DaemonServer:
             return self._reply(0, d.resume_all())
         if cmd == "FETCH":
             return self._fetch(args)
+        if cmd == "FETCHBIN":
+            return self._fetchbin(args)
         if cmd == "LIST":
             # ≙ the daemon's LIST (src/rrd_daemon.c list handler wrapping
             # rrd_list): datasets under the store's root directory
@@ -326,8 +331,8 @@ class DaemonServer:
         if cmd == "HELP":
             cmds = (
                 "UPDATE FLUSH FLUSHALL PENDING FORGET QUEUE STATS "
-                "SUSPEND RESUME SUSPENDALL RESUMEALL BATCH FETCH LIST INFO "
-                "HELP QUIT"
+                "SUSPEND RESUME SUSPENDALL RESUMEALL BATCH FETCH FETCHBIN "
+                "LIST INFO HELP QUIT"
             ).split()
             return self._reply(len(cmds), "Command overview", cmds)
         return self._reply(-1, f"Unknown command: {cmd}")
@@ -363,39 +368,90 @@ class DaemonServer:
             lines.append(f"{ts:.0f}:" + ":".join(vals[: max(by_ts[ts]) + 1]))
         return lines
 
-    def _fetch(self, args: list[str]) -> str:
-        if len(args) < 2:
-            return self._reply(-1, "Usage: FETCH <series> <CF> [start [end]]")
+    def _fetch_parse(self, args: list[str]):
+        """Shared FETCH/FETCHBIN parse (handle_request_fetch_parse,
+        src/rrd_daemon.c:1989-2173): series, CF, optional start/end,
+        optional DS-name column selection; flush-before-read; returns the
+        pivoted frame plus plan."""
         series, cf = args[0], args[1].upper()
         store = self.daemon.ingest.store
         last = store.last()
         end = int(float(args[3])) if len(args) > 3 else last
         start = int(float(args[2])) if len(args) > 2 else end - 3600
+        all_ds = [ds.name for ds in store.dataset.ds]
+        fields = args[4:] or all_ds
+        for f in fields:
+            if f not in all_ds:
+                raise KeyError(f"field {f} not found")
         # the reference daemon flushes the file before serving FETCH
         # (src/rrd_daemon.c:3084: flush_file before rrd_fetch_r)
         self.daemon.flush(series)
         pdf, plan = store.fetch_local(cf, start, end)
         pdf = pdf[pdf["series_id"] == series]
-        ds_names = [ds.name for ds in store.dataset.ds]
         wide = pdf.pivot_table(
             index="ts", columns="ds_name", values="value", dropna=False
         )
-        header = [
+        return wide, plan, fields
+
+    @staticmethod
+    def _fetch_header(plan, n_fields: int) -> list[str]:
+        return [
             "FlushVersion: 1",
             f"Start: {plan.start}",
             f"End: {plan.end}",
             f"Step: {plan.step}",
-            f"DSCount: {len(ds_names)}",
-            "DSName: " + " ".join(ds_names),
+            f"DSCount: {n_fields}",
         ]
+
+    def _fetch(self, args: list[str]) -> str:
+        if len(args) < 2:
+            return self._reply(-1, "Usage: FETCH <series> <CF> [start [end] [ds...]]")
+        wide, plan, fields = self._fetch_parse(args)
+        header = self._fetch_header(plan, len(fields))
+        header.append("DSName: " + " ".join(fields))
         rows = []
         for ts, r in wide.iterrows():
+            # reference row format: "%10lu:" then " %0.17e" per value
+            # (handle_request_fetch, src/rrd_daemon.c:2196-2206); unknown
+            # prints as nan like the C printf of DNAN
             vals = " ".join(
-                "U" if _isnan(r.get(n)) else repr(float(r.get(n))) for n in ds_names
+                f"{(float('nan') if _isnan(r.get(n)) else float(r.get(n))):.17e}"
+                for n in fields
             )
-            rows.append(f"{ts:.0f}: {vals}")
+            rows.append(f"{int(ts):10d}: {vals}")
         lines = header + rows
         return self._reply(len(lines), f"Success (rows: {len(rows)})", lines)
+
+    def _fetchbin(self, args: list[str]) -> bytes:
+        """FETCHBIN: header lines then, per DS, one
+        ``DSName-<name>: BinaryData <records> <rsize> <endian>`` line
+        followed by the raw doubles and a newline (add_binary_response_info
+        src/rrd_daemon.c:783-810, handle_request_fetchbin :2221-2275)."""
+        import struct
+        import sys
+
+        if len(args) < 2:
+            return self._reply(-1, "Usage: FETCHBIN <series> <CF> [start [end] [ds...]]").encode()
+        wide, plan, fields = self._fetch_parse(args)
+        grid = list(range(plan.start + plan.step, plan.end + plan.step, plan.step))
+        endian = "BIG" if sys.byteorder == "big" else "LITTLE"
+        out = [self._reply(len(fields) + 5, "Success").encode()]
+        for ln in self._fetch_header(plan, len(fields)):
+            out.append((ln + "\n").encode())
+        for name in fields:
+            col = wide[name] if name in wide.columns else None
+            vals = [
+                float("nan")
+                if col is None or t not in wide.index or _isnan(col.get(t))
+                else float(col.get(t))
+                for t in grid
+            ]
+            out.append(
+                f"DSName-{name}: BinaryData {len(vals)} 8 {endian}\n".encode()
+            )
+            out.append(struct.pack(f"<{len(vals)}d" if endian == "LITTLE" else f">{len(vals)}d", *vals))
+            out.append(b"\n")
+        return b"".join(out)
 
     def _batch(self, pending: list[str]) -> str:
         """BATCH execution: the dot-terminated command list, one combined

@@ -289,7 +289,7 @@ def test_daemon_socket_protocol(spark, tmp_path):
         assert lines[0].startswith("2 ")  # 1-based index of the failing cmd
         assert c.send("PENDING speed_ds")[0] == 1
 
-        # FETCH flushes first, then serves header + rows
+        # FETCH flushes first, then serves header + "%10lu: %0.17e" rows
         code, msg, lines = c.send(
             f"FETCH speed_ds AVERAGE {UPDATES[0][0]} {UPDATES[6][0]}"
         )
@@ -300,8 +300,34 @@ def test_daemon_socket_protocol(spark, tmp_path):
         rows = lines[6:]
         assert len(rows) >= 5
         # the known COUNTER rates appear on the wire (first full step 0.04)
-        assert any(ln.endswith(" 0.04") for ln in rows)
+        vals = [float(ln.split(":")[1]) for ln in rows]
+        assert any(abs(v - 0.04) < 1e-12 for v in vals if v == v)
         assert c.send("PENDING speed_ds")[0] == 0  # FETCH flushed the buffer
+
+        # FETCHBIN: same header, per-DS BinaryData sections of raw doubles
+        import struct
+
+        c.send_raw(f"FETCHBIN speed_ds AVERAGE {UPDATES[0][0]} {UPDATES[6][0]}")
+        status = c.f.readline().decode().rstrip()
+        n = int(status.split(" ", 1)[0])
+        assert n == 1 + 5  # field_cnt + 5 header lines
+        hdr = dict(
+            c.f.readline().decode().rstrip().split(": ", 1) for _ in range(5)
+        )
+        assert hdr["DSCount"] == "1" and hdr["Step"] == "300"
+        dsline = c.f.readline().decode().rstrip()
+        name, meta = dsline.split(": ", 1)
+        assert name == "DSName-speed"
+        tag, records, rsize, endian = meta.split()
+        assert tag == "BinaryData" and rsize == "8"
+        raw = c.f.read(int(records) * 8)
+        assert c.f.read(1) == b"\n"
+        fmt = ("<" if endian == "LITTLE" else ">") + f"{records}d"
+        bvals = struct.unpack(fmt, raw)
+        # binary payload agrees with the text FETCH rows
+        assert len(bvals) == len(vals)
+        for a, b in zip(bvals, vals):
+            assert (a != a and b != b) or abs(a - b) < 1e-12
 
         # LIST enumerates datasets under the store root; INFO dumps the header
         code, _, lines = c.send("LIST")
