@@ -709,6 +709,17 @@ def q_graph_scale(spark, sf_dir):
     )
 
 
+def q_simhash_near_dup(spark, sf_dir):
+    """Banded SimHash near-duplicate pairs (datapipe.dedup.
+    simhash_near_duplicates): pigeonhole blocking over 4 16-bit blocks —
+    lossless for hamming <= 3 — then one bit_count per candidate pair."""
+    from rrdtool_1_x_spark.datapipe.dedup import simhash_near_duplicates
+
+    d = _docs(spark, sf_dir)
+    out = simhash_near_duplicates(d, max_hamming=3, blocks=4, hash_fn="md5")
+    return out.select("id_a", "id_b", "hamming").orderBy("id_a", "id_b")
+
+
 def q_decontam_overlap(spark, sf_dir):
     """Benchmark decontamination (datapipe.decontam.contamination_pairs):
     8-gram exact-overlap pairs against a benchmark derived from every 50th
@@ -851,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_jaccard": q_weighted_jaccard,
         "graph_stack": q_graph_stack,
         "graph_scale": q_graph_scale,
+        "simhash_near_dup": q_simhash_near_dup,
         "decontam_overlap": q_decontam_overlap,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
@@ -1474,6 +1486,45 @@ hw AS (
 SELECT series_id, ts, round(pr, 6) AS prediction, fail AS failures
 FROM hw WHERE pr IS NOT NULL
 ORDER BY series_id, ts"""
+
+    # --- banded SimHash near-dups: reuse the portable md5 simhash CTE,
+    # emulate Spark's shiftrightunsigned via unsigned HUGEINT arithmetic
+    # (DuckDB >> sign-extends BIGINT), pigeonhole blocks of 16 bits,
+    # hot-block cap 512, hamming = bit_count(xor) (two's-complement
+    # bitwise — engine-identical on signed 64-bit)
+    block_divs = [1, 65536, 4294967296, 281474976710656]
+    blk_cols = ", ".join(
+        f"CAST((u // {d}::HUGEINT) % 65536 AS BIGINT) AS bv{b}"
+        for b, d in enumerate(block_divs)
+    )
+    sql["simhash_near_dup"] = f"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM documents),
+h AS (SELECT doc_id, md5(tok) AS hx FROM t),
+n AS (SELECT doc_id,
+    {nib_cols}
+  FROM h),
+v AS (SELECT doc_id,
+    {vote_cols}
+  FROM n GROUP BY doc_id),
+fp AS (SELECT doc_id, {fp_terms} AS simhash FROM v),
+un AS (SELECT doc_id, simhash,
+              simhash::HUGEINT + CASE WHEN simhash < 0
+                THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS u
+       FROM fp),
+blk AS (SELECT doc_id, simhash, {blk_cols} FROM un),
+bl AS (SELECT doc_id, simhash, bi, bv FROM blk
+       UNPIVOT (bv FOR bi IN (bv0, bv1, bv2, bv3))),
+keep AS (SELECT bi, bv FROM bl GROUP BY 1, 2 HAVING count(*) <= 512),
+bk AS (SELECT bl.* FROM bl JOIN keep USING (bi, bv)),
+cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                x.simhash AS fa, y.simhash AS fb
+         FROM bk x JOIN bk y
+           ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id)
+SELECT id_a, id_b, bit_count(xor(fa, fb))::INT AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+ORDER BY id_a, id_b"""
 
     # --- decontamination / sampling (datapipe.decontam, datapipe.sampling)
     # 8-gram overlap: i ranges over 1..len-7 with inclusive slicing

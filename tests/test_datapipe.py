@@ -459,3 +459,25 @@ def test_append_ivf_index(spark, emb, tmp_path):
     a = sorted(key(r) for r in ivf_topk_indexed(spark, inc_path, q, model, k=5, nprobe=8).collect())
     b = sorted(key(r) for r in ivf_topk_indexed(spark, full_path, q, model, k=5, nprobe=8).collect())
     assert a == b and len(a) == 15
+
+
+def test_brute_force_arrow_kernel(spark, emb):
+    """The Arrow GEMM kernel returns the same top-k as the fold kernel
+    (sims to 1e-9; BLAS reassociation keeps it out of hash-gated paths),
+    including NULL — not NaN — similarity for zero-norm vectors."""
+    zero = spark.createDataFrame(
+        [(999999, [0.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(zero)
+    q = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    a = brute_force_topk(corpus, q, k=5, kernel="fold").collect()
+    b = brute_force_topk(corpus, q, k=5, kernel="arrow").collect()
+    ka = {(r["query_id"], r["rank"]): (r["vec_id"], r["cos_sim"]) for r in a}
+    kb = {(r["query_id"], r["rank"]): (r["vec_id"], r["cos_sim"]) for r in b}
+    assert ka.keys() == kb.keys() and len(ka) == 15
+    for key in ka:
+        va, vb = ka[key], kb[key]
+        assert va[0] == vb[0] and abs(va[1] - vb[1]) < 1e-9
+    # the zero vector got NULL sim in both kernels (never ranks)
+    for rows in (a, b):
+        assert all(r["vec_id"] != 999999 for r in rows)
