@@ -373,7 +373,8 @@ def test_hw_smoother_anchor_matches_reference(tmp_path):
     assert predicted == observed, (sorted(predicted), sorted(observed))
 
 
-def test_hw_long_run_values_match_reference(spark, tmp_path):
+@pytest.mark.parametrize("hw_cf", ["HWPREDICT", "MHWPREDICT"])
+def test_hw_long_run_values_match_reference(spark, tmp_path, hw_cf):
     """Long-run Holt-Winters VALUE differential (the roadmap's burn-in
     drift check): 40 seasonal cycles through the reference build with a
     REAL smoothing window (0.5 — the anchor and the smoothing rewrite both
@@ -401,7 +402,7 @@ def test_hw_long_run_values_match_reference(spark, tmp_path):
         [dbg, "create", rrd, "--start", str(t0), "--step", str(step),
          "DS:x:GAUGE:600:U:U",
          f"RRA:AVERAGE:0.5:1:{n + 10}",
-         f"RRA:HWPREDICT:{n + 10}:0.1:0.0035:{period}:3",
+         f"RRA:{hw_cf}:{n + 10}:0.1:0.0035:{period}:3",
          f"RRA:SEASONAL:{period}:0.1:2:smoothing-window=0.5",
          f"RRA:DEVSEASONAL:{period}:0.1:2:smoothing-window=0.5",
          f"RRA:DEVPREDICT:{n + 10}:4",
@@ -436,7 +437,7 @@ def test_hw_long_run_values_match_reference(spark, tmp_path):
         r0s = [r0s[0], r0s[0]]
 
     ref: dict[str, dict[int, float | None]] = {}
-    for cf in ["HWPREDICT", "SEASONAL", "DEVSEASONAL", "DEVPREDICT"]:
+    for cf in [hw_cf, "SEASONAL", "DEVSEASONAL", "DEVPREDICT"]:
         out = subprocess.run(
             [dbg, "fetch", rrd, cf, "-r", str(step), "-s", str(t0),
              "-e", str(t0 + n * step)],
@@ -463,7 +464,7 @@ def test_hw_long_run_values_match_reference(spark, tmp_path):
     }
     first_check = t0 + step * period * (BURNIN_CYCLES + 2)
     cols = {
-        "HWPREDICT": "prediction",
+        hw_cf: "prediction",
         "SEASONAL": "seasonal",
         "DEVSEASONAL": "devseasonal",
         "DEVPREDICT": "devpredict",
@@ -473,6 +474,7 @@ def test_hw_long_run_values_match_reference(spark, tmp_path):
         out = hw_predict(
             pdp, alpha=0.1, beta=0.0035, gamma=0.1, period=period,
             threshold=7, window_len=9, smooth_window=0.5,
+            multiplicative=(hw_cf == "MHWPREDICT"),
             smooth_idx=smooth_idx, r0_seasonal=r0_s, r0_devseasonal=r0_d,
             keys=("series_id",), step=float(step), start=float(t0),
         )
