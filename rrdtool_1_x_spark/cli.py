@@ -1,0 +1,395 @@
+"""rrdtool-compatible command line over the engine.
+
+``python -m rrdtool_1_x_spark <command> ...`` accepts the reference CLI's
+grammar for the data commands, so reference invocations port verbatim
+with the .rrd path swapped for a dataset directory:
+
+  create <ds> [--start t] [--step s] DS:name:DST:hb:min:max... RRA:CF:xff:steps:rows...
+  update <ds> [--template a:b] <ts:v[:v...]>...
+  fetch  <ds> <CF> [-r res] [-s start] [-e end] [-a]
+  xport  [-s|-e|--step|--maxrows|--json|--enumds|--showtime] DEF:.. CDEF:.. XPORT:..
+  graphv <ignored> DEF:.. CDEF:.. VDEF:.. PRINT:..   (data outputs only)
+  info/first/last/lastupdate <ds> · list <root> · dump/restore · tune · resize
+
+Reference grammars: rrd_create argv (src/rrd_create.c:77-240), rrd_update
+(src/rrd_update.c:675-788), rrd_fetch (src/rrd_fetch.c:62-213), rrd_xport
+(src/rrd_xport.c:76-242), rrd_tune / rrd_resize. Times are AT-style via
+timeparse (src/rrd_parsetime.c). Graph RENDERING is out of scope; graphv
+serves the PRINT/scalar data outputs only.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time as _time
+
+from rrdtool_1_x_spark.catalog import DSDef, RRADef, create as _create_def
+from rrdtool_1_x_spark.timeparse import parse_at_time
+
+
+def _spark():
+    from rrdtool_1_x_spark.session import get_spark
+
+    return get_spark("rrdtool-cli", cpus=None)
+
+
+def _store(path: str):
+    from rrdtool_1_x_spark.sources.store import DatasetStore
+
+    return DatasetStore(_spark(), path)
+
+
+def _num_or_none(s: str):
+    return None if s in ("U", "u", "") else float(s)
+
+
+def _parse_ds(spec: str) -> DSDef:
+    # DS:name:DST:heartbeat:min:max  |  DS:name:COMPUTE:rpn
+    parts = spec.split(":")
+    if parts[0] != "DS":
+        raise ValueError(f"bad DS spec {spec!r}")
+    name, dst = parts[1], parts[2].upper()
+    if dst == "COMPUTE":
+        return DSDef(name=name, dst="COMPUTE", cdef=":".join(parts[3:]))
+    hb = int(float(parts[3])) if len(parts) > 3 else 600
+    mn = _num_or_none(parts[4]) if len(parts) > 4 else None
+    mx = _num_or_none(parts[5]) if len(parts) > 5 else None
+    return DSDef(name=name, dst=dst, heartbeat=hb, min_val=mn, max_val=mx)
+
+
+def _parse_rra(spec: str) -> RRADef:
+    # RRA:CF:xff:steps:rows (basic); HW family accepted with its params
+    parts = spec.split(":")
+    if parts[0] != "RRA":
+        raise ValueError(f"bad RRA spec {spec!r}")
+    cf = parts[1].upper()
+    if cf in ("AVERAGE", "MIN", "MAX", "LAST"):
+        return RRADef(
+            cf=cf, xff=float(parts[2]), pdp_cnt=int(parts[3]), row_cnt=int(parts[4])
+        )
+    if cf in ("HWPREDICT", "MHWPREDICT"):
+        # RRA:HWPREDICT:rows:alpha:beta:period[:rra-num]
+        return RRADef(
+            cf=cf, row_cnt=int(parts[2]), pdp_cnt=1,
+            params={"alpha": float(parts[3]), "beta": float(parts[4]),
+                    "period": int(parts[5])},
+        )
+    if cf in ("SEASONAL", "DEVSEASONAL"):
+        # RRA:SEASONAL:period:gamma:rra-num[:smoothing-window=f]
+        params = {"gamma": float(parts[3])}
+        for p in parts[4:]:
+            if p.startswith("smoothing-window="):
+                params["smoothing_window"] = float(p.split("=", 1)[1])
+        return RRADef(cf=cf, row_cnt=int(parts[2]), pdp_cnt=1, params=params)
+    if cf == "DEVPREDICT":
+        return RRADef(cf=cf, row_cnt=int(parts[2]), pdp_cnt=1)
+    if cf == "FAILURES":
+        # RRA:FAILURES:rows:threshold:window:rra-num
+        return RRADef(
+            cf=cf, row_cnt=int(parts[2]), pdp_cnt=1,
+            params={"threshold": int(parts[3]), "window": int(parts[4])},
+        )
+    raise ValueError(f"unknown RRA CF {cf!r}")
+
+
+def _opt(args: list[str], *names: str, default=None, flag: bool = False):
+    """Pop `name value` (or a bare flag) from args; reference-style."""
+    for n in names:
+        if n in args:
+            i = args.index(n)
+            args.pop(i)
+            if flag:
+                return True
+            return args.pop(i)
+    return default if not flag else False
+
+
+def _at(s: str | None, default: int) -> int:
+    if s is None:
+        return default
+    try:
+        return int(s)
+    except ValueError:
+        return parse_at_time(s)
+
+
+def cmd_create(args: list[str]) -> int:
+    path = args.pop(0)
+    start = _opt(args, "--start", "-b")
+    step = int(_opt(args, "--step", "-s", default="300"))
+    ds = [_parse_ds(a) for a in args if a.startswith("DS:")]
+    rra = [_parse_rra(a) for a in args if a.startswith("RRA:")]
+    dataset = _create_def(
+        name=path.rstrip("/").rsplit("/", 1)[-1], step=step, ds=ds, rra=rra,
+        start=None if start is None else _at(start, 0),
+    )
+    from rrdtool_1_x_spark.sources.store import DatasetStore
+
+    DatasetStore.create(_spark(), path, dataset)
+    return 0
+
+
+def cmd_update(args: list[str]) -> int:
+    path = args.pop(0)
+    template = _opt(args, "--template", "-t")
+    store = _store(path)
+    ds_names = (
+        template.split(":") if template else [d.name for d in store.dataset.ds]
+    )
+    rows = []
+    series = path.rstrip("/").rsplit("/", 1)[-1]
+    for spec in args:
+        fields = spec.split(":")
+        ts = _time.time() if fields[0] in ("N", "n") else float(fields[0])
+        for name, sval in zip(ds_names, fields[1:]):
+            rows.append(
+                (series, name, float(ts),
+                 None if sval.upper() == "U" else float(sval))
+            )
+    from rrdtool_1_x_spark.sources.store import SAMPLE_SCHEMA
+
+    store.update(_spark().createDataFrame(rows, SAMPLE_SCHEMA))
+    return 0
+
+
+def cmd_fetch(args: list[str]) -> int:
+    path, cf = args.pop(0), args.pop(0).upper()
+    res = _opt(args, "-r", "--resolution")
+    align = _opt(args, "-a", "--align-start", flag=True)
+    store = _store(path)
+    last = store.last()
+    end = _at(_opt(args, "-e", "--end"), last)
+    start = _at(_opt(args, "-s", "--start"), end - 86400)
+    pdf, plan = store.fetch_local(
+        cf, start, end, None if res is None else int(res), align_start=align
+    )
+    ds_names = [d.name for d in store.dataset.ds]
+    wide = pdf.pivot_table(index="ts", columns="ds_name", values="value",
+                           dropna=False)
+    # reference CLI layout: DS-name header, blank line, "ts: %0.10e ..." rows
+    print(" ".join(f"{n:>18s}" for n in ds_names))
+    print()
+    import math
+
+    for ts, r in wide.iterrows():
+        vals = " ".join(
+            f"{(float('nan') if r.get(n) is None or (isinstance(r.get(n), float) and math.isnan(r.get(n))) else float(r.get(n))):0.10e}"
+            for n in ds_names
+        )
+        print(f"{int(ts)}: {vals}")
+    return 0
+
+
+def _build_query(args: list[str]):
+    """Shared DEF/CDEF/VDEF parser for xport and graphv."""
+    from rrdtool_1_x_spark.plans.graph import Query
+
+    step = _opt(args, "--step")
+    maxrows = _opt(args, "--maxrows", "-m")
+    end_s = _opt(args, "-e", "--end")
+    start_s = _opt(args, "-s", "--start")
+    defs = [a for a in args if a.startswith("DEF:")]
+    if not defs:
+        raise ValueError("need at least one DEF")
+    # resolve stores first so the default time range can come from the data
+    stores = {}
+    parsed_defs = []
+    for d in defs:
+        head, rest = d[4:].split("=", 1)
+        parts = rest.split(":")
+        spath, ds_name, cf = parts[0], parts[1], parts[2].upper()
+        if spath not in stores:
+            stores[spath] = _store(spath)
+        parsed_defs.append((head, spath, ds_name, cf))
+    last = max(s.last() for s in stores.values())
+    end = _at(end_s, last)
+    start = _at(start_s, end - 86400)
+    q = Query(start=start, end=end,
+              step=None if step is None else int(step),
+              maxrows=None if maxrows is None else int(maxrows))
+    for vname, spath, ds_name, cf in parsed_defs:
+        store = stores[spath]
+        rollups = {
+            i: store._read(f"rra_{i}") for i in range(len(store.dataset.rra))
+        }
+        q.def_(vname, rollups, store.dataset, ds_name, cf, last_up=store.last())
+    for a in args:
+        if a.startswith("CDEF:"):
+            name, rpn = a[5:].split("=", 1)
+            q.cdef(name, rpn)
+        elif a.startswith("VDEF:"):
+            name, rpn = a[5:].split("=", 1)
+            q.vdef(name, rpn)
+    return q
+
+
+def cmd_xport(args: list[str]) -> int:
+    from rrdtool_1_x_spark import xport as xp
+
+    as_json = _opt(args, "--json", "-j", flag=True)
+    enumds = _opt(args, "--enumds", flag=True)
+    showtime = _opt(args, "--showtime", "-t", flag=True)
+    timefmt = _opt(args, "--timefmt")
+    q = _build_query(args)
+    for a in args:
+        if a.startswith("XPORT:"):
+            parts = a[6:].split(":", 1)
+            q.xport(parts[0], parts[1] if len(parts) > 1 else "")
+    res = q.execute(_spark())
+    if as_json:
+        print(xp.to_json(res, showtime=showtime, timefmt=timefmt))
+    else:
+        print(xp.to_xml(res, enumds=enumds, showtime=showtime, timefmt=timefmt))
+    return 0
+
+
+def cmd_graphv(args: list[str]) -> int:
+    # first positional is the image filename in the reference; data-only here
+    if args and not any(args[0].startswith(p) for p in ("DEF:", "CDEF:", "VDEF:", "PRINT:", "-")):
+        args.pop(0)
+    prints = [a[6:] for a in args if a.startswith("PRINT:")]
+    q = _build_query(args)
+    for p in prints:
+        vname, fmt = p.split(":", 1)
+        q.print_(vname, fmt)
+    res = q.execute(_spark())
+    # graphv's key = value output (rrd_graph_v info list)
+    print(f"graph_start = {res.start}")
+    print(f"graph_end = {res.end}")
+    print(f"graph_step = {res.step}")
+    for i, line in enumerate(res.prints):
+        print(f'print[{i}] = "{line}"')
+    return 0
+
+
+def cmd_info(args: list[str]) -> int:
+    for k, v in _store(args[0]).info().items():
+        if isinstance(v, str):
+            print(f'{k} = "{v}"')
+        else:
+            print(f"{k} = {v}")
+    return 0
+
+
+def cmd_list(args: list[str]) -> int:
+    from rrdtool_1_x_spark.sources.store import list_datasets
+
+    for name in list_datasets(args[0]):
+        print(name)
+    return 0
+
+
+def cmd_first(args: list[str]) -> int:
+    path = args.pop(0)
+    idx = int(_opt(args, "--rraindex", default="0"))
+    print(_store(path).first(idx))
+    return 0
+
+
+def cmd_last(args: list[str]) -> int:
+    print(_store(args[0]).last())
+    return 0
+
+
+def cmd_lastupdate(args: list[str]) -> int:
+    rows = _store(args[0]).lastupdate().collect()
+    names = [r["ds_name"] for r in rows]
+    print(" " + " ".join(names))
+    print()
+    if rows:
+        ts = int(max(r["ts"] for r in rows))
+        vals = " ".join(
+            "U" if r["value"] is None else f"{r['value']:g}" for r in rows
+        )
+        print(f"{ts}: {vals}")
+    return 0
+
+
+def cmd_dump(args: list[str]) -> int:
+    from rrdtool_1_x_spark.sources.rrdxml import dump_xml
+
+    path = args.pop(0)
+    out = args.pop(0) if args else "/dev/stdout"
+    dump_xml(_store(path), out)
+    return 0
+
+
+def cmd_restore(args: list[str]) -> int:
+    from rrdtool_1_x_spark.sources.rrdxml import restore_xml
+
+    xml, target = args.pop(0), args.pop(0)
+    restore_xml(_spark(), xml, target)
+    return 0
+
+
+def cmd_tune(args: list[str]) -> int:
+    from rrdtool_1_x_spark.sources.evolve import tune_ds
+
+    path = args.pop(0)
+    store = _store(path)
+    hb = _opt(args, "--heartbeat", "-h")
+    mn = _opt(args, "--minimum", "-i")
+    mx = _opt(args, "--maximum", "-a")
+    for spec in (hb, mn, mx):
+        if spec is None:
+            continue
+    if hb:
+        name, v = hb.split(":")
+        tune_ds(store, name, heartbeat=int(float(v)))
+    if mn:
+        name, v = mn.split(":")
+        tune_ds(store, name, min_val=_num_or_none(v))
+    if mx:
+        name, v = mx.split(":")
+        tune_ds(store, name, max_val=_num_or_none(v))
+    return 0
+
+
+def cmd_resize(args: list[str]) -> int:
+    from rrdtool_1_x_spark.sources.evolve import resize_rra
+
+    path, idx, how, rows = args[0], int(args[1]), args[2].upper(), int(args[3])
+    resize_rra(_store(path), idx, rows if how == "GROW" else -rows)
+    return 0
+
+
+COMMANDS = {
+    "create": cmd_create,
+    "update": cmd_update,
+    "updatev": cmd_update,
+    "fetch": cmd_fetch,
+    "xport": cmd_xport,
+    "graphv": cmd_graphv,
+    "info": cmd_info,
+    "list": cmd_list,
+    "first": cmd_first,
+    "last": cmd_last,
+    "lastupdate": cmd_lastupdate,
+    "dump": cmd_dump,
+    "restore": cmd_restore,
+    "tune": cmd_tune,
+    "resize": cmd_resize,
+}
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = list(sys.argv[1:] if argv is None else argv)
+    if not args or args[0] in ("-h", "--help", "help"):
+        print("usage: python -m rrdtool_1_x_spark <command> ...")
+        print("commands:", " ".join(sorted(COMMANDS)))
+        return 0
+    cmd = args.pop(0)
+    fn = COMMANDS.get(cmd)
+    if fn is None:
+        print(f"ERROR: unknown command {cmd!r}", file=sys.stderr)
+        return 1
+    try:
+        return fn(args)
+    except Exception as e:  # reference CLI prints ERROR: and exits nonzero
+        print(f"ERROR: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

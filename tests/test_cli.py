@@ -1,0 +1,118 @@
+"""The rrdtool-compatible CLI: a reference user's command sequence ports
+verbatim (create → update → fetch → xport → graphv PRINT → info/first/
+last/lastupdate → dump/restore → tune → resize → list)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from rrdtool_1_x_spark.cli import main
+
+START = 920804400
+UPDATES = [
+    (920804700, 12345), (920805000, 12357), (920805300, 12363),
+    (920805600, 12363), (920805900, 12363), (920806200, 12373),
+    (920806500, 12383), (920806800, 12393), (920807100, 12399),
+]
+
+
+@pytest.fixture(scope="module")
+def ds_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("cli") / "speed")
+    rc = main([
+        "create", p, "--start", str(START), "--step", "300",
+        "DS:speed:COUNTER:600:U:U",
+        "RRA:AVERAGE:0.5:1:600", "RRA:AVERAGE:0.5:6:100",
+    ])
+    assert rc == 0
+    rc = main(["update", p] + [f"{t}:{v}" for t, v in UPDATES])
+    assert rc == 0
+    return p
+
+
+def test_cli_fetch(ds_path, capsys):
+    rc = main([
+        "fetch", ds_path, "AVERAGE", "-r", "300",
+        "-s", str(START), "-e", str(UPDATES[-1][0]),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out[0].strip() == "speed"
+    rows = {
+        int(l.split(":")[0]): l.split(":")[1].strip()
+        for l in out[2:] if ":" in l
+    }
+    # known COUNTER rate at the first full step (12357-12345)/300 = 0.04
+    assert abs(float(rows[920805000]) - 0.04) < 1e-12
+
+
+def test_cli_scalars(ds_path, capsys):
+    for cmd, want in [("first", None), ("last", str(UPDATES[-1][0]))]:
+        assert main([cmd, ds_path]) == 0
+        got = capsys.readouterr().out.strip()
+        if want is not None:
+            assert got == want
+    assert main(["info", ds_path]) == 0
+    info = capsys.readouterr().out
+    assert 'ds[speed].type = "COUNTER"' in info and "step = 300" in info
+    assert main(["lastupdate", ds_path]) == 0
+    lu = capsys.readouterr().out.splitlines()
+    assert lu[0].strip() == "speed" and lu[2].startswith(str(UPDATES[-1][0]))
+
+
+def test_cli_xport_json_and_graphv(ds_path, capsys):
+    rc = main([
+        "xport", "--json", "-s", str(START), "-e", str(UPDATES[-1][0]),
+        "--step", "300",
+        f"DEF:v={ds_path}:speed:AVERAGE",
+        "CDEF:kmh=v,3600,*",
+        "XPORT:kmh:km/h",
+    ])
+    assert rc == 0
+    doc = json.loads(capsys.readouterr().out)
+    assert doc["meta"]["legend"] == ["km/h"]
+    vals = [r[0] for r in doc["data"] if r[0] is not None]
+    assert any(abs(v - 144.0) < 1e-9 for v in vals)  # 0.04 * 3600
+
+    rc = main([
+        "graphv", "/dev/null", "-s", str(START), "-e", str(UPDATES[-1][0]),
+        f"DEF:v={ds_path}:speed:AVERAGE",
+        "CDEF:kmh=v,3600,*",
+        "VDEF:vmax=kmh,MAXIMUM",
+        "PRINT:vmax:max %.2lf",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "graph_step = 300" in out
+    assert 'print[0] = "max 144.00"' in out
+
+
+def test_cli_dump_restore_roundtrip(ds_path, tmp_path, capsys):
+    xml = str(tmp_path / "d.xml")
+    assert main(["dump", ds_path, xml]) == 0
+    restored = str(tmp_path / "restored")
+    assert main(["restore", xml, restored]) == 0
+    assert main(["last", restored]) == 0
+    assert capsys.readouterr().out.strip() == str(UPDATES[-1][0])
+
+
+def test_cli_tune_resize_list(ds_path, capsys):
+    assert main(["tune", ds_path, "--heartbeat", "speed:900"]) == 0
+    assert main(["info", ds_path]) == 0
+    assert "ds[speed].minimal_heartbeat = 900" in capsys.readouterr().out
+    assert main(["resize", ds_path, "0", "GROW", "100"]) == 0
+    assert main(["info", ds_path]) == 0
+    assert "rra[0].rows = 700" in capsys.readouterr().out
+    import os
+
+    assert main(["list", os.path.dirname(ds_path)]) == 0
+    assert "speed" in capsys.readouterr().out.split()
+
+
+def test_cli_errors(capsys):
+    assert main(["nosuchcmd"]) == 1
+    assert "unknown command" in capsys.readouterr().err
+    assert main(["fetch", "/nonexistent/path", "AVERAGE"]) == 1
+    assert "ERROR" in capsys.readouterr().err

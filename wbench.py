@@ -131,6 +131,68 @@ def main() -> None:
         out["w2_rows"] = int(len(w_local(STEP)))
         out["w3_rows"] = int(len(w_local(STEP * 10)))
 
+        # W4: xport with a 5-CDEF RPN chain (rpn1-style: UN/IF, arith, GT)
+        # over the fine archive. W5: graphv-style PRINT of
+        # MAXIMUM/AVERAGE/PERCENT(95) VDEFs — one batched scalar job.
+        # (Reference side not measurable here: rrdtool xport/graphv pull in
+        # the cairo graph stack the container build excludes; engine
+        # numbers recorded for round-over-round tracking.)
+        from rrdtool_1_x_spark.plans.graph import Query
+
+        rollups = {
+            i: store._read(f"rra_{i}")
+            for i in range(len(store.dataset.rra))
+        }
+
+        def w4():
+            q = (
+                Query(start=T0, end=end, step=STEP)
+                .def_("v", rollups, store.dataset, "a", "AVERAGE", last_up=end)
+                .cdef("c1", "v,UN,0,v,IF")
+                .cdef("c2", "c1,1.1,*")
+                .cdef("c3", "c2,100,GT,100,c2,IF")
+                .cdef("c4", "c3,c1,+")
+                .cdef("c5", "c4,2,/")
+                .xport("c5", "out")
+            )
+            return q.execute(spark).frame.toPandas()
+
+        def w5():
+            q = (
+                Query(start=T0, end=end, step=STEP)
+                .def_("v", rollups, store.dataset, "a", "AVERAGE", last_up=end)
+                .vdef("vmax", "v,MAXIMUM")
+                .vdef("vavg", "v,AVERAGE")
+                .vdef("vp95", "v,95,PERCENT")
+                .print_("vmax", "%lf")
+                .print_("vavg", "%lf")
+                .print_("vp95", "%lf")
+            )
+            return q.execute(spark).prints
+
+        out["w4_xport_cdef_sec"] = _median(w4)
+        out["w5_vdef_print_sec"] = _median(w5)
+
+        # W6: Holt-Winters family pass (HWPREDICT/SEASONAL/DEVSEASONAL/
+        # DEVPREDICT/FAILURES state machine) over one series' full sample
+        # run — samples/s through the applyInPandas recurrence.
+        from rrdtool_1_x_spark.operators.hw import hw_predict
+
+        n_ts = N_SAMPLES // N_DS
+        hw_in = store._read("samples").filter("ds_name = 'a'").select(
+            "series_id", "ts", "value"
+        ).cache()
+        hw_n = hw_in.count()
+
+        def w6():
+            hw_predict(
+                hw_in, alpha=0.1, beta=0.0035, gamma=0.1, period=288,
+                keys=("series_id",), step=float(STEP),
+            ).write.format("noop").mode("overwrite").save()
+
+        w6_sec = _median(w6, n=3)
+        out["w6_hw_samples_per_s"] = round(hw_n / w6_sec)
+
         if "--ref" in sys.argv:
             out.update(bench_reference())
     finally:
@@ -184,6 +246,31 @@ def bench_reference() -> dict:
 
         out["ref_w2_sec"] = _median(lambda: run_fetch(STEP))
         out["ref_w3_sec"] = _median(lambda: run_fetch(STEP * 10))
+
+        # W6: updates into the aberrant-behavior RRA set (HWPREDICT +
+        # SEASONAL/DEVSEASONAL/DEVPREDICT/FAILURES maintained per update)
+        hw_rrd = os.path.join(d, "hw.rrd")
+        subprocess.run(
+            [binary, "create", hw_rrd, "--start", str(T0), "--step", str(STEP),
+             "DS:a:GAUGE:600:U:U",
+             f"RRA:AVERAGE:0.5:1:{n_ts + 10}",
+             f"RRA:HWPREDICT:{n_ts + 10}:0.1:0.0035:288:3",
+             "RRA:SEASONAL:288:0.1:2",
+             "RRA:DEVSEASONAL:288:0.1:2",
+             f"RRA:DEVPREDICT:{n_ts + 10}:4",
+             f"RRA:FAILURES:{n_ts + 10}:7:9:4"],
+            check=True,
+        )
+        t0 = time.perf_counter()
+        batch = []
+        for t, v in zip(ts, vals):
+            batch.append(f"{t}:{v}")
+            if len(batch) == 100:
+                subprocess.run([binary, "update", hw_rrd, *batch], check=True)
+                batch = []
+        if batch:
+            subprocess.run([binary, "update", hw_rrd, *batch], check=True)
+        out["ref_w6_hw_samples_per_s"] = round(n_ts / (time.perf_counter() - t0))
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out
