@@ -20,7 +20,6 @@ serves the PRINT/scalar data outputs only.
 
 from __future__ import annotations
 
-import json
 import sys
 import time as _time
 
@@ -331,9 +330,6 @@ def cmd_tune(args: list[str]) -> int:
     hb = _opt(args, "--heartbeat", "-h")
     mn = _opt(args, "--minimum", "-i")
     mx = _opt(args, "--maximum", "-a")
-    for spec in (hb, mn, mx):
-        if spec is None:
-            continue
     if hb:
         name, v = hb.split(":")
         tune_ds(store, name, heartbeat=int(float(v)))
