@@ -58,16 +58,21 @@ def _shingle_array(text: Column, shingle_len: int) -> Column:
 def _shingle_frame(
     df: DataFrame, id_col: str, text_col: str, shingle_len: int
 ) -> DataFrame:
-    """(id, shingle) rows — per-doc shingle array, then one explode.
+    """(id, shingle) rows, distinct per document — per-doc shingle array,
+    map-side array_distinct, then one explode.
 
     The array is projected in its own step first: expressions placed next
     to a generator are re-evaluated per generated row, so an inline
-    transform would re-shingle each document once per shingle (O(n²))."""
+    transform would re-shingle each document once per shingle (O(n²)).
+    Per-document uniqueness comes from array_distinct INSIDE the scan
+    task; rows are already unique across documents (the id is part of the
+    row), so no .distinct() — which would shuffle every exploded shingle
+    of the corpus — is ever needed downstream."""
     pre = df.select(
         F.col(id_col).alias("_id"),
         _shingle_array(F.col(text_col), shingle_len).alias("_sh"),
     )
-    return pre.select("_id", F.explode("_sh").alias("_s"))
+    return pre.select("_id", F.explode(F.array_distinct("_sh")).alias("_s"))
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -381,7 +386,7 @@ def ngram_jaccard_pairs(
 
     Set algebra on exploded shingles: |A∩B| counted by joining each pair's
     distinct shingles, |A∪B| = |A|+|B|-|A∩B|. No arrays are collected."""
-    sh = _shingle_frame(docs, id_col, text_col, shingle_len).distinct()
+    sh = _shingle_frame(docs, id_col, text_col, shingle_len)
     sizes = sh.groupBy("_id").agg(F.count("*").alias("_sz"))
     a = sh.select(F.col("_id").alias("id_a"), F.col("_s"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("_s"))
@@ -412,7 +417,7 @@ def shingle_weight_frame(
     w(s) = floor(scale / df(s)) — the shared corpus-wide input of
     weighted_jaccard_pairs, worth materializing once when several pair
     batches score against the same corpus."""
-    sh = _shingle_frame(docs, id_col, text_col, shingle_len).distinct()
+    sh = _shingle_frame(docs, id_col, text_col, shingle_len)
     dfreq = sh.groupBy("_s").agg(F.count("*").alias("_df"))
     return sh.join(dfreq, "_s").select(
         "_id",
