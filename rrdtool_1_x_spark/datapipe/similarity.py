@@ -120,14 +120,28 @@ def _brute_force_scores_arrow(
     shape the fold path's crossJoin produces — so the downstream top-k
     window is shared."""
     import numpy as np
+    from pyspark.sql.types import StructField, StructType, DoubleType
+
+    # id field types come from the inputs — hardcoding long would narrow
+    # the public contract (string doc ids are legal for the fold kernel)
+    qid_field = queries.schema[query_id_col]
+    id_field = corpus.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(query_id_col, qid_field.dataType),
+            StructField(id_col, id_field.dataType),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
 
     qrows = queries.select(query_id_col, vec_col).collect()
+    if not qrows:
+        # empty query set: same empty shape the fold path's crossJoin gives
+        return corpus.sparkSession.createDataFrame([], out_schema)
     qids = [r[0] for r in qrows]
     qmat = np.array([[float(x) for x in r[1]] for r in qrows], dtype=np.float64)
     qnorm = np.sqrt((qmat * qmat).sum(axis=1))
     qnorm_safe = np.where(qnorm > 0, qnorm, np.inf)  # zero query -> null sim
-
-    out_schema = f"{query_id_col} long, {id_col} long, cos_sim double"
 
     def score(batches):
         import pandas as pd

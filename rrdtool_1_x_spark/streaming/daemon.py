@@ -345,10 +345,16 @@ class DaemonServer:
         rows: list[tuple] = []
         for v in values:
             fields = v.split(":")
-            ts = float(fields[0])
+            # 'N' means now, like rrd_update's at-time shorthand
+            ts = _time.time() if fields[0].upper() == "N" else float(fields[0])
             vals = fields[1:]
-            if len(vals) > len(ds_names):
-                raise ValueError(f"more values than data sources in {v!r}")
+            if len(vals) != len(ds_names):
+                # the reference daemon rejects a mismatched reading count
+                # ("expected %i data source readings", handle_request_update)
+                raise ValueError(
+                    f"expected {len(ds_names)} data source readings (got "
+                    f"{len(vals)}) in {v!r}"
+                )
             for name, sval in zip(ds_names, vals):
                 rows.append((name, ts, None if sval.upper() == "U" else float(sval)))
         return rows
@@ -458,11 +464,20 @@ class DaemonServer:
         error report with 1-based line indices (src/rrd_daemon.c:2904-2960).
         The handler has already sent the go-ahead and collected the lines —
         sending it before reading is what makes the protocol deadlock-free."""
+        # the reference daemon only accepts update-ish commands in batch
+        # context (its command table marks batchable entries); FETCH/FETCHBIN
+        # replies aren't line-framed (FETCHBIN is raw bytes) so they must be
+        # rejected per-line, not executed
+        _unbatchable = {"BATCH", "FETCH", "FETCHBIN", "QUIT", "HELP"}
         errors: list[str] = []
         for i, cmdline in enumerate(pending, start=1):
             parts = cmdline.split()
+            cmd = parts[0].upper()
+            if cmd in _unbatchable:
+                errors.append(f"{i} Command is not valid inside batch: {cmd}")
+                continue
             try:
-                reply = self._command(parts[0].upper(), parts[1:])
+                reply = self._command(cmd, parts[1:])
             except Exception as e:
                 reply = self._reply(-1, str(e))
             if reply.startswith("-"):

@@ -481,3 +481,23 @@ def test_brute_force_arrow_kernel(spark, emb):
     # the zero vector got NULL sim in both kernels (never ranks)
     for rows in (a, b):
         assert all(r["vec_id"] != 999999 for r in rows)
+
+
+def test_brute_force_arrow_kernel_contract(spark, emb):
+    """kernel='arrow' honors the full brute_force_topk contract: string id
+    columns (the schema is derived from the inputs, not hardcoded long) and
+    an empty query set returning an empty frame of the right shape."""
+    corpus = emb.select(
+        F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    q = emb.limit(2).select(
+        F.concat(F.lit("q-"), F.col("vec_id")).alias("query_id"), "embedding"
+    )
+    rows = brute_force_topk(corpus, q, k=3, kernel="arrow").collect()
+    assert len(rows) == 6
+    assert all(r["vec_id"].startswith("doc-") and r["query_id"].startswith("q-") for r in rows)
+    # empty query set: no crash, empty result, stable schema
+    empty_q = q.limit(0)
+    out = brute_force_topk(corpus, empty_q, k=3, kernel="arrow")
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["query_id", "vec_id", "cos_sim", "rank"]

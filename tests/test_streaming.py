@@ -373,3 +373,48 @@ def test_daemon_unix_socket(spark, tmp_path):
         lines = [f.readline().decode() for _ in range(n)]
         assert any(ln.startswith("updates_received: 1") for ln in lines)
         s.close()
+
+
+def test_daemon_batch_and_update_grammar(spark, tmp_path):
+    """Reference daemon grammar corners: FETCH/FETCHBIN are rejected
+    per-line inside BATCH (their replies aren't line-framed), UPDATE maps
+    an 'N' timestamp to now, and a reading count that doesn't match the
+    data-source count is an error — not a silent zip-truncate
+    (handle_request_update's "expected %i data source readings")."""
+    from rrdtool_1_x_spark.streaming.daemon import DaemonServer, IngestDaemon
+
+    store = DatasetStore.create(spark, str(tmp_path / "d"), _dataset())
+    daemon = IngestDaemon(StreamingIngest(store), write_interval=1e9)
+    with DaemonServer(daemon) as srv:
+        c = _Client(srv.address)
+        # FETCHBIN inside BATCH: per-line error, connection survives
+        code, msg, _ = c.send("BATCH")
+        assert code == 0 and msg.startswith("Go ahead")
+        c.send_raw("UPDATE speed_ds 920804700:100")
+        c.send_raw("FETCHBIN speed_ds AVERAGE")
+        c.send_raw("FETCH speed_ds AVERAGE")
+        c.send_raw(".")
+        code, msg, lines = c.read_reply()
+        assert code == 2 and msg == "errors"
+        assert lines[0].startswith("2 ") and "FETCHBIN" in lines[0]
+        assert lines[1].startswith("3 ") and "FETCH" in lines[1]
+        # the valid line 1 was executed
+        assert c.send("PENDING speed_ds")[0] == 1
+
+        # UPDATE N:<v> stamps wall-clock now
+        import time
+
+        before = time.time()
+        code, _, _ = c.send("UPDATE now_ds N:7")
+        after = time.time()
+        assert code == 0
+        (ds_name, ts, val) = daemon.pending("now_ds")[0]
+        assert before - 1 <= ts <= after + 1 and val == 7.0
+
+        # wrong reading count is an error (dataset has exactly one DS)
+        code, msg, _ = c.send("UPDATE speed_ds 920805000:1:2")
+        assert code < 0 and "expected 1 data source readings" in msg
+        code, msg, _ = c.send("UPDATE speed_ds 920805000:")
+        assert code < 0
+        c.send_raw("QUIT")
+        c.close()
