@@ -27,6 +27,8 @@ from __future__ import annotations
 import hashlib
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -176,6 +178,248 @@ def _brute_force_scores_arrow(
     return corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
 
 
+def _seq_dot(a, b) -> float:
+    """Sequential left-to-right dot — the float-op order of both engines'
+    list folds (Spark ``aggregate(zip_with(...))``, DuckDB
+    ``list_dot_product``). The Arrow kernels fall back to this for the rare
+    rows where a vectorized BLAS result sits within the guard band of a
+    decision boundary, so every DECISION (bucket bit, cell id, candidate
+    survival) is bit-identical to the fold path."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += float(x) * float(y)
+    return s
+
+
+def _list_matrix(arr, n: int):
+    """(float32 matrix, float64 matrix) from an Arrow list column — the
+    values buffer reshaped, no per-row object churn (the naive
+    ``np.stack([np.asarray(v) for v in series])`` costs ~1 µs/row and
+    dominated the first kernel draft)."""
+    flat32 = arr.flatten().to_numpy(zero_copy_only=False)
+    m32 = flat32.reshape(n, -1)
+    return m32, m32.astype(np.float64)
+
+
+def _bucket_pairs_arrow(
+    melted: DataFrame, threshold: float, max_bucket_size: int | None, id_col: str, id_ddl: str
+) -> DataFrame:
+    """Near-dup verification INSIDE the LSH buckets: one
+    ``applyInArrow`` group task per (table, bucket) runs a bucket-local
+    GEMM over at most ``max_bucket_size`` vectors, keeps pairs within
+    1e-6 of the threshold, and re-scores those few with the exact
+    sequential fold (``_seq_dot`` — the engines' shared float-op order),
+    emitting only exact-verified (id_a, id_b, cos_sim).
+
+    Compared to the join-based shape (candidate distinct + two id-joins
+    to re-attach vectors), this runs ONE shuffle — the bucket groupBy —
+    and the quadratic work never leaves the capped group. The bucket-size
+    cap is enforced in-kernel (an oversized group emits nothing), the
+    same anti-quadratic guard as the windowed count in the fold path.
+    Output is bit-identical to the fold path before its final distinct;
+    callers dedup the (small) surviving pair set."""
+    import math as _math
+
+    import pyarrow as pa
+
+    def score(tbl: "pa.Table") -> "pa.Table":
+        id_type = tbl.schema.field(id_col).type
+        out_schema = pa.schema(
+            [
+                pa.field("id_a", id_type),
+                pa.field("id_b", id_type),
+                pa.field("cos_sim", pa.float64()),
+            ]
+        )
+        n = tbl.num_rows
+        if n < 2 or (max_bucket_size is not None and n > max_bucket_size):
+            return pa.table(
+                {
+                    "id_a": pa.array([], id_type),
+                    "id_b": pa.array([], id_type),
+                    "cos_sim": pa.array([], pa.float64()),
+                },
+                schema=out_schema,
+            )
+        m32, m = _list_matrix(tbl.column("_vec").combine_chunks(), n)
+        n2 = (m * m).sum(axis=1)
+        nrm = np.sqrt(np.where(n2 > 0, n2, np.inf))
+        sims = (m @ m.T) / nrm[:, None] / nrm[None, :]
+        iu, ju = np.triu_indices(n, 1)
+        fast = sims[iu, ju]
+        with np.errstate(invalid="ignore"):
+            keep = fast >= threshold - 1e-6  # NaN fails, like NULL in the fold path
+        ids = tbl.column(id_col).to_pylist()
+        out_a, out_b, out_c = [], [], []
+        for i, j in zip(iu[keep], ju[keep]):
+            a_, b_ = ids[i], ids[j]
+            if a_ == b_:
+                continue
+            va, vb = m32[i], m32[j]
+            na2 = _seq_dot(va, va)
+            nb2 = _seq_dot(vb, vb)
+            if not (na2 > 0 and nb2 > 0):
+                continue
+            cs = _seq_dot(va, vb) / (_math.sqrt(na2) * _math.sqrt(nb2))
+            if cs >= threshold:
+                if b_ < a_:
+                    a_, b_ = b_, a_
+                out_a.append(a_)
+                out_b.append(b_)
+                out_c.append(cs)
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, id_type),
+                "id_b": pa.array(out_b, id_type),
+                "cos_sim": pa.array(out_c, pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return melted.groupBy("_bi", "_bh").applyInArrow(
+        score, f"id_a {id_ddl}, id_b {id_ddl}, cos_sim double"
+    )
+
+
+def _pd_bucket_strings(vec_col: Column, planes_by_table: list[list[list[float]]]) -> Column:
+    """Arrow-batched LSH bucket strings for ALL tables in one pass:
+    array<string>, element t = table t's sign-bit bucket. One GEMM against
+    the stacked (tables*planes, dim) plane matrix replaces
+    tables*planes interpreted dim-length folds per row. Dots within 1e-9
+    of the sign boundary are recomputed with the sequential fold so bucket
+    bits are bit-identical to ``lsh_bucket_col``."""
+    from pyspark.sql.functions import pandas_udf
+
+    pmat = np.array([p for planes in planes_by_table for p in planes], dtype=np.float64)
+    plists = [p for planes in planes_by_table for p in planes]
+    sizes = [len(planes) for planes in planes_by_table]
+
+    @pandas_udf("array<string>")
+    def buckets(vec: pd.Series) -> pd.Series:
+        if not len(vec):
+            return pd.Series([], dtype="object")
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vec])
+        dots = m @ pmat.T  # (rows, tables*planes)
+        near = np.argwhere(np.abs(dots) < 1e-9)
+        for i, j in near:
+            dots[i, j] = _seq_dot(m[i], plists[j])
+        bits = dots >= 0
+        out = []
+        for r in range(len(m)):
+            row, off = [], 0
+            for sz in sizes:
+                row.append("".join("1" if b else "0" for b in bits[r, off : off + sz]))
+                off += sz
+            out.append(row)
+        return pd.Series(out)
+
+    return buckets(vec_col)
+
+
+def _exact_cell(v, model) -> int:
+    """Exact IVF assignment of one vector: sequential folds + the
+    (s desc, cid asc) tie-break of ``_centroid_scores``/the SQL oracle."""
+    import math as _math
+
+    vn2 = 0.0
+    for x in v:
+        fx = float(x)
+        vn2 += fx * fx
+    entries = []
+    for cid, cv, c2 in model:
+        if c2 > 0 and vn2 > 0:
+            s = _seq_dot(v, cv) / (_math.sqrt(vn2) * _math.sqrt(c2))
+        else:
+            s = -2.0
+        entries.append((s, -cid))
+    return -max(entries)[1]
+
+
+def _ivf_scores_arrow(
+    corpus: DataFrame,
+    qitems: list[tuple],
+    model: list[tuple[int, list[float], float]],
+    id_col: str,
+    vec_col: str,
+    qid_ddl: str,
+    id_ddl: str,
+) -> DataFrame:
+    """One ``mapInArrow`` corpus pass that fuses IVF assignment and probe
+    scoring: per Arrow batch, a GEMM against the centroid matrix assigns
+    cells (near-tied rows fall back to the exact fold), then each query's
+    probed-cell rows are GEMM-scored against that query. Emits the SLIM
+    frame (_qid, id, _sf) — the guard-band windows downstream shuffle
+    24-byte rows, never vectors. ``qitems`` is the collected
+    (qid, qvec_double, qn2, cell) probe list (queries are broadcast-small
+    by contract — same assumption as the fold path's broadcast join)."""
+    import math as _math
+
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_type
+    from pyspark.sql.types import _parse_datatype_string
+
+    cids = np.array([cid for cid, _, _ in model], dtype=np.int64)  # ascending
+    cmat = np.array([cv for _, cv, _ in model], dtype=np.float64)
+    cn2 = np.array([n2 for _, _, n2 in model], dtype=np.float64)
+    cnorm = np.sqrt(np.where(cn2 > 0, cn2, np.inf))
+    by_cell: dict = {}
+    for qid, qv, qn2, cell in qitems:
+        by_cell.setdefault(cell, []).append((qid, np.asarray(qv, dtype=np.float64), qn2))
+    qid_type = to_arrow_type(_parse_datatype_string(qid_ddl))
+
+    def score(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids = rb.column(0)
+            m32, m = _list_matrix(rb.column(1), n)
+            vn2 = (m * m).sum(axis=1)
+            vnorm = np.sqrt(np.where(vn2 > 0, vn2, np.inf))
+            csims = (m @ cmat.T) / vnorm[:, None] / cnorm[None, :]
+            csims = np.where(np.isfinite(csims), csims, -2.0)
+            best = np.argmax(csims, axis=1)  # first max = lowest cid on ties
+            cells = cids[best]
+            if csims.shape[1] > 1:
+                part = np.partition(csims, -2, axis=1)
+                for i in np.nonzero(part[:, -1] - part[:, -2] < 1e-9)[0]:
+                    cells[i] = _exact_cell(m32[i], model)
+            out_schema = pa.schema(
+                [
+                    pa.field("_qid", qid_type),
+                    pa.field(id_col, ids.type),
+                    pa.field("_sf", pa.float64()),
+                ]
+            )
+            for cell, qs in by_cell.items():
+                mask = cells == cell
+                cnt = int(mask.sum())
+                if cnt == 0:
+                    continue
+                sub, sn2 = m[mask], vn2[mask]
+                id_sub = ids.filter(pa.array(mask))
+                for qid, qv, qn2 in qs:
+                    if qn2 > 0:
+                        with np.errstate(divide="ignore", invalid="ignore"):
+                            s = (sub @ qv) / (np.sqrt(sn2) * _math.sqrt(qn2))
+                        invalid = sn2 <= 0
+                    else:
+                        s = np.zeros(cnt)
+                        invalid = np.ones(cnt, dtype=bool)
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array([qid] * cnt, qid_type),
+                            id_sub,
+                            pa.array(s, mask=invalid),
+                        ],
+                        schema=out_schema,
+                    )
+
+    return corpus.select(id_col, vec_col).mapInArrow(
+        score, f"_qid {qid_ddl}, {id_col} {id_ddl}, _sf double"
+    )
+
+
 def _hyperplanes(dim: int, num_planes: int, seed: str = "lsh") -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes from md5 bits."""
     planes = []
@@ -222,6 +466,7 @@ def embedding_near_duplicates(
     num_planes: int = 4,
     num_tables: int = 3,
     max_bucket_size: int | None = 512,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-confined.
 
@@ -234,16 +479,42 @@ def embedding_near_duplicates(
     (a hot bucket of k vectors would emit k²/2 rows on one shuffle key).
     Pass ``dim`` from the catalog; the ``None`` fallback probes the first
     row (a driver-side job at plan-construction time — avoid at scale).
+
+    ``kernel='arrow'`` (default) runs the hot loops Arrow-vectorized:
+    bucket bits come from one GEMM against the stacked plane matrix, and
+    pair verification happens INSIDE each (table, bucket) group — a
+    bucket-local GEMM with a 1e-6 guard band whose survivors are
+    re-scored by the exact sequential fold (``_bucket_pairs_arrow``).
+    Output is BIT-IDENTICAL to ``kernel='fold'`` (the pure
+    interpreted-fold path), but the plan has ONE shuffle (the bucket
+    groupBy) instead of the fold path's cap-window + candidate-distinct +
+    two vector re-join exchanges, and the per-row cost drops ~an order of
+    magnitude.
     """
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
+    planes_by_table = [
+        _hyperplanes(dim, num_planes, seed=f"nd{t}") for t in range(num_tables)
+    ]
+    if kernel == "arrow":
+        melted = corpus.select(
+            F.col(id_col),
+            F.col(vec_col).alias("_vec"),
+            _pd_bucket_strings(F.col(vec_col), planes_by_table).alias("_ba"),
+        ).select(id_col, "_vec", F.posexplode("_ba").alias("_bi", "_bh"))
+        id_ddl = corpus.schema[id_col].dataType.simpleString()
+        pairs = _bucket_pairs_arrow(melted, threshold, max_bucket_size, id_col, id_ddl)
+        # a pair sharing buckets in several tables is emitted once per
+        # table with the SAME exact value — dedup runs over the tiny
+        # surviving pair set, not the candidate set
+        return pairs.dropDuplicates(["id_a", "id_b"])
     # long-format (id, table_idx, bucket): all tables share one self-join,
     # and bucket sizes can be counted (and capped) in one aggregation
     tbl_structs = F.array(
         *[
             F.struct(
                 F.lit(t).alias("_bi"),
-                lsh_bucket_col(F.col(vec_col), _hyperplanes(dim, num_planes, seed=f"nd{t}")).alias("_bh"),
+                lsh_bucket_col(F.col(vec_col), planes_by_table[t]).alias("_bh"),
             )
             for t in range(num_tables)
         ]
@@ -290,11 +561,8 @@ def embedding_near_duplicates(
     # instead of three interpreted HOF folds — same float op order, so
     # bit-identical to folding inside the pair)
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    withn = corpus.select(
-        F.col(id_col),
-        vd.alias("_v"),
-        F.aggregate(vd, F.lit(0.0), lambda s, x: s + x * x).alias("_n2"),
-    )
+    n2 = F.aggregate(vd, F.lit(0.0), lambda s, x: s + x * x)
+    withn = corpus.select(F.col(id_col), vd.alias("_v"), n2.alias("_n2"))
     a = withn.select(
         F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_n2").alias("_na2")
     )
@@ -395,6 +663,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     model: list[tuple[int, list[float], float]] | None = None,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """IVF approximate top-k: assign every corpus vector to its nearest
     centroid cell, probe the ``nprobe`` cells nearest each query, score only
@@ -406,6 +675,17 @@ def ivf_topk(
     the quadratic work is confined to nprobe/nlist of the corpus per query.
     At cluster scale the cell id becomes a partition/bucket column written
     at ingest, and the probe join prunes cells at scan time.
+
+    ``kernel='arrow'`` (default) fuses assignment and probe scoring into
+    ONE ``mapInArrow`` corpus pass (``_ivf_scores_arrow``): a GEMM against
+    the centroid matrix assigns cells (near-tied rows fall back to the
+    exact fold), each query's probed cells are GEMM-scored in the same
+    batch, and only the SLIM (_qid, id, _sf) frame is shuffled into the
+    guard-band windows. Candidates within 1e-6 of the fast kth score are
+    re-scored by the exact fold (a broadcast-survivor rejoin touching
+    ~k rows per query) and re-ranked, so output is BIT-IDENTICAL to
+    ``kernel='fold'``; query-side probe lists always use the exact
+    literal fold (the query frame is tiny).
     """
     from pyspark.sql import Window
 
@@ -413,41 +693,117 @@ def ivf_topk(
         model = ivf_centroid_model(corpus, nlist=nlist, id_col=id_col, vec_col=vec_col)
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     n2 = F.aggregate(vd, F.lit(0.0), lambda s, x: s + x * x)
-    assigned = corpus.select(
-        F.col(id_col),
-        vd.alias("_v"),
-        n2.alias("_n2"),
-        (-F.array_max(_centroid_scores(F.col(vec_col), model))["nc"]).alias("_cell"),
-    )
-    # probe list: descending sort of the score structs = s desc, cid asc
-    # (natural ascending struct order is (s asc, nc asc); reversed, equal-s
-    # runs come out nc desc = cid asc — exactly the oracle's row_number
-    # ORDER BY s DESC, cid ASC). Heavy arrays are projected BEFORE the
-    # explode so the fold doesn't run once per generated row.
-    probes = F.transform(
-        F.slice(F.reverse(F.array_sort(_centroid_scores(F.col(vec_col), model))), 1, nprobe),
-        lambda t: -t["nc"],
-    )
-    qpre = queries.select(
-        F.col(query_id_col).alias("_qid"),
-        vd.alias("_qvec"),
-        n2.alias("_qn2"),
-        probes.alias("_cells"),
-    )
-    qcells = qpre.select("_qid", "_qvec", "_qn2", F.explode("_cells").alias("_cell"))
-    dot = F.aggregate(
-        F.zip_with(F.col("_v"), F.col("_qvec"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda s, x: s + x,
-    )
-    scored = assigned.join(F.broadcast(qcells), "_cell").select(
-        F.col("_qid").alias(query_id_col),
-        F.col(id_col),
-        F.when(
-            (F.col("_n2") > 0) & (F.col("_qn2") > 0),
-            dot / (F.sqrt("_n2") * F.sqrt("_qn2")),
-        ).alias("cos_sim"),
-    )
+    if kernel == "arrow":
+        import math as _math
+
+        # probe lists computed driver-side from ONE collect of the (small)
+        # query frame — replicating _centroid_scores' float ops and
+        # (s desc, cid asc) tie-break exactly in Python doubles (IEEE ==
+        # JVM), instead of building the nlist*dim literal fold expression
+        # (whose parse/py4j cost dominated construction) plus a second
+        # collect job
+        qrows = queries.select(query_id_col, vec_col).collect()
+        qitems, qtriples = [], []
+        for r in qrows:
+            qv = [float(x) for x in r[1]]
+            qn2 = _seq_dot(qv, qv)
+            entries = []
+            for cid, cv, cn2 in model:
+                if cn2 > 0 and qn2 > 0:
+                    s = _seq_dot(qv, cv) / (_math.sqrt(qn2) * _math.sqrt(cn2))
+                else:
+                    s = -2.0
+                entries.append((s, -cid))
+            entries.sort(reverse=True)  # (s desc, nc desc) = (s desc, cid asc)
+            cells = [-nc for _, nc in entries[:nprobe]]
+            for cell in cells:
+                qitems.append((r[0], qv, qn2, cell))
+            qtriples.append((r[0], qv, qn2))
+        qid_ddl = queries.schema[query_id_col].dataType.simpleString()
+        id_ddl = corpus.schema[id_col].dataType.simpleString()
+        qdf = corpus.sparkSession.createDataFrame(
+            qtriples, f"_qid {qid_ddl}, _qvec array<double>, _qn2 double"
+        )
+        slim = _ivf_scores_arrow(
+            corpus, qitems, model, id_col, vec_col, qid_ddl, id_ddl
+        )
+        # guard-band top-k: everything within 1e-6 of the fast kth score
+        # (plus NULL-score rows, which may legitimately fill a short
+        # top-k) survives to the exact re-score. Fewer than k candidates
+        # -> kth is NULL -> keep all.
+        wr = Window.partitionBy("_qid").orderBy(F.desc("_sf"), F.asc(id_col))
+        wq = Window.partitionBy("_qid")
+        ranked = slim.withColumn("_rf", F.row_number().over(wr))
+        kth = F.max(F.when(F.col("_rf") == k, F.col("_sf"))).over(wq)
+        surv = (
+            ranked.withColumn("_kth", kth)
+            .filter(
+                F.col("_kth").isNull()
+                | F.col("_sf").isNull()
+                | (F.col("_sf") >= F.col("_kth") - 1e-6)
+            )
+            .select("_qid", id_col)
+        )
+        # survivors are ~k rows per query: broadcast them back over the
+        # corpus scan (map-side semi-reduction, no corpus shuffle) and
+        # attach the query vectors for the exact fold re-score
+        dot = F.aggregate(
+            F.zip_with(vd, F.col("_qvec"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        scored = (
+            corpus.join(F.broadcast(surv), id_col)
+            .join(F.broadcast(qdf), "_qid")
+            .select(
+                F.col("_qid").alias(query_id_col),
+                F.col(id_col),
+                F.when(
+                    (n2 > 0) & (F.col("_qn2") > 0),
+                    dot / (F.sqrt(n2) * F.sqrt("_qn2")),
+                ).alias("cos_sim"),
+            )
+        )
+    else:
+        # probe list: descending sort of the score structs = s desc, cid asc
+        # (natural ascending struct order is (s asc, nc asc); reversed,
+        # equal-s runs come out nc desc = cid asc — exactly the oracle's
+        # row_number ORDER BY s DESC, cid ASC). Heavy arrays are projected
+        # BEFORE the explode so the fold doesn't run once per generated row.
+        probes = F.transform(
+            F.slice(
+                F.reverse(F.array_sort(_centroid_scores(F.col(vec_col), model))),
+                1,
+                nprobe,
+            ),
+            lambda t: -t["nc"],
+        )
+        qpre = queries.select(
+            F.col(query_id_col).alias("_qid"),
+            vd.alias("_qvec"),
+            n2.alias("_qn2"),
+            probes.alias("_cells"),
+        )
+        qcells = qpre.select("_qid", "_qvec", "_qn2", F.explode("_cells").alias("_cell"))
+        assigned = corpus.select(
+            F.col(id_col),
+            vd.alias("_v"),
+            n2.alias("_n2"),
+            (-F.array_max(_centroid_scores(F.col(vec_col), model))["nc"]).alias("_cell"),
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col("_v"), F.col("_qvec"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        scored = assigned.join(F.broadcast(qcells), "_cell").select(
+            F.col("_qid").alias(query_id_col),
+            F.col(id_col),
+            F.when(
+                (F.col("_n2") > 0) & (F.col("_qn2") > 0),
+                dot / (F.sqrt("_n2") * F.sqrt("_qn2")),
+            ).alias("cos_sim"),
+        )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

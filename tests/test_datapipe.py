@@ -501,3 +501,36 @@ def test_brute_force_arrow_kernel_contract(spark, emb):
     out = brute_force_topk(corpus, empty_q, k=3, kernel="arrow")
     assert out.collect() == []
     assert [f.name for f in out.schema.fields] == ["query_id", "vec_id", "cos_sim", "rank"]
+
+
+def test_embed_near_dup_arrow_kernel_identical(spark, emb):
+    """The default arrow kernel (GEMM guard-band + exact fold re-score)
+    returns BIT-IDENTICAL pairs to the pure fold path — the property that
+    lets the fast path live inside the hash-gated oracle entries."""
+    from rrdtool_1_x_spark.datapipe.similarity import embedding_near_duplicates
+
+    kw = dict(threshold=0.35, dim=64, num_planes=4, num_tables=3)
+    f = embedding_near_duplicates(emb, kernel="fold", **kw).collect()
+    a = embedding_near_duplicates(emb, kernel="arrow", **kw).collect()
+    key = lambda r: (r["id_a"], r["id_b"], r["cos_sim"])
+    assert sorted(map(key, f)) == sorted(map(key, a))
+    assert len(f) > 0
+
+
+def test_ivf_topk_arrow_kernel_identical(spark, emb):
+    """Arrow-kernel IVF (GEMM assignment with near-tie fallback, guard-band
+    top-k + exact re-rank) is bit-identical to the fold path, including on
+    zero-norm vectors (NULL sim, never NaN)."""
+    from rrdtool_1_x_spark.datapipe.similarity import ivf_topk
+
+    zero = spark.createDataFrame(
+        [(999999, [0.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(zero)
+    q = corpus.orderBy("vec_id").limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    f = ivf_topk(corpus, q, k=10, nlist=16, nprobe=4, kernel="fold").collect()
+    a = ivf_topk(corpus, q, k=10, nlist=16, nprobe=4, kernel="arrow").collect()
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["cos_sim"])
+    assert sorted(map(key, f)) == sorted(map(key, a)) and len(f) == 20
