@@ -114,18 +114,59 @@ def _at(s: str | None, default: int) -> int:
 
 
 def cmd_create(args: list[str]) -> int:
+    """≙ rrdtool create, incl. --source prefill and --template definition
+    copy (src/rrd_create.c:77-258; prefill :1043-1078)."""
     path = args.pop(0)
     start = _opt(args, "--start", "-b")
-    step = int(_opt(args, "--step", "-s", default="300"))
-    ds = [_parse_ds(a) for a in args if a.startswith("DS:")]
+    step = _opt(args, "--step", "-s")
+    sources = []
+    while (s := _opt(args, "--source", "-r")) is not None:
+        sources.append(s)
+    template = _opt(args, "--template", "-t")
+    # DS:new=old:... declares a prefill mapping (parseDS mapping grammar,
+    # src/rrd_create.c parseDS + mapping_t)
+    mapping: dict[str, str] = {}
+    ds_specs = []
+    for a in args:
+        if not a.startswith("DS:"):
+            continue
+        head, rest = a.split(":", 2)[1], a.split(":", 2)[2]
+        if "=" in head:
+            new, old = head.split("=", 1)
+            mapping[new] = old
+            a = f"DS:{new}:{rest}"
+        ds_specs.append(a)
+    ds = [_parse_ds(a) for a in ds_specs]
     rra = [_parse_rra(a) for a in args if a.startswith("RRA:")]
-    dataset = _create_def(
-        name=path.rstrip("/").rsplit("/", 1)[-1], step=step, ds=ds, rra=rra,
-        start=None if start is None else _at(start, 0),
-    )
+    name = path.rstrip("/").rsplit("/", 1)[-1]
+    start_i = None if start is None else _at(start, 0)
+
+    from rrdtool_1_x_spark.sources.prefill import create_prefilled, template_dataset
     from rrdtool_1_x_spark.sources.store import DatasetStore
 
-    DatasetStore.create(_spark(), path, dataset)
+    spark = _spark()
+    if template is not None:
+        dataset = template_dataset(
+            DatasetStore(spark, template), name,
+            extra_ds=ds, extra_rra=rra,
+            step=None if step is None else int(step),
+            start=start_i,
+        )
+        if start_i is None and not sources:
+            # last update time carries over from the template when neither
+            # --start nor sources set it (src/rrd_create.c:1032-1035)
+            dataset.start = DatasetStore(spark, template).last()
+    else:
+        dataset = _create_def(
+            name=name, step=300 if step is None else int(step), ds=ds, rra=rra,
+            start=start_i,
+        )
+    create_prefilled(
+        spark, path, dataset,
+        sources=[DatasetStore(spark, s) for s in sources],
+        start=dataset.start,
+        mapping=mapping or None,
+    )
     return 0
 
 
