@@ -10,6 +10,11 @@ with the .rrd path swapped for a dataset directory:
   xport  [-s|-e|--step|--maxrows|--json|--enumds|--showtime] DEF:.. CDEF:.. XPORT:..
   graphv <ignored> DEF:.. CDEF:.. VDEF:.. PRINT:..   (data outputs only)
   info/first/last/lastupdate <ds> · list <root> · dump/restore · tune · resize
+  flushcached -d <addr> <ds>...
+
+``-d/--daemon addr`` (or RRDCACHED_ADDRESS) routes update/fetch/flushcached
+through a running DaemonServer over the rrdcached wire protocol, like
+rrdc_* in librrd (src/rrd_client.c; src/rrd_fetch.c:198-205).
 
 Reference grammars: rrd_create argv (src/rrd_create.c:77-240), rrd_update
 (src/rrd_update.c:675-788), rrd_fetch (src/rrd_fetch.c:62-213), rrd_xport
@@ -104,6 +109,26 @@ def _opt(args: list[str], *names: str, default=None, flag: bool = False):
     return default if not flag else False
 
 
+def _daemon_addr(args: list[str]) -> str | None:
+    """``-d/--daemon addr`` or the RRDCACHED_ADDRESS environment variable —
+    the reference's daemon-address resolution (src/rrd_client.c
+    rrdc_connect; rrd_fetch.c:198-205 routes through rrdc_fetch when either
+    is set)."""
+    import os
+
+    return _opt(args, "-d", "--daemon") or os.environ.get("RRDCACHED_ADDRESS")
+
+
+def _client(addr: str):
+    from rrdtool_1_x_spark.streaming.daemon import DaemonClient
+
+    return DaemonClient(addr)
+
+
+def _series_of(path: str) -> str:
+    return path.rstrip("/").rsplit("/", 1)[-1]
+
+
 def _at(s: str | None, default: int) -> int:
     if s is None:
         return default
@@ -172,7 +197,16 @@ def cmd_create(args: list[str]) -> int:
 
 def cmd_update(args: list[str]) -> int:
     path = args.pop(0)
+    daemon = _daemon_addr(args)
     template = _opt(args, "--template", "-t")
+    if daemon is not None and template is None:
+        # ≙ rrdc_update (src/rrd_client.c:1284-1340): ship the raw value
+        # specs to the daemon; it buffers and age-flushes them. A --template
+        # reorders columns, which the daemon protocol doesn't carry — fall
+        # through to the library path then (the reference errors likewise).
+        with _client(daemon) as c:
+            c.update(_series_of(path), list(args))
+        return 0
     store = _store(path)
     ds_names = (
         template.split(":") if template else [d.name for d in store.dataset.ds]
@@ -194,13 +228,41 @@ def cmd_update(args: list[str]) -> int:
 
 
 def cmd_fetch(args: list[str]) -> int:
-    path, cf = args.pop(0), args.pop(0).upper()
+    # options first, positionals after — getopt permutes like the reference
     res = _opt(args, "-r", "--resolution")
     align = _opt(args, "-a", "--align-start", flag=True)
+    daemon = _daemon_addr(args)
+    end_s = _opt(args, "-e", "--end")
+    start_s = _opt(args, "-s", "--start")
+    path, cf = args.pop(0), args.pop(0).upper()
+    import math
+
+    def _fmt(v) -> str:
+        bad = v is None or (isinstance(v, float) and math.isnan(v))
+        return f"{(float('nan') if bad else float(v)):0.10e}"
+
+    if daemon is not None:
+        # ≙ rrdc_fetch (src/rrd_fetch.c:198-205, src/rrd_client.c:198-420):
+        # the daemon flushes the series and serves rows over the wire.
+        # Defaults still come from the dataset header (meta.json is local —
+        # one daemon fronts one store on a shared filesystem, like
+        # rrdcached and its clients share the .rrd files).
+        from rrdtool_1_x_spark.sources.store import DatasetStore
+
+        store = DatasetStore(None, path)
+        end = _at(end_s, store.last())
+        start = _at(start_s, end - 86400)
+        with _client(daemon) as c:
+            _, _, _, ds_names, rows = c.fetch(_series_of(path), cf, start, end)
+        print(" ".join(f"{n:>18s}" for n in ds_names))
+        print()
+        for ts, vals in rows:
+            print(f"{ts}: " + " ".join(_fmt(vals.get(n)) for n in ds_names))
+        return 0
+
     store = _store(path)
-    last = store.last()
-    end = _at(_opt(args, "-e", "--end"), last)
-    start = _at(_opt(args, "-s", "--start"), end - 86400)
+    end = _at(end_s, store.last())
+    start = _at(start_s, end - 86400)
     pdf, plan = store.fetch_local(
         cf, start, end, None if res is None else int(res), align_start=align
     )
@@ -210,13 +272,8 @@ def cmd_fetch(args: list[str]) -> int:
     # reference CLI layout: DS-name header, blank line, "ts: %0.10e ..." rows
     print(" ".join(f"{n:>18s}" for n in ds_names))
     print()
-    import math
-
     for ts, r in wide.iterrows():
-        vals = " ".join(
-            f"{(float('nan') if r.get(n) is None or (isinstance(r.get(n), float) and math.isnan(r.get(n))) else float(r.get(n))):0.10e}"
-            for n in ds_names
-        )
+        vals = " ".join(_fmt(r.get(n)) for n in ds_names)
         print(f"{int(ts)}: {vals}")
     return 0
 
@@ -363,6 +420,18 @@ def cmd_restore(args: list[str]) -> int:
     return 0
 
 
+def cmd_flushcached(args: list[str]) -> int:
+    """≙ rrdtool flushcached (src/rrd_flushcached.c:31-95): ask the daemon
+    to write one or more datasets' pending values now."""
+    daemon = _daemon_addr(args)
+    if daemon is None:
+        raise ValueError("flushcached needs a daemon address (-d or RRDCACHED_ADDRESS)")
+    with _client(daemon) as c:
+        for path in args:
+            c.flush(_series_of(path))
+    return 0
+
+
 def cmd_tune(args: list[str]) -> int:
     from rrdtool_1_x_spark.sources.evolve import tune_ds
 
@@ -403,6 +472,7 @@ COMMANDS = {
     "first": cmd_first,
     "last": cmd_last,
     "lastupdate": cmd_lastupdate,
+    "flushcached": cmd_flushcached,
     "dump": cmd_dump,
     "restore": cmd_restore,
     "tune": cmd_tune,

@@ -22,6 +22,7 @@ whose oldest pending value has aged past it (the -w batching window).
 
 from __future__ import annotations
 
+import os as _os
 import time as _time
 
 from pyspark.sql import SparkSession
@@ -31,7 +32,19 @@ from rrdtool_1_x_spark.streaming.ingest import StreamingIngest
 
 
 class IngestDaemon:
-    def __init__(self, ingest: StreamingIngest, write_interval: float = 300.0):
+    def __init__(
+        self,
+        ingest: StreamingIngest,
+        write_interval: float = 300.0,
+        journal_dir: str | None = None,
+    ):
+        """``journal_dir`` enables the write-ahead journal: every buffered
+        UPDATE (and FORGET) is appended to an on-disk journal before it is
+        acknowledged, and a restarting daemon replays outstanding journals
+        back into its buffers (src/rrd_daemon.c:238-330 journal_write /
+        journal_replay). Replay is idempotent the same way the reference's
+        is: rows that already reached the store are rejected by the
+        per-series non-increasing-timestamp rule on the next flush."""
         self.ingest = ingest
         self.write_interval = write_interval  # ≙ rrdcached -w
         # series_id -> list of (ds_name, ts, value) pending rows
@@ -42,8 +55,90 @@ class IngestDaemon:
             "updates_received": 0,
             "flush_received": 0,
             "data_sets_written": 0,
+            "journals_replayed": 0,
             "queue_length": 0,
         }
+        self._journal_dir = journal_dir
+        self._journal = None
+        self._journal_seq = 0
+        if journal_dir is not None:
+            _os.makedirs(journal_dir, exist_ok=True)
+            self._journal_replay()
+            self._journal_open()
+
+    # -- write-ahead journal --------------------------------------------------
+    # File-per-generation like the reference's rrd.journal.<time> files;
+    # a generation rotates out once every buffered value it covers has been
+    # flushed (the reference's journal_rotate after flush_old_values).
+    @staticmethod
+    def _j_val(v) -> str:
+        return "U" if v is None else repr(float(v))
+
+    def _journal_open(self) -> None:
+        self._journal_seq += 1
+        path = f"{self._journal_dir}/rrd.journal.{self._journal_seq:08d}"
+        self._journal = open(path, "a")
+
+    def _journal_write(self, line: str) -> None:
+        if self._journal is None:
+            return
+        self._journal.write(line + "\n")
+        self._journal.flush()
+        _os.fsync(self._journal.fileno())
+
+    def _journal_files(self) -> list[str]:
+        return sorted(
+            f"{self._journal_dir}/{n}"
+            for n in _os.listdir(self._journal_dir)
+            if n.startswith("rrd.journal.")
+        )
+
+    def _journal_replay(self) -> None:
+        """Re-buffer every journaled command, in write order. Updates that
+        were flushed before the crash re-enter the buffer too; the ingest's
+        monotonicity filter drops them at flush time — the same recovery
+        contract as the reference (replayed updates hit rrd_update's
+        'illegal attempt to update' rejection and are skipped)."""
+        files = self._journal_files()
+        for path in files:
+            with open(path) as f:
+                for raw in f:
+                    parts = raw.rstrip("\n").split(" ")
+                    if len(parts) < 2:
+                        continue
+                    cmd, series = parts[0], parts[1]
+                    if cmd == "UPDATE":
+                        rows = []
+                        for tok in parts[2:]:
+                            ds, ts, val = tok.split(":")
+                            rows.append(
+                                (ds, float(ts), None if val == "U" else float(val))
+                            )
+                        buf = self._pending.setdefault(series, [])
+                        if not buf:
+                            self._first_ts[series] = _time.monotonic()
+                        buf.extend(rows)
+                    elif cmd == "FORGET":
+                        self._pending.pop(series, None)
+                        self._first_ts.pop(series, None)
+            self._journal_seq = max(
+                self._journal_seq, int(path.rsplit(".", 1)[1])
+            )
+        self.stats["journals_replayed"] = len(files)
+
+    def _journal_rotate(self) -> None:
+        """Once nothing is buffered, everything journaled so far is durable
+        in the store — start a fresh generation and drop the old files."""
+        if self._journal is None or any(self._pending.values()):
+            return
+        self._journal.close()
+        old = self._journal_files()
+        self._journal_open()
+        for path in old:
+            try:
+                _os.remove(path)
+            except OSError:
+                pass
 
     @property
     def spark(self) -> SparkSession:
@@ -54,6 +149,10 @@ class IngestDaemon:
         """≙ the daemon's UPDATE: buffer (ds_name, ts, value) rows for one
         series, then age-flush anything past the write interval."""
         self.stats["updates_received"] += len(rows)
+        self._journal_write(
+            f"UPDATE {series_id} "
+            + " ".join(f"{d}:{t}:{self._j_val(v)}" for d, t, v in rows)
+        )
         buf = self._pending.setdefault(series_id, [])
         if not buf:
             self._first_ts[series_id] = _time.monotonic()
@@ -80,6 +179,7 @@ class IngestDaemon:
         if not rows:
             return f"Nothing to flush: {series_id}."
         self._write(series_id, rows)
+        self._journal_rotate()
         return f"Successfully flushed {series_id}."
 
     def flush_all(self, include_suspended: bool = False) -> str:
@@ -116,6 +216,8 @@ class IngestDaemon:
         if self._pending.pop(series_id, None) is None:
             raise KeyError(f"No such series: {series_id}")
         self._first_ts.pop(series_id, None)
+        self._journal_write(f"FORGET {series_id}")
+        self._journal_rotate()
         return "Gone!"
 
     # -- SUSPEND / RESUME -----------------------------------------------------
@@ -483,6 +585,95 @@ class DaemonServer:
             if reply.startswith("-"):
                 errors.append(f"{i} {reply.split(' ', 1)[1].strip()}")
         return self._reply(len(errors), "errors", errors)
+
+
+class DaemonClient:
+    """Client side of the wire protocol ≙ librrd's rrdc_* functions
+    (src/rrd_client.c: rrdc_connect :478-568, rrdc_update :1284-1340,
+    rrdc_fetch :198-420, rrdc_flush :1046-1070). Addresses use the
+    reference grammar: ``unix:/path`` (or a bare path starting with /)
+    for a UNIX socket, ``host[:port]`` for TCP."""
+
+    def __init__(self, addr: str, timeout: float = 30.0):
+        import socket
+
+        if addr.startswith("unix:") or addr.startswith("/"):
+            path = addr[5:] if addr.startswith("unix:") else addr
+            self.sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            self.sock.settimeout(timeout)
+            self.sock.connect(path)
+        else:
+            host, _, port = addr.rpartition(":")
+            if not host:
+                host, port = addr, "42217"  # the reference's default port
+            self.sock = socket.create_connection((host, int(port)), timeout=timeout)
+        self._f = self.sock.makefile("rwb")
+
+    def close(self) -> None:
+        try:
+            self._f.write(b"QUIT\n")
+            self._f.flush()
+        except OSError:
+            pass
+        self._f.close()
+        self.sock.close()
+
+    def __enter__(self) -> "DaemonClient":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def command(self, line: str) -> tuple[int, str, list[str]]:
+        """Send one command, read the ``<code> <message>`` framed reply
+        (negative code raises, like rrdc_command's status handling)."""
+        self._f.write((line + "\n").encode())
+        self._f.flush()
+        status = self._f.readline().decode().rstrip("\n")
+        code_s, _, msg = status.partition(" ")
+        code = int(code_s)
+        if code < 0:
+            raise RuntimeError(f"rrdcached: {msg}")
+        lines = [self._f.readline().decode().rstrip("\n") for _ in range(code)]
+        return code, msg, lines
+
+    # -- the rrdc_* surface the CLI routes through ----------------------------
+    def update(self, series: str, value_specs: list[str]) -> None:
+        """≙ rrdc_update: ship the raw ``ts:v[:v...]`` strings."""
+        self.command(f"UPDATE {series} " + " ".join(value_specs))
+
+    def flush(self, series: str) -> None:
+        """≙ rrdc_flush."""
+        self.command(f"FLUSH {series}")
+
+    def fetch(
+        self, series: str, cf: str, start: int | None = None, end: int | None = None
+    ):
+        """≙ rrdc_fetch: returns (start, end, step, ds_names, rows) where
+        rows is ``[(ts, {ds: value})]`` parsed from the daemon's text
+        framing (Start/End/Step/DSCount/DSName headers then ts: v... rows,
+        src/rrd_daemon.c:3080-3092)."""
+        cmd = f"FETCH {series} {cf}"
+        if start is not None:
+            cmd += f" {start}"
+            if end is not None:
+                cmd += f" {end}"
+        _, _, lines = self.command(cmd)
+        hdr: dict[str, str] = {}
+        rows: list[tuple[int, dict[str, float]]] = []
+        ds_names: list[str] = []
+        for ln in lines:
+            key, _, rest = ln.partition(":")
+            if key in ("FlushVersion", "Start", "End", "Step", "DSCount"):
+                hdr[key] = rest.strip()
+            elif key == "DSName":
+                ds_names = rest.split()
+            else:
+                vals = [float(v) for v in rest.split()]
+                rows.append((int(key), dict(zip(ds_names, vals))))
+        return (
+            int(hdr["Start"]), int(hdr["End"]), int(hdr["Step"]), ds_names, rows
+        )
 
 
 def _isnan(x) -> bool:

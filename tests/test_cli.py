@@ -111,6 +111,61 @@ def test_cli_tune_resize_list(ds_path, capsys):
     assert "speed" in capsys.readouterr().out.split()
 
 
+def test_cli_daemon_routing(spark, tmp_path, capsys):
+    """-d/--daemon routes update/fetch/flushcached through a running
+    rrdcached-protocol server, and the daemon path is output-identical to
+    the library path — the reference's TESTS_STYLE matrix runs every test
+    both ways (tests/functions:232-271; rrdc_fetch src/rrd_fetch.c:198-205)."""
+    from rrdtool_1_x_spark.sources.store import DatasetStore
+    from rrdtool_1_x_spark.streaming.daemon import DaemonServer, IngestDaemon
+    from rrdtool_1_x_spark.streaming.ingest import StreamingIngest
+
+    create_argv = [
+        "--start", str(START), "--step", "300",
+        "DS:speed:COUNTER:600:U:U", "RRA:AVERAGE:0.5:1:600",
+    ]
+    specs = [f"{t}:{v}" for t, v in UPDATES]
+    fetch_argv = ["AVERAGE", "-s", str(START), "-e", str(UPDATES[-1][0])]
+
+    lib = str(tmp_path / "lib")
+    assert main(["create", lib] + create_argv) == 0
+    assert main(["update", lib] + specs) == 0
+    assert main(["fetch", lib] + fetch_argv) == 0
+    out_lib = capsys.readouterr().out
+
+    dmn = str(tmp_path / "dmn")
+    assert main(["create", dmn] + create_argv) == 0
+    store = DatasetStore(spark, dmn)
+    daemon = IngestDaemon(StreamingIngest(store), write_interval=1e9)
+    with DaemonServer(daemon) as srv:
+        addr = f"127.0.0.1:{srv.address[1]}"
+        assert main(["update", dmn, "-d", addr] + specs) == 0
+        assert store._read("samples") is None  # buffered in the daemon
+        assert main(["flushcached", "-d", addr, dmn]) == 0
+        assert store._read("samples").count() == len(UPDATES)
+        assert main(["fetch", dmn, "-d", addr] + fetch_argv) == 0
+        out_dmn = capsys.readouterr().out
+    assert out_dmn == out_lib
+
+    # RRDCACHED_ADDRESS env routing, second lifecycle run (matrix rerun)
+    env = str(tmp_path / "env")
+    assert main(["create", env] + create_argv) == 0
+    store2 = DatasetStore(spark, env)
+    with DaemonServer(
+        IngestDaemon(StreamingIngest(store2), write_interval=1e9)
+    ) as srv:
+        import os
+
+        os.environ["RRDCACHED_ADDRESS"] = f"127.0.0.1:{srv.address[1]}"
+        try:
+            assert main(["update", env] + specs) == 0
+            assert main(["flushcached", env]) == 0
+            assert main(["fetch", env] + fetch_argv) == 0
+        finally:
+            del os.environ["RRDCACHED_ADDRESS"]
+    assert capsys.readouterr().out == out_lib
+
+
 def test_cli_errors(capsys):
     assert main(["nosuchcmd"]) == 1
     assert "unknown command" in capsys.readouterr().err

@@ -191,6 +191,57 @@ def test_daemon_command_surface(spark, tmp_path):
     assert d.stats["updates_received"] == 9
 
 
+def test_daemon_journal_replay(spark, tmp_path):
+    """Write-ahead journal crash recovery (src/rrd_daemon.c:238-330): kill
+    the daemon mid-buffer, restart over the same journal dir, and no
+    buffered update is lost — while replay of already-flushed rows stays
+    idempotent via the ingest's monotonicity rejection."""
+    import os
+
+    from rrdtool_1_x_spark.streaming.daemon import IngestDaemon
+
+    jdir = str(tmp_path / "journal")
+    store = DatasetStore.create(spark, str(tmp_path / "d"), _dataset())
+    d = IngestDaemon(StreamingIngest(store), write_interval=1e9, journal_dir=jdir)
+    rows = [("speed", float(t), float(v)) for t, v in UPDATES[:6]]
+
+    # flushed data rotates the journal: the old generation is gone
+    d.update("speed_ds", rows[:2])
+    d.flush("speed_ds")
+    files = [n for n in os.listdir(jdir) if n.startswith("rrd.journal.")]
+    assert len(files) == 1
+
+    # buffer more, forget one series, then "crash" (no flush, no shutdown)
+    d.update("speed_ds", rows[2:5])
+    d.update("tmp_ds", [("speed", 920806000.0, 7.0)])
+    d.forget("tmp_ds")
+    del d
+
+    d2 = IngestDaemon(StreamingIngest(store), write_interval=1e9, journal_dir=jdir)
+    assert d2.stats["journals_replayed"] >= 1
+    assert len(d2.pending("speed_ds")) == 3  # nothing lost
+    assert d2.pending("tmp_ds") == []  # FORGET journaled too
+    d2.flush_all()
+    got = store._read("samples").filter(F.col("series_id") == "speed_ds").count()
+    assert got == 5  # 2 pre-crash + 3 replayed, no duplicates
+    # all durable now: journal rotated down to one fresh empty generation
+    files = sorted(n for n in os.listdir(jdir) if n.startswith("rrd.journal."))
+    assert len(files) == 1 and os.path.getsize(f"{jdir}/{files[0]}") == 0
+
+    # replayed rows that were already flushed pre-crash are dropped, not
+    # double-written: crash between flush and rotate
+    d3 = IngestDaemon(StreamingIngest(store), write_interval=1e9, journal_dir=jdir)
+    d3.update("speed_ds", [("speed", float(UPDATES[5][0]), float(UPDATES[5][1]))])
+    d3._write("speed_ds", d3._pending["speed_ds"])  # flushed but journal kept
+    del d3
+    d4 = IngestDaemon(StreamingIngest(store), write_interval=1e9, journal_dir=jdir)
+    assert len(d4.pending("speed_ds")) == 1  # replayed
+    d4.flush_all()
+    assert (
+        store._read("samples").filter(F.col("series_id") == "speed_ds").count() == 6
+    )  # monotonicity dropped the replayed duplicate
+
+
 class _Client:
     """Minimal line-protocol client for DaemonServer tests."""
 
