@@ -290,16 +290,28 @@ def _build_query(args: list[str]):
     if not defs:
         raise ValueError("need at least one DEF")
     # resolve stores first so the default time range can come from the data
+    from rrdtool_1_x_spark.sources.external import fetch_pseudo, is_pseudo_path
+
     stores = {}
     parsed_defs = []
+    pseudo_defs = []
     for d in defs:
         head, rest = d[4:].split("=", 1)
+        if is_pseudo_path(rest):
+            # sql// and cb// paths contain ':'-free segments only after the
+            # scheme, so the DS/CF suffix splits off the right
+            spath, ds_name, cf = rest.rsplit(":", 2)
+            pseudo_defs.append((head, spath, ds_name))
+            continue
         parts = rest.split(":")
         spath, ds_name, cf = parts[0], parts[1], parts[2].upper()
         if spath not in stores:
             stores[spath] = _store(spath)
         parsed_defs.append((head, spath, ds_name, cf))
-    last = max(s.last() for s in stores.values())
+    if stores:
+        last = max(s.last() for s in stores.values())
+    else:
+        last = int(_time.time())
     end = _at(end_s, last)
     start = _at(start_s, end - 86400)
     q = Query(start=start, end=end,
@@ -311,6 +323,12 @@ def _build_query(args: list[str]):
             i: store._read(f"rra_{i}") for i in range(len(store.dataset.rra))
         }
         q.def_(vname, rollups, store.dataset, ds_name, cf, last_up=store.last())
+    for vname, spath, ds_name in pseudo_defs:
+        frame, _, _, astep = fetch_pseudo(
+            _spark(), spath, ds_name, start, end,
+            None if step is None else int(step),
+        )
+        q.def_frame(vname, frame, astep)
     for a in args:
         if a.startswith("CDEF:"):
             name, rpn = a[5:].split("=", 1)

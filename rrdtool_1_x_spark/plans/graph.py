@@ -106,6 +106,7 @@ class Query:
         # data_fetch reduce src/rrd_graph.c:1055-1070)
         self.maxrows = maxrows
         self._defs: list[_Def] = []
+        self._frame_defs: list[tuple[str, DataFrame, int]] = []
         self._cdefs: list[_CDef] = []
         self._vdefs: list[_VDef] = []
         self._xports: list[tuple[str, str]] = []  # (vname, legend)
@@ -130,6 +131,17 @@ class Query:
         self._defs.append(
             _Def(vname, rollups, dataset, ds_name, cf.upper(), step, last_up or self.end)
         )
+        self._order.append(vname)
+        return self
+
+    def def_frame(self, vname: str, frame: DataFrame, step: int) -> "Query":
+        """DEF over a pre-fetched (ts, value) frame at a known step — the
+        pseudo-path sources (``sql//`` / ``cb//``, src/rrd_fetch.c:310-318
+        via sources.external.fetch_pseudo) plug in here: rrd_fetch_fn
+        returns their rows through the same interface as archive fetches,
+        and everything downstream (alignment, CDEF, VDEF, xport) is
+        source-agnostic."""
+        self._frame_defs.append((vname, frame.select("ts", "value"), int(step)))
         self._order.append(vname)
         return self
 
@@ -186,10 +198,12 @@ class Query:
                     step = step * math.ceil(wish / step)
                 memo[key] = (scan.select("ts", "value"), step)
             frames[d.vname], steps[d.vname] = memo[key]
+        for vname, frame, step in self._frame_defs:
+            frames[vname], steps[vname] = frame, step
         return frames, steps
 
     def execute(self, spark: SparkSession) -> QueryResult:
-        if not self._defs:
+        if not self._defs and not self._frame_defs:
             raise ValueError("query needs at least one DEF")
         frames, steps = self._fetch_defs()
 

@@ -19,9 +19,11 @@ unchanged on external data.
 
 from __future__ import annotations
 
+import re as _re
 from collections.abc import Callable
+from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -105,6 +107,264 @@ class CallbackRegistry:
         if missing:
             raise ValueError(f"callback source missing columns {sorted(missing)}")
         return df.select("series_id", "ds_name", "ts", "value")
+
+
+def _unescape(s: str) -> str:
+    """%XX hex-unescape (the reference's _inline_unescape,
+    src/rrd_fetch_libdbi.c:406-443)."""
+    return _re.sub(
+        "%([0-9a-fA-F]{2})", lambda m: chr(int(m.group(1), 16)), s
+    )
+
+
+@dataclass
+class SqlDefSpec:
+    """A parsed ``sql//`` DEF pseudo-path (rrd_fetch_fn_libdbi's argument
+    grammar, src/rrd_fetch_libdbi.c:486-660):
+
+      sql//driver[/key=value...]//table[+table...]/tscol/valcol[/term...]
+
+    ``sql||`` switches the separator to ``|``. libdbi key=value args before
+    the double separator: ``rrdminstepsize`` / ``rrdfillmissing`` /
+    ``rrdderivemaxstep`` are engine knobs, everything else is a connection
+    parameter. A leading ``*`` on the timestamp column marks a DATETIME
+    column (epoch otherwise). Trailing segments: the literal ``derive``
+    flag, or WHERE terms ANDed together. All segments are %XX-unescaped."""
+
+    driver: str
+    params: dict[str, str] = field(default_factory=dict)
+    tables: list[str] = field(default_factory=list)
+    ts_col: str = "ts"
+    ts_is_datetime: bool = False
+    value_col: str = "value"
+    where_terms: list[str] = field(default_factory=list)
+    derive: int = 0
+    minstep: int = 300
+    fillmissing: int = 0
+
+
+# the five derived columns every sql// DEF exposes
+# (src/rrd_fetch_libdbi.c:660-670)
+SQL_DS_NAMES = ("min", "avg", "max", "count", "sigma")
+
+
+def parse_sql_path(path: str) -> SqlDefSpec:
+    if not path.startswith("sql") or len(path) < 6 or path[3] != path[4]:
+        raise ValueError(f"formatstring wrong - {path}")
+    sep = path[3]
+    body = path[5:]
+    dbl = body.find(sep + sep)
+    if dbl < 0:
+        raise ValueError(f"formatstring wrong - no {sep}{sep} in {path}")
+    head_parts = body[:dbl].split(sep)
+    spec = SqlDefSpec(driver=head_parts[0])
+    derive_max = 0
+    for a in head_parts[1:]:
+        if not a:
+            continue
+        k, eq, v = a.partition("=")
+        if not eq:
+            raise ValueError(f"formatstring wrong for db arguments - {a!r}")
+        v = _unescape(v)
+        if k == "rrdminstepsize":
+            if int(v) > 0:
+                spec.minstep = int(v)
+        elif k == "rrdfillmissing":
+            if int(v) > 0:
+                spec.fillmissing = int(v)
+        elif k == "rrdderivemaxstep":
+            if int(v) > 0:
+                derive_max = int(v)
+        else:
+            spec.params[k] = v
+    tail = body[dbl + 2 :].split(sep)
+    if len(tail) < 3:
+        raise ValueError(f"formatstring wrong - {path}")
+    spec.tables = [_unescape(t) for t in tail[0].split("+")]
+    ts = tail[1]
+    if ts.startswith("*"):
+        spec.ts_is_datetime = True
+        ts = ts[1:]
+    spec.ts_col = _unescape(ts)
+    spec.value_col = _unescape(tail[2])
+    derive_flag = False
+    for a in tail[3:]:
+        if a == "derive":
+            derive_flag = True
+        elif a in ("prediction", "sigma"):
+            raise ValueError(
+                f"argument {a} is no longer supported in a DEF - "
+                "use new generic CDEF-functions instead"
+            )
+        elif a:
+            spec.where_terms.append(_unescape(a))
+    if derive_flag:
+        spec.derive = derive_max or 600
+    return spec
+
+
+# driver name -> provider(spark, spec, start, end) returning the raw
+# (ts double, value double) rows with the time-range predicate applied
+# server-side. "jdbc" is built in; tests and apps can register others
+# (≙ libdbi's pluggable database drivers).
+SqlDriver = Callable[[SparkSession, SqlDefSpec, int, int], DataFrame]
+SQL_DRIVERS: dict[str, SqlDriver] = {}
+
+
+def _jdbc_driver(
+    spark: SparkSession, spec: SqlDefSpec, start: int, end: int
+) -> DataFrame:
+    """The libdbi connection mapped onto spark.read.jdbc: ``url=`` is the
+    JDBC url, remaining params become reader options; WHERE terms and the
+    time range push into the server-side query, multiple ``+``-joined
+    tables become a UNION ALL."""
+    url = spec.params.get("url")
+    if url is None:
+        raise ValueError("sql// jdbc driver needs a url=jdbc:... parameter")
+    terms = list(spec.where_terms)
+    if spec.ts_is_datetime:
+        # DATETIME column: range-filter client-side after epoch conversion
+        pass
+    else:
+        terms.append(f"{start} < {spec.ts_col} AND {spec.ts_col} < {end}")
+    where = (" WHERE " + " AND ".join(terms)) if terms else ""
+    selects = [
+        f"SELECT {spec.ts_col} AS ts, {spec.value_col} AS value FROM {t}{where}"
+        for t in spec.tables
+    ]
+    inner = "(" + " UNION ALL ".join(selects) + ") t"
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", inner)
+    for k, v in spec.params.items():
+        if k != "url":
+            reader = reader.option(k, v)
+    df = reader.load()
+    if spec.ts_is_datetime:
+        df = df.withColumn("ts", F.unix_timestamp("ts").cast("double")).filter(
+            (F.col("ts") > start) & (F.col("ts") < end)
+        )
+    return df.select(F.col("ts").cast("double"), F.col("value").cast("double"))
+
+
+SQL_DRIVERS["jdbc"] = _jdbc_driver
+
+
+def sql_def_frame(
+    spark: SparkSession, spec: SqlDefSpec, start: int, end: int, step: int | None
+) -> tuple[DataFrame, int, int, int]:
+    """The sql// fetch: bucket raw rows into steps and derive the five
+    columns min/avg/max/count/sigma (src/rrd_fetch_libdbi.c:660-786).
+
+    Returns (frame, start, end, step) after the reference's adjustments
+    (step clamped up to rrdminstepsize, start/end aligned down). The frame
+    has one row per step with ``ts`` = interval END (the engine's fetch
+    convention); ``count`` is 0 for empty bins, the others NULL. ``derive``
+    converts to positive per-second rates against the previous raw row
+    first; ``rrdfillmissing`` forward-fills up to N seconds of empty bins.
+    Sigma is the sample stddev for count>2 and NULL otherwise (where the
+    reference reads an uninitialized local, src/rrd_fetch_libdbi.c:745-752).
+
+    Scale note: the groupBy is a map-side-combinable aggregation over the
+    time-pruned source scan; the only sequential parts are the derive lag
+    and the fill window, both over the queried range only (≤ rows of the
+    final output, not the source table)."""
+    step = max(step or 1, spec.minstep)
+    start, end = start - start % step, end - end % step
+    nbins = (end - start) // step
+    raw = SQL_DRIVERS[spec.driver](spark, spec, start, end)
+    if spec.derive:
+        w = Window.orderBy("ts")  # one series per DEF; range-bounded rows
+        dts = F.col("ts") - F.lag("ts").over(w)
+        dv = F.col("value") - F.lag("value").over(w)
+        raw = raw.select(
+            "ts",
+            F.when((dts > 0) & (dts < 2 * spec.derive) & (dv > 0), dv / dts)
+            .alias("value"),
+        )
+    agg = (
+        raw.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .groupBy(F.floor((F.col("ts") - start) / step).alias("_idx"))
+        .agg(
+            F.min("value").alias("min"),
+            F.sum("value").alias("_sum"),
+            F.max("value").alias("max"),
+            F.count("value").alias("count"),
+            F.sum(F.col("value") * F.col("value")).alias("_sumsq"),
+        )
+    )
+    grid = spark.range(nbins).select(F.col("id").alias("_idx"))
+    out = grid.join(agg, "_idx", "left").select(
+        "_idx",
+        ((F.col("_idx") + 1) * step + start).cast("double").alias("ts"),
+        "min",
+        (F.col("_sum") / F.col("count")).alias("avg"),
+        "max",
+        F.coalesce(F.col("count"), F.lit(0)).cast("double").alias("count"),
+        F.when(
+            F.col("count") > 2,
+            F.sqrt(
+                (F.col("count") * F.col("_sumsq") - F.col("_sum") * F.col("_sum"))
+                / (F.col("count") * (F.col("count") - 1))
+            ),
+        ).alias("sigma"),
+    )
+    fill = spec.fillmissing // step
+    if fill > 0:
+        w = Window.orderBy("_idx").rowsBetween(Window.unboundedPreceding, 0)
+        last_real = F.last(
+            F.when(F.col("count") > 0, F.col("_idx")), ignorenulls=True
+        ).over(w)
+        ok = (F.col("count") == 0) & (F.col("_idx") - last_real <= fill)
+        cols = {}
+        for c in ("min", "avg", "max", "count", "sigma"):
+            carried = F.last(
+                F.when(F.col("count") > 0, F.col(c)), ignorenulls=True
+            ).over(w)
+            cols[c] = F.when(ok, carried).otherwise(F.col(c)).alias(c)
+        out = out.select("_idx", "ts", *cols.values())
+    return out.drop("_idx"), start, end, step
+
+
+# process-global callback registry for cb// DEF paths ≙ the reference's
+# single registered rrd_fetch_cb_register callback (src/rrd_fetch_cb.c:8-35)
+CALLBACKS = CallbackRegistry()
+
+
+def fetch_pseudo(
+    spark: SparkSession,
+    path: str,
+    ds_name: str,
+    start: int,
+    end: int,
+    step: int | None,
+) -> tuple[DataFrame, int, int, int]:
+    """Dispatch a DEF pseudo-path the way rrd_fetch_fn does
+    (src/rrd_fetch.c:310-318): ``sql//``/``sql||`` → the SQL source,
+    ``cb//`` → the registered callback. Returns ((ts, value), start, end,
+    step) for the requested DS column."""
+    if path.startswith(("sql//", "sql||")):
+        spec = parse_sql_path(path)
+        if ds_name not in SQL_DS_NAMES:
+            raise KeyError(
+                f"sql// DS must be one of {'/'.join(SQL_DS_NAMES)}, got {ds_name!r}"
+            )
+        frame, start, end, step = sql_def_frame(spark, spec, start, end, step)
+        return frame.select("ts", F.col(ds_name).alias("value")), start, end, step
+    if path.startswith("cb//"):
+        step = step or 300
+        start, end = start - start % step, end - end % step
+        key = path if path in CALLBACKS._cbs else path[4:]
+        df = CALLBACKS.fetch(spark, key, start, end, step)
+        return (
+            df.filter(F.col("ds_name") == ds_name).select("ts", "value"),
+            start,
+            end,
+            step,
+        )
+    raise ValueError(f"not a pseudo-path: {path!r}")
+
+
+def is_pseudo_path(path: str) -> bool:
+    return path.startswith(("sql//", "sql||", "cb//"))
 
 
 def empty_source(
