@@ -422,9 +422,16 @@ def cmd_lastupdate(args: list[str]) -> int:
 
 
 def cmd_dump(args: list[str]) -> int:
-    from rrdtool_1_x_spark.sources.rrdxml import dump_xml
+    from rrdtool_1_x_spark.sources.rrdxml import dump_xml, dump_xml_distributed
 
+    distributed = _opt(args, "--distributed", flag=True)
     path = args.pop(0)
+    if distributed:
+        # executor-side row rendering for archives too big for the driver;
+        # the output argument names a fragment directory (cat in name order
+        # or assemble_dump() to get the single file)
+        dump_xml_distributed(_store(path), args.pop(0))
+        return 0
     out = args.pop(0) if args else "/dev/stdout"
     dump_xml(_store(path), out)
     return 0

@@ -74,19 +74,57 @@ def _ts_comment(ts: int) -> str:
     return _time.strftime("%Y-%m-%d %H:%M:%S %Z", lt)
 
 
+def _resolve_series(store: DatasetStore, series_id: str | None) -> str:
+    if series_id is not None:
+        return series_id
+    samples = store._read("samples")
+    sids = [] if samples is None else [
+        r["series_id"] for r in samples.select("series_id").distinct().collect()
+    ]
+    if len(sids) > 1:
+        raise ValueError(f"store holds {len(sids)} series; pass series_id")
+    return sids[0] if sids else store.dataset.name
+
+
 def dump_xml(store: DatasetStore, out_path: str, series_id: str | None = None) -> None:
     """Write one reference-format XML dump for ``series_id`` (auto-selected
-    when the store holds a single series, like one .rrd file)."""
+    when the store holds a single series, like one .rrd file).
+
+    This is the driver-side path — faithful to the reference's sequential
+    writer and right for human-scale files. Archives too big to
+    materialize on the driver go through ``dump_xml_distributed``."""
     d = store.dataset
     lastup = store.last()
     samples = store._read("samples")
-    if series_id is None:
-        sids = [] if samples is None else [
-            r["series_id"] for r in samples.select("series_id").distinct().collect()
-        ]
-        if len(sids) > 1:
-            raise ValueError(f"store holds {len(sids)} series; pass series_id")
-        series_id = sids[0] if sids else d.name
+    series_id = _resolve_series(store, series_id)
+    L: list[str] = _doc_head(store, series_id, lastup, samples)
+    data_ds = [ds for ds in d.ds if ds.dst != "COMPUTE"]
+    for i, rra in enumerate(d.rra):
+        res = d.step * rra.pdp_cnt
+        L.extend(_rra_head(d, rra, res, len(data_ds)))
+        rows: dict[tuple[float, str], float] = {}
+        t = store._read(f"rra_{i}")
+        if t is not None:
+            for r in t.filter(F.col("series_id") == series_id).collect():
+                rows[(r["ts"], r["ds_name"])] = r["value"]
+        last_aligned = lastup - lastup % res
+        for k in range(-(rra.row_cnt - 1), 1):
+            slot = last_aligned + k * res
+            vs = "".join(
+                f"<v>{_e(rows.get((float(slot), ds.name), float('nan')))}</v>"
+                for ds in data_ds
+            )
+            L.append(f"\t\t\t<!-- {_ts_comment(slot)} / {slot} --> <row>{vs}</row>")
+        L.extend(_RRA_TAIL)
+    L.append("</rrd>")
+    with open(out_path, "w") as f:
+        f.write("\n".join(L) + "\n")
+
+
+def _doc_head(store: DatasetStore, series_id: str, lastup: int, samples) -> list[str]:
+    """Header + DS blocks through the archives comment (shared by the
+    driver-side and distributed dump paths)."""
+    d = store.dataset
     # a store restored from a dump keeps the source's PDP-status block
     # verbatim (restored.json); it stays authoritative until newer raw
     # samples supersede the dump's lastupdate
@@ -143,49 +181,136 @@ def dump_xml(store: DatasetStore, out_path: str, series_id: str | None = None) -
         L.append("\t</ds>")
         L.append("")
     L.append("\t<!-- Round Robin Archives -->")
+    return L
+
+
+def _rra_head(d: DatasetDef, rra: RRADef, res: int, n_data_ds: int) -> list[str]:
+    L = ["\t<rra>"]
+    L.append(f"\t\t<cf>{rra.cf}</cf>")
+    L.append(f"\t\t<pdp_per_row>{rra.pdp_cnt}</pdp_per_row> <!-- {res} seconds -->")
+    L.append("")
+    L.append("\t\t<params>")
+    for p in _HW_PARAM_ORDER.get(rra.cf, ()):
+        if p in rra.params:
+            v = rra.params[p]
+            val = str(int(v)) if p in _INT_PARAMS else _e(float(v))
+            L.append(f"\t\t<{p}>{val}</{p}>")
+    L.append(f"\t\t<xff>{_e(rra.xff)}</xff>")
+    L.append("\t\t</params>")
+    L.append("\t\t<cdp_prep>")
+    for _ in range(n_data_ds):
+        L.append("\t\t\t<ds>")
+        L.append("\t\t\t<primary_value>NaN</primary_value>")
+        L.append("\t\t\t<secondary_value>NaN</secondary_value>")
+        L.append("\t\t\t<value>NaN</value>")
+        L.append("\t\t\t<unknown_datapoints>0</unknown_datapoints>")
+        L.append("\t\t\t</ds>")
+    L.append("\t\t</cdp_prep>")
+    L.append("\t\t<database>")
+    return L
+
+
+_RRA_TAIL = ["\t\t</database>", "\t</rra>"]
+
+
+def dump_xml_distributed(
+    store: DatasetStore, out_dir: str, series_id: str | None = None
+) -> None:
+    """Cluster-scale dump: the same document as ``dump_xml``, but every
+    ``<database>`` section is rendered and written by executors — the
+    driver never materializes archive rows (the fix for the dump-side
+    collect(); same ordered-text-parts pattern as xport.write_csv).
+
+    Layout under ``out_dir``: numbered fragments that concatenate (in
+    name order, part files within a fragment directory likewise) into the
+    exact dump — ``assemble_dump`` does that for a local file, a cluster
+    user cats the parts. Byte-parity caveat: the in-row timestamp comments
+    format through the JVM in the session timezone, which matches the
+    reference's localtime output when host TZ == session TZ (both UTC
+    here)."""
+    import shutil
+
+    d = store.dataset
+    lastup = store.last()
+    series_id = _resolve_series(store, series_id)
+    spark = store.spark
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
     data_ds = [ds for ds in d.ds if ds.dst != "COMPUTE"]
+
+    def frag(seq: int, name: str, lines: list[str]) -> None:
+        with open(f"{out_dir}/{seq:03d}_{name}", "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    seq = 0
+    frag(seq, "head", _doc_head(store, series_id, lastup, store._read("samples")))
+    parallelism = max(spark.sparkContext.defaultParallelism, 1)
     for i, rra in enumerate(d.rra):
         res = d.step * rra.pdp_cnt
-        L.append("\t<rra>")
-        L.append(f"\t\t<cf>{rra.cf}</cf>")
-        L.append(f"\t\t<pdp_per_row>{rra.pdp_cnt}</pdp_per_row> <!-- {res} seconds -->")
-        L.append("")
-        L.append("\t\t<params>")
-        for p in _HW_PARAM_ORDER.get(rra.cf, ()):
-            if p in rra.params:
-                v = rra.params[p]
-                val = str(int(v)) if p in _INT_PARAMS else _e(float(v))
-                L.append(f"\t\t<{p}>{val}</{p}>")
-        L.append(f"\t\t<xff>{_e(rra.xff)}</xff>")
-        L.append("\t\t</params>")
-        L.append("\t\t<cdp_prep>")
-        for _ in data_ds:
-            L.append("\t\t\t<ds>")
-            L.append("\t\t\t<primary_value>NaN</primary_value>")
-            L.append("\t\t\t<secondary_value>NaN</secondary_value>")
-            L.append("\t\t\t<value>NaN</value>")
-            L.append("\t\t\t<unknown_datapoints>0</unknown_datapoints>")
-            L.append("\t\t\t</ds>")
-        L.append("\t\t</cdp_prep>")
-        L.append("\t\t<database>")
-        rows: dict[tuple[float, str], float] = {}
+        seq += 1
+        frag(seq, f"rra{i}_head", _rra_head(d, rra, res, len(data_ds)))
+        last_aligned = lastup - lastup % res
+        first_slot = last_aligned - (rra.row_cnt - 1) * res
+        grid = spark.range(rra.row_cnt).select(
+            (F.lit(first_slot) + F.col("id") * res).cast("double").alias("ts")
+        )
         t = store._read(f"rra_{i}")
         if t is not None:
-            for r in t.filter(F.col("series_id") == series_id).collect():
-                rows[(r["ts"], r["ds_name"])] = r["value"]
-        last_aligned = lastup - lastup % res
-        for k in range(-(rra.row_cnt - 1), 1):
-            slot = last_aligned + k * res
-            vs = "".join(
-                f"<v>{_e(rows.get((float(slot), ds.name), float('nan')))}</v>"
-                for ds in data_ds
+            wide = (
+                t.filter(F.col("series_id") == series_id)
+                .groupBy("ts")
+                .pivot("ds_name", [ds.name for ds in data_ds])
+                .agg(F.first("value"))
             )
-            L.append(f"\t\t\t<!-- {_ts_comment(slot)} / {slot} --> <row>{vs}</row>")
-        L.append("\t\t</database>")
-        L.append("\t</rra>")
-    L.append("</rrd>")
-    with open(out_path, "w") as f:
-        f.write("\n".join(L) + "\n")
+            grid = grid.join(wide, "ts", "left")
+        else:
+            for ds in data_ds:
+                grid = grid.withColumn(ds.name, F.lit(None).cast("double"))
+        cells = F.concat(*[
+            F.concat(
+                F.lit("<v>"),
+                F.when(
+                    F.col(ds.name).isNull() | F.isnan(ds.name), F.lit("NaN")
+                ).otherwise(F.format_string("%.10e", F.col(ds.name))),
+                F.lit("</v>"),
+            )
+            for ds in data_ds
+        ])
+        # the reference's per-row comment: localtime + " %Z" (here the JVM
+        # session-timezone formatter; "zzz" prints the same abbreviation)
+        comment = F.date_format(
+            F.col("ts").cast("timestamp"), "yyyy-MM-dd HH:mm:ss zzz"
+        )
+        line = F.format_string(
+            "\t\t\t<!-- %s / %d --> <row>%s</row>",
+            comment, F.col("ts").cast("long"), cells,
+        )
+        (
+            grid.repartitionByRange(parallelism, "ts")
+            .sortWithinPartitions("ts")
+            .select(line.alias("value"))
+            .write.mode("overwrite").text(f"{out_dir}/{seq + 1:03d}_rra{i}_rows")
+        )
+        seq += 2
+        frag(seq, f"rra{i}_tail", list(_RRA_TAIL))
+    frag(seq + 1, "tail", ["</rrd>"])
+
+
+def assemble_dump(out_dir: str, xml_path: str) -> None:
+    """Concatenate a ``dump_xml_distributed`` directory into one local XML
+    file (fragments in name order; part files within a fragment sorted by
+    name, which repartitionByRange made the row order)."""
+    with open(xml_path, "w") as w:
+        for name in sorted(os.listdir(out_dir)):
+            full = os.path.join(out_dir, name)
+            if os.path.isdir(full):
+                for p in sorted(os.listdir(full)):
+                    if p.startswith("part-"):
+                        with open(os.path.join(full, p)) as f:
+                            w.write(f.read())
+            else:
+                with open(full) as f:
+                    w.write(f.read())
 
 
 def restore_xml(
