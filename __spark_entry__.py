@@ -804,6 +804,189 @@ def q_vocab_top(spark, sf_dir):
     return vocab_top_ngrams(d, n=1, k=50).orderBy("rank")
 
 
+# --- library-only surfaces promoted to oracle gates (round 4): the
+# incremental index append paths, the persisted-IVF probe path, the xport
+# text formatter, and the daemon FETCH wire format. Each reuses an existing
+# oracle (append composition / probe equivalence) or gets a printf oracle.
+
+
+def q_band_index_topup(spark, sf_dir):
+    """Incremental MinHash band index (datapipe.dedup.write_band_index /
+    append_band_index): index the low-id half, append the high-id half;
+    initial pairs ∪ the append's new pairs must equal the one-shot corpus
+    pipeline — the oracle is near_dup_pairs' SQL verbatim."""
+    import tempfile
+
+    from rrdtool_1_x_spark.datapipe.dedup import (
+        append_band_index,
+        minhash_near_duplicates,
+        write_band_index,
+    )
+
+    d = _docs(spark, sf_dir)
+    cut = int(d.agg(F.max("doc_id")).first()[0]) // 2
+    first = d.filter(F.col("doc_id") <= cut)
+    second = d.filter(F.col("doc_id") > cut)
+    path = tempfile.mkdtemp(prefix="bandidx_")
+    write_band_index(
+        first, path, num_hashes=_ND_KW["num_hashes"], bands=_ND_KW["bands"],
+        shingle_len=_ND_KW["shingle_len"],
+    )
+    initial = minhash_near_duplicates(first, **_ND_KW)
+    new = append_band_index(
+        second, path, num_hashes=_ND_KW["num_hashes"], bands=_ND_KW["bands"],
+        shingle_len=_ND_KW["shingle_len"],
+        jaccard_threshold=_ND_KW["jaccard_threshold"],
+    )
+    out = initial.select("id_a", "id_b", "jaccard").unionByName(
+        new.select("id_a", "id_b", "jaccard")
+    )
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+def q_simhash_index_topup(spark, sf_dir):
+    """Incremental SimHash index (datapipe.dedup.write_simhash_index /
+    append_simhash_index): same split-append composition as the band index;
+    the oracle is simhash_near_dup's SQL verbatim."""
+    import tempfile
+
+    from rrdtool_1_x_spark.datapipe.dedup import (
+        append_simhash_index,
+        simhash_near_duplicates,
+        write_simhash_index,
+    )
+
+    d = _docs(spark, sf_dir)
+    cut = int(d.agg(F.max("doc_id")).first()[0]) // 2
+    first = d.filter(F.col("doc_id") <= cut)
+    second = d.filter(F.col("doc_id") > cut)
+    path = tempfile.mkdtemp(prefix="simidx_")
+    write_simhash_index(first, path, blocks=4, hash_fn="md5")
+    initial = simhash_near_duplicates(first, max_hamming=3, blocks=4, hash_fn="md5")
+    new = append_simhash_index(
+        second, path, max_hamming=3, blocks=4, hash_fn="md5"
+    )
+    out = initial.select("id_a", "id_b", "hamming").unionByName(
+        new.select("id_a", "id_b", "hamming")
+    )
+    return out.orderBy("id_a", "id_b")
+
+
+def q_ivf_indexed_topk(spark, sf_dir):
+    """Persisted-IVF probe path (datapipe.similarity.write_ivf_index /
+    ivf_topk_indexed): the corpus written cell-partitioned, probes pruned
+    at file-listing time — must return exactly what the inline ivf_topk
+    (and its SQL oracle) returns."""
+    import tempfile
+
+    from rrdtool_1_x_spark.datapipe.similarity import (
+        ivf_centroid_model,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+
+    e = _emb_scan(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "ivfmodel")
+    if key not in _IVF_MODEL_CACHE:
+        _IVF_MODEL_CACHE[key] = ivf_centroid_model(e, nlist=16)
+    model = _IVF_MODEL_CACHE[key]
+    path = tempfile.mkdtemp(prefix="ivfidx_") + "/index"
+    write_ivf_index(e, path, model)
+    q = e.orderBy("vec_id").limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk_indexed(spark, path, q, model, k=10, nprobe=4)
+    return out.select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+def q_xport_fmt(spark, sf_dir):
+    """The xport separated-values formatter itself (xport.to_csv ≙
+    rrd_xport_format_sv, src/rrd_xport.c:614-706): the %.7e / "NaN" cell
+    strings for a two-column window, parsed back as strings so the oracle
+    (DuckDB printf) checks the exact formatted text."""
+    from rrdtool_1_x_spark import xport as xp
+    from rrdtool_1_x_spark.plans.graph import QueryResult
+
+    c = _cdp(spark, sf_dir, "AVERAGE")
+    both = c.filter(F.col("series_id").isin("click", "view"))
+    wide = both.groupBy("ts").pivot("series_id", ["click", "view"]).agg(
+        F.first("value")
+    )
+    lo, hi = both.agg(F.min("ts"), F.max("ts")).first()
+    res = QueryResult(
+        frame=wide, legends=["click", "view"], scalars={}, prints=[],
+        start=int(lo), end=int(hi), step=int(_CDP_RES),
+    )
+    text = xp.to_csv(res)
+    rows = []
+    for line in text.splitlines()[1:]:  # header dropped
+        t, a, b = line.rstrip("\r").split(",")
+        rows.append((int(t), a.strip('"'), b.strip('"')))
+    return spark.createDataFrame(
+        rows, "ts long, click string, view string"
+    ).orderBy("ts")
+
+
+def q_daemon_fetch(spark, sf_dir):
+    """The rrdcached FETCH wire format end-to-end (streaming.daemon
+    DaemonServer/_fetch, src/rrd_daemon.c:2196-2206): the click series is
+    ingested into a store, served over a real TCP socket, and the daemon's
+    text rows parsed back — the oracle recomputes the padded PDP grid."""
+    import tempfile
+
+    from rrdtool_1_x_spark.catalog import DSDef, RRADef
+    from rrdtool_1_x_spark.catalog import create as create_def
+    from rrdtool_1_x_spark.sources.store import DatasetStore
+    from rrdtool_1_x_spark.streaming.daemon import (
+        DaemonClient,
+        DaemonServer,
+        IngestDaemon,
+    )
+    from rrdtool_1_x_spark.streaming.ingest import StreamingIngest
+
+    s = _samples(spark, sf_dir).filter(F.col("series_id") == "click")
+    pdp = _pdp(spark, sf_dir).filter(F.col("series_id") == "click")
+    lo, hi = pdp.agg(F.min("ts"), F.max("ts")).first()
+    dataset = create_def(
+        "click", step=int(STEP),
+        ds=[DSDef(name="v", dst="GAUGE", heartbeat=int(HB))],
+        rra=[RRADef(cf="AVERAGE", xff=0.5, pdp_cnt=1, row_cnt=200_000)],
+        start=int(lo) - 1,
+    )
+    path = tempfile.mkdtemp(prefix="dstore_") + "/click"
+    store = DatasetStore.create(spark, path, dataset)
+    store.update(
+        s.select("series_id", F.lit("v").alias("ds_name"), "ts", "value")
+    )
+    srv = DaemonServer(IngestDaemon(StreamingIngest(store), write_interval=1e9))
+    srv.start()
+    try:
+        with DaemonClient(f"127.0.0.1:{srv.address[1]}") as c:
+            # start/end land mid-step so the plan aligns to exactly
+            # (lo - step, hi]: rows lo..hi inclusive
+            _, _, _, _, rows = c.fetch(
+                "click", "AVERAGE", int(lo) - int(STEP), int(hi) - 1
+            )
+    finally:
+        srv.stop()
+    import math
+
+    parsed = [
+        (float(t), None if math.isnan(v["v"]) else v["v"]) for t, v in rows
+    ]
+    # round in Spark (HALF_UP, like the oracle's round()) — Python's round
+    # is banker's and diverges on ties
+    return (
+        spark.createDataFrame(parsed, "ts double, value double")
+        .select("ts", F.round("value", 6).alias("value"))
+        .orderBy("ts")
+    )
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -885,6 +1068,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "token_budget": q_token_budget,
         "vocab_top": q_vocab_top,
+        "band_index_topup": q_band_index_topup,
+        "simhash_index_topup": q_simhash_index_topup,
+        "ivf_indexed_topk": q_ivf_indexed_topk,
+        "xport_fmt": q_xport_fmt,
+        "daemon_fetch": q_daemon_fetch,
     }
     return {k: _memo(k, fn) for k, fn in qs.items()}
 
@@ -1609,4 +1797,32 @@ r AS (SELECT ngram, doc_freq,
              row_number() OVER (ORDER BY doc_freq DESC, ngram ASC) AS rank
       FROM c)
 SELECT ngram, doc_freq, rank FROM r WHERE rank <= 50 ORDER BY rank"""
+
+    # --- library-only surfaces (round 4). The incremental index appends and
+    # the persisted-IVF probe are exact re-derivations of existing pipelines,
+    # so their oracles are those pipelines' SQL verbatim — the gate checks
+    # the append/probe machinery, not new math.
+    sql["band_index_topup"] = sql["near_dup_pairs"]
+    sql["simhash_index_topup"] = sql["simhash_near_dup"]
+    sql["ivf_indexed_topk"] = sql["ivf_topk"]
+    # xport to_csv formatter: the %.7e cell strings through DuckDB printf
+    sql["xport_fmt"] = f"""WITH {_PDP_CTE}, {cdp_avg_cte},
+cv AS (SELECT * FROM cdp WHERE series_id IN ('click', 'view')),
+b AS (SELECT CAST(min(ts) AS BIGINT) AS lo, CAST(max(ts) AS BIGINT) AS hi FROM cv),
+g AS (SELECT unnest(generate_series(lo, hi, {int(_CDP_RES)})) AS ts FROM b),
+p AS (SELECT ts,
+        max(value) FILTER (series_id = 'click') AS click,
+        max(value) FILTER (series_id = 'view') AS view
+      FROM cv GROUP BY ts)
+SELECT g.ts,
+  coalesce(printf('%.7e', p.click), 'NaN') AS click,
+  coalesce(printf('%.7e', p.view), 'NaN') AS view
+FROM g LEFT JOIN p ON p.ts = g.ts ORDER BY g.ts"""
+    # daemon FETCH: the padded per-step grid the wire rows carry
+    sql["daemon_fetch"] = f"""WITH {_PDP_CTE},
+c AS (SELECT ts, value FROM pdp WHERE series_id = 'click'),
+b AS (SELECT CAST(min(ts) AS BIGINT) AS lo, CAST(max(ts) AS BIGINT) AS hi FROM c),
+g AS (SELECT unnest(generate_series(lo, hi, {int(STEP)})) AS t FROM b)
+SELECT g.t::DOUBLE AS ts, round(c.value, 6) AS value
+FROM g LEFT JOIN c ON c.ts = g.t ORDER BY ts"""
     return sql
