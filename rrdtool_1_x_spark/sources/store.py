@@ -57,22 +57,59 @@ class DatasetStore:
             with open(f"{self.path}/meta.json") as f:
                 dataset = DatasetDef.from_json(f.read())
         self.dataset = dataset
+        self._load_layout()
 
     # -- create / update -----------------------------------------------------
     @classmethod
     def create(
-        cls, spark: SparkSession, path: str, dataset: DatasetDef, partition_by_day: bool = False
+        cls,
+        spark: SparkSession,
+        path: str,
+        dataset: DatasetDef,
+        partition_by_day: bool = False,
+        series_buckets: int | None = None,
     ) -> "DatasetStore":
-        """≙ rrdtool create (src/rrd_create.c): validate + write the header."""
+        """≙ rrdtool create (src/rrd_create.c): validate + write the header.
+
+        ``partition_by_day`` lays tables out hive-partitioned by
+        ``pday = floor(ts/86400)`` so time-range reads prune whole day
+        directories at file-listing time; ``series_buckets=N`` adds a
+        leading ``pbucket = crc32(series_id) % N`` level so single-series
+        reads (the daemon's FETCH) prune to one bucket. The layout choice
+        is persisted in ``layout.json`` — a reopened store keeps writing
+        the same layout."""
         dataset.validate()
         os.makedirs(path, exist_ok=True)
         with open(f"{path}/meta.json", "w") as f:
             f.write(dataset.to_json())
+        if partition_by_day or series_buckets:
+            with open(f"{path}/layout.json", "w") as f:
+                json.dump(
+                    {"partition_by_day": partition_by_day,
+                     "series_buckets": series_buckets}, f,
+                )
         store = cls(spark, path, dataset)
-        store.partition_by_day = partition_by_day
         return store
 
     partition_by_day: bool = False
+    series_buckets: int | None = None
+
+    def _load_layout(self) -> None:
+        try:
+            with open(f"{self.path}/layout.json") as f:
+                doc = json.load(f)
+            self.partition_by_day = bool(doc.get("partition_by_day"))
+            self.series_buckets = doc.get("series_buckets")
+        except (FileNotFoundError, ValueError):
+            pass
+
+    def _partition_cols(self) -> list[str]:
+        cols = []
+        if self.series_buckets:
+            cols.append("pbucket")
+        if self.partition_by_day:
+            cols.append("pday")
+        return cols
 
     # -- versioned snapshot storage -------------------------------------------
     # Overwrites are transactional: each rewrite lands in a fresh immutable
@@ -101,15 +138,27 @@ class DatasetStore:
             return 0, f"{self.path}/{sub}"
 
     def _write(self, df: DataFrame, sub: str, mode: str = "append") -> None:
+        pcols = self._partition_cols()
+        if self.series_buckets:
+            df = df.withColumn(
+                "pbucket", F.crc32(F.col("series_id").cast("binary")) % self.series_buckets
+            )
         if self.partition_by_day:
             df = df.withColumn("pday", F.floor(F.col("ts") / 86400.0))
+        if pcols:
+            # cluster rows by partition key before the partitioned write:
+            # otherwise every shuffle partition writes its own file into
+            # every directory (tasks × dirs small files — the listing cost
+            # then eats the pruning win). One file per directory here; at
+            # real volume add a file-size salt inside the key.
+            df = df.repartition(*[F.col(c) for c in pcols])
         ver, cur = self._current(sub)
         if mode == "overwrite":
             new_ver = ver + 1
             vdir = f"{self.path}/{sub}/_v/{new_ver:08d}"
             w = df.write.mode("overwrite")
-            if self.partition_by_day:
-                w = w.partitionBy("pday")
+            if pcols:
+                w = w.partitionBy(*pcols)
             w.parquet(vdir)
             tmp = f"{self.path}/{sub}/_MANIFEST.tmp"
             with open(tmp, "w") as f:
@@ -118,8 +167,8 @@ class DatasetStore:
             self._gc(sub, new_ver)
         else:
             w = df.write.mode("append")
-            if self.partition_by_day:
-                w = w.partitionBy("pday")
+            if pcols:
+                w = w.partitionBy(*pcols)
             w.parquet(cur)
         if self._df_cache is not None:
             for k in [k for k in self._df_cache if k[0] == sub]:
@@ -163,9 +212,43 @@ class DatasetStore:
             df = self.spark.read.parquet(cur)
         except Exception:
             return None
-        df = df.drop("pday") if "pday" in df.columns else df
+        df = df.drop(*[c for c in ("pday", "pbucket") if c in df.columns])
         self._df_cache[key] = df
         return df
+
+    def _read_range(
+        self, sub: str, lo: float, hi: float, series_id: str | None = None
+    ) -> DataFrame | None:
+        """Time-bounded read that keeps partition pruning alive: the ts
+        bounds become a ``pday`` predicate (and a known series a
+        ``pbucket`` one) BEFORE the partition columns are dropped, so
+        Catalyst turns them into PartitionFilters — the scan lists only
+        the touched day/bucket directories. ``_read`` drops the partition
+        columns for schema cleanliness, which would forfeit pruning."""
+        pcols = self._partition_cols()
+        if not pcols:
+            df = self._read(sub)
+            return None if df is None else df.filter(
+                (F.col("ts") > F.lit(float(lo))) & (F.col("ts") <= F.lit(float(hi)))
+            )
+        _, cur = self._current(sub)
+        try:
+            df = self.spark.read.parquet(cur)
+        except Exception:
+            return None
+        if self.partition_by_day and "pday" in df.columns:
+            df = df.filter(
+                (F.col("pday") >= int(lo // 86400)) & (F.col("pday") <= int(hi // 86400))
+            )
+        if self.series_buckets and series_id is not None and "pbucket" in df.columns:
+            import zlib
+
+            b = zlib.crc32(series_id.encode()) % self.series_buckets
+            df = df.filter(F.col("pbucket") == b)
+        df = df.drop(*[c for c in ("pday", "pbucket") if c in df.columns])
+        return df.filter(
+            (F.col("ts") > F.lit(float(lo))) & (F.col("ts") <= F.lit(float(hi)))
+        )
 
     def update(self, samples: DataFrame) -> None:
         """Append raw readings and rebuild the touched rollup windows.
@@ -242,10 +325,14 @@ class DatasetStore:
             end -= delta
         last_up = self.last()
         plan = select_rra(self.dataset, cf, start, end, resolution, last_up)
-        rollup = self._read(f"rra_{plan.rra_index}")
-        # retention: the circular buffer only holds row_cnt rows
+        # retention: the circular buffer only holds row_cnt rows. Combined
+        # with the plan range it bounds the scan both ways — on a
+        # partitioned layout the bounds prune day directories at listing
+        # time (_read_range), not per-row
         lo = (last_up - last_up % plan.step) - self.dataset.retention(plan.rra_index)
-        rollup = rollup.filter(F.col("ts") > F.lit(float(lo)))
+        rollup = self._read_range(
+            f"rra_{plan.rra_index}", max(float(lo), float(plan.start)), float(plan.end)
+        )
         return fetch(rollup, plan, pad=pad), plan
 
     def fetch_local(
@@ -256,6 +343,7 @@ class DatasetStore:
         resolution: int | None = None,
         pad: bool = True,
         align_start: bool = False,
+        series_id: str | None = None,
     ):
         """Interactive latency path ≙ the reference's single-process fetch
         (src/rrd_fetch.c: one sequential read of a small file). Plans
@@ -281,11 +369,24 @@ class DatasetStore:
         dset = pads.dataset(
             data_dir,
             format="parquet",
-            partitioning="hive" if self.partition_by_day else None,
+            partitioning="hive" if self._partition_cols() else None,
         )
-        tbl = dset.to_table(
-            filter=(pads.field("ts") > cut) & (pads.field("ts") <= float(plan.end))
-        )
+        flt = (pads.field("ts") > cut) & (pads.field("ts") <= float(plan.end))
+        if self.partition_by_day:
+            # partition-level pruning: pyarrow drops whole day fragments
+            # before reading any row group
+            flt &= (pads.field("pday") >= int(cut // 86400)) & (
+                pads.field("pday") <= int(plan.end // 86400)
+            )
+        if self.series_buckets and series_id is not None:
+            import zlib
+
+            flt &= pads.field("pbucket") == (
+                zlib.crc32(series_id.encode()) % self.series_buckets
+            )
+        if series_id is not None:
+            flt &= pads.field("series_id") == series_id
+        tbl = dset.to_table(filter=flt)
         keys = ["series_id", "ds_name"]
         cols = keys + ["ts", "value"]
         pdf = tbl.to_pandas()[cols]

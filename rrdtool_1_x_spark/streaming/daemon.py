@@ -494,8 +494,8 @@ class DaemonServer:
         # the reference daemon flushes the file before serving FETCH
         # (src/rrd_daemon.c:3084: flush_file before rrd_fetch_r)
         self.daemon.flush(series)
-        pdf, plan = store.fetch_local(cf, start, end)
-        pdf = pdf[pdf["series_id"] == series]
+        # series pushdown: on a bucketed layout this prunes to one pbucket
+        pdf, plan = store.fetch_local(cf, start, end, series_id=series)
         wide = pdf.pivot_table(
             index="ts", columns="ds_name", values="value", dropna=False
         )

@@ -140,6 +140,63 @@ def test_partitioned_store_roundtrip(spark, tmp_path):
     assert round(got[920805000], 9) == 0.04
 
 
+def test_bucketed_partitioned_store_pruning(spark, tmp_path):
+    """(series bucket, day) layout: the persisted layout survives reopen,
+    fetch results are identical to the flat layout, and the plans/readers
+    actually PRUNE — PartitionFilters on pday in the Spark scan, one
+    pbucket fragment set for the daemon's single-series pyarrow read."""
+    import os
+
+    flat = DatasetStore.create(spark, str(tmp_path / "flat"), _dataset())
+    part = DatasetStore.create(
+        spark, str(tmp_path / "part"), _dataset(),
+        partition_by_day=True, series_buckets=4,
+    )
+    rows = [
+        (sid, "speed", float(t), float(v))
+        for sid in ("s1", "s2", "s3")
+        for t, v in UPDATES
+    ]
+    for st in (flat, part):
+        st.update(spark.createDataFrame(rows, SCHEMA))
+
+    # layout: pbucket is the leading level, pday nested under it
+    top = os.listdir(str(tmp_path / "part" / "samples"))
+    assert any(d.startswith("pbucket=") for d in top)
+    b0 = [d for d in top if d.startswith("pbucket=")][0]
+    assert any(
+        d.startswith("pday=")
+        for d in os.listdir(str(tmp_path / "part" / "samples" / b0))
+    )
+
+    # a REOPENED store must keep the layout (layout.json round-trip)
+    reopened = DatasetStore(spark, str(tmp_path / "part"))
+    assert reopened.partition_by_day and reopened.series_buckets == 4
+
+    # distributed fetch: identical rows, and the scan plan prunes on pday
+    a, _ = flat.fetch("AVERAGE", 920804400, 920808900, 300)
+    b, _ = reopened.fetch("AVERAGE", 920804400, 920808900, 300)
+    key = lambda df: {
+        (r["series_id"], r["ts"]): r["value"] for r in df.collect()
+    }
+    assert key(a) == key(b)
+    plan_txt = b._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan_txt and "pday" in plan_txt
+
+    # fetch_local with series pushdown: same rows as the flat read
+    pa, _ = flat.fetch_local("AVERAGE", 920804400, 920808900)
+    pa = pa[pa["series_id"] == "s2"]
+    pb, _ = reopened.fetch_local(
+        "AVERAGE", 920804400, 920808900, series_id="s2"
+    )
+    import math
+
+    norm = lambda v: None if (isinstance(v, float) and math.isnan(v)) else v
+    ka = {(r.series_id, r.ts): norm(r.value) for r in pa.itertuples()}
+    kb = {(r.series_id, r.ts): norm(r.value) for r in pb.itertuples()}
+    assert ka == kb and len(kb) > 0
+
+
 def test_daemon_command_surface(spark, tmp_path):
     """rrdcached command parity (src/rrd_daemon.c:1478-1626, 2838-2896):
     FLUSH/FLUSHALL/PENDING/FORGET/QUEUE/SUSPEND/RESUME over the buffered

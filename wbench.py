@@ -47,7 +47,7 @@ def _median(fn, n=5):
     return round(statistics.median(times), 4)
 
 
-def build_store(spark, path: str, n_series: int):
+def build_store(spark, path: str, n_series: int, **layout):
     from rrdtool_1_x_spark.catalog import DatasetDef, DSDef, RRADef
     from rrdtool_1_x_spark.sources.store import DatasetStore
 
@@ -64,7 +64,7 @@ def build_store(spark, path: str, n_series: int):
         ],
         start=T0,
     )
-    store = DatasetStore.create(spark, path, dsdef)
+    store = DatasetStore.create(spark, path, dsdef, **layout)
     ts = (T0 + STEP * np.arange(1, n_ts + 1)).astype(np.float64)
     frames = []
     for s in range(n_series):
@@ -192,6 +192,62 @@ def main() -> None:
 
         w6_sec = _median(w6, n=3)
         out["w6_hw_samples_per_s"] = round(hw_n / w6_sec)
+
+        # W7: the (series bucket, day) partitioned layout vs the flat one —
+        # the 100 TB design question. The 100-series store spans ~7 days;
+        # a one-day window fetch on the partitioned layout must list only
+        # that day's directories (PartitionFilters), and a single-series
+        # daemon-style fetch_local must touch one pbucket. Recorded:
+        # timings for both layouts plus the pruning evidence (fragments
+        # scanned vs total — file-listing-time, before any task).
+        import pyarrow.dataset as pads
+
+        pstore, prate, _ = build_store(
+            spark, f"{root}/wpart", 100,
+            partition_by_day=True, series_buckets=8,
+        )
+        out["w7_ingest_part_samples_per_s"] = prate
+        day_lo = T0 + 2 * 86400 - (T0 % 86400)
+        day_hi = day_lo + 86400
+
+        def w7(st):
+            df, _ = st.fetch("AVERAGE", day_lo, day_hi, STEP)
+            return df.toPandas()
+
+        a = w7(store100).sort_values(["series_id", "ds_name", "ts"]).reset_index(drop=True)
+        b = w7(pstore).sort_values(["series_id", "ds_name", "ts"]).reset_index(drop=True)
+        assert len(a) == len(b) and np.allclose(
+            a["value"], b["value"], equal_nan=True
+        ), "flat/partitioned fetch mismatch"
+        out["w7_day_fetch_flat_sec"] = _median(lambda: w7(store100))
+        out["w7_day_fetch_part_sec"] = _median(lambda: w7(pstore))
+        df_p, _ = pstore.fetch("AVERAGE", day_lo, day_hi, STEP)
+        plan_txt = df_p._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan_txt and "pday" in plan_txt
+        _, rra0_dir = pstore._current("rra_0")
+        dset = pads.dataset(rra0_dir, format="parquet", partitioning="hive")
+        total = len(list(dset.get_fragments()))
+        pruned = len(list(dset.get_fragments(
+            filter=(pads.field("pday") >= day_lo // 86400)
+            & (pads.field("pday") <= day_hi // 86400)
+        )))
+        out["w7_fragments_total"] = total
+        out["w7_fragments_day_window"] = pruned
+
+        def w7_series(st, **kw):
+            pdf, _ = st.fetch_local("AVERAGE", T0, T0 + 86400 * 7, **kw)
+            return pdf
+
+        out["w7_series_local_flat_sec"] = _median(
+            lambda: w7_series(store100)
+        )
+        out["w7_series_local_bucket_sec"] = _median(
+            lambda: w7_series(pstore, series_id="s42")
+        )
+        one_bucket = len(list(dset.get_fragments(
+            filter=pads.field("pbucket") == (__import__("zlib").crc32(b"s42") % 8)
+        )))
+        out["w7_fragments_one_bucket"] = one_bucket
 
         if "--ref" in sys.argv:
             out.update(bench_reference())
