@@ -286,6 +286,7 @@ def _build_query(args: list[str]):
     maxrows = _opt(args, "--maxrows", "-m")
     end_s = _opt(args, "-e", "--end")
     start_s = _opt(args, "-s", "--start")
+    daemon = _daemon_addr(args)
     defs = [a for a in args if a.startswith("DEF:")]
     if not defs:
         raise ValueError("need at least one DEF")
@@ -308,6 +309,17 @@ def _build_query(args: list[str]):
         if spath not in stores:
             stores[spath] = _store(spath)
         parsed_defs.append((head, spath, ds_name, cf))
+    if daemon is not None and stores:
+        # ≙ rrd_graph/rrd_xport --daemon: flush every referenced file's
+        # pending values before reading (rrdc_flush_if_daemon,
+        # src/rrd_graph.c graph option handling) — the data path then
+        # reads the store directly like the reference does
+        with _client(daemon) as c:
+            for spath in stores:
+                try:
+                    c.flush(_series_of(spath))
+                except RuntimeError:
+                    pass  # series unknown to the daemon: nothing buffered
     if stores:
         last = max(s.last() for s in stores.values())
     else:
@@ -346,12 +358,27 @@ def cmd_xport(args: list[str]) -> int:
     enumds = _opt(args, "--enumds", flag=True)
     showtime = _opt(args, "--showtime", "-t", flag=True)
     timefmt = _opt(args, "--timefmt")
+    out_dir = _opt(args, "--output")
     q = _build_query(args)
     for a in args:
         if a.startswith("XPORT:"):
             parts = a[6:].split(":", 1)
             q.xport(parts[0], parts[1] if len(parts) > 1 else "")
     res = q.execute(_spark())
+    if out_dir is not None:
+        # cluster-scale sink: ordered CSV parts written by executors
+        # (xport.write_csv) — the in-memory formatters below collect the
+        # window on the driver, which caps how big a range can export
+        xp.write_csv(res, out_dir)
+        return 0
+    n_rows = (res.end - res.start) // res.step + 1
+    if n_rows > 1_000_000:
+        print(
+            f"WARNING: xport window is {n_rows} rows; the in-memory "
+            "formatter materializes it on the driver — use --output <dir> "
+            "for a distributed CSV export",
+            file=sys.stderr,
+        )
     if as_json:
         print(xp.to_json(res, showtime=showtime, timefmt=timefmt))
     else:

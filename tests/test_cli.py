@@ -166,6 +166,61 @@ def test_cli_daemon_routing(spark, tmp_path, capsys):
     assert capsys.readouterr().out == out_lib
 
 
+def test_cli_xport_output_dir_and_daemon_flush(ds_path, spark, tmp_path, capsys):
+    """xport --output writes the distributed CSV sink (part files whose
+    concatenation equals the in-memory formatter's rows), and -d flushes
+    the referenced series through the daemon before reading — the
+    reference's rrdc_flush_if_daemon in graph/xport option handling."""
+    import os
+
+    from rrdtool_1_x_spark.sources.store import DatasetStore
+    from rrdtool_1_x_spark.streaming.daemon import DaemonServer, IngestDaemon
+    from rrdtool_1_x_spark.streaming.ingest import StreamingIngest
+
+    argv = [
+        "-s", str(START), "-e", str(UPDATES[-1][0]), "--step", "300",
+        f"DEF:v={ds_path}:speed:AVERAGE", "XPORT:v:speed",
+    ]
+    out_dir = str(tmp_path / "xout")
+    assert main(["xport", "--output", out_dir] + argv) == 0
+    parts = sorted(
+        f"{out_dir}/rows/{p}" for p in os.listdir(f"{out_dir}/rows")
+        if p.startswith("part-")
+    )
+    body = "".join(open(p).read() for p in parts)
+    assert main(["xport"] + argv) == 0  # XML path still fine
+    assert "<xport>" in capsys.readouterr().out
+    # distributed rows carry the same quoted %.7e cells, one per grid slot
+    # (the query grid aligns the aligned end UP one step: start..end+step)
+    n_rows = (UPDATES[-1][0] + 300 - START) // 300 + 1
+    assert body.count("\n") == n_rows
+    assert '"4.0000000e-02"' in body  # the known first full-step rate
+
+    # -d: pending daemon values are flushed before the query reads
+    dmn = str(tmp_path / "dflush")
+    assert main([
+        "create", dmn, "--start", str(START), "--step", "300",
+        "DS:speed:COUNTER:600:U:U", "RRA:AVERAGE:0.5:1:600",
+    ]) == 0
+    store = DatasetStore(spark, dmn)
+    with DaemonServer(
+        IngestDaemon(StreamingIngest(store), write_interval=1e9)
+    ) as srv:
+        addr = f"127.0.0.1:{srv.address[1]}"
+        assert main(["update", dmn, "-d", addr]
+                    + [f"{t}:{v}" for t, v in UPDATES]) == 0
+        assert store._read("samples") is None  # still buffered
+        assert main([
+            "xport", "--json", "-d", addr,
+            "-s", str(START), "-e", str(UPDATES[-1][0]), "--step", "300",
+            f"DEF:v={dmn}:speed:AVERAGE", "XPORT:v",
+        ]) == 0
+        doc = json.loads(capsys.readouterr().out)
+        vals = [v[0] for v in doc["data"] if v[0] is not None]
+        assert vals, "daemon flush-before-read should surface the updates"
+        assert abs(vals[0] - 0.04) < 1e-12
+
+
 def test_cli_errors(capsys):
     assert main(["nosuchcmd"]) == 1
     assert "unknown command" in capsys.readouterr().err
