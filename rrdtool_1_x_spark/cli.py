@@ -485,22 +485,53 @@ def cmd_flushcached(args: list[str]) -> int:
 
 
 def cmd_tune(args: list[str]) -> int:
-    from rrdtool_1_x_spark.sources.evolve import tune_ds
+    """≙ rrdtool tune (src/rrd_tune.c option table :80-120): heartbeat /
+    min / max / data-source-type / data-source-rename plus the
+    Holt-Winters parameter and aberrant-reset options."""
+    from rrdtool_1_x_spark.sources import evolve as ev
 
     path = args.pop(0)
     store = _store(path)
     hb = _opt(args, "--heartbeat", "-h")
     mn = _opt(args, "--minimum", "-i")
     mx = _opt(args, "--maximum", "-a")
+    dst = _opt(args, "--data-source-type", "-d")
+    ren = _opt(args, "--data-source-rename", "-r")
     if hb:
         name, v = hb.split(":")
-        tune_ds(store, name, heartbeat=int(float(v)))
+        ev.tune_ds(store, name, heartbeat=int(float(v)))
     if mn:
         name, v = mn.split(":")
-        tune_ds(store, name, min_val=_num_or_none(v))
+        ev.tune_ds(store, name, min_val=_num_or_none(v))
     if mx:
         name, v = mx.split(":")
-        tune_ds(store, name, max_val=_num_or_none(v))
+        ev.tune_ds(store, name, max_val=_num_or_none(v))
+    if dst:
+        name, v = dst.split(":")
+        ev.retype_ds(store, name, v)
+    if ren:
+        old, new = ren.split(":")
+        ev.rename_ds(store, old, new)
+    hw: dict[str, float] = {}
+    for opt, key in [
+        (("-x", "--alpha"), "alpha"), (("-y", "--beta"), "beta"),
+        (("-z", "--gamma"), "gamma"),
+        (("-v", "--gamma-deviation"), "gamma_deviation"),
+        (("-p", "--deltapos"), "deltapos"),
+        (("-n", "--deltaneg"), "deltaneg"),
+        (("-f", "--failure-threshold"), "failure_threshold"),
+        (("-w", "--window-length"), "window_length"),
+        (("-s", "--smoothing-window"), "smoothing_window"),
+        (("-S", "--smoothing-window-deviation"), "smoothing_window_deviation"),
+    ]:
+        v = _opt(args, *opt)
+        if v is not None:
+            hw[key] = float(v)
+    if hw:
+        ev.tune_hw(store, **hw)
+    ab = _opt(args, "-b", "--aberrant-reset")
+    if ab:
+        ev.aberrant_reset(store, ab)
     return 0
 
 

@@ -131,6 +131,117 @@ def tune_ds(
         store.rebuild()
 
 
+def rename_ds(store: DatasetStore, old: str, new: str) -> None:
+    """≙ rrdtool tune -r/--data-source-rename old:new
+    (src/rrd_tune.c data-source-rename handling): header rename plus a
+    rewrite of the stored rows' ds_name — the engine's tall tables carry
+    the name per row where the reference only stores it in the header."""
+    if not any(d.name == old for d in store.dataset.ds):
+        raise ValueError(f"no DS {old}")
+    if any(d.name == new for d in store.dataset.ds):
+        raise ValueError(f"DS {new} already exists")
+    for d in store.dataset.ds:
+        if d.name == old:
+            d.name = new
+    _save_meta(store)
+    renamed = F.when(F.col("ds_name") == old, new).otherwise(F.col("ds_name"))
+    subs = ["samples"] + [f"rra_{i}" for i in range(len(store.dataset.rra))]
+    for sub in subs:
+        t = store._read(sub)
+        if t is not None:
+            store._write(
+                t.withColumn("ds_name", renamed).localCheckpoint(eager=True),
+                sub, mode="overwrite",
+            )
+
+
+def retype_ds(
+    store: DatasetStore, name: str, dst: str, recompute: bool = True
+) -> None:
+    """≙ rrdtool tune -d/--data-source-type ds:DST (src/rrd_tune.c:330-360).
+
+    The reference just rewrites the header and voids the PDP scratch —
+    past archive rows keep their old-type rates. With raw samples kept,
+    ``recompute=True`` (default) re-derives every archive under the new
+    type exactly; pass False for the reference's future-only behavior."""
+    ds = next((d for d in store.dataset.ds if d.name == name), None)
+    if ds is None:
+        raise ValueError(f"no DS {name}")
+    ds.dst = dst.upper()
+    ds.validate()
+    _save_meta(store)
+    if recompute:
+        store.rebuild()
+
+
+# which CFs each rrd_tune HW option applies to (set_hwarg/set_hwsmootharg,
+# src/rrd_tune.c:360-460): alpha/beta hit HWPREDICT else MHWPREDICT,
+# gamma hits SEASONAL, gamma-deviation DEVSEASONAL, the violation knobs
+# FAILURES, smoothing windows their respective seasonal archives.
+_HW_TUNE_TARGETS = {
+    "alpha": (("HWPREDICT", "MHWPREDICT"), "alpha"),
+    "beta": (("HWPREDICT", "MHWPREDICT"), "beta"),
+    "gamma": (("SEASONAL",), "gamma"),
+    "gamma_deviation": (("DEVSEASONAL",), "gamma"),
+    "deltapos": (("FAILURES",), "deltapos"),
+    "deltaneg": (("FAILURES",), "deltaneg"),
+    "failure_threshold": (("FAILURES",), "threshold"),
+    "window_length": (("FAILURES",), "window"),
+    "smoothing_window": (("SEASONAL",), "smoothing_window"),
+    "smoothing_window_deviation": (("DEVSEASONAL",), "smoothing_window"),
+}
+
+
+def tune_hw(store: DatasetStore, **updates: float) -> None:
+    """≙ rrdtool tune --alpha/--beta/--gamma/--gamma-deviation/--deltapos/
+    --deltaneg/--failure-threshold/--window-length/--smoothing-window[-
+    deviation]: update the Holt-Winters parameters in the matching RRA
+    headers. Like the reference, the new values take effect from the next
+    derivation on — this engine derives the HW archives from raw samples
+    (operators/hw.py reads these params), so the change applies to the
+    whole recomputation rather than mid-stream."""
+    for key, val in updates.items():
+        if key not in _HW_TUNE_TARGETS:
+            raise ValueError(f"unknown HW tune parameter {key!r}")
+        cfs, pkey = _HW_TUNE_TARGETS[key]
+        hit = False
+        for rra in store.dataset.rra:
+            if rra.cf in cfs:
+                rra.params[pkey] = (
+                    int(val) if pkey in ("threshold", "window") else float(val)
+                )
+                hit = True
+                break  # the reference updates the first matching RRA
+        if not hit:
+            raise ValueError(f"no RRA accepts {key} (needs one of {cfs})")
+    _save_meta(store)
+
+
+def aberrant_reset(store: DatasetStore, name: str) -> int:
+    """≙ rrdtool tune -b/--aberrant-reset ds
+    (reset_aberrant_coefficients, src/rrd_hw.c): void the HW state so the
+    smoother re-bootstraps. This engine keeps no persisted HW scratch —
+    the coefficients are re-derived from raw samples on every
+    ``operators.hw.hw_predict`` run — so the reset is a recorded
+    watermark: ``reset_ts`` (now = the newest sample) is stamped into the
+    HW RRA params, and a derivation that honors it feeds only samples at
+    or after the watermark (exactly the reference's effect: unknown
+    coefficients, re-bootstrap from the reset point). Returns the stamp."""
+    if not any(d.name == name for d in store.dataset.ds):
+        raise ValueError(f"no DS {name}")
+    ts = store.last()
+    hit = False
+    for rra in store.dataset.rra:
+        if rra.cf in ("HWPREDICT", "MHWPREDICT", "SEASONAL", "DEVSEASONAL",
+                      "DEVPREDICT", "FAILURES"):
+            rra.params["reset_ts"] = int(ts)
+            hit = True
+    if not hit:
+        raise ValueError("no Holt-Winters RRAs to reset")
+    _save_meta(store)
+    return int(ts)
+
+
 def dump(store: DatasetStore, path: str) -> None:
     """≙ rrdtool dump: full-fidelity export (header + data) as a JSON doc +
     JSONL samples."""

@@ -64,6 +64,66 @@ def test_resize_and_tune(store):
     assert "g1" not in vals  # unknown rows are not materialized
 
 
+def test_rename_retype_hw_tune(spark, store, tmp_path):
+    """The rest of the rrd_tune grammar (src/rrd_tune.c:80-120):
+    --data-source-rename rewrites header + stored rows, --data-source-type
+    re-derives rates exactly (raw samples kept), the HW parameter options
+    land in the matching RRA headers, --aberrant-reset stamps the
+    re-bootstrap watermark."""
+    from rrdtool_1_x_spark.cli import main
+
+    # rename: header + every stored row, visible after a cold reopen
+    evolve.rename_ds(store, "g2", "h2")
+    st2 = DatasetStore(store.spark, store.path)
+    assert [d.name for d in st2.dataset.ds] == ["g1", "h2"]
+    assert st2._read("samples").filter(F.col("ds_name") == "g2").count() == 0
+    n = st2._read("rra_0").filter(F.col("ds_name") == "h2").count()
+    assert n == len(UPDATES)
+    with pytest.raises(ValueError):
+        evolve.rename_ds(st2, "g1", "h2")  # collision
+
+    # retype GAUGE -> COUNTER recomputes rates from the raw readings
+    before = {int(r["ts"]): r["value"] for r in
+              st2._read("rra_0").filter(F.col("ds_name") == "g1").collect()}
+    evolve.retype_ds(st2, "g1", "COUNTER")
+    after = {int(r["ts"]): r["value"] for r in
+             st2._read("rra_0").filter(F.col("ds_name") == "g1").collect()}
+    assert before[920805000] == 12.0  # GAUGE: the reading
+    assert after[920805000] == (12.0 - 10.0) / 300  # COUNTER: the rate
+
+    # HW params via the CLI option surface
+    hw_store_path = str(tmp_path / "hw")
+    assert main([
+        "create", hw_store_path, "--start", "920804400", "--step", "300",
+        "DS:v:GAUGE:600:U:U",
+        "RRA:AVERAGE:0.5:1:100", "RRA:HWPREDICT:100:0.1:0.0035:12",
+        "RRA:SEASONAL:12:0.1:1", "RRA:DEVSEASONAL:12:0.1:1",
+        "RRA:DEVPREDICT:100:4", "RRA:FAILURES:9:7:9:5",
+    ]) == 0
+    assert main([
+        "tune", hw_store_path, "--alpha", "0.25", "--gamma", "0.3",
+        "--failure-threshold", "5", "--window-length", "8",
+    ]) == 0
+    hw = DatasetStore(spark, hw_store_path).dataset
+    by_cf = {r.cf: r for r in hw.rra}
+    assert by_cf["HWPREDICT"].params["alpha"] == 0.25
+    assert by_cf["SEASONAL"].params["gamma"] == 0.3
+    assert by_cf["FAILURES"].params["threshold"] == 5
+    assert by_cf["FAILURES"].params["window"] == 8
+
+    # aberrant reset stamps the watermark on every HW RRA
+    hst = DatasetStore(spark, hw_store_path)
+    hst.update(spark.createDataFrame(
+        [("hw", "v", 920804700.0, 1.0)],
+        "series_id string, ds_name string, ts double, value double"))
+    assert main(["tune", hw_store_path, "--aberrant-reset", "v"]) == 0
+    hw2 = DatasetStore(spark, hw_store_path).dataset
+    assert all(
+        r.params.get("reset_ts") == 920804700
+        for r in hw2.rra if r.cf != "AVERAGE"
+    )
+
+
 def test_dump_restore_roundtrip(spark, store, tmp_path):
     d1 = str(tmp_path / "dump1")
     evolve.dump(store, d1)
