@@ -302,8 +302,74 @@ class DatasetStore:
 
             with ThreadPoolExecutor(max_workers=min(4, len(targets)) or 1) as ex:
                 list(ex.map(_one, targets))
+            self._rebuild_hw(pdp)
         finally:
             pdp.unpersist()
+
+    # CF -> which hw_predict output column that archive republishes
+    _HW_VALUE_COL = {
+        "HWPREDICT": "prediction", "MHWPREDICT": "prediction",
+        "SEASONAL": "seasonal", "DEVSEASONAL": "devseasonal",
+        "DEVPREDICT": "devpredict", "FAILURES": "failures",
+    }
+
+    def _rebuild_hw(self, pdp: DataFrame) -> None:
+        """Materialize the Holt-Winters family archives from the PDP table
+        (≙ the reference maintaining the aberrant RRAs on every update,
+        src/rrd_hw_update.c:38-475 via rrd_update's RRA loop) — one
+        hw_predict pass (operators/hw.py) serves every dependent archive.
+        A ``reset_ts`` stamped by tune --aberrant-reset splits the run:
+        state re-bootstraps on the first sample after the watermark, which
+        is exactly the reference's voided-coefficients effect; rows before
+        it keep their historical values (recomputed, identical)."""
+        d = self.dataset
+        hw = [(i, r) for i, r in enumerate(d.rra) if r.cf in self._HW_VALUE_COL]
+        if not hw:
+            return
+        prim = next((r for _, r in hw if r.cf in ("HWPREDICT", "MHWPREDICT")), None)
+        if prim is None:
+            return
+        from rrdtool_1_x_spark.operators.hw import fnv32, hw_predict
+
+        seasonal = next((r for _, r in hw if r.cf == "SEASONAL"), None)
+        fail = next((r for _, r in hw if r.cf == "FAILURES"), None)
+        period = int(prim.params.get("period")
+                     or (seasonal.row_cnt if seasonal else 288))
+        sp = seasonal.params if seasonal else {}
+        fp = fail.params if fail else {}
+        kw = dict(
+            alpha=float(prim.params.get("alpha", 0.1)),
+            beta=float(prim.params.get("beta", 0.0035)),
+            gamma=float(sp.get("gamma", prim.params.get("alpha", 0.1))),
+            period=period,
+            delta_pos=float(fp.get("deltapos", 2.0)),
+            delta_neg=float(fp.get("deltaneg", 2.0)),
+            threshold=int(fp.get("threshold", 7)),
+            window_len=int(fp.get("window", 9)),
+            multiplicative=prim.cf == "MHWPREDICT",
+            smooth_window=float(sp.get("smoothing_window", 0.0)),
+            smooth_idx=fnv32(d.name) % (seasonal.row_cnt if seasonal else period),
+            keys=("series_id", "ds_name"),
+            step=float(d.step),
+            start=float(d.start) if d.start else None,
+        )
+        reset = prim.params.get("reset_ts")
+        if reset is not None:
+            pre = pdp.filter(F.col("ts") <= float(reset))
+            post = pdp.filter(F.col("ts") > float(reset))
+            kw_post = dict(kw, start=None)  # re-bootstrap at the watermark
+            out = hw_predict(pre, **kw).unionByName(hw_predict(post, **kw_post))
+        else:
+            out = hw_predict(pdp, **kw)
+        out = out.localCheckpoint(eager=True)  # one pass, up to 6 writes
+        for i, rra in hw:
+            col = self._HW_VALUE_COL[rra.cf]
+            self._write(
+                out.filter(F.col(col).isNotNull()).select(
+                    "series_id", "ds_name", "ts", F.col(col).alias("value")
+                ),
+                f"rra_{i}", mode="overwrite",
+            )
 
     # -- reads ----------------------------------------------------------------
     def fetch(

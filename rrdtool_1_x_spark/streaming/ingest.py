@@ -138,6 +138,19 @@ class StreamingIngest:
             # that resolved the manifest earlier keep their pinned snapshot
             # (MERGE-style transactional refresh; see DatasetStore._write)
             store._write(merged, f"rra_{i}", mode="overwrite")
+        if any(rra.cf in store._HW_VALUE_COL for rra in d.rra):
+            # the HW recurrence is sequential from the bootstrap, so the
+            # table-state path recomputes the family from the full PDP
+            # history (exact); the streaming-state variant that carries the
+            # scratch incrementally is streaming/stateful.py's hw stage
+            from rrdtool_1_x_spark.operators.pdp import pdp_table_multi
+
+            store._rebuild_hw(
+                pdp_table_multi(
+                    samples, d.step, d.ds,
+                    start=float(d.start) if d.start else None,
+                )
+            )
 
     # -- stream wiring --------------------------------------------------------
     def start(

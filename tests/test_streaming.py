@@ -197,6 +197,79 @@ def test_bucketed_partitioned_store_pruning(spark, tmp_path):
     assert ka == kb and len(kb) > 0
 
 
+def test_store_materializes_hw_archives(spark, tmp_path):
+    """A store holding Holt-Winters RRAs materializes them on update, so
+    ``fetch HWPREDICT/SEASONAL/DEVPREDICT/FAILURES`` serves rows like the
+    reference (the RRA loop in rrd_update maintains aberrant archives,
+    src/rrd_hw_update.c:38-475) — values identical to a direct hw_predict
+    run with the header's parameters; incremental ingest stays consistent."""
+    from rrdtool_1_x_spark.operators.hw import fnv32, hw_predict
+    from rrdtool_1_x_spark.operators.pdp import pdp_table
+
+    period = 12
+    ds = create(
+        "hws",
+        step=300,
+        ds=[DSDef(name="v", dst="GAUGE", heartbeat=600)],
+        rra=[
+            RRADef(cf="AVERAGE", xff=0.5, pdp_cnt=1, row_cnt=500),
+            RRADef(cf="HWPREDICT", pdp_cnt=1, row_cnt=500,
+                   params={"alpha": 0.1, "beta": 0.0035, "period": period}),
+            RRADef(cf="SEASONAL", pdp_cnt=1, row_cnt=period,
+                   params={"gamma": 0.1}),
+            RRADef(cf="DEVSEASONAL", pdp_cnt=1, row_cnt=period,
+                   params={"gamma": 0.1}),
+            RRADef(cf="DEVPREDICT", pdp_cnt=1, row_cnt=500),
+            RRADef(cf="FAILURES", pdp_cnt=1, row_cnt=9,
+                   params={"threshold": 7, "window": 9}),
+        ],
+        start=920804400,
+    )
+    st = DatasetStore.create(spark, str(tmp_path / "hws"), ds)
+    import math
+
+    n = period * 6
+    rows = [
+        ("hws", "v", float(920804400 + 300 * (i + 1)),
+         50.0 + 10.0 * math.sin(2 * math.pi * i / period))
+        for i in range(n)
+    ]
+    st.update(spark.createDataFrame(rows, SCHEMA))
+
+    # direct operator run with the same header parameters
+    raw = spark.createDataFrame(rows, SCHEMA)
+    pdp = pdp_table(
+        raw, 300, "GAUGE", 600.0, keys=("series_id", "ds_name"),
+        start=920804400.0,
+    )
+    want_df = hw_predict(
+        pdp, alpha=0.1, beta=0.0035, gamma=0.1, period=period,
+        threshold=7, window_len=9,
+        smooth_idx=fnv32("hws") % period,
+        keys=("series_id", "ds_name"), step=300.0, start=920804400.0,
+    )
+    want = {int(r["ts"]): r for r in want_df.collect()}
+
+    end = 920804400 + 300 * n
+    for cf, col in [("HWPREDICT", "prediction"), ("SEASONAL", "seasonal"),
+                    ("DEVPREDICT", "devpredict"), ("FAILURES", "failures")]:
+        df, _ = st.fetch(cf, 920804400, end - 1, 300, pad=False)
+        got = {int(r["ts"]): r["value"] for r in df.collect()}
+        assert got, f"{cf}: no rows materialized"
+        for ts, v in got.items():
+            wv = want[ts][col]
+            assert wv is not None and abs(v - wv) < 1e-9, (cf, ts, v, wv)
+
+    # incremental streaming ingest keeps the HW archives current
+    extra = [
+        ("hws", "v", float(end + 300 * (i + 1)), 50.0 + i)
+        for i in range(3)
+    ]
+    StreamingIngest(st).process_batch(spark.createDataFrame(extra, SCHEMA))
+    df, _ = st.fetch("HWPREDICT", end, end + 900, 300, pad=False)
+    assert df.count() == 3
+
+
 def test_daemon_command_surface(spark, tmp_path):
     """rrdcached command parity (src/rrd_daemon.c:1478-1626, 2838-2896):
     FLUSH/FLUSHALL/PENDING/FORGET/QUEUE/SUSPEND/RESUME over the buffered
