@@ -227,6 +227,58 @@ def cmd_update(args: list[str]) -> int:
     return 0
 
 
+def cmd_updatev(args: list[str]) -> int:
+    """≙ rrdtool updatev (rrd_update_v, src/rrd_update.c:300-360): like
+    update, then report every CDP written as a result, keyed
+    ``[<ts>]RRA[<CF>][<pdp_cnt>]DS[<name>] = <value>``
+    (src/rrd_update.c:2437-2448) plus the leading return_value. Written =
+    rows whose window ended between the previous and the new last-update
+    (the reference flushes a CDP when time passes its window end)."""
+    import os
+
+    if "-d" in args or "--daemon" in args or os.environ.get("RRDCACHED_ADDRESS"):
+        # the reference forbids daemon routing for updatev (rrdupdate.pod:
+        # "updatev requires direct disk access")
+        raise ValueError("The --daemon option cannot be used with updatev")
+    path = args[0]
+    store = _store(path)
+    try:
+        prev_last = store.last()
+    except Exception:
+        prev_last = store.dataset.start or 0
+    rc = cmd_update(list(args))
+    print(f"return_value = {rc}")
+    store = _store(path)  # fresh caches past the update
+    new_last = store.last()
+    d = store.dataset
+    import math
+
+    for i, rra in enumerate(d.rra):
+        res = d.step * rra.pdp_cnt
+        lo = prev_last - prev_last % res
+        hi = new_last - new_last % res
+        if hi <= lo:
+            continue
+        t = store._read(f"rra_{i}")
+        if t is None:
+            continue
+        import pyspark.sql.functions as _F
+
+        rows = (
+            t.filter((_F.col("ts") > float(lo)) & (_F.col("ts") <= float(hi)))
+            .orderBy("ts", "ds_name")
+            .collect()
+        )
+        for r in rows:
+            v = r["value"]
+            v = float("nan") if v is None or (isinstance(v, float) and math.isnan(v)) else v
+            print(
+                f"[{int(r['ts'])}]RRA[{rra.cf}][{rra.pdp_cnt}]"
+                f"DS[{r['ds_name']}] = {v:0.10e}"
+            )
+    return rc
+
+
 def cmd_fetch(args: list[str]) -> int:
     # options first, positionals after — getopt permutes like the reference
     res = _opt(args, "-r", "--resolution")
@@ -546,7 +598,7 @@ def cmd_resize(args: list[str]) -> int:
 COMMANDS = {
     "create": cmd_create,
     "update": cmd_update,
-    "updatev": cmd_update,
+    "updatev": cmd_updatev,
     "fetch": cmd_fetch,
     "xport": cmd_xport,
     "graphv": cmd_graphv,

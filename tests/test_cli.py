@@ -221,6 +221,42 @@ def test_cli_xport_output_dir_and_daemon_flush(ds_path, spark, tmp_path, capsys)
         assert abs(vals[0] - 0.04) < 1e-12
 
 
+def test_cli_updatev(spark, tmp_path, capsys):
+    """updatev reports the CDPs written by this call in the reference's
+    [<ts>]RRA[<CF>][<pdp>]DS[<name>] format (src/rrd_update.c:2437-2448),
+    and refuses daemon routing like the reference."""
+    p = str(tmp_path / "uv")
+    assert main([
+        "create", p, "--start", str(START), "--step", "300",
+        "DS:speed:COUNTER:600:U:U",
+        "RRA:AVERAGE:0.5:1:600", "RRA:AVERAGE:0.5:6:100",
+    ]) == 0
+    assert main(["updatev", p] + [f"{t}:{v}" for t, v in UPDATES[:3]]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out[0] == "return_value = 0"
+    cdps = [l for l in out[1:] if l.startswith("[")]
+    # 3 readings -> 2 known fine CDPs (the first COUNTER reading has no
+    # previous sample; unknown rows are not materialized), no 6-step yet
+    assert len(cdps) == 2
+    assert cdps[0].startswith(f"[{UPDATES[1][0]}]RRA[AVERAGE][1]DS[speed] = ")
+    assert "RRA[AVERAGE][6]" not in "".join(cdps)
+
+    # the next batch crosses an 1800s boundary: the coarse CDP appears
+    assert main(["updatev", p] + [f"{t}:{v}" for t, v in UPDATES[3:8]]) == 0
+    out = capsys.readouterr().out.splitlines()
+    coarse = [l for l in out if "RRA[AVERAGE][6]" in l]
+    assert len(coarse) == 1 and coarse[0].startswith("[920806200]")
+
+    import os
+
+    os.environ["RRDCACHED_ADDRESS"] = "127.0.0.1:1"
+    try:
+        assert main(["updatev", p, "920809000:1"]) == 1
+    finally:
+        del os.environ["RRDCACHED_ADDRESS"]
+    assert "cannot be used" in capsys.readouterr().err
+
+
 def test_cli_errors(capsys):
     assert main(["nosuchcmd"]) == 1
     assert "unknown command" in capsys.readouterr().err
