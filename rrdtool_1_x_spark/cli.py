@@ -584,6 +584,35 @@ def cmd_tune(args: list[str]) -> int:
     ab = _opt(args, "-b", "--aberrant-reset")
     if ab:
         ev.aberrant_reset(store, ab)
+    # modify-style positionals, handled after options like the reference
+    # (handle_modify via rrd_tune, src/rrd_modify.c:1311-1415):
+    # DS:<spec> adds, DEL:<name> drops, RRA:<spec> adds, DELRRA:<idx>
+    # drops, RRA#<idx>:[+-=]<rows> resizes
+    for a in args:
+        if a.startswith("DEL:"):
+            ev.del_ds(store, a[4:])
+        elif a.startswith("DS:"):
+            ev.add_ds(store, _parse_ds(a), recompute=True)
+        elif a.startswith("DELRRA:"):
+            ev.del_rra(store, int(a[7:]))
+        elif a.startswith("RRA#"):
+            idx_s, _, op = a[4:].partition(":")
+            sign, n = op[0], int(op[1:])
+            idx = int(idx_s)
+            if sign == "+":
+                ev.resize_rra(store, idx, n)
+            elif sign == "-":
+                ev.resize_rra(store, idx, -n)
+            elif sign == "=":
+                ev.resize_rra(
+                    store, idx, n - store.dataset.rra[idx].row_cnt
+                )
+            else:
+                raise ValueError(
+                    f"Failed to parse RRA# command: invalid operation: {sign}"
+                )
+        elif a.startswith("RRA:"):
+            ev.add_rra(store, _parse_rra(a))
     return 0
 
 

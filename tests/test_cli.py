@@ -221,6 +221,37 @@ def test_cli_xport_output_dir_and_daemon_flush(ds_path, spark, tmp_path, capsys)
         assert abs(vals[0] - 0.04) < 1e-12
 
 
+def test_cli_tune_modify_positionals(spark, tmp_path, capsys):
+    """tune's modify-style positionals (handle_modify via rrd_tune,
+    src/rrd_modify.c:1311-1415): DS: adds with exact backfill, DEL: drops,
+    RRA: adds, RRA#idx:[+-=]n resizes, DELRRA: removes."""
+    from rrdtool_1_x_spark.sources.store import DatasetStore
+
+    p = str(tmp_path / "mod")
+    assert main([
+        "create", p, "--start", str(START), "--step", "300",
+        "DS:speed:COUNTER:600:U:U", "RRA:AVERAGE:0.5:1:600",
+    ]) == 0
+    assert main(["update", p] + [f"{t}:{v}" for t, v in UPDATES]) == 0
+
+    assert main(["tune", p, "DS:alt:GAUGE:600:U:U"]) == 0
+    assert main(["tune", p, "RRA:MAX:0.5:2:100", "RRA#0:+50", "RRA#1:=80"]) == 0
+    d = DatasetStore(spark, p).dataset
+    assert [x.name for x in d.ds] == ["speed", "alt"]
+    assert [(r.cf, r.row_cnt) for r in d.rra] == [("AVERAGE", 650), ("MAX", 80)]
+    # the added MAX archive backfilled exactly from raw samples
+    st = DatasetStore(spark, p)
+    got = {int(r["ts"]): r["value"] for r in st._read("rra_1").collect()}
+    assert got and max(got.values()) > 0
+
+    assert main(["tune", p, "DELRRA:1", "DEL:alt"]) == 0
+    d = DatasetStore(spark, p).dataset
+    assert [x.name for x in d.ds] == ["speed"]
+    assert [r.cf for r in d.rra] == ["AVERAGE"]
+    assert main(["tune", p, "RRA#0:?10"]) == 1
+    assert "invalid operation" in capsys.readouterr().err
+
+
 def test_cli_updatev(spark, tmp_path, capsys):
     """updatev reports the CDPs written by this call in the reference's
     [<ts>]RRA[<CF>][<pdp>]DS[<name>] format (src/rrd_update.c:2437-2448),
