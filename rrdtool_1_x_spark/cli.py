@@ -624,6 +624,11 @@ def cmd_resize(args: list[str]) -> int:
     return 0
 
 
+def cmd_version(args: list[str]) -> int:
+    print("rrdtool_1_x_spark (rrdtool 1.x compatible engine on Apache Spark)")
+    return 0
+
+
 COMMANDS = {
     "create": cmd_create,
     "update": cmd_update,
@@ -641,15 +646,83 @@ COMMANDS = {
     "restore": cmd_restore,
     "tune": cmd_tune,
     "resize": cmd_resize,
+    "version": cmd_version,
+    "v": cmd_version,
 }
+
+
+def batch_main(stream=None) -> int:
+    """≙ ``rrdtool -`` remote/batch mode (src/rrd_tool.c:519-700): read one
+    command per stdin line, print ``OK u:<user> s:<sys> r:<real>`` after
+    each success or ``ERROR: ...`` and keep going; the shell-ish built-ins
+    cd / pwd / mkdir / ls / quit operate on dataset directories (a dataset
+    dir lists as ``- <name>`` like a .rrd file, other dirs as ``d <name>``)."""
+    import os
+    import shlex
+    import time as _t
+
+    stream = sys.stdin if stream is None else stream
+    t0 = _t.time()
+    for raw in stream:
+        line = raw.strip()
+        if not line:
+            continue
+        try:
+            argv = shlex.split(line)
+        except ValueError as e:
+            print(f"ERROR: {e}")
+            continue
+        cmd = argv[0]
+        if cmd == "quit":
+            return 0
+        if cmd == "cd":
+            try:
+                os.chdir(argv[1])
+            except OSError as e:
+                print(f"ERROR: chdir {argv[1]} {e.strerror}")
+            continue
+        if cmd == "pwd":
+            print(os.getcwd())
+            continue
+        if cmd == "mkdir":
+            try:
+                os.mkdir(argv[1])
+            except OSError as e:
+                print(f"ERROR: mkdir {argv[1]}: {e.strerror}")
+            continue
+        if cmd == "ls":
+            for name in sorted(os.listdir(".")):
+                if os.path.isdir(name):
+                    kind = "-" if os.path.isfile(f"{name}/meta.json") else "d"
+                    print(f"{kind} {name}")
+            continue
+        fn = COMMANDS.get(cmd)
+        if fn is None:
+            print(f"ERROR: unknown command {cmd!r}")
+            continue
+        u0 = os.times()
+        try:
+            rc = fn(argv[1:])
+        except Exception as e:
+            print(f"ERROR: {e}")
+            continue
+        u1 = os.times()
+        if rc == 0:
+            print(
+                f"OK u:{u1.user - u0.user:1.2f} s:{u1.system - u0.system:1.2f} "
+                f"r:{_t.time() - t0:1.2f}"
+            )
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
     args = list(sys.argv[1:] if argv is None else argv)
     if not args or args[0] in ("-h", "--help", "help"):
         print("usage: python -m rrdtool_1_x_spark <command> ...")
-        print("commands:", " ".join(sorted(COMMANDS)))
+        print("commands:", " ".join(sorted(COMMANDS)), "-")
         return 0
+    if args[0] == "-":
+        return batch_main()
     cmd = args.pop(0)
     fn = COMMANDS.get(cmd)
     if fn is None:

@@ -52,7 +52,9 @@ def _sample_cols(df: DataFrame) -> list[str]:
 class DatasetStore:
     def __init__(self, spark: SparkSession, path: str, dataset: DatasetDef | None = None):
         self.spark = spark
-        self.path = path.rstrip("/")
+        # absolutize: Spark's JVM resolves relative paths against ITS cwd,
+        # which os.chdir (the CLI batch mode's `cd`) does not move
+        self.path = os.path.abspath(path.rstrip("/"))
         if dataset is None:
             with open(f"{self.path}/meta.json") as f:
                 dataset = DatasetDef.from_json(f.read())

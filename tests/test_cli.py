@@ -288,6 +288,40 @@ def test_cli_updatev(spark, tmp_path, capsys):
     assert "cannot be used" in capsys.readouterr().err
 
 
+def test_cli_batch_mode(spark, tmp_path, capsys, monkeypatch):
+    """``rrdtool -`` batch mode (src/rrd_tool.c:519-700): one command per
+    stdin line, OK/ERROR per command, shell built-ins, keeps going after
+    errors."""
+    import io
+    import os
+
+    from rrdtool_1_x_spark.cli import batch_main
+
+    monkeypatch.chdir(tmp_path)
+    script = "\n".join([
+        "mkdir lake",
+        "cd lake",
+        "pwd",
+        "create s1 --start %d --step 300 DS:v:GAUGE:600:U:U RRA:AVERAGE:0.5:1:100" % START,
+        "update s1 %d:42 %d:44" % (START + 300, START + 600),
+        "nosuchcmd x",
+        "fetch s1 AVERAGE -s %d -e %d" % (START, START + 600),
+        "ls",
+        "quit",
+        "update never:reached 1:2",
+    ])
+    assert batch_main(io.StringIO(script)) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out[0] == str(tmp_path / "lake")  # pwd after cd
+    oks = [l for l in out if l.startswith("OK u:")]
+    assert len(oks) == 3  # create, update, fetch each acknowledged
+    assert any(l.startswith("ERROR: unknown command") for l in out)
+    assert "- s1" in out  # dataset dir lists like a file
+    assert any(l.startswith(f"{START + 300}: ") for l in out)  # fetch rows
+    assert not any("never:reached" in l for l in out)  # quit stops the loop
+    os.chdir("/root/repo")
+
+
 def test_cli_errors(capsys):
     assert main(["nosuchcmd"]) == 1
     assert "unknown command" in capsys.readouterr().err
