@@ -142,8 +142,20 @@ def cmd_create(args: list[str]) -> int:
     """≙ rrdtool create, incl. --source prefill and --template definition
     copy (src/rrd_create.c:77-258; prefill :1043-1078)."""
     path = args.pop(0)
+    no_overwrite = _opt(args, "--no-overwrite", "-O", flag=True)
     start = _opt(args, "--start", "-b")
     step = _opt(args, "--step", "-s")
+    import os as _os
+    import shutil as _shutil
+
+    if _os.path.exists(f"{path.rstrip('/')}/meta.json"):
+        if no_overwrite:
+            # ≙ create -O: O_EXCL open fails on an existing file
+            # (src/rrd_create.c opt_no_overwrite; tests/create-no-overwrite)
+            raise ValueError(f"creating '{path}': File exists")
+        # default create truncates: a re-created dataset starts empty like
+        # a re-created .rrd file — stale archives must not survive
+        _shutil.rmtree(path)
     sources = []
     while (s := _opt(args, "--source", "-r")) is not None:
         sources.append(s)

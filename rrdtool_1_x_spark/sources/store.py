@@ -401,6 +401,15 @@ class DatasetStore:
         rollup = self._read_range(
             f"rra_{plan.rra_index}", max(float(lo), float(plan.start)), float(plan.end)
         )
+        if rollup is None:
+            # empty archive (fresh/truncated dataset): the reference still
+            # serves the all-unknown grid — pad via an explicit series frame
+            rollup = self.spark.createDataFrame([], SAMPLE_SCHEMA)
+            series = self.spark.createDataFrame(
+                [(self.dataset.name, ds.name) for ds in self.dataset.ds],
+                "series_id string, ds_name string",
+            )
+            return fetch(rollup, plan, series=series, pad=pad), plan
         return fetch(rollup, plan, pad=pad), plan
 
     def fetch_local(
@@ -434,6 +443,23 @@ class DatasetStore:
         lo = (last_up - last_up % plan.step) - self.dataset.retention(plan.rra_index)
         cut = max(float(lo), float(plan.start))
         _, data_dir = self._current(f"rra_{plan.rra_index}")
+        if not os.path.isdir(data_dir):
+            # empty archive: serve the all-unknown grid like the reference
+            grid = np.arange(
+                plan.start + plan.step, plan.end + plan.step, plan.step,
+                dtype=np.float64,
+            )
+            names = [d.name for d in self.dataset.ds]
+            if series_id is None:
+                sids = [self.dataset.name]
+            else:
+                sids = [series_id]
+            pdf = pd.DataFrame(
+                [(s, n, t, float("nan"))
+                 for s in sids for n in names for t in grid],
+                columns=["series_id", "ds_name", "ts", "value"],
+            )
+            return pdf, plan
         dset = pads.dataset(
             data_dir,
             format="parquet",

@@ -288,6 +288,25 @@ def test_cli_updatev(spark, tmp_path, capsys):
     assert "cannot be used" in capsys.readouterr().err
 
 
+def test_cli_create_overwrite_semantics(spark, tmp_path, capsys):
+    """create truncates an existing dataset by default (stale archives must
+    not survive, like re-creating a .rrd file) and fails with
+    -O/--no-overwrite (tests/create-no-overwrite)."""
+    p = str(tmp_path / "ow")
+    argv = ["--start", str(START), "--step", "300",
+            "DS:speed:GAUGE:600:U:U", "RRA:AVERAGE:0.5:1:100"]
+    assert main(["create", p] + argv) == 0
+    assert main(["update", p, f"{START + 300}:42"]) == 0
+    # re-create: the old data is gone
+    assert main(["create", p] + argv) == 0
+    from rrdtool_1_x_spark.sources.store import DatasetStore
+
+    assert DatasetStore(spark, p)._read("samples") is None
+    # -O refuses to clobber
+    assert main(["create", p, "-O"] + argv) == 1
+    assert "File exists" in capsys.readouterr().err
+
+
 def test_cli_batch_mode(spark, tmp_path, capsys, monkeypatch):
     """``rrdtool -`` batch mode (src/rrd_tool.c:519-700): one command per
     stdin line, OK/ERROR per command, shell built-ins, keeps going after
