@@ -169,8 +169,17 @@ class Query:
         self._xports.append((vname, legend))
         return self
 
-    def print_(self, vname: str, fmt: str = "%lf") -> "Query":
-        self._prints.append((vname, fmt))
+    _PRINT_MODES = ("strftime", "valstrftime", "valstrfduration")
+
+    def print_(self, vname: str, fmt: str = "%lf", mode: str | None = None) -> "Query":
+        """PRINT:vname:format[:strftime|:valstrftime|:valstrfduration] —
+        a trailing mode suffix in ``fmt`` is split off like the reference's
+        PRINT parser (src/rrd_graph_helper.c gprint parsing)."""
+        if mode is None and ":" in fmt:
+            head, _, tail = fmt.rpartition(":")
+            if tail in self._PRINT_MODES:
+                fmt, mode = head, tail
+        self._prints.append((vname, fmt, mode))
         return self
 
     # -- execution ----------------------------------------------------------
@@ -312,8 +321,8 @@ class Query:
         ).orderBy("ts")
 
         prints = [
-            _format_print(fmt, scalars[v]["value"], scalars[v]["when"])
-            for v, fmt in self._prints
+            _format_print(fmt, scalars[v]["value"], scalars[v]["when"], mode)
+            for v, fmt, mode in self._prints
         ]
         return QueryResult(
             frame=frame,
@@ -414,9 +423,75 @@ def data_proc(
     return plots, scale
 
 
-def _format_print(fmt: str, value, when) -> str:
+def _strfduration(fmt: str, duration: float) -> str:
+    """The reference's duration formatter (strfduration,
+    src/rrd_graph.c:1684-1800): %[0][w][.p] of W/d/D/h/H/m/M/s/S/f over a
+    MILLISECOND duration, each value truncated (not rounded) to the
+    precision; lowercase units are remainders, uppercase totals."""
+    import math
+    import re as _re
+
+    seconds = abs(duration) / 1000.0
+    minutes, hours = seconds / 60.0, seconds / 3600.0
+    days, weeks = hours / 24.0, hours / (24.0 * 7)
+    conv = {
+        "W": weeks,
+        "d": days - math.trunc(weeks) * 7.0,
+        "D": days,
+        "h": hours - math.trunc(days) * 24.0,
+        "H": hours,
+        "m": minutes - math.trunc(hours) * 60.0,
+        "M": minutes,
+        "s": seconds - math.trunc(minutes) * 60.0,
+        "S": seconds,
+        "f": abs(duration) - math.trunc(seconds) * 1000.0,
+    }
+    out = [] if duration >= 0 else ["-"]
+
+    def sub(m):
+        zpad, width, prec, unit = m.groups()
+        if unit == "%":
+            return "%"
+        w, p = int(width or 0), int(prec or 0)
+        val = math.trunc(conv[unit] * 10**p) / 10**p
+        return f"%{'0' if zpad else ''}{w}.{p}f" % val
+
+    out.append(_re.sub(r"%(0?)(\d*)(?:\.(\d+))?([%WdDhHmMsSf])", sub, fmt))
+    return "".join(out)
+
+
+def _format_print(fmt: str, value, when, mode: str | None = None) -> str:
     """printf-ish PRINT formatting (print_calc, src/rrd_graph.c:1832-2113):
-    %lf/%le/%lg + %s/%S SI autoscaling; %c strftime of the VDEF time."""
+    %lf/%le/%lg + %s/%S SI autoscaling; %c strftime of the VDEF time.
+
+    ``mode`` selects the reference's value formatters
+    (src/rrd_graph.c:1929-2000 + tests/vformatter1): ``strftime`` formats
+    the VDEF's sampling TIME (never-found → the rendered format with every
+    digit blanked to '-', time_clean's effect), ``valstrftime`` treats the
+    VALUE as an epoch timestamp, ``valstrfduration`` as a millisecond
+    duration through strfduration."""
+    import math
+    import time as _t
+
+    if mode == "strftime":
+        never = when is None or (
+            isinstance(when, float) and not math.isfinite(when)
+        )
+        if never:  # vf.never: blank the digits (time_clean)
+            import re as _re
+
+            return _re.sub(r"\d", "-", _t.strftime(fmt, _t.gmtime(0)))
+        return _t.strftime(fmt, _t.gmtime(when))
+    if mode == "valstrftime":
+        v = float("nan") if value is None else float(value)
+        if not math.isfinite(v):
+            return "%.0f" % v
+        return _t.strftime(fmt or "%Y-%m-%d %H:%M:%S", _t.gmtime(v))
+    if mode == "valstrfduration":
+        v = float("nan") if value is None else float(value)
+        if not math.isfinite(v):
+            return "%f" % v
+        return _strfduration(fmt or "%H:%02m:%02s", v)
     out = fmt
     if "%c" in out and when is not None:
         import time as _t

@@ -94,6 +94,45 @@ def test_store_meta(store):
     assert lu["value"] == 12423.0 and lu["ts"] == 920808900.0
 
 
+def test_print_value_formatters(spark):
+    """The PRINT value-formatter modes mirrored from the reference's
+    tests/vformatter1 golden strings: :strftime formats the VDEF sampling
+    time (never-found blanks the digits), :valstrftime the value as an
+    epoch, :valstrfduration the value as a millisecond duration
+    (src/rrd_graph.c:1684-2000)."""
+
+    def prints(rows):
+        q = Query(start=1420070400, end=1420071000, step=60)
+        df = spark.createDataFrame(rows, "ts double, value double")
+        q.def_frame("dv", df, 60)
+        q.vdef("v", "dv,LAST")
+        for fmt in ("%0.1lf", "%F %T:strftime", "%F %T:valstrftime",
+                    "%H_%02m_%02s_%03f:valstrfduration"):
+            q.print_("v", fmt)
+        return q.execute(spark).prints
+
+    # no data at all (vformatter1 "No data" block)
+    assert prints([(1420070460.0, None)]) == [
+        "nan", "---------- --:--:--", "nan", "nan",
+    ]
+    # a zero reading at 00:01:00
+    assert prints([(1420070460.0, 0.0)]) == [
+        "0.0", "2015-01-01 00:01:00", "1970-01-01 00:00:00", "0_00_00_000",
+    ]
+    # 3000 at 00:02:00: value-as-epoch 00:50:00, value-as-duration 3 s
+    assert prints([(1420070460.0, 0.0), (1420070520.0, 3000.0)]) == [
+        "3000.0", "2015-01-01 00:02:00", "1970-01-01 00:50:00", "0_00_03_000",
+    ]
+    # strfduration unit coverage: weeks/days remainder split + sign
+    from rrdtool_1_x_spark.plans.graph import _strfduration
+
+    ms = ((10 * 24 + 5) * 3600 + 42 * 60 + 7) * 1000.0 + 250
+    assert _strfduration("%W w %d d %h h %m m %s s %f ms", ms) == \
+        "1 w 3 d 5 h 42 m 7 s 250 ms"
+    assert _strfduration("%2.1Dd", ms) == "10.2d"
+    assert _strfduration("%S", -5000.0) == "-5"
+
+
 def test_query_cdef_vdef_xport(spark, store):
     rollups = {i: store._read(f"rra_{i}") for i in range(2)}
     q = (
