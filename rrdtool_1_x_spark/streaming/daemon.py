@@ -414,6 +414,18 @@ class DaemonServer:
             return self._reply(0, d.suspend_all())
         if cmd == "RESUMEALL":
             return self._reply(0, d.resume_all())
+        if cmd == "PING":
+            # ≙ handle_request_ping (src/rrd_daemon.c:3328)
+            return self._reply(0, "PONG")
+        if cmd == "FIRST":
+            # ≙ handle_request_first (src/rrd_daemon.c:2400-2416): series
+            # plus an optional RRA index
+            idx = int(args[1]) if len(args) > 1 else 0
+            return self._reply(0, str(d.ingest.store.first(idx)))
+        if cmd == "LAST":
+            # ≙ handle_request_last: flush pending, then the newest time
+            d.flush(args[0]) if args else None
+            return self._reply(0, str(d.ingest.store.last()))
         if cmd == "FETCH":
             return self._fetch(args)
         if cmd == "FETCHBIN":
@@ -434,7 +446,7 @@ class DaemonServer:
             cmds = (
                 "UPDATE FLUSH FLUSHALL PENDING FORGET QUEUE STATS "
                 "SUSPEND RESUME SUSPENDALL RESUMEALL BATCH FETCH FETCHBIN "
-                "LIST INFO HELP QUIT"
+                "LIST INFO FIRST LAST PING HELP QUIT"
             ).split()
             return self._reply(len(cmds), "Command overview", cmds)
         return self._reply(-1, f"Unknown command: {cmd}")

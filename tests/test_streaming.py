@@ -517,6 +517,13 @@ def test_daemon_socket_protocol(spark, tmp_path):
         info = dict(ln.split(" = ", 1) for ln in lines)
         assert info["step"] == "300" and info["ds[speed].type"] == "COUNTER"
 
+        # PING/FIRST/LAST (handle_request_ping :3328, _first :2400-2416)
+        assert c.send("PING") == (0, "PONG", [])
+        code, msg, _ = c.send("LAST speed_ds")
+        assert code == 0 and int(msg) == store.last()
+        code, msg, _ = c.send("FIRST speed_ds 0")
+        assert code == 0 and int(msg) == store.first(0)
+
         # HELP and a second concurrent client
         assert c.send("HELP")[0] > 0
         c2 = _Client(srv.address)
