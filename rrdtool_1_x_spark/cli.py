@@ -481,7 +481,8 @@ def cmd_info(args: list[str]) -> int:
 def cmd_list(args: list[str]) -> int:
     from rrdtool_1_x_spark.sources.store import list_datasets
 
-    for name in list_datasets(args[0]):
+    recursive = _opt(args, "--recursive", "-r", flag=True)
+    for name in list_datasets(args[0], recursive=recursive):
         print(name)
     return 0
 

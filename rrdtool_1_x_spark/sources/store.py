@@ -582,10 +582,15 @@ class DatasetStore:
         return out
 
 
-def list_datasets(root: str) -> list[str]:
-    """≙ rrd_list (src/rrd_list.c:44-361): enumerate datasets under a root."""
+def list_datasets(root: str, recursive: bool = False) -> list[str]:
+    """≙ rrd_list (src/rrd_list.c:44-361): enumerate datasets under a root;
+    ``recursive`` descends into subdirectories and returns root-relative
+    paths (rrd_list_rec, src/rrd_list.c:40-144)."""
     out = []
     for name in sorted(os.listdir(root)):
-        if os.path.isfile(os.path.join(root, name, "meta.json")):
+        full = os.path.join(root, name)
+        if os.path.isfile(os.path.join(full, "meta.json")):
             out.append(name)
+        elif recursive and os.path.isdir(full):
+            out.extend(f"{name}/{sub}" for sub in list_datasets(full, True))
     return out

@@ -431,13 +431,17 @@ class DaemonServer:
         if cmd == "FETCHBIN":
             return self._fetchbin(args)
         if cmd == "LIST":
-            # ≙ the daemon's LIST (src/rrd_daemon.c list handler wrapping
-            # rrd_list): datasets under the store's root directory
+            # ≙ the daemon's LIST [RECURSIVE] (src/rrd_daemon.c:2655-2700
+            # wrapping rrd_list): datasets under the store's root directory
             import os
 
             from rrdtool_1_x_spark.sources.store import list_datasets
 
-            names = list_datasets(os.path.dirname(d.ingest.store.path.rstrip("/")))
+            recursive = bool(args) and args[0].upper() == "RECURSIVE"
+            names = list_datasets(
+                os.path.dirname(d.ingest.store.path.rstrip("/")),
+                recursive=recursive,
+            )
             return self._reply(len(names), "datasets", names)
         if cmd == "INFO":
             info = [f"{k} = {v}" for k, v in d.ingest.store.info().items()]

@@ -109,6 +109,12 @@ def test_cli_tune_resize_list(ds_path, capsys):
 
     assert main(["list", os.path.dirname(ds_path)]) == 0
     assert "speed" in capsys.readouterr().out.split()
+    # --recursive descends and prints root-relative paths (rrd_list_rec)
+    parent = os.path.dirname(os.path.dirname(ds_path))
+    assert main(["list", "--recursive", parent]) == 0
+    listed = capsys.readouterr().out.split()
+    rel = os.path.relpath(ds_path, parent)
+    assert rel in listed
 
 
 def test_cli_daemon_routing(spark, tmp_path, capsys):
