@@ -987,6 +987,65 @@ def q_daemon_fetch(spark, sf_dir):
     )
 
 
+def q_sql_source(spark, sf_dir):
+    """The sql// pseudo-path source end-to-end (sources.external.
+    sql_def_frame ≙ rrd_fetch_fn_libdbi, src/rrd_fetch_libdbi.c:446-786):
+    a registered driver serves the click series' raw readings, the engine
+    buckets them into hourly bins with the five derived columns; the
+    oracle recomputes the same bucketing in SQL. Per-bin cardinality is
+    tiny, so the float sums agree at the shared round(6)."""
+    from rrdtool_1_x_spark.sources.external import (
+        SQL_DRIVERS,
+        parse_sql_path,
+        sql_def_frame,
+    )
+
+    def drv(s, spec, start, end):
+        base = _samples(s, sf_dir).filter(F.col("series_id") == "click")
+        return base.select("ts", "value").filter(
+            (F.col("ts") > start) & (F.col("ts") < end)
+        )
+
+    SQL_DRIVERS["entry_events"] = drv
+    s = _samples(spark, sf_dir).filter(F.col("series_id") == "click")
+    lo, hi = s.agg(F.min("ts"), F.max("ts")).first()
+    spec = parse_sql_path("sql//entry_events/rrdminstepsize=3600//t/ts/v")
+    out, *_ = sql_def_frame(spark, spec, int(lo), int(hi), 3600)
+    return out.select(
+        "ts",
+        F.round("min", 6).alias("min_v"),
+        F.round("avg", 6).alias("avg_v"),
+        F.round("max", 6).alias("max_v"),
+        F.col("count").alias("cnt"),
+        F.round("sigma", 6).alias("sigma_v"),
+    ).orderBy("ts")
+
+
+def q_cb_source(spark, sf_dir):
+    """The cb// callback source (sources.external.CallbackRegistry ≙
+    rrd_fetch_cb_register, src/rrd_fetch_cb.c:8-150): a registered
+    callable synthesizes a deterministic series for the requested range;
+    the oracle is the same arithmetic over generate_series."""
+    from rrdtool_1_x_spark.sources.external import CALLBACKS, fetch_pseudo
+
+    def cb(s, start, end, step):
+        n = (end - start) // step
+        return s.range(n).select(
+            F.lit("cb").alias("series_id"),
+            F.lit("v").alias("ds_name"),
+            (F.lit(float(start)) + (F.col("id") + 1) * step).cast("double").alias("ts"),
+            F.round(
+                F.sin(F.col("id") / F.lit(7.0)) * 100 + F.col("id") % 13, 6
+            ).alias("value"),
+        )
+
+    CALLBACKS.register("cb//entry_sensor", cb)
+    frame, *_ = fetch_pseudo(
+        spark, "cb//entry_sensor", "v", 1_000_000, 1_086_400, 300
+    )
+    return frame.select("ts", F.col("value")).orderBy("ts")
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -1073,6 +1132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_indexed_topk": q_ivf_indexed_topk,
         "xport_fmt": q_xport_fmt,
         "daemon_fetch": q_daemon_fetch,
+        "sql_source": q_sql_source,
+        "cb_source": q_cb_source,
     }
     return {k: _memo(k, fn) for k, fn in qs.items()}
 
@@ -1818,6 +1879,37 @@ SELECT g.ts,
   coalesce(printf('%.7e', p.click), 'NaN') AS click,
   coalesce(printf('%.7e', p.view), 'NaN') AS view
 FROM g LEFT JOIN p ON p.ts = g.ts ORDER BY g.ts"""
+    # sql// source: the libdbi bucketing (min/avg/max/count/sigma) in SQL
+    sql["sql_source"] = """
+WITH pre AS (SELECT epoch(ts)::DOUBLE AS t, avg(value) AS v
+             FROM events WHERE event_type = 'click' GROUP BY ts),
+b AS (SELECT CAST(trunc(min(t)) AS BIGINT) AS lo,
+             CAST(trunc(max(t)) AS BIGINT) AS hi FROM pre),
+p AS (SELECT (lo - lo % 3600) AS t0, (hi - hi % 3600) AS t1 FROM b),
+raw AS (SELECT t, v FROM pre CROSS JOIN p WHERE t > t0 AND t < t1),
+agg AS (SELECT CAST(floor((t - t0) / 3600) AS BIGINT) AS idx,
+               min(v) AS mn, sum(v) AS sm, max(v) AS mx,
+               count(*) AS n, sum(v * v) AS s2
+        FROM raw CROSS JOIN p GROUP BY 1),
+g AS (SELECT unnest(generate_series(0, CAST((t1 - t0) / 3600 AS BIGINT) - 1)) AS idx
+      FROM p)
+SELECT (p.t0 + (g.idx + 1) * 3600)::DOUBLE AS ts,
+  round(a.mn, 6) AS min_v,
+  round(a.sm / a.n, 6) AS avg_v,
+  round(a.mx, 6) AS max_v,
+  coalesce(a.n, 0)::DOUBLE AS cnt,
+  round(CASE WHEN a.n > 2
+             THEN sqrt((a.n * a.s2 - a.sm * a.sm) / (a.n * (a.n - 1.0))) END,
+        6) AS sigma_v
+FROM g CROSS JOIN p LEFT JOIN agg a ON a.idx = g.idx
+ORDER BY ts"""
+    # cb// source: the registered callback's deterministic series
+    # (fetch_pseudo aligns the range down to the step: 1000000 -> 999900)
+    sql["cb_source"] = """
+WITH i AS (SELECT unnest(generate_series(0, 287)) AS k)
+SELECT (999900 + (k + 1) * 300)::DOUBLE AS ts,
+       round(sin(k / 7.0) * 100 + k % 13, 6) AS value
+FROM i ORDER BY ts"""
     # daemon FETCH: the padded per-step grid the wire rows carry
     sql["daemon_fetch"] = f"""WITH {_PDP_CTE},
 c AS (SELECT ts, value FROM pdp WHERE series_id = 'click'),
