@@ -450,20 +450,64 @@ def cmd_xport(args: list[str]) -> int:
     return 0
 
 
+def _parse_element(spec: str):
+    """LINE<w>/AREA/TICK/STACK:<src>[#color][:legend][:STACK][:skipscale]
+    (rrd_graph_helper.c parse_line/parse_area/parse_tick/parse_stack);
+    returns (kind, source, legend, stack, skipscale)."""
+    head, _, rest = spec.partition(":")
+    kind = "".join(ch for ch in head if ch.isalpha()).upper()
+    parts = rest.split(":")
+    src_s = parts[0].split("#")[0]
+    try:
+        source = float(src_s)
+    except ValueError:
+        source = src_s
+    tail = parts[1:]
+    stack = "STACK" in tail
+    skipscale = "skipscale" in tail
+    legend = ""
+    for p in tail:
+        if p in ("STACK", "skipscale") or p == "":
+            continue
+        if kind == "TICK" and not legend:
+            # the first extra TICK field may be the fraction — numeric
+            try:
+                float(p)
+                continue
+            except ValueError:
+                pass
+        legend = p
+        break
+    return kind, source, legend, stack, skipscale
+
+
 def cmd_graphv(args: list[str]) -> int:
     # first positional is the image filename in the reference; data-only here
-    if args and not any(args[0].startswith(p) for p in ("DEF:", "CDEF:", "VDEF:", "PRINT:", "-")):
+    if args and not any(args[0].startswith(p) for p in (
+        "DEF:", "CDEF:", "VDEF:", "PRINT:", "LINE", "AREA:", "TICK:", "STACK:", "-",
+    )):
         args.pop(0)
     prints = [a[6:] for a in args if a.startswith("PRINT:")]
+    elements = [
+        a for a in args
+        if a.startswith(("AREA:", "TICK:", "STACK:"))
+        or (a.startswith("LINE") and ":" in a)
+    ]
     q = _build_query(args)
     for p in prints:
         vname, fmt = p.split(":", 1)
         q.print_(vname, fmt)
+    for e in elements:
+        kind, source, legend, stack, skipscale = _parse_element(e)
+        q.element(kind, source, legend=legend, stack=stack, skipscale=skipscale)
     res = q.execute(_spark())
     # graphv's key = value output (rrd_graph_v info list)
     print(f"graph_start = {res.start}")
     print(f"graph_end = {res.end}")
     print(f"graph_step = {res.step}")
+    if res.bounds is not None:
+        print(f"value_min = {res.bounds[0]:0.10e}")
+        print(f"value_max = {res.bounds[1]:0.10e}")
     for i, line in enumerate(res.prints):
         print(f'print[{i}] = "{line}"')
     return 0

@@ -79,6 +79,9 @@ class QueryResult:
     start: int
     end: int
     step: int
+    # autoscale bounds (value_min, value_max) when the query carries
+    # LINE/AREA/TICK/STACK elements (rrd_graph_v's info keys)
+    bounds: tuple[float, float] | None = None
 
 
 class Query:
@@ -110,6 +113,7 @@ class Query:
         self._cdefs: list[_CDef] = []
         self._vdefs: list[_VDef] = []
         self._xports: list[tuple[str, str]] = []  # (vname, legend)
+        self._elements: list[GraphElement] = []
         self._prints: list[tuple[str, str]] = []  # (vname, fmt)
         self._order: list[str] = []
 
@@ -169,6 +173,23 @@ class Query:
         self._xports.append((vname, legend))
         return self
 
+    def element(
+        self,
+        kind: str,
+        source,
+        legend: str = "",
+        stack: bool = False,
+        skipscale: bool = False,
+    ) -> "Query":
+        """A LINE/AREA/TICK/STACK graph statement — resolved through
+        data_proc at execute time so the result carries the autoscale
+        bounds (rrd_graph_v's value_min/value_max)."""
+        self._elements.append(
+            GraphElement(kind.upper(), source, stack=stack,
+                         skipscale=skipscale, legend=legend)
+        )
+        return self
+
     _PRINT_MODES = ("strftime", "valstrftime", "valstrfduration")
 
     def print_(self, vname: str, fmt: str = "%lf", mode: str | None = None) -> "Query":
@@ -200,7 +221,13 @@ class Query:
                 plan: FetchPlan = select_rra(
                     d.dataset, d.cf, self.start, self.end, wish, d.last_up
                 )
-                scan = fetch(d.rollups[plan.rra_index], plan, pad=False, keys=())
+                src = d.rollups[plan.rra_index]
+                # DEF:x=<file>:<ds>:<CF> addresses ONE data source — on a
+                # multi-DS archive the scan must project that column's rows
+                # or every DEF sees every DS (and the grid join fans out)
+                if "ds_name" in src.columns:
+                    src = src.filter(F.col("ds_name") == d.ds_name)
+                scan = fetch(src, plan, pad=False, keys=())
                 step = plan.step
                 if wish and wish > step:
                     scan = reduce_data(scan, step, wish, d.cf, keys=())
@@ -324,6 +351,17 @@ class Query:
             _format_print(fmt, scalars[v]["value"], scalars[v]["when"], mode)
             for v, fmt, mode in self._prints
         ]
+        bounds = None
+        if self._elements:
+            for el in self._elements:
+                if isinstance(el.source, str):
+                    ensure_cdef(el.source)
+            ranged = wide.filter(
+                (F.col("ts") > self.start) & (F.col("ts") <= a_end)
+            )
+            _, scale = data_proc(ranged, self._elements)
+            r = scale.first()
+            bounds = (r["value_min"], r["value_max"])
         return QueryResult(
             frame=frame,
             legends=legends,
@@ -332,6 +370,7 @@ class Query:
             start=a_start,
             end=a_end,
             step=step,
+            bounds=bounds,
         )
 
 

@@ -294,6 +294,54 @@ def test_cli_updatev(spark, tmp_path, capsys):
     assert "cannot be used" in capsys.readouterr().err
 
 
+def test_cli_graphv_elements_bounds(ds_path, capsys):
+    """graphv LINE/AREA/STACK elements resolve through data_proc and the
+    info list carries the autoscale bounds (rrd_graph_v value_min/max);
+    stacked areas raise the max, skipscale lines don't."""
+    base = [
+        "g.png", "-s", str(START), "-e", str(UPDATES[-1][0]),
+        f"DEF:v={ds_path}:speed:AVERAGE", "CDEF:kmh=v,3600,*",
+    ]
+    assert main(["graphv"] + base + ["AREA:kmh#ff0000:rate",
+                                     "STACK:kmh:again"]) == 0
+    out = capsys.readouterr().out
+    vmin = float(out.split("value_min = ")[1].splitlines()[0])
+    vmax = float(out.split("value_max = ")[1].splitlines()[0])
+    assert vmin == 0.0 and abs(vmax - 288.0) < 1e-6  # 2x max rate 144 km/h
+
+    assert main(["graphv"] + base + [
+        "LINE1:kmh#0000ff:rate", "LINE2:1000:ceiling:skipscale",
+    ]) == 0
+    out = capsys.readouterr().out
+    vmax2 = float(out.split("value_max = ")[1].splitlines()[0])
+    assert abs(vmax2 - 144.0) < 1e-6  # skipscale constant excluded
+
+
+def test_cli_multi_ds_defs(spark, tmp_path, capsys):
+    """Two DEFs addressing different DSs of ONE dataset must each resolve
+    to their own column — regression: the DEF scan didn't filter ds_name,
+    so every DEF saw every DS and the grid join fanned out (peak read 40
+    instead of 25 on the classic in/out traffic graph)."""
+    p = str(tmp_path / "net")
+    assert main([
+        "create", p, "--start", str(START), "--step", "300",
+        "DS:inb:COUNTER:600:U:U", "DS:outb:COUNTER:600:U:U",
+        "RRA:AVERAGE:0.5:1:100",
+    ]) == 0
+    assert main(["update", p,
+                 f"{START + 300}:3000:1500", f"{START + 600}:6000:3000",
+                 f"{START + 900}:12000:4500", f"{START + 1200}:15000:7500"]) == 0
+    assert main([
+        "graphv", "g.png", "-s", str(START), "-e", str(START + 1200),
+        f"DEF:i={p}:inb:AVERAGE", f"DEF:o={p}:outb:AVERAGE",
+        "CDEF:io=i,o,+", "AREA:i#00ff00:in", "STACK:o:out",
+        "VDEF:m=io,MAXIMUM", "PRINT:m:peak %.1lf",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert 'print[0] = "peak 25.0"' in out, out
+    assert "value_max = 2.5000000000e+01" in out
+
+
 def test_cli_create_overwrite_semantics(spark, tmp_path, capsys):
     """create truncates an existing dataset by default (stale archives must
     not survive, like re-creating a .rrd file) and fails with
