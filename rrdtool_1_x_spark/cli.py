@@ -370,9 +370,12 @@ def _build_query(args: list[str]):
             continue
         parts = rest.split(":")
         spath, ds_name, cf = parts[0], parts[1], parts[2].upper()
+        # trailing key=value options (getKeyValueArgument,
+        # src/rrd_graph_helper.c:644-664): step= and reduce=
+        opts = dict(p.split("=", 1) for p in parts[3:] if "=" in p)
         if spath not in stores:
             stores[spath] = _store(spath)
-        parsed_defs.append((head, spath, ds_name, cf))
+        parsed_defs.append((head, spath, ds_name, cf, opts))
     if daemon is not None and stores:
         # ≙ rrd_graph/rrd_xport --daemon: flush every referenced file's
         # pending values before reading (rrdc_flush_if_daemon,
@@ -393,12 +396,17 @@ def _build_query(args: list[str]):
     q = Query(start=start, end=end,
               step=None if step is None else int(step),
               maxrows=None if maxrows is None else int(maxrows))
-    for vname, spath, ds_name, cf in parsed_defs:
+    for vname, spath, ds_name, cf, opts in parsed_defs:
         store = stores[spath]
         rollups = {
             i: store._read(f"rra_{i}") for i in range(len(store.dataset.rra))
         }
-        q.def_(vname, rollups, store.dataset, ds_name, cf, last_up=store.last())
+        q.def_(
+            vname, rollups, store.dataset, ds_name, cf,
+            step=int(opts["step"]) if "step" in opts else None,
+            last_up=store.last(),
+            reduce_cf=opts.get("reduce"),
+        )
     for vname, spath, ds_name in pseudo_defs:
         frame, _, _, astep = fetch_pseudo(
             _spark(), spath, ds_name, start, end,

@@ -54,6 +54,7 @@ class _Def:
     cf: str
     step_wish: int | None
     last_up: int
+    reduce_cf: str | None = None  # DEF :reduce= (src/rrd_graph_helper.c:644)
 
 
 @dataclass
@@ -127,13 +128,19 @@ class Query:
         cf: str = "AVERAGE",
         step: int | None = None,
         last_up: int | None = None,
+        reduce_cf: str | None = None,
     ) -> "Query":
-        """DEF:vname=<dataset>:<ds>:<CF> (src/rrd_graph_helper.c:1252-1316).
+        """DEF:vname=<dataset>:<ds>:<CF>[:step=s][:reduce=CF]
+        (src/rrd_graph_helper.c:1252-1316; reduce at :644).
 
         ``rollups`` maps rra index → rollup DataFrame (what the storage
-        layer materializes); ``last_up`` defaults to the query end."""
+        layer materializes); ``last_up`` defaults to the query end;
+        ``reduce_cf`` overrides the CF used when re-consolidating the
+        fetched rows down to a coarser step."""
         self._defs.append(
-            _Def(vname, rollups, dataset, ds_name, cf.upper(), step, last_up or self.end)
+            _Def(vname, rollups, dataset, ds_name, cf.upper(), step,
+                 last_up or self.end,
+                 reduce_cf=None if reduce_cf is None else reduce_cf.upper())
         )
         self._order.append(vname)
         return self
@@ -216,7 +223,7 @@ class Query:
             wish = d.step_wish
             if min_step is not None:
                 wish = max(wish or 0, min_step)
-            key = (id(d.rollups), d.ds_name, d.cf, wish)
+            key = (id(d.rollups), d.ds_name, d.cf, wish, d.reduce_cf)
             if key not in memo:
                 plan: FetchPlan = select_rra(
                     d.dataset, d.cf, self.start, self.end, wish, d.last_up
@@ -230,7 +237,9 @@ class Query:
                 scan = fetch(src, plan, pad=False, keys=())
                 step = plan.step
                 if wish and wish > step:
-                    scan = reduce_data(scan, step, wish, d.cf, keys=())
+                    scan = reduce_data(
+                        scan, step, wish, d.reduce_cf or d.cf, keys=()
+                    )
                     step = step * math.ceil(wish / step)
                 memo[key] = (scan.select("ts", "value"), step)
             frames[d.vname], steps[d.vname] = memo[key]

@@ -317,6 +317,23 @@ def test_cli_graphv_elements_bounds(ds_path, capsys):
     assert abs(vmax2 - 144.0) < 1e-6  # skipscale constant excluded
 
 
+def test_cli_def_step_reduce_options(ds_path, capsys):
+    """DEF :step= and :reduce= options (getKeyValueArgument,
+    src/rrd_graph_helper.c:644): the fetched rows re-consolidate to the
+    wished step under the given CF."""
+    assert main([
+        "xport", "--json", "-s", str(START), "-e", str(UPDATES[-1][0]),
+        f"DEF:v={ds_path}:speed:AVERAGE:step=900:reduce=MAX",
+        "XPORT:v:vmax",
+    ]) == 0
+    doc = json.loads(capsys.readouterr().out)
+    assert doc["meta"]["step"] == 900
+    vals = [v[0] for v in doc["data"] if v[0] is not None]
+    # MAX of the 3 fine rates in each 900 s window; first window holds
+    # rates 0.04, 0.02 -> 0.04
+    assert vals[0] == 0.04
+
+
 def test_cli_multi_ds_defs(spark, tmp_path, capsys):
     """Two DEFs addressing different DSs of ONE dataset must each resolve
     to their own column — regression: the DEF scan didn't filter ds_name,
