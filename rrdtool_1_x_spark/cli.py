@@ -495,6 +495,11 @@ def cmd_graphv(args: list[str]) -> int:
         "DEF:", "CDEF:", "VDEF:", "PRINT:", "LINE", "AREA:", "TICK:", "STACK:", "-",
     )):
         args.pop(0)
+    import math
+
+    lo_opt = _opt(args, "-l", "--lower-limit")
+    up_opt = _opt(args, "-u", "--upper-limit")
+    rigid = _opt(args, "-r", "--rigid", flag=True)
     prints = [a[6:] for a in args if a.startswith("PRINT:")]
     elements = [
         a for a in args
@@ -514,8 +519,20 @@ def cmd_graphv(args: list[str]) -> int:
     print(f"graph_end = {res.end}")
     print(f"graph_step = {res.step}")
     if res.bounds is not None:
-        print(f"value_min = {res.bounds[0]:0.10e}")
-        print(f"value_max = {res.bounds[1]:0.10e}")
+        # -l/-u/--rigid adjust the autoscale bounds exactly like the
+        # reference (src/rrd_graph.c:1486-1528): data expands past the
+        # user limits unless rigid; a crossed pair is pulled back together
+        vmin, vmax = res.bounds
+        umin = float("nan") if lo_opt is None else float(lo_opt)
+        umax = float("nan") if up_opt is None else float(up_opt)
+        if math.isnan(umin) or (not rigid and umin > vmin):
+            umin = vmin
+        if math.isnan(umax) or (not rigid and umax < vmax):
+            umax = vmax
+        if umin > umax:
+            umin = 0.99 * umax if umin > 0 else 1.01 * umax
+        print(f"value_min = {umin:0.10e}")
+        print(f"value_max = {umax:0.10e}")
     for i, line in enumerate(res.prints):
         print(f'print[{i}] = "{line}"')
     return 0

@@ -316,6 +316,16 @@ def test_cli_graphv_elements_bounds(ds_path, capsys):
     vmax2 = float(out.split("value_max = ")[1].splitlines()[0])
     assert abs(vmax2 - 144.0) < 1e-6  # skipscale constant excluded
 
+    # -l/-u expand-only bounds vs --rigid (src/rrd_graph.c:1486-1528)
+    line = ["LINE1:kmh#0000ff:rate"]
+    assert main(["graphv", "-l", "-10", "-u", "50"] + base + line) == 0
+    out = capsys.readouterr().out
+    assert "value_min = -1.0000000000e+01" in out  # user floor kept
+    assert "value_max = 1.4400000000e+02" in out   # data expands past -u
+    assert main(["graphv", "-l", "-10", "-u", "50", "--rigid"] + base + line) == 0
+    out = capsys.readouterr().out
+    assert "value_max = 5.0000000000e+01" in out   # rigid pins the limit
+
 
 def test_cli_def_step_reduce_options(ds_path, capsys):
     """DEF :step= and :reduce= options (getKeyValueArgument,
