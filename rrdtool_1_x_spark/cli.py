@@ -396,16 +396,35 @@ def _build_query(args: list[str]):
     q = Query(start=start, end=end,
               step=None if step is None else int(step),
               maxrows=None if maxrows is None else int(maxrows))
+    series_cache: dict[str, list[str]] = {}
     for vname, spath, ds_name, cf, opts in parsed_defs:
         store = stores[spath]
         rollups = {
             i: store._read(f"rra_{i}") for i in range(len(store.dataset.rra))
         }
+        # a DEF addresses one file-like series: pick the store's single one,
+        # honor an explicit :series= option, and refuse silent ambiguity on
+        # multi-series stores (the join would fan the grid out otherwise)
+        series = opts.get("series")
+        if series is None:
+            if spath not in series_cache:
+                first = next((r for r in rollups.values() if r is not None), None)
+                series_cache[spath] = [] if first is None else [
+                    row["series_id"]
+                    for row in first.select("series_id").distinct().limit(2).collect()
+                ]
+            sids = series_cache[spath]
+            if len(sids) > 1:
+                raise ValueError(
+                    f"{spath} holds multiple series; add :series=<id> to the DEF"
+                )
+            series = sids[0] if sids else None
         q.def_(
             vname, rollups, store.dataset, ds_name, cf,
             step=int(opts["step"]) if "step" in opts else None,
             last_up=store.last(),
             reduce_cf=opts.get("reduce"),
+            series_id=series,
         )
     for vname, spath, ds_name in pseudo_defs:
         frame, _, _, astep = fetch_pseudo(

@@ -55,6 +55,8 @@ class _Def:
     step_wish: int | None
     last_up: int
     reduce_cf: str | None = None  # DEF :reduce= (src/rrd_graph_helper.c:644)
+    series_id: str | None = None  # engine extension: pick one series of a
+    # multi-series store (the reference's file IS the series)
 
 
 @dataclass
@@ -129,6 +131,7 @@ class Query:
         step: int | None = None,
         last_up: int | None = None,
         reduce_cf: str | None = None,
+        series_id: str | None = None,
     ) -> "Query":
         """DEF:vname=<dataset>:<ds>:<CF>[:step=s][:reduce=CF]
         (src/rrd_graph_helper.c:1252-1316; reduce at :644).
@@ -140,7 +143,8 @@ class Query:
         self._defs.append(
             _Def(vname, rollups, dataset, ds_name, cf.upper(), step,
                  last_up or self.end,
-                 reduce_cf=None if reduce_cf is None else reduce_cf.upper())
+                 reduce_cf=None if reduce_cf is None else reduce_cf.upper(),
+                 series_id=series_id)
         )
         self._order.append(vname)
         return self
@@ -223,7 +227,7 @@ class Query:
             wish = d.step_wish
             if min_step is not None:
                 wish = max(wish or 0, min_step)
-            key = (id(d.rollups), d.ds_name, d.cf, wish, d.reduce_cf)
+            key = (id(d.rollups), d.ds_name, d.cf, wish, d.reduce_cf, d.series_id)
             if key not in memo:
                 plan: FetchPlan = select_rra(
                     d.dataset, d.cf, self.start, self.end, wish, d.last_up
@@ -234,6 +238,8 @@ class Query:
                 # or every DEF sees every DS (and the grid join fans out)
                 if "ds_name" in src.columns:
                     src = src.filter(F.col("ds_name") == d.ds_name)
+                if d.series_id is not None and "series_id" in src.columns:
+                    src = src.filter(F.col("series_id") == d.series_id)
                 scan = fetch(src, plan, pad=False, keys=())
                 step = plan.step
                 if wish and wish > step:

@@ -344,6 +344,39 @@ def test_cli_def_step_reduce_options(ds_path, capsys):
     assert vals[0] == 0.04
 
 
+def test_cli_multi_series_defs(spark, tmp_path, capsys):
+    """A multi-series store is ambiguous for a DEF (the reference's file IS
+    the series): without :series= the CLI refuses; with it, the DEF reads
+    exactly that series."""
+    from rrdtool_1_x_spark.sources.store import DatasetStore
+
+    p = str(tmp_path / "multi")
+    assert main([
+        "create", p, "--start", str(START), "--step", "300",
+        "DS:v:GAUGE:600:U:U", "RRA:AVERAGE:0.5:1:100",
+    ]) == 0
+    rows = [
+        (sid, "v", float(START + 300 * (i + 1)), base + i)
+        for sid, base in (("s1", 10.0), ("s2", 100.0))
+        for i in range(4)
+    ]
+    st = DatasetStore(spark, p)
+    st.update(spark.createDataFrame(
+        rows, "series_id string, ds_name string, ts double, value double"))
+
+    argv = ["xport", "--json", "-s", str(START), "-e", str(START + 1200),
+            f"DEF:a={p}:v:AVERAGE", "XPORT:a"]
+    assert main(argv) == 1
+    assert "multiple series" in capsys.readouterr().err
+
+    argv2 = ["xport", "--json", "-s", str(START), "-e", str(START + 1200),
+             f"DEF:a={p}:v:AVERAGE:series=s2", "XPORT:a"]
+    assert main(argv2) == 0
+    doc = json.loads(capsys.readouterr().out)
+    vals = [v[0] for v in doc["data"] if v[0] is not None]
+    assert vals == [100.0, 101.0, 102.0, 103.0]
+
+
 def test_cli_multi_ds_defs(spark, tmp_path, capsys):
     """Two DEFs addressing different DSs of ONE dataset must each resolve
     to their own column — regression: the DEF scan didn't filter ds_name,
