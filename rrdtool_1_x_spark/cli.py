@@ -576,14 +576,28 @@ def cmd_list(args: list[str]) -> int:
 
 
 def cmd_first(args: list[str]) -> int:
-    path = args.pop(0)
+    daemon = _daemon_addr(args)
     idx = int(_opt(args, "--rraindex", default="0"))
+    path = args.pop(0)
+    if daemon is not None:
+        with _client(daemon) as c:
+            _, msg, _ = c.command(f"FIRST {_series_of(path)} {idx}")
+        print(msg)
+        return 0
     print(_store(path).first(idx))
     return 0
 
 
 def cmd_last(args: list[str]) -> int:
-    print(_store(args[0]).last())
+    daemon = _daemon_addr(args)
+    path = args.pop(0)
+    if daemon is not None:
+        # the daemon flushes the series' pending buffer before answering
+        with _client(daemon) as c:
+            _, msg, _ = c.command(f"LAST {_series_of(path)}")
+        print(msg)
+        return 0
+    print(_store(path).last())
     return 0
 
 

@@ -153,6 +153,19 @@ def test_cli_daemon_routing(spark, tmp_path, capsys):
         out_dmn = capsys.readouterr().out
     assert out_dmn == out_lib
 
+    # first/last route through the daemon too (LAST flushes pending first)
+    store_fl = DatasetStore(spark, dmn)
+    with DaemonServer(
+        IngestDaemon(StreamingIngest(store_fl), write_interval=1e9)
+    ) as srv:
+        addr = f"127.0.0.1:{srv.address[1]}"
+        newer = UPDATES[-1][0] + 300
+        assert main(["update", dmn, "-d", addr, f"{newer}:99999"]) == 0
+        assert main(["last", dmn, "-d", addr]) == 0
+        assert capsys.readouterr().out.strip() == str(newer)
+        assert main(["first", dmn, "-d", addr]) == 0
+        assert int(capsys.readouterr().out.strip()) == store_fl.first(0)
+
     # RRDCACHED_ADDRESS env routing, second lifecycle run (matrix rerun)
     env = str(tmp_path / "env")
     assert main(["create", env] + create_argv) == 0
