@@ -414,6 +414,19 @@ class DaemonServer:
             return self._reply(0, d.suspend_all())
         if cmd == "RESUMEALL":
             return self._reply(0, d.resume_all())
+        if cmd == "TUNE":
+            # ≙ the daemon's TUNE (src/rrd_daemon.c command table wrapping
+            # rrd_tune): flush the series, then apply the tune argv to the
+            # store through the CLI's parser — same grammar both ways
+            from rrdtool_1_x_spark.cli import cmd_tune
+
+            if not args:
+                return self._reply(-1, "Usage: TUNE <series> <options>")
+            d.flush(args[0])
+            rc = cmd_tune([d.ingest.store.path] + args[1:])
+            if rc != 0:
+                return self._reply(-1, "tune failed")
+            return self._reply(0, "Tuned.")
         if cmd == "PING":
             # ≙ handle_request_ping (src/rrd_daemon.c:3328)
             return self._reply(0, "PONG")
@@ -450,7 +463,7 @@ class DaemonServer:
             cmds = (
                 "UPDATE FLUSH FLUSHALL PENDING FORGET QUEUE STATS "
                 "SUSPEND RESUME SUSPENDALL RESUMEALL BATCH FETCH FETCHBIN "
-                "LIST INFO FIRST LAST PING HELP QUIT"
+                "LIST INFO FIRST LAST PING TUNE HELP QUIT"
             ).split()
             return self._reply(len(cmds), "Command overview", cmds)
         return self._reply(-1, f"Unknown command: {cmd}")

@@ -517,6 +517,13 @@ def test_daemon_socket_protocol(spark, tmp_path):
         info = dict(ln.split(" = ", 1) for ln in lines)
         assert info["step"] == "300" and info["ds[speed].type"] == "COUNTER"
 
+        # TUNE over the wire applies the CLI grammar against the store
+        code, msg, _ = c.send("TUNE speed_ds --heartbeat speed:1200")
+        assert code == 0 and msg == "Tuned."
+        reopened = DatasetStore(spark, str(tmp_path / "d"))
+        assert reopened.dataset.ds[0].heartbeat == 1200
+        assert c.send("TUNE speed_ds --heartbeat nosuchds:5")[0] < 0
+
         # PING/FIRST/LAST (handle_request_ping :3328, _first :2400-2416)
         assert c.send("PING") == (0, "PONG", [])
         code, msg, _ = c.send("LAST speed_ds")
