@@ -276,15 +276,24 @@ class DaemonServer:
         host: str = "127.0.0.1",
         port: int = 0,
         unix_path: str | None = None,
+        flush_timer: bool = True,
     ):
         """``unix_path`` switches to a UNIX-domain socket — the reference
         daemon's default transport (rrdcached -l unix:/path,
-        src/rrd_daemon.c listen-socket setup); TCP host:port otherwise."""
+        src/rrd_daemon.c listen-socket setup); TCP host:port otherwise.
+
+        ``flush_timer`` runs the reference's age-based write thread
+        (flush_old_values on the -w interval, src/rrd_daemon.c:1070-1140):
+        values older than ``daemon.write_interval`` flush even when no
+        further commands arrive. Ticks take the command lock, so timer
+        flushes and client commands never interleave."""
         import socketserver
         import threading
 
         self.daemon = daemon
         self._lock = threading.Lock()
+        self._flush_timer = flush_timer
+        self._stop_evt = threading.Event()
         outer = self
 
         class _Handler(socketserver.StreamRequestHandler):
@@ -353,9 +362,27 @@ class DaemonServer:
 
     def start(self) -> "DaemonServer":
         self._thread.start()
+        if self._flush_timer:
+            import threading
+
+            def tick() -> None:
+                # poll at a fraction of the write interval (the reference's
+                # thread sleeps until the next file is due); bounded so
+                # tests with tiny intervals stay responsive
+                period = min(max(self.daemon.write_interval / 10.0, 0.2), 30.0)
+                while not self._stop_evt.wait(period):
+                    with self._lock:
+                        try:
+                            self.daemon._age_flush()
+                        except Exception:
+                            pass  # a failed flush must not kill the timer
+
+            self._timer = threading.Thread(target=tick, daemon=True)
+            self._timer.start()
         return self
 
     def stop(self) -> None:
+        self._stop_evt.set()
         self._server.shutdown()
         self._server.server_close()
 

@@ -372,6 +372,31 @@ def test_daemon_journal_replay(spark, tmp_path):
     )  # monotonicity dropped the replayed duplicate
 
 
+def test_daemon_age_flush_timer(spark, tmp_path):
+    """The server's background write thread (≙ rrdcached's -w flush thread,
+    src/rrd_daemon.c:1070-1140): buffered values older than the write
+    interval reach the store with NO further client activity."""
+    import time
+
+    from rrdtool_1_x_spark.streaming.daemon import DaemonServer, IngestDaemon
+
+    store = DatasetStore.create(spark, str(tmp_path / "d"), _dataset())
+    daemon = IngestDaemon(StreamingIngest(store), write_interval=1.0)
+    with DaemonServer(daemon) as srv:
+        c = _Client(srv.address)
+        code, _, _ = c.send("UPDATE speed_ds 920804700:12345 920805000:12357")
+        assert code == 0
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            s = store._read("samples")
+            if s is not None and s.count() == 2:
+                break
+            time.sleep(0.5)
+        else:
+            raise AssertionError("age flush never fired")
+        c.close()
+
+
 class _Client:
     """Minimal line-protocol client for DaemonServer tests."""
 
