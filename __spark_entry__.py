@@ -931,6 +931,42 @@ def q_xport_fmt(spark, sf_dir):
     ).orderBy("ts")
 
 
+def q_xport_sink(spark, sf_dir):
+    """The DISTRIBUTED xport CSV sink (xport.write_csv): executors render
+    range-partitioned ordered text parts; concatenating them in name order
+    must reproduce the driver-side formatter's exact rows — the oracle is
+    xport_fmt's printf SQL verbatim."""
+    import os
+    import tempfile
+
+    from rrdtool_1_x_spark import xport as xp
+    from rrdtool_1_x_spark.plans.graph import QueryResult
+
+    c = _cdp(spark, sf_dir, "AVERAGE")
+    both = c.filter(F.col("series_id").isin("click", "view"))
+    wide = both.groupBy("ts").pivot("series_id", ["click", "view"]).agg(
+        F.first("value")
+    )
+    lo, hi = both.agg(F.min("ts"), F.max("ts")).first()
+    res = QueryResult(
+        frame=wide, legends=["click", "view"], scalars={}, prints=[],
+        start=int(lo), end=int(hi), step=int(_CDP_RES),
+    )
+    out_dir = tempfile.mkdtemp(prefix="xsink_")
+    xp.write_csv(res, out_dir)
+    rows = []
+    for p in sorted(os.listdir(f"{out_dir}/rows")):
+        if not p.startswith("part-"):
+            continue
+        with open(f"{out_dir}/rows/{p}") as f:
+            for line in f:
+                t, a, b = line.rstrip("\r\n").split(",")
+                rows.append((int(t), a.strip('"'), b.strip('"')))
+    return spark.createDataFrame(
+        rows, "ts long, click string, view string"
+    ).orderBy("ts")
+
+
 def q_daemon_fetch(spark, sf_dir):
     """The rrdcached FETCH wire format end-to-end (streaming.daemon
     DaemonServer/_fetch, src/rrd_daemon.c:2196-2206): the click series is
@@ -1134,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daemon_fetch": q_daemon_fetch,
         "sql_source": q_sql_source,
         "cb_source": q_cb_source,
+        "xport_sink": q_xport_sink,
     }
     return {k: _memo(k, fn) for k, fn in qs.items()}
 
@@ -1910,6 +1947,9 @@ WITH i AS (SELECT unnest(generate_series(0, 287)) AS k)
 SELECT (999900 + (k + 1) * 300)::DOUBLE AS ts,
        round(sin(k / 7.0) * 100 + k % 13, 6) AS value
 FROM i ORDER BY ts"""
+    # the distributed CSV sink writes the SAME rows as the in-memory
+    # formatter — one oracle serves both (part-order + formatting gate)
+    sql["xport_sink"] = sql["xport_fmt"]
     # daemon FETCH: the padded per-step grid the wire rows carry
     sql["daemon_fetch"] = f"""WITH {_PDP_CTE},
 c AS (SELECT ts, value FROM pdp WHERE series_id = 'click'),
