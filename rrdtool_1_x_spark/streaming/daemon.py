@@ -441,6 +441,27 @@ class DaemonServer:
             return self._reply(0, d.suspend_all())
         if cmd == "RESUMEALL":
             return self._reply(0, d.resume_all())
+        if cmd == "DUMP":
+            # ≙ handle_request_dump (src/rrd_daemon.c:2992-2996): flush the
+            # series, then stream the reference-format XML dump as the
+            # reply body
+            import os
+            import tempfile
+
+            from rrdtool_1_x_spark.sources.rrdxml import dump_xml
+
+            if not args:
+                return self._reply(-1, "Usage: DUMP <series>")
+            d.flush(args[0])
+            fd, tmp = tempfile.mkstemp(suffix=".xml")
+            os.close(fd)
+            try:
+                dump_xml(d.ingest.store, tmp, series_id=args[0])
+                with open(tmp) as f:
+                    lines = f.read().splitlines()
+            finally:
+                os.remove(tmp)
+            return self._reply(len(lines), "XML dump follows", lines)
         if cmd == "TUNE":
             # ≙ the daemon's TUNE (src/rrd_daemon.c command table wrapping
             # rrd_tune): flush the series, then apply the tune argv to the
@@ -490,7 +511,7 @@ class DaemonServer:
             cmds = (
                 "UPDATE FLUSH FLUSHALL PENDING FORGET QUEUE STATS "
                 "SUSPEND RESUME SUSPENDALL RESUMEALL BATCH FETCH FETCHBIN "
-                "LIST INFO FIRST LAST PING TUNE HELP QUIT"
+                "LIST INFO FIRST LAST PING TUNE DUMP HELP QUIT"
             ).split()
             return self._reply(len(cmds), "Command overview", cmds)
         return self._reply(-1, f"Unknown command: {cmd}")

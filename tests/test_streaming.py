@@ -549,6 +549,23 @@ def test_daemon_socket_protocol(spark, tmp_path):
         assert reopened.dataset.ds[0].heartbeat == 1200
         assert c.send("TUNE speed_ds --heartbeat nosuchds:5")[0] < 0
 
+        # DUMP streams the XML document (handle_request_dump :2992-2996):
+        # flush-first, restorable content
+        code, msg, lines = c.send("DUMP speed_ds")
+        assert code == len(lines) > 20 and "XML dump" in msg
+        assert lines[0].startswith("<?xml") and lines[-1] == "</rrd>"
+        import tempfile
+
+        from rrdtool_1_x_spark.sources.rrdxml import restore_xml
+
+        xml_path = str(tmp_path / "wire.xml")
+        with open(xml_path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        rst = restore_xml(
+            spark, xml_path, str(tmp_path / "wire_rst"), series_id="speed_ds"
+        )
+        assert rst.dataset.step == 300
+
         # PING/FIRST/LAST (handle_request_ping :3328, _first :2400-2416)
         assert c.send("PING") == (0, "PONG", [])
         code, msg, _ = c.send("LAST speed_ds")
