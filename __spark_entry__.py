@@ -482,6 +482,34 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_media_decode(spark, sf_dir):
+    """REAL codec end-to-end (datapipe.codecs): encode each document's
+    first 256 utf-8 bytes as an actual PNG (16x16 gray, zlib'd IDAT) and an
+    actual 8-bit PCM WAV, then decode with strict=True — only the stdlib
+    PNG/WAV decoders can produce these rows (the fake path raises). The
+    oracle recomputes the decoded signal from the raw text bytes: pixel_i =
+    byte_i/255 for PNG, sample_i = (byte_i-128)/128 for WAV."""
+    from rrdtool_1_x_spark.datapipe.multimodal import (
+        extract_features,
+        synthesize_media_real,
+    )
+
+    d = _docs(spark, sf_dir)
+    img = extract_features(synthesize_media_real(spark, d, "image"), 64, strict=True)
+    aud = extract_features(synthesize_media_real(spark, d, "audio"), 64, strict=True)
+    pre = img.unionByName(aud).select("doc_id", "kind", F.col("feat").alias("_f"))
+    return (
+        pre.select("doc_id", "kind", F.posexplode("_f").alias("feat_idx", "_v"))
+        .select(
+            "doc_id",
+            "kind",
+            F.col("feat_idx").cast("long").alias("feat_idx"),
+            F.round(F.col("_v").cast("double"), 6).alias("feat_val"),
+        )
+        .orderBy("doc_id", "kind", "feat_idx")
+    )
+
+
 def q_ann_cosine_top10(spark, sf_dir):
     """Brute-force cosine top-10 against the lowest-id embedding."""
     e = _emb(spark, sf_dir)
@@ -1147,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hw_predict": q_hw_predict,
         "simhash": q_simhash,
         "media_features": q_media_features,
+        "media_decode": q_media_decode,
         "near_dup_pairs": q_near_dup_pairs,
         "dup_groups": q_dup_groups,
         "dedup_report": q_dedup_report,
@@ -1464,6 +1493,33 @@ f AS (SELECT doc_id, list_transform(range(0, 64), j ->
 SELECT doc_id, j AS feat_idx, round((feat[j+1]::FLOAT)::DOUBLE, 6) AS feat_val
 FROM f, range(0, 64) r(j)
 ORDER BY doc_id, feat_idx"""
+    # media_decode: the Spark side runs the REAL stdlib PNG/WAV decoders
+    # (strict mode) over payloads encoded from the same text bytes; the
+    # oracle recomputes the decoded signal directly — PNG gray8 pixel =
+    # byte/255, WAV pcm8 sample = (byte-128)/128 — pooled 4-at-a-time in
+    # doubles, float32-rounded once, like media_features.
+    sql["media_decode"] = """
+WITH t AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+b AS (SELECT doc_id, list_transform(range(0, 256), i ->
+        CASE WHEN 2*i + 2 <= len(hx)
+             THEN 16*(strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1)
+                  + (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1)
+             ELSE 0 END) AS bytes
+      FROM t),
+f AS (
+  SELECT doc_id, 'image' AS kind, list_transform(range(0, 64), j ->
+      (((bytes[4*j+1]/255.0 + bytes[4*j+2]/255.0) + bytes[4*j+3]/255.0)
+       + bytes[4*j+4]/255.0) / 4.0) AS feat
+  FROM b
+  UNION ALL
+  SELECT doc_id, 'audio' AS kind, list_transform(range(0, 64), j ->
+      ((((bytes[4*j+1]-128)/128.0 + (bytes[4*j+2]-128)/128.0)
+        + (bytes[4*j+3]-128)/128.0) + (bytes[4*j+4]-128)/128.0) / 4.0) AS feat
+  FROM b)
+SELECT doc_id, kind, j AS feat_idx,
+       round((feat[j+1]::FLOAT)::DOUBLE, 6) AS feat_val
+FROM f, range(0, 64) r(j)
+ORDER BY doc_id, kind, feat_idx"""
     sql["quality"] = """
 WITH m AS (
   SELECT doc_id, length(text)::DOUBLE AS n,

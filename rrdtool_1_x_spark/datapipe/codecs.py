@@ -1,0 +1,430 @@
+"""Pure-stdlib media codecs: PNG, WAV (PCM), PPM/PGM.
+
+No external image/audio libraries exist in the target container, so the
+decodable subset is implemented from the published file-format specs with
+only ``zlib``/``struct``/``numpy``:
+
+* PNG (ISO/IEC 15948): zlib-inflate the IDAT stream, undo the five
+  scanline filters (None/Sub/Up/Average/Paeth), de-serialize bit depth
+  1/2/4/8/16, expand palette. Adam7 interlace is rejected (rare in data
+  pipelines; re-encode progressive assets upstream).
+* WAV (RIFF/WAVE): chunk walk for ``fmt ``/``data``; PCM 8/16/24/32-bit
+  and IEEE float32/64, any channel count.
+* PPM/PGM (netpbm P5/P6 binary, P2/P3 ASCII).
+
+Encoders for the same subset exist so tests and oracle gates can build
+bit-exact fixtures without any third-party writer.
+
+Decoded output convention (shared with datapipe.multimodal): images decode
+to ``(height, width, channels) uint8/uint16``; audio decodes to
+``(frames, channels) float64`` normalized to [-1, 1).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> raw channels
+
+
+def is_png(data: bytes) -> bool:
+    return data is not None and data[:8] == PNG_MAGIC
+
+
+def _png_chunks(data: bytes):
+    pos = 8
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        yield ctype, body
+        pos += 12 + length  # length + type + crc
+        if ctype == b"IEND":
+            return
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytearray:
+    """Undo PNG scanline filtering. ``stride`` is bytes per scanline
+    (without the filter byte); ``bpp`` is the filter pixel unit in bytes."""
+    out = bytearray(height * stride)
+    pos = 0
+    prev_off = -stride
+    for y in range(height):
+        ftype = raw[pos]
+        line = raw[pos + 1 : pos + 1 + stride]
+        pos += 1 + stride
+        off = y * stride
+        if ftype == 0:  # None
+            out[off : off + stride] = line
+        elif ftype == 1:  # Sub
+            for i in range(stride):
+                left = out[off + i - bpp] if i >= bpp else 0
+                out[off + i] = (line[i] + left) & 0xFF
+        elif ftype == 2:  # Up
+            if y == 0:
+                out[off : off + stride] = line
+            else:
+                up = np.frombuffer(bytes(out[off + prev_off : off]), dtype=np.uint8)
+                cur = np.frombuffer(line, dtype=np.uint8)
+                out[off : off + stride] = ((cur + up) & 0xFF).astype(np.uint8).tobytes()
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = out[off + i - bpp] if i >= bpp else 0
+                up = out[off + prev_off + i] if y > 0 else 0
+                out[off + i] = (line[i] + ((left + up) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = out[off + i - bpp] if i >= bpp else 0
+                up = out[off + prev_off + i] if y > 0 else 0
+                ul = out[off + prev_off + i - bpp] if (y > 0 and i >= bpp) else 0
+                out[off + i] = (line[i] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"PNG: unknown filter type {ftype} on row {y}")
+    return out
+
+
+def _unpack_bits(line: np.ndarray, bit_depth: int, count: int) -> np.ndarray:
+    """Expand sub-byte samples (bit depth 1/2/4) to one value per entry."""
+    bits = np.unpackbits(line)
+    vals = bits.reshape(-1, bit_depth)
+    weights = 1 << np.arange(bit_depth - 1, -1, -1)
+    return (vals * weights).sum(axis=1).astype(np.uint8)[:count]
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, channels) uint8 (or uint16 for 16-bit).
+
+    Palette images are expanded through PLTE (+tRNS alpha when present).
+    Raises ValueError on malformed streams, NotImplementedError on Adam7.
+    """
+    if not is_png(data):
+        raise ValueError("not a PNG stream")
+    width = height = None
+    bit_depth = color_type = interlace = 0
+    idat = bytearray()
+    plte = None
+    trns = None
+    for ctype, body in _png_chunks(data):
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if comp != 0 or filt != 0:
+                raise ValueError("PNG: unsupported compression/filter method")
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(body, dtype=np.uint8)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+    if width is None:
+        raise ValueError("PNG: missing IHDR")
+    if interlace:
+        raise NotImplementedError("PNG: Adam7 interlace not supported")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"PNG: unknown color type {color_type}")
+    channels = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    bits_per_px = bit_depth * channels
+    stride = (width * bits_per_px + 7) // 8
+    bpp = max(1, bits_per_px // 8)
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG: IDAT size does not match dimensions")
+    flat = _unfilter(raw, height, stride, bpp)
+
+    if bit_depth == 16:
+        arr = np.frombuffer(bytes(flat), dtype=">u2").astype(np.uint16)
+        img = arr.reshape(height, width, channels)
+    elif bit_depth == 8:
+        img = np.frombuffer(bytes(flat), dtype=np.uint8).reshape(height, width, channels)
+    else:  # 1/2/4-bit: one channel per pixel (gray or palette index)
+        rows = []
+        for y in range(height):
+            line = np.frombuffer(bytes(flat[y * stride : (y + 1) * stride]), dtype=np.uint8)
+            rows.append(_unpack_bits(line, bit_depth, width))
+        img = np.stack(rows).reshape(height, width, 1)
+
+    if color_type == 3:  # palette expand
+        if plte is None:
+            raise ValueError("PNG: palette image without PLTE")
+        idx = img.reshape(height, width)
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full((height, width, 1), 255, dtype=np.uint8)
+            lut = np.full(256, 255, dtype=np.uint8)
+            lut[: len(trns)] = trns
+            alpha[..., 0] = lut[idx]
+            return np.concatenate([rgb, alpha], axis=2)
+        return rgb
+    return img
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w) or (h, w, c) uint8/uint16 → PNG bytes (filter 0, no interlace)."""
+    arr = np.asarray(img)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    if arr.dtype == np.uint16:
+        bit_depth, payload = 16, arr.astype(">u2").tobytes()
+        stride = w * c * 2
+    else:
+        bit_depth, payload = 8, arr.astype(np.uint8).tobytes()
+        stride = w * c
+    raw = b"".join(
+        b"\x00" + payload[y * stride : (y + 1) * stride] for y in range(h)
+    )
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF/WAVE)
+# ---------------------------------------------------------------------------
+
+
+def is_wav(data: bytes) -> bool:
+    return (
+        data is not None
+        and len(data) >= 12
+        and data[:4] == b"RIFF"
+        and data[8:12] == b"WAVE"
+    )
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → ((frames, channels) float64 in [-1, 1), sample_rate).
+
+    PCM 8-bit is unsigned (centered at 128); 16/24/32-bit are signed
+    little-endian; format 3 is IEEE float. Chunk walk skips unknown chunks
+    (LIST, fact, ...) per the RIFF spec.
+    """
+    if not is_wav(data):
+        raise ValueError("not a WAV stream")
+    pos = 12
+    fmt = None
+    frames_raw = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            frames_raw = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or frames_raw is None:
+        raise ValueError("WAV: missing fmt/data chunk")
+    audio_fmt, channels, sample_rate, _byte_rate, _block_align, bits = fmt
+    if audio_fmt == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: subformat GUID leads with the tag
+        raise NotImplementedError("WAV: extensible format not supported")
+    if audio_fmt == 3:  # IEEE float
+        dtype = "<f4" if bits == 32 else "<f8"
+        samples = np.frombuffer(frames_raw, dtype=dtype).astype(np.float64)
+    elif audio_fmt == 1:  # PCM
+        if bits == 8:
+            samples = (
+                np.frombuffer(frames_raw, dtype=np.uint8).astype(np.float64) - 128.0
+            ) / 128.0
+        elif bits == 16:
+            samples = np.frombuffer(frames_raw, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 24:
+            b = np.frombuffer(frames_raw, dtype=np.uint8).reshape(-1, 3)
+            vals = (
+                b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16)
+            )
+            vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+            samples = vals.astype(np.float64) / float(1 << 23)
+        elif bits == 32:
+            samples = np.frombuffer(frames_raw, dtype="<i4").astype(np.float64) / float(
+                1 << 31
+            )
+        else:
+            raise NotImplementedError(f"WAV: PCM bit depth {bits} not supported")
+    else:
+        raise NotImplementedError(f"WAV: audio format {audio_fmt} not supported")
+    n = (len(samples) // channels) * channels
+    return samples[:n].reshape(-1, channels), sample_rate
+
+
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 8000, bits: int = 16
+) -> bytes:
+    """(frames,) or (frames, channels) float in [-1, 1] → PCM WAV bytes."""
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    channels = arr.shape[1]
+    if bits == 8:
+        payload = np.clip(arr * 128.0 + 128.0, 0, 255).astype(np.uint8).tobytes()
+    elif bits == 16:
+        payload = np.clip(arr * 32768.0, -32768, 32767).astype("<i2").tobytes()
+    else:
+        raise NotImplementedError(f"encode_wav: bits={bits}")
+    block_align = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, bits
+    )
+    data_chunk = b"data" + struct.pack("<I", len(payload)) + payload
+    fmt_chunk = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body = b"WAVE" + fmt_chunk + data_chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_pcm8_bytes(raw: bytes, sample_rate: int = 8000) -> bytes:
+    """Raw bytes interpreted as 8-bit unsigned PCM mono — the fixture/gate
+    shape: decoded sample i is exactly (raw[i] - 128) / 128."""
+    payload = bytes(raw)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate, 1, 8)
+    data_chunk = b"data" + struct.pack("<I", len(payload)) + payload
+    fmt_chunk = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body = b"WAVE" + fmt_chunk + data_chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# PPM / PGM (netpbm)
+# ---------------------------------------------------------------------------
+
+
+def is_pnm(data: bytes) -> bool:
+    # require the whitespace separator after the magic — "P3xxx" prose in a
+    # text corpus must not sniff as an image
+    return (
+        data is not None
+        and len(data) >= 3
+        and data[0:1] == b"P"
+        and data[1:2] in b"2356"
+        and data[2] in b" \t\r\n"
+    )
+
+
+def _pnm_tokens(data: bytes, count: int) -> tuple[list[int], int]:
+    """Read ``count`` whitespace-separated integer tokens after the magic,
+    skipping ``#`` comments; returns (tokens, offset just past last token)."""
+    toks: list[int] = []
+    pos = 2
+    n = len(data)
+    while len(toks) < count and pos < n:
+        ch = data[pos]
+        if ch in b" \t\r\n":
+            pos += 1
+        elif ch == ord("#"):
+            while pos < n and data[pos] not in b"\r\n":
+                pos += 1
+        else:
+            start = pos
+            while pos < n and data[pos] not in b" \t\r\n#":
+                pos += 1
+            toks.append(int(data[start:pos]))
+    return toks, pos
+
+
+def decode_pnm(data: bytes) -> np.ndarray:
+    """PGM/PPM bytes → (h, w, channels) uint8/uint16 (1 channel for PGM)."""
+    if not is_pnm(data):
+        raise ValueError("not a PGM/PPM stream")
+    magic = data[:2]
+    channels = 3 if magic in (b"P3", b"P6") else 1
+    (w, h, maxval), pos = _pnm_tokens(data, 3)
+    if magic in (b"P5", b"P6"):
+        pos += 1  # exactly one whitespace byte after maxval
+        count = w * h * channels
+        if maxval > 255:
+            arr = np.frombuffer(data, dtype=">u2", count=count, offset=pos).astype(
+                np.uint16
+            )
+        else:
+            arr = np.frombuffer(data, dtype=np.uint8, count=count, offset=pos)
+    else:  # ASCII
+        vals = data[pos:].split()
+        arr = np.array([int(v) for v in vals[: w * h * channels]], dtype=np.uint16)
+        if maxval <= 255:
+            arr = arr.astype(np.uint8)
+    return arr.reshape(h, w, channels)
+
+
+def encode_pnm(img: np.ndarray, maxval: int = 255) -> bytes:
+    """(h, w) or (h, w, {1,3}) uint8 → binary PGM (P5) / PPM (P6) bytes."""
+    arr = np.asarray(img)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    magic = b"P6" if c == 3 else b"P5"
+    header = magic + b"\n%d %d\n%d\n" % (w, h, maxval)
+    if maxval > 255:
+        return header + arr.astype(">u2").tobytes()
+    return header + arr.astype(np.uint8).tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Dispatch
+# ---------------------------------------------------------------------------
+
+
+def sniff(data: bytes) -> str | None:
+    """Return the codec name for a payload, or None if unrecognized."""
+    if data is None:
+        return None
+    if is_png(data):
+        return "png"
+    if is_wav(data):
+        return "wav"
+    if is_pnm(data):
+        return "pnm"
+    return None
+
+
+def decode_any(data: bytes) -> np.ndarray:
+    """Decode a recognized payload to a flat float64 array normalized to
+    the multimodal convention: images → pixel/maxval in [0, 1]; audio →
+    samples in [-1, 1). Raises ValueError for unrecognized payloads."""
+    kind = sniff(data)
+    if kind == "png":
+        img = decode_png(data)
+        maxval = 65535.0 if img.dtype == np.uint16 else 255.0
+        return img.astype(np.float64).ravel() / maxval
+    if kind == "wav":
+        samples, _sr = decode_wav(data)
+        return samples.astype(np.float64).ravel()
+    if kind == "pnm":
+        img = decode_pnm(data)
+        maxval = 65535.0 if img.dtype == np.uint16 else 255.0
+        return img.astype(np.float64).ravel() / maxval
+    raise ValueError("unrecognized media payload (no magic match)")

@@ -1,0 +1,213 @@
+"""Pure-stdlib codec tests (datapipe.codecs): PNG round-trips across color
+types / bit depths, all five PNG filters, palette + tRNS, WAV PCM/float,
+netpbm binary + ASCII — no Spark session needed."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from rrdtool_1_x_spark.datapipe import codecs as C
+from rrdtool_1_x_spark.datapipe.multimodal import _decode
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+@pytest.mark.parametrize(
+    "shape,dtype",
+    [
+        ((16, 16), np.uint8),      # gray
+        ((7, 5, 3), np.uint8),     # rgb
+        ((4, 9, 4), np.uint8),     # rgba
+        ((3, 3, 2), np.uint8),     # gray+alpha
+        ((5, 6), np.uint16),       # 16-bit gray
+        ((4, 4, 3), np.uint16),    # 16-bit rgb
+    ],
+)
+def test_png_roundtrip(shape, dtype):
+    rng = np.random.default_rng(hash(shape) % 2**31)
+    hi = 65535 if dtype == np.uint16 else 255
+    img = rng.integers(0, hi + 1, size=shape).astype(dtype)
+    dec = C.decode_png(C.encode_png(img))
+    ref = img if img.ndim == 3 else img[:, :, None]
+    assert dec.shape == ref.shape and (dec == ref).all()
+
+
+def test_png_all_filters():
+    """Hand-filter rows with types 0-4 (Sub/Up/Average/Paeth) and verify
+    the unfilter reconstructs the original pixels."""
+    rng = np.random.default_rng(7)
+    w, h = 8, 6
+    img = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+    rows = []
+    prev = np.zeros(w * 3, dtype=np.uint8)
+
+    def paeth(a, b, c):
+        p = a.astype(int) + b.astype(int) - c.astype(int)
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)).astype(np.uint8)
+
+    for y in range(h):
+        line = img[y].ravel()
+        f = y % 5
+        left = np.concatenate([np.zeros(3, dtype=np.uint8), line[:-3]])
+        up = prev
+        ul = np.concatenate([np.zeros(3, dtype=np.uint8), prev[:-3]])
+        if f == 0:
+            filt = line.astype(int)
+        elif f == 1:
+            filt = line.astype(int) - left.astype(int)
+        elif f == 2:
+            filt = line.astype(int) - up.astype(int)
+        elif f == 3:
+            filt = line.astype(int) - ((left.astype(int) + up.astype(int)) >> 1)
+        else:
+            filt = line.astype(int) - paeth(left, up, ul).astype(int)
+        rows.append(bytes([f]) + bytes((filt & 0xFF).astype(np.uint8)))
+        prev = line
+    png = (
+        C.PNG_MAGIC
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _chunk(b"IEND", b"")
+    )
+    assert (C.decode_png(png) == img).all()
+
+
+def test_png_palette_and_trns():
+    rng = np.random.default_rng(3)
+    plte = rng.integers(0, 256, size=(16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, size=(5, 7)).astype(np.uint8)
+    raw = b"".join(b"\x00" + bytes(idx[y]) for y in range(5))
+    base = C.PNG_MAGIC + _chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 5, 8, 3, 0, 0, 0))
+    png = base + _chunk(b"PLTE", plte.tobytes()) + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+    assert (C.decode_png(png) == plte[idx]).all()
+    trns = bytes(range(16))
+    png2 = (
+        base
+        + _chunk(b"PLTE", plte.tobytes())
+        + _chunk(b"tRNS", trns)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    dec = C.decode_png(png2)
+    assert dec.shape == (5, 7, 4)
+    assert (dec[..., :3] == plte[idx]).all()
+    assert (dec[..., 3] == idx).all()
+
+
+def test_png_subbyte_depth():
+    rng = np.random.default_rng(5)
+    w, h = 6, 3
+    vals = rng.integers(0, 16, size=(h, w)).astype(np.uint8)
+
+    def pack4(row):
+        out = bytearray()
+        for i in range(0, len(row), 2):
+            lo = row[i + 1] if i + 1 < len(row) else 0
+            out.append((row[i] << 4) | lo)
+        return bytes(out)
+
+    raw = b"".join(b"\x00" + pack4(vals[y]) for y in range(h))
+    png = (
+        C.PNG_MAGIC
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 4, 0, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    assert (C.decode_png(png).reshape(h, w) == vals).all()
+
+
+def test_png_interlace_rejected():
+    png = (
+        C.PNG_MAGIC
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1))
+        + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00\x00"))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        C.decode_png(png)
+
+
+@pytest.mark.parametrize("bits", [8, 16])
+def test_wav_roundtrip(bits):
+    rng = np.random.default_rng(11)
+    s = rng.uniform(-0.9, 0.9, size=(100, 2))
+    dec, sr = C.decode_wav(C.encode_wav(s, 44100, bits=bits))
+    assert sr == 44100 and dec.shape == (100, 2)
+    assert np.abs(dec - s).max() < (1 / 64 if bits == 8 else 1 / 16384)
+
+
+def test_wav_pcm8_bytes_exact():
+    rng = np.random.default_rng(13)
+    raw = bytes(rng.integers(0, 256, size=64).astype(np.uint8))
+    dec, sr = C.decode_wav(C.encode_wav_pcm8_bytes(raw, 8000))
+    expect = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    assert sr == 8000 and (dec.ravel() == expect).all()
+
+
+def test_wav_float_and_24bit():
+    s = np.linspace(-1, 1, 50, endpoint=False)
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 8000 * 4, 4, 32)
+    payload = s.astype("<f4").tobytes()
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 24 + 8 + len(payload)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    dec, _ = C.decode_wav(wav)
+    assert np.abs(dec.ravel() - s).max() < 1e-7
+    # 24-bit PCM
+    vals = (s * (1 << 23)).astype(np.int64)
+    vals = np.clip(vals, -(1 << 23), (1 << 23) - 1)
+    b24 = bytearray()
+    for v in vals:
+        u = int(v) & 0xFFFFFF
+        b24 += bytes((u & 0xFF, (u >> 8) & 0xFF, (u >> 16) & 0xFF))
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+    wav24 = (
+        b"RIFF" + struct.pack("<I", 4 + 24 + 8 + len(b24)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(b24)) + bytes(b24)
+    )
+    dec24, _ = C.decode_wav(wav24)
+    assert np.abs(dec24.ravel() - s).max() < 1e-6
+
+
+def test_pnm_roundtrip_and_ascii():
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, size=(9, 4, 3)).astype(np.uint8)
+    assert (C.decode_pnm(C.encode_pnm(img)) == img).all()
+    g = rng.integers(0, 256, size=(5, 5)).astype(np.uint8)
+    assert (C.decode_pnm(C.encode_pnm(g)).reshape(5, 5) == g).all()
+    p2 = b"P2\n# comment\n3 2\n255\n0 10 20\n30 40 250\n"
+    assert (C.decode_pnm(p2).reshape(2, 3) == [[0, 10, 20], [30, 40, 250]]).all()
+
+
+def test_sniff_rejects_prose():
+    assert C.sniff(b"P3xxx is a standard") is None
+    assert C.sniff(b"Plain text") is None
+    assert C.sniff(b"P5 2 2 255 " + b"\0" * 4) == "pnm"
+
+
+def test_decode_dispatch_and_strict():
+    png = C.encode_png(np.arange(256, dtype=np.uint8).reshape(16, 16))
+    assert np.allclose(_decode(png, "image", True), np.arange(256) / 255.0)
+    with pytest.raises(NotImplementedError):
+        _decode(b"\xff\xd8\xffjunk-jpeg", "image", True)  # JPEG: no stdlib codec
+    assert len(_decode(b"hello", "image", False)) == 256  # fake fallback
+    # sniffed-but-corrupt payload: fake in lenient mode, raise in strict
+    corrupt = C.PNG_MAGIC + b"\x00\x00\x00\x01IHDRxx"
+    assert len(_decode(corrupt, "image", False)) == 256
+    with pytest.raises(Exception):
+        _decode(corrupt, "image", True)
