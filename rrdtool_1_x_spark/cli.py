@@ -148,14 +148,11 @@ def cmd_create(args: list[str]) -> int:
     import os as _os
     import shutil as _shutil
 
-    if _os.path.exists(f"{path.rstrip('/')}/meta.json"):
-        if no_overwrite:
-            # ≙ create -O: O_EXCL open fails on an existing file
-            # (src/rrd_create.c opt_no_overwrite; tests/create-no-overwrite)
-            raise ValueError(f"creating '{path}': File exists")
-        # default create truncates: a re-created dataset starts empty like
-        # a re-created .rrd file — stale archives must not survive
-        _shutil.rmtree(path)
+    exists = _os.path.exists(f"{path.rstrip('/')}/meta.json")
+    if exists and no_overwrite:
+        # ≙ create -O: O_EXCL open fails on an existing file
+        # (src/rrd_create.c opt_no_overwrite; tests/create-no-overwrite)
+        raise ValueError(f"creating '{path}': File exists")
     sources = []
     while (s := _opt(args, "--source", "-r")) is not None:
         sources.append(s)
@@ -182,9 +179,15 @@ def cmd_create(args: list[str]) -> int:
     from rrdtool_1_x_spark.sources.store import DatasetStore
 
     spark = _spark()
+    # open --source/--template stores BEFORE touching the target: the
+    # reference's `create X --source X` in-place restructure reads the old
+    # data as prefill input (rrd_create writes a temp file and reads the
+    # existing one as source, src/rrd_create.c:1043-1078)
+    src_stores = [DatasetStore(spark, s) for s in sources]
     if template is not None:
+        tpl_store = DatasetStore(spark, template)
         dataset = template_dataset(
-            DatasetStore(spark, template), name,
+            tpl_store, name,
             extra_ds=ds, extra_rra=rra,
             step=None if step is None else int(step),
             start=start_i,
@@ -192,18 +195,31 @@ def cmd_create(args: list[str]) -> int:
         if start_i is None and not sources:
             # last update time carries over from the template when neither
             # --start nor sources set it (src/rrd_create.c:1032-1035)
-            dataset.start = DatasetStore(spark, template).last()
+            dataset.start = tpl_store.last()
     else:
         dataset = _create_def(
             name=name, step=300 if step is None else int(step), ds=ds, rra=rra,
             start=start_i,
         )
-    create_prefilled(
-        spark, path, dataset,
-        sources=[DatasetStore(spark, s) for s in sources],
-        start=dataset.start,
-        mapping=mapping or None,
-    )
+    # build into a temp sibling and swap in only on success, so a failed
+    # create (bad spec, unreadable source) never destroys the old dataset
+    tmp = f"{path.rstrip('/')}.create-tmp.{_os.getpid()}"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        create_prefilled(
+            spark, tmp, dataset,
+            sources=src_stores,
+            start=dataset.start,
+            mapping=mapping or None,
+        )
+        if exists:
+            # default create truncates: a re-created dataset starts empty
+            # like a re-created .rrd file — stale archives must not survive
+            _shutil.rmtree(path)
+        _os.rename(tmp, path)
+    except BaseException:
+        _shutil.rmtree(tmp, ignore_errors=True)
+        raise
     return 0
 
 
@@ -211,11 +227,16 @@ def cmd_update(args: list[str]) -> int:
     path = args.pop(0)
     daemon = _daemon_addr(args)
     template = _opt(args, "--template", "-t")
-    if daemon is not None and template is None:
+    if daemon is not None:
+        if template is not None:
+            # ≙ rrd_update.c:590: the daemon protocol does not carry a
+            # column reordering; silently writing direct instead would race
+            # the daemon's buffered rows (monotonicity filter drops them)
+            raise ValueError(
+                "The caching daemon cannot be used together with templates yet."
+            )
         # ≙ rrdc_update (src/rrd_client.c:1284-1340): ship the raw value
-        # specs to the daemon; it buffers and age-flushes them. A --template
-        # reorders columns, which the daemon protocol doesn't carry — fall
-        # through to the library path then (the reference errors likewise).
+        # specs to the daemon; it buffers and age-flushes them.
         with _client(daemon) as c:
             c.update(_series_of(path), list(args))
         return 0
@@ -313,10 +334,14 @@ def cmd_fetch(args: list[str]) -> int:
         # rrdcached and its clients share the .rrd files).
         from rrdtool_1_x_spark.sources.store import DatasetStore
 
-        store = DatasetStore(None, path)
-        end = _at(end_s, store.last())
-        start = _at(start_s, end - 86400)
         with _client(daemon) as c:
+            # flush BEFORE deriving the default window: buffered updates
+            # newer than the last stored sample must land inside it
+            # (rrd_client.c rrdc_fetch sends FLUSH first)
+            c.flush(_series_of(path))
+            store = DatasetStore(None, path)
+            end = _at(end_s, store.last())
+            start = _at(start_s, end - 86400)
             _, _, _, ds_names, rows = c.fetch(_series_of(path), cf, start, end)
         print(" ".join(f"{n:>18s}" for n in ds_names))
         print()

@@ -61,6 +61,15 @@ class DatasetStore:
         self.dataset = dataset
         self._load_layout()
 
+    def reload_meta(self) -> None:
+        """Re-read meta.json into this instance — required after an
+        out-of-band tune/rename rewrote the header (e.g. the daemon's TUNE
+        applies through a fresh store; this one must not keep parsing
+        updates against the stale DS list)."""
+        with open(f"{self.path}/meta.json") as f:
+            self.dataset = DatasetDef.from_json(f.read())
+        self._last_cache = None
+
     # -- create / update -----------------------------------------------------
     @classmethod
     def create(

@@ -51,6 +51,9 @@ class IngestDaemon:
         self._pending: dict[str, list[tuple]] = {}
         self._first_ts: dict[str, float] = {}  # wall-clock arrival of oldest
         self._suspended: set[str] = set()
+        # series → StreamingIngest for sibling datasets (the reference
+        # daemon fronts many .rrd files; see ingest_for)
+        self._routes: dict[str, StreamingIngest] = {}
         self.stats = {
             "updates_received": 0,
             "flush_received": 0,
@@ -144,6 +147,29 @@ class IngestDaemon:
     def spark(self) -> SparkSession:
         return self.ingest.store.spark
 
+    # -- series → store routing ----------------------------------------------
+    def ingest_for(self, series_id: str) -> StreamingIngest:
+        """Resolve the wire protocol's <file> argument like rrdcached does
+        (one daemon fronts many .rrd files, src/rrd_daemon.c cache_tree
+        keyed by filename): a sibling dataset directory named after the
+        series routes to its own ingest (created lazily, cached); any other
+        name is a row-level series inside the primary store."""
+        store = self.ingest.store
+        if series_id and series_id != _os.path.basename(store.path):
+            sib = _os.path.join(_os.path.dirname(store.path), series_id)
+            if _os.path.exists(_os.path.join(sib, "meta.json")):
+                ing = self._routes.get(series_id)
+                if ing is None:
+                    from rrdtool_1_x_spark.sources.store import DatasetStore
+
+                    ing = StreamingIngest(DatasetStore(store.spark, sib))
+                    self._routes[series_id] = ing
+                return ing
+        return self.ingest
+
+    def store_for(self, series_id: str):
+        return self.ingest_for(series_id).store
+
     # -- UPDATE ---------------------------------------------------------------
     def update(self, series_id: str, rows: list[tuple]) -> str:
         """≙ the daemon's UPDATE: buffer (ds_name, ts, value) rows for one
@@ -197,7 +223,7 @@ class IngestDaemon:
             [(series_id, d, float(t), None if v is None else float(v)) for d, t, v in rows],
             SAMPLE_SCHEMA,
         )
-        self.ingest.process_batch(df)
+        self.ingest_for(series_id).process_batch(df)
         self.stats["data_sets_written"] += len(rows)
 
     # -- inspection -----------------------------------------------------------
@@ -415,9 +441,29 @@ class DaemonServer:
         if cmd == "UPDATE":
             if len(args) < 2:
                 return self._reply(-1, "Usage: UPDATE <series> <values> [<values> ...]")
-            rows = self._parse_updates(args[1:])
+            rows = self._parse_updates(args[0], args[1:])
             d.update(args[0], rows)
             return self._reply(0, "errors, enqueued {}".format(len(rows)))
+        if cmd == "CREATE":
+            # ≙ handle_request_create (src/rrd_daemon.c:3119-3178): parse
+            # <file> [-b start] [-s step] [-O] DS:... RRA:... and run
+            # rrd_create. The dataset lands as a sibling of the primary
+            # store, where LIST finds it and ingest_for routes to it.
+            from rrdtool_1_x_spark.cli import cmd_create
+
+            if not args or not any(a.startswith("DS:") for a in args[1:]):
+                return self._reply(
+                    -1, "Usage: CREATE <series> [-b start] [-s step] [-O] DS:... RRA:..."
+                )
+            name = args[0]
+            base = _os.path.dirname(d.ingest.store.path.rstrip("/"))
+            # a freshly created dataset must not absorb updates buffered
+            # under its name before it existed, nor reuse a stale route
+            d._pending.pop(name, None)
+            d._first_ts.pop(name, None)
+            d._routes.pop(name, None)
+            cmd_create([_os.path.join(base, name)] + args[1:])
+            return self._reply(0, "RRD created OK")
         if cmd == "FLUSH":
             return self._reply(0, d.flush(args[0]))
         if cmd == "FLUSHALL":
@@ -456,7 +502,7 @@ class DaemonServer:
             fd, tmp = tempfile.mkstemp(suffix=".xml")
             os.close(fd)
             try:
-                dump_xml(d.ingest.store, tmp, series_id=args[0])
+                dump_xml(d.store_for(args[0]), tmp, series_id=args[0])
                 with open(tmp) as f:
                     lines = f.read().splitlines()
             finally:
@@ -471,9 +517,15 @@ class DaemonServer:
             if not args:
                 return self._reply(-1, "Usage: TUNE <series> <options>")
             d.flush(args[0])
-            rc = cmd_tune([d.ingest.store.path] + args[1:])
+            target = d.store_for(args[0])
+            rc = cmd_tune([target.path] + args[1:])
             if rc != 0:
                 return self._reply(-1, "tune failed")
+            # cmd_tune rewrote meta.json through a fresh store; reload it
+            # here or subsequent UPDATEs parse against the stale DS list
+            # (writing rows under renamed/removed ds_names, invisible to
+            # fetch)
+            target.reload_meta()
             return self._reply(0, "Tuned.")
         if cmd == "PING":
             # ≙ handle_request_ping (src/rrd_daemon.c:3328)
@@ -482,11 +534,13 @@ class DaemonServer:
             # ≙ handle_request_first (src/rrd_daemon.c:2400-2416): series
             # plus an optional RRA index
             idx = int(args[1]) if len(args) > 1 else 0
-            return self._reply(0, str(d.ingest.store.first(idx)))
+            st = d.store_for(args[0]) if args else d.ingest.store
+            return self._reply(0, str(st.first(idx)))
         if cmd == "LAST":
             # ≙ handle_request_last: flush pending, then the newest time
             d.flush(args[0]) if args else None
-            return self._reply(0, str(d.ingest.store.last()))
+            st = d.store_for(args[0]) if args else d.ingest.store
+            return self._reply(0, str(st.last()))
         if cmd == "FETCH":
             return self._fetch(args)
         if cmd == "FETCHBIN":
@@ -505,22 +559,23 @@ class DaemonServer:
             )
             return self._reply(len(names), "datasets", names)
         if cmd == "INFO":
-            info = [f"{k} = {v}" for k, v in d.ingest.store.info().items()]
+            st = d.store_for(args[0]) if args else d.ingest.store
+            info = [f"{k} = {v}" for k, v in st.info().items()]
             return self._reply(len(info), "Info follows", info)
         if cmd == "HELP":
             cmds = (
-                "UPDATE FLUSH FLUSHALL PENDING FORGET QUEUE STATS "
+                "UPDATE CREATE FLUSH FLUSHALL PENDING FORGET QUEUE STATS "
                 "SUSPEND RESUME SUSPENDALL RESUMEALL BATCH FETCH FETCHBIN "
                 "LIST INFO FIRST LAST PING TUNE DUMP HELP QUIT"
             ).split()
             return self._reply(len(cmds), "Command overview", cmds)
         return self._reply(-1, f"Unknown command: {cmd}")
 
-    def _parse_updates(self, values: list[str]) -> list[tuple]:
+    def _parse_updates(self, series_id: str, values: list[str]) -> list[tuple]:
         """``<ts:v1[:v2...]>`` update strings → (ds_name, ts, value) rows
-        in the dataset's DS order (the reference's update value grammar,
-        src/rrd_update.c:701-760; 'U' is unknown)."""
-        ds_names = [ds.name for ds in self.daemon.ingest.store.dataset.ds]
+        in the target dataset's DS order (the reference's update value
+        grammar, src/rrd_update.c:701-760; 'U' is unknown)."""
+        ds_names = [ds.name for ds in self.daemon.store_for(series_id).dataset.ds]
         rows: list[tuple] = []
         for v in values:
             fields = v.split(":")
@@ -542,7 +597,10 @@ class DaemonServer:
         """Buffered updates re-serialized as ``ts:v...`` lines (one per
         distinct timestamp, values in DS order — PENDING's reply shape,
         src/rrd_daemon.c:1551-1578)."""
-        ds_order = {ds.name: i for i, ds in enumerate(self.daemon.ingest.store.dataset.ds)}
+        ds_order = {
+            ds.name: i
+            for i, ds in enumerate(self.daemon.store_for(series_id).dataset.ds)
+        }
         by_ts: dict[float, dict[int, str]] = {}
         for ds_name, ts, val in self.daemon.pending(series_id):
             s = "U" if val is None else repr(float(val))
@@ -559,7 +617,7 @@ class DaemonServer:
         optional DS-name column selection; flush-before-read; returns the
         pivoted frame plus plan."""
         series, cf = args[0], args[1].upper()
-        store = self.daemon.ingest.store
+        store = self.daemon.store_for(series)
         last = store.last()
         end = int(float(args[3])) if len(args) > 3 else last
         start = int(float(args[2])) if len(args) > 2 else end - 3600

@@ -473,3 +473,78 @@ def test_cli_errors(capsys):
     assert "unknown command" in capsys.readouterr().err
     assert main(["fetch", "/nonexistent/path", "AVERAGE"]) == 1
     assert "ERROR" in capsys.readouterr().err
+
+
+def test_create_atomic_no_destroy_on_bad_spec(spark, tmp_path):
+    """A failed re-create must not destroy the existing dataset: args are
+    validated and sources opened before anything is removed, and the new
+    tree is built in a temp dir swapped in only on success
+    (≙ rrd_create writing a temp file, src/rrd_create.c:1043-1078)."""
+    import os
+
+    p = str(tmp_path / "atomic")
+    assert main([
+        "create", p, "--start", str(START), "--step", "300",
+        "DS:speed:COUNTER:600:U:U", "RRA:AVERAGE:0.5:1:600",
+    ]) == 0
+    assert main(["update", p, "920804700:12345", "920805000:12357"]) == 0
+
+    # malformed DS spec → error, old data fully intact
+    assert main(["create", p, "DS:bogus", "RRA:AVERAGE:0.5:1:600"]) != 0
+    from rrdtool_1_x_spark.sources.store import DatasetStore
+
+    st = DatasetStore(spark, p)
+    assert st.last() == 920805000
+    # unreadable --source → error, old data intact
+    assert main([
+        "create", p, "--source", str(tmp_path / "nope"),
+        "DS:speed:COUNTER:600:U:U", "RRA:AVERAGE:0.5:1:600",
+    ]) != 0
+    assert DatasetStore(spark, p).last() == 920805000
+    assert not [n for n in os.listdir(tmp_path) if ".create-tmp." in n]
+
+
+def test_create_in_place_restructure(spark, tmp_path):
+    """`create X --source X` — the reference's in-place restructure reads
+    the old dataset as its own prefill source (rrd_create temp-file dance);
+    the data must survive into the new layout."""
+    p = str(tmp_path / "self")
+    assert main([
+        "create", p, "--start", str(START), "--step", "300",
+        "DS:speed:COUNTER:600:U:U", "RRA:AVERAGE:0.5:1:600",
+    ]) == 0
+    assert main(["update", p] + [f"{t}:{v}" for t, v in UPDATES]) == 0
+
+    # restructure in place: same DS, extra RRA, prefilled from itself
+    assert main([
+        "create", p, "--source", p, "--step", "300",
+        "DS:speed:COUNTER:600:U:U",
+        "RRA:AVERAGE:0.5:1:600", "RRA:MAX:0.5:1:600",
+    ]) == 0
+    from rrdtool_1_x_spark.sources.store import DatasetStore
+
+    st = DatasetStore(spark, p)
+    assert len(st.dataset.rra) == 2
+    # the AVERAGE archive kept its consolidated rates
+    rows = {int(r["ts"]): r["value"] for r in st._read("rra_0").collect()
+            if r["value"] is not None}
+    assert abs(rows[920805000] - 0.04) < 1e-12
+
+
+def test_update_daemon_with_template_errors(spark, tmp_path):
+    """--daemon plus --template must error like the reference
+    (rrd_update.c:590) instead of silently writing direct and racing the
+    daemon's buffered rows."""
+    p = str(tmp_path / "dt")
+    assert main([
+        "create", p, "--start", str(START), "--step", "300",
+        "DS:speed:COUNTER:600:U:U", "RRA:AVERAGE:0.5:1:600",
+    ]) == 0
+    assert main([
+        "update", p, "-d", "127.0.0.1:1", "--template", "speed",
+        "920804700:12345",
+    ]) != 0
+    # and the head did NOT advance: no silent direct write happened
+    from rrdtool_1_x_spark.sources.store import DatasetStore
+
+    assert DatasetStore(spark, p)._read("samples") is None

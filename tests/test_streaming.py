@@ -655,3 +655,92 @@ def test_daemon_batch_and_update_grammar(spark, tmp_path):
         assert code < 0
         c.send_raw("QUIT")
         c.close()
+
+
+def test_daemon_create_and_routing(spark, tmp_path):
+    """Daemon CREATE ≙ handle_request_create (src/rrd_daemon.c:3119-3178):
+    a dataset provisioned through the socket appears in LIST, and
+    UPDATE/FLUSH/FETCH route to it like rrdcached routes per-file — while
+    plain series names keep living inside the primary store."""
+    from rrdtool_1_x_spark.streaming.daemon import DaemonServer, IngestDaemon
+
+    store = DatasetStore.create(spark, str(tmp_path / "d"), _dataset())
+    daemon = IngestDaemon(StreamingIngest(store), write_interval=1e9)
+    with DaemonServer(daemon) as srv:
+        c = _Client(srv.address)
+        code, msg, _ = c.send(
+            "CREATE web2 -b 920804400 -s 300 "
+            "DS:req:GAUGE:600:U:U RRA:AVERAGE:0.5:1:100"
+        )
+        assert code == 0 and "created" in msg, (code, msg)
+
+        code, _, names = c.send("LIST")
+        assert code >= 2 and {"d", "web2"} <= set(names), names
+
+        # UPDATE parses against web2's DS list (1 DS) and flushes into the
+        # sibling store, not the primary
+        code, _, _ = c.send("UPDATE web2 920804700:5 920805000:7")
+        assert code == 0
+        code, _, _ = c.send("FLUSH web2")
+        assert code == 0
+        sib = DatasetStore(spark, str(tmp_path / "web2"))
+        s = sib._read("samples")
+        assert s is not None and s.count() == 2
+        assert store._read("samples") is None  # primary untouched
+
+        # FETCH routes too: AVERAGE rra of web2 has the two readings
+        code, _, lines = c.send("FETCH web2 AVERAGE 920804400 920805000")
+        assert code > 0, lines
+        vals = [ln for ln in lines if ":" in ln and not ln[0].isalpha()]
+        assert any("5" in v or "7" in v for v in vals), lines
+
+        # LAST / INFO route to the sibling header
+        code, msg, _ = c.send("LAST web2")
+        assert code == 0 and msg.strip() == "920805000"
+
+        # recreate without -O truncates; with -O errors (file exists)
+        code, msg, _ = c.send(
+            "CREATE web2 -O -b 920804400 -s 300 DS:req:GAUGE:600:U:U "
+            "RRA:AVERAGE:0.5:1:100"
+        )
+        assert code == -1 and "exists" in msg.lower(), (code, msg)
+        code, _, _ = c.send(
+            "CREATE web2 -b 920804400 -s 300 DS:req:GAUGE:600:U:U "
+            "RRA:AVERAGE:0.5:1:100"
+        )
+        assert code == 0
+        sib2 = DatasetStore(spark, str(tmp_path / "web2"))
+        assert sib2._read("samples") is None  # truncated fresh
+
+        # malformed spec errors without destroying the existing dataset
+        c.send("UPDATE web2 920804700:5")
+        c.send("FLUSH web2")
+        code, msg, _ = c.send("CREATE web2 DS:bogus RRA:AVERAGE:0.5:1:100")
+        assert code == -1
+        sib3 = DatasetStore(spark, str(tmp_path / "web2"))
+        assert sib3._read("samples").count() == 1  # old data intact
+        c.close()
+
+
+def test_daemon_tune_reloads_store(spark, tmp_path):
+    """TUNE through the daemon must refresh the daemon's own header view:
+    a data-source-rename immediately re-keys subsequent UPDATE parsing
+    (stale-DS writes were invisible to fetch)."""
+    from rrdtool_1_x_spark.streaming.daemon import DaemonServer, IngestDaemon
+
+    store = DatasetStore.create(spark, str(tmp_path / "d"), _dataset())
+    daemon = IngestDaemon(StreamingIngest(store), write_interval=1e9)
+    with DaemonServer(daemon) as srv:
+        c = _Client(srv.address)
+        c.send("UPDATE d 920804700:12345 920805000:12357")
+        code, _, _ = c.send("TUNE d --data-source-rename speed:velocity")
+        assert code == 0
+        assert [ds.name for ds in daemon.ingest.store.dataset.ds] == ["velocity"]
+        # new updates land under the renamed DS and are fetchable
+        c.send("UPDATE d 920805300:12363")
+        c.send("FLUSH d")
+        rows = store._read("samples").filter(F.col("ts") == 920805300.0).collect()
+        assert [r["ds_name"] for r in rows] == ["velocity"]
+        code, _, lines = c.send("FETCH d AVERAGE 920804700 920805300 velocity")
+        assert code > 0
+        c.close()
