@@ -451,7 +451,10 @@ def data_proc(
         base = paint if stacked else F.lit(0.0)
         name = el.legend or f"plot{i}"
         if name in names:
-            raise ValueError(f"duplicate element name {name!r}")
+            # repeated legends are legal (an AREA plus its LINE outline may
+            # share one label, rrd_graph.c keys elements by index); only the
+            # internal column name needs to stay unique
+            name = f"{name}#plot{i}"
         names.add(name)
         cols.append((base + val).alias(name))
         paint = base + F.coalesce(val, F.lit(0.0))

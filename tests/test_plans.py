@@ -306,3 +306,20 @@ def test_showtime_and_timefmt_modes(spark, store):
     # --timefmt strftimes the time cell everywhere
     csv = to_csv(res, timefmt="%Y-%m-%d %H:%M")
     assert csv.splitlines()[1].startswith("1999-")
+
+
+def test_data_proc_repeated_legend(spark):
+    """The reference permits two elements sharing a legend (AREA + LINE
+    outline with one label, rrd_graph.c keys by element index); the bounds
+    must still resolve instead of crashing."""
+    from rrdtool_1_x_spark.plans.graph import GraphElement, data_proc
+
+    df = spark.createDataFrame([(0.0, 1.0), (300.0, 3.0)], "ts double, v double")
+    plots, scale = data_proc(
+        df,
+        [GraphElement("AREA", "v", legend="traffic"),
+         GraphElement("LINE", "v", legend="traffic")],
+    )
+    assert len(plots.columns) == 3  # ts + two uniquely-keyed plot columns
+    row = scale.collect()[0]
+    assert row["value_min"] == 1.0 and row["value_max"] == 3.0
