@@ -1085,6 +1085,41 @@ def q_sql_source(spark, sf_dir):
     ).orderBy("ts")
 
 
+def q_sql_derive(spark, sf_dir):
+    """The sql// ``:derive`` flag (rate-from-counter conversion before
+    bucketing, src/rrd_fetch_libdbi.c:660-700) through the bucketed-lag
+    plan: the window partitions by time bucket with an exact boundary-row
+    stitch instead of one global ORDER BY. Oracle recomputes the same lag
+    arithmetic with SQL window functions."""
+    from rrdtool_1_x_spark.sources.external import (
+        SQL_DRIVERS,
+        parse_sql_path,
+        sql_def_frame,
+    )
+
+    def drv(s, spec, start, end):
+        base = _samples(s, sf_dir).filter(F.col("series_id") == "click")
+        return base.select("ts", "value").filter(
+            (F.col("ts") > start) & (F.col("ts") < end)
+        )
+
+    SQL_DRIVERS["entry_events"] = drv
+    s = _samples(spark, sf_dir).filter(F.col("series_id") == "click")
+    lo, hi = s.agg(F.min("ts"), F.max("ts")).first()
+    spec = parse_sql_path(
+        "sql//entry_events/rrdminstepsize=3600/rrdderivemaxstep=86400//t/ts/v/derive"
+    )
+    out, *_ = sql_def_frame(spark, spec, int(lo), int(hi), 3600)
+    return out.select(
+        "ts",
+        F.round("min", 6).alias("min_v"),
+        F.round("avg", 6).alias("avg_v"),
+        F.round("max", 6).alias("max_v"),
+        F.col("count").alias("cnt"),
+        F.round("sigma", 6).alias("sigma_v"),
+    ).orderBy("ts")
+
+
 def q_cb_source(spark, sf_dir):
     """The cb// callback source (sources.external.CallbackRegistry ≙
     rrd_fetch_cb_register, src/rrd_fetch_cb.c:8-150): a registered
@@ -1198,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xport_fmt": q_xport_fmt,
         "daemon_fetch": q_daemon_fetch,
         "sql_source": q_sql_source,
+        "sql_derive": q_sql_derive,
         "cb_source": q_cb_source,
         "xport_sink": q_xport_sink,
     }
@@ -1984,6 +2020,37 @@ agg AS (SELECT CAST(floor((t - t0) / 3600) AS BIGINT) AS idx,
                min(v) AS mn, sum(v) AS sm, max(v) AS mx,
                count(*) AS n, sum(v * v) AS s2
         FROM raw CROSS JOIN p GROUP BY 1),
+g AS (SELECT unnest(generate_series(0, CAST((t1 - t0) / 3600 AS BIGINT) - 1)) AS idx
+      FROM p)
+SELECT (p.t0 + (g.idx + 1) * 3600)::DOUBLE AS ts,
+  round(a.mn, 6) AS min_v,
+  round(a.sm / a.n, 6) AS avg_v,
+  round(a.mx, 6) AS max_v,
+  coalesce(a.n, 0)::DOUBLE AS cnt,
+  round(CASE WHEN a.n > 2
+             THEN sqrt((a.n * a.s2 - a.sm * a.sm) / (a.n * (a.n - 1.0))) END,
+        6) AS sigma_v
+FROM g CROSS JOIN p LEFT JOIN agg a ON a.idx = g.idx
+ORDER BY ts"""
+    # sql// derive: same bucketing, but raw readings become positive
+    # per-second rates against the previous row first (dts in (0, 2*max),
+    # dv > 0 — src/rrd_fetch_libdbi.c derive handling); max=86400
+    sql["sql_derive"] = """
+WITH pre AS (SELECT epoch(ts)::DOUBLE AS t, avg(value) AS v
+             FROM events WHERE event_type = 'click' GROUP BY ts),
+b AS (SELECT CAST(trunc(min(t)) AS BIGINT) AS lo,
+             CAST(trunc(max(t)) AS BIGINT) AS hi FROM pre),
+p AS (SELECT (lo - lo % 3600) AS t0, (hi - hi % 3600) AS t1 FROM b),
+raw AS (SELECT t, v FROM pre CROSS JOIN p WHERE t > t0 AND t < t1),
+d AS (SELECT t,
+        CASE WHEN t - lag(t) OVER w > 0 AND t - lag(t) OVER w < 172800
+                  AND v - lag(v) OVER w > 0
+             THEN (v - lag(v) OVER w) / (t - lag(t) OVER w) END AS v
+      FROM raw WINDOW w AS (ORDER BY t)),
+agg AS (SELECT CAST(floor((t - t0) / 3600) AS BIGINT) AS idx,
+               min(v) AS mn, sum(v) AS sm, max(v) AS mx,
+               count(v) AS n, sum(v * v) AS s2
+        FROM d CROSS JOIN p WHERE v IS NOT NULL GROUP BY 1),
 g AS (SELECT unnest(generate_series(0, CAST((t1 - t0) / 3600 AS BIGINT) - 1)) AS idx
       FROM p)
 SELECT (p.t0 + (g.idx + 1) * 3600)::DOUBLE AS ts,

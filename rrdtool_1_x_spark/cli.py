@@ -640,19 +640,47 @@ def cmd_lastupdate(args: list[str]) -> int:
     return 0
 
 
+# above this many archive slots, cmd_dump renders rows executor-side even
+# without --distributed (the slot count comes from the header — no scan)
+DUMP_DRIVER_MAX_SLOTS = 1_000_000
+
+
 def cmd_dump(args: list[str]) -> int:
-    from rrdtool_1_x_spark.sources.rrdxml import dump_xml, dump_xml_distributed
+    from rrdtool_1_x_spark.sources.rrdxml import (
+        assemble_dump,
+        dump_xml,
+        dump_xml_distributed,
+    )
 
     distributed = _opt(args, "--distributed", flag=True)
     path = args.pop(0)
+    store = _store(path)
     if distributed:
         # executor-side row rendering for archives too big for the driver;
         # the output argument names a fragment directory (cat in name order
         # or assemble_dump() to get the single file)
-        dump_xml_distributed(_store(path), args.pop(0))
+        dump_xml_distributed(store, args.pop(0))
         return 0
     out = args.pop(0) if args else "/dev/stdout"
-    dump_xml(_store(path), out)
+    d = store.dataset
+    slots = sum(r.row_cnt for r in d.rra) * max(
+        1, sum(1 for ds in d.ds if ds.dst != "COMPUTE")
+    )
+    if slots > DUMP_DRIVER_MAX_SLOTS:
+        # big archive: render distributed, then STREAM the ordered text
+        # fragments into the output file — the driver copies bytes but
+        # never materializes archive rows
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        frag = _tempfile.mkdtemp(prefix="rrddump_")
+        try:
+            dump_xml_distributed(store, frag)
+            assemble_dump(frag, out)
+        finally:
+            _shutil.rmtree(frag, ignore_errors=True)
+        return 0
+    dump_xml(store, out)
     return 0
 
 

@@ -387,22 +387,22 @@ def ngram_jaccard_pairs(
     Set algebra on exploded shingles: |A∩B| counted by joining each pair's
     distinct shingles, |A∪B| = |A|+|B|-|A∩B|. No arrays are collected."""
     sh = _shingle_frame(docs, id_col, text_col, shingle_len)
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("_sz"))
-    a = sh.select(F.col("_id").alias("id_a"), F.col("_s"))
-    b = sh.select(F.col("_id").alias("id_b"), F.col("_s"))
-    inter = (
-        pairs.join(a, "id_a")
-        .join(b, ["id_b", "_s"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("_i"))
+    # Pair-centric plan (candidate-rerank contract: pairs ≪ corpus):
+    # explode each pair into its two member docs and broadcast that tiny
+    # frame INTO the corpus shingle scan — ONE map-side join replaces the
+    # two corpus-wide shuffle joins plus the sizes aggregation. A shingle
+    # seen by both members (count==2 per pair; shingles are distinct per
+    # doc) is intersection; total row count per pair is |A|+|B|.
+    pe = pairs.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("_id")
     )
-    out = (
-        pairs.join(inter, ["id_a", "id_b"], "left")
-        .na.fill({"_i": 0})
-        .join(sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sa")), "id_a")
-        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sb")), "id_b")
+    j = sh.join(F.broadcast(pe), "_id")
+    per_s = j.groupBy("id_a", "id_b", "_s").agg(F.count("*").alias("_c"))
+    out = per_s.groupBy("id_a", "id_b").agg(
+        F.sum(F.when(F.col("_c") == 2, F.lit(1)).otherwise(F.lit(0))).alias("_i"),
+        F.sum("_c").alias("_ab"),
     )
-    jac = F.col("_i") / (F.col("_sa") + F.col("_sb") - F.col("_i"))
+    jac = F.col("_i") / (F.col("_ab") - F.col("_i"))
     return out.select("id_a", "id_b", jac.alias("jaccard"))
 
 
@@ -453,22 +453,25 @@ def weighted_jaccard_pairs(
         if shingle_weights is not None
         else shingle_weight_frame(docs, id_col, text_col, shingle_len, weight_scale)
     )
-    totals = w.groupBy("_id").agg(F.sum("_w").alias("_tw"))
-    a = w.select(F.col("_id").alias("id_a"), "_s", "_w")
-    b = w.select(F.col("_id").alias("id_b"), F.col("_s"))
-    inter = (
-        pairs.join(a, "id_a")
-        .join(b, ["id_b", "_s"])
-        .groupBy("id_a", "id_b")
-        .agg(F.sum("_w").alias("_iw"))
+    # Pair-centric plan (candidate-rerank contract: pairs ≪ corpus), same
+    # shape as ngram_jaccard_pairs: ONE map-side broadcast join of the
+    # exploded pair-membership frame into the weight scan replaces the two
+    # corpus-wide shuffle joins plus the totals aggregation. w(s) depends
+    # only on the shingle, so intersection weight = Σ w over shingles both
+    # members carry (_c==2), and Sa + Sb = Σ w over all matched rows —
+    # integer sums, associative across any partitioning.
+    pe = pairs.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("_id")
     )
-    out = (
-        pairs.join(inter, ["id_a", "id_b"], "left")
-        .na.fill({"_iw": 0})
-        .join(totals.select(F.col("_id").alias("id_a"), F.col("_tw").alias("_ta")), "id_a")
-        .join(totals.select(F.col("_id").alias("id_b"), F.col("_tw").alias("_tb")), "id_b")
+    j = w.join(F.broadcast(pe), "_id")
+    per_s = j.groupBy("id_a", "id_b", "_s").agg(
+        F.count("*").alias("_c"), F.max("_w").alias("_w")
     )
-    wj = F.col("_iw").cast("double") / (F.col("_ta") + F.col("_tb") - F.col("_iw"))
+    out = per_s.groupBy("id_a", "id_b").agg(
+        F.sum(F.when(F.col("_c") == 2, F.col("_w")).otherwise(F.lit(0))).alias("_iw"),
+        F.sum(F.col("_w") * F.col("_c")).alias("_ab"),
+    )
+    wj = F.col("_iw").cast("double") / (F.col("_ab") - F.col("_iw"))
     return out.select("id_a", "id_b", wj.alias("wjaccard"))
 
 

@@ -272,10 +272,33 @@ def sql_def_frame(
     nbins = (end - start) // step
     raw = SQL_DRIVERS[spec.driver](spark, spec, start, end)
     if spec.derive:
-        w = Window.orderBy("ts")  # one series per DEF; range-bounded rows
-        dts = F.col("ts") - F.lag("ts").over(w)
-        dv = F.col("value") - F.lag("value").over(w)
-        raw = raw.select(
+        # Scale-safe lag: bucket the range so a multi-year derive query
+        # doesn't serialize into ONE window task (the reference is a single
+        # SQL cursor anyway, src/rrd_fetch_libdbi.c:446-786, but a 100 TB
+        # source table deserves a partitioned plan). Bucket ≥ 2*derive
+        # makes the stitch EXACT: each bucket's first row takes its
+        # previous row from the preceding bucket's last row, and any true
+        # gap spanning ≥2 buckets necessarily fails dts < 2*derive, so
+        # missing it changes nothing.
+        bucket = float(max(86400, 2 * spec.derive))
+        b = raw.withColumn("_b", F.floor(F.col("ts") / F.lit(bucket)))
+        wb = Window.partitionBy("_b").orderBy("ts")
+        b = b.withColumn("_pts", F.lag("ts").over(wb)).withColumn(
+            "_pv", F.lag("value").over(wb)
+        )
+        # one row per bucket: its last reading, keyed as the NEXT bucket's
+        # boundary predecessor (broadcast-small: one row per day of range)
+        bnd = (
+            b.groupBy("_b")
+            .agg(F.max("ts").alias("_bts"), F.max_by("value", "ts").alias("_bv"))
+            .select((F.col("_b") + 1).alias("_b"), "_bts", "_bv")
+        )
+        b = b.join(F.broadcast(bnd), "_b", "left")
+        pts = F.coalesce("_pts", "_bts")
+        pv = F.coalesce("_pv", "_bv")
+        dts = F.col("ts") - pts
+        dv = F.col("value") - pv
+        raw = b.select(
             "ts",
             F.when((dts > 0) & (dts < 2 * spec.derive) & (dv > 0), dv / dts)
             .alias("value"),

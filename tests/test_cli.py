@@ -548,3 +548,24 @@ def test_update_daemon_with_template_errors(spark, tmp_path):
     from rrdtool_1_x_spark.sources.store import DatasetStore
 
     assert DatasetStore(spark, p)._read("samples") is None
+
+
+def test_dump_auto_distributed(spark, tmp_path, monkeypatch):
+    """Above the slot threshold, plain `dump` renders executor-side and
+    streams fragments into the output file — byte-identical to the
+    driver-side writer."""
+    from rrdtool_1_x_spark import cli as cli_mod
+
+    p = str(tmp_path / "big")
+    assert main([
+        "create", p, "--start", str(START), "--step", "300",
+        "DS:speed:COUNTER:600:U:U", "RRA:AVERAGE:0.5:1:600",
+    ]) == 0
+    assert main(["update", p] + [f"{t}:{v}" for t, v in UPDATES]) == 0
+
+    drv, dist = str(tmp_path / "drv.xml"), str(tmp_path / "dist.xml")
+    assert main(["dump", p, drv]) == 0  # below threshold: driver path
+    monkeypatch.setattr(cli_mod, "DUMP_DRIVER_MAX_SLOTS", 10)
+    assert main(["dump", p, dist]) == 0  # above: auto-distributed
+    a, b = open(drv).read(), open(dist).read()
+    assert a == b and "<database>" in a
