@@ -339,9 +339,17 @@ def q_dedup_exact(spark, sf_dir):
 def q_text_stats(spark, sf_dir):
     """Text quality metrics: token count, alpha/digit ratios."""
     d = _docs(spark, sf_dir)
-    toks = F.size(F.split(F.trim("text"), r"\s+"))
-    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", "")) / F.col("n_chars")
-    digit = F.length(F.regexp_replace("text", "[^0-9]", "")) / F.col("n_chars")
+    # count, don't materialize: regexp_count(\s+)+1 == size(split(\s+))
+    # (split size = separator matches + 1, including the empty-string edge),
+    # and length - count(non-class) == length(regexp_replace(non-class, ''))
+    # — same integers as the DuckDB oracle, no token array / rebuilt string
+    toks = F.regexp_count(F.trim(F.col("text")), F.lit(r"\s+")) + F.lit(1)
+    alpha = (
+        F.length("text") - F.regexp_count(F.col("text"), F.lit("[^A-Za-z]"))
+    ) / F.col("n_chars")
+    digit = (
+        F.length("text") - F.regexp_count(F.col("text"), F.lit("[^0-9]"))
+    ) / F.col("n_chars")
     return d.select(
         "doc_id",
         toks.alias("token_cnt"),
