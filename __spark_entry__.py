@@ -518,6 +518,33 @@ def q_media_decode(spark, sf_dir):
     )
 
 
+def q_media_probe(spark, sf_dir):
+    """Header metadata extraction from REAL encoded bytes
+    (datapipe.multimodal.probe_media): per-doc dimensions/rates derived
+    from doc_id are encoded into actual PNG IHDR / WAV fmt chunks, and the
+    probe must read them back from the binary payloads — the oracle knows
+    the mapping, the Spark side only sees bytes."""
+    from rrdtool_1_x_spark.datapipe.multimodal import (
+        probe_media,
+        synthesize_media_real,
+    )
+
+    d = _docs(spark, sf_dir)
+    img = synthesize_media_real(spark, d, "image", var_dims=True)
+    aud = synthesize_media_real(spark, d, "audio", var_dims=True)
+    out = probe_media(img.unionByName(aud))
+    return out.select(
+        "doc_id",
+        "kind",
+        "mime",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+    ).orderBy("doc_id", "kind")
+
+
 def q_ann_cosine_top10(spark, sf_dir):
     """Brute-force cosine top-10 against the lowest-id embedding."""
     e = _emb(spark, sf_dir)
@@ -1219,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "media_features": q_media_features,
         "media_decode": q_media_decode,
+        "media_probe": q_media_probe,
         "near_dup_pairs": q_near_dup_pairs,
         "dup_groups": q_dup_groups,
         "dedup_report": q_dedup_report,
@@ -1564,6 +1592,26 @@ SELECT doc_id, kind, j AS feat_idx,
        round((feat[j+1]::FLOAT)::DOUBLE, 6) AS feat_val
 FROM f, range(0, 64) r(j)
 ORDER BY doc_id, kind, feat_idx"""
+    # media_probe: the probe reads PNG IHDR / WAV fmt chunks from real
+    # bytes; the oracle recomputes the doc_id → dims/rate mapping that
+    # synthesize_media_real(var_dims=True) encoded (w = 8+id%9,
+    # h = ceil(256/w) from the zero-padded signal; rate = 4000+100*(id%20),
+    # 256 8-bit mono frames)
+    sql["media_probe"] = """
+SELECT doc_id, 'image' AS kind, 'image/png' AS mime,
+       (8 + doc_id % 9)::BIGINT AS width,
+       CAST(ceil(256.0 / (8 + doc_id % 9)) AS BIGINT) AS height,
+       NULL::BIGINT AS sample_rate, NULL::BIGINT AS n_samples,
+       NULL::BIGINT AS duration_ms
+FROM documents
+UNION ALL
+SELECT doc_id, 'audio' AS kind, 'audio/wav' AS mime,
+       NULL::BIGINT, NULL::BIGINT,
+       (4000 + 100 * (doc_id % 20))::BIGINT AS sample_rate,
+       256::BIGINT AS n_samples,
+       (256000 // (4000 + 100 * (doc_id % 20)))::BIGINT AS duration_ms
+FROM documents
+ORDER BY doc_id, kind"""
     sql["quality"] = """
 WITH m AS (
   SELECT doc_id, length(text)::DOUBLE AS n,

@@ -129,28 +129,161 @@ def extract_features(
     return media.mapInPandas(run, schema=FEATURE_FIELDS)
 
 
-def synthesize_media_real(spark, docs: DataFrame, kind: str = "image") -> DataFrame:
+PROBE_FIELDS = (
+    "doc_id long, kind string, mime string, width int, height int, "
+    "sample_rate int, n_samples int, duration_ms int"
+)
+
+
+def probe_media(media: DataFrame) -> DataFrame:
+    """Parse each payload's REAL header into typed metadata — the
+    metadata-extraction pass a training pipeline runs before deciding what
+    to decode. PNG: IHDR dims; WAV: fmt/data chunks (rate, frames,
+    duration); PNM: header dims. Unrecognized payloads yield NULL fields.
+
+    Header-only: no pixel/sample decode happens, so this is cheap even for
+    payloads whose full decode is expensive."""
+    import struct
+
+    from . import codecs
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, kind, content in zip(
+                pdf["doc_id"], pdf["kind"], pdf["content"]
+            ):
+                mime = width = height = rate = nsamp = dur = None
+                data = bytes(content) if content is not None else b""
+                sniffed = codecs.sniff(data)
+                try:
+                    if sniffed == "png":
+                        mime = "image/png"
+                        for ctype, body in codecs._png_chunks(data):
+                            if ctype == b"IHDR":
+                                width, height = struct.unpack(">II", body[:8])
+                                break
+                    elif sniffed == "wav":
+                        mime = "audio/wav"
+                        samples, rate = codecs.decode_wav(data)
+                        nsamp = samples.shape[0]
+                        dur = int(nsamp * 1000 // rate)
+                    elif sniffed == "pnm":
+                        mime = (
+                            "image/x-portable-pixmap"
+                            if data[:2] in (b"P3", b"P6")
+                            else "image/x-portable-graymap"
+                        )
+                        (width, height, _mx), _ = codecs._pnm_tokens(data, 3)
+                except Exception:
+                    mime = None  # corrupt header: all fields NULL
+                rows.append((doc_id, kind, mime, width, height, rate, nsamp, dur))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "kind", "mime", "width", "height",
+                    "sample_rate", "n_samples", "duration_ms",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=PROBE_FIELDS)
+
+
+def resize_images(media: DataFrame, height: int, width: int) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode PNG, batched in Arrow.
+    The pipeline step that normalizes image dims before feature extraction;
+    non-image / undecodable payloads pass through unchanged."""
+    from . import codecs
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for content in pdf["content"]:
+                data = bytes(content) if content is not None else b""
+                kind = codecs.sniff(data)
+                try:
+                    if kind == "png":
+                        img = codecs.decode_png(data)
+                    elif kind == "pnm":
+                        img = codecs.decode_pnm(data)
+                    else:
+                        out.append(content)
+                        continue
+                    h0, w0 = img.shape[:2]
+                    yi = (np.arange(height) * h0 // height).clip(0, h0 - 1)
+                    xi = (np.arange(width) * w0 // width).clip(0, w0 - 1)
+                    out.append(codecs.encode_png(img[yi][:, xi]))
+                except Exception:
+                    out.append(content)
+            res = pdf.copy()
+            res["content"] = out
+            yield res
+
+    return media.mapInPandas(run, schema=media.schema)
+
+
+def sample_audio_frames(media: DataFrame, every_n: int) -> DataFrame:
+    """Keep every Nth audio frame (decode → stride → re-encode 16-bit PCM)
+    — the audio analogue of video frame-sampling; non-audio payloads pass
+    through."""
+    from . import codecs
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for content in pdf["content"]:
+                data = bytes(content) if content is not None else b""
+                if codecs.sniff(data) != "wav":
+                    out.append(content)
+                    continue
+                try:
+                    samples, rate = codecs.decode_wav(data)
+                    out.append(
+                        codecs.encode_wav(
+                            samples[::every_n], max(1, rate // every_n), bits=16
+                        )
+                    )
+                except Exception:
+                    out.append(content)
+            res = pdf.copy()
+            res["content"] = out
+            yield res
+
+    return media.mapInPandas(run, schema=media.schema)
+
+
+def synthesize_media_real(
+    spark, docs: DataFrame, kind: str = "image", var_dims: bool = False
+) -> DataFrame:
     """Build a media table whose payloads are REAL encoded files (PNG for
     ``image``, 8-bit PCM WAV for ``audio``, binary PGM for ``pnm``), with
     the signal = the document's first 256 utf-8 bytes zero-padded.
 
     Because the signal bytes are known, a SQL oracle can recompute the
     decoded values from ``documents.text`` directly — a bit-exact
-    end-to-end test of encode → Spark binary column → stdlib decode."""
+    end-to-end test of encode → Spark binary column → stdlib decode.
+
+    ``var_dims`` derives per-doc dimensions from doc_id (image width
+    8 + id%9, audio rate 4000 + 100*(id%20)) so a header-probe oracle has
+    a nontrivial mapping to verify through the actual encoded bytes."""
     from . import codecs
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads, metas = [], []
-            for text in pdf["text"]:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 raw = (text or "").encode("utf-8")[:256].ljust(256, b"\0")
                 if kind == "image":
-                    img = np.frombuffer(raw, dtype=np.uint8).reshape(16, 16)
+                    w = 8 + int(doc_id) % 9 if var_dims else 16
+                    h = -(-256 // w)
+                    raw = raw.ljust(w * h, b"\0")
+                    img = np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
                     payloads.append(codecs.encode_png(img))
-                    metas.append(("image/png", 16, 16, None, None))
+                    metas.append(("image/png", w, h, None, None))
                 elif kind == "audio":
-                    payloads.append(codecs.encode_wav_pcm8_bytes(raw, 8000))
-                    metas.append(("audio/wav", None, None, 8000, 32))
+                    rate = 4000 + 100 * (int(doc_id) % 20) if var_dims else 8000
+                    payloads.append(codecs.encode_wav_pcm8_bytes(raw, rate))
+                    metas.append(("audio/wav", None, None, rate, 256000 // rate))
                 elif kind == "pnm":
                     img = np.frombuffer(raw, dtype=np.uint8).reshape(16, 16)
                     payloads.append(codecs.encode_pnm(img))

@@ -211,3 +211,45 @@ def test_decode_dispatch_and_strict():
     assert len(_decode(corrupt, "image", False)) == 256
     with pytest.raises(Exception):
         _decode(corrupt, "image", True)
+
+
+def test_probe_resize_framesample(spark):
+    """Spark-side multimodal ops over real payloads: probe_media reads the
+    actual headers, resize_images re-encodes at the target dims,
+    sample_audio_frames strides the PCM stream."""
+    from rrdtool_1_x_spark.datapipe.multimodal import (
+        MEDIA_SCHEMA,
+        probe_media,
+        resize_images,
+        sample_audio_frames,
+    )
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, size=(20, 10, 3)).astype(np.uint8)
+    wav = C.encode_wav(rng.uniform(-0.5, 0.5, size=400), 8000, bits=16)
+    rows = [
+        (1, "image", bytearray(C.encode_png(img)), ("image/png", 10, 20, None, None)),
+        (2, "audio", bytearray(wav), ("audio/wav", None, None, 8000, 50)),
+        (3, "text", bytearray(b"not media"), (None, None, None, None, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    probed = {r.doc_id: r for r in probe_media(media).collect()}
+    assert (probed[1].width, probed[1].height) == (10, 20)
+    assert probed[1].mime == "image/png"
+    assert (probed[2].sample_rate, probed[2].n_samples, probed[2].duration_ms) == (8000, 400, 50)
+    assert probed[3].mime is None
+
+    resized = {r.doc_id: bytes(r.content) for r in resize_images(media, 5, 4).collect()}
+    out = C.decode_png(resized[1])
+    assert out.shape == (5, 4, 3)
+    # nearest-neighbor: pixel (y,x) comes from (y*20//5, x*10//4)
+    assert (out[2, 3] == img[8, 7]).all()
+    assert resized[3] == b"not media"  # pass-through
+
+    sampled = {r.doc_id: bytes(r.content) for r in sample_audio_frames(media, 4).collect()}
+    s, rate = C.decode_wav(sampled[2])
+    assert s.shape[0] == 100 and rate == 2000
+    orig, _ = C.decode_wav(wav)
+    assert np.abs(s[:, 0] - orig[::4, 0]).max() < 1e-4
+    assert sampled[3] == b"not media"
