@@ -938,20 +938,95 @@ def lsh_bucketed_topk(
     dim: int | None = None,
     num_planes: int = 8,
     num_tables: int = 4,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Approximate top-k: score only candidates sharing an LSH bucket with
     the query in at least one hash table.
 
-    ONE corpus scan for all hash tables: each row melts to num_tables
-    (table_idx, bucket) rows via an exploded struct array — the long-format
-    banding shape the MinHash near-dup path uses — instead of one full
-    corpus scan per table unioned together. The bucket match against the
-    (broadcast) query side is map-side, so the only exchange carries the
-    already-tiny candidate set into the dedup."""
+    ``kernel="arrow"`` (default): ONE Arrow-batched corpus projection
+    computes every table's bucket string per row with a single GEMM
+    (``_pd_bucket_strings`` — guard-banded, bit-identical to the fold
+    path), matches them against per-table bucket→query-ids MAP LITERALS
+    built from the (tiny, collected) query side, and explodes the matching
+    query ids — no melt, no bucket join, no per-row interpreted plane
+    folds. Scoring runs the exact fold expressions over the already-tiny
+    candidate set, so cos_sim is bit-identical to the fold path and the
+    SQL oracle. The only shuffle carries the candidates into the top-k
+    window.
+
+    ``kernel="fold"``: the interpreted melt + bucket-join reference path
+    (each row explodes to num_tables (table, bucket) rows; the bucket
+    match against the broadcast query side is map-side)."""
     from pyspark.sql import Window
 
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
+    if kernel == "arrow":
+        planes_by_table = [
+            _hyperplanes(dim, num_planes, seed=f"lsh{t}") for t in range(num_tables)
+        ]
+        qrows = queries.select(query_id_col, vec_col).collect()
+        qb_by_table: list[dict[str, list]] = [{} for _ in range(num_tables)]
+        for r in qrows:
+            v = [float(x) for x in r[1]]
+            for t, planes in enumerate(planes_by_table):
+                bits = "".join("1" if _seq_dot(v, p) >= 0 else "0" for p in planes)
+                qb_by_table[t].setdefault(bits, []).append(r[0])
+        bks = _pd_bucket_strings(F.col(vec_col), planes_by_table)
+        matches = []
+        for t in range(num_tables):
+            if not qb_by_table[t]:
+                continue
+            entries = []
+            for b, qids in qb_by_table[t].items():
+                entries.append(F.lit(b))
+                entries.append(F.array(*[F.lit(q) for q in qids]))
+            matches.append(
+                F.coalesce(
+                    F.create_map(*entries)[F.col("_bks").getItem(t)], F.array()
+                )
+            )
+        if not matches:
+            empty = F.array().cast("array<string>")
+            matches = [empty]
+        cand = (
+            corpus.select(F.col(id_col), F.col(vec_col), bks.alias("_bks"))
+            .select(
+                id_col,
+                vec_col,
+                F.explode(F.array_distinct(F.concat(*matches))).alias("_qid"),
+            )
+            .join(
+                F.broadcast(
+                    queries.select(
+                        F.col(query_id_col).alias("_qid"),
+                        F.col(vec_col).alias("_qraw"),
+                    )
+                ),
+                "_qid",
+            )
+        )
+        vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        qd = F.transform(F.col("_qraw"), lambda x: x.cast("double"))
+        n2 = F.aggregate(vd, F.lit(0.0), lambda s, x: s + x * x)
+        qn2 = F.aggregate(qd, F.lit(0.0), lambda s, x: s + x * x)
+        dot = F.aggregate(
+            F.zip_with(vd, qd, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+        )
+        scored = cand.select(
+            F.col("_qid").alias(query_id_col),
+            F.col(id_col),
+            F.when((n2 > 0) & (qn2 > 0), dot / (F.sqrt(n2) * F.sqrt(qn2))).alias(
+                "cos_sim"
+            ),
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.desc("cos_sim"), F.asc(id_col)
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
     # per-vector squared norms fold once per side, not once per candidate
     # (the interpreted HOF fold is the per-row cost driver; the dot is the
     # only fold that genuinely needs the pair)
