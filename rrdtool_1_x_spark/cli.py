@@ -48,6 +48,15 @@ def _num_or_none(s: str):
     return None if s in ("U", "u", "") else float(s)
 
 
+def _duration(s: str) -> int:
+    """``rrd_scaled_duration`` (src/rrd_create.c:52-75): a step/heartbeat
+    count with an optional s/m/h/d/w suffix (``60s``, ``5m``, ``1h``)."""
+    mult = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
+    if s and s[-1].lower() in mult:
+        return int(s[:-1]) * mult[s[-1].lower()]
+    return int(s)
+
+
 def _parse_ds(spec: str) -> DSDef:
     # DS:name:DST:heartbeat:min:max  |  DS:name:COMPUTE:rpn
     parts = spec.split(":")
@@ -189,7 +198,7 @@ def cmd_create(args: list[str]) -> int:
         dataset = template_dataset(
             tpl_store, name,
             extra_ds=ds, extra_rra=rra,
-            step=None if step is None else int(step),
+            step=None if step is None else _duration(step),
             start=start_i,
         )
         if start_i is None and not sources:
@@ -198,7 +207,7 @@ def cmd_create(args: list[str]) -> int:
             dataset.start = tpl_store.last()
     else:
         dataset = _create_def(
-            name=name, step=300 if step is None else int(step), ds=ds, rra=rra,
+            name=name, step=300 if step is None else _duration(step), ds=ds, rra=rra,
             start=start_i,
         )
     # build into a temp sibling and swap in only on success, so a failed
@@ -418,8 +427,13 @@ def _build_query(args: list[str]):
         last = int(_time.time())
     end = _at(end_s, last)
     start = _at(start_s, end - 86400)
+    import os as _os
+
+    # the reference evaluates NEWDAY/LTIME... in the process's local zone
+    # (TZ env var, tests/rpn2 runs under TZ=Europe/Zurich)
     q = Query(start=start, end=end,
-              step=None if step is None else int(step),
+              step=None if step is None else _duration(step),
+              tz=_os.environ.get("TZ") or "UTC",
               maxrows=None if maxrows is None else int(maxrows))
     series_cache: dict[str, list[str]] = {}
     for vname, spath, ds_name, cf, opts in parsed_defs:
@@ -559,7 +573,9 @@ def cmd_graphv(args: list[str]) -> int:
         q.element(kind, source, legend=legend, stack=stack, skipscale=skipscale)
     res = q.execute(_spark())
     # graphv's key = value output (rrd_graph_v info list)
-    print(f"graph_start = {res.start}")
+    # graphv publishes the ALIGNED-DOWN window start (rrd_graph's im->start),
+    # while res.start is the first row's ts (= aligned start + step)
+    print(f"graph_start = {res.start - res.step}")
     print(f"graph_end = {res.end}")
     print(f"graph_step = {res.step}")
     if res.bounds is not None:

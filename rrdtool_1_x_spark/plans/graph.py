@@ -224,7 +224,13 @@ class Query:
         if self.maxrows:
             min_step = math.ceil((self.end - self.start) / self.maxrows)
         for d in self._defs:
-            wish = d.step_wish
+            # the global --step is a fetch-resolution hint for every DEF,
+            # maxed with the per-DEF :step= option (rrd_graph.c data_fetch:
+            # gdes[i].step = max(gdes[i].step, im->step)) — NOT merely an
+            # output-grid wish; fetching fine data and sampling it onto a
+            # coarse grid would hold instantaneous points where the
+            # reference returns consolidated ones
+            wish = max(d.step_wish or 0, self.step_wish or 0) or None
             if min_step is not None:
                 wish = max(wish or 0, min_step)
             key = (id(d.rollups), d.ds_name, d.cf, wish, d.reduce_cf, d.series_id)
@@ -258,11 +264,15 @@ class Query:
             raise ValueError("query needs at least one DEF")
         frames, steps = self._fetch_defs()
 
-        # common step = GCD of DEF steps, final range aligned to it
+        # common step = GCD of DEF steps, final range aligned to it.
+        # rrd_fetch alignment: start down, end UP only when unaligned; rows
+        # run (a_start, a_end] with ts = interval end, so the result's
+        # start is the FIRST ROW's ts (a_start + step — what the xport
+        # meta publishes, tests/xport1.json.output meta.start)
         step = self.step_wish or min(steps.values())
         step = rrd_lcd([*steps.values(), step])
         a_start = self.start - self.start % step
-        a_end = self.end + (step - self.end % step)
+        a_end = self.end + ((step - self.end % step) % step)
         grid = spark.range(a_start // step + 1, a_end // step + 1).select(
             (F.col("id") * step).cast("double").alias("ts")
         )
@@ -310,6 +320,56 @@ class Query:
                 env[r["_vname"]] = F.lit(r["value"]).cast("double")
             pending_vdefs.clear()
 
+        # tokens the compiled evaluator can pre-materialize as helper
+        # columns for a PREV-carrying (sequential) CDEF — per-row values
+        # that depend only on the timestamp, not on the recurrence
+        _TIME_TOKENS = {
+            "NEWDAY", "NEWWEEK", "NEWMONTH", "NEWYEAR",
+            "STEPWIDTH", "TIME", "LTIME", "COUNT",
+        }
+
+        def seq_cdef(c) -> None:
+            """A CDEF whose RPN references PREV (self) is a sequential
+            recurrence (src/rrd_rpncalc.c rpnstack runs rows in order):
+            pre-compute time-derived tokens as compiled helper columns,
+            then run rpn_seq.eval_sequential over the aligned grid and
+            join the result back as the CDEF's column."""
+            from rrdtool_1_x_spark.rpn_seq import eval_sequential
+
+            nonlocal wide
+            toks = c.rpn.split(",")
+            new_toks: list[str] = []
+            var_cols: dict[str, str] = {}
+            base = wide
+            n_h = 0
+            for tok in toks:
+                up = tok.upper()
+                if up in _TIME_TOKENS and up != "STEPWIDTH":
+                    h = f"__h{n_h}"
+                    n_h += 1
+                    base = base.withColumn(h, compile_rpn(tok, env, ctx))
+                    var_cols[h] = h
+                    new_toks.append(h)
+                elif up.startswith("PREV(") and up.endswith(")"):
+                    var_cols[tok[5:-1]] = tok[5:-1]
+                    new_toks.append(tok)
+                elif tok in env:
+                    if tok not in base.columns:
+                        base = base.withColumn(tok, env[tok])
+                    var_cols[tok] = tok
+                    new_toks.append(tok)
+                else:
+                    new_toks.append(tok)
+            res = eval_sequential(
+                base.select("ts", *dict.fromkeys(var_cols.values())),
+                ",".join(new_toks),
+                var_cols,
+                keys=(),
+                step=float(step),
+                out_col=c.vname,
+            )
+            wide = wide.join(res, "ts", "left")
+
         def ensure_cdef(name: str) -> None:
             if name in frames or name in done_cdefs or name not in cdef_by_name:
                 return
@@ -320,7 +380,10 @@ class Query:
                 flush_vdefs()
             for tok in toks:
                 ensure_cdef(tok)
-            wide = wide.withColumn(c.vname, compile_rpn(c.rpn, env, ctx))
+            if any(t.upper() == "PREV" for t in toks):
+                seq_cdef(c)
+            else:
+                wide = wide.withColumn(c.vname, compile_rpn(c.rpn, env, ctx))
             env[c.vname] = F.col(c.vname)
             done_cdefs.add(c.vname)
 
@@ -382,7 +445,7 @@ class Query:
             legends=legends,
             scalars=scalars,
             prints=prints,
-            start=a_start,
+            start=a_start + step,  # first row's ts (rows are interval ENDS)
             end=a_end,
             step=step,
             bounds=bounds,

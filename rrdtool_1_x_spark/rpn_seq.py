@@ -164,7 +164,9 @@ def eval_sequential(
                 "(window/set ops belong in the compiled path, rpn.compile_rpn)"
             )
     keys_l = list(keys)
-    schema = ", ".join(f"{k} string" for k in keys_l) + f", {ts_col} double, {out_col} double"
+    schema = ", ".join(
+        [f"{k} string" for k in keys_l] + [f"{ts_col} double", f"{out_col} double"]
+    )
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_col)

@@ -209,9 +209,10 @@ def test_cli_xport_output_dir_and_daemon_flush(ds_path, spark, tmp_path, capsys)
     body = "".join(open(p).read() for p in parts)
     assert main(["xport"] + argv) == 0  # XML path still fine
     assert "<xport>" in capsys.readouterr().out
-    # distributed rows carry the same quoted %.7e cells, one per grid slot
-    # (the query grid aligns the aligned end UP one step: start..end+step)
-    n_rows = (UPDATES[-1][0] + 300 - START) // 300 + 1
+    # distributed rows carry the same quoted %.7e cells, one per grid slot:
+    # rows run (start, end] with ts = interval END (rrd_fetch alignment;
+    # an aligned end gains no extra step — tests/xport1 golden convention)
+    n_rows = (UPDATES[-1][0] - START) // 300
     assert body.count("\n") == n_rows
     assert '"4.0000000e-02"' in body  # the known first full-step rate
 
