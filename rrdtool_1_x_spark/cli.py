@@ -547,6 +547,38 @@ def _parse_element(spec: str):
     return kind, source, legend, stack, skipscale
 
 
+_SENSIBLE = (
+    1000.0, 900.0, 800.0, 750.0, 700.0, 600.0, 500.0, 400.0, 300.0, 250.0,
+    200.0, 125.0, 100.0, 90.0, 80.0, 75.0, 70.0, 60.0, 50.0, 40.0, 30.0,
+    25.0, 20.0, 10.0, 9.0, 8.0, 7.0, 6.0, 5.0, 4.0, 3.5, 3.0, 2.5, 2.0,
+    1.8, 1.5, 1.2, 1.0, 0.8, 0.7, 0.6, 0.5, 0.4, 0.3, 0.2, 0.1, 0.0,
+)
+
+
+def _expand_range(vmin: float, vmax: float, base: float = 1000.0):
+    """si_unit + expand_range (src/rrd_graph.c:613-700): snap the autoscale
+    bounds outward to the sensible-value grid at the data's SI magnitude."""
+    import math
+
+    m = max(abs(vmin), abs(vmax))
+    if not (m > 0) or math.isinf(m) or math.isnan(m):
+        return vmin, vmax
+    magfact = base ** math.floor(math.log(m) / math.log(base))
+    smin, smax = vmin / magfact, vmax / magfact
+    for i in range(1, len(_SENSIBLE)):
+        if not _SENSIBLE[i] > 0:
+            break
+        if _SENSIBLE[i - 1] >= smin and _SENSIBLE[i] <= smin:
+            vmin = _SENSIBLE[i] * magfact
+        if -_SENSIBLE[i - 1] <= smin and -_SENSIBLE[i] >= smin:
+            vmin = -_SENSIBLE[i - 1] * magfact
+        if _SENSIBLE[i - 1] >= smax and _SENSIBLE[i] <= smax:
+            vmax = _SENSIBLE[i - 1] * magfact
+        if -_SENSIBLE[i - 1] <= smax and -_SENSIBLE[i] >= smax:
+            vmax = -_SENSIBLE[i] * magfact
+    return vmin, vmax
+
+
 def cmd_graphv(args: list[str]) -> int:
     # first positional is the image filename in the reference; data-only here
     if args and not any(args[0].startswith(p) for p in (
@@ -558,7 +590,11 @@ def cmd_graphv(args: list[str]) -> int:
     lo_opt = _opt(args, "-l", "--lower-limit")
     up_opt = _opt(args, "-u", "--upper-limit")
     rigid = _opt(args, "-r", "--rigid", flag=True)
+    jsontime = _opt(args, "--add-jsontime", flag=True)
+    # rendering options are accepted and ignored (data-only graphv)
+    args[:] = [a for a in args if not a.startswith("--imgformat")]
     prints = [a[6:] for a in args if a.startswith("PRINT:")]
+    gprints = [a[7:] for a in args if a.startswith("GPRINT:")]
     elements = [
         a for a in args
         if a.startswith(("AREA:", "TICK:", "STACK:"))
@@ -568,9 +604,26 @@ def cmd_graphv(args: list[str]) -> int:
     for p in prints:
         vname, fmt = p.split(":", 1)
         q.print_(vname, fmt)
+    # GPRINT — rendered-legend prints; the legacy 2-arg form
+    # GPRINT:vname:CF:fmt creates an implicit VDEF from the CF
+    # (rrd_graph_helper.c parse_gprint legacy translation)
+    _CF2VDEF = {"AVERAGE": "AVERAGE", "MIN": "MINIMUM", "MAX": "MAXIMUM",
+                "LAST": "LAST"}
+    for i, g in enumerate(gprints):
+        parts = g.split(":")
+        if len(parts) >= 3 and parts[1].upper() in _CF2VDEF:
+            vname = f"__gp{i}"
+            q.vdef(vname, f"{parts[0]},{_CF2VDEF[parts[1].upper()]}")
+            q.print_(vname, ":".join(parts[2:]))
+        else:
+            q.print_(parts[0], ":".join(parts[1:]))
     for e in elements:
         kind, source, legend, stack, skipscale = _parse_element(e)
         q.element(kind, source, legend=legend, stack=stack, skipscale=skipscale)
+        if jsontime:
+            # --add-jsontime publishes the plotted element values as an
+            # xport-style JSON block after the info keys
+            q.xport(source, legend=legend)
     res = q.execute(_spark())
     # graphv's key = value output (rrd_graph_v info list)
     # graphv publishes the ALIGNED-DOWN window start (rrd_graph's im->start),
@@ -591,10 +644,22 @@ def cmd_graphv(args: list[str]) -> int:
             umax = vmax
         if umin > umax:
             umin = 0.99 * umax if umin > 0 else 1.01 * umax
+        if not rigid:
+            # si_unit + expand_range (src/rrd_graph.c:613-700, :3963-3969):
+            # published bounds snap outward to the "sensible" grid values
+            # scaled by the SI magnitude (tests/graph2: 0.0302..0.04 data →
+            # 3.0e-02 / 4.0e-02)
+            umin, umax = _expand_range(umin, umax)
         print(f"value_min = {umin:0.10e}")
         print(f"value_max = {umax:0.10e}")
     for i, line in enumerate(res.prints):
         print(f'print[{i}] = "{line}"')
+    if jsontime:
+        from rrdtool_1_x_spark import xport as xp
+
+        js = xp.to_json(res, showtime=True, precision=10)
+        print(f"datapoints = BLOB_SIZE:{len(js)}")
+        print(js)
     return 0
 
 

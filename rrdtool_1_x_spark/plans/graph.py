@@ -211,7 +211,9 @@ class Query:
             head, _, tail = fmt.rpartition(":")
             if tail in self._PRINT_MODES:
                 fmt, mode = head, tail
-        self._prints.append((vname, fmt, mode))
+        # '\:' protects a literal colon from the argv splitter
+        # (rrd_graph_helper parsing; tests/graph2 GPRINT:...:'Current\:%4.2lf')
+        self._prints.append((vname, fmt.replace("\\:", ":"), mode))
         return self
 
     # -- execution ----------------------------------------------------------

@@ -321,21 +321,23 @@ def test_cli_graphv_elements_bounds(ds_path, capsys):
     out = capsys.readouterr().out
     vmin = float(out.split("value_min = ")[1].splitlines()[0])
     vmax = float(out.split("value_max = ")[1].splitlines()[0])
-    assert vmin == 0.0 and abs(vmax - 288.0) < 1e-6  # 2x max rate 144 km/h
+    # 2x max rate = 288, snapped outward to the sensible grid value 300
+    # (si_unit + expand_range, src/rrd_graph.c:613-700)
+    assert vmin == 0.0 and abs(vmax - 300.0) < 1e-6
 
     assert main(["graphv"] + base + [
         "LINE1:kmh#0000ff:rate", "LINE2:1000:ceiling:skipscale",
     ]) == 0
     out = capsys.readouterr().out
     vmax2 = float(out.split("value_max = ")[1].splitlines()[0])
-    assert abs(vmax2 - 144.0) < 1e-6  # skipscale constant excluded
+    assert abs(vmax2 - 200.0) < 1e-6  # skipscale excluded; 144 snaps to 200
 
     # -l/-u expand-only bounds vs --rigid (src/rrd_graph.c:1486-1528)
     line = ["LINE1:kmh#0000ff:rate"]
     assert main(["graphv", "-l", "-10", "-u", "50"] + base + line) == 0
     out = capsys.readouterr().out
     assert "value_min = -1.0000000000e+01" in out  # user floor kept
-    assert "value_max = 1.4400000000e+02" in out   # data expands past -u
+    assert "value_max = 2.0000000000e+02" in out   # data expands past -u, snapped
     assert main(["graphv", "-l", "-10", "-u", "50", "--rigid"] + base + line) == 0
     out = capsys.readouterr().out
     assert "value_max = 5.0000000000e+01" in out   # rigid pins the limit
