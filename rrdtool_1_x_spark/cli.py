@@ -676,6 +676,11 @@ def cmd_list(args: list[str]) -> int:
     from rrdtool_1_x_spark.sources.store import list_datasets
 
     recursive = _opt(args, "--recursive", "-r", flag=True)
+    if not args:
+        # ≙ rrd_list with no dirname (tests/list1: "list without
+        # parameters displays Usage")
+        print("Usage: rrdtool list [--recursive] <dirname>", file=sys.stderr)
+        return 1
     for name in list_datasets(args[0], recursive=recursive):
         print(name)
     return 0

@@ -595,11 +595,22 @@ def list_datasets(root: str, recursive: bool = False) -> list[str]:
     """≙ rrd_list (src/rrd_list.c:44-361): enumerate datasets under a root;
     ``recursive`` descends into subdirectories and returns root-relative
     paths (rrd_list_rec, src/rrd_list.c:40-144)."""
+    # a dataset path itself lists as its own name (rrd_list on one file)
+    if os.path.isfile(os.path.join(root, "meta.json")):
+        return [os.path.basename(root.rstrip("/"))]
     out = []
     for name in sorted(os.listdir(root)):
         full = os.path.join(root, name)
         if os.path.isfile(os.path.join(full, "meta.json")):
             out.append(name)
-        elif recursive and os.path.isdir(full):
-            out.extend(f"{name}/{sub}" for sub in list_datasets(full, True))
+        elif os.path.isdir(full):
+            if recursive:
+                # recursive mode returns rrd files only (rrd_list_rec)
+                out.extend(f"{name}/{sub}" for sub in list_datasets(full, True))
+            else:
+                # plain mode also shows subdirectories so a user can
+                # navigate (tests/list1 "only lists RRDs and directories";
+                # the .rrd-suffix skip applies to regular files only,
+                # src/rrd_list.c:108-127)
+                out.append(name)
     return out

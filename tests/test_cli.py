@@ -572,3 +572,51 @@ def test_dump_auto_distributed(spark, tmp_path, monkeypatch):
     assert main(["dump", p, dist]) == 0  # above: auto-distributed
     a, b = open(drv).read(), open(dist).read()
     assert a == b and "<database>" in a
+
+
+def test_list1_semantics(spark, tmp_path, capsys):
+    """Mirror of the reference's tests/list1 matrix: empty dir lists
+    nothing; a dataset path lists its own name; plain mode lists datasets
+    AND subdirectories (regular non-rrd files skipped); recursive mode
+    lists datasets only; no parameters prints Usage."""
+    import os
+
+    root = str(tmp_path / "ldir")
+    os.makedirs(root)
+    assert main(["list", root]) == 0
+    assert capsys.readouterr().out.strip() == ""  # empty dir
+
+    first = str(tmp_path / "first")
+    assert main([
+        "create", first, "--start", str(START), "--step", "300",
+        "DS:speed:COUNTER:600:U:U", "RRA:AVERAGE:0.5:1:600",
+    ]) == 0
+    assert main(["list", first]) == 0  # single dataset path → its name
+    assert capsys.readouterr().out.split() == ["first"]
+
+    import shutil
+
+    shutil.copytree(first, f"{root}/first")
+    shutil.copytree(first, f"{root}/second")
+    shutil.copytree(first, f"{root}/third")
+    assert main(["list", root]) == 0
+    assert len(capsys.readouterr().out.split()) == 3
+
+    open(f"{root}/not_an_rrd", "w").write("x")  # plain file: skipped
+    assert main(["list", root]) == 0
+    assert len(capsys.readouterr().out.split()) == 3
+
+    os.makedirs(f"{root}/new_dir")  # plain dir: listed in plain mode
+    assert main(["list", root]) == 0
+    assert len(capsys.readouterr().out.split()) == 4
+
+    os.makedirs(f"{root}/new_dir2")
+    shutil.copytree(first, f"{root}/new_dir2/fourth")
+    shutil.copytree(first, f"{root}/new_dir2/fifth")
+    assert main(["list", "--recursive", root]) == 0
+    listed = capsys.readouterr().out.split()
+    assert len(listed) == 5  # datasets only, root-relative paths
+    assert "new_dir2/fourth" in listed and "new_dir" not in listed
+
+    assert main(["list"]) == 1  # Usage
+    assert "Usage" in capsys.readouterr().err
