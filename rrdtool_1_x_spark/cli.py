@@ -803,6 +803,10 @@ def cmd_tune(args: list[str]) -> int:
     mx = _opt(args, "--maximum", "-a")
     dst = _opt(args, "--data-source-type", "-d")
     ren = _opt(args, "--data-source-rename", "-r")
+    # non-reference extension: --recompute re-derives archives under a new
+    # DST from the retained raw samples; the reference default is
+    # header-only (history keeps its old-type rates, tests/tune1 mod2)
+    recompute = _opt(args, "--recompute", flag=True)
     if hb:
         name, v = hb.split(":")
         ev.tune_ds(store, name, heartbeat=int(float(v)))
@@ -814,7 +818,7 @@ def cmd_tune(args: list[str]) -> int:
         ev.tune_ds(store, name, max_val=_num_or_none(v))
     if dst:
         name, v = dst.split(":")
-        ev.retype_ds(store, name, v)
+        ev.retype_ds(store, name, v, recompute=recompute)
     if ren:
         old, new = ren.split(":")
         ev.rename_ds(store, old, new)

@@ -344,3 +344,81 @@ def test_modify3_golden_parity(spark, tmp_path, capsys):
     shutil.copytree(p, p2)
     assert main(["tune", p2, "DEL:a", "RRA#0:+10"]) == 0
     compare(p2, f"{ref}/modify-test3.mod1.dump", "mod1", min_ts=1300002480.0)
+
+
+def test_tune1_golden_parity(spark, tmp_path):
+    """Mirror of the reference's tests/tune1: heartbeat/minimum retunes and
+    a header-only DST retype + rename, each compared against the
+    reference's committed dumps (tune1-testorg/a-mod1/a-mod2.dump)."""
+    import math
+    import shutil
+
+    import pytest as _pytest
+
+    from rrdtool_1_x_spark.cli import main
+    from rrdtool_1_x_spark.sources.rrdxml import restore_xml
+    from rrdtool_1_x_spark.sources.store import DatasetStore
+
+    ref = "/root/reference/tests"
+    try:
+        open(f"{ref}/tune1-testorg.dump").close()
+    except OSError:
+        _pytest.skip("reference tests not available")
+
+    p = str(tmp_path / "t1")
+    assert main([
+        "create", p, "--start", "1300000000", "--step", "60",
+        "DS:a:GAUGE:120:0:U", "DS:b:COUNTER:120:0:U",
+        "RRA:AVERAGE:0.5:1:10", "RRA:AVERAGE:0.5:5:10",
+    ]) == 0
+    specs = [
+        f"{t}:{10 + 10 * i}"
+        for i, t in enumerate(range(1300000020, 1300003021, 60))
+    ]
+    assert main(["update", p, "--template", "a"] + specs) == 0
+
+    def compare(store_path: str, dump: str, tag: str) -> None:
+        mine = DatasetStore(spark, store_path)
+        want = restore_xml(spark, dump, str(tmp_path / f"w_{tag}"),
+                           series_id="s")
+        wd, md = want.dataset, mine.dataset
+        assert [ds.name for ds in md.ds] == [ds.name for ds in wd.ds], tag
+        for mds, wds in zip(md.ds, wd.ds):
+            assert mds.dst == wds.dst, (tag, mds.name)
+            assert mds.heartbeat == wds.heartbeat, (tag, mds.name)
+            assert mds.min_val == wds.min_val, (tag, mds.name)
+            assert mds.max_val == wds.max_val, (tag, mds.name)
+        for i in range(len(wd.rra)):
+            wrows = {
+                (r["ds_name"], r["ts"]): r["value"]
+                for r in want._read(f"rra_{i}").collect()
+            }
+            mrows = {
+                (r["ds_name"], r["ts"]): r["value"]
+                for r in mine._read(f"rra_{i}").collect()
+            }
+            for key, w in wrows.items():
+                m = mrows.get(key)
+                wn = w is None or (isinstance(w, float) and math.isnan(w))
+                mn = m is None or (isinstance(m, float) and math.isnan(m))
+                if wn and mn:
+                    continue
+                assert not (wn or mn), (tag, i, key, w, m)
+                assert abs(m - w) <= 5e-7 * max(abs(w), 1e-12), (tag, i, key)
+
+    compare(p, f"{ref}/tune1-testorg.dump", "org")
+
+    pa = str(tmp_path / "t1a")
+    shutil.copytree(p, pa)
+    assert main(["tune", pa, "--heartbeat", "a:90", "--minimum", "b:U"]) == 0
+    assert main(["tune", pa, "--heartbeat", "a:90", "--minimum", "b:-100"]) == 0
+    compare(pa, f"{ref}/tune1-testa-mod1.dump", "mod1")
+
+    pb = str(tmp_path / "t1b")
+    shutil.copytree(p, pb)
+    # reference retype is HEADER-ONLY: archive rows keep old-type rates
+    assert main([
+        "tune", pb, "--data-source-type", "a:COUNTER",
+        "--data-source-rename", "b:c",
+    ]) == 0
+    compare(pb, f"{ref}/tune1-testa-mod2.dump", "mod2")
