@@ -139,7 +139,47 @@ class DatasetDef:
 
 
 def create(name: str, step: int, ds: list[DSDef], rra: list[RRADef], start: int | None = None) -> DatasetDef:
-    """Validate and return a dataset descriptor (≙ ``rrdtool create``)."""
-    d = DatasetDef(name=name, step=step, ds=ds, rra=rra, start=start)
+    """Validate and return a dataset descriptor (≙ ``rrdtool create``).
+
+    An HWPREDICT/MHWPREDICT archive flagged ``auto_contingent`` (the CLI
+    sets it when the optional rra-num argument is absent) implicitly
+    spawns its four companions — SEASONAL/DEVSEASONAL (rows=period,
+    gamma=alpha), DEVPREDICT (rows like the primary), FAILURES (rows=
+    period, deltas 2.0, threshold 7, window 9) — exactly like
+    create_hw_contingent_rras (src/rrd_create.c:478-560)."""
+    has_companions = any(
+        r.cf in ("SEASONAL", "DEVSEASONAL", "DEVPREDICT", "FAILURES")
+        for r in rra
+    )
+    expanded: list[RRADef] = []
+    for r in rra:
+        expanded.append(r)
+        auto = r.params.pop("auto_contingent", None) if r.params else None
+        if (
+            r.cf in ("HWPREDICT", "MHWPREDICT")
+            and auto
+            # explicit companions anywhere in the spec mean the caller is
+            # wiring the set by hand — don't double the archives
+            and not has_companions
+        ):
+            period = int(r.params.get("period", 1))
+            alpha = float(r.params.get("alpha", 0.1))
+            expanded.append(
+                RRADef(cf="SEASONAL", row_cnt=period, pdp_cnt=1,
+                       params={"gamma": alpha})
+            )
+            expanded.append(
+                RRADef(cf="DEVSEASONAL", row_cnt=period, pdp_cnt=1,
+                       params={"gamma": alpha})
+            )
+            expanded.append(
+                RRADef(cf="DEVPREDICT", row_cnt=r.row_cnt, pdp_cnt=1)
+            )
+            expanded.append(
+                RRADef(cf="FAILURES", row_cnt=period, pdp_cnt=1,
+                       params={"deltapos": 2.0, "deltaneg": 2.0,
+                               "threshold": 7, "window": 9})
+            )
+    d = DatasetDef(name=name, step=step, ds=ds, rra=expanded, start=start)
     d.validate()
     return d

@@ -82,12 +82,14 @@ def _parse_rra(spec: str) -> RRADef:
             cf=cf, xff=float(parts[2]), pdp_cnt=int(parts[3]), row_cnt=int(parts[4])
         )
     if cf in ("HWPREDICT", "MHWPREDICT"):
-        # RRA:HWPREDICT:rows:alpha:beta:period[:rra-num]
-        return RRADef(
-            cf=cf, row_cnt=int(parts[2]), pdp_cnt=1,
-            params={"alpha": float(parts[3]), "beta": float(parts[4]),
-                    "period": int(parts[5])},
-        )
+        # RRA:HWPREDICT:rows:alpha:beta:period[:rra-num] — without the
+        # rra-num wire-up argument the four contingent archives are
+        # created implicitly (create_hw_contingent_rras; tests/tune2)
+        params = {"alpha": float(parts[3]), "beta": float(parts[4]),
+                  "period": int(parts[5])}
+        if len(parts) < 7:
+            params["auto_contingent"] = True
+        return RRADef(cf=cf, row_cnt=int(parts[2]), pdp_cnt=1, params=params)
     if cf in ("SEASONAL", "DEVSEASONAL"):
         # RRA:SEASONAL:period:gamma:rra-num[:smoothing-window=f]
         params = {"gamma": float(parts[3])}

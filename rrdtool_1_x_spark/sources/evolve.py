@@ -200,9 +200,17 @@ def tune_hw(store: DatasetStore, **updates: float) -> None:
     derivation on — this engine derives the HW archives from raw samples
     (operators/hw.py reads these params), so the change applies to the
     whole recomputation rather than mid-stream."""
+    # validate everything BEFORE touching any header so a rejected option
+    # leaves the dataset unchanged (≙ set_hwarg range check,
+    # src/rrd_tune.c:372-378; tests/tune2 "out of range beta error")
     for key, val in updates.items():
         if key not in _HW_TUNE_TARGETS:
             raise ValueError(f"unknown HW tune parameter {key!r}")
+        if key in ("alpha", "beta", "gamma", "gamma_deviation") and not (
+            0.0 <= float(val) <= 1.0
+        ):
+            raise ValueError(f"{key} must be between 0 and 1")
+    for key, val in updates.items():
         cfs, pkey = _HW_TUNE_TARGETS[key]
         hit = False
         for rra in store.dataset.rra:

@@ -422,3 +422,51 @@ def test_tune1_golden_parity(spark, tmp_path):
         "--data-source-rename", "b:c",
     ]) == 0
     compare(pb, f"{ref}/tune1-testa-mod2.dump", "mod2")
+
+
+def test_tune2_golden_semantics(spark, tmp_path, capsys):
+    """Mirror of the reference's tests/tune2: RRA:HWPREDICT given alone
+    implicitly creates the four contingent archives
+    (create_hw_contingent_rras defaults), an out-of-range --beta errors
+    WITHOUT touching the header, and --beta 0.4 lands in HWPREDICT."""
+    from rrdtool_1_x_spark.cli import main
+    from rrdtool_1_x_spark.sources.store import DatasetStore
+
+    p = str(tmp_path / "t2")
+    assert main([
+        "create", p, "--start", "1300000000", "--step", "60",
+        "DS:a:GAUGE:120:0:U", "DS:b:COUNTER:120:0:U",
+        "RRA:HWPREDICT:288:0.9:0.8:144",
+    ]) == 0
+    d = DatasetStore(spark, p).dataset
+    assert [r.cf for r in d.rra] == [
+        "HWPREDICT", "SEASONAL", "DEVSEASONAL", "DEVPREDICT", "FAILURES"
+    ]
+    by = {r.cf: r for r in d.rra}
+    assert by["HWPREDICT"].row_cnt == 288
+    assert by["SEASONAL"].row_cnt == 144 and by["SEASONAL"].params["gamma"] == 0.9
+    assert by["DEVSEASONAL"].row_cnt == 144
+    assert by["DEVPREDICT"].row_cnt == 288
+    f = by["FAILURES"]
+    assert f.row_cnt == 144 and f.params["threshold"] == 7
+    assert f.params["window"] == 9 and f.params["deltapos"] == 2.0
+
+    # out-of-range beta: error, header unchanged
+    assert main(["tune", p, "--beta", "1.4"]) != 0
+    d2 = DatasetStore(spark, p).dataset
+    assert {r.cf: r for r in d2.rra}["HWPREDICT"].params["beta"] == 0.8
+    assert main(["tune", p, "--beta", "0.4"]) == 0
+    d3 = DatasetStore(spark, p).dataset
+    assert {r.cf: r for r in d3.rra}["HWPREDICT"].params["beta"] == 0.4
+
+    # explicit rra-num suppresses the implicit companions (manual wiring)
+    q = str(tmp_path / "t2manual")
+    assert main([
+        "create", q, "--start", "1300000000", "--step", "60",
+        "DS:a:GAUGE:120:0:U", "RRA:AVERAGE:0.5:1:10",
+        "RRA:HWPREDICT:288:0.9:0.8:144:2", "RRA:SEASONAL:144:0.9:1",
+        "RRA:DEVSEASONAL:144:0.9:1", "RRA:DEVPREDICT:288:4",
+        "RRA:FAILURES:9:7:9:5",
+    ]) == 0
+    dq = DatasetStore(spark, q).dataset
+    assert sum(1 for r in dq.rra if r.cf == "SEASONAL") == 1
