@@ -470,3 +470,134 @@ def test_tune2_golden_semantics(spark, tmp_path, capsys):
     ]) == 0
     dq = DatasetStore(spark, q).dataset
     assert sum(1 for r in dq.rra if r.cf == "SEASONAL") == 1
+
+
+def _compare_vs_dump(spark, tmp_path, store_path, dump, tag, skip_rra0_before=None):
+    """Row/field compare of a store against a restored reference dump."""
+    import math
+
+    from rrdtool_1_x_spark.sources.rrdxml import restore_xml
+    from rrdtool_1_x_spark.sources.store import DatasetStore
+
+    mine = DatasetStore(spark, store_path)
+    want = restore_xml(spark, dump, str(tmp_path / f"wd_{tag}"), series_id="s")
+    wd, md = want.dataset, mine.dataset
+    assert [r.cf for r in md.rra] == [r.cf for r in wd.rra], tag
+    assert [r.row_cnt for r in md.rra] == [r.row_cnt for r in wd.rra], tag
+    assert [r.pdp_cnt for r in md.rra] == [r.pdp_cnt for r in wd.rra], tag
+    for i in range(len(wd.rra)):
+        wrows = {
+            (r["ds_name"], r["ts"]): r["value"]
+            for r in want._read(f"rra_{i}").collect()
+        }
+        mrows = {
+            (r["ds_name"], r["ts"]): r["value"]
+            for r in mine._read(f"rra_{i}").collect()
+        }
+        for key, w in wrows.items():
+            if skip_rra0_before is not None and i == 0 and key[1] < skip_rra0_before:
+                continue  # reference back-fill region (see modify3 note)
+            m = mrows.get(key)
+            wn = w is None or (isinstance(w, float) and math.isnan(w))
+            mn = m is None or (isinstance(m, float) and math.isnan(m))
+            if wn and mn:
+                continue
+            assert not (wn or mn), (tag, i, key, w, m)
+            assert abs(m - w) <= 5e-7 * max(abs(w), 1e-12), (tag, i, key, m, w)
+
+
+def test_modify2_golden_parity(spark, tmp_path):
+    """Mirror of tests/modify2: simultaneous extension of the four
+    aggregate RRAs in ONE tune, and adding a new RRA with an intermediate
+    pdp_cnt — both against the reference's committed dumps."""
+    import shutil
+
+    import pytest as _pytest
+
+    from rrdtool_1_x_spark.cli import main
+
+    ref = "/root/reference/tests"
+    try:
+        open(f"{ref}/modify2-testa-create.dump").close()
+    except OSError:
+        _pytest.skip("reference tests not available")
+
+    p = str(tmp_path / "m2a")
+    assert main([
+        "create", p, "--start", "1300000000", "--step", "60",
+        "DS:a:GAUGE:120:0:U", "RRA:AVERAGE:0.5:1:100",
+        "RRA:AVERAGE:0.5:5:2", "RRA:MIN:0.5:5:2", "RRA:MAX:0.5:5:2",
+        "RRA:LAST:0.5:5:2",
+    ]) == 0
+    specs = [
+        f"{t}:{10 + 10 * i}"
+        for i, t in enumerate(range(1300000020, 1300003021, 60))
+    ]
+    assert main(["update", p, "--template", "a"] + specs) == 0
+    _compare_vs_dump(spark, tmp_path, p, f"{ref}/modify2-testa-create.dump", "m2a")
+
+    pb = str(tmp_path / "m2b")
+    shutil.copytree(p, pb)
+    assert main([
+        "tune", pb, "RRA#1:+10", "RRA#2:+10", "RRA#3:+10", "RRA#4:+10",
+    ]) == 0
+    _compare_vs_dump(spark, tmp_path, pb, f"{ref}/modify2-testb-mod1.dump", "m2b")
+
+    pc = str(tmp_path / "m2c")
+    shutil.copytree(p, pc)
+    assert main(["tune", pc, "RRA:AVERAGE:0.5:2:10"]) == 0
+    _compare_vs_dump(spark, tmp_path, pc, f"{ref}/modify2-testc-mod1.dump", "m2c")
+
+
+def test_modify4_add_remove_rra_invariant(spark, tmp_path):
+    """Mirror of tests/modify4's invariant: adding an RRA to a populated
+    dataset must equal a dataset created WITH that RRA from the start, and
+    DELRRA of the extra archive must restore the original shape — checked
+    store-vs-store (this engine back-fills new archives exactly from the
+    retained samples, which is precisely the invariant)."""
+    import math
+    import shutil
+
+    from rrdtool_1_x_spark.cli import main
+    from rrdtool_1_x_spark.sources.store import DatasetStore
+
+    base = [
+        "--start", "1300000000", "--step", "60", "DS:a:GAUGE:120:0:U",
+        "RRA:AVERAGE:0.5:1:100", "RRA:AVERAGE:0.5:5:2", "RRA:MIN:0.5:5:2",
+        "RRA:MAX:0.5:5:2", "RRA:LAST:0.5:5:2",
+    ]
+    a1, a2 = str(tmp_path / "a1"), str(tmp_path / "a2")
+    assert main(["create", a1] + base) == 0
+    assert main(["create", a2] + base + ["RRA:AVERAGE:0.5:4:10"]) == 0
+    specs = [
+        f"{t}:{10 + 10 * i}"
+        for i, t in enumerate(range(1300000050, 1300002991, 60))
+    ]
+    assert main(["update", a1, "--template", "a"] + specs) == 0
+    assert main(["update", a2, "--template", "a"] + specs) == 0
+
+    def rows(path, i):
+        st = DatasetStore(spark, path)
+        return {
+            (r["ds_name"], r["ts"]): round(r["value"], 9)
+            for r in st._read(f"rra_{i}").collect()
+            if r["value"] is not None and not math.isnan(r["value"])
+        }
+
+    # add the extra RRA to a1 → archives equal a2's
+    b1 = str(tmp_path / "b1")
+    shutil.copytree(a1, b1)
+    assert main(["tune", b1, "RRA:AVERAGE:0.5:4:10"]) == 0
+    d1 = DatasetStore(spark, b1).dataset
+    assert [r.pdp_cnt for r in d1.rra] == [1, 5, 5, 5, 5, 4]
+    for i in range(6):
+        assert rows(b1, i) == rows(a2, i), f"rra_{i} add-invariant"
+
+    # remove it from a2 → archives equal a1's
+    b2 = str(tmp_path / "b2")
+    shutil.copytree(a2, b2)
+    assert main(["tune", b2, "DELRRA:5"]) == 0
+    d2 = DatasetStore(spark, b2).dataset
+    assert len(d2.rra) == 5
+    for i in range(5):
+        assert rows(b2, i) == rows(a1, i), f"rra_{i} del-invariant"
