@@ -601,3 +601,61 @@ def test_modify4_add_remove_rra_invariant(spark, tmp_path):
     assert len(d2.rra) == 5
     for i in range(5):
         assert rows(b2, i) == rows(a1, i), f"rra_{i} del-invariant"
+
+
+def test_modify5_iterated_invariant(spark, tmp_path):
+    """Mirror of tests/modify5: the modify4 invariant holds at EVERY step
+    of an irregular-timestamp update stream — DELRRA:5 on the extended
+    dataset equals the plain one, adding the RRA equals the extended one,
+    after each new (unaligned) reading."""
+    import math
+    import shutil
+
+    from rrdtool_1_x_spark.cli import main
+    from rrdtool_1_x_spark.sources.store import DatasetStore
+
+    base = [
+        "--start", "1300000000", "--step", "60", "DS:a:GAUGE:120:0:U",
+        "RRA:AVERAGE:0.5:1:100", "RRA:AVERAGE:0.5:5:2", "RRA:MIN:0.5:5:2",
+        "RRA:MAX:0.5:5:2", "RRA:LAST:0.5:5:2",
+    ]
+    a1, a2 = str(tmp_path / "a1"), str(tmp_path / "a2")
+    assert main(["create", a1] + base) == 0
+    assert main(["create", a2] + base + ["RRA:AVERAGE:0.5:4:10"]) == 0
+    seed = [
+        f"{t}:{10 + 10 * i}"
+        for i, t in enumerate(range(1300000050, 1300002991, 60))
+    ]
+    assert main(["update", a1, "--template", "a"] + seed) == 0
+    assert main(["update", a2, "--template", "a"] + seed) == 0
+
+    def rows(path, i):
+        st = DatasetStore(spark, path)
+        t = st._read(f"rra_{i}")
+        if t is None:
+            return {}
+        return {
+            (r["ds_name"], r["ts"]): round(r["value"], 9)
+            for r in t.collect()
+            if r["value"] is not None and not math.isnan(r["value"])
+        }
+
+    # the reference's irregular tail (subset: unaligned seconds included)
+    for u in ("1300003010:200", "1300003070:102", "1300003323:223",
+              "1300003381:721", "1300003500:221"):
+        assert main(["update", a1, "--template", "a", u]) == 0
+        assert main(["update", a2, "--template", "a", u]) == 0
+
+        b2 = str(tmp_path / "b2")
+        shutil.rmtree(b2, ignore_errors=True)
+        shutil.copytree(a2, b2)
+        assert main(["tune", b2, "DELRRA:5"]) == 0
+        for i in range(5):
+            assert rows(b2, i) == rows(a1, i), (u, f"rra_{i}", "del")
+
+        b1 = str(tmp_path / "b1")
+        shutil.rmtree(b1, ignore_errors=True)
+        shutil.copytree(a1, b1)
+        assert main(["tune", b1, "RRA:AVERAGE:0.5:4:10"]) == 0
+        for i in range(6):
+            assert rows(b1, i) == rows(a2, i), (u, f"rra_{i}", "add")
