@@ -48,13 +48,35 @@ def _num_or_none(s: str):
     return None if s in ("U", "u", "") else float(s)
 
 
-def _duration(s: str) -> int:
-    """``rrd_scaled_duration`` (src/rrd_create.c:52-75): a step/heartbeat
-    count with an optional s/m/h/d/w suffix (``60s``, ``5m``, ``1h``)."""
-    mult = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
-    if s and s[-1].lower() in mult:
-        return int(s[:-1]) * mult[s[-1].lower()]
-    return int(s)
+_DUR_MULT = {
+    "s": 1, "m": 60, "h": 3600, "d": 86400, "w": 7 * 86400,
+    "M": 31 * 86400, "y": 366 * 86400,  # case-sensitive: m=min, M=month
+}
+
+
+def _duration(s: str, divisor: int = 1) -> int:
+    """``rrd_scaled_duration`` port (src/rrd_utils.c:235-284): a positive
+    count with an optional case-sensitive s/m/h/d/w/M/y suffix. A bare
+    count inhibits scaling; a suffixed value is converted to seconds and
+    must divide evenly by ``divisor`` (the step for RRA steps, the RRA
+    resolution for RRA rows — tests/rrdcreate's misalignment diagnostics)."""
+    if not s or not s[0].isdigit():
+        raise ValueError("value must be (suffixed) positive number")
+    i = 0
+    while i < len(s) and s[i].isdigit():
+        i += 1
+    value, suffix = int(s[:i]), s[i:]
+    if suffix:
+        if suffix not in _DUR_MULT:
+            raise ValueError("value has trailing garbage")
+        value *= _DUR_MULT[suffix]
+    if value == 0:
+        raise ValueError("value must be positive")
+    if suffix and divisor:
+        if value % divisor:
+            raise ValueError("value would truncate when scaled")
+        value //= divisor
+    return value
 
 
 def _parse_ds(spec: str) -> DSDef:
@@ -62,25 +84,36 @@ def _parse_ds(spec: str) -> DSDef:
     parts = spec.split(":")
     if parts[0] != "DS":
         raise ValueError(f"bad DS spec {spec!r}")
+    if len(parts) < 3:
+        raise ValueError(f"invalid DS format in {spec!r}")
     name, dst = parts[1], parts[2].upper()
     if dst == "COMPUTE":
         return DSDef(name=name, dst="COMPUTE", cdef=":".join(parts[3:]))
-    hb = int(float(parts[3])) if len(parts) > 3 else 600
-    mn = _num_or_none(parts[4]) if len(parts) > 4 else None
-    mx = _num_or_none(parts[5]) if len(parts) > 5 else None
+    # heartbeat, min AND max are all required (parseDS diagnoses a
+    # missing separator/heartbeat/max — tests/rrdcreate)
+    if len(parts) < 4:
+        raise ValueError(f"failed to parse heartbeat in {spec!r}")
+    if len(parts) < 6:
+        raise ValueError(f"failed to parse min/max in {spec!r}")
+    hb = _duration(parts[3])
+    mn = _num_or_none(parts[4])
+    mx = _num_or_none(parts[5])
     return DSDef(name=name, dst=dst, heartbeat=hb, min_val=mn, max_val=mx)
 
 
-def _parse_rra(spec: str) -> RRADef:
-    # RRA:CF:xff:steps:rows (basic); HW family accepted with its params
+def _parse_rra(spec: str, step: int = 300) -> RRADef:
+    # RRA:CF:xff:steps:rows (basic); HW family accepted with its params.
+    # ``steps``/``rows`` accept duration forms (RRA:AVERAGE:0.5:1m:10d):
+    # steps scale by the dataset step, rows by the archive resolution
+    # (parseRRA's rrd_scaled_duration calls, src/rrd_create.c:370-420)
     parts = spec.split(":")
     if parts[0] != "RRA":
         raise ValueError(f"bad RRA spec {spec!r}")
     cf = parts[1].upper()
     if cf in ("AVERAGE", "MIN", "MAX", "LAST"):
-        return RRADef(
-            cf=cf, xff=float(parts[2]), pdp_cnt=int(parts[3]), row_cnt=int(parts[4])
-        )
+        pdp_cnt = _duration(parts[3], step)
+        row_cnt = _duration(parts[4], step * pdp_cnt)
+        return RRADef(cf=cf, xff=float(parts[2]), pdp_cnt=pdp_cnt, row_cnt=row_cnt)
     if cf in ("HWPREDICT", "MHWPREDICT"):
         # RRA:HWPREDICT:rows:alpha:beta:period[:rra-num] — without the
         # rra-num wire-up argument the four contingent archives are
@@ -181,8 +214,9 @@ def cmd_create(args: list[str]) -> int:
             mapping[new] = old
             a = f"DS:{new}:{rest}"
         ds_specs.append(a)
+    step_i = 300 if step is None else _duration(step)
     ds = [_parse_ds(a) for a in ds_specs]
-    rra = [_parse_rra(a) for a in args if a.startswith("RRA:")]
+    rra = [_parse_rra(a, step_i) for a in args if a.startswith("RRA:")]
     name = path.rstrip("/").rsplit("/", 1)[-1]
     start_i = None if start is None else _at(start, 0)
 
@@ -209,7 +243,7 @@ def cmd_create(args: list[str]) -> int:
             dataset.start = tpl_store.last()
     else:
         dataset = _create_def(
-            name=name, step=300 if step is None else _duration(step), ds=ds, rra=rra,
+            name=name, step=step_i, ds=ds, rra=rra,
             start=start_i,
         )
     # build into a temp sibling and swap in only on success, so a failed
@@ -872,7 +906,7 @@ def cmd_tune(args: list[str]) -> int:
                     f"Failed to parse RRA# command: invalid operation: {sign}"
                 )
         elif a.startswith("RRA:"):
-            ev.add_rra(store, _parse_rra(a))
+            ev.add_rra(store, _parse_rra(a, store.dataset.step))
     return 0
 
 

@@ -620,3 +620,54 @@ def test_list1_semantics(spark, tmp_path, capsys):
 
     assert main(["list"]) == 1  # Usage
     assert "Usage" in capsys.readouterr().err
+
+
+def test_rrdcreate_diagnostics_and_duration_grammar(spark, tmp_path, capsys):
+    """Mirror of the reference's tests/rrdcreate: bad create argv must be
+    diagnosed (zero/negative/non-numeric step, invalid suffix, misaligned
+    RRA steps/rows, missing heartbeat/max, min>max), and the duration
+    grammar must be exactly equivalent to raw counts (the ct.out/dur.out
+    info identity)."""
+    p = str(tmp_path / "junk")
+    base_ds = "DS:v:GAUGE:5:U:U"
+    base_rra = "RRA:AVERAGE:0.5:1:100"
+
+    def fails(*args):
+        rc = main(["create", str(tmp_path / "foo"), "--start", "now", *args])
+        assert rc != 0, args
+        capsys.readouterr()
+
+    fails("--step", "0", base_ds, base_rra)        # zero step
+    fails("--step", "-1", base_ds, base_rra)       # negative step
+    fails("--step", "one", base_ds, base_rra)      # non-numeric step
+    fails("--step", "2H", base_ds, base_rra)       # invalid suffix (case!)
+    fails("--step", "10s", base_ds, "RRA:AVERAGE:0.5:15s:1h")  # misaligned steps
+    fails("--step", "10s", base_ds, "RRA:AVERAGE:0.5:10s:75s") # misaligned rows
+    fails("--step", "5s", base_ds, "RRA:AVERAGE:0.5:15s:10s")  # zero rows
+    fails("--step", "5s", "DS:v:GAUGE:5", "RRA:AVERAGE:0.5:15s:10s")   # no min/max
+    fails("--step", "5s", "DS:v:GAUGE:xx:U:U", "RRA:AVERAGE:0.5:15s:1m")  # bad hb
+    fails("--step", "5s", "DS:v:GAUGE:30s:5:3", "RRA:AVERAGE:0.5:15s:1m")  # min>max
+    fails("--step", "5s", "DS:v:GAUGE:30s:53", "RRA:AVERAGE:0.5:15s:1m")   # no max
+
+    def info_of(*args):
+        assert main(["create", p, *args]) == 0
+        assert main(["info", p]) == 0
+        out = capsys.readouterr().out
+        import shutil
+
+        shutil.rmtree(p)
+        return out
+
+    ct = info_of(
+        "--start", "0", "--step", "1",
+        "DS:watts:GAUGE:300:0:24000",
+        "RRA:AVERAGE:0.5:1:864000", "RRA:AVERAGE:0.5:60:129600",
+        "RRA:AVERAGE:0.5:3600:13392", "RRA:AVERAGE:0.5:86400:3660",
+    )
+    dur = info_of(
+        "--start", "0", "--step", "1s",
+        "DS:watts:GAUGE:5m:0:24000",
+        "RRA:AVERAGE:0.5:1s:10d", "RRA:AVERAGE:0.5:1m:90d",
+        "RRA:AVERAGE:0.5:1h:18M", "RRA:AVERAGE:0.5:1d:10y",
+    )
+    assert ct == dur  # 1-sec PDP equivalents, byte-identical info
