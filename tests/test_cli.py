@@ -671,3 +671,88 @@ def test_rrdcreate_diagnostics_and_duration_grammar(spark, tmp_path, capsys):
         "RRA:AVERAGE:0.5:1h:18M", "RRA:AVERAGE:0.5:1d:10y",
     )
     assert ct == dur  # 1-sec PDP equivalents, byte-identical info
+
+
+def test_graph1_golden_print(spark, tmp_path, capsys):
+    """Mirror of tests/graph1's checkable data output: graphv with a
+    hyphenated DEF vname and VDEF MAXIMUM prints exactly "0.040000"
+    (the committed graph1.output golden line)."""
+    p = str(tmp_path / "graph1")
+    assert main([
+        "create", p, "--start", "920804400", "DS:speed:COUNTER:600:U:U",
+        "RRA:AVERAGE:0.5:1:24", "RRA:AVERAGE:0.5:6:10",
+    ]) == 0
+    vals = [12345, 12357, 12363, 12363, 12363, 12373, 12383, 12393,
+            12399, 12405, 12411, 12415, 12420, 12422, 12423]
+    assert main(["update", p] + [
+        f"{920804400 + 300 * (i + 1)}:{v}" for i, v in enumerate(vals)
+    ]) == 0
+    assert main([
+        "graphv", "g.out", "--start", "920804400", "--end", "920808000",
+        f"DEF:my-speed={p}:speed:AVERAGE",
+        "VDEF:o=my-speed,MAXIMUM", "PRINT:o:%lf",
+    ]) == 0
+    assert 'print[0] = "0.040000"' in capsys.readouterr().out
+
+
+def test_dcounter1_via_daemon_matrix(spark, tmp_path, capsys):
+    """The reference's TESTS_STYLE=rrdcached matrix run of dcounter1-style
+    flows: dataset provisioned with daemon CREATE, all updates through the
+    daemon socket, fetch -d — rows must equal the direct library path."""
+    import re
+
+    from rrdtool_1_x_spark.sources.store import DatasetStore
+    from rrdtool_1_x_spark.streaming.daemon import DaemonServer, IngestDaemon
+    from rrdtool_1_x_spark.streaming.ingest import StreamingIngest
+
+    create_argv = [
+        "--start", "1300000000", "--step", "60s",
+        "DS:dv:DDERIVE:300:U:U", "DS:wh:DCOUNTER:300:0:U",
+        "RRA:AVERAGE:0.5:1:600", "RRA:AVERAGE:0.5:10:144",
+    ]
+    try:
+        src = open("/root/reference/tests/dcounter1").read()
+    except OSError:
+        import pytest as _pytest
+
+        _pytest.skip("reference tests not available")
+    specs = re.findall(r"\b(\d{10}:[0-9.]+:[0-9.]+)\b", src)[:120]
+    # NOTE: the rrdcached wire FETCH carries no resolution argument
+    # (src/rrd_daemon.c:3083), so -r cannot ride the daemon path in the
+    # reference either — the matrix compares the default-resolution read
+    fetch_argv = ["AVERAGE", "-s", "1300000000", "-e", "1300007200"]
+
+    lib = str(tmp_path / "lib")
+    assert main(["create", lib] + create_argv) == 0
+    assert main(["update", lib] + specs) == 0
+    assert main(["fetch", lib] + fetch_argv) == 0
+    out_lib = capsys.readouterr().out
+
+    primary = str(tmp_path / "primary")
+    assert main(["create", primary] + create_argv) == 0
+    store = DatasetStore(spark, primary)
+    with DaemonServer(
+        IngestDaemon(StreamingIngest(store), write_interval=1e9)
+    ) as srv:
+        addr = f"127.0.0.1:{srv.address[1]}"
+        # provision THROUGH the daemon, update through the socket in
+        # batches, then read with the daemon-routed fetch
+        from rrdtool_1_x_spark.streaming.daemon import DaemonClient
+
+        with DaemonClient(addr) as c:
+            code, msg, _ = c.command(
+                "CREATE cd2 -b 1300000000 -s 60 "
+                "DS:dv:DDERIVE:300:U:U DS:wh:DCOUNTER:300:0:U "
+                "RRA:AVERAGE:0.5:1:600 RRA:AVERAGE:0.5:10:144"
+            )
+            assert code == 0, msg
+            for lo in range(0, len(specs), 40):
+                code, msg, _ = c.command(
+                    "UPDATE cd2 " + " ".join(specs[lo : lo + 40])
+                )
+                assert code == 0, msg
+        assert main(
+            ["fetch", str(tmp_path / "cd2"), "-d", addr] + fetch_argv
+        ) == 0
+        out_dmn = capsys.readouterr().out
+    assert out_dmn == out_lib
