@@ -545,6 +545,57 @@ def q_media_probe(spark, sf_dir):
     ).orderBy("doc_id", "kind")
 
 
+def q_media_resize(spark, sf_dir):
+    """Image resize through REAL codec cycles (datapipe.multimodal.
+    resize_images): encode text bytes as 16x16 PNG, nearest-neighbor
+    resize to 8x8 (re-encoded PNG), strict-decode and emit the 64 pixels.
+    Nearest-neighbor picks source pixel (2y, 2x), so the oracle reads
+    byte 32y+2x of the padded payload."""
+    from rrdtool_1_x_spark.datapipe.multimodal import (
+        extract_features,
+        resize_images,
+        synthesize_media_real,
+    )
+
+    d = _docs(spark, sf_dir)
+    small = resize_images(synthesize_media_real(spark, d, "image"), 8, 8)
+    feats = extract_features(small, feat_dim=64, strict=True)
+    return (
+        feats.select("doc_id", F.posexplode("feat").alias("pix_idx", "_v"))
+        .select(
+            "doc_id",
+            F.col("pix_idx").cast("long").alias("pix_idx"),
+            F.round(F.col("_v").cast("double"), 6).alias("pix_val"),
+        )
+        .orderBy("doc_id", "pix_idx")
+    )
+
+
+def q_media_frames(spark, sf_dir):
+    """Audio frame-sampling through REAL codec cycles (sample_audio_frames):
+    8-bit PCM WAV -> keep every 4th frame re-encoded as 16-bit PCM ->
+    strict decode. int16 quantization of (b-128)/128 * 32768 is exact
+    ((b-128)*256 is an integer), so sample i == (byte[4i]-128)/128."""
+    from rrdtool_1_x_spark.datapipe.multimodal import (
+        extract_features,
+        sample_audio_frames,
+        synthesize_media_real,
+    )
+
+    d = _docs(spark, sf_dir)
+    strided = sample_audio_frames(synthesize_media_real(spark, d, "audio"), 4)
+    feats = extract_features(strided, feat_dim=64, strict=True)
+    return (
+        feats.select("doc_id", F.posexplode("feat").alias("frame_idx", "_v"))
+        .select(
+            "doc_id",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            F.round(F.col("_v").cast("double"), 6).alias("frame_val"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
 def q_ann_cosine_top10(spark, sf_dir):
     """Brute-force cosine top-10 against the lowest-id embedding."""
     e = _emb(spark, sf_dir)
@@ -1247,6 +1298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_decode": q_media_decode,
         "media_probe": q_media_probe,
+        "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
         "near_dup_pairs": q_near_dup_pairs,
         "dup_groups": q_dup_groups,
         "dedup_report": q_dedup_report,
@@ -1612,6 +1665,36 @@ SELECT doc_id, 'audio' AS kind, 'audio/wav' AS mime,
        (256000 // (4000 + 100 * (doc_id % 20)))::BIGINT AS duration_ms
 FROM documents
 ORDER BY doc_id, kind"""
+    # media_resize: nearest-neighbor 16x16 -> 8x8 picks source pixel
+    # (2y, 2x) = padded byte 32y+2x; values byte/255 float32-rounded (the
+    # 64-bucket pooling over 64 pixels is the identity)
+    sql["media_resize"] = """
+WITH t AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+b AS (SELECT doc_id, list_transform(range(0, 256), i ->
+        CASE WHEN 2*i + 2 <= len(hx)
+             THEN 16*(strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1)
+                  + (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1)
+             ELSE 0 END) AS bytes
+      FROM t)
+SELECT doc_id, j AS pix_idx,
+  round((((bytes[32*(j//8) + 2*(j%8) + 1] / 255.0))::FLOAT)::DOUBLE, 6)
+    AS pix_val
+FROM b, range(0, 64) r(j)
+ORDER BY doc_id, pix_idx"""
+    # media_frames: every 4th 8-bit PCM frame, re-encoded 16-bit exactly:
+    # sample i = (byte[4i]-128)/128
+    sql["media_frames"] = """
+WITH t AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+b AS (SELECT doc_id, list_transform(range(0, 256), i ->
+        CASE WHEN 2*i + 2 <= len(hx)
+             THEN 16*(strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1)
+                  + (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1)
+             ELSE 0 END) AS bytes
+      FROM t)
+SELECT doc_id, j AS frame_idx,
+  round((((bytes[4*j + 1] - 128) / 128.0)::FLOAT)::DOUBLE, 6) AS frame_val
+FROM b, range(0, 64) r(j)
+ORDER BY doc_id, frame_idx"""
     sql["quality"] = """
 WITH m AS (
   SELECT doc_id, length(text)::DOUBLE AS n,
