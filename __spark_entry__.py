@@ -771,6 +771,21 @@ def q_weighted_jaccard(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition quality rules (datapipe.textstats.
+    repetition_metrics): duplicate-line fraction + top word-bigram share,
+    the public boilerplate/spam filters for training corpora."""
+    from rrdtool_1_x_spark.datapipe.textstats import repetition_metrics
+
+    d = _docs(spark, sf_dir)
+    out = repetition_metrics(d)
+    return out.select(
+        "doc_id",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+    ).orderBy("doc_id")
+
+
 def q_fingerprint(spark, sf_dir):
     """Rolling-hash document fingerprint (winnowing lite) in the portable
     md5 mode (datapipe.textstats.rolling_fingerprint)."""
@@ -1307,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "fingerprint": q_fingerprint,
+        "repetition": q_repetition,
         "weighted_jaccard": q_weighted_jaccard,
         "graph_stack": q_graph_stack,
         "graph_scale": q_graph_scale,
@@ -1695,6 +1711,27 @@ SELECT doc_id, j AS frame_idx,
   round((((bytes[4*j + 1] - 128) / 128.0)::FLOAT)::DOUBLE, 6) AS frame_val
 FROM b, range(0, 64) r(j)
 ORDER BY doc_id, frame_idx"""
+    sql["repetition"] = """
+WITH t AS (SELECT doc_id, text FROM documents),
+l AS (SELECT doc_id,
+        len(string_split(text, chr(10))) AS nl,
+        len(list_distinct(string_split(text, chr(10)))) AS dl
+      FROM t),
+tok AS (SELECT doc_id,
+          regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        FROM t),
+bg AS (SELECT doc_id,
+         list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) AS bgs
+       FROM tok),
+e AS (SELECT doc_id, len(bgs) AS n, unnest(bgs) AS b FROM bg),
+c AS (SELECT doc_id, n, b, count(*) AS cnt FROM e GROUP BY doc_id, n, b),
+m AS (SELECT doc_id, n, max(cnt) AS top FROM c GROUP BY doc_id, n)
+SELECT t.doc_id,
+  round(CASE WHEN l.nl > 0 THEN (l.nl - l.dl)::DOUBLE / l.nl END, 6)
+    AS dup_line_frac,
+  round(CASE WHEN m.n > 0 THEN m.top::DOUBLE / m.n END, 6) AS top_bigram_frac
+FROM t JOIN l USING(doc_id) LEFT JOIN m USING(doc_id)
+ORDER BY doc_id"""
     sql["quality"] = """
 WITH m AS (
   SELECT doc_id, length(text)::DOUBLE AS n,

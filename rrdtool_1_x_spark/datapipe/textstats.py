@@ -97,6 +97,55 @@ def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_guess", guess)
 
 
+def repetition_metrics(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, public quality
+    rules): ``dup_line_frac`` — fraction of lines that are duplicates of
+    an earlier line; ``top_bigram_frac`` — share of the most frequent word
+    bigram among all bigrams (boilerplate/spam detector).
+
+    dup_line_frac is pure per-row array math. The bigram mode needs a
+    per-(doc, bigram) count — explode → two map-side-combinable
+    aggregations keyed by doc, so the shuffle carries one row per distinct
+    (doc, bigram): corpus-linear, no corpus-wide key."""
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    dup = F.when(
+        n_lines > 0,
+        (n_lines - F.size(F.array_distinct(lines))).cast("double") / n_lines,
+    )
+    toks = _tokens(F.col(text_col))
+    # zip_with pads the shorter side with NULL and concat_ws skips NULLs,
+    # so the trailing element is a lone token — real bigrams are the
+    # elements containing the separator space
+    bigrams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        lambda s: s.contains(" "),
+    )
+    base = df.select(
+        F.col(id_col), dup.alias("dup_line_frac"), bigrams.alias("_bg")
+    )
+    counts = (
+        base.select(id_col, "dup_line_frac", F.size("_bg").alias("_n"),
+                    F.explode_outer("_bg").alias("_b"))
+        .groupBy(id_col, "dup_line_frac", "_n", "_b")
+        .agg(F.count("_b").alias("_c"))
+        .groupBy(id_col, "dup_line_frac", "_n")
+        .agg(F.max("_c").alias("_top"))
+    )
+    top = F.when(
+        F.col("_n") > 0, F.col("_top").cast("double") / F.col("_n")
+    ).otherwise(F.lit(None))
+    return counts.select(
+        id_col, "dup_line_frac", top.alias("top_bigram_frac")
+    )
+
+
 def rolling_fingerprint(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -534,3 +534,26 @@ def test_ivf_topk_arrow_kernel_identical(spark, emb):
     a = ivf_topk(corpus, q, k=10, nlist=16, nprobe=4, kernel="arrow").collect()
     key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["cos_sim"])
     assert sorted(map(key, f)) == sorted(map(key, a)) and len(f) == 20
+
+
+def test_repetition_metrics(spark):
+    """Gopher repetition rules: hand-computed duplicate-line and
+    top-bigram fractions."""
+    from rrdtool_1_x_spark.datapipe.textstats import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),          # bigrams: ab ba ab ba ab -> 3/5
+            (2, "x\ny\nx\nz"),           # 4 lines, 3 distinct -> 0.25
+            (3, "one"),                  # no bigrams -> null
+            (4, ""),                     # single empty line -> 0.0, null
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_metrics(docs).collect()}
+    assert abs(got[1]["top_bigram_frac"] - 3 / 5) < 1e-12
+    assert got[1]["dup_line_frac"] == 0.0
+    assert abs(got[2]["dup_line_frac"] - 0.25) < 1e-12
+    assert got[3]["top_bigram_frac"] is None
+    assert got[4]["dup_line_frac"] == 0.0
+    assert got[4]["top_bigram_frac"] is None
