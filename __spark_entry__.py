@@ -1165,14 +1165,24 @@ def q_sql_source(spark, sf_dir):
         sql_def_frame,
     )
 
+    # the scaled-sweep corpora suffix the series ids (click_0, ...): pin
+    # the lexicographically-first click series so the query works at any
+    # replication factor while matching the oracle's 'click' at sf gates
+    sid = (
+        _samples(spark, sf_dir)
+        .filter(F.col("series_id").startswith("click"))
+        .agg(F.min("series_id"))
+        .first()[0]
+    )
+
     def drv(s, spec, start, end):
-        base = _samples(s, sf_dir).filter(F.col("series_id") == "click")
+        base = _samples(s, sf_dir).filter(F.col("series_id") == sid)
         return base.select("ts", "value").filter(
             (F.col("ts") > start) & (F.col("ts") < end)
         )
 
     SQL_DRIVERS["entry_events"] = drv
-    s = _samples(spark, sf_dir).filter(F.col("series_id") == "click")
+    s = _samples(spark, sf_dir).filter(F.col("series_id") == sid)
     lo, hi = s.agg(F.min("ts"), F.max("ts")).first()
     spec = parse_sql_path("sql//entry_events/rrdminstepsize=3600//t/ts/v")
     out, *_ = sql_def_frame(spark, spec, int(lo), int(hi), 3600)
@@ -1198,14 +1208,24 @@ def q_sql_derive(spark, sf_dir):
         sql_def_frame,
     )
 
+    # the scaled-sweep corpora suffix the series ids (click_0, ...): pin
+    # the lexicographically-first click series so the query works at any
+    # replication factor while matching the oracle's 'click' at sf gates
+    sid = (
+        _samples(spark, sf_dir)
+        .filter(F.col("series_id").startswith("click"))
+        .agg(F.min("series_id"))
+        .first()[0]
+    )
+
     def drv(s, spec, start, end):
-        base = _samples(s, sf_dir).filter(F.col("series_id") == "click")
+        base = _samples(s, sf_dir).filter(F.col("series_id") == sid)
         return base.select("ts", "value").filter(
             (F.col("ts") > start) & (F.col("ts") < end)
         )
 
     SQL_DRIVERS["entry_events"] = drv
-    s = _samples(spark, sf_dir).filter(F.col("series_id") == "click")
+    s = _samples(spark, sf_dir).filter(F.col("series_id") == sid)
     lo, hi = s.agg(F.min("ts"), F.max("ts")).first()
     spec = parse_sql_path(
         "sql//entry_events/rrdminstepsize=3600/rrdderivemaxstep=86400//t/ts/v/derive"
