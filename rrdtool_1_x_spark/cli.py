@@ -25,6 +25,7 @@ serves the PRINT/scalar data outputs only.
 
 from __future__ import annotations
 
+import re as _re
 import sys
 import time as _time
 
@@ -201,9 +202,10 @@ def cmd_create(args: list[str]) -> int:
     while (s := _opt(args, "--source", "-r")) is not None:
         sources.append(s)
     template = _opt(args, "--template", "-t")
-    # DS:new=old:... declares a prefill mapping (parseDS mapping grammar,
-    # src/rrd_create.c parseDS + mapping_t)
-    mapping: dict[str, str] = {}
+    # DS:new=old[idx]:... declares a prefill mapping (parseDS mapping
+    # grammar DS_RE, src/rrd_create.c:310-326 + mapping_t); the optional
+    # [idx] is a 1-based --source index restricting where `old` may match
+    mapping: dict[str, str | tuple[str, int]] = {}
     ds_specs = []
     for a in args:
         if not a.startswith("DS:"):
@@ -211,7 +213,10 @@ def cmd_create(args: list[str]) -> int:
         head, rest = a.split(":", 2)[1], a.split(":", 2)[2]
         if "=" in head:
             new, old = head.split("=", 1)
-            mapping[new] = old
+            m = _re.fullmatch(r"([^\[\]]+)(?:\[([0-9]+)\])?", old)
+            if m is None:
+                raise ValueError(f"invalid DS mapping: {a}")
+            mapping[new] = (m.group(1), int(m.group(2))) if m.group(2) else m.group(1)
             a = f"DS:{new}:{rest}"
         ds_specs.append(a)
     step_i = 300 if step is None else _duration(step)

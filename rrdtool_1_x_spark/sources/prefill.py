@@ -189,10 +189,18 @@ def prefill_rollup(
     last_up: int,
     sources: list[DatasetStore],
     ds_names: list[str],
-    mapping: dict[str, str] | None = None,
+    mapping: dict[str, str | tuple[str, int]] | None = None,
+    relabel: dict[int, str] | None = None,
 ) -> DataFrame | None:
     """(series_id, ds_name, ts, value) rows for one new archive, filled
     from the sources' archives; None when no candidate archives exist.
+
+    ``relabel`` maps a 1-based source index to a replacement series id:
+    a reference .rrd file is ONE anonymous series, so single-series
+    sources merge into the target's series identity (the dump of
+    ``create --source a --source b`` diffs clean against a natively
+    updated file — tests/create-with-source-and-mapping-1). Multi-series
+    stores (the partitioned extension) keep their ids.
 
     ``ds_names``: the new dataset's data sources; each pulls from the
     source DS of the same name unless ``mapping`` overrides
@@ -208,7 +216,7 @@ def prefill_rollup(
     bins.reverse()  # chronological
 
     cands = []
-    for src in sources:
+    for src_idx, src in enumerate(sources, start=1):
         d = src.dataset
         src_last = src.last()
         for i, rra in enumerate(d.rra):
@@ -216,14 +224,14 @@ def prefill_rollup(
                 continue
             if not (rra.cf == target_rra.cf or rra.cf == "AVERAGE"):
                 continue  # select_create_candidates
-            cands.append((src, i, rra.cf, d.step * rra.pdp_cnt, rra.row_cnt, src_last))
+            cands.append((src, i, rra.cf, d.step * rra.pdp_cnt, rra.row_cnt, src_last, src_idx))
     if not cands:
         return None
     cands.sort(key=_order_key(bin_size, target_rra.cf))
 
     frames = []
     cand_bin: dict[int, int] = {}
-    for rank, (src, i, _cf, res, rows, src_last) in enumerate(cands):
+    for rank, (src, i, _cf, res, rows, src_last, src_idx) in enumerate(cands):
         t = src._read(f"rra_{i}")
         if t is None:
             continue
@@ -234,23 +242,42 @@ def prefill_rollup(
         f = t.filter(
             (F.col("ts") > F.lit(float(max(window_lo, retention_lo))))
             & (F.col("ts") <= F.lit(float(last_aligned + res - 1)))
-        ).select("series_id", "ds_name", "ts", "value", F.lit(rank).alias("rank"))
+        ).select(
+            "series_id", "ds_name", "ts", "value",
+            F.lit(rank).alias("rank"), F.lit(src_idx).alias("src_idx"),
+        )
         frames.append(f)
     if not frames:
         return None
     allc = frames[0]
     for f in frames[1:]:
         allc = allc.unionByName(f)
+    if relabel:
+        expr = F.col("series_id")
+        for idx, new in relabel.items():
+            expr = F.when(F.col("src_idx") == idx, F.lit(new)).otherwise(expr)
+        allc = allc.withColumn("series_id", expr)
     # by-name DS matching with mapping overrides: a tiny (source name ->
     # target name) relation broadcast-joined in, relabeling as it filters
     # (two targets may pull the same source DS -> rows duplicate, which a
-    # rename column could not express)
+    # rename column could not express). A mapping value may carry a
+    # 1-based source index — ``DS:new=old[3]`` — restricting the match to
+    # that one --source (find_matching_candidates srcindex check,
+    # src/rrd_create.c:2410-2420); NULL want_idx matches every source.
     mapping = mapping or {}
-    pairs = [(mapping.get(t, t), t) for t in ds_names]
+    pairs = []
+    for t in ds_names:
+        old = mapping.get(t, t)
+        old, idx = old if isinstance(old, tuple) else (old, None)
+        pairs.append((old, t, idx))
     spark = sources[0].spark
-    mapdf = spark.createDataFrame(pairs, "src_ds string, tgt_ds string")
+    mapdf = spark.createDataFrame(pairs, "src_ds string, tgt_ds string, want_idx int")
     allc = (
-        allc.join(F.broadcast(mapdf), allc["ds_name"] == mapdf["src_ds"])
+        allc.join(
+            F.broadcast(mapdf),
+            (allc["ds_name"] == mapdf["src_ds"])
+            & (mapdf["want_idx"].isNull() | (allc["src_idx"] == mapdf["want_idx"])),
+        )
         .select("series_id", F.col("tgt_ds").alias("ds_name"), "ts", "value", "rank")
     )
     kernel = _prefill_kernel(
@@ -267,7 +294,7 @@ def create_prefilled(
     dataset: DatasetDef,
     sources: list[DatasetStore] | None = None,
     start: int | None = None,
-    mapping: dict[str, str] | None = None,
+    mapping: dict[str, str | tuple[str, int]] | None = None,
     partition_by_day: bool = False,
 ) -> DatasetStore:
     """``rrdtool create path [--source s]...`` — create ``dataset`` at
@@ -284,9 +311,27 @@ def create_prefilled(
     store = DatasetStore.create(spark, path, dataset, partition_by_day=partition_by_day)
     if sources and dataset.start:
         ds_names = [d.name for d in dataset.ds]
+        # series census per source (one tiny distinct over its rollups +
+        # samples): single-series sources lose their incidental label and
+        # merge under the new dataset's identity, like the reference's
+        # file-is-the-series model
+        relabel: dict[int, str] = {}
+        for si, s in enumerate(sources, start=1):
+            parts = [s._read("samples")]
+            parts += [s._read(f"rra_{j}") for j in range(len(s.dataset.rra))]
+            parts = [p.select("series_id") for p in parts if p is not None]
+            if not parts:
+                continue
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
+            names = [r[0] for r in u.distinct().limit(2).collect()]
+            if len(names) == 1:
+                relabel[si] = dataset.name
         for i, rra in enumerate(dataset.rra):
             out = prefill_rollup(
-                rra, dataset.step, dataset.start, sources, ds_names, mapping
+                rra, dataset.step, dataset.start, sources, ds_names, mapping,
+                relabel=relabel or None,
             )
             if out is not None:
                 store._write(out, f"rra_{i}", mode="overwrite")

@@ -144,6 +144,78 @@ def test_create_with_source_mapping(spark, tmp_path):
     assert got == pytest.approx({("x", t): v for t, v in src.items()}, rel=1e-12)
 
 
+def test_create_with_source_index_mapping(spark, tmp_path):
+    """create-with-source-and-mapping-1: four sources where the DS name
+    alone is ambiguous. Unmapped DS:a pulls the FIRST source holding an
+    `a` (coverage walk makes earlier sources win full ties);
+    ``DS:a=a[3]``/``DS:c=a[1]`` restrict the match to the 1-based source
+    index (find_matching_candidates, src/rrd_create.c:2410-2420)."""
+    upd = _updates()
+    mk = lambda p, mul, names: _mk_source(
+        spark, str(tmp_path / p),
+        [(t, tuple(mul * v for v in vals)) for t, vals in upd], ds_names=names,
+    )
+    ax1 = mk("ax1", 1, ("a",))
+    bx1 = mk("bx1", 2, ("b",))
+    ay1 = mk("ay1", 3, ("a",))
+    by1 = mk("by1", 4, ("b",))
+    sources = [ax1, bx1, ay1, by1]
+
+    # unmapped: DS:a matches ax1 (source 1) and ay1 (source 3); ax1's
+    # identical-layout archives fully cover every bin first, so values
+    # equal ax1's — the reference's match-ac1_a1 diff
+    d = create(
+        "u1", step=60, ds=[_gauge_ds("a"), _gauge_ds("c")],
+        rra=[RRADef(**vars(r)) for r in RRAS],
+    )
+    u1 = create_prefilled(spark, str(tmp_path / "u1"), d, sources=sources)
+    for i in range(len(RRAS)):
+        want = {k[2]: v for k, v in _rra_rows(ax1, i).items()}
+        got = _rra_rows(u1, i)
+        assert {k[1] for k in got} == {"a"}  # c: no source -> unknown
+        assert {k[2]: v for k, v in got.items()} == pytest.approx(want, rel=1e-12)
+
+    # indexed mapping: a=a[3] -> ay1 (3x values), c=a[1] -> ax1 (1x) —
+    # the reference's match-ac1 diff against the natively-updated ac1
+    d = create(
+        "m1", step=60, ds=[_gauge_ds("a"), _gauge_ds("c")],
+        rra=[RRADef(**vars(r)) for r in RRAS],
+    )
+    m1 = create_prefilled(
+        spark, str(tmp_path / "m1"), d, sources=sources,
+        mapping={"a": ("a", 3), "c": ("a", 1)},
+    )
+    for i in range(len(RRAS)):
+        a_want = {k[2]: v for k, v in _rra_rows(ay1, i).items()}
+        c_want = {k[2]: v for k, v in _rra_rows(ax1, i).items()}
+        got = _rra_rows(m1, i)
+        assert {k[2]: v for k, v in got.items() if k[1] == "a"} == pytest.approx(
+            a_want, rel=1e-12
+        ), f"rra_{i} a"
+        assert {k[2]: v for k, v in got.items() if k[1] == "c"} == pytest.approx(
+            c_want, rel=1e-12
+        ), f"rra_{i} c"
+
+    # argv surface: DS:new=old[idx] grammar through the CLI
+    p = str(tmp_path / "m2")
+    rc = main(
+        ["create", p, "--step", "60",
+         "--source", str(tmp_path / "ax1"), "--source", str(tmp_path / "bx1"),
+         "--source", str(tmp_path / "ay1"), "--source", str(tmp_path / "by1"),
+         "DS:a=a[3]:GAUGE:120:U:U", "DS:c=a[1]:GAUGE:120:U:U",
+         "RRA:AVERAGE:0.5:1:100"]
+    )
+    assert rc == 0
+    m2 = DatasetStore(spark, p)
+    got = _rra_rows(m2, 0)
+    assert {k[2]: v for k, v in got.items() if k[1] == "a"} == pytest.approx(
+        {k[2]: v for k, v in _rra_rows(ay1, 0).items()}, rel=1e-12
+    )
+    assert {k[2]: v for k, v in got.items() if k[1] == "c"} == pytest.approx(
+        {k[2]: v for k, v in _rra_rows(ax1, 0).items()}, rel=1e-12
+    )
+
+
 def test_reconsolidation_from_finer_rra(spark, tmp_path):
     """A coarse target bin with no exact-resolution source coverage is
     re-consolidated from the finer AVERAGE archive with coverage
@@ -195,8 +267,8 @@ def test_cli_create_with_source_and_template(spark, tmp_path):
     rc = main(["update", p1] + [f"{t}:{v[0]}" for t, v in _updates()])
     assert rc == 0
     src = DatasetStore(spark, p1)
-    # the CLI writes samples under series id = dataset name; prefill carries
-    # whatever series the source holds
+    # the CLI writes samples under series id = dataset name; a
+    # single-series source prefill relabels to the target's id
     p2 = str(tmp_path / "s2")
     rc = main(
         ["create", p2, "--step", "60", "--source", p1,
@@ -205,7 +277,14 @@ def test_cli_create_with_source_and_template(spark, tmp_path):
     assert rc == 0
     new = DatasetStore(spark, p2)
     assert new.last() == src.last()
-    assert _rra_rows(new, 0) == pytest.approx(_rra_rows(src, 0), rel=1e-12)
+    # a single-series source merges under the NEW dataset's series id
+    # (the file-is-the-series model), so later updates to s2 extend the
+    # prefilled history instead of forking a second series
+    got = _rra_rows(new, 0)
+    assert {k[0] for k in got} == {"s2"}
+    assert {k[1:]: v for k, v in got.items()} == pytest.approx(
+        {k[1:]: v for k, v in _rra_rows(src, 0).items()}, rel=1e-12
+    )
     # template copies the layout
     p3 = str(tmp_path / "s3")
     rc = main(["create", p3, "--template", p1])
