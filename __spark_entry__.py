@@ -933,6 +933,64 @@ def q_vocab_top(spark, sf_dir):
     return vocab_top_ngrams(d, n=1, k=50).orderBy("rank")
 
 
+def _pii_enriched(d):
+    """documents text + deterministic doc_id-derived PII spans (the corpus
+    itself is PII-free synthetic prose): doc_id%3 emails, doc_id%2 URLs,
+    one IP, (doc_id+1)%2 phone numbers — so every count column varies and
+    the redactor rewrites real matches. The oracle builds the identical
+    string with || and repeat()."""
+    did = F.col("doc_id").cast("string")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.repeat(
+                F.concat(F.lit(" user"), did, F.lit("@mail.example.com")),
+                (F.col("doc_id") % 3).cast("int"),
+            ),
+            F.repeat(
+                F.concat(F.lit(" see http://ex.org/p/"), did),
+                (F.col("doc_id") % 2).cast("int"),
+            ),
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+            F.repeat(
+                F.lit(" call +1-555-0142 now"),
+                ((F.col("doc_id") + 1) % 2).cast("int"),
+            ),
+        ).alias("text"),
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII detection + redaction (datapipe.pii): per-class hit counts on
+    the raw text and the md5 of the sequentially-redacted rewrite."""
+    from rrdtool_1_x_spark.datapipe.pii import pii_metrics, redact_pii
+
+    d = _pii_enriched(_docs(spark, sf_dir))
+    out = redact_pii(pii_metrics(d))
+    return out.select(
+        "doc_id", "url_cnt", "email_cnt", "ipv4_cnt", "phone_cnt",
+        "pii_total", F.md5(F.col("redacted").cast("binary")).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Self-trained unigram-LM quality score (datapipe.textstats
+    .unigram_logprob): mean token log-probability under the corpus's own
+    unigram distribution — the cheap perplexity proxy."""
+    from rrdtool_1_x_spark.datapipe.textstats import unigram_logprob
+
+    d = _docs(spark, sf_dir)
+    out = unigram_logprob(d)
+    return out.select(
+        "doc_id",
+        F.round("unigram_logprob", 6).alias("unigram_logprob"),
+        "token_cnt",
+    ).orderBy("doc_id")
+
+
 # --- library-only surfaces promoted to oracle gates (round 4): the
 # incremental index append paths, the persisted-IVF probe path, the xport
 # text formatter, and the daemon FETCH wire format. Each reuses an existing
@@ -1352,6 +1410,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "token_budget": q_token_budget,
         "vocab_top": q_vocab_top,
+        "pii_scrub": q_pii_scrub,
+        "unigram_logprob": q_unigram_logprob,
         "band_index_topup": q_band_index_topup,
         "simhash_index_topup": q_simhash_index_topup,
         "ivf_indexed_topk": q_ivf_indexed_topk,
@@ -2276,4 +2336,49 @@ b AS (SELECT CAST(min(ts) AS BIGINT) AS lo, CAST(max(ts) AS BIGINT) AS hi FROM c
 g AS (SELECT unnest(generate_series(lo, hi, {int(STEP)})) AS t FROM b)
 SELECT g.t::DOUBLE AS ts, round(c.value, 6) AS value
 FROM g LEFT JOIN c ON c.ts = g.t ORDER BY ts"""
+    # PII scrub: the same RE2-safe patterns verbatim (DuckDB 1.0 has no
+    # regexp_count → len(regexp_extract_all)); redaction order URL →
+    # email → IP → phone matches PII_PATTERNS
+    from rrdtool_1_x_spark.datapipe.pii import PII_PATTERNS
+
+    pats = {name: pat for name, pat, _ in PII_PATTERNS}
+    red = "text"
+    for _name, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    cnt_cols = ",\n  ".join(
+        f"len(regexp_extract_all(text, '{pats[n]}')) AS {n}_cnt"
+        for n in ("url", "email", "ipv4", "phone")
+    )
+    sql["pii_scrub"] = f"""
+WITH e AS (
+  SELECT doc_id,
+    text
+    || repeat(' user' || doc_id || '@mail.example.com', CAST(doc_id % 3 AS INT))
+    || repeat(' see http://ex.org/p/' || doc_id, CAST(doc_id % 2 AS INT))
+    || ' ip 10.0.' || (doc_id % 256) || '.7'
+    || repeat(' call +1-555-0142 now', CAST((doc_id + 1) % 2 AS INT)) AS text
+  FROM documents)
+SELECT doc_id, {cnt_cols},
+  len(regexp_extract_all(text, '{pats["url"]}'))
+  + len(regexp_extract_all(text, '{pats["email"]}'))
+  + len(regexp_extract_all(text, '{pats["ipv4"]}'))
+  + len(regexp_extract_all(text, '{pats["phone"]}')) AS pii_total,
+  md5({red}) AS redacted_md5
+FROM e ORDER BY doc_id"""
+    # unigram LM: wordcount CTEs, per-token logprob quantized to 1e-6
+    # BEFORE the per-doc mean (same as the Spark side) so aggregation
+    # order cannot move the hash
+    sql["unigram_logprob"] = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+  FROM documents),
+dt AS (SELECT doc_id, tok, count(*) AS m FROM tok GROUP BY 1, 2),
+v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+n AS (SELECT sum(cnt) AS n_total FROM v)
+SELECT doc_id,
+  round(sum(m * CAST(round(ln(cnt / n_total) * 1e6) AS BIGINT)) / sum(m)
+        / 1e6, 6) AS unigram_logprob,
+  sum(m) AS token_cnt
+FROM dt JOIN v USING (tok) CROSS JOIN n
+GROUP BY doc_id ORDER BY doc_id"""
     return sql

@@ -1,0 +1,58 @@
+"""PII detection and redaction over document text.
+
+A standard pre-training scrub pass (the C4/CCNet-style pipeline step):
+count pattern hits per class for filtering decisions, and rewrite the
+text with class tokens for retention. Everything is built-in regexp
+Column expressions — per-row maps inside whole-stage codegen, no
+shuffle, corpus-linear at any scale.
+
+The patterns are deliberately conservative and RE2-compatible (no
+backreferences, no lookaround) so the exact same strings run under
+Spark's Java regex and external engines (the DuckDB oracle uses them
+verbatim): for alternation-free greedy patterns, leftmost-first (Java)
+and leftmost-longest (RE2) matching coincide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (class, pattern, replacement) — redaction applies IN THIS ORDER, so a
+# URL containing an email/IP is swallowed whole before the narrower
+# classes run; counts are measured per class on the original text.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3}[- ]\d{2,4}[- ]\d{3,4}(?:[- ]\d{2,4})?", "<PHONE>"),
+]
+
+
+def pii_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``<class>_cnt`` per PII class plus ``pii_total``.
+
+    Counts run independently per class on the raw text (a detection
+    report: an email inside a URL counts for both), unlike redaction
+    which is sequential."""
+    text = F.col(text_col)
+    cols = {}
+    for name, pat, _repl in PII_PATTERNS:
+        cols[f"{name}_cnt"] = F.regexp_count(text, F.lit(pat))
+    out = df.withColumns(cols)
+    total = None
+    for name, _pat, _repl in PII_PATTERNS:
+        c = F.col(f"{name}_cnt")
+        total = c if total is None else total + c
+    return out.withColumn("pii_total", total)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Adds ``out_col``: the text with each PII class replaced by its
+    token, applied in PII_PATTERNS order (URL first — widest span)."""
+    text = F.col(text_col)
+    for _name, pat, repl in PII_PATTERNS:
+        text = F.regexp_replace(text, pat, repl)
+    return df.withColumn(out_col, text)

@@ -186,3 +186,58 @@ def rolling_fingerprint(
         else (lambda s: F.xxhash64(s)),
     )
     return pre.select(id_col, F.array_min(hashed).alias("fingerprint"))
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quantize: int | None = 6,
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram model — the classic cheap perplexity proxy for quality
+    filtering (CCNet / Gopher use a trained LM; the self-trained unigram
+    is the shuffle-shape-identical seed of that pipeline). Lower (more
+    negative) = rarer words = more likely junk/noise.
+
+    Shape at scale: one word-count aggregation over the corpus (map-side
+    combinable — the canonical wordcount), one scalar total broadcast,
+    and one shuffle join of per-(doc, token) counts against the
+    vocabulary keyed by token. Every stage is corpus-linear; no
+    collect, no global window.
+
+    ``quantize`` snaps each token's logprob to 10^-quantize units held as
+    an INTEGER, so the per-doc weighted mean is exact integer arithmetic —
+    associative, hence identical under any aggregation order / partitioning
+    (a float mean moves in its last ulp with the order, which a value-hash
+    gate cannot tolerate). None keeps full floats.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
+    )
+    # per-(doc, token) multiplicity first: the vocab join then carries one
+    # row per distinct doc-token, not one per token occurrence. The vocab
+    # derives FROM doc_tok (sum of multiplicities) — map-side-combinable
+    # both hops. The corpus is scanned once per join side (cheap columnar
+    # re-read) rather than computing cnt with a per-token window: a window
+    # partitioned by token puts every ("the", doc) row in ONE partition —
+    # unbounded skew at corpus scale — while the join side lets AQE
+    # broadcast the vocabulary. The scalar total needs no explode at all —
+    # a map-only size(tokens) sum over the raw text column.
+    doc_tok = tok.groupBy(id_col, "tok").agg(F.count("*").alias("m"))
+    vocab = doc_tok.groupBy("tok").agg(F.sum("m").alias("cnt"))
+    total = df.agg(
+        F.sum(F.size(_tokens(F.col(text_col)))).alias("n_total")
+    )
+    lp = F.log(F.col("cnt").cast("double") / F.col("n_total"))
+    joined = doc_tok.join(vocab, "tok").crossJoin(F.broadcast(total))
+    if quantize is not None:
+        scale = float(10 ** quantize)
+        lpq = F.round(lp * scale).cast("long")
+        mean = (F.sum(F.col("m") * lpq) / F.sum("m")) / F.lit(scale)
+    else:
+        mean = F.sum(F.col("m") * lp) / F.sum("m")
+    return joined.groupBy(id_col).agg(
+        mean.alias("unigram_logprob"),
+        F.sum("m").alias("token_cnt"),
+    )

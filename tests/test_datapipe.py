@@ -557,3 +557,55 @@ def test_repetition_metrics(spark):
     assert got[3]["top_bigram_frac"] is None
     assert got[4]["dup_line_frac"] == 0.0
     assert got[4]["top_bigram_frac"] is None
+
+
+def test_pii_metrics_and_redaction(spark):
+    from rrdtool_1_x_spark.datapipe.pii import pii_metrics, redact_pii
+
+    rows = [
+        (1, "mail me at jo.doe+x@sub.example.co.uk or visit https://a.b/c?d=1 now"),
+        (2, "server 192.168.10.1 and 10.0.0.255 call +41 79 123 45 67"),
+        (3, "http://u:p@host/path has an embedded credential"),
+        (4, "plain text with no sensitive spans at all"),
+        (5, "dial +1-555-0142 or +44-20-7946-0958 asap"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r
+        for r in redact_pii(pii_metrics(df)).orderBy("doc_id").collect()
+    }
+    assert (got[1]["email_cnt"], got[1]["url_cnt"]) == (1, 1)
+    assert "<EMAIL>" in got[1]["redacted"] and "<URL>" in got[1]["redacted"]
+    assert got[2]["ipv4_cnt"] == 2 and got[2]["phone_cnt"] == 1
+    assert got[2]["redacted"].count("<IP>") == 2
+    # a URL with userinfo redacts as ONE url span (order: URL before email)
+    assert got[3]["redacted"] == "<URL> has an embedded credential"
+    assert got[4]["pii_total"] == 0 and got[4]["redacted"] == rows[3][1]
+    assert got[5]["phone_cnt"] == 2 and got[5]["redacted"].count("<PHONE>") == 2
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from rrdtool_1_x_spark.datapipe.textstats import unigram_logprob
+
+    # corpus: 6 tokens total; freqs: a=3, b=2, c=1
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c")], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in unigram_logprob(df, quantize=None).collect()
+    }
+    la, lb, lc = (math.log(f / 6) for f in (3, 2, 1))
+    assert got[1]["token_cnt"] == 3 and got[2]["token_cnt"] == 3
+    assert got[1]["unigram_logprob"] == pytest.approx((2 * la + lb) / 3, rel=1e-12)
+    assert got[2]["unigram_logprob"] == pytest.approx((la + lb + lc) / 3, rel=1e-12)
+    # the rare-word doc scores lower — the filtering signal
+    assert got[2]["unigram_logprob"] < got[1]["unigram_logprob"]
+    # quantized integer path stays within a micro-unit of the exact mean
+    q = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    for k in (1, 2):
+        assert q[k]["unigram_logprob"] == pytest.approx(
+            got[k]["unigram_logprob"], abs=2e-6
+        )
