@@ -963,6 +963,27 @@ def _pii_enriched(d):
     )
 
 
+_CURATE_MIN_TOKENS = 40
+_CURATE_QTHR = 0.55
+
+
+def q_curate(spark, sf_dir):
+    """Composed corpus curation (datapipe.pipeline.curate_corpus): quality
+    + length rule → exact dedup → MinHash-LSH near-dup components →
+    benchmark decontamination, one (doc_id, verdict) row per document."""
+    from rrdtool_1_x_spark.datapipe.pipeline import curate_corpus
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return curate_corpus(
+        d, benchmark=bench,
+        quality_threshold=_CURATE_QTHR, min_tokens=_CURATE_MIN_TOKENS,
+        nd_kwargs=_ND_KW,
+    ).orderBy("doc_id")
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII detection + redaction (datapipe.pii): per-class hit counts on
     the raw text and the md5 of the sequentially-redacted rewrite."""
@@ -1412,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top": q_vocab_top,
         "pii_scrub": q_pii_scrub,
         "unigram_logprob": q_unigram_logprob,
+        "curate": q_curate,
         "band_index_topup": q_band_index_topup,
         "simhash_index_topup": q_simhash_index_topup,
         "ivf_indexed_topk": q_ivf_indexed_topk,
@@ -1881,9 +1903,11 @@ SELECT vec_id, cos_sim, rank FROM ranked WHERE rank <= 10 ORDER BY rank"""
     )
     band_names = ", ".join(f"b{b}" for b in range(4))
     # mirrors the Spark skew guards: exact-duplicate collapse to the min-id
-    # representative, long-format banding, and the 512 hot-bucket cap
-    nd_cte = f"""
-reps AS (SELECT doc_id, text FROM documents
+    # representative, long-format banding, and the 512 hot-bucket cap.
+    # Parameterized by the base relation so the composed curation gate can
+    # run the identical pipeline on its quality-filtered survivor set.
+    _nd_cte_from = lambda base: f"""
+reps AS (SELECT doc_id, text FROM {base}
          QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
 t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
       FROM reps),
@@ -1909,10 +1933,11 @@ ver AS (SELECT id_a, id_b,
             / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS j
         FROM cand JOIN ds x ON x.doc_id = id_a JOIN ds y ON y.doc_id = id_b),
 nd_pairs AS (SELECT id_a, id_b, j FROM ver WHERE j >= 0.5)"""
+    nd_cte = _nd_cte_from("documents")
     sql["near_dup_pairs"] = f"""WITH {nd_cte}
 SELECT id_a, id_b, round(j, 6) AS jaccard FROM nd_pairs ORDER BY id_a, id_b"""
     # connected components: recursive reachability, label = min reachable id
-    cc_cte = f"""{nd_cte},
+    cc_tail = """
 edges AS (SELECT id_a AS u, id_b AS v FROM nd_pairs
           UNION ALL SELECT id_b, id_a FROM nd_pairs),
 reach AS (SELECT u AS node, v AS r FROM edges
@@ -1920,6 +1945,7 @@ reach AS (SELECT u AS node, v AS r FROM edges
           SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u),
 labels AS (SELECT node AS doc_id, least(node, min(r)) AS group_id
            FROM reach GROUP BY node)"""
+    cc_cte = f"{nd_cte},{cc_tail}"
     sql["dup_groups"] = f"""WITH RECURSIVE {cc_cte}
 SELECT doc_id, group_id FROM labels ORDER BY doc_id"""
     # DF-weighted Jaccard over the near-dup pairs: w(s) = floor(1e6/df(s)),
@@ -2198,6 +2224,58 @@ SELECT ov.doc_id, ov.bench_id, overlap_ngrams, bench_ngrams,
 FROM ov JOIN bsz USING (bench_id)
 WHERE overlap_ngrams::DOUBLE / bench_ngrams >= 0.5
 ORDER BY ov.doc_id, ov.bench_id"""
+    # composed curation pipeline: the quality/length cut feeds the SAME
+    # parameterized nd/cc CTE chain the standalone gates use, then the
+    # survivors run the decontam overlap; verdict precedence = stage order
+    sql["curate"] = f"""
+WITH RECURSIVE
+qm0 AS (
+  SELECT doc_id, text, length(text)::DOUBLE AS n,
+    len(regexp_split_to_array(trim(text), '\\s+')) AS tc,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS a,
+    length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS d,
+    length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g'))::DOUBLE AS p,
+    length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE AS u
+  FROM documents),
+qm AS (SELECT doc_id, text, tc,
+         CASE WHEN n > 0 THEN round(least(a/n*1.25, 1.0)*0.5
+              + (1.0 - least(d/n*4, 1.0))*0.2
+              + (1.0 - least(p/n*5, 1.0))*0.2
+              + (1.0 - least(u/n*3, 1.0))*0.1, 6) END AS q
+       FROM qm0),
+lowq AS (SELECT doc_id FROM qm
+         WHERE q < {_CURATE_QTHR} OR q IS NULL OR tc < {_CURATE_MIN_TOKENS}),
+qkeep AS (SELECT doc_id, text FROM qm
+          WHERE NOT (q < {_CURATE_QTHR} OR q IS NULL OR tc < {_CURATE_MIN_TOKENS})),
+{_nd_cte_from("qkeep")},{cc_tail},
+exact_dup AS (SELECT doc_id FROM qkeep
+              WHERE doc_id NOT IN (SELECT doc_id FROM reps)),
+neardup AS (SELECT doc_id FROM labels WHERE doc_id != group_id),
+surv AS (SELECT doc_id, text FROM reps
+         WHERE doc_id NOT IN (SELECT doc_id FROM neardup)),
+st AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       FROM surv),
+sdg AS (SELECT DISTINCT doc_id, g AS ngram
+        FROM (SELECT doc_id, unnest({ngrams8}) AS g FROM st) _),
+bt AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       FROM documents WHERE doc_id % 50 = 0),
+bg AS (SELECT DISTINCT doc_id AS bench_id, g AS ngram
+       FROM (SELECT doc_id, unnest({ngrams8}) AS g FROM bt) _),
+bsz AS (SELECT bench_id, count(*) AS bench_ngrams FROM bg GROUP BY 1),
+ov AS (SELECT sdg.doc_id, bg.bench_id, count(*) AS c
+       FROM sdg JOIN bg USING (ngram)
+       WHERE sdg.doc_id != bg.bench_id GROUP BY 1, 2),
+contam AS (SELECT DISTINCT ov.doc_id FROM ov JOIN bsz USING (bench_id)
+           WHERE c::DOUBLE / bench_ngrams >= 0.5),
+kept AS (SELECT doc_id FROM surv
+         WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+SELECT doc_id, verdict FROM (
+  SELECT doc_id, 'low_quality' AS verdict FROM lowq
+  UNION ALL SELECT doc_id, 'exact_dup' FROM exact_dup
+  UNION ALL SELECT doc_id, 'near_dup' FROM neardup
+  UNION ALL SELECT doc_id, 'contaminated' FROM contam
+  UNION ALL SELECT doc_id, 'kept' FROM kept) _
+ORDER BY doc_id"""
     # hash_u01: first 8 hex nibbles of md5(seed:id) as a uint32 / 2^32 —
     # rebuilt nibble-by-nibble (same formula as sampling.hash_u01)
     u01 = (

@@ -609,3 +609,35 @@ def test_unigram_logprob_hand_computed(spark):
         assert q[k]["unigram_logprob"] == pytest.approx(
             got[k]["unigram_logprob"], abs=2e-6
         )
+
+
+def test_curate_corpus_all_verdicts(spark):
+    from rrdtool_1_x_spark.datapipe.pipeline import curate_corpus, curation_report
+
+    body = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    eval_item = "which planet is closest to the sun answer mercury of course"
+    rows = [
+        (1, body + " one"),                      # kept
+        (2, body + " one"),                      # exact dup of 1
+        (3, body + " two extra trailing words"), # near dup of 1
+        (4, "short junk"),                       # low quality (length rule)
+        (5, "training doc leaking the eval " + eval_item),  # contaminated
+        (6, "a b c d e f g h i j k l m n o p"),  # kept (distinct words)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    bench = spark.createDataFrame(
+        [(100, eval_item)], "bench_id int, text string"
+    )
+    out = curate_corpus(
+        docs, benchmark=bench, min_tokens=5,
+        nd_kwargs=dict(num_hashes=8, bands=4, shingle_len=3,
+                       jaccard_threshold=0.5),
+    )
+    got = {r["doc_id"]: r["verdict"] for r in out.collect()}
+    assert got == {
+        1: "kept", 2: "exact_dup", 3: "near_dup",
+        4: "low_quality", 5: "contaminated", 6: "kept",
+    }, got
+    rep = {r["verdict"]: r["docs"] for r in curation_report(out).collect()}
+    assert rep == {"kept": 2, "exact_dup": 1, "near_dup": 1,
+                   "low_quality": 1, "contaminated": 1}
