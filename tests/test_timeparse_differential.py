@@ -178,3 +178,96 @@ def test_epoch_keyword_relative_base():
 
     zero = int(t.mktime((1900, 1, 0, 0, 0, 0, 0, 0, -1)))
     assert parse_at_time("epoch+1300000000s") == zero + 1300000000
+
+
+def _gen_specs(n=250):
+    """Deterministic random compositions over the grammar: base × offsets.
+    Only generates specs the reference accepts (the enumerated ERR_EXPRS
+    cover rejection parity)."""
+    import random
+
+    rng = random.Random(20260814)
+    units = ["s", "sec", "seconds", "min", "minutes", "h", "hr", "hours",
+             "d", "day", "days", "w", "week", "wk", "mon", "month", "y",
+             "yr", "years", "m"]
+    out = []
+    for _ in range(n):
+        kind = rng.randrange(6)
+        if kind == 0:  # epoch anchor
+            base = str(rng.randrange(400_000_000, 1_900_000_000))
+        elif kind == 1:  # TIME DAY
+            t = f"{rng.randrange(24)}:{rng.randrange(60):02d}"
+            d = f"{rng.randrange(1995, 2038)}{rng.randrange(1, 13):02d}{rng.randrange(1, 29):02d}"
+            base = f"{t} {d}" if rng.random() < 0.5 else f"{d} {t}"
+        elif kind == 2:  # keyword time + day word
+            t = rng.choice(["midnight", "noon", "teatime",
+                            f"{rng.randrange(1, 13)}am", f"{rng.randrange(1, 13)}pm"])
+            d = rng.choice(["", " today", " tomorrow", " yesterday",
+                            " mon", " thu", " sat"])
+            base = t + d
+        elif kind == 3:  # month-name date (+ optional time)
+            mon = rng.choice(["jan", "feb", "mar", "apr", "may", "jun", "jul",
+                              "aug", "sep", "oct", "nov", "dec", "march", "july"])
+            base = f"{mon} {rng.randrange(1, 29)} {rng.randrange(1995, 2038)}"
+            if rng.random() < 0.4:
+                base += f" {rng.randrange(24)}:{rng.randrange(60):02d}"
+        elif kind == 4:  # slash/dot dates (with year: year-less hits Y30000
+            # which exceeds the fetch window sanity on some paths — covered
+            # by the enumerated cases)
+            if rng.random() < 0.5:
+                base = f"{rng.randrange(1, 13)}/{rng.randrange(1, 29)}/{rng.randrange(1995, 2038)}"
+            else:
+                base = f"{rng.randrange(1, 29)}.{rng.randrange(1, 13)}.{rng.randrange(1995, 2038)}"
+        else:
+            base = rng.choice(["now", "n"])
+        n_off = rng.randrange(3)
+        offs = ""
+        # offsets only where the reference allows them: not after a bare
+        # numeric date (the consumed-sign quirk)
+        bare_numeric_date = kind == 4 or (kind == 1 and " " not in base) or (
+            kind == 1 and base.split()[0].isdigit() and len(base.split()) == 1
+        )
+        if kind in (1, 4) and ":" not in base.split()[0] and base.split()[0].isdigit() and len(base.split()) == 1:
+            n_off = 0
+        if kind == 4:
+            n_off = 0
+        for _ in range(n_off):
+            offs += rng.choice("+-") + str(rng.randrange(1, 400)) + rng.choice(units)
+        out.append(base + offs)
+    return out
+
+
+def test_random_grammar_fuzz(env):
+    binpath, rrd = env
+    bad = []
+    for expr in _gen_specs():
+        t0 = int(time.time())
+        p = subprocess.run(
+            [binpath, "fetch", rrd, "AVERAGE", "-s", expr, "-e", "s+10"],
+            capture_output=True, text=True, env=os.environ.copy(),
+        )
+        t1 = int(time.time())
+        if p.returncode != 0:
+            if "start time:" not in p.stderr:
+                # fetch-level refusal (e.g. window before 1980), not a
+                # parse error — nothing to compare through this harness
+                continue
+            # reference rejected the SPEC → we must too
+            ok = False
+            try:
+                parse_at_time(expr, now=t0)
+            except Exception:
+                ok = True
+            if not ok:
+                bad.append((expr, "ref-error, engine accepted"))
+            continue
+        rows = [l for l in p.stdout.splitlines()[1:] if ":" in l]
+        ref = int(rows[0].split(":")[0]) - 1
+        try:
+            ours = {parse_at_time(expr, now=t) for t in range(t0, t1 + 1)}
+        except Exception as ex:
+            bad.append((expr, f"engine error {ex}, ref {ref}"))
+            continue
+        if ref not in ours:
+            bad.append((expr, f"ref {ref} != engine {sorted(ours)}"))
+    assert not bad, f"{len(bad)} divergences, first 10: {bad[:10]}"
