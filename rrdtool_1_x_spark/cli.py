@@ -183,6 +183,25 @@ def _at(s: str | None, default: int) -> int:
         return parse_at_time(s)
 
 
+def _at_pair(
+    start_s: str | None, end_s: str | None, default_end: int
+) -> tuple[int, int]:
+    """Resolve a -s/-e pair like the reference CLIs: either side may
+    reference the other ('-s e-1d', '-e s+1h' — rrd_proc_start_end),
+    start defaults to end-24h, end to ``default_end``."""
+    from rrdtool_1_x_spark.timeparse import proc_start_end
+
+    if start_s is not None and end_s is not None:
+        return proc_start_end(start_s, end_s)
+    end = _at(end_s, default_end)
+    if start_s is None:
+        return end - 86400, end
+    try:
+        return int(start_s), end
+    except ValueError:
+        return parse_at_time(start_s, end=end), end
+
+
 def cmd_create(args: list[str]) -> int:
     """≙ rrdtool create, incl. --source prefill and --template definition
     copy (src/rrd_create.c:77-258; prefill :1043-1078)."""
@@ -390,8 +409,7 @@ def cmd_fetch(args: list[str]) -> int:
             # (rrd_client.c rrdc_fetch sends FLUSH first)
             c.flush(_series_of(path))
             store = DatasetStore(None, path)
-            end = _at(end_s, store.last())
-            start = _at(start_s, end - 86400)
+            start, end = _at_pair(start_s, end_s, store.last())
             _, _, _, ds_names, rows = c.fetch(_series_of(path), cf, start, end)
         print(" ".join(f"{n:>18s}" for n in ds_names))
         print()
@@ -400,8 +418,7 @@ def cmd_fetch(args: list[str]) -> int:
         return 0
 
     store = _store(path)
-    end = _at(end_s, store.last())
-    start = _at(start_s, end - 86400)
+    start, end = _at_pair(start_s, end_s, store.last())
     pdf, plan = store.fetch_local(
         cf, start, end, None if res is None else int(res), align_start=align
     )
@@ -466,8 +483,7 @@ def _build_query(args: list[str]):
         last = max(s.last() for s in stores.values())
     else:
         last = int(_time.time())
-    end = _at(end_s, last)
-    start = _at(start_s, end - 86400)
+    start, end = _at_pair(start_s, end_s, last)
     import os as _os
 
     # the reference evaluates NEWDAY/LTIME... in the process's local zone
