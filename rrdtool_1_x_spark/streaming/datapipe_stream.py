@@ -79,3 +79,141 @@ def start_simhash_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_curation_stream(
+    doc_stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    benchmark: DataFrame | None = None,
+    quality_threshold: float = 0.55,
+    min_tokens: int = 0,
+    contam_n: int = 8,
+    contam_threshold: float = 0.5,
+    trigger_available_now: bool = True,
+    **nd_kwargs,
+) -> StreamingQuery:
+    """Continuous corpus curation: the streaming form of
+    ``datapipe.pipeline.curate_corpus``. Each micro-batch is judged
+    against everything seen so far and appends one (doc_id, verdict,
+    batch_id) row per document to ``{state_path}/verdicts``.
+
+    State = the persisted LSH band index at ``{state_path}/lsh`` (created
+    with ``write_band_index`` before the stream starts; its hash registry
+    doubles as the exact-dup table). The benchmark frame is static and
+    broadcast per batch.
+
+    Semantics are PREFIX-CONSISTENT, the only semantics a stream can
+    give: a document is near_dup if it pairs with any document seen
+    before it (across batches, any id; within a batch, a smaller id).
+    This differs from batch curate_corpus exactly when a document's only
+    connection to its duplicate component arrives LATER (batch CC drops
+    it retroactively; the stream has already emitted `kept` and keeps it
+    — no retraction). For append-in-id-order corpora whose members pair
+    directly with the component minimum, the two pipelines agree
+    row-for-row (tested).
+
+    Replay caveat: same as the index streams — a replayed batch
+    re-appends identical verdict rows; consumers read with
+    ``dropDuplicates(["doc_id"])``.
+    """
+    from pyspark.sql import functions as F
+
+    from rrdtool_1_x_spark.datapipe.decontam import contamination_pairs
+    from rrdtool_1_x_spark.datapipe.textstats import quality_metrics
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        base = batch.select("doc_id", "text")
+
+        toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        q = quality_metrics(base).select(
+            "doc_id", "text",
+            F.round("quality_score", 6).alias("q"), toks.alias("tc"),
+        )
+        bad = (
+            (F.col("q") < quality_threshold)
+            | F.col("q").isNull()
+            | (F.col("tc") < min_tokens)
+        )
+        low = q.filter(bad).select("doc_id")
+        qk = q.filter(~bad).select("doc_id", "text")
+
+        # exact: in-batch keep-min per text hash, plus the index registry
+        hashed = qk.withColumn("h", F.md5(F.col("text").cast("binary")))
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("h").orderBy("doc_id")
+        hashed = hashed.withColumn("_rn", F.row_number().over(w))
+        seen = spark.read.parquet(f"{state_path}/lsh/reps").select(
+            F.col("text_hash").alias("h")
+        )
+        batch_dup = hashed.filter(F.col("_rn") > 1).select("doc_id")
+        reg_dup = (
+            hashed.filter(F.col("_rn") == 1)
+            .join(F.broadcast(seen), "h", "left_semi")
+            .select("doc_id")
+        )
+        exact_dup = batch_dup.unionByName(reg_dup)
+        reps = (
+            hashed.filter(F.col("_rn") == 1)
+            .join(F.broadcast(seen), "h", "left_anti")
+            .select("doc_id", "text")
+            .localCheckpoint(eager=True)
+        )
+
+        # near-dup: fresh reps against the persisted index + each other
+        pairs = append_band_index(reps, f"{state_path}/lsh", **nd_kwargs)
+        batch_ids = reps.select(F.col("doc_id").alias("_bid"))
+        sides = pairs.select(
+            F.col("id_a").alias("doc"), F.col("id_b").alias("other")
+        ).unionByName(
+            pairs.select(F.col("id_b").alias("doc"), F.col("id_a").alias("other"))
+        )
+        flagged = (
+            sides.join(batch_ids, sides["doc"] == batch_ids["_bid"], "left_semi")
+            .join(
+                batch_ids.select(F.col("_bid").alias("_obid")),
+                sides["other"] == F.col("_obid"),
+                "left",
+            )
+            # other seen earlier (not in this batch) OR in-batch smaller id
+            .filter(F.col("_obid").isNull() | (F.col("other") < F.col("doc")))
+            .select(F.col("doc").alias("doc_id"))
+            .distinct()
+        )
+        surv = reps.join(flagged, "doc_id", "left_anti")
+
+        if benchmark is not None:
+            contam = (
+                contamination_pairs(
+                    surv, benchmark, n=contam_n,
+                    min_overlap_frac=contam_threshold,
+                )
+                .filter(F.col("doc_id") != F.col("bench_id"))
+                .select("doc_id")
+                .distinct()
+            )
+        else:
+            contam = surv.select("doc_id").limit(0)
+        kept = surv.select("doc_id").join(contam, "doc_id", "left_anti")
+
+        v = lambda df, name: df.select(
+            "doc_id", F.lit(name).alias("verdict"),
+            F.lit(batch_id).alias("batch_id"),
+        )
+        out = (
+            v(low, "low_quality")
+            .unionByName(v(exact_dup, "exact_dup"))
+            .unionByName(v(flagged, "near_dup"))
+            .unionByName(v(contam, "contaminated"))
+            .unionByName(v(kept, "kept"))
+        )
+        out.write.mode("append").parquet(f"{state_path}/verdicts")
+
+    writer = doc_stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

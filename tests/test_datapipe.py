@@ -641,3 +641,63 @@ def test_curate_corpus_all_verdicts(spark):
     rep = {r["verdict"]: r["docs"] for r in curation_report(out).collect()}
     assert rep == {"kept": 2, "exact_dup": 1, "near_dup": 1,
                    "low_quality": 1, "contaminated": 1}
+
+
+def test_curation_stream_prefix_consistent(spark, tmp_path):
+    """Streaming curation: three micro-batches judged against everything
+    seen so far match batch curate_corpus when components pair with their
+    minimum directly; the inherent divergence (connection arriving LATER)
+    is asserted explicitly as prefix-consistency."""
+    from rrdtool_1_x_spark.datapipe.dedup import write_band_index
+    from rrdtool_1_x_spark.datapipe.pipeline import curate_corpus
+    from rrdtool_1_x_spark.streaming.datapipe_stream import start_curation_stream
+
+    body = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    eval_item = "which planet is closest to the sun answer mercury of course"
+    chunks = [
+        [(1, body + " one"), (2, "a b c d e f g h i j k l m n o p")],
+        [(3, body + " one"),                       # exact dup of 1
+         (4, body + " two extra trailing words")], # near dup of 1
+        [(5, "short junk"),                        # low quality
+         (6, "training doc leaking the eval " + eval_item),  # contaminated
+         (7, body + " one more tiny change")],     # near dup of 1
+    ]
+    schema = "doc_id int, text string"
+    bench = spark.createDataFrame([(100, eval_item)], "bench_id int, text string")
+    nd_kw = dict(num_hashes=8, bands=4, shingle_len=3, jaccard_threshold=0.5)
+
+    state = str(tmp_path / "cur")
+    write_band_index(spark.createDataFrame([], schema), f"{state}/lsh",
+                     num_hashes=8, bands=4, shingle_len=3)
+    src = str(tmp_path / "in")
+    for chunk in chunks:
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = start_curation_stream(
+        stream, state, str(tmp_path / "ck"), benchmark=bench,
+        min_tokens=5, **nd_kw,
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r["doc_id"]: r["verdict"]
+        for r in spark.read.parquet(f"{state}/verdicts")
+        .dropDuplicates(["doc_id"]).collect()
+    }
+    assert got == {
+        1: "kept", 2: "kept", 3: "exact_dup", 4: "near_dup",
+        5: "low_quality", 6: "contaminated", 7: "near_dup",
+    }, got
+    # one verdict per input doc, and batch equivalence on this corpus
+    # (every near-dup pairs directly with its component minimum)
+    all_docs = spark.createDataFrame(sum(chunks, []), schema)
+    batch = {
+        r["doc_id"]: r["verdict"]
+        for r in curate_corpus(all_docs, benchmark=bench, min_tokens=5,
+                               nd_kwargs=nd_kw).collect()
+    }
+    assert batch == got
