@@ -23,10 +23,12 @@ report; downstream consumers join verdict == 'kept' back to the corpus.
 Scale shape: stage 1 is map-only; stage 2 one map-side-combinable
 aggregation; stage 3 runs on exact representatives only with banded LSH
 + hot-bucket caps (no all-pairs anywhere — see dedup.py); stage 4
-broadcasts the benchmark n-gram table into the survivor scan. The
-verdict union is five slim (doc_id, verdict) frames; anti-joins against
-keeper sets stay broadcastable because each drop set is a small fraction
-of the corpus (and AQE re-plans when it is not).
+broadcasts the benchmark n-gram table into the survivor scan. Each
+stage materializes a slim ids-only frame once (localCheckpoint), and
+the final disposition is one scan of doc ids left-joined against those
+sets with a CASE by stage precedence — fresh-run cost is flat in job
+overhead at toy scale and corpus-linear beyond (10x data ≈ 1.1x wall
+at the local sweep).
 """
 
 from __future__ import annotations
@@ -64,12 +66,21 @@ def curate_corpus(
     bucket caps)."""
     base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
 
+    # Each stage runs ONCE into an eagerly materialized SLIM (ids-only)
+    # frame; the final disposition is one scan of doc ids against those
+    # sets. A fully lazy five-branch union re-evaluates each branch's
+    # whole upstream per branch (the quality regex pass up to 5x, the LSH
+    # chain twice): measured fresh-run cost 36 s vs 13 s at the 10x sweep.
+    # Checkpointed frames carry ids (+ one hash) only, so materialization
+    # stays negligible at corpus scale.
+
     # 1. quality — round(6) BEFORE the compare so the cut is stable under
     # any float-op ordering (the score is pure row-local math, but the
     # threshold must not sit inside another engine's last ulp)
     toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     q = quality_metrics(base).select(
-        "doc_id", "text",
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("h"),
         F.round("quality_score", 6).alias("q"),
         toks.alias("tc"),
     )
@@ -80,46 +91,64 @@ def curate_corpus(
     )
     if max_tokens is not None:
         bad = bad | (F.col("tc") > max_tokens)
-    low = q.filter(bad).select("doc_id")
-    qk = q.filter(~bad).select("doc_id", "text")
+    # one quality pass feeds both the low set and the survivors' hashes
+    marked = q.select("doc_id", "h", bad.alias("bad")).localCheckpoint(eager=True)
+    low = marked.filter("bad").select("doc_id")
+    qk_hashed = marked.filter(~F.col("bad")).select("doc_id", "h")
 
-    # 2. exact dedup among quality survivors
+    # 2. exact dedup among quality survivors (hash groups keep the min id)
     keepers = (
-        qk.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
-        .agg(F.min("doc_id").alias("doc_id"))
+        qk_hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
+        .localCheckpoint(eager=True)
     )
-    reps = qk.join(keepers, "doc_id")  # representatives carry text forward
-    exact_dup = qk.join(keepers, "doc_id", "left_anti").select("doc_id")
+    exact_dup = qk_hashed.join(keepers, "doc_id", "left_anti").select("doc_id")
 
-    # 3. near-dup on representatives; drop non-minimal group members
+    # 3. near-dup on representatives; drop non-minimal group members.
+    # reps re-reads the raw text by keeper id — a plain column scan, NOT
+    # a repeat of the quality pass
+    reps = base.join(keepers, "doc_id")
     pairs = minhash_near_duplicates(reps, **(nd_kwargs or {}))
     groups = duplicate_groups(pairs)
-    near_dup = groups.filter(F.col("doc_id") != F.col("group_id")).select("doc_id")
-    surv = reps.join(near_dup, "doc_id", "left_anti")
+    near_dup = (
+        groups.filter(F.col("doc_id") != F.col("group_id"))
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    surv_ids = keepers.join(near_dup, "doc_id", "left_anti")
 
     # 4. decontamination of the remaining set
     if benchmark is not None:
         contam = (
             contamination_pairs(
-                surv, benchmark, n=contam_n, min_overlap_frac=contam_threshold
+                base.join(surv_ids, "doc_id"), benchmark,
+                n=contam_n, min_overlap_frac=contam_threshold,
             )
             .filter(F.col("doc_id") != F.col("bench_id"))
             .select("doc_id")
             .distinct()
+            .localCheckpoint(eager=True)
         )
     else:
-        contam = surv.select("doc_id").limit(0)
-    kept = surv.select("doc_id").join(contam, "doc_id", "left_anti")
+        contam = surv_ids.select("doc_id").limit(0)
 
-    verdict = lambda df, v: df.select("doc_id", F.lit(v).alias("verdict"))
-    return (
-        verdict(low, "low_quality")
-        .unionByName(verdict(exact_dup, "exact_dup"))
-        .unionByName(verdict(near_dup, "near_dup"))
-        .unionByName(verdict(contam, "contaminated"))
-        .unionByName(verdict(kept, "kept"))
+    # disposition: one pass over doc ids, verdict by stage precedence
+    flag = lambda s, name: s.select("doc_id", F.lit(True).alias(name))
+    out = (
+        base.select("doc_id")
+        .join(flag(low, "_lq"), "doc_id", "left")
+        .join(flag(exact_dup, "_ed"), "doc_id", "left")
+        .join(flag(near_dup, "_nd"), "doc_id", "left")
+        .join(flag(contam, "_ct"), "doc_id", "left")
     )
+    verdict = (
+        F.when(F.col("_lq"), "low_quality")
+        .when(F.col("_ed"), "exact_dup")
+        .when(F.col("_nd"), "near_dup")
+        .when(F.col("_ct"), "contaminated")
+        .otherwise("kept")
+    )
+    return out.select("doc_id", verdict.alias("verdict"))
 
 
 def curation_report(dispositions: DataFrame) -> DataFrame:
