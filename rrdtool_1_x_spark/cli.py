@@ -529,12 +529,13 @@ def _build_query(args: list[str]):
         )
         q.def_frame(vname, frame, astep)
     for a in args:
-        if a.startswith("CDEF:"):
+        if a.startswith(("CDEF:", "VDEF:")):
+            if "=" not in a[5:]:
+                # ≙ rrd_graph_helper's "can't parse argument" diagnostic
+                # (the grammar is CDEF:vname=RPN, not CDEF:vname,RPN)
+                raise ValueError(f"can't parse argument '{a}'")
             name, rpn = a[5:].split("=", 1)
-            q.cdef(name, rpn)
-        elif a.startswith("VDEF:"):
-            name, rpn = a[5:].split("=", 1)
-            q.vdef(name, rpn)
+            (q.cdef if a.startswith("CDEF:") else q.vdef)(name, rpn)
     return q
 
 
