@@ -425,6 +425,13 @@ class _Parser:
 
 
 def _parse_tv(spec: str, now: int) -> _TimeVal:
+    # make the TZ env var authoritative, like a fresh reference CLI
+    # process: Python's time.localtime goes through localtime_r, which
+    # (unlike localtime/mktime) does NOT re-read TZ by itself — a caller
+    # that changed os.environ["TZ"] without tzset would otherwise parse
+    # in whatever zone happened to be cached
+    if hasattr(_time, "tzset"):
+        _time.tzset()
     return _Parser(spec.strip(), now).parse()
 
 
