@@ -316,9 +316,52 @@ def cmd_update(args: list[str]) -> int:
     rows = []
     series = path.rstrip("/").rsplit("/", 1)[-1]
     for spec in args:
-        fields = spec.split(":")
-        ts = _time.time() if fields[0] in ("N", "n") else float(fields[0])
-        for name, sval in zip(ds_names, fields[1:]):
+        # two time syntaxes (src/rrd_update.c:1315-1328): any '@' in the
+        # spec makes the FIRST '@' the separator and the left side an
+        # AT-style time ("now-1h@5:6"); otherwise the first ':' separates
+        # a numeric time. Values always split on ':'.
+        if "@" in spec:
+            tstr, rest = spec.split("@", 1)
+            try:
+                ts = float(parse_at_time(tstr))
+            except Exception as e:
+                if "START" in str(e) or "END" in str(e):
+                    # ≙ rrd_update.c:1387-1391
+                    raise ValueError(
+                        "specifying time relative to the 'start' or 'end' "
+                        f"makes no sense here: {tstr}"
+                    ) from None
+                raise ValueError(f"ds time: {tstr}: {e}") from None
+        elif ":" in spec:
+            tstr, rest = spec.split(":", 1)
+            # exactly "N" means now (src/rrd_update.c:1395 strcmp; a
+            # lowercase n fails the float parse like the reference's
+            # strtod diagnostic). A NEGATIVE time is relative to now
+            # (rrd_update.c:1404-1407).
+            if tstr == "N":
+                ts = _time.time()
+            else:
+                try:
+                    ts = float(tstr)
+                except ValueError:
+                    raise ValueError(
+                        "error while parsing time in get_time_from_reading"
+                        f" - Cannot convert '{tstr}' to float"
+                    ) from None
+                if ts < 0.0:
+                    ts = _time.time() + ts
+        else:
+            raise ValueError(
+                f"expected timestamp not found in data source from {spec}"
+            )
+        vals = rest.split(":")
+        if len(vals) > len(ds_names):
+            # ≙ rrd_update.c:1340: more readings than data sources
+            raise ValueError(
+                "found extra data on update argument: "
+                + ":".join(vals[len(ds_names):])
+            )
+        for name, sval in zip(ds_names, vals):
             rows.append(
                 (series, name, float(ts),
                  None if sval.upper() == "U" else float(sval))

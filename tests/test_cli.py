@@ -756,3 +756,45 @@ def test_dcounter1_via_daemon_matrix(spark, tmp_path, capsys):
         ) == 0
         out_dmn = capsys.readouterr().out
     assert out_dmn == out_lib
+
+
+def test_update_time_grammar(spark, tmp_path, capsys):
+    """rrd_update time syntaxes (src/rrd_update.c:1315-1420): AT-style
+    via '@', numeric via ':', exact-'N' now, negative = now-relative,
+    extra readings and junk times error like the reference."""
+    import os
+    import subprocess
+    import time as _t
+
+    from rrdtool_1_x_spark.sources.store import DatasetStore
+
+    p = str(tmp_path / "g")
+    assert main(["create", p, "--start", "1300000000", "--step", "300",
+                 "DS:a:GAUGE:600:U:U", "RRA:LAST:0.5:1:500"]) == 0
+    # @-syntax: AT-spec time, values split on ':'
+    assert main(["update", p, "12:00 20110320@7"]) == 0
+    # numeric, fractional, and then now-ish anchors
+    assert main(["update", p, "1300600000.5:9"]) == 0
+    st = DatasetStore(spark, p)
+    rows = {int(r["ts"]): r["value"] for r in st._read("samples").collect()}
+    import calendar, time as _tt
+    os.environ["TZ"] = os.environ.get("TZ", "UTC")
+    from rrdtool_1_x_spark.timeparse import parse_at_time
+    assert rows[parse_at_time("12:00 20110320")] == 7.0
+    assert rows[1300600000] == 9.0  # fractional second floor on read ts
+    # N and negative-relative land near now
+    t0 = _t.time()
+    assert main(["update", p, "N:1"]) == 0
+    assert main(["update", p, "-5:2"]) == 0  # now-5 < N: dropped as late
+    got = DatasetStore(spark, p)
+    last = got.last()
+    assert abs(last - t0) < 60
+    # errors: lowercase n, extra data, missing separator, start/end ref
+    for bad, msg in [
+        (["update", p, "n:5"], "Cannot convert 'n' to float"),
+        (["update", p, f"{int(t0)+100}:1:2"], "found extra data"),
+        (["update", p, "12345"], "expected timestamp not found"),
+        (["update", p, "end-1h@5"], "makes no sense here"),
+    ]:
+        assert main(bad) != 0
+        assert msg in capsys.readouterr().err
