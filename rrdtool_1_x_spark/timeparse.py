@@ -432,7 +432,24 @@ def _parse_tv(spec: str, now: int) -> _TimeVal:
     # in whatever zone happened to be cached
     if hasattr(_time, "tzset"):
         _time.tzset()
-    return _Parser(spec.strip(), now).parse()
+    spec = spec.strip()
+    m = re.match(r"^@(\d+)\s*(.*)$", spec)
+    if m:
+        # extension: @N = epoch N regardless of magnitude (the grammar's
+        # own epoch form only recognizes numbers > 10 years); optional
+        # trailing OFFSET-SPEC
+        p = _Parser(m.group(2), now)
+        lt = _time.localtime(int(m.group(1)))
+        tv = p.tv
+        tv.year, tv.mon, tv.mday = lt.tm_year, lt.tm_mon, lt.tm_mday
+        tv.hour, tv.min, tv.sec = lt.tm_hour, lt.tm_min, lt.tm_sec
+        tv.isdst = lt.tm_isdst
+        if p.sc.kind in ("+", "-"):
+            p.offsets()
+        if p.sc.kind != "EOF":
+            p.panic(f"unparsable trailing text: '...{p.sc.residual()}'")
+        return tv
+    return _Parser(spec, now).parse()
 
 
 def _resolve_relative(tv: _TimeVal, base_epoch: int) -> int:
@@ -461,13 +478,6 @@ def parse_at_time(
     s = spec.strip()
     if now is None:
         now = _time.time()
-
-    if s.startswith("@"):  # extension: @ = seconds since epoch
-        m = re.match(r"^@(\d+)([+-].*)?$", s)
-        if not m:
-            raise TimeParseError(f"unparsable time: {spec}")
-        tv = _parse_tv(m.group(1) + (m.group(2) or ""), int(now))
-        return tv.mktime() + tv.offset
 
     tv = _parse_tv(s, int(now))
     if tv.type == ABSOLUTE:

@@ -172,7 +172,7 @@ def test_cli_pseudo_path_defs(spark, fake_sql_driver, capsys):
     CALLBACKS.register("cb//demo", cb)
     try:
         rc = main([
-            "xport", "--json", "-s", "0", "-e", "1200", "--step", "300",
+            "xport", "--json", "-s", "@0", "-e", "@1200", "--step", "300",
             "DEF:a=cb//demo:v:AVERAGE",
             "DEF:b=sql//testdrv/rrdminstepsize=300//t/ts/v:avg:AVERAGE",
             "CDEF:c=a,b,ADDNAN",
