@@ -183,7 +183,7 @@ def test_epoch_keyword_relative_base():
     assert parse_at_time("epoch+1300000000s") == zero + 1300000000
 
 
-def _gen_specs(n=250):
+def _gen_specs(n=400):
     """Deterministic random compositions over the grammar: base × offsets.
     Only generates specs the reference accepts (the enumerated ERR_EXPRS
     cover rejection parity)."""
@@ -204,9 +204,11 @@ def _gen_specs(n=250):
             base = f"{t} {d}" if rng.random() < 0.5 else f"{d} {t}"
         elif kind == 2:  # keyword time + day word
             t = rng.choice(["midnight", "noon", "teatime",
-                            f"{rng.randrange(1, 13)}am", f"{rng.randrange(1, 13)}pm"])
+                            f"{rng.randrange(1, 13)}am", f"{rng.randrange(1, 13)}pm",
+                            f"{rng.randrange(24)}:{rng.randrange(60):02d}"])
             d = rng.choice(["", " today", " tomorrow", " yesterday",
-                            " mon", " thu", " sat"])
+                            " mon", " tue", " wed", " thu", " fri", " sat",
+                            " sun", " sunday", " wednesday"])
             base = t + d
         elif kind == 3:  # month-name date (+ optional time)
             mon = rng.choice(["jan", "feb", "mar", "apr", "may", "jun", "jul",
