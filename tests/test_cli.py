@@ -798,3 +798,68 @@ def test_update_time_grammar(spark, tmp_path, capsys):
     ]:
         assert main(bad) != 0
         assert msg in capsys.readouterr().err
+
+
+def test_update_at_syntax_matches_reference(spark, tmp_path, capsys):
+    """Differential: '@'-separated AT-style update times resolve to the
+    same samples the reference writes (fetch rows compared)."""
+    import os
+    import subprocess
+    import time as _tt
+
+    from tests.rrdmini import ensure_binary
+
+    binpath = ensure_binary()
+    if binpath is None:
+        pytest.skip("reference build unavailable")
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "Europe/Zurich"
+    _tt.tzset()
+    try:
+        rrd = str(tmp_path / "a.rrd")
+        env = os.environ.copy()
+        subprocess.run(
+            [binpath, "create", rrd, "--start", "1426800000", "--step", "60",
+             "DS:a:GAUGE:120:U:U", "RRA:LAST:0.5:1:2000"],
+            check=True, capture_output=True, env=env,
+        )
+        specs = [
+            "00:01 20150320@1", "00:03 20150320@2",
+            "00:05 20150320+30s@3", "noon 20150320@4",
+        ]
+        for sp in specs:
+            subprocess.run([binpath, "update", rrd, sp], check=True,
+                           capture_output=True, env=env)
+        p = subprocess.run(
+            [binpath, "fetch", rrd, "LAST", "-s", "1426800000",
+             "-e", "00:00 20150321"],
+            check=True, capture_output=True, text=True, env=env,
+        )
+        ref = {}
+        for line in p.stdout.splitlines()[1:]:
+            ts, v = line.split(":")
+            if "nan" not in v:
+                ref[int(ts)] = float(v)
+
+        ds = str(tmp_path / "ds")
+        assert main(["create", ds, "--start", "1426800000", "--step", "60",
+                     "DS:a:GAUGE:120:U:U", "RRA:LAST:0.5:1:2000"]) == 0
+        assert main(["update", ds] + specs) == 0
+        assert main(["fetch", ds, "LAST", "-s", "1426800000",
+                     "-e", "00:00 20150321"]) == 0
+        got = {}
+        for line in capsys.readouterr().out.splitlines():
+            if ":" in line and line[:1].isdigit():
+                ts, v = line.split(":")
+                if "nan" not in v.lower():
+                    got[int(ts)] = float(v)
+        # the 150 s gap between the 00:03 and 00:05+30s updates exceeds
+        # the 120 s heartbeat, so only the 00:01->00:03 interval's slots
+        # carry values — in BOTH engines
+        assert got == ref and len(ref) >= 2
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        _tt.tzset()
