@@ -108,6 +108,12 @@ def curate_corpus(
     # reps re-reads the raw text by keeper id — a plain column scan, NOT
     # a repeat of the quality pass
     reps = base.join(keepers, "doc_id")
+    # NOTE: stage 2 already collapsed exact duplicates, so the internal
+    # collapse window is semantically redundant — but leave it ON: its
+    # post-shuffle subtree gives AQE accurate sizes, keeping the verify
+    # stage's pair-membership broadcast; with it off, the planner loses
+    # the estimate and the verify join degraded 15.9 → 56.8 s at the 10x
+    # sweep (measured — plan shape, not data volume)
     pairs = minhash_near_duplicates(reps, **(nd_kwargs or {}))
     groups = duplicate_groups(pairs)
     near_dup = (
