@@ -107,14 +107,20 @@ def curate_corpus(
     # 3. near-dup on representatives; drop non-minimal group members.
     # reps re-reads the raw text by keeper id — a plain column scan, NOT
     # a repeat of the quality pass
-    reps = base.join(keepers, "doc_id")
-    # NOTE: stage 2 already collapsed exact duplicates, so the internal
-    # collapse window is semantically redundant — but leave it ON: its
-    # post-shuffle subtree gives AQE accurate sizes, keeping the verify
-    # stage's pair-membership broadcast; with it off, the planner loses
-    # the estimate and the verify join degraded 15.9 → 56.8 s at the 10x
-    # sweep (measured — plan shape, not data volume)
-    pairs = minhash_near_duplicates(reps, **(nd_kwargs or {}))
+    # MATERIALIZE the representative set before the signature stage: the
+    # interpreted-HOF minhash projection evaluated directly above the
+    # lazy broadcast join ran 44 s vs 0.8 s over the materialized rows at
+    # the 10x sweep (56x — the expensive shingle/md5 expressions evaluate
+    # against joined rows instead of a clean columnar batch). This is the
+    # same contract write_band_index and the streaming curation sink use:
+    # the deduped text set is materialized once, linear in the corpus.
+    reps = base.join(keepers, "doc_id").localCheckpoint(eager=True)
+    # stage 2 already collapsed exact duplicates and reps is materialized,
+    # so the generic entrypoint's internal collapse window (another
+    # corpus shuffle) is skipped
+    pairs = minhash_near_duplicates(
+        reps, **{"collapse_exact": False, **(nd_kwargs or {})}
+    )
     groups = duplicate_groups(pairs)
     near_dup = (
         groups.filter(F.col("doc_id") != F.col("group_id"))
