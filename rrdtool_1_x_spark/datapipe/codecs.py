@@ -1,4 +1,6 @@
-"""Pure-stdlib media codecs: PNG, WAV (PCM), PPM/PGM.
+"""Pure-stdlib media codecs: PNG, WAV (PCM), PPM/PGM, BMP — plus the
+baseline JPEG codec in ``datapipe.jpeg`` and the GIF (incl. animation)
+codec in ``datapipe.gif``, both reachable through ``sniff``/``decode_any``.
 
 No external image/audio libraries exist in the target container, so the
 decodable subset is implemented from the published file-format specs with
@@ -11,6 +13,9 @@ only ``zlib``/``struct``/``numpy``:
 * WAV (RIFF/WAVE): chunk walk for ``fmt ``/``data``; PCM 8/16/24/32-bit
   and IEEE float32/64, any channel count.
 * PPM/PGM (netpbm P5/P6 binary, P2/P3 ASCII).
+* BMP (BITMAPINFOHEADER): BI_RGB 24/32-bit and 8-bit palette.
+* JPEG (ITU-T T.81 baseline sequential): see ``datapipe.jpeg``.
+* GIF (87a/89a incl. LZW, interlace, animation): see ``datapipe.gif``.
 
 Encoders for the same subset exist so tests and oracle gates can build
 bit-exact fixtures without any third-party writer.
@@ -394,12 +399,89 @@ def encode_pnm(img: np.ndarray, maxval: int = 255) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# BMP (Windows BITMAPINFOHEADER, uncompressed)
+# ---------------------------------------------------------------------------
+
+
+def is_bmp(data: bytes) -> bool:
+    return data is not None and len(data) >= 18 and bytes(data[:2]) == b"BM"
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """BMP bytes → (h, w, channels) uint8. Supports BI_RGB 24/32-bit
+    (BGR[A], bottom-up or top-down) and 8-bit palette images."""
+    if not is_bmp(data):
+        raise ValueError("not a BMP stream")
+    data = bytes(data)
+    (pix_off,) = struct.unpack("<I", data[10:14])
+    (hdr_size,) = struct.unpack("<I", data[14:18])
+    if hdr_size < 40:
+        raise NotImplementedError("BMP: BITMAPCOREHEADER not supported")
+    w, h_signed = struct.unpack("<ii", data[18:26])
+    planes, bpp = struct.unpack("<HH", data[26:30])
+    (compression,) = struct.unpack("<I", data[30:34])
+    if compression != 0:
+        raise NotImplementedError(f"BMP: compression {compression} not supported")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    if bpp == 8:
+        (ncolors,) = struct.unpack("<I", data[46:50])
+        ncolors = ncolors or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            data[pal_off : pal_off + 4 * ncolors], dtype=np.uint8
+        ).reshape(-1, 4)[:, :3][:, ::-1]  # BGRX → RGB
+        stride = (w + 3) & ~3
+        rows = np.frombuffer(
+            data[pix_off : pix_off + stride * h], dtype=np.uint8
+        ).reshape(h, stride)[:, :w]
+        if not top_down:
+            rows = rows[::-1]
+        lut = np.zeros((256, 3), dtype=np.uint8)
+        lut[: len(pal)] = pal
+        return lut[rows]
+    if bpp in (24, 32):
+        nbytes = bpp // 8
+        stride = (w * nbytes + 3) & ~3
+        rows = np.frombuffer(
+            data[pix_off : pix_off + stride * h], dtype=np.uint8
+        ).reshape(h, stride)[:, : w * nbytes].reshape(h, w, nbytes)
+        if not top_down:
+            rows = rows[::-1]
+        if nbytes == 3:
+            return rows[:, :, ::-1].copy()  # BGR → RGB
+        bgra = rows
+        return np.concatenate([bgra[:, :, 2::-1], bgra[:, :, 3:4]], axis=2).copy()
+    raise NotImplementedError(f"BMP: {bpp}-bit not supported")
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint8 → 24-bit BI_RGB BMP (bottom-up)."""
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=2)
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("encode_bmp: 3 channels required")
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    payload = rows.tobytes()
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(payload), 2835, 2835, 0, 0)
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(payload), 0, 0, 14 + 40)
+    return header + info + payload
+
+
+# ---------------------------------------------------------------------------
 # Dispatch
 # ---------------------------------------------------------------------------
 
 
 def sniff(data: bytes) -> str | None:
     """Return the codec name for a payload, or None if unrecognized."""
+    from . import gif as _gif
+    from . import jpeg as _jpeg
+
     if data is None:
         return None
     if is_png(data):
@@ -408,6 +490,12 @@ def sniff(data: bytes) -> str | None:
         return "wav"
     if is_pnm(data):
         return "pnm"
+    if _jpeg.is_jpeg(bytes(data)):
+        return "jpeg"
+    if _gif.is_gif(bytes(data)):
+        return "gif"
+    if is_bmp(data):
+        return "bmp"
     return None
 
 
@@ -415,6 +503,9 @@ def decode_any(data: bytes) -> np.ndarray:
     """Decode a recognized payload to a flat float64 array normalized to
     the multimodal convention: images → pixel/maxval in [0, 1]; audio →
     samples in [-1, 1). Raises ValueError for unrecognized payloads."""
+    from . import gif as _gif
+    from . import jpeg as _jpeg
+
     kind = sniff(data)
     if kind == "png":
         img = decode_png(data)
@@ -427,4 +518,11 @@ def decode_any(data: bytes) -> np.ndarray:
         img = decode_pnm(data)
         maxval = 65535.0 if img.dtype == np.uint16 else 255.0
         return img.astype(np.float64).ravel() / maxval
+    if kind == "jpeg":
+        return _jpeg.decode_jpeg(bytes(data)).astype(np.float64).ravel() / 255.0
+    if kind == "gif":
+        # first composited frame; animations are frame-sampled upstream
+        return _gif.decode_gif(bytes(data)).astype(np.float64).ravel() / 255.0
+    if kind == "bmp":
+        return decode_bmp(data).astype(np.float64).ravel() / 255.0
     raise ValueError("unrecognized media payload (no magic match)")

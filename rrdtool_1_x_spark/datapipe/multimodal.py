@@ -2,13 +2,16 @@
 
 The Spark-side design — schema, partition-friendly batch iteration,
 Arrow-batched UDF signatures — is real and tested, and so is the codec
-layer for the stdlib-decodable formats: PNG (zlib inflate + unfilter), WAV
-(RIFF PCM/float), and PGM/PPM are decoded to real pixels/samples by
-``datapipe.codecs`` (no third-party library needed). Payloads whose format
-the stdlib genuinely cannot decode (JPEG, MP3, video containers) fall back
-to a deterministic fake (documented below) or raise NotImplementedError
-when ``strict=True``. Swapping in a full codec stack (Pillow/ffmpeg)
-only widens the ``codecs.sniff`` dispatch.
+layer: PNG (zlib inflate + unfilter), WAV (RIFF PCM/float), PGM/PPM, BMP,
+baseline JPEG (``datapipe.jpeg``: Huffman + DCT from the T.81 spec), and
+GIF incl. animation (``datapipe.gif``: the LZW variant) all decode to real
+pixels/samples with zero third-party code. Payloads whose format the
+stdlib genuinely cannot decode (MP3, video containers like MP4/WebM) fall
+back to a deterministic fake (documented below) or raise
+NotImplementedError when ``strict=True``. Swapping in a full codec stack
+(Pillow/ffmpeg) only widens the ``codecs.sniff`` dispatch. Animated GIF
+stands in as the real multi-frame container for video frame-sampling
+(``sample_video_frames``).
 
 Schema convention:
     media(doc_id long, kind string, content binary,
@@ -91,8 +94,8 @@ def _decode(content: bytes, kind: str, strict: bool) -> np.ndarray:
                 raise
     elif strict:
         raise NotImplementedError(
-            f"no stdlib codec for this payload (kind={kind!r}); "
-            "supported in-container: PNG, WAV, PGM/PPM"
+            f"no stdlib codec for this payload (kind={kind!r}); supported "
+            "in-container: PNG, WAV, PGM/PPM, BMP, JPEG (baseline), GIF"
         )
     return _decode_fake(content)
 
@@ -175,6 +178,24 @@ def probe_media(media: DataFrame) -> DataFrame:
                             else "image/x-portable-graymap"
                         )
                         (width, height, _mx), _ = codecs._pnm_tokens(data, 3)
+                    elif sniffed == "jpeg":
+                        from . import jpeg as jpeg_codec
+
+                        mime = "image/jpeg"
+                        for marker, body, _ss in jpeg_codec._segments(data):
+                            if marker in (0xC0, 0xC1, 0xC2):  # SOFn carries dims
+                                height, width = struct.unpack(">HH", body[1:5])
+                                break
+                    elif sniffed == "gif":
+                        from . import gif as gif_codec
+
+                        mime = "image/gif"
+                        width, height, nsamp, delay_cs = gif_codec.probe_gif(data)
+                        dur = delay_cs * 10  # centiseconds → ms
+                    elif sniffed == "bmp":
+                        mime = "image/bmp"
+                        width, h_signed = struct.unpack("<ii", data[18:26])
+                        height = abs(h_signed)
                 except Exception:
                     mime = None  # corrupt header: all fields NULL
                 rows.append((doc_id, kind, mime, width, height, rate, nsamp, dur))
@@ -196,6 +217,9 @@ def resize_images(media: DataFrame, height: int, width: int) -> DataFrame:
     from . import codecs
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import gif as gif_codec
+        from . import jpeg as jpeg_codec
+
         for pdf in batches:
             out = []
             for content in pdf["content"]:
@@ -206,6 +230,12 @@ def resize_images(media: DataFrame, height: int, width: int) -> DataFrame:
                         img = codecs.decode_png(data)
                     elif kind == "pnm":
                         img = codecs.decode_pnm(data)
+                    elif kind == "jpeg":
+                        img = jpeg_codec.decode_jpeg(data)
+                    elif kind == "gif":
+                        img = gif_codec.decode_gif(data)
+                    elif kind == "bmp":
+                        img = codecs.decode_bmp(data)
                     else:
                         out.append(content)
                         continue
@@ -213,6 +243,33 @@ def resize_images(media: DataFrame, height: int, width: int) -> DataFrame:
                     yi = (np.arange(height) * h0 // height).clip(0, h0 - 1)
                     xi = (np.arange(width) * w0 // width).clip(0, w0 - 1)
                     out.append(codecs.encode_png(img[yi][:, xi]))
+                except Exception:
+                    out.append(content)
+            res = pdf.copy()
+            res["content"] = out
+            yield res
+
+    return media.mapInPandas(run, schema=media.schema)
+
+
+def sample_video_frames(media: DataFrame, every_n: int) -> DataFrame:
+    """Keep every Nth frame of multi-frame payloads — the video
+    frame-sampling step of a training pipeline. Animated GIF is the real
+    in-container container format (index-level lossless re-encode via
+    datapipe.gif.resample_gif); other payloads pass through unchanged."""
+    from . import codecs
+    from . import gif as gif_codec
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for content in pdf["content"]:
+                data = bytes(content) if content is not None else b""
+                if codecs.sniff(data) != "gif":
+                    out.append(content)
+                    continue
+                try:
+                    out.append(gif_codec.resample_gif(data, every_n))
                 except Exception:
                     out.append(content)
             res = pdf.copy()
@@ -256,17 +313,28 @@ def synthesize_media_real(
     spark, docs: DataFrame, kind: str = "image", var_dims: bool = False
 ) -> DataFrame:
     """Build a media table whose payloads are REAL encoded files (PNG for
-    ``image``, 8-bit PCM WAV for ``audio``, binary PGM for ``pnm``), with
-    the signal = the document's first 256 utf-8 bytes zero-padded.
+    ``image``, 8-bit PCM WAV for ``audio``, binary PGM for ``pnm``, 24-bit
+    BMP for ``bmp``, single-frame gray GIF for ``gif``, block-flat
+    quality-100 baseline JPEG for ``jpeg`` (gray) / ``jpeg_rgb`` (4:2:0
+    color), 4-frame animated GIF for ``video``), with the signal = the
+    document's first 256 utf-8 bytes zero-padded.
 
     Because the signal bytes are known, a SQL oracle can recompute the
     decoded values from ``documents.text`` directly — a bit-exact
-    end-to-end test of encode → Spark binary column → stdlib decode.
+    end-to-end test of encode → Spark binary column → stdlib decode. The
+    JPEG kinds exploit the quality-100 exactness property (all-ones quant
+    tables + per-8x8-flat blocks reconstruct bit-exactly, including
+    through 4:2:0 chroma when R=G=B): byte i paints the whole 8x8 block at
+    grid position i of an 8x8 block grid (64x64 px from the first 64
+    bytes). ``video`` packs bytes 64f..64f+63 as frame f (8x8 gray) with
+    delay 2+(doc_id+f)%5 centisec.
 
     ``var_dims`` derives per-doc dimensions from doc_id (image width
     8 + id%9, audio rate 4000 + 100*(id%20)) so a header-probe oracle has
     a nontrivial mapping to verify through the actual encoded bytes."""
     from . import codecs
+    from . import gif as gif_codec
+    from . import jpeg as jpeg_codec
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -288,6 +356,34 @@ def synthesize_media_real(
                     img = np.frombuffer(raw, dtype=np.uint8).reshape(16, 16)
                     payloads.append(codecs.encode_pnm(img))
                     metas.append(("image/x-portable-graymap", 16, 16, None, None))
+                elif kind == "bmp":
+                    img = np.frombuffer(raw, dtype=np.uint8).reshape(16, 16)
+                    payloads.append(codecs.encode_bmp(img))
+                    metas.append(("image/bmp", 16, 16, None, None))
+                elif kind == "gif":
+                    img = np.frombuffer(raw, dtype=np.uint8).reshape(16, 16)
+                    payloads.append(gif_codec.encode_gif(img))
+                    metas.append(("image/gif", 16, 16, None, None))
+                elif kind in ("jpeg", "jpeg_rgb"):
+                    vals = np.frombuffer(raw[:64], dtype=np.uint8).reshape(8, 8)
+                    img = np.repeat(np.repeat(vals, 8, 0), 8, 1)  # 64x64, block-flat
+                    if kind == "jpeg_rgb":
+                        img = np.stack([img] * 3, axis=2)
+                        payloads.append(
+                            jpeg_codec.encode_jpeg(img, quality=100, subsample="420")
+                        )
+                    else:
+                        payloads.append(jpeg_codec.encode_jpeg(img, quality=100))
+                    metas.append(("image/jpeg", 64, 64, None, None))
+                elif kind == "video":
+                    frames = [
+                        np.frombuffer(raw[64 * f : 64 * f + 64], dtype=np.uint8)
+                        .reshape(8, 8)
+                        for f in range(4)
+                    ]
+                    delays = [2 + (int(doc_id) + f) % 5 for f in range(4)]
+                    payloads.append(gif_codec.encode_gif(frames, delays=delays))
+                    metas.append(("image/gif", 8, 8, None, sum(delays) * 10))
                 else:
                     raise ValueError(f"unknown media kind {kind!r}")
             yield pd.DataFrame(

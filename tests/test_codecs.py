@@ -203,8 +203,10 @@ def test_sniff_rejects_prose():
 def test_decode_dispatch_and_strict():
     png = C.encode_png(np.arange(256, dtype=np.uint8).reshape(16, 16))
     assert np.allclose(_decode(png, "image", True), np.arange(256) / 255.0)
+    with pytest.raises(Exception):
+        _decode(b"\xff\xd8\xffjunk-jpeg", "image", True)  # corrupt JPEG: strict raises
     with pytest.raises(NotImplementedError):
-        _decode(b"\xff\xd8\xffjunk-jpeg", "image", True)  # JPEG: no stdlib codec
+        _decode(b"\xff\xfb\x90\x00mp3-frame", "audio", True)  # MP3: no stdlib codec
     assert len(_decode(b"hello", "image", False)) == 256  # fake fallback
     # sniffed-but-corrupt payload: fake in lenient mode, raise in strict
     corrupt = C.PNG_MAGIC + b"\x00\x00\x00\x01IHDRxx"

@@ -1,0 +1,312 @@
+"""Tests for the baseline JPEG (datapipe.jpeg), GIF (datapipe.gif), and
+BMP (datapipe.codecs) codecs — all pure stdlib + numpy, no Spark session
+needed except for the multimodal-operator drives at the end."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from rrdtool_1_x_spark.datapipe import codecs as C
+from rrdtool_1_x_spark.datapipe import gif as G
+from rrdtool_1_x_spark.datapipe import jpeg as J
+
+# ---------------------------------------------------------------------------
+# JPEG
+# ---------------------------------------------------------------------------
+
+
+def _block_flat(vals: np.ndarray) -> np.ndarray:
+    """Expand an (n, m) byte grid to (8n, 8m) with each 8x8 block flat."""
+    return np.repeat(np.repeat(vals, 8, 0), 8, 1)
+
+
+def test_jpeg_flat_blocks_exact_gray():
+    """quality=100 -> all-ones quant tables -> block-flat images have only
+    an integer DC coefficient, so decode reproduces input bit-exactly."""
+    rng = np.random.default_rng(3)
+    img = _block_flat(rng.integers(0, 256, size=(4, 6), dtype=np.uint8))
+    dec = J.decode_jpeg(J.encode_jpeg(img, quality=100))
+    assert dec.shape == (32, 48, 1)
+    assert np.array_equal(dec[:, :, 0], img)
+
+
+def test_jpeg_flat_blocks_exact_rgb420():
+    """R=G=B makes chroma exactly 128 (flat), luma exactly v — so the full
+    color path (subsample, upsample, YCbCr round trip) is also exact."""
+    rng = np.random.default_rng(4)
+    g = _block_flat(rng.integers(0, 256, size=(4, 4), dtype=np.uint8))
+    rgb = np.stack([g] * 3, axis=2)
+    for sub in ("444", "420"):
+        dec = J.decode_jpeg(J.encode_jpeg(rgb, quality=100, subsample=sub))
+        assert np.array_equal(dec, rgb), sub
+
+
+def test_jpeg_quality_tables():
+    luma100, chroma100 = J.quant_tables(100)
+    assert (luma100 == 1).all() and (chroma100 == 1).all()
+    luma50, _ = J.quant_tables(50)
+    assert (luma50 == J.BASE_QUANT_LUMA).all()  # scale 100 => identity
+    luma10, _ = J.quant_tables(10)
+    assert (luma10 >= luma50).all()  # lower quality, coarser quantizers
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+def test_jpeg_lossy_psnr(sub):
+    """Smooth content at quality 90 must round-trip above 30 dB PSNR —
+    catches DCT/quant/Huffman sign or ordering errors that still produce
+    a structurally valid stream."""
+    y = np.add.outer(np.arange(48) * 3, np.arange(64) * 2) % 256
+    img = np.stack([y, 255 - y, y // 2], axis=2).astype(np.uint8)
+    dec = J.decode_jpeg(J.encode_jpeg(img, quality=90, subsample=sub))
+    mse = np.mean((dec.astype(float) - img.astype(float)) ** 2)
+    assert 10 * np.log10(255.0**2 / mse) > 30.0
+
+
+def test_jpeg_restart_markers():
+    """DRI/RSTn framing: decode with restarts == decode without."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)
+    plain = J.decode_jpeg(J.encode_jpeg(img, quality=80, subsample="420"))
+    rst = J.decode_jpeg(
+        J.encode_jpeg(img, quality=80, subsample="420", restart_interval=2)
+    )
+    assert np.array_equal(plain, rst)
+
+
+def test_jpeg_odd_dimensions():
+    """Non-multiple-of-8 (and of 16 for 4:2:0) dims: encoder pads with
+    edge replication, decoder crops back to the SOF dims."""
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    for sub in ("444", "420"):
+        dec = J.decode_jpeg(J.encode_jpeg(img, quality=95, subsample=sub))
+        assert dec.shape == (13, 17, 3)
+    gray = rng.integers(0, 256, size=(9, 11), dtype=np.uint8)
+    assert J.decode_jpeg(J.encode_jpeg(gray, quality=95)).shape == (9, 11, 1)
+
+
+def test_jpeg_progressive_rejected():
+    """SOF2 must raise NotImplementedError, not mis-decode."""
+    data = bytearray(J.encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    idx = bytes(data).find(b"\xff\xc0")
+    data[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        J.decode_jpeg(bytes(data))
+
+
+def test_jpeg_extend_and_category():
+    """T.81 EXTEND table spot checks (F.12): category n, low values map
+    to the negative range."""
+    assert J._extend(0, 1) == -1 and J._extend(1, 1) == 1
+    assert J._extend(0b00, 2) == -3 and J._extend(0b11, 2) == 3
+    assert J._extend(5, 3) == 5 and J._extend(2, 3) == -5
+    for v in (-255, -128, -1, 0, 1, 127, 255, 1023):
+        s = J._category(v)
+        if v == 0:
+            assert s == 0
+            continue
+        enc = v if v >= 0 else v + (1 << s) - 1
+        assert J._extend(enc, s) == v  # encoder mapping inverts EXTEND
+
+
+# ---------------------------------------------------------------------------
+# GIF
+# ---------------------------------------------------------------------------
+
+
+def test_gif_gray_roundtrip_exact():
+    rng = np.random.default_rng(7)
+    f = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    dec = G.decode_gif(G.encode_gif(f))
+    assert np.array_equal(dec, np.stack([f] * 3, axis=2))
+
+
+def test_gif_small_palette():
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]], np.uint8)
+    rng = np.random.default_rng(8)
+    idx = rng.integers(0, 4, size=(11, 13), dtype=np.uint8)
+    assert np.array_equal(G.decode_gif(G.encode_gif(idx, palette=pal)), pal[idx])
+
+
+def test_gif_animation_roundtrip_and_probe():
+    rng = np.random.default_rng(9)
+    frames = [rng.integers(0, 256, size=(8, 8), dtype=np.uint8) for _ in range(5)]
+    enc = G.encode_gif(frames, delays=[10, 20, 30, 40, 50])
+    dec, delays = G.decode_gif_frames(enc)
+    assert delays == [10, 20, 30, 40, 50]
+    for i in range(5):
+        assert np.array_equal(dec[i], np.stack([frames[i]] * 3, axis=2))
+    assert G.probe_gif(enc) == (8, 8, 5, 150)
+
+
+def test_gif_lzw_stress():
+    rng = np.random.default_rng(10)
+    for payload in (
+        bytes(rng.integers(0, 256, 20000, dtype=np.uint8)),  # dict growth + reset
+        b"ab" * 30000,  # long repeats (KwKwK cases)
+        bytes(range(256)) * 64,
+        b"",
+        b"\x00",
+    ):
+        assert bytes(G.lzw_decode(G.lzw_encode(payload, 8), 8)) == payload
+    # small min-code-size path
+    quad = bytes([0, 1, 2, 3] * 500)
+    assert bytes(G.lzw_decode(G.lzw_encode(quad, 2), 2)) == quad
+
+
+def test_gif_transparency_composites_previous_frame():
+    """Frame 2 marked transparent at index 0 must keep frame 1's pixels
+    where transparent."""
+    import struct
+
+    base = np.full((4, 4), 200, dtype=np.uint8)
+    overlay = np.zeros((4, 4), dtype=np.uint8)
+    overlay[1, 1] = 77
+    enc = bytearray(G.encode_gif([base, overlay], delays=[5, 5]))
+    # rewrite the second GCE (0x21 0xF9) to set the transparency flag on
+    # index 0: packed byte gets bit 0, transparent-index byte = 0
+    pos = enc.find(b"\x21\xf9", enc.find(b"\x21\xf9") + 2)
+    assert pos > 0
+    enc[pos + 3] |= 0x01  # packed (after 0x21 0xF9 <len>)
+    enc[pos + 6] = 0  # transparent index
+    frames, _ = G.decode_gif_frames(bytes(enc))
+    assert frames[1][1, 1, 0] == 77  # opaque overlay pixel painted
+    assert frames[1][0, 0, 0] == 200  # transparent pixel kept from frame 1
+
+
+def test_gif_resample_lossless():
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 256, size=(8, 8), dtype=np.uint8) for _ in range(6)]
+    enc = G.encode_gif(frames, delays=[1, 2, 3, 4, 5, 6])
+    out = G.resample_gif(enc, 3)
+    dec, delays = G.decode_gif_frames(out)
+    assert dec.shape[0] == 2
+    assert np.array_equal(dec[0], np.stack([frames[0]] * 3, axis=2))
+    assert np.array_equal(dec[1], np.stack([frames[3]] * 3, axis=2))
+    assert delays == [1 + 2 + 3, 4 + 5 + 6]  # dropped delays folded forward
+
+
+def test_gif_interlace_decode():
+    """Hand-built interlaced image: set the interlace flag and reorder the
+    rows per the 4-pass schedule; decoder must undo it."""
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, size=(10, 4), dtype=np.uint8)
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, 10, step))
+    shuffled = img[np.array(order)]
+    enc = bytearray(G.encode_gif(shuffled))
+    pos = 6 + 7 + 768  # header + LSD + 256-entry GCT → image descriptor
+    assert enc[pos] == 0x2C
+    enc[pos + 9] |= 0x40  # image-descriptor interlace flag
+    dec = G.decode_gif(bytes(enc))
+    assert np.array_equal(dec[:, :, 0], img)
+
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_roundtrip():
+    rng = np.random.default_rng(13)
+    for shape in ((16, 16, 3), (7, 5, 3), (3, 9, 3)):  # incl. padded strides
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert np.array_equal(C.decode_bmp(C.encode_bmp(img)), img)
+    gray = rng.integers(0, 256, size=(6, 6), dtype=np.uint8)
+    assert np.array_equal(C.decode_bmp(C.encode_bmp(gray)), np.stack([gray] * 3, 2))
+
+
+def test_bmp_8bit_palette_and_topdown():
+    """Hand-build an 8-bit palette BMP (bottom-up) and a top-down 24-bit."""
+    import struct
+
+    pal = bytes()
+    for i in range(256):
+        pal += bytes([i, 255 - i, i // 2, 0])  # BGRX
+    idx = np.array([[0, 1], [2, 255]], dtype=np.uint8)
+    stride = 4  # 2 cols padded to 4
+    pix = b"".join(bytes(idx[y]) + b"\0\0" for y in (1, 0))  # bottom-up
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, len(pix), 0, 0, 256, 0)
+    hdr = b"BM" + struct.pack("<IHHI", 14 + 40 + 1024 + len(pix), 0, 0, 14 + 40 + 1024)
+    dec = C.decode_bmp(hdr + info + pal + pix)
+    assert (dec[0, 0] == [idx[0, 0] // 2, 255 - idx[0, 0], idx[0, 0]]).all()
+    assert (dec[1, 1] == [255 // 2, 0, 255]).all()
+
+    img = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    enc = bytearray(C.encode_bmp(img))
+    # flip to top-down: negate height and reverse the (unpadded) rows
+    enc[22:26] = struct.pack("<i", -2)
+    rows = enc[54:]
+    enc[54:] = bytes(rows[len(rows) // 2 :] + rows[: len(rows) // 2])
+    assert np.array_equal(C.decode_bmp(bytes(enc)), img)
+
+
+# ---------------------------------------------------------------------------
+# Dispatch + Spark-side operators
+# ---------------------------------------------------------------------------
+
+
+def test_sniff_new_formats():
+    assert C.sniff(J.encode_jpeg(np.zeros((8, 8), np.uint8))) == "jpeg"
+    assert C.sniff(G.encode_gif(np.zeros((2, 2), np.uint8))) == "gif"
+    assert C.sniff(C.encode_bmp(np.zeros((2, 2, 3), np.uint8))) == "bmp"
+    assert C.sniff(b"\xff\xd8\xff\xe0") == "jpeg"
+    assert C.sniff(b"GIF89a??") == "gif"
+    assert C.sniff(b"GIF88a??") is None
+
+
+def test_decode_any_new_formats():
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    flat = np.repeat(np.repeat(np.arange(4, dtype=np.uint8).reshape(2, 2) * 60, 8, 0), 8, 1)
+    assert np.allclose(
+        C.decode_any(J.encode_jpeg(flat, quality=100)), flat.ravel() / 255.0
+    )
+    assert np.allclose(
+        C.decode_any(G.encode_gif(g)), np.repeat(g.ravel(), 3) / 255.0
+    )
+    assert np.allclose(
+        C.decode_any(C.encode_bmp(np.stack([g] * 3, 2))), np.repeat(g.ravel(), 3) / 255.0
+    )
+
+
+def test_multimodal_probe_resize_video(spark):
+    """Spark drives for the new formats: probe reads JPEG SOF / GIF screen
+    descriptor / BMP header; resize decodes them; sample_video_frames
+    strides an animated GIF losslessly."""
+    from rrdtool_1_x_spark.datapipe.multimodal import (
+        MEDIA_SCHEMA,
+        probe_media,
+        resize_images,
+        sample_video_frames,
+    )
+
+    rng = np.random.default_rng(14)
+    jimg = rng.integers(0, 256, size=(24, 16, 3), dtype=np.uint8)
+    frames = [rng.integers(0, 256, size=(8, 8), dtype=np.uint8) for _ in range(4)]
+    rows = [
+        (1, "image", bytearray(J.encode_jpeg(jimg, quality=92)),
+         ("image/jpeg", 16, 24, None, None)),
+        (2, "video", bytearray(G.encode_gif(frames, delays=[10, 10, 10, 10])),
+         ("image/gif", 8, 8, None, 400)),
+        (3, "image", bytearray(C.encode_bmp(jimg)), ("image/bmp", 16, 24, None, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    probed = {r.doc_id: r for r in probe_media(media).collect()}
+    assert (probed[1].mime, probed[1].width, probed[1].height) == ("image/jpeg", 16, 24)
+    assert (probed[2].mime, probed[2].n_samples, probed[2].duration_ms) == (
+        "image/gif", 4, 400,
+    )
+    assert (probed[3].mime, probed[3].width, probed[3].height) == ("image/bmp", 16, 24)
+
+    resized = {r.doc_id: bytes(r.content) for r in resize_images(media, 6, 4).collect()}
+    for doc in (1, 3):
+        assert C.decode_png(resized[doc]).shape == (6, 4, 3)
+
+    sampled = {r.doc_id: bytes(r.content) for r in sample_video_frames(media, 2).collect()}
+    dec, delays = G.decode_gif_frames(sampled[2])
+    assert dec.shape[0] == 2 and delays == [20, 20]
+    assert np.array_equal(dec[1], np.stack([frames[2]] * 3, axis=2))
+    assert sampled[1] == bytes(rows[0][2])  # non-GIF passes through
