@@ -596,6 +596,99 @@ def q_media_frames(spark, sf_dir):
     )
 
 
+def q_media_jpeg(spark, sf_dir):
+    """REAL baseline-JPEG codec end-to-end (datapipe.jpeg): each doc's
+    first 64 text bytes paint an 8x8 grid of flat 8x8 blocks (64x64 px),
+    encoded at quality 100 — all-ones quant tables make block-flat content
+    reconstruct bit-exactly, including through the 4:2:0 color path when
+    R=G=B. resize_images(8,8) picks pixel (8y,8x) = block (y,x) = byte
+    8y+x, so the strict-decoded 64 pixels ARE the source bytes — only a
+    working Huffman+IDCT+subsampling pipeline can produce these rows."""
+    from rrdtool_1_x_spark.datapipe.multimodal import (
+        extract_features,
+        resize_images,
+        synthesize_media_real,
+    )
+
+    d = _docs(spark, sf_dir)
+    outs = []
+    for kind in ("jpeg", "jpeg_rgb"):
+        small = resize_images(synthesize_media_real(spark, d, kind), 8, 8)
+        outs.append(extract_features(small, feat_dim=64, strict=True))
+    pre = outs[0].unionByName(outs[1]).select("doc_id", "kind", F.col("feat").alias("_f"))
+    return (
+        pre.select("doc_id", "kind", F.posexplode("_f").alias("pix_idx", "_v"))
+        .select(
+            "doc_id",
+            "kind",
+            F.col("pix_idx").cast("long").alias("pix_idx"),
+            F.round(F.col("_v").cast("double"), 6).alias("pix_val"),
+        )
+        .orderBy("doc_id", "kind", "pix_idx")
+    )
+
+
+def q_media_video(spark, sf_dir):
+    """Video frame-sampling through a REAL multi-frame container
+    (datapipe.gif animation): 4 frames of 8x8 gray (bytes 64f..64f+63),
+    per-frame delays 2+(doc_id+f)%5 cs, strided every 2nd frame losslessly
+    (index-level LZW re-encode, dropped delays folded forward), then
+    per-frame pooled features (extract_frame_features). Kept frame k maps
+    to source frame 2k: pixel j = byte[128k+j], delay = d(2k)+d(2k+1)."""
+    from rrdtool_1_x_spark.datapipe.multimodal import (
+        extract_frame_features,
+        sample_video_frames,
+        synthesize_media_real,
+    )
+
+    d = _docs(spark, sf_dir)
+    strided = sample_video_frames(synthesize_media_real(spark, d, "video"), 2)
+    feats = extract_frame_features(strided, feat_dim=64, strict=True)
+    return (
+        feats.select(
+            "doc_id", "frame_idx", "delay_cs", F.posexplode("feat").alias("feat_idx", "_v")
+        )
+        .select(
+            "doc_id",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            F.col("delay_cs").cast("long").alias("delay_cs"),
+            F.col("feat_idx").cast("long").alias("feat_idx"),
+            F.round(F.col("_v").cast("double"), 6).alias("feat_val"),
+        )
+        .orderBy("doc_id", "frame_idx", "feat_idx")
+    )
+
+
+def q_media_probe2(spark, sf_dir):
+    """Header probes for the round-5 codecs: JPEG SOF dims via a real
+    marker-segment walk, GIF logical-screen dims + frame count + total
+    GCE delay via a sub-block walk (no LZW decode), BMP info-header dims.
+    The oracle knows the doc_id → fixture mapping; the probe only sees
+    the encoded bytes."""
+    from rrdtool_1_x_spark.datapipe.multimodal import (
+        probe_media,
+        synthesize_media_real,
+    )
+
+    d = _docs(spark, sf_dir)
+    u = synthesize_media_real(spark, d, "jpeg")
+    for kind in ("gif", "bmp", "video"):
+        u = u.unionByName(synthesize_media_real(spark, d, kind))
+    return (
+        probe_media(u)
+        .select(
+            "doc_id",
+            "kind",
+            "mime",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            F.col("n_samples").cast("long").alias("n_frames"),
+            F.col("duration_ms").cast("long").alias("duration_ms"),
+        )
+        .orderBy("doc_id", "kind")
+    )
+
+
 def q_ann_cosine_top10(spark, sf_dir):
     """Brute-force cosine top-10 against the lowest-id embedding."""
     e = _emb(spark, sf_dir)
@@ -1414,6 +1507,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_probe": q_media_probe,
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
+        "media_jpeg": q_media_jpeg,
+        "media_video": q_media_video,
+        "media_probe2": q_media_probe2,
         "near_dup_pairs": q_near_dup_pairs,
         "dup_groups": q_dup_groups,
         "dedup_report": q_dedup_report,
@@ -1820,6 +1916,60 @@ SELECT doc_id, j AS frame_idx,
   round((((bytes[4*j + 1] - 128) / 128.0)::FLOAT)::DOUBLE, 6) AS frame_val
 FROM b, range(0, 64) r(j)
 ORDER BY doc_id, frame_idx"""
+    # media_jpeg: quality-100 block-flat JPEG reconstructs bit-exactly
+    # (all-ones quant tables; R=G=B keeps 4:2:0 chroma flat at 128), and
+    # the 64x64→8x8 nearest-neighbor resize picks pixel (8y,8x) = block
+    # (y,x) = byte 8y+x — so decoded pixel j is exactly byte[j]/255 for
+    # both the gray and color streams.
+    sql["media_jpeg"] = """
+WITH t AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+b AS (SELECT doc_id, list_transform(range(0, 64), i ->
+        CASE WHEN 2*i + 2 <= len(hx)
+             THEN 16*(strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1)
+                  + (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1)
+             ELSE 0 END) AS bytes
+      FROM t)
+SELECT doc_id, k.kind, j AS pix_idx,
+  round(((bytes[j+1] / 255.0)::FLOAT)::DOUBLE, 6) AS pix_val
+FROM b, (VALUES ('jpeg'), ('jpeg_rgb')) k(kind), range(0, 64) r(j)
+ORDER BY doc_id, kind, pix_idx"""
+    # media_video: 4-frame animated GIF (frame f = bytes 64f..64f+63,
+    # delay 2+(doc_id+f)%5 cs) strided every 2nd frame losslessly; kept
+    # frame k = source frame 2k, its delay absorbs the dropped follower.
+    # Per-frame pooling over the 8x8 RGB frame is 3 identical channel
+    # values per bucket -> byte/255 exactly.
+    sql["media_video"] = """
+WITH t AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+b AS (SELECT doc_id, list_transform(range(0, 256), i ->
+        CASE WHEN 2*i + 2 <= len(hx)
+             THEN 16*(strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1)
+                  + (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1)
+             ELSE 0 END) AS bytes
+      FROM t)
+SELECT doc_id, f AS frame_idx,
+  (4 + (doc_id + 2*f) % 5 + (doc_id + 2*f + 1) % 5)::BIGINT AS delay_cs,
+  j AS feat_idx,
+  round(((bytes[128*f + j + 1] / 255.0)::FLOAT)::DOUBLE, 6) AS feat_val
+FROM b, range(0, 2) rf(f), range(0, 64) r(j)
+ORDER BY doc_id, frame_idx, feat_idx"""
+    # media_probe2: header facts the probe must read back from real
+    # encoded bytes — JPEG SOF 64x64, single-frame GIF 16x16 (1 frame,
+    # 0 delay), BMP 16x16, 4-frame video GIF 8x8 with total duration
+    # 10*(8 + sum_f (doc_id+f)%5) ms.
+    sql["media_probe2"] = """
+SELECT doc_id, 'jpeg' AS kind, 'image/jpeg' AS mime,
+       64::BIGINT AS width, 64::BIGINT AS height,
+       NULL::BIGINT AS n_frames, NULL::BIGINT AS duration_ms
+FROM documents
+UNION ALL
+SELECT doc_id, 'gif', 'image/gif', 16, 16, 1, 0 FROM documents
+UNION ALL
+SELECT doc_id, 'bmp', 'image/bmp', 16, 16, NULL, NULL FROM documents
+UNION ALL
+SELECT doc_id, 'video', 'image/gif', 8, 8, 4,
+       10 * (8 + doc_id % 5 + (doc_id+1) % 5 + (doc_id+2) % 5 + (doc_id+3) % 5)
+FROM documents
+ORDER BY doc_id, kind"""
     sql["repetition"] = """
 WITH t AS (SELECT doc_id, text FROM documents),
 l AS (SELECT doc_id,

@@ -279,6 +279,53 @@ def sample_video_frames(media: DataFrame, every_n: int) -> DataFrame:
     return media.mapInPandas(run, schema=media.schema)
 
 
+FRAME_FEATURE_FIELDS = (
+    "doc_id long, kind string, frame_idx int, delay_cs int, "
+    "feat array<float>, feat_dim int"
+)
+
+
+def extract_frame_features(
+    media: DataFrame, feat_dim: int = 64, strict: bool = False
+) -> DataFrame:
+    """Per-FRAME pooled features — the video analogue of extract_features.
+
+    Multi-frame payloads (animated GIF) emit one row per composited frame
+    with its delay in centiseconds; single-frame/audio payloads emit one
+    row with frame_idx 0 and NULL delay. Pooling matches extract_features
+    (float64 mean into feat_dim buckets, one float32 rounding)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs
+        from . import gif as gif_codec
+
+        for pdf in batches:
+            rows = []
+            for doc_id, kind, content in zip(
+                pdf["doc_id"], pdf["kind"], pdf["content"]
+            ):
+                data = bytes(content) if content is not None else b""
+                if codecs.sniff(data) == "gif":
+                    frames, delays = gif_codec.decode_gif_frames(data)
+                    signals = [
+                        (i, int(d), f.astype(np.float64).ravel() / 255.0)
+                        for i, (f, d) in enumerate(zip(frames, delays))
+                    ]
+                else:
+                    signals = [(0, None, _decode(data, kind, strict))]
+                for idx, delay, raw in signals:
+                    pad = (-len(raw)) % feat_dim
+                    pooled = np.pad(raw, (0, pad)).reshape(feat_dim, -1).mean(axis=1)
+                    rows.append(
+                        (doc_id, kind, idx, delay, pooled.astype(np.float32).tolist())
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "kind", "frame_idx", "delay_cs", "feat"]
+            ).assign(feat_dim=feat_dim)
+
+    return media.mapInPandas(run, schema=FRAME_FEATURE_FIELDS)
+
+
 def sample_audio_frames(media: DataFrame, every_n: int) -> DataFrame:
     """Keep every Nth audio frame (decode → stride → re-encode 16-bit PCM)
     — the audio analogue of video frame-sampling; non-audio payloads pass
