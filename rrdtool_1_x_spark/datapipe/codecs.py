@@ -8,10 +8,10 @@ only ``zlib``/``struct``/``numpy``:
 
 * PNG (ISO/IEC 15948): zlib-inflate the IDAT stream, undo the five
   scanline filters (None/Sub/Up/Average/Paeth), de-serialize bit depth
-  1/2/4/8/16, expand palette. Adam7 interlace is rejected (rare in data
-  pipelines; re-encode progressive assets upstream).
+  1/2/4/8/16, expand palette, merge Adam7 interlace passes.
 * WAV (RIFF/WAVE): chunk walk for ``fmt ``/``data``; PCM 8/16/24/32-bit
-  and IEEE float32/64, any channel count.
+  and IEEE float32/64, any channel count, WAVE_FORMAT_EXTENSIBLE
+  subformat unwrapping.
 * PPM/PGM (netpbm P5/P6 binary, P2/P3 ASCII).
 * BMP (BITMAPINFOHEADER): BI_RGB 24/32-bit and 8-bit palette.
 * JPEG (ITU-T T.81 baseline sequential): see ``datapipe.jpeg``.
@@ -115,11 +115,40 @@ def _unpack_bits(line: np.ndarray, bit_depth: int, count: int) -> np.ndarray:
     return (vals * weights).sum(axis=1).astype(np.uint8)[:count]
 
 
+_ADAM7 = (  # (x_start, y_start, x_step, y_step) for the 7 passes
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _decode_subimage(
+    raw: bytes, width: int, height: int, bit_depth: int, channels: int
+) -> np.ndarray:
+    """Unfilter + de-serialize one (sub)image; returns (h, w, channels)."""
+    bits_per_px = bit_depth * channels
+    stride = (width * bits_per_px + 7) // 8
+    bpp = max(1, bits_per_px // 8)
+    flat = _unfilter(raw, height, stride, bpp)
+    if bit_depth == 16:
+        arr = np.frombuffer(bytes(flat), dtype=">u2").astype(np.uint16)
+        return arr.reshape(height, width, channels)
+    if bit_depth == 8:
+        return np.frombuffer(bytes(flat), dtype=np.uint8).reshape(
+            height, width, channels
+        )
+    rows = []
+    for y in range(height):
+        line = np.frombuffer(bytes(flat[y * stride : (y + 1) * stride]), dtype=np.uint8)
+        rows.append(_unpack_bits(line, bit_depth, width))
+    return np.stack(rows).reshape(height, width, 1)
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes → (h, w, channels) uint8 (or uint16 for 16-bit).
 
     Palette images are expanded through PLTE (+tRNS alpha when present).
-    Raises ValueError on malformed streams, NotImplementedError on Adam7.
+    Adam7-interlaced streams are de-interlaced (7 sub-images merged on
+    their pass grids). Raises ValueError on malformed streams.
     """
     if not is_png(data):
         raise ValueError("not a PNG stream")
@@ -143,30 +172,31 @@ def decode_png(data: bytes) -> np.ndarray:
             idat.extend(body)
     if width is None:
         raise ValueError("PNG: missing IHDR")
-    if interlace:
-        raise NotImplementedError("PNG: Adam7 interlace not supported")
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"PNG: unknown color type {color_type}")
     channels = _PNG_CHANNELS[color_type]
     raw = zlib.decompress(bytes(idat))
-    bits_per_px = bit_depth * channels
-    stride = (width * bits_per_px + 7) // 8
-    bpp = max(1, bits_per_px // 8)
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG: IDAT size does not match dimensions")
-    flat = _unfilter(raw, height, stride, bpp)
-
-    if bit_depth == 16:
-        arr = np.frombuffer(bytes(flat), dtype=">u2").astype(np.uint16)
-        img = arr.reshape(height, width, channels)
-    elif bit_depth == 8:
-        img = np.frombuffer(bytes(flat), dtype=np.uint8).reshape(height, width, channels)
-    else:  # 1/2/4-bit: one channel per pixel (gray or palette index)
-        rows = []
-        for y in range(height):
-            line = np.frombuffer(bytes(flat[y * stride : (y + 1) * stride]), dtype=np.uint8)
-            rows.append(_unpack_bits(line, bit_depth, width))
-        img = np.stack(rows).reshape(height, width, 1)
+    if interlace:  # Adam7: 7 independently-filtered sub-images
+        dtype = np.uint16 if bit_depth == 16 else np.uint8
+        img = np.zeros((height, width, channels), dtype=dtype)
+        pos = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = (width - x0 + xs - 1) // xs
+            ph = (height - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = (pw * bit_depth * channels + 7) // 8
+            sub = _decode_subimage(
+                raw[pos : pos + ph * (stride + 1)], pw, ph, bit_depth, channels
+            )
+            pos += ph * (stride + 1)
+            img[y0::ys, x0::xs] = sub
+    else:
+        bits_per_px = bit_depth * channels
+        stride = (width * bits_per_px + 7) // 8
+        if len(raw) != height * (stride + 1):
+            raise ValueError("PNG: IDAT size does not match dimensions")
+        img = _decode_subimage(raw, width, height, bit_depth, channels)
 
     if color_type == 3:  # palette expand
         if plte is None:
@@ -242,6 +272,7 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("not a WAV stream")
     pos = 12
     fmt = None
+    fmt_body = b""
     frames_raw = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
@@ -249,14 +280,17 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         body = data[pos + 8 : pos + 8 + clen]
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif cid == b"data":
             frames_raw = body
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
     if fmt is None or frames_raw is None:
         raise ValueError("WAV: missing fmt/data chunk")
     audio_fmt, channels, sample_rate, _byte_rate, _block_align, bits = fmt
-    if audio_fmt == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: subformat GUID leads with the tag
-        raise NotImplementedError("WAV: extensible format not supported")
+    if audio_fmt == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: subformat GUID leads
+        if len(fmt_body) < 40:
+            raise ValueError("WAV: truncated extensible fmt chunk")
+        (audio_fmt,) = struct.unpack("<H", fmt_body[24:26])  # GUID data1 low
     if audio_fmt == 3:  # IEEE float
         dtype = "<f4" if bits == 32 else "<f8"
         samples = np.frombuffer(frames_raw, dtype=dtype).astype(np.float64)

@@ -128,15 +128,31 @@ def test_png_subbyte_depth():
     assert (C.decode_png(png).reshape(h, w) == vals).all()
 
 
-def test_png_interlace_rejected():
-    png = (
+def _adam7_encode(img: np.ndarray) -> bytes:
+    """Build an Adam7-interlaced PNG by hand (filter 0 on every sub-image
+    scanline) so the decoder's de-interlacing can be verified."""
+    h, w, c = img.shape
+    raw = bytearray()
+    for x0, y0, xs, ys in C._ADAM7:
+        sub = img[y0::ys, x0::xs]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw += b"\x00" + row.astype(np.uint8).tobytes()
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+    return (
         C.PNG_MAGIC
-        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1))
-        + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00\x00"))
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1))
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError):
-        C.decode_png(png)
+
+
+@pytest.mark.parametrize("shape", [(2, 2, 1), (9, 7, 3), (16, 16, 1), (5, 11, 4), (1, 1, 1)])
+def test_png_adam7_interlace(shape):
+    rng = np.random.default_rng(sum(shape))
+    img = rng.integers(0, 256, size=shape).astype(np.uint8)
+    assert np.array_equal(C.decode_png(_adam7_encode(img)), img)
 
 
 @pytest.mark.parametrize("bits", [8, 16])
@@ -182,6 +198,29 @@ def test_wav_float_and_24bit():
     )
     dec24, _ = C.decode_wav(wav24)
     assert np.abs(dec24.ravel() - s).max() < 1e-6
+
+
+def test_wav_extensible():
+    """WAVE_FORMAT_EXTENSIBLE wraps PCM/float behind a subformat GUID —
+    decode must read the real tag from the GUID's leading bytes."""
+    s = (np.arange(64) - 32).astype(np.float64) / 64.0
+    base = C.encode_wav(s, 8000, bits=16)
+    # rebuild with an extensible fmt chunk (cbSize 22, PCM subformat GUID)
+    guid = struct.pack("<H", 1) + b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    fmt = struct.pack("<HHIIHHHHI", 0xFFFE, 1, 8000, 16000, 2, 16, 22, 16, 0) + guid
+    payload = np.clip(s * 32768.0, -32768, 32767).astype("<i2").tobytes()
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    ext = b"RIFF" + struct.pack("<I", len(body)) + body
+    a, ra = C.decode_wav(base)
+    b, rb = C.decode_wav(ext)
+    assert ra == rb == 8000
+    assert np.array_equal(a, b)
+    with pytest.raises(ValueError):
+        C.decode_wav(ext[:40])  # truncated extensible fmt
 
 
 def test_pnm_roundtrip_and_ascii():
