@@ -689,6 +689,30 @@ def q_media_probe2(spark, sf_dir):
     )
 
 
+def q_media_flac(spark, sf_dir):
+    """REAL FLAC codec end-to-end (datapipe.flac): text bytes become
+    16-bit samples (byte-128)*256, Rice/fixed-predictor coded in 64-sample
+    blocks, then strict-decoded — sample i is exactly (byte_i-128)/128,
+    the same byte math as the 8-bit WAV gate but through a genuinely
+    compressed bitstream (Huffman-free Rice coding, CRC-8/16 verified)."""
+    from rrdtool_1_x_spark.datapipe.multimodal import (
+        extract_features,
+        synthesize_media_real,
+    )
+
+    d = _docs(spark, sf_dir)
+    feats = extract_features(synthesize_media_real(spark, d, "flac"), 64, strict=True)
+    return (
+        feats.select("doc_id", F.posexplode("feat").alias("feat_idx", "_v"))
+        .select(
+            "doc_id",
+            F.col("feat_idx").cast("long").alias("feat_idx"),
+            F.round(F.col("_v").cast("double"), 6).alias("feat_val"),
+        )
+        .orderBy("doc_id", "feat_idx")
+    )
+
+
 def q_ann_cosine_top10(spark, sf_dir):
     """Brute-force cosine top-10 against the lowest-id embedding."""
     e = _emb(spark, sf_dir)
@@ -1510,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_jpeg": q_media_jpeg,
         "media_video": q_media_video,
         "media_probe2": q_media_probe2,
+        "media_flac": q_media_flac,
         "near_dup_pairs": q_near_dup_pairs,
         "dup_groups": q_dup_groups,
         "dedup_report": q_dedup_report,
@@ -1952,6 +1977,25 @@ SELECT doc_id, f AS frame_idx,
   round(((bytes[128*f + j + 1] / 255.0)::FLOAT)::DOUBLE, 6) AS feat_val
 FROM b, range(0, 2) rf(f), range(0, 64) r(j)
 ORDER BY doc_id, frame_idx, feat_idx"""
+    # media_flac: FLAC sample i = (byte_i-128)*256 at 16 bit decodes to
+    # (byte_i-128)/128 exactly — identical pooled byte math to the WAV
+    # audio gate, but the bytes travel through Rice/fixed-predictor
+    # coding with verified CRCs.
+    sql["media_flac"] = """
+WITH t AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+b AS (SELECT doc_id, list_transform(range(0, 256), i ->
+        CASE WHEN 2*i + 2 <= len(hx)
+             THEN 16*(strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1)
+                  + (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1)
+             ELSE 0 END) AS bytes
+      FROM t),
+f AS (SELECT doc_id, list_transform(range(0, 64), j ->
+        ((((bytes[4*j+1]-128)/128.0 + (bytes[4*j+2]-128)/128.0)
+          + (bytes[4*j+3]-128)/128.0) + (bytes[4*j+4]-128)/128.0) / 4.0) AS feat
+      FROM b)
+SELECT doc_id, j AS feat_idx, round((feat[j+1]::FLOAT)::DOUBLE, 6) AS feat_val
+FROM f, range(0, 64) r(j)
+ORDER BY doc_id, feat_idx"""
     # media_probe2: header facts the probe must read back from real
     # encoded bytes — JPEG SOF 64x64, single-frame GIF 16x16 (1 frame,
     # 0 delay), BMP 16x16, 4-frame video GIF 8x8 with total duration

@@ -16,6 +16,8 @@ only ``zlib``/``struct``/``numpy``:
 * BMP (BITMAPINFOHEADER): BI_RGB 24/32-bit and 8-bit palette.
 * JPEG (ITU-T T.81 baseline sequential): see ``datapipe.jpeg``.
 * GIF (87a/89a incl. LZW, interlace, animation): see ``datapipe.gif``.
+* FLAC (RFC 9639 native subset incl. LPC, Rice partitions, stereo
+  decorrelation, CRC verification): see ``datapipe.flac``.
 
 Encoders for the same subset exist so tests and oracle gates can build
 bit-exact fixtures without any third-party writer.
@@ -513,6 +515,7 @@ def encode_bmp(img: np.ndarray) -> bytes:
 
 def sniff(data: bytes) -> str | None:
     """Return the codec name for a payload, or None if unrecognized."""
+    from . import flac as _flac
     from . import gif as _gif
     from . import jpeg as _jpeg
 
@@ -530,6 +533,8 @@ def sniff(data: bytes) -> str | None:
         return "gif"
     if is_bmp(data):
         return "bmp"
+    if _flac.is_flac(bytes(data)):
+        return "flac"
     return None
 
 
@@ -559,4 +564,9 @@ def decode_any(data: bytes) -> np.ndarray:
         return _gif.decode_gif(bytes(data)).astype(np.float64).ravel() / 255.0
     if kind == "bmp":
         return decode_bmp(data).astype(np.float64).ravel() / 255.0
+    if kind == "flac":
+        from . import flac as _flac
+
+        samples, _sr = _flac.decode_flac(bytes(data))
+        return samples.astype(np.float64).ravel()
     raise ValueError("unrecognized media payload (no magic match)")

@@ -95,7 +95,7 @@ def _decode(content: bytes, kind: str, strict: bool) -> np.ndarray:
     elif strict:
         raise NotImplementedError(
             f"no stdlib codec for this payload (kind={kind!r}); supported "
-            "in-container: PNG, WAV, PGM/PPM, BMP, JPEG (baseline), GIF"
+            "in-container: PNG, WAV, PGM/PPM, BMP, JPEG (baseline), GIF, FLAC"
         )
     return _decode_fake(content)
 
@@ -196,6 +196,16 @@ def probe_media(media: DataFrame) -> DataFrame:
                         mime = "image/bmp"
                         width, h_signed = struct.unpack("<ii", data[18:26])
                         height = abs(h_signed)
+                    elif sniffed == "flac":
+                        mime = "audio/flac"
+                        # STREAMINFO is the first metadata block: header
+                        # at byte 4, body at byte 8; rate/channels/bits/
+                        # total packed from body offset 10
+                        packed = int.from_bytes(data[18:26], "big")
+                        rate = packed >> 44
+                        nsamp = packed & ((1 << 36) - 1)
+                        if rate:
+                            dur = int(nsamp * 1000 // rate)
                 except Exception:
                     mime = None  # corrupt header: all fields NULL
                 rows.append((doc_id, kind, mime, width, height, rate, nsamp, dur))
@@ -333,20 +343,33 @@ def sample_audio_frames(media: DataFrame, every_n: int) -> DataFrame:
     from . import codecs
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import flac as flac_codec
+
         for pdf in batches:
             out = []
             for content in pdf["content"]:
                 data = bytes(content) if content is not None else b""
-                if codecs.sniff(data) != "wav":
-                    out.append(content)
-                    continue
+                kind = codecs.sniff(data)
                 try:
-                    samples, rate = codecs.decode_wav(data)
-                    out.append(
-                        codecs.encode_wav(
-                            samples[::every_n], max(1, rate // every_n), bits=16
+                    if kind == "wav":
+                        samples, rate = codecs.decode_wav(data)
+                        out.append(
+                            codecs.encode_wav(
+                                samples[::every_n], max(1, rate // every_n), bits=16
+                            )
                         )
-                    )
+                    elif kind == "flac":
+                        samples, rate = flac_codec.decode_flac(data)
+                        ints = np.clip(
+                            np.round(samples[::every_n] * 32768.0), -32768, 32767
+                        ).astype(np.int64)
+                        out.append(
+                            flac_codec.encode_flac(
+                                ints, max(1, rate // every_n), bits=16
+                            )
+                        )
+                    else:
+                        out.append(content)
                 except Exception:
                     out.append(content)
             res = pdf.copy()
@@ -363,8 +386,9 @@ def synthesize_media_real(
     ``image``, 8-bit PCM WAV for ``audio``, binary PGM for ``pnm``, 24-bit
     BMP for ``bmp``, single-frame gray GIF for ``gif``, block-flat
     quality-100 baseline JPEG for ``jpeg`` (gray) / ``jpeg_rgb`` (4:2:0
-    color), 4-frame animated GIF for ``video``), with the signal = the
-    document's first 256 utf-8 bytes zero-padded.
+    color), 4-frame animated GIF for ``video``, Rice/LPC-coded FLAC for
+    ``flac`` with sample i = (byte_i-128)*256 at 16 bit), with the signal
+    = the document's first 256 utf-8 bytes zero-padded.
 
     Because the signal bytes are known, a SQL oracle can recompute the
     decoded values from ``documents.text`` directly — a bit-exact
@@ -380,6 +404,7 @@ def synthesize_media_real(
     8 + id%9, audio rate 4000 + 100*(id%20)) so a header-probe oracle has
     a nontrivial mapping to verify through the actual encoded bytes."""
     from . import codecs
+    from . import flac as flac_codec
     from . import gif as gif_codec
     from . import jpeg as jpeg_codec
 
@@ -422,6 +447,18 @@ def synthesize_media_real(
                     else:
                         payloads.append(jpeg_codec.encode_jpeg(img, quality=100))
                     metas.append(("image/jpeg", 64, 64, None, None))
+                elif kind == "flac":
+                    # sample i = (byte_i - 128) * 256 at 16 bit, so the
+                    # decoded value is (byte_i - 128)/128 exactly like the
+                    # 8-bit WAV fixture — but through Rice/LPC coding
+                    rate = 4000 + 100 * (int(doc_id) % 20) if var_dims else 8000
+                    ints = (
+                        np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+                    ) * 256
+                    payloads.append(
+                        flac_codec.encode_flac(ints, rate, bits=16, block_size=64)
+                    )
+                    metas.append(("audio/flac", None, None, rate, 256000 // rate))
                 elif kind == "video":
                     frames = [
                         np.frombuffer(raw[64 * f : 64 * f + 64], dtype=np.uint8)
