@@ -9,6 +9,8 @@ with the .rrd path swapped for a dataset directory:
   fetch  <ds> <CF> [-r res] [-s start] [-e end] [-a]
   xport  [-s|-e|--step|--maxrows|--json|--enumds|--showtime] DEF:.. CDEF:.. XPORT:..
   graphv <ignored> DEF:.. CDEF:.. VDEF:.. PRINT:..   (data outputs only)
+  graph  <file.png|-> [-w|-h|-t|-v|-l|-u|-r|-c TAG#rgb|-x none|-y none]
+         DEF:.. CDEF:.. VDEF:.. LINE/AREA/TICK/STACK.. GPRINT/PRINT/COMMENT..
   info/first/last/lastupdate <ds> · list <root> · dump/restore · tune · resize
   flushcached -d <addr> <ds>...
 
@@ -19,8 +21,9 @@ rrdc_* in librrd (src/rrd_client.c; src/rrd_fetch.c:198-205).
 Reference grammars: rrd_create argv (src/rrd_create.c:77-240), rrd_update
 (src/rrd_update.c:675-788), rrd_fetch (src/rrd_fetch.c:62-213), rrd_xport
 (src/rrd_xport.c:76-242), rrd_tune / rrd_resize. Times are AT-style via
-timeparse (src/rrd_parsetime.c). Graph RENDERING is out of scope; graphv
-serves the PRINT/scalar data outputs only.
+timeparse (src/rrd_parsetime.c). ``graph`` renders a real PNG through
+the in-repo rasterizer (render.py — numpy raster + built-in bitmap font,
+no cairo); graphv serves the PRINT/scalar data outputs.
 """
 
 from __future__ import annotations
@@ -620,11 +623,16 @@ def cmd_xport(args: list[str]) -> int:
 def _parse_element(spec: str):
     """LINE<w>/AREA/TICK/STACK:<src>[#color][:legend][:STACK][:skipscale]
     (rrd_graph_helper.c parse_line/parse_area/parse_tick/parse_stack);
-    returns (kind, source, legend, stack, skipscale)."""
+    returns (kind, source, legend, stack, skipscale, color, width,
+    fraction) — color #RRGGBB[AA] or None (an uncolored element plots
+    invisibly but still scales), LINE<w> width, TICK fraction."""
     head, _, rest = spec.partition(":")
     kind = "".join(ch for ch in head if ch.isalpha()).upper()
+    wdigits = "".join(ch for ch in head if ch.isdigit() or ch == ".")
+    width = float(wdigits) if wdigits else 1.0
     parts = rest.split(":")
-    src_s = parts[0].split("#")[0]
+    src_s, _, color = parts[0].partition("#")
+    color = f"#{color}" if color else None
     try:
         source = float(src_s)
     except ValueError:
@@ -633,19 +641,20 @@ def _parse_element(spec: str):
     stack = "STACK" in tail
     skipscale = "skipscale" in tail
     legend = ""
+    fraction = 0.1
     for p in tail:
         if p in ("STACK", "skipscale") or p == "":
             continue
         if kind == "TICK" and not legend:
             # the first extra TICK field may be the fraction — numeric
             try:
-                float(p)
+                fraction = float(p)
                 continue
             except ValueError:
                 pass
         legend = p
         break
-    return kind, source, legend, stack, skipscale
+    return kind, source, legend, stack, skipscale, color, width, fraction
 
 
 _SENSIBLE = (
@@ -678,6 +687,29 @@ def _expand_range(vmin: float, vmax: float, base: float = 1000.0):
         if -_SENSIBLE[i - 1] <= smax and -_SENSIBLE[i] >= smax:
             vmax = -_SENSIBLE[i] * magfact
     return vmin, vmax
+
+
+def _final_bounds(bounds, lo_opt, up_opt, rigid):
+    """-l/-u/--rigid adjust the autoscale bounds exactly like the
+    reference (src/rrd_graph.c:1486-1528): data expands past the user
+    limits unless rigid; a crossed pair is pulled back together; then
+    si_unit + expand_range (src/rrd_graph.c:613-700, :3963-3969) snap the
+    published bounds outward to the sensible-value grid (tests/graph2:
+    0.0302..0.04 data → 3.0e-02 / 4.0e-02)."""
+    import math
+
+    vmin, vmax = bounds
+    umin = float("nan") if lo_opt is None else float(lo_opt)
+    umax = float("nan") if up_opt is None else float(up_opt)
+    if math.isnan(umin) or (not rigid and umin > vmin):
+        umin = vmin
+    if math.isnan(umax) or (not rigid and umax < vmax):
+        umax = vmax
+    if umin > umax:
+        umin = 0.99 * umax if umin > 0 else 1.01 * umax
+    if not rigid:
+        umin, umax = _expand_range(umin, umax)
+    return umin, umax
 
 
 def cmd_graphv(args: list[str]) -> int:
@@ -719,8 +751,11 @@ def cmd_graphv(args: list[str]) -> int:
         else:
             q.print_(parts[0], ":".join(parts[1:]))
     for e in elements:
-        kind, source, legend, stack, skipscale = _parse_element(e)
-        q.element(kind, source, legend=legend, stack=stack, skipscale=skipscale)
+        kind, source, legend, stack, skipscale, color, width, fraction = (
+            _parse_element(e)
+        )
+        q.element(kind, source, legend=legend, stack=stack, skipscale=skipscale,
+                  color=color, width=width, fraction=fraction)
         if jsontime:
             # --add-jsontime publishes the plotted element values as an
             # xport-style JSON block after the info keys
@@ -733,24 +768,7 @@ def cmd_graphv(args: list[str]) -> int:
     print(f"graph_end = {res.end}")
     print(f"graph_step = {res.step}")
     if res.bounds is not None:
-        # -l/-u/--rigid adjust the autoscale bounds exactly like the
-        # reference (src/rrd_graph.c:1486-1528): data expands past the
-        # user limits unless rigid; a crossed pair is pulled back together
-        vmin, vmax = res.bounds
-        umin = float("nan") if lo_opt is None else float(lo_opt)
-        umax = float("nan") if up_opt is None else float(up_opt)
-        if math.isnan(umin) or (not rigid and umin > vmin):
-            umin = vmin
-        if math.isnan(umax) or (not rigid and umax < vmax):
-            umax = vmax
-        if umin > umax:
-            umin = 0.99 * umax if umin > 0 else 1.01 * umax
-        if not rigid:
-            # si_unit + expand_range (src/rrd_graph.c:613-700, :3963-3969):
-            # published bounds snap outward to the "sensible" grid values
-            # scaled by the SI magnitude (tests/graph2: 0.0302..0.04 data →
-            # 3.0e-02 / 4.0e-02)
-            umin, umax = _expand_range(umin, umax)
+        umin, umax = _final_bounds(res.bounds, lo_opt, up_opt, rigid)
         print(f"value_min = {umin:0.10e}")
         print(f"value_max = {umax:0.10e}")
     for i, line in enumerate(res.prints):
@@ -761,6 +779,115 @@ def cmd_graphv(args: list[str]) -> int:
         js = xp.to_json(res, showtime=True, precision=10)
         print(f"datapoints = BLOB_SIZE:{len(js)}")
         print(js)
+    return 0
+
+
+def cmd_graph(args: list[str]) -> int:
+    """``rrdtool graph`` with REAL image output: the graphv data pipeline
+    (DEF fetch/alignment → CDEF/VDEF → data_proc paint values + bounds)
+    feeds the numpy rasterizer (render.py), PNG-encoded by the in-repo
+    codec. PRINT lines go to stdout, GPRINT/COMMENT lines into the image
+    legend, and the last stdout line is the image size WxH like the
+    reference CLI (src/rrd_tool.c handle_request_graph).
+
+    ``-w/-h`` size the plot area (image adds margins, same convention as
+    rrd_graph); ``--maxrows`` defaults to the plot width so each pixel
+    column maps to one consolidated row (data_fetch reduce,
+    src/rrd_graph.c:1055-1070)."""
+    if not args:
+        print("ERROR: graph needs a filename", file=sys.stderr)
+        return 1
+    fname = args.pop(0)
+    width = int(_opt(args, "-w", "--width", default="400"))
+    height = int(_opt(args, "-h", "--height", default="100"))
+    title = _opt(args, "-t", "--title", default="")
+    vlabel = _opt(args, "-v", "--vertical-label", default="")
+    lo_opt = _opt(args, "-l", "--lower-limit")
+    up_opt = _opt(args, "-u", "--upper-limit")
+    rigid = _opt(args, "-r", "--rigid", flag=True)
+    x_grid_off = _opt(args, "-x", "--x-grid", default="") == "none"
+    y_grid_off = _opt(args, "-y", "--y-grid", default="") == "none"
+    imgformat = _opt(args, "-a", "--imgformat", default="PNG")
+    if imgformat.upper() != "PNG":
+        print(f"ERROR: only PNG rendering is supported, not {imgformat}",
+              file=sys.stderr)
+        return 1
+    colors = {}
+    while True:
+        c = _opt(args, "-c", "--color")
+        if c is None:
+            break
+        tag, _, val = c.partition("#")
+        colors[tag.upper()] = f"#{val}"
+    if "--maxrows" not in args and "-m" not in args:
+        args += ["--maxrows", str(width)]
+
+    prints = [a[6:] for a in args if a.startswith("PRINT:")]
+    gprints = [a[7:] for a in args if a.startswith("GPRINT:")]
+    comments = [a[8:] for a in args if a.startswith("COMMENT:")]
+    elements = [
+        a for a in args
+        if a.startswith(("AREA:", "TICK:", "STACK:"))
+        or (a.startswith("LINE") and ":" in a)
+    ]
+    q = _build_query(args)
+    n_plain = len(prints)
+    for p in prints:
+        vname, fmt = p.split(":", 1)
+        q.print_(vname, fmt)
+    _CF2VDEF = {"AVERAGE": "AVERAGE", "MIN": "MINIMUM", "MAX": "MAXIMUM",
+                "LAST": "LAST"}
+    for i, g in enumerate(gprints):
+        parts = g.split(":")
+        if len(parts) >= 3 and parts[1].upper() in _CF2VDEF:
+            vname = f"__gp{i}"
+            q.vdef(vname, f"{parts[0]},{_CF2VDEF[parts[1].upper()]}")
+            q.print_(vname, ":".join(parts[2:]))
+        else:
+            q.print_(parts[0], ":".join(parts[1:]))
+    for e in elements:
+        kind, source, legend, stack, skipscale, color, ew, fraction = (
+            _parse_element(e)
+        )
+        q.element(kind, source, legend=legend, stack=stack, skipscale=skipscale,
+                  color=color, width=ew, fraction=fraction)
+    res = q.execute(_spark())
+
+    from rrdtool_1_x_spark.render import render_graph
+
+    bounds = res.bounds or (0.0, 1.0)
+    umin, umax = _final_bounds(bounds, lo_opt, up_opt, rigid)
+    rows = [tuple(r) for r in res.plots.collect()] if res.plots is not None else []
+    # strip trailing alignment escapes (\l \r \c \j \n) — flow layout is
+    # simplified to one legend item per line
+    legend_lines = res.prints[n_plain:] + [
+        _re.sub(r"(\\[jlnrcs])+$", "", c) for c in comments
+    ]
+    cv = render_graph(
+        rows,
+        res.elements or [],
+        (umin, umax),
+        res.start - res.step,
+        res.end,
+        width=width,
+        height=height,
+        title=title,
+        vertical_label=vlabel,
+        legend_lines=legend_lines,
+        colors=colors,
+        x_grid=not x_grid_off,
+        y_grid=not y_grid_off,
+        tz_localtime=_time.localtime,
+    )
+    png = cv.to_png()
+    if fname == "-":
+        sys.stdout.buffer.write(png)
+    else:
+        with open(fname, "wb") as fh:
+            fh.write(png)
+    for line in res.prints[:n_plain]:
+        print(line)
+    print(f"{cv.w}x{cv.h}")
     return 0
 
 
@@ -995,6 +1122,7 @@ COMMANDS = {
     "fetch": cmd_fetch,
     "xport": cmd_xport,
     "graphv": cmd_graphv,
+    "graph": cmd_graph,
     "info": cmd_info,
     "list": cmd_list,
     "first": cmd_first,

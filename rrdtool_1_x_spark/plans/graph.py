@@ -85,6 +85,10 @@ class QueryResult:
     # autoscale bounds (value_min, value_max) when the query carries
     # LINE/AREA/TICK/STACK elements (rrd_graph_v's info keys)
     bounds: tuple[float, float] | None = None
+    # per-element plotted values + fill bases (ts, <plot_i>, base_i, ...)
+    # and the element list itself — what the renderer consumes
+    plots: DataFrame | None = None
+    elements: list[GraphElement] | None = None
 
 
 class Query:
@@ -191,13 +195,18 @@ class Query:
         legend: str = "",
         stack: bool = False,
         skipscale: bool = False,
+        color: str | None = None,
+        width: float = 1.0,
+        fraction: float = 0.1,
     ) -> "Query":
         """A LINE/AREA/TICK/STACK graph statement — resolved through
         data_proc at execute time so the result carries the autoscale
-        bounds (rrd_graph_v's value_min/value_max)."""
+        bounds (rrd_graph_v's value_min/value_max). ``color``/``width``/
+        ``fraction`` only matter to the renderer."""
         self._elements.append(
             GraphElement(kind.upper(), source, stack=stack,
-                         skipscale=skipscale, legend=legend)
+                         skipscale=skipscale, legend=legend,
+                         color=color, width=width, fraction=fraction)
         )
         return self
 
@@ -432,6 +441,7 @@ class Query:
             for v, fmt, mode in self._prints
         ]
         bounds = None
+        plots = None
         if self._elements:
             for el in self._elements:
                 if isinstance(el.source, str):
@@ -439,7 +449,8 @@ class Query:
             ranged = wide.filter(
                 (F.col("ts") > self.start) & (F.col("ts") <= a_end)
             )
-            _, scale = data_proc(ranged, self._elements)
+            plots, scale = data_proc(ranged, self._elements, with_bases=True)
+            plots = plots.orderBy("ts")
             r = scale.first()
             bounds = (r["value_min"], r["value_max"])
         return QueryResult(
@@ -451,6 +462,8 @@ class Query:
             end=a_end,
             step=step,
             bounds=bounds,
+            plots=plots,
+            elements=list(self._elements),
         )
 
 
@@ -469,10 +482,19 @@ class GraphElement:
     stack: bool = False
     skipscale: bool = False
     legend: str = ""
+    # rendering attributes (ignored by the data path): #RRGGBB[AA] or None
+    # (an uncolored element is plotted invisibly, like the reference),
+    # LINE<width>, and the TICK fraction (negative draws downward)
+    color: str | None = None
+    width: float = 1.0
+    fraction: float = 0.1
 
 
 def data_proc(
-    frame: DataFrame, elements: list[GraphElement], ts_col: str = "ts"
+    frame: DataFrame,
+    elements: list[GraphElement],
+    ts_col: str = "ts",
+    with_bases: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """The reference's data_proc (src/rrd_graph.c:1365-1471): resolve each
     LINE/AREA/TICK element to its *plotted* value — stacked elements ride on
@@ -522,6 +544,10 @@ def data_proc(
             name = f"{name}#plot{i}"
         names.add(name)
         cols.append((base + val).alias(name))
+        if with_bases:
+            # the fill/stack base each element sits on — what a renderer
+            # paints an AREA from (graph_paint, src/rrd_graph.c:2245-2380)
+            cols.append(base.alias(f"base{i}"))
         paint = base + F.coalesce(val, F.lit(0.0))
         if kind != "TICK" and not el.skipscale:
             scale_names.append(name)

@@ -1,0 +1,511 @@
+"""PNG graph renderer — the ``rrdtool graph`` image surface, rebuilt on
+numpy + the in-repo PNG encoder (datapipe.codecs.encode_png); no cairo,
+no fonts on disk (a built-in 5x7 bitmap face).
+
+What is mirrored from the reference (cited, not copied):
+
+* the element paint chain (LINE segments between interval ends, AREA
+  fills from the stack base, TICK fraction marks) consumes data_proc's
+  plotted values + bases — the SAME numbers the oracle-gated graphv
+  ``print``/bounds path produces (src/rrd_graph.c:2245-2380 graph_paint);
+* autoscale bounds arrive already adjusted by -l/-u/--rigid +
+  expand_range (src/rrd_graph.c:1486-1528, :613-700);
+* y-grid steps come from the 1/2/5 x 10^k ladder with SI-magnitude
+  labels (src/rrd_graph.c:1974-2040 draw_horizontal_grid / si_unit);
+* x-grid/label intervals follow a duration-keyed table in the spirit of
+  the reference's xlab_elem list (src/rrd_graph.c:127-157);
+* default colors match the reference's graph_col defaults
+  (src/rrd_graph.c:187-201): BACK f5f5f5, CANVAS ffffff, SHADEA c0c0c0,
+  SHADEB 9f9f9f, GRID 90909080, MGRID e05050, FONT/AXIS/FRAME black,
+  ARROW red.
+
+Deliberate simplifications (documented, not hidden): no anti-aliasing
+(1-px crisp lines make pixel-exact tests possible), one legend item per
+line instead of the reference's \\l/\\n flow layout, PNG only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# 5x7 bitmap font (column-major, bit 0 = top row) — ASCII 32..126.
+# The classic LCD-ROM face, public domain.
+# ---------------------------------------------------------------------------
+
+_FONT = {
+    " ": (0x00, 0x00, 0x00, 0x00, 0x00),
+    "!": (0x00, 0x00, 0x5F, 0x00, 0x00),
+    '"': (0x00, 0x07, 0x00, 0x07, 0x00),
+    "#": (0x14, 0x7F, 0x14, 0x7F, 0x14),
+    "$": (0x24, 0x2A, 0x7F, 0x2A, 0x12),
+    "%": (0x23, 0x13, 0x08, 0x64, 0x62),
+    "&": (0x36, 0x49, 0x55, 0x22, 0x50),
+    "'": (0x00, 0x05, 0x03, 0x00, 0x00),
+    "(": (0x00, 0x1C, 0x22, 0x41, 0x00),
+    ")": (0x00, 0x41, 0x22, 0x1C, 0x00),
+    "*": (0x14, 0x08, 0x3E, 0x08, 0x14),
+    "+": (0x08, 0x08, 0x3E, 0x08, 0x08),
+    ",": (0x00, 0x50, 0x30, 0x00, 0x00),
+    "-": (0x08, 0x08, 0x08, 0x08, 0x08),
+    ".": (0x00, 0x60, 0x60, 0x00, 0x00),
+    "/": (0x20, 0x10, 0x08, 0x04, 0x02),
+    "0": (0x3E, 0x51, 0x49, 0x45, 0x3E),
+    "1": (0x00, 0x42, 0x7F, 0x40, 0x00),
+    "2": (0x42, 0x61, 0x51, 0x49, 0x46),
+    "3": (0x21, 0x41, 0x45, 0x4B, 0x31),
+    "4": (0x18, 0x14, 0x12, 0x7F, 0x10),
+    "5": (0x27, 0x45, 0x45, 0x45, 0x39),
+    "6": (0x3C, 0x4A, 0x49, 0x49, 0x30),
+    "7": (0x01, 0x71, 0x09, 0x05, 0x03),
+    "8": (0x36, 0x49, 0x49, 0x49, 0x36),
+    "9": (0x06, 0x49, 0x49, 0x29, 0x1E),
+    ":": (0x00, 0x36, 0x36, 0x00, 0x00),
+    ";": (0x00, 0x56, 0x36, 0x00, 0x00),
+    "<": (0x08, 0x14, 0x22, 0x41, 0x00),
+    "=": (0x14, 0x14, 0x14, 0x14, 0x14),
+    ">": (0x00, 0x41, 0x22, 0x14, 0x08),
+    "?": (0x02, 0x01, 0x51, 0x09, 0x06),
+    "@": (0x32, 0x49, 0x79, 0x41, 0x3E),
+    "A": (0x7E, 0x11, 0x11, 0x11, 0x7E),
+    "B": (0x7F, 0x49, 0x49, 0x49, 0x36),
+    "C": (0x3E, 0x41, 0x41, 0x41, 0x22),
+    "D": (0x7F, 0x41, 0x41, 0x22, 0x1C),
+    "E": (0x7F, 0x49, 0x49, 0x49, 0x41),
+    "F": (0x7F, 0x09, 0x09, 0x09, 0x01),
+    "G": (0x3E, 0x41, 0x49, 0x49, 0x7A),
+    "H": (0x7F, 0x08, 0x08, 0x08, 0x7F),
+    "I": (0x00, 0x41, 0x7F, 0x41, 0x00),
+    "J": (0x20, 0x40, 0x41, 0x3F, 0x01),
+    "K": (0x7F, 0x08, 0x14, 0x22, 0x41),
+    "L": (0x7F, 0x40, 0x40, 0x40, 0x40),
+    "M": (0x7F, 0x02, 0x0C, 0x02, 0x7F),
+    "N": (0x7F, 0x04, 0x08, 0x10, 0x7F),
+    "O": (0x3E, 0x41, 0x41, 0x41, 0x3E),
+    "P": (0x7F, 0x09, 0x09, 0x09, 0x06),
+    "Q": (0x3E, 0x41, 0x51, 0x21, 0x5E),
+    "R": (0x7F, 0x09, 0x19, 0x29, 0x46),
+    "S": (0x46, 0x49, 0x49, 0x49, 0x31),
+    "T": (0x01, 0x01, 0x7F, 0x01, 0x01),
+    "U": (0x3F, 0x40, 0x40, 0x40, 0x3F),
+    "V": (0x1F, 0x20, 0x40, 0x20, 0x1F),
+    "W": (0x3F, 0x40, 0x38, 0x40, 0x3F),
+    "X": (0x63, 0x14, 0x08, 0x14, 0x63),
+    "Y": (0x07, 0x08, 0x70, 0x08, 0x07),
+    "Z": (0x61, 0x51, 0x49, 0x45, 0x43),
+    "[": (0x00, 0x7F, 0x41, 0x41, 0x00),
+    "\\": (0x02, 0x04, 0x08, 0x10, 0x20),
+    "]": (0x00, 0x41, 0x41, 0x7F, 0x00),
+    "^": (0x04, 0x02, 0x01, 0x02, 0x04),
+    "_": (0x40, 0x40, 0x40, 0x40, 0x40),
+    "`": (0x00, 0x01, 0x02, 0x04, 0x00),
+    "a": (0x20, 0x54, 0x54, 0x54, 0x78),
+    "b": (0x7F, 0x48, 0x44, 0x44, 0x38),
+    "c": (0x38, 0x44, 0x44, 0x44, 0x20),
+    "d": (0x38, 0x44, 0x44, 0x48, 0x7F),
+    "e": (0x38, 0x54, 0x54, 0x54, 0x18),
+    "f": (0x08, 0x7E, 0x09, 0x01, 0x02),
+    "g": (0x0C, 0x52, 0x52, 0x52, 0x3E),
+    "h": (0x7F, 0x08, 0x04, 0x04, 0x78),
+    "i": (0x00, 0x44, 0x7D, 0x40, 0x00),
+    "j": (0x20, 0x40, 0x44, 0x3D, 0x00),
+    "k": (0x7F, 0x10, 0x28, 0x44, 0x00),
+    "l": (0x00, 0x41, 0x7F, 0x40, 0x00),
+    "m": (0x7C, 0x04, 0x18, 0x04, 0x78),
+    "n": (0x7C, 0x08, 0x04, 0x04, 0x78),
+    "o": (0x38, 0x44, 0x44, 0x44, 0x38),
+    "p": (0x7C, 0x14, 0x14, 0x14, 0x08),
+    "q": (0x08, 0x14, 0x14, 0x18, 0x7C),
+    "r": (0x7C, 0x08, 0x04, 0x04, 0x08),
+    "s": (0x48, 0x54, 0x54, 0x54, 0x20),
+    "t": (0x04, 0x3F, 0x44, 0x40, 0x20),
+    "u": (0x3C, 0x40, 0x40, 0x20, 0x7C),
+    "v": (0x1C, 0x20, 0x40, 0x20, 0x1C),
+    "w": (0x3C, 0x40, 0x30, 0x40, 0x3C),
+    "x": (0x44, 0x28, 0x10, 0x28, 0x44),
+    "y": (0x0C, 0x50, 0x50, 0x50, 0x3C),
+    "z": (0x44, 0x64, 0x54, 0x4C, 0x44),
+    "{": (0x00, 0x08, 0x36, 0x41, 0x00),
+    "|": (0x00, 0x00, 0x7F, 0x00, 0x00),
+    "}": (0x00, 0x41, 0x36, 0x08, 0x00),
+    "~": (0x08, 0x04, 0x08, 0x10, 0x08),
+}
+
+CHAR_W, CHAR_H = 6, 8  # 5x7 glyph + 1px spacing
+
+
+def glyph(ch: str) -> np.ndarray:
+    """(7, 5) bool bitmap for one character."""
+    cols = _FONT.get(ch, _FONT["?"])
+    g = np.zeros((7, 5), dtype=bool)
+    for x, col in enumerate(cols):
+        for y in range(7):
+            g[y, x] = bool(col & (1 << y))
+    return g
+
+
+def text_size(s: str) -> tuple[int, int]:
+    return CHAR_H, CHAR_W * len(s)
+
+
+# ---------------------------------------------------------------------------
+# Canvas
+# ---------------------------------------------------------------------------
+
+
+def parse_color(spec: str) -> tuple[np.ndarray, float]:
+    """#RRGGBB[AA] → (rgb float array, alpha in [0,1])."""
+    s = spec.lstrip("#")
+    if len(s) not in (6, 8):
+        raise ValueError(f"bad color {spec!r}")
+    rgb = np.array([int(s[i : i + 2], 16) for i in (0, 2, 4)], dtype=np.float64)
+    alpha = int(s[6:8], 16) / 255.0 if len(s) == 8 else 1.0
+    return rgb, alpha
+
+
+class Canvas:
+    """uint8 RGB raster with alpha-blending primitives. y grows down."""
+
+    def __init__(self, width: int, height: int, background: str = "#f5f5f5"):
+        rgb, _ = parse_color(background)
+        self.img = np.ones((height, width, 3), dtype=np.float64) * rgb
+        self.h, self.w = height, width
+        # optional (x0, y0, x1, y1) inclusive clip rect — element painting
+        # sets it to the plot area so fills/lines never bleed into margins
+        self.clip: tuple[int, int, int, int] | None = None
+
+    def _bounds(self) -> tuple[int, int, int, int]:
+        if self.clip is None:
+            return 0, 0, self.w - 1, self.h - 1
+        cx0, cy0, cx1, cy1 = self.clip
+        return max(0, cx0), max(0, cy0), min(self.w - 1, cx1), min(self.h - 1, cy1)
+
+    def _blend(self, ys, xs, color: str) -> None:
+        rgb, a = parse_color(color)
+        self.img[ys, xs] = (1 - a) * self.img[ys, xs] + a * rgb
+
+    def rect(self, x0: int, y0: int, x1: int, y1: int, color: str) -> None:
+        bx0, by0, bx1, by1 = self._bounds()
+        x0, x1 = max(bx0, min(x0, x1)), min(bx1, max(x0, x1))
+        y0, y1 = max(by0, min(y0, y1)), min(by1, max(y0, y1))
+        if x1 < x0 or y1 < y0:
+            return
+        self._blend(slice(y0, y1 + 1), slice(x0, x1 + 1), color)
+
+    def hline(self, y: int, x0: int, x1: int, color: str, width: int = 1) -> None:
+        self.rect(x0, y, x1, y + width - 1, color)
+
+    def vline(self, x: int, y0: int, y1: int, color: str, width: int = 1) -> None:
+        self.rect(x, y0, x + width - 1, y1, color)
+
+    def vspan(self, x: int, y0: int, y1: int, color: str) -> None:
+        """Filled 1-px-wide vertical span (AREA fill column)."""
+        self.rect(x, min(y0, y1), x, max(y0, y1), color)
+
+    def line(self, x0: int, y0: int, x1: int, y1: int, color: str, width: float = 1.0) -> None:
+        """Bresenham segment; widths > 1 thicken perpendicular-ish."""
+        w = max(1, int(round(width)))
+        dx, dy = abs(x1 - x0), abs(y1 - y0)
+        sx = 1 if x0 < x1 else -1
+        sy = 1 if y0 < y1 else -1
+        err = dx - dy
+        x, y = x0, y0
+        steep = dy > dx
+        bx0, by0, bx1, by1 = self._bounds()
+        while True:
+            if bx0 <= x <= bx1 and by0 <= y <= by1:
+                if w == 1:
+                    self._blend(y, x, color)
+                elif steep:  # widen horizontally
+                    self.rect(x - (w - 1) // 2, y, x + w // 2, y, color)
+                else:  # widen vertically
+                    self.rect(x, y - (w - 1) // 2, x, y + w // 2, color)
+            if x == x1 and y == y1:
+                break
+            e2 = 2 * err
+            if e2 > -dy:
+                err -= dy
+                x += sx
+            if e2 < dx:
+                err += dx
+                y += sy
+
+    def text(self, x: int, y: int, s: str, color: str = "#000000", rotate: bool = False) -> None:
+        """Draw ``s`` with its top-left at (x, y); ``rotate`` turns the
+        string 90° counter-clockwise (vertical label)."""
+        for i, ch in enumerate(s):
+            g = glyph(ch)
+            if rotate:
+                g = np.rot90(g, 1)  # CCW: text reads bottom-to-top
+                gy, gx = y - i * CHAR_W, x
+            else:
+                gy, gx = y, x + i * CHAR_W
+            ys, xs = np.nonzero(g)
+            ys, xs = ys + gy, xs + gx
+            keep = (ys >= 0) & (ys < self.h) & (xs >= 0) & (xs < self.w)
+            if keep.any():
+                self._blend(ys[keep], xs[keep], color)
+
+    def to_png(self) -> bytes:
+        from .datapipe.codecs import encode_png
+
+        return encode_png(np.clip(np.round(self.img), 0, 255).astype(np.uint8))
+
+
+# ---------------------------------------------------------------------------
+# Grid selection
+# ---------------------------------------------------------------------------
+
+_SI_SYM = {0: "", 1: "k", 2: "M", 3: "G", 4: "T", 5: "P", 6: "E",
+           -1: "m", -2: "u", -3: "n", -4: "p", -5: "f", -6: "a"}
+
+
+def si_label(v: float, magfact: float, mag: int) -> str:
+    """Y-axis label: value scaled by the axis' common SI magnitude
+    (draw_horizontal_grid keeps ONE magnitude for the whole axis)."""
+    sv = v / magfact
+    s = f"{sv:.1f}" if abs(sv) < 10 and sv != int(sv) else f"{sv:.0f}"
+    return f"{s} {_SI_SYM.get(mag, '?')}".rstrip()
+
+
+def pick_ygrid(vmin: float, vmax: float, area_h: int):
+    """Pick the horizontal-grid step from the 1/2/5 ladder so lines are
+    >= 15 px apart and labels land on round multiples; returns
+    (gridstep, labfact, magfact, mag)."""
+    import math
+
+    rng = vmax - vmin
+    if not (rng > 0) or not np.isfinite(rng):
+        rng = 1.0
+    # smallest 1/2/5 step keeping >= 15 px between lines
+    min_step = rng * 15.0 / max(area_h, 1)
+    exp = math.floor(math.log10(min_step)) if min_step > 0 else 0
+    step = None
+    for mult in (1.0, 2.0, 5.0, 10.0):
+        cand = mult * 10.0**exp
+        if cand >= min_step:
+            step = cand
+            break
+    if step is None:
+        step = 10.0**(exp + 1)
+    labfact = 1 if area_h / (rng / step) >= 25 else 2
+    m = max(abs(vmin), abs(vmax), step)
+    mag = int(math.floor(math.log10(m) / 3)) if m > 0 else 0
+    mag = max(-6, min(6, mag))
+    magfact = 1000.0**mag
+    return step, labfact, magfact, mag
+
+
+# duration-keyed x-grid table (spirit of rrd_graph.c:127-157 xlab):
+# (max range s, minor grid s, major grid s, label every s, strftime fmt)
+_XLAB = (
+    (60 * 30, 60, 5 * 60, 5 * 60, "%H:%M"),
+    (60 * 60 * 2, 5 * 60, 20 * 60, 20 * 60, "%H:%M"),
+    (60 * 60 * 8, 15 * 60, 3600, 3600, "%H:%M"),
+    (60 * 60 * 24, 3600, 4 * 3600, 4 * 3600, "%H:%M"),
+    (60 * 60 * 48, 2 * 3600, 8 * 3600, 8 * 3600, "%a %H:%M"),
+    (60 * 60 * 24 * 8, 6 * 3600, 24 * 3600, 24 * 3600, "%a %d"),
+    (60 * 60 * 24 * 35, 24 * 3600, 7 * 24 * 3600, 7 * 24 * 3600, "Week %W"),
+    (60 * 60 * 24 * 240, 7 * 24 * 3600, 30 * 24 * 3600, 30 * 24 * 3600, "%b"),
+    (float("inf"), 30 * 24 * 3600, 365 * 24 * 3600 // 4, 365 * 24 * 3600 // 4, "%b %Y"),
+)
+
+
+def pick_xgrid(start: int, end: int):
+    rng = end - start
+    for max_rng, minor, major, lab, fmt in _XLAB:
+        if rng <= max_rng:
+            return minor, major, lab, fmt
+    return _XLAB[-1][1:]
+
+
+# ---------------------------------------------------------------------------
+# Graph rendering
+# ---------------------------------------------------------------------------
+
+DEFAULT_COLORS = {
+    # the reference's graph_col defaults (src/rrd_graph.c:187-201)
+    "BACK": "#f5f5f5",
+    "CANVAS": "#ffffff",
+    "SHADEA": "#c0c0c0",
+    "SHADEB": "#9f9f9f",
+    "GRID": "#90909080",
+    "MGRID": "#e0505080",
+    "FONT": "#000000",
+    "AXIS": "#000000",
+    "FRAME": "#000000",
+    "ARROW": "#ff0000",
+}
+
+
+def render_graph(
+    rows: list,
+    elements: list,
+    bounds: tuple[float, float],
+    start: int,
+    end: int,
+    width: int = 400,
+    height: int = 100,
+    title: str = "",
+    vertical_label: str = "",
+    legend_lines: list | None = None,
+    colors: dict | None = None,
+    x_grid: bool = True,
+    y_grid: bool = True,
+    tz_localtime=None,
+) -> "Canvas":
+    """Rasterize a resolved graph.
+
+    ``rows``: list of (ts, plot0, base0, plot1, base1, ...) tuples — the
+    collected data_proc frame (driver-side by nature: a graph has at most
+    ~width points after the maxrows reduction). ``elements``: the
+    GraphElement list (kind/color/width/fraction/legend/stack).
+    ``bounds``: final (vmin, vmax) after limits + expand_range.
+    ``legend_lines``: extra text lines under the legend (GPRINT output).
+    ``width``/``height`` size the PLOT AREA; the image adds margins —
+    same convention as the reference.
+    """
+    import time as _time
+
+    col = dict(DEFAULT_COLORS)
+    if colors:
+        col.update({k.upper(): v for k, v in colors.items()})
+    localtime = tz_localtime or _time.gmtime
+
+    vmin, vmax = bounds
+    if not np.isfinite(vmin) or not np.isfinite(vmax) or vmin == vmax:
+        vmin, vmax = (0.0, 1.0) if vmin == vmax else (0.0, 1.0)
+
+    # -- layout ------------------------------------------------------------
+    left = 8 + (2 * CHAR_W if vertical_label else 0) + 7 * CHAR_W
+    top = 4 + (CHAR_H + 4 if title else 0)
+    right = 16
+    legends = [el for el in elements if el.legend]
+    legend_rows = len(legends) + len(legend_lines or [])
+    bottom = CHAR_H + 8 + legend_rows * (CHAR_H + 2) + 6
+    W = left + width + right
+    H = top + height + bottom
+    cv = Canvas(W, H, background=col["BACK"])
+
+    # beveled border (SHADEA top/left, SHADEB bottom/right, 2 px)
+    cv.rect(0, 0, W - 1, 1, col["SHADEA"])
+    cv.rect(0, 0, 1, H - 1, col["SHADEA"])
+    cv.rect(0, H - 2, W - 1, H - 1, col["SHADEB"])
+    cv.rect(W - 2, 0, W - 1, H - 1, col["SHADEB"])
+
+    x0, y0 = left, top  # plot-area top-left
+    x1, y1 = left + width - 1, top + height - 1
+    cv.rect(x0, y0, x1, y1, col["CANVAS"])
+
+    def xtr(ts: float) -> int:
+        return x0 + int(round((ts - start) / max(end - start, 1) * (width - 1)))
+
+    def ytr(v: float) -> int:
+        frac = (v - vmin) / (vmax - vmin)
+        return y1 - int(round(frac * (height - 1)))
+
+    # -- grids -------------------------------------------------------------
+    if y_grid:
+        step, labfact, magfact, mag = pick_ygrid(vmin, vmax, height)
+        k = np.ceil(vmin / step)
+        i = 0
+        while k * step <= vmax + 1e-12:
+            v = k * step
+            y = ytr(v)
+            major = (round(k) % labfact) == 0
+            cv.hline(y, x0, x1, col["MGRID"] if major else col["GRID"])
+            if major:
+                lab = si_label(v, magfact, mag)
+                cv.text(x0 - 4 - len(lab) * CHAR_W, y - CHAR_H // 2, lab, col["FONT"])
+            k += 1
+            i += 1
+    if x_grid:
+        minor, major, labstep, fmt = pick_xgrid(start, end)
+        t = (start // minor + 1) * minor
+        while t <= end:
+            x = xtr(t)
+            is_major = t % major == 0
+            cv.vline(x, y0, y1, col["MGRID"] if is_major else col["GRID"])
+            t += minor
+        t = (start // labstep + 1) * labstep
+        while t <= end:
+            lab = _time.strftime(fmt, localtime(t))
+            x = xtr(t)
+            cv.text(x - len(lab) * CHAR_W // 2, y1 + 4, lab, col["FONT"])
+            t += labstep
+
+    # -- element painting (graph_paint, src/rrd_graph.c:2245-2380) ---------
+    cv.clip = (x0, y0, x1, y1)  # confine paint to the plot area
+    for i, el in enumerate(elements):
+        if el.color is None:
+            continue  # colorless elements scale but draw nothing
+        kind = el.kind.upper()
+        series = [(r[0], r[1 + 2 * i], r[2 + 2 * i]) for r in rows]
+        if kind == "STACK":
+            kind = "AREA" if i and elements[i - 1].kind.upper() in ("AREA", "STACK") else "LINE"
+        if kind == "TICK":
+            frac = el.fraction
+            for ts, v, _b in series:
+                if v is None or not np.isfinite(v) or v == 0:
+                    continue
+                x = xtr(ts)
+                if frac >= 0:
+                    cv.vline(x, y1 - int(frac * (height - 1)), y1, el.color)
+                else:
+                    cv.vline(x, y0, y0 + int(-frac * (height - 1)), el.color)
+            continue
+        if kind == "AREA":
+            for j, (ts, v, b) in enumerate(series):
+                if v is None or not np.isfinite(v):
+                    continue
+                xa = xtr(series[j - 1][0]) + 1 if j else x0
+                xb = xtr(ts)
+                yv, yb = ytr(v), ytr(b if b is not None else 0.0)
+                for x in range(max(x0, xa), min(x1, xb) + 1):
+                    cv.vspan(x, yb, yv, el.color)
+            continue
+        # LINE: straight segments between consecutive known points
+        prev = None
+        w = el.width
+        for ts, v, _b in series:
+            if v is None or not np.isfinite(v):
+                prev = None
+                continue
+            pt = (xtr(ts), ytr(v))
+            if prev is not None:
+                cv.line(prev[0], prev[1], pt[0], pt[1], el.color, w)
+            else:
+                cv.line(pt[0], pt[1], pt[0], pt[1], el.color, w)
+            prev = pt
+
+    # -- axes + frame ------------------------------------------------------
+    cv.clip = None
+    cv.hline(y1 + 1, x0 - 4, x1 + 8, col["AXIS"])  # x axis with overshoot
+    cv.vline(x0 - 1, y0 - 4, y1 + 4, col["AXIS"])
+    # arrow head at x-axis end
+    for d in range(3):
+        cv.vline(x1 + 5 + d, y1 + 1 - (2 - d), y1 + 1 + (2 - d), col["ARROW"])
+    # frame around the plot area (thin)
+    for xx in (x0 - 1, x1 + 1):
+        cv.vline(xx, y0 - 1, y1 + 1, col["FRAME"])
+    for yy in (y0 - 1, y1 + 1):
+        cv.hline(yy, x0 - 1, x1 + 1, col["FRAME"])
+
+    # -- text --------------------------------------------------------------
+    if title:
+        cv.text((W - len(title) * CHAR_W) // 2, 4, title, col["FONT"])
+    if vertical_label:
+        cv.text(6, (H + len(vertical_label) * CHAR_W) // 2, vertical_label,
+                col["FONT"], rotate=True)
+    ly = y1 + CHAR_H + 10
+    for el in legends:
+        if el.color is not None:
+            cv.rect(x0 - 4, ly, x0 + 4, ly + CHAR_H - 2, el.color)
+            cv.rect(x0 - 4, ly, x0 + 4, ly, "#000000")
+            cv.rect(x0 - 4, ly + CHAR_H - 2, x0 + 4, ly + CHAR_H - 2, "#000000")
+        cv.text(x0 + 8, ly, el.legend, col["FONT"])
+        ly += CHAR_H + 2
+    for line in legend_lines or []:
+        cv.text(x0 + 8, ly, line, col["FONT"])
+        ly += CHAR_H + 2
+    return cv

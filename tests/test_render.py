@@ -1,0 +1,234 @@
+"""Renderer tests (render.py): pixel-exact raster assertions against
+fabricated plot rows (no Spark), plus one CLI end-to-end drive that
+writes a real PNG through the full DEF→CDEF→data_proc→raster pipeline."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from rrdtool_1_x_spark.plans.graph import GraphElement
+from rrdtool_1_x_spark.render import (
+    CHAR_H,
+    CHAR_W,
+    Canvas,
+    glyph,
+    parse_color,
+    pick_xgrid,
+    pick_ygrid,
+    render_graph,
+    si_label,
+)
+
+
+def _rows(vals, start=1000, step=10, base=0.0):
+    return [(start + (i + 1) * step, v, base) for i, v in enumerate(vals)]
+
+
+def _img(cv):
+    return np.clip(np.round(cv.img), 0, 255).astype(np.uint8)
+
+
+def test_parse_color():
+    rgb, a = parse_color("#FF8000")
+    assert list(rgb) == [255, 128, 0] and a == 1.0
+    rgb, a = parse_color("#00000080")
+    assert a == pytest.approx(128 / 255)
+    with pytest.raises(ValueError):
+        parse_color("#F00")
+
+
+def test_canvas_primitives_and_clip():
+    cv = Canvas(20, 10, background="#000000")
+    cv.rect(2, 3, 5, 4, "#ff0000")
+    img = _img(cv)
+    assert (img[3:5, 2:6] == [255, 0, 0]).all()
+    assert (img[0, 0] == [0, 0, 0]).all()
+    cv.clip = (0, 0, 9, 4)
+    cv.rect(8, 3, 12, 8, "#00ff00")  # clipped to x<=9, y<=4
+    img = _img(cv)
+    assert (img[3:5, 8:10] == [0, 255, 0]).all()
+    assert (img[5, 8] == [0, 0, 0]).all()  # below clip untouched
+    assert (img[3, 10] == [0, 0, 0]).all()  # right of clip untouched
+
+
+def test_glyphs_are_5x7_and_distinct():
+    seen = set()
+    for ch in "0123456789ABCXYZabcxyz:%/-. ":
+        g = glyph(ch)
+        assert g.shape == (7, 5)
+        seen.add(g.tobytes())
+    assert len(seen) == len("0123456789ABCXYZabcxyz:%/-. ")  # no collisions
+    # spot-check '1': center column solid
+    g1 = glyph("1")
+    assert g1[:, 2].all()
+
+
+def test_pick_ygrid_ladder():
+    step, labfact, magfact, mag = pick_ygrid(0.0, 100.0, 100)
+    assert step in (20.0, 50.0)  # >= 15 px apart on 100 px for range 100
+    step, _, magfact, mag = pick_ygrid(0.0, 2_000_000.0, 100)
+    assert mag == 2 and magfact == 1_000_000.0  # M magnitude
+    assert si_label(1_500_000.0, magfact, mag) == "1.5 M"
+    assert si_label(2_000_000.0, magfact, mag) == "2 M"
+
+
+def test_pick_xgrid_duration_keyed():
+    assert pick_xgrid(0, 1800)[3] == "%H:%M"
+    minor, major, lab, fmt = pick_xgrid(0, 7 * 24 * 3600)
+    assert fmt == "%a %d" and major == 24 * 3600
+    assert pick_xgrid(0, 200 * 24 * 3600)[3] == "%b"
+
+
+def _find_plot_area(cv, canvas_color="#ffffff"):
+    """Locate the white canvas rect in the rendered image."""
+    img = _img(cv)
+    white = (img == [255, 255, 255]).all(axis=2)
+    ys, xs = np.nonzero(white)
+    return ys.min(), ys.max(), xs.min(), xs.max()
+
+
+def test_line_constant_lands_on_value_row():
+    """LINE at constant v=5 with bounds (0,10) must paint its color on
+    exactly the middle row of the plot area, full width."""
+    el = GraphElement("LINE", "v", color="#ff0000", legend="")
+    rows = _rows([5.0] * 50)
+    cv = render_graph(rows, [el], (0.0, 10.0), 1000, 1500, width=100,
+                      height=51, x_grid=False, y_grid=False)
+    img = _img(cv)
+    red = (img == [255, 0, 0]).all(axis=2)
+    y0, y1, x0, x1 = _find_plot_area(cv)
+    mid = (y0 + y1) // 2
+    # full-width red line on the middle row (width 100, 50 data points)
+    assert red[mid, x0 + 2 : x1 - 1].all()
+    assert not red[mid - 3, x0 + 2 : x1 - 1].any()
+
+
+def test_area_fills_from_base_and_respects_gaps():
+    el = GraphElement("AREA", "v", color="#0000ff")
+    vals = [8.0] * 20 + [None] * 5 + [4.0] * 25
+    rows = _rows(vals)
+    cv = render_graph(rows, [el], (0.0, 10.0), 1000, 1500, width=100,
+                      height=50, x_grid=False, y_grid=False)
+    img = _img(cv)
+    blue = (img == [0, 0, 255]).all(axis=2)
+    y0, y1, x0, x1 = _find_plot_area(cv)
+    h = y1 - y0
+    # early columns: filled from bottom up to 80%
+    assert blue[y1 - 2, x0 + 5] and blue[y0 + int(0.25 * h), x0 + 5]
+    # gap columns: nothing
+    gap_x = x0 + int(0.44 * (x1 - x0))
+    assert not blue[:, gap_x].any()
+    # late columns: filled only to 40%
+    assert blue[y1 - 2, x1 - 5] and not blue[y0 + int(0.25 * h), x1 - 5]
+
+
+def test_stack_rides_on_base():
+    e1 = GraphElement("AREA", "a", color="#00ff00")
+    e2 = GraphElement("AREA", "b", color="#ff0000", stack=True)
+    # rows carry (ts, plot0, base0, plot1, base1): a=4 fills 0..4,
+    # b stacked plots 4..7
+    rows = [(1000 + 10 * (i + 1), 4.0, 0.0, 7.0, 4.0) for i in range(30)]
+    cv = render_graph(rows, [e1, e2], (0.0, 10.0), 1000, 1300, width=60,
+                      height=50, x_grid=False, y_grid=False)
+    img = _img(cv)
+    # full-width fills leave no white canvas at the bottom, so compute the
+    # layout directly: left = 8 + 7*CHAR_W (no vlabel), top = 4 (no title)
+    x0, y0 = 8 + 7 * CHAR_W, 4
+    x1, y1 = x0 + 60 - 1, y0 + 50 - 1
+    h = y1 - y0
+    xmid = (x0 + x1) // 2
+    green = (img == [0, 255, 0]).all(axis=2)
+    red = (img == [255, 0, 0]).all(axis=2)
+    assert green[y1 - 1, xmid]  # bottom: first area
+    assert red[y0 + int(0.45 * h), xmid]  # 4..7 band: stacked area
+    assert not red[y1 - 1, xmid]  # stacked area does NOT reach the base
+
+
+def test_tick_marks():
+    el = GraphElement("TICK", "v", color="#ff00ff", fraction=0.5)
+    vals = [0.0, 1.0, 0.0, 1.0, 0.0, None, 1.0, 0.0]
+    rows = _rows(vals, step=10)
+    cv = render_graph(rows, [el], (0.0, 1.0), 1000, 1080, width=80,
+                      height=40, x_grid=False, y_grid=False)
+    img = _img(cv)
+    magenta = (img == [255, 0, 255]).all(axis=2)
+    y0, y1, x0, x1 = _find_plot_area(cv)
+    # ticks rise from the bottom to half height at value!=0 columns only
+    assert magenta[y1 - 1].sum() == 3  # three nonzero known values
+    assert magenta[y1 - int(0.4 * (y1 - y0))].sum() == 3
+    assert not magenta[y0 + 2].any()  # fraction 0.5 stays in lower half
+
+
+def test_uncolored_element_draws_nothing():
+    el = GraphElement("LINE", "v", color=None)
+    cv = render_graph(_rows([5.0] * 10), [el], (0.0, 10.0), 1000, 1100,
+                      width=40, height=30, x_grid=False, y_grid=False)
+    img = _img(cv)
+    y0, y1, x0, x1 = _find_plot_area(cv)
+    # the entire plot area stays canvas-white
+    assert (img[y0 : y1 + 1, x0 : x1 + 1] == [255, 255, 255]).all()
+
+
+def test_legend_swatches_and_title():
+    els = [GraphElement("LINE", "v", color="#123456", legend="traffic")]
+    cv = render_graph(_rows([1.0] * 10), els, (0.0, 2.0), 1000, 1100,
+                      width=60, height=30, title="My Title",
+                      legend_lines=["max 42"])
+    img = _img(cv)
+    swatch = (img == [0x12, 0x34, 0x56]).all(axis=2)
+    assert swatch.any()  # legend color box present
+    # title glyphs render near the top in font color (pure black)
+    black = (img == [0, 0, 0]).all(axis=2)
+    assert black[: CHAR_H + 6].any()
+
+
+def test_grids_toggle():
+    el = GraphElement("LINE", "v", color="#ff0000")
+    rows = _rows([5.0] * 50, step=60)
+    on = render_graph(rows, [el], (0.0, 10.0), 1000, 4000, width=100, height=50)
+    off = render_graph(rows, [el], (0.0, 10.0), 1000, 4000, width=100,
+                       height=50, x_grid=False, y_grid=False)
+    # grid pixels (blended gray/red verticals) exist only when enabled
+    d_on = np.abs(_img(on).astype(int) - _img(off).astype(int)).sum()
+    assert d_on > 0
+    y0, y1, x0, x1 = _find_plot_area(off)
+    inner = _img(off)[y0 : y1 + 1, x0 : x1 + 1]
+    line_rows = ((inner == [255, 0, 0]).all(axis=2)).any(axis=1)
+    # without grids the plot area holds only the line + canvas
+    uniq = {tuple(px) for row in inner for px in row}
+    assert uniq <= {(255, 255, 255), (255, 0, 0)}
+    assert line_rows.sum() <= 2
+
+
+def test_cli_graph_pipeline(tmp_path, spark, capsys):
+    """create → update → graph via the CLI: PNG on disk, size line and
+    PRINT output on stdout, GPRINT only in the image legend."""
+    from rrdtool_1_x_spark.cli import main
+    from rrdtool_1_x_spark.datapipe.codecs import decode_png
+
+    ds = str(tmp_path / "t.rrd")
+    base = 999_999_900  # step-aligned so each PDP holds one update value
+    assert main(["create", ds, "--start", str(base - 10), "--step", "300",
+                 "DS:v:GAUGE:600:U:U", "RRA:AVERAGE:0.5:1:200"]) == 0
+    ups = [f"{base + i * 300}:{100 + (i % 7) * 50}" for i in range(1, 100)]
+    assert main(["update", ds] + ups) == 0
+    out = str(tmp_path / "g.png")
+    rc = main(["graph", out, "-s", str(base), "-e", str(base + 99 * 300),
+               "-w", "200", "-h", "80", "-t", "T", "-v", "vv",
+               f"DEF:v={ds}:v:AVERAGE",
+               "AREA:v#00c000:level",
+               "LINE1:250#0000ff:avg",
+               "VDEF:m=v,MAXIMUM",
+               "GPRINT:m:max %.0lf",
+               "PRINT:m:pmax %.0lf"])
+    assert rc == 0
+    cap = capsys.readouterr().out.strip().splitlines()
+    assert cap[0] == "pmax 400"
+    assert cap[1].count("x") == 1  # WxH size line
+    img = decode_png(open(out, "rb").read())
+    w, h = (int(t) for t in cap[1].split("x"))
+    assert img.shape == (h, w, 3)
+    # the AREA color must appear, and the constant blue line as well
+    assert ((img == [0, 0xC0, 0]).all(axis=2)).any()
+    assert ((img == [0, 0, 255]).all(axis=2)).any()
