@@ -825,6 +825,24 @@ def cmd_graph(args: list[str]) -> int:
     prints = [a[6:] for a in args if a.startswith("PRINT:")]
     gprints = [a[7:] for a in args if a.startswith("GPRINT:")]
     comments = [a[8:] for a in args if a.startswith("COMMENT:")]
+    # HRULE:value#color[:legend] / VRULE:time#color[:legend]
+    # (src/rrd_graph_helper.c parse_hvrule) — drawn over the elements,
+    # clipped to the plot area, never scaling the axes
+    rules = []
+    for a in args:
+        if not a.startswith(("HRULE:", "VRULE:")):
+            continue
+        kind = a[0]
+        body = a.split(":", 1)[1]
+        valspec, _, rest = body.partition("#")
+        rcolor, _, rleg = rest.partition(":")
+        if kind == "V":
+            from rrdtool_1_x_spark.timeparse import parse_at_time
+
+            val = float(parse_at_time(valspec))
+        else:
+            val = float(valspec)
+        rules.append((kind, val, f"#{rcolor}", rleg))
     elements = [
         a for a in args
         if a.startswith(("AREA:", "TICK:", "STACK:"))
@@ -878,6 +896,7 @@ def cmd_graph(args: list[str]) -> int:
         x_grid=not x_grid_off,
         y_grid=not y_grid_off,
         tz_localtime=_time.localtime,
+        rules=rules,
     )
     png = cv.to_png()
     if fname == "-":

@@ -353,6 +353,7 @@ def render_graph(
     x_grid: bool = True,
     y_grid: bool = True,
     tz_localtime=None,
+    rules: list | None = None,
 ) -> "Canvas":
     """Rasterize a resolved graph.
 
@@ -362,8 +363,11 @@ def render_graph(
     GraphElement list (kind/color/width/fraction/legend/stack).
     ``bounds``: final (vmin, vmax) after limits + expand_range.
     ``legend_lines``: extra text lines under the legend (GPRINT output).
-    ``width``/``height`` size the PLOT AREA; the image adds margins —
-    same convention as the reference.
+    ``rules``: HRULE/VRULE entries ("H"|"V", value-or-ts, color, legend) —
+    drawn over the elements, clipped to the plot area, never scaling the
+    axes (src/rrd_graph.c:2382-2414 hrule/vrule painting). ``width``/
+    ``height`` size the PLOT AREA; the image adds margins — same
+    convention as the reference.
     """
     import time as _time
 
@@ -381,7 +385,11 @@ def render_graph(
     top = 4 + (CHAR_H + 4 if title else 0)
     right = 16
     legends = [el for el in elements if el.legend]
-    legend_rows = len(legends) + len(legend_lines or [])
+    legend_rows = (
+        len(legends)
+        + len(legend_lines or [])
+        + sum(1 for r in (rules or []) if r[3])
+    )
     bottom = CHAR_H + 8 + legend_rows * (CHAR_H + 2) + 6
     W = left + width + right
     H = top + height + bottom
@@ -478,6 +486,15 @@ def render_graph(
                 cv.line(pt[0], pt[1], pt[0], pt[1], el.color, w)
             prev = pt
 
+    # -- rules (drawn over elements, clipped, non-scaling) -----------------
+    for kind, val, rcolor, _rleg in rules or []:
+        if kind == "H":
+            if vmin <= val <= vmax:
+                cv.hline(ytr(val), x0, x1, rcolor)
+        else:
+            if start <= val <= end:
+                cv.vline(xtr(val), y0, y1, rcolor)
+
     # -- axes + frame ------------------------------------------------------
     cv.clip = None
     cv.hline(y1 + 1, x0 - 4, x1 + 8, col["AXIS"])  # x axis with overshoot
@@ -498,12 +515,22 @@ def render_graph(
         cv.text(6, (H + len(vertical_label) * CHAR_W) // 2, vertical_label,
                 col["FONT"], rotate=True)
     ly = y1 + CHAR_H + 10
+
+    def _swatch(color: str) -> None:
+        cv.rect(x0 - 4, ly, x0 + 4, ly + CHAR_H - 2, color)
+        cv.rect(x0 - 4, ly, x0 + 4, ly, "#000000")
+        cv.rect(x0 - 4, ly + CHAR_H - 2, x0 + 4, ly + CHAR_H - 2, "#000000")
+
     for el in legends:
         if el.color is not None:
-            cv.rect(x0 - 4, ly, x0 + 4, ly + CHAR_H - 2, el.color)
-            cv.rect(x0 - 4, ly, x0 + 4, ly, "#000000")
-            cv.rect(x0 - 4, ly + CHAR_H - 2, x0 + 4, ly + CHAR_H - 2, "#000000")
+            _swatch(el.color)
         cv.text(x0 + 8, ly, el.legend, col["FONT"])
+        ly += CHAR_H + 2
+    for _kind, _val, rcolor, rleg in rules or []:
+        if not rleg:
+            continue
+        _swatch(rcolor)
+        cv.text(x0 + 8, ly, rleg, col["FONT"])
         ly += CHAR_H + 2
     for line in legend_lines or []:
         cv.text(x0 + 8, ly, line, col["FONT"])

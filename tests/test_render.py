@@ -201,6 +201,30 @@ def test_grids_toggle():
     assert line_rows.sum() <= 2
 
 
+def test_hrule_vrule():
+    el = GraphElement("LINE", "v", color="#00ff00")
+    rows = _rows([2.0] * 40)
+    cv = render_graph(
+        rows, [el], (0.0, 10.0), 1000, 1400, width=80, height=51,
+        x_grid=False, y_grid=False,
+        rules=[("H", 5.0, "#ff0000", "limit"), ("V", 1200.0, "#0000ff", ""),
+               ("H", 50.0, "#123123", "")],  # out of range: not drawn
+    )
+    img = _img(cv)
+    y0, y1, x0, x1 = _find_plot_area(cv)
+    red = (img == [255, 0, 0]).all(axis=2)
+    blue = (img == [0, 0, 255]).all(axis=2)
+    mid = (y0 + y1) // 2
+    xv = x0 + int(round((1200 - 1000) / 400 * (x1 - x0)))
+    row = red[mid, x0 + 3 : x1 - 3].copy()
+    row[xv - (x0 + 3)] = True  # the VRULE crossing paints over one pixel
+    assert row.all()  # HRULE at 5.0 = middle row
+    assert blue[y0 + 2 : y1 - 2, xv].all()  # VRULE column
+    assert not ((img == [0x12, 0x31, 0x23]).all(axis=2)).any()  # clipped rule
+    # legend swatch for the labelled rule
+    assert red[y1 + 5 :].any()
+
+
 def test_cli_graph_pipeline(tmp_path, spark, capsys):
     """create → update → graph via the CLI: PNG on disk, size line and
     PRINT output on stdout, GPRINT only in the image legend."""
