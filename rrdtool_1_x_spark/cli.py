@@ -807,6 +807,9 @@ def cmd_graph(args: list[str]) -> int:
     rigid = _opt(args, "-r", "--rigid", flag=True)
     x_grid_off = _opt(args, "-x", "--x-grid", default="") == "none"
     y_grid_off = _opt(args, "-y", "--y-grid", default="") == "none"
+    logarithmic = _opt(args, "-o", "--logarithmic", flag=True)
+    full_size = _opt(args, "-D", "--full-size-mode", flag=True)
+    no_legend = _opt(args, "-g", "--no-legend", flag=True)
     imgformat = _opt(args, "-a", "--imgformat", default="PNG")
     if imgformat.upper() != "PNG":
         print(f"ERROR: only PNG rendering is supported, not {imgformat}",
@@ -897,6 +900,9 @@ def cmd_graph(args: list[str]) -> int:
         y_grid=not y_grid_off,
         tz_localtime=_time.localtime,
         rules=rules,
+        logarithmic=logarithmic,
+        full_size=full_size,
+        no_legend=no_legend,
     )
     png = cv.to_png()
     if fname == "-":

@@ -354,6 +354,9 @@ def render_graph(
     y_grid: bool = True,
     tz_localtime=None,
     rules: list | None = None,
+    logarithmic: bool = False,
+    full_size: bool = False,
+    no_legend: bool = False,
 ) -> "Canvas":
     """Rasterize a resolved graph.
 
@@ -379,20 +382,34 @@ def render_graph(
     vmin, vmax = bounds
     if not np.isfinite(vmin) or not np.isfinite(vmax) or vmin == vmax:
         vmin, vmax = (0.0, 1.0) if vmin == vmax else (0.0, 1.0)
+    if logarithmic:
+        # log scale needs a positive floor (the reference refuses
+        # non-positive bounds; we clamp to 3 decades below the max)
+        if vmax <= 0:
+            vmax = 1.0
+        if vmin <= 0:
+            vmin = vmax / 1000.0
 
     # -- layout ------------------------------------------------------------
     left = 8 + (2 * CHAR_W if vertical_label else 0) + 7 * CHAR_W
     top = 4 + (CHAR_H + 4 if title else 0)
     right = 16
-    legends = [el for el in elements if el.legend]
+    legends = [] if no_legend else [el for el in elements if el.legend]
     legend_rows = (
         len(legends)
-        + len(legend_lines or [])
-        + sum(1 for r in (rules or []) if r[3])
+        + (0 if no_legend else len(legend_lines or []))
+        + (0 if no_legend else sum(1 for r in (rules or []) if r[3]))
     )
     bottom = CHAR_H + 8 + legend_rows * (CHAR_H + 2) + 6
-    W = left + width + right
-    H = top + height + bottom
+    if full_size:
+        # -D/--full-size-mode: width/height are the FINAL image dims
+        # (src/rrd_graph.c full-size handling); shrink the plot area
+        W, H = width, height
+        width = max(10, W - left - right)
+        height = max(10, H - top - bottom)
+    else:
+        W = left + width + right
+        H = top + height + bottom
     cv = Canvas(W, H, background=col["BACK"])
 
     # beveled border (SHADEA top/left, SHADEB bottom/right, 2 px)
@@ -408,12 +425,39 @@ def render_graph(
     def xtr(ts: float) -> int:
         return x0 + int(round((ts - start) / max(end - start, 1) * (width - 1)))
 
+    import math as _math
+
     def ytr(v: float) -> int:
-        frac = (v - vmin) / (vmax - vmin)
+        if logarithmic:
+            if v <= 0:
+                return y1 + height  # off-canvas (clipped away)
+            frac = (_math.log10(v) - _math.log10(vmin)) / (
+                _math.log10(vmax) - _math.log10(vmin)
+            )
+        else:
+            frac = (v - vmin) / (vmax - vmin)
         return y1 - int(round(frac * (height - 1)))
 
     # -- grids -------------------------------------------------------------
-    if y_grid:
+    if y_grid and logarithmic:
+        # decade lines labelled, 2..9 multiples as minor grid
+        # (draw_horizontal_grid's logarithmic branch)
+        dec = _math.floor(_math.log10(vmin))
+        while 10.0**dec <= vmax * 1.001:
+            v = 10.0**dec
+            if v >= vmin * 0.999:
+                y = ytr(max(v, vmin))
+                cv.hline(y, x0, x1, col["MGRID"])
+                mag = max(-6, min(6, int(_math.floor(dec / 3))))
+                lab = si_label(v, 1000.0**mag, mag)
+                cv.text(x0 - 4 - len(lab) * CHAR_W, y - CHAR_H // 2, lab,
+                        col["FONT"])
+            for m in range(2, 10):
+                v2 = m * 10.0**dec
+                if vmin <= v2 <= vmax:
+                    cv.hline(ytr(v2), x0, x1, col["GRID"])
+            dec += 1
+    elif y_grid:
         step, labfact, magfact, mag = pick_ygrid(vmin, vmax, height)
         k = np.ceil(vmin / step)
         i = 0
@@ -526,13 +570,13 @@ def render_graph(
             _swatch(el.color)
         cv.text(x0 + 8, ly, el.legend, col["FONT"])
         ly += CHAR_H + 2
-    for _kind, _val, rcolor, rleg in rules or []:
+    for _kind, _val, rcolor, rleg in [] if no_legend else (rules or []):
         if not rleg:
             continue
         _swatch(rcolor)
         cv.text(x0 + 8, ly, rleg, col["FONT"])
         ly += CHAR_H + 2
-    for line in legend_lines or []:
+    for line in [] if no_legend else (legend_lines or []):
         cv.text(x0 + 8, ly, line, col["FONT"])
         ly += CHAR_H + 2
     return cv

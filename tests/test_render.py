@@ -225,6 +225,38 @@ def test_hrule_vrule():
     assert red[y1 + 5 :].any()
 
 
+def test_logarithmic_scale():
+    """Log axis: equal RATIOS take equal pixel distances — 1→10 and
+    10→100 must land the same span apart."""
+    el = GraphElement("LINE", "v", color="#ff0000")
+    cv = render_graph(_rows([50.0] * 10), [el], (1.0, 100.0), 1000, 1100,
+                      width=40, height=101, x_grid=False, y_grid=False,
+                      logarithmic=True)
+    img = _img(cv)
+    y0, y1, x0, x1 = _find_plot_area(cv)
+    red_rows = np.nonzero((img == [255, 0, 0]).all(axis=2).any(axis=1))[0]
+    # v=50 on log(1..100): frac = log10(50)/2 ≈ 0.849 → near the top
+    expect = y1 - int(round((np.log10(50) / 2) * 100))
+    assert abs(red_rows[0] - expect) <= 1
+    # decade gridlines drawn when y_grid on
+    cv2 = render_graph(_rows([50.0] * 10), [el], (1.0, 100.0), 1000, 1100,
+                       width=40, height=101, x_grid=False, y_grid=True,
+                       logarithmic=True)
+    assert np.abs(_img(cv2).astype(int) - img.astype(int)).sum() > 0
+
+
+def test_full_size_and_no_legend():
+    el = GraphElement("LINE", "v", color="#ff0000", legend="leg")
+    cv = render_graph(_rows([5.0] * 10), [el], (0.0, 10.0), 1000, 1100,
+                      width=300, height=150, full_size=True)
+    assert (cv.w, cv.h) == (300, 150)
+    small = render_graph(_rows([5.0] * 10), [el], (0.0, 10.0), 1000, 1100,
+                         width=60, height=30, no_legend=True)
+    with_leg = render_graph(_rows([5.0] * 10), [el], (0.0, 10.0), 1000, 1100,
+                            width=60, height=30)
+    assert small.h < with_leg.h  # legend rows trimmed from the image
+
+
 def test_cli_graph_pipeline(tmp_path, spark, capsys):
     """create → update → graph via the CLI: PNG on disk, size line and
     PRINT output on stdout, GPRINT only in the image legend."""
