@@ -810,6 +810,7 @@ def cmd_graph(args: list[str]) -> int:
     logarithmic = _opt(args, "-o", "--logarithmic", flag=True)
     full_size = _opt(args, "-D", "--full-size-mode", flag=True)
     no_legend = _opt(args, "-g", "--no-legend", flag=True)
+    imginfo = _opt(args, "-f", "--imginfo")
     imgformat = _opt(args, "-a", "--imgformat", default="PNG")
     if imgformat.upper() != "PNG":
         print(f"ERROR: only PNG rendering is supported, not {imgformat}",
@@ -910,6 +911,11 @@ def cmd_graph(args: list[str]) -> int:
     else:
         with open(fname, "wb") as fh:
             fh.write(png)
+    if imginfo:
+        # --imginfo fmt: C-style "%s %lu %lu" over (filename, w, h) —
+        # printed first, like rrd_graph's calcpr[0] (rrd_cgi drawgraph)
+        pyfmt = imginfo.replace("%lu", "%d")
+        print(pyfmt % (fname, cv.w, cv.h))
     for line in res.prints[:n_plain]:
         print(line)
     print(f"{cv.w}x{cv.h}")
@@ -1148,6 +1154,11 @@ COMMANDS = {
     "xport": cmd_xport,
     "graphv": cmd_graphv,
     "graph": cmd_graph,
+    # the reference ships rrdcgi as a sibling binary; here it rides the
+    # same entry point (python -m rrdtool_1_x_spark cgi [--filter] tmpl)
+    "cgi": lambda args: __import__(
+        "rrdtool_1_x_spark.cgi", fromlist=["main"]
+    ).main(args),
     "info": cmd_info,
     "list": cmd_list,
     "first": cmd_first,
