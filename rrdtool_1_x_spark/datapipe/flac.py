@@ -85,20 +85,23 @@ def crc16(data: bytes) -> int:
 class _Bits:
     def __init__(self, data: bytes, pos_bits: int = 0):
         self.data = data
-        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.nbits = len(data) * 8
+        # positions of all one-bits, for O(log n) unary decoding
+        self.ones = np.flatnonzero(
+            np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        )
         self.pos = pos_bits
 
     def read(self, n: int) -> int:
         if n == 0:
             return 0
-        chunk = self.bits[self.pos : self.pos + n]
-        if len(chunk) < n:
+        end = self.pos + n
+        if end > self.nbits:
             raise ValueError("FLAC: bitstream exhausted")
-        self.pos += n
-        v = 0
-        for b in chunk:
-            v = (v << 1) | int(b)
-        return v
+        b0, b1 = self.pos >> 3, (end + 7) >> 3
+        word = int.from_bytes(self.data[b0:b1], "big")
+        self.pos = end
+        return (word >> ((b1 << 3) - end)) & ((1 << n) - 1)
 
     def read_signed(self, n: int) -> int:
         v = self.read(n)
@@ -108,11 +111,12 @@ class _Bits:
 
     def read_unary(self) -> int:
         """Count zero bits up to the terminating one bit."""
-        nz = np.flatnonzero(self.bits[self.pos :])
-        if len(nz) == 0:
+        idx = int(np.searchsorted(self.ones, self.pos))
+        if idx >= len(self.ones):
             raise ValueError("FLAC: unary run past end of stream")
-        q = int(nz[0])
-        self.pos += q + 1
+        one = int(self.ones[idx])
+        q = one - self.pos
+        self.pos = one + 1
         return q
 
     def align(self) -> None:
@@ -226,17 +230,22 @@ def _decode_subframe(br: _Bits, block_size: int, bits_per_sample: int) -> np.nda
         order = sftype - 8
         warm = [br.read_signed(eff_bits) for _ in range(order)]
         resid = _decode_residual(br, block_size, order)
-        samples = np.empty(block_size, dtype=np.int64)
-        samples[:order] = warm
-        coeffs = _FIXED_COEFFS[order]
         if order == 0:
-            samples[:] = resid
+            samples = resid
         else:
-            for i in range(order, block_size):
-                pred = 0
-                for j, c in enumerate(coeffs):
-                    pred += c * samples[i - 1 - j]
-                samples[i] = resid[i - order] + pred
+            # the fixed predictor of order k is the k-th finite
+            # difference, so decoding is k cumulative sums seeded by the
+            # successive differences of the warm-up samples — vectorized,
+            # no per-sample loop
+            seeds = [warm[0]]
+            d = np.array(warm, dtype=np.int64)
+            for _ in range(1, order):
+                d = np.diff(d)
+                seeds.append(int(d[0]))
+            cur = resid
+            for j in range(order - 1, -1, -1):
+                cur = np.cumsum(np.concatenate([[seeds[j]], cur]))
+            samples = cur
     elif sftype >= 32:  # LPC, order 1-32
         order = sftype - 31
         warm = [br.read_signed(eff_bits) for _ in range(order)]
@@ -394,38 +403,34 @@ class _BitW:
             self.write(0, 8 - self.n)
 
 
-def _best_rice_param(zz: np.ndarray) -> tuple[int, int]:
-    best_p, best_c = 0, None
-    for p in range(15):
-        c = int(np.sum(zz >> np.uint64(p))) + len(zz) * (1 + p)
-        if best_c is None or c < best_c:
-            best_p, best_c = p, c
-    return best_p, best_c
-
-
 def _encode_residual(
     bw: _BitW, resid: np.ndarray, block_size: int, order: int, max_porder: int = 4
 ) -> None:
     """Partitioned Rice coding; the partition order is chosen by exact bit
-    cost (each partition gets its own optimal 4-bit parameter)."""
+    cost (each partition gets its own optimal 4-bit parameter). The whole
+    (parameter x partition x order) search is one shift matrix plus one
+    ``np.add.reduceat`` per order — no per-partition python sums."""
     zz = ((resid << 1) ^ (resid >> 63)).astype(np.uint64)  # signed → zigzag
+    # shifted[p, i] = zz[i] >> p: the unary cost of sample i at parameter p
+    shifted = (zz[None, :] >> np.arange(15, dtype=np.uint64)[:, None]).astype(
+        np.int64
+    )
     best = None  # (cost, porder, params)
     porder = 0
     while porder <= max_porder:
         nparts = 1 << porder
-        if block_size % nparts or (block_size >> porder) <= order:
+        seg = block_size >> porder
+        if block_size % nparts or seg <= order:
             break
-        params, cost = [], 0
-        idx = 0
-        for p in range(nparts):
-            n = (block_size >> porder) - (order if p == 0 else 0)
-            pp, cc = _best_rice_param(zz[idx : idx + n])
-            params.append(pp)
-            cost += cc
-            idx += n
-        cost += 4 * nparts
+        starts = np.maximum(np.arange(nparts) * seg - order, 0)
+        sums = np.add.reduceat(shifted, starts, axis=1)  # (15, nparts)
+        lens = np.full(nparts, seg)
+        lens[0] = seg - order
+        costs = sums + np.arange(1, 16)[:, None] * lens[None, :]
+        pidx = np.argmin(costs, axis=0)  # best parameter per partition
+        cost = int(costs[pidx, np.arange(nparts)].sum()) + 4 * nparts
         if best is None or cost < best[0]:
-            best = (cost, porder, params)
+            best = (cost, porder, pidx.tolist())
         porder += 1
     _, porder, params = best
     bw.write(0, 2)  # method 0 (4-bit params)

@@ -135,11 +135,12 @@ class HuffDecoder:
             k += n
 
     def decode(self, br: "_BitReader") -> int:
-        code = 0
+        window = br.peek16()
         for length in range(1, 17):
-            code = (code << 1) | br.read_bit()
+            code = window >> (16 - length)
             mx = self.maxcode[length]
             if mx >= 0 and code <= mx:
+                br.skip(length)
                 return self.symbols[self.valptr[length] + code - self.mincode[length]]
         raise ValueError("JPEG: invalid Huffman code")
 
@@ -177,30 +178,37 @@ ENC_AC_SYMBOLS = bytes(sorted(_AC_SYMS))
 
 
 class _BitReader:
-    """MSB-first bit reader over an un-stuffed entropy segment."""
+    """MSB-first bit reader over an un-stuffed entropy segment. Reads past
+    the end return 1-bits (T.81 padding). Multi-bit reads slice whole
+    bytes instead of looping per bit."""
 
     def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.buf = 0
-        self.nbits = 0
+        # two padding bytes so a 16-bit peek near the end stays in-bounds
+        self.data = bytes(data) + b"\xff\xff\xff"
+        self.nbits_real = len(data) * 8
+        self.pos = 0  # bit position
+
+    def peek16(self) -> int:
+        b0 = self.pos >> 3
+        word = int.from_bytes(self.data[b0 : b0 + 3], "big")
+        return (word >> (8 - (self.pos & 7))) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        self.pos += n
 
     def read_bit(self) -> int:
-        if self.nbits == 0:
-            if self.pos >= len(self.data):
-                # past the end: T.81 pads with 1-bits
-                return 1
-            self.buf = self.data[self.pos]
-            self.pos += 1
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.buf >> self.nbits) & 1
+        v = (self.data[self.pos >> 3] >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return v
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        end = self.pos + n
+        b0, b1 = self.pos >> 3, (end + 7) >> 3
+        word = int.from_bytes(self.data[b0:b1], "big")
+        self.pos = end
+        return (word >> ((b1 << 3) - end)) & ((1 << n) - 1)
 
 
 def _extend(v: int, n: int) -> int:
@@ -219,24 +227,20 @@ class _BitWriter:
         self.nbits = 0
 
     def write(self, code: int, length: int) -> None:
-        for i in range(length - 1, -1, -1):
-            self.buf = (self.buf << 1) | ((code >> i) & 1)
-            self.nbits += 1
-            if self.nbits == 8:
-                self.out.append(self.buf)
-                if self.buf == 0xFF:  # byte stuffing
-                    self.out.append(0x00)
-                self.buf = 0
-                self.nbits = 0
+        self.buf = (self.buf << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.buf >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+        self.buf &= (1 << self.nbits) - 1
 
     def flush(self) -> None:
         if self.nbits:
-            self.buf = (self.buf << (8 - self.nbits)) | ((1 << (8 - self.nbits)) - 1)
-            self.out.append(self.buf)
-            if self.buf == 0xFF:
-                self.out.append(0x00)
-            self.buf = 0
-            self.nbits = 0
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # T.81 pads with 1-bits
 
 
 # ---------------------------------------------------------------------------
@@ -429,7 +433,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if not blocks:
             continue
         F_all = np.stack([b[2] for b in blocks])  # (n, 8, 8)
-        f_all = np.einsum("ux,nuv,vy->nxy", C, F_all, C)
+        f_all = np.matmul(np.matmul(C.T, F_all), C)  # batched IDCT
         f_all = np.clip(np.round(f_all + 128.0), 0, 255)
         plane = planes[cid]
         for (byy, bxx, _), sp in zip(blocks, f_all):
@@ -521,7 +525,7 @@ def _fdct_quant(plane: np.ndarray, qtab_rm: np.ndarray) -> np.ndarray:
     H, W = plane.shape
     by, bx = H // 8, W // 8
     blocks = plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-    F_all = np.einsum("ux,nxy,vy->nuv", C, blocks - 128.0, C)
+    F_all = np.matmul(np.matmul(C, blocks - 128.0), C.T)  # batched FDCT
     q = np.round(F_all.reshape(-1, 64) / qtab_rm.astype(np.float64))
     zz = q[:, ZIGZAG]
     return zz.astype(np.int64)
