@@ -642,8 +642,20 @@ def _parse_element(spec: str):
     skipscale = "skipscale" in tail
     legend = ""
     fraction = 0.1
+    dashes = None
+    dash_offset = 0.0
     for p in tail:
         if p in ("STACK", "skipscale") or p == "":
+            continue
+        if p == "dashes" or p.startswith("dashes="):
+            # LINE ...:dashes[=on[,off[,on,off...]]] (parse_line)
+            spec = p.partition("=")[2]
+            dashes = (
+                tuple(float(x) for x in spec.split(",")) if spec else (5.0, 5.0)
+            )
+            continue
+        if p.startswith("dash-offset="):
+            dash_offset = float(p.partition("=")[2])
             continue
         if kind == "TICK" and not legend:
             # the first extra TICK field may be the fraction — numeric
@@ -652,9 +664,10 @@ def _parse_element(spec: str):
                 continue
             except ValueError:
                 pass
-        legend = p
-        break
-    return kind, source, legend, stack, skipscale, color, width, fraction
+        if not legend:
+            legend = p  # first non-option field; options may follow it
+    return (kind, source, legend, stack, skipscale, color, width, fraction,
+            dashes, dash_offset)
 
 
 _SENSIBLE = (
@@ -751,11 +764,11 @@ def cmd_graphv(args: list[str]) -> int:
         else:
             q.print_(parts[0], ":".join(parts[1:]))
     for e in elements:
-        kind, source, legend, stack, skipscale, color, width, fraction = (
-            _parse_element(e)
-        )
+        (kind, source, legend, stack, skipscale, color, width, fraction,
+         dashes, dash_offset) = _parse_element(e)
         q.element(kind, source, legend=legend, stack=stack, skipscale=skipscale,
-                  color=color, width=width, fraction=fraction)
+                  color=color, width=width, fraction=fraction,
+                  dashes=dashes, dash_offset=dash_offset)
         if jsontime:
             # --add-jsontime publishes the plotted element values as an
             # xport-style JSON block after the info keys
@@ -811,6 +824,10 @@ def cmd_graph(args: list[str]) -> int:
     full_size = _opt(args, "-D", "--full-size-mode", flag=True)
     no_legend = _opt(args, "-g", "--no-legend", flag=True)
     imginfo = _opt(args, "-f", "--imginfo")
+    lazy = _opt(args, "-z", "--lazy", flag=True)
+    zoom = float(_opt(args, "-m", "--zoom", default="1"))
+    border = int(_opt(args, "--border", default="2"))
+    watermark = _opt(args, "-W", "--watermark", default="")
     imgformat = _opt(args, "-a", "--imgformat", default="PNG")
     if imgformat.upper() != "PNG":
         print(f"ERROR: only PNG rendering is supported, not {imgformat}",
@@ -823,8 +840,32 @@ def cmd_graph(args: list[str]) -> int:
             break
         tag, _, val = c.partition("#")
         colors[tag.upper()] = f"#{val}"
-    if "--maxrows" not in args and "-m" not in args:
+    if "--maxrows" not in args:
         args += ["--maxrows", str(width)]
+
+    if lazy and fname != "-":
+        # lazy_check (src/rrd_graph.c:3458-3486): keep the existing image
+        # when it is younger than one pixel column's worth of time; report
+        # its PNG dims and skip all data work
+        import os as _os
+        import struct as _struct
+
+        try:
+            st = _os.stat(fname)
+            start_s = _opt(list(args), "-s", "--start")
+            end_s = _opt(list(args), "-e", "--end")
+            from rrdtool_1_x_spark.timeparse import proc_start_end
+
+            l_start, l_end = proc_start_end(start_s or "end-24h", end_s or "now")
+            if _time.time() - st.st_mtime <= max(1, (l_end - l_start) / width):
+                with open(fname, "rb") as fh:
+                    head = fh.read(24)
+                if head[:8] == b"\x89PNG\r\n\x1a\n":
+                    w_png, h_png = _struct.unpack(">II", head[16:24])
+                    print(f"{w_png}x{h_png}")
+                    return 0
+        except OSError:
+            pass  # no existing image: fall through and render
 
     prints = [a[6:] for a in args if a.startswith("PRINT:")]
     gprints = [a[7:] for a in args if a.startswith("GPRINT:")]
@@ -868,11 +909,11 @@ def cmd_graph(args: list[str]) -> int:
         else:
             q.print_(parts[0], ":".join(parts[1:]))
     for e in elements:
-        kind, source, legend, stack, skipscale, color, ew, fraction = (
-            _parse_element(e)
-        )
+        (kind, source, legend, stack, skipscale, color, ew, fraction,
+         dashes, dash_offset) = _parse_element(e)
         q.element(kind, source, legend=legend, stack=stack, skipscale=skipscale,
-                  color=color, width=ew, fraction=fraction)
+                  color=color, width=ew, fraction=fraction,
+                  dashes=dashes, dash_offset=dash_offset)
     res = q.execute(_spark())
 
     from rrdtool_1_x_spark.render import render_graph
@@ -904,7 +945,11 @@ def cmd_graph(args: list[str]) -> int:
         logarithmic=logarithmic,
         full_size=full_size,
         no_legend=no_legend,
+        border=border,
+        watermark=watermark,
     )
+    if zoom != 1.0:
+        cv.zoom(zoom)
     png = cv.to_png()
     if fname == "-":
         sys.stdout.buffer.write(png)

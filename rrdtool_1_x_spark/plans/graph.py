@@ -198,15 +198,18 @@ class Query:
         color: str | None = None,
         width: float = 1.0,
         fraction: float = 0.1,
+        dashes: tuple | None = None,
+        dash_offset: float = 0.0,
     ) -> "Query":
         """A LINE/AREA/TICK/STACK graph statement — resolved through
         data_proc at execute time so the result carries the autoscale
         bounds (rrd_graph_v's value_min/value_max). ``color``/``width``/
-        ``fraction`` only matter to the renderer."""
+        ``fraction``/``dashes`` only matter to the renderer."""
         self._elements.append(
             GraphElement(kind.upper(), source, stack=stack,
                          skipscale=skipscale, legend=legend,
-                         color=color, width=width, fraction=fraction)
+                         color=color, width=width, fraction=fraction,
+                         dashes=dashes, dash_offset=dash_offset)
         )
         return self
 
@@ -484,10 +487,13 @@ class GraphElement:
     legend: str = ""
     # rendering attributes (ignored by the data path): #RRGGBB[AA] or None
     # (an uncolored element is plotted invisibly, like the reference),
-    # LINE<width>, and the TICK fraction (negative draws downward)
+    # LINE<width>, the TICK fraction (negative draws downward), and the
+    # LINE dash pattern (on/off pixel runs + starting offset)
     color: str | None = None
     width: float = 1.0
     fraction: float = 0.1
+    dashes: tuple | None = None
+    dash_offset: float = 0.0
 
 
 def data_proc(

@@ -202,8 +202,21 @@ class Canvas:
         """Filled 1-px-wide vertical span (AREA fill column)."""
         self.rect(x, min(y0, y1), x, max(y0, y1), color)
 
-    def line(self, x0: int, y0: int, x1: int, y1: int, color: str, width: float = 1.0) -> None:
-        """Bresenham segment; widths > 1 thicken perpendicular-ish."""
+    def line(
+        self,
+        x0: int,
+        y0: int,
+        x1: int,
+        y1: int,
+        color: str,
+        width: float = 1.0,
+        dashes: tuple | None = None,
+        dash_state: list | None = None,
+    ) -> None:
+        """Bresenham segment; widths > 1 thicken perpendicular-ish.
+        ``dashes`` is an (on, off, ...) pixel-run pattern; ``dash_state``
+        is a one-element mutable distance counter so the pattern runs
+        continuously across the segments of one polyline."""
         w = max(1, int(round(width)))
         dx, dy = abs(x1 - x0), abs(y1 - y0)
         sx = 1 if x0 < x1 else -1
@@ -212,8 +225,19 @@ class Canvas:
         x, y = x0, y0
         steep = dy > dx
         bx0, by0, bx1, by1 = self._bounds()
+        cycle = sum(dashes) if dashes else 0.0
+        state = dash_state if dash_state is not None else [0.0]
         while True:
-            if bx0 <= x <= bx1 and by0 <= y <= by1:
+            pen_on = True
+            if dashes and cycle > 0:
+                t = state[0] % cycle
+                for run in dashes:
+                    if t < run:
+                        break
+                    t -= run
+                    pen_on = not pen_on
+                state[0] += 1
+            if pen_on and bx0 <= x <= bx1 and by0 <= y <= by1:
                 if w == 1:
                     self._blend(y, x, color)
                 elif steep:  # widen horizontally
@@ -245,6 +269,17 @@ class Canvas:
             keep = (ys >= 0) & (ys < self.h) & (xs >= 0) & (xs < self.w)
             if keep.any():
                 self._blend(ys[keep], xs[keep], color)
+
+    def zoom(self, factor: float) -> None:
+        """Nearest-neighbor rescale of the finished raster (--zoom; the
+        reference scales vectors pre-paint via cairo, we scale pixels)."""
+        if factor == 1.0 or factor <= 0:
+            return
+        nh, nw = max(1, int(round(self.h * factor))), max(1, int(round(self.w * factor)))
+        yi = (np.arange(nh) / factor).astype(int).clip(0, self.h - 1)
+        xi = (np.arange(nw) / factor).astype(int).clip(0, self.w - 1)
+        self.img = self.img[yi][:, xi]
+        self.h, self.w = nh, nw
 
     def to_png(self) -> bytes:
         from .datapipe.codecs import encode_png
@@ -357,6 +392,8 @@ def render_graph(
     logarithmic: bool = False,
     full_size: bool = False,
     no_legend: bool = False,
+    border: int = 2,
+    watermark: str = "",
 ) -> "Canvas":
     """Rasterize a resolved graph.
 
@@ -412,11 +449,12 @@ def render_graph(
         H = top + height + bottom
     cv = Canvas(W, H, background=col["BACK"])
 
-    # beveled border (SHADEA top/left, SHADEB bottom/right, 2 px)
-    cv.rect(0, 0, W - 1, 1, col["SHADEA"])
-    cv.rect(0, 0, 1, H - 1, col["SHADEA"])
-    cv.rect(0, H - 2, W - 1, H - 1, col["SHADEB"])
-    cv.rect(W - 2, 0, W - 1, H - 1, col["SHADEB"])
+    # beveled border (SHADEA top/left, SHADEB bottom/right, --border px)
+    if border > 0:
+        cv.rect(0, 0, W - 1, border - 1, col["SHADEA"])
+        cv.rect(0, 0, border - 1, H - 1, col["SHADEA"])
+        cv.rect(0, H - border, W - 1, H - 1, col["SHADEB"])
+        cv.rect(W - border, 0, W - 1, H - 1, col["SHADEB"])
 
     x0, y0 = left, top  # plot-area top-left
     x1, y1 = left + width - 1, top + height - 1
@@ -519,15 +557,18 @@ def render_graph(
         # LINE: straight segments between consecutive known points
         prev = None
         w = el.width
+        dstate = [float(el.dash_offset or 0.0)]
         for ts, v, _b in series:
             if v is None or not np.isfinite(v):
                 prev = None
                 continue
             pt = (xtr(ts), ytr(v))
             if prev is not None:
-                cv.line(prev[0], prev[1], pt[0], pt[1], el.color, w)
+                cv.line(prev[0], prev[1], pt[0], pt[1], el.color, w,
+                        dashes=el.dashes, dash_state=dstate)
             else:
-                cv.line(pt[0], pt[1], pt[0], pt[1], el.color, w)
+                cv.line(pt[0], pt[1], pt[0], pt[1], el.color, w,
+                        dashes=el.dashes, dash_state=dstate)
             prev = pt
 
     # -- rules (drawn over elements, clipped, non-scaling) -----------------
@@ -579,4 +620,7 @@ def render_graph(
     for line in [] if no_legend else (legend_lines or []):
         cv.text(x0 + 8, ly, line, col["FONT"])
         ly += CHAR_H + 2
+    if watermark:
+        cv.text(W - len(watermark) * CHAR_W - 4, H - CHAR_H - 2, watermark,
+                "#808080")
     return cv

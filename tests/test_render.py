@@ -257,6 +257,66 @@ def test_full_size_and_no_legend():
     assert small.h < with_leg.h  # legend rows trimmed from the image
 
 
+def test_dashed_line_pattern():
+    el = GraphElement("LINE", "v", color="#ff0000", dashes=(4.0, 4.0))
+    cv = render_graph(_rows([5.0] * 50), [el], (0.0, 10.0), 1000, 1500,
+                      width=100, height=51, x_grid=False, y_grid=False)
+    img = _img(cv)
+    y0, y1, x0, x1 = _find_plot_area(cv)
+    mid = (y0 + y1) // 2
+    row = (img[mid] == [255, 0, 0]).all(axis=1)
+    on = int(row.sum())
+    assert 0 < on < (x1 - x0)  # gaps exist
+    # runs alternate with period 8: no run longer than 5 consecutive px
+    runs, cur = [], 0
+    for v in row[x0 : x1 + 1]:
+        if v:
+            cur += 1
+        elif cur:
+            runs.append(cur)
+            cur = 0
+    if cur:
+        runs.append(cur)
+    assert runs and max(runs) <= 5
+
+
+def test_zoom_border_watermark():
+    el = GraphElement("LINE", "v", color="#ff0000")
+    cv = render_graph(_rows([5.0] * 10), [el], (0.0, 10.0), 1000, 1100,
+                      width=60, height=30, border=0, watermark="wm")
+    img = _img(cv)
+    # border 0: corner pixel is plain background, no bevel shade
+    assert (img[0, 0] == [0xF5, 0xF5, 0xF5]).all()
+    # watermark gray pixels near the bottom-right
+    assert ((img[-12:] == [0x80, 0x80, 0x80]).all(axis=2)).any()
+    w0, h0 = cv.w, cv.h
+    cv.zoom(2.0)
+    assert (cv.w, cv.h) == (2 * w0, 2 * h0)
+
+
+def test_cli_graph_lazy(tmp_path, spark, capsys):
+    from rrdtool_1_x_spark.cli import main
+
+    ds = str(tmp_path / "t.rrd")
+    base = 999_999_900
+    assert main(["create", ds, "--start", str(base - 10), "--step", "300",
+                 "DS:v:GAUGE:600:U:U", "RRA:AVERAGE:0.5:1:100"]) == 0
+    assert main(["update", ds, f"{base + 300}:5", f"{base + 600}:7"]) == 0
+    out = str(tmp_path / "g.png")
+    argv = ["graph", out, "-s", str(base), "-e", str(base + 600),
+            "-w", "100", "-h", "40", f"DEF:v={ds}:v:AVERAGE",
+            "LINE1:v#ff0000"]
+    assert main(argv) == 0
+    size1 = capsys.readouterr().out.strip().splitlines()[-1]
+    mtime = __import__("os").stat(out).st_mtime
+    # lazy: image is fresh (mtime now >> one pixel column of a 600s/100px
+    # window), so the graph must NOT be regenerated
+    assert main(["graph", out, "-z"] + argv[2:]) == 0
+    size2 = capsys.readouterr().out.strip().splitlines()[-1]
+    assert size2 == size1
+    assert __import__("os").stat(out).st_mtime == mtime
+
+
 def test_cli_graph_pipeline(tmp_path, spark, capsys):
     """create → update → graph via the CLI: PNG on disk, size line and
     PRINT output on stdout, GPRINT only in the image legend."""
