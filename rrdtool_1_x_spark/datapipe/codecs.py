@@ -296,6 +296,10 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if audio_fmt == 3:  # IEEE float
         dtype = "<f4" if bits == 32 else "<f8"
         samples = np.frombuffer(frames_raw, dtype=dtype).astype(np.float64)
+    elif audio_fmt in (6, 7):  # G.711 A-law / mu-law (8-bit companded)
+        codes = np.frombuffer(frames_raw, dtype=np.uint8)
+        lin = _alaw_decode(codes) if audio_fmt == 6 else _mulaw_decode(codes)
+        samples = lin.astype(np.float64) / 32768.0
     elif audio_fmt == 1:  # PCM
         if bits == 8:
             samples = (
@@ -322,6 +326,92 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         raise NotImplementedError(f"WAV: audio format {audio_fmt} not supported")
     n = (len(samples) // channels) * channels
     return samples[:n].reshape(-1, channels), sample_rate
+
+
+def _mulaw_decode(codes: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 mu-law byte → 16-bit linear PCM (table-free form)."""
+    u = (~codes.astype(np.int64)) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = ((mant << 3) + 0x84 << exp) - 0x84
+    return np.where(sign != 0, -mag, mag)
+
+
+def _alaw_decode(codes: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 A-law byte → 16-bit linear PCM (sign bit SET means
+    positive, per the G.711 tables)."""
+    a = codes.astype(np.int64) ^ 0x55
+    sign = a & 0x80
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (exp - 1))
+    return np.where(sign != 0, mag, -mag)
+
+
+def _companding_encoder(decode_fn):
+    """Exact inverse of a companding decoder: quantize each sample to the
+    NEAREST decodable level (the optimal companding quantizer), realized
+    as a sorted-level table + searchsorted — immune to exponent/segment
+    formula slips by construction."""
+    codes = np.arange(256, dtype=np.uint8)
+    levels = decode_fn(codes)
+    order = np.argsort(levels, kind="stable")
+    sorted_levels = levels[order]
+    sorted_codes = codes[order]
+    mids = (sorted_levels[1:] + sorted_levels[:-1]) / 2.0
+
+    def encode(lin: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(mids, lin.astype(np.float64))
+        return sorted_codes[idx]
+
+    return encode
+
+
+def _mulaw_encode(lin: np.ndarray) -> np.ndarray:
+    global _MULAW_ENC
+    if _MULAW_ENC is None:
+        _MULAW_ENC = _companding_encoder(_mulaw_decode)
+    return _MULAW_ENC(lin)
+
+
+def _alaw_encode(lin: np.ndarray) -> np.ndarray:
+    global _ALAW_ENC
+    if _ALAW_ENC is None:
+        _ALAW_ENC = _companding_encoder(_alaw_decode)
+    return _ALAW_ENC(lin)
+
+
+_MULAW_ENC = None
+_ALAW_ENC = None
+
+
+def encode_wav_g711(
+    samples: np.ndarray, sample_rate: int = 8000, law: str = "mulaw"
+) -> bytes:
+    """float [-1, 1] → 8-bit G.711 companded WAV (format 7 mu-law / 6
+    A-law) — the telephony codec pair a speech corpus actually contains."""
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    channels = arr.shape[1]
+    lin = np.clip(arr * 32768.0, -32768, 32767).astype(np.int64)
+    if law == "mulaw":
+        payload = _mulaw_encode(lin.ravel()).tobytes()
+        fmt_code = 7
+    elif law == "alaw":
+        payload = _alaw_encode(lin.ravel()).tobytes()
+        fmt_code = 6
+    else:
+        raise ValueError("law must be 'mulaw' or 'alaw'")
+    fmt = struct.pack(
+        "<HHIIHH", fmt_code, channels, sample_rate, sample_rate * channels,
+        channels, 8,
+    )
+    data_chunk = b"data" + struct.pack("<I", len(payload)) + payload
+    fmt_chunk = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body = b"WAVE" + fmt_chunk + data_chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def encode_wav(
@@ -506,6 +596,111 @@ def encode_bmp(img: np.ndarray) -> bytes:
     info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(payload), 2835, 2835, 0, 0)
     header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(payload), 0, 0, 14 + 40)
     return header + info + payload
+
+
+# ---------------------------------------------------------------------------
+# MP3 (MPEG audio) — HEADER WALK ONLY
+# ---------------------------------------------------------------------------
+# Full MP3 decode needs the ISO huffman/scalefactor tables and a synthesis
+# filterbank — out of reach for stdlib-only code, so decode stays a
+# documented fake. The FRAME HEADERS, however, are four documented bytes:
+# probe_mp3 walks them for exact rate/duration metadata, which is what a
+# curation pipeline needs before deciding whether to ship audio to a real
+# decoder fleet.
+
+_MP3_BITRATES = {
+    # (version_group, layer) -> kbps table, index 1..14 (0 = free, 15 = bad)
+    (1, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (1, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (1, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (2, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (2, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              0: (11025, 12000, 8000)}
+
+
+def _mp3_frame(data: bytes, pos: int):
+    """Parse one MPEG audio frame header at ``pos``; returns
+    (frame_bytes, samples, rate, layer) or None."""
+    if pos + 4 > len(data) or data[pos] != 0xFF or (data[pos + 1] & 0xE0) != 0xE0:
+        return None
+    b1, b2 = data[pos + 1], data[pos + 2]
+    version_bits = (b1 >> 3) & 0x3  # 0=2.5, 2=MPEG2, 3=MPEG1
+    layer_bits = (b1 >> 1) & 0x3  # 1=III, 2=II, 3=I
+    if version_bits == 1 or layer_bits == 0:
+        return None
+    layer = 4 - layer_bits  # 1/2/3
+    vgroup = 1 if version_bits == 3 else 2
+    br_idx = (b2 >> 4) & 0xF
+    sr_idx = (b2 >> 2) & 0x3
+    padding = (b2 >> 1) & 1
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    bitrate = _MP3_BITRATES[(vgroup, layer)][br_idx] * 1000
+    rate = _MP3_RATES[version_bits][sr_idx]
+    if layer == 1:
+        nbytes = (12 * bitrate // rate + padding) * 4
+        samples = 384
+    else:
+        samples = 1152 if (layer == 2 or vgroup == 1) else 576
+        nbytes = samples // 8 * bitrate // rate + padding
+    return nbytes, samples, rate, layer
+
+
+def is_mp3(data: bytes) -> bool:
+    """True when the payload starts with an ID3v2 tag or a valid MPEG
+    audio frame header (not just sync bytes — the tables must accept it)."""
+    if data is None or len(data) < 4:
+        return False
+    data = bytes(data)
+    if data[:3] == b"ID3":
+        return True
+    return _mp3_frame(data, 0) is not None
+
+
+def probe_mp3(data: bytes) -> tuple[int, int, int]:
+    """Walk the frame chain: (sample_rate, total_samples, duration_ms).
+    Skips a leading ID3v2 tag (syncsafe length)."""
+    data = bytes(data)
+    pos = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) | (
+            (data[8] & 0x7F) << 7
+        ) | (data[9] & 0x7F)
+        pos = 10 + size
+    rate = None
+    total = 0
+    while pos + 4 <= len(data):
+        fr = _mp3_frame(data, pos)
+        if fr is None:
+            if rate is None:
+                pos += 1  # hunt for the first sync
+                continue
+            break  # trailing garbage/tag after a valid chain
+        nbytes, samples, r, _layer = fr
+        rate = rate or r
+        total += samples
+        pos += max(nbytes, 4)
+    if rate is None:
+        raise ValueError("MP3: no valid frame header found")
+    return rate, total, int(total * 1000 // rate)
+
+
+def encode_mp3_stub(
+    n_frames: int = 4, rate_idx: int = 0, bitrate_idx: int = 9
+) -> bytes:
+    """Build a structurally valid MPEG1 Layer III frame chain whose AUDIO
+    payload is zeros — enough for header-walk tests/fixtures (a real
+    encoder is out of scope, like the decoder)."""
+    out = bytearray()
+    for _ in range(n_frames):
+        b2 = (bitrate_idx << 4) | (rate_idx << 2)
+        hdr = bytes([0xFF, 0xFB, b2, 0x00])
+        fr = _mp3_frame(hdr + b"\x00" * 4, 0)
+        out += hdr + b"\x00" * (fr[0] - 4)
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------

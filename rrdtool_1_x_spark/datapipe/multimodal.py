@@ -196,6 +196,12 @@ def probe_media(media: DataFrame) -> DataFrame:
                         mime = "image/bmp"
                         width, h_signed = struct.unpack("<ii", data[18:26])
                         height = abs(h_signed)
+                    elif sniffed is None and codecs.is_mp3(data):
+                        # metadata-only surface: the frame headers are
+                        # documented 4-byte records; DECODE stays refused
+                        # (no stdlib path to the ISO huffman tables)
+                        mime = "audio/mpeg"
+                        rate, nsamp, dur = codecs.probe_mp3(data)
                     elif sniffed == "flac":
                         mime = "audio/flac"
                         # STREAMINFO is the first metadata block: header

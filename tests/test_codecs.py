@@ -223,6 +223,47 @@ def test_wav_extensible():
         C.decode_wav(ext[:40])  # truncated extensible fmt
 
 
+def test_wav_g711_mulaw_alaw():
+    """G.711 companded WAV (formats 7/6): every decodable level survives
+    a re-encode (level identity), the encoder is the nearest-level
+    quantizer, and the end-to-end error stays within the 8-bit companding
+    bound. Spot values from the published tables."""
+    for law, dec, enc in (("mulaw", C._mulaw_decode, C._mulaw_encode),
+                          ("alaw", C._alaw_decode, C._alaw_encode)):
+        codes = np.arange(256, dtype=np.uint8)
+        lin = dec(codes)
+        assert np.array_equal(dec(enc(lin)), lin)
+        s = np.sin(np.arange(500) / 15) * 0.7
+        w = C.encode_wav_g711(s, 8000, law)
+        d, rate = C.decode_wav(w)
+        assert rate == 8000
+        assert np.abs(d[:, 0] - s).max() < 0.02
+    # table spot checks: mu-law 0xFF is +0, 0x80 the positive maximum;
+    # A-law 0xAA maps to the positive maximum 32256
+    assert C._mulaw_decode(np.array([0xFF], dtype=np.uint8))[0] == 0
+    assert C._mulaw_decode(np.array([0x80], dtype=np.uint8))[0] == 32124
+    assert C._alaw_decode(np.array([0xAA], dtype=np.uint8))[0] == 32256
+
+
+def test_mp3_header_probe():
+    """MP3 stays undecodable by design, but the frame-header walk yields
+    exact rate/duration metadata; ID3v2 tags are skipped via the syncsafe
+    length."""
+    mp3 = C.encode_mp3_stub(n_frames=5, rate_idx=0, bitrate_idx=9)
+    assert C.is_mp3(mp3)
+    assert C.sniff(mp3) is None  # not in the decodable dispatch
+    rate, nsamp, dur = C.probe_mp3(mp3)
+    assert (rate, nsamp) == (44100, 5 * 1152)
+    assert dur == 5 * 1152 * 1000 // 44100
+    # ID3v2 prefix: 10-byte header + 20-byte body, syncsafe size
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x14" + b"\x00" * 20
+    assert C.is_mp3(id3 + mp3)
+    assert C.probe_mp3(id3 + mp3) == (rate, nsamp, dur)
+    with pytest.raises(ValueError):
+        C.probe_mp3(b"\xff\xe0 not a real frame")
+    assert not C.is_mp3(b"plain text")
+
+
 def test_pnm_roundtrip_and_ascii():
     rng = np.random.default_rng(17)
     img = rng.integers(0, 256, size=(9, 4, 3)).astype(np.uint8)
