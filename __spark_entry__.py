@@ -713,6 +713,29 @@ def q_media_flac(spark, sf_dir):
     )
 
 
+def q_media_g711(spark, sf_dir):
+    """G.711 mu-law WAV end-to-end (datapipe.codecs formats 7/6): text
+    bytes are used verbatim as mu-law codes, strict-decoded through the
+    companding expansion — sample i = mulaw_decode(byte_i)/32768, integer
+    bit math the oracle recomputes exactly."""
+    from rrdtool_1_x_spark.datapipe.multimodal import (
+        extract_features,
+        synthesize_media_real,
+    )
+
+    d = _docs(spark, sf_dir)
+    feats = extract_features(synthesize_media_real(spark, d, "g711"), 64, strict=True)
+    return (
+        feats.select("doc_id", F.posexplode("feat").alias("feat_idx", "_v"))
+        .select(
+            "doc_id",
+            F.col("feat_idx").cast("long").alias("feat_idx"),
+            F.round(F.col("_v").cast("double"), 6).alias("feat_val"),
+        )
+        .orderBy("doc_id", "feat_idx")
+    )
+
+
 def q_ann_cosine_top10(spark, sf_dir):
     """Brute-force cosine top-10 against the lowest-id embedding."""
     e = _emb(spark, sf_dir)
@@ -1535,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video": q_media_video,
         "media_probe2": q_media_probe2,
         "media_flac": q_media_flac,
+        "media_g711": q_media_g711,
         "near_dup_pairs": q_near_dup_pairs,
         "dup_groups": q_dup_groups,
         "dedup_report": q_dedup_report,
@@ -1993,6 +2017,29 @@ f AS (SELECT doc_id, list_transform(range(0, 64), j ->
         ((((bytes[4*j+1]-128)/128.0 + (bytes[4*j+2]-128)/128.0)
           + (bytes[4*j+3]-128)/128.0) + (bytes[4*j+4]-128)/128.0) / 4.0) AS feat
       FROM b)
+SELECT doc_id, j AS feat_idx, round((feat[j+1]::FLOAT)::DOUBLE, 6) AS feat_val
+FROM f, range(0, 64) r(j)
+ORDER BY doc_id, feat_idx"""
+    # media_g711: text bytes are verbatim mu-law codes; the companding
+    # expansion is integer bit math (u = 255-b; mag = (8*mant+132)*2^exp
+    # - 132; sign = bit 7 of u), pooled 4-at-a-time like the other audio
+    # gates.
+    sql["media_g711"] = """
+WITH t AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+b AS (SELECT doc_id, list_transform(range(0, 256), i ->
+        CASE WHEN 2*i + 2 <= len(hx)
+             THEN 16*(strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1)
+                  + (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1)
+             ELSE 0 END) AS bytes
+      FROM t),
+v AS (SELECT doc_id, list_transform(bytes, bb ->
+        CASE WHEN (255 - bb) >= 128 THEN -1.0 ELSE 1.0 END
+        * ((((255 - bb) % 16) * 8 + 132) * power(2, ((255 - bb) // 16) % 8)
+           - 132) / 32768.0) AS smp
+      FROM b),
+f AS (SELECT doc_id, list_transform(range(0, 64), j ->
+        (((smp[4*j+1] + smp[4*j+2]) + smp[4*j+3]) + smp[4*j+4]) / 4.0) AS feat
+      FROM v)
 SELECT doc_id, j AS feat_idx, round((feat[j+1]::FLOAT)::DOUBLE, 6) AS feat_val
 FROM f, range(0, 64) r(j)
 ORDER BY doc_id, feat_idx"""

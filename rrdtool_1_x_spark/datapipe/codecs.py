@@ -414,6 +414,19 @@ def encode_wav_g711(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_wav_g711_bytes(raw: bytes, sample_rate: int = 8000) -> bytes:
+    """Raw bytes used VERBATIM as mu-law codes in a format-7 WAV — the
+    fixture/gate shape: decoded sample i is exactly
+    mulaw_decode(raw[i]) / 32768, which a SQL oracle can recompute with
+    integer bit math."""
+    payload = bytes(raw)
+    fmt = struct.pack("<HHIIHH", 7, 1, sample_rate, sample_rate, 1, 8)
+    data_chunk = b"data" + struct.pack("<I", len(payload)) + payload
+    fmt_chunk = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body = b"WAVE" + fmt_chunk + data_chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def encode_wav(
     samples: np.ndarray, sample_rate: int = 8000, bits: int = 16
 ) -> bytes:

@@ -453,6 +453,10 @@ def synthesize_media_real(
                     else:
                         payloads.append(jpeg_codec.encode_jpeg(img, quality=100))
                     metas.append(("image/jpeg", 64, 64, None, None))
+                elif kind == "g711":
+                    rate = 4000 + 100 * (int(doc_id) % 20) if var_dims else 8000
+                    payloads.append(codecs.encode_wav_g711_bytes(raw, rate))
+                    metas.append(("audio/wav", None, None, rate, 256000 // rate))
                 elif kind == "flac":
                     # sample i = (byte_i - 128) * 256 at 16 bit, so the
                     # decoded value is (byte_i - 128)/128 exactly like the
