@@ -828,9 +828,9 @@ def cmd_graph(args: list[str]) -> int:
     zoom = float(_opt(args, "-m", "--zoom", default="1"))
     border = int(_opt(args, "--border", default="2"))
     watermark = _opt(args, "-W", "--watermark", default="")
-    imgformat = _opt(args, "-a", "--imgformat", default="PNG")
-    if imgformat.upper() != "PNG":
-        print(f"ERROR: only PNG rendering is supported, not {imgformat}",
+    imgformat = _opt(args, "-a", "--imgformat", default="PNG").upper()
+    if imgformat not in ("PNG", "SVG"):
+        print(f"ERROR: supported imgformats are PNG and SVG, not {imgformat}",
               file=sys.stderr)
         return 1
     colors = {}
@@ -947,10 +947,11 @@ def cmd_graph(args: list[str]) -> int:
         no_legend=no_legend,
         border=border,
         watermark=watermark,
+        backend=imgformat.lower(),
     )
     if zoom != 1.0:
         cv.zoom(zoom)
-    png = cv.to_png()
+    png = cv.to_bytes(imgformat)
     if fname == "-":
         sys.stdout.buffer.write(png)
     else:

@@ -270,6 +270,11 @@ class Canvas:
             if keep.any():
                 self._blend(ys[keep], xs[keep], color)
 
+    def to_bytes(self, fmt: str = "PNG") -> bytes:
+        if fmt.upper() != "PNG":
+            raise ValueError(f"raster canvas renders PNG, not {fmt}")
+        return self.to_png()
+
     def zoom(self, factor: float) -> None:
         """Nearest-neighbor rescale of the finished raster (--zoom; the
         reference scales vectors pre-paint via cairo, we scale pixels)."""
@@ -285,6 +290,109 @@ class Canvas:
         from .datapipe.codecs import encode_png
 
         return encode_png(np.clip(np.round(self.img), 0, 255).astype(np.uint8))
+
+
+class SVGCanvas:
+    """Vector backend with the same drawing surface as Canvas — emits SVG
+    elements instead of blending pixels (--imgformat SVG; the reference
+    renders SVG through cairo's vector surface, src/rrd_graph.c imgformat
+    handling). Text uses the viewer's monospace face at the bitmap font's
+    cell metrics, so layout coordinates are shared with the raster path."""
+
+    def __init__(self, width: int, height: int, background: str = "#f5f5f5"):
+        self.h, self.w = height, width
+        self.clip: tuple[int, int, int, int] | None = None
+        self._clip_id = 0
+        self._defs: list[str] = []
+        self.el: list[str] = [
+            f'<rect x="0" y="0" width="{width}" height="{height}" '
+            f'fill="{self._fill(background)}"/>'
+        ]
+        self._bg = background
+        self._zoom = 1.0
+
+    @staticmethod
+    def _fill(color: str) -> str:
+        return color[:7]
+
+    @staticmethod
+    def _opacity(color: str) -> str:
+        if len(color) == 9:
+            a = int(color[7:9], 16) / 255.0
+            return f' fill-opacity="{a:.3f}" stroke-opacity="{a:.3f}"'
+        return ""
+
+    def _clip_attr(self) -> str:
+        if self.clip is None:
+            return ""
+        x0, y0, x1, y1 = self.clip
+        cid = f"clip{self._clip_id}"
+        self._defs.append(
+            f'<clipPath id="{cid}"><rect x="{x0}" y="{y0}" '
+            f'width="{x1 - x0 + 1}" height="{y1 - y0 + 1}"/></clipPath>'
+        )
+        self._clip_id += 1
+        return f' clip-path="url(#{cid})"'
+
+    def rect(self, x0: int, y0: int, x1: int, y1: int, color: str) -> None:
+        x0, x1 = min(x0, x1), max(x0, x1)
+        y0, y1 = min(y0, y1), max(y0, y1)
+        self.el.append(
+            f'<rect x="{x0}" y="{y0}" width="{x1 - x0 + 1}" '
+            f'height="{y1 - y0 + 1}" fill="{self._fill(color)}"'
+            f"{self._opacity(color)}{self._clip_attr()}/>"
+        )
+
+    def hline(self, y: int, x0: int, x1: int, color: str, width: int = 1) -> None:
+        self.rect(x0, y, x1, y + width - 1, color)
+
+    def vline(self, x: int, y0: int, y1: int, color: str, width: int = 1) -> None:
+        self.rect(x, y0, x + width - 1, y1, color)
+
+    def vspan(self, x: int, y0: int, y1: int, color: str) -> None:
+        self.rect(x, min(y0, y1), x, max(y0, y1), color)
+
+    def line(
+        self, x0, y0, x1, y1, color, width=1.0, dashes=None, dash_state=None
+    ) -> None:
+        dash = (
+            f' stroke-dasharray="{",".join(str(d) for d in dashes)}"'
+            if dashes
+            else ""
+        )
+        self.el.append(
+            f'<line x1="{x0}" y1="{y0}" x2="{x1}" y2="{y1}" '
+            f'stroke="{self._fill(color)}" stroke-width="{max(1, round(width))}"'
+            f"{self._opacity(color)}{dash}{self._clip_attr()}/>"
+        )
+
+    def text(self, x: int, y: int, s: str, color: str = "#000000", rotate: bool = False) -> None:
+        import html as _html
+
+        esc = _html.escape(s)
+        tr = f' transform="rotate(-90 {x} {y})"' if rotate else ""
+        self.el.append(
+            f'<text x="{x}" y="{y + CHAR_H - 2}" font-family="monospace" '
+            f'font-size="{CHAR_H}px" fill="{self._fill(color)}"{tr}>{esc}</text>'
+        )
+
+    def zoom(self, factor: float) -> None:
+        self._zoom *= factor
+        self.h = int(round(self.h * factor))
+        self.w = int(round(self.w * factor))
+
+    def to_bytes(self, fmt: str = "SVG") -> bytes:
+        if fmt.upper() != "SVG":
+            raise ValueError(f"vector canvas renders SVG, not {fmt}")
+        base_w = int(round(self.w / self._zoom))
+        base_h = int(round(self.h / self._zoom))
+        head = (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            f'<svg xmlns="http://www.w3.org/2000/svg" width="{self.w}" '
+            f'height="{self.h}" viewBox="0 0 {base_w} {base_h}">\n'
+        )
+        defs = f"<defs>{''.join(self._defs)}</defs>\n" if self._defs else ""
+        return (head + defs + "\n".join(self.el) + "\n</svg>\n").encode()
 
 
 # ---------------------------------------------------------------------------
@@ -394,6 +502,7 @@ def render_graph(
     no_legend: bool = False,
     border: int = 2,
     watermark: str = "",
+    backend: str = "png",
 ) -> "Canvas":
     """Rasterize a resolved graph.
 
@@ -447,7 +556,8 @@ def render_graph(
     else:
         W = left + width + right
         H = top + height + bottom
-    cv = Canvas(W, H, background=col["BACK"])
+    canvas_cls = SVGCanvas if backend.lower() == "svg" else Canvas
+    cv = canvas_cls(W, H, background=col["BACK"])
 
     # beveled border (SHADEA top/left, SHADEB bottom/right, --border px)
     if border > 0:

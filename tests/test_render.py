@@ -294,6 +294,53 @@ def test_zoom_border_watermark():
     assert (cv.w, cv.h) == (2 * w0, 2 * h0)
 
 
+def test_svg_backend():
+    """SVG output: well-formed XML, shared layout coordinates, native
+    dasharray, clipPath on element paint, legend text present."""
+    import xml.etree.ElementTree as ET
+
+    els = [
+        GraphElement("AREA", "a", color="#00c000", legend="fill"),
+        GraphElement("LINE", "b", color="#ff0000", legend="line",
+                     dashes=(4.0, 2.0)),
+    ]
+    rows = [(1000 + 10 * (i + 1), 4.0, 0.0, 7.0, 0.0) for i in range(30)]
+    cv = render_graph(rows, els, (0.0, 10.0), 1000, 1300, width=60,
+                      height=40, title="T", backend="svg")
+    data = cv.to_bytes("SVG")
+    root = ET.fromstring(data)
+    ns = "{http://www.w3.org/2000/svg}"
+    assert root.tag == f"{ns}svg"
+    lines = [e for e in root.iter(f"{ns}line") if e.get("stroke") == "#ff0000"]
+    assert lines and all(e.get("stroke-dasharray") == "4.0,2.0" for e in lines)
+    assert all(e.get("clip-path") for e in lines)  # confined to plot area
+    texts = [e.text for e in root.iter(f"{ns}text")]
+    assert "T" in texts and "fill" in texts and "line" in texts
+    greens = [e for e in root.iter(f"{ns}rect") if e.get("fill") == "#00c000"]
+    assert len(greens) > 30  # column fills + legend swatch
+    cv.zoom(2.0)
+    root2 = ET.fromstring(cv.to_bytes("SVG"))
+    assert int(root2.get("width")) == 2 * int(root.get("width"))
+    assert root2.get("viewBox") == root.get("viewBox")  # vector scale
+
+
+def test_cli_graph_svg(tmp_path, spark, capsys):
+    from rrdtool_1_x_spark.cli import main
+
+    ds = str(tmp_path / "t.rrd")
+    base = 999_999_900
+    assert main(["create", ds, "--start", str(base - 10), "--step", "300",
+                 "DS:v:GAUGE:600:U:U", "RRA:AVERAGE:0.5:1:100"]) == 0
+    assert main(["update", ds, f"{base + 300}:5", f"{base + 600}:7"]) == 0
+    out = str(tmp_path / "g.svg")
+    assert main(["graph", out, "-a", "SVG", "-s", str(base),
+                 "-e", str(base + 600), "-w", "100", "-h", "40",
+                 f"DEF:v={ds}:v:AVERAGE", "LINE1:v#ff0000:v"]) == 0
+    capsys.readouterr()
+    body = open(out, "rb").read()
+    assert body.startswith(b"<?xml") and b"<svg" in body
+
+
 def test_cli_graph_lazy(tmp_path, spark, capsys):
     from rrdtool_1_x_spark.cli import main
 
