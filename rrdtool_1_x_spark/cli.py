@@ -818,8 +818,22 @@ def cmd_graph(args: list[str]) -> int:
     lo_opt = _opt(args, "-l", "--lower-limit")
     up_opt = _opt(args, "-u", "--upper-limit")
     rigid = _opt(args, "-r", "--rigid", flag=True)
-    x_grid_off = _opt(args, "-x", "--x-grid", default="") == "none"
-    y_grid_off = _opt(args, "-y", "--y-grid", default="") == "none"
+    x_grid_opt = _opt(args, "-x", "--x-grid", default="")
+    y_grid_opt = _opt(args, "-y", "--y-grid", default="")
+    x_grid_off = x_grid_opt == "none"
+    y_grid_off = y_grid_opt == "none"
+    x_grid_spec = None
+    y_grid_spec = None
+    if x_grid_opt and not x_grid_off:
+        from rrdtool_1_x_spark.render import parse_xgrid_spec
+
+        x_grid_spec = parse_xgrid_spec(x_grid_opt)
+    if y_grid_opt and not y_grid_off:
+        g, _, l = y_grid_opt.partition(":")
+        y_grid_spec = (float(g), max(1, int(l or 1)))
+    alt_autoscale = _opt(args, "-A", "--alt-autoscale", flag=True)
+    units_exp = _opt(args, "-X", "--units-exponent")
+    units_exponent = int(units_exp) if units_exp is not None else None
     logarithmic = _opt(args, "-o", "--logarithmic", flag=True)
     full_size = _opt(args, "-D", "--full-size-mode", flag=True)
     no_legend = _opt(args, "-g", "--no-legend", flag=True)
@@ -919,7 +933,12 @@ def cmd_graph(args: list[str]) -> int:
     from rrdtool_1_x_spark.render import render_graph
 
     bounds = res.bounds or (0.0, 1.0)
-    umin, umax = _final_bounds(bounds, lo_opt, up_opt, rigid)
+    if alt_autoscale:
+        # -A: scale to the EXACT data min/max, no sensible-grid snapping
+        # (rrd_graph alt-autoscale handling); -l/-u still clamp when given
+        umin, umax = _final_bounds(bounds, lo_opt, up_opt, True)
+    else:
+        umin, umax = _final_bounds(bounds, lo_opt, up_opt, rigid)
     rows = [tuple(r) for r in res.plots.collect()] if res.plots is not None else []
     # strip trailing alignment escapes (\l \r \c \j \n) — flow layout is
     # simplified to one legend item per line
@@ -940,6 +959,9 @@ def cmd_graph(args: list[str]) -> int:
         colors=colors,
         x_grid=not x_grid_off,
         y_grid=not y_grid_off,
+        x_grid_spec=x_grid_spec,
+        y_grid_spec=y_grid_spec,
+        units_exponent=units_exponent,
         tz_localtime=_time.localtime,
         rules=rules,
         logarithmic=logarithmic,

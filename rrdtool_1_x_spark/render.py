@@ -462,6 +462,36 @@ def pick_xgrid(start: int, end: int):
     return _XLAB[-1][1:]
 
 
+_XGRID_UNITS = {
+    "SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400,
+    "WEEK": 7 * 86400, "MONTH": 30 * 86400, "YEAR": 365 * 86400,
+}
+
+
+def parse_xgrid_spec(spec: str):
+    """--x-grid GTM:GST:MTM:MST:LTM:LST:LPR:LFM (rrd_graph option table):
+    minor-grid unit:count, major-grid unit:count, label unit:count,
+    label precision (ignored — our labels sit under their tick), and the
+    strftime format (which may itself contain ':'). Returns the same
+    (minor, major, labstep, fmt) tuple pick_xgrid yields."""
+    parts = spec.split(":", 7)
+    if len(parts) < 8:
+        raise ValueError(
+            "bad --x-grid: expected GTM:GST:MTM:MST:LTM:LST:LPR:LFM"
+        )
+    def _unit(name: str) -> int:
+        try:
+            return _XGRID_UNITS[name.upper()]
+        except KeyError:
+            raise ValueError(f"bad --x-grid time unit {name!r}") from None
+
+    minor = _unit(parts[0]) * int(parts[1])
+    major = _unit(parts[2]) * int(parts[3])
+    lab = _unit(parts[4]) * int(parts[5])
+    fmt = parts[7]
+    return minor, major, lab, fmt
+
+
 # ---------------------------------------------------------------------------
 # Graph rendering
 # ---------------------------------------------------------------------------
@@ -497,6 +527,9 @@ def render_graph(
     y_grid: bool = True,
     tz_localtime=None,
     rules: list | None = None,
+    x_grid_spec: tuple | None = None,
+    y_grid_spec: tuple | None = None,
+    units_exponent: int | None = None,
     logarithmic: bool = False,
     full_size: bool = False,
     no_legend: bool = False,
@@ -606,7 +639,19 @@ def render_graph(
                     cv.hline(ytr(v2), x0, x1, col["GRID"])
             dec += 1
     elif y_grid:
-        step, labfact, magfact, mag = pick_ygrid(vmin, vmax, height)
+        if y_grid_spec is not None:
+            # --y-grid grid:label — explicit step + label multiple
+            step, labfact = y_grid_spec
+            m = max(abs(vmin), abs(vmax), step)
+            mag = int(np.floor(np.log10(m) / 3)) if m > 0 else 0
+            mag = max(-6, min(6, mag))
+            magfact = 1000.0**mag
+        else:
+            step, labfact, magfact, mag = pick_ygrid(vmin, vmax, height)
+        if units_exponent is not None:
+            # --units-exponent: force the SI magnitude of the labels
+            mag = max(-6, min(6, units_exponent // 3))
+            magfact = 1000.0**mag
         k = np.ceil(vmin / step)
         i = 0
         while k * step <= vmax + 1e-12:
@@ -620,7 +665,9 @@ def render_graph(
             k += 1
             i += 1
     if x_grid:
-        minor, major, labstep, fmt = pick_xgrid(start, end)
+        minor, major, labstep, fmt = (
+            x_grid_spec if x_grid_spec is not None else pick_xgrid(start, end)
+        )
         t = (start // minor + 1) * minor
         while t <= end:
             x = xtr(t)

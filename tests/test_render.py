@@ -324,6 +324,43 @@ def test_svg_backend():
     assert root2.get("viewBox") == root.get("viewBox")  # vector scale
 
 
+def test_parse_xgrid_spec():
+    from rrdtool_1_x_spark.render import parse_xgrid_spec
+
+    assert parse_xgrid_spec("MINUTE:10:HOUR:1:HOUR:4:0:%X") == (
+        600, 3600, 4 * 3600, "%X",
+    )
+    # the strftime format may contain ':'
+    assert parse_xgrid_spec("HOUR:1:DAY:1:DAY:1:0:%H:%M")[3] == "%H:%M"
+    with pytest.raises(ValueError):
+        parse_xgrid_spec("MINUTE:10")
+    with pytest.raises(ValueError):
+        parse_xgrid_spec("PARSEC:1:HOUR:1:HOUR:4:0:%X")
+
+
+def test_custom_grid_specs_and_units_exponent():
+    el = GraphElement("LINE", "v", color="#ff0000")
+    rows = _rows([5_000_000.0] * 30, step=60)
+    # y-grid 2e6:1 with units-exponent 0 → labels in raw units
+    cv = render_graph(rows, [el], (0.0, 10_000_000.0), 1000, 2800,
+                      width=80, height=60, x_grid=False,
+                      y_grid_spec=(2_000_000.0, 1), units_exponent=0)
+    img = _img(cv)
+    black = (img == [0, 0, 0]).all(axis=2)
+    assert black[:, : 8 + 7 * CHAR_W].any()  # labels rendered at left
+    # explicit x-grid spec draws major lines every 600 s over a 1800-s span
+    cv2 = render_graph(rows, [el], (0.0, 10_000_000.0), 1000, 2800,
+                       width=90, height=60, y_grid=False,
+                       x_grid_spec=(300, 600, 600, "%H:%M"))
+    # MGRID verticals at the 600-s marks: blended red-gray columns exist
+    img2 = _img(cv2)
+    y0, y1, x0, x1 = _find_plot_area(cv2)
+    mg = np.abs(img2[y0 + 2 : y1 - 2, x0 : x1 + 1].astype(int)
+                - [255, 255, 255]).sum(axis=2)
+    cols = (mg > 30).all(axis=0)
+    assert cols.sum() >= 2  # at least two full-height grid verticals
+
+
 def test_cli_graph_svg(tmp_path, spark, capsys):
     from rrdtool_1_x_spark.cli import main
 
