@@ -834,6 +834,11 @@ def cmd_graph(args: list[str]) -> int:
     alt_autoscale = _opt(args, "-A", "--alt-autoscale", flag=True)
     units_exp = _opt(args, "-X", "--units-exponent")
     units_exponent = int(units_exp) if units_exp is not None else None
+    slope_mode = _opt(args, "-E", "--slope-mode", flag=True)
+    base = float(_opt(args, "-b", "--base", default="1000"))
+    only_graph = _opt(args, "-j", "--only-graph", flag=True)
+    units_len = _opt(args, "-L", "--units-length")
+    units_length = int(units_len) if units_len is not None else None
     logarithmic = _opt(args, "-o", "--logarithmic", flag=True)
     full_size = _opt(args, "-D", "--full-size-mode", flag=True)
     no_legend = _opt(args, "-g", "--no-legend", flag=True)
@@ -962,6 +967,10 @@ def cmd_graph(args: list[str]) -> int:
         x_grid_spec=x_grid_spec,
         y_grid_spec=y_grid_spec,
         units_exponent=units_exponent,
+        slope_mode=slope_mode,
+        base=base,
+        only_graph=only_graph,
+        units_length=units_length,
         tz_localtime=_time.localtime,
         rules=rules,
         logarithmic=logarithmic,

@@ -411,10 +411,11 @@ def si_label(v: float, magfact: float, mag: int) -> str:
     return f"{s} {_SI_SYM.get(mag, '?')}".rstrip()
 
 
-def pick_ygrid(vmin: float, vmax: float, area_h: int):
+def pick_ygrid(vmin: float, vmax: float, area_h: int, base: float = 1000.0):
     """Pick the horizontal-grid step from the 1/2/5 ladder so lines are
     >= 15 px apart and labels land on round multiples; returns
-    (gridstep, labfact, magfact, mag)."""
+    (gridstep, labfact, magfact, mag). ``base`` is the SI magnitude base
+    (--base; 1024 for byte quantities)."""
     import math
 
     rng = vmax - vmin
@@ -433,9 +434,9 @@ def pick_ygrid(vmin: float, vmax: float, area_h: int):
         step = 10.0**(exp + 1)
     labfact = 1 if area_h / (rng / step) >= 25 else 2
     m = max(abs(vmin), abs(vmax), step)
-    mag = int(math.floor(math.log10(m) / 3)) if m > 0 else 0
+    mag = int(math.floor(math.log(m) / math.log(base))) if m > 0 else 0
     mag = max(-6, min(6, mag))
-    magfact = 1000.0**mag
+    magfact = base**mag
     return step, labfact, magfact, mag
 
 
@@ -530,6 +531,10 @@ def render_graph(
     x_grid_spec: tuple | None = None,
     y_grid_spec: tuple | None = None,
     units_exponent: int | None = None,
+    slope_mode: bool = False,
+    base: float = 1000.0,
+    only_graph: bool = False,
+    units_length: int | None = None,
     logarithmic: bool = False,
     full_size: bool = False,
     no_legend: bool = False,
@@ -570,16 +575,24 @@ def render_graph(
             vmin = vmax / 1000.0
 
     # -- layout ------------------------------------------------------------
-    left = 8 + (2 * CHAR_W if vertical_label else 0) + 7 * CHAR_W
-    top = 4 + (CHAR_H + 4 if title else 0)
-    right = 16
+    if only_graph:
+        # -j: just the data area — no margins, labels, legend, or frame
+        no_legend = True
+        title = vertical_label = watermark = ""
+        border = 0
+    lab_chars = units_length if units_length is not None else 7
+    left = 0 if only_graph else (
+        8 + (2 * CHAR_W if vertical_label else 0) + lab_chars * CHAR_W
+    )
+    top = 0 if only_graph else 4 + (CHAR_H + 4 if title else 0)
+    right = 0 if only_graph else 16
     legends = [] if no_legend else [el for el in elements if el.legend]
     legend_rows = (
         len(legends)
         + (0 if no_legend else len(legend_lines or []))
         + (0 if no_legend else sum(1 for r in (rules or []) if r[3]))
     )
-    bottom = CHAR_H + 8 + legend_rows * (CHAR_H + 2) + 6
+    bottom = 0 if only_graph else CHAR_H + 8 + legend_rows * (CHAR_H + 2) + 6
     if full_size:
         # -D/--full-size-mode: width/height are the FINAL image dims
         # (src/rrd_graph.c full-size handling); shrink the plot area
@@ -647,7 +660,7 @@ def render_graph(
             mag = max(-6, min(6, mag))
             magfact = 1000.0**mag
         else:
-            step, labfact, magfact, mag = pick_ygrid(vmin, vmax, height)
+            step, labfact, magfact, mag = pick_ygrid(vmin, vmax, height, base)
         if units_exponent is not None:
             # --units-exponent: force the SI magnitude of the labels
             mag = max(-6, min(6, units_exponent // 3))
@@ -711,22 +724,31 @@ def render_graph(
                 for x in range(max(x0, xa), min(x1, xb) + 1):
                     cv.vspan(x, yb, yv, el.color)
             continue
-        # LINE: straight segments between consecutive known points
+        # LINE: step-wise by default (each value holds for its interval,
+        # like the reference), straight segments under --slope-mode
         prev = None
         w = el.width
         dstate = [float(el.dash_offset or 0.0)]
-        for ts, v, _b in series:
+        for j, (ts, v, _b) in enumerate(series):
             if v is None or not np.isfinite(v):
                 prev = None
                 continue
-            pt = (xtr(ts), ytr(v))
-            if prev is not None:
-                cv.line(prev[0], prev[1], pt[0], pt[1], el.color, w,
-                        dashes=el.dashes, dash_state=dstate)
+            x_end, yv = xtr(ts), ytr(v)
+            if slope_mode:
+                if prev is not None:
+                    cv.line(prev[0], prev[1], x_end, yv, el.color, w,
+                            dashes=el.dashes, dash_state=dstate)
+                else:
+                    cv.line(x_end, yv, x_end, yv, el.color, w,
+                            dashes=el.dashes, dash_state=dstate)
             else:
-                cv.line(pt[0], pt[1], pt[0], pt[1], el.color, w,
+                x_start = xtr(series[j - 1][0]) if j else x0
+                if prev is not None and prev[1] != yv:
+                    cv.line(x_start, prev[1], x_start, yv, el.color, w,
+                            dashes=el.dashes, dash_state=dstate)
+                cv.line(x_start, yv, x_end, yv, el.color, w,
                         dashes=el.dashes, dash_state=dstate)
-            prev = pt
+            prev = (x_end, yv)
 
     # -- rules (drawn over elements, clipped, non-scaling) -----------------
     for kind, val, rcolor, _rleg in rules or []:
@@ -739,16 +761,18 @@ def render_graph(
 
     # -- axes + frame ------------------------------------------------------
     cv.clip = None
-    cv.hline(y1 + 1, x0 - 4, x1 + 8, col["AXIS"])  # x axis with overshoot
-    cv.vline(x0 - 1, y0 - 4, y1 + 4, col["AXIS"])
-    # arrow head at x-axis end
-    for d in range(3):
-        cv.vline(x1 + 5 + d, y1 + 1 - (2 - d), y1 + 1 + (2 - d), col["ARROW"])
-    # frame around the plot area (thin)
-    for xx in (x0 - 1, x1 + 1):
-        cv.vline(xx, y0 - 1, y1 + 1, col["FRAME"])
-    for yy in (y0 - 1, y1 + 1):
-        cv.hline(yy, x0 - 1, x1 + 1, col["FRAME"])
+    if not only_graph:
+        cv.hline(y1 + 1, x0 - 4, x1 + 8, col["AXIS"])  # x axis + overshoot
+        cv.vline(x0 - 1, y0 - 4, y1 + 4, col["AXIS"])
+        # arrow head at x-axis end
+        for d in range(3):
+            cv.vline(x1 + 5 + d, y1 + 1 - (2 - d), y1 + 1 + (2 - d),
+                     col["ARROW"])
+        # frame around the plot area (thin)
+        for xx in (x0 - 1, x1 + 1):
+            cv.vline(xx, y0 - 1, y1 + 1, col["FRAME"])
+        for yy in (y0 - 1, y1 + 1):
+            cv.hline(yy, x0 - 1, x1 + 1, col["FRAME"])
 
     # -- text --------------------------------------------------------------
     if title:

@@ -361,6 +361,46 @@ def test_custom_grid_specs_and_units_exponent():
     assert cols.sum() >= 2  # at least two full-height grid verticals
 
 
+def test_step_vs_slope_mode():
+    """Default LINE drawing is step-wise (each value held over its
+    interval); --slope-mode connects points directly. A two-level series
+    distinguishes them: midway between the points, steps sit ON a level,
+    slope sits BETWEEN the levels."""
+    el = GraphElement("LINE", "v", color="#ff0000")
+    rows = [(1000 + 100 * (i + 1), 2.0 if i < 5 else 8.0, 0.0) for i in range(10)]
+    kw = dict(width=101, height=101, x_grid=False, y_grid=False)
+    steps = render_graph(rows, [el], (0.0, 10.0), 1000, 2000, **kw)
+    slope = render_graph(rows, [el], (0.0, 10.0), 1000, 2000,
+                         slope_mode=True, **kw)
+    x0, y0 = 8 + 7 * CHAR_W, 4
+    y_low, y_high = y0 + int(0.8 * 100), y0 + int(0.2 * 100)
+    red_s = (_img(steps) == [255, 0, 0]).all(axis=2)
+    red_m = (_img(slope) == [255, 0, 0]).all(axis=2)
+    x_flat = x0 + 20  # inside the first (low) plateau
+    assert red_s[y_low, x_flat] and not red_s[y_high, x_flat]
+    # the step jump is a vertical run at the boundary column
+    xj = x0 + 50
+    assert red_s[y_high + 5 : y_low - 5, xj - 1 : xj + 2].any(axis=1).all()
+    # slope mode: between the two defining points the line passes through
+    # intermediate heights, not the plateau rows
+    y_mid = (y_low + y_high) // 2
+    assert red_m[y_mid - 3 : y_mid + 4, x0 + 45 : x0 + 56].any()
+
+
+def test_only_graph_and_base():
+    el = GraphElement("LINE", "v", color="#ff0000", legend="x")
+    rows = _rows([5.0] * 20)
+    cv = render_graph(rows, [el], (0.0, 10.0), 1000, 1200, width=50,
+                      height=30, title="T", only_graph=True)
+    assert (cv.w, cv.h) == (50, 30)  # nothing but the plot area
+    # --base 1024: magnitude labels snap at 1024-steps (1.5 k at 1536)
+    from rrdtool_1_x_spark.render import pick_ygrid, si_label
+
+    step, _lf, magfact, mag = pick_ygrid(0.0, 4096.0, 100, base=1024.0)
+    assert magfact == 1024.0 and mag == 1
+    assert si_label(2048.0, magfact, mag) == "2 k"
+
+
 def test_cli_graph_svg(tmp_path, spark, capsys):
     from rrdtool_1_x_spark.cli import main
 
