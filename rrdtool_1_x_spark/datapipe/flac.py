@@ -175,15 +175,6 @@ _SAMPLE_RATE_CODES = {
 }
 _BITDEPTH_CODES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
 
-_FIXED_COEFFS = {
-    0: [],
-    1: [1],
-    2: [2, -1],
-    3: [3, -3, 1],
-    4: [4, -6, 4, -1],
-}
-
-
 def _decode_residual(br: _Bits, block_size: int, order: int) -> np.ndarray:
     method = br.read(2)
     if method > 1:
