@@ -736,6 +736,20 @@ def q_media_g711(spark, sf_dir):
     )
 
 
+def q_seq_pack(spark, sf_dir):
+    """Concat-and-chunk sequence packing (datapipe.sampling.
+    pack_sequences): whitespace token counts, one EOD separator per doc,
+    64-token sequences — one row per (sequence, document) overlap with
+    exact split points. The stream offset is one window cumsum; the
+    per-sequence fan-out is F.sequence/explode, all JVM-side."""
+    from rrdtool_1_x_spark.datapipe.sampling import pack_sequences
+
+    d = _docs(spark, sf_dir)
+    return pack_sequences(d, seq_len=64, eod_tokens=1).orderBy(
+        "seq_idx", "doc_id"
+    )
+
+
 def q_ann_cosine_top10(spark, sf_dir):
     """Brute-force cosine top-10 against the lowest-id embedding."""
     e = _emb(spark, sf_dir)
@@ -1559,6 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_probe2": q_media_probe2,
         "media_flac": q_media_flac,
         "media_g711": q_media_g711,
+        "seq_pack": q_seq_pack,
         "near_dup_pairs": q_near_dup_pairs,
         "dup_groups": q_dup_groups,
         "dedup_report": q_dedup_report,
@@ -2043,6 +2058,29 @@ f AS (SELECT doc_id, list_transform(range(0, 64), j ->
 SELECT doc_id, j AS feat_idx, round((feat[j+1]::FLOAT)::DOUBLE, 6) AS feat_val
 FROM f, range(0, 64) r(j)
 ORDER BY doc_id, feat_idx"""
+    # seq_pack: the packing index is pure integer arithmetic over a
+    # window cumsum of (whitespace tokens + 1 EOD) in doc_id order —
+    # sequence s covers doc tokens [max(0, 64s-off), min(n, 64(s+1)-off)).
+    sql["seq_pack"] = """
+WITH t AS (SELECT doc_id,
+        CASE WHEN trim(text) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+          AS n_tokens
+      FROM documents),
+o AS (SELECT doc_id, n_tokens,
+        COALESCE(SUM(n_tokens + 1) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM t),
+e AS (SELECT doc_id, n_tokens, off,
+        unnest(generate_series((off // 64)::BIGINT,
+                               ((off + n_tokens - 1) // 64)::BIGINT))
+          AS seq_idx
+      FROM o WHERE n_tokens > 0)
+SELECT seq_idx::BIGINT AS seq_idx, doc_id, n_tokens::BIGINT AS n_tokens,
+  GREATEST(0, seq_idx * 64 - off)::BIGINT AS tok_from,
+  LEAST(n_tokens, (seq_idx + 1) * 64 - off)::BIGINT AS tok_to,
+  GREATEST(0, off - seq_idx * 64)::BIGINT AS pos_in_seq
+FROM e ORDER BY seq_idx, doc_id"""
     # media_probe2: header facts the probe must read back from real
     # encoded bytes — JPEG SOF 64x64, single-frame GIF 16x16 (1 frame,
     # 0 delay), BMP 16x16, 4-frame video GIF 8x8 with total duration

@@ -141,3 +141,86 @@ def token_budget_sample(
         .withColumn("tokens_before", (F.col("_run") - F.col(token_col)).cast("long"))
         .drop("_budget", "_run")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+    eod_tokens: int = 1,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the GPT-style pretraining
+    layout: documents are laid end-to-end in deterministic ``id_col``
+    order, each followed by ``eod_tokens`` separator tokens, and the
+    token stream is cut into fixed ``seq_len`` windows. Emits one row per
+    (sequence, document) overlap — the index a sequence writer assembles
+    training examples from:
+
+        seq_idx      which output sequence this piece lands in
+        doc_id       the source document
+        n_tokens     the document's token count
+        tok_from     first document token in this sequence (inclusive)
+        tok_to       last document token in this sequence (EXCLUSIVE)
+        pos_in_seq   where tok_from sits inside the sequence
+
+    Token counts come from ``token_col`` when given, else whitespace
+    tokenization of ``text_col`` (the shared textstats convention).
+    Zero-token documents occupy only their separator and emit no rows.
+
+    Scale: the stream offset is ONE window cumsum; by default the window
+    is a single global ordering (exactly reproducible, fine to ~10^8
+    docs), and ``shard_col`` switches to per-shard packing (window
+    partitioned by the shard — the form a 100 TB run uses, trading
+    global stream identity for a parallel sort). The per-sequence
+    explode is ``F.sequence`` — pure JVM, no UDF.
+    """
+    if token_col is None:
+        toks = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        )
+    else:
+        toks = F.col(token_col)
+    base = df.select(
+        F.col(id_col).alias("doc_id"), toks.cast("long").alias("n_tokens"),
+        *([F.col(shard_col).alias("_shard")] if shard_col else []),
+    )
+    w = (
+        Window.partitionBy("_shard") if shard_col else Window.partitionBy()
+    ).orderBy("doc_id")
+    stride = F.col("n_tokens") + F.lit(int(eod_tokens))
+    offset = (
+        F.coalesce(
+            F.sum(stride).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+    ).alias("offset")
+    packed = base.select("doc_id", "n_tokens", offset,
+                         *(["_shard"] if shard_col else []))
+    s0 = F.floor(F.col("offset") / seq_len)
+    s1 = F.floor((F.col("offset") + F.col("n_tokens") - 1) / seq_len)
+    out = (
+        packed.filter(F.col("n_tokens") > 0)
+        .withColumn("seq_idx", F.explode(F.sequence(s0, s1)))
+        .select(
+            *(["_shard"] if shard_col else []),
+            F.col("seq_idx").cast("long").alias("seq_idx"),
+            "doc_id",
+            "n_tokens",
+            F.greatest(
+                F.lit(0), F.col("seq_idx") * seq_len - F.col("offset")
+            ).cast("long").alias("tok_from"),
+            F.least(
+                F.col("n_tokens"),
+                (F.col("seq_idx") + 1) * seq_len - F.col("offset"),
+            ).cast("long").alias("tok_to"),
+            F.greatest(
+                F.lit(0), F.col("offset") - F.col("seq_idx") * seq_len
+            ).cast("long").alias("pos_in_seq"),
+        )
+    )
+    if shard_col:
+        out = out.withColumnRenamed("_shard", shard_col)
+    return out

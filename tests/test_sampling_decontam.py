@@ -192,3 +192,55 @@ def test_minhash_seeds_distinct(docs):
     # all-identical signatures across 4 independent hash families should be
     # essentially impossible on real text; the broken-seed bug makes it 100%
     assert same < n * 0.1
+
+
+def test_pack_sequences_hand_case(spark):
+    """Hand-packed stream: docs of 3/5/2 tokens + 1 EOD each, seq_len 4:
+    stream offsets 0/4/10; seq windows [0,4) [4,8) [8,12).
+    doc a (3 tok @0) -> seq 0 pos 0 tok [0,3)
+    doc b (5 tok @4) -> seq 1 pos 0 tok [0,4); seq 2 pos 0 tok [4,5)
+    doc c (2 tok @10) -> seq 2 pos 2 tok [0,2)
+    """
+    from rrdtool_1_x_spark.datapipe.sampling import pack_sequences
+
+    rows = [(1, "a b c"), (2, "t u v w x"), (3, "y z"), (4, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.seq_idx, r.doc_id): (r.tok_from, r.tok_to, r.pos_in_seq, r.n_tokens)
+        for r in pack_sequences(df, seq_len=4).collect()
+    }
+    assert out == {
+        (0, 1): (0, 3, 0, 3),
+        (1, 2): (0, 4, 0, 5),
+        (2, 2): (4, 5, 0, 5),
+        (2, 3): (0, 2, 2, 2),
+    }  # the empty doc 4 emits nothing
+
+
+def test_pack_sequences_properties(spark):
+    """Invariants over a corpus: every sequence slot holds at most
+    seq_len tokens; pieces of one doc are contiguous and complete; the
+    sharded variant packs each shard independently."""
+    from rrdtool_1_x_spark.datapipe.sampling import pack_sequences
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = pack_sequences(docs, seq_len=128).cache()
+    per_seq = out.groupBy("seq_idx").agg(
+        F.sum(F.col("tok_to") - F.col("tok_from")).alias("fill")
+    )
+    assert per_seq.filter("fill > 128").count() == 0
+    per_doc = out.groupBy("doc_id", "n_tokens").agg(
+        F.sum(F.col("tok_to") - F.col("tok_from")).alias("covered"),
+        F.min("tok_from").alias("mn"), F.max("tok_to").alias("mx"),
+    )
+    bad = per_doc.filter("covered != n_tokens OR mn != 0 OR mx != n_tokens")
+    assert bad.count() == 0
+
+    sharded = pack_sequences(docs, seq_len=128, shard_col="lang")
+    # within each shard the same completeness holds
+    per_doc_s = sharded.groupBy("doc_id", "n_tokens").agg(
+        F.sum(F.col("tok_to") - F.col("tok_from")).alias("covered")
+    )
+    assert per_doc_s.filter("covered != n_tokens").count() == 0
+    assert "lang" in sharded.columns
