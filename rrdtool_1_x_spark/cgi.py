@@ -153,8 +153,13 @@ def _handle(tag: str, argstr: str, ctx: CgiContext, depth: int = 0) -> str:
         if tag == "RRD::INCLUDE":
             if not args:
                 return "[ERROR: RRD::INCLUDE needs a filename]"
+            if depth > 8:
+                return "[ERROR: RRD::INCLUDE nesting too deep]"
             with open(args[0], encoding="utf-8") as fh:
-                return fh.read()
+                # the reference splices the file into the scan buffer, so
+                # directives inside included templates expand too
+                body, _ = expand_template(fh.read(), ctx, depth + 1)
+                return body
         if tag == "RRD::TIME::NOW":
             if len(args) != 1:
                 return "[ERROR: expected <RRD::TIME::NOW strftime-format>]"
@@ -240,9 +245,12 @@ def _expand_vars(text: str, ctx: CgiContext, depth: int = 0) -> str:
         pos = end
 
 
-def expand_template(text: str, ctx: CgiContext | None = None) -> tuple[str, CgiContext]:
+def expand_template(
+    text: str, ctx: CgiContext | None = None, depth: int = 0
+) -> tuple[str, CgiContext]:
     """One full expansion pass over a template (the reference's main
-    buffer loop, src/rrd_cgi.c:498-536)."""
+    buffer loop, src/rrd_cgi.c:498-536). ``depth`` tracks INCLUDE
+    nesting so directive expansion inside included files terminates."""
     ctx = ctx or CgiContext()
     out = []
     pos = 0
@@ -257,7 +265,7 @@ def expand_template(text: str, ctx: CgiContext | None = None) -> tuple[str, CgiC
             break
         tag, argstr, end = hit
         out.append(text[pos:i])
-        out.append(_handle(tag, argstr, ctx))
+        out.append(_handle(tag, argstr, ctx, depth))
         pos = end
     return "".join(out), ctx
 

@@ -58,13 +58,19 @@ def test_time_tags():
 
 def test_goodfor_include_internal(tmp_path):
     inc = tmp_path / "frag.html"
-    inc.write_text("FRAGMENT")
+    inc.write_text("FRAGMENT <RRD::GETVAR inner>")
     body, ctx = _expand(
-        f"<RRD::GOODFOR 300><RRD::INCLUDE {inc}>v=<RRD::INTERNAL VERSION>"
+        f"<RRD::SETVAR inner 9><RRD::GOODFOR 300><RRD::INCLUDE {inc}>"
+        "v=<RRD::INTERNAL VERSION>"
     )
     assert ctx.goodfor == 300
-    assert "FRAGMENT" in body
+    assert "FRAGMENT 9" in body  # directives inside includes expand too
     assert "v=rrdtool-1.x-spark" in body
+    # self-including template terminates with an error marker
+    loop = tmp_path / "loop.html"
+    loop.write_text(f"x<RRD::INCLUDE {loop}>")
+    body, _ = _expand(f"<RRD::INCLUDE {loop}>")
+    assert "nesting too deep" in body
 
 
 def test_nested_expansion_in_args():
