@@ -18,6 +18,10 @@ only ``zlib``/``struct``/``numpy``:
 * GIF (87a/89a incl. LZW, interlace, animation): see ``datapipe.gif``.
 * FLAC (RFC 9639 native subset incl. LPC, Rice partitions, stereo
   decorrelation, CRC verification): see ``datapipe.flac``.
+* AIFF/AIFC (big-endian PCM, 80-bit extended-float rate, 'sowt').
+* TIFF (baseline: both byte orders, strips, PackBits, 8-bit gray/RGB[A],
+  WhiteIsZero inversion).
+* G.711 mu-law/A-law WAV (formats 7/6) and MP3 frame-header probing.
 
 Encoders for the same subset exist so tests and oracle gates can build
 bit-exact fixtures without any third-party writer.
@@ -612,6 +616,284 @@ def encode_bmp(img: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# AIFF (big-endian PCM inside IFF chunks)
+# ---------------------------------------------------------------------------
+
+
+def is_aiff(data: bytes) -> bool:
+    return (
+        data is not None
+        and len(data) >= 12
+        and bytes(data[:4]) == b"FORM"
+        and bytes(data[8:12]) in (b"AIFF", b"AIFC")
+    )
+
+
+def _read_extended80(b: bytes) -> float:
+    """80-bit IEEE 754 extended float (the COMM sample-rate field)."""
+    (se,) = struct.unpack(">H", b[:2])
+    mant = int.from_bytes(b[2:10], "big")
+    sign = -1.0 if se & 0x8000 else 1.0
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def _write_extended80(v: float) -> bytes:
+    if v == 0:
+        return b"\x00" * 10
+    sign = 0x8000 if v < 0 else 0
+    v = abs(v)
+    exp = 16383 + 63
+    while v < (1 << 63):
+        v *= 2.0
+        exp -= 1
+    while v >= (1 << 64):
+        v /= 2.0
+        exp += 1
+    return struct.pack(">H", sign | exp) + int(v).to_bytes(8, "big")
+
+
+def decode_aiff(data: bytes) -> tuple[np.ndarray, int]:
+    """AIFF bytes → ((frames, channels) float64 in [-1, 1), sample_rate).
+    PCM 8/16/24/32-bit big-endian; AIFC accepted only for the 'NONE'
+    compression type."""
+    if not is_aiff(data):
+        raise ValueError("not an AIFF stream")
+    data = bytes(data)
+    pos = 12
+    comm = None
+    ssnd = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack(">I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + clen]
+        if cid == b"COMM":
+            channels, nframes, bits = struct.unpack(">HIH", body[:8])
+            rate = int(round(_read_extended80(body[8:18])))
+            if len(body) >= 22 and body[18:22] not in (b"NONE", b"sowt"):
+                raise NotImplementedError(
+                    f"AIFC compression {body[18:22]!r} not supported"
+                )
+            little = len(body) >= 22 and body[18:22] == b"sowt"
+            comm = (channels, nframes, bits, rate, little)
+        elif cid == b"SSND":
+            (off, _blk) = struct.unpack(">II", body[:8])
+            ssnd = body[8 + off :]
+        pos += 8 + clen + (clen & 1)
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF: missing COMM/SSND chunk")
+    channels, nframes, bits, rate, little = comm
+    order = "<" if little else ">"
+    if bits == 8:
+        samples = np.frombuffer(ssnd, dtype=np.int8).astype(np.float64) / 128.0
+    elif bits == 16:
+        samples = np.frombuffer(ssnd, dtype=f"{order}i2").astype(np.float64) / 32768.0
+    elif bits == 24:
+        b3 = np.frombuffer(ssnd, dtype=np.uint8)
+        b3 = b3[: len(b3) // 3 * 3].reshape(-1, 3)
+        if little:
+            b3 = b3[:, ::-1]
+        vals = (
+            (b3[:, 0].astype(np.int64) << 16)
+            | (b3[:, 1].astype(np.int64) << 8)
+            | b3[:, 2].astype(np.int64)
+        )
+        vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+        samples = vals.astype(np.float64) / float(1 << 23)
+    elif bits == 32:
+        samples = np.frombuffer(ssnd, dtype=f"{order}i4").astype(np.float64) / float(
+            1 << 31
+        )
+    else:
+        raise NotImplementedError(f"AIFF: {bits}-bit not supported")
+    n = (len(samples) // channels) * channels
+    return samples[:n].reshape(-1, channels), rate
+
+
+def encode_aiff(
+    samples: np.ndarray, sample_rate: int = 8000, bits: int = 16
+) -> bytes:
+    """(frames,) or (frames, channels) float in [-1, 1] → AIFF PCM."""
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    nframes, channels = arr.shape
+    if bits == 8:
+        payload = np.clip(arr * 128.0, -128, 127).astype(np.int8).tobytes()
+    elif bits == 16:
+        payload = np.clip(arr * 32768.0, -32768, 32767).astype(">i2").tobytes()
+    else:
+        raise NotImplementedError(f"encode_aiff: bits={bits}")
+    comm = struct.pack(">HIH", channels, nframes, bits) + _write_extended80(
+        float(sample_rate)
+    )
+    ssnd = struct.pack(">II", 0, 0) + payload
+    chunks = b"COMM" + struct.pack(">I", len(comm)) + comm
+    chunks += b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    if len(ssnd) & 1:
+        chunks += b"\x00"
+    body = b"AIFF" + chunks
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# TIFF (baseline: uncompressed + PackBits strips, 8-bit samples)
+# ---------------------------------------------------------------------------
+
+
+def is_tiff(data: bytes) -> bool:
+    return (
+        data is not None
+        and len(data) >= 8
+        and bytes(data[:4]) in (b"II*\x00", b"MM\x00*")
+    )
+
+
+def packbits_decode(data: bytes) -> bytearray:
+    """Apple PackBits RLE (TIFF compression 32773)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 128:  # literal run of c+1 bytes
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c > 128:  # repeat next byte 257-c times
+            if i < n:
+                out += bytes([data[i]]) * (257 - c)
+                i += 1
+        # c == 128: noop
+    return out
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """PackBits encoder (repeat runs >= 3 bytes, literals otherwise)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and (i - lit_start) < 128:
+            run = 1
+            while i + run < n and run < 3 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += 1
+        out += bytes([i - lit_start - 1]) + data[lit_start:i]
+    return bytes(out)
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """Baseline TIFF → (h, w, channels) uint8: both byte orders, strips,
+    compression 1 (none) and 32773 (PackBits), 8-bit gray/RGB[A]."""
+    if not is_tiff(data):
+        raise ValueError("not a TIFF stream")
+    data = bytes(data)
+    bo = "<" if data[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack(bo + "I", data[4:8])
+    (n_entries,) = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])
+    tags: dict[int, tuple[int, int, bytes]] = {}
+    for i in range(n_entries):
+        e = data[ifd_off + 2 + 12 * i : ifd_off + 14 + 12 * i]
+        tag, typ, count = struct.unpack(bo + "HHI", e[:8])
+        tags[tag] = (typ, count, e[8:12])
+
+    def val(tag: int, default=None):
+        if tag not in tags:
+            return default
+        typ, count, raw = tags[tag]
+        size = {1: 1, 3: 2, 4: 4}.get(typ)
+        if size is None:
+            raise NotImplementedError(f"TIFF: field type {typ}")
+        total = size * count
+        buf = raw[:total] if total <= 4 else data[
+            struct.unpack(bo + "I", raw)[0] :
+        ][:total]
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        vals = struct.unpack(bo + fmt * count, buf)
+        return list(vals)
+
+    width = val(256)[0]
+    height = val(257)[0]
+    spp = val(277, [1])[0]
+    bits = val(258, [8] * spp)
+    comp = val(259, [1])[0]
+    offsets = val(273)
+    counts = val(279)
+    rows_per_strip = val(278, [height])[0]
+    if any(b != 8 for b in bits):
+        raise NotImplementedError("TIFF: only 8-bit samples supported")
+    if comp not in (1, 32773):
+        raise NotImplementedError(f"TIFF: compression {comp} not supported")
+    if offsets is None or counts is None:
+        raise ValueError("TIFF: missing strip offsets/counts")
+    raw = bytearray()
+    for off, cnt in zip(offsets, counts):
+        strip = data[off : off + cnt]
+        raw += packbits_decode(strip) if comp == 32773 else strip
+    need = width * height * spp
+    if len(raw) < need:
+        raise ValueError("TIFF: short strip data")
+    img = np.frombuffer(bytes(raw[:need]), dtype=np.uint8).reshape(
+        height, width, spp
+    )
+    photometric = val(262, [1])[0]
+    if photometric == 0:  # WhiteIsZero: invert
+        img = 255 - img
+    return img
+
+
+def encode_tiff(img: np.ndarray, compression: int = 1) -> bytes:
+    """(h, w[, c]) uint8 → single-strip little-endian TIFF (compression
+    1 = none or 32773 = PackBits)."""
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    payload = arr.tobytes()
+    if compression == 32773:
+        payload = packbits_encode(payload)
+    elif compression != 1:
+        raise NotImplementedError(f"encode_tiff: compression {compression}")
+    # layout: header(8) + payload + IFD
+    strip_off = 8
+    ifd_off = strip_off + len(payload)
+    if ifd_off & 1:
+        payload += b"\x00"
+        ifd_off += 1
+    entries = [
+        (256, 3, 1, w),  # ImageWidth
+        (257, 3, 1, h),  # ImageLength
+        (258, 3, 1, 8),  # BitsPerSample (one value; all samples 8)
+        (259, 3, 1, compression),
+        (262, 3, 1, 1 if c == 1 else 2),  # BlackIsZero / RGB
+        (273, 4, 1, strip_off),  # StripOffsets
+        (277, 3, 1, c),  # SamplesPerPixel
+        (278, 3, 1, h),  # RowsPerStrip
+        (279, 4, 1, len(payload)),  # StripByteCounts
+    ]
+    ifd = struct.pack("<H", len(entries))
+    for tag, typ, count, value in entries:
+        ifd += struct.pack("<HHI", tag, typ, count)
+        ifd += struct.pack("<I", value) if typ == 4 else struct.pack("<HH", value, 0)
+    ifd += struct.pack("<I", 0)  # next IFD
+    return b"II*\x00" + struct.pack("<I", ifd_off) + payload + ifd
+
+
+# ---------------------------------------------------------------------------
 # MP3 (MPEG audio) — HEADER WALK ONLY
 # ---------------------------------------------------------------------------
 # Full MP3 decode needs the ISO huffman/scalefactor tables and a synthesis
@@ -743,6 +1025,10 @@ def sniff(data: bytes) -> str | None:
         return "bmp"
     if _flac.is_flac(bytes(data)):
         return "flac"
+    if is_aiff(data):
+        return "aiff"
+    if is_tiff(data):
+        return "tiff"
     return None
 
 
@@ -777,4 +1063,9 @@ def decode_any(data: bytes) -> np.ndarray:
 
         samples, _sr = _flac.decode_flac(bytes(data))
         return samples.astype(np.float64).ravel()
+    if kind == "aiff":
+        samples, _sr = decode_aiff(data)
+        return samples.astype(np.float64).ravel()
+    if kind == "tiff":
+        return decode_tiff(data).astype(np.float64).ravel() / 255.0
     raise ValueError("unrecognized media payload (no magic match)")

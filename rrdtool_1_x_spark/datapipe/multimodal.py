@@ -196,6 +196,15 @@ def probe_media(media: DataFrame) -> DataFrame:
                         mime = "image/bmp"
                         width, h_signed = struct.unpack("<ii", data[18:26])
                         height = abs(h_signed)
+                    elif sniffed == "aiff":
+                        mime = "audio/aiff"
+                        samples, rate = codecs.decode_aiff(data)
+                        nsamp = samples.shape[0]
+                        dur = int(nsamp * 1000 // rate) if rate else None
+                    elif sniffed == "tiff":
+                        mime = "image/tiff"
+                        img = codecs.decode_tiff(data)
+                        height, width = img.shape[:2]
                     elif sniffed is None and codecs.is_mp3(data):
                         # metadata-only surface: the frame headers are
                         # documented 4-byte records; DECODE stays refused

@@ -310,3 +310,87 @@ def test_multimodal_probe_resize_video(spark):
     assert dec.shape[0] == 2 and delays == [20, 20]
     assert np.array_equal(dec[1], np.stack([frames[2]] * 3, axis=2))
     assert sampled[1] == bytes(rows[0][2])  # non-GIF passes through
+
+
+# ---------------------------------------------------------------------------
+# AIFF + TIFF
+# ---------------------------------------------------------------------------
+
+
+def test_aiff_roundtrip_and_extended_rate():
+    rng = np.random.default_rng(30)
+    s = rng.uniform(-0.9, 0.9, size=(300, 2))
+    for rate in (8000, 44100, 96000, 11025):
+        enc = C.encode_aiff(s, rate, bits=16)
+        assert C.sniff(enc) == "aiff"
+        d, r = C.decode_aiff(enc)
+        assert r == rate  # survives the 80-bit extended float
+        assert np.abs(d - np.clip(s, -1, 1)).max() < 1e-4
+    # 8-bit path
+    d, _ = C.decode_aiff(C.encode_aiff(s[:, 0], 8000, bits=8))
+    assert np.abs(d[:, 0] - s[:, 0]).max() < 1e-2
+    # extended-float codec is exact on integers
+    for v in (1.0, 8000.0, 44100.0, 2.5, 1e6):
+        assert C._read_extended80(C._write_extended80(v)) == v
+
+
+def test_tiff_roundtrip_uncompressed_and_packbits():
+    rng = np.random.default_rng(31)
+    for shape in ((16, 16), (9, 7, 3), (5, 11, 4)):
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        want = img if img.ndim == 3 else img[:, :, None]
+        for comp in (1, 32773):
+            enc = C.encode_tiff(img, compression=comp)
+            assert C.sniff(enc) == "tiff"
+            assert np.array_equal(C.decode_tiff(enc), want)
+    # packbits favors runs: repetitive content must compress
+    flat = np.full((64, 64), 7, dtype=np.uint8)
+    assert len(C.encode_tiff(flat, 32773)) < len(C.encode_tiff(flat, 1)) / 10
+
+
+def test_packbits_exhaustive():
+    rng = np.random.default_rng(32)
+    for payload in (b"", b"a", b"ab", b"aaa", b"aaab" * 50,
+                    bytes(rng.integers(0, 4, 1000, dtype=np.uint8)),
+                    bytes(rng.integers(0, 256, 1000, dtype=np.uint8)),
+                    b"x" * 1000):
+        assert bytes(C.packbits_decode(C.packbits_encode(payload))) == payload
+
+
+def test_tiff_big_endian_and_whitezero():
+    """Hand-build an MM (big-endian) WhiteIsZero TIFF; decode must honor
+    byte order and invert the photometric."""
+    import struct
+
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    payload = img.tobytes()
+    ifd_off = 8 + len(payload)
+    entries = [
+        (256, 3, 1, 4), (257, 3, 1, 3), (258, 3, 1, 8), (259, 3, 1, 1),
+        (262, 3, 1, 0),  # WhiteIsZero
+        (273, 4, 1, 8), (277, 3, 1, 1), (278, 3, 1, 3),
+        (279, 4, 1, len(payload)),
+    ]
+    ifd = struct.pack(">H", len(entries))
+    for tag, typ, count, value in entries:
+        ifd += struct.pack(">HHI", tag, typ, count)
+        ifd += struct.pack(">I", value) if typ == 4 else struct.pack(">HH", value, 0)
+    ifd += struct.pack(">I", 0)
+    data = b"MM\x00*" + struct.pack(">I", ifd_off) + payload + ifd
+    assert np.array_equal(C.decode_tiff(data)[:, :, 0], 255 - img)
+
+
+def test_probe_aiff_tiff(spark):
+    from rrdtool_1_x_spark.datapipe.multimodal import MEDIA_SCHEMA, probe_media
+
+    s = np.sin(np.arange(400) / 9)
+    rows = [
+        (1, "audio", bytearray(C.encode_aiff(s, 22050, 16)),
+         ("audio/aiff", None, None, 22050, 18)),
+        (2, "image", bytearray(C.encode_tiff(np.zeros((6, 9), np.uint8))),
+         ("image/tiff", 9, 6, None, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    p = {r.doc_id: r for r in probe_media(media).collect()}
+    assert (p[1].mime, p[1].sample_rate, p[1].n_samples) == ("audio/aiff", 22050, 400)
+    assert (p[2].mime, p[2].width, p[2].height) == ("image/tiff", 9, 6)
