@@ -999,6 +999,110 @@ def encode_mp3_stub(
 
 
 # ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF and Ogg — HEADER WALKS ONLY
+# ---------------------------------------------------------------------------
+# Like MP3: the codec payloads (H.264/AAC/Vorbis/Opus) are out of stdlib
+# reach, but the container structure is a documented byte walk — the
+# metadata a pipeline needs to route assets to a real decode fleet.
+
+
+def is_mp4(data: bytes) -> bool:
+    return (
+        data is not None
+        and len(data) >= 12
+        and bytes(data[4:8]) in (b"ftyp", b"moov", b"mdat", b"free", b"wide")
+    )
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        btype = data[pos + 4 : pos + 8]
+        body_off = pos + 8
+        if size == 1:  # 64-bit size
+            (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            body_off = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8:
+            return
+        yield btype, body_off, pos + size
+        pos += size
+
+
+def probe_mp4(data: bytes) -> tuple[int, int, int, int]:
+    """ISO-BMFF box walk → (duration_ms, timescale, width, height).
+    Duration from moov/mvhd; dims from the first non-zero trak/tkhd."""
+    data = bytes(data)
+    duration_ms = timescale = 0
+    width = height = 0
+    for btype, off, end in _mp4_boxes(data, 0, len(data)):
+        if btype != b"moov":
+            continue
+        for b2, off2, end2 in _mp4_boxes(data, off, end):
+            if b2 == b"mvhd":
+                version = data[off2]
+                if version == 1:
+                    timescale, dur = struct.unpack(
+                        ">IQ", data[off2 + 20 : off2 + 32]
+                    )
+                else:
+                    timescale, dur = struct.unpack(
+                        ">II", data[off2 + 12 : off2 + 20]
+                    )
+                if timescale:
+                    duration_ms = int(dur * 1000 // timescale)
+            elif b2 == b"trak":
+                for b3, off3, _end3 in _mp4_boxes(data, off2, end2):
+                    if b3 != b"tkhd":
+                        continue
+                    version = data[off3]
+                    base = off3 + (96 if version == 1 else 84)
+                    # width/height are 16.16 fixed point at the box tail
+                    w_fx, h_fx = struct.unpack(">II", data[base - 8 : base])
+                    if w_fx and h_fx and not (width and height):
+                        width, height = w_fx >> 16, h_fx >> 16
+    if not timescale:
+        raise ValueError("MP4: no mvhd box")
+    return duration_ms, timescale, width, height
+
+
+def is_ogg(data: bytes) -> bool:
+    return data is not None and len(data) >= 4 and bytes(data[:4]) == b"OggS"
+
+
+def probe_ogg(data: bytes) -> tuple[str, int, int, int]:
+    """Ogg page walk → (codec, sample_rate, channels, duration_ms).
+    Codec from the first packet's magic (Vorbis id header / OpusHead);
+    duration from the LAST page's granule position (PCM sample count)."""
+    data = bytes(data)
+    if not is_ogg(data):
+        raise ValueError("not an Ogg stream")
+    # first page: segment table then the id packet
+    nsegs = data[26]
+    body = data[27 + nsegs :]
+    codec, rate, channels = "unknown", 0, 0
+    pre_skip = 0
+    if body[:7] == b"\x01vorbis":
+        channels = body[11]
+        (rate,) = struct.unpack("<I", body[12:16])
+        codec = "vorbis"
+    elif body[:8] == b"OpusHead":
+        channels = body[9]
+        (pre_skip,) = struct.unpack("<H", body[10:12])
+        rate = 48000  # Opus granules are always 48 kHz
+        codec = "opus"
+    # last page: scan backwards for the final OggS capture
+    last = data.rfind(b"OggS")
+    granule = struct.unpack("<q", data[last + 6 : last + 14])[0] if last >= 0 else 0
+    dur = 0
+    if rate and granule > 0:
+        dur = int(max(0, granule - pre_skip) * 1000 // rate)
+    return codec, rate, channels, dur
+
+
+# ---------------------------------------------------------------------------
 # Dispatch
 # ---------------------------------------------------------------------------
 

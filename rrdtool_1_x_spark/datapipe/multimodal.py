@@ -211,6 +211,16 @@ def probe_media(media: DataFrame) -> DataFrame:
                         # (no stdlib path to the ISO huffman tables)
                         mime = "audio/mpeg"
                         rate, nsamp, dur = codecs.probe_mp3(data)
+                    elif sniffed is None and codecs.is_mp4(data):
+                        # ISO-BMFF box walk: mvhd duration, tkhd dims —
+                        # metadata-only, like MP3
+                        mime = "video/mp4"
+                        dur, _ts, width, height = codecs.probe_mp4(data)
+                        width = width or None
+                        height = height or None
+                    elif sniffed is None and codecs.is_ogg(data):
+                        codec, rate, _ch, dur = codecs.probe_ogg(data)
+                        mime = f"audio/ogg; codecs={codec}"
                     elif sniffed == "flac":
                         mime = "audio/flac"
                         # STREAMINFO is the first metadata block: header

@@ -111,6 +111,8 @@ def _fixtures():
         G.encode_gif(img),
         J.encode_jpeg(rgb, quality=80),
         FL.encode_flac(s, 8000, 16, 128),
+        C.encode_aiff(s / 32768.0, 8000, 16),
+        C.encode_tiff(rgb, compression=32773),
     ]
 
 

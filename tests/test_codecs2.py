@@ -394,3 +394,56 @@ def test_probe_aiff_tiff(spark):
     p = {r.doc_id: r for r in probe_media(media).collect()}
     assert (p[1].mime, p[1].sample_rate, p[1].n_samples) == ("audio/aiff", 22050, 400)
     assert (p[2].mime, p[2].width, p[2].height) == ("image/tiff", 9, 6)
+
+
+def _mini_mp4(dur_units=9000, timescale=1000, w=640, h=360):
+    """Hand-assembled minimal ISO-BMFF: ftyp + moov(mvhd + trak(tkhd))."""
+    import struct
+
+    def box(btype, body):
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mvhd = box(b"mvhd", b"\x00" + b"\x00" * 3 + b"\x00" * 8
+               + struct.pack(">II", timescale, dur_units) + b"\x00" * 80)
+    tkhd_body = bytearray(b"\x00" * 84)
+    tkhd_body[76:84] = struct.pack(">II", w << 16, h << 16)
+    trak = box(b"trak", box(b"tkhd", bytes(tkhd_body)))
+    return ftyp + box(b"moov", mvhd + trak)
+
+
+def _mini_ogg_opus(granule=96000, pre_skip=312):
+    import struct
+
+    ident = b"OpusHead\x01\x02" + struct.pack("<H", pre_skip) + b"\x00" * 9
+    page1 = (b"OggS\x00\x02" + struct.pack("<q", 0) + b"\x00" * 12
+             + bytes([1, len(ident)]) + ident)
+    page2 = (b"OggS\x00\x04" + struct.pack("<q", granule) + b"\x00" * 12
+             + bytes([1, 1]) + b"\x00")
+    return page1 + page2
+
+
+def test_mp4_and_ogg_probes(spark):
+    from rrdtool_1_x_spark.datapipe.multimodal import MEDIA_SCHEMA, probe_media
+
+    mp4 = _mini_mp4()
+    assert C.is_mp4(mp4) and C.sniff(mp4) is None
+    assert C.probe_mp4(mp4) == (9000, 1000, 640, 360)
+
+    ogg = _mini_ogg_opus()
+    assert C.is_ogg(ogg)
+    codec, rate, ch, dur = C.probe_ogg(ogg)
+    assert (codec, rate, ch) == ("opus", 48000, 2)
+    assert dur == (96000 - 312) * 1000 // 48000
+
+    rows = [
+        (1, "video", bytearray(mp4), (None, None, None, None, None)),
+        (2, "audio", bytearray(ogg), (None, None, None, None, None)),
+    ]
+    p = {r.doc_id: r for r in
+         probe_media(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
+    assert (p[1].mime, p[1].width, p[1].height, p[1].duration_ms) == (
+        "video/mp4", 640, 360, 9000,
+    )
+    assert p[2].mime == "audio/ogg; codecs=opus"
+    assert p[2].sample_rate == 48000
