@@ -1068,6 +1068,47 @@ def probe_mp4(data: bytes) -> tuple[int, int, int, int]:
     return duration_ms, timescale, width, height
 
 
+def is_webp(data: bytes) -> bool:
+    return (
+        data is not None
+        and len(data) >= 16
+        and bytes(data[:4]) == b"RIFF"
+        and bytes(data[8:12]) == b"WEBP"
+    )
+
+
+def probe_webp(data: bytes) -> tuple[int, int, str]:
+    """WebP chunk walk → (width, height, variant). VP8X carries a 24-bit
+    canvas size minus one; VP8L packs 14-bit dims after its signature
+    byte; lossy VP8 stores dims in the frame header past the start code."""
+    data = bytes(data)
+    if not is_webp(data):
+        raise ValueError("not a WebP stream")
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + clen]
+        if cid == b"VP8X":
+            w = int.from_bytes(body[4:7], "little") + 1
+            h = int.from_bytes(body[7:10], "little") + 1
+            return w, h, "vp8x"
+        if cid == b"VP8L":
+            if body[0] != 0x2F:
+                raise ValueError("WebP: bad VP8L signature")
+            bits = int.from_bytes(body[1:5], "little")
+            return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1, "vp8l"
+        if cid == b"VP8 ":
+            # frame tag (3) + start code 9d 01 2a + 16-bit dims (14 used)
+            if body[3:6] != b"\x9d\x01\x2a":
+                raise ValueError("WebP: bad VP8 start code")
+            (w,) = struct.unpack("<H", body[6:8])
+            (h,) = struct.unpack("<H", body[8:10])
+            return w & 0x3FFF, h & 0x3FFF, "vp8"
+        pos += 8 + clen + (clen & 1)
+    raise ValueError("WebP: no image chunk found")
+
+
 def is_ogg(data: bytes) -> bool:
     return data is not None and len(data) >= 4 and bytes(data[:4]) == b"OggS"
 

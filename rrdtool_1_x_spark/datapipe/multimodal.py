@@ -218,6 +218,9 @@ def probe_media(media: DataFrame) -> DataFrame:
                         dur, _ts, width, height = codecs.probe_mp4(data)
                         width = width or None
                         height = height or None
+                    elif sniffed is None and codecs.is_webp(data):
+                        mime = "image/webp"
+                        width, height, _variant = codecs.probe_webp(data)
                     elif sniffed is None and codecs.is_ogg(data):
                         codec, rate, _ch, dur = codecs.probe_ogg(data)
                         mime = f"audio/ogg; codecs={codec}"

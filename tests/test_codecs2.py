@@ -447,3 +447,30 @@ def test_mp4_and_ogg_probes(spark):
     )
     assert p[2].mime == "audio/ogg; codecs=opus"
     assert p[2].sample_rate == 48000
+
+
+def test_webp_probe():
+    import struct
+
+    def riff(chunks):
+        body = b"WEBP" + b"".join(
+            cid + struct.pack("<I", len(b)) + b + (b"\x00" if len(b) & 1 else b"")
+            for cid, b in chunks
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # VP8L: signature + packed 14-bit dims (w-1=99, h-1=49)
+    bits = 99 | (49 << 14)
+    vp8l = riff([(b"VP8L", bytes([0x2F]) + struct.pack("<I", bits))])
+    assert C.probe_webp(vp8l) == (100, 50, "vp8l")
+    # VP8 lossy: frame tag + start code + dims
+    vp8 = riff([(b"VP8 ", b"\x00\x00\x00\x9d\x01\x2a"
+                 + struct.pack("<HH", 320, 240))])
+    assert C.probe_webp(vp8) == (320, 240, "vp8")
+    # VP8X extended: 24-bit canvas minus one
+    vp8x = riff([(b"VP8X", b"\x00\x00\x00\x00"
+                  + (639).to_bytes(3, "little") + (479).to_bytes(3, "little"))])
+    assert C.probe_webp(vp8x) == (640, 480, "vp8x")
+    assert C.is_webp(vp8l) and not C.is_webp(b"RIFFxxxxWAVE")
+    with pytest.raises(ValueError):
+        C.probe_webp(riff([(b"ALPH", b"\x00")]))
