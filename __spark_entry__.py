@@ -750,6 +750,24 @@ def q_seq_pack(spark, sf_dir):
     )
 
 
+def q_media_ahash(spark, sf_dir):
+    """Perceptual average-hash over real decoded pixels (datapipe.
+    multimodal.image_ahash): PNG fixtures → grayscale → 8x8 nearest
+    neighbor → bit i set iff pixel > the 8x8 mean. The mean's divisor is
+    a power of two, so the threshold compare is exact and the oracle
+    rebuilds the signed 64-bit hash from the fixture bytes directly."""
+    from rrdtool_1_x_spark.datapipe.multimodal import (
+        image_ahash,
+        synthesize_media_real,
+    )
+
+    d = _docs(spark, sf_dir)
+    out = image_ahash(synthesize_media_real(spark, d, "image"), strict=True)
+    return out.select(
+        "doc_id", "kind", "ahash", F.col("n_dark").cast("long").alias("n_dark")
+    ).orderBy("doc_id")
+
+
 def q_ann_cosine_top10(spark, sf_dir):
     """Brute-force cosine top-10 against the lowest-id embedding."""
     e = _emb(spark, sf_dir)
@@ -1574,6 +1592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_flac": q_media_flac,
         "media_g711": q_media_g711,
         "seq_pack": q_seq_pack,
+        "media_ahash": q_media_ahash,
         "near_dup_pairs": q_near_dup_pairs,
         "dup_groups": q_dup_groups,
         "dedup_report": q_dedup_report,
@@ -2058,6 +2077,32 @@ f AS (SELECT doc_id, list_transform(range(0, 64), j ->
 SELECT doc_id, j AS feat_idx, round((feat[j+1]::FLOAT)::DOUBLE, 6) AS feat_val
 FROM f, range(0, 64) r(j)
 ORDER BY doc_id, feat_idx"""
+    # media_ahash: sampled pixel (2y,2x) of the 16x16 PNG is byte 32y+2x;
+    # mean = sum/64 (power-of-two divisor → exact double), bit j set iff
+    # px > mean; the signed 64-bit hash is two's-complement: the MSB
+    # contributes -2^63, the rest +2^(63-j).
+    sql["media_ahash"] = """
+WITH t AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+b AS (SELECT doc_id, list_transform(range(0, 256), i ->
+        CASE WHEN 2*i + 2 <= len(hx)
+             THEN 16*(strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1)
+                  + (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1)
+             ELSE 0 END) AS bytes
+      FROM t),
+s AS (SELECT doc_id, list_transform(range(0, 64), j ->
+        bytes[32*(j//8) + 2*(j%8) + 1]) AS px
+      FROM b),
+m AS (SELECT doc_id, px, list_aggregate(px, 'sum') / 64.0 AS mean FROM s),
+h AS (SELECT doc_id,
+        CAST(list_aggregate(list_transform(range(0, 64), j ->
+          CASE WHEN px[j+1] > mean THEN
+            CASE WHEN j = 0 THEN (-9223372036854775807 - 1)::HUGEINT
+                 ELSE (1::HUGEINT << (63 - j)) END
+          ELSE 0::HUGEINT END), 'sum') AS BIGINT) AS ahash,
+        len(list_filter(range(0, 64), j -> px[j+1] <= mean)) AS n_dark
+      FROM m)
+SELECT doc_id, 'image' AS kind, ahash, n_dark::BIGINT AS n_dark
+FROM h ORDER BY doc_id"""
     # seq_pack: the packing index is pure integer arithmetic over a
     # window cumsum of (whitespace tokens + 1 EOD) in doc_id order —
     # sequence s covers doc tokens [max(0, 64s-off), min(n, 64(s+1)-off)).

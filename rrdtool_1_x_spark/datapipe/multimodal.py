@@ -290,6 +290,78 @@ def resize_images(media: DataFrame, height: int, width: int) -> DataFrame:
     return media.mapInPandas(run, schema=media.schema)
 
 
+AHASH_FIELDS = "doc_id long, kind string, ahash long, n_dark int"
+
+
+def image_ahash(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Perceptual average-hash over REAL decoded pixels — the image
+    near-dup primitive: decode → grayscale → nearest-neighbor 8x8 →
+    bit i set iff pixel i > the 8x8 mean. Emits the 64-bit hash (as a
+    signed long) plus the dark-pixel count. Hamming-close hashes mark
+    near-duplicate images; pairing composes with the SimHash banding
+    machinery (datapipe.dedup.simhash_near_dup_pairs operates on any
+    64-bit signature column).
+
+    Exactness: the 8x8 mean is sum/64 — a power-of-two divisor, so the
+    threshold compare is exact in doubles and any engine reproduces the
+    hash bit-for-bit (the DuckDB oracle recomputes it from the fixture
+    bytes). Non-image/undecodable payloads yield NULL hash."""
+    from . import codecs
+    from . import gif as gif_codec
+    from . import jpeg as jpeg_codec
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, kind, content in zip(
+                pdf["doc_id"], pdf["kind"], pdf["content"]
+            ):
+                data = bytes(content) if content is not None else b""
+                sniffed = codecs.sniff(data)
+                img = None
+                try:
+                    if sniffed == "png":
+                        img = codecs.decode_png(data)
+                    elif sniffed == "pnm":
+                        img = codecs.decode_pnm(data)
+                    elif sniffed == "bmp":
+                        img = codecs.decode_bmp(data)
+                    elif sniffed == "jpeg":
+                        img = jpeg_codec.decode_jpeg(data)
+                    elif sniffed == "gif":
+                        img = gif_codec.decode_gif(data)
+                    elif sniffed == "tiff":
+                        img = codecs.decode_tiff(data)
+                    elif strict:
+                        raise NotImplementedError(
+                            f"no image codec for payload (kind={kind!r})"
+                        )
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    if strict:
+                        raise
+                    img = None
+                if img is None:
+                    rows.append((doc_id, kind, None, None))
+                    continue
+                gray = img.astype(np.float64).mean(axis=2)
+                h0, w0 = gray.shape
+                yi = (np.arange(8) * h0 // 8).clip(0, h0 - 1)
+                xi = (np.arange(8) * w0 // 8).clip(0, w0 - 1)
+                small = gray[yi][:, xi]
+                mean = small.sum() / 64.0
+                bits = (small.ravel() > mean)
+                hash_u = int(np.packbits(bits.astype(np.uint8)).view(">u8")[0])
+                hash_s = hash_u - (1 << 64) if hash_u >= 1 << 63 else hash_u
+                rows.append((doc_id, kind, hash_s, int((~bits).sum())))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "kind", "ahash", "n_dark"]
+            )
+
+    return media.mapInPandas(run, schema=AHASH_FIELDS)
+
+
 def sample_video_frames(media: DataFrame, every_n: int) -> DataFrame:
     """Keep every Nth frame of multi-frame payloads — the video
     frame-sampling step of a training pipeline. Animated GIF is the real

@@ -474,3 +474,33 @@ def test_webp_probe():
     assert C.is_webp(vp8l) and not C.is_webp(b"RIFFxxxxWAVE")
     with pytest.raises(ValueError):
         C.probe_webp(riff([(b"ALPH", b"\x00")]))
+
+
+def test_image_ahash_format_invariant(spark):
+    """The perceptual hash depends on pixels, not encoding: the same
+    image through PNG/BMP/GIF/TIFF yields one identical ahash, and a
+    lightly-noised copy stays hamming-close while a different image is
+    hamming-far."""
+    from rrdtool_1_x_spark.datapipe.multimodal import MEDIA_SCHEMA, image_ahash
+
+    rng = np.random.default_rng(40)
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    noisy = np.clip(img.astype(int) + rng.integers(-6, 7, img.shape), 0, 255).astype(np.uint8)
+    other = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    rows = [
+        (1, "png", bytearray(C.encode_png(img)), (None,) * 5),
+        (2, "bmp", bytearray(C.encode_bmp(img)), (None,) * 5),
+        (3, "gif", bytearray(G.encode_gif(img)), (None,) * 5),
+        (4, "tiff", bytearray(C.encode_tiff(img)), (None,) * 5),
+        (5, "noisy", bytearray(C.encode_png(noisy)), (None,) * 5),
+        (6, "other", bytearray(C.encode_png(other)), (None,) * 5),
+        (7, "text", bytearray(b"not an image"), (None,) * 5),
+    ]
+    out = {r.doc_id: r.ahash for r in
+           image_ahash(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
+    assert out[1] == out[2] == out[3] == out[4]
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(out[1], out[5]) <= 12
+    assert ham(out[1], out[6]) >= 16
+    assert out[7] is None  # non-image: NULL hash, lenient mode
