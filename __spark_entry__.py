@@ -768,6 +768,34 @@ def q_media_ahash(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_image_near_dup(spark, sf_dir):
+    """Image near-dup end-to-end: consecutive docs share an image (both
+    encode the even partner's text bytes), real PNG decode → average-hash
+    → the generic pigeonhole signature banding
+    (datapipe.dedup.signature_near_duplicates) at hamming 0. The oracle
+    recomputes every hash from the partner bytes and self-joins on
+    equality — collisions beyond the planted pairs match too."""
+    from rrdtool_1_x_spark.datapipe.dedup import signature_near_duplicates
+    from rrdtool_1_x_spark.datapipe.multimodal import (
+        image_ahash,
+        synthesize_media_real,
+    )
+
+    d = _docs(spark, sf_dir)
+    partner = d.select(
+        "doc_id", (F.col("doc_id") - F.col("doc_id") % 2).alias("_src")
+    )
+    src_txt = d.select(F.col("doc_id").alias("_src"), "text")
+    paired = partner.join(src_txt, "_src").select("doc_id", "text")
+    sig = image_ahash(synthesize_media_real(spark, paired, "image"), strict=True)
+    pairs = signature_near_duplicates(
+        sig, sig_col="ahash", max_hamming=0, blocks=4, max_bucket_size=None
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    ).orderBy("id_a", "id_b")
+
+
 def q_ann_cosine_top10(spark, sf_dir):
     """Brute-force cosine top-10 against the lowest-id embedding."""
     e = _emb(spark, sf_dir)
@@ -1593,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_g711": q_media_g711,
         "seq_pack": q_seq_pack,
         "media_ahash": q_media_ahash,
+        "image_near_dup": q_image_near_dup,
         "near_dup_pairs": q_near_dup_pairs,
         "dup_groups": q_dup_groups,
         "dedup_report": q_dedup_report,
@@ -2103,6 +2132,34 @@ h AS (SELECT doc_id,
       FROM m)
 SELECT doc_id, 'image' AS kind, ahash, n_dark::BIGINT AS n_dark
 FROM h ORDER BY doc_id"""
+    # image_near_dup: hamming-0 banding degenerates to hash equality, so
+    # the oracle recomputes each ahash from the even partner's bytes and
+    # self-joins; planted pairs (2k, 2k+1) plus any genuine collisions.
+    sql["image_near_dup"] = """
+WITH pm AS (SELECT d.doc_id, s.text
+        FROM documents d JOIN documents s
+          ON s.doc_id = d.doc_id - d.doc_id % 2),
+t AS (SELECT doc_id, hex(encode(text)) AS hx FROM pm),
+b AS (SELECT doc_id, list_transform(range(0, 256), i ->
+        CASE WHEN 2*i + 2 <= len(hx)
+             THEN 16*(strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1)
+                  + (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1)
+             ELSE 0 END) AS bytes
+      FROM t),
+s AS (SELECT doc_id, list_transform(range(0, 64), j ->
+        bytes[32*(j//8) + 2*(j%8) + 1]) AS px
+      FROM b),
+m AS (SELECT doc_id, px, list_aggregate(px, 'sum') / 64.0 AS mean FROM s),
+h AS (SELECT doc_id,
+        CAST(list_aggregate(list_transform(range(0, 64), j ->
+          CASE WHEN px[j+1] > mean THEN
+            CASE WHEN j = 0 THEN (-9223372036854775807 - 1)::HUGEINT
+                 ELSE (1::HUGEINT << (63 - j)) END
+          ELSE 0::HUGEINT END), 'sum') AS BIGINT) AS ahash
+      FROM m)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0::BIGINT AS hamming
+FROM h a JOIN h b ON a.ahash = b.ahash AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b"""
     # seq_pack: the packing index is pure integer arithmetic over a
     # window cumsum of (whitespace tokens + 1 EOD) in doc_id order —
     # sequence s covers doc tokens [max(0, 64s-off), min(n, 64(s+1)-off)).

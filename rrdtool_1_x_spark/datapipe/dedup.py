@@ -556,11 +556,31 @@ def simhash_near_duplicates(
     is dropped above ``max_bucket_size`` instead of exploding k²/2 on one
     shuffle key.
     """
+    fp = simhash(df, id_col, text_col, bits=bits, hash_fn=hash_fn)
+    return signature_near_duplicates(
+        fp, id_col=id_col, sig_col="simhash", max_hamming=max_hamming,
+        blocks=blocks, bits=bits, max_bucket_size=max_bucket_size,
+    )
+
+
+def signature_near_duplicates(
+    fp: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    max_hamming: int = 3,
+    blocks: int = 4,
+    bits: int = 64,
+    max_bucket_size: int | None = 512,
+) -> DataFrame:
+    """Pigeonhole-banded near-dup pairing over ANY precomputed 64-bit
+    signature column (SimHash, image average-hash, ...): the generic core
+    simhash_near_duplicates delegates to. Same plan, same skew cap."""
     if max_hamming >= blocks:
         raise ValueError("pigeonhole blocking needs max_hamming < blocks")
     width = bits // blocks
     mask = (1 << width) - 1
-    fp = simhash(df, id_col, text_col, bits=bits, hash_fn=hash_fn)
+    if sig_col != "simhash":
+        fp = fp.select(F.col(id_col), F.col(sig_col).alias("simhash"))
     block_structs = F.array(
         *[
             F.struct(
