@@ -362,6 +362,143 @@ def image_ahash(media: DataFrame, strict: bool = False) -> DataFrame:
     return media.mapInPandas(run, schema=AHASH_FIELDS)
 
 
+def image_phash(media: DataFrame, strict: bool = False) -> DataFrame:
+    """DCT perceptual hash (pHash): decode → grayscale → 32x32 nearest
+    neighbor → 2-D DCT (the JPEG codec's orthonormal basis, batched
+    matmul) → bit i set iff low-frequency coefficient i exceeds the
+    median of the 8x8 top-left block (DC excluded). Robust where the
+    average-hash is not: survives lossy JPEG re-encode and brightness
+    shifts because it keys on coefficient RANKS, not absolute levels.
+
+    Float medians make this deliberately library-surface only (no hash
+    oracle gate — a cross-engine DCT would chase ulps); robustness is
+    pinned by invariance tests instead. Schema matches image_ahash."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C32 = None
+        for pdf in batches:
+            rows = []
+            for doc_id, kind, content in zip(
+                pdf["doc_id"], pdf["kind"], pdf["content"]
+            ):
+                data = bytes(content) if content is not None else b""
+                img = _decode_image(data)
+                if img is None:
+                    if strict:
+                        raise NotImplementedError(
+                            f"no image codec for payload (kind={kind!r})"
+                        )
+                    rows.append((doc_id, kind, None, None))
+                    continue
+                gray = img.astype(np.float64).mean(axis=2)
+                h0, w0 = gray.shape
+                yi = (np.arange(32) * h0 // 32).clip(0, h0 - 1)
+                xi = (np.arange(32) * w0 // 32).clip(0, w0 - 1)
+                small = gray[yi][:, xi]
+                if C32 is None:
+                    x = np.arange(32)
+                    u = x[:, None]
+                    C32 = np.sqrt(2.0 / 32) * np.cos((2 * x + 1) * u * np.pi / 64)
+                    C32[0] *= 1.0 / np.sqrt(2.0)
+                coef = C32 @ small @ C32.T
+                low = coef[:8, :8].ravel()[1:]  # drop DC
+                med = np.median(low)
+                bits = np.concatenate([[False], low > med])  # 64 bits, DC=0
+                hash_u = int(np.packbits(bits.astype(np.uint8)).view(">u8")[0])
+                hash_s = hash_u - (1 << 64) if hash_u >= 1 << 63 else hash_u
+                rows.append((doc_id, kind, hash_s, int((~bits).sum())))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "kind", "ahash", "n_dark"]
+            ).rename(columns={"ahash": "phash", "n_dark": "n_low"})
+
+    schema = "doc_id long, kind string, phash long, n_low int"
+    return media.mapInPandas(run, schema=schema)
+
+
+def _decode_image(data: bytes):
+    """Shared image-decode dispatch for the perceptual hashes."""
+    from . import codecs
+    from . import gif as gif_codec
+    from . import jpeg as jpeg_codec
+
+    sniffed = codecs.sniff(data)
+    try:
+        if sniffed == "png":
+            return codecs.decode_png(data)
+        if sniffed == "pnm":
+            return codecs.decode_pnm(data)
+        if sniffed == "bmp":
+            return codecs.decode_bmp(data)
+        if sniffed == "jpeg":
+            return jpeg_codec.decode_jpeg(data)
+        if sniffed == "gif":
+            return gif_codec.decode_gif(data)
+        if sniffed == "tiff":
+            return codecs.decode_tiff(data)
+    except Exception:
+        return None
+    return None
+
+
+def audio_fingerprint(
+    media: DataFrame, n_frames: int = 16, n_bands: int = 4
+) -> DataFrame:
+    """Chromaprint-style spectral fingerprint: decode audio → mono →
+    split into ``n_frames`` equal frames → per-frame FFT band energies →
+    bit = energy delta positive across consecutive (frame, band) cells.
+    (n_frames-1) x n_bands bits packed MSB-first into a signed 64-bit
+    signature. Robust to volume scaling (energy RATIOS drive the bits)
+    and to lossy re-encode; hamming-close fingerprints mark duplicate
+    recordings. Library surface with invariance tests (float FFT keeps
+    it out of the hash-oracle gates, like image_phash)."""
+    from . import codecs
+    from . import flac as flac_codec
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, kind, content in zip(
+                pdf["doc_id"], pdf["kind"], pdf["content"]
+            ):
+                data = bytes(content) if content is not None else b""
+                sniffed = codecs.sniff(data)
+                samples = None
+                try:
+                    if sniffed == "wav":
+                        samples, _r = codecs.decode_wav(data)
+                    elif sniffed == "flac":
+                        samples, _r = flac_codec.decode_flac(data)
+                    elif sniffed == "aiff":
+                        samples, _r = codecs.decode_aiff(data)
+                except Exception:
+                    samples = None
+                if samples is None or samples.shape[0] < n_frames * 2:
+                    rows.append((doc_id, kind, None))
+                    continue
+                mono = samples.mean(axis=1)
+                frame_len = len(mono) // n_frames
+                frames = mono[: frame_len * n_frames].reshape(n_frames, frame_len)
+                spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+                nb = spec.shape[1] - 1  # drop DC bin
+                band_w = max(1, nb // n_bands)
+                bands = np.stack(
+                    [
+                        spec[:, 1 + b * band_w : 1 + (b + 1) * band_w].sum(axis=1)
+                        for b in range(n_bands)
+                    ],
+                    axis=1,
+                )  # (n_frames, n_bands)
+                delta = np.diff(bands, axis=0) > 0  # (n_frames-1, n_bands)
+                bits = np.zeros(64, dtype=bool)
+                flat = delta.ravel()[:64]
+                bits[: len(flat)] = flat
+                hash_u = int(np.packbits(bits.astype(np.uint8)).view(">u8")[0])
+                hash_s = hash_u - (1 << 64) if hash_u >= 1 << 63 else hash_u
+                rows.append((doc_id, kind, hash_s))
+            yield pd.DataFrame(rows, columns=["doc_id", "kind", "afp"])
+
+    return media.mapInPandas(run, schema="doc_id long, kind string, afp long")
+
+
 def sample_video_frames(media: DataFrame, every_n: int) -> DataFrame:
     """Keep every Nth frame of multi-frame payloads — the video
     frame-sampling step of a training pipeline. Animated GIF is the real

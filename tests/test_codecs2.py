@@ -504,3 +504,67 @@ def test_image_ahash_format_invariant(spark):
     assert ham(out[1], out[5]) <= 12
     assert ham(out[1], out[6]) >= 16
     assert out[7] is None  # non-image: NULL hash, lenient mode
+
+
+def test_image_phash_robust_to_jpeg_reencode(spark):
+    """pHash must survive what breaks byte equality: lossy JPEG q85
+    re-encode and a global brightness shift stay hamming-close to the
+    original; an unrelated image stays far. (aHash-style mean hashing is
+    gated; pHash is the robustness tier above it.)"""
+    from rrdtool_1_x_spark.datapipe.multimodal import MEDIA_SCHEMA, image_phash
+
+    rng = np.random.default_rng(50)
+    # smooth structured image (random noise has no stable low-freq rank)
+    yy, xx = np.mgrid[0:64, 0:64]
+    img = (128 + 60 * np.sin(yy / 7.0) * np.cos(xx / 9.0)
+           + 40 * np.sin((xx + yy) / 11.0)).clip(0, 255).astype(np.uint8)
+    bright = np.clip(img.astype(int) + 25, 0, 255).astype(np.uint8)
+    other = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+    rows = [
+        (1, "orig", bytearray(C.encode_png(img)), (None,) * 5),
+        (2, "jpeg85", bytearray(J.encode_jpeg(img, quality=85)), (None,) * 5),
+        (3, "bright", bytearray(C.encode_png(bright)), (None,) * 5),
+        (4, "other", bytearray(C.encode_png(other)), (None,) * 5),
+    ]
+    out = {r.doc_id: r.phash for r in
+           image_phash(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(out[1], out[2]) <= 8   # survives lossy re-encode
+    assert ham(out[1], out[3]) <= 6   # survives brightness shift
+    assert ham(out[1], out[4]) >= 16  # unrelated image is far
+
+
+def test_audio_fingerprint_volume_invariant(spark):
+    """The spectral fingerprint keys on energy deltas: half-volume and
+    FLAC-reencoded copies match the original exactly; a different
+    recording is hamming-far; non-audio yields NULL."""
+    from rrdtool_1_x_spark.datapipe import flac as FL
+    from rrdtool_1_x_spark.datapipe.multimodal import (
+        MEDIA_SCHEMA,
+        audio_fingerprint,
+    )
+
+    t = np.arange(8000)
+    sig = (np.sin(t / 8.0) * np.exp(-t / 6000) + 0.3 * np.sin(t / 3.0)) * 0.6
+    other = np.sin(t / 23.0) * np.cos(t / 5.0) * 0.6
+    ints = np.round(sig * 20000).astype(np.int64)
+    rows = [
+        (1, "wav", bytearray(C.encode_wav(sig, 8000, 16)), (None,) * 5),
+        (2, "half", bytearray(C.encode_wav(sig * 0.5, 8000, 16)), (None,) * 5),
+        (3, "flac", bytearray(FL.encode_flac(ints, 8000, 16)), (None,) * 5),
+        (4, "other", bytearray(C.encode_wav(other, 8000, 16)), (None,) * 5),
+        (5, "text", bytearray(b"not audio"), (None,) * 5),
+    ]
+    out = {r.doc_id: r.afp for r in
+           audio_fingerprint(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert out[1] == out[2]          # volume invariant
+    assert ham(out[1], out[3]) <= 2  # lossless re-encode (int quantization)
+    assert ham(out[1], out[4]) >= 10
+    assert out[5] is None
