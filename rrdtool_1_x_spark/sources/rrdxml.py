@@ -86,7 +86,10 @@ def _resolve_series(store: DatasetStore, series_id: str | None) -> str:
     return sids[0] if sids else store.dataset.name
 
 
-def dump_xml(store: DatasetStore, out_path: str, series_id: str | None = None) -> None:
+def dump_xml(
+    store: DatasetStore, out_path: str, series_id: str | None = None,
+    header: str = "dtd",
+) -> None:
     """Write one reference-format XML dump for ``series_id`` (auto-selected
     when the store holds a single series, like one .rrd file).
 
@@ -97,7 +100,7 @@ def dump_xml(store: DatasetStore, out_path: str, series_id: str | None = None) -
     lastup = store.last()
     samples = store._read("samples")
     series_id = _resolve_series(store, series_id)
-    L: list[str] = _doc_head(store, series_id, lastup, samples)
+    L: list[str] = _doc_head(store, series_id, lastup, samples, header)
     data_ds = [ds for ds in d.ds if ds.dst != "COMPUTE"]
     for i, rra in enumerate(d.rra):
         res = d.step * rra.pdp_cnt
@@ -121,9 +124,33 @@ def dump_xml(store: DatasetStore, out_path: str, series_id: str | None = None) -
         f.write("\n".join(L) + "\n")
 
 
-def _doc_head(store: DatasetStore, series_id: str, lastup: int, samples) -> list[str]:
+_XML_PROLOGS = {
+    # rrd_dump.c:102-115 opt_header variants
+    "dtd": [
+        '<?xml version="1.0" encoding="utf-8"?>',
+        '<!DOCTYPE rrd SYSTEM "https://oss.oetiker.ch/rrdtool/rrdtool.dtd">',
+        "<!-- Round Robin Database Dump -->",
+        "<rrd>",
+    ],
+    "xsd": [
+        '<?xml version="1.0" encoding="utf-8"?>',
+        "<!-- Round Robin Database Dump -->",
+        '<rrd xmlns="https://oss.oetiker.ch/rrdtool/rrdtool-dump.xml" '
+        'xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance"',
+        '\txsi:schemaLocation="https://oss.oetiker.ch/rrdtool/rrdtool-dump.xml '
+        'https://oss.oetiker.ch/rrdtool/rrdtool-dump.xsd">',
+    ],
+    "none": ["<!-- Round Robin Database Dump -->", "<rrd>"],
+}
+
+
+def _doc_head(
+    store: DatasetStore, series_id: str, lastup: int, samples,
+    header: str = "dtd",
+) -> list[str]:
     """Header + DS blocks through the archives comment (shared by the
-    driver-side and distributed dump paths)."""
+    driver-side and distributed dump paths). ``header`` selects the XML
+    prolog like rrd_dump --header none|xsd|dtd / --no-header."""
     d = store.dataset
     # a store restored from a dump keeps the source's PDP-status block
     # verbatim (restored.json); it stays authoritative until newer raw
@@ -146,11 +173,9 @@ def _doc_head(store: DatasetStore, series_id: str, lastup: int, samples) -> list
         ):
             last_raw[r["ds_name"]] = r["v"]
 
-    L: list[str] = []
-    L.append('<?xml version="1.0" encoding="utf-8"?>')
-    L.append('<!DOCTYPE rrd SYSTEM "https://oss.oetiker.ch/rrdtool/rrdtool.dtd">')
-    L.append("<!-- Round Robin Database Dump -->")
-    L.append("<rrd>")
+    if header not in _XML_PROLOGS:
+        raise ValueError(f"unknown dump header style {header!r}")
+    L: list[str] = list(_XML_PROLOGS[header])
     L.append("\t<version>0003</version>")
     L.append(f"\t<step>{d.step}</step> <!-- Seconds -->")
     L.append(f"\t<lastupdate>{lastup}</lastupdate> <!-- {_ts_comment(lastup)} -->")
@@ -214,7 +239,8 @@ _RRA_TAIL = ["\t\t</database>", "\t</rra>"]
 
 
 def dump_xml_distributed(
-    store: DatasetStore, out_dir: str, series_id: str | None = None
+    store: DatasetStore, out_dir: str, series_id: str | None = None,
+    header: str = "dtd",
 ) -> None:
     """Cluster-scale dump: the same document as ``dump_xml``, but every
     ``<database>`` section is rendered and written by executors — the
@@ -243,7 +269,8 @@ def dump_xml_distributed(
             f.write("\n".join(lines) + "\n")
 
     seq = 0
-    frag(seq, "head", _doc_head(store, series_id, lastup, store._read("samples")))
+    frag(seq, "head", _doc_head(store, series_id, lastup,
+                                store._read("samples"), header))
     parallelism = max(spark.sparkContext.defaultParallelism, 1)
     for i, rra in enumerate(d.rra):
         res = d.step * rra.pdp_cnt
