@@ -826,8 +826,12 @@ def decode_tiff(data: bytes) -> np.ndarray:
         vals = struct.unpack(bo + fmt * count, buf)
         return list(vals)
 
-    width = val(256)[0]
-    height = val(257)[0]
+    width_vals = val(256)
+    height_vals = val(257)
+    if not width_vals or not height_vals:
+        raise ValueError("TIFF: missing required ImageWidth/ImageLength tag")
+    width = width_vals[0]
+    height = height_vals[0]
     spp = val(277, [1])[0]
     bits = val(258, [8] * spp)
     comp = val(259, [1])[0]

@@ -69,6 +69,10 @@ def lzw_decode(data: bytes, min_code_size: int) -> bytearray:
         if code == end:
             return out
         if prev is None:
+            # first code after (re)init must be a literal root, never a
+            # dummy slot or out-of-range index
+            if code >= clear:
+                raise ValueError("GIF: corrupt LZW stream")
             entry = table[code]
         elif code < len(table):
             entry = table[code]

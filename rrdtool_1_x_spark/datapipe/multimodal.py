@@ -298,8 +298,8 @@ def image_ahash(media: DataFrame, strict: bool = False) -> DataFrame:
     near-dup primitive: decode → grayscale → nearest-neighbor 8x8 →
     bit i set iff pixel i > the 8x8 mean. Emits the 64-bit hash (as a
     signed long) plus the dark-pixel count. Hamming-close hashes mark
-    near-duplicate images; pairing composes with the SimHash banding
-    machinery (datapipe.dedup.simhash_near_dup_pairs operates on any
+    near-duplicate images; pairing composes with the generic banding
+    machinery (datapipe.dedup.signature_near_duplicates operates on any
     64-bit signature column).
 
     Exactness: the 8x8 mean is sum/64 — a power-of-two divisor, so the

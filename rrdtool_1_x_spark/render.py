@@ -564,8 +564,13 @@ def render_graph(
     localtime = tz_localtime or _time.gmtime
 
     vmin, vmax = bounds
-    if not np.isfinite(vmin) or not np.isfinite(vmax) or vmin == vmax:
-        vmin, vmax = (0.0, 1.0) if vmin == vmax else (0.0, 1.0)
+    if not np.isfinite(vmin) or not np.isfinite(vmax):
+        vmin, vmax = 0.0, 1.0
+    elif vmin == vmax:
+        # flat series: expand symmetrically around the value so the data
+        # stays on-axis (reference identity_function fallback behavior)
+        pad = abs(vmin) * 0.1 or 1.0
+        vmin, vmax = vmin - pad, vmax + pad
     if logarithmic:
         # log scale needs a positive floor (the reference refuses
         # non-positive bounds; we clamp to 3 decades below the max)
