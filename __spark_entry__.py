@@ -1582,7 +1582,33 @@ def _memo(name: str, fn: Callable[[SparkSession, str], DataFrame]):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT: the driver's correctness sweep windows the FIRST
+    # 50 keys. Entries with no driver CORRECTNESS row yet (never checked,
+    # or checked longest ago) are listed first so every gate earns a
+    # driver-green row before any repeat. New entries go in the priority
+    # block at the top, never appended at the end.
     qs = {
+        # -- priority: no driver row yet (added after the r5 sweep) ----
+        "pii_scrub": q_pii_scrub,
+        "unigram_logprob": q_unigram_logprob,
+        "curate": q_curate,
+        "sql_derive": q_sql_derive,
+        "xport_sink": q_xport_sink,
+        # -- priority: last driver row is r4 (rotated out of the r5 window)
+        "simhash_near_dup": q_simhash_near_dup,
+        "decontam_overlap": q_decontam_overlap,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "token_budget": q_token_budget,
+        "vocab_top": q_vocab_top,
+        "band_index_topup": q_band_index_topup,
+        "simhash_index_topup": q_simhash_index_topup,
+        "ivf_indexed_topk": q_ivf_indexed_topk,
+        "xport_fmt": q_xport_fmt,
+        "daemon_fetch": q_daemon_fetch,
+        "sql_source": q_sql_source,
+        "cb_source": q_cb_source,
+        # -- r5-green tier (driver rows in CORRECTNESS_r05.json) -------
         "pdp_gauge": q_pdp_gauge,
         "counter_rate": q_counter_rate,
         "cdp_avg": _q_cdp("AVERAGE"),
@@ -1633,24 +1659,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_jaccard": q_weighted_jaccard,
         "graph_stack": q_graph_stack,
         "graph_scale": q_graph_scale,
-        "simhash_near_dup": q_simhash_near_dup,
-        "decontam_overlap": q_decontam_overlap,
-        "hash_split": q_hash_split,
-        "stratified_sample": q_stratified_sample,
-        "token_budget": q_token_budget,
-        "vocab_top": q_vocab_top,
-        "pii_scrub": q_pii_scrub,
-        "unigram_logprob": q_unigram_logprob,
-        "curate": q_curate,
-        "band_index_topup": q_band_index_topup,
-        "simhash_index_topup": q_simhash_index_topup,
-        "ivf_indexed_topk": q_ivf_indexed_topk,
-        "xport_fmt": q_xport_fmt,
-        "daemon_fetch": q_daemon_fetch,
-        "sql_source": q_sql_source,
-        "sql_derive": q_sql_derive,
-        "cb_source": q_cb_source,
-        "xport_sink": q_xport_sink,
     }
     # curate materializes its stage results eagerly at construction
     # (localCheckpoint inside curate_corpus): memoizing the DataFrame
