@@ -170,12 +170,16 @@ def pack_sequences(
     tokenization of ``text_col`` (the shared textstats convention).
     Zero-token documents occupy only their separator and emit no rows.
 
-    Scale: the stream offset is ONE window cumsum; by default the window
-    is a single global ordering (exactly reproducible, fine to ~10^8
-    docs), and ``shard_col`` switches to per-shard packing (window
-    partitioned by the shard — the form a 100 TB run uses, trading
-    global stream identity for a parallel sort). The per-sequence
-    explode is ``F.sequence`` — pure JVM, no UDF.
+    Scale: the stream offset is an exact DISTRIBUTED prefix-sum — never a
+    single-partition global window. The default (``shard_col=None``) keeps
+    exact global stream identity via the classic two-level scan:
+    range-partition by ``doc_id``, cumsum inside each partition in
+    parallel, then add each partition's broadcast predecessor total
+    (partition ids of a range exchange ascend with the sort key, so
+    ``prefix(pid) + local_cumsum`` equals the global cumsum bit-for-bit).
+    ``shard_col`` instead packs each shard independently (offsets restart
+    per shard). The per-sequence explode is ``F.sequence`` — pure JVM, no
+    UDF.
     """
     if token_col is None:
         toks = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(
@@ -187,18 +191,57 @@ def pack_sequences(
         F.col(id_col).alias("doc_id"), toks.cast("long").alias("n_tokens"),
         *([F.col(shard_col).alias("_shard")] if shard_col else []),
     )
-    w = (
-        Window.partitionBy("_shard") if shard_col else Window.partitionBy()
-    ).orderBy("doc_id")
     stride = F.col("n_tokens") + F.lit(int(eod_tokens))
-    offset = (
-        F.coalesce(
+    if shard_col:
+        w = Window.partitionBy("_shard").orderBy("doc_id")
+        offset = F.coalesce(
             F.sum(stride).over(w.rowsBetween(Window.unboundedPreceding, -1)),
             F.lit(0),
+        ).alias("offset")
+        packed = base.select("doc_id", "n_tokens", offset, "_shard")
+    else:
+        # two-level exact global prefix-sum. localCheckpoint pins ONE
+        # materialization of the range exchange so the per-partition
+        # totals and the rows they prefix agree on partition boundaries
+        # (spark_partition_id must not be recomputed under a resample).
+        local_w = Window.partitionBy("_pid").orderBy("doc_id")
+        local = (
+            base.repartitionByRange("doc_id")
+            .withColumn("_pid", F.spark_partition_id())
+            .withColumn(
+                "_loc",
+                F.coalesce(
+                    F.sum(stride).over(
+                        local_w.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .localCheckpoint(eager=False)
         )
-    ).alias("offset")
-    packed = base.select("doc_id", "n_tokens", offset,
-                         *(["_shard"] if shard_col else []))
+        totals = local.groupBy("_pid").agg(F.sum(stride).alias("_tot"))
+        # predecessor totals over the tiny totals frame (one row per
+        # shuffle partition): a theta self-join, not a global window
+        prefix = (
+            totals.alias("a")
+            .join(
+                totals.select(
+                    F.col("_pid").alias("_bpid"), F.col("_tot").alias("_btot")
+                ),
+                F.col("_bpid") < F.col("a._pid"),
+                "left",
+            )
+            .groupBy(F.col("a._pid").alias("_pid"))
+            .agg(F.coalesce(F.sum("_btot"), F.lit(0)).alias("_pre"))
+        )
+        packed = (
+            local.join(F.broadcast(prefix), "_pid")
+            .select(
+                "doc_id",
+                "n_tokens",
+                (F.col("_pre") + F.col("_loc")).alias("offset"),
+            )
+        )
     s0 = F.floor(F.col("offset") / seq_len)
     s1 = F.floor((F.col("offset") + F.col("n_tokens") - 1) / seq_len)
     out = (

@@ -244,3 +244,53 @@ def test_pack_sequences_properties(spark):
     )
     assert per_doc_s.filter("covered != n_tokens").count() == 0
     assert "lang" in sharded.columns
+
+
+def test_pack_sequences_default_never_plans_single_partition(spark):
+    """The scale contract for the default (global-identity) path: the
+    stream offset is a two-level distributed prefix-sum, so the physical
+    plan must contain NO SinglePartition exchange — the footgun this
+    replaces was a Window.partitionBy() global cumsum that planned a
+    one-task WindowExec over the whole corpus."""
+    from rrdtool_1_x_spark.datapipe.sampling import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = pack_sequences(docs, seq_len=128)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
+def test_pack_sequences_default_matches_driver_cumsum(spark):
+    """The distributed prefix-sum must reproduce the sequential global
+    cumsum bit-for-bit (global stream identity is the default's whole
+    point)."""
+    from rrdtool_1_x_spark.datapipe.sampling import pack_sequences
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.when(F.trim("text") == "", F.lit(0))
+            .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+            .cast("long")
+            .alias("n"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    off, expect = 0, {}
+    for r in toks:
+        expect[r.doc_id] = off
+        off += r.n + 1  # eod_tokens=1
+    out = pack_sequences(docs, seq_len=128)
+    # derive each doc's stream offset back from its first piece:
+    # offset = seq_idx*seq_len + pos_in_seq at tok_from==0
+    got = {
+        r.doc_id: r.seq_idx * 128 + r.pos_in_seq
+        for r in out.filter("tok_from = 0").collect()
+    }
+    assert got == {d: o for d, o in expect.items()
+                   if d in got}  # zero-token docs emit no rows
+    # and every non-empty doc is present
+    assert set(got) == {r.doc_id for r in toks if r.n > 0}
