@@ -831,6 +831,24 @@ def cmd_graph(args: list[str]) -> int:
     if y_grid_opt and not y_grid_off:
         g, _, l = y_grid_opt.partition(":")
         y_grid_spec = (float(g), max(1, int(l or 1)))
+    # --right-axis scale:shift (+ label/format) — the second y axis
+    # (src/rrd_graph.c:5255-5287 option cases 1002-1004)
+    right_axis_opt = _opt(args, "--right-axis")
+    right_axis = None
+    if right_axis_opt is not None:
+        try:
+            ra_scale_s, _, ra_shift_s = right_axis_opt.partition(":")
+            right_axis = (float(ra_scale_s), float(ra_shift_s))
+        except ValueError:
+            print("ERROR: invalid right-axis format expected scale:shift",
+                  file=sys.stderr)
+            return 1
+        if right_axis[0] == 0:
+            print("ERROR: the second_axis_scale must not be 0",
+                  file=sys.stderr)
+            return 1
+    right_axis_label = _opt(args, "--right-axis-label", default="")
+    right_axis_format = _opt(args, "--right-axis-format")
     alt_autoscale = _opt(args, "-A", "--alt-autoscale", flag=True)
     units_exp = _opt(args, "-X", "--units-exponent")
     units_exponent = int(units_exp) if units_exp is not None else None
@@ -979,6 +997,9 @@ def cmd_graph(args: list[str]) -> int:
         border=border,
         watermark=watermark,
         backend=imgformat.lower(),
+        right_axis=right_axis,
+        right_axis_label=right_axis_label,
+        right_axis_format=right_axis_format,
     )
     if zoom != 1.0:
         cv.zoom(zoom)

@@ -541,6 +541,9 @@ def render_graph(
     border: int = 2,
     watermark: str = "",
     backend: str = "png",
+    right_axis: tuple[float, float] | None = None,
+    right_axis_label: str = "",
+    right_axis_format: str | None = None,
 ) -> "Canvas":
     """Rasterize a resolved graph.
 
@@ -555,6 +558,16 @@ def render_graph(
     axes (src/rrd_graph.c:2382-2414 hrule/vrule painting). ``width``/
     ``height`` size the PLOT AREA; the image adds margins — same
     convention as the reference.
+
+    ``right_axis``: (scale, shift) — a SECOND y axis on the right whose
+    labels are ``left_value*scale + shift`` at each left grid line; never
+    scales the data (src/rrd_graph.c:2567-2652 second_axis label loop,
+    :3157-3165 right axis line+arrow, :3625-3627 extra Xylabel width).
+    ``right_axis_label``: rotated unit text on the right edge
+    (second_axis_legend, src/rrd_graph.c:3233-3241).
+    ``right_axis_format``: printf format for the right labels; default
+    auto-scales ONE SI magnitude for the whole axis from the mid grid
+    value (src/rrd_graph.c:2576-2597).
     """
     import time as _time
 
@@ -585,12 +598,19 @@ def render_graph(
         no_legend = True
         title = vertical_label = watermark = ""
         border = 0
+    if only_graph:
+        right_axis = None
+        right_axis_label = ""
     lab_chars = units_length if units_length is not None else 7
     left = 0 if only_graph else (
         8 + (2 * CHAR_W if vertical_label else 0) + lab_chars * CHAR_W
     )
     top = 0 if only_graph else 4 + (CHAR_H + 4 if title else 0)
     right = 0 if only_graph else 16
+    if right_axis is not None:
+        # reserve a right label gutter (the reference widens the image by
+        # one more Xylabel, src/rrd_graph.c:3695-3697) + the rotated unit
+        right += lab_chars * CHAR_W + (2 * CHAR_W if right_axis_label else 0)
     legends = [] if no_legend else [el for el in elements if el.legend]
     legend_rows = (
         len(legends)
@@ -637,6 +657,31 @@ def render_graph(
             frac = (v - vmin) / (vmax - vmin)
         return y1 - int(round(frac * (height - 1)))
 
+    # -- right-axis label formatter (second_axis label loop,
+    # src/rrd_graph.c:2567-2652): sval = left*scale + shift; custom printf
+    # format wins, else ONE SI magnitude chosen from the mid grid value
+    _ra_state: dict = {}
+
+    def right_label(v: float) -> str:
+        scale, shift = right_axis
+        sval = v * scale + shift
+        if right_axis_format:
+            try:
+                return right_axis_format % sval
+            except TypeError:
+                return right_axis_format % (sval, "")
+        if logarithmic:
+            return f"{sval:3.0e}"  # horizontal_log_grid default (%3.0e)
+        if "magfact" not in _ra_state:
+            mid = (vmin + vmax) / 2.0 * scale + shift
+            m = abs(mid) or max(
+                abs(vmin * scale + shift), abs(vmax * scale + shift), 1e-300
+            )
+            mag = int(np.floor(np.log10(m) / 3)) if m > 0 else 0
+            _ra_state["mag"] = max(-6, min(6, mag))
+            _ra_state["magfact"] = 1000.0 ** _ra_state["mag"]
+        return si_label(sval, _ra_state["magfact"], _ra_state["mag"])
+
     # -- grids -------------------------------------------------------------
     if y_grid and logarithmic:
         # decade lines labelled, 2..9 multiples as minor grid
@@ -651,6 +696,9 @@ def render_graph(
                 lab = si_label(v, 1000.0**mag, mag)
                 cv.text(x0 - 4 - len(lab) * CHAR_W, y - CHAR_H // 2, lab,
                         col["FONT"])
+                if right_axis is not None:
+                    cv.text(x1 + 8, y - CHAR_H // 2, right_label(v),
+                            col["FONT"])
             for m in range(2, 10):
                 v2 = m * 10.0**dec
                 if vmin <= v2 <= vmax:
@@ -680,6 +728,9 @@ def render_graph(
             if major:
                 lab = si_label(v, magfact, mag)
                 cv.text(x0 - 4 - len(lab) * CHAR_W, y - CHAR_H // 2, lab, col["FONT"])
+                if right_axis is not None:
+                    cv.text(x1 + 8, y - CHAR_H // 2, right_label(v),
+                            col["FONT"])
             k += 1
             i += 1
     if x_grid:
@@ -773,6 +824,12 @@ def render_graph(
         for d in range(3):
             cv.vline(x1 + 5 + d, y1 + 1 - (2 - d), y1 + 1 + (2 - d),
                      col["ARROW"])
+        if right_axis is not None:
+            # right axis line + up arrow (src/rrd_graph.c:3157-3165)
+            cv.vline(x1 + 1, y0 - 4, y1 + 4, col["AXIS"])
+            for d in range(3):
+                cv.hline(y0 - 5 - d, x1 + 1 - (2 - d), x1 + 1 + (2 - d),
+                         col["ARROW"])
         # frame around the plot area (thin)
         for xx in (x0 - 1, x1 + 1):
             cv.vline(xx, y0 - 1, y1 + 1, col["FRAME"])
@@ -785,6 +842,12 @@ def render_graph(
     if vertical_label:
         cv.text(6, (H + len(vertical_label) * CHAR_W) // 2, vertical_label,
                 col["FONT"], rotate=True)
+    if right_axis_label:
+        # second_axis_legend, rotated on the right edge
+        # (src/rrd_graph.c:3233-3241)
+        cv.text(W - 6 - CHAR_H,
+                (H + len(right_axis_label) * CHAR_W) // 2,
+                right_axis_label, col["FONT"], rotate=True)
     ly = y1 + CHAR_H + 10
 
     def _swatch(color: str) -> None:

@@ -472,3 +472,103 @@ def test_cli_graph_pipeline(tmp_path, spark, capsys):
     # the AREA color must appear, and the constant blue line as well
     assert ((img == [0, 0xC0, 0]).all(axis=2)).any()
     assert ((img == [0, 0, 255]).all(axis=2)).any()
+
+
+def _text_mask(s):
+    """Expected pixel mask of a string in the bitmap font."""
+    m = np.zeros((7, len(s) * CHAR_W), bool)
+    for i, ch in enumerate(s):
+        m[:, i * CHAR_W : i * CHAR_W + 5] = glyph(ch).astype(bool)
+    return m
+
+
+def test_right_axis_scale_shift_labels_pixel_exact():
+    """--right-axis 2:1 with a custom format: right labels are
+    left*2+1 at every left grid line, pixel-exact in the right gutter;
+    the image widens by one label gutter."""
+    el = GraphElement("LINE", "v", color="#ff0000", legend="")
+    rows = _rows([5.0] * 50)
+    base_cv = render_graph(rows, [el], (0.0, 10.0), 1000, 1500,
+                           width=100, height=51, x_grid=False)
+    cv = render_graph(rows, [el], (0.0, 10.0), 1000, 1500,
+                      width=100, height=51, x_grid=False,
+                      right_axis=(2.0, 1.0), right_axis_format="%.0f")
+    assert cv.w == base_cv.w + 7 * CHAR_W
+    img = _img(cv)
+    font = (img == [0, 0, 0]).all(axis=2)
+    left = 8 + 7 * CHAR_W
+    x1 = left + 100 - 1
+    y1 = 4 + 51 - 1
+    # right axis line drawn the full plot height
+    assert font[4:y1 + 1, x1 + 1].all()
+    for v, lab in [(0.0, "1"), (5.0, "11"), (10.0, "21")]:
+        y = y1 - round(v / 10 * 50)
+        region = font[y - 4 : y + 3, x1 + 8 : x1 + 8 + len(lab) * CHAR_W]
+        exp = _text_mask(lab)
+        ok = np.ones(7, bool)
+        if y - 4 <= y1 + 1 < y + 3:  # x-axis overshoot crosses this row
+            ok[y1 + 1 - (y - 4)] = False
+        assert (region[ok] == exp[ok]).all(), (v, lab)
+
+
+def test_right_axis_default_si_format_and_label():
+    """Default numeric formatter picks ONE SI magnitude from the mid grid
+    value (scale 1000 -> k labels); --right-axis-label reserves and draws
+    a rotated unit on the right edge."""
+    el = GraphElement("LINE", "v", color="#ff0000", legend="")
+    rows = _rows([5.0] * 50)
+    cv = render_graph(rows, [el], (0.0, 10.0), 1000, 1500,
+                      width=100, height=51, x_grid=False,
+                      right_axis=(1000.0, 0.0))
+    img = _img(cv)
+    font = (img == [0, 0, 0]).all(axis=2)
+    left = 8 + 7 * CHAR_W
+    x1 = left + 100 - 1
+    y1 = 4 + 51 - 1
+    for v, lab in [(0.0, "0 k"), (5.0, "5 k"), (10.0, "10 k")]:
+        y = y1 - round(v / 10 * 50)
+        region = font[y - 4 : y + 3, x1 + 8 : x1 + 8 + len(lab) * CHAR_W]
+        exp = _text_mask(lab)
+        ok = np.ones(7, bool)
+        if y - 4 <= y1 + 1 < y + 3:  # x-axis overshoot crosses this row
+            ok[y1 + 1 - (y - 4)] = False
+        assert (region[ok] == exp[ok]).all(), (v, lab)
+    cv2 = render_graph(rows, [el], (0.0, 10.0), 1000, 1500,
+                       width=100, height=51, x_grid=False,
+                       right_axis=(1000.0, 0.0), right_axis_label="bits")
+    assert cv2.w == cv.w + 2 * CHAR_W
+    img2 = _img(cv2)
+    font2 = (img2 == [0, 0, 0]).all(axis=2)
+    # rotated unit text occupies the rightmost gutter columns
+    assert font2[:, x1 + 8 + 7 * CHAR_W :].any()
+
+
+def test_cli_graph_right_axis(tmp_path, spark, capsys):
+    """End-to-end: --right-axis scale:shift + label + format through the
+    CLI; bad specs error out like the reference."""
+    from rrdtool_1_x_spark.cli import main
+    from rrdtool_1_x_spark.datapipe.codecs import decode_png
+
+    ds = str(tmp_path / "t.rrd")
+    base = 999_999_900
+    assert main(["create", ds, "--start", str(base - 10), "--step", "300",
+                 "DS:v:GAUGE:600:U:U", "RRA:AVERAGE:0.5:1:100"]) == 0
+    assert main(["update", ds, f"{base + 300}:5", f"{base + 600}:7"]) == 0
+    out = str(tmp_path / "g.png")
+    argv = ["graph", out, "-s", str(base), "-e", str(base + 600),
+            "-w", "100", "-h", "40", f"DEF:v={ds}:v:AVERAGE",
+            "LINE1:v#ff0000"]
+    assert main(argv) == 0
+    w0 = decode_png(open(out, "rb").read()).shape[1]
+    capsys.readouterr()
+    assert main(argv[:2] + ["--right-axis", "8:0", "--right-axis-label",
+                            "bps", "--right-axis-format", "%.1f"]
+                + argv[2:]) == 0
+    sz = capsys.readouterr().out.strip().splitlines()[-1]
+    w1, h1 = map(int, sz.split("x"))
+    assert w1 == w0 + 7 * 6 + 2 * 6  # label gutter + rotated unit
+    assert decode_png(open(out, "rb").read()).shape[1] == w1
+    # scale 0 refused (reference: "the second_axis_scale must not be 0")
+    assert main(argv[:2] + ["--right-axis", "0:0"] + argv[2:]) == 1
+    # malformed spec refused
+    assert main(argv[:2] + ["--right-axis", "abc"] + argv[2:]) == 1
