@@ -702,13 +702,22 @@ def _expand_range(vmin: float, vmax: float, base: float = 1000.0):
     return vmin, vmax
 
 
-def _final_bounds(bounds, lo_opt, up_opt, rigid):
+def _final_bounds(bounds, lo_opt, up_opt, rigid, alt=None, base=1000.0,
+                  expand=True):
     """-l/-u/--rigid adjust the autoscale bounds exactly like the
     reference (src/rrd_graph.c:1486-1528): data expands past the user
     limits unless rigid; a crossed pair is pulled back together; then
     si_unit + expand_range (src/rrd_graph.c:613-700, :3963-3969) snap the
     published bounds outward to the sensible-value grid (tests/graph2:
-    0.0302..0.04 data → 3.0e-02 / 4.0e-02)."""
+    0.0302..0.04 data → 3.0e-02 / 4.0e-02).
+
+    ``alt`` selects the alternative autoscale branches of expand_range
+    (src/rrd_graph.c:636-668, mutually exclusive with the sensible-value
+    snap): "A" (--alt-autoscale) pads both sides by 10% of the amplitude
+    — or by 55% of the shortfall against fact = 2*10^(floor(log10(
+    max|bound|/magfact))-2) when the amplitude is smaller, so flat-ish
+    series stay visible; "J" (--alt-autoscale-min) pads only the bottom
+    by 10%; "M" (--alt-autoscale-max) pads only the top by 10%."""
     import math
 
     vmin, vmax = bounds
@@ -720,8 +729,25 @@ def _final_bounds(bounds, lo_opt, up_opt, rigid):
         umax = vmax
     if umin > umax:
         umin = 0.99 * umax if umin > 0 else 1.01 * umax
-    if not rigid:
-        umin, umax = _expand_range(umin, umax)
+    if alt == "A":
+        delt = umax - umin
+        adj = delt * 0.1
+        m = max(abs(umin), abs(umax))
+        if m > 0 and math.isfinite(m):
+            magfact = base ** math.floor(math.log(m) / math.log(base))
+            fact = 2.0 * 10.0 ** (math.floor(math.log10(m / magfact)) - 2)
+            if delt < fact:
+                adj = (fact - delt) * 0.55
+        umin -= adj
+        umax += adj
+    elif alt == "J":
+        adj = (umax - umin) * 0.1
+        umin -= adj
+    elif alt == "M":
+        adj = (umax - umin) * 0.1
+        umax += adj
+    elif not rigid and expand:
+        umin, umax = _expand_range(umin, umax, base)
     return umin, umax
 
 
@@ -736,6 +762,10 @@ def cmd_graphv(args: list[str]) -> int:
     lo_opt = _opt(args, "-l", "--lower-limit")
     up_opt = _opt(args, "-u", "--upper-limit")
     rigid = _opt(args, "-r", "--rigid", flag=True)
+    galt = "A" if _opt(args, "-A", "--alt-autoscale", flag=True) else (
+        "J" if _opt(args, "-J", "--alt-autoscale-min", flag=True) else (
+            "M" if _opt(args, "-M", "--alt-autoscale-max", flag=True)
+            else None))
     jsontime = _opt(args, "--add-jsontime", flag=True)
     # rendering options are accepted and ignored (data-only graphv)
     args[:] = [a for a in args if not a.startswith("--imgformat")]
@@ -781,7 +811,8 @@ def cmd_graphv(args: list[str]) -> int:
     print(f"graph_end = {res.end}")
     print(f"graph_step = {res.step}")
     if res.bounds is not None:
-        umin, umax = _final_bounds(res.bounds, lo_opt, up_opt, rigid)
+        umin, umax = _final_bounds(res.bounds, lo_opt, up_opt, rigid,
+                                   alt=galt)
         print(f"value_min = {umin:0.10e}")
         print(f"value_max = {umax:0.10e}")
     for i, line in enumerate(res.prints):
@@ -850,6 +881,9 @@ def cmd_graph(args: list[str]) -> int:
     right_axis_label = _opt(args, "--right-axis-label", default="")
     right_axis_format = _opt(args, "--right-axis-format")
     alt_autoscale = _opt(args, "-A", "--alt-autoscale", flag=True)
+    alt_as_min = _opt(args, "-J", "--alt-autoscale-min", flag=True)
+    alt_as_max = _opt(args, "-M", "--alt-autoscale-max", flag=True)
+    alt_y_grid = _opt(args, "-Y", "--alt-y-grid", flag=True)
     units_exp = _opt(args, "-X", "--units-exponent")
     units_exponent = int(units_exp) if units_exp is not None else None
     slope_mode = _opt(args, "-E", "--slope-mode", flag=True)
@@ -956,12 +990,16 @@ def cmd_graph(args: list[str]) -> int:
     from rrdtool_1_x_spark.render import render_graph
 
     bounds = res.bounds or (0.0, 1.0)
-    if alt_autoscale:
-        # -A: scale to the EXACT data min/max, no sensible-grid snapping
-        # (rrd_graph alt-autoscale handling); -l/-u still clamp when given
-        umin, umax = _final_bounds(bounds, lo_opt, up_opt, True)
-    else:
-        umin, umax = _final_bounds(bounds, lo_opt, up_opt, rigid)
+    # -A/-J/-M pick the alternative expand_range branches; an explicit
+    # --y-grid step suppresses ALL bound massaging (the reference gates
+    # the whole expand_range body on isnan(ygridstep))
+    alt = "A" if alt_autoscale else "J" if alt_as_min else (
+        "M" if alt_as_max else None)
+    umin, umax = _final_bounds(
+        bounds, lo_opt, up_opt, rigid,
+        alt=None if y_grid_spec is not None else alt,
+        base=base, expand=y_grid_spec is None,
+    )
     rows = [tuple(r) for r in res.plots.collect()] if res.plots is not None else []
     # strip trailing alignment escapes (\l \r \c \j \n) — flow layout is
     # simplified to one legend item per line
@@ -1000,6 +1038,7 @@ def cmd_graph(args: list[str]) -> int:
         right_axis=right_axis,
         right_axis_label=right_axis_label,
         right_axis_format=right_axis_format,
+        alt_y_grid=alt_y_grid,
     )
     if zoom != 1.0:
         cv.zoom(zoom)

@@ -544,6 +544,7 @@ def render_graph(
     right_axis: tuple[float, float] | None = None,
     right_axis_label: str = "",
     right_axis_format: str | None = None,
+    alt_y_grid: bool = False,
 ) -> "Canvas":
     """Rasterize a resolved graph.
 
@@ -705,6 +706,7 @@ def render_graph(
                     cv.hline(ytr(v2), x0, x1, col["GRID"])
             dec += 1
     elif y_grid:
+        alt_fmt = None
         if y_grid_spec is not None:
             # --y-grid grid:label — explicit step + label multiple
             step, labfact = y_grid_spec
@@ -712,6 +714,40 @@ def render_graph(
             mag = int(np.floor(np.log10(m) / 3)) if m > 0 else 0
             mag = max(-6, min(6, mag))
             magfact = 1000.0**mag
+        elif alt_y_grid:
+            # --alt-y-grid (ALTYGRID, src/rrd_graph.c:2362-2414): a
+            # decimal ladder sized off the RANGE (5..15 lines), labels in
+            # a width/precision-derived %f format instead of SI ladders
+            rng = vmax - vmin
+            if not (rng > 0) or not np.isfinite(rng):
+                rng = 1.0
+            step = 10.0 ** _math.floor(_math.log10(rng))
+            if step == 0:
+                step = 0.1  # "range is one -> 0.1 is reasonable scale"
+            if rng / step < 5 and step >= 30:
+                step /= 10
+            if rng / step > 15:
+                step *= 10
+            if rng / step > 5:
+                labfact = 1
+                if rng / step > 8 or step < 1.8 * CHAR_H:
+                    labfact = 2
+            else:
+                step /= 5
+                labfact = 5
+            mx = max(abs(vmax), abs(vmin))
+            decimals = _math.ceil(_math.log10(mx)) if mx > 0 else 1
+            if decimals <= 0:
+                decimals = 1  # everything small: make place for zero
+            fractionals = (
+                _math.floor(_math.log10(step * labfact))
+                if step * labfact > 0 else 0
+            )
+            if fractionals < 0:  # small amplitude: fixed decimals
+                alt_fmt = f"%{decimals - fractionals + 1}.{-fractionals}f"
+            else:
+                alt_fmt = f"%{decimals + 1}.0f"
+            magfact, mag = 1.0, 0
         else:
             step, labfact, magfact, mag = pick_ygrid(vmin, vmax, height, base)
         if units_exponent is not None:
@@ -726,7 +762,8 @@ def render_graph(
             major = (round(k) % labfact) == 0
             cv.hline(y, x0, x1, col["MGRID"] if major else col["GRID"])
             if major:
-                lab = si_label(v, magfact, mag)
+                lab = (alt_fmt % v).strip() if alt_fmt else si_label(
+                    v, magfact, mag)
                 cv.text(x0 - 4 - len(lab) * CHAR_W, y - CHAR_H // 2, lab, col["FONT"])
                 if right_axis is not None:
                     cv.text(x1 + 8, y - CHAR_H // 2, right_label(v),

@@ -572,3 +572,87 @@ def test_cli_graph_right_axis(tmp_path, spark, capsys):
     assert main(argv[:2] + ["--right-axis", "0:0"] + argv[2:]) == 1
     # malformed spec refused
     assert main(argv[:2] + ["--right-axis", "abc"] + argv[2:]) == 1
+
+
+def test_alt_y_grid_decimal_ladder():
+    """-Y/--alt-y-grid: the range-sized decimal ladder (ALTYGRID,
+    src/rrd_graph.c:2362-2414). Range 10 -> step 2 with labfact 5, labels
+    '0' and '10' in the %2.0f format (no SI suffix), minors at 2/4/6/8."""
+    el = GraphElement("LINE", "v", color="#ff0000", legend="")
+    rows = _rows([5.0] * 50)
+    cv = render_graph(rows, [el], (0.0, 10.0), 1000, 1500,
+                      width=100, height=51, x_grid=False, alt_y_grid=True)
+    img = _img(cv)
+    font = (img == [0, 0, 0]).all(axis=2)
+    left = 8 + 7 * CHAR_W
+    x1 = left + 100 - 1
+    y1 = 4 + 51 - 1
+    for v, lab in [(10.0, "10")]:
+        y = y1 - round(v / 10 * 50)
+        x_start = left - 4 - len(lab) * CHAR_W
+        region = font[y - 4 : y + 3, x_start : x_start + len(lab) * CHAR_W]
+        assert (region == _text_mask(lab)).all(), (v, lab)
+    # no SI suffix anywhere: the ' k'/' m' column left of the axis stays
+    # clear except the two labels; minors at 2/4/6/8 are grid-colored
+    mgrid = parse_color("#e0505080")[0]
+    for v in (2.0, 4.0, 6.0, 8.0):
+        y = y1 - round(v / 10 * 50)
+        row = img[y, left + 2 : x1 - 2]
+        # minor grid alpha-blended onto white canvas: not pure white
+        assert not (row == [255, 255, 255]).all(), v
+
+
+def test_cli_graphv_alt_autoscale_bounds(tmp_path, spark, capsys):
+    """-A/-J/-M autoscale branches (expand_range, src/rrd_graph.c:636-668)
+    on exact rates 1..3: -A pads both sides by 10% of the amplitude,
+    -J only the bottom, -M only the top; the sensible-value snap is
+    bypassed."""
+    from rrdtool_1_x_spark.cli import main
+
+    ds = str(tmp_path / "t.rrd")
+    base = 999_999_900  # multiple of 300
+    assert main(["create", ds, "--start", str(base - 10), "--step", "300",
+                 "DS:v:GAUGE:600:U:U", "RRA:AVERAGE:0.5:1:100"]) == 0
+    assert main(["update", ds, f"{base + 300}:1", f"{base + 600}:2",
+                 f"{base + 900}:3"]) == 0
+    argv = ["graphv", "-", "-s", str(base), "-e", str(base + 900),
+            f"DEF:v={ds}:v:AVERAGE", "LINE1:v#ff0000"]
+
+    def bounds_of(extra):
+        capsys.readouterr()
+        assert main(argv[:2] + extra + argv[2:]) == 0
+        out = capsys.readouterr().out
+        mn = float(_re_search(r"value_min = (\S+)", out))
+        mx = float(_re_search(r"value_max = (\S+)", out))
+        return mn, mx
+
+    import re as _re
+
+    def _re_search(pat, s):
+        return _re.search(pat, s).group(1)
+
+    assert bounds_of(["--alt-autoscale"]) == (pytest.approx(0.8),
+                                              pytest.approx(3.2))
+    assert bounds_of(["-J"]) == (pytest.approx(0.8), pytest.approx(3.0))
+    assert bounds_of(["-M"]) == (pytest.approx(1.0), pytest.approx(3.2))
+    # default: sensible-value snap instead (the reference loop keeps
+    # overwriting: smin 1.0 matches both the 1.2/1.0 and 1.0/0.8 pairs,
+    # landing on 0.8)
+    mn, mx = bounds_of([])
+    assert mn == pytest.approx(0.8) and mx == pytest.approx(3.0)
+
+
+def test_cli_graph_alt_flags_render(tmp_path, spark, capsys):
+    """-Y and -J through the graph CLI produce a PNG."""
+    from rrdtool_1_x_spark.cli import main
+
+    ds = str(tmp_path / "t.rrd")
+    base = 999_999_900
+    assert main(["create", ds, "--start", str(base - 10), "--step", "300",
+                 "DS:v:GAUGE:600:U:U", "RRA:AVERAGE:0.5:1:100"]) == 0
+    assert main(["update", ds, f"{base + 300}:5", f"{base + 600}:7"]) == 0
+    out = str(tmp_path / "g.png")
+    assert main(["graph", out, "-s", str(base), "-e", str(base + 600),
+                 "-w", "100", "-h", "40", "-Y", "-J",
+                 f"DEF:v={ds}:v:AVERAGE", "LINE1:v#ff0000"]) == 0
+    assert open(out, "rb").read()[:8] == b"\x89PNG\r\n\x1a\n"
