@@ -900,9 +900,9 @@ def cmd_graph(args: list[str]) -> int:
     border = int(_opt(args, "--border", default="2"))
     watermark = _opt(args, "-W", "--watermark", default="")
     imgformat = _opt(args, "-a", "--imgformat", default="PNG").upper()
-    if imgformat not in ("PNG", "SVG"):
-        print(f"ERROR: supported imgformats are PNG and SVG, not {imgformat}",
-              file=sys.stderr)
+    if imgformat not in ("PNG", "SVG", "EPS", "PDF"):
+        print("ERROR: supported imgformats are PNG, SVG, EPS and PDF, "
+              f"not {imgformat}", file=sys.stderr)
         return 1
     colors = {}
     while True:

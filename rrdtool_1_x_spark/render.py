@@ -395,6 +395,228 @@ class SVGCanvas:
         return (head + defs + "\n".join(self.el) + "\n</svg>\n").encode()
 
 
+class DocCanvas:
+    """Vector backend for the print formats (--imgformat EPS|PDF — the
+    last two entries of the reference's imgformat enum,
+    src/rrd_graph.h:98-101, rendered there through cairo's PS/PDF
+    surfaces). Records neutral drawing ops on the shared Canvas surface
+    and serializes them as either an EPSF-3.0 PostScript program or a
+    minimal PDF 1.4 document (Courier text at the bitmap cell metrics,
+    so layout coordinates are shared with the raster path). Alpha is
+    flattened to opaque RGB — PostScript has no transparency model."""
+
+    def __init__(self, width: int, height: int, background: str = "#f5f5f5"):
+        self.h, self.w = height, width
+        self.clip: tuple[int, int, int, int] | None = None
+        self._zoom = 1.0
+        # op tuples: ("rect", x0, y0, x1, y1, color, clip)
+        #            ("line", x0, y0, x1, y1, color, width, dashes, clip)
+        #            ("text", x, y, s, color, rotate)
+        self.ops: list[tuple] = [
+            ("rect", 0, 0, width - 1, height - 1, background, None)
+        ]
+
+    def rect(self, x0: int, y0: int, x1: int, y1: int, color: str) -> None:
+        x0, x1 = min(x0, x1), max(x0, x1)
+        y0, y1 = min(y0, y1), max(y0, y1)
+        self.ops.append(("rect", x0, y0, x1, y1, color, self.clip))
+
+    def hline(self, y: int, x0: int, x1: int, color: str, width: int = 1) -> None:
+        self.rect(x0, y, x1, y + width - 1, color)
+
+    def vline(self, x: int, y0: int, y1: int, color: str, width: int = 1) -> None:
+        self.rect(x, y0, x + width - 1, y1, color)
+
+    def vspan(self, x: int, y0: int, y1: int, color: str) -> None:
+        self.rect(x, min(y0, y1), x, max(y0, y1), color)
+
+    def line(
+        self, x0, y0, x1, y1, color, width=1.0, dashes=None, dash_state=None
+    ) -> None:
+        self.ops.append(
+            ("line", x0, y0, x1, y1, color, max(1.0, float(width)),
+             tuple(dashes) if dashes else None, self.clip)
+        )
+
+    def text(self, x: int, y: int, s: str, color: str = "#000000",
+             rotate: bool = False) -> None:
+        self.ops.append(("text", x, y, s, color, rotate))
+
+    def zoom(self, factor: float) -> None:
+        self._zoom *= factor
+        self.h = int(round(self.h * factor))
+        self.w = int(round(self.w * factor))
+
+    @staticmethod
+    def _rgb(color: str) -> tuple[float, float, float]:
+        return (int(color[1:3], 16) / 255.0, int(color[3:5], 16) / 255.0,
+                int(color[5:7], 16) / 255.0)
+
+    # -- EPS ---------------------------------------------------------------
+    def _to_eps(self) -> bytes:
+        bh = int(round(self.h / self._zoom))
+        out = [
+            "%!PS-Adobe-3.0 EPSF-3.0",
+            f"%%BoundingBox: 0 0 {self.w} {self.h}",
+            "%%Pages: 1",
+            "%%EndComments",
+            f"/Courier findfont {CHAR_H} scalefont setfont",
+        ]
+        if self._zoom != 1.0:
+            out.append(f"{self._zoom:.4f} {self._zoom:.4f} scale")
+
+        def Y(y: float) -> float:  # PostScript is bottom-up
+            return bh - y
+
+        for op in self.ops:
+            kind = op[0]
+            if kind == "rect":
+                _, x0, y0, x1, y1, color, clip = op
+                r, g, b = self._rgb(color)
+                out.append(f"{r:.3f} {g:.3f} {b:.3f} setrgbcolor")
+                pre, post = self._eps_clip(clip, Y)
+                out += pre
+                out.append(
+                    f"{x0} {Y(y1 + 1):.0f} {x1 - x0 + 1} {y1 - y0 + 1} rectfill"
+                )
+                out += post
+            elif kind == "line":
+                _, x0, y0, x1, y1, color, w, dashes, clip = op
+                r, g, b = self._rgb(color)
+                out.append(f"{r:.3f} {g:.3f} {b:.3f} setrgbcolor")
+                pre, post = self._eps_clip(clip, Y)
+                out += pre
+                if dashes:
+                    out.append(f"[{' '.join(str(d) for d in dashes)}] 0 setdash")
+                out.append(f"{w:.1f} setlinewidth")
+                out.append(
+                    f"newpath {x0} {Y(y0):.0f} moveto {x1} {Y(y1):.0f} "
+                    "lineto stroke"
+                )
+                if dashes:
+                    out.append("[] 0 setdash")
+                out += post
+            else:  # text
+                _, x, y, s, color, rotate = op
+                r, g, b = self._rgb(color)
+                esc = s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+                out.append(f"{r:.3f} {g:.3f} {b:.3f} setrgbcolor")
+                if rotate:
+                    out.append(
+                        f"gsave {x} {Y(y):.0f} translate 90 rotate "
+                        f"0 0 moveto ({esc}) show grestore"
+                    )
+                else:
+                    out.append(f"{x} {Y(y + CHAR_H - 2):.0f} moveto ({esc}) show")
+        out += ["showpage", "%%EOF", ""]
+        return "\n".join(out).encode("latin-1", "replace")
+
+    @staticmethod
+    def _eps_clip(clip, Y):
+        if clip is None:
+            return [], []
+        x0, y0, x1, y1 = clip
+        return (
+            [f"gsave {x0} {Y(y1 + 1):.0f} {x1 - x0 + 1} {y1 - y0 + 1} rectclip"],
+            ["grestore"],
+        )
+
+    # -- PDF ---------------------------------------------------------------
+    def _to_pdf(self) -> bytes:
+        bh = int(round(self.h / self._zoom))
+
+        def Y(y: float) -> float:  # PDF user space is bottom-up
+            return bh - y
+
+        body: list[str] = []
+        if self._zoom != 1.0:
+            body.append(f"{self._zoom:.4f} 0 0 {self._zoom:.4f} 0 0 cm")
+        for op in self.ops:
+            kind = op[0]
+            if kind == "rect":
+                _, x0, y0, x1, y1, color, clip = op
+                r, g, b = self._rgb(color)
+                seg = []
+                if clip:
+                    cx0, cy0, cx1, cy1 = clip
+                    seg.append(
+                        f"q {cx0} {Y(cy1 + 1):.0f} {cx1 - cx0 + 1} "
+                        f"{cy1 - cy0 + 1} re W n"
+                    )
+                seg.append(
+                    f"{r:.3f} {g:.3f} {b:.3f} rg {x0} {Y(y1 + 1):.0f} "
+                    f"{x1 - x0 + 1} {y1 - y0 + 1} re f"
+                )
+                if clip:
+                    seg.append("Q")
+                body += seg
+            elif kind == "line":
+                _, x0, y0, x1, y1, color, w, dashes, clip = op
+                r, g, b = self._rgb(color)
+                seg = ["q"]
+                if clip:
+                    cx0, cy0, cx1, cy1 = clip
+                    seg.append(
+                        f"{cx0} {Y(cy1 + 1):.0f} {cx1 - cx0 + 1} "
+                        f"{cy1 - cy0 + 1} re W n"
+                    )
+                if dashes:
+                    seg.append(f"[{' '.join(str(d) for d in dashes)}] 0 d")
+                seg.append(
+                    f"{r:.3f} {g:.3f} {b:.3f} RG {w:.1f} w "
+                    f"{x0} {Y(y0):.0f} m {x1} {Y(y1):.0f} l S"
+                )
+                seg.append("Q")
+                body += seg
+            else:  # text
+                _, x, y, s, color, rotate = op
+                r, g, b = self._rgb(color)
+                esc = s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+                if rotate:
+                    tm = f"0 1 -1 0 {x} {Y(y):.0f} Tm"
+                else:
+                    tm = f"1 0 0 1 {x} {Y(y + CHAR_H - 2):.0f} Tm"
+                body.append(
+                    f"BT /F1 {CHAR_H} Tf {r:.3f} {g:.3f} {b:.3f} rg {tm} "
+                    f"({esc}) Tj ET"
+                )
+        stream = "\n".join(body).encode("latin-1", "replace")
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {self.w} "
+                f"{self.h}] /Contents 4 0 R /Resources << /Font "
+                "<< /F1 5 0 R >> >> >>"
+            ).encode(),
+            (f"<< /Length {len(stream)} >>\nstream\n".encode() + stream
+             + b"\nendstream"),
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>",
+        ]
+        out = bytearray(b"%PDF-1.4\n")
+        offsets = []
+        for i, obj in enumerate(objs, start=1):
+            offsets.append(len(out))
+            out += f"{i} 0 obj\n".encode() + obj + b"\nendobj\n"
+        xref_at = len(out)
+        out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
+        for off in offsets:
+            out += f"{off:010d} 00000 n \n".encode()
+        out += (
+            f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n"
+        ).encode()
+        return bytes(out)
+
+    def to_bytes(self, fmt: str = "EPS") -> bytes:
+        f = fmt.upper()
+        if f == "EPS":
+            return self._to_eps()
+        if f == "PDF":
+            return self._to_pdf()
+        raise ValueError(f"document canvas renders EPS/PDF, not {fmt}")
+
+
 # ---------------------------------------------------------------------------
 # Grid selection
 # ---------------------------------------------------------------------------
@@ -628,7 +850,8 @@ def render_graph(
     else:
         W = left + width + right
         H = top + height + bottom
-    canvas_cls = SVGCanvas if backend.lower() == "svg" else Canvas
+    canvas_cls = {"svg": SVGCanvas, "eps": DocCanvas, "pdf": DocCanvas}.get(
+        backend.lower(), Canvas)
     cv = canvas_cls(W, H, background=col["BACK"])
 
     # beveled border (SHADEA top/left, SHADEB bottom/right, --border px)

@@ -656,3 +656,66 @@ def test_cli_graph_alt_flags_render(tmp_path, spark, capsys):
                  "-w", "100", "-h", "40", "-Y", "-J",
                  f"DEF:v={ds}:v:AVERAGE", "LINE1:v#ff0000"]) == 0
     assert open(out, "rb").read()[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def _mk_rrd(tmp_path, main):
+    ds = str(tmp_path / "t.rrd")
+    base = 999_999_900
+    assert main(["create", ds, "--start", str(base - 10), "--step", "300",
+                 "DS:v:GAUGE:600:U:U", "RRA:AVERAGE:0.5:1:100"]) == 0
+    assert main(["update", ds, f"{base + 300}:5", f"{base + 600}:7"]) == 0
+    return ds, base
+
+
+def test_cli_graph_eps(tmp_path, spark, capsys):
+    """--imgformat EPS: EPSF-3.0 program with a correct BoundingBox,
+    balanced gsave/grestore, fill + stroke + text ops, showpage."""
+    from rrdtool_1_x_spark.cli import main
+
+    ds, base = _mk_rrd(tmp_path, main)
+    out = str(tmp_path / "g.eps")
+    assert main(["graph", out, "-a", "EPS", "-s", str(base),
+                 "-e", str(base + 600), "-w", "100", "-h", "40",
+                 "-t", "T(itle)", f"DEF:v={ds}:v:AVERAGE",
+                 "AREA:v#00c00080:lvl", "LINE2:6#0000ff:six"]) == 0
+    sz = capsys.readouterr().out.strip().splitlines()[-1]
+    w, h = map(int, sz.split("x"))
+    t = open(out, "rb").read().decode("latin-1")
+    assert t.startswith("%!PS-Adobe-3.0 EPSF-3.0")
+    assert f"%%BoundingBox: 0 0 {w} {h}" in t
+    assert t.count("gsave") == t.count("grestore")
+    assert "rectfill" in t and "lineto stroke" in t and ") show" in t
+    assert r"(T\(itle\))" in t  # parens escaped in PS strings
+    assert t.rstrip().endswith("%%EOF")
+
+
+def test_cli_graph_pdf(tmp_path, spark, capsys):
+    """--imgformat PDF: a well-formed single-page PDF 1.4 — every xref
+    offset points at its object, /Length matches the content stream, and
+    the MediaBox equals the reported image size."""
+    import re
+
+    from rrdtool_1_x_spark.cli import main
+
+    ds, base = _mk_rrd(tmp_path, main)
+    out = str(tmp_path / "g.pdf")
+    assert main(["graph", out, "-a", "PDF", "-s", str(base),
+                 "-e", str(base + 600), "-w", "100", "-h", "40",
+                 f"DEF:v={ds}:v:AVERAGE", "LINE1:v#ff0000:v"]) == 0
+    sz = capsys.readouterr().out.strip().splitlines()[-1]
+    w, h = map(int, sz.split("x"))
+    body = open(out, "rb").read()
+    assert body.startswith(b"%PDF-1.4")
+    assert f"/MediaBox [0 0 {w} {h}]".encode() in body
+    sx = int(re.search(rb"startxref\n(\d+)\n%%EOF", body).group(1))
+    assert body[sx : sx + 4] == b"xref"
+    offs = [int(m) for m in re.findall(rb"(\d{10}) 00000 n", body)]
+    assert len(offs) == 5
+    for i, off in enumerate(offs, start=1):
+        tag = f"{i} 0 obj".encode()
+        assert body[off : off + len(tag)] == tag, (i, off)
+    ln = int(re.search(rb"/Length (\d+)", body).group(1))
+    st = body.index(b"stream\n") + 7
+    assert body[st + ln : st + ln + 10] == b"\nendstream"
+    content = body[st : st + ln]
+    assert b" re f" in content and b" l S" in content and b"Tj ET" in content
