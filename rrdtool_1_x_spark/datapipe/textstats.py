@@ -23,6 +23,23 @@ def _tokens(text: Column) -> Column:
     return F.split(F.lower(F.trim(text)), r"\s+")
 
 
+# character classes for translate()-based counting — a char-map deletion is
+# a plain JVM lookup per character, far cheaper than running a regex engine
+# over the corpus once per class (the old shape: 5 regexp_replace scans)
+_LETTERS = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+_UPPER = _LETTERS[:26]
+_DIGITS = "0123456789"
+_PUNCT = ".,;:!?'\"()[]-"
+_WS = " \t\n\x0b\f\r"  # Java regex \s
+
+
+def _class_count(text: Column, chars: str) -> Column:
+    """Occurrences of any character of ``chars`` in ``text`` — computed as
+    length minus length-after-deleting, with translate() instead of a
+    regexp_replace scan (same value, no regex engine in the loop)."""
+    return F.length(text) - F.length(F.translate(text, chars, ""))
+
+
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds token_cnt, char_cnt, avg_token_len, plus a BPE-ish subword count
     (alphanumeric runs + individual non-space symbols — a cheap proxy for
@@ -30,11 +47,14 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     text = F.col(text_col)
     toks = F.size(_tokens(text))
     chars = F.length(text)
-    subwords = F.size(
-        F.filter(
-            F.split(text, r"(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
-            lambda x: (x != "") & (x != " "),
-        )
+    # alnum runs + every non-space non-alnum char, counted without the
+    # old lookaround split (which materialized a per-char array): one
+    # regexp_count for the runs, translate arithmetic for the symbols
+    subwords = (
+        F.regexp_count(text, F.lit("[A-Za-z0-9]+"))
+        + chars
+        - _class_count(text, _LETTERS + _DIGITS)
+        - _class_count(text, " ")
     )
     return df.withColumns(
         {
@@ -51,11 +71,11 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     whitespace_ratio and a composite quality_score in [0,1]."""
     text = F.col(text_col)
     n = F.length(text).cast("double")
-    alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", "")) / n
-    digit = F.length(F.regexp_replace(text, "[^0-9]", "")) / n
-    punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]-]", "")) / n
-    upper = F.length(F.regexp_replace(text, "[^A-Z]", "")) / n
-    ws = F.length(F.regexp_replace(text, r"[^\s]", "")) / n
+    alpha = _class_count(text, _LETTERS) / n
+    digit = _class_count(text, _DIGITS) / n
+    punct = _class_count(text, _PUNCT) / n
+    upper = _class_count(text, _UPPER) / n
+    ws = _class_count(text, _WS) / n
     score = (
         F.least(alpha * 1.25, F.lit(1.0)) * 0.5
         + (1.0 - F.least(digit * 4, F.lit(1.0))) * 0.2
