@@ -880,6 +880,31 @@ def cmd_graph(args: list[str]) -> int:
             return 1
     right_axis_label = _opt(args, "--right-axis-label", default="")
     right_axis_format = _opt(args, "--right-axis-format")
+    legend_position = _opt(args, "--legend-position", default="south").lower()
+    if legend_position not in ("north", "south", "west", "east"):
+        print("ERROR: unknown legend-position", file=sys.stderr)
+        return 1
+    legend_direction = _opt(args, "--legend-direction",
+                            default="topdown").lower()
+    if legend_direction not in ("topdown", "bottomup", "bottomup2"):
+        print("ERROR: unknown legend-direction", file=sys.stderr)
+        return 1
+    tabwidth = float(_opt(args, "-T", "--tabwidth", default="40"))
+    # --font FONTTAG:size[:font] (repeated): the bitmap face has one cell
+    # size, so DEFAULT's size sets an integer glyph scale (size/8 rounded,
+    # min 1); other tags are accepted for CLI compatibility
+    font_scale = 1
+    while True:
+        fspec = _opt(args, "-n", "--font")
+        if fspec is None:
+            break
+        parts = fspec.split(":")
+        if len(parts) < 2:
+            print("ERROR: font invalid, expected FONTTAG:size[:font]",
+                  file=sys.stderr)
+            return 1
+        if parts[0].upper() == "DEFAULT" and float(parts[1]) > 0:
+            font_scale = max(1, round(float(parts[1]) / 8))
     alt_autoscale = _opt(args, "-A", "--alt-autoscale", flag=True)
     alt_as_min = _opt(args, "-J", "--alt-autoscale-min", flag=True)
     alt_as_max = _opt(args, "-M", "--alt-autoscale-max", flag=True)
@@ -1039,6 +1064,10 @@ def cmd_graph(args: list[str]) -> int:
         right_axis_label=right_axis_label,
         right_axis_format=right_axis_format,
         alt_y_grid=alt_y_grid,
+        legend_position=legend_position,
+        legend_direction=legend_direction,
+        tabwidth=tabwidth,
+        font_scale=font_scale,
     )
     if zoom != 1.0:
         cv.zoom(zoom)

@@ -254,16 +254,23 @@ class Canvas:
                 err += dx
                 y += sy
 
+    font_scale: int = 1  # --font DEFAULT:size → integer glyph upscale
+
     def text(self, x: int, y: int, s: str, color: str = "#000000", rotate: bool = False) -> None:
         """Draw ``s`` with its top-left at (x, y); ``rotate`` turns the
-        string 90° counter-clockwise (vertical label)."""
+        string 90° counter-clockwise (vertical label). ``font_scale``
+        nearest-neighbor-upscales the 5x7 glyphs (the bitmap stand-in for
+        the reference's --font size handling)."""
+        fs = max(1, int(self.font_scale))
         for i, ch in enumerate(s):
             g = glyph(ch)
+            if fs > 1:
+                g = np.kron(g, np.ones((fs, fs), dtype=g.dtype))
             if rotate:
                 g = np.rot90(g, 1)  # CCW: text reads bottom-to-top
-                gy, gx = y - i * CHAR_W, x
+                gy, gx = y - i * CHAR_W * fs, x
             else:
-                gy, gx = y, x + i * CHAR_W
+                gy, gx = y, x + i * CHAR_W * fs
             ys, xs = np.nonzero(g)
             ys, xs = ys + gy, xs + gx
             keep = (ys >= 0) & (ys < self.h) & (xs >= 0) & (xs < self.w)
@@ -366,14 +373,17 @@ class SVGCanvas:
             f"{self._opacity(color)}{dash}{self._clip_attr()}/>"
         )
 
+    font_scale: int = 1
+
     def text(self, x: int, y: int, s: str, color: str = "#000000", rotate: bool = False) -> None:
         import html as _html
 
+        fs = max(1, int(self.font_scale))
         esc = _html.escape(s)
         tr = f' transform="rotate(-90 {x} {y})"' if rotate else ""
         self.el.append(
-            f'<text x="{x}" y="{y + CHAR_H - 2}" font-family="monospace" '
-            f'font-size="{CHAR_H}px" fill="{self._fill(color)}"{tr}>{esc}</text>'
+            f'<text x="{x}" y="{y + CHAR_H * fs - 2}" font-family="monospace" '
+            f'font-size="{CHAR_H * fs}px" fill="{self._fill(color)}"{tr}>{esc}</text>'
         )
 
     def zoom(self, factor: float) -> None:
@@ -404,6 +414,8 @@ class DocCanvas:
     minimal PDF 1.4 document (Courier text at the bitmap cell metrics,
     so layout coordinates are shared with the raster path). Alpha is
     flattened to opaque RGB — PostScript has no transparency model."""
+
+    font_scale: int = 1
 
     def __init__(self, width: int, height: int, background: str = "#f5f5f5"):
         self.h, self.w = height, width
@@ -460,7 +472,8 @@ class DocCanvas:
             f"%%BoundingBox: 0 0 {self.w} {self.h}",
             "%%Pages: 1",
             "%%EndComments",
-            f"/Courier findfont {CHAR_H} scalefont setfont",
+            f"/Courier findfont {CHAR_H * max(1, int(self.font_scale))} "
+            "scalefont setfont",
         ]
         if self._zoom != 1.0:
             out.append(f"{self._zoom:.4f} {self._zoom:.4f} scale")
@@ -577,7 +590,8 @@ class DocCanvas:
                 else:
                     tm = f"1 0 0 1 {x} {Y(y + CHAR_H - 2):.0f} Tm"
                 body.append(
-                    f"BT /F1 {CHAR_H} Tf {r:.3f} {g:.3f} {b:.3f} rg {tm} "
+                    f"BT /F1 {CHAR_H * max(1, int(self.font_scale))} Tf "
+                    f"{r:.3f} {g:.3f} {b:.3f} rg {tm} "
                     f"({esc}) Tj ET"
                 )
         stream = "\n".join(body).encode("latin-1", "replace")
@@ -767,6 +781,10 @@ def render_graph(
     right_axis_label: str = "",
     right_axis_format: str | None = None,
     alt_y_grid: bool = False,
+    legend_position: str = "south",
+    legend_direction: str = "topdown",
+    tabwidth: float = 40.0,
+    font_scale: int = 1,
 ) -> "Canvas":
     """Rasterize a resolved graph.
 
@@ -791,8 +809,34 @@ def render_graph(
     ``right_axis_format``: printf format for the right labels; default
     auto-scales ONE SI magnitude for the whole axis from the mid grid
     value (src/rrd_graph.c:2576-2597).
-    """
+
+    ``legend_position`` north|south|west|east and ``legend_direction``
+    topdown|bottomup[2] mirror --legend-position/--legend-direction
+    (src/rrd_graph.c:3595-3660 layout, :3296-3330 direction): the legend
+    block moves above the plot or into a side column, and bottomup
+    reverses item order. ``tabwidth`` expands \\t to the next tab stop in
+    pixels (gfx_text tabwidth). ``font_scale`` integer-upscales the
+    bitmap face and every char-metric-derived margin — the stand-in for
+    --font size handling (the reference scales a cairo font face)."""
     import time as _time
+
+    font_scale = max(1, int(font_scale))
+    # shadow the module char metrics with the scaled cell size — every
+    # margin/label offset below derives from these
+    CHAR_W, CHAR_H = 6 * font_scale, 8 * font_scale
+
+    def _tabs(s: str) -> str:
+        if "\t" not in s:
+            return s
+        out = []
+        for chx in s:
+            if chx != "\t":
+                out.append(chx)
+                continue
+            px = len(out) * CHAR_W
+            nxt = (int(px / max(tabwidth, 1.0)) + 1) * max(tabwidth, 1.0)
+            out.extend(" " * max(1, int(np.ceil((nxt - px) / CHAR_W))))
+        return "".join(out)
 
     col = dict(DEFAULT_COLORS)
     if colors:
@@ -834,13 +878,31 @@ def render_graph(
         # reserve a right label gutter (the reference widens the image by
         # one more Xylabel, src/rrd_graph.c:3695-3697) + the rotated unit
         right += lab_chars * CHAR_W + (2 * CHAR_W if right_axis_label else 0)
-    legends = [] if no_legend else [el for el in elements if el.legend]
-    legend_rows = (
-        len(legends)
-        + (0 if no_legend else len(legend_lines or []))
-        + (0 if no_legend else sum(1 for r in (rules or []) if r[3]))
+    # unified legend items in draw order: element legends, rule legends,
+    # GPRINT/COMMENT lines; bottomup (and bottomup2) reverses
+    items: list[tuple[str | None, str]] = [] if no_legend else (
+        [(el.color, el.legend) for el in elements if el.legend]
+        + [(r[2], r[3]) for r in (rules or []) if r[3]]
+        + [(None, line) for line in (legend_lines or [])]
     )
-    bottom = 0 if only_graph else CHAR_H + 8 + legend_rows * (CHAR_H + 2) + 6
+    if legend_direction.lower().startswith("bottomup"):
+        items.reverse()
+    legend_pos = (legend_position or "south").lower()
+    legend_rows = len(items)
+    lb = legend_rows * (CHAR_H + 2)
+    side_w = (
+        max(len(t) for _c, t in items) * CHAR_W + 24
+        if legend_rows and legend_pos in ("west", "east") else 0
+    )
+    if legend_pos == "north":
+        top += lb
+    elif legend_pos == "west":
+        left += side_w
+    elif legend_pos == "east":
+        right += side_w
+    bottom = 0 if only_graph else (
+        CHAR_H + 8 + (lb if legend_pos == "south" else 0) + 6
+    )
     if full_size:
         # -D/--full-size-mode: width/height are the FINAL image dims
         # (src/rrd_graph.c full-size handling); shrink the plot area
@@ -853,6 +915,7 @@ def render_graph(
     canvas_cls = {"svg": SVGCanvas, "eps": DocCanvas, "pdf": DocCanvas}.get(
         backend.lower(), Canvas)
     cv = canvas_cls(W, H, background=col["BACK"])
+    cv.font_scale = font_scale
 
     # beveled border (SHADEA top/left, SHADEB bottom/right, --border px)
     if border > 0:
@@ -1098,7 +1161,7 @@ def render_graph(
 
     # -- text --------------------------------------------------------------
     if title:
-        cv.text((W - len(title) * CHAR_W) // 2, 4, title, col["FONT"])
+        cv.text((W - len(title) * CHAR_W) // 2, 4, _tabs(title), col["FONT"])
     if vertical_label:
         cv.text(6, (H + len(vertical_label) * CHAR_W) // 2, vertical_label,
                 col["FONT"], rotate=True)
@@ -1108,26 +1171,24 @@ def render_graph(
         cv.text(W - 6 - CHAR_H,
                 (H + len(right_axis_label) * CHAR_W) // 2,
                 right_axis_label, col["FONT"], rotate=True)
-    ly = y1 + CHAR_H + 10
+    if legend_pos == "north":
+        ly, lx = 4 + (CHAR_H + 4 if title else 0), x0
+    elif legend_pos == "west":
+        ly, lx = y0, 8
+    elif legend_pos == "east":
+        ly, lx = y0, W - side_w + 8
+    else:  # south (default)
+        ly, lx = y1 + CHAR_H + 10, x0
 
     def _swatch(color: str) -> None:
-        cv.rect(x0 - 4, ly, x0 + 4, ly + CHAR_H - 2, color)
-        cv.rect(x0 - 4, ly, x0 + 4, ly, "#000000")
-        cv.rect(x0 - 4, ly + CHAR_H - 2, x0 + 4, ly + CHAR_H - 2, "#000000")
+        cv.rect(lx - 4, ly, lx + 4, ly + CHAR_H - 2, color)
+        cv.rect(lx - 4, ly, lx + 4, ly, "#000000")
+        cv.rect(lx - 4, ly + CHAR_H - 2, lx + 4, ly + CHAR_H - 2, "#000000")
 
-    for el in legends:
-        if el.color is not None:
-            _swatch(el.color)
-        cv.text(x0 + 8, ly, el.legend, col["FONT"])
-        ly += CHAR_H + 2
-    for _kind, _val, rcolor, rleg in [] if no_legend else (rules or []):
-        if not rleg:
-            continue
-        _swatch(rcolor)
-        cv.text(x0 + 8, ly, rleg, col["FONT"])
-        ly += CHAR_H + 2
-    for line in [] if no_legend else (legend_lines or []):
-        cv.text(x0 + 8, ly, line, col["FONT"])
+    for lcolor, ltext in items:
+        if lcolor is not None:
+            _swatch(lcolor)
+        cv.text(lx + 8, ly, _tabs(ltext), col["FONT"])
         ly += CHAR_H + 2
     if watermark:
         cv.text(W - len(watermark) * CHAR_W - 4, H - CHAR_H - 2, watermark,

@@ -719,3 +719,114 @@ def test_cli_graph_pdf(tmp_path, spark, capsys):
     assert body[st + ln : st + ln + 10] == b"\nendstream"
     content = body[st : st + ln]
     assert b" re f" in content and b" l S" in content and b"Tj ET" in content
+
+
+def _color_rows(cv, color):
+    img = _img(cv)
+    rgb = [int(color[1:3], 16), int(color[3:5], 16), int(color[5:7], 16)]
+    ys, xs = np.nonzero((img == rgb).all(axis=2))
+    return ys, xs
+
+
+def test_legend_position_north_west_east():
+    """--legend-position: north puts the legend block between title and
+    plot; west/east reserve a side column (src/rrd_graph.c:3595-3660)."""
+    els = [GraphElement("LINE", "v", color="#123456", legend="tr")]
+    rows = _rows([None] * 10)  # no plotted pixels: only swatch+text carry
+    south = render_graph(rows, els, (0.0, 2.0), 1000, 1100, width=60,
+                         height=30, x_grid=False, y_grid=False)
+    north = render_graph(rows, els, (0.0, 2.0), 1000, 1100, width=60,
+                         height=30, x_grid=False, y_grid=False,
+                         legend_position="north")
+    # same canvas size — the block moves, it doesn't grow the image
+    assert (north.w, north.h) == (south.w, south.h)
+    ys_s, _ = _color_rows(south, "#123456")
+    ys_n, _ = _color_rows(north, "#123456")
+    # south: swatch below the plot; north: swatch above it
+    plot_top = 4
+    assert ys_s.min() > plot_top + 30
+    assert ys_n.max() < plot_top + 30
+    west = render_graph(rows, els, (0.0, 2.0), 1000, 1100, width=60,
+                        height=30, x_grid=False, y_grid=False,
+                        legend_position="west")
+    east = render_graph(rows, els, (0.0, 2.0), 1000, 1100, width=60,
+                        height=30, x_grid=False, y_grid=False,
+                        legend_position="east")
+    side_w = 2 * CHAR_W + 24
+    assert west.w == south.w + side_w and east.w == south.w + side_w
+    _, xs_w = _color_rows(west, "#123456")
+    _, xs_e = _color_rows(east, "#123456")
+    left_plot = 8 + 7 * CHAR_W  # south layout's plot left edge
+    assert xs_w.max() < left_plot + side_w  # swatch in the left column
+    assert xs_e.min() > left_plot + 60  # swatch right of the plot
+
+
+def test_legend_direction_bottomup():
+    """--legend-direction bottomup reverses legend item order
+    (src/rrd_graph.c:3296-3330)."""
+    els = [GraphElement("LINE", "a", color="#aa0000", legend="A"),
+           GraphElement("LINE", "b", color="#00aa00", legend="B")]
+    rows = [(1000 + 10 * (i + 1), None, 0.0, None, 0.0) for i in range(10)]
+    td = render_graph(rows, els, (0.0, 2.0), 1000, 1100, width=60,
+                      height=30, x_grid=False, y_grid=False)
+    bu = render_graph(rows, els, (0.0, 2.0), 1000, 1100, width=60,
+                      height=30, x_grid=False, y_grid=False,
+                      legend_direction="bottomup")
+    y_red_td = _color_rows(td, "#aa0000")[0]
+    y_grn_td = _color_rows(td, "#00aa00")[0]
+    y_red_bu = _color_rows(bu, "#aa0000")[0]
+    y_grn_bu = _color_rows(bu, "#00aa00")[0]
+    # swatch rows live below the plot; topdown: A above B, bottomup: B above A
+    pl = 4 + 30
+    assert y_red_td[y_red_td > pl].min() < y_grn_td[y_grn_td > pl].min()
+    assert y_red_bu[y_red_bu > pl].min() > y_grn_bu[y_grn_bu > pl].min()
+
+
+def test_tabwidth_expands_to_stop():
+    """\\t in legend text advances to the next --tabwidth pixel stop."""
+    els = [GraphElement("LINE", "v", color="#123456", legend="a\tb")]
+    rows = _rows([1.0] * 10)
+    cv = render_graph(rows, els, (0.0, 2.0), 1000, 1100, width=60,
+                      height=30, x_grid=False, y_grid=False, tabwidth=30)
+    # 'a' ends at px 6 -> next stop at 30 px -> 4 spaces -> "a    b"
+    ref = render_graph(rows, [GraphElement("LINE", "v", color="#123456",
+                                           legend="a    b")],
+                       (0.0, 2.0), 1000, 1100, width=60, height=30,
+                       x_grid=False, y_grid=False)
+    assert (_img(cv) == _img(ref)).all()
+
+
+def test_font_scale_doubles_glyphs():
+    """--font DEFAULT:16 doubles the bitmap cell: the title's glyph rows
+    span ~14 px instead of 7 and margins scale with the cell."""
+    els = [GraphElement("LINE", "v", color="#ff0000", legend="")]
+    rows = _rows([1.0] * 10)
+    s1 = render_graph(rows, els, (0.0, 2.0), 1000, 1100, width=60,
+                      height=30, title="T", x_grid=False, y_grid=False)
+    s2 = render_graph(rows, els, (0.0, 2.0), 1000, 1100, width=60,
+                      height=30, title="T", x_grid=False, y_grid=False,
+                      font_scale=2)
+    assert s2.w > s1.w and s2.h > s1.h  # label gutters scale
+    # title band only (above the y-axis overshoot at top-4): s1 top=16,
+    # s2 top=24
+    black1 = (_img(s1)[:11] == [0, 0, 0]).all(axis=2)
+    black2 = (_img(s2)[:19] == [0, 0, 0]).all(axis=2)
+    span1 = np.ptp(np.nonzero(black1)[0])
+    span2 = np.ptp(np.nonzero(black2)[0])
+    assert span1 == 6 and span2 == 13  # 7 rows -> 14 rows
+
+
+def test_cli_graph_legend_font_options(tmp_path, spark, capsys):
+    from rrdtool_1_x_spark.cli import main
+
+    ds, base = _mk_rrd(tmp_path, main)
+    out = str(tmp_path / "g.png")
+    assert main(["graph", out, "-s", str(base), "-e", str(base + 600),
+                 "-w", "100", "-h", "40", "--legend-position", "east",
+                 "--legend-direction", "bottomup", "--tabwidth", "30",
+                 "--font", "DEFAULT:16:", f"DEF:v={ds}:v:AVERAGE",
+                 "LINE1:v#ff0000:v"]) == 0
+    assert open(out, "rb").read()[:8] == b"\x89PNG\r\n\x1a\n"
+    capsys.readouterr()
+    assert main(["graph", out, "--legend-position", "diagonal",
+                 f"DEF:v={ds}:v:AVERAGE", "LINE1:v#ff0000"]) == 1
