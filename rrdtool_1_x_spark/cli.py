@@ -631,8 +631,12 @@ def _parse_element(spec: str):
     wdigits = "".join(ch for ch in head if ch.isdigit() or ch == ".")
     width = float(wdigits) if wdigits else 1.0
     parts = rest.split(":")
-    src_s, _, color = parts[0].partition("#")
-    color = f"#{color}" if color else None
+    # src[#color[#color2]] — the second color makes an AREA a vertical
+    # gradient fill (rrd_graph.c parse_area gradient syntax)
+    chunks = parts[0].split("#")
+    src_s = chunks[0]
+    color = f"#{chunks[1]}" if len(chunks) > 1 and chunks[1] else None
+    color2 = f"#{chunks[2]}" if len(chunks) > 2 and chunks[2] else None
     try:
         source = float(src_s)
     except ValueError:
@@ -644,8 +648,12 @@ def _parse_element(spec: str):
     fraction = 0.1
     dashes = None
     dash_offset = 0.0
+    gradheight = 50.0
     for p in tail:
         if p in ("STACK", "skipscale") or p == "":
+            continue
+        if p.startswith("gradheight="):
+            gradheight = float(p.partition("=")[2])
             continue
         if p == "dashes" or p.startswith("dashes="):
             # LINE ...:dashes[=on[,off[,on,off...]]] (parse_line)
@@ -667,7 +675,7 @@ def _parse_element(spec: str):
         if not legend:
             legend = p  # first non-option field; options may follow it
     return (kind, source, legend, stack, skipscale, color, width, fraction,
-            dashes, dash_offset)
+            dashes, dash_offset, color2, gradheight)
 
 
 _SENSIBLE = (
@@ -795,10 +803,11 @@ def cmd_graphv(args: list[str]) -> int:
             q.print_(parts[0], ":".join(parts[1:]))
     for e in elements:
         (kind, source, legend, stack, skipscale, color, width, fraction,
-         dashes, dash_offset) = _parse_element(e)
+         dashes, dash_offset, color2, gradheight) = _parse_element(e)
         q.element(kind, source, legend=legend, stack=stack, skipscale=skipscale,
                   color=color, width=width, fraction=fraction,
-                  dashes=dashes, dash_offset=dash_offset)
+                  dashes=dashes, dash_offset=dash_offset,
+                  color2=color2, gradheight=gradheight)
         if jsontime:
             # --add-jsontime publishes the plotted element values as an
             # xport-style JSON block after the info keys
@@ -890,6 +899,18 @@ def cmd_graph(args: list[str]) -> int:
         print("ERROR: unknown legend-direction", file=sys.stderr)
         return 1
     tabwidth = float(_opt(args, "-T", "--tabwidth", default="40"))
+    grid_dash_opt = _opt(args, "--grid-dash")
+    grid_dash = None
+    if grid_dash_opt is not None:
+        try:
+            on_s, _, off_s = grid_dash_opt.partition(":")
+            grid_dash = (float(on_s), float(off_s))
+        except ValueError:
+            print("ERROR: expected grid-dash format float:float",
+                  file=sys.stderr)
+            return 1
+    dynamic_labels = _opt(args, "--dynamic-labels", flag=True)
+    pango_markup = _opt(args, "-P", "--pango-markup", flag=True)
     # --font FONTTAG:size[:font] (repeated): the bitmap face has one cell
     # size, so DEFAULT's size sets an integer glyph scale (size/8 rounded,
     # min 1); other tags are accepted for CLI compatibility
@@ -1006,10 +1027,11 @@ def cmd_graph(args: list[str]) -> int:
             q.print_(parts[0], ":".join(parts[1:]))
     for e in elements:
         (kind, source, legend, stack, skipscale, color, ew, fraction,
-         dashes, dash_offset) = _parse_element(e)
+         dashes, dash_offset, color2, gradheight) = _parse_element(e)
         q.element(kind, source, legend=legend, stack=stack, skipscale=skipscale,
                   color=color, width=ew, fraction=fraction,
-                  dashes=dashes, dash_offset=dash_offset)
+                  dashes=dashes, dash_offset=dash_offset,
+                  color2=color2, gradheight=gradheight)
     res = q.execute(_spark())
 
     from rrdtool_1_x_spark.render import render_graph
@@ -1068,6 +1090,9 @@ def cmd_graph(args: list[str]) -> int:
         legend_direction=legend_direction,
         tabwidth=tabwidth,
         font_scale=font_scale,
+        grid_dash=grid_dash,
+        dynamic_labels=dynamic_labels,
+        pango_markup=pango_markup,
     )
     if zoom != 1.0:
         cv.zoom(zoom)

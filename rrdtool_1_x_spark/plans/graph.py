@@ -200,6 +200,8 @@ class Query:
         fraction: float = 0.1,
         dashes: tuple | None = None,
         dash_offset: float = 0.0,
+        color2: str | None = None,
+        gradheight: float = 50.0,
     ) -> "Query":
         """A LINE/AREA/TICK/STACK graph statement — resolved through
         data_proc at execute time so the result carries the autoscale
@@ -209,7 +211,8 @@ class Query:
             GraphElement(kind.upper(), source, stack=stack,
                          skipscale=skipscale, legend=legend,
                          color=color, width=width, fraction=fraction,
-                         dashes=dashes, dash_offset=dash_offset)
+                         dashes=dashes, dash_offset=dash_offset,
+                         color2=color2, gradheight=gradheight)
         )
         return self
 
@@ -494,6 +497,11 @@ class GraphElement:
     fraction: float = 0.1
     dashes: tuple | None = None
     dash_offset: float = 0.0
+    # gradient AREA (AREA:v#col#col2[:gradheight=H], rrd_graph.c
+    # gfx_add_rect_fadey): fade from color at the value edge toward
+    # color2 over gradheight px (<=0: across the whole span)
+    color2: str | None = None
+    gradheight: float = 50.0
 
 
 def data_proc(

@@ -202,6 +202,28 @@ class Canvas:
         """Filled 1-px-wide vertical span (AREA fill column)."""
         self.rect(x, min(y0, y1), x, max(y0, y1), color)
 
+    def vspan_fade(self, x: int, y_top: int, y_bot: int, color: str,
+                   color2: str, gradheight: float) -> None:
+        """Gradient AREA column (gfx_add_rect_fadey,
+        src/rrd_gfx.c:111-145): ``color`` at the value edge (y_top)
+        fading linearly to ``color2`` over ``gradheight`` px downward
+        (<=0: across the whole span), then ``color2`` to the base."""
+        y_top, y_bot = min(y_top, y_bot), max(y_top, y_bot)
+        bx0, by0, bx1, by1 = self._bounds()
+        if x < bx0 or x > bx1:
+            return
+        ya, yb = max(y_top, by0), min(y_bot, by1)
+        if ya > yb:
+            return
+        rgb1, a1 = parse_color(color)
+        rgb2, a2 = parse_color(color2)
+        gh = gradheight if gradheight > 0 else max(1.0, y_bot - y_top)
+        ys = np.arange(ya, yb + 1)
+        t = np.clip((ys - y_top) / gh, 0.0, 1.0)[:, None]
+        rgb = (1 - t) * rgb1 + t * rgb2
+        a = ((1 - t) * a1 + t * a2)
+        self.img[ys, x] = (1 - a) * self.img[ys, x] + a * rgb
+
     def line(
         self,
         x0: int,
@@ -359,6 +381,10 @@ class SVGCanvas:
     def vspan(self, x: int, y0: int, y1: int, color: str) -> None:
         self.rect(x, min(y0, y1), x, max(y0, y1), color)
 
+    def vspan_fade(self, x, y_top, y_bot, color, color2, gradheight) -> None:
+        # vector backends flatten the gradient to the primary color
+        self.vspan(x, y_top, y_bot, color)
+
     def line(
         self, x0, y0, x1, y1, color, width=1.0, dashes=None, dash_state=None
     ) -> None:
@@ -441,6 +467,10 @@ class DocCanvas:
 
     def vspan(self, x: int, y0: int, y1: int, color: str) -> None:
         self.rect(x, min(y0, y1), x, max(y0, y1), color)
+
+    def vspan_fade(self, x, y_top, y_bot, color, color2, gradheight) -> None:
+        # vector backends flatten the gradient to the primary color
+        self.vspan(x, y_top, y_bot, color)
 
     def line(
         self, x0, y0, x1, y1, color, width=1.0, dashes=None, dash_state=None
@@ -785,6 +815,9 @@ def render_graph(
     legend_direction: str = "topdown",
     tabwidth: float = 40.0,
     font_scale: int = 1,
+    grid_dash: tuple[float, float] | None = None,
+    dynamic_labels: bool = False,
+    pango_markup: bool = False,
 ) -> "Canvas":
     """Rasterize a resolved graph.
 
@@ -824,6 +857,24 @@ def render_graph(
     # shadow the module char metrics with the scaled cell size — every
     # margin/label offset below derives from these
     CHAR_W, CHAR_H = 6 * font_scale, 8 * font_scale
+
+    if pango_markup:
+        # --pango-markup: the bitmap face has no styled variants, so
+        # markup renders as its plain text (tags stripped, entities kept)
+        import re as _re_mod
+
+        def _strip(s: str) -> str:
+            return _re_mod.sub(r"<[^>]*>", "", s)
+
+        title = _strip(title)
+        vertical_label = _strip(vertical_label)
+        right_axis_label = _strip(right_axis_label)
+        watermark = _strip(watermark)
+        elements = [
+            type(el)(**{**el.__dict__, "legend": _strip(el.legend)})
+            for el in elements
+        ]
+        legend_lines = [_strip(s) for s in (legend_lines or [])]
 
     def _tabs(s: str) -> str:
         if "\t" not in s:
@@ -880,10 +931,13 @@ def render_graph(
         right += lab_chars * CHAR_W + (2 * CHAR_W if right_axis_label else 0)
     # unified legend items in draw order: element legends, rule legends,
     # GPRINT/COMMENT lines; bottomup (and bottomup2) reverses
-    items: list[tuple[str | None, str]] = [] if no_legend else (
-        [(el.color, el.legend) for el in elements if el.legend]
-        + [(r[2], r[3]) for r in (rules or []) if r[3]]
-        + [(None, line) for line in (legend_lines or [])]
+    items: list[tuple[str | None, str, str]] = [] if no_legend else (
+        [(el.color, el.legend,
+          "line" if el.kind.upper().startswith("LINE") else "box")
+         for el in elements if el.legend]
+        + [(r[2], r[3], "hrule" if r[0] == "H" else "vrule")
+           for r in (rules or []) if r[3]]
+        + [(None, line, "box") for line in (legend_lines or [])]
     )
     if legend_direction.lower().startswith("bottomup"):
         items.reverse()
@@ -891,7 +945,7 @@ def render_graph(
     legend_rows = len(items)
     lb = legend_rows * (CHAR_H + 2)
     side_w = (
-        max(len(t) for _c, t in items) * CHAR_W + 24
+        max(len(t) for _c, t, _s in items) * CHAR_W + 24
         if legend_rows and legend_pos in ("west", "east") else 0
     )
     if legend_pos == "north":
@@ -969,6 +1023,28 @@ def render_graph(
             _ra_state["magfact"] = 1000.0 ** _ra_state["mag"]
         return si_label(sval, _ra_state["magfact"], _ra_state["mag"])
 
+    # -- grid stroke: --grid-dash on:off segments every grid line
+    # (src/rrd_graph.c:5230-5240 option, gfx_line grid_dash_on/off args)
+    def _grid_h(y: int, c: str) -> None:
+        if grid_dash is None:
+            cv.hline(y, x0, x1, c)
+            return
+        on, off = max(grid_dash[0], 1.0), max(grid_dash[1], 0.0)
+        xx = float(x0)
+        while xx <= x1:
+            cv.hline(y, int(xx), min(x1, int(xx + on - 1)), c)
+            xx += on + off
+
+    def _grid_v(x: int, c: str) -> None:
+        if grid_dash is None:
+            cv.vline(x, y0, y1, c)
+            return
+        on, off = max(grid_dash[0], 1.0), max(grid_dash[1], 0.0)
+        yy = float(y0)
+        while yy <= y1:
+            cv.vline(x, int(yy), min(y1, int(yy + on - 1)), c)
+            yy += on + off
+
     # -- grids -------------------------------------------------------------
     if y_grid and logarithmic:
         # decade lines labelled, 2..9 multiples as minor grid
@@ -978,7 +1054,7 @@ def render_graph(
             v = 10.0**dec
             if v >= vmin * 0.999:
                 y = ytr(max(v, vmin))
-                cv.hline(y, x0, x1, col["MGRID"])
+                _grid_h(y, col["MGRID"])
                 mag = max(-6, min(6, int(_math.floor(dec / 3))))
                 lab = si_label(v, 1000.0**mag, mag)
                 cv.text(x0 - 4 - len(lab) * CHAR_W, y - CHAR_H // 2, lab,
@@ -989,7 +1065,7 @@ def render_graph(
             for m in range(2, 10):
                 v2 = m * 10.0**dec
                 if vmin <= v2 <= vmax:
-                    cv.hline(ytr(v2), x0, x1, col["GRID"])
+                    _grid_h(ytr(v2), col["GRID"])
             dec += 1
     elif y_grid:
         alt_fmt = None
@@ -1046,7 +1122,7 @@ def render_graph(
             v = k * step
             y = ytr(v)
             major = (round(k) % labfact) == 0
-            cv.hline(y, x0, x1, col["MGRID"] if major else col["GRID"])
+            _grid_h(y, col["MGRID"] if major else col["GRID"])
             if major:
                 lab = (alt_fmt % v).strip() if alt_fmt else si_label(
                     v, magfact, mag)
@@ -1064,7 +1140,7 @@ def render_graph(
         while t <= end:
             x = xtr(t)
             is_major = t % major == 0
-            cv.vline(x, y0, y1, col["MGRID"] if is_major else col["GRID"])
+            _grid_v(x, col["MGRID"] if is_major else col["GRID"])
             t += minor
         t = (start // labstep + 1) * labstep
         while t <= end:
@@ -1101,7 +1177,13 @@ def render_graph(
                 xb = xtr(ts)
                 yv, yb = ytr(v), ytr(b if b is not None else 0.0)
                 for x in range(max(x0, xa), min(x1, xb) + 1):
-                    cv.vspan(x, yb, yv, el.color)
+                    if el.color2:
+                        # gradient AREA: color at the value edge fading
+                        # to color2 downward (gfx_add_rect_fadey)
+                        cv.vspan_fade(x, min(yv, yb), max(yv, yb),
+                                      el.color, el.color2, el.gradheight)
+                    else:
+                        cv.vspan(x, yb, yv, el.color)
             continue
         # LINE: step-wise by default (each value holds for its interval,
         # like the reference), straight segments under --slope-mode
@@ -1180,14 +1262,25 @@ def render_graph(
     else:  # south (default)
         ly, lx = y1 + CHAR_H + 10, x0
 
-    def _swatch(color: str) -> None:
-        cv.rect(lx - 4, ly, lx + 4, ly + CHAR_H - 2, color)
-        cv.rect(lx - 4, ly, lx + 4, ly, "#000000")
-        cv.rect(lx - 4, ly + CHAR_H - 2, lx + 4, ly + CHAR_H - 2, "#000000")
+    def _swatch(color: str, shape: str) -> None:
+        if dynamic_labels and shape == "hrule":
+            # [-] a horizontal stroke (src/rrd_graph.c:3383-3390)
+            cv.hline(ly + (CHAR_H - 2) // 2, lx - 4, lx + 4, color)
+        elif dynamic_labels and shape == "vrule":
+            # [|] a vertical stroke
+            cv.vline(lx, ly, ly + CHAR_H - 2, color)
+        elif dynamic_labels and shape == "line":
+            # [/] a diagonal stroke
+            cv.line(lx - 4, ly + CHAR_H - 2, lx + 4, ly, color)
+        else:
+            cv.rect(lx - 4, ly, lx + 4, ly + CHAR_H - 2, color)
+            cv.rect(lx - 4, ly, lx + 4, ly, "#000000")
+            cv.rect(lx - 4, ly + CHAR_H - 2, lx + 4, ly + CHAR_H - 2,
+                    "#000000")
 
-    for lcolor, ltext in items:
+    for lcolor, ltext, lshape in items:
         if lcolor is not None:
-            _swatch(lcolor)
+            _swatch(lcolor, lshape)
         cv.text(lx + 8, ly, _tabs(ltext), col["FONT"])
         ly += CHAR_H + 2
     if watermark:

@@ -830,3 +830,92 @@ def test_cli_graph_legend_font_options(tmp_path, spark, capsys):
     capsys.readouterr()
     assert main(["graph", out, "--legend-position", "diagonal",
                  f"DEF:v={ds}:v:AVERAGE", "LINE1:v#ff0000"]) == 1
+
+
+def test_gradient_area_fades_down():
+    """AREA:v#col#col2 fades from color at the value edge to color2 over
+    gradheight px (gfx_add_rect_fadey, src/rrd_gfx.c:111-145)."""
+    el = GraphElement("AREA", "v", color="#ff0000", color2="#0000ff",
+                      gradheight=20.0)
+    rows = _rows([8.0] * 30)
+    cv = render_graph(rows, [el], (0.0, 10.0), 1000, 1300, width=60,
+                      height=51, x_grid=False, y_grid=False)
+    img = _img(cv)
+    x0, y0 = 8 + 7 * CHAR_W, 4
+    xmid = x0 + 30
+    y_top = y0 + 50 - round(8.0 / 10 * 50)  # value edge row
+    top_px = img[y_top + 1, xmid]
+    below_px = img[min(y_top + 19, y0 + 49), xmid]
+    # near the edge: red dominates; 20 px down: blue dominates
+    assert top_px[0] > top_px[2]
+    assert below_px[2] > below_px[0]
+    # solid-color render differs everywhere in the fill band
+    solid = render_graph(rows, [GraphElement("AREA", "v", color="#ff0000")],
+                         (0.0, 10.0), 1000, 1300, width=60, height=51,
+                         x_grid=False, y_grid=False)
+    assert (_img(cv) != _img(solid)).any()
+
+
+def test_grid_dash_segments():
+    """--grid-dash on:off breaks grid lines into segments; 1:1 stays
+    within the same pixel budget but alternates."""
+    el = GraphElement("LINE", "v", color="#ff0000")
+    rows = _rows([5.0] * 50, step=60)
+    solid = render_graph(rows, [el], (0.0, 10.0), 1000, 4000, width=100,
+                         height=50)
+    dashed = render_graph(rows, [el], (0.0, 10.0), 1000, 4000, width=100,
+                          height=50, grid_dash=(2.0, 4.0))
+    di, si = _img(dashed).astype(int), _img(solid).astype(int)
+    assert np.abs(di - si).sum() > 0
+    # dashed grid paints fewer non-canvas pixels inside the plot area
+    x0, y0 = 8 + 7 * CHAR_W, 4
+    inner_d = di[y0 : y0 + 50, x0 : x0 + 100]
+    inner_s = si[y0 : y0 + 50, x0 : x0 + 100]
+    assert (inner_d != 255).sum() < (inner_s != 255).sum()
+
+
+def test_dynamic_labels_swatch_shapes():
+    """--dynamic-labels: LINE legends get a diagonal stroke instead of a
+    filled box (src/rrd_graph.c:3383-3407)."""
+    els = [GraphElement("LINE", "v", color="#123456", legend="tr")]
+    rows = _rows([None] * 10)
+    box = render_graph(rows, els, (0.0, 2.0), 1000, 1100, width=60,
+                       height=30, x_grid=False, y_grid=False)
+    dyn = render_graph(rows, els, (0.0, 2.0), 1000, 1100, width=60,
+                       height=30, x_grid=False, y_grid=False,
+                       dynamic_labels=True)
+    n_box = ((_img(box) == [0x12, 0x34, 0x56]).all(axis=2)).sum()
+    n_dyn = ((_img(dyn) == [0x12, 0x34, 0x56]).all(axis=2)).sum()
+    assert 0 < n_dyn < n_box  # a stroke, not a filled box
+
+
+def test_pango_markup_stripped():
+    """--pango-markup renders the plain text of the markup (the bitmap
+    face has no styled variants)."""
+    els = [GraphElement("LINE", "v", color="#123456",
+                        legend="<b>bold</b> x")]
+    rows = _rows([None] * 10)
+    marked = render_graph(rows, els, (0.0, 2.0), 1000, 1100, width=60,
+                          height=30, x_grid=False, y_grid=False,
+                          title="<i>T</i>", pango_markup=True)
+    plain = render_graph(
+        rows, [GraphElement("LINE", "v", color="#123456", legend="bold x")],
+        (0.0, 2.0), 1000, 1100, width=60, height=30, x_grid=False,
+        y_grid=False, title="T")
+    assert (_img(marked) == _img(plain)).all()
+
+
+def test_cli_graph_grid_dash_gradient(tmp_path, spark, capsys):
+    from rrdtool_1_x_spark.cli import main
+
+    ds, base = _mk_rrd(tmp_path, main)
+    out = str(tmp_path / "g.png")
+    assert main(["graph", out, "-s", str(base), "-e", str(base + 600),
+                 "-w", "100", "-h", "40", "--grid-dash", "2:2",
+                 "--dynamic-labels", "-P",
+                 f"DEF:v={ds}:v:AVERAGE",
+                 "AREA:v#00c000#ffffff:lvl:gradheight=30"]) == 0
+    assert open(out, "rb").read()[:8] == b"\x89PNG\r\n\x1a\n"
+    capsys.readouterr()
+    assert main(["graph", out, "--grid-dash", "nope",
+                 f"DEF:v={ds}:v:AVERAGE", "LINE1:v#ff0000"]) == 1
