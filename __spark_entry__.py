@@ -1559,6 +1559,49 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (datapipe.similarity.semantic_deduplicate; Abbas et al.
+    2023): embedding-cluster-confined semantic dedup — every vector
+    assigned to its nearest md5-sampled centroid cell, dropped iff a
+    lower-id cellmate clears cosine 0.2. Assignment is a shuffle-free map
+    over inlined centroid literals; the quadratic work never leaves a
+    cell (Arrow per-cell GEMM with exact-fold guard band)."""
+    from rrdtool_1_x_spark.datapipe.similarity import (
+        ivf_centroid_model,
+        semantic_deduplicate,
+    )
+
+    e = _emb_scan(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "ivfmodel")
+    if key not in _IVF_MODEL_CACHE:
+        _IVF_MODEL_CACHE[key] = ivf_centroid_model(e, nlist=16)
+    out = semantic_deduplicate(
+        e, threshold=0.2, nlist=16, model=_IVF_MODEL_CACHE[key]
+    )
+    return out.orderBy("vec_id")
+
+
+def q_bpe_tokens(spark, sf_dir):
+    """BPE-pre-tokenizer counting (datapipe.textstats.bpe_token_stats):
+    the GPT-2 split rule's piece count per document next to the
+    whitespace count and the chars-per-token compression signal.
+    Map-only — two regexp_count projections inside the scan."""
+    from rrdtool_1_x_spark.datapipe.textstats import bpe_token_stats
+
+    return bpe_token_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_dup_spans(spark, sf_dir):
+    """Duplicated n-gram spans (datapipe.dedup.duplicated_ngram_spans;
+    Lee et al. 2022): per-doc count/fraction of 8-token windows whose
+    hash also occurs in another document — the substring-level dedup
+    signal document-level near-dup misses. One hash-keyed aggregation
+    chain, corpus-linear."""
+    from rrdtool_1_x_spark.datapipe.dedup import duplicated_ngram_spans
+
+    return duplicated_ngram_spans(_docs(spark, sf_dir), n=8).orderBy("doc_id")
+
+
 _DF_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
 
@@ -1590,6 +1633,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         # -- priority: no driver row yet (added after the r5 sweep) ----
         "pii_scrub": q_pii_scrub,
+        "semantic_dedup": q_semantic_dedup,
+        "bpe_tokens": q_bpe_tokens,
+        "dup_spans": q_dup_spans,
         "unigram_logprob": q_unigram_logprob,
         "curate": q_curate,
         "sql_derive": q_sql_derive,
@@ -2478,6 +2524,83 @@ r AS (SELECT query_id, vec_id, cs,
       FROM s2)
 SELECT query_id, vec_id, round(cs, 6) AS cos_sim, rank FROM r
 WHERE rank <= 10 ORDER BY query_id, rank"""
+
+    # SemDeDup: reuses ivf_topk's centroid/assignment CTEs (same md5
+    # quantizer, coalesce(-2.0) zero-vector rule and (s DESC, cid ASC)
+    # tie-break), then keep-lowest-id within each (cell, md5-ordered
+    # shard of 4096) — quadratic within-cell join is fine at oracle scale
+    sql["semantic_dedup"] = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+sc AS (SELECT n.vec_id, cent.cid,
+              coalesce(CASE WHEN n.n2 > 0 AND cent.cn2 > 0
+                            THEN list_dot_product(n.v, cent.cv)
+                                 / (sqrt(n.n2) * sqrt(cent.cn2)) END,
+                       -2.0) AS s
+       FROM n CROSS JOIN cent),
+asg AS (SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY s DESC, cid ASC) AS rn
+          FROM sc) _ WHERE rn = 1),
+sh AS (SELECT vec_id, cid,
+              CAST(floor((row_number() OVER (PARTITION BY cid
+                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1)
+                   / 4096) AS BIGINT) AS shard
+       FROM asg),
+p AS (SELECT y.vec_id AS id_b, min(x.vec_id) AS dup_of
+      FROM sh x JOIN sh y
+        ON x.cid = y.cid AND x.shard = y.shard AND x.vec_id < y.vec_id
+      JOIN n a ON a.vec_id = x.vec_id
+      JOIN n b ON b.vec_id = y.vec_id
+      WHERE a.n2 > 0 AND b.n2 > 0
+        AND list_dot_product(a.v, b.v) / (sqrt(a.n2) * sqrt(b.n2)) >= 0.2
+      GROUP BY 1)
+SELECT s.vec_id, s.cid AS cell, p.dup_of, p.dup_of IS NULL AS keep
+FROM sh s LEFT JOIN p ON p.id_b = s.vec_id ORDER BY s.vec_id"""
+
+    from rrdtool_1_x_spark.datapipe.textstats import BPE_SPLIT_PATTERN
+
+    _bpe_pat = BPE_SPLIT_PATTERN.replace("'", "''")
+    sql["bpe_tokens"] = f"""
+WITH b AS (SELECT doc_id, text,
+             len(regexp_extract_all(text, '{_bpe_pat}'))::BIGINT
+               AS bpe_tokens,
+             len(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                   '\\s+'),
+                             t -> t <> ''))::BIGINT AS ws_tokens
+           FROM documents)
+SELECT doc_id, bpe_tokens, ws_tokens,
+       CASE WHEN bpe_tokens > 0
+            THEN round(length(text)::DOUBLE / bpe_tokens, 6)
+       END AS chars_per_token
+FROM b ORDER BY doc_id"""
+
+    # duplicated 8-token spans: same shingle construction as the MinHash
+    # CTE (full windows when len >= n, one partial otherwise), md5-hashed;
+    # a window is duplicated iff its hash occurs in >= 2 distinct docs
+    sql["dup_spans"] = """
+WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+')
+             AS toks FROM documents),
+w AS (SELECT doc_id,
+        CASE WHEN len(toks) >= 8
+             THEN list_transform(range(1, len(toks) - 6),
+                                 i -> md5(array_to_string(toks[i:i+7], ' ')))
+             ELSE [md5(array_to_string(toks, ' '))] END AS ws
+      FROM t),
+x AS (SELECT doc_id, unnest(ws) AS h FROM w),
+ph AS (SELECT doc_id, h, count(*) AS c FROM x GROUP BY 1, 2),
+dfq AS (SELECT h FROM ph GROUP BY h HAVING count(*) >= 2),
+d AS (SELECT ph.doc_id, sum(c)::BIGINT AS dup_windows
+      FROM ph JOIN dfq USING (h) GROUP BY 1),
+b AS (SELECT doc_id, len(ws)::BIGINT AS n_windows FROM w)
+SELECT b.doc_id, n_windows,
+       coalesce(dup_windows, 0)::BIGINT AS dup_windows,
+       round(coalesce(dup_windows, 0)::DOUBLE / n_windows, 6) AS dup_fraction
+FROM b LEFT JOIN d USING (doc_id) ORDER BY b.doc_id"""
 
     sql["fingerprint"] = """
 WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks

@@ -831,3 +831,65 @@ def dedup_report(
         "docs_kept": int(total - removed),
         "dup_rate": (removed / total) if total else 0.0,
     }
+
+
+def duplicated_ngram_spans(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level exact-duplicate detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): document-level dedup misses the boilerplate CASE —
+    licenses, navigation chrome, quoted passages — that repeats INSIDE
+    otherwise-unique documents. Every n-token window is hashed; a window
+    is a duplicated span iff its hash also occurs in at least one OTHER
+    document (the paper's suffix-array span query, re-expressed as the
+    shuffle-friendly hash-of-fixed-windows approximation it reduces to at
+    a fixed match length).
+
+    Returns per document: ``(id, n_windows, dup_windows, dup_fraction)``
+    — dup_windows counts window POSITIONS (a span repeated k times in one
+    doc counts k), dup_fraction = dup_windows / n_windows. Documents
+    shorter than n tokens contribute one partial window (``_shingle_array``
+    semantics, shared with the MinHash pipeline).
+
+    Shape at scale: windows are built per document inside the scan task
+    (arrays_zip shifted-slices, map-only), then ONE hash-keyed
+    aggregation chain: groupBy(doc, hash) -> groupBy(hash) doc-frequency
+    -> join back on hash. Each stage is corpus-linear with map-side
+    partial aggregation; nothing is quadratic and no global window forms.
+    Hash collisions (md5, 128-bit) are negligible by construction.
+    """
+    wins = df.select(
+        F.col(id_col),
+        F.transform(
+            _shingle_array(F.col(text_col), n),
+            lambda s: F.md5(s.cast("binary")),
+        ).alias("_w"),
+    )
+    base = wins.select(F.col(id_col), F.size("_w").cast("long").alias("n_windows"))
+    exploded = wins.select(F.col(id_col), F.explode("_w").alias("_h"))
+    per_doc = exploded.groupBy(id_col, "_h").agg(F.count(F.lit(1)).alias("_c"))
+    shared = (
+        per_doc.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= 2)
+        .select("_h")
+    )
+    dup = (
+        per_doc.join(shared, "_h")
+        .groupBy(id_col)
+        .agg(F.sum("_c").alias("dup_windows"))
+    )
+    return base.join(dup, id_col, "left").select(
+        F.col(id_col),
+        "n_windows",
+        F.coalesce(F.col("dup_windows"), F.lit(0)).cast("long").alias("dup_windows"),
+        F.round(
+            F.coalesce(F.col("dup_windows"), F.lit(0)).cast("double")
+            / F.col("n_windows"),
+            6,
+        ).alias("dup_fraction"),
+    )

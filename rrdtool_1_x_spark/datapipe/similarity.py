@@ -1094,3 +1094,123 @@ def lsh_bucketed_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semantic_deduplicate(
+    corpus: DataFrame,
+    threshold: float = 0.35,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    model: list[tuple[int, list[float], float]] | None = None,
+    max_cell_size: int = 4096,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication confined to embedding-space clusters.
+
+    Every vector is assigned to its nearest centroid (the same
+    deterministic md5-sampled coarse quantizer as ``ivf_topk`` —
+    k-means-free so the model is engine-portable), and WITHIN each cell a
+    vector is a semantic duplicate iff a lower-id vector in the cell has
+    cosine >= threshold. The paper keeps a per-group random/low-centroid-
+    similarity representative; the keep-lowest-id rule used here is its
+    deterministic, verification-friendly variant (the paper reports the
+    choice of representative barely moves downstream accuracy, §4.3).
+
+    Returns one row per corpus vector: ``(id, cell, dup_of, keep)`` where
+    ``dup_of`` is the LOWEST same-cell id whose cosine clears the
+    threshold (NULL when none) and ``keep = dup_of IS NULL``.
+
+    Shape at scale: assignment is a shuffle-free map over inlined centroid
+    literals; the quadratic work never leaves a cell, and cells above
+    ``max_cell_size`` are split into deterministic md5-ordered shards
+    first (duplicates across shards of one oversized cell are missed —
+    the documented price of bounding the per-task GEMM; size nlist ~
+    corpus/1000 so healthy cells stay far below the cap). One shuffle
+    (the cell window + groupBy family); the per-cell kernel is a single
+    Arrow GEMM with a 1e-6 guard band whose boundary rows are re-scored
+    by the engines' shared sequential fold, so every keep/drop DECISION
+    is bit-identical to the interpreted path.
+    """
+    import math as _math
+
+    import pyarrow as pa
+    from pyspark.sql import Window
+
+    if model is None:
+        model = ivf_centroid_model(corpus, nlist=nlist, id_col=id_col, vec_col=vec_col)
+    assigned = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_vec"),
+        (-F.array_max(_centroid_scores(F.col(vec_col), model))["nc"])
+        .cast("long")
+        .alias("cell"),
+    )
+    wc = Window.partitionBy("cell").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    sharded = assigned.withColumn(
+        "_shard", F.floor((F.row_number().over(wc) - 1) / F.lit(max_cell_size))
+    )
+    id_ddl = corpus.schema[id_col].dataType.simpleString()
+
+    def score(tbl: "pa.Table") -> "pa.Table":
+        id_type = tbl.schema.field(id_col).type
+        out_schema = pa.schema(
+            [
+                pa.field(id_col, id_type),
+                pa.field("cell", pa.int64()),
+                pa.field("dup_of", id_type),
+            ]
+        )
+        n = tbl.num_rows
+        ids = tbl.column(id_col).to_pylist()
+        cells = tbl.column("cell").to_pylist()
+        if n < 2:
+            return pa.table(
+                {
+                    id_col: pa.array(ids, id_type),
+                    "cell": pa.array(cells, pa.int64()),
+                    "dup_of": pa.array([None] * n, id_type),
+                },
+                schema=out_schema,
+            )
+        m32, m = _list_matrix(tbl.column("_vec").combine_chunks(), n)
+        order = sorted(range(n), key=lambda i: ids[i])
+        m32, m = m32[order], m[order]
+        ids = [ids[i] for i in order]
+        n2 = (m * m).sum(axis=1)
+        nrm = np.sqrt(np.where(n2 > 0, n2, np.inf))
+        sims = (m @ m.T) / nrm[:, None] / nrm[None, :]
+        dup_of: list = [None] * n
+        for j in range(1, n):
+            if not n2[j] > 0:
+                continue
+            with np.errstate(invalid="ignore"):
+                cand = np.nonzero(sims[j, :j] >= threshold - 1e-6)[0]
+            for i in cand:  # ascending id order: first exact hit is the min
+                if not n2[i] > 0:
+                    continue
+                na2 = _seq_dot(m32[i], m32[i])
+                nb2 = _seq_dot(m32[j], m32[j])
+                if not (na2 > 0 and nb2 > 0):
+                    continue
+                cs = _seq_dot(m32[i], m32[j]) / (_math.sqrt(na2) * _math.sqrt(nb2))
+                if cs >= threshold:
+                    dup_of[j] = ids[i]
+                    break
+        return pa.table(
+            {
+                id_col: pa.array(ids, id_type),
+                "cell": pa.array([cells[0]] * n, pa.int64()),
+                "dup_of": pa.array(dup_of, id_type),
+            },
+            schema=out_schema,
+        )
+
+    out = sharded.groupBy("cell", "_shard").applyInArrow(
+        score, f"{id_col} {id_ddl}, cell long, dup_of {id_ddl}"
+    )
+    return out.select(
+        id_col, "cell", "dup_of", F.col("dup_of").isNull().alias("keep")
+    )

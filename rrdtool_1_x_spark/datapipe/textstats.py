@@ -261,3 +261,41 @@ def unigram_logprob(
         mean.alias("unigram_logprob"),
         F.sum("m").alias("token_cnt"),
     )
+
+
+# the GPT-2 pre-tokenizer rule (Radford et al. 2019, regex from the
+# released encoder), restricted to ASCII classes and with the trailing
+# lookahead branch dropped so the SAME pattern is leftmost-first valid in
+# both Java regex and RE2 (DuckDB) — contractions, an optionally
+# space-prefixed letter run / digit run / punctuation run, then
+# whitespace runs
+BPE_SPLIT_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+)
+
+
+def bpe_token_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Tokenizer-shaped counting: how many pieces a BPE-family tokenizer's
+    PRE-tokenizer would split each document into, next to the whitespace
+    count — the standard pair for token-budget planning and for the
+    chars-per-token compression signal (boilerplate and non-linguistic
+    noise compress worse). Vocabulary merges only ever SPLIT these pieces
+    further, so ``bpe_tokens`` is the exact lower bound (and the empirical
+    ~0.75x proxy) of the real BPE count without shipping a merges file.
+
+    Map-only: two regexp_count projections over the scan, no shuffle; at
+    100 TB this is a pure weak-scaling stage like ``token_stats``.
+    """
+    txt = F.col(text_col)
+    bpe = F.regexp_count(txt, F.lit(BPE_SPLIT_PATTERN))
+    ws = F.size(F.filter(_tokens(txt), lambda t: t != ""))
+    return df.select(
+        F.col(id_col),
+        bpe.cast("long").alias("bpe_tokens"),
+        ws.cast("long").alias("ws_tokens"),
+        F.when(
+            bpe > 0, F.round(F.length(txt).cast("double") / bpe, 6)
+        ).alias("chars_per_token"),
+    )

@@ -701,3 +701,85 @@ def test_curation_stream_prefix_consistent(spark, tmp_path):
                                nd_kwargs=nd_kw).collect()
     }
     assert batch == got
+
+
+def test_semantic_deduplicate_structure(spark, emb):
+    """SemDeDup invariants: one row per vector, keep == dup_of IS NULL,
+    dup_of is a LOWER id in the SAME cell clearing the threshold."""
+    from rrdtool_1_x_spark.datapipe.similarity import (
+        cosine_similarity_col,
+        semantic_deduplicate,
+    )
+
+    out = semantic_deduplicate(emb, threshold=0.2, nlist=8).cache()
+    n = emb.count()
+    assert out.count() == n
+    assert out.select("vec_id").distinct().count() == n
+    bad = out.filter(F.col("keep") != F.col("dup_of").isNull()).count()
+    assert bad == 0
+    dups = out.filter(~F.col("keep"))
+    assert dups.count() > 0  # the synthetic corpus is clustered
+    assert dups.filter(F.col("dup_of") >= F.col("vec_id")).count() == 0
+    # dup_of lives in the same cell, and the pair really clears 0.2
+    cells = out.select(F.col("vec_id").alias("dup_of"),
+                       F.col("cell").alias("rep_cell"))
+    joined = dups.join(cells, "dup_of")
+    assert joined.filter(F.col("cell") != F.col("rep_cell")).count() == 0
+    va = emb.select(F.col("vec_id").alias("dup_of"),
+                    F.col("embedding").alias("_a"))
+    vb = emb.select("vec_id", F.col("embedding").alias("_b"))
+    sims = dups.join(va, "dup_of").join(vb, "vec_id").select(
+        cosine_similarity_col(F.col("_a"), F.col("_b")).alias("cs"))
+    assert sims.filter(F.col("cs") < 0.2).count() == 0
+
+
+def test_semantic_deduplicate_exact_copies(spark):
+    """An exact copy with a higher id always dedups to the original, and
+    the max_cell_size shard cap bounds the per-group GEMM (one keeper
+    per shard of identical vectors)."""
+    from rrdtool_1_x_spark.datapipe.similarity import semantic_deduplicate
+
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_deduplicate(df, threshold=0.99, nlist=1).collect()
+    assert sum(r["keep"] for r in out) == 1
+    assert all(r["dup_of"] == 0 for r in out if not r["keep"])
+    capped = semantic_deduplicate(
+        df, threshold=0.99, nlist=1, max_cell_size=2
+    ).collect()
+    # 6 identical vectors in 3 md5-ordered shards of 2 → 3 keepers
+    assert sum(r["keep"] for r in capped) == 3
+
+
+def test_bpe_token_stats_hand_computed(spark):
+    """GPT-2 split-rule pieces on a punctuation/digit/contraction mix."""
+    from rrdtool_1_x_spark.datapipe.textstats import bpe_token_stats
+
+    text = "I'll see 42 dogs, don't panic!!"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = bpe_token_stats(df).collect()[0]
+    # I |'ll | see | 42 | dogs |, | don |'t | panic |!!
+    assert r["bpe_tokens"] == 10
+    assert r["ws_tokens"] == 6
+    assert r["chars_per_token"] == round(len(text) / 10, 6)
+
+
+def test_duplicated_ngram_spans_hand_computed(spark):
+    """Three shared 4-grams between A and B; C unique; D shorter than n."""
+    from rrdtool_1_x_spark.datapipe.dedup import duplicated_ngram_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "c d e f g h x y z w"),
+            (3, "p q r s t u v w2 x2 y2"),
+            (4, "q r"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in duplicated_ngram_spans(df, n=4).collect()}
+    assert out[1]["n_windows"] == 7 and out[1]["dup_windows"] == 3
+    assert out[2]["n_windows"] == 7 and out[2]["dup_windows"] == 3
+    assert out[1]["dup_fraction"] == round(3 / 7, 6)
+    assert out[3]["dup_windows"] == 0
+    assert out[4]["n_windows"] == 1 and out[4]["dup_windows"] == 0
