@@ -427,19 +427,23 @@ def cmd_updatev(args: list[str]) -> int:
     return rc
 
 
-def cmd_fetch(args: list[str]) -> int:
-    # options first, positionals after — getopt permutes like the reference
+def fetch_table(args: list[str]):
+    """The structured core of ``rrdtool fetch`` — shared by the CLI
+    printer below and by ``binding.fetch`` (≙ rrd_fetch's out-params
+    (start, end, step, ds_cnt, ds_namv, data)). Returns
+    ``((start, end, step), ds_names, rows)`` with one value tuple per
+    grid slot and None for unknown."""
+    import math
+
     res = _opt(args, "-r", "--resolution")
     align = _opt(args, "-a", "--align-start", flag=True)
     daemon = _daemon_addr(args)
     end_s = _opt(args, "-e", "--end")
     start_s = _opt(args, "-s", "--start")
     path, cf = args.pop(0), args.pop(0).upper()
-    import math
 
-    def _fmt(v) -> str:
-        bad = v is None or (isinstance(v, float) and math.isnan(v))
-        return f"{(float('nan') if bad else float(v)):0.10e}"
+    def _clean(v):
+        return None if v is None or (isinstance(v, float) and math.isnan(v)) else float(v)
 
     if daemon is not None:
         # ≙ rrdc_fetch (src/rrd_fetch.c:198-205, src/rrd_client.c:198-420):
@@ -456,12 +460,14 @@ def cmd_fetch(args: list[str]) -> int:
             c.flush(_series_of(path))
             store = DatasetStore(None, path)
             start, end = _at_pair(start_s, end_s, store.last())
-            _, _, _, ds_names, rows = c.fetch(_series_of(path), cf, start, end)
-        print(" ".join(f"{n:>18s}" for n in ds_names))
-        print()
-        for ts, vals in rows:
-            print(f"{ts}: " + " ".join(_fmt(vals.get(n)) for n in ds_names))
-        return 0
+            w_start, w_end, w_step, ds_names, rows = c.fetch(
+                _series_of(path), cf, start, end
+            )
+        table = [
+            (int(ts), tuple(_clean(vals.get(n)) for n in ds_names))
+            for ts, vals in rows
+        ]
+        return (int(w_start), int(w_end), int(w_step)), list(ds_names), table
 
     store = _store(path)
     start, end = _at_pair(start_s, end_s, store.last())
@@ -471,12 +477,25 @@ def cmd_fetch(args: list[str]) -> int:
     ds_names = [d.name for d in store.dataset.ds]
     wide = pdf.pivot_table(index="ts", columns="ds_name", values="value",
                            dropna=False)
+    table = [
+        (int(ts), tuple(_clean(r.get(n)) for n in ds_names))
+        for ts, r in wide.iterrows()
+    ]
+    return (plan.start, plan.end, plan.step), ds_names, table
+
+
+def cmd_fetch(args: list[str]) -> int:
+    # options first, positionals after — getopt permutes like the reference
+    _range, ds_names, table = fetch_table(args)
+
+    def _fmt(v) -> str:
+        return f"{(float('nan') if v is None else v):0.10e}"
+
     # reference CLI layout: DS-name header, blank line, "ts: %0.10e ..." rows
     print(" ".join(f"{n:>18s}" for n in ds_names))
     print()
-    for ts, r in wide.iterrows():
-        vals = " ".join(_fmt(r.get(n)) for n in ds_names)
-        print(f"{int(ts)}: {vals}")
+    for ts, vals in table:
+        print(f"{ts}: " + " ".join(_fmt(v) for v in vals))
     return 0
 
 

@@ -856,11 +856,14 @@ def duplicated_ngram_spans(
     semantics, shared with the MinHash pipeline).
 
     Shape at scale: windows are built per document inside the scan task
-    (arrays_zip shifted-slices, map-only), then ONE hash-keyed
-    aggregation chain: groupBy(doc, hash) -> groupBy(hash) doc-frequency
-    -> join back on hash. Each stage is corpus-linear with map-side
-    partial aggregation; nothing is quadratic and no global window forms.
-    Hash collisions (md5, 128-bit) are negligible by construction.
+    (arrays_zip shifted-slices, map-only), then ONE linear chain with no
+    join-back: groupBy(doc, hash) with map-side combine, a hash-keyed
+    window for the doc-frequency (each hash partition is a handful of
+    rows), and a final per-doc aggregation — since EVERY window position
+    lands in the (doc, hash) counts, n_windows is sum(c) per doc and the
+    document branch that would re-scan the corpus never exists. Nothing
+    is quadratic and no global window forms. Hash collisions (md5,
+    128-bit) are negligible by construction.
     """
     wins = df.select(
         F.col(id_col),
@@ -869,27 +872,23 @@ def duplicated_ngram_spans(
             lambda s: F.md5(s.cast("binary")),
         ).alias("_w"),
     )
-    base = wins.select(F.col(id_col), F.size("_w").cast("long").alias("n_windows"))
     exploded = wins.select(F.col(id_col), F.explode("_w").alias("_h"))
     per_doc = exploded.groupBy(id_col, "_h").agg(F.count(F.lit(1)).alias("_c"))
-    shared = (
-        per_doc.groupBy("_h")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") >= 2)
-        .select("_h")
-    )
-    dup = (
-        per_doc.join(shared, "_h")
-        .groupBy(id_col)
-        .agg(F.sum("_c").alias("dup_windows"))
-    )
-    return base.join(dup, id_col, "left").select(
-        F.col(id_col),
-        "n_windows",
-        F.coalesce(F.col("dup_windows"), F.lit(0)).cast("long").alias("dup_windows"),
-        F.round(
-            F.coalesce(F.col("dup_windows"), F.lit(0)).cast("double")
-            / F.col("n_windows"),
-            6,
-        ).alias("dup_fraction"),
+    wh = Window.partitionBy("_h")
+    flagged = per_doc.withColumn("_df", F.count(F.lit(1)).over(wh))
+    dup_c = F.sum(F.when(F.col("_df") >= 2, F.col("_c")).otherwise(F.lit(0)))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.sum("_c").cast("long").alias("n_windows"),
+            dup_c.cast("long").alias("dup_windows"),
+        )
+        .select(
+            F.col(id_col),
+            "n_windows",
+            "dup_windows",
+            F.round(
+                F.col("dup_windows").cast("double") / F.col("n_windows"), 6
+            ).alias("dup_fraction"),
+        )
     )

@@ -92,16 +92,31 @@ class CallbackRegistry:
 
     def __init__(self) -> None:
         self._cbs: dict[str, FetchCallback] = {}
+        # the reference registers ONE process-global callback serving every
+        # cb// path (rrd_fetch_cb_register) — the default slot mirrors
+        # that; per-path registrations take precedence. The default
+        # callable additionally receives the path (the reference passes
+        # the filename through).
+        self._default = None
 
     def register(self, path: str, cb: FetchCallback) -> None:
         self._cbs[path] = cb
+
+    def register_default(self, cb) -> None:
+        self._default = cb
+
+    def clear_default(self) -> None:
+        self._default = None
 
     def fetch(
         self, spark: SparkSession, path: str, start: int, end: int, step: int
     ) -> DataFrame:
         if path not in self._cbs:
-            raise KeyError(f"no callback source registered for {path!r}")
-        df = self._cbs[path](spark, start, end, step)
+            if self._default is None:
+                raise KeyError(f"no callback source registered for {path!r}")
+            df = self._default(spark, path, start, end, step)
+        else:
+            df = self._cbs[path](spark, start, end, step)
         required = {"series_id", "ds_name", "ts", "value"}
         missing = required - set(df.columns)
         if missing:
