@@ -7,6 +7,7 @@ quality analysis, and multimodal column plumbing.
 """
 
 from rrdtool_1_x_spark.datapipe.dedup import (  # noqa: F401
+    duplicated_ngram_spans,
     exact_dedup,
     minhash_signatures,
     minhash_near_duplicates,
@@ -17,8 +18,10 @@ from rrdtool_1_x_spark.datapipe.similarity import (  # noqa: F401
     brute_force_topk,
     cosine_similarity_col,
     lsh_bucketed_topk,
+    semantic_deduplicate,
 )
 from rrdtool_1_x_spark.datapipe.textstats import (  # noqa: F401
+    bpe_token_stats,
     language_scores,
     quality_metrics,
     token_stats,
