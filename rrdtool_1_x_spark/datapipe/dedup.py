@@ -838,6 +838,7 @@ def duplicated_ngram_spans(
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Substring-level exact-duplicate detection (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better",
@@ -862,15 +863,22 @@ def duplicated_ngram_spans(
     rows), and a final per-doc aggregation — since EVERY window position
     lands in the (doc, hash) counts, n_windows is sum(c) per doc and the
     document branch that would re-scan the corpus never exists. Nothing
-    is quadratic and no global window forms. Hash collisions (md5,
-    128-bit) are negligible by construction.
+    is quadratic and no global window forms. Hash collisions are
+    negligible by construction at either width.
+
+    ``hash_fn``: "md5" (engine-portable hex string — the oracle-gated
+    default) or "xxhash64" (JVM-native long, a quarter of the shuffled
+    key bytes — prefer at corpus scale; same convention as
+    ``rolling_fingerprint``).
     """
+    hasher = (
+        (lambda s: F.md5(s.cast("binary")))
+        if hash_fn == "md5"
+        else (lambda s: F.xxhash64(s))
+    )
     wins = df.select(
         F.col(id_col),
-        F.transform(
-            _shingle_array(F.col(text_col), n),
-            lambda s: F.md5(s.cast("binary")),
-        ).alias("_w"),
+        F.transform(_shingle_array(F.col(text_col), n), hasher).alias("_w"),
     )
     exploded = wins.select(F.col(id_col), F.explode("_w").alias("_h"))
     per_doc = exploded.groupBy(id_col, "_h").agg(F.count(F.lit(1)).alias("_c"))

@@ -783,3 +783,8 @@ def test_duplicated_ngram_spans_hand_computed(spark):
     assert out[1]["dup_fraction"] == round(3 / 7, 6)
     assert out[3]["dup_windows"] == 0
     assert out[4]["n_windows"] == 1 and out[4]["dup_windows"] == 0
+    # the scale-path hash yields identical counts (narrower shuffle key)
+    xx = {r["doc_id"]: r for r in
+          duplicated_ngram_spans(df, n=4, hash_fn="xxhash64").collect()}
+    assert {k: (v["n_windows"], v["dup_windows"]) for k, v in out.items()} \
+        == {k: (v["n_windows"], v["dup_windows"]) for k, v in xx.items()}
