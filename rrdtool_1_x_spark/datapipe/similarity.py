@@ -1096,6 +1096,55 @@ def lsh_bucketed_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _assign_cells_arrow(
+    corpus: DataFrame,
+    model: list[tuple[int, list[float], float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Arrow-vectorized IVF cell assignment of the whole corpus: one GEMM
+    against the centroid matrix per batch, with near-tied rows re-decided
+    by the exact sequential fold (the same guard-band discipline as
+    ``_ivf_scores_arrow``) — so every assignment is bit-identical to the
+    ``_centroid_scores`` expression path while costing a matrix multiply
+    instead of nlist interpreted folds per row. Map-only: emits
+    (id, _vec, cell) straight out of the scan task."""
+    import pyarrow as pa
+
+    cids = np.array([cid for cid, _, _ in model], dtype=np.int64)
+    cmat = np.array([cv for _, cv, _ in model], dtype=np.float64)
+    cn2 = np.array([n2 for _, _, n2 in model], dtype=np.float64)
+    cnorm = np.sqrt(np.where(cn2 > 0, cn2, np.inf))
+
+    def assign(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids, vecs = rb.column(0), rb.column(1)
+            m32, m = _list_matrix(vecs, n)
+            vn2 = (m * m).sum(axis=1)
+            vnorm = np.sqrt(np.where(vn2 > 0, vn2, np.inf))
+            csims = (m @ cmat.T) / vnorm[:, None] / cnorm[None, :]
+            csims = np.where(np.isfinite(csims), csims, -2.0)
+            best = np.argmax(csims, axis=1)  # first max = lowest cid on ties
+            cells = cids[best]
+            if csims.shape[1] > 1:
+                part = np.partition(csims, -2, axis=1)
+                for i in np.nonzero(part[:, -1] - part[:, -2] < 1e-9)[0]:
+                    cells[i] = _exact_cell(m32[i], model)
+            yield pa.RecordBatch.from_arrays(
+                [ids, vecs, pa.array(cells, pa.int64())],
+                names=[id_col, "_vec", "cell"],
+            )
+
+    id_ddl = corpus.schema[id_col].dataType.simpleString()
+    vec_ddl = corpus.schema[vec_col].dataType.simpleString()
+    return corpus.select(F.col(id_col), F.col(vec_col)).mapInArrow(
+        assign, f"{id_col} {id_ddl}, _vec {vec_ddl}, cell long"
+    )
+
+
 def semantic_deduplicate(
     corpus: DataFrame,
     threshold: float = 0.35,
@@ -1104,6 +1153,7 @@ def semantic_deduplicate(
     vec_col: str = "embedding",
     model: list[tuple[int, list[float], float]] | None = None,
     max_cell_size: int = 4096,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication confined to embedding-space clusters.
@@ -1131,6 +1181,12 @@ def semantic_deduplicate(
     Arrow GEMM with a 1e-6 guard band whose boundary rows are re-scored
     by the engines' shared sequential fold, so every keep/drop DECISION
     is bit-identical to the interpreted path.
+
+    ``kernel='arrow'`` (default) also runs the cell ASSIGNMENT as one
+    GEMM per Arrow batch (``_assign_cells_arrow``, exact-fold guard band
+    on near-ties — bit-identical cells); ``'fold'`` keeps the inlined
+    ``_centroid_scores`` expression path (nlist interpreted folds per
+    row; the cross-engine-shared formulation the oracle mirrors).
     """
     import math as _math
 
@@ -1139,13 +1195,18 @@ def semantic_deduplicate(
 
     if model is None:
         model = ivf_centroid_model(corpus, nlist=nlist, id_col=id_col, vec_col=vec_col)
-    assigned = corpus.select(
-        F.col(id_col),
-        F.col(vec_col).alias("_vec"),
-        (-F.array_max(_centroid_scores(F.col(vec_col), model))["nc"])
-        .cast("long")
-        .alias("cell"),
-    )
+    if kernel == "arrow":
+        # GEMM assignment with exact-fold guard band — bit-identical
+        # cells, ~nlist x cheaper per row than the interpreted folds
+        assigned = _assign_cells_arrow(corpus, model, id_col, vec_col)
+    else:
+        assigned = corpus.select(
+            F.col(id_col),
+            F.col(vec_col).alias("_vec"),
+            (-F.array_max(_centroid_scores(F.col(vec_col), model))["nc"])
+            .cast("long")
+            .alias("cell"),
+        )
     wc = Window.partitionBy("cell").orderBy(
         F.md5(F.col(id_col).cast("string")), F.col(id_col)
     )

@@ -788,3 +788,21 @@ def test_duplicated_ngram_spans_hand_computed(spark):
           duplicated_ngram_spans(df, n=4, hash_fn="xxhash64").collect()}
     assert {k: (v["n_windows"], v["dup_windows"]) for k, v in out.items()} \
         == {k: (v["n_windows"], v["dup_windows"]) for k, v in xx.items()}
+
+
+def test_semantic_dedup_arrow_kernel_identical(spark, emb):
+    """GEMM assignment + guard band ≡ the interpreted fold path, row for
+    row (the same contract as the other arrow kernels)."""
+    from rrdtool_1_x_spark.datapipe.similarity import (
+        ivf_centroid_model,
+        semantic_deduplicate,
+    )
+
+    model = ivf_centroid_model(emb, nlist=8)
+    a = semantic_deduplicate(
+        emb, threshold=0.3, model=model, kernel="arrow"
+    ).orderBy("vec_id").collect()
+    f = semantic_deduplicate(
+        emb, threshold=0.3, model=model, kernel="fold"
+    ).orderBy("vec_id").collect()
+    assert a == f
