@@ -224,8 +224,9 @@ def graph(*args):
 
 
 def graphv(*args) -> dict:
-    """≙ rrdtool.graphv(args..) → the rrd_graph_v info dict (graph_start,
-    graph_end, value_min/max, print[i], …)."""
+    """≙ rrdtool.graphv(args..) → the rrd_graph_v info dict (graph_left/
+    top/width/height, image dims, graph_start/end, value_min/max,
+    print[i], …); renders the image when a filename is given."""
     return _parse_info(_run("graphv", _argv(args)))
 
 

@@ -8,7 +8,8 @@ with the .rrd path swapped for a dataset directory:
   update <ds> [--template a:b] <ts:v[:v...]>...
   fetch  <ds> <CF> [-r res] [-s start] [-e end] [-a]
   xport  [-s|-e|--step|--maxrows|--json|--enumds|--showtime] DEF:.. CDEF:.. XPORT:..
-  graphv <ignored> DEF:.. CDEF:.. VDEF:.. PRINT:..   (data outputs only)
+  graphv <file.png|-> DEF:.. CDEF:.. VDEF:.. PRINT:..  (info keys; renders
+         the image + layout coordinates when a filename is given)
   graph  <file.png|-> [-w|-h|-t|-v|-l|-u|-r|-c TAG#rgb|-x none|-y none]
          DEF:.. CDEF:.. VDEF:.. LINE/AREA/TICK/STACK.. GPRINT/PRINT/COMMENT..
   info/first/last/lastupdate <ds> · list <root> · dump/restore · tune · resize
@@ -23,7 +24,7 @@ Reference grammars: rrd_create argv (src/rrd_create.c:77-240), rrd_update
 (src/rrd_xport.c:76-242), rrd_tune / rrd_resize. Times are AT-style via
 timeparse (src/rrd_parsetime.c). ``graph`` renders a real PNG through
 the in-repo rasterizer (render.py — numpy raster + built-in bitmap font,
-no cairo); graphv serves the PRINT/scalar data outputs.
+no cairo); graphv renders too and reports rrd_graph_v's info keys.
 """
 
 from __future__ import annotations
@@ -779,25 +780,31 @@ def _final_bounds(bounds, lo_opt, up_opt, rigid, alt=None, base=1000.0,
 
 
 def cmd_graphv(args: list[str]) -> int:
-    # first positional is the image filename in the reference; data-only here
+    """``rrdtool graphv``: the graph pipeline reporting rrd_graph_v's
+    info list (key = value lines). With an image FILENAME it also renders
+    the image and reports the layout coordinates the reference pushes
+    (graph_left/top/width/height + image dims, src/rrd_graph.c:3937-3947);
+    "-" keeps the data-only info form (no image blob in the info list)."""
+    # first positional is the image filename in the reference
+    fname = None
     if args and not any(args[0].startswith(p) for p in (
         "DEF:", "CDEF:", "VDEF:", "PRINT:", "LINE", "AREA:", "TICK:", "STACK:", "-",
     )):
-        args.pop(0)
-    import math
-
-    lo_opt = _opt(args, "-l", "--lower-limit")
-    up_opt = _opt(args, "-u", "--upper-limit")
-    rigid = _opt(args, "-r", "--rigid", flag=True)
-    galt = "A" if _opt(args, "-A", "--alt-autoscale", flag=True) else (
-        "J" if _opt(args, "-J", "--alt-autoscale-min", flag=True) else (
-            "M" if _opt(args, "-M", "--alt-autoscale-max", flag=True)
-            else None))
+        fname = args.pop(0)
+    # --imgformat=X forms predate the shared parse (it pops "-a X" pairs)
+    args[:] = [a for a in args if not a.startswith("--imgformat=")]
+    try:
+        o = _graph_options(args)
+    except _GraphOptError as e:
+        print(e, file=sys.stderr)
+        return 1
+    lo_opt, up_opt, rigid = o["lo_opt"], o["up_opt"], o["rigid"]
+    galt = "A" if o["alt_autoscale"] else (
+        "J" if o["alt_as_min"] else ("M" if o["alt_as_max"] else None))
     jsontime = _opt(args, "--add-jsontime", flag=True)
-    # rendering options are accepted and ignored (data-only graphv)
-    args[:] = [a for a in args if not a.startswith("--imgformat")]
     prints = [a[6:] for a in args if a.startswith("PRINT:")]
     gprints = [a[7:] for a in args if a.startswith("GPRINT:")]
+    rules = _parse_rules(args)
     elements = [
         a for a in args
         if a.startswith(("AREA:", "TICK:", "STACK:"))
@@ -832,6 +839,20 @@ def cmd_graphv(args: list[str]) -> int:
             # xport-style JSON block after the info keys
             q.xport(source, legend=legend)
     res = q.execute(_spark())
+    if fname is not None and fname != "-":
+        # render like the reference's rrd_graph_v and report the layout
+        # (GPRINT/COMMENT strings land in the image legend, PRINT lines
+        # stay info keys below)
+        cv = _paint(res, o, res.prints[len(prints):], rules)
+        with open(fname, "wb") as fh:
+            fh.write(cv.to_bytes(o["imgformat"]))
+        gl, gt, gw, gh = cv.graph_box
+        print(f"graph_left = {gl}")
+        print(f"graph_top = {gt}")
+        print(f"graph_width = {gw}")
+        print(f"graph_height = {gh}")
+        print(f"image_width = {cv.w}")
+        print(f"image_height = {cv.h}")
     # graphv's key = value output (rrd_graph_v info list)
     # graphv publishes the ALIGNED-DOWN window start (rrd_graph's im->start),
     # while res.start is the first row's ts (= aligned start + step)
@@ -854,9 +875,201 @@ def cmd_graphv(args: list[str]) -> int:
     return 0
 
 
+def _parse_rules(args: list[str]) -> list:
+    """HRULE:value#color[:legend] / VRULE:time#color[:legend]
+    (src/rrd_graph_helper.c parse_hvrule) — drawn over the elements,
+    clipped to the plot area, never scaling the axes."""
+    rules = []
+    for a in args:
+        if not a.startswith(("HRULE:", "VRULE:")):
+            continue
+        kind = a[0]
+        body = a.split(":", 1)[1]
+        valspec, _, rest = body.partition("#")
+        rcolor, _, rleg = rest.partition(":")
+        if kind == "V":
+            val = float(parse_at_time(valspec))
+        else:
+            val = float(valspec)
+        rules.append((kind, val, f"#{rcolor}", rleg))
+    return rules
+
+
+class _GraphOptError(Exception):
+    """Bad graph option — message printed as the reference's rrd_set_error."""
+
+
+def _graph_options(args: list[str]) -> dict:
+    """The shared ``rrdtool graph``/``graphv`` rendering-option parse —
+    pops every render option from ``args`` (graphv strips them even when
+    it stays data-only) and returns them as a dict for ``_paint``."""
+    o: dict = {}
+    o["width"] = int(_opt(args, "-w", "--width", default="400"))
+    o["height"] = int(_opt(args, "-h", "--height", default="100"))
+    o["title"] = _opt(args, "-t", "--title", default="")
+    o["vlabel"] = _opt(args, "-v", "--vertical-label", default="")
+    o["lo_opt"] = _opt(args, "-l", "--lower-limit")
+    o["up_opt"] = _opt(args, "-u", "--upper-limit")
+    o["rigid"] = _opt(args, "-r", "--rigid", flag=True)
+    x_grid_opt = _opt(args, "-x", "--x-grid", default="")
+    y_grid_opt = _opt(args, "-y", "--y-grid", default="")
+    o["x_grid_off"] = x_grid_opt == "none"
+    o["y_grid_off"] = y_grid_opt == "none"
+    o["x_grid_spec"] = None
+    o["y_grid_spec"] = None
+    if x_grid_opt and not o["x_grid_off"]:
+        from rrdtool_1_x_spark.render import parse_xgrid_spec
+
+        o["x_grid_spec"] = parse_xgrid_spec(x_grid_opt)
+    if y_grid_opt and not o["y_grid_off"]:
+        g, _, l = y_grid_opt.partition(":")
+        o["y_grid_spec"] = (float(g), max(1, int(l or 1)))
+    # --right-axis scale:shift (+ label/format) — the second y axis
+    # (src/rrd_graph.c:5255-5287 option cases 1002-1004)
+    right_axis_opt = _opt(args, "--right-axis")
+    o["right_axis"] = None
+    if right_axis_opt is not None:
+        try:
+            ra_scale_s, _, ra_shift_s = right_axis_opt.partition(":")
+            o["right_axis"] = (float(ra_scale_s), float(ra_shift_s))
+        except ValueError:
+            raise _GraphOptError("ERROR: invalid right-axis format expected scale:shift")
+        if o["right_axis"][0] == 0:
+            raise _GraphOptError("ERROR: the second_axis_scale must not be 0")
+    o["right_axis_label"] = _opt(args, "--right-axis-label", default="")
+    o["right_axis_format"] = _opt(args, "--right-axis-format")
+    o["legend_position"] = _opt(args, "--legend-position", default="south").lower()
+    if o["legend_position"] not in ("north", "south", "west", "east"):
+        raise _GraphOptError("ERROR: unknown legend-position")
+    o["legend_direction"] = _opt(args, "--legend-direction",
+                            default="topdown").lower()
+    if o["legend_direction"] not in ("topdown", "bottomup", "bottomup2"):
+        raise _GraphOptError("ERROR: unknown legend-direction")
+    o["tabwidth"] = float(_opt(args, "-T", "--tabwidth", default="40"))
+    grid_dash_opt = _opt(args, "--grid-dash")
+    o["grid_dash"] = None
+    if grid_dash_opt is not None:
+        try:
+            on_s, _, off_s = grid_dash_opt.partition(":")
+            o["grid_dash"] = (float(on_s), float(off_s))
+        except ValueError:
+            raise _GraphOptError("ERROR: expected grid-dash format float:float")
+    o["dynamic_labels"] = _opt(args, "--dynamic-labels", flag=True)
+    o["pango_markup"] = _opt(args, "-P", "--pango-markup", flag=True)
+    # --font FONTTAG:size[:font] (repeated): the bitmap face has one cell
+    # size, so DEFAULT's size sets an integer glyph scale (size/8 rounded,
+    # min 1); other tags are accepted for CLI compatibility
+    o["font_scale"] = 1
+    while True:
+        fspec = _opt(args, "-n", "--font")
+        if fspec is None:
+            break
+        parts = fspec.split(":")
+        if len(parts) < 2:
+            raise _GraphOptError("ERROR: font invalid, expected FONTTAG:size[:font]")
+        if parts[0].upper() == "DEFAULT" and float(parts[1]) > 0:
+            o["font_scale"] = max(1, round(float(parts[1]) / 8))
+    o["alt_autoscale"] = _opt(args, "-A", "--alt-autoscale", flag=True)
+    o["alt_as_min"] = _opt(args, "-J", "--alt-autoscale-min", flag=True)
+    o["alt_as_max"] = _opt(args, "-M", "--alt-autoscale-max", flag=True)
+    o["alt_y_grid"] = _opt(args, "-Y", "--alt-y-grid", flag=True)
+    units_exp = _opt(args, "-X", "--units-exponent")
+    o["units_exponent"] = int(units_exp) if units_exp is not None else None
+    o["slope_mode"] = _opt(args, "-E", "--slope-mode", flag=True)
+    o["base"] = float(_opt(args, "-b", "--base", default="1000"))
+    o["only_graph"] = _opt(args, "-j", "--only-graph", flag=True)
+    units_len = _opt(args, "-L", "--units-length")
+    o["units_length"] = int(units_len) if units_len is not None else None
+    o["logarithmic"] = _opt(args, "-o", "--logarithmic", flag=True)
+    o["full_size"] = _opt(args, "-D", "--full-size-mode", flag=True)
+    o["no_legend"] = _opt(args, "-g", "--no-legend", flag=True)
+    o["imginfo"] = _opt(args, "-f", "--imginfo")
+    o["lazy"] = _opt(args, "-z", "--lazy", flag=True)
+    o["zoom"] = float(_opt(args, "-m", "--zoom", default="1"))
+    o["border"] = int(_opt(args, "--border", default="2"))
+    o["watermark"] = _opt(args, "-W", "--watermark", default="")
+    o["imgformat"] = _opt(args, "-a", "--imgformat", default="PNG").upper()
+    if o["imgformat"] not in ("PNG", "SVG", "EPS", "PDF"):
+        raise _GraphOptError(
+            "ERROR: supported imgformats are PNG, SVG, EPS and PDF, "
+            f"not {o['imgformat']}"
+        )
+    o["colors"] = {}
+    while True:
+        c = _opt(args, "-c", "--color")
+        if c is None:
+            break
+        tag, _, val = c.partition("#")
+        o["colors"][tag.upper()] = f"#{val}"
+    return o
+
+
+def _paint(res, o: dict, legend_lines, rules):
+    """Shared graph/graphv painter: autoscale-final bounds + render_graph
+    over the resolved query, returning the canvas (zoom applied)."""
+    from rrdtool_1_x_spark.render import render_graph
+
+    bounds = res.bounds or (0.0, 1.0)
+    # -A/-J/-M pick the alternative expand_range branches; an explicit
+    # --y-grid step suppresses ALL bound massaging (the reference gates
+    # the whole expand_range body on isnan(ygridstep))
+    alt = "A" if o["alt_autoscale"] else "J" if o["alt_as_min"] else (
+        "M" if o["alt_as_max"] else None)
+    umin, umax = _final_bounds(
+        bounds, o["lo_opt"], o["up_opt"], o["rigid"],
+        alt=None if o["y_grid_spec"] is not None else alt,
+        base=o["base"], expand=o["y_grid_spec"] is None,
+    )
+    rows = [tuple(r) for r in res.plots.collect()] if res.plots is not None else []
+    cv = render_graph(
+        rows,
+        res.elements or [],
+        (umin, umax),
+        res.start - res.step,
+        res.end,
+        width=o["width"],
+        height=o["height"],
+        title=o["title"],
+        vertical_label=o["vlabel"],
+        legend_lines=legend_lines,
+        colors=o["colors"],
+        x_grid=not o["x_grid_off"],
+        y_grid=not o["y_grid_off"],
+        x_grid_spec=o["x_grid_spec"],
+        y_grid_spec=o["y_grid_spec"],
+        units_exponent=o["units_exponent"],
+        slope_mode=o["slope_mode"],
+        base=o["base"],
+        only_graph=o["only_graph"],
+        units_length=o["units_length"],
+        tz_localtime=_time.localtime,
+        rules=rules,
+        logarithmic=o["logarithmic"],
+        full_size=o["full_size"],
+        no_legend=o["no_legend"],
+        border=o["border"],
+        watermark=o["watermark"],
+        backend=o["imgformat"].lower(),
+        right_axis=o["right_axis"],
+        right_axis_label=o["right_axis_label"],
+        right_axis_format=o["right_axis_format"],
+        alt_y_grid=o["alt_y_grid"],
+        legend_position=o["legend_position"],
+        legend_direction=o["legend_direction"],
+        tabwidth=o["tabwidth"],
+        font_scale=o["font_scale"],
+        grid_dash=o["grid_dash"],
+        dynamic_labels=o["dynamic_labels"],
+        pango_markup=o["pango_markup"],
+    )
+    if o["zoom"] != 1.0:
+        cv.zoom(o["zoom"])
+    return cv
+
+
 def cmd_graph(args: list[str]) -> int:
     """``rrdtool graph`` with REAL image output: the graphv data pipeline
-    (DEF fetch/alignment → CDEF/VDEF → data_proc paint values + bounds)
+    (DEF fetch/alignment -> CDEF/VDEF -> data_proc paint values + bounds)
     feeds the numpy rasterizer (render.py), PNG-encoded by the in-repo
     codec. PRINT lines go to stdout, GPRINT/COMMENT lines into the image
     legend, and the last stdout line is the image size WxH like the
@@ -870,112 +1083,13 @@ def cmd_graph(args: list[str]) -> int:
         print("ERROR: graph needs a filename", file=sys.stderr)
         return 1
     fname = args.pop(0)
-    width = int(_opt(args, "-w", "--width", default="400"))
-    height = int(_opt(args, "-h", "--height", default="100"))
-    title = _opt(args, "-t", "--title", default="")
-    vlabel = _opt(args, "-v", "--vertical-label", default="")
-    lo_opt = _opt(args, "-l", "--lower-limit")
-    up_opt = _opt(args, "-u", "--upper-limit")
-    rigid = _opt(args, "-r", "--rigid", flag=True)
-    x_grid_opt = _opt(args, "-x", "--x-grid", default="")
-    y_grid_opt = _opt(args, "-y", "--y-grid", default="")
-    x_grid_off = x_grid_opt == "none"
-    y_grid_off = y_grid_opt == "none"
-    x_grid_spec = None
-    y_grid_spec = None
-    if x_grid_opt and not x_grid_off:
-        from rrdtool_1_x_spark.render import parse_xgrid_spec
-
-        x_grid_spec = parse_xgrid_spec(x_grid_opt)
-    if y_grid_opt and not y_grid_off:
-        g, _, l = y_grid_opt.partition(":")
-        y_grid_spec = (float(g), max(1, int(l or 1)))
-    # --right-axis scale:shift (+ label/format) — the second y axis
-    # (src/rrd_graph.c:5255-5287 option cases 1002-1004)
-    right_axis_opt = _opt(args, "--right-axis")
-    right_axis = None
-    if right_axis_opt is not None:
-        try:
-            ra_scale_s, _, ra_shift_s = right_axis_opt.partition(":")
-            right_axis = (float(ra_scale_s), float(ra_shift_s))
-        except ValueError:
-            print("ERROR: invalid right-axis format expected scale:shift",
-                  file=sys.stderr)
-            return 1
-        if right_axis[0] == 0:
-            print("ERROR: the second_axis_scale must not be 0",
-                  file=sys.stderr)
-            return 1
-    right_axis_label = _opt(args, "--right-axis-label", default="")
-    right_axis_format = _opt(args, "--right-axis-format")
-    legend_position = _opt(args, "--legend-position", default="south").lower()
-    if legend_position not in ("north", "south", "west", "east"):
-        print("ERROR: unknown legend-position", file=sys.stderr)
+    try:
+        o = _graph_options(args)
+    except _GraphOptError as e:
+        print(e, file=sys.stderr)
         return 1
-    legend_direction = _opt(args, "--legend-direction",
-                            default="topdown").lower()
-    if legend_direction not in ("topdown", "bottomup", "bottomup2"):
-        print("ERROR: unknown legend-direction", file=sys.stderr)
-        return 1
-    tabwidth = float(_opt(args, "-T", "--tabwidth", default="40"))
-    grid_dash_opt = _opt(args, "--grid-dash")
-    grid_dash = None
-    if grid_dash_opt is not None:
-        try:
-            on_s, _, off_s = grid_dash_opt.partition(":")
-            grid_dash = (float(on_s), float(off_s))
-        except ValueError:
-            print("ERROR: expected grid-dash format float:float",
-                  file=sys.stderr)
-            return 1
-    dynamic_labels = _opt(args, "--dynamic-labels", flag=True)
-    pango_markup = _opt(args, "-P", "--pango-markup", flag=True)
-    # --font FONTTAG:size[:font] (repeated): the bitmap face has one cell
-    # size, so DEFAULT's size sets an integer glyph scale (size/8 rounded,
-    # min 1); other tags are accepted for CLI compatibility
-    font_scale = 1
-    while True:
-        fspec = _opt(args, "-n", "--font")
-        if fspec is None:
-            break
-        parts = fspec.split(":")
-        if len(parts) < 2:
-            print("ERROR: font invalid, expected FONTTAG:size[:font]",
-                  file=sys.stderr)
-            return 1
-        if parts[0].upper() == "DEFAULT" and float(parts[1]) > 0:
-            font_scale = max(1, round(float(parts[1]) / 8))
-    alt_autoscale = _opt(args, "-A", "--alt-autoscale", flag=True)
-    alt_as_min = _opt(args, "-J", "--alt-autoscale-min", flag=True)
-    alt_as_max = _opt(args, "-M", "--alt-autoscale-max", flag=True)
-    alt_y_grid = _opt(args, "-Y", "--alt-y-grid", flag=True)
-    units_exp = _opt(args, "-X", "--units-exponent")
-    units_exponent = int(units_exp) if units_exp is not None else None
-    slope_mode = _opt(args, "-E", "--slope-mode", flag=True)
-    base = float(_opt(args, "-b", "--base", default="1000"))
-    only_graph = _opt(args, "-j", "--only-graph", flag=True)
-    units_len = _opt(args, "-L", "--units-length")
-    units_length = int(units_len) if units_len is not None else None
-    logarithmic = _opt(args, "-o", "--logarithmic", flag=True)
-    full_size = _opt(args, "-D", "--full-size-mode", flag=True)
-    no_legend = _opt(args, "-g", "--no-legend", flag=True)
-    imginfo = _opt(args, "-f", "--imginfo")
-    lazy = _opt(args, "-z", "--lazy", flag=True)
-    zoom = float(_opt(args, "-m", "--zoom", default="1"))
-    border = int(_opt(args, "--border", default="2"))
-    watermark = _opt(args, "-W", "--watermark", default="")
-    imgformat = _opt(args, "-a", "--imgformat", default="PNG").upper()
-    if imgformat not in ("PNG", "SVG", "EPS", "PDF"):
-        print("ERROR: supported imgformats are PNG, SVG, EPS and PDF, "
-              f"not {imgformat}", file=sys.stderr)
-        return 1
-    colors = {}
-    while True:
-        c = _opt(args, "-c", "--color")
-        if c is None:
-            break
-        tag, _, val = c.partition("#")
-        colors[tag.upper()] = f"#{val}"
+    width, lazy = o["width"], o["lazy"]
+    imginfo, imgformat = o["imginfo"], o["imgformat"]
     if "--maxrows" not in args:
         args += ["--maxrows", str(width)]
 
@@ -1006,24 +1120,7 @@ def cmd_graph(args: list[str]) -> int:
     prints = [a[6:] for a in args if a.startswith("PRINT:")]
     gprints = [a[7:] for a in args if a.startswith("GPRINT:")]
     comments = [a[8:] for a in args if a.startswith("COMMENT:")]
-    # HRULE:value#color[:legend] / VRULE:time#color[:legend]
-    # (src/rrd_graph_helper.c parse_hvrule) — drawn over the elements,
-    # clipped to the plot area, never scaling the axes
-    rules = []
-    for a in args:
-        if not a.startswith(("HRULE:", "VRULE:")):
-            continue
-        kind = a[0]
-        body = a.split(":", 1)[1]
-        valspec, _, rest = body.partition("#")
-        rcolor, _, rleg = rest.partition(":")
-        if kind == "V":
-            from rrdtool_1_x_spark.timeparse import parse_at_time
-
-            val = float(parse_at_time(valspec))
-        else:
-            val = float(valspec)
-        rules.append((kind, val, f"#{rcolor}", rleg))
+    rules = _parse_rules(args)
     elements = [
         a for a in args
         if a.startswith(("AREA:", "TICK:", "STACK:"))
@@ -1052,69 +1149,12 @@ def cmd_graph(args: list[str]) -> int:
                   dashes=dashes, dash_offset=dash_offset,
                   color2=color2, gradheight=gradheight)
     res = q.execute(_spark())
-
-    from rrdtool_1_x_spark.render import render_graph
-
-    bounds = res.bounds or (0.0, 1.0)
-    # -A/-J/-M pick the alternative expand_range branches; an explicit
-    # --y-grid step suppresses ALL bound massaging (the reference gates
-    # the whole expand_range body on isnan(ygridstep))
-    alt = "A" if alt_autoscale else "J" if alt_as_min else (
-        "M" if alt_as_max else None)
-    umin, umax = _final_bounds(
-        bounds, lo_opt, up_opt, rigid,
-        alt=None if y_grid_spec is not None else alt,
-        base=base, expand=y_grid_spec is None,
-    )
-    rows = [tuple(r) for r in res.plots.collect()] if res.plots is not None else []
     # strip trailing alignment escapes (\l \r \c \j \n) — flow layout is
     # simplified to one legend item per line
     legend_lines = res.prints[n_plain:] + [
         _re.sub(r"(\\[jlnrcs])+$", "", c) for c in comments
     ]
-    cv = render_graph(
-        rows,
-        res.elements or [],
-        (umin, umax),
-        res.start - res.step,
-        res.end,
-        width=width,
-        height=height,
-        title=title,
-        vertical_label=vlabel,
-        legend_lines=legend_lines,
-        colors=colors,
-        x_grid=not x_grid_off,
-        y_grid=not y_grid_off,
-        x_grid_spec=x_grid_spec,
-        y_grid_spec=y_grid_spec,
-        units_exponent=units_exponent,
-        slope_mode=slope_mode,
-        base=base,
-        only_graph=only_graph,
-        units_length=units_length,
-        tz_localtime=_time.localtime,
-        rules=rules,
-        logarithmic=logarithmic,
-        full_size=full_size,
-        no_legend=no_legend,
-        border=border,
-        watermark=watermark,
-        backend=imgformat.lower(),
-        right_axis=right_axis,
-        right_axis_label=right_axis_label,
-        right_axis_format=right_axis_format,
-        alt_y_grid=alt_y_grid,
-        legend_position=legend_position,
-        legend_direction=legend_direction,
-        tabwidth=tabwidth,
-        font_scale=font_scale,
-        grid_dash=grid_dash,
-        dynamic_labels=dynamic_labels,
-        pango_markup=pango_markup,
-    )
-    if zoom != 1.0:
-        cv.zoom(zoom)
+    cv = _paint(res, o, legend_lines, rules)
     png = cv.to_bytes(imgformat)
     if fname == "-":
         sys.stdout.buffer.write(png)

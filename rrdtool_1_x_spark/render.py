@@ -314,6 +314,8 @@ class Canvas:
         xi = (np.arange(nw) / factor).astype(int).clip(0, self.w - 1)
         self.img = self.img[yi][:, xi]
         self.h, self.w = nh, nw
+        if getattr(self, "graph_box", None) is not None:
+            self.graph_box = tuple(int(round(v * factor)) for v in self.graph_box)
 
     def to_png(self) -> bytes:
         from .datapipe.codecs import encode_png
@@ -416,6 +418,8 @@ class SVGCanvas:
         self._zoom *= factor
         self.h = int(round(self.h * factor))
         self.w = int(round(self.w * factor))
+        if getattr(self, "graph_box", None) is not None:
+            self.graph_box = tuple(int(round(v * factor)) for v in self.graph_box)
 
     def to_bytes(self, fmt: str = "SVG") -> bytes:
         if fmt.upper() != "SVG":
@@ -488,6 +492,8 @@ class DocCanvas:
         self._zoom *= factor
         self.h = int(round(self.h * factor))
         self.w = int(round(self.w * factor))
+        if getattr(self, "graph_box", None) is not None:
+            self.graph_box = tuple(int(round(v * factor)) for v in self.graph_box)
 
     @staticmethod
     def _rgb(color: str) -> tuple[float, float, float]:
@@ -980,6 +986,9 @@ def render_graph(
 
     x0, y0 = left, top  # plot-area top-left
     x1, y1 = left + width - 1, top + height - 1
+    # layout coordinates for graphv's info keys (rrd_graph_v pushes
+    # graph_left/top/width/height + image dims, src/rrd_graph.c:3937-3947)
+    cv.graph_box = (x0, y0, width, height)
     cv.rect(x0, y0, x1, y1, col["CANVAS"])
 
     def xtr(ts: float) -> int:

@@ -919,3 +919,37 @@ def test_cli_graph_grid_dash_gradient(tmp_path, spark, capsys):
     capsys.readouterr()
     assert main(["graph", out, "--grid-dash", "nope",
                  f"DEF:v={ds}:v:AVERAGE", "LINE1:v#ff0000"]) == 1
+
+
+def test_graphv_renders_image_with_coordinates(tmp_path, spark, capsys):
+    """graphv with a filename renders the image AND reports the layout
+    keys rrd_graph_v pushes (src/rrd_graph.c:3937-3947); '-' stays
+    data-only."""
+    from rrdtool_1_x_spark.cli import main
+
+    ds = str(tmp_path / "gv")
+    assert main(["create", ds, "--start", "920804400", "--step", "300",
+                 "DS:v:GAUGE:600:U:U", "RRA:AVERAGE:0.5:1:100"]) == 0
+    assert main(["update", ds] + [f"{920804400 + 300*i}:{i%7}"
+                                  for i in range(1, 20)]) == 0
+    capsys.readouterr()
+    png = str(tmp_path / "gv.png")
+    assert main(["graphv", png, "-s", "920804400", "-e", "920810100",
+                 "-w", "200", "-h", "80",
+                 f"DEF:v={ds}:v:AVERAGE", "LINE1:v#ff0000:v",
+                 "VDEF:m=v,MAXIMUM", "PRINT:m:%1.0lf"]) == 0
+    out = capsys.readouterr().out
+    kv = dict(
+        l.split(" = ", 1) for l in out.splitlines() if " = " in l
+    )
+    assert kv["graph_width"] == "200" and kv["graph_height"] == "80"
+    assert int(kv["graph_left"]) > 0 and int(kv["graph_top"]) > 0
+    assert int(kv["image_width"]) > 200 and int(kv["image_height"]) > 80
+    assert kv["print[0]"] == '"6"'
+    with open(png, "rb") as fh:
+        assert fh.read(8) == b"\x89PNG\r\n\x1a\n"
+    # data-only "-" form: no layout keys, no image
+    assert main(["graphv", "-", "-s", "920804400", "-e", "920810100",
+                 f"DEF:v={ds}:v:AVERAGE", "LINE1:v#ff0000:v"]) == 0
+    out2 = capsys.readouterr().out
+    assert "graph_left" not in out2 and "graph_start = 920804400" in out2
