@@ -1591,6 +1591,18 @@ def q_bpe_tokens(spark, sf_dir):
     return bpe_token_stats(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_span_dedup(spark, sf_dir):
+    """ExactSubstr span removal (datapipe.dedup.remove_duplicate_spans;
+    Lee et al. 2022's transformation): every 8-token window hash occurring
+    more than once keeps its (lowest doc, lowest position) occurrence and
+    is excised everywhere else — the cleaned text per document. One
+    hash-keyed shuffle decides canonical occurrences; the mask applies
+    inside a per-document array filter."""
+    from rrdtool_1_x_spark.datapipe.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(_docs(spark, sf_dir), n=8).orderBy("doc_id")
+
+
 def q_dup_spans(spark, sf_dir):
     """Duplicated n-gram spans (datapipe.dedup.duplicated_ngram_spans;
     Lee et al. 2022): per-doc count/fraction of 8-token windows whose
@@ -1636,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "bpe_tokens": q_bpe_tokens,
         "dup_spans": q_dup_spans,
+        "span_dedup": q_span_dedup,
         "unigram_logprob": q_unigram_logprob,
         "curate": q_curate,
         "sql_derive": q_sql_derive,
@@ -2601,6 +2614,40 @@ SELECT b.doc_id, n_windows,
        coalesce(dup_windows, 0)::BIGINT AS dup_windows,
        round(coalesce(dup_windows, 0)::DOUBLE / n_windows, 6) AS dup_fraction
 FROM b LEFT JOIN d USING (doc_id) ORDER BY b.doc_id"""
+
+    # ExactSubstr span removal: same window construction as dup_spans;
+    # an occurrence is removable iff its hash occurs >= 2 times in the
+    # corpus (within OR across docs) and it is not the (doc, pos)-minimal
+    # one; removable windows' token coverage is excised
+    sql["span_dedup"] = """
+WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+')
+             AS toks FROM documents),
+w AS (SELECT doc_id, toks,
+        CASE WHEN len(toks) >= 8
+             THEN list_transform(range(1, len(toks) - 6),
+                                 i -> md5(array_to_string(toks[i:i+7], ' ')))
+             ELSE [md5(array_to_string(toks, ' '))] END AS ws
+      FROM t),
+o AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS p, unnest(ws) AS h
+      FROM w),
+r AS (SELECT doc_id, p FROM (
+        SELECT doc_id, p,
+               count(*) OVER (PARTITION BY h) AS cnt,
+               row_number() OVER (PARTITION BY h
+                                  ORDER BY doc_id ASC, p ASC) AS rk
+        FROM o) _ WHERE cnt >= 2 AND rk >= 2),
+cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + 8)) AS tp FROM r),
+cs AS (SELECT doc_id, list(tp) AS rm FROM cov GROUP BY 1),
+f AS (SELECT w.doc_id, toks, coalesce(cs.rm, []) AS rm
+      FROM w LEFT JOIN cs ON cs.doc_id = w.doc_id)
+SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+       len(list_filter(range(1, len(toks) + 1),
+                       p -> list_contains(rm, p)))::BIGINT AS removed_tokens,
+       coalesce(array_to_string(
+         list_transform(list_filter(range(1, len(toks) + 1),
+                                    p -> NOT list_contains(rm, p)),
+                        p -> toks[p]), ' '), '') AS text
+FROM f ORDER BY doc_id"""
 
     sql["fingerprint"] = """
 WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks

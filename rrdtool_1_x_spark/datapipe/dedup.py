@@ -900,3 +900,79 @@ def duplicated_ngram_spans(
             ).alias("dup_fraction"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The TRANSFORMATION counterpart of ``duplicated_ngram_spans`` —
+    Lee et al. 2022's ExactSubstr dedup excises repeated spans from the
+    training text instead of dropping whole documents. Every n-token
+    window whose hash occurs more than once in the corpus (across OR
+    within documents) is a duplicate span; the canonical occurrence —
+    the (lowest doc id, lowest position) one — is KEPT, every other
+    occurrence's tokens are removed, and the surviving tokens are
+    re-joined. Tokens under overlapping duplicate windows are removed
+    once (coverage union), so the kept-copy guarantee is best-effort
+    under overlap, as in the paper's implementation.
+
+    Returns ``(id, n_tokens, removed_tokens, text)`` with the cleaned
+    text (possibly empty when a document is one big duplicate).
+
+    Shape at scale: window hashing is map-only (arrays_zip shifted
+    slices); occurrences shuffle once on the hash (a window per
+    occurrence decides canonical-vs-removable), coverage positions
+    aggregate per document, and the final mask is applied inside a
+    per-document filter over the token array — no driver work, no
+    quadratic stage. Documents shorter than n contribute one partial
+    window (``_shingle_array`` semantics).
+    """
+    toks = _tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_t"),
+        F.transform(
+            _shingle_array(F.col(text_col), n),
+            lambda s: F.md5(s.cast("binary")),
+        ).alias("_w"),
+    )
+    occ = base.select(
+        F.col(id_col), F.posexplode("_w").alias("_p0", "_h")
+    ).select(id_col, (F.col("_p0") + 1).alias("_p"), "_h")
+    wh = Window.partitionBy("_h")
+    wk = Window.partitionBy("_h").orderBy(F.col(id_col).asc(), F.col("_p").asc())
+    removable = (
+        occ.withColumn("_cnt", F.count(F.lit(1)).over(wh))
+        .withColumn("_rk", F.row_number().over(wk))
+        .filter((F.col("_cnt") >= 2) & (F.col("_rk") >= 2))
+        .select(id_col, "_p")
+    )
+    # coverage union: token positions under any removable window
+    cover = (
+        removable.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("_p"), F.col("_p") + F.lit(n - 1))).alias("_tp"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("_tp").alias("_rm"))
+    )
+    joined = base.join(cover, id_col, "left").select(
+        F.col(id_col),
+        "_t",
+        F.coalesce(F.col("_rm"), F.array().cast("array<int>")).alias("_rm"),
+    )
+    kept = F.filter(
+        F.arrays_zip(F.col("_t"), F.sequence(F.lit(1), F.size("_t"))),
+        lambda x: ~F.array_contains(F.col("_rm"), x["1"]),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("_t").cast("long").alias("n_tokens"),
+        F.size(F.array_intersect(F.col("_rm"), F.sequence(F.lit(1), F.size("_t"))))
+        .cast("long")
+        .alias("removed_tokens"),
+        F.array_join(F.transform(kept, lambda x: x["_t"]), " ").alias(text_col),
+    )

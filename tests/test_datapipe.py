@@ -806,3 +806,33 @@ def test_semantic_dedup_arrow_kernel_identical(spark, emb):
         emb, threshold=0.3, model=model, kernel="fold"
     ).orderBy("vec_id").collect()
     assert a == f
+
+
+def test_remove_duplicate_spans(spark):
+    """ExactSubstr-style span removal: canonical (lowest doc, lowest pos)
+    occurrence kept, every other occurrence excised; internal repetition
+    collapses to one copy; short unique docs untouched."""
+    from rrdtool_1_x_spark.datapipe.dedup import remove_duplicate_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "c d e f g h x y z w"),
+            (3, "p q r s p q r s p q r s"),
+            (4, "q r"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(df, n=4).collect()}
+    assert out[1]["text"] == "a b c d e f g h i j"  # canonical copy kept
+    assert out[1]["removed_tokens"] == 0
+    assert out[2]["text"] == "x y z w" and out[2]["removed_tokens"] == 6
+    assert out[3]["text"] == "p q r s" and out[3]["removed_tokens"] == 8
+    assert out[4]["text"] == "q r"
+    # exact short duplicates: the higher id empties out entirely
+    dd = spark.createDataFrame(
+        [(1, "x1 x2 x3"), (2, "x1 x2 x3")], "doc_id long, text string"
+    )
+    o2 = {r["doc_id"]: r for r in remove_duplicate_spans(dd, n=4).collect()}
+    assert o2[1]["text"] == "x1 x2 x3"
+    assert o2[2]["text"] == "" and o2[2]["removed_tokens"] == 3
