@@ -1591,6 +1591,26 @@ def q_bpe_tokens(spark, sf_dir):
     return bpe_token_stats(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_hash_embed(spark, sf_dir):
+    """Feature-hashing document embeddings (datapipe.similarity.
+    hashed_embedding; Weinberger et al. 2009): md5-bucketed +-1 token
+    counts, L2-normalized — the model-free featurization that plugs into
+    the ANN/semantic-dedup operators. Exploded (doc, dim, value) for the
+    value-hash gate; one explode + one (doc, bucket) aggregation."""
+    from rrdtool_1_x_spark.datapipe.similarity import hashed_embedding
+
+    e = hashed_embedding(_docs(spark, sf_dir), dim=64)
+    return (
+        e.select("doc_id", F.posexplode("embedding").alias("i", "v"))
+        .select(
+            "doc_id",
+            F.col("i").cast("long").alias("i"),
+            F.round("v", 6).alias("v"),
+        )
+        .orderBy("doc_id", "i")
+    )
+
+
 def q_span_dedup(spark, sf_dir):
     """ExactSubstr span removal (datapipe.dedup.remove_duplicate_spans;
     Lee et al. 2022's transformation): every 8-token window hash occurring
@@ -1649,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "dup_spans": q_dup_spans,
         "span_dedup": q_span_dedup,
+        "hash_embed": q_hash_embed,
         "unigram_logprob": q_unigram_logprob,
         "curate": q_curate,
         "sql_derive": q_sql_derive,
@@ -2614,6 +2635,36 @@ SELECT b.doc_id, n_windows,
        coalesce(dup_windows, 0)::BIGINT AS dup_windows,
        round(coalesce(dup_windows, 0)::DOUBLE / n_windows, 6) AS dup_fraction
 FROM b LEFT JOIN d USING (doc_id) ORDER BY b.doc_id"""
+
+    # feature-hashing embeddings: integer nibble-parse of the md5 prefix
+    # reproduces Spark's conv(substring(h,1,8),16,10) % dim exactly; sums
+    # are integers so the L2 normalization divides identical doubles
+    _hex8int = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1)"
+        f" * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    sql["hash_embed"] = f"""
+WITH e AS (SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                      '\\s+'),
+                                t -> t <> '')) AS tok
+           FROM documents),
+hh AS (SELECT doc_id, md5('fh:' || tok) AS h FROM e),
+b AS (SELECT doc_id, CAST(({_hex8int}) % 64 AS BIGINT) AS bucket,
+        CASE WHEN (strpos('0123456789abcdef', substr(h, 9, 1)) - 1) % 2 = 0
+             THEN 1 ELSE -1 END AS s
+      FROM hh),
+c AS (SELECT doc_id, bucket, sum(s)::BIGINT AS v FROM b GROUP BY 1, 2),
+n AS (SELECT doc_id, sum(v * v)::DOUBLE AS n2 FROM c GROUP BY 1),
+g AS (SELECT doc_id, unnest(range(0, 64)) AS i FROM documents)
+SELECT g.doc_id, g.i::BIGINT AS i,
+       round(CASE WHEN n.n2 > 0
+                  THEN coalesce(c.v, 0)::DOUBLE / sqrt(n.n2)
+                  ELSE 0.0 END, 6) AS v
+FROM g LEFT JOIN c ON c.doc_id = g.doc_id AND c.bucket = g.i
+       JOIN n ON n.doc_id = g.doc_id
+ORDER BY g.doc_id, g.i"""
 
     # ExactSubstr span removal: same window construction as dup_spans;
     # an occurrence is removable iff its hash occurs >= 2 times in the

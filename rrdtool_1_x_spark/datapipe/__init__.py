@@ -9,6 +9,7 @@ quality analysis, and multimodal column plumbing.
 from rrdtool_1_x_spark.datapipe.dedup import (  # noqa: F401
     duplicated_ngram_spans,
     exact_dedup,
+    remove_duplicate_spans,
     minhash_signatures,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
@@ -17,6 +18,7 @@ from rrdtool_1_x_spark.datapipe.dedup import (  # noqa: F401
 from rrdtool_1_x_spark.datapipe.similarity import (  # noqa: F401
     brute_force_topk,
     cosine_similarity_col,
+    hashed_embedding,
     lsh_bucketed_topk,
     semantic_deduplicate,
 )

@@ -1275,3 +1275,76 @@ def semantic_deduplicate(
     return out.select(
         id_col, "cell", "dup_of", F.col("dup_of").isNull().alias("keep")
     )
+
+
+def hashed_embedding(
+    df: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "fh",
+    normalize: bool = True,
+) -> DataFrame:
+    """Model-free document embedding by the hashing trick (Weinberger et
+    al. 2009, "Feature Hashing for Large Scale Multitask Learning"):
+    every token hashes to one of ``dim`` buckets with a +-1 sign (both
+    md5-derived, engine-portable), bucket sums are L2-normalized, and the
+    result is a dense ``array<double>`` ready for the ANN / semantic-dedup
+    operators — the standard featurization when no trained encoder is in
+    the pipeline (and the exact preconditioner of one: swap this column
+    for model embeddings without touching the similarity plumbing).
+
+    Returns ``(id, embedding array<double>)``; with ``normalize=False``
+    the raw signed-count vector (integer-valued — exact across engines).
+
+    Shape at scale: one explode + ONE (id, bucket)-keyed aggregation with
+    map-side combine, then a per-doc map assembly — corpus-linear, no
+    global state, no model artifact to broadcast.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("_tok"))
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col("_tok")).cast("binary"))
+    bucket = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % dim).alias("_b")
+    sign = F.when(
+        F.conv(F.substring(h, 9, 1), 16, 10).cast("int") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    cells = (
+        exploded.select(F.col(id_col), bucket, sign.alias("_s"))
+        .groupBy(id_col, "_b")
+        .agg(F.sum("_s").alias("_v"))
+    )
+    assembled = cells.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_b"), F.col("_v")))
+        ).alias("_m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.col("_m")[i], F.lit(0)).cast("double"),
+    )
+    if not normalize:
+        return assembled.select(F.col(id_col), dense.alias("embedding"))
+    # the squared norm folds over the SPARSE map values (integer squares —
+    # exact in any summation order, so the dense-fold oracle matches), and
+    # the dense assembly divides in the SAME single transform: building
+    # the array first and normalizing it in a second transform re-evaluates
+    # the assembly per element downstream (a posexplode consumer measured
+    # 6x slower). _n2 is referenced twice (guard + divisor), which keeps
+    # CollapseProject from inlining the fold into the lambda.
+    n2 = F.aggregate(
+        F.map_values(F.col("_m")),
+        F.lit(0.0),
+        lambda s, x: s + x.cast("double") * x.cast("double"),
+    )
+    pre = assembled.select(F.col(id_col), F.col("_m"), n2.alias("_n2"))
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.when(
+            F.col("_n2") > 0,
+            F.coalesce(F.col("_m")[i], F.lit(0)).cast("double")
+            / F.sqrt(F.col("_n2")),
+        ).otherwise(F.coalesce(F.col("_m")[i], F.lit(0)).cast("double")),
+    )
+    return pre.select(F.col(id_col), emb.alias("embedding"))

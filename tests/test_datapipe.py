@@ -836,3 +836,34 @@ def test_remove_duplicate_spans(spark):
     o2 = {r["doc_id"]: r for r in remove_duplicate_spans(dd, n=4).collect()}
     assert o2[1]["text"] == "x1 x2 x3"
     assert o2[2]["text"] == "" and o2[2]["removed_tokens"] == 3
+
+
+def test_hashed_embedding_properties(spark):
+    """Hashing-trick embeddings: unit norm, text-deterministic, and
+    directly consumable by the similarity operators."""
+    from rrdtool_1_x_spark.datapipe.similarity import (
+        cosine_similarity_col,
+        hashed_embedding,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "wholly different words here now")],
+        "doc_id long, text string",
+    )
+    e = hashed_embedding(df, dim=32).cache()
+    rows = {r["doc_id"]: r["embedding"] for r in e.collect()}
+    for v in rows.values():
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-9
+    assert rows[1] == rows[2]  # same text, same vector
+    a = e.filter(F.col("doc_id") == 1).select(
+        F.col("embedding").alias("_a"))
+    b = e.filter(F.col("doc_id") == 3).select(
+        F.col("embedding").alias("_b"))
+    cs = a.crossJoin(b).select(
+        cosine_similarity_col(F.col("_a"), F.col("_b")).alias("c")
+    ).first()["c"]
+    assert cs < 0.9  # different text, different direction
+    raw = hashed_embedding(df, dim=32, normalize=False).collect()
+    for r in raw:
+        assert all(float(x).is_integer() for x in r["embedding"])
