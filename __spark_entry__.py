@@ -1591,6 +1591,42 @@ def q_bpe_tokens(spark, sf_dir):
     return bpe_token_stats(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+_BPE_CACHE: dict[tuple[str, str], list] = {}
+
+
+def _bpe_merges(spark, sf_dir):
+    from rrdtool_1_x_spark.datapipe.bpe import train_bpe
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BPE_CACHE:
+        _BPE_CACHE[key] = train_bpe(_docs(spark, sf_dir), num_merges=20)
+    return _BPE_CACHE[key]
+
+
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer induction (datapipe.bpe.train_bpe;
+    Sennrich et al. 2016): 20 merges learned from the documents table —
+    one corpus word-count shuffle, then vocabulary-sized pair-count +
+    merge-fold jobs per iteration. Data-dependent iteration => no single
+    SQL oracle (the driver records the rows-only check); pinned by the
+    Sennrich worked-example golden in tests/test_datapipe.py."""
+    from rrdtool_1_x_spark.datapipe.bpe import merges_frame
+
+    return merges_frame(spark, _bpe_merges(spark, sf_dir)).orderBy("rank")
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Apply the corpus-trained merges (datapipe.bpe.bpe_encode): greedy
+    rank-priority subword tokenization, Arrow-batched map with a
+    per-batch word cache — no shuffle. Rows-only driver check (shares
+    the iterative trainer's artifact); round-trip and golden tests pin
+    the algorithm."""
+    from rrdtool_1_x_spark.datapipe.bpe import bpe_encode
+
+    out = bpe_encode(_docs(spark, sf_dir), _bpe_merges(spark, sf_dir))
+    return out.select("doc_id", "n_pieces").orderBy("doc_id")
+
+
 def q_hash_embed(spark, sf_dir):
     """Feature-hashing document embeddings (datapipe.similarity.
     hashed_embedding; Weinberger et al. 2009): md5-bucketed +-1 token
@@ -1670,6 +1706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "span_dedup": q_span_dedup,
         "hash_embed": q_hash_embed,
+        "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
         "unigram_logprob": q_unigram_logprob,
         "curate": q_curate,
         "sql_derive": q_sql_derive,

@@ -6,6 +6,11 @@ LSH, SimHash, n-gram Jaccard), similarity search over embeddings, text
 quality analysis, and multimodal column plumbing.
 """
 
+from rrdtool_1_x_spark.datapipe.bpe import (  # noqa: F401
+    bpe_encode,
+    merges_frame,
+    train_bpe,
+)
 from rrdtool_1_x_spark.datapipe.dedup import (  # noqa: F401
     duplicated_ngram_spans,
     exact_dedup,

@@ -867,3 +867,36 @@ def test_hashed_embedding_properties(spark):
     raw = hashed_embedding(df, dim=32, normalize=False).collect()
     for r in raw:
         assert all(float(x).is_integer() for x in r["embedding"])
+
+
+def test_bpe_train_sennrich_example(spark):
+    """Sennrich et al. 2016's worked example: low x5, lower x2,
+    newest x6, widest x3 — the first merges are (e,s), (es,t),
+    (est,</w>), (l,o), (lo,w)."""
+    from rrdtool_1_x_spark.datapipe.bpe import bpe_encode, train_bpe
+
+    corpus = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6
+                      + ["widest"] * 3)
+    df = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
+    m = train_bpe(df, num_merges=5)
+    assert m == [("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"),
+                 ("lo", "w")]
+    full = train_bpe(df, num_merges=10)
+    assert full[:5] == m  # longer training extends, never rewrites
+    enc = {r["doc_id"]: r for r in bpe_encode(df, full).collect()}
+    pieces = enc[1]["pieces"]
+    assert pieces[:5] == ["low</w>"] * 5  # 'low' merged to one piece
+    assert enc[1]["n_pieces"] == len(pieces)
+    # round-trip: stripping </w> markers reconstructs the text
+    rebuilt = "".join(p for p in pieces).replace("</w>", " ").strip()
+    assert rebuilt == corpus
+
+
+def test_bpe_encode_unknown_symbols(spark):
+    """Words with characters never seen in training stay as raw chars —
+    no crash, no silent drop."""
+    from rrdtool_1_x_spark.datapipe.bpe import bpe_encode
+
+    df = spark.createDataFrame([(1, "xyz")], "doc_id long, text string")
+    enc = bpe_encode(df, [("a", "b")]).collect()[0]
+    assert enc["pieces"] == ["x", "y", "z", "</w>"]
