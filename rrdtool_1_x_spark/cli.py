@@ -147,7 +147,8 @@ def _parse_rra(spec: str, step: int = 300) -> RRADef:
 
 
 def _opt(args: list[str], *names: str, default=None, flag: bool = False):
-    """Pop `name value` (or a bare flag) from args; reference-style."""
+    """Pop `name value`, `--name=value`, or a bare flag from args — the
+    two spellings getopt_long accepts for every long option."""
     for n in names:
         if n in args:
             i = args.index(n)
@@ -155,6 +156,12 @@ def _opt(args: list[str], *names: str, default=None, flag: bool = False):
             if flag:
                 return True
             return args.pop(i)
+        if not flag and n.startswith("--"):
+            pre = n + "="
+            for i, a in enumerate(args):
+                if a.startswith(pre):
+                    args.pop(i)
+                    return a[len(pre):]
     return default if not flag else False
 
 
@@ -791,8 +798,6 @@ def cmd_graphv(args: list[str]) -> int:
         "DEF:", "CDEF:", "VDEF:", "PRINT:", "LINE", "AREA:", "TICK:", "STACK:", "-",
     )):
         fname = args.pop(0)
-    # --imgformat=X forms predate the shared parse (it pops "-a X" pairs)
-    args[:] = [a for a in args if not a.startswith("--imgformat=")]
     try:
         o = _graph_options(args)
     except _GraphOptError as e:

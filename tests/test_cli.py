@@ -863,3 +863,25 @@ def test_update_at_syntax_matches_reference(spark, tmp_path, capsys):
         else:
             os.environ["TZ"] = old_tz
         _tt.tzset()
+
+
+def test_cli_equals_form_long_options(ds_path, capsys):
+    """getopt_long's --option=value spelling works everywhere the spaced
+    form does (the reference tests themselves use --imgformat=PNG)."""
+    rc = main([
+        "fetch", ds_path, "AVERAGE", "--resolution=300",
+        f"--start={START}", f"--end={UPDATES[-1][0]}",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.splitlines()
+    rows = {int(l.split(":")[0]): l.split(":")[1].strip()
+            for l in out[2:] if ":" in l}
+    assert abs(float(rows[920805000]) - 0.04) < 1e-12
+    rc = main([
+        "graphv", "-", f"--start={START}", f"--end={UPDATES[-1][0]}",
+        "--imgformat=PNG",
+        f"DEF:v={ds_path}:speed:AVERAGE", "VDEF:m=v,MAXIMUM",
+        "PRINT:m:%.2lf",
+    ])
+    assert rc == 0
+    assert 'print[0] = "0.04"' in capsys.readouterr().out
