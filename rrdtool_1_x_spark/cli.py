@@ -392,7 +392,12 @@ def cmd_updatev(args: list[str]) -> int:
     (the reference flushes a CDP when time passes its window end)."""
     import os
 
-    if "-d" in args or "--daemon" in args or os.environ.get("RRDCACHED_ADDRESS"):
+    if (
+        "-d" in args
+        or "--daemon" in args
+        or any(a.startswith("--daemon=") for a in args)
+        or os.environ.get("RRDCACHED_ADDRESS")
+    ):
         # the reference forbids daemon routing for updatev (rrdupdate.pod:
         # "updatev requires direct disk access")
         raise ValueError("The --daemon option cannot be used with updatev")
@@ -809,6 +814,7 @@ def cmd_graphv(args: list[str]) -> int:
     jsontime = _opt(args, "--add-jsontime", flag=True)
     prints = [a[6:] for a in args if a.startswith("PRINT:")]
     gprints = [a[7:] for a in args if a.startswith("GPRINT:")]
+    comments = [a[8:] for a in args if a.startswith("COMMENT:")]
     rules = _parse_rules(args)
     elements = [
         a for a in args
@@ -844,11 +850,15 @@ def cmd_graphv(args: list[str]) -> int:
             # xport-style JSON block after the info keys
             q.xport(source, legend=legend)
     res = q.execute(_spark())
-    if fname is not None and fname != "-":
+    rendering = fname is not None and fname != "-"
+    if rendering:
         # render like the reference's rrd_graph_v and report the layout
         # (GPRINT/COMMENT strings land in the image legend, PRINT lines
-        # stay info keys below)
-        cv = _paint(res, o, res.prints[len(prints):], rules)
+        # stay info keys below; same escape stripping as cmd_graph)
+        legend_lines = res.prints[len(prints):] + [
+            _re.sub(r"(\\[jlnrcs])+$", "", c) for c in comments
+        ]
+        cv = _paint(res, o, legend_lines, rules)
         with open(fname, "wb") as fh:
             fh.write(cv.to_bytes(o["imgformat"]))
         gl, gt, gw, gh = cv.graph_box
@@ -865,8 +875,18 @@ def cmd_graphv(args: list[str]) -> int:
     print(f"graph_end = {res.end}")
     print(f"graph_step = {res.step}")
     if res.bounds is not None:
-        umin, umax = _final_bounds(res.bounds, lo_opt, up_opt, rigid,
-                                   alt=galt)
+        if rendering:
+            # publish the bounds of the axis that was actually painted
+            # (base/--y-grid gating like _paint); the data-only form keeps
+            # the legacy default-base call the goldens pin
+            umin, umax = _final_bounds(
+                res.bounds, lo_opt, up_opt, rigid,
+                alt=None if o["y_grid_spec"] is not None else galt,
+                base=o["base"], expand=o["y_grid_spec"] is None,
+            )
+        else:
+            umin, umax = _final_bounds(res.bounds, lo_opt, up_opt, rigid,
+                                       alt=galt)
         print(f"value_min = {umin:0.10e}")
         print(f"value_max = {umax:0.10e}")
     for i, line in enumerate(res.prints):
@@ -1095,7 +1115,9 @@ def cmd_graph(args: list[str]) -> int:
         return 1
     width, lazy = o["width"], o["lazy"]
     imginfo, imgformat = o["imginfo"], o["imgformat"]
-    if "--maxrows" not in args:
+    if "--maxrows" not in args and not any(
+        a.startswith("--maxrows=") for a in args
+    ):
         args += ["--maxrows", str(width)]
 
     if lazy and fname != "-":

@@ -1127,6 +1127,13 @@ def _assign_cells_arrow(
             vnorm = np.sqrt(np.where(vn2 > 0, vn2, np.inf))
             csims = (m @ cmat.T) / vnorm[:, None] / cnorm[None, :]
             csims = np.where(np.isfinite(csims), csims, -2.0)
+            # the inf-norm division leaves 0.0 (finite) for zero-norm
+            # centroids/rows, but the fold path scores those -2.0 — pin
+            # them explicitly or a zero centroid would beat every
+            # negative-cosine real centroid with a >1e-9 margin and dodge
+            # the exact-fold fallback
+            csims[:, cn2 <= 0] = -2.0
+            csims[vn2 <= 0, :] = -2.0
             best = np.argmax(csims, axis=1)  # first max = lowest cid on ties
             cells = cids[best]
             if csims.shape[1] > 1:

@@ -498,8 +498,9 @@ class GraphElement:
     dashes: tuple | None = None
     dash_offset: float = 0.0
     # gradient AREA (AREA:v#col#col2[:gradheight=H], rrd_graph.c
-    # gfx_add_rect_fadey): fade from color at the value edge toward
-    # color2 over gradheight px (<=0: across the whole span)
+    # gfx_add_rect_fadey): screen-space fade — color at the top of each
+    # span toward color2 over gradheight px downward (<=0: whole span),
+    # like the reference's cairo linear pattern
     color2: str | None = None
     gradheight: float = 50.0
 

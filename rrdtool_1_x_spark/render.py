@@ -205,9 +205,12 @@ class Canvas:
     def vspan_fade(self, x: int, y_top: int, y_bot: int, color: str,
                    color2: str, gradheight: float) -> None:
         """Gradient AREA column (gfx_add_rect_fadey,
-        src/rrd_gfx.c:111-145): ``color`` at the value edge (y_top)
-        fading linearly to ``color2`` over ``gradheight`` px downward
-        (<=0: across the whole span), then ``color2`` to the base."""
+        src/rrd_gfx.c:111-145): the reference's cairo pattern fades in
+        SCREEN space — ``color`` above, ``color2`` below — regardless of
+        which edge carries the value (a negative AREA keeps color at the
+        top/base edge, like cairo). Here: ``color`` at y_top fading
+        linearly to ``color2`` over ``gradheight`` px downward (<=0:
+        across the whole span), then ``color2`` to y_bot."""
         y_top, y_bot = min(y_top, y_bot), max(y_top, y_bot)
         bx0, by0, bx1, by1 = self._bounds()
         if x < bx0 or x > bx1:

@@ -885,3 +885,20 @@ def test_cli_equals_form_long_options(ds_path, capsys):
     ])
     assert rc == 0
     assert 'print[0] = "0.04"' in capsys.readouterr().out
+
+
+def test_cli_equals_form_guards(ds_path, tmp_path, capsys):
+    """The = spelling hits the same guards as the spaced form: updatev
+    refuses --daemon=, xport --maxrows= caps rows."""
+    rc = main(["updatev", "--daemon=localhost:1", str(tmp_path / "x"),
+               "100:1"])
+    assert rc != 0
+    assert "daemon" in capsys.readouterr().err.lower()
+    rc = main([
+        "xport", "--json", f"--start={START}", f"--end={UPDATES[-1][0]}",
+        "--maxrows=4",
+        f"DEF:v={ds_path}:speed:AVERAGE", "XPORT:v:v",
+    ])
+    assert rc == 0
+    doc = json.loads(capsys.readouterr().out)
+    assert len(doc["data"]) <= 5

@@ -900,3 +900,26 @@ def test_bpe_encode_unknown_symbols(spark):
     df = spark.createDataFrame([(1, "xyz")], "doc_id long, text string")
     enc = bpe_encode(df, [("a", "b")]).collect()[0]
     assert enc["pieces"] == ["x", "y", "z", "</w>"]
+
+
+def test_assign_cells_arrow_zero_centroid_parity(spark):
+    """A zero-norm centroid must score -2.0 in the GEMM path like the
+    fold path — not 0.0, which would beat every negative-cosine real
+    centroid and dodge the guard-band fallback."""
+    from rrdtool_1_x_spark.datapipe.similarity import (
+        _assign_cells_arrow,
+        _exact_cell,
+    )
+
+    model = [(0, [0.0, 0.0], 0.0), (1, [1.0, 0.0], 1.0)]
+    df = spark.createDataFrame(
+        [(10, [-1.0, 0.0]), (11, [0.5, 0.5]), (12, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r["cell"]
+           for r in _assign_cells_arrow(df, model, "vec_id", "embedding").collect()}
+    want = {10: _exact_cell([-1.0, 0.0], model),
+            11: _exact_cell([0.5, 0.5], model),
+            12: _exact_cell([0.0, 0.0], model)}
+    assert got == want
+    assert got[10] == 1  # negative cosine still beats the dead centroid

@@ -953,3 +953,28 @@ def test_graphv_renders_image_with_coordinates(tmp_path, spark, capsys):
                  f"DEF:v={ds}:v:AVERAGE", "LINE1:v#ff0000:v"]) == 0
     out2 = capsys.readouterr().out
     assert "graph_left" not in out2 and "graph_start = 920804400" in out2
+
+
+def test_graphv_comment_in_rendered_legend(tmp_path, spark, capsys):
+    """graphv's rendered image includes COMMENT legend lines (escape-
+    stripped) just like cmd_graph — one extra legend row grows the
+    image height."""
+    from rrdtool_1_x_spark.cli import main
+
+    ds = str(tmp_path / "gc")
+    assert main(["create", ds, "--start", "920804400", "--step", "300",
+                 "DS:v:GAUGE:600:U:U", "RRA:AVERAGE:0.5:1:100"]) == 0
+    assert main(["update", ds, "920804700:1", "920805000:2"]) == 0
+    capsys.readouterr()
+    base_args = ["-s", "920804400", "-e", "920805600",
+                 f"DEF:v={ds}:v:AVERAGE", "LINE1:v#ff0000:v"]
+    assert main(["graphv", str(tmp_path / "a.png")] + base_args) == 0
+    h1 = int(dict(
+        l.split(" = ", 1) for l in capsys.readouterr().out.splitlines()
+        if " = " in l)["image_height"])
+    assert main(["graphv", str(tmp_path / "b.png")] + base_args
+                + ["COMMENT:data source\\l"]) == 0
+    h2 = int(dict(
+        l.split(" = ", 1) for l in capsys.readouterr().out.splitlines()
+        if " = " in l)["image_height"])
+    assert h2 > h1
