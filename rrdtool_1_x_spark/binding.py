@@ -234,16 +234,11 @@ def xport(*args) -> dict:
     """≙ rrdtool.xport(args..) → {"meta": {start, end, step, rows,
     columns, legend}, "data": [value tuples, None for unknown]}."""
     argv = _argv(args)
-    from rrdtool_1_x_spark.cli import _build_query, _spark
+    from rrdtool_1_x_spark.cli import xport_result
     from rrdtool_1_x_spark.xport import _collect_rows
 
     try:
-        q = _build_query(argv)
-        for a in argv:
-            if a.startswith("XPORT:"):
-                parts = a[6:].split(":", 1)
-                q.xport(parts[0], parts[1] if len(parts) > 1 else "")
-        res = q.execute(_spark())
+        res = xport_result(argv)
         rows = _collect_rows(res)
     except (OperationalError, ProgrammingError):
         raise

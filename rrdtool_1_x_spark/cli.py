@@ -617,6 +617,18 @@ def _build_query(args: list[str]):
     return q
 
 
+def xport_result(args: list[str]):
+    """The structured core of ``rrdtool xport`` — query build + XPORT
+    statement parse + execute; shared by the CLI formatter below and by
+    ``binding.xport`` (≙ rrd_xport's argv core)."""
+    q = _build_query(args)
+    for a in args:
+        if a.startswith("XPORT:"):
+            parts = a[6:].split(":", 1)
+            q.xport(parts[0], parts[1] if len(parts) > 1 else "")
+    return q.execute(_spark())
+
+
 def cmd_xport(args: list[str]) -> int:
     from rrdtool_1_x_spark import xport as xp
 
@@ -625,12 +637,7 @@ def cmd_xport(args: list[str]) -> int:
     showtime = _opt(args, "--showtime", "-t", flag=True)
     timefmt = _opt(args, "--timefmt")
     out_dir = _opt(args, "--output")
-    q = _build_query(args)
-    for a in args:
-        if a.startswith("XPORT:"):
-            parts = a[6:].split(":", 1)
-            q.xport(parts[0], parts[1] if len(parts) > 1 else "")
-    res = q.execute(_spark())
+    res = xport_result(args)
     if out_dir is not None:
         # cluster-scale sink: ordered CSV parts written by executors
         # (xport.write_csv) — the in-memory formatters below collect the
