@@ -23,6 +23,10 @@ Layout
                   (reference: src/rrd_daemon.c).
 - ``datapipe``    large-scale training-data ops: dedup, similarity search,
                   text analysis, multimodal plumbing (beyond the reference).
+- ``binding``     python-rrdtool–compatible module surface
+                  (reference: bindings/python/rrdtoolmodule.c).
+- ``cli`` / ``cgi`` / ``render``  the rrdtool/rrdcgi command surface and
+                  the no-cairo PNG/SVG/EPS/PDF graph renderer.
 """
 
 __version__ = "0.1.0"
