@@ -978,3 +978,23 @@ def test_graphv_comment_in_rendered_legend(tmp_path, spark, capsys):
         l.split(" = ", 1) for l in capsys.readouterr().out.splitlines()
         if " = " in l)["image_height"])
     assert h2 > h1
+
+
+def test_gradient_area_negative_values_screen_space():
+    """The reference's gradient is a SCREEN-space cairo pattern: color
+    above fading to color2 below, even when the area hangs under the
+    base (negative values) — the base edge is then the color end."""
+    el = GraphElement("AREA", "v", color="#ff0000", color2="#0000ff",
+                      gradheight=0.0)
+    rows = _rows([-8.0] * 30, base=0.0)
+    cv = render_graph(rows, [el], (-10.0, 0.0), 1000, 1300, width=60,
+                      height=51, x_grid=False, y_grid=False)
+    img = _img(cv)
+    x0, y0 = 8 + 7 * CHAR_W, 4
+    xmid = x0 + 30
+    col = img[y0:y0 + 51, xmid]
+    painted = [c for c in col if not (c == [255, 255, 255]).all()]
+    assert len(painted) > 30
+    top, bot = painted[2], painted[-3]
+    assert top[0] > top[2]  # red-dominant near the base (screen top)
+    assert bot[2] > bot[0]  # blue-dominant near the value edge (bottom)
