@@ -1591,6 +1591,30 @@ def q_bpe_tokens(spark, sf_dir):
     return bpe_token_stats(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_text_semantic_dedup(spark, sf_dir):
+    """Composition gate: hashed_embedding -> semantic_deduplicate — the
+    full no-model semantic-dedup pipeline over raw TEXT (featurize with
+    the hashing trick, then SemDeDup over the md5-sampled cells). Proves
+    the featurization output plugs into the similarity machinery
+    unchanged; the oracle chains both operators' SQL."""
+    from rrdtool_1_x_spark.datapipe.similarity import (
+        hashed_embedding,
+        ivf_centroid_model,
+        semantic_deduplicate,
+    )
+
+    emb = hashed_embedding(_docs(spark, sf_dir), dim=64).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    key = (spark.sparkContext.applicationId, sf_dir, "textsem")
+    if key not in _IVF_MODEL_CACHE:
+        _IVF_MODEL_CACHE[key] = ivf_centroid_model(emb, nlist=8)
+    out = semantic_deduplicate(
+        emb, threshold=0.8, model=_IVF_MODEL_CACHE[key]
+    )
+    return out.orderBy("vec_id")
+
+
 _BPE_CACHE: dict[tuple[str, str], list] = {}
 
 
@@ -1708,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_embed": q_hash_embed,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
+        "text_semantic_dedup": q_text_semantic_dedup,
         "unigram_logprob": q_unigram_logprob,
         "curate": q_curate,
         "sql_derive": q_sql_derive,
@@ -2703,6 +2728,60 @@ SELECT g.doc_id, g.i::BIGINT AS i,
 FROM g LEFT JOIN c ON c.doc_id = g.doc_id AND c.bucket = g.i
        JOIN n ON n.doc_id = g.doc_id
 ORDER BY g.doc_id, g.i"""
+
+    # composition: the hash_embed CTE chain (unrounded, list-assembled in
+    # dim order) feeds the semantic_dedup CTE chain — nlist 8, cosine 0.8,
+    # keep-lowest-id within (cell, md5 shard)
+    sql["text_semantic_dedup"] = f"""
+WITH e0 AS (SELECT doc_id,
+              unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                       '\\s+'),
+                                 t -> t <> '')) AS tok
+            FROM documents),
+hh AS (SELECT doc_id, md5('fh:' || tok) AS h FROM e0),
+b AS (SELECT doc_id, CAST(({_hex8int}) % 64 AS BIGINT) AS bucket,
+        CASE WHEN (strpos('0123456789abcdef', substr(h, 9, 1)) - 1) % 2 = 0
+             THEN 1 ELSE -1 END AS s
+      FROM hh),
+c AS (SELECT doc_id, bucket, sum(s)::BIGINT AS v FROM b GROUP BY 1, 2),
+nn AS (SELECT doc_id, sum(v * v)::DOUBLE AS nrm2 FROM c GROUP BY 1),
+g AS (SELECT doc_id, unnest(range(0, 64)) AS i FROM documents),
+emb AS (SELECT g.doc_id AS vec_id,
+          list(CASE WHEN nn.nrm2 > 0
+                    THEN coalesce(c.v, 0)::DOUBLE / sqrt(nn.nrm2)
+                    ELSE 0.0 END ORDER BY g.i) AS v
+        FROM g LEFT JOIN c ON c.doc_id = g.doc_id AND c.bucket = g.i
+               JOIN nn ON nn.doc_id = g.doc_id
+        GROUP BY 1),
+n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM emb),
+cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+sc AS (SELECT n.vec_id, cent.cid,
+              coalesce(CASE WHEN n.n2 > 0 AND cent.cn2 > 0
+                            THEN list_dot_product(n.v, cent.cv)
+                                 / (sqrt(n.n2) * sqrt(cent.cn2)) END,
+                       -2.0) AS s
+       FROM n CROSS JOIN cent),
+asg AS (SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY s DESC, cid ASC) AS rn
+          FROM sc) _ WHERE rn = 1),
+sh AS (SELECT vec_id, cid,
+              CAST(floor((row_number() OVER (PARTITION BY cid
+                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1)
+                   / 4096) AS BIGINT) AS shard
+       FROM asg),
+p AS (SELECT y.vec_id AS id_b, min(x.vec_id) AS dup_of
+      FROM sh x JOIN sh y
+        ON x.cid = y.cid AND x.shard = y.shard AND x.vec_id < y.vec_id
+      JOIN n a ON a.vec_id = x.vec_id
+      JOIN n bb ON bb.vec_id = y.vec_id
+      WHERE a.n2 > 0 AND bb.n2 > 0
+        AND list_dot_product(a.v, bb.v) / (sqrt(a.n2) * sqrt(bb.n2)) >= 0.8
+      GROUP BY 1)
+SELECT s.vec_id, s.cid AS cell, p.dup_of, p.dup_of IS NULL AS keep
+FROM sh s LEFT JOIN p ON p.id_b = s.vec_id ORDER BY s.vec_id"""
 
     # ExactSubstr span removal: same window construction as dup_spans;
     # an occurrence is removable iff its hash occurs >= 2 times in the
