@@ -1591,6 +1591,21 @@ def q_bpe_tokens(spark, sf_dir):
     return bpe_token_stats(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram-LM quality score (datapipe.textstats
+    .bigram_logprob): mean log P(w2|w1) = 0.75*c12/c1 + 0.25*c2/N under
+    the corpus's own counts — the transition-aware rung above the
+    unigram proxy; integer-quantized for order-independence."""
+    from rrdtool_1_x_spark.datapipe.textstats import bigram_logprob
+
+    out = bigram_logprob(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.round("bigram_logprob", 6).alias("bigram_logprob"),
+        "bigram_cnt",
+    ).orderBy("doc_id")
+
+
 def q_text_semantic_dedup(spark, sf_dir):
     """Composition gate: hashed_embedding -> semantic_deduplicate — the
     full no-model semantic-dedup pipeline over raw TEXT (featurize with
@@ -1733,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
         "text_semantic_dedup": q_text_semantic_dedup,
+        "bigram_logprob": q_bigram_logprob,
         "unigram_logprob": q_unigram_logprob,
         "curate": q_curate,
         "sql_derive": q_sql_derive,
@@ -3180,6 +3196,30 @@ FROM e ORDER BY doc_id"""
     # unigram LM: wordcount CTEs, per-token logprob quantized to 1e-6
     # BEFORE the per-doc mean (same as the Spark side) so aggregation
     # order cannot move the hash
+    # interpolated bigram LM: parallel unnest of the two shifted slices
+    # zips adjacent pairs; 0.75/0.25 are exact binary so the mixed term
+    # is the same double in both engines; quantization as in unigram
+    sql["bigram_logprob"] = r"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+')
+             AS toks FROM documents),
+bg AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+              unnest(toks[2:len(toks)]) AS w2 FROM t),
+db AS (SELECT doc_id, w1, w2, count(*) AS m FROM bg GROUP BY 1, 2, 3),
+bc AS (SELECT w1, w2, sum(m) AS cb FROM db GROUP BY 1, 2),
+u AS (SELECT unnest(toks) AS tok FROM t),
+uc AS (SELECT tok, count(*) AS cu FROM u GROUP BY 1),
+nt AS (SELECT count(*) AS n_total FROM u)
+SELECT doc_id,
+  round(sum(m * CAST(round(ln(0.75 * (cb / u1.cu)
+                            + 0.25 * (u2.cu / n_total)) * 1e6) AS BIGINT))
+        / sum(m) / 1e6, 6) AS bigram_logprob,
+  sum(m) AS bigram_cnt
+FROM db JOIN bc USING (w1, w2)
+        JOIN uc u1 ON u1.tok = db.w1
+        JOIN uc u2 ON u2.tok = db.w2
+        CROSS JOIN nt
+GROUP BY doc_id ORDER BY doc_id"""
+
     sql["unigram_logprob"] = r"""
 WITH tok AS (
   SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok

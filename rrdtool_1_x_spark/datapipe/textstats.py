@@ -299,3 +299,72 @@ def bpe_token_stats(
             bpe > 0, F.round(F.length(txt).cast("double") / bpe, 6)
         ).alias("chars_per_token"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+    quantize: int | None = 6,
+) -> DataFrame:
+    """Per-document mean INTERPOLATED bigram log-probability under the
+    corpus's own counts — the next rung of the perplexity-proxy ladder
+    above ``unigram_logprob`` (CCNet filters on a trained 5-gram LM; the
+    self-trained interpolated bigram is its shuffle-shape-identical
+    2-gram seed):
+
+        P(w2 | w1) = lam * c(w1 w2)/c(w1) + (1 - lam) * c(w2)/N
+
+    Lower (more negative) = less corpus-predictable word transitions —
+    shuffled/templated junk scores low even when every WORD is common
+    (which the unigram score cannot see). ``lam=0.75`` is exact in
+    binary, keeping the arithmetic engine-portable.
+
+    Shape at scale: bigrams are built per document inside the scan
+    (zip_with shifted slices), then the same corpus-linear pattern as
+    unigram_logprob — (doc, bigram) multiplicities, a bigram-count join,
+    two unigram-count joins, a broadcast scalar total; every aggregation
+    is map-side combinable, integer-quantized for order-independence.
+    Documents with fewer than two tokens have no bigram and are absent
+    from the output (they carry no transition signal).
+    """
+    toks = _tokens(F.col(text_col))
+    pairs = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        lambda x: x["w2"].isNotNull(),
+    )
+    bg = df.select(F.col(id_col), F.explode(pairs).alias("_p")).select(
+        id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
+    )
+    db = bg.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("m"))
+    bc = db.groupBy("w1", "w2").agg(F.sum("m").alias("cb"))
+    tok = df.select(F.explode(toks).alias("tok"))
+    uc = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cu"))
+    total = df.agg(F.sum(F.size(toks)).alias("n_total"))
+    u1 = uc.select(F.col("tok").alias("w1"), F.col("cu").alias("cu1"))
+    u2 = uc.select(F.col("tok").alias("w2"), F.col("cu").alias("cu2"))
+    joined = (
+        db.join(bc, ["w1", "w2"])
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(total))
+    )
+    lp = F.log(
+        F.lit(lam) * (F.col("cb").cast("double") / F.col("cu1"))
+        + F.lit(1.0 - lam) * (F.col("cu2").cast("double") / F.col("n_total"))
+    )
+    if quantize is not None:
+        scale = float(10 ** quantize)
+        lpq = F.round(lp * scale).cast("long")
+        mean = (F.sum(F.col("m") * lpq) / F.sum("m")) / F.lit(scale)
+    else:
+        mean = F.sum(F.col("m") * lp) / F.sum("m")
+    return joined.groupBy(id_col).agg(
+        mean.alias("bigram_logprob"),
+        F.sum("m").alias("bigram_cnt"),
+    )

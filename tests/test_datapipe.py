@@ -923,3 +923,27 @@ def test_assign_cells_arrow_zero_centroid_parity(spark):
             12: _exact_cell([0.0, 0.0], model)}
     assert got == want
     assert got[10] == 1  # negative cosine still beats the dead centroid
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Interpolated bigram score on a 2-doc corpus, hand-computed."""
+    import math
+
+    from rrdtool_1_x_spark.datapipe.textstats import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    # corpus: tokens a:3 b:3 c:1, N=7; bigrams: (a,b):3, (b,a):1, (b,c):1
+    out = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    p_ab = 0.75 * (3 / 3) + 0.25 * (3 / 7)
+    p_ba = 0.75 * (1 / 3) + 0.25 * (3 / 7)
+    p_bc = 0.75 * (1 / 3) + 0.25 * (1 / 7)
+    q = lambda p: round(math.log(p) * 1e6) / 1e6
+    want1 = (2 * q(p_ab) + 1 * q(p_ba)) / 3
+    want2 = (q(p_ab) + q(p_bc)) / 2
+    assert out[1]["bigram_cnt"] == 3 and out[2]["bigram_cnt"] == 2
+    assert abs(out[1]["bigram_logprob"] - want1) < 1e-9
+    assert abs(out[2]["bigram_logprob"] - want2) < 1e-9
+    # shuffled text scores lower than corpus-typical transitions
+    assert out[1]["bigram_logprob"] > out[2]["bigram_logprob"]
