@@ -2641,13 +2641,13 @@ WHERE rank <= 10 ORDER BY query_id, rank"""
     # SemDeDup: reuses ivf_topk's centroid/assignment CTEs (same md5
     # quantizer, coalesce(-2.0) zero-vector rule and (s DESC, cid ASC)
     # tie-break), then keep-lowest-id within each (cell, md5-ordered
-    # shard of 4096) — quadratic within-cell join is fine at oracle scale
-    sql["semantic_dedup"] = """
-WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-           FROM embeddings),
-n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+    # shard of 4096) — quadratic within-cell join is fine at oracle
+    # scale. Parameterized by the (vec_id, v) source relation so the
+    # text_semantic_dedup composition gate runs the IDENTICAL chain.
+    _sem_chain = lambda src_rel, nlist, threshold: f"""
+n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM {src_rel}),
 cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n
-         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {nlist}),
 sc AS (SELECT n.vec_id, cent.cid,
               coalesce(CASE WHEN n.n2 > 0 AND cent.cn2 > 0
                             THEN list_dot_product(n.v, cent.cv)
@@ -2668,12 +2668,17 @@ p AS (SELECT y.vec_id AS id_b, min(x.vec_id) AS dup_of
       FROM sh x JOIN sh y
         ON x.cid = y.cid AND x.shard = y.shard AND x.vec_id < y.vec_id
       JOIN n a ON a.vec_id = x.vec_id
-      JOIN n b ON b.vec_id = y.vec_id
-      WHERE a.n2 > 0 AND b.n2 > 0
-        AND list_dot_product(a.v, b.v) / (sqrt(a.n2) * sqrt(b.n2)) >= 0.2
+      JOIN n bb ON bb.vec_id = y.vec_id
+      WHERE a.n2 > 0 AND bb.n2 > 0
+        AND list_dot_product(a.v, bb.v) / (sqrt(a.n2) * sqrt(bb.n2))
+            >= {threshold}
       GROUP BY 1)
 SELECT s.vec_id, s.cid AS cell, p.dup_of, p.dup_of IS NULL AS keep
 FROM sh s LEFT JOIN p ON p.id_b = s.vec_id ORDER BY s.vec_id"""
+    sql["semantic_dedup"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+{_sem_chain('e', 16, 0.2)}"""
 
     from rrdtool_1_x_spark.datapipe.textstats import BPE_SPLIT_PATTERN
 
@@ -2723,37 +2728,14 @@ FROM b LEFT JOIN d USING (doc_id) ORDER BY b.doc_id"""
         f" * {16 ** (7 - j)}"
         for j in range(8)
     )
-    sql["hash_embed"] = f"""
-WITH e AS (SELECT doc_id,
-             unnest(list_filter(regexp_split_to_array(lower(trim(text)),
-                                                      '\\s+'),
-                                t -> t <> '')) AS tok
-           FROM documents),
-hh AS (SELECT doc_id, md5('fh:' || tok) AS h FROM e),
-b AS (SELECT doc_id, CAST(({_hex8int}) % 64 AS BIGINT) AS bucket,
-        CASE WHEN (strpos('0123456789abcdef', substr(h, 9, 1)) - 1) % 2 = 0
-             THEN 1 ELSE -1 END AS s
-      FROM hh),
-c AS (SELECT doc_id, bucket, sum(s)::BIGINT AS v FROM b GROUP BY 1, 2),
-n AS (SELECT doc_id, sum(v * v)::DOUBLE AS n2 FROM c GROUP BY 1),
-g AS (SELECT doc_id, unnest(range(0, 64)) AS i FROM documents)
-SELECT g.doc_id, g.i::BIGINT AS i,
-       round(CASE WHEN n.n2 > 0
-                  THEN coalesce(c.v, 0)::DOUBLE / sqrt(n.n2)
-                  ELSE 0.0 END, 6) AS v
-FROM g LEFT JOIN c ON c.doc_id = g.doc_id AND c.bucket = g.i
-       JOIN n ON n.doc_id = g.doc_id
-ORDER BY g.doc_id, g.i"""
-
-    # composition: the hash_embed CTE chain (unrounded, list-assembled in
-    # dim order) feeds the semantic_dedup CTE chain — nlist 8, cosine 0.8,
-    # keep-lowest-id within (cell, md5 shard)
-    sql["text_semantic_dedup"] = f"""
-WITH e0 AS (SELECT doc_id,
-              unnest(list_filter(regexp_split_to_array(lower(trim(text)),
-                                                       '\\s+'),
-                                 t -> t <> '')) AS tok
-            FROM documents),
+    # shared featurization CTEs: tokens -> md5 bucket/sign -> sparse
+    # (doc, bucket) sums -> squared norm -> dense dim grid
+    _fh_ctes = f"""
+e0 AS (SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                  '\\s+'),
+                            t -> t <> '')) AS tok
+       FROM documents),
 hh AS (SELECT doc_id, md5('fh:' || tok) AS h FROM e0),
 b AS (SELECT doc_id, CAST(({_hex8int}) % 64 AS BIGINT) AS bucket,
         CASE WHEN (strpos('0123456789abcdef', substr(h, 9, 1)) - 1) % 2 = 0
@@ -2761,7 +2743,21 @@ b AS (SELECT doc_id, CAST(({_hex8int}) % 64 AS BIGINT) AS bucket,
       FROM hh),
 c AS (SELECT doc_id, bucket, sum(s)::BIGINT AS v FROM b GROUP BY 1, 2),
 nn AS (SELECT doc_id, sum(v * v)::DOUBLE AS nrm2 FROM c GROUP BY 1),
-g AS (SELECT doc_id, unnest(range(0, 64)) AS i FROM documents),
+g AS (SELECT doc_id, unnest(range(0, 64)) AS i FROM documents)"""
+    sql["hash_embed"] = f"""
+WITH {_fh_ctes}
+SELECT g.doc_id, g.i::BIGINT AS i,
+       round(CASE WHEN nn.nrm2 > 0
+                  THEN coalesce(c.v, 0)::DOUBLE / sqrt(nn.nrm2)
+                  ELSE 0.0 END, 6) AS v
+FROM g LEFT JOIN c ON c.doc_id = g.doc_id AND c.bucket = g.i
+       JOIN nn ON nn.doc_id = g.doc_id
+ORDER BY g.doc_id, g.i"""
+
+    # composition: the SAME featurization CTEs (unrounded, list-assembled
+    # in dim order) feed the SAME semantic chain — nlist 8, cosine 0.8
+    sql["text_semantic_dedup"] = f"""
+WITH {_fh_ctes},
 emb AS (SELECT g.doc_id AS vec_id,
           list(CASE WHEN nn.nrm2 > 0
                     THEN coalesce(c.v, 0)::DOUBLE / sqrt(nn.nrm2)
@@ -2769,35 +2765,7 @@ emb AS (SELECT g.doc_id AS vec_id,
         FROM g LEFT JOIN c ON c.doc_id = g.doc_id AND c.bucket = g.i
                JOIN nn ON nn.doc_id = g.doc_id
         GROUP BY 1),
-n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM emb),
-cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n
-         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-sc AS (SELECT n.vec_id, cent.cid,
-              coalesce(CASE WHEN n.n2 > 0 AND cent.cn2 > 0
-                            THEN list_dot_product(n.v, cent.cv)
-                                 / (sqrt(n.n2) * sqrt(cent.cn2)) END,
-                       -2.0) AS s
-       FROM n CROSS JOIN cent),
-asg AS (SELECT vec_id, cid FROM (
-          SELECT vec_id, cid,
-                 row_number() OVER (PARTITION BY vec_id
-                                    ORDER BY s DESC, cid ASC) AS rn
-          FROM sc) _ WHERE rn = 1),
-sh AS (SELECT vec_id, cid,
-              CAST(floor((row_number() OVER (PARTITION BY cid
-                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1)
-                   / 4096) AS BIGINT) AS shard
-       FROM asg),
-p AS (SELECT y.vec_id AS id_b, min(x.vec_id) AS dup_of
-      FROM sh x JOIN sh y
-        ON x.cid = y.cid AND x.shard = y.shard AND x.vec_id < y.vec_id
-      JOIN n a ON a.vec_id = x.vec_id
-      JOIN n bb ON bb.vec_id = y.vec_id
-      WHERE a.n2 > 0 AND bb.n2 > 0
-        AND list_dot_product(a.v, bb.v) / (sqrt(a.n2) * sqrt(bb.n2)) >= 0.8
-      GROUP BY 1)
-SELECT s.vec_id, s.cid AS cell, p.dup_of, p.dup_of IS NULL AS keep
-FROM sh s LEFT JOIN p ON p.id_b = s.vec_id ORDER BY s.vec_id"""
+{_sem_chain('emb', 8, 0.8)}"""
 
     # ExactSubstr span removal: same window construction as dup_spans;
     # an occurrence is removable iff its hash occurs >= 2 times in the

@@ -947,3 +947,19 @@ def test_bigram_logprob_hand_computed(spark):
     assert abs(out[2]["bigram_logprob"] - want2) < 1e-9
     # shuffled text scores lower than corpus-typical transitions
     assert out[1]["bigram_logprob"] > out[2]["bigram_logprob"]
+
+
+def test_bigram_logprob_short_doc_edges(spark):
+    """Documents with fewer than two tokens (incl. empty and NULL text)
+    are absent from the output — the zip_with/slice edge the docstring
+    pins; no spurious (w, null) or (w, '') bigram may leak in."""
+    from rrdtool_1_x_spark.datapipe.textstats import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, None), (4, "  padded  "),
+         (5, "two tokens")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    assert set(out) == {5}
+    assert out[5]["bigram_cnt"] == 1
