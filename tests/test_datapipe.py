@@ -963,3 +963,36 @@ def test_bigram_logprob_short_doc_edges(spark):
     out = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
     assert set(out) == {5}
     assert out[5]["bigram_cnt"] == 1
+
+
+def test_remove_spans_token_conservation(spark, docs):
+    """On the real corpus: kept + removed == total tokens for every doc
+    (the coverage mask never double-counts overlapping windows)."""
+    from rrdtool_1_x_spark.datapipe.dedup import remove_duplicate_spans
+
+    out = remove_duplicate_spans(docs, n=8)
+    bad = out.filter(
+        F.col("n_tokens") - F.col("removed_tokens")
+        != F.when(F.col("text") == "", 0).otherwise(
+            F.size(F.split(F.col("text"), " "))
+        )
+    ).count()
+    assert bad == 0
+    # the injected exact copies (+20000) lose everything; originals keep it
+    gone = out.filter((F.col("doc_id") >= 20000) & (F.col("text") != ""))
+    assert gone.count() == 0
+
+
+def test_hashed_embedding_bag_of_words_invariance(spark):
+    """The hashing trick is order-free: permuting tokens gives the
+    identical vector."""
+    from rrdtool_1_x_spark.datapipe.similarity import hashed_embedding
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "epsilon delta gamma beta alpha")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["embedding"]
+            for r in hashed_embedding(df, dim=32).collect()}
+    assert rows[1] == rows[2]
