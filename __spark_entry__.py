@@ -850,6 +850,18 @@ def q_near_dup_pairs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_dedup_best(spark, sf_dir):
+    """Quality-aware dedup disposition (datapipe.dedup.
+    best_quality_representatives): each near-dup component keeps its
+    highest-quality member (ties to lowest id) — the RefinedWeb/CCNet
+    representative rule; full-corpus (doc, group, rep, keep) rows."""
+    from rrdtool_1_x_spark.datapipe.dedup import best_quality_representatives
+
+    pairs = _near_dup(spark, sf_dir).select("id_a", "id_b")
+    out = best_quality_representatives(_docs(spark, sf_dir), pairs)
+    return out.orderBy("doc_id")
+
+
 def q_dup_groups(spark, sf_dir):
     """Near-dup connected components via distributed label propagation
     (datapipe.dedup.duplicate_groups): (doc_id, group_id = min id in
@@ -1749,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "text_semantic_dedup": q_text_semantic_dedup,
         "bigram_logprob": q_bigram_logprob,
+        "dedup_best": q_dedup_best,
         "unigram_logprob": q_unigram_logprob,
         "curate": q_curate,
         "sql_derive": q_sql_derive,
@@ -2524,6 +2537,34 @@ LEFT JOIN pi ON pi.id_a = p.id_a AND pi.id_b = p.id_b
 JOIN dw x ON x.doc_id = p.id_a
 JOIN dw y ON y.doc_id = p.id_b
 ORDER BY p.id_a, p.id_b"""
+    # quality-aware representative: the SAME cc labels ranked by the
+    # quality gate's composite score (rounded 6dp first so the argmax
+    # decision sits at the gate's own precision), ties to lowest id
+    sql["dedup_best"] = f"""WITH RECURSIVE {cc_cte},
+qm AS (
+  SELECT doc_id, length(text)::DOUBLE AS n,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS a,
+    length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS d,
+    length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g'))::DOUBLE AS p,
+    length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE AS u
+  FROM documents),
+qs AS (SELECT doc_id,
+         round(least(a/n*1.25, 1.0)*0.5 + (1.0 - least(d/n*4, 1.0))*0.2
+               + (1.0 - least(p/n*5, 1.0))*0.2
+               + (1.0 - least(u/n*3, 1.0))*0.1, 6) AS q
+       FROM qm),
+rk AS (SELECT l.doc_id, l.group_id,
+              row_number() OVER (PARTITION BY l.group_id
+                                 ORDER BY q DESC, l.doc_id ASC) AS r
+       FROM labels l JOIN qs ON qs.doc_id = l.doc_id),
+rep AS (SELECT group_id, doc_id AS rep_id FROM rk WHERE r = 1)
+SELECT doc.doc_id, l.group_id,
+       coalesce(rep.rep_id, doc.doc_id) AS rep_id,
+       coalesce(rep.rep_id, doc.doc_id) = doc.doc_id AS keep
+FROM documents doc
+LEFT JOIN labels l ON l.doc_id = doc.doc_id
+LEFT JOIN rep ON rep.group_id = l.group_id
+ORDER BY doc.doc_id"""
     sql["dedup_report"] = f"""WITH RECURSIVE {cc_cte},
 g AS (SELECT group_id, count(*) AS sz FROM labels GROUP BY 1),
 s AS (SELECT count(*) AS dup_groups, sum(sz)::BIGINT AS dup_docs FROM g),

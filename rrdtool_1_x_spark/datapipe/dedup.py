@@ -976,3 +976,71 @@ def remove_duplicate_spans(
         .alias("removed_tokens"),
         F.array_join(F.transform(kept, lambda x: x["_t"]), " ").alias(text_col),
     )
+
+
+def best_quality_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str | None = None,
+    score_frame: DataFrame | None = None,
+) -> DataFrame:
+    """Quality-aware dedup disposition: each near-duplicate group keeps
+    its HIGHEST-quality member instead of the lowest id — the
+    representative rule production curation actually uses (RefinedWeb /
+    CCNet keep the best-scoring copy; min-id is only the cheapest
+    deterministic stand-in). Ties break to the lowest id, so the output
+    is still fully deterministic.
+
+    ``pairs``: (id_a, id_b) near-dup pairs (e.g. from
+    ``minhash_near_duplicates``). ``score_frame``/``score_col``: an
+    (id, score) frame — defaults to ``textstats.quality_metrics``'s
+    composite quality_score rounded to 6dp (rounding first makes the
+    argmax decision identical across engines at the value-hash gate's
+    own precision).
+
+    Returns one row per CORPUS document: ``(id, group_id, rep_id, keep)``
+    — group_id NULL for documents in no group (trivially kept,
+    rep_id = self).
+
+    Shape at scale: the connected components come from the checkpointed
+    label propagation (``duplicate_groups``); ranking is a window over
+    GROUP-sized partitions (near-dup groups are small by construction);
+    the final disposition is one id-keyed left join per side.
+    """
+    from rrdtool_1_x_spark.datapipe.textstats import quality_metrics
+
+    groups = duplicate_groups(pairs)
+    if score_frame is None:
+        score_frame = quality_metrics(
+            df.select(id_col, text_col), text_col=text_col
+        ).select(
+            F.col(id_col), F.round("quality_score", 6).alias("_qs")
+        )
+        score_col = "_qs"
+    scored = groups.join(
+        score_frame.select(F.col(id_col), F.col(score_col).alias("_qs")),
+        id_col,
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.desc("_qs"), F.asc(id_col)
+    )
+    rep = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("group_id", F.col(id_col).alias("rep_id"))
+    )
+    return (
+        df.select(id_col)
+        .join(groups, id_col, "left")
+        .join(rep, "group_id", "left")
+        .select(
+            F.col(id_col),
+            "group_id",
+            F.coalesce(F.col("rep_id"), F.col(id_col)).alias("rep_id"),
+            (F.coalesce(F.col("rep_id"), F.col(id_col)) == F.col(id_col)).alias(
+                "keep"
+            ),
+        )
+    )

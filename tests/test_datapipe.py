@@ -996,3 +996,31 @@ def test_hashed_embedding_bag_of_words_invariance(spark):
     rows = {r["doc_id"]: r["embedding"]
             for r in hashed_embedding(df, dim=32).collect()}
     assert rows[1] == rows[2]
+
+
+def test_best_quality_representatives(spark):
+    """The group keeps its best-scoring member; ungrouped docs keep
+    themselves; ties break to the lowest id."""
+    from rrdtool_1_x_spark.datapipe.dedup import best_quality_representatives
+
+    docs = spark.createDataFrame(
+        [(1, "good clean prose with words"),
+         (2, "g00d cl3an pr0se w1th w0rds 123 456"),  # digit-heavy twin
+         (3, "an unrelated solitary document")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = {r["doc_id"]: r for r in
+           best_quality_representatives(docs, pairs).collect()}
+    assert out[1]["keep"] and out[1]["rep_id"] == 1
+    assert not out[2]["keep"] and out[2]["rep_id"] == 1
+    assert out[3]["keep"] and out[3]["group_id"] is None
+    # tie on score -> lowest id wins
+    tie = spark.createDataFrame(
+        [(5, "same text here"), (6, "same text here")],
+        "doc_id long, text string",
+    )
+    tp = spark.createDataFrame([(5, 6)], "id_a long, id_b long")
+    o2 = {r["doc_id"]: r for r in
+          best_quality_representatives(tie, tp).collect()}
+    assert o2[5]["keep"] and not o2[6]["keep"] and o2[6]["rep_id"] == 5
