@@ -850,6 +850,16 @@ def q_near_dup_pairs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_gopher_rep(spark, sf_dir):
+    """Full Gopher repetition table (datapipe.textstats.gopher_repetition;
+    Rae et al. 2021 Table A1): top-{2,3,4}-gram position shares and
+    duplicated-{5..10}-gram position shares per document. Nine n-gram
+    families built in-scan, one explode, two doc-keyed aggregations."""
+    from rrdtool_1_x_spark.datapipe.textstats import gopher_repetition
+
+    return gopher_repetition(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_dedup_best(spark, sf_dir):
     """Quality-aware dedup disposition (datapipe.dedup.
     best_quality_representatives): each near-dup component keeps its
@@ -1762,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_semantic_dedup": q_text_semantic_dedup,
         "bigram_logprob": q_bigram_logprob,
         "dedup_best": q_dedup_best,
+        "gopher_rep": q_gopher_rep,
         "unigram_logprob": q_unigram_logprob,
         "curate": q_curate,
         "sql_derive": q_sql_derive,
@@ -3228,6 +3239,36 @@ FROM db JOIN bc USING (w1, w2)
         JOIN uc u2 ON u2.tok = db.w2
         CROSS JOIN nt
 GROUP BY doc_id ORDER BY doc_id"""
+
+    # full Gopher repetition table: n-gram families 2..10 per doc; a doc
+    # shorter than n tokens contributes no n-family (NULL columns)
+    top_cols = ",\n  ".join(
+        f"max(CASE WHEN n = {n} THEN topf END) AS top{n}_frac"
+        for n in (2, 3, 4)
+    )
+    dup_cols = ",\n  ".join(
+        f"max(CASE WHEN n = {n} THEN dupf END) AS dup{n}_frac"
+        for n in range(5, 11)
+    )
+    sql["gopher_rep"] = rf"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+')
+             AS toks FROM documents),
+gr AS (SELECT doc_id, n,
+         unnest(list_transform(range(1, len(toks) - n + 2),
+                               i -> array_to_string(toks[i:i+n-1], ' ')))
+           AS gram
+       FROM t CROSS JOIN (SELECT unnest(range(2, 11)) AS n) ns
+       WHERE len(toks) >= n),
+pg AS (SELECT doc_id, n, gram, count(*) AS c FROM gr GROUP BY 1, 2, 3),
+pn AS (SELECT doc_id, n, max(c) AS topc, sum(c) AS tot,
+              sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dupc
+       FROM pg GROUP BY 1, 2),
+fr AS (SELECT doc_id, n, round(topc::DOUBLE / tot, 6) AS topf,
+              round(dupc::DOUBLE / tot, 6) AS dupf FROM pn)
+SELECT doc_id,
+  {top_cols},
+  {dup_cols}
+FROM fr GROUP BY doc_id ORDER BY doc_id"""
 
     sql["unigram_logprob"] = r"""
 WITH tok AS (

@@ -368,3 +368,61 @@ def bigram_logprob(
         mean.alias("bigram_logprob"),
         F.sum("m").alias("bigram_cnt"),
     )
+
+
+def gopher_repetition(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The FULL Gopher repetition-rule table (Rae et al. 2021, Table A1)
+    over token n-grams: ``top{2,3,4}_frac`` — the share of n-gram
+    positions taken by the single most frequent n-gram — and
+    ``dup{5..10}_frac`` — the share of n-gram positions whose n-gram
+    occurs more than once in the document. The published filter drops a
+    document when e.g. top2 > 0.20, top3 > 0.18, top4 > 0.16,
+    dup5 > 0.15 ... dup10 > 0.10 (thresholds are the caller's policy;
+    this emits the measurements).
+
+    Shape at scale: all nine n-gram families are built per document
+    inside the scan (arrays_zip shifted slices, tagged with their n) and
+    leave through ONE explode into a (doc, n, gram) count — two map-side
+    combinable aggregations keyed by the document; no corpus-wide key
+    ever forms, so skew is bounded by document length.
+    """
+    toks = _tokens(F.col(text_col))
+
+    def grams(n: int):
+        zipped = F.arrays_zip(
+            *[F.slice(toks, i + 1, F.size(toks)).alias(f"t{i}") for i in range(n)]
+        )
+        full = F.transform(
+            F.slice(zipped, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda x: F.concat_ws(" ", *[x[f"t{i}"] for i in range(n)]),
+        )
+        return F.transform(full, lambda g: F.concat(F.lit(f"{n}:"), g))
+
+    all_grams = F.concat(*[grams(n) for n in range(2, 11)])
+    exploded = df.select(F.col(id_col), F.explode(all_grams).alias("_g")).select(
+        id_col,
+        F.substring_index("_g", ":", 1).cast("int").alias("_n"),
+        F.col("_g").alias("_gram"),
+    )
+    per_gram = exploded.groupBy(id_col, "_n", "_gram").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    per_n = per_gram.groupBy(id_col, "_n").agg(
+        F.max("_c").alias("_top"),
+        F.sum("_c").alias("_tot"),
+        F.sum(F.when(F.col("_c") >= 2, F.col("_c")).otherwise(F.lit(0))).alias(
+            "_dup"
+        ),
+    )
+    top = F.round(F.col("_top").cast("double") / F.col("_tot"), 6)
+    dup = F.round(F.col("_dup").cast("double") / F.col("_tot"), 6)
+    cols = {}
+    for n in (2, 3, 4):
+        cols[f"top{n}_frac"] = F.max(F.when(F.col("_n") == n, top))
+    for n in range(5, 11):
+        cols[f"dup{n}_frac"] = F.max(F.when(F.col("_n") == n, dup))
+    return per_n.groupBy(id_col).agg(
+        *[v.alias(k) for k, v in cols.items()]
+    )

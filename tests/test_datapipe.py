@@ -1024,3 +1024,31 @@ def test_best_quality_representatives(spark):
     o2 = {r["doc_id"]: r for r in
           best_quality_representatives(tie, tp).collect()}
     assert o2[5]["keep"] and not o2[6]["keep"] and o2[6]["rep_id"] == 5
+
+
+def test_gopher_repetition_hand_computed(spark):
+    """Rae et al. Table A1 measurements on a doc with known repetition:
+    'a b a b a b' — bigrams: (a b)x3, (b a)x2 -> top2 = 3/5; all 5
+    bigram positions duplicated? dup applies to n>=5; 5-grams: 2
+    positions, both distinct -> dup5 = 0. Short doc: no 7..10-grams."""
+    from rrdtool_1_x_spark.datapipe.textstats import gopher_repetition
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x y")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in gopher_repetition(df).collect()}
+    r1 = out[1]
+    assert r1["top2_frac"] == round(3 / 5, 6)
+    assert r1["top3_frac"] == round(2 / 4, 6)  # (a b a)x2 of 4
+    assert r1["dup5_frac"] == 0.0  # 'a b a b a' and 'b a b a b' distinct
+    assert r1["dup6_frac"] == 0.0 and r1["dup10_frac"] is None  # len 6
+    r2 = out[2]
+    assert r2["top2_frac"] == 1.0  # single bigram
+    assert r2["top3_frac"] is None and r2["dup5_frac"] is None
+    # a genuinely duplicated 5-gram
+    df2 = spark.createDataFrame(
+        [(3, "p q r s t p q r s t")], "doc_id long, text string"
+    )
+    r3 = gopher_repetition(df2).collect()[0]
+    # 6 five-gram positions; 'p q r s t' occurs twice -> 2/6
+    assert r3["dup5_frac"] == round(2 / 6, 6)
