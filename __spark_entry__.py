@@ -850,6 +850,42 @@ def q_near_dup_pairs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_domain_stats(spark, sf_dir):
+    """Corpus domain inventory (datapipe.pii.domain_stats): URL hosts
+    extracted in-scan and aggregated to (domain, url_cnt, doc_cnt) — the
+    C4 blocklist-analysis measurements. The synthetic corpus is URL-free,
+    so deterministic doc_id-derived URLs over 7+3 distinct domains are
+    injected (the oracle builds identical strings)."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    enriched = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.repeat(
+                F.concat(
+                    F.lit(" see https://site"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".example.org/p/"),
+                    did,
+                ),
+                (F.col("doc_id") % 2).cast("int"),
+            ),
+            F.repeat(
+                F.concat(
+                    F.lit(" img http://cdn"),
+                    (F.col("doc_id") % 3).cast("string"),
+                    F.lit(".example.net/a.png"),
+                ),
+                (F.col("doc_id") % 3).cast("int"),
+            ),
+        ).alias("text"),
+    )
+    from rrdtool_1_x_spark.datapipe.pii import domain_stats
+
+    return domain_stats(enriched).orderBy("domain")
+
+
 def q_gopher_rep(spark, sf_dir):
     """Full Gopher repetition table (datapipe.textstats.gopher_repetition;
     Rae et al. 2021 Table A1): top-{2,3,4}-gram position shares and
@@ -1773,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "dedup_best": q_dedup_best,
         "gopher_rep": q_gopher_rep,
+        "domain_stats": q_domain_stats,
         "unigram_logprob": q_unigram_logprob,
         "curate": q_curate,
         "sql_derive": q_sql_derive,
@@ -3239,6 +3276,27 @@ FROM db JOIN bc USING (w1, w2)
         JOIN uc u2 ON u2.tok = db.w2
         CROSS JOIN nt
 GROUP BY doc_id ORDER BY doc_id"""
+
+    # domain inventory over the deterministically URL-enriched corpus —
+    # identical injected strings, identical RE2-safe host pattern
+    sql["domain_stats"] = r"""
+WITH enr AS (
+  SELECT doc_id,
+    text
+    || repeat(' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+              || '.example.org/p/' || CAST(doc_id AS VARCHAR),
+              CAST(doc_id % 2 AS INT))
+    || repeat(' img http://cdn' || CAST(doc_id % 3 AS VARCHAR)
+              || '.example.net/a.png',
+              CAST(doc_id % 3 AS INT)) AS text
+  FROM documents),
+h AS (SELECT doc_id,
+        lower(unnest(regexp_extract_all(text, 'https?://([^/\s:]+)', 1)))
+          AS domain
+      FROM enr),
+pd AS (SELECT doc_id, domain, count(*) AS c FROM h GROUP BY 1, 2)
+SELECT domain, sum(c) AS url_cnt, count(*) AS doc_cnt
+FROM pd GROUP BY domain ORDER BY domain"""
 
     # full Gopher repetition table: n-gram families 2..10 per doc; a doc
     # shorter than n tokens contributes no n-family (NULL columns)

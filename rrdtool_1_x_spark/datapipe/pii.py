@@ -56,3 +56,31 @@ def redact_pii(
     for _name, pat, repl in PII_PATTERNS:
         text = F.regexp_replace(text, pat, repl)
     return df.withColumn(out_col, text)
+
+
+def domain_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus domain inventory from in-text URLs — the C4-style
+    blocklist-analysis step (Raffel et al. 2020 filter by domain
+    blocklists; this emits the measurements a blocklist decision needs):
+    the host of every http(s) URL, aggregated to
+    ``(domain, url_cnt, doc_cnt)``.
+
+    The host pattern is RE2-safe like PII_PATTERNS, so the oracle runs
+    the identical string. Shape at scale: per-row extraction inside the
+    scan, one explode, two map-side-combinable aggregations keyed by
+    (doc, domain) then domain — corpus-linear; popular domains are
+    aggregate keys (counts), never join keys, so skew is benign.
+    """
+    hosts = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"https?://([^/\s:]+)"), 1
+    )
+    ex = df.select(F.col(id_col), F.explode(hosts).alias("_h")).select(
+        F.col(id_col), F.lower(F.col("_h")).alias("domain")
+    )
+    per_doc = ex.groupBy(id_col, "domain").agg(F.count(F.lit(1)).alias("_c"))
+    return per_doc.groupBy("domain").agg(
+        F.sum("_c").alias("url_cnt"),
+        F.count(F.lit(1)).alias("doc_cnt"),
+    )
