@@ -908,6 +908,102 @@ def q_dedup_best(spark, sf_dir):
     return out.orderBy("doc_id")
 
 
+def _lines_enriched(doc_id, text, punct: bool):
+    """Deterministic line structure for the line-level cleaning gates: the
+    synthetic corpus is single-line, so tokens are regrouped into 6-word
+    lines (the oracle builds identical strings). With ``punct`` the lines
+    get C4-style terminal punctuation on a (doc_id + line) schedule, plus
+    javascript / lorem-ipsum / brace marker lines on doc_id residues so
+    every C4 rule fires on a known subset."""
+    toks = F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
+    nlines = F.ceil(F.size(toks) / F.lit(6)).cast("int")
+    if punct:
+        def mk(i):
+            tail = (
+                F.when((doc_id + i) % 7 == 0, F.lit(""))
+                .when((doc_id + i) % 5 == 0, F.lit("!"))
+                .otherwise(F.lit("."))
+            )
+            return F.concat(F.array_join(F.slice(toks, i * 6 + 1, 6), " "), tail)
+    else:
+        def mk(i):
+            return F.array_join(F.slice(toks, i * 6 + 1, 6), " ")
+    return toks, F.transform(F.sequence(F.lit(0), nlines - 1), mk)
+
+
+def q_c4_clean(spark, sf_dir):
+    """C4 cleaning heuristics (datapipe.clean.c4_line_filter; Raffel et
+    al. 2020 §2.2): line keep-rules (terminal punctuation, >=5 words, no
+    javascript) and page drop-rules (<3 surviving lines, lorem ipsum,
+    curly brace) over the deterministically line-structured corpus."""
+    from rrdtool_1_x_spark.datapipe.clean import c4_line_filter
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    _, lines = _lines_enriched(did, F.col("text"), punct=True)
+    lines = (
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.array(F.lit("please enable javascript to view this page.")),
+                lines,
+            ),
+        ).otherwise(lines)
+    )
+    lines = (
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                lines, F.array(F.lit("lorem ipsum dolor sit amet consectetur."))
+            ),
+        ).otherwise(lines)
+    )
+    lines = (
+        F.when(
+            did % 17 == 0,
+            F.concat(
+                lines, F.array(F.lit("if (x) { return y; } end of sample."))
+            ),
+        ).otherwise(lines)
+    )
+    enriched = d.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    return c4_line_filter(enriched).orderBy("doc_id")
+
+
+def q_line_dedup(spark, sf_dir):
+    """Corpus-wide line dedup (datapipe.clean.line_dedup; Wenzek et al.
+    2020 §3): first corpus occurrence of every line survives. Boilerplate
+    lines are injected on doc_id residues (newsletter banner on %3,
+    copyright footer on %5) so the cross-document removal path is
+    exercised, not just intra-document repeats."""
+    from rrdtool_1_x_spark.datapipe.clean import line_dedup
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    _, lines = _lines_enriched(did, F.col("text"), punct=False)
+    banner = F.lit("subscribe to our newsletter for daily updates")
+    footer = F.lit("all rights reserved copyright two thousand")
+    lines = (
+        F.when(did % 3 == 0, F.concat(F.array(banner), lines)).otherwise(lines)
+    )
+    lines = (
+        F.when(did % 5 == 0, F.concat(lines, F.array(footer))).otherwise(lines)
+    )
+    enriched = d.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    return line_dedup(enriched).orderBy("doc_id")
+
+
+def q_dsir_weight(spark, sf_dir):
+    """DSIR importance log-weights (datapipe.sampling.dsir_logweights; Xie
+    et al. 2023): hashed-unigram bucket distributions for the target
+    (lang = 'en') vs the raw corpus, per-document sum of quantized bucket
+    log-ratios."""
+    from rrdtool_1_x_spark.datapipe.sampling import dsir_logweights
+
+    d = _docs(spark, sf_dir)
+    return dsir_logweights(d, F.col("lang") == F.lit("en")).orderBy("doc_id")
+
+
 def q_dup_groups(spark, sf_dir):
     """Near-dup connected components via distributed label propagation
     (datapipe.dedup.duplicate_groups): (doc_id, group_id = min id in
@@ -1797,6 +1893,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # block at the top, never appended at the end.
     qs = {
         # -- priority: no driver row yet (added after the r5 sweep) ----
+        "c4_clean": q_c4_clean,
+        "line_dedup": q_line_dedup,
+        "dsir_weight": q_dsir_weight,
         "pii_scrub": q_pii_scrub,
         "semantic_dedup": q_semantic_dedup,
         "bpe_tokens": q_bpe_tokens,
@@ -3297,6 +3396,110 @@ h AS (SELECT doc_id,
 pd AS (SELECT doc_id, domain, count(*) AS c FROM h GROUP BY 1, 2)
 SELECT domain, sum(c) AS url_cnt, count(*) AS doc_cnt
 FROM pd GROUP BY domain ORDER BY domain"""
+
+    # shared 6-word line regrouping for the line-level cleaning gates —
+    # identical strings to __spark_entry__._lines_enriched
+    def _line_ctes(punct: bool) -> str:
+        if punct:
+            body = (
+                "array_to_string(toks[i*6+1 : i*6+6], ' ') || "
+                "CASE WHEN (doc_id + i) % 7 = 0 THEN '' "
+                "WHEN (doc_id + i) % 5 = 0 THEN '!' ELSE '.' END"
+            )
+        else:
+            body = "array_to_string(toks[i*6+1 : i*6+6], ' ')"
+        return f"""
+t AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                    x -> x <> '') AS toks
+      FROM documents),
+base AS (SELECT doc_id,
+           list_transform(range(0, CAST(ceil(len(toks) / 6.0) AS BIGINT)),
+                          i -> {body}) AS ls
+         FROM t)"""
+
+    # C4 heuristics over the punctuated line structure + marker injections
+    sql["c4_clean"] = f"""
+WITH {_line_ctes(True)},
+e AS (SELECT doc_id,
+        (CASE WHEN doc_id % 11 = 0
+              THEN ['please enable javascript to view this page.']
+              ELSE [] END)
+        || ls
+        || (CASE WHEN doc_id % 13 = 0
+                 THEN ['lorem ipsum dolor sit amet consectetur.']
+                 ELSE [] END)
+        || (CASE WHEN doc_id % 17 = 0
+                 THEN ['if (x) {{ return y; }} end of sample.']
+                 ELSE [] END) AS ls
+      FROM base),
+k AS (SELECT doc_id, len(ls) AS n_lines,
+        list_filter(ls, l ->
+            substr(l, length(l), 1) IN ('.', '!', '?', '"')
+            AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5
+            AND NOT contains(lower(l), 'javascript')) AS kept,
+        array_to_string(ls, chr(10)) AS full_text
+      FROM e),
+p AS (SELECT doc_id, n_lines, len(kept) AS kept_lines,
+        (len(kept) >= 3
+         AND NOT contains(lower(full_text), 'lorem ipsum')
+         AND NOT contains(full_text, '{{')) AS page_kept,
+        kept
+      FROM k)
+SELECT doc_id, n_lines, kept_lines, page_kept,
+       CASE WHEN page_kept THEN array_to_string(kept, chr(10)) END
+         AS clean_text
+FROM p ORDER BY doc_id"""
+
+    # corpus-wide first-occurrence line dedup over the boilerplate-
+    # injected line structure
+    sql["line_dedup"] = f"""
+WITH {_line_ctes(False)},
+e AS (SELECT doc_id,
+        (CASE WHEN doc_id % 3 = 0
+              THEN ['subscribe to our newsletter for daily updates']
+              ELSE [] END)
+        || ls
+        || (CASE WHEN doc_id % 5 = 0
+                 THEN ['all rights reserved copyright two thousand']
+                 ELSE [] END) AS ls
+      FROM base),
+x AS (SELECT doc_id, unnest(ls) AS line,
+             unnest(range(1, len(ls) + 1)) AS p
+      FROM e),
+f AS (SELECT doc_id, line, p,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, p) = 1
+               AS keep
+      FROM x)
+SELECT doc_id, count(*) AS n_lines,
+       count(*) FILTER (WHERE NOT keep) AS removed_lines,
+       coalesce(string_agg(line, chr(10) ORDER BY p)
+                  FILTER (WHERE keep), '') AS clean_text
+FROM f GROUP BY doc_id ORDER BY doc_id"""
+
+    # DSIR hashed-unigram importance weights: target = lang 'en', raw =
+    # whole corpus; add-one smoothed bucket distributions, 1e-6-quantized
+    # per-bucket log-ratios (same convention as the LM score gates)
+    sql["dsir_weight"] = f"""
+WITH e AS (SELECT doc_id, lang = 'en' AS t,
+             unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                      '\\s+'),
+                                x -> x <> '')) AS tok
+           FROM documents),
+hh AS (SELECT doc_id, t, md5('ds:' || tok) AS h FROM e),
+bb AS (SELECT doc_id, t, CAST(({_hex8int}) % 64 AS BIGINT) AS b FROM hh),
+dc AS (SELECT doc_id, b, count(*) AS c, bool_or(t) AS t
+       FROM bb GROUP BY 1, 2),
+bd AS (SELECT b, sum(CASE WHEN t THEN c ELSE 0 END) AS tc, sum(c) AS rc
+       FROM dc GROUP BY 1),
+tt AS (SELECT sum(tc) AS tt, sum(rc) AS rt FROM bd),
+lr AS (SELECT b, CAST(round(ln((tc + 1)::DOUBLE / (tt + 64)
+                             * (rt + 64) / (rc + 1)::DOUBLE) * 1e6)
+                      AS BIGINT) AS q
+       FROM bd CROSS JOIN tt)
+SELECT doc_id, sum(c) AS tok_cnt,
+       round(sum(c * q) / 1e6, 6) AS dsir_logweight
+FROM dc JOIN lr USING (b) GROUP BY doc_id ORDER BY doc_id"""
 
     # full Gopher repetition table: n-gram families 2..10 per doc; a doc
     # shorter than n tokens contributes no n-family (NULL columns)

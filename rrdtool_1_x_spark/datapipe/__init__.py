@@ -11,6 +11,10 @@ from rrdtool_1_x_spark.datapipe.bpe import (  # noqa: F401
     merges_frame,
     train_bpe,
 )
+from rrdtool_1_x_spark.datapipe.clean import (  # noqa: F401
+    c4_line_filter,
+    line_dedup,
+)
 from rrdtool_1_x_spark.datapipe.dedup import (  # noqa: F401
     duplicated_ngram_spans,
     exact_dedup,

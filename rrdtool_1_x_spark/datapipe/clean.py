@@ -1,0 +1,135 @@
+"""Corpus cleaning operators: C4 line/page heuristics and CCNet-style
+corpus-wide line deduplication.
+
+Two of the most-reproduced web-corpus cleaning stages, as published:
+
+* ``c4_line_filter`` — the C4 heuristics (Raffel et al. 2020, "Exploring
+  the Limits of Transfer Learning with a Unified Text-to-Text
+  Transformer", §2.2): keep only lines that end in terminal punctuation,
+  contain at least five words, and don't mention javascript; drop whole
+  pages with fewer than three surviving lines, a "lorem ipsum" marker, or
+  a curly brace (code leak-through).
+* ``line_dedup`` — CCNet-style line-level deduplication (Wenzek et al.
+  2020, "CCNet: Extracting High Quality Monolingual Datasets from Web
+  Crawl Data", §3): every line is hashed corpus-wide and only its first
+  occurrence survives, which strips boilerplate (nav bars, cookie
+  banners, copyright footers) that per-document dedup can't see.
+
+Scale shapes:
+
+* ``c4_line_filter`` is map-only — all rules are per-document array
+  expressions inside whole-stage codegen; no shuffle, no state.
+* ``line_dedup`` is the one operator here that must see the corpus: one
+  explode → a single shuffle partitioned by the line hash (first-
+  occurrence rank is per-key, so skew is bounded by the most-duplicated
+  boilerplate line; the hash key spreads uniformly otherwise) → one
+  doc-keyed aggregation to reassemble. No corpus-wide window, no
+  driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# C4's terminal-punctuation set: a line must end in one of these to be a
+# "sentence" (the paper's heuristic for prose vs. menu/boilerplate lines)
+TERMINAL_PUNCT = (".", "!", "?", '"')
+
+MIN_WORDS_PER_LINE = 5
+MIN_LINES_PER_PAGE = 3
+
+
+def _line_kept(line: Column) -> Column:
+    """C4 line-level keep rule: terminal punctuation, >= 5 words, and no
+    javascript mention (case already normalized by the caller's split)."""
+    last = F.substring(line, -1, 1)
+    words = F.size(F.filter(F.split(line, " "), lambda w: w != ""))
+    return (
+        last.isin(*TERMINAL_PUNCT)
+        & (words >= MIN_WORDS_PER_LINE)
+        & ~F.lower(line).contains("javascript")
+    )
+
+
+def c4_line_filter(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Apply the C4 cleaning heuristics to newline-delimited documents.
+
+    Returns one row per input document with:
+
+    * ``n_lines`` — lines in the raw page,
+    * ``kept_lines`` — lines surviving the line rules,
+    * ``page_kept`` — false when the page as a whole is discarded
+      (< 3 surviving lines, contains "lorem ipsum", or contains ``{``),
+    * ``clean_text`` — surviving lines rejoined with ``\\n``; NULL when
+      the page is dropped.
+
+    Map-only: every rule is a per-row array expression (split → filter →
+    array_join), so the operator runs inside whole-stage codegen with no
+    shuffle — at 100 TB it is a pure scan-side projection that weak-scales
+    with executors.
+    """
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    kept = F.filter(lines, _line_kept)
+    page_kept = (
+        (F.size(kept) >= MIN_LINES_PER_PAGE)
+        & ~F.lower(text).contains("lorem ipsum")
+        & ~text.contains("{")
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("kept_lines"),
+        page_kept.alias("page_kept"),
+        F.when(page_kept, F.array_join(kept, "\n")).alias("clean_text"),
+    )
+
+
+def line_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide line deduplication: only the first occurrence of every
+    line survives, ordered by (id, position) — CCNet's boilerplate
+    remover re-expressed as one hash-partitioned shuffle.
+
+    Returns one row per input document with ``n_lines``,
+    ``removed_lines``, and ``clean_text`` (surviving lines rejoined in
+    original order; empty string when every line was a later duplicate).
+
+    Shape at scale: posexplode → rank within each line-hash partition
+    (``Window.partitionBy(hash)`` — per-key state only, no global
+    ordering) → doc-keyed reassembly with map-side-combinable aggregates.
+    The shuffle key is md5 of the line, so data spreads uniformly; the
+    only hot keys are genuinely viral boilerplate lines, and those carry
+    one surviving row each.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    ex = df.select(
+        F.col(id_col), F.posexplode(lines).alias("_pos", "_line")
+    ).withColumn("_h", F.md5(F.col("_line").cast("binary")))
+    w = Window.partitionBy("_h").orderBy(F.col(id_col), F.col("_pos"))
+    flagged = ex.withColumn("_keep", F.row_number().over(w) == 1)
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum((~F.col("_keep")).cast("long")).alias("removed_lines"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct(F.col("_pos"), F.col("_line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+    )

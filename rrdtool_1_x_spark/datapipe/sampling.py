@@ -267,3 +267,81 @@ def pack_sequences(
     if shard_col:
         out = out.withColumnRenamed("_shard", shard_col)
     return out
+
+
+def dsir_logweights(
+    df: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 64,
+    seed: str = "ds",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document
+    by how much it looks like the ``target`` subset under a hashed
+    bag-of-words model.
+
+    Tokens hash into ``buckets`` md5 buckets (the paper's hashed n-gram
+    features); the target and raw corpora each get an add-one-smoothed
+    bucket distribution; a document's weight is the sum over its tokens of
+    ``ln(p_target(bucket) / p_raw(bucket))``. Sampling proportionally to
+    ``exp(weight)`` is the paper's importance resampling step — here the
+    output is the per-document log weight itself, ready for hash_sample /
+    token_budget_sample downstream.
+
+    Returns ``(id, tok_cnt, dsir_logweight)``. The per-bucket log-ratio is
+    quantized to 1e-6 before the per-doc sum (same cross-engine
+    determinism convention as the unigram/bigram LM scores).
+
+    Shape at scale: one token explode feeding a (doc, bucket) count with
+    map-side combine; the two bucket distributions are ``buckets``-row
+    aggregates joined back by broadcast — no corpus-sized join, no window,
+    no driver loop. The target predicate is evaluated in-scan, so one pass
+    over the corpus serves both distributions.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col("_tok")).cast("binary"))
+    bucket = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % buckets
+    ).alias("_b")
+    ex = df.select(
+        F.col(id_col), target.alias("_t"), F.explode(toks).alias("_tok")
+    ).select(F.col(id_col), "_t", bucket)
+    doc_counts = ex.groupBy(id_col, "_b").agg(
+        F.count("*").alias("_c"), F.first("_t").alias("_t")
+    )
+    # bucket distributions: a buckets-row aggregate + a 1-row total,
+    # both broadcast. Add-one smoothing; buckets with zero raw count never
+    # appear in doc_counts so they need no log-ratio row at all.
+    bdist = doc_counts.groupBy("_b").agg(
+        F.sum(F.when(F.col("_t"), F.col("_c")).otherwise(0)).alias("_tc"),
+        F.sum("_c").alias("_rc"),
+    )
+    totals = bdist.agg(
+        F.sum("_tc").alias("_tt"), F.sum("_rc").alias("_rt")
+    )
+    dist = bdist.crossJoin(F.broadcast(totals)).select(
+        "_b",
+        F.round(
+            F.log(
+                (F.col("_tc") + 1).cast("double")
+                / (F.col("_tt") + buckets)
+                * (F.col("_rt") + buckets)
+                / (F.col("_rc") + 1).cast("double")
+            )
+            * 1e6
+        ).cast("long").alias("_lr_q"),
+    )
+    return (
+        doc_counts.join(F.broadcast(dist), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("tok_cnt"),
+            F.round(
+                F.sum(F.col("_c") * F.col("_lr_q")) / 1e6, 6
+            ).alias("dsir_logweight"),
+        )
+    )
