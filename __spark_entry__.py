@@ -1004,6 +1004,27 @@ def q_dsir_weight(spark, sf_dir):
     return dsir_logweights(d, F.col("lang") == F.lit("en")).orderBy("doc_id")
 
 
+def q_ppl_bucket(spark, sf_dir):
+    """CCNet head/middle/tail quality buckets (datapipe.textstats.
+    perplexity_buckets; Wenzek et al. 2020 §4.3): tercile cutoffs of the
+    self-trained interpolated bigram LM score, broadcast as two scalars —
+    no global sort."""
+    from rrdtool_1_x_spark.datapipe.textstats import perplexity_buckets
+
+    return perplexity_buckets(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (datapipe.textstats.
+    tfidf_top_terms): integer-quantized smoothed idf so the ranking key is
+    exact; ties broken by term string."""
+    from rrdtool_1_x_spark.datapipe.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3).orderBy(
+        "doc_id", "rank"
+    )
+
+
 def q_dup_groups(spark, sf_dir):
     """Near-dup connected components via distributed label propagation
     (datapipe.dedup.duplicate_groups): (doc_id, group_id = min id in
@@ -1896,6 +1917,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "line_dedup": q_line_dedup,
         "dsir_weight": q_dsir_weight,
+        "ppl_bucket": q_ppl_bucket,
+        "tfidf_topk": q_tfidf_topk,
         "pii_scrub": q_pii_scrub,
         "semantic_dedup": q_semantic_dedup,
         "bpe_tokens": q_bpe_tokens,
@@ -3355,26 +3378,67 @@ FROM e ORDER BY doc_id"""
     # interpolated bigram LM: parallel unnest of the two shifted slices
     # zips adjacent pairs; 0.75/0.25 are exact binary so the mixed term
     # is the same double in both engines; quantization as in unigram
-    sql["bigram_logprob"] = r"""
-WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+')
-             AS toks FROM documents),
+    # shared interpolated-bigram score chain (bigram_logprob + the CCNet
+    # bucket gate consume the same `bsc` frame)
+    _bg_ctes = r"""
+t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+')
+        AS toks FROM documents),
 bg AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
               unnest(toks[2:len(toks)]) AS w2 FROM t),
 db AS (SELECT doc_id, w1, w2, count(*) AS m FROM bg GROUP BY 1, 2, 3),
 bc AS (SELECT w1, w2, sum(m) AS cb FROM db GROUP BY 1, 2),
 u AS (SELECT unnest(toks) AS tok FROM t),
 uc AS (SELECT tok, count(*) AS cu FROM u GROUP BY 1),
-nt AS (SELECT count(*) AS n_total FROM u)
-SELECT doc_id,
-  round(sum(m * CAST(round(ln(0.75 * (cb / u1.cu)
-                            + 0.25 * (u2.cu / n_total)) * 1e6) AS BIGINT))
-        / sum(m) / 1e6, 6) AS bigram_logprob,
-  sum(m) AS bigram_cnt
-FROM db JOIN bc USING (w1, w2)
-        JOIN uc u1 ON u1.tok = db.w1
-        JOIN uc u2 ON u2.tok = db.w2
-        CROSS JOIN nt
-GROUP BY doc_id ORDER BY doc_id"""
+nt AS (SELECT count(*) AS n_total FROM u),
+bsc AS (SELECT doc_id,
+          round(sum(m * CAST(round(ln(0.75 * (cb / u1.cu)
+                                    + 0.25 * (u2.cu / n_total)) * 1e6)
+                             AS BIGINT))
+                / sum(m) / 1e6, 6) AS score,
+          sum(m) AS bigram_cnt
+        FROM db JOIN bc USING (w1, w2)
+                JOIN uc u1 ON u1.tok = db.w1
+                JOIN uc u2 ON u2.tok = db.w2
+                CROSS JOIN nt
+        GROUP BY doc_id)"""
+    sql["bigram_logprob"] = f"""
+WITH {_bg_ctes}
+SELECT doc_id, score AS bigram_logprob, bigram_cnt
+FROM bsc ORDER BY doc_id"""
+
+    # CCNet head/middle/tail terciles over the same score frame: two
+    # interpolated-percentile scalars, broadcast compare
+    sql["ppl_bucket"] = f"""
+WITH {_bg_ctes},
+cuts AS (SELECT quantile_cont(score, 1.0/3.0) AS c1,
+                quantile_cont(score, 2.0/3.0) AS c2 FROM bsc)
+SELECT doc_id, score,
+  CASE WHEN score >= c2 THEN 'head'
+       WHEN score >= c1 THEN 'middle'
+       ELSE 'tail' END AS ppl_bucket
+FROM bsc CROSS JOIN cuts ORDER BY doc_id"""
+
+    # per-doc top-3 tf-idf terms; integer-quantized idf so the ranking
+    # key is exact, ties by term string
+    sql["tfidf_topk"] = r"""
+WITH t AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS toks
+           FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM e GROUP BY 1, 2),
+dfc AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+nd AS (SELECT count(*) AS n FROM documents),
+sc AS (SELECT doc_id, term, tf,
+         tf * CAST(round(ln((n + 1)::DOUBLE / (dfc + 1)) * 1e6) AS BIGINT)
+           AS s
+       FROM tf JOIN dfc USING (term) CROSS JOIN nd),
+rk AS (SELECT doc_id, term, tf, s,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY s DESC, term ASC) AS rank
+       FROM sc)
+SELECT doc_id, rank, term, tf, round(s / 1e6, 6) AS tfidf
+FROM rk WHERE rank <= 3 ORDER BY doc_id, rank"""
 
     # domain inventory over the deterministically URL-enriched corpus —
     # identical injected strings, identical RE2-safe host pattern

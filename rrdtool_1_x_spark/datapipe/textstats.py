@@ -426,3 +426,104 @@ def gopher_repetition(
     return per_n.groupBy(id_col).agg(
         *[v.alias(k) for k, v in cols.items()]
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str | None = None,
+) -> DataFrame:
+    """CCNet head/middle/tail quality bucketing (Wenzek et al. 2020 §4.3):
+    documents are split into terciles of language-model score — CCNet
+    trains a 5-gram LM on Wikipedia; here the default scorer is the
+    self-trained interpolated bigram LM (``bigram_logprob``), and any
+    precomputed score column can be passed instead (``score_col``).
+
+    ``head`` = most corpus-predictable third (lowest perplexity =
+    highest mean log-prob), ``tail`` = least. Returns
+    ``(id, score, ppl_bucket)``.
+
+    Shape at scale: the two tercile cutoffs are ONE exact-percentile
+    aggregate (two scalars, map-side combinable sketch-free percentile is
+    a full sort-based agg in Spark — still a single reduce to 1 row),
+    broadcast back across the corpus as literals; no global sort, no
+    window, no per-row shuffle beyond the scorer's own.
+    """
+    if score_col is None:
+        scored = bigram_logprob(df, id_col=id_col, text_col=text_col).select(
+            F.col(id_col),
+            F.round("bigram_logprob", 6).alias("score"),
+        )
+    else:
+        scored = df.select(F.col(id_col), F.col(score_col).alias("score"))
+    cuts = scored.agg(
+        F.percentile(F.col("score"), F.lit(1.0 / 3.0)).alias("_c1"),
+        F.percentile(F.col("score"), F.lit(2.0 / 3.0)).alias("_c2"),
+    )
+    bucket = (
+        F.when(F.col("score") >= F.col("_c2"), F.lit("head"))
+        .when(F.col("score") >= F.col("_c1"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        F.col(id_col), "score", bucket.alias("ppl_bucket")
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms — the standard keyword /
+    topic-signal extraction over a corpus (Salton & Buckley 1988 tf-idf
+    weighting, smoothed idf = ln((N + 1) / (df + 1))).
+
+    The idf is integer-quantized (1e-6) before the tf multiply, so scores
+    are exact integers: ranking is bit-deterministic across engines and
+    partitionings, with ties broken by term string. Returns
+    ``(id, rank, term, tf, tfidf)``.
+
+    Shape at scale: one token explode → (doc, term) counts (map-side
+    combine) → a term-keyed join against the vocabulary-sized df-count
+    frame (AQE broadcasts it when small; genuinely large vocabularies
+    shuffle on the term — the only corpus-sized exchange) → a per-doc
+    window for the top-k (per-key state only).
+    """
+    toks = F.filter(_tokens(F.col(text_col)), lambda t: t != "")
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
+    idf_q = F.round(
+        F.log((F.col("_n") + 1).cast("double") / (F.col("_df") + 1)) * 1e6
+    ).cast("long")
+    scored = (
+        tf.join(dfc, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            (F.col("tf") * idf_q).alias("_s"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_s").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            "rank",
+            "term",
+            "tf",
+            F.round(F.col("_s") / 1e6, 6).alias("tfidf"),
+        )
+    )

@@ -147,3 +147,77 @@ def test_dsir_target_docs_score_higher(spark):
     }
     assert all(got[i] > 0 for i in range(5))
     assert all(got[i + 10] < 0 for i in range(5))
+
+
+# ----------------------------------------------------- CCNet buckets
+
+def test_perplexity_buckets_terciles(spark):
+    # 9 docs with precomputed scores 1..9 -> three per bucket
+    rows = [(i, float(i)) for i in range(1, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, s double")
+    from rrdtool_1_x_spark.datapipe.textstats import perplexity_buckets
+
+    got = {
+        r.doc_id: r.ppl_bucket
+        for r in perplexity_buckets(df, score_col="s").collect()
+    }
+    # cuts: quantile(1/3)=3.666.., quantile(2/3)=6.333..
+    assert [got[i] for i in range(1, 10)] == (
+        ["tail"] * 3 + ["middle"] * 3 + ["head"] * 3
+    )
+
+
+def test_perplexity_buckets_higher_score_is_head(spark):
+    # repeated natural text = predictable transitions -> head; the SAME
+    # common words in shuffled order = unseen transitions out of
+    # high-count contexts -> tail. (A doc of corpus-unique words would
+    # NOT work here: under a self-trained LM its hapax bigrams are
+    # perfectly self-predicting, c12/c1 = 1/1.)
+    common = "the cat sat on the mat and the dog sat on the rug"
+    rows = [(i, common) for i in range(6)] + [
+        (10, "rug the mat dog cat on sat and the on mat cat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from rrdtool_1_x_spark.datapipe.textstats import perplexity_buckets
+
+    got = {r.doc_id: r for r in perplexity_buckets(df).collect()}
+    assert got[0].ppl_bucket == "head"
+    assert got[10].ppl_bucket == "tail"
+    assert got[10].score < got[0].score
+
+
+# ------------------------------------------------------------ tf-idf
+
+def test_tfidf_topk_ranking_and_ties(spark):
+    rows = [
+        (1, "apple apple apple common"),
+        (2, "banana banana common common"),
+        (3, "common common common cherry"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from rrdtool_1_x_spark.datapipe.textstats import tfidf_top_terms
+
+    out = tfidf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.term))
+    # rare term with high tf dominates; 'common' (df=3 of 3, idf=0) never
+    # outranks a rare term
+    assert by_doc[1][0] == (1, "apple")
+    assert by_doc[2][0] == (1, "banana")
+    assert by_doc[3][0] == (1, "cherry")
+    # ranks are dense 1..k and scores are exact integers / 1e6
+    assert all(sorted(v)[0][0] == 1 for v in by_doc.values())
+
+
+def test_tfidf_deterministic_tie_break(spark):
+    # two terms with identical tf and df -> tie broken by term string
+    rows = [(1, "zeta alpha"), (2, "zeta alpha")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from rrdtool_1_x_spark.datapipe.textstats import tfidf_top_terms
+
+    out = tfidf_top_terms(df, k=2).collect()
+    for doc in (1, 2):
+        terms = [r.term for r in sorted(out, key=lambda r: r.rank)
+                 if r.doc_id == doc]
+        assert terms == ["alpha", "zeta"]
