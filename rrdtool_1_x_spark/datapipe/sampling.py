@@ -276,6 +276,7 @@ def dsir_logweights(
     text_col: str = "text",
     buckets: int = 64,
     seed: str = "ds",
+    cache_counts: bool = True,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every raw document
@@ -297,8 +298,11 @@ def dsir_logweights(
     Shape at scale: one token explode feeding a (doc, bucket) count with
     map-side combine; the two bucket distributions are ``buckets``-row
     aggregates joined back by broadcast — no corpus-sized join, no window,
-    no driver loop. The target predicate is evaluated in-scan, so one pass
-    over the corpus serves both distributions.
+    no driver loop. The (doc, bucket) count frame feeds BOTH the
+    distribution aggregate and the final weighted sum, and Spark does not
+    reuse the exchange across the broadcast boundary — ``cache_counts``
+    persists it (<= ``buckets`` rows/doc of integers, far smaller than
+    the corpus) so the token explode runs exactly once.
     """
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
@@ -313,6 +317,10 @@ def dsir_logweights(
     doc_counts = ex.groupBy(id_col, "_b").agg(
         F.count("*").alias("_c"), F.first("_t").alias("_t")
     )
+    if cache_counts:
+        from pyspark import StorageLevel
+
+        doc_counts = doc_counts.persist(StorageLevel.MEMORY_AND_DISK)
     # bucket distributions: a buckets-row aggregate + a 1-row total,
     # both broadcast. Add-one smoothing; buckets with zero raw count never
     # appear in doc_counts so they need no log-ratio row at all.

@@ -433,6 +433,7 @@ def perplexity_buckets(
     id_col: str = "doc_id",
     text_col: str = "text",
     score_col: str | None = None,
+    cache_scores: bool = True,
 ) -> DataFrame:
     """CCNet head/middle/tail quality bucketing (Wenzek et al. 2020 §4.3):
     documents are split into terciles of language-model score — CCNet
@@ -448,13 +449,23 @@ def perplexity_buckets(
     aggregate (two scalars, map-side combinable sketch-free percentile is
     a full sort-based agg in Spark — still a single reduce to 1 row),
     broadcast back across the corpus as literals; no global sort, no
-    window, no per-row shuffle beyond the scorer's own.
+    window, no per-row shuffle beyond the scorer's own. The scored frame
+    feeds BOTH the cutoff aggregate and the final compare, and Spark does
+    not reuse the exchange across a broadcast boundary — without caching
+    the bigram scorer would run twice (two full corpus reads).
+    ``cache_scores`` persists the doc-sized (id, score) frame instead:
+    ~16 bytes/doc, orders of magnitude smaller than the corpus it came
+    from, so the corpus is scanned exactly once.
     """
     if score_col is None:
         scored = bigram_logprob(df, id_col=id_col, text_col=text_col).select(
             F.col(id_col),
             F.round("bigram_logprob", 6).alias("score"),
         )
+        if cache_scores:
+            from pyspark import StorageLevel
+
+            scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
     else:
         scored = df.select(F.col(id_col), F.col(score_col).alias("score"))
     cuts = scored.agg(
