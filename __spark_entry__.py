@@ -970,14 +970,10 @@ def q_c4_clean(spark, sf_dir):
     return c4_line_filter(enriched).orderBy("doc_id")
 
 
-def q_line_dedup(spark, sf_dir):
-    """Corpus-wide line dedup (datapipe.clean.line_dedup; Wenzek et al.
-    2020 §3): first corpus occurrence of every line survives. Boilerplate
-    lines are injected on doc_id residues (newsletter banner on %3,
-    copyright footer on %5) so the cross-document removal path is
-    exercised, not just intra-document repeats."""
-    from rrdtool_1_x_spark.datapipe.clean import line_dedup
-
+def _line_dedup_input(spark, sf_dir):
+    """Boilerplate-injected line-structured corpus shared by the
+    line_dedup and line_index_topup gates (newsletter banner on doc_id%3,
+    copyright footer on %5 — exercises cross-document removal)."""
     d = _docs(spark, sf_dir)
     did = F.col("doc_id")
     _, lines = _lines_enriched(did, F.col("text"), punct=False)
@@ -989,8 +985,43 @@ def q_line_dedup(spark, sf_dir):
     lines = (
         F.when(did % 5 == 0, F.concat(lines, F.array(footer))).otherwise(lines)
     )
-    enriched = d.select("doc_id", F.array_join(lines, "\n").alias("text"))
-    return line_dedup(enriched).orderBy("doc_id")
+    return d.select("doc_id", F.array_join(lines, "\n").alias("text"))
+
+
+def q_line_dedup(spark, sf_dir):
+    """Corpus-wide line dedup (datapipe.clean.line_dedup; Wenzek et al.
+    2020 §3): first corpus occurrence of every line survives. Boilerplate
+    lines are injected on doc_id residues (newsletter banner on %3,
+    copyright footer on %5) so the cross-document removal path is
+    exercised, not just intra-document repeats."""
+    from rrdtool_1_x_spark.datapipe.clean import line_dedup
+
+    return line_dedup(_line_dedup_input(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_line_index_topup(spark, sf_dir):
+    """Incremental line-dedup index (datapipe.clean.write_line_index /
+    append_line_dedup): index the low-id half, append the high-id half;
+    the first half's cleaned rows ∪ the append's cleaned rows must equal
+    the one-shot corpus line_dedup — the oracle is line_dedup's SQL
+    verbatim (id-ordered appends make the composition exact)."""
+    import tempfile
+
+    from rrdtool_1_x_spark.datapipe.clean import (
+        append_line_dedup,
+        line_dedup,
+        write_line_index,
+    )
+
+    enriched = _line_dedup_input(spark, sf_dir)
+    cut = int(enriched.agg(F.max("doc_id")).first()[0]) // 2
+    first = enriched.filter(F.col("doc_id") <= cut)
+    second = enriched.filter(F.col("doc_id") > cut)
+    path = tempfile.mkdtemp(prefix="lineidx_")
+    write_line_index(first, path)
+    initial = line_dedup(first)
+    appended = append_line_dedup(second, path)
+    return initial.unionByName(appended).orderBy("doc_id")
 
 
 def q_dsir_weight(spark, sf_dir):
@@ -1919,6 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weight": q_dsir_weight,
         "ppl_bucket": q_ppl_bucket,
         "tfidf_topk": q_tfidf_topk,
+        "line_index_topup": q_line_index_topup,
         "pii_scrub": q_pii_scrub,
         "semantic_dedup": q_semantic_dedup,
         "bpe_tokens": q_bpe_tokens,
@@ -3540,6 +3572,9 @@ SELECT doc_id, count(*) AS n_lines,
        coalesce(string_agg(line, chr(10) ORDER BY p)
                   FILTER (WHERE keep), '') AS clean_text
 FROM f GROUP BY doc_id ORDER BY doc_id"""
+
+    # split-index-append composition returns exactly the one-shot result
+    sql["line_index_topup"] = sql["line_dedup"]
 
     # DSIR hashed-unigram importance weights: target = lang 'en', raw =
     # whole corpus; add-one smoothed bucket distributions, 1e-6-quantized

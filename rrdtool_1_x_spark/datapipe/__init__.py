@@ -12,8 +12,10 @@ from rrdtool_1_x_spark.datapipe.bpe import (  # noqa: F401
     train_bpe,
 )
 from rrdtool_1_x_spark.datapipe.clean import (  # noqa: F401
+    append_line_dedup,
     c4_line_filter,
     line_dedup,
+    write_line_index,
 )
 from rrdtool_1_x_spark.datapipe.dedup import (  # noqa: F401
     duplicated_ngram_spans,

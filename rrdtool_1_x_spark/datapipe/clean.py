@@ -106,12 +106,132 @@ def line_dedup(
     only hot keys are genuinely viral boilerplate lines, and those carry
     one surviving row each.
     """
-    lines = F.split(F.col(text_col), "\n")
-    ex = df.select(
-        F.col(id_col), F.posexplode(lines).alias("_pos", "_line")
-    ).withColumn("_h", F.md5(F.col("_line").cast("binary")))
+    ex = _line_occurrences(df, id_col, text_col)
     w = Window.partitionBy("_h").orderBy(F.col(id_col), F.col("_pos"))
     flagged = ex.withColumn("_keep", F.row_number().over(w) == 1)
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum((~F.col("_keep")).cast("long")).alias("removed_lines"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct(F.col("_pos"), F.col("_line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+    )
+
+
+def _line_occurrences(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, _pos, _line, _h) — every line of every document with its
+    position and md5 hash."""
+    lines = F.split(F.col(text_col), "\n")
+    return df.select(
+        F.col(id_col), F.posexplode(lines).alias("_pos", "_line")
+    ).withColumn("_h", F.md5(F.col("_line").cast("binary")))
+
+
+def write_line_index(
+    df: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+) -> None:
+    """Persist the corpus line-dedup state for append-only maintenance —
+    the third persisted dedup index next to the MinHash band and SimHash
+    block registries.
+
+    Layout: ``{path}/lines`` holds one row per DISTINCT line hash with
+    its canonical first occurrence ``(line_hash, doc_id, pos)``.
+    ``append_line_dedup`` then explodes ONLY new batches: an append to a
+    100 TB-indexed corpus costs the batch's lines plus one hash-keyed
+    join against the index — never a corpus rescan. Appends are plain
+    parquet appends; production writes go through a transactional commit
+    (sources.store's manifest-snapshot pattern).
+    """
+    ex = _line_occurrences(df, id_col, text_col)
+    w = Window.partitionBy("_h").orderBy(F.col(id_col), F.col("_pos"))
+    (
+        ex.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_h").alias("line_hash"),
+            F.col(id_col),
+            F.col("_pos").alias("pos"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/lines")
+    )
+
+
+def append_line_dedup(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deduplicate a NEW batch of documents against a ``write_line_index``
+    index, register the batch's novel lines, and return the batch's
+    cleaned rows (same schema as ``line_dedup``: id, n_lines,
+    removed_lines, clean_text).
+
+    A batch line already in the index is removed; a line new to the index
+    survives at its first (id, pos) occurrence WITHIN the batch and later
+    batch repeats are removed — so appending batches in id order and
+    concatenating the outputs equals one ``line_dedup`` run over the
+    union (the stream ≡ batch property the other index appenders hold).
+
+    Replay-idempotent: the index stores each line's canonical (id, pos),
+    and an indexed line whose canonical occurrence IS this batch row
+    stays kept — re-running a crashed micro-batch reproduces the same
+    cleaned rows and inserts nothing (the insert is anti-joined against
+    the index), the streaming-sink requirement.
+
+    Shape at scale: the batch explode + one hash-keyed join against the
+    index (line-hash-partitioned on both sides; the index side prunes to
+    matching hash partitions under AQE) + the batch-sized first-occurrence
+    window. The batch's novel first occurrences are localCheckpoint-pinned
+    before the index append so the returned frame never re-reads its own
+    write.
+    """
+    spark = new_docs.sparkSession
+    ex = _line_occurrences(new_docs, id_col, text_col)
+    idx = spark.read.parquet(f"{path}/lines").select(
+        F.col("line_hash").alias("_h"),
+        F.col(id_col).alias("_idx_id"),
+        F.col("pos").alias("_idx_pos"),
+    )
+    w = Window.partitionBy("_h").orderBy(F.col(id_col), F.col("_pos"))
+    flagged = (
+        ex.join(idx, "_h", "left")
+        .withColumn(
+            "_keep",
+            F.when(
+                F.col("_idx_id").isNull(), F.row_number().over(w) == 1
+            ).otherwise(
+                (F.col("_idx_id") == F.col(id_col))
+                & (F.col("_idx_pos") == F.col("_pos"))
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    novel = flagged.filter(
+        F.col("_keep") & F.col("_idx_id").isNull()
+    ).select(
+        F.col("_h").alias("line_hash"),
+        F.col(id_col),
+        F.col("_pos").alias("pos"),
+    )
+    novel.write.mode("append").parquet(f"{path}/lines")
     return (
         flagged.groupBy(id_col)
         .agg(

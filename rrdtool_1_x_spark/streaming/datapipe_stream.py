@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
+from rrdtool_1_x_spark.datapipe.clean import append_line_dedup
 from rrdtool_1_x_spark.datapipe.dedup import (
     append_band_index,
     append_simhash_index,
@@ -72,6 +73,37 @@ def start_simhash_stream(
     def _sink(batch: DataFrame, batch_id: int) -> None:
         pairs = append_simhash_index(batch, index_path, **append_kwargs)
         pairs.write.mode("append").parquet(f"{index_path}/pairs")
+
+    writer = doc_stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_line_dedup_stream(
+    doc_stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    trigger_available_now: bool = True,
+    **append_kwargs,
+) -> StreamingQuery:
+    """Sink a streaming document frame through CCNet-style line dedup
+    against a ``write_line_index`` index (datapipe.clean).
+
+    Per micro-batch: ``append_line_dedup`` (batch explode + hash-keyed
+    join against the persisted line registry) emits the batch's cleaned
+    rows to ``{index_path}/clean`` and registers the batch's novel lines.
+    Replay caveat: append_line_dedup is value-idempotent (a replayed batch
+    reproduces identical cleaned rows and inserts nothing new into the
+    registry — canonical occurrences recognize themselves), but the clean
+    parquet append doubles rows on a crash between append and checkpoint
+    commit; consumers read with ``dropDuplicates([id_col])``."""
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        cleaned = append_line_dedup(batch, index_path, **append_kwargs)
+        cleaned.write.mode("append").parquet(f"{index_path}/clean")
 
     writer = doc_stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint_path

@@ -221,3 +221,118 @@ def test_tfidf_deterministic_tie_break(spark):
         terms = [r.term for r in sorted(out, key=lambda r: r.rank)
                  if r.doc_id == doc]
         assert terms == ["alpha", "zeta"]
+
+
+# --------------------------------------------------- line-dedup index
+
+def test_line_index_append_equals_one_shot(spark, tmp_path):
+    from rrdtool_1_x_spark.datapipe.clean import (
+        append_line_dedup, line_dedup, write_line_index,
+    )
+
+    rows = [
+        (1, "boiler\nalpha one"),
+        (2, "beta two\nboiler"),
+        (3, "boiler\ngamma three\nbeta two"),
+        (4, "delta four\ndelta four"),
+    ]
+    docs = _docs(spark, rows)
+    one_shot = {r.doc_id: r for r in line_dedup(docs).collect()}
+
+    path = str(tmp_path / "lineidx")
+    first = docs.filter("doc_id <= 2")
+    second = docs.filter("doc_id > 2")
+    write_line_index(first, path)
+    got = {r.doc_id: r for r in line_dedup(first).collect()}
+    got.update({r.doc_id: r for r in append_line_dedup(second, path).collect()})
+
+    for i in (1, 2, 3, 4):
+        assert got[i].clean_text == one_shot[i].clean_text, i
+        assert got[i].removed_lines == one_shot[i].removed_lines, i
+        assert got[i].n_lines == one_shot[i].n_lines, i
+    # second batch saw doc 1's 'boiler' and doc 2's 'beta two' via the index
+    assert got[3].clean_text == "gamma three"
+    assert got[4].clean_text == "delta four" and got[4].removed_lines == 1
+
+
+def test_line_index_registers_novel_lines(spark, tmp_path):
+    from rrdtool_1_x_spark.datapipe.clean import (
+        append_line_dedup, write_line_index,
+    )
+
+    path = str(tmp_path / "lineidx")
+    write_line_index(_docs(spark, [(1, "seed line")]), path)
+    # batch A introduces 'fresh line'; batch B (later ids) must lose it
+    append_line_dedup(_docs(spark, [(2, "fresh line")]), path).collect()
+    out = append_line_dedup(
+        _docs(spark, [(3, "fresh line\nown line")]), path
+    ).collect()[0]
+    assert out.removed_lines == 1 and out.clean_text == "own line"
+    # index holds one row per distinct line hash
+    idx = spark.read.parquet(f"{path}/lines")
+    assert idx.count() == idx.select("line_hash").distinct().count() == 3
+
+
+def test_append_line_dedup_replay_idempotent(spark, tmp_path):
+    from rrdtool_1_x_spark.datapipe.clean import (
+        append_line_dedup, write_line_index,
+    )
+
+    path = str(tmp_path / "lineidx")
+    write_line_index(_docs(spark, [(1, "seed line")]), path)
+    batch = _docs(spark, [(5, "seed line\nnovel a\nnovel a\nnovel b")])
+    first = {r.doc_id: r for r in append_line_dedup(batch, path).collect()}
+    n_idx = spark.read.parquet(f"{path}/lines").count()
+    # replay the SAME batch (crashed micro-batch semantics)
+    second = {r.doc_id: r for r in append_line_dedup(batch, path).collect()}
+    assert first[5].clean_text == second[5].clean_text == "novel a\nnovel b"
+    assert first[5].removed_lines == second[5].removed_lines == 2
+    # the replay inserted nothing
+    assert spark.read.parquet(f"{path}/lines").count() == n_idx == 3
+
+
+def test_line_dedup_stream_equals_batch(spark, tmp_path):
+    from rrdtool_1_x_spark.datapipe.clean import (
+        line_dedup, write_line_index,
+    )
+    from rrdtool_1_x_spark.streaming.datapipe_stream import (
+        start_line_dedup_stream,
+    )
+
+    rows = [
+        (i, f"unique {i} here\nshared banner line\ntail {i % 4} common")
+        for i in range(1, 13)
+    ]
+    docs = _docs(spark, rows)
+    one_shot = {r.doc_id: r for r in line_dedup(docs).collect()}
+
+    d1 = docs.filter("doc_id <= 4")
+    path = str(tmp_path / "lineidx")
+    write_line_index(d1, path)
+    init = {r.doc_id: r for r in line_dedup(d1).collect()}
+
+    # two appends arrive as two files -> two micro-batches
+    src = str(tmp_path / "in")
+    docs.filter("doc_id > 4 and doc_id <= 8").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    docs.filter("doc_id > 8").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_line_dedup_stream(stream, path, str(tmp_path / "ck"))
+    q.awaitTermination(300)
+
+    streamed = {
+        r.doc_id: r
+        for r in spark.read.parquet(f"{path}/clean")
+        .dropDuplicates(["doc_id"])
+        .collect()
+    }
+    got = {**init, **streamed}
+    assert set(got) == set(one_shot)
+    for i in one_shot:
+        assert got[i].clean_text == one_shot[i].clean_text, i
+        assert got[i].removed_lines == one_shot[i].removed_lines, i
