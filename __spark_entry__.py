@@ -1024,6 +1024,48 @@ def q_line_index_topup(spark, sf_dir):
     return initial.unionByName(appended).orderBy("doc_id")
 
 
+def q_html_extract(spark, sf_dir):
+    """HTML → text extraction (datapipe.clean.extract_html_text): the
+    corpus rebuilt as deterministic HTML — nav-div boilerplate, <p> per
+    6-word line, entity suffixes on (doc_id+i)%5, <br> splits on %4,
+    script/style/comment blocks on doc_id residues — then extracted back
+    to newline-structured text (the oracle builds identical markup and
+    mirrors the regex chain)."""
+    from rrdtool_1_x_spark.datapipe.clean import extract_html_text
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    _, lines = _lines_enriched(did, F.col("text"), punct=False)
+    paras = F.transform(
+        lines,
+        lambda x, i: F.concat(
+            F.lit("<p>"),
+            x,
+            F.when(
+                (did + i) % 5 == 0, F.lit(" Tom &amp; Jerry &lt;3")
+            ).otherwise(F.lit("")),
+            F.when(
+                (did + i) % 4 == 0, F.lit("<br>line break bit")
+            ).otherwise(F.lit("")),
+            F.lit("</p>"),
+        ),
+    )
+    html = F.concat(
+        F.lit('<div class="nav"><a href="/">home &amp; start</a></div>'),
+        F.when(
+            did % 7 == 0,
+            F.lit('<script type="text/javascript">var s=1;</script>'),
+        ).otherwise(F.lit("")),
+        F.array_join(paras, ""),
+        F.when(did % 11 == 0, F.lit("<style>.x{color:red}</style>")).otherwise(
+            F.lit("")
+        ),
+        F.when(did % 13 == 0, F.lit("<!-- hidden -->")).otherwise(F.lit("")),
+    )
+    enriched = d.select("doc_id", html.alias("html"))
+    return extract_html_text(enriched).orderBy("doc_id")
+
+
 def q_dsir_weight(spark, sf_dir):
     """DSIR importance log-weights (datapipe.sampling.dsir_logweights; Xie
     et al. 2023): hashed-unigram bucket distributions for the target
@@ -1951,6 +1993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_bucket": q_ppl_bucket,
         "tfidf_topk": q_tfidf_topk,
         "line_index_topup": q_line_index_topup,
+        "html_extract": q_html_extract,
         "pii_scrub": q_pii_scrub,
         "semantic_dedup": q_semantic_dedup,
         "bpe_tokens": q_bpe_tokens,
@@ -3575,6 +3618,53 @@ FROM f GROUP BY doc_id ORDER BY doc_id"""
 
     # split-index-append composition returns exactly the one-shot result
     sql["line_index_topup"] = sql["line_dedup"]
+
+    # HTML extraction over deterministically rebuilt markup; the regex
+    # chain mirrors extract_html_text step for step (RE2 == Java regex on
+    # these patterns: inline (?is), lazy bodies, no backrefs)
+    sql["html_extract"] = f"""
+WITH {_line_ctes(False)},
+h AS (SELECT doc_id,
+  '<div class="nav"><a href="/">home &amp; start</a></div>'
+  || CASE WHEN doc_id % 7 = 0
+          THEN '<script type="text/javascript">var s=1;</script>'
+          ELSE '' END
+  || array_to_string(list_transform(range(0, len(ls)),
+       i -> '<p>' || ls[i+1]
+            || CASE WHEN (doc_id + i) % 5 = 0
+                    THEN ' Tom &amp; Jerry &lt;3' ELSE '' END
+            || CASE WHEN (doc_id + i) % 4 = 0
+                    THEN '<br>line break bit' ELSE '' END
+            || '</p>'), '')
+  || CASE WHEN doc_id % 11 = 0 THEN '<style>.x{{color:red}}</style>'
+          ELSE '' END
+  || CASE WHEN doc_id % 13 = 0 THEN '<!-- hidden -->' ELSE '' END AS html
+FROM base),
+s1 AS (SELECT doc_id, regexp_replace(html,
+         '(?is)<script\\b[^>]*>.*?</script\\s*>', '', 'g') AS x FROM h),
+s2 AS (SELECT doc_id, regexp_replace(x,
+         '(?is)<style\\b[^>]*>.*?</style\\s*>', '', 'g') AS x FROM s1),
+s3 AS (SELECT doc_id, regexp_replace(x, '(?s)<!--.*?-->', '', 'g') AS x
+       FROM s2),
+s4 AS (SELECT doc_id, regexp_replace(x,
+         '(?i)<br\\s*/?>|</(?:p|div|li|ul|ol|h[1-6]|tr|table|blockquote)\\s*>',
+         chr(10), 'g') AS x FROM s3),
+s5 AS (SELECT doc_id, regexp_replace(x, '<[^>]*>', '', 'g') AS x FROM s4),
+s6 AS (SELECT doc_id,
+         replace(replace(replace(replace(replace(replace(replace(x,
+           '&nbsp;', ' '), '&quot;', '"'), '&#39;', chr(39)),
+           '&apos;', chr(39)), '&lt;', '<'), '&gt;', '>'),
+           '&amp;', '&') AS x
+       FROM s5),
+s7 AS (SELECT doc_id, regexp_replace(x, '[ \\t]+', ' ', 'g') AS x FROM s6),
+lf AS (SELECT doc_id,
+         list_filter(list_transform(string_split(x, chr(10)),
+                                    l -> trim(l)),
+                     l -> l <> '') AS ls2
+       FROM s7)
+SELECT doc_id, array_to_string(ls2, chr(10)) AS text,
+       len(ls2) AS n_lines
+FROM lf ORDER BY doc_id"""
 
     # DSIR hashed-unigram importance weights: target = lang 'en', raw =
     # whole corpus; add-one smoothed bucket distributions, 1e-6-quantized

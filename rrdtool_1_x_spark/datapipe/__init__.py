@@ -14,6 +14,7 @@ from rrdtool_1_x_spark.datapipe.bpe import (  # noqa: F401
 from rrdtool_1_x_spark.datapipe.clean import (  # noqa: F401
     append_line_dedup,
     c4_line_filter,
+    extract_html_text,
     line_dedup,
     write_line_index,
 )

@@ -1,7 +1,8 @@
-"""Corpus cleaning operators: C4 line/page heuristics and CCNet-style
-corpus-wide line deduplication.
+"""Corpus cleaning operators: HTML-to-text extraction, C4 line/page
+heuristics, and CCNet-style corpus-wide line deduplication (one-shot,
+incremental-index, and streaming forms).
 
-Two of the most-reproduced web-corpus cleaning stages, as published:
+The most-reproduced web-corpus cleaning stages, as published:
 
 * ``c4_line_filter`` — the C4 heuristics (Raffel et al. 2020, "Exploring
   the Limits of Transfer Learning with a Unified Text-to-Text
@@ -252,4 +253,68 @@ def append_line_dedup(
                 "\n",
             ).alias("clean_text"),
         )
+    )
+
+
+# HTML entities decoded by extract_html_text — the named set that
+# dominates real web text plus the numeric apostrophe
+_HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&amp;", "&"),  # LAST: &amp;lt; must become &lt;, not <
+]
+
+# closing tags that imply a paragraph/line break in the extracted text
+_BLOCK_BREAK_RE = (
+    r"(?i)<br\s*/?>|</(?:p|div|li|ul|ol|h[1-6]|tr|table|blockquote)\s*>"
+)
+
+
+def extract_html_text(
+    df: DataFrame, id_col: str = "doc_id", html_col: str = "html"
+) -> DataFrame:
+    """Boilerplate HTML → newline-structured plain text — the first stage
+    of every web-corpus pipeline (the jusText/trafilatura niche, reduced
+    to its deterministic regex core so it runs inside whole-stage codegen
+    and reproduces bit-exactly in any RE2/Java-regex engine):
+
+    1. drop ``<script>``/``<style>``/``<!-- -->`` blocks wholesale,
+    2. turn block-closing tags (``</p>``, ``</div>``, ``<br>``, ...) into
+       newlines,
+    3. strip every remaining tag,
+    4. decode the dominant named entities (``&amp;`` last, so double-
+       escaped text un-escapes one level like real parsers),
+    5. normalize whitespace: runs of spaces/tabs collapse to one space,
+       lines are trimmed, empty lines dropped.
+
+    Returns ``(id, text, n_lines)`` — feed it straight into
+    ``c4_line_filter`` / ``line_dedup``.
+
+    Map-only: a fixed chain of regexp_replace/translate projections; no
+    shuffle, no UDF — at 100 TB this is scan-bound and weak-scales with
+    executors.
+    """
+    x = F.col(html_col)
+    # (?is): case-insensitive + dotall, valid in both Java regex and RE2;
+    # lazy body so adjacent blocks don't merge
+    x = F.regexp_replace(x, r"(?is)<script\b[^>]*>.*?</script\s*>", "")
+    x = F.regexp_replace(x, r"(?is)<style\b[^>]*>.*?</style\s*>", "")
+    x = F.regexp_replace(x, r"(?s)<!--.*?-->", "")
+    x = F.regexp_replace(x, _BLOCK_BREAK_RE, "\n")
+    x = F.regexp_replace(x, r"<[^>]*>", "")
+    for ent, rep in _HTML_ENTITIES:
+        x = F.regexp_replace(x, ent, rep)
+    x = F.regexp_replace(x, r"[ \t]+", " ")
+    lines = F.filter(
+        F.transform(F.split(x, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(lines, "\n").alias("text"),
+        F.size(lines).alias("n_lines"),
     )

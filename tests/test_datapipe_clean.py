@@ -336,3 +336,53 @@ def test_line_dedup_stream_equals_batch(spark, tmp_path):
     for i in one_shot:
         assert got[i].clean_text == one_shot[i].clean_text, i
         assert got[i].removed_lines == one_shot[i].removed_lines, i
+
+
+# -------------------------------------------------------- HTML extract
+
+def test_extract_html_text_blocks_and_entities(spark):
+    from rrdtool_1_x_spark.datapipe.clean import extract_html_text
+
+    html = (
+        '<html><head><style>.x{color:red}</style>'
+        '<script type="text/javascript">var s="<p>not text</p>";</script>'
+        "</head><body>"
+        "<!-- a comment\nspanning lines -->"
+        "<div>first   par with <b>inline</b> markup</div>"
+        "<p>Tom &amp; Jerry say &quot;hi&quot; &lt;3</p>"
+        "<p>double escaped: &amp;lt;</p>"
+        "<ul><li>item one</li><li>item two</li></ul>"
+        "<p>split<br>here</p>"
+        "</body></html>"
+    )
+    out = extract_html_text(
+        spark.createDataFrame([(1, html)], "doc_id long, html string")
+    ).collect()[0]
+    assert out.text.split("\n") == [
+        "first par with inline markup",
+        'Tom & Jerry say "hi" <3',
+        "double escaped: &lt;",   # one level of un-escaping, like parsers
+        "item one",
+        "item two",
+        "split",
+        "here",
+    ]
+    assert out.n_lines == 7
+
+
+def test_extract_html_text_feeds_c4(spark):
+    from rrdtool_1_x_spark.datapipe.clean import (
+        c4_line_filter, extract_html_text,
+    )
+
+    html = (
+        "<p>this is a proper sentence one.</p>"
+        "<p>this is a proper sentence two.</p>"
+        "<p>this is a proper sentence three.</p>"
+        "<div>nav</div>"
+    )
+    txt = extract_html_text(
+        spark.createDataFrame([(1, html)], "doc_id long, html string")
+    ).select("doc_id", "text")
+    got = c4_line_filter(txt).collect()[0]
+    assert got.page_kept is True and got.kept_lines == 3
