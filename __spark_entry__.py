@@ -1098,6 +1098,29 @@ def q_tfidf_topk(spark, sf_dir):
     )
 
 
+def q_ann_int8_topk(spark, sf_dir):
+    """Int8-quantized cosine top-10 (datapipe.similarity.quantize_embeddings
+    + quantized_topk) against the lowest-id embedding: integer dot
+    products / integer norms — bit-deterministic with no pinned fold; the
+    4x-smaller-scan path for corpus-scale retrieval."""
+    from rrdtool_1_x_spark.datapipe.similarity import quantized_topk
+
+    e = _emb(spark, sf_dir)
+    qv = e.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("qid"), F.col("embedding")
+    )
+    out = quantized_topk(
+        e, qv, k=11, query_id_col="qid"
+    ).filter(F.col("vec_id") != F.col("qid"))
+    w = Window.orderBy(F.desc("qcos_sim"), F.asc("vec_id"))
+    return (
+        out.select("vec_id", F.round("qcos_sim", 6).alias("qcos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .orderBy("rank")
+    )
+
+
 def q_dup_groups(spark, sf_dir):
     """Near-dup connected components via distributed label propagation
     (datapipe.dedup.duplicate_groups): (doc_id, group_id = min id in
@@ -1994,6 +2017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "line_index_topup": q_line_index_topup,
         "html_extract": q_html_extract,
+        "ann_int8_topk": q_ann_int8_topk,
         "pii_scrub": q_pii_scrub,
         "semantic_dedup": q_semantic_dedup,
         "bpe_tokens": q_bpe_tokens,
@@ -2703,6 +2727,37 @@ ranked AS (SELECT vec_id, cos_sim,
                   row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rank
            FROM sims)
 SELECT vec_id, cos_sim, rank FROM ranked WHERE rank <= 10 ORDER BY rank"""
+
+    # int8-quantized ANN: same query/top-k shape as ann_cosine_top10 but
+    # every score is integer-dot / sqrt(integer norms) — no float fold
+    sql["ann_int8_topk"] = """
+WITH ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings),
+qs AS (SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS s FROM ev),
+qv AS (SELECT vec_id,
+         CASE WHEN s > 0
+              THEN list_transform(v, x -> CAST(round(x / s * 127) AS BIGINT))
+              ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+       FROM qs),
+qq AS (SELECT vec_id AS qid, q AS qe FROM qv ORDER BY vec_id LIMIT 1),
+pairs AS (
+  SELECT e.vec_id,
+    (SELECT sum(a.x * b.x)
+     FROM (SELECT unnest(e.q) AS x, generate_subscripts(e.q, 1) AS i) a
+     JOIN (SELECT unnest(qq.qe) AS x, generate_subscripts(qq.qe, 1) AS i) b
+       USING (i)) AS dot,
+    (SELECT sum(x.x * x.x) FROM (SELECT unnest(e.q) AS x) x) AS na2,
+    (SELECT sum(x.x * x.x) FROM (SELECT unnest(qq.qe) AS x) x) AS nb2
+  FROM qv e, qq WHERE e.vec_id != qq.qid),
+sims AS (SELECT vec_id,
+           round(dot / sqrt(na2::DOUBLE * nb2::DOUBLE), 6) AS qcos_sim
+         FROM pairs WHERE na2 > 0 AND nb2 > 0),
+ranked AS (SELECT vec_id, qcos_sim,
+                  row_number() OVER (ORDER BY qcos_sim DESC, vec_id ASC)
+                    AS rank
+           FROM sims)
+SELECT vec_id, qcos_sim, rank FROM ranked WHERE rank <= 10 ORDER BY rank"""
 
     # --- MinHash-LSH near-dup pipeline (mirrors datapipe.dedup exactly:
     # md5 minhashes with "mh{i}:" seeds, 4 bands of 2, candidates within

@@ -32,6 +32,8 @@ from rrdtool_1_x_spark.datapipe.similarity import (  # noqa: F401
     cosine_similarity_col,
     hashed_embedding,
     lsh_bucketed_topk,
+    quantize_embeddings,
+    quantized_topk,
     semantic_deduplicate,
 )
 from rrdtool_1_x_spark.datapipe.textstats import (  # noqa: F401
