@@ -1066,6 +1066,19 @@ def q_html_extract(spark, sf_dir):
     return extract_html_text(enriched).orderBy("doc_id")
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-scaled domain mixing table (datapipe.sampling.
+    temperature_mix; the mT5/Pile multi-source sampling rule at
+    alpha = 0.5): per-source token counts, raw share, sqrt-tempered mix
+    weight and effective epochs — sqrt and division are IEEE-correctly-
+    rounded so the chain is bit-exact across engines."""
+    from rrdtool_1_x_spark.datapipe.sampling import temperature_mix
+
+    return temperature_mix(_docs(spark, sf_dir), domain_col="source").orderBy(
+        "domain"
+    )
+
+
 def q_dsir_weight(spark, sf_dir):
     """DSIR importance log-weights (datapipe.sampling.dsir_logweights; Xie
     et al. 2023): hashed-unigram bucket distributions for the target
@@ -2010,6 +2023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # block at the top, never appended at the end.
     qs = {
         # -- priority: no driver row yet (added after the r5 sweep) ----
+        "temperature_mix": q_temperature_mix,
         "c4_clean": q_c4_clean,
         "line_dedup": q_line_dedup,
         "dsir_weight": q_dsir_weight,
@@ -3720,6 +3734,27 @@ lf AS (SELECT doc_id,
 SELECT doc_id, array_to_string(ls2, chr(10)) AS text,
        len(ls2) AS n_lines
 FROM lf ORDER BY doc_id"""
+
+    # temperature-scaled domain mixing at alpha = 0.5: sqrt and division
+    # are IEEE-correctly-rounded, so no quantization convention is needed
+    # beyond the 1e9 integer weight that makes the normalizer order-free
+    sql["temperature_mix"] = r"""
+WITH e AS (SELECT source AS domain,
+             len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                             x -> x <> '')) AS tk
+           FROM documents),
+per AS (SELECT domain, count(*) AS n_docs, CAST(sum(tk) AS BIGINT) AS tok_cnt
+        FROM e GROUP BY 1),
+tt AS (SELECT CAST(sum(tok_cnt) AS BIGINT) AS t FROM per),
+p AS (SELECT domain, n_docs, tok_cnt, tok_cnt::DOUBLE / t AS pr,
+             CAST(round(sqrt(tok_cnt::DOUBLE / t) * 1e9) AS BIGINT) AS wq
+      FROM per CROSS JOIN tt),
+wt AS (SELECT CAST(sum(wq) AS BIGINT) AS w FROM p)
+SELECT domain, n_docs, tok_cnt,
+       round(pr, 6) AS raw_share,
+       round(wq::DOUBLE / w, 6) AS mix_weight,
+       round((wq::DOUBLE / w) / pr, 6) AS epochs
+FROM p CROSS JOIN wt ORDER BY domain"""
 
     # DSIR hashed-unigram importance weights: target = lang 'en', raw =
     # whole corpus; add-one smoothed bucket distributions, 1e-6-quantized

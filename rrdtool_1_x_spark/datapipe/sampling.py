@@ -269,6 +269,99 @@ def pack_sequences(
     return out
 
 
+def temperature_mix(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled domain mixing weights — the multi-source sampling
+    rule of mT5/Pile-style corpora: a domain with raw token share ``p_d``
+    is sampled with probability proportional to ``p_d ** alpha``
+    (``alpha < 1`` upweights small domains, ``alpha = 1`` is natural
+    mixing).
+
+    Returns one row per domain: ``(domain, n_docs, tok_cnt, raw_share,
+    mix_weight, epochs)`` where ``epochs = mix_weight / raw_share`` is how
+    many effective passes over the domain one epoch of the mixture makes
+    (the "repetition factor" that mixing tables in the Pile / PaLM data
+    cards report).
+
+    Determinism: token counts are exact integers; ``raw_share`` is one
+    IEEE division (correctly rounded on every engine); for the default
+    ``alpha = 0.5`` the power is ``sqrt`` — also IEEE-correctly-rounded —
+    so the whole chain is bit-exact across engines with no quantization
+    convention needed. Non-half-integer alphas route through ``pow``,
+    whose last ulp is not guaranteed identical across libm builds; the
+    oracle-gated configuration therefore pins ``alpha = 0.5``.
+
+    Shape at scale: one map-side-combinable groupBy on the domain key; the
+    domain table (thousands of rows at most) then cross-joins a 1-row
+    total frame — no corpus-sized shuffle beyond the aggregate.
+    """
+    toks = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda t: t != "",
+        )
+    ).cast("long")
+    per = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").alias("n_docs"), F.sum(toks).alias("tok_cnt")
+    )
+    # the domain table crosses TWO broadcast boundaries (total tokens,
+    # total tempered weight) and Spark does not reuse exchanges across a
+    # broadcast boundary — without the persist the corpus token aggregate
+    # runs four times (BASELINE.md broadcast-boundary lesson). The frame
+    # is domain-sized (thousands of rows), never corpus-sized.
+    from pyspark import StorageLevel
+
+    per = per.persist(StorageLevel.MEMORY_AND_DISK)
+    tot = per.agg(F.sum("tok_cnt").alias("_tt"))
+    half = alpha * 2
+    if half == int(half) and 0 <= half <= 2:
+        # exact path: p^0, sqrt(p), or p — all correctly-rounded IEEE ops
+        def powa(c):
+            return (
+                F.lit(1.0)
+                if half == 0
+                else (F.sqrt(c) if half == 1 else c)
+            )
+    else:  # pragma: no cover - non-gated configuration
+        def powa(c):
+            return F.pow(c, F.lit(float(alpha)))
+
+    shared = per.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_docs",
+        "tok_cnt",
+        (F.col("tok_cnt").cast("double") / F.col("_tt")).alias("_p"),
+    )
+    # quantize the powered share before normalizing so the normalizer is a
+    # sum of exact integers (order-independent), same convention as the
+    # LM-score gates
+    q = shared.select(
+        "domain",
+        "n_docs",
+        "tok_cnt",
+        "_p",
+        F.round(powa(F.col("_p")) * 1e9).cast("long").alias("_wq"),
+    )
+    wtot = q.agg(F.sum("_wq").alias("_wt"))
+    return (
+        q.crossJoin(F.broadcast(wtot))
+        .select(
+            "domain",
+            "n_docs",
+            "tok_cnt",
+            F.round(F.col("_p"), 6).alias("raw_share"),
+            F.round(F.col("_wq") / F.col("_wt"), 6).alias("mix_weight"),
+            F.round(
+                (F.col("_wq") / F.col("_wt")) / F.col("_p"), 6
+            ).alias("epochs"),
+        )
+    )
+
+
 def dsir_logweights(
     df: DataFrame,
     target: Column,

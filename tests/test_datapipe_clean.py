@@ -424,3 +424,48 @@ def test_quantized_topk_recall_vs_float(spark):
     }
     # scalar int8 keeps >= 8/10 of the float top-10 on 64-dim embeddings
     assert len(exact & quant) >= 8, (exact, quant)
+
+
+# ------------------------------------------------------- temperature mixing
+
+def test_temperature_mix_hand_case(spark):
+    # domain a: 9 tokens, domain b: 1 token -> raw shares 0.9 / 0.1;
+    # sqrt-tempered weights prop. to 0.94868/0.31623 -> mix 0.75/0.25
+    df = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven eight nine", "a"),
+            (2, "solo", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    from rrdtool_1_x_spark.datapipe.sampling import temperature_mix
+
+    out = {
+        r["domain"]: r
+        for r in temperature_mix(df, domain_col="source").collect()
+    }
+    assert out["a"].n_docs == 1 and out["a"].tok_cnt == 9
+    assert out["b"].tok_cnt == 1
+    assert out["a"].raw_share == 0.9 and out["b"].raw_share == 0.1
+    wa, wb = math.sqrt(0.9), math.sqrt(0.1)
+    assert abs(out["a"].mix_weight - wa / (wa + wb)) < 1e-6
+    assert abs(out["b"].mix_weight - wb / (wa + wb)) < 1e-6
+    # small domain is upweighted (epochs > 1), large downweighted
+    assert out["b"].epochs > 1.0 > out["a"].epochs
+    # mixture is a distribution
+    assert abs(out["a"].mix_weight + out["b"].mix_weight - 1.0) < 2e-6
+
+
+def test_temperature_mix_alpha_one_is_natural(spark):
+    df = spark.createDataFrame(
+        [(1, "x y z", "a"), (2, "w", "b")],
+        "doc_id long, text string, source string",
+    )
+    from rrdtool_1_x_spark.datapipe.sampling import temperature_mix
+
+    out = {
+        r["domain"]: r
+        for r in temperature_mix(df, domain_col="source", alpha=1.0).collect()
+    }
+    assert out["a"].mix_weight == out["a"].raw_share == 0.75
+    assert out["a"].epochs == 1.0 and out["b"].epochs == 1.0
