@@ -1111,6 +1111,42 @@ def q_tfidf_topk(spark, sf_dir):
     )
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-10 (datapipe.similarity.pq_codebook /
+    pq_encode / pq_topk; Jégou et al. TPAMI 2011): 8 subspaces x 16 codes
+    over int8-quantized 64-dim embeddings — the compressed-domain scan
+    reads 4-byte codes instead of 256-byte float vectors. All-integer
+    distances, bit-deterministic ranking; queries = the two lowest
+    vec_ids (same convention as ivf_topk)."""
+    from rrdtool_1_x_spark.datapipe.similarity import pq_topk
+
+    e = _emb(spark, sf_dir)
+    q = e.orderBy("vec_id").limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return pq_topk(e, q, k=10, m=8, codes=16).orderBy("query_id", "rank")
+
+
+def q_pq_recall(spark, sf_dir):
+    """Recall@10 of the PQ ADC scan against the int8 brute-force baseline
+    (datapipe.similarity.ann_recall) — the quality dial every compressed
+    retrieval path is tuned with. Both rankings are integer-exact, so the
+    recall number is deterministic across engines."""
+    from rrdtool_1_x_spark.datapipe.similarity import (
+        ann_recall,
+        pq_topk,
+        quantized_topk,
+    )
+
+    e = _emb(spark, sf_dir)
+    q = e.orderBy("vec_id").limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    approx = pq_topk(e, q, k=10, m=8, codes=16)
+    exact = quantized_topk(e, q, k=10, query_id_col="query_id")
+    return ann_recall(approx, exact, k=10).orderBy("query_id")
+
+
 def q_ann_int8_topk(spark, sf_dir):
     """Int8-quantized cosine top-10 (datapipe.similarity.quantize_embeddings
     + quantized_topk) against the lowest-id embedding: integer dot
@@ -2024,6 +2060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         # -- priority: no driver row yet (added after the r5 sweep) ----
         "temperature_mix": q_temperature_mix,
+        "pq_topk": q_pq_topk,
+        "pq_recall": q_pq_recall,
         "c4_clean": q_c4_clean,
         "line_dedup": q_line_dedup,
         "dsir_weight": q_dsir_weight,
@@ -2741,6 +2779,86 @@ ranked AS (SELECT vec_id, cos_sim,
                   row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rank
            FROM sims)
 SELECT vec_id, cos_sim, rank FROM ranked WHERE rank <= 10 ORDER BY rank"""
+
+    # product quantization ADC: int8 quantize (same qv chain as
+    # ann_int8_topk), codebook = 16 smallest-md5(id) vectors split into
+    # 8 subspaces (the ivf_topk sampling convention), encode = per-
+    # subspace integer argmin (ties to lowest code), query LUT join,
+    # ascending-distance top-10 — all-integer, bit-exact on both engines
+    _pq_cte = """
+WITH ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings),
+qs AS (SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS s FROM ev),
+qv AS (SELECT vec_id,
+         CASE WHEN s > 0
+              THEN list_transform(v, x -> CAST(round(x / s * 127) AS BIGINT))
+              ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+       FROM qs),
+cb AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                 vec_id) - 1 AS code, q
+       FROM qv QUALIFY code < 16),
+sub AS (SELECT code, ss.s, cb.q[ss.s*8+1 : ss.s*8+8] AS cv
+        FROM cb CROSS JOIN (SELECT unnest(range(0,8)) AS s) ss),
+ed AS (SELECT e.vec_id, sb.s, sb.code,
+         list_sum(list_transform(range(1,9),
+            i -> (e.q[sb.s*8+i] - sb.cv[i]) * (e.q[sb.s*8+i] - sb.cv[i])))
+           AS dd
+       FROM qv e CROSS JOIN sub sb),
+enc AS (SELECT vec_id, s, code FROM ed
+        QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                                   ORDER BY dd ASC, code ASC) = 1),
+qids AS (SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id LIMIT 2),
+lut AS (SELECT qids.query_id, sb.s, sb.code,
+          list_sum(list_transform(range(1,9),
+             i -> (qq.q[sb.s*8+i] - sb.cv[i]) * (qq.q[sb.s*8+i] - sb.cv[i])))
+            AS dd
+        FROM qv qq JOIN qids ON qq.vec_id = qids.query_id
+        CROSS JOIN sub sb),
+sc AS (SELECT l.query_id, en.vec_id, CAST(sum(l.dd) AS BIGINT) AS pq_dist
+       FROM enc en JOIN lut l ON en.s = l.s AND en.code = l.code
+       GROUP BY 1, 2)"""
+
+    sql["pq_topk"] = _pq_cte + """,
+r AS (SELECT query_id, vec_id, pq_dist,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY pq_dist ASC, vec_id ASC) AS rank
+      FROM sc)
+SELECT query_id, vec_id, pq_dist, rank FROM r WHERE rank <= 10
+ORDER BY query_id, rank"""
+
+    # PQ recall@10 vs the int8 brute-force baseline: both sides are
+    # integer-exact rankings, so the recall number itself is exact
+    sql["pq_recall"] = _pq_cte + """,
+apx AS (SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY pq_dist ASC, vec_id ASC) AS rank
+          FROM sc) _ WHERE rank <= 10),
+qqv AS (SELECT qids.query_id, qq.q AS qe
+        FROM qv qq JOIN qids ON qq.vec_id = qids.query_id),
+pairs AS (SELECT qqv.query_id, e.vec_id,
+            list_sum(list_transform(range(1,65), i -> e.q[i] * qqv.qe[i]))
+              AS dot,
+            list_sum(list_transform(range(1,65), i -> e.q[i] * e.q[i]))
+              AS na2,
+            list_sum(list_transform(range(1,65), i -> qqv.qe[i] * qqv.qe[i]))
+              AS nb2
+          FROM qv e CROSS JOIN qqv),
+exv AS (SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY dot::DOUBLE / sqrt(na2::DOUBLE * nb2::DOUBLE)
+                            DESC, vec_id ASC) AS rank
+          FROM pairs WHERE na2 > 0 AND nb2 > 0) _ WHERE rank <= 10)
+SELECT e.query_id, count(*) AS n_exact,
+       CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS recall_at_k
+FROM exv e LEFT JOIN apx a ON a.query_id = e.query_id
+                          AND a.vec_id = e.vec_id
+GROUP BY e.query_id ORDER BY e.query_id"""
 
     # int8-quantized ANN: same query/top-k shape as ann_cosine_top10 but
     # every score is integer-dot / sqrt(integer norms) — no float fold

@@ -1396,6 +1396,207 @@ def quantize_embeddings(
     )
 
 
+def pq_codebook(
+    df: DataFrame,
+    m: int = 8,
+    codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Product-quantization codebooks (Jégou/Douze/Schmid, "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011 /
+    arXiv:1102.3828): the vector is split into ``m`` subspaces, each with
+    its own ``codes``-entry codebook; a vector is stored as ``m`` small
+    code ids instead of floats.
+
+    Codebook entries are the subvectors of the ``codes`` corpus vectors
+    with smallest md5(id) — the same deterministic, engine-portable
+    "training" convention as ``ivf_centroid_model`` (a uniform corpus
+    sample; real k-means iterations refine recall but break cross-engine
+    exactness). Vectors are int8-quantized first so every distance
+    downstream is exact integer arithmetic.
+
+    Returns ``codebook[s][c] -> list[int]`` of length ``dim / m``.
+    The whole model is ``m * codes * (dim/m) = codes * dim`` small ints —
+    driver/broadcast-sized by construction.
+    """
+    qc = quantize_embeddings(df, id_col, vec_col)
+    rows = (
+        qc.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(codes)
+        .select("qvec")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_codebook: empty corpus")
+    dim = len(rows[0]["qvec"])
+    if dim % m:
+        raise ValueError(f"pq_codebook: dim {dim} not divisible by m={m}")
+    d = dim // m
+    return [
+        [[int(v) for v in r["qvec"][s * d : (s + 1) * d]] for r in rows]
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors as PQ codes: per subspace, the code of the nearest
+    codebook entry by squared L2 (ties to the lowest code id — matching
+    ``array_position``'s first-occurrence rule and the oracle's
+    ``ORDER BY d, code``). Returns ``(id, codes array<int>)``.
+
+    Map-only and entirely JVM-side: the codebook unrolls into literal
+    squared-difference expressions (codes * dim multiply-adds per row)
+    inside whole-stage codegen — no UDF, no shuffle. At 100 TB this is
+    the one-time compression pass; with the default 8 subspaces x 16
+    codes a 64-dim float32 vector (256 B) stores as 8 nibbles (4 B) —
+    64x smaller scans for every later ADC query.
+    """
+    m = len(codebook)
+    d = len(codebook[0][0])
+    qc = quantize_embeddings(df, id_col, vec_col)
+
+    def sub_dist(s: int, c: int) -> Column:
+        e = None
+        for i, cv in enumerate(codebook[s][c]):
+            t = F.col("qvec")[s * d + i].cast("long") - F.lit(int(cv))
+            sq = t * t
+            e = sq if e is None else e + sq
+        return e
+
+    code_cols = []
+    for s in range(m):
+        dists = F.array(*[sub_dist(s, c) for c in range(len(codebook[s]))])
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return qc.select(F.col(id_col), F.array(*code_cols).alias("codes"))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    codebook: list[list[list[int]]] | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query builds an
+    ``m x codes`` lookup table of exact integer squared distances to every
+    codebook entry; a corpus vector's approximate distance is the sum of
+    ``m`` table lookups on its stored codes — the compressed-domain scan
+    of Jégou et al. §IV. Returns ``(query_id, vec_id, pq_dist, rank)``,
+    ranked ascending by distance (ties to the lowest vec_id).
+
+    Everything is integer arithmetic on int8-quantized values, so the
+    ranking is bit-deterministic across engines and partitionings.
+
+    Shape at scale: the codebook and per-query LUTs are literals (no join,
+    no shuffle before the final per-query top-k window); the corpus pass
+    reads only the ``m``-byte code column — the point of PQ is that this
+    scan is ~64x smaller than the float scan of ``brute_force_topk``.
+    The query frame must be query-batch-sized (it is collected to build
+    LUTs, same contract as the other ANN entry points).
+    """
+    if codebook is None:
+        codebook = pq_codebook(corpus, m, codes, id_col, vec_col)
+    m = len(codebook)
+    enc = pq_encode(corpus, codebook, id_col, vec_col)
+    q_rows = (
+        quantize_embeddings(queries, query_id_col, vec_col)
+        .select(query_id_col, "qvec")
+        .collect()
+    )
+    d = len(codebook[0][0])
+    per_query = []
+    for r in q_rows:
+        qv = [int(x) for x in r["qvec"]]
+        lut = [
+            [
+                sum(
+                    (qv[s * d + i] - cv) ** 2
+                    for i, cv in enumerate(codebook[s][c])
+                )
+                for c in range(len(codebook[s]))
+            ]
+            for s in range(m)
+        ]
+        dist = None
+        for s in range(m):
+            term = F.element_at(
+                F.array(*[F.lit(int(v)).cast("long") for v in lut[s]]),
+                F.col("codes")[s] + 1,
+            )
+            dist = term if dist is None else dist + term
+        per_query.append(
+            F.struct(
+                F.lit(r[query_id_col]).alias(query_id_col),
+                dist.alias("pq_dist"),
+            )
+        )
+    scored = enc.select(
+        F.col(id_col), F.explode(F.array(*per_query)).alias("_q")
+    ).select(
+        F.col("_q")[query_id_col].alias(query_id_col),
+        F.col(id_col),
+        F.col("_q")["pq_dist"].alias("pq_dist"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("pq_dist"), F.asc(id_col)
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of an approximate ANN result against an exact baseline —
+    the standard quality dial for every compressed/pruned retrieval path
+    (PQ code budget, IVF nprobe, LSH table count are all tuned against
+    this number).
+
+    Both inputs are ranked frames ``(query_id, vec_id, ..., rank)`` as
+    produced by the top-k entry points here. Returns one row per query:
+    ``(query_id, n_exact, n_hit, recall_at_k)`` where ``recall_at_k =
+    n_hit / n_exact`` (exact side may return < k rows on tiny corpora).
+
+    Shape at scale: both sides are query-batch x k sized by construction
+    (the expensive scans happened upstream); the overlap join keys on
+    (query, id) and aggregates per query — trivially broadcastable.
+    """
+    a = approx.filter(F.col("rank") <= k).select(
+        F.col(query_id_col), F.col(id_col)
+    )
+    e = exact.filter(F.col("rank") <= k).select(
+        F.col(query_id_col), F.col(id_col)
+    )
+    hit = a.withColumn("_h", F.lit(1))
+    joined = e.join(hit, [query_id_col, id_col], "left")
+    return joined.groupBy(query_id_col).agg(
+        F.count("*").alias("n_exact"),
+        F.sum(F.coalesce(F.col("_h"), F.lit(0))).alias("n_hit"),
+        F.round(
+            F.sum(F.coalesce(F.col("_h"), F.lit(0)))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("recall_at_k"),
+    )
+
+
 def quantized_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1052,3 +1052,70 @@ def test_gopher_repetition_hand_computed(spark):
     r3 = gopher_repetition(df2).collect()[0]
     # 6 five-gram positions; 'p q r s t' occurs twice -> 2/6
     assert r3["dup5_frac"] == round(2 / 6, 6)
+
+
+# ------------------------------------------------------ product quantization
+
+def test_pq_codebook_shape_and_encode_self(spark, emb):
+    from rrdtool_1_x_spark.datapipe.similarity import (
+        pq_codebook,
+        pq_encode,
+        pq_topk,
+    )
+
+    cb = pq_codebook(emb, m=8, codes=16)
+    assert len(cb) == 8 and all(len(s) == 16 for s in cb)
+    assert all(len(c) == 8 for s in cb for c in s)
+
+    # the 16 md5-ordered sample vectors ARE the codebook: querying with
+    # one of them must hit itself at distance 0, rank 1
+    sample_id = (
+        emb.orderBy(
+            F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+        )
+        .limit(1)
+        .collect()[0]["vec_id"]
+    )
+    q = emb.filter(F.col("vec_id") == sample_id).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = pq_topk(emb, q, k=1, codebook=cb).collect()
+    assert top[0]["vec_id"] == sample_id and top[0]["pq_dist"] == 0
+
+    # codes are within range and one per subspace
+    enc = pq_encode(emb, cb).collect()
+    for r in enc:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
+
+
+def test_pq_separates_tight_clusters(spark):
+    from rrdtool_1_x_spark.datapipe.similarity import pq_topk
+
+    # two tight clusters far apart in 16 dims (m=4 subspaces of 4)
+    rows = []
+    for i in range(20):
+        base = 100.0 if i < 10 else -100.0
+        rows.append((i, [base + (i % 5) * 0.5] * 16))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = pq_topk(df, q, k=10, m=4, codes=8).orderBy("rank").collect()
+    assert [r["vec_id"] < 10 for r in top] == [True] * 10
+
+
+def test_ann_recall_hand_case(spark):
+    from rrdtool_1_x_spark.datapipe.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(1, v, r) for r, v in enumerate([10, 11, 12, 13], 1)],
+        "query_id long, vec_id long, rank int",
+    )
+    approx = spark.createDataFrame(
+        [(1, v, r) for r, v in enumerate([10, 12, 99, 98], 1)],
+        "query_id long, vec_id long, rank int",
+    )
+    out = ann_recall(approx, exact, k=4).collect()[0]
+    assert out["n_exact"] == 4 and out["n_hit"] == 2
+    assert out["recall_at_k"] == 0.5
