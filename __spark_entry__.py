@@ -1079,6 +1079,16 @@ def q_temperature_mix(spark, sf_dir):
     )
 
 
+def q_datacard(spark, sf_dir):
+    """Corpus data-card report (datapipe.report.corpus_datacard): long-
+    format (metric, value) summary — doc/token/char counts, composition
+    shares, exact-dup rate, nearest-rank median length, source entropy.
+    One persisted slim projection feeds five independent aggregates."""
+    from rrdtool_1_x_spark.datapipe.report import corpus_datacard
+
+    return corpus_datacard(_docs(spark, sf_dir)).orderBy("metric")
+
+
 def q_dsir_weight(spark, sf_dir):
     """DSIR importance log-weights (datapipe.sampling.dsir_logweights; Xie
     et al. 2023): hashed-unigram bucket distributions for the target
@@ -2062,6 +2072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "pq_topk": q_pq_topk,
         "pq_recall": q_pq_recall,
+        "datacard": q_datacard,
         "c4_clean": q_c4_clean,
         "line_dedup": q_line_dedup,
         "dsir_weight": q_dsir_weight,
@@ -3852,6 +3863,47 @@ lf AS (SELECT doc_id,
 SELECT doc_id, array_to_string(ls2, chr(10)) AS text,
        len(ls2) AS n_lines
 FROM lf ORDER BY doc_id"""
+
+    # data-card report: exact counts + IEEE single-division ratios; the
+    # median is nearest-rank from the token-count histogram, entropy terms
+    # are 1e-6-quantized before the order-free integer sum
+    sql["datacard"] = r"""
+WITH d AS (SELECT doc_id, lang, source,
+             len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                             x -> x <> '')) AS tk,
+             length(text) AS ch, md5(text) AS h
+           FROM documents),
+tot AS (SELECT count(*) AS n, CAST(sum(tk) AS BIGINT) AS t,
+               CAST(sum(ch) AS BIGINT) AS c,
+               count(DISTINCT h) AS u, count(DISTINCT lang) AS nl,
+               count(DISTINCT source) AS ns FROM d),
+base AS (
+  SELECT 'n_docs' AS metric, n::DOUBLE AS value FROM tot UNION ALL
+  SELECT 'n_tokens', t::DOUBLE FROM tot UNION ALL
+  SELECT 'n_chars', c::DOUBLE FROM tot UNION ALL
+  SELECT 'n_langs', nl::DOUBLE FROM tot UNION ALL
+  SELECT 'n_sources', ns::DOUBLE FROM tot UNION ALL
+  SELECT 'mean_doc_tokens', round(t / n::DOUBLE, 6) FROM tot UNION ALL
+  SELECT 'exact_dup_rate', round(1.0 - u / n::DOUBLE, 6) FROM tot),
+hist AS (SELECT tk, count(*) AS cnt FROM d GROUP BY 1),
+cum AS (SELECT tk, sum(cnt) OVER (ORDER BY tk) AS cum FROM hist),
+med AS (SELECT 'median_doc_tokens' AS metric,
+               CAST(min(tk) AS DOUBLE) AS value
+        FROM cum CROSS JOIN tot WHERE cum >= ceil(n / 2.0)),
+langs AS (SELECT 'lang_share:' || lang AS metric,
+                 round(cnt / n::DOUBLE, 6) AS value
+          FROM (SELECT lang, count(*) AS cnt FROM d GROUP BY 1)
+          CROSS JOIN tot),
+ent AS (SELECT 'source_entropy_nats' AS metric,
+               round(-CAST(sum(q) AS BIGINT) / 1e6, 6) AS value
+        FROM (SELECT CAST(round(ln(cnt / n::DOUBLE)
+                                * (cnt / n::DOUBLE) * 1e6) AS BIGINT) AS q
+              FROM (SELECT source, count(*) AS cnt FROM d GROUP BY 1)
+              CROSS JOIN tot) _)
+SELECT metric, value FROM (
+  SELECT * FROM base UNION ALL SELECT * FROM med
+  UNION ALL SELECT * FROM langs UNION ALL SELECT * FROM ent) _
+ORDER BY metric"""
 
     # temperature-scaled domain mixing at alpha = 0.5: sqrt and division
     # are IEEE-correctly-rounded, so no quantization convention is needed

@@ -1,0 +1,146 @@
+"""Corpus-level reporting — the "data card" numbers a training-data
+release ships with (docs/tokens/chars, composition shares, duplication
+rate, length distribution).
+
+Everything is a small aggregate over one slim per-document projection;
+the output is long-format ``(metric, value)`` so new metrics never change
+the schema. All ratios follow the repo's cross-engine determinism
+conventions: exact integer counts, IEEE single divisions, and entropy
+terms integer-quantized before the (order-free) sum.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def corpus_datacard(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-pass corpus report: ``(metric, value)`` rows.
+
+    Metrics: ``n_docs``, ``n_tokens``, ``n_chars``, ``n_langs``,
+    ``n_sources``, ``mean_doc_tokens``, ``median_doc_tokens``
+    (nearest-rank lower median — exact, not interpolated),
+    ``exact_dup_rate`` (1 - distinct md5(text) / docs),
+    ``source_entropy_nats`` (Shannon entropy of the document-count
+    distribution over sources; per-source terms quantized to 1e-6 before
+    the sum so the total is order-independent), and one
+    ``lang_share:<lang>`` row per language.
+
+    Shape at scale: the per-document projection (two small strings + three
+    integers + one hash per doc) is computed once and persisted — it feeds
+    five independent aggregates and Spark would otherwise rescan the
+    corpus for each (BASELINE.md broadcast-boundary lesson). The median
+    comes from a token-count histogram (groupBy on the count value — at
+    most max-doc-length distinct rows), NOT a global sort or a large
+    limit(): the cumulative window runs over the tiny histogram only.
+    """
+    toks = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda t: t != "",
+        )
+    ).cast("long")
+    slim = df.select(
+        F.col(id_col),
+        F.col(lang_col).alias("_lang"),
+        F.col(source_col).alias("_src"),
+        toks.alias("_tk"),
+        F.length(F.col(text_col)).cast("long").alias("_ch"),
+        F.md5(F.col(text_col).cast("binary")).alias("_h"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    tot = slim.agg(
+        F.count("*").alias("_n"),
+        F.sum("_tk").alias("_t"),
+        F.sum("_ch").alias("_c"),
+        F.countDistinct("_h").alias("_u"),
+        F.countDistinct("_lang").alias("_nl"),
+        F.countDistinct("_src").alias("_ns"),
+    )
+
+    def _m(name, col):
+        return F.struct(F.lit(name).alias("metric"), col.cast("double").alias("value"))
+
+    base = tot.select(
+        F.explode(
+            F.array(
+                _m("n_docs", F.col("_n")),
+                _m("n_tokens", F.col("_t")),
+                _m("n_chars", F.col("_c")),
+                _m("n_langs", F.col("_nl")),
+                _m("n_sources", F.col("_ns")),
+                _m(
+                    "mean_doc_tokens",
+                    F.round(F.col("_t") / F.col("_n").cast("double"), 6),
+                ),
+                _m(
+                    "exact_dup_rate",
+                    F.round(
+                        F.lit(1.0) - F.col("_u") / F.col("_n").cast("double"),
+                        6,
+                    ),
+                ),
+            )
+        ).alias("_s")
+    ).select("_s.metric", "_s.value")
+
+    # nearest-rank lower median from the token-count histogram: the
+    # cumulative window orders the (distinct token count)-sized histogram,
+    # never the corpus
+    hist = slim.groupBy("_tk").agg(F.count("*").alias("_cnt"))
+    cum = hist.withColumn(
+        "_cum",
+        F.sum("_cnt").over(
+            Window.orderBy("_tk").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    median = (
+        cum.crossJoin(F.broadcast(tot.select("_n")))
+        .filter(F.col("_cum") >= F.ceil(F.col("_n") / 2))
+        .agg(F.min("_tk").alias("_med"))
+        .select(
+            F.lit("median_doc_tokens").alias("metric"),
+            F.col("_med").cast("double").alias("value"),
+        )
+    )
+
+    langs = (
+        slim.groupBy("_lang")
+        .agg(F.count("*").alias("_cnt"))
+        .crossJoin(F.broadcast(tot.select("_n")))
+        .select(
+            F.concat(F.lit("lang_share:"), F.col("_lang")).alias("metric"),
+            F.round(F.col("_cnt") / F.col("_n").cast("double"), 6).alias(
+                "value"
+            ),
+        )
+    )
+
+    ent = (
+        slim.groupBy("_src")
+        .agg(F.count("*").alias("_cnt"))
+        .crossJoin(F.broadcast(tot.select("_n")))
+        .select(
+            F.round(
+                F.log(F.col("_cnt") / F.col("_n").cast("double"))
+                * (F.col("_cnt") / F.col("_n").cast("double"))
+                * 1e6
+            )
+            .cast("long")
+            .alias("_q")
+        )
+        .agg(
+            F.round(-F.sum("_q") / 1e6, 6).cast("double").alias("value")
+        )
+        .select(F.lit("source_entropy_nats").alias("metric"), "value")
+    )
+
+    return base.unionByName(median).unionByName(langs).unionByName(ent)

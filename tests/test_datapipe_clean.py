@@ -469,3 +469,31 @@ def test_temperature_mix_alpha_one_is_natural(spark):
     }
     assert out["a"].mix_weight == out["a"].raw_share == 0.75
     assert out["a"].epochs == 1.0 and out["b"].epochs == 1.0
+
+
+# --------------------------------------------------------------- data card
+
+def test_corpus_datacard_hand_case(spark):
+    from rrdtool_1_x_spark.datapipe.report import corpus_datacard
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "web"),
+            (2, "a b c", "en", "web"),     # exact dup of 1
+            (3, "d e", "fr", "books"),
+            (4, "f", "en", "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r["metric"]: r["value"] for r in corpus_datacard(df).collect()}
+    assert out["n_docs"] == 4.0
+    assert out["n_tokens"] == 9.0
+    assert out["n_chars"] == 5.0 + 5.0 + 3.0 + 1.0
+    assert out["n_langs"] == 2.0 and out["n_sources"] == 2.0
+    assert out["exact_dup_rate"] == 0.25
+    assert out["mean_doc_tokens"] == 2.25
+    # token counts sorted: 1,2,3,3 -> lower median at rank ceil(4/2)=2 -> 2
+    assert out["median_doc_tokens"] == 2.0
+    assert out["lang_share:en"] == 0.75 and out["lang_share:fr"] == 0.25
+    # web 3/4, books 1/4 -> H = -(0.75 ln 0.75 + 0.25 ln 0.25)
+    assert abs(out["source_entropy_nats"] - 0.562335) < 1e-6
