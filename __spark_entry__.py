@@ -1137,6 +1137,40 @@ def q_pq_topk(spark, sf_dir):
     return pq_topk(e, q, k=10, m=8, codes=16).orderBy("query_id", "rank")
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    """IVFADC-style retrieval (datapipe.similarity.ivfpq_topk; Jégou et
+    al. §V): IVF cell pruning (16 cells, 4 probed) + PQ compressed-domain
+    scoring (8x16 codes) — the billion-scale recipe. Raw-vector codes
+    instead of residuals keep the ranking all-integer and bit-exact."""
+    from rrdtool_1_x_spark.datapipe.similarity import (
+        ivf_centroid_model,
+        ivfpq_topk,
+        pq_codebook,
+    )
+
+    e = _emb(spark, sf_dir)
+    q = e.orderBy("vec_id").limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    mkey = (spark.sparkContext.applicationId, sf_dir, "ivfmodel")
+    if mkey not in _IVF_MODEL_CACHE:
+        _IVF_MODEL_CACHE[mkey] = ivf_centroid_model(e, nlist=16)
+    ckey = (spark.sparkContext.applicationId, sf_dir, "pqbook")
+    if ckey not in _IVF_MODEL_CACHE:
+        _IVF_MODEL_CACHE[ckey] = pq_codebook(e, m=8, codes=16)
+    return ivfpq_topk(
+        e,
+        q,
+        k=10,
+        nlist=16,
+        nprobe=4,
+        m=8,
+        codes=16,
+        model=_IVF_MODEL_CACHE[mkey],
+        codebook=_IVF_MODEL_CACHE[ckey],
+    ).orderBy("query_id", "rank")
+
+
 def q_pq_recall(spark, sf_dir):
     """Recall@10 of the PQ ADC scan against the int8 brute-force baseline
     (datapipe.similarity.ann_recall) — the quality dial every compressed
@@ -2073,6 +2107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "pq_recall": q_pq_recall,
         "datacard": q_datacard,
+        "ivfpq_topk": q_ivfpq_topk,
         "c4_clean": q_c4_clean,
         "line_dedup": q_line_dedup,
         "dsir_weight": q_dsir_weight,
@@ -2836,6 +2871,43 @@ r AS (SELECT query_id, vec_id, pq_dist,
                            ORDER BY pq_dist ASC, vec_id ASC) AS rank
       FROM sc)
 SELECT query_id, vec_id, pq_dist, rank FROM r WHERE rank <= 10
+ORDER BY query_id, rank"""
+
+    # IVFADC: ivf_topk's float cell/probe chain (identical CTEs) confines
+    # the candidates; pq_topk's integer code/LUT chain scores them
+    sql["ivfpq_topk"] = _pq_cte + """,
+n2f AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM ev),
+cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n2f
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+sc0 AS (SELECT n2f.vec_id, cent.cid,
+              coalesce(CASE WHEN n2f.n2 > 0 AND cent.cn2 > 0
+                            THEN list_dot_product(n2f.v, cent.cv)
+                                 / (sqrt(n2f.n2) * sqrt(cent.cn2)) END,
+                       -2.0) AS s
+       FROM n2f CROSS JOIN cent),
+asg AS (SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY s DESC, cid ASC) AS rn
+          FROM sc0) _ WHERE rn = 1),
+probe AS (SELECT query_id, cid FROM (
+            SELECT sc0.vec_id AS query_id, sc0.cid,
+                   row_number() OVER (PARTITION BY sc0.vec_id
+                                      ORDER BY sc0.s DESC, sc0.cid ASC) AS rn
+            FROM sc0 JOIN qids ON sc0.vec_id = qids.query_id) _
+          WHERE rn <= 4),
+cand AS (SELECT probe.query_id, asg.vec_id FROM probe JOIN asg USING (cid)),
+scq AS (SELECT c.query_id, c.vec_id, CAST(sum(l.dd) AS BIGINT) AS pq_dist
+        FROM cand c
+        JOIN enc en ON en.vec_id = c.vec_id
+        JOIN lut l ON l.query_id = c.query_id
+                  AND l.s = en.s AND l.code = en.code
+        GROUP BY 1, 2),
+rq AS (SELECT query_id, vec_id, pq_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY pq_dist ASC, vec_id ASC) AS rank
+       FROM scq)
+SELECT query_id, vec_id, pq_dist, rank FROM rq WHERE rank <= 10
 ORDER BY query_id, rank"""
 
     # PQ recall@10 vs the int8 brute-force baseline: both sides are

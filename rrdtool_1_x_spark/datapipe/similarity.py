@@ -1457,9 +1457,18 @@ def pq_encode(
     codes a 64-dim float32 vector (256 B) stores as 8 nibbles (4 B) —
     64x smaller scans for every later ADC query.
     """
+    qc = quantize_embeddings(df, id_col, vec_col)
+    return qc.select(
+        F.col(id_col), _pq_codes_col(codebook).alias("codes")
+    )
+
+
+def _pq_codes_col(codebook: list[list[list[int]]]) -> Column:
+    """``array<int>`` of per-subspace PQ codes over a ``qvec`` column:
+    literal integer squared-difference folds + first-min ``array_position``
+    (ties to the lowest code, matching the oracle's ORDER BY d, code)."""
     m = len(codebook)
     d = len(codebook[0][0])
-    qc = quantize_embeddings(df, id_col, vec_col)
 
     def sub_dist(s: int, c: int) -> Column:
         e = None
@@ -1475,7 +1484,7 @@ def pq_encode(
         code_cols.append(
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         )
-    return qc.select(F.col(id_col), F.array(*code_cols).alias("codes"))
+    return F.array(*code_cols)
 
 
 def pq_topk(
@@ -1548,6 +1557,134 @@ def pq_topk(
         F.col("_q")[query_id_col].alias(query_id_col),
         F.col(id_col),
         F.col("_q")["pq_dist"].alias("pq_dist"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("pq_dist"), F.asc(id_col)
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    model: list[tuple[int, list[float], float]] | None = None,
+    codebook: list[list[list[int]]] | None = None,
+) -> DataFrame:
+    """IVF cell pruning + PQ compressed-domain scoring — the IVFADC
+    layout of Jégou et al. §V and the standard billion-scale ANN recipe:
+    the coarse quantizer confines the scan to ``nprobe/nlist`` of the
+    corpus, and the scan itself reads only ``m``-byte PQ codes.
+
+    Unlike classic IVFADC the codes quantize the RAW vector, not the
+    residual to the cell centroid: residual encoding refines recall but
+    ties every distance to float centroid arithmetic; raw-vector codes
+    keep the ranking all-integer and therefore bit-exact across engines
+    (the recall cost at these code budgets is measured by ``ann_recall``).
+
+    Returns ``(query_id, vec_id, pq_dist, rank)``, ascending distance,
+    ties to the lowest id. Cell assignment follows ``ivf_topk`` exactly
+    (literal float folds, ties to the lowest centroid id, zero vectors to
+    the lowest cell); probe lists replicate the same float ops driver-side
+    from ONE collect of the query frame.
+
+    Shape at scale: one map-only corpus projection computes (cell, codes);
+    at cluster scale both become ingest-time columns (cell = partition
+    key, codes = the stored payload) and the probe filter prunes
+    partitions at scan time. Scoring explodes the query batch only over
+    rows whose cell is probed; the final window is per-query top-k.
+    """
+    import math as _math
+
+    if model is None:
+        model = ivf_centroid_model(corpus, nlist=nlist, id_col=id_col, vec_col=vec_col)
+    if codebook is None:
+        codebook = pq_codebook(corpus, m, codes, id_col, vec_col)
+    m = len(codebook)
+    d = len(codebook[0][0])
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    staged = corpus.select(
+        F.col(id_col),
+        vd.alias("_v"),
+        F.array_max(F.transform(vd, lambda x: F.abs(x))).alias("_scale"),
+        (-F.array_max(_centroid_scores(F.col(vec_col), model))["nc"]).alias(
+            "_cell"
+        ),
+    )
+    qvec = F.when(
+        F.col("_scale") > 0,
+        F.transform(
+            F.col("_v"),
+            lambda x: F.round(x / F.col("_scale") * 127).cast("int"),
+        ),
+    ).otherwise(F.transform(F.col("_v"), lambda x: F.lit(0).cast("int")))
+    enc = staged.select(
+        F.col(id_col), F.col("_cell"), qvec.alias("qvec")
+    ).select(F.col(id_col), "_cell", _pq_codes_col(codebook).alias("codes"))
+
+    # two tiny collects of the query frame: raw vectors for the float
+    # probe-list fold (Python doubles == JVM doubles), int8 vectors for
+    # the integer LUTs (quantized Spark-side so the rounding rule is the
+    # engine's own)
+    qraw = {r[0]: [float(x) for x in r[1]] for r in
+            queries.select(query_id_col, vec_col).collect()}
+    qint = {r[0]: [int(x) for x in r[1]] for r in
+            quantize_embeddings(queries, query_id_col, vec_col)
+            .select(query_id_col, "qvec").collect()}
+    per_query = []
+    for qid, qvf in qraw.items():
+        qn2 = _seq_dot(qvf, qvf)
+        entries = []
+        for cid, cv, cn2 in model:
+            if cn2 > 0 and qn2 > 0:
+                s = _seq_dot(qvf, cv) / (_math.sqrt(qn2) * _math.sqrt(cn2))
+            else:
+                s = -2.0
+            entries.append((s, -cid))
+        entries.sort(reverse=True)  # (s desc, cid asc)
+        cells = [-nc for _, nc in entries[:nprobe]]
+        qq = qint[qid]
+        lut = [
+            [
+                sum(
+                    (qq[s * d + i] - cv) ** 2
+                    for i, cv in enumerate(codebook[s][c])
+                )
+                for c in range(len(codebook[s]))
+            ]
+            for s in range(m)
+        ]
+        dist = None
+        for s in range(m):
+            term = F.element_at(
+                F.array(*[F.lit(int(v)).cast("long") for v in lut[s]]),
+                F.col("codes")[s] + 1,
+            )
+            dist = term if dist is None else dist + term
+        per_query.append(
+            F.struct(
+                F.lit(qid).alias(query_id_col),
+                dist.alias("pq_dist"),
+                F.col("_cell").isin([int(c) for c in cells]).alias("_ok"),
+            )
+        )
+    scored = (
+        enc.select(F.col(id_col), F.explode(F.array(*per_query)).alias("_q"))
+        .filter(F.col("_q")["_ok"])
+        .select(
+            F.col("_q")[query_id_col].alias(query_id_col),
+            F.col(id_col),
+            F.col("_q")["pq_dist"].alias("pq_dist"),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.asc("pq_dist"), F.asc(id_col)

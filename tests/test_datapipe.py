@@ -1119,3 +1119,34 @@ def test_ann_recall_hand_case(spark):
     out = ann_recall(approx, exact, k=4).collect()[0]
     assert out["n_exact"] == 4 and out["n_hit"] == 2
     assert out["recall_at_k"] == 0.5
+
+
+def test_ivfpq_distances_match_pq_and_confinement(spark, emb):
+    from rrdtool_1_x_spark.datapipe.similarity import (
+        ivf_centroid_model,
+        ivfpq_topk,
+        pq_codebook,
+        pq_topk,
+    )
+
+    q = emb.orderBy("vec_id").limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    model = ivf_centroid_model(emb, nlist=16)
+    cb = pq_codebook(emb, m=8, codes=16)
+    ivf = ivfpq_topk(
+        emb, q, k=10, nlist=16, nprobe=4, model=model, codebook=cb
+    ).collect()
+    n = emb.count()
+    full = {
+        (r["query_id"], r["vec_id"]): r["pq_dist"]
+        for r in pq_topk(emb, q, k=n, codebook=cb).collect()
+    }
+    assert len(ivf) > 0
+    for r in ivf:
+        # same (query, vec) pair must carry the identical ADC distance
+        assert full[(r["query_id"], r["vec_id"])] == r["pq_dist"]
+    # pruning is real: ivfpq's hit set per query is a subset of the full
+    # PQ ranking but may skip better-ranked vectors in unprobed cells
+    ivf_ids = {(r["query_id"], r["vec_id"]) for r in ivf}
+    assert ivf_ids <= set(full)
