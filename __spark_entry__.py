@@ -1089,6 +1089,20 @@ def q_datacard(spark, sf_dir):
     return corpus_datacard(_docs(spark, sf_dir)).orderBy("metric")
 
 
+def q_mix_sample(spark, sf_dir):
+    """One materialized epoch of the temperature mixture (datapipe.
+    sampling.apply_mixture): per-domain repetition factor = epochs from
+    temperature_mix, stochastically rounded per document by the
+    deterministic hash draw — identical row multiset on every engine."""
+    from rrdtool_1_x_spark.datapipe.sampling import apply_mixture
+
+    return (
+        apply_mixture(_docs(spark, sf_dir))
+        .select("doc_id", "source", "copy")
+        .orderBy("doc_id", "copy")
+    )
+
+
 def q_dsir_weight(spark, sf_dir):
     """DSIR importance log-weights (datapipe.sampling.dsir_logweights; Xie
     et al. 2023): hashed-unigram bucket distributions for the target
@@ -2108,6 +2122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall": q_pq_recall,
         "datacard": q_datacard,
         "ivfpq_topk": q_ivfpq_topk,
+        "mix_sample": q_mix_sample,
         "c4_clean": q_c4_clean,
         "line_dedup": q_line_dedup,
         "dsir_weight": q_dsir_weight,
@@ -3560,6 +3575,31 @@ ORDER BY doc_id"""
         )
         + ") / 4294967296.0"
     )
+    # one materialized mixture epoch: the temperature_mix chain's rounded
+    # epochs joined back per-doc; stochastic rounding via the u01 draw
+    sql["mix_sample"] = rf"""
+WITH e AS (SELECT source AS domain,
+             len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                             x -> x <> '')) AS tk
+           FROM documents),
+per AS (SELECT domain, CAST(sum(tk) AS BIGINT) AS tok_cnt FROM e GROUP BY 1),
+tt AS (SELECT CAST(sum(tok_cnt) AS BIGINT) AS t FROM per),
+p AS (SELECT domain, tok_cnt::DOUBLE / t AS pr,
+             CAST(round(sqrt(tok_cnt::DOUBLE / t) * 1e9) AS BIGINT) AS wq
+      FROM per CROSS JOIN tt),
+wt AS (SELECT CAST(sum(wq) AS BIGINT) AS w FROM p),
+ep AS (SELECT domain, round((wq::DOUBLE / w) / pr, 6) AS epochs
+       FROM p CROSS JOIN wt),
+d AS (SELECT doc_id, source,
+             md5('mix:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+u AS (SELECT doc_id, source, {u01} AS u FROM d),
+nn AS (SELECT u.doc_id, u.source,
+         CAST(floor(epochs) AS BIGINT)
+         + CASE WHEN u.u < epochs - floor(epochs) THEN 1 ELSE 0 END AS n
+       FROM u JOIN ep ON ep.domain = u.source)
+SELECT doc_id, source, unnest(range(1, n + 1)) AS copy
+FROM nn WHERE n > 0 ORDER BY doc_id, copy"""
+
     sql["hash_split"] = f"""
 WITH t AS (SELECT doc_id, md5('split:' || CAST(doc_id AS VARCHAR)) AS h
            FROM documents),

@@ -362,6 +362,54 @@ def temperature_mix(
     )
 
 
+def apply_mixture(
+    df: DataFrame,
+    mix: DataFrame | None = None,
+    domain_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Materialize ONE epoch of the temperature-scaled mixture: each
+    document of domain ``d`` appears ``floor(epochs_d)`` times plus one
+    more with probability ``frac(epochs_d)``, decided by the
+    deterministic hash draw — stochastic rounding of the repetition
+    factor, so the expected token mix equals ``temperature_mix``'s table
+    exactly while every run/engine materializes the identical row set.
+
+    Returns the input rows with a ``copy`` column (1..n for repeated
+    docs); downweighted domains (``epochs < 1``) come out subsampled,
+    upweighted ones repeated — the physical corpus a trainer shuffles and
+    packs directly.
+
+    Shape at scale: the domain→epochs table broadcasts onto a map-only
+    scan; the repeat is a per-row ``sequence`` explode (output-sized, no
+    shuffle). Pass a precomputed ``mix`` to reuse the aggregate across
+    epochs/splits.
+    """
+    if mix is None:
+        mix = temperature_mix(df, domain_col, text_col, alpha)
+    rates = mix.select(
+        F.col("domain").alias(domain_col), F.col("epochs")
+    )
+    extra = F.when(
+        hash_u01(F.col(id_col), seed)
+        < F.col("epochs") - F.floor(F.col("epochs")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    n = (F.floor(F.col("epochs")).cast("long") + extra).alias("_n")
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .withColumn("_n", n)
+        .filter(F.col("_n") > 0)
+        .withColumn(
+            "copy", F.explode(F.sequence(F.lit(1).cast("long"), F.col("_n")))
+        )
+        .drop("_n", "epochs")
+    )
+
+
 def dsir_logweights(
     df: DataFrame,
     target: Column,

@@ -497,3 +497,38 @@ def test_corpus_datacard_hand_case(spark):
     assert out["lang_share:en"] == 0.75 and out["lang_share:fr"] == 0.25
     # web 3/4, books 1/4 -> H = -(0.75 ln 0.75 + 0.25 ln 0.25)
     assert abs(out["source_entropy_nats"] - 0.562335) < 1e-6
+
+
+# -------------------------------------------------------- mixture epochs
+
+def test_apply_mixture_expected_counts(spark):
+    from rrdtool_1_x_spark.datapipe.sampling import apply_mixture, temperature_mix
+
+    # big domain 'a' (many short docs), small domain 'b'
+    rows = [(i, "tok " * 9, "a") for i in range(200)] + [
+        (1000 + i, "tok", "b") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    mix = temperature_mix(df, domain_col="source")
+    eps = {r["domain"]: r["epochs"] for r in mix.collect()}
+    out = apply_mixture(df, mix=mix, domain_col="source")
+    counts = {
+        r["source"]: r["cnt"]
+        for r in out.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    # per-domain materialized count is within 1 of n * epochs possible
+    # bounds: floor(n*floor(eps)) <= cnt and the stochastic-rounding mean
+    # keeps it within a few draws of n * eps
+    assert abs(counts["a"] - 200 * eps["a"]) < 20
+    assert abs(counts["b"] - 20 * eps["b"]) < 6
+    # epochs < 1 domain is subsampled, > 1 repeated with copy column
+    assert eps["a"] < 1.0 < eps["b"]
+    max_copy = out.agg(F.max("copy")).collect()[0][0]
+    assert max_copy == int(eps["b"]) or max_copy == int(eps["b"]) + 1
+    # deterministic: same result on re-run
+    again = {
+        r["source"]: r["cnt"]
+        for r in apply_mixture(df, mix=mix, domain_col="source")
+        .groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert again == counts
