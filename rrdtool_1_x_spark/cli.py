@@ -512,8 +512,13 @@ def cmd_fetch(args: list[str]) -> int:
     return 0
 
 
-def _build_query(args: list[str]):
-    """Shared DEF/CDEF/VDEF parser for xport and graphv."""
+def _build_query(args: list[str], allow_missing_ds: bool = False):
+    """Shared DEF/CDEF/VDEF parser for xport and graphv.
+
+    ``allow_missing_ds`` (-Z/--use-nan-for-all-missing-data,
+    ALLOW_MISSING_DS at src/rrd_graph.c:1079): a DEF naming a DS the
+    archive doesn't carry becomes an all-NaN series instead of the
+    "No DS called ..." error."""
     from rrdtool_1_x_spark.plans.graph import Query
 
     step = _opt(args, "--step")
@@ -573,6 +578,12 @@ def _build_query(args: list[str]):
     series_cache: dict[str, list[str]] = {}
     for vname, spath, ds_name, cf, opts in parsed_defs:
         store = stores[spath]
+        if ds_name not in [d.name for d in store.dataset.ds]:
+            if not allow_missing_ds:
+                raise ValueError(f"No DS called '{ds_name}' in '{spath}'")
+            # -Z: the ds_name filter in _fetch_defs matches nothing, so
+            # the grid join pads the series to all-NaN — exactly the
+            # reference's ALLOW_MISSING_DS contract
         rollups = {
             i: store._read(f"rra_{i}") for i in range(len(store.dataset.rra))
         }
@@ -750,7 +761,7 @@ def _expand_range(vmin: float, vmax: float, base: float = 1000.0):
 
 
 def _final_bounds(bounds, lo_opt, up_opt, rigid, alt=None, base=1000.0,
-                  expand=True):
+                  expand=True, allow_shrink=False):
     """-l/-u/--rigid adjust the autoscale bounds exactly like the
     reference (src/rrd_graph.c:1486-1528): data expands past the user
     limits unless rigid; a crossed pair is pulled back together; then
@@ -774,6 +785,13 @@ def _final_bounds(bounds, lo_opt, up_opt, rigid, alt=None, base=1000.0,
         umin = vmin
     if math.isnan(umax) or (not rigid and umax < vmax):
         umax = vmax
+    # --allow-shrink (src/rrd_graph.c:1505-1520): rigid user limits may
+    # still SHRINK toward the data (never expand past it)
+    if allow_shrink and rigid:
+        if not math.isnan(umin) and umin < vmin:
+            umin = vmin
+        if not math.isnan(umax) and umax > vmax:
+            umax = vmax
     if umin > umax:
         umin = 0.99 * umax if umin > 0 else 1.01 * umax
     if alt == "A":
@@ -828,7 +846,7 @@ def cmd_graphv(args: list[str]) -> int:
         if a.startswith(("AREA:", "TICK:", "STACK:"))
         or (a.startswith("LINE") and ":" in a)
     ]
-    q = _build_query(args)
+    q = _build_query(args, allow_missing_ds=o["allow_missing_ds"])
     for p in prints:
         vname, fmt = p.split(":", 1)
         q.print_(vname, fmt)
@@ -1001,6 +1019,74 @@ def _graph_options(args: list[str]) -> dict:
             raise _GraphOptError("ERROR: font invalid, expected FONTTAG:size[:font]")
         if parts[0].upper() == "DEFAULT" and float(parts[1]) > 0:
             o["font_scale"] = max(1, round(float(parts[1]) / 8))
+    # --left-axis-format/-formatter + --right-axis-formatter
+    # (src/rrd_graph.c:5288-5319 cases 1012-1014): printf format for the
+    # left labels; numeric/timestamp/duration formatter switch per axis
+    o["left_axis_format"] = _opt(args, "--left-axis-format")
+    for key, optname, err in (
+        ("left_axis_formatter", "--left-axis-formatter",
+         "ERROR: Unknown left axis formatter"),
+        ("right_axis_formatter", "--right-axis-formatter",
+         "ERROR: Unknown right axis formatter"),
+    ):
+        val = _opt(args, optname, default="numeric")
+        if val not in ("numeric", "timestamp", "duration"):
+            raise _GraphOptError(err)
+        o[key] = val
+    # --week-fmt (case 1010): strftime format of the week-grid x labels
+    # (reference mutable default "Week %V", src/rrd_graph.c:90)
+    o["week_fmt"] = _opt(args, "--week-fmt", default="Week %V")
+    # --units si (LONGOPT_UNITS_SI): force SI labels on the log axis
+    units_opt = _opt(args, "--units")
+    o["units_si"] = False
+    if units_opt is not None:
+        if units_opt != "si":
+            raise _GraphOptError(
+                f"ERROR: invalid argument for --units: {units_opt}"
+            )
+        o["units_si"] = True
+    o["no_minor"] = _opt(args, "-I", "--no-minor", flag=True)
+    o["utc"] = _opt(args, "--utc", flag=True)  # FORCE_UTC_TIME (case 1016)
+    # -Z: a DEF naming a missing DS becomes an all-NaN series instead of
+    # an error (ALLOW_MISSING_DS, src/rrd_graph.c:1016,1079)
+    o["allow_missing_ds"] = _opt(
+        args, "-Z", "--use-nan-for-all-missing-data", flag=True
+    )
+    # -F: never suppress out-of-range HRULE/VRULE legends
+    # (FORCE_RULES_LEGEND, src/rrd_graph.c:2163)
+    o["force_rules_legend"] = _opt(
+        args, "-F", "--force-rules-legend", flag=True
+    )
+    # --allow-shrink (case 1015): lets rigid bounds shrink to the data
+    o["allow_shrink"] = _opt(args, "--allow-shrink", flag=True)
+    # --graph-type: TIME is the only implemented type — XY parses in the
+    # reference but fails at render ("Graph type %i is not implemented")
+    gtype = _opt(args, "--graph-type", default="TIME").upper()
+    if gtype not in ("TIME", "XY"):
+        raise _GraphOptError(f"ERROR: unsupported graphics type '{gtype}'")
+    if gtype == "XY":
+        raise _GraphOptError("ERROR: Graph type 1 is not implemented")
+    # accepted-for-compatibility knobs with no effect on the bitmap
+    # rasterizer: --alt-y-mrtg is a reference no-op kept "to save old apps
+    # from crashing" (src/rrd_graph.c:5020); --interlaced is a cairo-era
+    # no-op (case 'i'); gridfit/font render modes tune cairo antialiasing
+    _opt(args, "--alt-y-mrtg", flag=True)
+    _opt(args, "-i", "--interlaced", flag=True)
+    _opt(args, "-N", "--no-gridfit", flag=True)
+    _opt(args, "--disable-rrdtool-tag", flag=True)  # tag is never drawn
+    frm = _opt(args, "-R", "--font-render-mode", default="normal")
+    if frm not in ("normal", "light", "mono"):
+        raise _GraphOptError(
+            f"ERROR: unknown font-render-mode '{frm}'"
+        )
+    grm = _opt(args, "-G", "--graph-render-mode", default="normal")
+    if grm not in ("normal", "mono"):
+        raise _GraphOptError(
+            f"ERROR: unknown graph-render-mode '{grm}'"
+        )
+    fst = _opt(args, "-B", "--font-smoothing-threshold")
+    if fst is not None:
+        float(fst)
     o["alt_autoscale"] = _opt(args, "-A", "--alt-autoscale", flag=True)
     o["alt_as_min"] = _opt(args, "-J", "--alt-autoscale-min", flag=True)
     o["alt_as_max"] = _opt(args, "-M", "--alt-autoscale-max", flag=True)
@@ -1051,6 +1137,7 @@ def _paint(res, o: dict, legend_lines, rules):
         bounds, o["lo_opt"], o["up_opt"], o["rigid"],
         alt=None if o["y_grid_spec"] is not None else alt,
         base=o["base"], expand=o["y_grid_spec"] is None,
+        allow_shrink=o["allow_shrink"],
     )
     rows = [tuple(r) for r in res.plots.collect()] if res.plots is not None else []
     cv = render_graph(
@@ -1074,7 +1161,7 @@ def _paint(res, o: dict, legend_lines, rules):
         base=o["base"],
         only_graph=o["only_graph"],
         units_length=o["units_length"],
-        tz_localtime=_time.localtime,
+        tz_localtime=_time.gmtime if o["utc"] else _time.localtime,
         rules=rules,
         logarithmic=o["logarithmic"],
         full_size=o["full_size"],
@@ -1093,6 +1180,13 @@ def _paint(res, o: dict, legend_lines, rules):
         grid_dash=o["grid_dash"],
         dynamic_labels=o["dynamic_labels"],
         pango_markup=o["pango_markup"],
+        no_minor=o["no_minor"],
+        week_fmt=o["week_fmt"],
+        units_si=o["units_si"],
+        axis_format=o["left_axis_format"],
+        axis_formatter=o["left_axis_formatter"],
+        right_axis_formatter=o["right_axis_formatter"],
+        force_rules_legend=o["force_rules_legend"],
     )
     if o["zoom"] != 1.0:
         cv.zoom(o["zoom"])
@@ -1160,7 +1254,7 @@ def cmd_graph(args: list[str]) -> int:
         if a.startswith(("AREA:", "TICK:", "STACK:"))
         or (a.startswith("LINE") and ":" in a)
     ]
-    q = _build_query(args)
+    q = _build_query(args, allow_missing_ds=o["allow_missing_ds"])
     n_plain = len(prints)
     for p in prints:
         vname, fmt = p.split(":", 1)

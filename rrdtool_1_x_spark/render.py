@@ -724,17 +724,20 @@ _XLAB = (
     (60 * 60 * 24, 3600, 4 * 3600, 4 * 3600, "%H:%M"),
     (60 * 60 * 48, 2 * 3600, 8 * 3600, 8 * 3600, "%a %H:%M"),
     (60 * 60 * 24 * 8, 6 * 3600, 24 * 3600, 24 * 3600, "%a %d"),
-    (60 * 60 * 24 * 35, 24 * 3600, 7 * 24 * 3600, 7 * 24 * 3600, "Week %W"),
+    (60 * 60 * 24 * 35, 24 * 3600, 7 * 24 * 3600, 7 * 24 * 3600, None),
     (60 * 60 * 24 * 240, 7 * 24 * 3600, 30 * 24 * 3600, 30 * 24 * 3600, "%b"),
     (float("inf"), 30 * 24 * 3600, 365 * 24 * 3600 // 4, 365 * 24 * 3600 // 4, "%b %Y"),
 )
 
 
-def pick_xgrid(start: int, end: int):
+def pick_xgrid(start: int, end: int, week_fmt: str = "Week %V"):
+    """``week_fmt`` substitutes the week row's label format (--week-fmt;
+    the reference's mutable ``week_fmt[]`` default "Week %V",
+    src/rrd_graph.c:90,147)."""
     rng = end - start
     for max_rng, minor, major, lab, fmt in _XLAB:
         if rng <= max_rng:
-            return minor, major, lab, fmt
+            return minor, major, lab, week_fmt if fmt is None else fmt
     return _XLAB[-1][1:]
 
 
@@ -827,6 +830,13 @@ def render_graph(
     grid_dash: tuple[float, float] | None = None,
     dynamic_labels: bool = False,
     pango_markup: bool = False,
+    no_minor: bool = False,
+    week_fmt: str = "Week %V",
+    units_si: bool = False,
+    axis_format: str | None = None,
+    axis_formatter: str = "numeric",
+    right_axis_formatter: str = "numeric",
+    force_rules_legend: bool = False,
 ) -> "Canvas":
     """Rasterize a resolved graph.
 
@@ -944,8 +954,13 @@ def render_graph(
         [(el.color, el.legend,
           "line" if el.kind.upper().startswith("LINE") else "box")
          for el in elements if el.legend]
+        # out-of-range rule legends are suppressed unless -F
+        # (FORCE_RULES_LEGEND, src/rrd_graph.c:2163-2172)
         + [(r[2], r[3], "hrule" if r[0] == "H" else "vrule")
-           for r in (rules or []) if r[3]]
+           for r in (rules or [])
+           if r[3] and (force_rules_legend or (
+               vmin <= r[1] <= vmax if r[0] == "H"
+               else start <= r[1] <= end))]
         + [(None, line, "box") for line in (legend_lines or [])]
     )
     if legend_direction.lower().startswith("bottomup"):
@@ -1015,15 +1030,40 @@ def render_graph(
     # format wins, else ONE SI magnitude chosen from the mid grid value
     _ra_state: dict = {}
 
+    def _formatter_label(formatter: str, fmt: str | None, raw: float) -> str:
+        """timestamp/duration axis label (VALUE_FORMATTER_TIMESTAMP /
+        _DURATION, src/rrd_graph.c:2524-2562): strftime / strfduration of
+        the RAW axis value, bypassing SI scaling; reference defaults
+        default_timestamp_fmt / default_duration_fmt
+        (src/rrd_graph.c:255-257)."""
+        if formatter == "timestamp":
+            try:
+                return _time.strftime(
+                    fmt or "%Y-%m-%d %H:%M:%S", localtime(int(raw))
+                )
+            except (OverflowError, OSError, ValueError):
+                return f"{raw:f}"
+        from rrdtool_1_x_spark.plans.graph import _strfduration
+
+        return _strfduration(fmt or "%H:%02m:%02s", raw)
+
     def right_label(v: float) -> str:
         scale, shift = right_axis
         sval = v * scale + shift
+        if right_axis_formatter in ("timestamp", "duration"):
+            return _formatter_label(
+                right_axis_formatter, right_axis_format, sval
+            )
         if right_axis_format:
             try:
                 return right_axis_format % sval
             except TypeError:
                 return right_axis_format % (sval, "")
         if logarithmic:
+            if units_si:
+                mag = max(-6, min(6, int(_math.floor(
+                    _math.log10(abs(sval)) / 3)))) if sval > 0 else 0
+                return si_label(sval, 1000.0**mag, mag)
             return f"{sval:3.0e}"  # horizontal_log_grid default (%3.0e)
         if "magfact" not in _ra_state:
             mid = (vmin + vmax) / 2.0 * scale + shift
@@ -1067,17 +1107,25 @@ def render_graph(
             if v >= vmin * 0.999:
                 y = ytr(max(v, vmin))
                 _grid_h(y, col["MGRID"])
-                mag = max(-6, min(6, int(_math.floor(dec / 3))))
-                lab = si_label(v, 1000.0**mag, mag)
+                if axis_formatter in ("timestamp", "duration"):
+                    lab = _formatter_label(axis_formatter, axis_format, v)
+                elif units_si:
+                    # --units=si: SI ladder labels on the log axis
+                    # (horizontal_log_grid FORCE_UNITS_SI branch)
+                    mag = max(-6, min(6, int(_math.floor(dec / 3))))
+                    lab = si_label(v, 1000.0**mag, mag)
+                else:
+                    lab = f"{v:3.0e}"  # default %3.0e log label
                 cv.text(x0 - 4 - len(lab) * CHAR_W, y - CHAR_H // 2, lab,
                         col["FONT"])
                 if right_axis is not None:
                     cv.text(x1 + 8, y - CHAR_H // 2, right_label(v),
                             col["FONT"])
-            for m in range(2, 10):
-                v2 = m * 10.0**dec
-                if vmin <= v2 <= vmax:
-                    _grid_h(ytr(v2), col["GRID"])
+            if not no_minor:
+                for m in range(2, 10):
+                    v2 = m * 10.0**dec
+                    if vmin <= v2 <= vmax:
+                        _grid_h(ytr(v2), col["GRID"])
             dec += 1
     elif y_grid:
         alt_fmt = None
@@ -1134,10 +1182,22 @@ def render_graph(
             v = k * step
             y = ytr(v)
             major = (round(k) % labfact) == 0
-            _grid_h(y, col["MGRID"] if major else col["GRID"])
+            if major or not no_minor:
+                _grid_h(y, col["MGRID"] if major else col["GRID"])
             if major:
-                lab = (alt_fmt % v).strip() if alt_fmt else si_label(
-                    v, magfact, mag)
+                if axis_formatter in ("timestamp", "duration"):
+                    # formatter labels bypass SI scaling (raw axis value)
+                    lab = _formatter_label(axis_formatter, axis_format, v)
+                elif axis_format:
+                    # --left-axis-format printf on the SI-scaled value
+                    # (primary_axis_format branch, src/rrd_graph.c:2493)
+                    try:
+                        lab = (axis_format % (v / magfact)).strip()
+                    except TypeError:
+                        lab = (axis_format % (v / magfact, "")).strip()
+                else:
+                    lab = (alt_fmt % v).strip() if alt_fmt else si_label(
+                        v, magfact, mag)
                 cv.text(x0 - 4 - len(lab) * CHAR_W, y - CHAR_H // 2, lab, col["FONT"])
                 if right_axis is not None:
                     cv.text(x1 + 8, y - CHAR_H // 2, right_label(v),
@@ -1146,13 +1206,15 @@ def render_graph(
             i += 1
     if x_grid:
         minor, major, labstep, fmt = (
-            x_grid_spec if x_grid_spec is not None else pick_xgrid(start, end)
+            x_grid_spec if x_grid_spec is not None
+            else pick_xgrid(start, end, week_fmt)
         )
         t = (start // minor + 1) * minor
         while t <= end:
             x = xtr(t)
             is_major = t % major == 0
-            _grid_v(x, col["MGRID"] if is_major else col["GRID"])
+            if is_major or not no_minor:
+                _grid_v(x, col["MGRID"] if is_major else col["GRID"])
             t += minor
         t = (start // labstep + 1) * labstep
         while t <= end:

@@ -902,3 +902,63 @@ def test_cli_equals_form_guards(ds_path, tmp_path, capsys):
     assert rc == 0
     doc = json.loads(capsys.readouterr().out)
     assert len(doc["data"]) <= 5
+
+
+def test_graphv_missing_ds_and_Z(ds_path, capsys, tmp_path):
+    """-Z/--use-nan-for-all-missing-data: a DEF naming a DS the archive
+    doesn't carry is an error by default (No DS called ...) and an
+    all-NaN series under -Z (ALLOW_MISSING_DS)."""
+    argv = [
+        "graphv", "-", "-s", str(START), "-e", str(UPDATES[-1][0]),
+        f"DEF:v={ds_path}:nosuch:AVERAGE",
+        "VDEF:m=v,MAXIMUM", "PRINT:m:%6.2lf",
+    ]
+    rc = main(argv)
+    out = capsys.readouterr()
+    assert rc != 0
+    assert "No DS called 'nosuch'" in out.err + out.out
+    rc = main(argv[:2] + ["-Z"] + argv[2:])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "nan" in out.lower()  # the PRINT of an all-NaN max
+
+
+def test_graph_option_validation_errors(ds_path, capsys):
+    base = [
+        "graph", "-", "-s", str(START), "-e", str(UPDATES[-1][0]),
+        f"DEF:v={ds_path}:speed:AVERAGE", "LINE1:v#ff0000",
+    ]
+    for extra, msg in [
+        (["--units", "mi"], "invalid argument for --units"),
+        (["--graph-type", "XY"], "Graph type 1 is not implemented"),
+        (["--graph-type", "POLAR"], "unsupported graphics type"),
+        (["--left-axis-formatter", "bogus"], "Unknown left axis formatter"),
+        (["--right-axis-formatter", "bogus"], "Unknown right axis formatter"),
+        (["--font-render-mode", "fuzzy"], "unknown font-render-mode"),
+        (["--graph-render-mode", "fuzzy"], "unknown graph-render-mode"),
+    ]:
+        rc = main(base[:2] + extra + base[2:])
+        out = capsys.readouterr()
+        assert rc != 0, extra
+        assert msg in out.err + out.out, (extra, out)
+
+
+def test_graph_accepts_compat_options(ds_path, tmp_path, capsys):
+    """The accepted-for-compatibility knobs parse without error and the
+    real ones change the output: --no-minor, --utc, --week-fmt,
+    --left-axis-format, --units si (log), --allow-shrink, -F."""
+    png = str(tmp_path / "g.png")
+    rc = main([
+        "graph", png, "-s", str(START), "-e", str(UPDATES[-1][0]),
+        "--no-minor", "--utc", "--week-fmt", "KW%V",
+        "--left-axis-format", "%.1f", "--alt-y-mrtg", "--interlaced",
+        "--no-gridfit", "--disable-rrdtool-tag",
+        "--font-render-mode", "light", "--graph-render-mode", "mono",
+        "--font-smoothing-threshold", "8", "--graph-type", "TIME",
+        "--allow-shrink", "--force-rules-legend",
+        f"DEF:v={ds_path}:speed:AVERAGE", "LINE1:v#ff0000",
+        "HRULE:1e9#0000ff:way-out",
+    ])
+    capsys.readouterr()
+    assert rc == 0
+    assert open(png, "rb").read()[:8] == b"\x89PNG\r\n\x1a\n"

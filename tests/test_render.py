@@ -998,3 +998,73 @@ def test_gradient_area_negative_values_screen_space():
     top, bot = painted[2], painted[-3]
     assert top[0] > top[2]  # red-dominant near the base (screen top)
     assert bot[2] > bot[0]  # blue-dominant near the value edge (bottom)
+
+
+# ------------------------------------------- option-table close-out batch
+
+def test_no_minor_suppresses_minor_grid():
+    el = GraphElement("LINE", "v", color="#ff0000")
+    kw = dict(width=120, height=60, x_grid=True, y_grid=True)
+    cv = render_graph(_rows([3.0] * 20), [el], (0.0, 10.0), 1000, 1200, **kw)
+    cv2 = render_graph(_rows([3.0] * 20), [el], (0.0, 10.0), 1000, 1200,
+                       no_minor=True, **kw)
+    img, img2 = _img(cv), _img(cv2)
+    # minor gridlines disappear: strictly fewer non-background pixels
+    n1 = (img != 255).any(axis=2).sum()
+    n2 = (img2 != 255).any(axis=2).sum()
+    assert n2 < n1
+
+
+def test_week_fmt_substitution():
+    # 3-week range picks the week row; custom --week-fmt text appears
+    start, end = 1_000_000_000, 1_000_000_000 + 21 * 86400
+    minor, major, lab, fmt = pick_xgrid(start, end)
+    assert fmt == "Week %V"
+    _, _, _, fmt2 = pick_xgrid(start, end, week_fmt="KW%V")
+    assert fmt2 == "KW%V"
+
+
+def test_log_axis_default_label_is_exponent_form():
+    """Default log labels are %3.0e (horizontal_log_grid); --units=si
+    switches to the SI ladder."""
+    el = GraphElement("LINE", "v", color="#ff0000")
+    kw = dict(width=160, height=80, x_grid=False, y_grid=True,
+              logarithmic=True)
+    cv = render_graph(_rows([50.0] * 10), [el], (1.0, 100.0), 1000, 1100,
+                      **kw)
+    cv_si = render_graph(_rows([50.0] * 10), [el], (1.0, 100.0), 1000, 1100,
+                         units_si=True, **kw)
+    # the two label styles paint differently in the left margin
+    assert np.abs(_img(cv).astype(int) - _img(cv_si).astype(int)).sum() > 0
+
+
+def test_left_axis_format_and_formatters():
+    el = GraphElement("LINE", "v", color="#ff0000")
+    kw = dict(width=160, height=80, x_grid=False, y_grid=True)
+    base = render_graph(_rows([5.0] * 10), [el], (0.0, 10.0), 1000, 1100,
+                        **kw)
+    fmt = render_graph(_rows([5.0] * 10), [el], (0.0, 10.0), 1000, 1100,
+                       axis_format="%.2f", **kw)
+    dur = render_graph(_rows([5.0] * 10), [el], (0.0, 10.0), 1000, 1100,
+                       axis_formatter="duration", **kw)
+    ts = render_graph(_rows([5.0] * 10), [el], (0.0, 10.0), 1000, 1100,
+                      axis_formatter="timestamp", axis_format="%M:%S", **kw)
+    imgs = [_img(c) for c in (base, fmt, dur, ts)]
+    for i in range(1, 4):
+        assert np.abs(imgs[0].astype(int) - imgs[i].astype(int)).sum() > 0
+
+
+def test_force_rules_legend():
+    # HRULE far outside the bounds: legend suppressed by default,
+    # painted with force_rules_legend (reference -F)
+    el = GraphElement("LINE", "v", color="#ff0000")
+    kw = dict(width=80, height=40, x_grid=False, y_grid=False)
+    rules = [("H", 99.0, "#0000ff", "out-of-range rule")]
+    cv = render_graph(_rows([5.0] * 10), [el], (0.0, 10.0), 1000, 1100,
+                      rules=rules, **kw)
+    cvf = render_graph(_rows([5.0] * 10), [el], (0.0, 10.0), 1000, 1100,
+                       rules=rules, force_rules_legend=True, **kw)
+    # forced version has a blue legend swatch below the plot, default not
+    blue = lambda img: ((img == [0, 0, 255]).all(axis=2)).sum()
+    assert blue(_img(cv)) == 0
+    assert blue(_img(cvf)) > 0
