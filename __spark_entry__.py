@@ -1089,6 +1089,28 @@ def q_datacard(spark, sf_dir):
     return corpus_datacard(_docs(spark, sf_dir)).orderBy("metric")
 
 
+def q_split_leak(spark, sf_dir):
+    """Train/val/test leakage audit (datapipe.decontam.split_leakage):
+    hash_split assignment composed with exact-copy pairs (md5 groups) and
+    MinHash-LSH near-duplicates; only pairs crossing the split boundary
+    survive — the report an eval split must pass to be trusted."""
+    from rrdtool_1_x_spark.datapipe.decontam import split_leakage
+
+    return (
+        split_leakage(
+            _docs(spark, sf_dir), {"train": 0.8, "val": 0.1, "test": 0.1}
+        )
+        .select(
+            "id_a",
+            "split_a",
+            "id_b",
+            "split_b",
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_mix_sample(spark, sf_dir):
     """One materialized epoch of the temperature mixture (datapipe.
     sampling.apply_mixture): per-domain repetition factor = epochs from
@@ -2134,6 +2156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datacard": q_datacard,
         "ivfpq_topk": q_ivfpq_topk,
         "mix_sample": q_mix_sample,
+        "split_leak": q_split_leak,
         "c4_clean": q_c4_clean,
         "line_dedup": q_line_dedup,
         "dsir_weight": q_dsir_weight,
@@ -3610,6 +3633,29 @@ nn AS (SELECT u.doc_id, u.source,
        FROM u JOIN ep ON ep.domain = u.source)
 SELECT doc_id, source, unnest(range(1, n + 1)) AS copy
 FROM nn WHERE n > 0 ORDER BY doc_id, copy"""
+
+    # split-leakage audit: hash_split labels + exact-copy pairs (to the
+    # min-id representative) + the shared near-dup chain, cross-split only
+    sql["split_leak"] = f"""
+WITH lab0 AS (SELECT doc_id, text,
+                md5('split:' || CAST(doc_id AS VARCHAR)) AS h
+              FROM documents),
+lab1 AS (SELECT doc_id, text, {u01} AS u FROM lab0),
+lab AS (SELECT doc_id, text,
+          CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+               ELSE 'test' END AS split
+        FROM lab1),
+{_nd_cte_from("lab")},
+ex AS (SELECT ra AS id_a, doc_id AS id_b, 1.0 AS j FROM (
+         SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS ra
+         FROM lab) _ WHERE doc_id != ra),
+allp AS (SELECT id_a, id_b, j FROM nd_pairs
+         UNION ALL SELECT id_a, id_b, j FROM ex)
+SELECT p.id_a, la.split AS split_a, p.id_b, lb.split AS split_b,
+       round(p.j, 6) AS jaccard
+FROM allp p JOIN lab la ON la.doc_id = p.id_a
+            JOIN lab lb ON lb.doc_id = p.id_b
+WHERE la.split != lb.split ORDER BY id_a, id_b"""
 
     sql["hash_split"] = f"""
 WITH t AS (SELECT doc_id, md5('split:' || CAST(doc_id AS VARCHAR)) AS h

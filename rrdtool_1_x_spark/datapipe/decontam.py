@@ -148,3 +148,80 @@ def vocab_top_ngrams(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "ngram", "doc_freq", "rank"
     )
+
+
+def split_leakage(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "split",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_len: int = 3,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = 512,
+) -> DataFrame:
+    """Train/val/test leakage report: duplicate content that crosses the
+    split boundary. A val/test item with a (near-)copy in train silently
+    inflates every metric — this is the audit a split must pass before an
+    eval number is trusted.
+
+    Composes the deterministic ``hash_split`` assignment with TWO overlap
+    detectors: exact copies (each md5 group's members pair with the
+    smallest-id representative, jaccard = 1.0 — ``collapse_exact``
+    removes these from the LSH path, and a group spanning splits always
+    pairs its representative across the boundary) and MinHash-LSH
+    near-duplicates (same parameters and skew guards as
+    ``minhash_near_duplicates``). Returns cross-split pairs only:
+    ``(id_a, split_a, id_b, split_b, jaccard)`` with ``id_a < id_b``.
+
+    Shape at scale: the split label is a scan-time hash expression (no
+    extra pass); exact pairs are one md5-keyed window; the near-dup path
+    is the banded/capped LSH machinery; the final label join keys the
+    (few) pairs against the slim (id, split) projection.
+    """
+    from rrdtool_1_x_spark.datapipe.dedup import minhash_near_duplicates
+    from rrdtool_1_x_spark.datapipe.sampling import hash_split
+
+    labeled = hash_split(
+        df.select(id_col, text_col), weights, id_col=id_col, seed=seed
+    )
+    near = minhash_near_duplicates(
+        labeled,
+        id_col,
+        text_col,
+        num_hashes,
+        bands,
+        shingle_len,
+        jaccard_threshold,
+        max_bucket_size,
+    ).select("id_a", "id_b", F.col("jaccard"))
+    w = Window.partitionBy(F.md5(F.col(text_col).cast("binary")))
+    exact = (
+        labeled.withColumn("_rep", F.min(id_col).over(w))
+        .filter(F.col(id_col) != F.col("_rep"))
+        .select(
+            F.col("_rep").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    lab = labeled.select(id_col, "split")
+    return (
+        exact.unionByName(near)
+        .join(
+            lab.select(
+                F.col(id_col).alias("id_a"), F.col("split").alias("split_a")
+            ),
+            "id_a",
+        )
+        .join(
+            lab.select(
+                F.col(id_col).alias("id_b"), F.col("split").alias("split_b")
+            ),
+            "id_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "split_a", "id_b", "split_b", "jaccard")
+    )

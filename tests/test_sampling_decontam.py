@@ -294,3 +294,30 @@ def test_pack_sequences_default_matches_driver_cumsum(spark):
                    if d in got}  # zero-token docs emit no rows
     # and every non-empty doc is present
     assert set(got) == {r.doc_id for r in toks if r.n > 0}
+
+
+def test_split_leakage_detects_cross_split_copies(spark):
+    from rrdtool_1_x_spark.datapipe.decontam import split_leakage
+
+    body = "alpha beta gamma delta epsilon zeta eta theta"
+    near = "alpha beta gamma delta epsilon zeta eta iota"
+    rows = (
+        [(i, body) for i in range(6)]            # exact-copy group
+        + [(100, near)]                          # near-dup of the group rep
+        + [(200 + i, f"unique text number {i} nothing shared") for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = split_leakage(df, {"train": 0.5, "val": 0.5}).collect()
+    # the copy group spans both splits with overwhelming probability over
+    # 6 ids; every reported pair must genuinely cross and be a real dup
+    assert out, "expected cross-split duplicate pairs"
+    for r in out:
+        assert r["split_a"] != r["split_b"]
+        assert r["id_a"] < r["id_b"]
+        assert r["jaccard"] >= 0.5
+    # exact pairs anchor at the group representative (min id = 0)
+    exact = [r for r in out if r["jaccard"] == 1.0]
+    assert exact and all(r["id_a"] == 0 for r in exact)
+    # no unique doc appears in any pair
+    ids = {r["id_a"] for r in out} | {r["id_b"] for r in out}
+    assert not any(i >= 200 for i in ids)
