@@ -1089,6 +1089,28 @@ def q_datacard(spark, sf_dir):
     return corpus_datacard(_docs(spark, sf_dir)).orderBy("metric")
 
 
+def q_hll_distinct(spark, sf_dir):
+    """Per-source approximate distinct-token counts via a bit-exact
+    HyperLogLog (datapipe.sketch.hll_distinct; Flajolet et al. 2007):
+    md5-derived 32-bit hashes, 512 integer-max registers, the harmonic
+    sum computed as an exact dyadic rational — the whole sketch is
+    deterministic across engines and partitionings. exact=True adds the
+    true count and relative error for the audit."""
+    from rrdtool_1_x_spark.datapipe.sketch import hll_distinct
+
+    d = _docs(spark, sf_dir)
+    toks = F.explode(
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda t: t != "",
+        )
+    ).alias("tok")
+    e = d.select("source", toks)
+    return hll_distinct(e, F.col("tok"), ["source"], exact=True).orderBy(
+        "source"
+    )
+
+
 def q_split_leak(spark, sf_dir):
     """Train/val/test leakage audit (datapipe.decontam.split_leakage):
     hash_split assignment composed with exact-copy pairs (md5 groups) and
@@ -2157,6 +2179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": q_ivfpq_topk,
         "mix_sample": q_mix_sample,
         "split_leak": q_split_leak,
+        "hll_distinct": q_hll_distinct,
         "c4_clean": q_c4_clean,
         "line_dedup": q_line_dedup,
         "dsir_weight": q_dsir_weight,
@@ -4094,6 +4117,43 @@ SELECT domain, n_docs, tok_cnt,
        round(wq::DOUBLE / w, 6) AS mix_weight,
        round((wq::DOUBLE / w) / pr, 6) AS epochs
 FROM p CROSS JOIN wt ORDER BY domain"""
+
+    # bit-exact HyperLogLog: md5-derived 32-bit hashes, 512 integer-max
+    # registers, harmonic sum as an exact dyadic rational (V*2^K + S)/2^K;
+    # only the final multiply/divide and the linear-counting ln are float,
+    # each one correctly-rounded op on exactly-reproducible inputs
+    _alpha_sql = "0.7213 / (1 + 1.079 / 512) * 512 * 512"
+    sql["hll_distinct"] = rf"""
+WITH e AS (SELECT source,
+             unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                      '\s+'),
+                                x -> x <> '')) AS tok
+           FROM documents),
+hh AS (SELECT source, tok, md5('hll:' || tok) AS h FROM e),
+hv AS (SELECT source, CAST(({_hex8int}) AS BIGINT) AS h32 FROM hh),
+br AS (SELECT source, h32 >> 23 AS bucket, h32 % 8388608 AS w FROM hv),
+rr AS (SELECT source, bucket,
+         CASE WHEN w > 0 THEN 23 - (length(bin(w)) - 1) ELSE 24 END AS rho
+       FROM br),
+regs AS (SELECT source, bucket, max(rho) AS mr FROM rr GROUP BY 1, 2),
+kk AS (SELECT source, max(mr) AS K FROM regs GROUP BY 1),
+per AS (SELECT regs.source, any_value(K) AS K, count(*) AS nb,
+          CAST(sum(CAST(1 AS BIGINT) << (K - mr)) AS BIGINT) AS S
+        FROM regs JOIN kk USING (source) GROUP BY 1),
+sel AS (SELECT source, (512 - nb) AS V,
+          CAST(CAST(1 AS BIGINT) << K AS DOUBLE) AS p2k, S
+        FROM per),
+est AS (SELECT source,
+          CASE WHEN ({_alpha_sql} * p2k / (V::DOUBLE * p2k + S::DOUBLE))
+                    <= 1280.0 AND V > 0
+               THEN 512.0 * ln(512.0 / V)
+               ELSE {_alpha_sql} * p2k / (V::DOUBLE * p2k + S::DOUBLE)
+          END AS ev
+        FROM sel),
+ex AS (SELECT source, count(DISTINCT tok) AS n_exact FROM e GROUP BY 1)
+SELECT est.source, n_exact, round(ev, 4) AS hll_est,
+       round(abs(round(ev, 4) - n_exact) / n_exact::DOUBLE, 4) AS rel_err
+FROM est JOIN ex USING (source) ORDER BY source"""
 
     # DSIR hashed-unigram importance weights: target = lang 'en', raw =
     # whole corpus; add-one smoothed bucket distributions, 1e-6-quantized

@@ -1,0 +1,127 @@
+"""Distributed sketches — sublinear-state summaries for 100 TB scans.
+
+HyperLogLog here is formulated so the ENTIRE sketch is cross-engine
+bit-exact: hashes come from md5 (content-addressed, engine-portable),
+registers are integer maxima (order-free under any partitioning), and the
+harmonic sum is computed as an exact dyadic rational — ``sum(2^-rho)``
+becomes ``(V * 2^K + sum(2^(K - rho))) / 2^K`` over integers, so no float
+accumulation order can perturb the estimate. Only the final
+multiply/divide (and the linear-counting ``ln``) are floating point, each
+a single correctly-rounded operation on exactly-reproducible inputs.
+
+This is the estimator of Flajolet/Fusy/Gandouet/Meunier (AofA 2007) in
+its classic 32-bit form with linear-counting small-range correction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_P = 9                      # 2^9 = 512 registers
+_M = 1 << _P
+_WBITS = 32 - _P            # bits feeding the rho (leading-zero) count
+
+
+def _alpha(m: int) -> float:
+    if m >= 128:
+        return 0.7213 / (1 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+
+
+def _h32(col: Column, seed: str = "hll") -> Column:
+    """First 8 hex digits of md5(seed:value) as a uint32 — the portable
+    hash every gate's oracle rebuilds."""
+    h = F.md5(F.concat(F.lit(seed + ":"), col.cast("string")).cast("binary"))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def hll_register_cols(value: Column, seed: str = "hll") -> tuple[Column, Column]:
+    """(bucket, rho) for one value: bucket = high ``_P`` hash bits; rho =
+    1 + leading zeros of the remaining ``_WBITS``-bit word (capped at
+    ``_WBITS + 1`` for the all-zero word). ``floor(log2(w))`` is computed
+    exactly as ``length(bin(w)) - 1`` — both engines have bin() — so no
+    float log touches the register path."""
+    h = _h32(value, seed)
+    bucket = F.shiftright(h, _WBITS)
+    w = h % F.lit(1 << _WBITS)
+    rho = F.when(w > 0, F.lit(_WBITS) - (F.length(F.bin(w)) - 1)).otherwise(
+        F.lit(_WBITS + 1)
+    )
+    return bucket.cast("int").alias("bucket"), rho.cast("int").alias("rho")
+
+
+def hll_distinct(
+    df: DataFrame,
+    value: Column,
+    group_cols: list[str] | None = None,
+    seed: str = "hll",
+    exact: bool = False,
+) -> DataFrame:
+    """Approximate COUNT(DISTINCT value) [GROUP BY group_cols] via a
+    512-register HyperLogLog. Returns one row per group:
+    ``(*group_cols, hll_est)`` (+ ``n_exact`` and ``rel_err`` with
+    ``exact=True``, for recall-style audits).
+
+    Shape at scale: duplicates collapse in the FIRST map-side combine
+    (max per (group, bucket) register) — the shuffle carries at most 512
+    integer rows per group no matter how many billions of values feed it.
+    That register frame is the whole reduction state; the estimate math
+    runs on it alone. This is the operator that replaces an exact
+    count-distinct's full shuffle of every distinct value.
+    """
+    groups = group_cols or []
+    bucket, rho = hll_register_cols(value, seed)
+    regs = (
+        df.select(*groups, bucket, rho)
+        .groupBy(*groups, "bucket")
+        .agg(F.max("rho").alias("mr"))
+    )
+    w = Window.partitionBy(*groups) if groups else Window.partitionBy()
+    # exact dyadic harmonic sum: scale by 2^K (K = the group's max rho,
+    # <= 24 at p=9/32-bit hashes, so every shifted term fits a long)
+    regs = regs.withColumn("K", F.max("mr").over(w))
+    per = regs.groupBy(*groups).agg(
+        F.first("K").alias("K"),
+        F.count("*").alias("nb"),
+        # pyspark's shiftleft() helper takes a literal bit count; the SQL
+        # form accepts a column expression
+        F.sum(F.expr("shiftleft(1L, K - mr)")).alias("S"),
+    )
+    m = float(_M)
+    V = F.lit(_M) - F.col("nb")
+    # 2^K as an exact integer shift (K <= 25), not pow() — float pow is
+    # not guaranteed correctly rounded everywhere
+    pow2k = F.expr("shiftleft(1L, K)").cast("double")
+    e_raw = (
+        F.lit(_alpha(_M) * m * m)
+        * pow2k
+        / (V.cast("double") * pow2k + F.col("S").cast("double"))
+    )
+    # small-range (linear counting) correction: E <= 2.5m and empty
+    # registers exist -> m * ln(m / V)
+    est = F.when(
+        (e_raw <= 2.5 * _M) & (V > 0),
+        F.lit(m) * F.log(F.lit(m) / V.cast("double")),
+    ).otherwise(e_raw)
+    out = per.select(*groups, F.round(est, 4).alias("hll_est"))
+    if exact:
+        ex = df.select(*groups, value.alias("_v")).groupBy(*groups).agg(
+            F.countDistinct("_v").alias("n_exact")
+        )
+        join_on = groups if groups else None
+        if join_on:
+            out = out.join(ex, join_on)
+        else:
+            out = out.crossJoin(ex)
+        out = out.select(
+            *groups,
+            "n_exact",
+            "hll_est",
+            F.round(
+                F.abs(F.col("hll_est") - F.col("n_exact"))
+                / F.col("n_exact").cast("double"),
+                4,
+            ).alias("rel_err"),
+        )
+    return out

@@ -321,3 +321,48 @@ def test_split_leakage_detects_cross_split_copies(spark):
     # no unique doc appears in any pair
     ids = {r["id_a"] for r in out} | {r["id_b"] for r in out}
     assert not any(i >= 200 for i in ids)
+
+
+def test_hll_distinct_accuracy_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from rrdtool_1_x_spark.datapipe.sketch import hll_distinct
+
+    # 5000 distinct values with duplicates mixed in
+    df = spark.range(15000).select(
+        (F.col("id") % 5000).cast("string").alias("v"),
+        (F.col("id") % 3).cast("string").alias("g"),
+    )
+    out = {
+        r["g"]: r
+        for r in hll_distinct(df, F.col("v"), ["g"], exact=True).collect()
+    }
+    for g, r in out.items():
+        assert r["n_exact"] == 5000
+        # 512 registers -> ~4.6% standard error; allow 4 sigma
+        assert r["rel_err"] < 0.2, r
+    # order/partitioning independence: repartitioned input, same estimate
+    out2 = {
+        r["g"]: r["hll_est"]
+        for r in hll_distinct(
+            df.repartition(13, "v"), F.col("v"), ["g"], exact=True
+        ).collect()
+    }
+    assert out2 == {g: r["hll_est"] for g, r in out.items()}
+    # duplicates never move the estimate
+    out3 = hll_distinct(
+        df.filter(F.col("g") == "0").union(df.filter(F.col("g") == "0")),
+        F.col("v"), ["g"],
+    ).collect()[0]["hll_est"]
+    assert out3 == out["0"]["hll_est"]
+
+
+def test_hll_small_range_linear_counting(spark):
+    from pyspark.sql import functions as F
+
+    from rrdtool_1_x_spark.datapipe.sketch import hll_distinct
+
+    df = spark.range(40).select(F.col("id").cast("string").alias("v"))
+    r = hll_distinct(df, F.col("v"), exact=True).collect()[0]
+    # linear counting is near-exact at tiny cardinalities
+    assert r["n_exact"] == 40 and abs(r["hll_est"] - 40) <= 3
