@@ -1111,6 +1111,41 @@ def q_hll_distinct(spark, sf_dir):
     )
 
 
+def q_cms_topk(spark, sf_dir):
+    """Heavy-hitter audit via a Count-Min sketch (datapipe.sketch.
+    cms_table/cms_estimate; Cormode & Muthukrishnan 2005): 4x1024
+    integer counters over md5 hashes — exact integer sums, order-free,
+    engine-exact; the top-20 exact tokens are point-queried and the
+    CM overcount (always >= 0) reported."""
+    from rrdtool_1_x_spark.datapipe.sketch import cms_estimate, cms_table
+
+    d = _docs(spark, sf_dir)
+    toks = F.explode(
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda t: t != "",
+        )
+    ).alias("tok")
+    e = d.select(toks)
+    sketch = cms_table(e, F.col("tok"))
+    cand = (
+        e.groupBy("tok")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("tok"))
+        .limit(20)
+    )
+    return (
+        cms_estimate(sketch, cand, "tok")
+        .select(
+            "tok",
+            "n_exact",
+            "cms_est",
+            (F.col("cms_est") - F.col("n_exact")).alias("overcount"),
+        )
+        .orderBy(F.desc("n_exact"), F.asc("tok"))
+    )
+
+
 def q_split_leak(spark, sf_dir):
     """Train/val/test leakage audit (datapipe.decontam.split_leakage):
     hash_split assignment composed with exact-copy pairs (md5 groups) and
@@ -2180,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sample": q_mix_sample,
         "split_leak": q_split_leak,
         "hll_distinct": q_hll_distinct,
+        "cms_topk": q_cms_topk,
         "c4_clean": q_c4_clean,
         "line_dedup": q_line_dedup,
         "dsir_weight": q_dsir_weight,
@@ -4154,6 +4190,29 @@ ex AS (SELECT source, count(DISTINCT tok) AS n_exact FROM e GROUP BY 1)
 SELECT est.source, n_exact, round(ev, 4) AS hll_est,
        round(abs(round(ev, 4) - n_exact) / n_exact::DOUBLE, 4) AS rel_err
 FROM est JOIN ex USING (source) ORDER BY source"""
+
+    # Count-Min heavy-hitter audit: the sketch is exact integer sums over
+    # md5 buckets (order-free); estimates = min of each candidate's 4
+    # counters; overcount >= 0 is the CM guarantee made visible
+    sql["cms_topk"] = rf"""
+WITH e AS (SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                           '\s+'),
+                                     x -> x <> '')) AS tok
+           FROM documents),
+tc AS (SELECT tok, count(*) AS c FROM e GROUP BY 1),
+cand AS (SELECT tok, c FROM tc ORDER BY c DESC, tok LIMIT 20),
+hx AS (SELECT tok, c AS w, d,
+              md5('cms' || d || ':' || tok) AS h
+       FROM tc CROSS JOIN (SELECT unnest(range(0, 4)) AS d) dd),
+hb AS (SELECT tok, w, d, CAST(({_hex8int}) % 1024 AS INT) AS bucket FROM hx),
+sk AS (SELECT d, bucket, CAST(sum(w) AS BIGINT) AS cnt FROM hb GROUP BY 1, 2),
+cb AS (SELECT cand.tok, cand.c, hb.d, hb.bucket
+       FROM cand JOIN hb ON hb.tok = cand.tok),
+est AS (SELECT tok, c, min(coalesce(cnt, 0)) AS cms_est
+        FROM cb LEFT JOIN sk USING (d, bucket) GROUP BY 1, 2)
+SELECT tok, c AS n_exact, CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - c AS BIGINT) AS overcount
+FROM est ORDER BY n_exact DESC, tok"""
 
     # DSIR hashed-unigram importance weights: target = lang 'en', raw =
     # whole corpus; add-one smoothed bucket distributions, 1e-6-quantized

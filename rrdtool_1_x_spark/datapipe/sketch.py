@@ -125,3 +125,76 @@ def hll_distinct(
             ).alias("rel_err"),
         )
     return out
+
+
+def cms_table(
+    df: DataFrame,
+    value: Column,
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "cms",
+    weight: Column | None = None,
+) -> DataFrame:
+    """Count-Min sketch table (Cormode/Muthukrishnan 2005): ``depth``
+    independent md5 hash rows of ``width`` integer counters. Returns
+    ``(d, bucket, cnt)`` — ``depth * width`` rows of exact integer sums,
+    so the sketch is order-free and engine-exact (the classic CM
+    guarantee ``est >= true`` with overshoot <= 2N/width at probability
+    1 - 2^-depth holds verbatim).
+
+    Shape at scale: one explode by ``depth`` (constant) feeding a
+    map-side-combinable groupBy on (d, bucket) — the reduction state is
+    ``depth * width`` integers no matter the corpus size; point queries
+    and heavy-hitter audits then run against this tiny table.
+    """
+    w = weight if weight is not None else F.lit(1).cast("long")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                (_h32(value, f"{seed}{d}") % width).cast("int").alias(
+                    "bucket"
+                ),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("_r"), w.alias("_w"))
+        .select("_r.d", "_r.bucket", "_w")
+        .groupBy("d", "bucket")
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    value_col: str = "value",
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "cms",
+) -> DataFrame:
+    """Point-query the CM table for each candidate value: the estimate is
+    the MIN of its ``depth`` counters (missing counter = 0). Returns the
+    candidates frame plus ``cms_est``. The candidate frame is
+    query-sized; the join keys it against the depth*width sketch."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                (_h32(F.col(value_col), f"{seed}{d}") % width)
+                .cast("int")
+                .alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    keyed = candidates.select(
+        "*", F.explode(rows).alias("_r")
+    ).select("*", F.col("_r.d").alias("d"), F.col("_r.bucket").alias("bucket"))
+    return (
+        keyed.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy(*candidates.columns)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )

@@ -366,3 +366,26 @@ def test_hll_small_range_linear_counting(spark):
     r = hll_distinct(df, F.col("v"), exact=True).collect()[0]
     # linear counting is near-exact at tiny cardinalities
     assert r["n_exact"] == 40 and abs(r["hll_est"] - 40) <= 3
+
+
+def test_cms_never_undercounts_and_is_partition_independent(spark):
+    from pyspark.sql import functions as F
+
+    from rrdtool_1_x_spark.datapipe.sketch import cms_estimate, cms_table
+
+    # skewed stream: value k appears k times, k = 1..60
+    df = spark.range(61).select(F.col("id")).filter("id > 0").select(
+        F.explode(F.expr("sequence(1, id)")).alias("_"),
+        F.col("id").cast("string").alias("v"),
+    ).select("v")
+    sketch = cms_table(df, F.col("v"))
+    cand = df.groupBy("v").agg(F.count("*").alias("true_cnt"))
+    out = cms_estimate(sketch, cand, "v").collect()
+    assert len(out) == 60
+    for r in out:
+        assert r["cms_est"] >= r["true_cnt"]  # CM never undercounts
+    # partitioning cannot change exact integer sums
+    sketch2 = cms_table(df.repartition(17), F.col("v"))
+    a = {(r["d"], r["bucket"]): r["cnt"] for r in sketch.collect()}
+    b = {(r["d"], r["bucket"]): r["cnt"] for r in sketch2.collect()}
+    assert a == b
