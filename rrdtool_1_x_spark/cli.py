@@ -908,10 +908,12 @@ def cmd_graphv(args: list[str]) -> int:
                 res.bounds, lo_opt, up_opt, rigid,
                 alt=None if o["y_grid_spec"] is not None else galt,
                 base=o["base"], expand=o["y_grid_spec"] is None,
+                allow_shrink=o["allow_shrink"],
             )
         else:
             umin, umax = _final_bounds(res.bounds, lo_opt, up_opt, rigid,
-                                       alt=galt)
+                                       alt=galt,
+                                       allow_shrink=o["allow_shrink"])
         print(f"value_min = {umin:0.10e}")
         print(f"value_max = {umax:0.10e}")
     for i, line in enumerate(res.prints):

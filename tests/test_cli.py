@@ -962,3 +962,25 @@ def test_graph_accepts_compat_options(ds_path, tmp_path, capsys):
     capsys.readouterr()
     assert rc == 0
     assert open(png, "rb").read()[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_graphv_allow_shrink_bounds(ds_path, capsys):
+    """--allow-shrink lets rigid -l/-u bounds contract to the data
+    (src/rrd_graph.c:1505-1520); without it rigid bounds stand."""
+    base = [
+        "graphv", "-", "-s", str(START), "-e", str(UPDATES[-1][0]),
+        "-l", "-10", "-u", "20", "--rigid",
+        f"DEF:v={ds_path}:speed:AVERAGE", "LINE1:v#ff0000",
+    ]
+    assert main(base) == 0
+    out = capsys.readouterr().out
+    rigid_min = [l for l in out.splitlines() if l.startswith("value_min")][0]
+    assert "-1.0000000000e+01" in rigid_min
+    assert main(base[:2] + ["--allow-shrink"] + base[2:]) == 0
+    out2 = capsys.readouterr().out
+    shrunk_min = [l for l in out2.splitlines() if l.startswith("value_min")][0]
+    shrunk_max = [l for l in out2.splitlines() if l.startswith("value_max")][0]
+    # counter rates here are tiny non-negative values: min rises to the
+    # data floor, max drops below the rigid 20
+    assert "-1.0000000000e+01" not in shrunk_min
+    assert "2.0000000000e+01" not in shrunk_max
