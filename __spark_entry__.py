@@ -1555,6 +1555,28 @@ def q_decontam_overlap(spark, sf_dir):
     ).orderBy("doc_id", "bench_id")
 
 
+def q_bloom_decontam(spark, sf_dir):
+    """Bloom-prefiltered decontamination (datapipe.decontam.
+    bloom_contamination_pairs): corpus n-grams probe a broadcast 64 Kbit
+    md5 bitset (map-only), only survivors join the real benchmark table —
+    no false negatives, so the output (and oracle) is IDENTICAL to
+    decontam_overlap; only the plan changes."""
+    from rrdtool_1_x_spark.datapipe.decontam import bloom_contamination_pairs
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    out = bloom_contamination_pairs(d, bench, n=8, min_overlap_frac=0.5)
+    return out.select(
+        "doc_id",
+        "bench_id",
+        "overlap_ngrams",
+        "bench_ngrams",
+        F.round("overlap_frac", 6).alias("overlap_frac"),
+    ).orderBy("doc_id", "bench_id")
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test assignment (datapipe.sampling.hash_split):
     md5-keyed, map-only, stable under appends/retries/repartitioning."""
@@ -2216,6 +2238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leak": q_split_leak,
         "hll_distinct": q_hll_distinct,
         "cms_topk": q_cms_topk,
+        "bloom_decontam": q_bloom_decontam,
         "c4_clean": q_c4_clean,
         "line_dedup": q_line_dedup,
         "dsir_weight": q_dsir_weight,
@@ -3606,6 +3629,10 @@ SELECT ov.doc_id, ov.bench_id, overlap_ngrams, bench_ngrams,
 FROM ov JOIN bsz USING (bench_id)
 WHERE overlap_ngrams::DOUBLE / bench_ngrams >= 0.5
 ORDER BY ov.doc_id, ov.bench_id"""
+    # the bloom prefilter has no false negatives: the two-phase plan's
+    # answer is definitionally identical to the exact overlap chain
+    sql["bloom_decontam"] = sql["decontam_overlap"]
+
     # composed curation pipeline: the quality/length cut feeds the SAME
     # parameterized nd/cc CTE chain the standalone gates use, then the
     # survivors run the decontam overlap; verdict precedence = stage order

@@ -225,3 +225,55 @@ def split_leakage(
         .filter(F.col("split_a") != F.col("split_b"))
         .select("id_a", "split_a", "id_b", "split_b", "jaccard")
     )
+
+
+def bloom_contamination_pairs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_overlap_frac: float = 0.5,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+    doc_id_col: str = "doc_id",
+    doc_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """``contamination_pairs`` with a Bloom prefilter — the two-phase
+    shape exact decontamination needs when the benchmark n-gram table is
+    too large to broadcast-JOIN against every corpus n-gram: phase 1
+    probes each corpus n-gram against the broadcast BITSET (map-only, a
+    few bit ops — m/8 bytes instead of the string table); phase 2 joins
+    only the surviving n-grams against the real benchmark table to remove
+    Bloom false positives.
+
+    A Bloom filter has NO false negatives, so the output is IDENTICAL to
+    ``contamination_pairs`` — the same oracle verifies both paths; only
+    the plan changes.
+    """
+    from rrdtool_1_x_spark.datapipe.sketch import bloom_bits, bloom_probe
+
+    dg = _ngram_frame(docs, doc_id_col, doc_text_col, n, "doc_id")
+    bg = _ngram_frame(benchmark, bench_id_col, bench_text_col, n, "bench_id")
+    bits = bloom_bits(
+        bg.select("ngram").distinct(), F.col("ngram"), m_bits, k
+    )
+    surv = dg.filter(bloom_probe("ngram", bits, m_bits, k))
+    bsz = bg.groupBy("bench_id").agg(F.count("*").alias("bench_ngrams"))
+    overlap = (
+        surv.join(F.broadcast(bg), "ngram")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("overlap_ngrams"))
+    )
+    return (
+        overlap.join(F.broadcast(bsz), "bench_id")
+        .withColumn(
+            "overlap_frac",
+            F.col("overlap_ngrams") / F.col("bench_ngrams"),
+        )
+        .filter(F.col("overlap_frac") >= min_overlap_frac)
+        .select(
+            "doc_id", "bench_id", "overlap_ngrams", "bench_ngrams",
+            "overlap_frac",
+        )
+    )

@@ -198,3 +198,63 @@ def cms_estimate(
         .groupBy(*candidates.columns)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )
+
+
+def bloom_bits(
+    df: DataFrame,
+    value: Column,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+    seed: str = "bloom",
+) -> list[int]:
+    """Build a Bloom-filter bitset over the (query-side-sized) value set:
+    ``k`` md5 hash positions per value, packed into ``m_bits/64`` signed
+    longs ready to inline as an array literal. Deterministic — the same
+    values produce the same bits on every engine/run.
+
+    The positions collect is one distinct aggregate over the SMALL side
+    (a benchmark / blocklist / vocabulary); the corpus never sees this
+    function — it sees only the broadcast-literal probe column.
+    """
+    pos = F.explode(
+        F.array(
+            *[
+                (_h32(value, f"{seed}{i}") % m_bits).cast("long")
+                for i in range(k)
+            ]
+        )
+    )
+    rows = df.select(pos.alias("p")).distinct().collect()
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        p = int(r["p"])
+        words[p >> 6] |= 1 << (p & 63)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_probe(
+    value_sql: str,
+    words: list[int],
+    m_bits: int = 1 << 16,
+    k: int = 4,
+    seed: str = "bloom",
+) -> Column:
+    """Boolean membership-probe Column: true iff all ``k`` bits are set.
+    ``value_sql`` is the SQL expression of the probed column; the whole
+    test is ONE expr string over the bitset array literal (the PQ
+    construction lesson: literals inline as one parsed expression, never
+    thousands of Column-API nodes). No false negatives; false-positive
+    rate ~ (1 - e^(-kn/m))^k.
+    """
+    lit = "array(" + ",".join(f"{w}L" for w in words) + ")"
+    pos = ",".join(
+        "CAST(conv(substring(md5(CAST(concat('"
+        + f"{seed}{i}:', {value_sql}) AS BINARY)), 1, 8), 16, 10) AS BIGINT)"
+        + f" % {m_bits}"
+        for i in range(k)
+    )
+    return F.expr(
+        f"forall(array({pos}), p -> ((shiftright(element_at({lit},"
+        " CAST(shiftright(p, 6) AS INT) + 1), CAST(p % 64 AS INT)) & 1)"
+        " = 1))"
+    )

@@ -389,3 +389,43 @@ def test_cms_never_undercounts_and_is_partition_independent(spark):
     a = {(r["d"], r["bucket"]): r["cnt"] for r in sketch.collect()}
     b = {(r["d"], r["bucket"]): r["cnt"] for r in sketch2.collect()}
     assert a == b
+
+
+def test_bloom_probe_no_false_negatives_and_filters(spark):
+    from pyspark.sql import functions as F
+
+    from rrdtool_1_x_spark.datapipe.sketch import bloom_bits, bloom_probe
+
+    members = spark.range(200).select(
+        F.concat(F.lit("member-"), F.col("id")).alias("v")
+    )
+    others = spark.range(5000).select(
+        F.concat(F.lit("other-"), F.col("id")).alias("v")
+    )
+    bits = bloom_bits(members, F.col("v"))
+    # every member passes (no false negatives)
+    assert members.filter(bloom_probe("v", bits)).count() == 200
+    # false-positive rate at n=200, m=65536, k=4 is ~1e-8 — essentially
+    # all non-members rejected map-side
+    fp = others.filter(bloom_probe("v", bits)).count()
+    assert fp <= 2
+
+
+def test_bloom_contamination_matches_exact(spark):
+    from pyspark.sql import functions as F
+
+    from rrdtool_1_x_spark.datapipe.decontam import (
+        bloom_contamination_pairs,
+        contamination_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    cols = ["doc_id", "bench_id", "overlap_ngrams", "bench_ngrams"]
+    a = sorted(tuple(r) for r in contamination_pairs(docs, bench)
+               .select(*cols).collect())
+    b = sorted(tuple(r) for r in bloom_contamination_pairs(docs, bench)
+               .select(*cols).collect())
+    assert a == b and len(a) > 0
