@@ -1182,6 +1182,26 @@ def q_mix_sample(spark, sf_dir):
     )
 
 
+def q_tok_quantiles(spark, sf_dir):
+    """Per-language exact token-count quantiles (datapipe.report.
+    histogram_quantiles): nearest-rank from a value histogram — the
+    cumulative window covers distinct token counts, never the corpus, and
+    nearest-rank sidesteps cross-engine interpolation floats."""
+    from rrdtool_1_x_spark.datapipe.report import histogram_quantiles
+
+    d = _docs(spark, sf_dir)
+    tk = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda t: t != "",
+        )
+    ).cast("long")
+    return histogram_quantiles(
+        d.select("lang", tk.alias("tk")), F.col("tk"), [0.25, 0.5, 0.75, 0.9],
+        ["lang"],
+    ).orderBy("lang")
+
+
 def q_dsir_weight(spark, sf_dir):
     """DSIR importance log-weights (datapipe.sampling.dsir_logweights; Xie
     et al. 2023): hashed-unigram bucket distributions for the target
@@ -2239,6 +2259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "cms_topk": q_cms_topk,
         "bloom_decontam": q_bloom_decontam,
+        "tok_quantiles": q_tok_quantiles,
         "c4_clean": q_c4_clean,
         "line_dedup": q_line_dedup,
         "dsir_weight": q_dsir_weight,
@@ -4240,6 +4261,25 @@ est AS (SELECT tok, c, min(coalesce(cnt, 0)) AS cms_est
 SELECT tok, c AS n_exact, CAST(cms_est AS BIGINT) AS cms_est,
        CAST(cms_est - c AS BIGINT) AS overcount
 FROM est ORDER BY n_exact DESC, tok"""
+
+    # exact nearest-rank quantiles from the token-count histogram: the
+    # rank threshold ceil(q*n) is the only float math (same literal both
+    # engines); values are integers end to end
+    sql["tok_quantiles"] = r"""
+WITH d AS (SELECT lang,
+             len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                             x -> x <> '')) AS v
+           FROM documents),
+hist AS (SELECT lang, v, count(*) AS c FROM d GROUP BY 1, 2),
+cum AS (SELECT lang, v, sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum
+        FROM hist),
+tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY 1)
+SELECT cum.lang, any_value(n) AS n,
+       min(CASE WHEN cum >= ceil(0.25 * n) THEN v END) AS p25,
+       min(CASE WHEN cum >= ceil(0.5 * n) THEN v END) AS p50,
+       min(CASE WHEN cum >= ceil(0.75 * n) THEN v END) AS p75,
+       min(CASE WHEN cum >= ceil(0.9 * n) THEN v END) AS p90
+FROM cum JOIN tot USING (lang) GROUP BY 1 ORDER BY lang"""
 
     # DSIR hashed-unigram importance weights: target = lang 'en', raw =
     # whole corpus; add-one smoothed bucket distributions, 1e-6-quantized

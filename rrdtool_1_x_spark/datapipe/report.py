@@ -12,7 +12,7 @@ terms integer-quantized before the (order-free) sum.
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -144,3 +144,45 @@ def corpus_datacard(
     )
 
     return base.unionByName(median).unionByName(langs).unionByName(ent)
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value: Column,
+    qs: list[float] = (0.25, 0.5, 0.75, 0.9),
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """EXACT nearest-rank quantiles [per group] via a value histogram —
+    the scale-safe form for integer-valued measures (token counts,
+    lengths, quantized scores): the cumulative window runs over the
+    DISTINCT-VALUE histogram (bounded by the value range), never a
+    row-per-record sort, and nearest-rank avoids the interpolation-float
+    hazards of percentile()/quantile_cont across engines.
+
+    Returns one row per group: ``(*group_cols, n, p<q*100>...)``.
+    """
+    groups = list(group_cols or [])
+    hist = (
+        df.select(*groups, value.alias("_v"))
+        .groupBy(*groups, "_v")
+        .agg(F.count("*").alias("_c"))
+    )
+    w = (
+        Window.partitionBy(*groups) if groups else Window.partitionBy()
+    ).orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("_cum", F.sum("_c").over(w))
+    tot = hist.groupBy(*groups).agg(F.sum("_c").alias("_n"))
+    j = (
+        cum.join(tot, groups)
+        if groups
+        else cum.crossJoin(F.broadcast(tot))
+    )
+    aggs = [F.first("_n").alias("n")]
+    for q in qs:
+        rank = F.ceil(F.lit(float(q)) * F.col("_n"))
+        aggs.append(
+            F.min(F.when(F.col("_cum") >= rank, F.col("_v"))).alias(
+                f"p{int(round(q * 100))}"
+            )
+        )
+    return j.groupBy(*groups).agg(*aggs)

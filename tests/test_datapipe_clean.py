@@ -532,3 +532,22 @@ def test_apply_mixture_expected_counts(spark):
         .groupBy("source").agg(F.count("*").alias("cnt")).collect()
     }
     assert again == counts
+
+
+def test_histogram_quantiles_hand_case(spark):
+    from pyspark.sql import functions as F
+
+    from rrdtool_1_x_spark.datapipe.report import histogram_quantiles
+
+    # values 1..10 per group: nearest-rank p50 = 5, p25 = 3, p90 = 9
+    df = spark.range(10).select(
+        (F.col("id") + 1).alias("v"), F.lit("g").alias("grp")
+    )
+    r = histogram_quantiles(
+        df, F.col("v"), [0.25, 0.5, 0.75, 0.9], ["grp"]
+    ).collect()[0]
+    assert (r["n"], r["p25"], r["p50"], r["p75"], r["p90"]) == (10, 3, 5, 8, 9)
+    # ungrouped form, duplicates collapse into histogram rows
+    df2 = df.union(df).select("v")
+    r2 = histogram_quantiles(df2, F.col("v"), [0.5]).collect()[0]
+    assert r2["n"] == 20 and r2["p50"] == 5
