@@ -1315,6 +1315,26 @@ def q_pq_recall(spark, sf_dir):
     return ann_recall(approx, exact, k=10).orderBy("query_id")
 
 
+def q_centroid_classify(spark, sf_dir):
+    """Nearest-centroid (Rocchio) classification of every embedding
+    (datapipe.similarity.centroid_model/centroid_classify): per-label
+    integer centroids over int8-quantized vectors, integer squared-L2
+    argmin inlined as one expr — a map-only scan, no join before the
+    label attach. The standard nearest-class-mean embedding-space eval."""
+    from rrdtool_1_x_spark.datapipe.similarity import (
+        centroid_classify,
+        centroid_model,
+    )
+
+    e = _emb(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "rocchio")
+    if key not in _IVF_MODEL_CACHE:
+        _IVF_MODEL_CACHE[key] = centroid_model(e)
+    return centroid_classify(e, model=_IVF_MODEL_CACHE[key]).orderBy(
+        "vec_id"
+    )
+
+
 def q_ann_int8_topk(spark, sf_dir):
     """Int8-quantized cosine top-10 (datapipe.similarity.quantize_embeddings
     + quantized_topk) against the lowest-id embedding: integer dot
@@ -2260,6 +2280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_topk": q_cms_topk,
         "bloom_decontam": q_bloom_decontam,
         "tok_quantiles": q_tok_quantiles,
+        "centroid_classify": q_centroid_classify,
         "c4_clean": q_c4_clean,
         "line_dedup": q_line_dedup,
         "dsir_weight": q_dsir_weight,
@@ -2977,6 +2998,40 @@ ranked AS (SELECT vec_id, cos_sim,
                   row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rank
            FROM sims)
 SELECT vec_id, cos_sim, rank FROM ranked WHERE rank <= 10 ORDER BY rank"""
+
+    # nearest-centroid classifier: int8 quantize (same qv chain), per-
+    # label rounded-mean integer centroids, integer L2 argmin with ties
+    # to the lowest label
+    sql["centroid_classify"] = """
+WITH ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings),
+qs AS (SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS s FROM ev),
+qv AS (SELECT vec_id,
+         CASE WHEN s > 0
+              THEN list_transform(v, x -> CAST(round(x / s * 127) AS BIGINT))
+              ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+       FROM qs),
+lb AS (SELECT vec_id, label FROM embeddings),
+px AS (SELECT lb.label AS lbl, ii.i AS pos, qv.q[ii.i] AS x
+       FROM qv JOIN lb ON lb.vec_id = qv.vec_id
+       CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii),
+cent AS (SELECT lbl, pos,
+           CAST(round(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS c
+         FROM px GROUP BY 1, 2),
+cl AS (SELECT lbl, list(c ORDER BY pos) AS cv FROM cent GROUP BY 1),
+sc AS (SELECT qv.vec_id, cl.lbl,
+         list_sum(list_transform(range(1, 65),
+            i -> (qv.q[i] - cv[i]) * (qv.q[i] - cv[i]))) AS dd
+       FROM qv CROSS JOIN cl),
+pr AS (SELECT vec_id, lbl AS pred FROM (
+         SELECT vec_id, lbl,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dd ASC, lbl ASC) AS rn
+         FROM sc) _ WHERE rn = 1)
+SELECT pr.vec_id, lb.label, pr.pred,
+       CASE WHEN pr.pred = lb.label THEN 1 ELSE 0 END AS correct
+FROM pr JOIN lb USING (vec_id) ORDER BY vec_id"""
 
     # product quantization ADC: int8 quantize (same qv chain as
     # ann_int8_topk), codebook = 16 smallest-md5(id) vectors split into

@@ -1814,3 +1814,93 @@ def quantized_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def centroid_model(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> list[tuple[int, list[int]]]:
+    """Nearest-centroid (Rocchio) class model over int8-quantized
+    vectors: per label, the element-wise mean of the quantized vectors,
+    rounded back to integers. Deterministic end to end — sums and counts
+    are exact integers, the one division per component is a single
+    correctly-rounded float op, and round() agrees across engines on the
+    int8 domain.
+
+    One posexplode + (label, pos) aggregate; the model is
+    ``n_labels x dim`` small ints, returned sorted by label for literal
+    inlining.
+    """
+    qc = quantize_embeddings(df, id_col, vec_col)
+    lab = df.select(id_col, F.col(label_col).alias("_lbl"))
+    rows = (
+        qc.join(lab, id_col)
+        .select("_lbl", F.posexplode("qvec").alias("pos", "x"))
+        .groupBy("_lbl", "pos")
+        .agg(
+            F.round(
+                F.sum("x").cast("double") / F.count("*")
+            ).cast("int").alias("c")
+        )
+        .collect()
+    )
+    by_label: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_label.setdefault(r["_lbl"], {})[r["pos"]] = int(r["c"])
+    return [
+        (lbl, [d[p] for p in range(len(d))])
+        for lbl, d in sorted(by_label.items())
+    ]
+
+
+def centroid_classify(
+    df: DataFrame,
+    model: list[tuple[int, list[int]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Classify every vector to its nearest class centroid by integer
+    squared L2 over the int8-quantized embedding (ties to the lowest
+    label). Returns ``(id, label, pred, correct)`` — the standard
+    nearest-class-mean eval of an embedding space.
+
+    The model inlines as one nested array literal inside one expr (the
+    PQ construction lesson); scoring is a map-only scan, no join, no
+    shuffle — at 100 TB this is a pure projection pass.
+    """
+    if model is None:
+        model = centroid_model(df, id_col, vec_col, label_col)
+    qc = quantize_embeddings(df, id_col, vec_col)
+    lab = df.select(id_col, F.col(label_col).alias("label"))
+    labels = "array(" + ",".join(str(int(l)) for l, _ in model) + ")"
+    cents = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{int(v)}L" for v in c) + ")"
+            for _, c in model
+        )
+        + ")"
+    )
+    d = len(model[0][1])
+    dists = (
+        f"transform({cents}, cv -> aggregate(sequence(0, {d - 1}), 0L,"
+        " (acc, i) -> acc + (CAST(qvec[i] AS BIGINT) - cv[i])"
+        " * (CAST(qvec[i] AS BIGINT) - cv[i])))"
+    )
+    pred = F.expr(
+        f"element_at({labels}, CAST(array_position({dists},"
+        f" array_min({dists})) AS INT))"
+    )
+    return (
+        qc.select(F.col(id_col), pred.alias("pred"))
+        .join(lab, id_col)
+        .select(
+            id_col,
+            "label",
+            "pred",
+            (F.col("pred") == F.col("label")).cast("int").alias("correct"),
+        )
+    )

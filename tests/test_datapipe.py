@@ -1150,3 +1150,24 @@ def test_ivfpq_distances_match_pq_and_confinement(spark, emb):
     # PQ ranking but may skip better-ranked vectors in unprobed cells
     ivf_ids = {(r["query_id"], r["vec_id"]) for r in ivf}
     assert ivf_ids <= set(full)
+
+
+def test_centroid_classifier_separable_case(spark):
+    from rrdtool_1_x_spark.datapipe.similarity import (
+        centroid_classify,
+        centroid_model,
+    )
+
+    # two well-separated classes in 8 dims
+    rows = [(i, [10.0 + (i % 3)] * 8, 0) for i in range(10)] + [
+        (100 + i, [-10.0 - (i % 3)] * 8, 1) for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    model = centroid_model(df)
+    assert [l for l, _ in model] == [0, 1]
+    assert all(len(c) == 8 for _, c in model)
+    out = centroid_classify(df, model=model).collect()
+    assert len(out) == 20
+    assert all(r["correct"] == 1 for r in out)
