@@ -3808,11 +3808,20 @@ lab AS (SELECT doc_id, text,
                ELSE 'test' END AS split
         FROM lab1),
 {_nd_cte_from("lab")},
-ex AS (SELECT ra AS id_a, doc_id AS id_b, 1.0 AS j FROM (
-         SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS ra
-         FROM lab) _ WHERE doc_id != ra),
-allp AS (SELECT id_a, id_b, j FROM nd_pairs
-         UNION ALL SELECT id_a, id_b, j FROM ex)
+g AS (SELECT doc_id, split, md5(text) AS h FROM lab),
+sr AS (SELECT h, split, min(doc_id) AS rid FROM g GROUP BY 1, 2),
+ex AS (SELECT DISTINCT least(g.doc_id, sr.rid) AS id_a,
+              greatest(g.doc_id, sr.rid) AS id_b, 1.0 AS j
+       FROM g JOIN sr ON sr.h = g.h AND sr.split != g.split),
+nx AS (SELECT DISTINCT least(a2.rid, b2.rid) AS id_a,
+              greatest(a2.rid, b2.rid) AS id_b, p.j
+       FROM nd_pairs p
+       JOIN g ga ON ga.doc_id = p.id_a
+       JOIN g gb ON gb.doc_id = p.id_b
+       JOIN sr a2 ON a2.h = ga.h
+       JOIN sr b2 ON b2.h = gb.h AND b2.split != a2.split),
+allp AS (SELECT id_a, id_b, j FROM ex
+         UNION ALL SELECT id_a, id_b, j FROM nx)
 SELECT p.id_a, la.split AS split_a, p.id_b, lb.split AS split_b,
        round(p.j, 6) AS jaccard
 FROM allp p JOIN lab la ON la.doc_id = p.id_a
@@ -4286,6 +4295,12 @@ est AS (SELECT source,
           CASE WHEN ({_alpha_sql} * p2k / (V::DOUBLE * p2k + S::DOUBLE))
                     <= 1280.0 AND V > 0
                THEN 512.0 * ln(512.0 / V)
+               WHEN ({_alpha_sql} * p2k / (V::DOUBLE * p2k + S::DOUBLE))
+                    > (4294967296.0 / 30.0)
+               THEN -4294967296.0
+                    * ln(1.0 - ({_alpha_sql} * p2k
+                                / (V::DOUBLE * p2k + S::DOUBLE))
+                          / 4294967296.0)
                ELSE {_alpha_sql} * p2k / (V::DOUBLE * p2k + S::DOUBLE)
           END AS ev
         FROM sel),

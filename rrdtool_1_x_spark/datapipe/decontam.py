@@ -168,26 +168,52 @@ def split_leakage(
     eval number is trusted.
 
     Composes the deterministic ``hash_split`` assignment with TWO overlap
-    detectors: exact copies (each md5 group's members pair with the
-    smallest-id representative, jaccard = 1.0 — ``collapse_exact``
-    removes these from the LSH path, and a group spanning splits always
-    pairs its representative across the boundary) and MinHash-LSH
-    near-duplicates (same parameters and skew guards as
-    ``minhash_near_duplicates``). Returns cross-split pairs only:
-    ``(id_a, split_a, id_b, split_b, jaccard)`` with ``id_a < id_b``.
+    detectors, reported at MEMBER level so no leaked document escapes:
 
-    Shape at scale: the split label is a scan-time hash expression (no
-    extra pass); exact pairs are one md5-keyed window; the near-dup path
-    is the banded/capped LSH machinery; the final label join keys the
-    (few) pairs against the slim (id, split) projection.
+    * exact copies: every document pairs with the smallest-id member of
+      its md5 group in EACH OTHER split (jaccard = 1.0). A copy group
+      {0:test, 1:test, 2:train} therefore reports (0,2) AND (1,2) — the
+      member-member leak a representative-only pairing would miss.
+    * near-duplicates: ``minhash_near_duplicates`` runs on collapsed
+      representatives (its skew guard); each rep-level pair is expanded
+      to the PER-SPLIT representatives of both md5 groups, so a
+      train-side near-dup of any test-side copy yields a cross-split
+      witness pair for every split combination the two groups span.
+
+    Returns distinct cross-split pairs ``(id_a, split_a, id_b, split_b,
+    jaccard)`` with ``id_a < id_b`` — at least one witness per
+    (leaking document, foreign split) for exact copies, and per
+    (group pair, split pair) for near-dups.
+
+    Shape at scale: the split label is a scan-time hash expression; the
+    exact side is one md5-keyed aggregate + a member-to-rep join
+    (<= n_splits rows per member); the near side expands the (few)
+    rep pairs by at most n_splits^2; the final label attach keys against
+    the slim (id, split) projection.
     """
     from rrdtool_1_x_spark.datapipe.dedup import minhash_near_duplicates
     from rrdtool_1_x_spark.datapipe.sampling import hash_split
 
     labeled = hash_split(
         df.select(id_col, text_col), weights, id_col=id_col, seed=seed
+    ).withColumn("_h", F.md5(F.col(text_col).cast("binary")))
+    # per-(group, split) representative: the witness anchor
+    srep = labeled.groupBy("_h", "split").agg(
+        F.min(id_col).alias("_rid")
     )
-    near = minhash_near_duplicates(
+    # exact: every member x every OTHER split's representative of its group
+    exact = (
+        labeled.select(id_col, "split", "_h")
+        .join(srep.withColumnRenamed("split", "_osplit"), "_h")
+        .filter(F.col("split") != F.col("_osplit"))
+        .select(
+            F.least(F.col(id_col), F.col("_rid")).alias("id_a"),
+            F.greatest(F.col(id_col), F.col("_rid")).alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+        .distinct()
+    )
+    near_rep = minhash_near_duplicates(
         labeled,
         id_col,
         text_col,
@@ -197,15 +223,42 @@ def split_leakage(
         jaccard_threshold,
         max_bucket_size,
     ).select("id_a", "id_b", F.col("jaccard"))
-    w = Window.partitionBy(F.md5(F.col(text_col).cast("binary")))
-    exact = (
-        labeled.withColumn("_rep", F.min(id_col).over(w))
-        .filter(F.col(id_col) != F.col("_rep"))
-        .select(
-            F.col("_rep").alias("id_a"),
-            F.col(id_col).alias("id_b"),
-            F.lit(1.0).alias("jaccard"),
+    # expand each rep-level near pair to both groups' per-split reps
+    gmap = labeled.select(F.col(id_col).alias("_gid"), F.col("_h"))
+    near = (
+        near_rep.join(
+            gmap.withColumnRenamed("_h", "_ha"),
+            near_rep["id_a"] == F.col("_gid"),
         )
+        .drop("_gid")
+        .join(
+            gmap.withColumnRenamed("_h", "_hb"),
+            near_rep["id_b"] == F.col("_gid"),
+        )
+        .drop("_gid")
+        .join(
+            srep.select(
+                F.col("_h").alias("_ha"),
+                F.col("split").alias("_sa"),
+                F.col("_rid").alias("_ra"),
+            ),
+            "_ha",
+        )
+        .join(
+            srep.select(
+                F.col("_h").alias("_hb"),
+                F.col("split").alias("_sb"),
+                F.col("_rid").alias("_rb"),
+            ),
+            "_hb",
+        )
+        .filter(F.col("_sa") != F.col("_sb"))
+        .select(
+            F.least(F.col("_ra"), F.col("_rb")).alias("id_a"),
+            F.greatest(F.col("_ra"), F.col("_rb")).alias("id_b"),
+            "jaccard",
+        )
+        .distinct()
     )
     lab = labeled.select(id_col, "split")
     return (

@@ -22,6 +22,7 @@ def corpus_datacard(
     lang_col: str = "lang",
     source_col: str = "source",
     id_col: str = "doc_id",
+    persist: bool = True,
 ) -> DataFrame:
     """One-pass corpus report: ``(metric, value)`` rows.
 
@@ -55,7 +56,15 @@ def corpus_datacard(
         toks.alias("_tk"),
         F.length(F.col(text_col)).cast("long").alias("_ch"),
         F.md5(F.col(text_col).cast("binary")).alias("_h"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if persist:
+        # NOTE: unlike the domain-sized persists elsewhere, this frame is
+        # corpus-sized (one slim row per doc). The handle is attached to
+        # the returned frame as `_datacard_slim` so long-lived sessions
+        # producing many cards can `out._datacard_slim.unpersist()` after
+        # consuming the report; persist=False trades 4 extra corpus scans
+        # for zero cache footprint.
+        slim = slim.persist(StorageLevel.MEMORY_AND_DISK)
 
     tot = slim.agg(
         F.count("*").alias("_n"),
@@ -143,7 +152,9 @@ def corpus_datacard(
         .select(F.lit("source_entropy_nats").alias("metric"), "value")
     )
 
-    return base.unionByName(median).unionByName(langs).unionByName(ent)
+    out = base.unionByName(median).unionByName(langs).unionByName(ent)
+    out._datacard_slim = slim  # unpersist handle (see persist note above)
+    return out
 
 
 def histogram_quantiles(

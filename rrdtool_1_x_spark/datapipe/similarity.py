@@ -1383,17 +1383,21 @@ def quantize_embeddings(
     )
     return staged.select(
         F.col(id_col),
-        F.when(
-            F.col("scale") > 0,
-            F.transform(
-                F.col("_v"),
-                lambda x: F.round(x / F.col("scale") * 127).cast("int"),
-            ),
-        )
-        .otherwise(F.transform(F.col("_v"), lambda x: F.lit(0).cast("int")))
-        .alias("qvec"),
+        _int8_qvec(F.col("_v"), F.col("scale")).alias("qvec"),
         F.col("scale"),
     )
+
+
+def _int8_qvec(v: Column, scale: Column) -> Column:
+    """The int8 quantization rule — ``round(x / scale * 127)`` with the
+    zero-vector guard — as a Column, the single source of truth shared by
+    ``quantize_embeddings`` and ``ivfpq_topk``'s fused (cell, codes)
+    projection: PQ codes, LUTs and scalar-quantized scans must all agree
+    bit-for-bit or every ADC distance silently corrupts."""
+    return F.when(
+        scale > 0,
+        F.transform(v, lambda x: F.round(x / scale * 127).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("int")))
 
 
 def pq_codebook(
@@ -1575,6 +1579,14 @@ def pq_topk(
                 _pq_lut_dist(lut).alias("pq_dist"),
             )
         )
+    if not per_query:
+        qid_ddl = queries.schema[query_id_col].dataType.simpleString()
+        id_ddl = corpus.schema[id_col].dataType.simpleString()
+        return corpus.sparkSession.createDataFrame(
+            [],
+            f"{query_id_col} {qid_ddl}, {id_col} {id_ddl},"
+            " pq_dist bigint, rank int",
+        )
     scored = enc.select(
         F.col(id_col), F.explode(F.array(*per_query)).alias("_q")
     ).select(
@@ -1644,15 +1656,10 @@ def ivfpq_topk(
             "_cell"
         ),
     )
-    qvec = F.when(
-        F.col("_scale") > 0,
-        F.transform(
-            F.col("_v"),
-            lambda x: F.round(x / F.col("_scale") * 127).cast("int"),
-        ),
-    ).otherwise(F.transform(F.col("_v"), lambda x: F.lit(0).cast("int")))
     enc = staged.select(
-        F.col(id_col), F.col("_cell"), qvec.alias("qvec")
+        F.col(id_col),
+        F.col("_cell"),
+        _int8_qvec(F.col("_v"), F.col("_scale")).alias("qvec"),
     ).select(F.col(id_col), "_cell", _pq_codes_col(codebook).alias("codes"))
 
     # two tiny collects of the query frame: raw vectors for the float
@@ -1687,12 +1694,24 @@ def ivfpq_topk(
             ]
             for s in range(m)
         ]
+        ok = F.col("_cell").isin([int(c) for c in cells])
         per_query.append(
             F.struct(
                 F.lit(qid).alias(query_id_col),
-                _pq_lut_dist(lut).alias("pq_dist"),
-                F.col("_cell").isin([int(c) for c in cells]).alias("_ok"),
+                # gate the ADC fold on the probe test so unprobed
+                # (row, query) pairs skip the m-term LUT sum entirely —
+                # that skip IS the nprobe/nlist compute confinement
+                F.when(ok, _pq_lut_dist(lut)).alias("pq_dist"),
+                ok.alias("_ok"),
             )
+        )
+    if not per_query:
+        qid_ddl = queries.schema[query_id_col].dataType.simpleString()
+        id_ddl = corpus.schema[id_col].dataType.simpleString()
+        return corpus.sparkSession.createDataFrame(
+            [],
+            f"{query_id_col} {qid_ddl}, {id_col} {id_ddl},"
+            " pq_dist bigint, rank int",
         )
     scored = (
         enc.select(F.col(id_col), F.explode(F.array(*per_query)).alias("_q"))
@@ -1834,7 +1853,12 @@ def centroid_model(
     inlining.
     """
     qc = quantize_embeddings(df, id_col, vec_col)
-    lab = df.select(id_col, F.col(label_col).alias("_lbl"))
+    # labels must be non-null integers: they inline as int literals in
+    # centroid_classify's expr. Null-labeled rows (routine mid-pipeline)
+    # are excluded from training rather than crashing the sort below.
+    lab = df.select(id_col, F.col(label_col).alias("_lbl")).filter(
+        F.col("_lbl").isNotNull()
+    )
     rows = (
         qc.join(lab, id_col)
         .select("_lbl", F.posexplode("qvec").alias("pos", "x"))
@@ -1848,7 +1872,13 @@ def centroid_model(
     )
     by_label: dict[int, dict[int, int]] = {}
     for r in rows:
-        by_label.setdefault(r["_lbl"], {})[r["pos"]] = int(r["c"])
+        lbl = r["_lbl"]
+        if not isinstance(lbl, int):
+            raise TypeError(
+                "centroid_model: labels must be integers (they inline as "
+                f"int literals in the classify expr), got {type(lbl).__name__}"
+            )
+        by_label.setdefault(lbl, {})[r["pos"]] = int(r["c"])
     return [
         (lbl, [d[p] for p in range(len(d))])
         for lbl, d in sorted(by_label.items())

@@ -99,11 +99,21 @@ def hll_distinct(
         / (V.cast("double") * pow2k + F.col("S").cast("double"))
     )
     # small-range (linear counting) correction: E <= 2.5m and empty
-    # registers exist -> m * ln(m / V)
-    est = F.when(
-        (e_raw <= 2.5 * _M) & (V > 0),
-        F.lit(m) * F.log(F.lit(m) / V.cast("double")),
-    ).otherwise(e_raw)
+    # registers exist -> m * ln(m / V); large-range correction for the
+    # 32-bit hash space: E > 2^32/30 -> -2^32 ln(1 - E/2^32), undoing the
+    # hash-collision undercount that otherwise grows past ~1e8 distincts
+    est = (
+        F.when(
+            (e_raw <= 2.5 * _M) & (V > 0),
+            F.lit(m) * F.log(F.lit(m) / V.cast("double")),
+        )
+        .when(
+            e_raw > F.lit(2.0**32 / 30.0),
+            F.lit(-(2.0**32))
+            * F.log(F.lit(1.0) - e_raw / F.lit(2.0**32)),
+        )
+        .otherwise(e_raw)
+    )
     out = per.select(*groups, F.round(est, 4).alias("hll_est"))
     if exact:
         ex = df.select(*groups, value.alias("_v")).groupBy(*groups).agg(
@@ -178,7 +188,9 @@ def cms_estimate(
     """Point-query the CM table for each candidate value: the estimate is
     the MIN of its ``depth`` counters (missing counter = 0). Returns the
     candidates frame plus ``cms_est``. The candidate frame is
-    query-sized; the join keys it against the depth*width sketch."""
+    query-sized and must be DISTINCT on its columns (rows are grouped
+    back by all of them — duplicates would merge); the join keys it
+    against the depth*width sketch under collision-proof column names."""
     rows = F.array(
         *[
             F.struct(
@@ -190,13 +202,22 @@ def cms_estimate(
             for d in range(depth)
         ]
     )
-    keyed = candidates.select(
-        "*", F.explode(rows).alias("_r")
-    ).select("*", F.col("_r.d").alias("d"), F.col("_r.bucket").alias("bucket"))
+    sk = sketch.select(
+        F.col("d").alias("_cms_d"),
+        F.col("bucket").alias("_cms_bucket"),
+        F.col("cnt").alias("_cms_cnt"),
+    )
+    keyed = candidates.select("*", F.explode(rows).alias("_r")).select(
+        "*",
+        F.col("_r.d").alias("_cms_d"),
+        F.col("_r.bucket").alias("_cms_bucket"),
+    )
     return (
-        keyed.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        keyed.join(F.broadcast(sk), ["_cms_d", "_cms_bucket"], "left")
         .groupBy(*candidates.columns)
-        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+        .agg(
+            F.min(F.coalesce(F.col("_cms_cnt"), F.lit(0))).alias("cms_est")
+        )
     )
 
 

@@ -1107,9 +1107,10 @@ def render_graph(
             if v >= vmin * 0.999:
                 y = ytr(max(v, vmin))
                 _grid_h(y, col["MGRID"])
-                if axis_formatter in ("timestamp", "duration"):
-                    lab = _formatter_label(axis_formatter, axis_format, v)
-                elif units_si:
+                # the reference's horizontal_log_grid has NO formatter
+                # switch — primary_axis_formatter/-format only apply to
+                # the linear axis (src/rrd_graph.c:2712-2846)
+                if units_si:
                     # --units=si: SI ladder labels on the log axis
                     # (horizontal_log_grid FORCE_UNITS_SI branch)
                     mag = max(-6, min(6, int(_math.floor(dec / 3))))

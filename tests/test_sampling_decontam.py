@@ -315,9 +315,20 @@ def test_split_leakage_detects_cross_split_copies(spark):
         assert r["split_a"] != r["split_b"]
         assert r["id_a"] < r["id_b"]
         assert r["jaccard"] >= 0.5
-    # exact pairs anchor at the group representative (min id = 0)
+    # member-level completeness: EVERY copy-group member appears in a
+    # cross-split pair (a representative-only pairing would miss
+    # member-member leaks like val-copy vs train-copy)
     exact = [r for r in out if r["jaccard"] == 1.0]
-    assert exact and all(r["id_a"] == 0 for r in exact)
+    assert exact
+    paired = {r["id_a"] for r in exact} | {r["id_b"] for r in exact}
+    from rrdtool_1_x_spark.datapipe.sampling import hash_split
+    splits = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df, {"train": 0.5, "val": 0.5}).collect()
+    }
+    group = list(range(6))
+    if len({splits[i] for i in group}) > 1:
+        assert set(group) <= paired
     # no unique doc appears in any pair
     ids = {r["id_a"] for r in out} | {r["id_b"] for r in out}
     assert not any(i >= 200 for i in ids)
@@ -429,3 +440,38 @@ def test_bloom_contamination_matches_exact(spark):
     b = sorted(tuple(r) for r in bloom_contamination_pairs(docs, bench)
                .select(*cols).collect())
     assert a == b and len(a) > 0
+
+
+def test_split_leakage_member_member_exact_copies(spark):
+    """The review scenario: copies {0:test-ish, 1:test-ish, 2:train-ish}
+    must report BOTH cross pairs, not just the representative's."""
+    from rrdtool_1_x_spark.datapipe.decontam import split_leakage
+    from rrdtool_1_x_spark.datapipe.sampling import hash_split
+
+    body = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    df = spark.createDataFrame(
+        [(i, body) for i in range(12)], "doc_id long, text string"
+    )
+    splits = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df, {"a": 0.5, "b": 0.5}).collect()
+    }
+    out = split_leakage(df, {"a": 0.5, "b": 0.5}).collect()
+    paired = {r["id_a"] for r in out} | {r["id_b"] for r in out}
+    # every member of the (split-spanning) group must be witnessed
+    if len(set(splits.values())) > 1:
+        assert paired == set(range(12))
+    for r in out:
+        assert splits[r["id_a"]] != splits[r["id_b"]]
+
+
+def test_hll_large_range_correction_active(spark):
+    """Above ~1.4e8 the raw 32-bit estimator undercounts from hash
+    collisions; the correction branch must not regress small inputs and
+    must be monotone at the switch boundary (formula-level check: the
+    corrected value exceeds the raw one)."""
+    import math
+
+    e_raw = 2**32 / 20.0  # above the 2^32/30 switch
+    corrected = -(2.0**32) * math.log(1.0 - e_raw / 2.0**32)
+    assert corrected > e_raw
