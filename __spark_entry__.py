@@ -71,6 +71,26 @@ def _samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TBL_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts as exact integer MICROSECONDS (`tus`) — the asof /
+    range join gates need exact timestamp comparisons; float epoch
+    seconds would tie matches to rounding. Same physical-type dance as
+    _samples (TIMESTAMP_NTZ under UTC vs legacy nanos-as-long)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "events_us")
+    if key not in _TBL_CACHE:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(ev.dtypes)["ts"].startswith("timestamp"):
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            t = F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("tus")
+        else:
+            t = F.expr("ts DIV 1000").cast("long").alias("tus")
+        _TBL_CACHE[key] = ev.select(
+            "event_id", t, "user_id", "event_type", "value"
+        ).cache()
+    return _TBL_CACHE[key]
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents table via the balanced reader: the driver writes each table
     as ONE single-row-group parquet file, which a scan cannot split — every
@@ -1087,6 +1107,55 @@ def q_datacard(spark, sf_dir):
     from rrdtool_1_x_spark.datapipe.report import corpus_datacard
 
     return corpus_datacard(_docs(spark, sf_dir)).orderBy("metric")
+
+
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join (operators.asof.asof_join; pandas merge_asof /
+    kdb aj semantics): every click matched to the user's latest view
+    within 10 minutes — tag+union+window plan, ONE shuffle on the user
+    key, no join node, so hot users cost a window partition rather than
+    a range-join fanout."""
+    from rrdtool_1_x_spark.operators.asof import asof_join
+
+    ev = _events_us(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "tus"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        "tus",
+        F.col("value").alias("view_value"),
+    )
+    return asof_join(
+        clicks, views, ts_col="tus", by=["user_id"],
+        tolerance=600_000_000,
+    ).orderBy("event_id")
+
+
+def q_range_join(spark, sf_dir):
+    """Point-in-interval join (operators.asof.range_join): clicks inside
+    the 5-minute window after each error, per user — intervals explode to
+    the 1-minute buckets they overlap so the theta join plans as an
+    equi-join on (user, bucket) + residual filter."""
+    from rrdtool_1_x_spark.operators.asof import range_join
+
+    ev = _events_us(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "tus"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("tus").alias("start_us"),
+        (F.col("tus") + F.lit(300_000_000)).alias("end_us"),
+    )
+    return range_join(
+        clicks, errors, ts_col="tus", by=["user_id"],
+        bucket=60_000_000,
+    ).select("user_id", "error_id", "click_id", "tus", "start_us").orderBy(
+        "error_id", "click_id"
+    )
 
 
 def q_hll_distinct(spark, sf_dir):
@@ -2281,6 +2350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontam": q_bloom_decontam,
         "tok_quantiles": q_tok_quantiles,
         "centroid_classify": q_centroid_classify,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "c4_clean": q_c4_clean,
         "line_dedup": q_line_dedup,
         "dsir_weight": q_dsir_weight,
@@ -4265,6 +4336,38 @@ SELECT domain, n_docs, tok_cnt,
        round(wq::DOUBLE / w, 6) AS mix_weight,
        round((wq::DOUBLE / w) / pr, 6) AS epochs
 FROM p CROSS JOIN wt ORDER BY domain"""
+
+    # as-of join: greatest right ts <= left ts per user within tolerance,
+    # ties to the greatest view_id (= the Spark side's payload-tuple rule)
+    sql["asof_join"] = """
+WITH e AS (SELECT event_id, epoch_us(ts) AS tus, user_id, event_type, value
+           FROM events),
+c AS (SELECT event_id, user_id, tus FROM e WHERE event_type = 'click'),
+v AS (SELECT event_id AS view_id, user_id, tus, value AS view_value
+      FROM e WHERE event_type = 'view'),
+j AS (SELECT c.user_id, c.event_id, c.tus,
+             v.view_id, v.tus AS tus_r, v.view_value,
+             row_number() OVER (PARTITION BY c.event_id
+                                ORDER BY v.tus DESC, v.view_id DESC) AS rn
+      FROM c LEFT JOIN v ON v.user_id = c.user_id AND v.tus <= c.tus
+                        AND v.tus >= c.tus - 600000000)
+SELECT user_id, event_id, tus, view_id, tus_r, view_value
+FROM j WHERE rn = 1 ORDER BY event_id"""
+
+    # range join: plain inclusive theta join — the Spark side's bucketed
+    # equi-join must return exactly these pairs
+    sql["range_join"] = """
+WITH e AS (SELECT event_id, epoch_us(ts) AS tus, user_id, event_type
+           FROM events),
+c AS (SELECT event_id AS click_id, user_id, tus FROM e
+      WHERE event_type = 'click'),
+r AS (SELECT event_id AS error_id, user_id, tus AS start_us,
+             tus + 300000000 AS end_us
+      FROM e WHERE event_type = 'error')
+SELECT c.user_id, r.error_id, c.click_id, c.tus, r.start_us
+FROM c JOIN r ON r.user_id = c.user_id
+             AND c.tus >= r.start_us AND c.tus <= r.end_us
+ORDER BY error_id, click_id"""
 
     # bit-exact HyperLogLog: md5-derived 32-bit hashes, 512 integer-max
     # registers, harmonic sum as an exact dyadic rational (V*2^K + S)/2^K;

@@ -1,0 +1,73 @@
+"""asof_join / range_join unit semantics (operators/asof.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rrdtool_1_x_spark.operators.asof import asof_join, range_join
+
+
+def test_asof_backward_basic(spark):
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 250), (3, "u", 50), (4, "w", 100)],
+        "event_id long, user string, tus long",
+    )
+    right = spark.createDataFrame(
+        [(10, "u", 100, 1.0), (11, "u", 200, 2.0), (12, "v", 90, 3.0)],
+        "rid long, user string, tus long, val double",
+    )
+    out = {
+        r["event_id"]: r
+        for r in asof_join(left, right, "tus", ["user"]).collect()
+    }
+    # equal ts matches (<=); latest-at-or-before wins; no match -> nulls
+    assert out[1]["rid"] == 10 and out[1]["tus_r"] == 100
+    assert out[2]["rid"] == 11 and out[2]["val"] == 2.0
+    assert out[3]["rid"] is None          # nothing at or before ts=50
+    assert out[4]["rid"] is None          # key 'w' has no right rows
+
+
+def test_asof_tolerance_and_ties(spark):
+    left = spark.createDataFrame(
+        [(1, "u", 1000), (2, "u", 5000)], "event_id long, user string, tus long"
+    )
+    right = spark.createDataFrame(
+        [(10, "u", 900, 1.0), (11, "u", 900, 2.0)],
+        "rid long, user string, tus long, val double",
+    )
+    out = {
+        r["event_id"]: r
+        for r in asof_join(
+            left, right, "tus", ["user"], tolerance=500
+        ).collect()
+    }
+    # tie at ts=900 resolves to the greatest payload tuple (rid 11 first
+    # field wins)
+    assert out[1]["rid"] == 11 and out[1]["val"] == 2.0
+    # 5000 - 900 > 500 tolerance -> nulled match
+    assert out[2]["rid"] is None
+
+
+def test_range_join_matches_theta(spark):
+    import random
+
+    rnd = random.Random(7)
+    pts = [(i, "k%d" % (i % 3), rnd.randrange(0, 10_000)) for i in range(120)]
+    ivs = [
+        (100 + j, "k%d" % (j % 3), s, s + rnd.randrange(0, 2_000))
+        for j, s in enumerate(rnd.randrange(0, 9_000) for _ in range(40))
+    ]
+    p = spark.createDataFrame(pts, "pid long, key string, tus long")
+    v = spark.createDataFrame(ivs, "iid long, key string, start_us long, end_us long")
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(p, v, "tus", "start_us", "end_us", ["key"],
+                            bucket=512).collect()
+    )
+    want = sorted(
+        (pid, iid)
+        for pid, pk, ts in pts
+        for iid, ik, s, e in ivs
+        if pk == ik and s <= ts <= e
+    )
+    assert got == want and len(want) > 0
