@@ -1158,6 +1158,19 @@ def q_range_join(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (operators.sessions.session_stats): a new
+    session per user when the inter-event gap exceeds 30 minutes —
+    lag + running sum over one key-partitioned window, one shuffle."""
+    from rrdtool_1_x_spark.operators.sessions import session_stats
+
+    ev = _events_us(spark, sf_dir)
+    return session_stats(
+        ev.select("user_id", "tus"), ts_col="tus", by=["user_id"],
+        gap=1_800_000_000,
+    ).orderBy("user_id", "session_idx")
+
+
 def q_hll_distinct(spark, sf_dir):
     """Per-source approximate distinct-token counts via a bit-exact
     HyperLogLog (datapipe.sketch.hll_distinct; Flajolet et al. 2007):
@@ -2352,6 +2365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_classify": q_centroid_classify,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "sessionize": q_sessionize,
         "c4_clean": q_c4_clean,
         "line_dedup": q_line_dedup,
         "dsir_weight": q_dsir_weight,
@@ -4368,6 +4382,23 @@ SELECT c.user_id, r.error_id, c.click_id, c.tus, r.start_us
 FROM c JOIN r ON r.user_id = c.user_id
              AND c.tus >= r.start_us AND c.tus <= r.end_us
 ORDER BY error_id, click_id"""
+
+    # gap sessionization: lag + running sum, 0-based per-user session ids
+    sql["sessionize"] = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+l AS (SELECT user_id, tus,
+             CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id
+                                            ORDER BY tus) > 1800000000
+                  THEN 1 ELSE 0 END AS nw
+      FROM e),
+s AS (SELECT user_id, tus,
+             CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY tus
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_idx
+      FROM l)
+SELECT user_id, session_idx, min(tus) AS start_us, max(tus) AS end_us,
+       count(*) AS n_events, max(tus) - min(tus) AS duration_us
+FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx"""
 
     # bit-exact HyperLogLog: md5-derived 32-bit hashes, 512 integer-max
     # registers, harmonic sum as an exact dyadic rational (V*2^K + S)/2^K;

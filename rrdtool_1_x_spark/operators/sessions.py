@@ -1,0 +1,56 @@
+"""Gap-based sessionization — the canonical event-stream grouping: a new
+session starts whenever a key's inter-event gap exceeds the timeout.
+
+Expressed as lag + running sum over one (key)-partitioned window — a
+single shuffle on the key, no join, no state outside the window. Session
+assignment is order-independent under timestamp ties (a zero gap never
+opens a session), so the result is exact across engines/partitionings.
+For live streams the same semantics come from Structured Streaming's
+``session_window``; this is the batch/backfill form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "tus",
+    by: list[str] | None = None,
+    gap: int = 1_800_000_000,
+) -> DataFrame:
+    """Add a ``session_idx`` column (0-based per key, in time order): a
+    new session opens when the gap to the key's previous event exceeds
+    ``gap`` microseconds. Map + one window over the key partition."""
+    by = list(by or [])
+    w = Window.partitionBy(*by).orderBy(F.asc(ts_col))
+    new = F.when(
+        F.col(ts_col) - F.lag(ts_col).over(w) > F.lit(int(gap)), 1
+    ).otherwise(0)
+    return df.withColumn(
+        "session_idx",
+        (F.sum(new).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )).cast("long"),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    ts_col: str = "tus",
+    by: list[str] | None = None,
+    gap: int = 1_800_000_000,
+) -> DataFrame:
+    """Per-session summary: ``(*by, session_idx, start_us, end_us,
+    n_events, duration_us)``. One window pass + one map-side-combinable
+    aggregate on (key, session)."""
+    by = list(by or [])
+    s = sessionize(df, ts_col, by, gap)
+    return s.groupBy(*by, "session_idx").agg(
+        F.min(ts_col).alias("start_us"),
+        F.max(ts_col).alias("end_us"),
+        F.count("*").alias("n_events"),
+        (F.max(ts_col) - F.min(ts_col)).alias("duration_us"),
+    )

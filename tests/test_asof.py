@@ -71,3 +71,26 @@ def test_range_join_matches_theta(spark):
         if pk == ik and s <= ts <= e
     )
     assert got == want and len(want) > 0
+
+
+def test_sessionize_hand_case(spark):
+    from rrdtool_1_x_spark.operators.sessions import session_stats, sessionize
+
+    # gaps: 10, 10, 100(new), 10, 200(new) -> 3 sessions for u; 1 for w
+    rows = [("u", t) for t in (0, 10, 20, 120, 130, 330)] + [("w", 5)]
+    df = spark.createDataFrame(rows, "user string, tus long")
+    s = sessionize(df, "tus", ["user"], gap=50)
+    got = {
+        (r["user"], r["tus"]): r["session_idx"] for r in s.collect()
+    }
+    assert [got[("u", t)] for t in (0, 10, 20, 120, 130, 330)] == [
+        0, 0, 0, 1, 1, 2,
+    ]
+    assert got[("w", 5)] == 0
+    st = {
+        (r["user"], r["session_idx"]): r
+        for r in session_stats(df, "tus", ["user"], gap=50).collect()
+    }
+    assert st[("u", 1)]["n_events"] == 2
+    assert st[("u", 1)]["duration_us"] == 10
+    assert st[("u", 2)]["start_us"] == st[("u", 2)]["end_us"] == 330
