@@ -1171,6 +1171,22 @@ def q_sessionize(spark, sf_dir):
     ).orderBy("user_id", "session_idx")
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered funnel signup -> view -> click -> purchase within 7 days
+    (operators.funnel.funnel): greedy-earliest stage matching as one
+    filtered min-aggregate per stage joined on the user key — k tiny
+    frames, no raw-event window, no per-key collection."""
+    from rrdtool_1_x_spark.operators.funnel import funnel
+
+    ev = _events_us(spark, sf_dir)
+    return funnel(
+        ev,
+        ["signup", "view", "click", "purchase"],
+        by="user_id",
+        within=604_800_000_000,
+    ).orderBy("user_id")
+
+
 def q_hll_distinct(spark, sf_dir):
     """Per-source approximate distinct-token counts via a bit-exact
     HyperLogLog (datapipe.sketch.hll_distinct; Flajolet et al. 2007):
@@ -2366,6 +2382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "sessionize": q_sessionize,
+        "funnel": q_funnel,
         "c4_clean": q_c4_clean,
         "line_dedup": q_line_dedup,
         "dsir_weight": q_dsir_weight,
@@ -4399,6 +4416,37 @@ s AS (SELECT user_id, tus,
 SELECT user_id, session_idx, min(tus) AS start_us, max(tus) AS end_us,
        count(*) AS n_events, max(tus) - min(tus) AS duration_us
 FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx"""
+
+    # ordered funnel: one min-aggregate per stage, greedy-earliest with
+    # the 7-day whole-funnel window anchored at ts_1
+    sql["funnel"] = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+s1 AS (SELECT user_id, min(tus) AS ts_1 FROM e
+       WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (SELECT s1.user_id, ts_1,
+         min(CASE WHEN e.tus > s1.ts_1
+                   AND e.tus <= s1.ts_1 + 604800000000
+                  THEN e.tus END) AS ts_2
+       FROM s1 LEFT JOIN e ON e.user_id = s1.user_id
+                              AND e.event_type = 'view'
+       GROUP BY 1, 2),
+s3 AS (SELECT s2.user_id, ts_1, ts_2,
+         min(CASE WHEN e.tus > s2.ts_2
+                   AND e.tus <= s2.ts_1 + 604800000000
+                  THEN e.tus END) AS ts_3
+       FROM s2 LEFT JOIN e ON e.user_id = s2.user_id
+                              AND e.event_type = 'click'
+       GROUP BY 1, 2, 3),
+s4 AS (SELECT s3.user_id, ts_1, ts_2, ts_3,
+         min(CASE WHEN e.tus > s3.ts_3
+                   AND e.tus <= s3.ts_1 + 604800000000
+                  THEN e.tus END) AS ts_4
+       FROM s3 LEFT JOIN e ON e.user_id = s3.user_id
+                              AND e.event_type = 'purchase'
+       GROUP BY 1, 2, 3, 4)
+SELECT user_id, ts_1, ts_2, ts_3, ts_4,
+       CAST(1 + CASE WHEN ts_2 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN ts_3 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN ts_4 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS steps_completed
+FROM s4 ORDER BY user_id"""
 
     # bit-exact HyperLogLog: md5-derived 32-bit hashes, 512 integer-max
     # registers, harmonic sum as an exact dyadic rational (V*2^K + S)/2^K;

@@ -94,3 +94,41 @@ def test_sessionize_hand_case(spark):
     assert st[("u", 1)]["n_events"] == 2
     assert st[("u", 1)]["duration_us"] == 10
     assert st[("u", 2)]["start_us"] == st[("u", 2)]["end_us"] == 330
+
+
+def test_funnel_hand_case(spark):
+    from rrdtool_1_x_spark.operators.funnel import funnel
+
+    rows = [
+        # u completes all 4 in order; the step-2 'view' at ts=5 (before
+        # signup) must be ignored, and stage ts must be strictly after
+        ("u", "view", 5), ("u", "signup", 10), ("u", "view", 20),
+        ("u", "click", 20),   # NOT after view(20) -> stage 3 waits
+        ("u", "click", 30), ("u", "purchase", 40),
+        # v stalls after view
+        ("v", "signup", 10), ("v", "view", 15),
+        # w never signs up -> absent
+        ("w", "click", 10),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_type string, tus long")
+    out = {r["user_id"]: r for r in funnel(
+        df, ["signup", "view", "click", "purchase"], by="user_id"
+    ).collect()}
+    assert set(out) == {"u", "v"}
+    u = out["u"]
+    assert (u["ts_1"], u["ts_2"], u["ts_3"], u["ts_4"]) == (10, 20, 30, 40)
+    assert u["steps_completed"] == 4
+    v = out["v"]
+    assert v["steps_completed"] == 2 and v["ts_3"] is None
+
+
+def test_funnel_window_bound(spark):
+    from rrdtool_1_x_spark.operators.funnel import funnel
+
+    rows = [("u", "signup", 0), ("u", "view", 50), ("u", "click", 200)]
+    df = spark.createDataFrame(rows, "user_id string, event_type string, tus long")
+    out = funnel(df, ["signup", "view", "click"], by="user_id",
+                 within=100).collect()[0]
+    # click at 200 falls outside signup+100
+    assert out["ts_2"] == 50 and out["ts_3"] is None
+    assert out["steps_completed"] == 2
