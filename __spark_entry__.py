@@ -1187,6 +1187,19 @@ def q_funnel(spark, sf_dir):
     ).orderBy("user_id")
 
 
+def q_retention(spark, sf_dir):
+    """Weekly cohort retention matrix (operators.sessions.
+    cohort_retention): users cohorted by first-activity week; per
+    (cohort, offset) the active count and retention share — two
+    combinable aggregates + a broadcast join on the tiny cohort axis."""
+    from rrdtool_1_x_spark.operators.sessions import cohort_retention
+
+    ev = _events_us(spark, sf_dir)
+    return cohort_retention(
+        ev.select("user_id", "tus"), ts_col="tus", by="user_id"
+    ).orderBy("cohort", "offset")
+
+
 def q_hll_distinct(spark, sf_dir):
     """Per-source approximate distinct-token counts via a bit-exact
     HyperLogLog (datapipe.sketch.hll_distinct; Flajolet et al. 2007):
@@ -2383,6 +2396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "sessionize": q_sessionize,
         "funnel": q_funnel,
+        "retention": q_retention,
         "c4_clean": q_c4_clean,
         "line_dedup": q_line_dedup,
         "dsir_weight": q_dsir_weight,
@@ -4447,6 +4461,19 @@ s4 AS (SELECT s3.user_id, ts_1, ts_2, ts_3,
 SELECT user_id, ts_1, ts_2, ts_3, ts_4,
        CAST(1 + CASE WHEN ts_2 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN ts_3 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN ts_4 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS steps_completed
 FROM s4 ORDER BY user_id"""
+
+    # weekly cohort retention: integer-division period buckets (div/# //
+    # agree; float-divide-then-cast would round on DuckDB)
+    sql["retention"] = """
+WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS p FROM events),
+first AS (SELECT user_id, min(p) AS cohort FROM e GROUP BY 1),
+active AS (SELECT DISTINCT user_id, p FROM e),
+sz AS (SELECT cohort, count(*) AS cohort_size FROM first GROUP BY 1),
+grid AS (SELECT cohort, a.p - cohort AS "offset", count(*) AS n_active
+         FROM active a JOIN first USING (user_id) GROUP BY 1, 2)
+SELECT grid.cohort, "offset", n_active, cohort_size,
+       round(n_active / cohort_size::DOUBLE, 6) AS retention
+FROM grid JOIN sz USING (cohort) ORDER BY cohort, 2"""
 
     # bit-exact HyperLogLog: md5-derived 32-bit hashes, 512 integer-max
     # registers, harmonic sum as an exact dyadic rational (V*2^K + S)/2^K;

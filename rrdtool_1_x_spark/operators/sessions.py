@@ -54,3 +54,43 @@ def session_stats(
         F.count("*").alias("n_events"),
         (F.max(ts_col) - F.min(ts_col)).alias("duration_us"),
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    ts_col: str = "tus",
+    by: str = "user_id",
+    period: int = 7 * 86_400_000_000,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST-activity
+    period; for each (cohort, offset) the count of cohort members active
+    ``offset`` periods later, plus the retention share against the
+    cohort's size. Returns ``(cohort, offset, n_active, cohort_size,
+    retention)``.
+
+    Two combinable aggregates + one broadcastable join on the (tiny)
+    cohort axis: first-activity per key (min), distinct (key, period)
+    activity, then the (cohort, offset) count — no window over raw
+    events, no per-key state.
+    """
+    # integer division, not float-divide-then-cast: Spark truncates that
+    # cast while DuckDB rounds it — `div`/`//` agree exactly
+    per = F.expr(f"CAST({ts_col} AS BIGINT) div {int(period)}")
+    first = events.groupBy(by).agg(F.min(per).alias("cohort"))
+    active = events.select(F.col(by), per.alias("_p")).distinct()
+    size = first.groupBy("cohort").agg(F.count("*").alias("cohort_size"))
+    grid = (
+        active.join(first, by)
+        .select("cohort", (F.col("_p") - F.col("cohort")).alias("offset"))
+        .groupBy("cohort", "offset")
+        .agg(F.count("*").alias("n_active"))
+    )
+    return grid.join(F.broadcast(size), "cohort").select(
+        "cohort",
+        "offset",
+        "n_active",
+        "cohort_size",
+        F.round(
+            F.col("n_active") / F.col("cohort_size").cast("double"), 6
+        ).alias("retention"),
+    )

@@ -132,3 +132,22 @@ def test_funnel_window_bound(spark):
     # click at 200 falls outside signup+100
     assert out["ts_2"] == 50 and out["ts_3"] is None
     assert out["steps_completed"] == 2
+
+
+def test_cohort_retention_hand_case(spark):
+    from rrdtool_1_x_spark.operators.sessions import cohort_retention
+
+    # period=100: u first in p0, active p0+p2; v first p0, active p0 only;
+    # w first p2, active p2+p3
+    rows = [("u", 10), ("u", 50), ("u", 250), ("v", 20),
+            ("w", 210), ("w", 320)]
+    df = spark.createDataFrame(rows, "user_id string, tus long")
+    out = {
+        (r["cohort"], r["offset"]): r
+        for r in cohort_retention(df, period=100).collect()
+    }
+    assert out[(0, 0)]["n_active"] == 2 and out[(0, 0)]["cohort_size"] == 2
+    assert out[(0, 0)]["retention"] == 1.0
+    assert out[(0, 2)]["n_active"] == 1 and out[(0, 2)]["retention"] == 0.5
+    assert out[(2, 0)]["cohort_size"] == 1 and out[(2, 1)]["retention"] == 1.0
+    assert (0, 1) not in out  # nobody from cohort 0 active in period 1
