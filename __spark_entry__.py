@@ -3131,7 +3131,8 @@ qv AS (SELECT vec_id,
 lb AS (SELECT vec_id, label FROM embeddings),
 px AS (SELECT lb.label AS lbl, ii.i AS pos, qv.q[ii.i] AS x
        FROM qv JOIN lb ON lb.vec_id = qv.vec_id
-       CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii),
+       CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii
+       WHERE lb.label IS NOT NULL),
 cent AS (SELECT lbl, pos,
            CAST(round(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS c
          FROM px GROUP BY 1, 2),
@@ -4506,6 +4507,8 @@ est AS (SELECT source,
                THEN 512.0 * ln(512.0 / V)
                WHEN ({_alpha_sql} * p2k / (V::DOUBLE * p2k + S::DOUBLE))
                     > (4294967296.0 / 30.0)
+                AND ({_alpha_sql} * p2k / (V::DOUBLE * p2k + S::DOUBLE))
+                    < 4294967296.0
                THEN -4294967296.0
                     * ln(1.0 - ({_alpha_sql} * p2k
                                 / (V::DOUBLE * p2k + S::DOUBLE))

@@ -23,6 +23,7 @@ def corpus_datacard(
     source_col: str = "source",
     id_col: str = "doc_id",
     persist: bool = True,
+    unpersist_handle: list | None = None,
 ) -> DataFrame:
     """One-pass corpus report: ``(metric, value)`` rows.
 
@@ -59,12 +60,16 @@ def corpus_datacard(
     )
     if persist:
         # NOTE: unlike the domain-sized persists elsewhere, this frame is
-        # corpus-sized (one slim row per doc). The handle is attached to
-        # the returned frame as `_datacard_slim` so long-lived sessions
-        # producing many cards can `out._datacard_slim.unpersist()` after
-        # consuming the report; persist=False trades 4 extra corpus scans
-        # for zero cache footprint.
+        # corpus-sized (one slim row per doc). Long-lived sessions that
+        # produce many cards should pass `unpersist_handle=[]` — the
+        # persisted frame is appended to it so the caller can
+        # `.unpersist()` after consuming the report (a Python attribute
+        # on the returned frame would be lost on the first chained
+        # transformation); persist=False trades 4 extra corpus scans for
+        # zero cache footprint.
         slim = slim.persist(StorageLevel.MEMORY_AND_DISK)
+        if unpersist_handle is not None:
+            unpersist_handle.append(slim)
 
     tot = slim.agg(
         F.count("*").alias("_n"),
@@ -152,9 +157,7 @@ def corpus_datacard(
         .select(F.lit("source_entropy_nats").alias("metric"), "value")
     )
 
-    out = base.unionByName(median).unionByName(langs).unionByName(ent)
-    out._datacard_slim = slim  # unpersist handle (see persist note above)
-    return out
+    return base.unionByName(median).unionByName(langs).unionByName(ent)
 
 
 def histogram_quantiles(
@@ -178,15 +181,13 @@ def histogram_quantiles(
         .groupBy(*groups, "_v")
         .agg(F.count("*").alias("_c"))
     )
-    w = (
-        Window.partitionBy(*groups) if groups else Window.partitionBy()
-    ).orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.withColumn("_cum", F.sum("_c").over(w))
-    tot = hist.groupBy(*groups).agg(F.sum("_c").alias("_n"))
-    j = (
-        cum.join(tot, groups)
-        if groups
-        else cum.crossJoin(F.broadcast(tot))
+    part = Window.partitionBy(*groups)
+    wcum = part.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    # group total as a window sum over the SAME partition the cumulative
+    # sum already shuffled on: no second aggregate, no join (which would
+    # also silently drop NULL group keys under null-unsafe equality)
+    cum = hist.withColumn("_cum", F.sum("_c").over(wcum)).withColumn(
+        "_n", F.sum("_c").over(part)
     )
     aggs = [F.first("_n").alias("n")]
     for q in qs:
@@ -196,4 +197,4 @@ def histogram_quantiles(
                 f"p{int(round(q * 100))}"
             )
         )
-    return j.groupBy(*groups).agg(*aggs)
+    return cum.groupBy(*groups).agg(*aggs)

@@ -1903,6 +1903,10 @@ def centroid_classify(
     """
     if model is None:
         model = centroid_model(df, id_col, vec_col, label_col)
+    if not model:
+        raise ValueError(
+            "centroid_classify: empty model — no non-null labels to train on"
+        )
     qc = quantize_embeddings(df, id_col, vec_col)
     lab = df.select(id_col, F.col(label_col).alias("label"))
     labels = "array(" + ",".join(str(int(l)) for l, _ in model) + ")"
@@ -1931,6 +1935,10 @@ def centroid_classify(
             id_col,
             "label",
             "pred",
-            (F.col("pred") == F.col("label")).cast("int").alias("correct"),
+            # null-safe 0/1 (a null label is "not correct", not null —
+            # matches the SQL CASE WHEN ... THEN 1 ELSE 0 convention)
+            F.when(F.col("pred") == F.col("label"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("correct"),
         )
     )

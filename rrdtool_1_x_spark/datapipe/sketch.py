@@ -51,6 +51,45 @@ def hll_register_cols(value: Column, seed: str = "hll") -> tuple[Column, Column]
     return bucket.cast("int").alias("bucket"), rho.cast("int").alias("rho")
 
 
+def _hll_est_col() -> Column:
+    """The HLL estimate as a Column over register-summary columns
+    ``nb`` (non-empty registers), ``K`` (max rho) and ``S`` (the dyadic
+    numerator ``sum(2^(K - rho))``) — factored out so the branch logic is
+    unit-testable on crafted register frames (the large-range branch
+    needs >1e8 distincts to trigger from real data).
+
+    Branches of the classic 32-bit estimator:
+    * linear counting when E <= 2.5m and empty registers exist;
+    * large-range correction ``-2^32 ln(1 - E/2^32)`` for
+      2^32/30 < E < 2^32 (hash-collision undercount);
+    * E >= 2^32 (saturated sketch — outside the 32-bit estimator's
+      domain) falls back to the raw value instead of ln() of a
+      non-positive argument (NULL on Spark, an error on DuckDB).
+    """
+    m = float(_M)
+    V = F.lit(_M) - F.col("nb")
+    # 2^K as an exact integer shift (K <= 25), not pow() — float pow is
+    # not guaranteed correctly rounded everywhere
+    pow2k = F.expr("shiftleft(1L, K)").cast("double")
+    e_raw = (
+        F.lit(_alpha(_M) * m * m)
+        * pow2k
+        / (V.cast("double") * pow2k + F.col("S").cast("double"))
+    )
+    return (
+        F.when(
+            (e_raw <= 2.5 * _M) & (V > 0),
+            F.lit(m) * F.log(F.lit(m) / V.cast("double")),
+        )
+        .when(
+            (e_raw > F.lit(2.0**32 / 30.0)) & (e_raw < F.lit(2.0**32)),
+            F.lit(-(2.0**32))
+            * F.log(F.lit(1.0) - e_raw / F.lit(2.0**32)),
+        )
+        .otherwise(e_raw)
+    )
+
+
 def hll_distinct(
     df: DataFrame,
     value: Column,
@@ -88,33 +127,7 @@ def hll_distinct(
         # form accepts a column expression
         F.sum(F.expr("shiftleft(1L, K - mr)")).alias("S"),
     )
-    m = float(_M)
-    V = F.lit(_M) - F.col("nb")
-    # 2^K as an exact integer shift (K <= 25), not pow() — float pow is
-    # not guaranteed correctly rounded everywhere
-    pow2k = F.expr("shiftleft(1L, K)").cast("double")
-    e_raw = (
-        F.lit(_alpha(_M) * m * m)
-        * pow2k
-        / (V.cast("double") * pow2k + F.col("S").cast("double"))
-    )
-    # small-range (linear counting) correction: E <= 2.5m and empty
-    # registers exist -> m * ln(m / V); large-range correction for the
-    # 32-bit hash space: E > 2^32/30 -> -2^32 ln(1 - E/2^32), undoing the
-    # hash-collision undercount that otherwise grows past ~1e8 distincts
-    est = (
-        F.when(
-            (e_raw <= 2.5 * _M) & (V > 0),
-            F.lit(m) * F.log(F.lit(m) / V.cast("double")),
-        )
-        .when(
-            e_raw > F.lit(2.0**32 / 30.0),
-            F.lit(-(2.0**32))
-            * F.log(F.lit(1.0) - e_raw / F.lit(2.0**32)),
-        )
-        .otherwise(e_raw)
-    )
-    out = per.select(*groups, F.round(est, 4).alias("hll_est"))
+    out = per.select(*groups, F.round(_hll_est_col(), 4).alias("hll_est"))
     if exact:
         ex = df.select(*groups, value.alias("_v")).groupBy(*groups).agg(
             F.countDistinct("_v").alias("n_exact")

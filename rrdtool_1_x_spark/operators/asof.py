@@ -86,8 +86,10 @@ def asof_join(
     out = u.filter(F.col("_side") == 1).select(
         *by,
         *[F.col("_l")[c].alias(c) for c in lcols],
+        # rcols already excludes by-columns, so only left-column names
+        # can collide and need the suffix
         *[
-            matched[c].alias(c + suffix if c in set(lcols) | set(by) else c)
+            matched[c].alias(c + suffix if c in set(lcols) else c)
             for c in rcols
         ],
     )

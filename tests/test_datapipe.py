@@ -1165,9 +1165,30 @@ def test_centroid_classifier_separable_case(spark):
     df = spark.createDataFrame(
         rows, "vec_id long, embedding array<double>, label int"
     )
+    # a null-labeled row trains nothing but still gets classified
+    df = df.union(
+        spark.createDataFrame(
+            [(999, [10.0] * 8, None)],
+            "vec_id long, embedding array<double>, label int",
+        )
+    )
     model = centroid_model(df)
     assert [l for l, _ in model] == [0, 1]
     assert all(len(c) == 8 for _, c in model)
-    out = centroid_classify(df, model=model).collect()
-    assert len(out) == 20
-    assert all(r["correct"] == 1 for r in out)
+    out = {r["vec_id"]: r for r in centroid_classify(df, model=model).collect()}
+    assert len(out) == 21
+    assert all(r["correct"] == 1 for i, r in out.items() if i != 999)
+    assert out[999]["pred"] == 0 and out[999]["correct"] == 0
+
+
+def test_centroid_classifier_empty_model_raises(spark):
+    import pytest as _pytest
+
+    from rrdtool_1_x_spark.datapipe.similarity import centroid_classify
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 8, None)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    with _pytest.raises(ValueError, match="empty model"):
+        centroid_classify(df)

@@ -465,13 +465,41 @@ def test_split_leakage_member_member_exact_copies(spark):
         assert splits[r["id_a"]] != splits[r["id_b"]]
 
 
-def test_hll_large_range_correction_active(spark):
-    """Above ~1.4e8 the raw 32-bit estimator undercounts from hash
-    collisions; the correction branch must not regress small inputs and
-    must be monotone at the switch boundary (formula-level check: the
-    corrected value exceeds the raw one)."""
+def test_hll_estimate_branches_on_crafted_registers(spark):
+    """Drive the ACTUAL Spark estimate expression (sketch._hll_est_col)
+    through all three branches via crafted register summaries: linear
+    counting, large-range correction, and the saturated-sketch clamp
+    (which must NOT feed ln() a non-positive argument)."""
     import math
 
-    e_raw = 2**32 / 20.0  # above the 2^32/30 switch
-    corrected = -(2.0**32) * math.log(1.0 - e_raw / 2.0**32)
-    assert corrected > e_raw
+    from pyspark.sql import functions as F
+
+    from rrdtool_1_x_spark.datapipe.sketch import _hll_est_col
+
+    alpha = 0.7213 / (1 + 1.079 / 512)
+    # (name, nb, K, S) register summaries
+    rows = [
+        ("linear", 40, 1, 80),        # tiny: V=472 > 0, e_raw small
+        ("midrange", 512, 10, 2048),  # no empties, below the switch
+        ("large", 512, 21, 600),      # e_raw ~ 6.6e8: correction branch
+        ("saturated", 512, 24, 512),  # e_raw ~ 6.2e9 >= 2^32: clamp
+    ]
+    df = spark.createDataFrame(rows, "name string, nb int, K int, S long")
+    got = {
+        r["name"]: r["est"]
+        for r in df.select("name", _hll_est_col().alias("est")).collect()
+    }
+
+    def e_raw(nb, K, S):
+        V = 512 - nb
+        return alpha * 512 * 512 * (2.0 ** K) / (V * 2.0 ** K + S)
+
+    assert got["linear"] == 512.0 * math.log(512.0 / (512 - 40))
+    assert got["midrange"] == e_raw(512, 10, 2048)
+    raw_l = e_raw(512, 21, 600)
+    assert 2**32 / 30 < raw_l < 2**32
+    assert got["large"] == -(2.0**32) * math.log(1.0 - raw_l / 2.0**32)
+    assert got["large"] > raw_l  # correction undoes the undercount
+    raw_s = e_raw(512, 24, 512)
+    assert raw_s >= 2**32
+    assert got["saturated"] == raw_s  # clamped: no NULL, no ln(<=0)
