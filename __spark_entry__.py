@@ -1200,6 +1200,28 @@ def q_retention(spark, sf_dir):
     ).orderBy("cohort", "offset")
 
 
+def q_event_rollup(spark, sf_dir):
+    """Hierarchical ROLLUP aggregate over events (Spark relational
+    rollup == SQL GROUP BY ROLLUP): (event_type, user bucket) ->
+    (event_type) -> grand total in one pass — Catalyst expands the
+    grouping sets, partial aggregation stays map-side combinable."""
+    ev = _events_us(spark, sf_dir)
+    return (
+        ev.withColumn("user_bucket", F.expr("user_id div 10"))
+        .rollup("event_type", "user_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            # exact integer cents before the sum: a float fold's result
+            # depends on partitioning order; the integer sum does not
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0,
+                6,
+            ).alias("value_sum"),
+        )
+        .orderBy("event_type", "user_bucket")
+    )
+
+
 def q_hll_distinct(spark, sf_dir):
     """Per-source approximate distinct-token counts via a bit-exact
     HyperLogLog (datapipe.sketch.hll_distinct; Flajolet et al. 2007):
@@ -2397,6 +2419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "funnel": q_funnel,
         "retention": q_retention,
+        "event_rollup": q_event_rollup,
         "c4_clean": q_c4_clean,
         "line_dedup": q_line_dedup,
         "dsir_weight": q_dsir_weight,
@@ -4475,6 +4498,17 @@ grid AS (SELECT cohort, a.p - cohort AS "offset", count(*) AS n_active
 SELECT grid.cohort, "offset", n_active, cohort_size,
        round(n_active / cohort_size::DOUBLE, 6) AS retention
 FROM grid JOIN sz USING (cohort) ORDER BY cohort, 2"""
+
+    # ROLLUP grouping sets; values summed as exact integer cents so no
+    # float-fold ordering can perturb the hash
+    sql["event_rollup"] = """
+WITH e AS (SELECT event_type, user_id // 10 AS user_bucket,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events)
+SELECT event_type, user_bucket, count(*) AS n_events,
+       round(CAST(sum(cents) AS BIGINT) / 100.0, 6) AS value_sum
+FROM e GROUP BY ROLLUP (event_type, user_bucket)
+ORDER BY event_type, user_bucket"""
 
     # bit-exact HyperLogLog: md5-derived 32-bit hashes, 512 integer-max
     # registers, harmonic sum as an exact dyadic rational (V*2^K + S)/2^K;
