@@ -1426,6 +1426,33 @@ def q_ivfpq_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q_pq_index_topup(spark, sf_dir):
+    """Persisted+incremental PQ index (datapipe.similarity.write_pq_index
+    / append_pq_index / pq_index_topk): index vec_id % 5 != 0 (codebook
+    frozen on that subset), append the % 5 == 0 batch, then ADC top-10
+    off the STORED codes — must equal the inline pq_topk over the full
+    corpus under the same codebook. Completes the persisted-index family
+    (MinHash bands, SimHash blocks, line hashes, IVF cells, PQ codes)."""
+    import tempfile
+
+    from rrdtool_1_x_spark.datapipe.similarity import (
+        append_pq_index,
+        pq_index_topk,
+        write_pq_index,
+    )
+
+    e = _emb(spark, sf_dir)
+    first = e.filter(F.col("vec_id") % 5 != 0)
+    second = e.filter(F.col("vec_id") % 5 == 0)
+    path = tempfile.mkdtemp(prefix="pqidx_")
+    write_pq_index(first, path, m=8, codes=16)
+    append_pq_index(second, path)
+    q = e.orderBy("vec_id").limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return pq_index_topk(spark, path, q, k=10).orderBy("query_id", "rank")
+
+
 def q_pq_recall(spark, sf_dir):
     """Recall@10 of the PQ ADC scan against the int8 brute-force baseline
     (datapipe.similarity.ann_recall) — the quality dial every compressed
@@ -2405,6 +2432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "pq_topk": q_pq_topk,
         "pq_recall": q_pq_recall,
+        "pq_index_topup": q_pq_index_topup,
         "datacard": q_datacard,
         "ivfpq_topk": q_ivfpq_topk,
         "mix_sample": q_mix_sample,
@@ -3255,6 +3283,24 @@ rq AS (SELECT query_id, vec_id, pq_dist,
                             ORDER BY pq_dist ASC, vec_id ASC) AS rank
        FROM scq)
 SELECT query_id, vec_id, pq_dist, rank FROM rq WHERE rank <= 10
+ORDER BY query_id, rank"""
+
+    # persisted PQ index: same ADC chain but the codebook samples ONLY the
+    # initially-indexed subset (vec_id % 5 != 0) — appends are encoded
+    # under that frozen codebook
+    sql["pq_index_topup"] = _pq_cte.replace(
+        """cb AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                 vec_id) - 1 AS code, q
+       FROM qv QUALIFY code < 16)""",
+        """cb AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                 vec_id) - 1 AS code, q
+       FROM qv WHERE vec_id % 5 != 0 QUALIFY code < 16)""",
+    ) + """,
+r AS (SELECT query_id, vec_id, pq_dist,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY pq_dist ASC, vec_id ASC) AS rank
+      FROM sc)
+SELECT query_id, vec_id, pq_dist, rank FROM r WHERE rank <= 10
 ORDER BY query_id, rank"""
 
     # PQ recall@10 vs the int8 brute-force baseline: both sides are

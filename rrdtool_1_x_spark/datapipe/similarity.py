@@ -1552,8 +1552,25 @@ def pq_topk(
     """
     if codebook is None:
         codebook = pq_codebook(corpus, m, codes, id_col, vec_col)
-    m = len(codebook)
     enc = pq_encode(corpus, codebook, id_col, vec_col)
+    return _pq_adc_topk(
+        enc, queries, codebook, k, id_col, vec_col, query_id_col
+    )
+
+
+def _pq_adc_topk(
+    enc: DataFrame,
+    queries: DataFrame,
+    codebook: list[list[list[int]]],
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """ADC top-k over an already-encoded ``(id, codes)`` frame — shared by
+    the inline ``pq_topk`` and the persisted-index ``pq_index_topk`` (the
+    index path reads stored codes instead of re-encoding the corpus)."""
+    m = len(codebook)
     q_rows = (
         quantize_embeddings(queries, query_id_col, vec_col)
         .select(query_id_col, "qvec")
@@ -1581,8 +1598,8 @@ def pq_topk(
         )
     if not per_query:
         qid_ddl = queries.schema[query_id_col].dataType.simpleString()
-        id_ddl = corpus.schema[id_col].dataType.simpleString()
-        return corpus.sparkSession.createDataFrame(
+        id_ddl = enc.schema[id_col].dataType.simpleString()
+        return enc.sparkSession.createDataFrame(
             [],
             f"{query_id_col} {qid_ddl}, {id_col} {id_ddl},"
             " pq_dist bigint, rank int",
@@ -1599,6 +1616,83 @@ def pq_topk(
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
+    )
+
+
+def write_pq_index(
+    corpus: DataFrame,
+    path: str,
+    m: int = 8,
+    codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: list[list[list[int]]] | None = None,
+) -> list[list[list[int]]]:
+    """Persist the corpus as a PQ index: the (id, codes) frame as parquet
+    plus the codebook as a JSON sidecar (``model.json``) — the artifact
+    pair every later query or append needs. Returns the codebook.
+
+    This is the compressed-at-rest layout: queries scan ``m`` small ints
+    per vector instead of the float column (~64x less IO at the default
+    8x16 over 64 float32 dims). The codebook is FROZEN at build time
+    (same contract as the IVF centroid model — retrain offline, never on
+    append). At cluster scale the sidecar lives in the table metadata; a
+    local JSON file stands in here.
+    """
+    import json
+    import os
+
+    if codebook is None:
+        codebook = pq_codebook(corpus, m, codes, id_col, vec_col)
+    pq_encode(corpus, codebook, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codes")
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/model.json", "w") as fh:
+        json.dump(codebook, fh)
+    return codebook
+
+
+def load_pq_codebook(path: str) -> list[list[list[int]]]:
+    import json
+
+    with open(f"{path}/model.json") as fh:
+        return json.load(fh)
+
+
+def append_pq_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a vector batch to a ``write_pq_index`` index: encode ONLY
+    the batch under the frozen codebook and parquet-append — appending to
+    a 100 TB index costs the batch's own encode, never a corpus rescan or
+    an index rewrite."""
+    codebook = load_pq_codebook(path)
+    pq_encode(new_vectors, codebook, id_col, vec_col).write.mode(
+        "append"
+    ).parquet(f"{path}/codes")
+
+
+def pq_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ADC top-k straight off a persisted PQ index: reads the stored
+    ``m``-byte codes (no re-encode, no float column) and must return
+    exactly what the inline ``pq_topk`` returns for the same codebook and
+    corpus — the split-append == one-shot equivalence the gate pins."""
+    enc = spark.read.parquet(f"{path}/codes").select(id_col, "codes")
+    codebook = load_pq_codebook(path)
+    return _pq_adc_topk(
+        enc, queries, codebook, k, id_col, vec_col, query_id_col
     )
 
 

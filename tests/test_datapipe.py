@@ -1192,3 +1192,30 @@ def test_centroid_classifier_empty_model_raises(spark):
     )
     with _pytest.raises(ValueError, match="empty model"):
         centroid_classify(df)
+
+
+def test_pq_index_split_append_equals_one_shot(spark, emb, tmp_path):
+    from rrdtool_1_x_spark.datapipe.similarity import (
+        append_pq_index,
+        load_pq_codebook,
+        pq_index_topk,
+        pq_topk,
+        write_pq_index,
+    )
+
+    first = emb.filter(F.col("vec_id") % 3 != 0)
+    second = emb.filter(F.col("vec_id") % 3 == 0)
+    path = str(tmp_path / "pqidx")
+    cb = write_pq_index(first, path)
+    assert load_pq_codebook(path) == cb
+    append_pq_index(second, path)
+    q = emb.orderBy("vec_id").limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        tuple(r) for r in pq_index_topk(spark, path, q, k=10).collect()
+    )
+    want = sorted(
+        tuple(r) for r in pq_topk(emb, q, k=10, codebook=cb).collect()
+    )
+    assert got == want and len(got) == 20
