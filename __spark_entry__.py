@@ -2336,9 +2336,10 @@ def q_bpe_train(spark, sf_dir):
     """Distributed BPE tokenizer induction (datapipe.bpe.train_bpe;
     Sennrich et al. 2016): 20 merges learned from the documents table —
     one corpus word-count shuffle, then vocabulary-sized pair-count +
-    merge-fold jobs per iteration. Data-dependent iteration => no single
-    SQL oracle (the driver records the rows-only check); pinned by the
-    Sennrich worked-example golden in tests/test_datapipe.py."""
+    merge-fold jobs per iteration. Oracled by unrolling the 20 merge
+    rounds as CTE layers (pair-count → thresholded argmax → string-fold
+    merge via list_reduce); also pinned by the Sennrich worked-example
+    golden in tests/test_datapipe.py."""
     from rrdtool_1_x_spark.datapipe.bpe import merges_frame
 
     return merges_frame(spark, _bpe_merges(spark, sf_dir)).orderBy("rank")
@@ -2347,13 +2348,20 @@ def q_bpe_train(spark, sf_dir):
 def q_bpe_encode(spark, sf_dir):
     """Apply the corpus-trained merges (datapipe.bpe.bpe_encode): greedy
     rank-priority subword tokenization, Arrow-batched map with a
-    per-batch word cache — no shuffle. Rows-only driver check (shares
-    the iterative trainer's artifact); round-trip and golden tests pin
-    the algorithm."""
+    per-batch word cache — no shuffle. pieces_sig fingerprints the whole
+    per-document subword sequence, so the oracle checks the actual
+    tokenization, not just counts. SQL-expressible because rank-priority
+    greedy encoding ≡ applying merges in rank order, each as the same
+    left-to-right fold the trainer uses (merge r's components are built
+    by merges < r, so later merges can never create an earlier pair)."""
     from rrdtool_1_x_spark.datapipe.bpe import bpe_encode
 
     out = bpe_encode(_docs(spark, sf_dir), _bpe_merges(spark, sf_dir))
-    return out.select("doc_id", "n_pieces").orderBy("doc_id")
+    return out.select(
+        "doc_id",
+        "n_pieces",
+        F.md5(F.concat_ws(" ", "pieces")).alias("pieces_sig"),
+    ).orderBy("doc_id")
 
 
 def q_hash_embed(spark, sf_dir):
@@ -2632,8 +2640,86 @@ padded AS (
   FROM grid LEFT JOIN pdp ON grid.series_id = pdp.series_id AND grid.ts = pdp.ts)"""
 
 
+def _bpe_merge_fold(src: str) -> str:
+    """One greedy left-to-right merge application over a symbol array
+    ``s`` (VARCHAR[]), fusing adjacent (m.a, m.b) pairs exactly like the
+    Spark trainer's F.aggregate fold (datapipe/bpe.py train_bpe): the
+    accumulator is a chr(31)-joined string (chr(31) cannot occur inside
+    tokens — words come from a whitespace split), the tail element equals
+    m.a iff the string ends with sep||m.a (or IS m.a). m.a IS NULL means
+    the round found no pair with count >= 2 (the trainer's early stop):
+    pass the array through unchanged."""
+    return (
+        "CASE WHEN m.a IS NULL THEN s ELSE string_split(list_reduce(s, "
+        "(acc, x) -> CASE WHEN (acc = m.a OR ends_with(acc, chr(31) || m.a)) "
+        "AND x = m.b THEN left(acc, length(acc) - length(m.a)) || m.a || m.b "
+        "ELSE acc || chr(31) || x END), chr(31)) END AS s"
+    )
+
+
+def _bpe_chain_ctes(n: int) -> str:
+    """The unrolled BPE training chain as DuckDB CTEs: w0 (corpus word
+    counts — the only corpus-sized scan), s0 (char symbols + </w>), then
+    per round r: p{r} (vocabulary-sized adjacent-pair counts), b{r}
+    (argmax pair with count >= 2, ties lexicographic — the trainer's
+    orderBy(desc n, asc a, asc b)), s{r+1} (fold-merge applied to every
+    word). MATERIALIZED pins each layer so DuckDB never re-inlines the
+    doubly-referenced chain (s{r} feeds both p{r} and s{r+1})."""
+    parts = [
+        r"""w0 AS MATERIALIZED (
+  SELECT w, count(*) AS c FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                              x -> x != '')) AS w
+    FROM documents) GROUP BY 1)""",
+        "s0 AS MATERIALIZED (SELECT w, c,"
+        " regexp_extract_all(w, '.') || ['</w>'] AS s FROM w0)",
+    ]
+    for r in range(n):
+        parts.append(
+            f"""p{r} AS (SELECT a, b, sum(c) AS n FROM (
+  SELECT c, unnest(s[1:len(s)-1]) AS a, unnest(s[2:len(s)]) AS b FROM s{r})
+  GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"b{r} AS MATERIALIZED (SELECT a, b FROM p{r} WHERE n >= 2 "
+            f"ORDER BY n DESC, a ASC, b ASC LIMIT 1)"
+        )
+        parts.append(
+            f"s{r + 1} AS MATERIALIZED (SELECT w, c, {_bpe_merge_fold(f's{r}')} "
+            f"FROM s{r} LEFT JOIN b{r} m ON TRUE)"
+        )
+    return ",\n".join(parts)
+
+
+def _bpe_train_oracle(n: int) -> str:
+    union = "\nUNION ALL ".join(f"SELECT {r} AS r, a, b FROM b{r}" for r in range(n))
+    return f"""WITH {_bpe_chain_ctes(n)}
+SELECT CAST(r AS INT) AS rank, a AS "left", b AS "right", a || b AS merged
+FROM ({union}) ORDER BY rank"""
+
+
+def _bpe_encode_oracle(n: int) -> str:
+    """Greedy rank-priority encode ≡ merges applied in rank order (each
+    as the training fold): merge r's components only exist after merges
+    < r, so applying a later merge can never create an earlier pair —
+    the final s{n} layer IS the encoded vocabulary. Reassemble documents
+    by joining word positions back and flattening in order; empty docs
+    keep n_pieces=0 / md5('') like Spark's concat_ws over []."""
+    return rf"""WITH {_bpe_chain_ctes(n)},
+dw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                  x -> x != '') AS ws FROM documents),
+dpos AS (SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS j FROM dw),
+dagg AS (SELECT doc_id, flatten(list(s ORDER BY j)) AS pieces
+         FROM dpos JOIN s{n} USING (w) GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(len(a.pieces), 0) AS BIGINT) AS n_pieces,
+       md5(array_to_string(coalesce(a.pieces, [])::VARCHAR[], ' ')) AS pieces_sig
+FROM documents d LEFT JOIN dagg a USING (doc_id) ORDER BY doc_id"""
+
+
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
+    sql["bpe_train"] = _bpe_train_oracle(20)
+    sql["bpe_encode"] = _bpe_encode_oracle(20)
     sql["pdp_gauge"] = (
         f"WITH {_PDP_CTE} SELECT series_id, ts, value FROM pdp ORDER BY series_id, ts"
     )
@@ -4194,7 +4280,7 @@ bsc AS (SELECT doc_id,
                                     + 0.25 * (u2.cu / n_total)) * 1e6)
                              AS BIGINT))
                 / sum(m) / 1e6, 6) AS score,
-          sum(m) AS bigram_cnt
+          CAST(sum(m) AS BIGINT) AS bigram_cnt
         FROM db JOIN bc USING (w1, w2)
                 JOIN uc u1 ON u1.tok = db.w1
                 JOIN uc u2 ON u2.tok = db.w2
@@ -4257,7 +4343,7 @@ h AS (SELECT doc_id,
           AS domain
       FROM enr),
 pd AS (SELECT doc_id, domain, count(*) AS c FROM h GROUP BY 1, 2)
-SELECT domain, sum(c) AS url_cnt, count(*) AS doc_cnt
+SELECT domain, CAST(sum(c) AS BIGINT) AS url_cnt, count(*) AS doc_cnt
 FROM pd GROUP BY domain ORDER BY domain"""
 
     # shared 6-word line regrouping for the line-level cleaning gates —
@@ -4663,7 +4749,7 @@ lr AS (SELECT b, CAST(round(ln((tc + 1)::DOUBLE / (tt + 64)
                              * (rt + 64) / (rc + 1)::DOUBLE) * 1e6)
                       AS BIGINT) AS q
        FROM bd CROSS JOIN tt)
-SELECT doc_id, sum(c) AS tok_cnt,
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS tok_cnt,
        round(sum(c * q) / 1e6, 6) AS dsir_logweight
 FROM dc JOIN lr USING (b) GROUP BY doc_id ORDER BY doc_id"""
 
@@ -4707,7 +4793,7 @@ n AS (SELECT sum(cnt) AS n_total FROM v)
 SELECT doc_id,
   round(sum(m * CAST(round(ln(cnt / n_total) * 1e6) AS BIGINT)) / sum(m)
         / 1e6, 6) AS unigram_logprob,
-  sum(m) AS token_cnt
+  CAST(sum(m) AS BIGINT) AS token_cnt
 FROM dt JOIN v USING (tok) CROSS JOIN n
 GROUP BY doc_id ORDER BY doc_id"""
     return sql

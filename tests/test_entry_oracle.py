@@ -34,18 +34,29 @@ def _normalize(df):
     return df
 
 
+def _canon(a) -> str:
+    """Driver-faithful canonical form: the driver stringifies cells before
+    hashing, so int 357 vs float 357.0 (and -0.0 vs 0.0) MUST differ here.
+
+    numpy scalars unwrap to Python scalars first so np.int64(3) == 3."""
+    if a is None:
+        return "<null>"
+    if hasattr(a, "tolist"):  # numpy array → nested python list
+        a = a.tolist()
+    if isinstance(a, (list, tuple)):
+        return "[" + ", ".join(_canon(x) for x in a) + "]"
+    if hasattr(a, "item") and not isinstance(a, dict):
+        try:
+            a = a.item()
+        except (AttributeError, ValueError):
+            pass
+    if isinstance(a, float) and math.isnan(a):
+        return "<null>"
+    return repr(a)
+
+
 def _cmp_cell(a, b) -> bool:
-    if a is None and b is None:
-        return True
-    try:
-        if isinstance(a, float) or isinstance(b, float):
-            fa, fb = float(a), float(b)
-            if math.isnan(fa) and math.isnan(fb):
-                return True
-            return fa == fb
-    except (TypeError, ValueError):
-        pass
-    return a == b
+    return _canon(a) == _canon(b)
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.queries()))
