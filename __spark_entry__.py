@@ -1103,10 +1103,24 @@ def q_datacard(spark, sf_dir):
     """Corpus data-card report (datapipe.report.corpus_datacard): long-
     format (metric, value) summary — doc/token/char counts, composition
     shares, exact-dup rate, nearest-rank median length, source entropy.
-    One persisted slim projection feeds five independent aggregates."""
+    One persisted slim projection feeds five independent aggregates.
+
+    The slim projection is corpus-sized, so its persist handle is held in
+    an app-scoped registry: one cached frame per (application, sf_dir),
+    and any prior handle for the same key is unpersisted first — repeat
+    invocations (bench loops) can never accumulate cached corpora even if
+    the DataFrame memo is bypassed."""
     from rrdtool_1_x_spark.datapipe.report import corpus_datacard
 
-    return corpus_datacard(_docs(spark, sf_dir)).orderBy("metric")
+    key = (spark.sparkContext.applicationId, sf_dir, "datacard_slim")
+    handle: list = []
+    card = corpus_datacard(_docs(spark, sf_dir), unpersist_handle=handle)
+    old = _TBL_CACHE.get(key)
+    if old is not None and handle and old is not handle[0]:
+        old.unpersist()
+    if handle:
+        _TBL_CACHE[key] = handle[0]
+    return card.orderBy("metric")
 
 
 def q_asof_join(spark, sf_dir):
@@ -2436,58 +2450,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-green row before any repeat. New entries go in the priority
     # block at the top, never appended at the end.
     qs = {
-        # -- priority: no driver row yet (added after the r5 sweep) ----
-        "temperature_mix": q_temperature_mix,
-        "pq_topk": q_pq_topk,
-        "pq_recall": q_pq_recall,
-        "pq_index_topup": q_pq_index_topup,
-        "datacard": q_datacard,
-        "ivfpq_topk": q_ivfpq_topk,
-        "mix_sample": q_mix_sample,
-        "split_leak": q_split_leak,
-        "hll_distinct": q_hll_distinct,
-        "cms_topk": q_cms_topk,
-        "bloom_decontam": q_bloom_decontam,
-        "tok_quantiles": q_tok_quantiles,
-        "centroid_classify": q_centroid_classify,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "sessionize": q_sessionize,
-        "funnel": q_funnel,
-        "retention": q_retention,
-        "event_rollup": q_event_rollup,
-        "c4_clean": q_c4_clean,
-        "line_dedup": q_line_dedup,
-        "dsir_weight": q_dsir_weight,
-        "ppl_bucket": q_ppl_bucket,
-        "tfidf_topk": q_tfidf_topk,
-        "line_index_topup": q_line_index_topup,
-        "html_extract": q_html_extract,
-        "ann_int8_topk": q_ann_int8_topk,
-        "pii_scrub": q_pii_scrub,
-        "semantic_dedup": q_semantic_dedup,
-        "bpe_tokens": q_bpe_tokens,
-        "dup_spans": q_dup_spans,
-        "span_dedup": q_span_dedup,
-        "hash_embed": q_hash_embed,
+        # -- priority: r6 red rows (oracle fixes this round) — must re-sweep
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
-        "text_semantic_dedup": q_text_semantic_dedup,
-        "bigram_logprob": q_bigram_logprob,
-        "dedup_best": q_dedup_best,
-        "gopher_rep": q_gopher_rep,
-        "domain_stats": q_domain_stats,
+        "dsir_weight": q_dsir_weight,
         "unigram_logprob": q_unigram_logprob,
-        "curate": q_curate,
-        "sql_derive": q_sql_derive,
-        "xport_sink": q_xport_sink,
-        # -- priority: last driver row is r4 (rotated out of the r5 window)
-        "simhash_near_dup": q_simhash_near_dup,
-        "decontam_overlap": q_decontam_overlap,
-        "hash_split": q_hash_split,
-        "stratified_sample": q_stratified_sample,
-        "token_budget": q_token_budget,
-        "vocab_top": q_vocab_top,
+        "bigram_logprob": q_bigram_logprob,
+        "domain_stats": q_domain_stats,
+        # -- stalest: last driver row r4
         "band_index_topup": q_band_index_topup,
         "simhash_index_topup": q_simhash_index_topup,
         "ivf_indexed_topk": q_ivf_indexed_topk,
@@ -2495,7 +2465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daemon_fetch": q_daemon_fetch,
         "sql_source": q_sql_source,
         "cb_source": q_cb_source,
-        # -- r5-green tier (driver rows in CORRECTNESS_r05.json) -------
+        # -- last driver row r5
         "pdp_gauge": q_pdp_gauge,
         "counter_rate": q_counter_rate,
         "cdp_avg": _q_cdp("AVERAGE"),
@@ -2546,6 +2516,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_jaccard": q_weighted_jaccard,
         "graph_stack": q_graph_stack,
         "graph_scale": q_graph_scale,
+        # -- freshest: green in CORRECTNESS_r06.json
+        "temperature_mix": q_temperature_mix,
+        "pq_topk": q_pq_topk,
+        "pq_recall": q_pq_recall,
+        "pq_index_topup": q_pq_index_topup,
+        "datacard": q_datacard,
+        "ivfpq_topk": q_ivfpq_topk,
+        "mix_sample": q_mix_sample,
+        "split_leak": q_split_leak,
+        "hll_distinct": q_hll_distinct,
+        "cms_topk": q_cms_topk,
+        "bloom_decontam": q_bloom_decontam,
+        "tok_quantiles": q_tok_quantiles,
+        "centroid_classify": q_centroid_classify,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "sessionize": q_sessionize,
+        "funnel": q_funnel,
+        "retention": q_retention,
+        "event_rollup": q_event_rollup,
+        "c4_clean": q_c4_clean,
+        "line_dedup": q_line_dedup,
+        "ppl_bucket": q_ppl_bucket,
+        "tfidf_topk": q_tfidf_topk,
+        "line_index_topup": q_line_index_topup,
+        "html_extract": q_html_extract,
+        "ann_int8_topk": q_ann_int8_topk,
+        "pii_scrub": q_pii_scrub,
+        "semantic_dedup": q_semantic_dedup,
+        "bpe_tokens": q_bpe_tokens,
+        "dup_spans": q_dup_spans,
+        "span_dedup": q_span_dedup,
+        "hash_embed": q_hash_embed,
+        "text_semantic_dedup": q_text_semantic_dedup,
+        "dedup_best": q_dedup_best,
+        "gopher_rep": q_gopher_rep,
+        "curate": q_curate,
+        "sql_derive": q_sql_derive,
+        "xport_sink": q_xport_sink,
+        "simhash_near_dup": q_simhash_near_dup,
+        "decontam_overlap": q_decontam_overlap,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "token_budget": q_token_budget,
+        "vocab_top": q_vocab_top,
     }
     # curate materializes its stage results eagerly at construction
     # (localCheckpoint inside curate_corpus): memoizing the DataFrame

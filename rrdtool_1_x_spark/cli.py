@@ -811,7 +811,10 @@ def _final_bounds(bounds, lo_opt, up_opt, rigid, alt=None, base=1000.0,
     elif alt == "M":
         adj = (umax - umin) * 0.1
         umax += adj
-    elif not rigid and expand:
+    elif (not rigid or allow_shrink) and expand:
+        # src/rrd_graph.c:3968: rigid WITHOUT allow-shrink skips the
+        # sensible-grid expansion; rigid+--allow-shrink still snaps the
+        # (possibly shrunk) bounds outward to the sensible-value grid
         umin, umax = _expand_range(umin, umax, base)
     return umin, umax
 

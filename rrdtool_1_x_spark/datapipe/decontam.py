@@ -313,8 +313,12 @@ def bloom_contamination_pairs(
     )
     surv = dg.filter(bloom_probe("ngram", bits, m_bits, k))
     bsz = bg.groupBy("bench_id").agg(F.count("*").alias("bench_ngrams"))
+    # phase 2: NO broadcast of bg — the whole point of the Bloom phase is
+    # that the benchmark n-gram table is too large for one; the survivors
+    # are Bloom-thinned, so AQE picks a (possibly still-shuffled, but
+    # survivor-sized) join here
     overlap = (
-        surv.join(F.broadcast(bg), "ngram")
+        surv.join(bg, "ngram")
         .groupBy("doc_id", "bench_id")
         .agg(F.count("*").alias("overlap_ngrams"))
     )

@@ -984,3 +984,23 @@ def test_graphv_allow_shrink_bounds(ds_path, capsys):
     # data floor, max drops below the rigid 20
     assert "-1.0000000000e+01" not in shrunk_min
     assert "2.0000000000e+01" not in shrunk_max
+
+
+def test_graphv_rigid_allow_shrink_snaps_to_grid(ds_path, capsys):
+    """rigid + --allow-shrink bounds still pass through expand_range
+    (src/rrd_graph.c:3968 gates on `!rigid || allow_shrink`): after
+    shrinking to the data they snap outward to the sensible-value grid,
+    so the published bounds equal the plain autoscale run's."""
+
+    def bounds(extra):
+        assert main([
+            "graphv", "-", "-s", str(START), "-e", str(UPDATES[-1][0]),
+            *extra, f"DEF:v={ds_path}:speed:AVERAGE", "LINE1:v#ff0000",
+        ]) == 0
+        out = capsys.readouterr().out
+        return [l for l in out.splitlines()
+                if l.startswith(("value_min", "value_max"))]
+
+    auto = bounds([])
+    shrunk = bounds(["-l", "-10", "-u", "20", "--rigid", "--allow-shrink"])
+    assert auto == shrunk
