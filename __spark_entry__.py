@@ -1410,6 +1410,92 @@ def _pq_book(spark, sf_dir, e):
     return _IVF_MODEL_CACHE[key]
 
 
+def _resid_artifacts(spark, sf_dir, e):
+    """(model, cell scales, residual codebook) for the residual-IVFADC
+    gates — trained once per (session, dataset) like every other offline
+    retrieval artifact here."""
+    from rrdtool_1_x_spark.datapipe.similarity import (
+        ivf_centroid_model,
+        residual_cell_scales,
+        residual_pq_codebook,
+    )
+
+    mkey = (spark.sparkContext.applicationId, sf_dir, "ivfmodel")
+    if mkey not in _IVF_MODEL_CACHE:
+        _IVF_MODEL_CACHE[mkey] = ivf_centroid_model(e, nlist=16)
+    model = _IVF_MODEL_CACHE[mkey]
+    rkey = (spark.sparkContext.applicationId, sf_dir, "residpq")
+    if rkey not in _IVF_MODEL_CACHE:
+        scales = residual_cell_scales(e, model)
+        book = residual_pq_codebook(e, model, scales, m=8, codes=16)
+        _IVF_MODEL_CACHE[rkey] = [model, scales, book]
+    return _IVF_MODEL_CACHE[rkey]
+
+
+def q_ivfpq_residual_topk(spark, sf_dir):
+    """Residual-encoded IVFADC (datapipe.similarity.ivfpq_residual_topk;
+    Jégou et al. §IV-V proper): PQ codes quantize x - centroid(x) under a
+    per-cell scale at int16 resolution; queries score candidates by ADC
+    on their own per-cell residual, distances rescaled by cell scale^2
+    and rounded to 1e-6 — integer-exact end to end, so the full ranked
+    result hash-gates against the oracle."""
+    from rrdtool_1_x_spark.datapipe.similarity import ivfpq_residual_topk
+
+    e = _emb(spark, sf_dir)
+    q = e.orderBy("vec_id").limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    model, scales, book = _resid_artifacts(spark, sf_dir, e)
+    return ivfpq_residual_topk(
+        e, q, k=10, nprobe=4, model=model, scales=scales, codebook=book
+    ).orderBy("query_id", "rank")
+
+
+def q_residual_recall(spark, sf_dir):
+    """Recall@10 of residual-code IVFADC vs raw-code IVFADC, side by side
+    against the int8 exact-cosine baseline (8 queries, same probes) — the
+    tolerance question of Jégou §IV made a gated number. On this corpus
+    (unit-norm ISOTROPIC synthetic embeddings: best-centroid cosine ~0.3,
+    residual norm > vector norm) raw codes measurably win; the residual
+    lift appears exactly when the coarse quantizer captures the vector's
+    energy — pinned on a tightly-clustered corpus in
+    tests/test_datapipe_similarity.py."""
+    from rrdtool_1_x_spark.datapipe.similarity import (
+        ann_recall,
+        ivfpq_residual_topk,
+        ivfpq_topk,
+        quantized_topk,
+    )
+
+    e = _emb(spark, sf_dir)
+    q = e.orderBy("vec_id").limit(8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    model, scales, book = _resid_artifacts(spark, sf_dir, e)
+    resid = ivfpq_residual_topk(
+        e, q, k=10, nprobe=4, model=model, scales=scales, codebook=book
+    )
+    raw = ivfpq_topk(
+        e, q, k=10, nlist=16, nprobe=4, m=8, codes=16,
+        model=model, codebook=_pq_book(spark, sf_dir, e),
+    )
+    exact = quantized_topk(e, q, k=10, query_id_col="query_id")
+    rr = ann_recall(resid, exact, k=10).select(
+        "query_id", "n_exact",
+        F.col("n_hit").alias("hit_residual"),
+        F.col("recall_at_k").alias("recall_residual"),
+    )
+    rw = ann_recall(raw, exact, k=10).select(
+        "query_id",
+        F.col("n_hit").alias("hit_raw"),
+        F.col("recall_at_k").alias("recall_raw"),
+    )
+    return rr.join(rw, "query_id").select(
+        "query_id", "n_exact", "hit_residual", "hit_raw",
+        "recall_residual", "recall_raw",
+    ).orderBy("query_id")
+
+
 def q_ivfpq_topk(spark, sf_dir):
     """IVFADC-style retrieval (datapipe.similarity.ivfpq_topk; Jégou et
     al. §V): IVF cell pruning (16 cells, 4 probed) + PQ compressed-domain
@@ -2450,6 +2536,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-green row before any repeat. New entries go in the priority
     # block at the top, never appended at the end.
     qs = {
+        # -- priority: new this round (no driver row yet) ---------------
+        "ivfpq_residual_topk": q_ivfpq_residual_topk,
+        "residual_recall": q_residual_recall,
         # -- priority: r6 red rows (oracle fixes this round) — must re-sweep
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
@@ -2731,10 +2820,167 @@ SELECT d.doc_id, CAST(coalesce(len(a.pieces), 0) AS BIGINT) AS n_pieces,
 FROM documents d LEFT JOIN dagg a USING (doc_id) ORDER BY doc_id"""
 
 
+_RESID_LIM = 32767
+
+
+def _resid_oracle_ctes(nq: int) -> str:
+    """Residual-IVFADC oracle chain (mirrors similarity.ivfpq_residual_topk
+    op for op): cosine cell assignment, per-cell residual scales,
+    int16-quantized residuals, salted-md5 residual codebook, per-(query,
+    probed-cell) LUTs, integer ADC rescaled by cscale^2 and rounded 1e-6."""
+    L = _RESID_LIM
+    return f"""ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings),
+n2f AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM ev),
+cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n2f
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+sc0 AS (SELECT n2f.vec_id, cent.cid, cent.cv,
+              coalesce(CASE WHEN n2f.n2 > 0 AND cent.cn2 > 0
+                            THEN list_dot_product(n2f.v, cent.cv)
+                                 / (sqrt(n2f.n2) * sqrt(cent.cn2)) END,
+                       -2.0) AS s
+       FROM n2f CROSS JOIN cent),
+asg AS (SELECT vec_id, cid, cv FROM (
+          SELECT vec_id, cid, cv,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY s DESC, cid ASC) AS rn
+          FROM sc0) _ WHERE rn = 1),
+rres AS (SELECT ev.vec_id, asg.cid,
+           list_transform(range(1, 65), i -> ev.v[i] - asg.cv[i]) AS rv
+         FROM ev JOIN asg USING (vec_id)),
+cs AS (SELECT cid, max(list_max(list_transform(rv, x -> abs(x)))) AS cscale
+       FROM rres GROUP BY cid),
+rqv AS (SELECT r.vec_id, r.cid,
+          CASE WHEN cs.cscale > 0
+               THEN list_transform(r.rv,
+                      x -> CAST(round(x / cs.cscale * {L}) AS BIGINT))
+               ELSE list_transform(r.rv, x -> CAST(0 AS BIGINT)) END AS q
+        FROM rres r JOIN cs USING (cid)),
+rcb AS (SELECT row_number() OVER (ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)),
+                                  vec_id) - 1 AS code, q
+        FROM rqv QUALIFY code < 16),
+rsub AS (SELECT code, ss.s, rcb.q[ss.s*8+1 : ss.s*8+8] AS cv
+         FROM rcb CROSS JOIN (SELECT unnest(range(0,8)) AS s) ss),
+red AS (SELECT e.vec_id, e.cid, sb.s, sb.code,
+          list_sum(list_transform(range(1,9),
+             i -> (e.q[sb.s*8+i] - sb.cv[i]) * (e.q[sb.s*8+i] - sb.cv[i])))
+            AS dd
+        FROM rqv e CROSS JOIN rsub sb),
+renc AS (SELECT vec_id, cid, s, code FROM red
+         QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                                    ORDER BY dd ASC, code ASC) = 1),
+qids AS (SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id LIMIT {nq}),
+probe AS (SELECT query_id, cid, cv FROM (
+            SELECT sc0.vec_id AS query_id, sc0.cid, sc0.cv,
+                   row_number() OVER (PARTITION BY sc0.vec_id
+                                      ORDER BY sc0.s DESC, sc0.cid ASC) AS rn
+            FROM sc0 JOIN qids ON sc0.vec_id = qids.query_id) _
+          WHERE rn <= 4),
+qres AS (SELECT p.query_id, p.cid,
+           list_transform(range(1, 65), i -> ev.v[i] - p.cv[i]) AS rv
+         FROM probe p JOIN ev ON ev.vec_id = p.query_id),
+qresq AS (SELECT q.query_id, q.cid,
+            CASE WHEN cs.cscale > 0
+                 THEN list_transform(q.rv,
+                        x -> CAST(round(x / cs.cscale * {L}) AS BIGINT))
+                 ELSE list_transform(q.rv, x -> CAST(0 AS BIGINT)) END AS q
+          FROM qres q JOIN cs USING (cid)),
+rlut AS (SELECT qq.query_id, qq.cid, sb.s, sb.code,
+           list_sum(list_transform(range(1,9),
+              i -> (qq.q[sb.s*8+i] - sb.cv[i]) * (qq.q[sb.s*8+i] - sb.cv[i])))
+             AS dd
+         FROM qresq qq CROSS JOIN rsub sb),
+rscq AS (SELECT l.query_id, en.vec_id,
+           round(CAST(sum(l.dd) AS DOUBLE) * first(cs.cscale) *
+                 first(cs.cscale) / ({L}.0 * {L}.0), 6) AS pq_dist
+         FROM renc en
+         JOIN rlut l ON l.cid = en.cid AND l.s = en.s AND l.code = en.code
+         JOIN cs ON cs.cid = en.cid
+         GROUP BY 1, 2)"""
+
+
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
     sql["bpe_train"] = _bpe_train_oracle(20)
     sql["bpe_encode"] = _bpe_encode_oracle(20)
+    sql["ivfpq_residual_topk"] = f"""WITH {_resid_oracle_ctes(2)},
+rtk AS (SELECT query_id, vec_id, pq_dist,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY pq_dist ASC, vec_id ASC) AS rank
+        FROM rscq)
+SELECT query_id, vec_id, pq_dist, rank FROM rtk WHERE rank <= 10
+ORDER BY query_id, rank"""
+    sql["residual_recall"] = f"""WITH {_resid_oracle_ctes(8)},
+qv8 AS (SELECT vec_id,
+          CASE WHEN s > 0
+               THEN list_transform(v, x -> CAST(round(x / s * 127) AS BIGINT))
+               ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+        FROM (SELECT vec_id, v,
+                list_max(list_transform(v, x -> abs(x))) AS s FROM ev) _),
+cb8 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                  vec_id) - 1 AS code, q
+        FROM qv8 QUALIFY code < 16),
+sub8 AS (SELECT code, ss.s, cb8.q[ss.s*8+1 : ss.s*8+8] AS cv
+         FROM cb8 CROSS JOIN (SELECT unnest(range(0,8)) AS s) ss),
+ed8 AS (SELECT e.vec_id, sb.s, sb.code,
+          list_sum(list_transform(range(1,9),
+             i -> (e.q[sb.s*8+i] - sb.cv[i]) * (e.q[sb.s*8+i] - sb.cv[i])))
+            AS dd
+        FROM qv8 e CROSS JOIN sub8 sb),
+enc8 AS (SELECT vec_id, s, code FROM ed8
+         QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                                    ORDER BY dd ASC, code ASC) = 1),
+lut8 AS (SELECT qids.query_id, sb.s, sb.code,
+           list_sum(list_transform(range(1,9),
+              i -> (qq.q[sb.s*8+i] - sb.cv[i]) * (qq.q[sb.s*8+i] - sb.cv[i])))
+             AS dd
+         FROM qv8 qq JOIN qids ON qq.vec_id = qids.query_id
+         CROSS JOIN sub8 sb),
+cand AS (SELECT probe.query_id, asg.vec_id FROM probe JOIN asg USING (cid)),
+scq AS (SELECT c.query_id, c.vec_id, CAST(sum(l.dd) AS BIGINT) AS pq_dist
+        FROM cand c JOIN enc8 en ON en.vec_id = c.vec_id
+        JOIN lut8 l ON l.query_id = c.query_id
+                   AND l.s = en.s AND l.code = en.code
+        GROUP BY 1, 2),
+rawk AS (SELECT query_id, vec_id FROM (
+           SELECT query_id, vec_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY pq_dist ASC, vec_id ASC) AS rank
+           FROM scq) _ WHERE rank <= 10),
+resk AS (SELECT query_id, vec_id FROM (
+           SELECT query_id, vec_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY pq_dist ASC, vec_id ASC) AS rank
+           FROM rscq) _ WHERE rank <= 10),
+qqv AS (SELECT qids.query_id, qq.q AS qe
+        FROM qv8 qq JOIN qids ON qq.vec_id = qids.query_id),
+pairs AS (SELECT qqv.query_id, e.vec_id,
+            list_sum(list_transform(range(1,65), i -> e.q[i] * qqv.qe[i]))
+              AS dot,
+            list_sum(list_transform(range(1,65), i -> e.q[i] * e.q[i]))
+              AS na2,
+            list_sum(list_transform(range(1,65), i -> qqv.qe[i] * qqv.qe[i]))
+              AS nb2
+          FROM qv8 e CROSS JOIN qqv),
+exv AS (SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY dot::DOUBLE / sqrt(na2::DOUBLE * nb2::DOUBLE)
+                            DESC, vec_id ASC) AS rank
+          FROM pairs WHERE na2 > 0 AND nb2 > 0) _ WHERE rank <= 10)
+SELECT e.query_id, count(*) AS n_exact,
+       CAST(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS hit_residual,
+       CAST(sum(CASE WHEN w.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS hit_raw,
+       round(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS recall_residual,
+       round(sum(CASE WHEN w.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS recall_raw
+FROM exv e
+LEFT JOIN resk r ON r.query_id = e.query_id AND r.vec_id = e.vec_id
+LEFT JOIN rawk w ON w.query_id = e.query_id AND w.vec_id = e.vec_id
+GROUP BY e.query_id ORDER BY e.query_id"""
     sql["pdp_gauge"] = (
         f"WITH {_PDP_CTE} SELECT series_id, ts, value FROM pdp ORDER BY series_id, ts"
     )

@@ -907,6 +907,7 @@ def remove_duplicate_spans(
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """The TRANSFORMATION counterpart of ``duplicated_ngram_spans`` —
     Lee et al. 2022's ExactSubstr dedup excises repeated spans from the
@@ -931,13 +932,18 @@ def remove_duplicate_spans(
     window (``_shingle_array`` semantics).
     """
     toks = _tokens(F.col(text_col))
+    # hash_fn: "md5" (engine-portable, the oracle-gated default) or
+    # "xxhash64" (long keys — a quarter of the shuffled bytes; prefer at
+    # corpus scale, same convention as duplicated_ngram_spans)
+    hasher = (
+        (lambda s: F.md5(s.cast("binary")))
+        if hash_fn == "md5"
+        else (lambda s: F.xxhash64(s))
+    )
     base = df.select(
         F.col(id_col),
         toks.alias("_t"),
-        F.transform(
-            _shingle_array(F.col(text_col), n),
-            lambda s: F.md5(s.cast("binary")),
-        ).alias("_w"),
+        F.transform(_shingle_array(F.col(text_col), n), hasher).alias("_w"),
     )
     occ = base.select(
         F.col(id_col), F.posexplode("_w").alias("_p0", "_h")

@@ -1824,6 +1824,290 @@ def ivfpq_topk(
     )
 
 
+def residual_cell_scales(
+    corpus: DataFrame,
+    model: list[tuple[int, list[float], float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[int, float]:
+    """Per-cell residual quantization scales: for every IVF cell, the max
+    |component| over the residuals (vector - assigned centroid) of its
+    members. One corpus-linear pass ending in a 16-row aggregate; at
+    cluster scale this is an ingest-time per-partition statistic.
+
+    The scale is exact on both engines (elementwise double subtraction,
+    abs, max — no summation), so the downstream integer quantization is
+    bit-reproducible."""
+    staged = corpus.select(
+        _resid_col(F.col(vec_col), model).alias("_rv"),
+        (-F.array_max(_centroid_scores(F.col(vec_col), model))["nc"]).alias(
+            "_cell"
+        ),
+    )
+    rows = (
+        staged.groupBy("_cell")
+        .agg(
+            F.max(
+                F.array_max(F.transform("_rv", lambda x: F.abs(x)))
+            ).alias("_s")
+        )
+        .collect()
+    )
+    return {int(r["_cell"]): float(r["_s"]) for r in rows}
+
+
+def _resid_col(vec: Column, model: list[tuple[int, list[float], float]]) -> Column:
+    """Residual of a vector vs its assigned IVF centroid, as a map-only
+    Column: cell id from the shared cosine-assignment fold, centroid
+    looked up in a cid -> array<double> map literal, elementwise double
+    subtraction (single IEEE op per component — exact on both engines)."""
+    cell = -F.array_max(_centroid_scores(vec, model))["nc"]
+    entries = ", ".join(
+        f"{cid}L, array({','.join(f'{v!r}D' for v in cv)})"
+        for cid, cv, _ in model
+    )
+    cent = F.element_at(F.expr(f"map({entries})"), cell.cast("long"))
+    vd = F.transform(vec, lambda x: x.cast("double"))
+    return F.zip_with(vd, cent, lambda a, b: a - b)
+
+
+def _q_resid_col(
+    rv: Column,
+    cell: Column,
+    scales: dict[int, float],
+    lim: int,
+) -> Column:
+    """Quantize a residual array under its cell's shared scale:
+    ``round(x / scale * lim)`` (the _int8_qvec rule at ``lim`` steps).
+    A shared per-cell scale — unlike the per-vector scale of the raw
+    path — preserves MAGNITUDE relationships between residuals, which is
+    what ADC distances on residuals measure; the wider ``lim`` (int16 by
+    default) buys back the resolution a cell-max scale costs. Zero-scale
+    cells (single exact-centroid member) quantize to zeros."""
+    entries = ", ".join(f"{cid}L, {s!r}D" for cid, s in sorted(scales.items()))
+    sc = F.element_at(F.expr(f"map({entries})"), cell.cast("long"))
+    return F.when(
+        sc > 0,
+        F.transform(rv, lambda x: F.round(x / sc * lim).cast("long")),
+    ).otherwise(F.transform(rv, lambda x: F.lit(0).cast("long")))
+
+
+def residual_pq_codebook(
+    corpus: DataFrame,
+    model: list[tuple[int, list[float], float]],
+    scales: dict[int, float],
+    m: int = 8,
+    codes: int = 16,
+    lim: int = 32767,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """PQ codebooks over quantized RESIDUALS: the ``codes`` corpus
+    vectors with smallest md5('pq:' || id) contribute their residual
+    subvectors. The salt matters: the unsalted md5 order is the IVF
+    centroid sample, whose residuals are all-zero — a degenerate
+    codebook (every entry the zero vector) that round 6's raw-code
+    convention would silently produce here."""
+    staged = corpus.select(
+        F.col(id_col),
+        _resid_col(F.col(vec_col), model).alias("_rv"),
+        (-F.array_max(_centroid_scores(F.col(vec_col), model))["nc"]).alias(
+            "_cell"
+        ),
+    )
+    rows = (
+        staged.select(
+            F.col(id_col),
+            _q_resid_col(F.col("_rv"), F.col("_cell"), scales, lim).alias(
+                "rq"
+            ),
+        )
+        .orderBy(
+            F.md5(F.concat(F.lit("pq:"), F.col(id_col).cast("string"))),
+            F.col(id_col),
+        )
+        .limit(codes)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("residual_pq_codebook: empty corpus")
+    dim = len(rows[0]["rq"])
+    if dim % m:
+        raise ValueError(f"residual_pq_codebook: dim {dim} % m={m} != 0")
+    d = dim // m
+    return [
+        [[int(v) for v in r["rq"][s * d : (s + 1) * d]] for r in rows]
+        for s in range(m)
+    ]
+
+
+def ivfpq_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    codes: int = 16,
+    lim: int = 32767,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    model: list[tuple[int, list[float], float]] | None = None,
+    codebook: list[list[list[int]]] | None = None,
+    scales: dict[int, float] | None = None,
+) -> DataFrame:
+    """Residual-encoded IVFADC (Jégou et al. §IV-V, the published IVFADC
+    proper): PQ codes quantize the residual x - c(x) to the assigned
+    coarse centroid, and a query probing cell c scores candidates by ADC
+    on ITS residual q - c — approximating true ||q - x||^2 instead of a
+    distance in the per-vector-normalized space the raw-code variant
+    (``ivfpq_topk``) ranks in.
+
+    Exactness: residuals are elementwise double subtractions (one IEEE op
+    per component), quantized under a per-CELL scale at ``lim`` steps —
+    every downstream distance is INTEGER, rescaled once per cell by
+    scale^2 (two multiplies + one divide, identical op order in the
+    oracle) and rounded to 1e-6 before ranking, so the result is
+    bit-reproducible across engines and partitionings.
+
+    When it wins: residual coding beats raw-vector coding exactly when
+    the coarse quantizer captures most of the vector's energy
+    (||x - c|| << ||x||) — tightly clustered corpora, the regime the
+    paper measures on SIFT. On isotropic unit-norm corpora (this repo's
+    synthetic embeddings: best-centroid cosine ~0.3, so ||x - c|| > ||x||)
+    residuals are LARGER than the vectors and the raw-code variant
+    measurably wins — both regimes are pinned by tests and recorded in
+    BASELINE.md; ``residual_recall`` gates the honest comparison.
+
+    Shape at scale: identical to ``ivfpq_topk`` — one map-only corpus
+    projection to (cell, codes) plus a 16-row scale aggregate (an
+    ingest-time statistic at cluster scale); probe lists and LUTs are
+    driver-side on the query batch; the scan reads m small ints per row.
+    """
+    if model is None:
+        model = ivf_centroid_model(corpus, nlist=nlist, id_col=id_col, vec_col=vec_col)
+    if scales is None:
+        scales = residual_cell_scales(corpus, model, id_col, vec_col)
+    if codebook is None:
+        codebook = residual_pq_codebook(
+            corpus, model, scales, m, codes, lim, id_col, vec_col
+        )
+    m = len(codebook)
+    d = len(codebook[0][0])
+    staged = corpus.select(
+        F.col(id_col),
+        _resid_col(F.col(vec_col), model).alias("_rv"),
+        (-F.array_max(_centroid_scores(F.col(vec_col), model))["nc"]).alias(
+            "_cell"
+        ),
+    )
+    enc = staged.select(
+        F.col(id_col),
+        F.col("_cell"),
+        _q_resid_col(F.col("_rv"), F.col("_cell"), scales, lim).alias("qvec"),
+    ).select(F.col(id_col), "_cell", _pq_codes_col(codebook).alias("codes"))
+
+    # probe lists: the same driver-side float fold as ivfpq_topk
+    import math as _math
+
+    qraw = {r[0]: [float(x) for x in r[1]] for r in
+            queries.select(query_id_col, vec_col).collect()}
+    probes: dict = {}
+    for qid, qvf in qraw.items():
+        qn2 = _seq_dot(qvf, qvf)
+        entries = []
+        for cid, cv, cn2 in model:
+            if cn2 > 0 and qn2 > 0:
+                s = _seq_dot(qvf, cv) / (_math.sqrt(qn2) * _math.sqrt(cn2))
+            else:
+                s = -2.0
+            entries.append((s, -cid))
+        entries.sort(reverse=True)
+        probes[qid] = [-nc for _, nc in entries[:nprobe]]
+
+    # per-(query, probed cell) residuals quantized ENGINE-SIDE (a
+    # query-batch x nprobe sized job), so the rounding rule is the
+    # engine's own — float64 round-trips losslessly through collect
+    if qraw:
+        spark = corpus.sparkSession
+        cents = {cid: cv for cid, cv, _ in model}
+        qc_rows = [
+            (qid, cid, qraw[qid]) for qid in qraw for cid in probes[qid]
+        ]
+        qid_ddl = queries.schema[query_id_col].dataType.simpleString()
+        qframe = spark.createDataFrame(
+            qc_rows, f"{query_id_col} {qid_ddl}, _cell long, _v array<double>"
+        )
+        centries = ", ".join(
+            f"{cid}L, array({','.join(f'{v!r}D' for v in cv)})"
+            for cid, cv in cents.items()
+        )
+        cent = F.element_at(F.expr(f"map({centries})"), F.col("_cell"))
+        rv = F.zip_with(F.col("_v"), cent, lambda a, b: a - b)
+        qres = {
+            (r[0], int(r[1])): [int(x) for x in r[2]]
+            for r in qframe.select(
+                query_id_col,
+                "_cell",
+                _q_resid_col(rv, F.col("_cell"), scales, lim).alias("rq"),
+            ).collect()
+        }
+    per_pair = []
+    denom = float(lim) * float(lim)
+    for qid in qraw:
+        for cid in probes[qid]:
+            rq = qres[(qid, cid)]
+            lut = [
+                [
+                    sum(
+                        (rq[s * d + i] - cv) ** 2
+                        for i, cv in enumerate(codebook[s][c])
+                    )
+                    for c in range(len(codebook[s]))
+                ]
+                for s in range(m)
+            ]
+            cs = scales.get(cid, 0.0)
+            ok = F.col("_cell") == int(cid)
+            dist = F.round(
+                _pq_lut_dist(lut).cast("double") * F.lit(cs) * F.lit(cs)
+                / F.lit(denom),
+                6,
+            )
+            per_pair.append(
+                F.struct(
+                    F.lit(qid).alias(query_id_col),
+                    F.when(ok, dist).alias("pq_dist"),
+                    ok.alias("_ok"),
+                )
+            )
+    if not per_pair:
+        qid_ddl = queries.schema[query_id_col].dataType.simpleString()
+        id_ddl = corpus.schema[id_col].dataType.simpleString()
+        return corpus.sparkSession.createDataFrame(
+            [],
+            f"{query_id_col} {qid_ddl}, {id_col} {id_ddl},"
+            " pq_dist double, rank int",
+        )
+    scored = (
+        enc.select(F.col(id_col), "_cell",
+                   F.explode(F.array(*per_pair)).alias("_q"))
+        .filter(F.col("_q")["_ok"])
+        .select(
+            F.col("_q")[query_id_col].alias(query_id_col),
+            F.col(id_col),
+            F.col("_q")["pq_dist"].alias("pq_dist"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("pq_dist"), F.asc(id_col)
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def ann_recall(
     approx: DataFrame,
     exact: DataFrame,
