@@ -1410,6 +1410,50 @@ def _pq_book(spark, sf_dir, e):
     return _IVF_MODEL_CACHE[key]
 
 
+def q_nb_classify(spark, sf_dir):
+    """Hashed multinomial Naive Bayes language classifier
+    (datapipe.textstats.hashed_nb_classify) — the fasttext-shaped linear
+    scorer curation pipelines gate documents with, trained on the corpus
+    lang labels and applied back to every document. Integer-quantized
+    log-weights make the argmax bit-exact; ties to the smallest label.
+    This corpus's lang labels are textually signal-free (one shared
+    vocabulary), so NB collapses to the class prior — the gate pins the
+    exact training+scoring mechanism; learning is pinned by the
+    separable-vocabulary pytest."""
+    from rrdtool_1_x_spark.datapipe.textstats import hashed_nb_classify
+
+    return hashed_nb_classify(_docs(spark, sf_dir), n_buckets=1024).orderBy(
+        "doc_id"
+    )
+
+
+def q_dedup_stream(spark, sf_dir):
+    """Streaming exact dedup (streaming.datapipe_stream.start_dedup_stream):
+    the documents table split into 3 micro-batches, drained through a
+    checkpointed dropDuplicates on the content hash; the emitted set must
+    equal the batch SELECT DISTINCT md5(text) — arrival order cannot leak
+    into the result because only the key survives the projection."""
+    import tempfile
+
+    from rrdtool_1_x_spark.streaming.datapipe_stream import start_dedup_stream
+
+    work = tempfile.mkdtemp(prefix="dedupstream_")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    src = f"{work}/in"
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(2).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = start_dedup_stream(stream, f"{work}/out", f"{work}/ck")
+    q.awaitTermination(600)
+    return spark.read.parquet(f"{work}/out").orderBy("h")
+
+
 def _resid_artifacts(spark, sf_dir, e):
     """(model, cell scales, residual codebook) for the residual-IVFADC
     gates — trained once per (session, dataset) like every other offline
@@ -2539,6 +2583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- priority: new this round (no driver row yet) ---------------
         "ivfpq_residual_topk": q_ivfpq_residual_topk,
         "residual_recall": q_residual_recall,
+        "nb_classify": q_nb_classify,
+        "dedup_stream": q_dedup_stream,
         # -- priority: r6 red rows (oracle fixes this round) — must re-sweep
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
@@ -2903,6 +2949,53 @@ def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
     sql["bpe_train"] = _bpe_train_oracle(20)
     sql["bpe_encode"] = _bpe_encode_oracle(20)
+    sql["dedup_stream"] = """
+SELECT DISTINCT md5(text) AS h FROM documents ORDER BY h"""
+
+    # hashed NB language classifier: md5('nb:'||tok) buckets, Laplace
+    # log-weights quantized 1e-6 (integer sums), argmax ties to smallest
+    # label; docs with no tokens predict NULL
+    _nb_hex = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1)"
+        f" * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    sql["nb_classify"] = rf"""
+WITH t AS (SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                x -> x != '')) AS tok
+           FROM documents),
+hb AS (SELECT doc_id, CAST(({_nb_hex}) % 1024 AS BIGINT) AS b
+       FROM (SELECT doc_id, md5('nb:' || tok) AS h FROM t) _),
+db AS (SELECT doc_id, b, count(*) AS m FROM hb GROUP BY 1, 2),
+lab AS (SELECT doc_id, lang AS l FROM documents),
+lb AS (SELECT lab.l, db.b, sum(m) AS c
+       FROM db JOIN lab USING (doc_id) GROUP BY 1, 2),
+tl AS (SELECT l, CAST(sum(c) AS BIGINT) AS tl FROM lb GROUP BY 1),
+model AS (SELECT l, b,
+            CAST(round(ln((c + 1)::DOUBLE / (tl + 1024)) * 1e6) AS BIGINT)
+              AS lq
+          FROM lb JOIN tl USING (l)),
+nd AS (SELECT count(*) AS n FROM documents),
+prior AS (SELECT l, tl,
+            CAST(round(ln(nl::DOUBLE / n) * 1e6) AS BIGINT) AS pq,
+            CAST(round(ln(1.0 / (tl + 1024)) * 1e6) AS BIGINT) AS missq
+          FROM (SELECT l, count(*) AS nl FROM lab GROUP BY 1) p
+          JOIN tl USING (l) CROSS JOIN nd),
+sc AS (SELECT db.doc_id, pr.l,
+         any_value(pr.pq) + sum(db.m * coalesce(model.lq, pr.missq)) AS score
+       FROM db CROSS JOIN prior pr
+       LEFT JOIN model ON model.l = pr.l AND model.b = db.b
+       GROUP BY 1, 2),
+pred AS (SELECT doc_id, l AS pred FROM (
+           SELECT doc_id, l,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, l ASC) AS rn
+           FROM sc) _ WHERE rn = 1)
+SELECT d.doc_id, d.lang AS label, pred.pred,
+       CASE WHEN pred.pred = d.lang THEN 1 ELSE 0 END AS correct
+FROM documents d LEFT JOIN pred USING (doc_id) ORDER BY d.doc_id"""
+
     sql["ivfpq_residual_topk"] = f"""WITH {_resid_oracle_ctes(2)},
 rtk AS (SELECT query_id, vec_id, pq_dist,
           row_number() OVER (PARTITION BY query_id

@@ -1071,10 +1071,14 @@ def _graph_options(args: list[str]) -> dict:
         raise _GraphOptError(f"ERROR: unsupported graphics type '{gtype}'")
     if gtype == "XY":
         raise _GraphOptError("ERROR: Graph type 1 is not implemented")
-    # accepted-for-compatibility knobs with no effect on the bitmap
-    # rasterizer: --alt-y-mrtg is a reference no-op kept "to save old apps
-    # from crashing" (src/rrd_graph.c:5020); --interlaced is a cairo-era
-    # no-op (case 'i'); gridfit/font render modes tune cairo antialiasing
+    # Three of these are no-ops in the REFERENCE itself, so accepting
+    # them without effect is exact parity: --alt-y-mrtg is kept "to save
+    # old apps from crashing" (src/rrd_graph.c:5020), --interlaced is
+    # "not supported at the moment" (case 'i', :5367), and --no-gridfit
+    # toggles a flag whose only consumer — the apply_gridfit call at
+    # :3981 — is commented out. Only the font/graph render modes and
+    # --font-smoothing-threshold genuinely tune cairo/pango antialiasing
+    # the bitmap-font renderer deliberately simplifies away.
     _opt(args, "--alt-y-mrtg", flag=True)
     _opt(args, "-i", "--interlaced", flag=True)
     _opt(args, "-N", "--no-gridfit", flag=True)

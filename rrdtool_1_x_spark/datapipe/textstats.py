@@ -538,3 +538,126 @@ def tfidf_top_terms(
             F.round(F.col("_s") / 1e6, 6).alias("tfidf"),
         )
     )
+
+
+def hashed_nb_classify(
+    df: DataFrame,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Hashed multinomial Naive Bayes — the fasttext-shaped linear text
+    classifier every curation pipeline runs for language ID / quality
+    gating (CCNet trains fasttext; the inference shape is identical:
+    hash tokens into a fixed feature table, sum per-class weights,
+    argmax). Trained ON the corpus labels and applied back to every
+    document, so the model is real, not a frozen stand-in.
+
+    Token buckets use the md5 featurization convention
+    (``conv(md5('nb:'||tok)[:8], 16, 10) % n_buckets`` — the 'nb:' salt
+    keeps this table independent of the ``hash_embed`` feature space).
+    Class-conditional weights are Laplace-smoothed log-probabilities
+    quantized to 1e-6 (``round(ln((c+1)/(tl+B)) * 1e6)`` as BIGINT), and
+    per-document scores are INTEGER sums of those weights plus an equally
+    quantized class prior — bit-deterministic across engines and
+    partitionings; ties break to the lexicographically smallest label.
+
+    Returns ``(id, label, pred, correct)`` per document.
+
+    Shape at scale: one (doc, bucket) count shuffle (map-side combined);
+    the model is a (labels x n_buckets)-bounded frame — KB-sized,
+    explicitly broadcast; scoring is one per-doc aggregate over
+    labels x doc-buckets and a per-doc argmax window over |labels| rows.
+    Nothing corpus-quadratic; the model build is the only training scan.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("nb:"), F.col("_tok"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+    db = (
+        df.select(F.col(id_col), F.explode(toks).alias("_tok"))
+        .select(F.col(id_col), bucket.alias("_b"))
+        .groupBy(id_col, "_b")
+        .agg(F.count(F.lit(1)).alias("_m"))
+    )
+    lab = df.select(F.col(id_col), F.col(label_col).alias("_lab"))
+    # class-conditional token counts and totals (labels x buckets bounded)
+    lb = (
+        db.join(lab, id_col)
+        .groupBy("_lab", "_b")
+        .agg(F.sum("_m").alias("_c"))
+    )
+    tl = lb.groupBy("_lab").agg(F.sum("_c").alias("_tl"))
+    model = (
+        lb.join(tl, "_lab")
+        .select(
+            "_lab",
+            "_b",
+            F.round(
+                F.log((F.col("_c") + 1).cast("double") / (F.col("_tl") + n_buckets))
+                * 1e6
+            )
+            .cast("long")
+            .alias("_lq"),
+        )
+    )
+    # per-label miss weight ln(1/(tl+B)) and prior ln(n_label/n_docs)
+    nd = df.count()
+    prior = (
+        lab.groupBy("_lab")
+        .agg(F.count(F.lit(1)).alias("_nl"))
+        .join(tl, "_lab")
+        .select(
+            "_lab",
+            "_tl",
+            F.round(F.log(F.col("_nl").cast("double") / nd) * 1e6)
+            .cast("long")
+            .alias("_pq"),
+            F.round(
+                F.log(F.lit(1.0) / (F.col("_tl") + n_buckets)) * 1e6
+            )
+            .cast("long")
+            .alias("_missq"),
+        )
+    )
+    scored = (
+        db.crossJoin(F.broadcast(prior.select("_lab", "_pq", "_missq")))
+        .join(F.broadcast(model), ["_lab", "_b"], "left")
+        .groupBy(id_col, "_lab")
+        .agg(
+            (
+                F.first("_pq")
+                + F.sum(
+                    F.col("_m") * F.coalesce(F.col("_lq"), F.col("_missq"))
+                )
+            ).alias("_score")
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("_score"), F.asc("_lab")
+    )
+    pred = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col("_lab").alias("pred"))
+    )
+    return (
+        df.select(F.col(id_col), F.col(label_col).alias("label"))
+        .join(pred, id_col, "left")
+        .select(
+            F.col(id_col),
+            "label",
+            "pred",
+            F.when(F.col("pred") == F.col("label"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("correct"),
+        )
+    )

@@ -249,3 +249,40 @@ def start_curation_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_dedup_stream(
+    doc_stream: DataFrame,
+    sink_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming exact deduplication: emit each distinct content hash
+    exactly once across the whole stream (``dropDuplicates`` keeps its
+    key state in the checkpointed state store, so replays after a crash
+    stay exactly-once). The projection keeps ONLY the dedup key, so the
+    emitted set is deterministic regardless of arrival order — the
+    batch twin is ``SELECT DISTINCT md5(text)`` and the oracle gate
+    compares against exactly that.
+
+    State size is one hash per distinct document ever seen — the
+    unbounded-state variant; bound it with
+    ``dropDuplicatesWithinWatermark`` when the dedup horizon is finite
+    (a day of near-realtime ingest), which trades exactly-once for
+    at-most-once-per-horizon.
+    """
+    from pyspark.sql import functions as F
+
+    dedup = doc_stream.select(
+        F.md5(F.col(text_col).cast("binary")).alias("h")
+    ).dropDuplicates(["h"])
+    writer = (
+        dedup.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1311,3 +1311,55 @@ def test_residual_beats_raw_codes_on_clustered_corpus(spark):
     ).collect()[0]["r"]
     assert rr > rw, f"residual {rr} should beat raw {rw} on clustered data"
     df.unpersist()
+
+
+# ------------------------------------------------------------- NB classifier
+
+
+def test_nb_classifier_learns_separable_labels(spark):
+    """On a corpus whose labels have disjoint vocabularies the hashed NB
+    classifier must recover every label (training and scoring on the
+    same docs — a sanity floor, not a generalization claim)."""
+    from rrdtool_1_x_spark.datapipe.textstats import hashed_nb_classify
+
+    rows = []
+    for i in range(60):
+        lab = ["aa", "bb", "cc"][i % 3]
+        words = {"aa": "apple axe acorn", "bb": "boat bear berry",
+                 "cc": "cat cliff coral"}[lab]
+        rows.append((i, f"{words} {words.split()[i % 3]}", lab))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = hashed_nb_classify(df, n_buckets=256).collect()
+    assert len(out) == 60
+    assert all(r["correct"] == 1 for r in out)
+
+
+def test_nb_classifier_empty_doc_predicts_null(spark):
+    from rrdtool_1_x_spark.datapipe.textstats import hashed_nb_classify
+
+    df = spark.createDataFrame(
+        [(0, "hello world", "en"), (1, "   ", "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["doc_id"]: r for r in hashed_nb_classify(df).collect()}
+    assert out[1]["pred"] is None and out[1]["correct"] == 0
+
+
+def test_nb_classifier_total_and_prior_floor_on_corpus(spark, docs):
+    """The synthetic corpus's lang labels are textually signal-free (every
+    language shares one vocabulary), so multinomial NB must collapse to
+    the class prior — training accuracy lands exactly AT the majority
+    floor, never below, and every non-empty document gets a prediction.
+    (Learning itself is pinned by the separable-vocabulary test above.)"""
+    from rrdtool_1_x_spark.datapipe.textstats import hashed_nb_classify
+
+    out = hashed_nb_classify(docs).cache()
+    n = docs.count()
+    assert out.count() == n
+    assert out.filter(F.col("pred").isNull()).count() == 0
+    acc = out.agg(F.avg("correct")).collect()[0][0]
+    majority = (
+        docs.groupBy("lang").count().agg(F.max("count")).collect()[0][0] / n
+    )
+    assert acc >= majority - 1e-9, f"accuracy {acc} below prior floor {majority}"
+    out.unpersist()

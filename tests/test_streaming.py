@@ -744,3 +744,48 @@ def test_daemon_tune_reloads_store(spark, tmp_path):
         code, _, lines = c.send("FETCH d AVERAGE 920804700 920805300 velocity")
         assert code > 0
         c.close()
+
+
+def test_dedup_stream_restart_does_not_reemit(spark, tmp_path):
+    """start_dedup_stream's state store survives a restart: a second
+    drain over NEW files with the SAME checkpoint emits only hashes the
+    first drain never saw, and the union equals the batch distinct."""
+    from pyspark.sql import functions as F
+
+    from rrdtool_1_x_spark.streaming.datapipe_stream import start_dedup_stream
+
+    src = str(tmp_path / "in")
+    sink = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    rows1 = [(i, f"doc {i % 4}") for i in range(8)]       # 4 distinct
+    rows2 = [(i + 8, f"doc {i % 6}") for i in range(12)]  # adds 2 new
+    spark.createDataFrame(rows1, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    def drain():
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_dedup_stream(stream, sink, ck)
+        q.awaitTermination(300)
+
+    drain()
+    first = {r["h"] for r in spark.read.parquet(sink).collect()}
+    assert len(first) == 4
+    spark.createDataFrame(rows2, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    drain()
+    both = [r["h"] for r in spark.read.parquet(sink).collect()]
+    assert len(both) == 6  # no re-emission: 4 + the 2 genuinely new
+    batch = {
+        r["h"]
+        for r in spark.read.parquet(src)
+        .select(F.md5(F.col("text").cast("binary")).alias("h"))
+        .distinct()
+        .collect()
+    }
+    assert set(both) == batch
