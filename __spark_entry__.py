@@ -1422,9 +1422,17 @@ def q_nb_classify(spark, sf_dir):
     separable-vocabulary pytest."""
     from rrdtool_1_x_spark.datapipe.textstats import hashed_nb_classify
 
-    return hashed_nb_classify(_docs(spark, sf_dir), n_buckets=1024).orderBy(
-        "doc_id"
+    key = (spark.sparkContext.applicationId, sf_dir, "nb_db")
+    handle: list = []
+    out = hashed_nb_classify(
+        _docs(spark, sf_dir), n_buckets=1024, unpersist_handle=handle
     )
+    old = _TBL_CACHE.get(key)
+    if old is not None and handle and old is not handle[0]:
+        old.unpersist()
+    if handle:
+        _TBL_CACHE[key] = handle[0]
+    return out.orderBy("doc_id")
 
 
 def q_dedup_stream(spark, sf_dir):

@@ -546,6 +546,8 @@ def hashed_nb_classify(
     id_col: str = "doc_id",
     text_col: str = "text",
     label_col: str = "lang",
+    persist: bool = True,
+    unpersist_handle: list | None = None,
 ) -> DataFrame:
     """Hashed multinomial Naive Bayes — the fasttext-shaped linear text
     classifier every curation pipeline runs for language ID / quality
@@ -588,6 +590,19 @@ def hashed_nb_classify(
         .groupBy(id_col, "_b")
         .agg(F.count(F.lit(1)).alias("_m"))
     )
+    if persist:
+        # the (doc, distinct-bucket) frame feeds BOTH the model build and
+        # the scoring scan, across broadcast boundaries Spark won't reuse
+        # an exchange over (BASELINE.md lesson): without the persist the
+        # corpus tokenize+explode — the expensive part at 100 TB — runs
+        # once per consumer. It is the slimmest corpus-derived frame here
+        # (<= min(doc_tokens, n_buckets) rows/doc of three integers);
+        # callers producing many models pass unpersist_handle=[].
+        from pyspark import StorageLevel
+
+        db = db.persist(StorageLevel.MEMORY_AND_DISK)
+        if unpersist_handle is not None:
+            unpersist_handle.append(db)
     lab = df.select(F.col(id_col), F.col(label_col).alias("_lab"))
     # class-conditional token counts and totals (labels x buckets bounded)
     lb = (
