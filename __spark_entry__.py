@@ -71,6 +71,23 @@ def _samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TBL_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def _hold_app_persist(spark, sf_dir: str, tag: str, handle: list) -> None:
+    """Register a corpus-sized persist handle under an app-scoped key:
+    at most ONE cached frame per (application, sf_dir, tag) survives —
+    any prior handle for the same key is unpersisted first, so repeat
+    invocations (bench loops, memo bypasses) can never stack cached
+    corpora. Shared by every entry whose operator persists a
+    corpus-derived frame (datacard's slim projection, nb_classify's
+    (doc, bucket) counts)."""
+    if not handle:
+        return
+    key = (spark.sparkContext.applicationId, sf_dir, tag)
+    old = _TBL_CACHE.get(key)
+    if old is not None and old is not handle[0]:
+        old.unpersist()
+    _TBL_CACHE[key] = handle[0]
+
+
 def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ts as exact integer MICROSECONDS (`tus`) — the asof /
     range join gates need exact timestamp comparisons; float epoch
@@ -1112,14 +1129,9 @@ def q_datacard(spark, sf_dir):
     the DataFrame memo is bypassed."""
     from rrdtool_1_x_spark.datapipe.report import corpus_datacard
 
-    key = (spark.sparkContext.applicationId, sf_dir, "datacard_slim")
     handle: list = []
     card = corpus_datacard(_docs(spark, sf_dir), unpersist_handle=handle)
-    old = _TBL_CACHE.get(key)
-    if old is not None and handle and old is not handle[0]:
-        old.unpersist()
-    if handle:
-        _TBL_CACHE[key] = handle[0]
+    _hold_app_persist(spark, sf_dir, "datacard_slim", handle)
     return card.orderBy("metric")
 
 
@@ -1422,16 +1434,11 @@ def q_nb_classify(spark, sf_dir):
     separable-vocabulary pytest."""
     from rrdtool_1_x_spark.datapipe.textstats import hashed_nb_classify
 
-    key = (spark.sparkContext.applicationId, sf_dir, "nb_db")
     handle: list = []
     out = hashed_nb_classify(
         _docs(spark, sf_dir), n_buckets=1024, unpersist_handle=handle
     )
-    old = _TBL_CACHE.get(key)
-    if old is not None and handle and old is not handle[0]:
-        old.unpersist()
-    if handle:
-        _TBL_CACHE[key] = handle[0]
+    _hold_app_persist(spark, sf_dir, "nb_db", handle)
     return out.orderBy("doc_id")
 
 
@@ -1458,7 +1465,16 @@ def q_dedup_stream(spark, sf_dir):
         .parquet(src)
     )
     q = start_dedup_stream(stream, f"{work}/out", f"{work}/ck")
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("dedup_stream drain exceeded 600s")
+    # the drain is complete: the corpus-sized source copy and the
+    # checkpoint are dead weight — only the (distinct-hash-sized) sink
+    # backs the returned frame
+    import shutil
+
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(f"{work}/ck", ignore_errors=True)
     return spark.read.parquet(f"{work}/out").orderBy("h")
 
 
@@ -2802,11 +2818,14 @@ def _bpe_merge_fold(src: str) -> str:
     """One greedy left-to-right merge application over a symbol array
     ``s`` (VARCHAR[]), fusing adjacent (m.a, m.b) pairs exactly like the
     Spark trainer's F.aggregate fold (datapipe/bpe.py train_bpe): the
-    accumulator is a chr(31)-joined string (chr(31) cannot occur inside
-    tokens — words come from a whitespace split), the tail element equals
-    m.a iff the string ends with sep||m.a (or IS m.a). m.a IS NULL means
-    the round found no pair with count >= 2 (the trainer's early stop):
-    pass the array through unchanged."""
+    accumulator is a chr(31)-joined string, the tail element equals m.a
+    iff the string ends with sep||m.a (or IS m.a). KNOWN LIMIT: a corpus
+    token containing a literal \\x1f would corrupt the string re-split —
+    \\s+ does NOT strip \\x1f, so this is an assumption about the corpus
+    (verified free of C0 separators), not an invariant; only the ORACLE
+    is affected (the engine's array fold needs no separator). m.a IS
+    NULL means the round found no pair with count >= 2 (the trainer's
+    early stop): pass the array through unchanged."""
     return (
         "CASE WHEN m.a IS NULL THEN s ELSE string_split(list_reduce(s, "
         "(acc, x) -> CASE WHEN (acc = m.a OR ends_with(acc, chr(31) || m.a)) "

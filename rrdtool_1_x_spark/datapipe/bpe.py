@@ -17,10 +17,12 @@ vocabulary costs 100M-row jobs per merge, exactly the published
 map-reduce BPE shape; lineage is truncated with localCheckpoint so the
 iteration count never deepens the plan.
 
-Not SQL-expressible as one query (data-dependent iteration), so the
-driver gate records the weaker rows-only check; correctness is pinned by
-the Sennrich worked example and idempotence/round-trip tests in
-tests/test_datapipe.py.
+Driver-oracled since round 7: the 20 merge rounds unroll as DuckDB CTE
+layers (__spark_entry__._bpe_chain_ctes), and encode rides on the
+rank-priority-greedy ≡ rank-ordered-fold equivalence, so both entries
+carry full value-hash gates; the Sennrich worked example and
+idempotence/round-trip tests in tests/test_datapipe.py pin the algorithm
+independently.
 """
 
 from __future__ import annotations
@@ -154,10 +156,21 @@ def bpe_encode(
     A per-batch word cache exploits Zipf: each DISTINCT word in the batch
     is merged once.
     """
+    import re
+
     import pandas as pd
 
     ranks = {pair: i for i, pair in enumerate(merges)}
     id_ddl = df.schema[id_col].dataType.simpleString()
+    # ASCII-whitespace split, NOT str.split(): the trainer tokenizes with
+    # Java-regex \s+ (F.split), which matches only [ \t\n\x0B\f\r] — while
+    # Python str.split() also splits on unicode whitespace (NBSP,
+    # \x1c-\x1f, U+2028...). A document containing those would tokenize
+    # differently here than in train_bpe and the SQL oracle (RE2's \s
+    # is the same ASCII set as Java's). Python str.lower() can still
+    # diverge from SQL lower() on exotic case mappings; the split set
+    # is the load-bearing part for the pieces_sig gate.
+    _ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     def encode(batches):
         cache: dict[str, list[str]] = {}
@@ -167,7 +180,9 @@ def bpe_encode(
             out_pieces = []
             for text in pdf[text_col]:
                 pieces: list[str] = []
-                for w in (text or "").lower().split():
+                for w in _ws.split((text or "").lower()):
+                    if not w:
+                        continue
                     got = cache.get(w)
                     if got is None:
                         got = cache[w] = _encode_word(w, ranks)

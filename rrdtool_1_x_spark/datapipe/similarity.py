@@ -1733,8 +1733,6 @@ def ivfpq_topk(
     partitions at scan time. Scoring explodes the query batch only over
     rows whose cell is probed; the final window is per-query top-k.
     """
-    import math as _math
-
     if model is None:
         model = ivf_centroid_model(corpus, nlist=nlist, id_col=id_col, vec_col=vec_col)
     if codebook is None:
@@ -1760,23 +1758,13 @@ def ivfpq_topk(
     # probe-list fold (Python doubles == JVM doubles), int8 vectors for
     # the integer LUTs (quantized Spark-side so the rounding rule is the
     # engine's own)
-    qraw = {r[0]: [float(x) for x in r[1]] for r in
-            queries.select(query_id_col, vec_col).collect()}
+    qraw, probes = _probe_lists(queries, model, nprobe, query_id_col, vec_col)
     qint = {r[0]: [int(x) for x in r[1]] for r in
             quantize_embeddings(queries, query_id_col, vec_col)
             .select(query_id_col, "qvec").collect()}
     per_query = []
-    for qid, qvf in qraw.items():
-        qn2 = _seq_dot(qvf, qvf)
-        entries = []
-        for cid, cv, cn2 in model:
-            if cn2 > 0 and qn2 > 0:
-                s = _seq_dot(qvf, cv) / (_math.sqrt(qn2) * _math.sqrt(cn2))
-            else:
-                s = -2.0
-            entries.append((s, -cid))
-        entries.sort(reverse=True)  # (s desc, cid asc)
-        cells = [-nc for _, nc in entries[:nprobe]]
+    for qid in qraw:
+        cells = probes[qid]
         qq = qint[qid]
         lut = [
             [
@@ -1822,6 +1810,39 @@ def ivfpq_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def _probe_lists(
+    queries: DataFrame,
+    model: list[tuple[int, list[float], float]],
+    nprobe: int,
+    query_id_col: str,
+    vec_col: str,
+) -> tuple[dict, dict]:
+    """Driver-side probe lists for the IVFADC variants: ONE collect of
+    the query batch, then per query the same sequential float cosine fold
+    the corpus assignment runs (``_seq_dot`` — Python doubles == JVM
+    doubles), sorted (similarity desc, cid asc). Returns
+    ``(qraw: {qid: [float]}, probes: {qid: [cid]})`` in collect order —
+    the single source of truth so the raw-code and residual-code paths
+    can never probe different cells for the same query."""
+    import math as _math
+
+    qraw = {r[0]: [float(x) for x in r[1]] for r in
+            queries.select(query_id_col, vec_col).collect()}
+    probes: dict = {}
+    for qid, qvf in qraw.items():
+        qn2 = _seq_dot(qvf, qvf)
+        entries = []
+        for cid, cv, cn2 in model:
+            if cn2 > 0 and qn2 > 0:
+                s = _seq_dot(qvf, cv) / (_math.sqrt(qn2) * _math.sqrt(cn2))
+            else:
+                s = -2.0
+            entries.append((s, -cid))
+        entries.sort(reverse=True)  # (s desc, cid asc)
+        probes[qid] = [-nc for _, nc in entries[:nprobe]]
+    return qraw, probes
 
 
 def residual_cell_scales(
@@ -2008,23 +2029,9 @@ def ivfpq_residual_topk(
         _q_resid_col(F.col("_rv"), F.col("_cell"), scales, lim).alias("qvec"),
     ).select(F.col(id_col), "_cell", _pq_codes_col(codebook).alias("codes"))
 
-    # probe lists: the same driver-side float fold as ivfpq_topk
-    import math as _math
-
-    qraw = {r[0]: [float(x) for x in r[1]] for r in
-            queries.select(query_id_col, vec_col).collect()}
-    probes: dict = {}
-    for qid, qvf in qraw.items():
-        qn2 = _seq_dot(qvf, qvf)
-        entries = []
-        for cid, cv, cn2 in model:
-            if cn2 > 0 and qn2 > 0:
-                s = _seq_dot(qvf, cv) / (_math.sqrt(qn2) * _math.sqrt(cn2))
-            else:
-                s = -2.0
-            entries.append((s, -cid))
-        entries.sort(reverse=True)
-        probes[qid] = [-nc for _, nc in entries[:nprobe]]
+    # probe lists: the shared driver-side float fold (identical cells to
+    # ivfpq_topk for the same query — the comparison gates rely on it)
+    qraw, probes = _probe_lists(queries, model, nprobe, query_id_col, vec_col)
 
     # per-(query, probed cell) residuals quantized ENGINE-SIDE (a
     # query-batch x nprobe sized job), so the rounding rule is the

@@ -624,16 +624,21 @@ def hashed_nb_classify(
             .alias("_lq"),
         )
     )
-    # per-label miss weight ln(1/(tl+B)) and prior ln(n_label/n_docs)
-    nd = df.count()
+    # per-label miss weight ln(1/(tl+B)) and prior ln(n_label/n_docs);
+    # n_docs comes from the label-count aggregate itself (sum over the
+    # handful of label rows) — NOT an eager df.count(), which would be a
+    # third full corpus pass and would break lazy construction
+    labcnt = lab.groupBy("_lab").agg(F.count(F.lit(1)).alias("_nl"))
+    total = labcnt.agg(F.sum("_nl").alias("_n"))
     prior = (
-        lab.groupBy("_lab")
-        .agg(F.count(F.lit(1)).alias("_nl"))
+        labcnt.crossJoin(F.broadcast(total))
         .join(tl, "_lab")
         .select(
             "_lab",
             "_tl",
-            F.round(F.log(F.col("_nl").cast("double") / nd) * 1e6)
+            F.round(
+                F.log(F.col("_nl").cast("double") / F.col("_n")) * 1e6
+            )
             .cast("long")
             .alias("_pq"),
             F.round(

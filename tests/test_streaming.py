@@ -770,7 +770,7 @@ def test_dedup_stream_restart_does_not_reemit(spark, tmp_path):
             .parquet(src)
         )
         q = start_dedup_stream(stream, sink, ck)
-        q.awaitTermination(300)
+        assert q.awaitTermination(300), "drain did not finish in 300s"
 
     drain()
     first = {r["h"] for r in spark.read.parquet(sink).collect()}
