@@ -1478,6 +1478,65 @@ def q_dedup_stream(spark, sf_dir):
     return spark.read.parquet(f"{work}/out").orderBy("h")
 
 
+def q_stream_join(spark, sf_dir):
+    """Watermarked stream-stream interval join
+    (streaming.joins.start_interval_join_stream): clicks joined to the
+    same user's views within the previous 10 minutes, as two live
+    streams. Inner stream-stream join is exact relational semantics, so
+    the drained sink must equal the batch interval join (the oracle).
+    The gate drains in ONE availableNow micro-batch — the watermark only
+    advances BETWEEN batches, so nothing is ever late and the equality is
+    deterministic; the multi-batch late-drop semantics (the state
+    eviction that makes this bounded at 100 TB/day) are pinned separately
+    in tests/test_streaming.py."""
+    import tempfile
+
+    from rrdtool_1_x_spark.streaming.joins import start_interval_join_stream
+
+    work = tempfile.mkdtemp(prefix="streamjoin_")
+    ev = _events_us(spark, sf_dir)
+    ts = F.timestamp_micros(F.col("tus"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        ts.alias("ts"),
+        F.col("tus").alias("cts_us"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        ts.alias("ts"),
+        F.col("tus").alias("vts_us"),
+    )
+    for name, df in (("c", clicks), ("v", views)):
+        for i in range(3):
+            df.filter(F.col(df.columns[0]) % 3 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(f"{work}/in_{name}")
+    cs = spark.readStream.schema(
+        "click_id bigint, user_id bigint, ts timestamp, cts_us bigint"
+    ).parquet(f"{work}/in_c")
+    vs = spark.readStream.schema(
+        "view_id bigint, user_id bigint, ts timestamp, vts_us bigint"
+    ).parquet(f"{work}/in_v")
+    q = start_interval_join_stream(
+        cs, vs, f"{work}/out", f"{work}/ck", interval="10 minutes"
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("stream_join drain exceeded 600s")
+    import shutil
+
+    shutil.rmtree(f"{work}/in_c", ignore_errors=True)
+    shutil.rmtree(f"{work}/in_v", ignore_errors=True)
+    shutil.rmtree(f"{work}/ck", ignore_errors=True)
+    return (
+        spark.read.parquet(f"{work}/out")
+        .select("click_id", "view_id", "user_id", "cts_us", "vts_us")
+        .orderBy("click_id", "view_id")
+    )
+
+
 def _resid_artifacts(spark, sf_dir, e):
     """(model, cell scales, residual codebook) for the residual-IVFADC
     gates — trained once per (session, dataset) like every other offline
@@ -2609,6 +2668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "residual_recall": q_residual_recall,
         "nb_classify": q_nb_classify,
         "dedup_stream": q_dedup_stream,
+        "stream_join": q_stream_join,
         # -- priority: r6 red rows (oracle fixes this round) — must re-sweep
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
@@ -2978,6 +3038,20 @@ def oracle_sql() -> dict[str, str]:
     sql["bpe_encode"] = _bpe_encode_oracle(20)
     sql["dedup_stream"] = """
 SELECT DISTINCT md5(text) AS h FROM documents ORDER BY h"""
+
+    # stream-stream interval join == the batch interval join (inner join
+    # is exact relational semantics once both watermarks pass)
+    sql["stream_join"] = """
+WITH e AS (SELECT event_id, epoch_us(ts) AS tus, user_id, event_type
+           FROM events),
+c AS (SELECT event_id AS click_id, user_id, tus AS cts_us FROM e
+      WHERE event_type = 'click'),
+v AS (SELECT event_id AS view_id, user_id, tus AS vts_us FROM e
+      WHERE event_type = 'view')
+SELECT click_id, view_id, c.user_id, cts_us, vts_us
+FROM c JOIN v USING (user_id)
+WHERE vts_us >= cts_us - 600000000 AND vts_us <= cts_us
+ORDER BY click_id, view_id"""
 
     # hashed NB language classifier: md5('nb:'||tok) buckets, Laplace
     # log-weights quantized 1e-6 (integer sums), argmax ties to smallest

@@ -789,3 +789,63 @@ def test_dedup_stream_restart_does_not_reemit(spark, tmp_path):
         .collect()
     }
     assert set(both) == batch
+
+
+def test_interval_join_stream_batch_equality_and_late_drop(spark, tmp_path):
+    """Single-batch drain == batch interval join; a second drain whose
+    new file is entirely behind the advanced watermark + interval horizon
+    joins nothing (the state-eviction semantics that bound this at
+    scale)."""
+    from pyspark.sql import functions as F
+
+    from rrdtool_1_x_spark.streaming.joins import start_interval_join_stream
+
+    base = 1_700_000_000_000_000  # epoch micros
+    MIN = 60_000_000
+
+    def frames(rows_c, rows_v, cdir, vdir):
+        c = spark.createDataFrame(
+            [(i, u, base + m * MIN) for i, u, m in rows_c],
+            "click_id long, user_id long, tus long",
+        ).select("click_id", "user_id",
+                 F.timestamp_micros("tus").alias("ts"),
+                 F.col("tus").alias("cts_us"))
+        v = spark.createDataFrame(
+            [(i, u, base + m * MIN) for i, u, m in rows_v],
+            "view_id long, user_id long, tus long",
+        ).select("view_id", "user_id",
+                 F.timestamp_micros("tus").alias("ts"),
+                 F.col("tus").alias("vts_us"))
+        c.coalesce(1).write.mode("append").parquet(cdir)
+        v.coalesce(1).write.mode("append").parquet(vdir)
+
+    cdir, vdir = str(tmp_path / "c"), str(tmp_path / "v")
+    sink, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    # clicks at minute 20/30; views at 12..25 — 10-min backward interval
+    frames([(1, 7, 20), (2, 7, 30)],
+           [(10, 7, 12), (11, 7, 18), (12, 7, 25)], cdir, vdir)
+
+    def drain():
+        cs = spark.readStream.schema(
+            "click_id bigint, user_id bigint, ts timestamp, cts_us bigint"
+        ).parquet(cdir)
+        vs = spark.readStream.schema(
+            "view_id bigint, user_id bigint, ts timestamp, vts_us bigint"
+        ).parquet(vdir)
+        q = start_interval_join_stream(cs, vs, sink, ck,
+                                       interval="10 minutes",
+                                       watermark="10 minutes")
+        assert q.awaitTermination(300), "drain did not finish"
+
+    drain()
+    got = {(r["click_id"], r["view_id"])
+           for r in spark.read.parquet(sink).collect()}
+    # click@20 matches views in [10,20] -> 10,11; click@30 matches [20,30] -> 12
+    assert got == {(1, 10), (1, 11), (2, 12)}
+    # second drain: a click far behind the watermark (max ts 30min - 10min
+    # delay = 20min horizon; this click is at minute 2) must join nothing
+    frames([(3, 7, 2)], [], cdir, vdir)
+    drain()
+    got2 = {(r["click_id"], r["view_id"])
+            for r in spark.read.parquet(sink).collect()}
+    assert got2 == got, f"late click must be dropped, got {got2 - got}"
