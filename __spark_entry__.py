@@ -1537,6 +1537,38 @@ def q_stream_join(spark, sf_dir):
     )
 
 
+def q_resid_index_topup(spark, sf_dir):
+    """Persisted+incremental residual-IVFADC index
+    (datapipe.similarity.write_residual_pq_index / append / topk): index
+    vec_id % 5 != 0 (model, cell scales AND codebook all frozen on that
+    subset), append the % 5 == 0 batch under the frozen artifacts, then
+    residual-ADC top-10 off the STORED (id, cell, codes) rows — must
+    equal the inline chain whose trained artifacts come from the same
+    subset (the oracle restricts its training CTEs with the same
+    predicate). Completes the persisted-index family for the residual
+    variant."""
+    import tempfile
+
+    from rrdtool_1_x_spark.datapipe.similarity import (
+        append_residual_pq_index,
+        residual_index_topk,
+        write_residual_pq_index,
+    )
+
+    e = _emb(spark, sf_dir)
+    first = e.filter(F.col("vec_id") % 5 != 0)
+    second = e.filter(F.col("vec_id") % 5 == 0)
+    path = tempfile.mkdtemp(prefix="residx_")
+    write_residual_pq_index(first, path, nlist=16, m=8, codes=16)
+    append_residual_pq_index(second, path)
+    q = e.orderBy("vec_id").limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return residual_index_topk(spark, path, q, k=10, nprobe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
 def _resid_artifacts(spark, sf_dir, e):
     """(model, cell scales, residual codebook) for the residual-IVFADC
     gates — trained once per (session, dataset) like every other offline
@@ -2669,6 +2701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classify": q_nb_classify,
         "dedup_stream": q_dedup_stream,
         "stream_join": q_stream_join,
+        "resid_index_topup": q_resid_index_topup,
         # -- priority: r6 red rows (oracle fixes this round) — must re-sweep
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
@@ -2956,17 +2989,23 @@ FROM documents d LEFT JOIN dagg a USING (doc_id) ORDER BY doc_id"""
 _RESID_LIM = 32767
 
 
-def _resid_oracle_ctes(nq: int) -> str:
+def _resid_oracle_ctes(nq: int, train_pred: str = "") -> str:
     """Residual-IVFADC oracle chain (mirrors similarity.ivfpq_residual_topk
     op for op): cosine cell assignment, per-cell residual scales,
     int16-quantized residuals, salted-md5 residual codebook, per-(query,
-    probed-cell) LUTs, integer ADC rescaled by cscale^2 and rounded 1e-6."""
+    probed-cell) LUTs, integer ADC rescaled by cscale^2 and rounded 1e-6.
+
+    ``train_pred``: optional WHERE predicate restricting the TRAINED
+    artifacts (centroids, cell scales, codebook sample) to a subset —
+    the persisted-index gate freezes them on the initially-indexed rows
+    while encoding and scoring run over everything."""
     L = _RESID_LIM
+    tw = f"WHERE {train_pred} " if train_pred else ""
     return f"""ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
             FROM embeddings),
 n2f AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM ev),
 cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n2f
-         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         {tw}ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
 sc0 AS (SELECT n2f.vec_id, cent.cid, cent.cv,
               coalesce(CASE WHEN n2f.n2 > 0 AND cent.cn2 > 0
                             THEN list_dot_product(n2f.v, cent.cv)
@@ -2982,7 +3021,7 @@ rres AS (SELECT ev.vec_id, asg.cid,
            list_transform(range(1, 65), i -> ev.v[i] - asg.cv[i]) AS rv
          FROM ev JOIN asg USING (vec_id)),
 cs AS (SELECT cid, max(list_max(list_transform(rv, x -> abs(x)))) AS cscale
-       FROM rres GROUP BY cid),
+       FROM rres {tw}GROUP BY cid),
 rqv AS (SELECT r.vec_id, r.cid,
           CASE WHEN cs.cscale > 0
                THEN list_transform(r.rv,
@@ -2991,7 +3030,7 @@ rqv AS (SELECT r.vec_id, r.cid,
         FROM rres r JOIN cs USING (cid)),
 rcb AS (SELECT row_number() OVER (ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)),
                                   vec_id) - 1 AS code, q
-        FROM rqv QUALIFY code < 16),
+        FROM rqv {tw}QUALIFY code < 16),
 rsub AS (SELECT code, ss.s, rcb.q[ss.s*8+1 : ss.s*8+8] AS cv
          FROM rcb CROSS JOIN (SELECT unnest(range(0,8)) AS s) ss),
 red AS (SELECT e.vec_id, e.cid, sb.s, sb.code,
@@ -3096,6 +3135,16 @@ pred AS (SELECT doc_id, l AS pred FROM (
 SELECT d.doc_id, d.lang AS label, pred.pred,
        CASE WHEN pred.pred = d.lang THEN 1 ELSE 0 END AS correct
 FROM documents d LEFT JOIN pred USING (doc_id) ORDER BY d.doc_id"""
+
+    sql["resid_index_topup"] = f"""WITH {
+        _resid_oracle_ctes(2, train_pred="vec_id % 5 != 0")
+    },
+rtk AS (SELECT query_id, vec_id, pq_dist,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY pq_dist ASC, vec_id ASC) AS rank
+        FROM rscq)
+SELECT query_id, vec_id, pq_dist, rank FROM rtk WHERE rank <= 10
+ORDER BY query_id, rank"""
 
     sql["ivfpq_residual_topk"] = f"""WITH {_resid_oracle_ctes(2)},
 rtk AS (SELECT query_id, vec_id, pq_dist,

@@ -2014,8 +2014,25 @@ def ivfpq_residual_topk(
         codebook = residual_pq_codebook(
             corpus, model, scales, m, codes, lim, id_col, vec_col
         )
-    m = len(codebook)
-    d = len(codebook[0][0])
+    enc = _resid_encode(corpus, model, scales, codebook, lim, id_col, vec_col)
+    return _resid_adc_topk(
+        enc, queries, model, scales, codebook, k, nprobe, lim,
+        id_col, vec_col, query_id_col,
+    )
+
+
+def _resid_encode(
+    corpus: DataFrame,
+    model: list[tuple[int, list[float], float]],
+    scales: dict[int, float],
+    codebook: list[list[list[int]]],
+    lim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Map-only (id, cell, codes) projection under frozen residual
+    artifacts — the ingest-time compression pass; at cluster scale cell
+    is the partition key and codes the stored payload."""
     staged = corpus.select(
         F.col(id_col),
         _resid_col(F.col(vec_col), model).alias("_rv"),
@@ -2023,11 +2040,32 @@ def ivfpq_residual_topk(
             "_cell"
         ),
     )
-    enc = staged.select(
+    return staged.select(
         F.col(id_col),
         F.col("_cell"),
         _q_resid_col(F.col("_rv"), F.col("_cell"), scales, lim).alias("qvec"),
     ).select(F.col(id_col), "_cell", _pq_codes_col(codebook).alias("codes"))
+
+
+def _resid_adc_topk(
+    enc: DataFrame,
+    queries: DataFrame,
+    model: list[tuple[int, list[float], float]],
+    scales: dict[int, float],
+    codebook: list[list[list[int]]],
+    k: int,
+    nprobe: int,
+    lim: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Residual-ADC scoring over an already-encoded (id, _cell, codes)
+    frame — shared by the inline ``ivfpq_residual_topk`` and the
+    persisted-index ``residual_index_topk`` (which reads stored codes
+    instead of re-encoding the corpus)."""
+    m = len(codebook)
+    d = len(codebook[0][0])
 
     # probe lists: the shared driver-side float fold (identical cells to
     # ivfpq_topk for the same query — the comparison gates rely on it)
@@ -2037,7 +2075,7 @@ def ivfpq_residual_topk(
     # query-batch x nprobe sized job), so the rounding rule is the
     # engine's own — float64 round-trips losslessly through collect
     if qraw:
-        spark = corpus.sparkSession
+        spark = enc.sparkSession
         cents = {cid: cv for cid, cv, _ in model}
         qc_rows = [
             (qid, cid, qraw[qid]) for qid in qraw for cid in probes[qid]
@@ -2091,8 +2129,8 @@ def ivfpq_residual_topk(
             )
     if not per_pair:
         qid_ddl = queries.schema[query_id_col].dataType.simpleString()
-        id_ddl = corpus.schema[id_col].dataType.simpleString()
-        return corpus.sparkSession.createDataFrame(
+        id_ddl = enc.schema[id_col].dataType.simpleString()
+        return enc.sparkSession.createDataFrame(
             [],
             f"{query_id_col} {qid_ddl}, {id_col} {id_ddl},"
             " pq_dist double, rank int",
@@ -2112,6 +2150,101 @@ def ivfpq_residual_topk(
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
+    )
+
+
+def write_residual_pq_index(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 16,
+    m: int = 8,
+    codes: int = 16,
+    lim: int = 32767,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list, dict, list]:
+    """Persist the corpus as a residual-IVFADC index: the (id, cell,
+    codes) frame as parquet plus ALL the frozen artifacts — IVF centroid
+    model, per-cell residual scales, residual codebook — as a JSON
+    sidecar. Returns (model, scales, codebook).
+
+    Every artifact is FROZEN at build time, including the cell scales:
+    appended vectors quantize under the build-time scales (their residual
+    components may exceed the int16 range — harmless, distances stay
+    integer-exact), exactly like a production index whose ingest-time
+    statistics are computed once per (re)build, never per append."""
+    import json
+    import os
+
+    model = ivf_centroid_model(corpus, nlist=nlist, id_col=id_col, vec_col=vec_col)
+    scales = residual_cell_scales(corpus, model, id_col, vec_col)
+    codebook = residual_pq_codebook(
+        corpus, model, scales, m, codes, lim, id_col, vec_col
+    )
+    _resid_encode(corpus, model, scales, codebook, lim, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codes")
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/model.json", "w") as fh:
+        json.dump(
+            {
+                "model": [[cid, cv, cn2] for cid, cv, cn2 in model],
+                "scales": {str(cid): s for cid, s in scales.items()},
+                "codebook": codebook,
+                "lim": lim,
+            },
+            fh,
+        )
+    return model, scales, codebook
+
+
+def load_residual_pq_model(path: str) -> tuple[list, dict, list, int]:
+    import json
+
+    with open(f"{path}/model.json") as fh:
+        d = json.load(fh)
+    model = [(int(cid), [float(x) for x in cv], float(cn2))
+             for cid, cv, cn2 in d["model"]]
+    scales = {int(cid): float(s) for cid, s in d["scales"].items()}
+    return model, scales, d["codebook"], int(d["lim"])
+
+
+def append_residual_pq_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a vector batch under the FROZEN artifacts (encode only the
+    batch, parquet-append) — a 100 TB index grows at the cost of the
+    batch's own map-only encode, never a corpus rescan."""
+    model, scales, codebook, lim = load_residual_pq_model(path)
+    _resid_encode(
+        new_vectors, model, scales, codebook, lim, id_col, vec_col
+    ).write.mode("append").parquet(f"{path}/codes")
+
+
+def residual_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Residual-ADC top-k straight off the persisted index: reads the
+    stored (id, cell, codes) rows — no re-encode, no float column — and
+    must equal the inline ``ivfpq_residual_topk`` under the same frozen
+    artifacts (the split-append == one-shot equivalence the gate pins).
+    At cluster scale the probe filter prunes cell partitions at scan
+    time."""
+    model, scales, codebook, lim = load_residual_pq_model(path)
+    enc = spark.read.parquet(f"{path}/codes").select(id_col, "_cell", "codes")
+    return _resid_adc_topk(
+        enc, queries, model, scales, codebook, k, nprobe, lim,
+        id_col, vec_col, query_id_col,
     )
 
 
