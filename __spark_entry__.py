@@ -1537,6 +1537,28 @@ def q_stream_join(spark, sf_dir):
     )
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (datapipe.similarity.hard_negative_topk):
+    the 5 nearest CROSS-LABEL vectors per query — the contrastive-
+    training op that turns an embedding corpus into (anchor, hard
+    negative) pairs. Int8-cosine scoring, label filter fused before the
+    ranking window, 8 labeled queries."""
+    from rrdtool_1_x_spark.datapipe.similarity import hard_negative_topk
+
+    e = _emb(spark, sf_dir)
+    q = (
+        e.filter(F.col("label").isNotNull())
+        .orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("query_label"),
+            "embedding",
+        )
+    )
+    return hard_negative_topk(e, q, k=5).orderBy("query_id", "rank")
+
+
 def q_resid_index_topup(spark, sf_dir):
     """Persisted+incremental residual-IVFADC index
     (datapipe.similarity.write_residual_pq_index / append / topk): index
@@ -2702,6 +2724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_stream": q_dedup_stream,
         "stream_join": q_stream_join,
         "resid_index_topup": q_resid_index_topup,
+        "hard_negatives": q_hard_negatives,
         # -- priority: r6 red rows (oracle fixes this round) — must re-sweep
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
@@ -3135,6 +3158,41 @@ pred AS (SELECT doc_id, l AS pred FROM (
 SELECT d.doc_id, d.lang AS label, pred.pred,
        CASE WHEN pred.pred = d.lang THEN 1 ELSE 0 END AS correct
 FROM documents d LEFT JOIN pred USING (doc_id) ORDER BY d.doc_id"""
+
+    # hard-negative mining: int8-cosine top-5 restricted to cross-label
+    # candidates BEFORE ranking; NULL labels never qualify
+    sql["hard_negatives"] = """
+WITH ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings),
+qs AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s FROM ev),
+qv AS (SELECT vec_id,
+         CASE WHEN s > 0
+              THEN list_transform(v, x -> CAST(round(x / s * 127) AS BIGINT))
+              ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+       FROM qs),
+lb AS (SELECT vec_id, label FROM embeddings),
+qids AS (SELECT vec_id AS query_id, label AS query_label FROM embeddings
+         WHERE label IS NOT NULL ORDER BY vec_id LIMIT 8),
+qqv AS (SELECT qids.query_id, qids.query_label, qv.q AS qe
+        FROM qv JOIN qids ON qv.vec_id = qids.query_id),
+pairs AS (SELECT qqv.query_id, qqv.query_label, e.vec_id,
+            lb.label AS neg_label,
+            list_sum(list_transform(range(1,65), i -> e.q[i] * qqv.qe[i]))
+              AS dot,
+            list_sum(list_transform(range(1,65), i -> e.q[i] * e.q[i]))
+              AS na2,
+            list_sum(list_transform(range(1,65), i -> qqv.qe[i] * qqv.qe[i]))
+              AS nb2
+          FROM qv e JOIN lb ON lb.vec_id = e.vec_id CROSS JOIN qqv
+          WHERE lb.label IS NOT NULL AND lb.label != qqv.query_label),
+r AS (SELECT query_id, query_label, vec_id, neg_label,
+        round(dot::DOUBLE / sqrt(na2::DOUBLE * nb2::DOUBLE), 6) AS qcos_sim,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY dot::DOUBLE / sqrt(na2::DOUBLE * nb2::DOUBLE) DESC,
+                   vec_id ASC) AS rank
+      FROM pairs WHERE na2 > 0 AND nb2 > 0)
+SELECT query_id, query_label, vec_id, neg_label, qcos_sim, rank
+FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
 
     sql["resid_index_topup"] = f"""WITH {
         _resid_oracle_ctes(2, train_pred="vec_id % 5 != 0")

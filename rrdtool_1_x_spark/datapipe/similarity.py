@@ -2353,6 +2353,96 @@ def quantized_topk(
     )
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_label_col: str = "query_label",
+) -> DataFrame:
+    """Hard-negative mining — the contrastive-training data op: for each
+    query, the k nearest corpus vectors whose LABEL DIFFERS from the
+    query's (the semantically-close-but-wrong examples embedding models
+    train against; easy negatives are useless, same-label neighbors are
+    positives). The label filter applies BEFORE ranking, so the k slots
+    are all negatives.
+
+    Scoring is the int8-quantized cosine of ``quantized_topk`` (integer
+    dot / sqrt of integer norms — bit-deterministic across engines and
+    partitionings). NULL corpus labels never qualify as negatives (their
+    class is unknown); NULL-labeled queries match nothing.
+
+    Returns ``(query_id, query_label, vec_id, neg_label, qcos_sim,
+    rank)``.
+
+    Shape at scale: identical to ``quantized_topk`` — broadcast the
+    query batch, one corpus-linear scan with the label filter fused in,
+    per-query top-k window.
+    """
+    qc = quantize_embeddings(corpus, id_col, vec_col).join(
+        corpus.select(F.col(id_col), F.col(label_col).alias("_lab")), id_col
+    )
+    qq = quantize_embeddings(queries, query_id_col, vec_col).join(
+        queries.select(
+            F.col(query_id_col), F.col(query_label_col).alias("_qlab")
+        ),
+        query_id_col,
+    ).select(
+        F.col(query_id_col).alias("_qid"),
+        F.col("_qlab"),
+        F.col("qvec").alias("_qvec"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("qvec"),
+            F.col("_qvec"),
+            lambda x, y: x.cast("long") * y.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    n2 = lambda c: F.aggregate(
+        F.transform(c, lambda x: x.cast("long") * x.cast("long")),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    scored = (
+        qc.crossJoin(F.broadcast(qq))
+        .filter(
+            F.col("_lab").isNotNull() & (F.col("_lab") != F.col("_qlab"))
+        )
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col("_qlab").alias(query_label_col),
+            F.col(id_col),
+            F.col("_lab").alias("neg_label"),
+            F.when(
+                (n2(F.col("qvec")) > 0) & (n2(F.col("_qvec")) > 0),
+                dot
+                / F.sqrt(
+                    n2(F.col("qvec")).cast("double")
+                    * n2(F.col("_qvec")).cast("double")
+                ),
+            ).alias("qcos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("qcos_sim"), F.asc(id_col)
+    )
+    return (
+        scored.filter(F.col("qcos_sim").isNotNull())  # zero-norm vectors
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col, query_label_col, id_col, "neg_label",
+            F.round("qcos_sim", 6).alias("qcos_sim"), "rank",
+        )
+    )
+
+
 def centroid_model(
     df: DataFrame,
     id_col: str = "vec_id",

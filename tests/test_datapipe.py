@@ -1363,3 +1363,26 @@ def test_nb_classifier_total_and_prior_floor_on_corpus(spark, docs):
     )
     assert acc >= majority - 1e-9, f"accuracy {acc} below prior floor {majority}"
     out.unpersist()
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    from rrdtool_1_x_spark.datapipe.similarity import hard_negative_topk
+
+    rows = []
+    for i in range(30):
+        lab = i % 3
+        # cluster by label so same-label vectors are NEAREST — the filter
+        # must skip them all
+        rows.append((i, [float(lab * 10 + 1 + (i % 5) * 0.1)] * 8, lab))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        "embedding",
+    )
+    out = hard_negative_topk(df, q, k=5).collect()
+    assert len(out) == 5
+    assert all(r["neg_label"] != 0 for r in out)
+    assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
