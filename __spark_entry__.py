@@ -1537,6 +1537,18 @@ def q_stream_join(spark, sf_dir):
     )
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-source 5-gram Jaccard matrix (datapipe.report.source_overlap):
+    the mixture-design profiling op — how much of each source's distinct
+    n-gram set the others already carry. All 190 unordered source pairs,
+    zero-overlap pairs included."""
+    from rrdtool_1_x_spark.datapipe.report import source_overlap
+
+    return source_overlap(_docs(spark, sf_dir), n=5).orderBy(
+        "src_a", "src_b"
+    )
+
+
 def q_hard_negatives(spark, sf_dir):
     """Hard-negative mining (datapipe.similarity.hard_negative_topk):
     the 5 nearest CROSS-LABEL vectors per query — the contrastive-
@@ -2725,6 +2737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join": q_stream_join,
         "resid_index_topup": q_resid_index_topup,
         "hard_negatives": q_hard_negatives,
+        "source_overlap": q_source_overlap,
         # -- priority: r6 red rows (oracle fixes this round) — must re-sweep
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
@@ -3158,6 +3171,32 @@ pred AS (SELECT doc_id, l AS pred FROM (
 SELECT d.doc_id, d.lang AS label, pred.pred,
        CASE WHEN pred.pred = d.lang THEN 1 ELSE 0 END AS correct
 FROM documents d LEFT JOIN pred USING (doc_id) ORDER BY d.doc_id"""
+
+    # cross-source 5-gram Jaccard: distinct (source, shingle) sets,
+    # pairwise intersections via the shingle-keyed self-join, full pair
+    # grid so zero-overlap pairs survive
+    sql["source_overlap"] = r"""
+WITH t AS (SELECT source, regexp_split_to_array(lower(trim(text)), '\s+')
+             AS toks FROM documents),
+sh AS (SELECT source,
+         CASE WHEN len(toks) >= 5
+              THEN list_transform(range(1, len(toks) - 3),
+                                  i -> array_to_string(toks[i:i+4], ' '))
+              ELSE [array_to_string(toks, ' ')] END AS shingles
+       FROM t),
+gs AS (SELECT DISTINCT source AS g, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT g, count(*) AS n FROM gs GROUP BY 1),
+inter AS (SELECT a.g AS ga, b.g AS gb, count(*) AS ni
+          FROM gs a JOIN gs b ON a.s = b.s AND a.g < b.g
+          GROUP BY 1, 2),
+grid AS (SELECT x.g AS ga, y.g AS gb, x.n AS n_a, y.n AS n_b
+         FROM sizes x CROSS JOIN sizes y WHERE x.g < y.g)
+SELECT ga AS src_a, gb AS src_b, n_a, n_b,
+       CAST(coalesce(ni, 0) AS BIGINT) AS n_common,
+       round(coalesce(ni, 0)::DOUBLE / (n_a + n_b - coalesce(ni, 0)), 6)
+         AS jaccard
+FROM grid LEFT JOIN inter USING (ga, gb)
+ORDER BY src_a, src_b"""
 
     # hard-negative mining: int8-cosine top-5 restricted to cross-label
     # candidates BEFORE ranking; NULL labels never qualify

@@ -198,3 +198,71 @@ def histogram_quantiles(
             )
         )
     return cum.groupBy(*groups).agg(*aggs)
+
+
+def source_overlap(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Pairwise n-gram Jaccard between corpus groups (sources, dumps,
+    snapshots) — the mixture-design profiling question: how much of
+    source A's content is already in source B? Crawl snapshots overlap
+    enormously; mixing weights (and dedup order) should know it.
+
+    Per group, the DISTINCT n-token shingle set; for every unordered
+    group pair: ``(n_a, n_b, n_common, jaccard)`` with
+    ``jaccard = n_common / (n_a + n_b - n_common)`` rounded 1e-6 (counts
+    are exact integers, one division — engine-exact). Pairs that share
+    nothing still appear (jaccard 0).
+
+    Shape at scale: shingling is map-only inside the scan; ONE
+    (group, shingle) distinct shuffle; the pair expansion is a self-join
+    keyed on the shingle whose fan-out per shingle is bounded by
+    groups^2 — independent of corpus size; group sizes are a
+    groups-sized aggregate, broadcast onto the groups^2/2 pair grid.
+    """
+    from rrdtool_1_x_spark.datapipe.dedup import _shingle_array
+
+    gs = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.explode(_shingle_array(F.col(text_col), n)).alias("_s"),
+        )
+        .distinct()
+    )
+    sizes = gs.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+    inter = (
+        gs.alias("a")
+        .join(gs.alias("b"), F.col("a._s") == F.col("b._s"))
+        .filter(F.col("a._g") < F.col("b._g"))
+        .groupBy(F.col("a._g").alias("_ga"), F.col("b._g").alias("_gb"))
+        .agg(F.count(F.lit(1)).alias("_ni"))
+    )
+    grid = (
+        sizes.alias("x")
+        .crossJoin(F.broadcast(sizes.alias("y")))
+        .filter(F.col("x._g") < F.col("y._g"))
+        .select(
+            F.col("x._g").alias("_ga"),
+            F.col("y._g").alias("_gb"),
+            F.col("x._n").alias("n_a"),
+            F.col("y._n").alias("n_b"),
+        )
+    )
+    return (
+        grid.join(inter, ["_ga", "_gb"], "left")
+        .select(
+            F.col("_ga").alias("src_a"),
+            F.col("_gb").alias("src_b"),
+            "n_a",
+            "n_b",
+            F.coalesce(F.col("_ni"), F.lit(0)).cast("long").alias("n_common"),
+            F.round(
+                F.coalesce(F.col("_ni"), F.lit(0)).cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("_ni"), F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -1386,3 +1386,23 @@ def test_hard_negatives_exclude_same_label(spark):
     assert len(out) == 5
     assert all(r["neg_label"] != 0 for r in out)
     assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+
+
+def test_source_overlap_hand_case(spark):
+    from rrdtool_1_x_spark.datapipe.report import source_overlap
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d e f", "s1"),          # shingles: "a b c d e", "b c d e f"
+            (1, "a b c d e x", "s2"),          # shares "a b c d e" with s1
+            (2, "p q r s t u", "s3"),          # disjoint
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {(r["src_a"], r["src_b"]): r for r in source_overlap(df, n=5).collect()}
+    assert len(out) == 3  # full pair grid, zero-overlap pairs included
+    r12 = out[("s1", "s2")]
+    assert (r12["n_a"], r12["n_b"], r12["n_common"]) == (2, 2, 1)
+    assert r12["jaccard"] == round(1 / 3, 6)
+    assert out[("s1", "s3")]["n_common"] == 0
+    assert out[("s1", "s3")]["jaccard"] == 0.0
