@@ -3177,7 +3177,7 @@ FROM documents d LEFT JOIN pred USING (doc_id) ORDER BY d.doc_id"""
     # grid so zero-overlap pairs survive
     sql["source_overlap"] = r"""
 WITH t AS (SELECT source, regexp_split_to_array(lower(trim(text)), '\s+')
-             AS toks FROM documents),
+             AS toks FROM documents WHERE text IS NOT NULL),
 sh AS (SELECT source,
          CASE WHEN len(toks) >= 5
               THEN list_transform(range(1, len(toks) - 3),

@@ -166,10 +166,13 @@ def bpe_encode(
     # Java-regex \s+ (F.split), which matches only [ \t\n\x0B\f\r] — while
     # Python str.split() also splits on unicode whitespace (NBSP,
     # \x1c-\x1f, U+2028...). A document containing those would tokenize
-    # differently here than in train_bpe and the SQL oracle (RE2's \s
-    # is the same ASCII set as Java's). Python str.lower() can still
-    # diverge from SQL lower() on exotic case mappings; the split set
-    # is the load-bearing part for the pieces_sig gate.
+    # differently here than in train_bpe. One residual engine/oracle gap
+    # remains: RE2's \s is [\t\n\f\r ] WITHOUT \x0B while Java's includes
+    # it, so a vertical tab splits engine-side but not oracle-side — that
+    # (like every \s+ oracle in the repo) rides on the corpus being
+    # verified free of C0 controls. Python str.lower() can also diverge
+    # from SQL lower() on exotic case mappings; the split set is the
+    # load-bearing part for the pieces_sig gate.
     _ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     def encode(batches):

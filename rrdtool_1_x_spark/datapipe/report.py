@@ -225,8 +225,12 @@ def source_overlap(
     """
     from rrdtool_1_x_spark.datapipe.dedup import _shingle_array
 
+    # NULL text contributes nothing on either engine (Spark's concat_ws
+    # would turn it into a "" shingle while SQL's array_to_string keeps
+    # NULL — filtering aligns both and is the sensible semantics anyway)
     gs = (
-        df.select(
+        df.filter(F.col(text_col).isNotNull())
+        .select(
             F.col(group_col).alias("_g"),
             F.explode(_shingle_array(F.col(text_col), n)).alias("_s"),
         )

@@ -2315,33 +2315,12 @@ def quantized_topk(
     qq = quantize_embeddings(queries, query_id_col, vec_col).select(
         F.col(query_id_col).alias("_qid"), F.col("qvec").alias("_qvec")
     )
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("qvec"),
-            F.col("_qvec"),
-            lambda x, y: x.cast("long") * y.cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda s, x: s + x,
-    )
-    n2 = lambda c: F.aggregate(
-        F.transform(c, lambda x: x.cast("long") * x.cast("long")),
-        F.lit(0).cast("long"),
-        lambda s, x: s + x,
-    )
     scored = (
         qc.crossJoin(F.broadcast(qq))
         .select(
             F.col("_qid").alias(query_id_col),
             F.col(id_col),
-            F.when(
-                (n2(F.col("qvec")) > 0) & (n2(F.col("_qvec")) > 0),
-                dot
-                / F.sqrt(
-                    n2(F.col("qvec")).cast("double")
-                    * n2(F.col("_qvec")).cast("double")
-                ),
-            ).alias("qcos_sim"),
+            _qcos_sim().alias("qcos_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -2350,6 +2329,30 @@ def quantized_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def _qcos_sim(a: str = "qvec", b: str = "_qvec") -> Column:
+    """The int8-quantized cosine — integer dot / sqrt(product of integer
+    norms), NULL for a zero-norm side. The single source of truth for the
+    quantized scoring rule: ``quantized_topk`` and ``hard_negative_topk``
+    both rank by this column and both carry oracle gates pinned to it, so
+    the convention must never fork between them."""
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(a), F.col(b), lambda x, y: x.cast("long") * y.cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    n2 = lambda c: F.aggregate(
+        F.transform(F.col(c), lambda x: x.cast("long") * x.cast("long")),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    return F.when(
+        (n2(a) > 0) & (n2(b) > 0),
+        dot / F.sqrt(n2(a).cast("double") * n2(b).cast("double")),
     )
 
 
@@ -2382,32 +2385,26 @@ def hard_negative_topk(
     query batch, one corpus-linear scan with the label filter fused in,
     per-query top-k window.
     """
-    qc = quantize_embeddings(corpus, id_col, vec_col).join(
-        corpus.select(F.col(id_col), F.col(label_col).alias("_lab")), id_col
-    )
-    qq = quantize_embeddings(queries, query_id_col, vec_col).join(
-        queries.select(
-            F.col(query_id_col), F.col(query_label_col).alias("_qlab")
-        ),
-        query_id_col,
-    ).select(
-        F.col(query_id_col).alias("_qid"),
-        F.col("_qlab"),
-        F.col("qvec").alias("_qvec"),
-    )
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("qvec"),
-            F.col("_qvec"),
-            lambda x, y: x.cast("long") * y.cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda s, x: s + x,
-    )
-    n2 = lambda c: F.aggregate(
-        F.transform(c, lambda x: x.cast("long") * x.cast("long")),
-        F.lit(0).cast("long"),
-        lambda s, x: s + x,
+    # ONE fused map-only projection per side: label carried alongside the
+    # shared _int8_qvec quantization — no id re-join, no second corpus
+    # scan (the label attach IS part of the scan)
+    def _fused(frame, idc, labc, lab_alias, qvec_alias):
+        vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        staged = frame.select(
+            F.col(idc),
+            F.col(labc).alias(lab_alias),
+            vd.alias("_v"),
+            F.array_max(F.transform(vd, lambda x: F.abs(x))).alias("_s"),
+        )
+        return staged.select(
+            F.col(idc),
+            lab_alias,
+            _int8_qvec(F.col("_v"), F.col("_s")).alias(qvec_alias),
+        )
+
+    qc = _fused(corpus, id_col, label_col, "_lab", "qvec")
+    qq = _fused(queries, query_id_col, query_label_col, "_qlab", "_qvec").select(
+        F.col(query_id_col).alias("_qid"), "_qlab", "_qvec"
     )
     scored = (
         qc.crossJoin(F.broadcast(qq))
@@ -2419,14 +2416,7 @@ def hard_negative_topk(
             F.col("_qlab").alias(query_label_col),
             F.col(id_col),
             F.col("_lab").alias("neg_label"),
-            F.when(
-                (n2(F.col("qvec")) > 0) & (n2(F.col("_qvec")) > 0),
-                dot
-                / F.sqrt(
-                    n2(F.col("qvec")).cast("double")
-                    * n2(F.col("_qvec")).cast("double")
-                ),
-            ).alias("qcos_sim"),
+            _qcos_sim().alias("qcos_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
