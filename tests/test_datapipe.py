@@ -1406,3 +1406,65 @@ def test_source_overlap_hand_case(spark):
     assert r12["jaccard"] == round(1 / 3, 6)
     assert out[("s1", "s3")]["n_common"] == 0
     assert out[("s1", "s3")]["jaccard"] == 0.0
+
+
+def test_bpe_encode_equals_rank_ordered_fold_property():
+    """Property pinning the bpe_encode ORACLE's load-bearing claim:
+    greedy rank-priority encoding (_encode_word) ≡ applying the merges in
+    rank order, each as one left-to-right fold — merge r's components are
+    built only by merges < r, so a later merge can never create an
+    earlier pair. Pure-Python on randomized words and merge lists (no
+    Spark), mirroring the trainer's fold exactly."""
+    import random
+
+    from rrdtool_1_x_spark.datapipe.bpe import END, _encode_word
+
+    def fold_apply(syms, a, b):
+        out = []
+        for x in syms:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        return out
+
+    def train(words, num_merges):
+        # the trainer's loop over a {word: count} vocab, pure python
+        from collections import Counter
+
+        vocab = {w: list(w) + [END] for w in words}
+        counts = Counter(words)
+        merges = []
+        for _ in range(num_merges):
+            pc = Counter()
+            for w, syms in vocab.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += counts[w]
+            if not pc:
+                break
+            # deterministic argmax: count desc, ties to the
+            # lexicographically smallest pair (the trainer's orderBy)
+            m = max(pc.values())
+            cand = sorted(p for p, c in pc.items() if c == m)
+            a, b = cand[0]
+            if pc[(a, b)] < 2:
+                break
+            merges.append((a, b))
+            vocab = {w: fold_apply(s, a, b) for w, s in vocab.items()}
+        return merges
+
+    rng = random.Random(42)
+    for trial in range(200):
+        alpha = "abc" if trial % 2 else "ab"
+        words = [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 9)))
+            for _ in range(rng.randint(2, 12))
+        ]
+        merges = train(words, rng.randint(1, 12))
+        ranks = {p: i for i, p in enumerate(merges)}
+        for w in set(words):
+            greedy = _encode_word(w, ranks)
+            folded = list(w) + [END]
+            for a, b in merges:
+                folded = fold_apply(folded, a, b)
+            assert greedy == folded, (w, merges, greedy, folded)
