@@ -1537,6 +1537,26 @@ def q_stream_join(spark, sf_dir):
     )
 
 
+def q_diverse_sample(spark, sf_dir):
+    """Cluster-balanced diversity sampling (datapipe.similarity.
+    diverse_sample): 5 deterministic draws per IVF cell — the coverage
+    sampler that keeps every embedding-space region represented where a
+    uniform sample over-draws dense regions. Shares the session's IVF
+    model artifact."""
+    from rrdtool_1_x_spark.datapipe.similarity import (
+        diverse_sample,
+        ivf_centroid_model,
+    )
+
+    e = _emb(spark, sf_dir)
+    mkey = (spark.sparkContext.applicationId, sf_dir, "ivfmodel")
+    if mkey not in _IVF_MODEL_CACHE:
+        _IVF_MODEL_CACHE[mkey] = ivf_centroid_model(e, nlist=16)
+    return diverse_sample(
+        e, per_cell=5, model=_IVF_MODEL_CACHE[mkey]
+    ).orderBy("cell", "cell_rank")
+
+
 def q_source_overlap(spark, sf_dir):
     """Cross-source 5-gram Jaccard matrix (datapipe.report.source_overlap):
     the mixture-design profiling op — how much of each source's distinct
@@ -2738,6 +2758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resid_index_topup": q_resid_index_topup,
         "hard_negatives": q_hard_negatives,
         "source_overlap": q_source_overlap,
+        "diverse_sample": q_diverse_sample,
         # -- priority: r6 red rows (oracle fixes this round) — must re-sweep
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
@@ -3171,6 +3192,32 @@ pred AS (SELECT doc_id, l AS pred FROM (
 SELECT d.doc_id, d.lang AS label, pred.pred,
        CASE WHEN pred.pred = d.lang THEN 1 ELSE 0 END AS correct
 FROM documents d LEFT JOIN pred USING (doc_id) ORDER BY d.doc_id"""
+
+    # cluster-balanced diversity sample: ivf_topk's cell-assignment chain
+    # (cosine argmax, ties to lowest cid) + per-cell smallest-md5 quota
+    sql["diverse_sample"] = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+sc AS (SELECT n.vec_id, cent.cid,
+              coalesce(CASE WHEN n.n2 > 0 AND cent.cn2 > 0
+                            THEN list_dot_product(n.v, cent.cv)
+                                 / (sqrt(n.n2) * sqrt(cent.cn2)) END,
+                       -2.0) AS s
+       FROM n CROSS JOIN cent),
+asg AS (SELECT vec_id, cid AS cell FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY s DESC, cid ASC) AS rn
+          FROM sc) _ WHERE rn = 1),
+rk AS (SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY cell
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell_rank
+       FROM asg)
+SELECT vec_id, cell, CAST(cell_rank AS INT) AS cell_rank
+FROM rk WHERE cell_rank <= 5 ORDER BY cell, cell_rank"""
 
     # cross-source 5-gram Jaccard: distinct (source, shingle) sets,
     # pairwise intersections via the shingle-keyed self-join, full pair

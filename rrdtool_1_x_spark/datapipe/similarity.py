@@ -2356,6 +2356,46 @@ def _qcos_sim(a: str = "qvec", b: str = "_qvec") -> Column:
     )
 
 
+def diverse_sample(
+    corpus: DataFrame,
+    per_cell: int = 5,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    model: list[tuple[int, list[float], float]] | None = None,
+) -> DataFrame:
+    """Cluster-balanced diversity sampling: assign every vector to its
+    IVF cell, keep the ``per_cell`` smallest-md5(id) members of each —
+    the coverage-sampling recipe for building an embedding-space-diverse
+    subset (uniform sampling over-represents dense regions; per-cell
+    quotas guarantee every region of the space contributes). The md5
+    order is the corpus-convention deterministic "random" draw.
+
+    Returns ``(id, cell, cell_rank)``.
+
+    Shape at scale: cell assignment is the shuffle-free literal-fold map
+    shared with every IVF path; the quota is one window over cell
+    partitions (nlist partitions, each corpus/nlist-sized — at 100 TB
+    raise nlist so cells stay executor-sized, which also sharpens
+    coverage)."""
+    if model is None:
+        model = ivf_centroid_model(corpus, nlist=nlist, id_col=id_col, vec_col=vec_col)
+    staged = corpus.select(
+        F.col(id_col),
+        (-F.array_max(_centroid_scores(F.col(vec_col), model))["nc"]).alias(
+            "cell"
+        ),
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        staged.withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= per_cell)
+        .select(id_col, "cell", "cell_rank")
+    )
+
+
 def hard_negative_topk(
     corpus: DataFrame,
     queries: DataFrame,

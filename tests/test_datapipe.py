@@ -1468,3 +1468,22 @@ def test_bpe_encode_equals_rank_ordered_fold_property():
             for a, b in merges:
                 folded = fold_apply(folded, a, b)
             assert greedy == folded, (w, merges, greedy, folded)
+
+
+def test_diverse_sample_covers_every_nonempty_cell(spark, emb):
+    from rrdtool_1_x_spark.datapipe.similarity import (
+        diverse_sample,
+        ivf_centroid_model,
+    )
+
+    model = ivf_centroid_model(emb, nlist=16)
+    out = diverse_sample(emb, per_cell=3, model=model).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], []).append(r["cell_rank"])
+    # quota respected and ranks dense from 1 in every sampled cell
+    for ranks in by_cell.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
+    # coverage: cells holding >=3 vectors contribute the full quota
+    assert sum(len(v) == 3 for v in by_cell.values()) >= len(by_cell) // 2
