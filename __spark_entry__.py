@@ -2742,6 +2742,131 @@ def _memo(name: str, fn: Callable[[SparkSession, str], DataFrame]):
     return wrapped
 
 
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-10 per corpus-derived query (datapipe.retrieval.
+    bm25_topk; Robertson & Zaragoza 2009 eq. 3.15, Lucene's non-negative
+    idf): queries are the df-ranked terms 21-32 assigned round-robin to
+    6 two-term queries; idf and length-norm 1e-6-quantized so scores are
+    exact BIGINTs."""
+    from rrdtool_1_x_spark.datapipe.retrieval import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir)).orderBy("query_id", "rank")
+
+
+def q_rrf_fuse(spark, sf_dir):
+    """Reciprocal-rank fusion of BM25 and smoothed-TF-IDF rankings over
+    the same derived queries (datapipe.retrieval.rrf_fuse; Cormack et
+    al. SIGIR 2009, K=60): both rankings come off one (doc, term)
+    aggregate, fused score = sum(round(1e6/(60+rank)))."""
+    from rrdtool_1_x_spark.datapipe.retrieval import rrf_fuse
+
+    return rrf_fuse(_docs(spark, sf_dir)).orderBy("query_id", "rank")
+
+
+def q_pmi_topk(spark, sf_dir):
+    """Top-30 adjacent-bigram collocations by PMI with support >= 5
+    (datapipe.textstats.pmi_collocations; Church & Hanks 1990),
+    1e-6-quantized from an all-BIGINT count ratio."""
+    from rrdtool_1_x_spark.datapipe.textstats import pmi_collocations
+
+    return pmi_collocations(_docs(spark, sf_dir)).orderBy(
+        F.col("pmi").desc(), "bigram"
+    )
+
+
+def q_chunk_docs(spark, sf_dir):
+    """Sliding-window token chunking, 32-token windows advancing by 24
+    (datapipe.sampling.chunk_documents) — the LM context-window /
+    RAG-indexing preparation step; per-row array arithmetic only."""
+    from rrdtool_1_x_spark.datapipe.sampling import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir)).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+def _docs_nfd_enriched(spark, sf_dir):
+    """documents with deterministic NFD (decomposed) unicode suffixes —
+    the corpus is ASCII, so the NFC gate injects real composition work:
+    doc_id%4 selects combining-mark sequences (e+U+0301, i+U+0308,
+    A+U+030A, none) plus double spaces for the collapse path. The oracle
+    builds the identical strings with chr()."""
+    d = _docs(spark, sf_dir)
+    return d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.element_at(
+                F.array(
+                    F.lit("  cafe" + chr(769)),
+                    F.lit(" nai" + chr(776) + "ve  story"),
+                    F.lit(" A" + chr(778) + "ngstro" + chr(774) + "m"),
+                    F.lit(""),
+                ),
+                (F.col("doc_id") % 4 + 1).cast("int"),
+            ),
+        ),
+    )
+
+
+def q_text_norm(spark, sf_dir):
+    """Unicode NFC + whitespace canonicalization (datapipe.clean.
+    normalize_text): Arrow-batched unicodedata NFC vs DuckDB
+    nfc_normalize over the NFD-enriched corpus — both implement UAX #15,
+    so composed outputs are byte-identical."""
+    from rrdtool_1_x_spark.datapipe.clean import normalize_text
+
+    return normalize_text(_docs_nfd_enriched(spark, sf_dir)).orderBy(
+        "doc_id"
+    )
+
+
+def _docs_url_variants(spark, sf_dir):
+    """documents with one deterministic URL per doc, in one of four
+    surface forms (upper-case host + trailing slash / www. prefix /
+    utm_ query string / #fragment) that all share a canonical form
+    keyed by doc_id%50 — identical strings in the oracle."""
+    d = _docs(spark, sf_dir)
+    k = (F.col("doc_id") % 50).cast("string")
+    variants = F.array(
+        F.concat(
+            F.lit("https://SITE"), k, F.lit(".example.org/page/"), k,
+            F.lit("/"),
+        ),
+        F.concat(
+            F.lit("http://www.site"), k, F.lit(".example.org/page/"), k
+        ),
+        F.concat(
+            F.lit("https://site"), k, F.lit(".example.org/page/"), k,
+            F.lit("?utm_source=feed&utm_campaign=x"),
+        ),
+        F.concat(
+            F.lit("https://site"), k, F.lit(".example.org/page/"), k,
+            F.lit("#frag"),
+        ),
+    )
+    return d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" ref "),
+            F.element_at(variants, (F.col("doc_id") % 4 + 1).cast("int")),
+        ),
+    )
+
+
+def q_url_dedup(spark, sf_dir):
+    """Canonical-URL deduplication (datapipe.pii.url_canonical_dedup):
+    lowercase, strip scheme/www./query/fragment/trailing slash, keep the
+    min-doc_id document per canonical URL — the crawl-frontier dedup
+    step, over the four-surface-form enriched corpus."""
+    from rrdtool_1_x_spark.datapipe.pii import url_canonical_dedup
+
+    return url_canonical_dedup(_docs_url_variants(spark, sf_dir)).orderBy(
+        "canon_url"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness sweep windows the FIRST
     # 50 keys. Entries with no driver CORRECTNESS row yet (never checked,
@@ -2750,6 +2875,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # block at the top, never appended at the end.
     qs = {
         # -- priority: new this round (no driver row yet) ---------------
+        "bm25_topk": q_bm25_topk,
+        "rrf_fuse": q_rrf_fuse,
+        "pmi_topk": q_pmi_topk,
+        "chunk_docs": q_chunk_docs,
+        "text_norm": q_text_norm,
+        "url_dedup": q_url_dedup,
         "ivfpq_residual_topk": q_ivfpq_residual_topk,
         "residual_recall": q_residual_recall,
         "nb_classify": q_nb_classify,
@@ -3130,6 +3261,159 @@ rscq AS (SELECT l.query_id, en.vec_id,
 
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
+
+    # shared whitespace tokenization CTE (the textstats._tokens contract)
+    _toks_cte = r"""t AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                    x -> x <> '') AS toks
+      FROM documents)"""
+
+    # BM25 / RRF shared statistics: (doc, term, tf, dl), df-counts, the
+    # df-ranked 6x2-term query set (skip the 20 head terms), avgdl. The
+    # double tree `0.25 + 0.75 * dl / avgdl` is literal-identical to
+    # retrieval.py so both engines fold the same IEEE sequence.
+    _bm25_ctes = f"WITH {_toks_cte}," + r"""
+e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf0 AS (SELECT doc_id, term, count(*) AS tf FROM e GROUP BY 1, 2),
+tf AS (SELECT doc_id, term, tf,
+         sum(tf) OVER (PARTITION BY doc_id) AS dl FROM tf0),
+dfc AS (SELECT term, count(*) AS dfc FROM tf0 GROUP BY 1),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+cand AS (SELECT term, dfc,
+           row_number() OVER (ORDER BY dfc DESC, term ASC) AS r
+         FROM dfc ORDER BY dfc DESC, term ASC LIMIT 32),
+q AS (SELECT (r - 21) % 6 AS query_id, term, dfc FROM cand WHERE r > 20),
+avgdl AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl
+          FROM (SELECT DISTINCT doc_id, dl FROM tf)),
+bm AS (SELECT query_id, doc_id,
+         sum(CAST(round(ln((n_docs - q.dfc + 0.5) / (q.dfc + 0.5) + 1.0)
+                  * 1e6) AS BIGINT)
+             * CAST(round(1e6 * (tf * 2.2)
+                    / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+               AS BIGINT)) AS s
+       FROM tf JOIN q USING (term) CROSS JOIN nd CROSS JOIN avgdl
+       GROUP BY 1, 2)"""
+
+    sql["bm25_topk"] = _bm25_ctes + r""",
+rk AS (SELECT query_id, doc_id, s,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, doc_id ASC) AS rank
+       FROM bm)
+SELECT query_id, rank, doc_id, round(s / 1e12, 6) AS bm25
+FROM rk WHERE rank <= 10 ORDER BY query_id, rank"""
+
+    sql["rrf_fuse"] = _bm25_ctes + r""",
+ti AS (SELECT query_id, doc_id,
+         sum(tf * CAST(round(ln((n_docs + 1)::DOUBLE / (q.dfc + 1)) * 1e6)
+                  AS BIGINT)) AS s
+       FROM tf JOIN q USING (term) CROSS JOIN nd
+       GROUP BY 1, 2),
+r1 AS (SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, doc_id ASC) AS r1
+       FROM bm QUALIFY r1 <= 20),
+r2 AS (SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, doc_id ASC) AS r2
+       FROM ti QUALIFY r2 <= 20),
+fu AS (SELECT coalesce(r1.query_id, r2.query_id) AS query_id,
+         coalesce(r1.doc_id, r2.doc_id) AS doc_id,
+         coalesce(CAST(round(1e6 / (60 + r1)) AS BIGINT), 0)
+           + coalesce(CAST(round(1e6 / (60 + r2)) AS BIGINT), 0) AS s
+       FROM r1 FULL OUTER JOIN r2
+         ON r1.query_id = r2.query_id AND r1.doc_id = r2.doc_id),
+rk AS (SELECT query_id, doc_id, s,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, doc_id ASC) AS rank
+       FROM fu)
+SELECT query_id, rank, doc_id, round(s / 1e6, 6) AS rrf
+FROM rk WHERE rank <= 10 ORDER BY query_id, rank"""
+
+    sql["pmi_topk"] = f"WITH {_toks_cte}," + r"""
+bi AS (SELECT unnest(CASE WHEN len(toks) >= 2
+         THEN list_transform(range(1, len(toks)),
+                             i -> toks[i] || ' ' || toks[i+1])
+         ELSE CAST([] AS VARCHAR[]) END) AS bigram FROM t),
+bc AS (SELECT bigram, count(*) AS pair_cnt FROM bi
+       GROUP BY 1 HAVING count(*) >= 5),
+uc AS (SELECT term, count(*) AS cnt
+       FROM (SELECT unnest(toks) AS term FROM t) GROUP BY 1),
+tot AS (SELECT sum(cnt) AS t_tok FROM uc),
+sc AS (SELECT bigram, pair_cnt, l.cnt AS left_cnt, r.cnt AS right_cnt,
+         CAST(round(ln((pair_cnt * t_tok)::DOUBLE / (l.cnt * r.cnt)) * 1e6)
+              AS BIGINT) AS p
+       FROM bc
+       JOIN uc l ON l.term = string_split(bigram, ' ')[1]
+       JOIN uc r ON r.term = string_split(bigram, ' ')[2]
+       CROSS JOIN tot)
+SELECT bigram, pair_cnt, left_cnt, right_cnt, round(p / 1e6, 6) AS pmi
+FROM sc ORDER BY p DESC, bigram ASC LIMIT 30"""
+
+    sql["chunk_docs"] = f"WITH {_toks_cte}," + r"""
+b AS (SELECT doc_id, toks, len(toks) AS ntd,
+        CASE WHEN len(toks) = 0 THEN 0
+             ELSE 1 + greatest(CAST(ceil((len(toks) - 32) / 24.0)
+                               AS BIGINT), 0)
+        END AS n
+      FROM t),
+u AS (SELECT doc_id,
+        unnest(list_transform(range(0, n), i -> struct_pack(
+          chunk_id := CAST(i AS INT),
+          n_tok := CAST(least(32, ntd - i*24) AS INT),
+          chunk_text := array_to_string(toks[i*24+1 : i*24+32], ' ')))) AS c
+      FROM b)
+SELECT doc_id, c.chunk_id AS chunk_id, c.n_tok AS n_tok,
+       c.chunk_text AS chunk_text
+FROM u ORDER BY doc_id, chunk_id"""
+
+    # NFC gate over the NFD-enriched corpus (_docs_nfd_enriched builds
+    # the identical strings with chr()); nfc_normalize == unicodedata NFC
+    # (both UAX #15)
+    sql["text_norm"] = r"""
+WITH enr AS (SELECT doc_id,
+    text || CASE doc_id % 4
+      WHEN 0 THEN '  cafe' || chr(769)
+      WHEN 1 THEN ' nai' || chr(776) || 've  story'
+      WHEN 2 THEN ' A' || chr(778) || 'ngstro' || chr(774) || 'm'
+      ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+  trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g')) AS norm_text,
+  length(text) AS n_chars_raw,
+  length(trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g')))
+    AS n_chars_norm,
+  CASE WHEN trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))
+            <> text THEN 1 ELSE 0 END AS changed
+FROM enr ORDER BY doc_id"""
+
+    # canonical-URL dedup over the four-surface-form enrichment
+    # (_docs_url_variants builds the identical strings)
+    sql["url_dedup"] = r"""
+WITH enr AS (SELECT doc_id,
+    text || ' ref ' || CASE doc_id % 4
+      WHEN 0 THEN 'https://SITE' || CAST(doc_id % 50 AS VARCHAR)
+        || '.example.org/page/' || CAST(doc_id % 50 AS VARCHAR) || '/'
+      WHEN 1 THEN 'http://www.site' || CAST(doc_id % 50 AS VARCHAR)
+        || '.example.org/page/' || CAST(doc_id % 50 AS VARCHAR)
+      WHEN 2 THEN 'https://site' || CAST(doc_id % 50 AS VARCHAR)
+        || '.example.org/page/' || CAST(doc_id % 50 AS VARCHAR)
+        || '?utm_source=feed&utm_campaign=x'
+      ELSE 'https://site' || CAST(doc_id % 50 AS VARCHAR)
+        || '.example.org/page/' || CAST(doc_id % 50 AS VARCHAR) || '#frag'
+    END AS text
+  FROM documents),
+ex AS (SELECT doc_id,
+         unnest(regexp_extract_all(text, 'https?://[^\s]+', 0)) AS u
+       FROM enr),
+cn AS (SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           lower(u), '^https?://', ''), '^www\.', ''), '[?#].*$', ''),
+           '/$', '') AS canon_url
+       FROM ex)
+SELECT canon_url, min(doc_id) AS keeper_id,
+       count(DISTINCT doc_id) AS n_docs, count(*) AS n_urls
+FROM cn GROUP BY 1 ORDER BY canon_url"""
+
     sql["bpe_train"] = _bpe_train_oracle(20)
     sql["bpe_encode"] = _bpe_encode_oracle(20)
     sql["dedup_stream"] = """

@@ -318,3 +318,47 @@ def extract_html_text(
         F.array_join(lines, "\n").alias("text"),
         F.size(lines).alias("n_lines"),
     )
+
+
+def normalize_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unicode NFC composition + whitespace canonicalization — the
+    normalization pass every tokenizer-prep pipeline runs first (GPT-2 /
+    SentencePiece corpora are NFC- or NFKC-normalized before BPE so that
+    'e'+U+0301 and U+00E9 share one vocabulary entry).
+
+    NFC runs in an Arrow-batched pandas UDF (the JVM has no NFC
+    builtin; UAX #15 composition is identical between Python's
+    unicodedata and DuckDB's nfc_normalize, which the oracle uses).
+    Whitespace collapse and trim stay JVM-side. Returns
+    (id, norm_text, n_chars_raw, n_chars_norm, changed).
+
+    Shape at scale: a single per-row map inside the scan — no shuffle;
+    the UDF cost is one Arrow round-trip over the text column only
+    (column pruning keeps the batch narrow).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # note: no type hints — clean.py has `from __future__ import
+    # annotations`, which stringifies them past pandas_udf's inspection
+    @pandas_udf("string")
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: None
+            if x is None
+            else unicodedata.normalize("NFC", x)
+        )
+
+    raw = F.col(text_col)
+    norm = F.trim(F.regexp_replace(_nfc(raw), r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        norm.alias("norm_text"),
+        F.length(raw).alias("n_chars_raw"),
+        F.length(norm).alias("n_chars_norm"),
+        F.when(norm != raw, F.lit(1)).otherwise(F.lit(0)).alias("changed"),
+    )

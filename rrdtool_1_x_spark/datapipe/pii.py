@@ -84,3 +84,43 @@ def domain_stats(
         F.sum("_c").alias("url_cnt"),
         F.count(F.lit(1)).alias("doc_cnt"),
     )
+
+
+def url_canonical_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """URL-level deduplication by canonical form — the crawl-frontier /
+    WARC dedup step (CommonCrawl dedups fetches by canonicalized URL
+    before any content hashing): extract every http(s) URL, canonicalize
+    (lowercase, strip scheme, strip a leading ``www.``, strip query
+    string and fragment, strip one trailing slash), and keep the first
+    (min id) document per canonical URL.
+
+    Dropping the whole query string is the documented simplification of
+    "strip tracking parameters" — the key is URL-sans-query, the common
+    conservative canonical form. All patterns are RE2-safe so the oracle
+    runs the identical strings. Returns
+    (canon_url, keeper_id, n_docs, n_urls).
+
+    Shape at scale: per-row extraction inside the scan, one explode,
+    one aggregation keyed by canonical URL with map-side combine —
+    corpus-linear; hot URLs are aggregate keys, never join keys.
+    """
+    urls = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"https?://[^\s]+"), 0
+    )
+    ex = df.select(F.col(id_col), F.explode(urls).alias("_u"))
+    canon = F.lower(F.col("_u"))
+    canon = F.regexp_replace(canon, r"^https?://", "")
+    canon = F.regexp_replace(canon, r"^www\.", "")
+    canon = F.regexp_replace(canon, r"[?#].*$", "")
+    canon = F.regexp_replace(canon, r"/$", "")
+    return (
+        ex.select(F.col(id_col), canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_urls"),
+        )
+    )

@@ -1,0 +1,303 @@
+"""Lexical retrieval over a document corpus: BM25 ranking and
+reciprocal-rank fusion.
+
+These are the query-side complement to the dedup/curation operators: a
+training-data pipeline uses BM25 both to mine retrieval training pairs
+(DPR/Contriever hard negatives come from a BM25 index) and to audit what
+a corpus can answer. RRF (Cormack et al., SIGIR 2009) is the standard
+zero-tuning way to combine a lexical ranking with a second ranking.
+
+Numeric convention (shared with textstats.tfidf_top_terms): every
+ln()-derived weight is quantized to a 1e-6 integer BEFORE entering
+arithmetic, so scores are exact BIGINTs and rankings are
+bit-deterministic across engines and partitionings. Double expressions
+(the BM25 length norm) are written with the identical literal/op order
+as the DuckDB oracle so both engines evaluate the same IEEE-754 tree.
+
+Shape at scale (the part that must survive 100 TB):
+- term statistics are ONE exploded (doc, term) aggregation with map-side
+  combine — the only corpus-sized shuffle;
+- doc length rides the same frame as ``sum(tf) over (partition by doc)``
+  (no second join against the corpus);
+- the query-term table is vocabulary-top-K-sized and broadcast —
+  scoring is a broadcast hash join inside the scan, never a shuffle on
+  the hot query terms;
+- top-k per query is a window over the (query x matched-doc) frame,
+  which is query-bounded, not corpus-bounded, after the semi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import _tokens
+
+# BM25 constants (Robertson-Walker Okapi defaults). Written as the
+# exact literals the oracle SQL uses: k1+1 = 2.2, 1-b = 0.25.
+_K1 = 1.2
+_K1P1 = 2.2
+_B = 0.75
+_ONE_MINUS_B = 0.25
+
+
+def _term_stats(df: DataFrame, id_col: str, text_col: str):
+    """(tf frame with per-doc length, df-count frame, N scalar frame).
+
+    tf: (id, term, tf, dl) — dl computed as sum(tf) over the doc
+    partition so no second pass over the corpus is needed.
+    """
+    toks = F.filter(_tokens(F.col(text_col)), lambda t: t != "")
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tf = tf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy(id_col))
+    )
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
+    nd = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    return tf, dfc, nd
+
+
+def derive_queries(
+    dfc: DataFrame,
+    n_queries: int = 6,
+    terms_per_query: int = 2,
+    skip_top: int = 20,
+) -> DataFrame:
+    """Deterministic query set mined from the corpus itself: rank terms
+    by document frequency (desc, term asc), skip the ``skip_top``
+    ubiquitous head terms (their idf carries no signal), then assign the
+    next ``n_queries * terms_per_query`` terms round-robin to queries.
+
+    Returns (query_id, term, dfc). The candidate pull is an
+    ``orderBy().limit()`` — Spark executes that as a partial top-k per
+    partition + tiny final merge, never a global sort of the vocabulary.
+    """
+    take = skip_top + n_queries * terms_per_query
+    cand = dfc.orderBy(F.col("dfc").desc(), F.col("term").asc()).limit(take)
+    w = Window.orderBy(F.col("dfc").desc(), F.col("term").asc())
+    return (
+        cand.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") > skip_top)
+        .select(
+            ((F.col("_r") - skip_top - 1) % n_queries).alias("query_id"),
+            "term",
+            "dfc",
+        )
+    )
+
+
+def _bm25_scored(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_queries: int,
+    terms_per_query: int,
+):
+    """(query_id, id, s) exact-integer BM25 scores for every
+    (derived query, matching doc) pair, plus the tf frame for reuse."""
+    tf, dfc, nd = _term_stats(df, id_col, text_col)
+    q = derive_queries(dfc, n_queries, terms_per_query)
+    avg = tf.select(id_col, "dl").distinct().agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")
+    )
+    # idf quantized to 1e-6 BIGINT; the length norm likewise. The norm's
+    # double tree `0.25 + 0.75 * dl / avgdl` is literal-identical to the
+    # oracle so both engines fold the same IEEE sequence.
+    scored = (
+        tf.join(F.broadcast(q), "term")
+        .crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(avg))
+        .select(
+            "query_id",
+            F.col(id_col),
+            (
+                F.round(
+                    F.log(
+                        (F.col("n_docs") - F.col("dfc") + 0.5)
+                        / (F.col("dfc") + 0.5)
+                        + 1.0
+                    )
+                    * 1e6
+                ).cast("long")
+                * F.round(
+                    F.lit(1e6)
+                    * (F.col("tf") * _K1P1)
+                    / (
+                        F.col("tf")
+                        + _K1
+                        * (
+                            F.lit(_ONE_MINUS_B)
+                            + F.lit(_B) * F.col("dl") / F.col("avgdl")
+                        )
+                    )
+                ).cast("long")
+            ).alias("_w"),
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.sum("_w").alias("s"))
+    )
+    return scored, q
+
+
+def bm25_topk(
+    df: DataFrame,
+    k: int = 10,
+    n_queries: int = 6,
+    terms_per_query: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 top-``k`` documents per derived query
+    (Robertson & Zaragoza 2009 eq. 3.15; k1=1.2, b=0.75, the
+    ``ln((N-df+0.5)/(df+0.5)+1)`` non-negative idf variant Lucene uses).
+
+    Returns (query_id, rank, doc_id, bm25) where bm25 is the exact
+    integer score rescaled to its float value (idf and length-norm are
+    each 1e-6-quantized, so the product carries scale 1e-12).
+    """
+    scored, _ = _bm25_scored(df, id_col, text_col, n_queries, terms_per_query)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            id_col,
+            F.round(F.col("s") / F.lit(1e12), 6).alias("bm25"),
+        )
+    )
+
+
+def rrf_fuse(
+    df: DataFrame,
+    k: int = 10,
+    depth: int = 20,
+    rrf_k: int = 60,
+    n_queries: int = 6,
+    terms_per_query: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    of two retrievers over the same derived queries: BM25 and smoothed
+    TF-IDF (the textstats convention, ln((N+1)/(df+1))). Each retriever
+    contributes its top-``depth`` list; fused score is
+    ``sum(round(1e6 / (60 + rank)))`` over the lists containing the doc
+    — integer-exact, standard RRF with K=60.
+
+    Returns (query_id, rank, doc_id, rrf). Scale shape: both rankings
+    come off the SAME (doc, term) aggregate (one corpus shuffle total);
+    the fusion join is over two query-bounded top-``depth`` frames.
+    """
+    tf, dfc, nd = _term_stats(df, id_col, text_col)
+    q = derive_queries(dfc, n_queries, terms_per_query)
+    avg = tf.select(id_col, "dl").distinct().agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")
+    )
+    base = (
+        tf.join(F.broadcast(q), "term")
+        .crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(avg))
+    )
+    bm = (
+        base.select(
+            "query_id",
+            F.col(id_col),
+            (
+                F.round(
+                    F.log(
+                        (F.col("n_docs") - F.col("dfc") + 0.5)
+                        / (F.col("dfc") + 0.5)
+                        + 1.0
+                    )
+                    * 1e6
+                ).cast("long")
+                * F.round(
+                    F.lit(1e6)
+                    * (F.col("tf") * _K1P1)
+                    / (
+                        F.col("tf")
+                        + _K1
+                        * (
+                            F.lit(_ONE_MINUS_B)
+                            + F.lit(_B) * F.col("dl") / F.col("avgdl")
+                        )
+                    )
+                ).cast("long")
+            ).alias("_w"),
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.sum("_w").alias("s"))
+    )
+    ti = (
+        base.select(
+            "query_id",
+            F.col(id_col),
+            (
+                F.col("tf")
+                * F.round(
+                    F.log(
+                        (F.col("n_docs") + 1).cast("double")
+                        / (F.col("dfc") + 1)
+                    )
+                    * 1e6
+                ).cast("long")
+            ).alias("_w"),
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.sum("_w").alias("s"))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col(id_col).asc()
+    )
+    r1 = (
+        bm.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= depth)
+        .select("query_id", id_col, "r1")
+    )
+    r2 = (
+        ti.withColumn("r2", F.row_number().over(w1))
+        .filter(F.col("r2") <= depth)
+        .select("query_id", id_col, "r2")
+    )
+    fused = (
+        r1.join(r2, ["query_id", id_col], "full_outer")
+        .select(
+            "query_id",
+            id_col,
+            (
+                F.coalesce(
+                    F.round(F.lit(1e6) / (F.lit(rrf_k) + F.col("r1"))).cast(
+                        "long"
+                    ),
+                    F.lit(0).cast("long"),
+                )
+                + F.coalesce(
+                    F.round(F.lit(1e6) / (F.lit(rrf_k) + F.col("r2"))).cast(
+                        "long"
+                    ),
+                    F.lit(0).cast("long"),
+                )
+            ).alias("s"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            id_col,
+            F.round(F.col("s") / F.lit(1e6), 6).alias("rrf"),
+        )
+    )

@@ -494,3 +494,60 @@ def dsir_logweights(
             ).alias("dsir_logweight"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window token chunking — the context-window preparation
+    step every LM training / RAG-indexing pipeline runs: each document
+    becomes ceil-strided windows of ``chunk_size`` tokens advancing by
+    ``stride`` (overlap = chunk_size - stride), final partial window
+    kept. Zero-token documents produce no chunks.
+
+    Returns (id, chunk_id, n_tok, chunk_text). Purely per-row array
+    arithmetic inside the scan (transform over a sequence + slice) —
+    no shuffle at all until the caller aggregates; output row count is
+    corpus-linear (~len/stride rows per doc).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: t != "",
+    )
+    base = df.select(F.col(id_col), toks.alias("_t")).withColumn(
+        "_n",
+        F.when(F.size("_t") == 0, F.lit(0)).otherwise(
+            1
+            + F.greatest(
+                F.ceil((F.size("_t") - chunk_size) / F.lit(float(stride))),
+                F.lit(0),
+            )
+        ),
+    )
+    chunks = F.when(
+        F.col("_n") > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.col("_n") - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_id"),
+                F.least(
+                    F.lit(chunk_size), F.size("_t") - i * stride
+                ).alias("n_tok"),
+                F.array_join(
+                    F.slice(F.col("_t"), i * stride + 1, chunk_size), " "
+                ).alias("chunk_text"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<chunk_id:int,n_tok:int,chunk_text:string>>"))
+    return base.select(
+        F.col(id_col), F.explode(chunks).alias("_c")
+    ).select(
+        id_col,
+        F.col("_c.chunk_id").alias("chunk_id"),
+        F.col("_c.n_tok").alias("n_tok"),
+        F.col("_c.chunk_text").alias("chunk_text"),
+    )

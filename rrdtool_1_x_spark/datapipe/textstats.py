@@ -681,3 +681,87 @@ def hashed_nb_classify(
             .alias("correct"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    k: int = 30,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` adjacent-bigram collocations by pointwise mutual
+    information (Church & Hanks 1990): PMI = ln(c_ab * T / (c_a * c_b))
+    over corpus-wide counts, with a ``min_count`` support floor so rare
+    accidental pairs don't dominate (the classic PMI failure mode).
+
+    The PMI is 1e-6-quantized from an all-BIGINT ratio, so ranking is
+    bit-deterministic; ties break on the bigram string. Returns
+    (bigram, pair_cnt, left_cnt, right_cnt, pmi).
+
+    Shape at scale: one bigram explode + one token explode, both
+    map-side-combined into vocabulary-sized count frames; the two
+    unigram joins key on the vocabulary frames (never the corpus), and
+    the top-k is an orderBy().limit() partial top-k, not a global sort.
+    """
+    toks = F.filter(_tokens(F.col(text_col)), lambda t: t != "")
+    base = df.select(F.col(id_col), toks.alias("_t"))
+    bi = (
+        base.select(
+            F.explode(
+                F.when(
+                    F.size("_t") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("_t") - 1),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at(F.col("_t"), i),
+                            F.element_at(F.col("_t"), i + 1),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= min_count)
+    )
+    uni = (
+        base.select(F.explode("_t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = uni.agg(F.sum("cnt").alias("t_tok"))
+    scored = (
+        bi.withColumn("_l", F.split(F.col("bigram"), " ").getItem(0))
+        .withColumn("_r", F.split(F.col("bigram"), " ").getItem(1))
+        .join(uni.select(F.col("term").alias("_l"), F.col("cnt").alias("left_cnt")), "_l")
+        .join(uni.select(F.col("term").alias("_r"), F.col("cnt").alias("right_cnt")), "_r")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bigram",
+            "pair_cnt",
+            "left_cnt",
+            "right_cnt",
+            F.round(
+                F.log(
+                    (F.col("pair_cnt") * F.col("t_tok")).cast("double")
+                    / (F.col("left_cnt") * F.col("right_cnt"))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("_p"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("_p").desc(), F.col("bigram").asc())
+        .limit(k)
+        .select(
+            "bigram",
+            "pair_cnt",
+            "left_cnt",
+            "right_cnt",
+            F.round(F.col("_p") / 1e6, 6).alias("pmi"),
+        )
+    )
