@@ -70,8 +70,14 @@ class TimeParseError(ValueError):
     pass
 
 
+_ASCII_DIGITS = frozenset("0123456789")
+_ASCII_ALPHA = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+)
+
+
 def _atoi(s: str) -> int:
-    m = re.match(r"\d+", s)
+    m = re.match(r"[0-9]+", s)
     return int(m.group(0)) if m else 0
 
 
@@ -105,14 +111,17 @@ class _Scanner:
             self.i, self.kind, self.text = i, "EOF", ""
             return self.kind
         c = s[i]
-        if c.isdigit():
+        # ASCII-only classes: C's isdigit/isalpha in the C locale. Python's
+        # str.isdigit also accepts characters int() rejects (e.g. '²'),
+        # which must fall through to the junk branch instead.
+        if c in _ASCII_DIGITS:
             j = i
-            while j < n and s[j].isdigit():
+            while j < n and s[j] in _ASCII_DIGITS:
                 j += 1
             self.i, self.kind, self.text = j, "NUM", s[i:j]
-        elif c.isalpha():
+        elif c in _ASCII_ALPHA:
             j = i
-            while j < n and s[j].isalpha():
+            while j < n and s[j] in _ASCII_ALPHA:
                 j += 1
             self.i, self.kind, self.text = j, "WORD", s[i:j].lower()
         elif c in ":./+-":
