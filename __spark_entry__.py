@@ -2867,6 +2867,30 @@ def q_url_dedup(spark, sf_dir):
     )
 
 
+def q_bm25_index_topup(spark, sf_dir):
+    """Persisted + incremental BM25 index (datapipe.retrieval.
+    write_bm25_index / append_bm25_index / query_bm25_index): index the
+    low-id half, append the high-id half, answer the derived queries
+    straight off the index (bucket-pruned postings scan, no corpus
+    access). df counts and length sums merge additively, so the result
+    must equal one-shot bm25_topk — the oracle is bm25_topk's SQL
+    verbatim."""
+    import tempfile
+
+    from rrdtool_1_x_spark.datapipe.retrieval import (
+        append_bm25_index,
+        query_bm25_index,
+        write_bm25_index,
+    )
+
+    d = _docs(spark, sf_dir)
+    cut = int(d.agg(F.max("doc_id")).first()[0]) // 2
+    path = tempfile.mkdtemp(prefix="bm25idx_")
+    write_bm25_index(d.filter(F.col("doc_id") <= cut), path)
+    append_bm25_index(d.filter(F.col("doc_id") > cut), path)
+    return query_bm25_index(spark, path).orderBy("query_id", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness sweep windows the FIRST
     # 50 keys. Entries with no driver CORRECTNESS row yet (never checked,
@@ -2881,6 +2905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "text_norm": q_text_norm,
         "url_dedup": q_url_dedup,
+        "bm25_index_topup": q_bm25_index_topup,
         "ivfpq_residual_topk": q_ivfpq_residual_topk,
         "residual_recall": q_residual_recall,
         "nb_classify": q_nb_classify,
@@ -3301,6 +3326,11 @@ rk AS (SELECT query_id, doc_id, s,
        FROM bm)
 SELECT query_id, rank, doc_id, round(s / 1e12, 6) AS bm25
 FROM rk WHERE rank <= 10 ORDER BY query_id, rank"""
+
+    # index-then-append-then-query must equal the one-shot ranking
+    # (df counts and length sums are associative), so the oracle is
+    # bm25_topk's SQL verbatim
+    sql["bm25_index_topup"] = sql["bm25_topk"]
 
     sql["rrf_fuse"] = _bm25_ctes + r""",
 ti AS (SELECT query_id, doc_id,

@@ -301,3 +301,208 @@ def rrf_fuse(
             F.round(F.col("s") / F.lit(1e6), 6).alias("rrf"),
         )
     )
+
+
+# ------------------------------------------------------------------
+# Persisted + incremental BM25 index — the fourth persisted index next
+# to the MinHash band, SimHash block, and line-dedup registries. The
+# Lucene-shaped layout: postings carry the per-doc length norm inline
+# (Lucene's "norms"), corpus statistics are a 1-row frame, the term
+# dictionary is vocabulary-sized.
+# ------------------------------------------------------------------
+
+_POSTINGS_BUCKETS = 64
+
+
+def _postings(df: DataFrame, id_col: str, text_col: str):
+    """(term, id, tf, dl) for one corpus/batch — dl denormalized onto
+    every posting row so query-time scoring never joins the corpus."""
+    tf, dfc, _ = _term_stats(df, id_col, text_col)
+    return tf, dfc
+
+
+def write_bm25_index(
+    df: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+) -> None:
+    """Persist BM25 state for append-only maintenance.
+
+    Layout: ``{path}/postings`` (term, id, tf, dl) partitioned by a
+    64-way term-hash bucket so a query prunes its scan to the buckets
+    holding its terms; ``{path}/terms`` (term, dfc) — the vocabulary-
+    sized dictionary; ``{path}/stats`` one row
+    (n_docs, n_docs_tok, sum_dl) — exact integers, so avgdl recomputed
+    at query time is bit-identical to the batch computation.
+
+    ``append_bm25_index`` then tokenizes ONLY new batches: an append to
+    a 100 TB-indexed corpus costs the batch explode, a vocabulary-sized
+    dictionary merge, and a parquet append — never a corpus rescan.
+    """
+    tf, dfc = _postings(df, id_col, text_col)
+    (
+        tf.withColumn(
+            "p_bucket", F.pmod(F.xxhash64("term"), F.lit(_POSTINGS_BUCKETS))
+        )
+        .write.mode("overwrite")
+        .partitionBy("p_bucket")
+        .parquet(f"{path}/postings")
+    )
+    dfc.write.mode("overwrite").parquet(f"{path}/terms")
+    dl = tf.select(id_col, "dl").distinct()
+    stats = df.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dl.agg(
+            F.count(F.lit(1)).alias("n_docs_tok"),
+            F.sum("dl").alias("sum_dl"),
+        )
+    )
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def append_bm25_index(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append a batch of NEW documents (append-only ids) to a
+    ``write_bm25_index`` index. Postings append as new parquet files in
+    their term buckets; the term dictionary and the 3-integer stats row
+    merge additively, so index-then-append equals one-shot indexing
+    exactly (df counts and length sums are associative)."""
+    spark = new_docs.sparkSession
+    tf, dfc = _postings(new_docs, id_col, text_col)
+    (
+        tf.withColumn(
+            "p_bucket", F.pmod(F.xxhash64("term"), F.lit(_POSTINGS_BUCKETS))
+        )
+        .write.mode("append")
+        .partitionBy("p_bucket")
+        .parquet(f"{path}/postings")
+    )
+    merged = (
+        spark.read.parquet(f"{path}/terms")
+        .unionByName(dfc)
+        .groupBy("term")
+        .agg(F.sum("dfc").alias("dfc"))
+        .localCheckpoint(eager=True)  # pinned before overwriting its input
+    )
+    merged.write.mode("overwrite").parquet(f"{path}/terms")
+    old = spark.read.parquet(f"{path}/stats").first()
+    dl = tf.select(id_col, "dl").distinct()
+    batch = (
+        new_docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(
+            dl.agg(
+                F.count(F.lit(1)).alias("n_docs_tok"),
+                F.sum("dl").alias("sum_dl"),
+            )
+        )
+        .first()
+    )
+    spark.createDataFrame(
+        [
+            (
+                old.n_docs + batch.n_docs,
+                old.n_docs_tok + (batch.n_docs_tok or 0),
+                old.sum_dl + (batch.sum_dl or 0),
+            )
+        ],
+        "n_docs long, n_docs_tok long, sum_dl long",
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def query_bm25_index(
+    spark,
+    path: str,
+    k: int = 10,
+    n_queries: int = 6,
+    terms_per_query: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-``k`` per derived query straight off a persisted index —
+    no corpus access. Identical integer scoring to :func:`bm25_topk`
+    (avgdl is recomputed from the exact integer stats, so the double is
+    bit-identical), hence the same oracle.
+
+    Scale shape: the query terms (a handful) resolve to their hash
+    buckets driver-side, and the postings scan prunes to those
+    partitions (``p_bucket IN (...)`` is partition pruning, not a
+    filter over 100 TB); the per-bucket scan then broadcast-joins the
+    query-term table.
+    """
+    terms = spark.read.parquet(f"{path}/terms")
+    q = derive_queries(terms, n_queries, terms_per_query)
+    # query-sized collect: the term list IS the query, a handful of rows
+    q_rows = q.collect()
+    buckets = sorted(
+        {
+            r["_b"]
+            for r in spark.createDataFrame(
+                [(t.term,) for t in q_rows], "term string"
+            )
+            .select(
+                F.pmod(F.xxhash64("term"), F.lit(_POSTINGS_BUCKETS)).alias(
+                    "_b"
+                )
+            )
+            .collect()
+        }
+    )
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [(r.query_id, r.term, r.dfc) for r in q_rows],
+            "query_id int, term string, dfc long",
+        )
+    )
+    st = spark.read.parquet(f"{path}/stats").first()
+    avgdl_df = spark.createDataFrame(
+        [(st.n_docs, float(st.sum_dl) / st.n_docs_tok)],
+        "n_docs long, avgdl double",
+    )
+    postings = spark.read.parquet(f"{path}/postings").filter(
+        F.col("p_bucket").isin(buckets)
+    )
+    scored = (
+        postings.join(qdf, "term")
+        .crossJoin(F.broadcast(avgdl_df))
+        .select(
+            "query_id",
+            F.col(id_col),
+            (
+                F.round(
+                    F.log(
+                        (F.col("n_docs") - F.col("dfc") + 0.5)
+                        / (F.col("dfc") + 0.5)
+                        + 1.0
+                    )
+                    * 1e6
+                ).cast("long")
+                * F.round(
+                    F.lit(1e6)
+                    * (F.col("tf") * _K1P1)
+                    / (
+                        F.col("tf")
+                        + _K1
+                        * (
+                            F.lit(_ONE_MINUS_B)
+                            + F.lit(_B) * F.col("dl") / F.col("avgdl")
+                        )
+                    )
+                ).cast("long")
+            ).alias("_w"),
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.sum("_w").alias("s"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            id_col,
+            F.round(F.col("s") / F.lit(1e12), 6).alias("bm25"),
+        )
+    )

@@ -181,3 +181,58 @@ def test_url_dedup_counts_repeat_urls_within_doc(spark):
     rows = [(7, "x https://a.io/p y https://a.io/p z")]
     out = url_canonical_dedup(_docs(spark, rows)).collect()
     assert out[0].n_docs == 1 and out[0].n_urls == 2
+
+
+# ------------------------------------------------- persisted BM25 index
+
+
+def test_bm25_index_multi_append_equals_oneshot(spark, tmp_path):
+    from rrdtool_1_x_spark.datapipe.retrieval import (
+        append_bm25_index,
+        bm25_topk,
+        query_bm25_index,
+        write_bm25_index,
+    )
+
+    rows = [(i, "w%d shared tail words here" % (i % 17)) for i in range(90)]
+    df = _docs(spark, rows)
+    path = str(tmp_path / "idx")
+    write_bm25_index(df.filter("doc_id < 30"), path)
+    append_bm25_index(df.filter("doc_id >= 30 and doc_id < 60"), path)
+    append_bm25_index(df.filter("doc_id >= 60"), path)
+    got = sorted(
+        (r.query_id, r.rank, r.doc_id, r.bm25)
+        for r in query_bm25_index(spark, path, k=5).collect()
+    )
+    want = sorted(
+        (r.query_id, r.rank, r.doc_id, r.bm25)
+        for r in bm25_topk(df, k=5).collect()
+    )
+    assert got == want
+
+
+def test_bm25_index_query_prunes_buckets(spark, tmp_path):
+    from rrdtool_1_x_spark.datapipe.retrieval import (
+        query_bm25_index,
+        write_bm25_index,
+    )
+
+    rows = [(i, "alpha beta gamma delta pad%d" % i) for i in range(40)]
+    path = str(tmp_path / "idx")
+    write_bm25_index(_docs(spark, rows), path)
+    out = query_bm25_index(spark, path, k=3, n_queries=2, terms_per_query=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the postings scan must carry the p_bucket partition filter
+    assert "p_bucket" in plan
+    assert out.count() > 0
+
+
+def test_bm25_index_stats_count_empty_docs(spark, tmp_path):
+    # empty docs raise n_docs (idf denominator) but not avgdl
+    from rrdtool_1_x_spark.datapipe.retrieval import write_bm25_index
+
+    rows = [(1, "a b"), (2, ""), (3, "a c")]
+    path = str(tmp_path / "idx")
+    write_bm25_index(_docs(spark, rows), path)
+    st = spark.read.parquet(path + "/stats").first()
+    assert st.n_docs == 3 and st.n_docs_tok == 2 and st.sum_dl == 4
