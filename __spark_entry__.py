@@ -2609,6 +2609,32 @@ def q_bigram_logprob(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_oov_rate(spark, sf_dir):
+    """Common-word coverage filter (datapipe.textstats.oov_rate): share
+    of token occurrences absent from the corpus's top-100 vocabulary —
+    the CCNet/fastText-prep junk signal. Vocabulary boundary tie-breaks
+    on the token string so the gate is deterministic."""
+    from rrdtool_1_x_spark.datapipe.textstats import oov_rate
+
+    return oov_rate(_docs(spark, sf_dir), vocab_size=100).orderBy("doc_id")
+
+
+def q_kn_bigram(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM score (datapipe.textstats
+    .kneser_ney_bigram; Kneser & Ney 1995): absolute discount D=0.75 with
+    the continuation-count backoff distribution — the proper-smoothing
+    rung above the fixed-lambda `bigram_logprob`; integer-quantized for
+    order-independence."""
+    from rrdtool_1_x_spark.datapipe.textstats import kneser_ney_bigram
+
+    out = kneser_ney_bigram(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.round("kn_logprob", 6).alias("kn_logprob"),
+        "bigram_cnt",
+    ).orderBy("doc_id")
+
+
 def q_text_semantic_dedup(spark, sf_dir):
     """Composition gate: hashed_embedding -> semantic_deduplicate — the
     full no-model semantic-dedup pipeline over raw TEXT (featurize with
@@ -2899,6 +2925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # block at the top, never appended at the end.
     qs = {
         # -- priority: new this round (no driver row yet) ---------------
+        "oov_rate": q_oov_rate,
+        "kn_bigram": q_kn_bigram,
         "bm25_topk": q_bm25_topk,
         "rrf_fuse": q_rrf_fuse,
         "pmi_topk": q_pmi_topk,
@@ -5252,6 +5280,49 @@ bsc AS (SELECT doc_id,
 WITH {_bg_ctes}
 SELECT doc_id, score AS bigram_logprob, bigram_cnt
 FROM bsc ORDER BY doc_id"""
+
+    # top-100 common-word coverage: vocabulary boundary tie-breaks on the
+    # token string (same rule as the Spark orderBy), LEFT-join membership
+    sql["oov_rate"] = r"""
+WITH t AS (SELECT doc_id,
+  list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')
+    AS toks
+  FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+dt AS (SELECT doc_id, tok, count(*) AS m FROM e GROUP BY 1, 2),
+vc AS (SELECT tok, sum(m) AS cnt FROM dt GROUP BY 1),
+vocab AS (SELECT tok AS vtok FROM vc ORDER BY cnt DESC, tok ASC LIMIT 100),
+per AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS token_cnt,
+          CAST(sum(CASE WHEN vtok IS NULL THEN m ELSE 0 END) AS BIGINT)
+            AS oov_cnt
+        FROM dt LEFT JOIN vocab ON vtok = tok GROUP BY doc_id)
+SELECT doc_id, token_cnt, oov_cnt,
+  CASE WHEN token_cnt > 0 THEN round(oov_cnt::DOUBLE / token_cnt, 6) END
+    AS oov_rate
+FROM per ORDER BY doc_id"""
+
+    # interpolated Kneser-Ney (D=0.75, exact in binary): continuation
+    # counts from the bigram-type frame, token logprobs integer-quantized
+    sql["kn_bigram"] = r"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+')
+             AS toks FROM documents),
+bg AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+              unnest(toks[2:len(toks)]) AS w2 FROM t),
+db AS (SELECT doc_id, w1, w2, count(*) AS m FROM bg GROUP BY 1, 2, 3),
+bc AS (SELECT w1, w2, sum(m) AS cb FROM db GROUP BY 1, 2),
+lft AS (SELECT w1, sum(cb) AS c1, count(*) AS fanout FROM bc GROUP BY 1),
+rgt AS (SELECT w2, count(*) AS fanin FROM bc GROUP BY 1),
+bt AS (SELECT count(*) AS btypes FROM bc),
+sc AS (SELECT doc_id,
+         round(sum(m * CAST(round(ln(greatest(cb - 0.75, 0) / c1
+                                     + (0.75 * fanout / c1)
+                                       * (fanin::DOUBLE / btypes)) * 1e6)
+                            AS BIGINT)) / sum(m) / 1e6, 6) AS kn_logprob,
+         CAST(sum(m) AS BIGINT) AS bigram_cnt
+       FROM db JOIN bc USING (w1, w2) JOIN lft USING (w1)
+               JOIN rgt USING (w2) CROSS JOIN bt
+       GROUP BY doc_id)
+SELECT doc_id, kn_logprob, bigram_cnt FROM sc ORDER BY doc_id"""
 
     # CCNet head/middle/tail terciles over the same score frame: two
     # interpolated-percentile scalars, broadcast compare

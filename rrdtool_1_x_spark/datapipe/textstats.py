@@ -765,3 +765,133 @@ def pmi_collocations(
             F.round(F.col("_p") / 1e6, 6).alias("pmi"),
         )
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab_size: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Out-of-vocabulary rate against the corpus's own top-``vocab_size``
+    words — the CCNet / fastText-prep "common-word coverage" filter: a
+    document whose tokens are mostly absent from the frequent vocabulary
+    is boilerplate, non-linguistic noise, or the wrong language for the
+    corpus. Emits (doc, token_cnt, oov_cnt, oov_rate); the drop threshold
+    is the caller's policy.
+
+    The vocabulary boundary is deterministic: ties at rank ``vocab_size``
+    break on the token string, so the same corpus always yields the same
+    vocabulary (a value-hash gate cannot tolerate a frequency tie picking
+    different words per run).
+
+    Shape at scale: one word-count aggregation (map-side combinable), a
+    vocab-sized ``limit`` that the optimizer keeps broadcast-sized, and a
+    broadcast left join of per-(doc, token) multiplicities against it —
+    the corpus never shuffles on a corpus-wide key, so skew is bounded by
+    document length.
+    """
+    toks = F.filter(_tokens(F.col(text_col)), lambda t: t != "")
+    doc_tok = (
+        df.select(F.col(id_col), F.explode(toks).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    vocab = (
+        doc_tok.groupBy("tok")
+        .agg(F.sum("m").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("_iv"))
+    )
+    joined = doc_tok.join(F.broadcast(vocab), "tok", "left")
+    out = joined.groupBy(id_col).agg(
+        F.sum("m").alias("token_cnt"),
+        F.sum(F.when(F.col("_iv").isNull(), F.col("m")).otherwise(F.lit(0))).alias(
+            "oov_cnt"
+        ),
+    )
+    return out.select(
+        id_col,
+        "token_cnt",
+        "oov_cnt",
+        F.when(
+            F.col("token_cnt") > 0,
+            F.round(F.col("oov_cnt").cast("double") / F.col("token_cnt"), 6),
+        ).alias("oov_rate"),
+    )
+
+
+def kneser_ney_bigram(
+    df: DataFrame,
+    discount: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quantize: int | None = 6,
+) -> DataFrame:
+    """Per-document mean bigram log-probability under INTERPOLATED
+    Kneser-Ney smoothing (Kneser & Ney 1995; Chen & Goodman 1999 eq. 4.26)
+    trained on the corpus's own counts — the proper-smoothing rung above
+    the fixed-lambda interpolation of ``bigram_logprob`` and the exact
+    2-gram seed of the KenLM scorer CCNet filters with:
+
+        P(w2|w1) = max(c(w1 w2) - D, 0) / c(w1 ·)
+                   + (D · N1+(w1 ·) / c(w1 ·)) · N1+(· w2) / B
+
+    where c(w1 ·) is w1's left-continuation count, N1+(w1 ·) the distinct
+    continuations of w1, N1+(· w2) the distinct left-contexts of w2, and
+    B the corpus bigram-type count (the continuation distribution that
+    makes KN famously robust to "San Francisco" artifacts). ``D=0.75`` is
+    exact in binary so the arithmetic is engine-portable; token logprobs
+    are 10^-quantize integer-snapped so the per-doc weighted mean is
+    order-independent exact integer arithmetic.
+
+    Shape at scale: identical to ``bigram_logprob`` — per-document bigram
+    construction inside the scan, (doc, bigram) multiplicities, then four
+    vocabulary-sized count frames (bigram counts, left-continuation,
+    fan-out, fan-in) joined back on vocabulary keys plus one broadcast
+    scalar (B). Every aggregation is map-side combinable; no corpus-wide
+    hot key ever forms.
+    """
+    toks = _tokens(F.col(text_col))
+    pairs = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        lambda x: x["w2"].isNotNull(),
+    )
+    bg = df.select(F.col(id_col), F.explode(pairs).alias("_p")).select(
+        id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
+    )
+    db = bg.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("m"))
+    bc = db.groupBy("w1", "w2").agg(F.sum("m").alias("cb"))
+    left = bc.groupBy("w1").agg(
+        F.sum("cb").alias("c1"), F.count(F.lit(1)).alias("fanout")
+    )
+    right = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("fanin"))
+    btypes = bc.agg(F.count(F.lit(1)).alias("btypes"))
+    joined = (
+        db.join(bc, ["w1", "w2"])
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(btypes))
+    )
+    d = F.lit(discount)
+    prob = (
+        F.greatest(F.col("cb") - d, F.lit(0.0)) / F.col("c1")
+        + (d * F.col("fanout") / F.col("c1"))
+        * (F.col("fanin").cast("double") / F.col("btypes"))
+    )
+    lp = F.log(prob)
+    if quantize is not None:
+        scale = float(10 ** quantize)
+        lpq = F.round(lp * scale).cast("long")
+        mean = (F.sum(F.col("m") * lpq) / F.sum("m")) / F.lit(scale)
+    else:
+        mean = F.sum(F.col("m") * lp) / F.sum("m")
+    return joined.groupBy(id_col).agg(
+        mean.alias("kn_logprob"),
+        F.sum("m").alias("bigram_cnt"),
+    )

@@ -965,6 +965,66 @@ def test_bigram_logprob_short_doc_edges(spark):
     assert out[5]["bigram_cnt"] == 1
 
 
+def test_oov_rate_vocab_boundary(spark):
+    """Top-V vocabulary with deterministic tie-break on the token string;
+    OOV counts occurrences (not distinct tokens); empty/NULL-text docs
+    carry no tokens and are absent from the output."""
+    from rrdtool_1_x_spark.datapipe.textstats import oov_rate
+
+    df = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a b b d"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    # counts: a=3 b=3 c=1 d=1; top-2 = {a, b}
+    out = {r["doc_id"]: r for r in oov_rate(df, vocab_size=2).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["token_cnt"] == 4 and out[1]["oov_cnt"] == 1
+    assert out[1]["oov_rate"] == 0.25 and out[2]["oov_rate"] == 0.25
+    # V=3: c and d tie at count 1 — the token-string tie-break admits c
+    out3 = {r["doc_id"]: r for r in oov_rate(df, vocab_size=3).collect()}
+    assert out3[1]["oov_cnt"] == 0 and out3[2]["oov_cnt"] == 1
+
+
+def test_kneser_ney_hand_computed(spark):
+    """Interpolated KN on a 2-doc corpus, hand-computed — including the
+    exact per-w1 normalization identity the formula guarantees."""
+    import math
+
+    from rrdtool_1_x_spark.datapipe.textstats import kneser_ney_bigram
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    # bc: (a,b)=3 (b,a)=1 (b,c)=1; B=3
+    # c(a ·)=3 fanout(a)=1; c(b ·)=2 fanout(b)=2; fanin(b)=fanin(a)=fanin(c)=1
+    p_ab = max(3 - 0.75, 0) / 3 + (0.75 * 1 / 3) * (1 / 3)
+    p_ba = max(1 - 0.75, 0) / 2 + (0.75 * 2 / 2) * (1 / 3)
+    p_bc = p_ba
+    q = lambda p: round(math.log(p) * 1e6) / 1e6
+    out = {r["doc_id"]: r for r in kneser_ney_bigram(df).collect()}
+    assert out[1]["bigram_cnt"] == 3 and out[2]["bigram_cnt"] == 2
+    assert abs(out[1]["kn_logprob"] - (2 * q(p_ab) + q(p_ba)) / 3) < 1e-9
+    assert abs(out[2]["kn_logprob"] - (q(p_ab) + q(p_bc)) / 2) < 1e-9
+    # discounted mass + redistributed continuation mass sum to 1 per w1:
+    # observed sum + D*fanout/c1 * (unobserved continuation share)
+    assert p_ab + (0.75 * 1 / 3) * (2 / 3) == pytest.approx(1.0)
+    assert p_ba + p_bc + (0.75 * 2 / 2) * (1 / 3) == pytest.approx(1.0)
+
+
+def test_kneser_ney_short_doc_edges(spark):
+    """Sub-2-token docs (incl. empty/NULL) produce no bigram rows — same
+    zip_with/slice edge rule as bigram_logprob."""
+    from rrdtool_1_x_spark.datapipe.textstats import kneser_ney_bigram
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, None), (4, "two tokens")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in kneser_ney_bigram(df).collect()}
+    assert set(out) == {4}
+    assert out[4]["bigram_cnt"] == 1
+
+
 def test_remove_spans_token_conservation(spark, docs):
     """On the real corpus: kept + removed == total tokens for every doc
     (the coverage mask never double-counts overlapping windows)."""
