@@ -2609,6 +2609,55 @@ def q_bigram_logprob(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_edit_near_dup(spark, sf_dir):
+    """Edit-distance near-duplicate pairs (datapipe.dedup
+    .edit_near_duplicates): prefix-blocked candidates (24 chars, 256-cap)
+    then Levenshtein within a 20%-of-length budget, over the corpus
+    deterministically enriched with suffix-variant copies — the
+    character-exact verifier the shingle-based dedup tier can't express."""
+    from rrdtool_1_x_spark.datapipe.dedup import edit_near_duplicates
+
+    d = _docs(spark, sf_dir)
+    variants = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" v"), (F.col("doc_id") % 3).cast("string")
+        ).alias("text"),
+    )
+    enriched = d.select("doc_id", "text").unionByName(variants)
+    return edit_near_duplicates(enriched).orderBy("id_a", "id_b")
+
+
+def q_minhash_decontam(spark, sf_dir):
+    """Fuzzy decontamination (datapipe.decontam
+    .minhash_contamination_pairs): MinHash-estimated Jaccard between the
+    corpus and a truncated-copy benchmark (every 17th doc cut to its
+    first 2/3 of tokens — the paraphrased/partial eval-copy shape exact
+    n-gram overlap misses); LSH band candidates, signature-agreement
+    estimate, flag at >= 0.5."""
+    from rrdtool_1_x_spark.datapipe.decontam import minhash_contamination_pairs
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    pre = d.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("bench_id"), toks.alias("_tk")
+    )
+    bench = pre.select(
+        "bench_id",
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("_tk"),
+                F.lit(1),
+                F.greatest(
+                    F.floor(F.size("_tk") * 2 / 3).cast("int"), F.lit(1)
+                ),
+            ),
+        ).alias("text"),
+    )
+    return minhash_contamination_pairs(d, bench).orderBy("doc_id", "bench_id")
+
+
 def q_oov_rate(spark, sf_dir):
     """Common-word coverage filter (datapipe.textstats.oov_rate): share
     of token occurrences absent from the corpus's top-100 vocabulary —
@@ -2927,6 +2976,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- priority: new this round (no driver row yet) ---------------
         "oov_rate": q_oov_rate,
         "kn_bigram": q_kn_bigram,
+        "edit_near_dup": q_edit_near_dup,
+        "minhash_decontam": q_minhash_decontam,
         "bm25_topk": q_bm25_topk,
         "rrf_fuse": q_rrf_fuse,
         "pmi_topk": q_pmi_topk,
@@ -5323,6 +5374,81 @@ sc AS (SELECT doc_id,
                JOIN rgt USING (w2) CROSS JOIN bt
        GROUP BY doc_id)
 SELECT doc_id, kn_logprob, bigram_cnt FROM sc ORDER BY doc_id"""
+
+    # prefix-blocked Levenshtein near-dup over the suffix-variant-enriched
+    # corpus: 24-char block key, 256 block cap, 20%-of-length edit budget
+    sql["edit_near_dup"] = r"""
+WITH enr AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' v' || CAST(doc_id % 3 AS VARCHAR)
+  FROM documents WHERE doc_id % 5 = 0),
+base AS (SELECT doc_id AS id, lower(trim(text)) AS t,
+                substr(lower(trim(text)), 1, 24) AS k FROM enr),
+keep AS (SELECT k FROM base GROUP BY k HAVING count(*) <= 256),
+b2 AS (SELECT base.* FROM base JOIN keep USING (k)),
+cand AS (SELECT x.id AS id_a, y.id AS id_b, x.t AS ta, y.t AS tb
+         FROM b2 x JOIN b2 y ON x.k = y.k AND x.id < y.id),
+sc AS (SELECT id_a, id_b, levenshtein(ta, tb) AS lev,
+              greatest(len(ta), len(tb)) AS mx FROM cand)
+SELECT id_a, id_b, CAST(lev AS BIGINT) AS lev,
+       round(lev::DOUBLE / mx, 6) AS edit_ratio
+FROM sc WHERE lev <= 0.2 * mx ORDER BY id_a, id_b"""
+
+    # MinHash fuzzy decontamination: same mh{i}:-seeded signatures and
+    # 4x2 banding as the dedup tier, benchmark = every-17th doc truncated
+    # to 2/3 of its tokens, estimate = matching components / 8
+    mc_sigs = ",\n    ".join(
+        f"list_aggregate(list_transform(shingles, s -> md5('mh{i}:' || s)),"
+        f" 'min') AS sig{i}"
+        for i in range(8)
+    )
+    mc_bands = ", ".join(
+        f"md5(sig{2 * b} || '|' || sig{2 * b + 1}) AS b{b}" for b in range(4)
+    )
+    mc_bnames = ", ".join(f"b{b}" for b in range(4))
+    mc_match = " + ".join(
+        f"CASE WHEN d.sig{i} = e.sig{i} THEN 1 ELSE 0 END" for i in range(8)
+    )
+    mc_shingle = """
+          CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks) - 1),
+                                   i -> array_to_string(toks[i:i+2], ' '))
+               ELSE [array_to_string(toks, ' ')] END AS shingles"""
+    sql["minhash_decontam"] = f"""
+WITH bsrc AS (
+  SELECT doc_id AS bench_id,
+         array_to_string(toks[1:greatest((2*len(toks))//3, 1)], ' ') AS text
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+')
+          AS toks
+        FROM documents WHERE doc_id % 17 = 0)),
+dt AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+')
+         AS toks FROM documents),
+bt AS (SELECT bench_id, regexp_split_to_array(lower(trim(text)), '\\s+')
+         AS toks FROM bsrc),
+dsh AS (SELECT doc_id, {mc_shingle} FROM dt),
+bsh AS (SELECT bench_id, {mc_shingle} FROM bt),
+dsig AS (SELECT doc_id, {mc_sigs} FROM dsh),
+bsig AS (SELECT bench_id, {mc_sigs} FROM bsh),
+dband AS (SELECT doc_id, bi, bh FROM
+          (SELECT doc_id, {mc_bands} FROM dsig)
+          UNPIVOT (bh FOR bi IN ({mc_bnames}))),
+bband AS (SELECT bench_id, bi, bh FROM
+          (SELECT bench_id, {mc_bands} FROM bsig)
+          UNPIVOT (bh FOR bi IN ({mc_bnames}))),
+keep AS (SELECT bi, bh FROM
+         (SELECT bi, bh FROM dband UNION ALL SELECT bi, bh FROM bband)
+         GROUP BY 1, 2 HAVING count(*) <= 512),
+cand AS (SELECT DISTINCT x.doc_id, y.bench_id
+         FROM (SELECT dband.* FROM dband JOIN keep USING (bi, bh)) x
+         JOIN (SELECT bband.* FROM bband JOIN keep USING (bi, bh)) y
+           ON x.bi = y.bi AND x.bh = y.bh),
+est AS (SELECT cand.doc_id, cand.bench_id, ({mc_match}) AS matches
+        FROM cand JOIN dsig d ON d.doc_id = cand.doc_id
+                  JOIN bsig e ON e.bench_id = cand.bench_id)
+SELECT doc_id, bench_id, CAST(matches AS BIGINT) AS matches,
+       round(matches::DOUBLE / 8, 6) AS est_jaccard
+FROM est WHERE matches >= 4 ORDER BY doc_id, bench_id"""
 
     # CCNet head/middle/tail terciles over the same score frame: two
     # interpolated-percentile scalars, broadcast compare

@@ -334,3 +334,129 @@ def bloom_contamination_pairs(
             "overlap_frac",
         )
     )
+
+
+def minhash_contamination_pairs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    doc_id_col: str = "doc_id",
+    doc_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_len: int = 3,
+    est_threshold: float = 0.5,
+    max_bucket_size: int | None = 512,
+) -> DataFrame:
+    """FUZZY decontamination: MinHash-estimated Jaccard between training
+    documents and benchmark items — the scalable companion to the exact
+    n-gram rule of ``contamination_pairs``. Exact overlap misses the
+    paraphrased/truncated/reformatted eval copy (the Llama/Dolma reports
+    both run a fuzzy pass for exactly this); the MinHash estimate
+    ``matching signature components / num_hashes`` is an unbiased Jaccard
+    estimator that needs only the two signature frames, never a shingle
+    intersection.
+
+    Returns (doc_id, bench_id, matches, est_jaccard) for candidate pairs
+    with estimate >= ``est_threshold``; candidates come from LSH band
+    buckets shared ACROSS the two frames, so the corpus pairs only
+    against benchmark items it plausibly overlaps.
+
+    Shape at scale: signatures are map-only per side (array_min folds
+    inside the scan); banding explodes ``bands`` rows per document; the
+    candidate join keys on (band, bucket) where the benchmark side is
+    eval-sized — broadcastable — and the hot-bucket cap (counted over the
+    UNION of both sides, same 512 rule as the dedup tier) bounds any
+    boilerplate bucket before the join. The estimate then joins the two
+    signature frames on the candidate pairs only — pair-count-sized, not
+    corpus-sized. Run ``exact_dedup`` first if the corpus carries exact
+    copies (same representative rule as the near-dup tier).
+    """
+    from .dedup import minhash_signatures
+
+    rows_per_band = num_hashes // bands
+    ds = minhash_signatures(docs, doc_id_col, doc_text_col, num_hashes, shingle_len)
+    bs = minhash_signatures(
+        benchmark, bench_id_col, bench_text_col, num_hashes, shingle_len
+    )
+
+    def _bands(sigs: DataFrame, id_col: str) -> DataFrame:
+        structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"sig{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        ).cast("binary")
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+        )
+        return (
+            sigs.select(F.col(id_col), structs.alias("_ba"))
+            .select(id_col, F.explode("_ba").alias("_bb"))
+            .select(id_col, "_bb.band_idx", "_bb.bucket")
+        )
+
+    db = _bands(ds, doc_id_col)
+    bb = _bands(bs, bench_id_col)
+    if max_bucket_size is not None:
+        keep = (
+            db.select("band_idx", "bucket")
+            .unionAll(bb.select("band_idx", "bucket"))
+            .groupBy("band_idx", "bucket")
+            .count()
+            .filter(F.col("count") <= max_bucket_size)
+            .select("band_idx", "bucket")
+        )
+        db = db.join(keep, ["band_idx", "bucket"], "left_semi")
+        bb = bb.join(keep, ["band_idx", "bucket"], "left_semi")
+    cand = (
+        db.join(F.broadcast(bb), ["band_idx", "bucket"])
+        .select(doc_id_col, bench_id_col)
+        .distinct()
+    )
+    matches = sum(
+        F.when(F.col(f"_d{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    est = (
+        cand.join(
+            ds.select(
+                F.col(doc_id_col),
+                *[F.col(f"sig{i}").alias(f"_d{i}") for i in range(num_hashes)],
+            ),
+            doc_id_col,
+        )
+        .join(
+            F.broadcast(
+                bs.select(
+                    F.col(bench_id_col),
+                    *[F.col(f"sig{i}").alias(f"_b{i}") for i in range(num_hashes)],
+                )
+            ),
+            bench_id_col,
+        )
+        .select(
+            doc_id_col,
+            bench_id_col,
+            matches.cast("long").alias("matches"),
+        )
+    )
+    return est.filter(
+        F.col("matches") >= F.lit(est_threshold) * num_hashes
+    ).select(
+        doc_id_col,
+        bench_id_col,
+        "matches",
+        F.round(F.col("matches").cast("double") / num_hashes, 6).alias(
+            "est_jaccard"
+        ),
+    )

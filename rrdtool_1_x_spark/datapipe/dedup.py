@@ -1050,3 +1050,74 @@ def best_quality_representatives(
             ),
         )
     )
+
+
+def edit_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_ratio: float = 0.2,
+    prefix_len: int = 24,
+    block_cap: int = 256,
+    threshold_cap: int | None = None,
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs: prefix-blocked candidates, then
+    Levenshtein with a length-proportional budget — the character-exact
+    verifier of the dedup ladder (MinHash/SimHash see token/term overlap;
+    only edit distance catches the one-character-tweak template family
+    that shares every shingle). A pair survives when
+
+        levenshtein(a, b) <= floor(max_ratio * max(len(a), len(b)))
+
+    Emits (id_a, id_b, lev, edit_ratio).
+
+    Blocking: candidates share the first ``prefix_len`` characters of the
+    lower/trim-normalized text (template near-dups keep their head; a
+    diverging head means an edit budget the ratio test would reject
+    anyway for short prefixes of long docs). Blocks larger than
+    ``block_cap`` are dropped whole — same skew rule as the MinHash
+    bucket cap: a boilerplate prefix shared by millions of docs would
+    otherwise form an O(k²) pair explosion on one shuffle key. At
+    production scale this operator is the RERANK stage behind
+    ``signature_near_duplicates`` candidates; prefix blocking is the
+    self-contained deterministic surface.
+
+    Cost model: Levenshtein is O(len_a · len_b) per pair. The JVM builtin
+    accepts a FOLDABLE threshold that switches to the band-limited dynamic
+    program (O(max_len · threshold) and earliest exit for rejected pairs)
+    — but only as a literal int, so pass ``threshold_cap`` = floor(
+    max_ratio · longest-doc-length) when the corpus length bound is known;
+    per-pair filtering below the cap is unchanged (above-cap distances
+    come back as -1 and are rejected, exactly what the ratio test would
+    have done).
+    """
+    norm = F.lower(F.trim(F.col(text_col)))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        norm.alias("_t"),
+        F.substring(norm, 1, prefix_len).alias("_k"),
+    )
+    keep = (
+        base.groupBy("_k").count().filter(F.col("count") <= block_cap).select("_k")
+    )
+    blocked = base.join(keep, "_k", "left_semi")
+    a = blocked.select(
+        F.col("_k"), F.col("_id").alias("id_a"), F.col("_t").alias("_ta")
+    )
+    b = blocked.select(
+        F.col("_k"), F.col("_id").alias("id_b"), F.col("_t").alias("_tb")
+    )
+    cand = a.join(b, "_k").filter(F.col("id_a") < F.col("id_b"))
+    lev = F.levenshtein(F.col("_ta"), F.col("_tb"), threshold_cap)
+    scored = cand.select(
+        "id_a",
+        "id_b",
+        lev.alias("lev"),
+        F.greatest(F.length("_ta"), F.length("_tb")).alias("_mx"),
+    ).filter((F.col("lev") >= 0) & (F.col("lev") <= F.lit(max_ratio) * F.col("_mx")))
+    return scored.select(
+        "id_a",
+        "id_b",
+        F.col("lev").cast("long").alias("lev"),
+        F.round(F.col("lev").cast("double") / F.col("_mx"), 6).alias("edit_ratio"),
+    )

@@ -1547,3 +1547,36 @@ def test_diverse_sample_covers_every_nonempty_cell(spark, emb):
         assert len(ranks) <= 3
     # coverage: cells holding >=3 vectors contribute the full quota
     assert sum(len(v) == 3 for v in by_cell.values()) >= len(by_cell) // 2
+
+
+def test_edit_near_duplicates_blocking_and_budget(spark):
+    """One-edit pairs sharing the 24-char prefix survive; a pair over the
+    20% edit budget is rejected; a pair differing inside the prefix never
+    blocks together; a block over the cap is dropped whole."""
+    from rrdtool_1_x_spark.datapipe.dedup import edit_near_duplicates
+
+    head = "alpha beta gamma delta epsilon"  # > 24 chars, shared prefix
+    rows = [
+        (1, head + " zeta eta theta iota kappa"),
+        (2, head + " zeta eta theta iota kappb"),  # 1 substitution
+        (3, head + " completely different tail words here now"),
+        (4, "Xlpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    out = edit_near_duplicates(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r for r in out}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)]["lev"] == 1
+    assert pairs[(1, 2)]["edit_ratio"] == round(1 / len(rows[0][1]), 6)
+    # same corpus, cap of 2: the 3-member block is dropped whole
+    capped = edit_near_duplicates(
+        spark.createDataFrame(rows, "doc_id long, text string"), block_cap=2
+    )
+    assert capped.count() == 0
+    # a global threshold_cap >= the budget changes nothing
+    fast = edit_near_duplicates(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        threshold_cap=20,
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in fast} == {(1, 2)}

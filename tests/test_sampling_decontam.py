@@ -503,3 +503,45 @@ def test_hll_estimate_branches_on_crafted_registers(spark):
     raw_s = e_raw(512, 24, 512)
     assert raw_s >= 2**32
     assert got["saturated"] == raw_s  # clamped: no NULL, no ln(<=0)
+
+
+def test_minhash_contamination_truncated_copy(spark):
+    """An exact benchmark copy estimates Jaccard 1.0 (all 8 components
+    agree); a 2/3-truncated copy still surfaces above the 0.5 flag; an
+    unrelated document never pairs."""
+    from rrdtool_1_x_spark.datapipe.decontam import minhash_contamination_pairs
+
+    body = " ".join(f"w{i} common run of tokens" for i in range(12))
+    other = " ".join(f"z{i} totally different words" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, body), (2, other)], "doc_id long, text string"
+    )
+    toks = body.split()
+    bench = spark.createDataFrame(
+        [(10, body), (11, " ".join(toks[: 2 * len(toks) // 3]))],
+        "bench_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["bench_id"]): r
+        for r in minhash_contamination_pairs(docs, bench).collect()
+    }
+    assert out[(1, 10)]["matches"] == 8 and out[(1, 10)]["est_jaccard"] == 1.0
+    assert (1, 11) in out and out[(1, 11)]["matches"] >= 4
+    assert all(d != 2 for d, _ in out)
+
+
+def test_minhash_contamination_bucket_cap(spark):
+    """A band bucket over the cap is dropped whole — the boilerplate
+    skew guard: identical docs flood one bucket and produce NO pairs
+    under a cap smaller than the flood."""
+    from rrdtool_1_x_spark.datapipe.decontam import minhash_contamination_pairs
+
+    text = "same boilerplate body repeated verbatim across the fleet"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(6)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(0, text)], "bench_id long, text string")
+    flooded = minhash_contamination_pairs(docs, bench, max_bucket_size=5)
+    assert flooded.count() == 0
+    ok = minhash_contamination_pairs(docs, bench, max_bucket_size=512)
+    assert ok.count() == 6
