@@ -2609,6 +2609,28 @@ def q_bigram_logprob(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_zorder_events(spark, sf_dir):
+    """Z-order (Morton) clustering key (datapipe.layout.zorder_expr):
+    bit-interleave of the bucketized (user_id, event-minute) pair — the
+    Delta/Iceberg Z-ORDER layout key that makes parquet min/max stats
+    prune 2-D range queries. First 50 events in z-order; all shift/mask
+    integer arithmetic, engine-portable."""
+    from rrdtool_1_x_spark.datapipe.layout import zorder_expr
+
+    ev = _events_us(spark, sf_dir)
+    z = zorder_expr("(user_id & 1023)", "((tus DIV 60000000) & 1023)", bits=10)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.expr("(tus DIV 60000000) & 1023").alias("minute_b"),
+            z.alias("zval"),
+        )
+        .orderBy("zval", "event_id")
+        .limit(50)
+    )
+
+
 def q_edit_near_dup(spark, sf_dir):
     """Edit-distance near-duplicate pairs (datapipe.dedup
     .edit_near_duplicates): prefix-blocked candidates (24 chars, 256-cap)
@@ -2978,6 +3000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_bigram": q_kn_bigram,
         "edit_near_dup": q_edit_near_dup,
         "minhash_decontam": q_minhash_decontam,
+        "zorder_events": q_zorder_events,
         "bm25_topk": q_bm25_topk,
         "rrf_fuse": q_rrf_fuse,
         "pmi_topk": q_pmi_topk,
@@ -5449,6 +5472,21 @@ est AS (SELECT cand.doc_id, cand.bench_id, ({mc_match}) AS matches
 SELECT doc_id, bench_id, CAST(matches AS BIGINT) AS matches,
        round(matches::DOUBLE / 8, 6) AS est_jaccard
 FROM est WHERE matches >= 4 ORDER BY doc_id, bench_id"""
+
+    # Morton interleave of (user_id & 1023, event-minute & 1023): the same
+    # shift/mask terms as layout.zorder_expr, first 50 events in z-order
+    zo_terms = " | ".join(
+        f"((((CAST(user_id & 1023 AS BIGINT)) >> {i}) & 1) << {2 * i})"
+        f" | ((((CAST((tus // 60000000) & 1023 AS BIGINT)) >> {i}) & 1)"
+        f" << {2 * i + 1})"
+        for i in range(10)
+    )
+    sql["zorder_events"] = f"""
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events),
+z AS (SELECT event_id, user_id, (tus // 60000000) & 1023 AS minute_b,
+             ({zo_terms}) AS zval FROM e)
+SELECT event_id, user_id, minute_b, CAST(zval AS BIGINT) AS zval
+FROM z ORDER BY zval, event_id LIMIT 50"""
 
     # CCNet head/middle/tail terciles over the same score frame: two
     # interpolated-percentile scalars, broadcast compare

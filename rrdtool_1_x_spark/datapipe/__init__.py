@@ -20,12 +20,19 @@ from rrdtool_1_x_spark.datapipe.clean import (  # noqa: F401
 )
 from rrdtool_1_x_spark.datapipe.dedup import (  # noqa: F401
     duplicated_ngram_spans,
+    edit_near_duplicates,
     exact_dedup,
     remove_duplicate_spans,
     minhash_signatures,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
     simhash,
+)
+from rrdtool_1_x_spark.datapipe.layout import (  # noqa: F401
+    rowgroup_hit_fraction,
+    write_zorder_layout,
+    zorder_bucket,
+    zorder_expr,
 )
 from rrdtool_1_x_spark.datapipe.similarity import (  # noqa: F401
     brute_force_topk,

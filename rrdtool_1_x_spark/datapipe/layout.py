@@ -1,0 +1,117 @@
+"""Z-order (Morton) data layout: multi-dimensional clustering so parquet
+min/max statistics prune 2-D range predicates.
+
+A 100 TB event store is physically ordered by ONE key (usually arrival
+time). A range query on (user, time) then reads every file: each file's
+user_id min/max spans the whole domain. Interleaving the bits of both
+bucketized dimensions into one sort key (Morton 1966; the layout behind
+Delta/Iceberg Z-ORDER clustering) makes every file a tight box in BOTH
+dimensions, so the scan planner's row-group/file statistics skip
+everything outside the query box — the same pruning mechanism the W7
+bucketed-store benchmark measures for the series dimension, generalized
+to two axes.
+
+All arithmetic is integer shift/mask built as ONE JVM-parsed expression
+string (py4j tree construction is the bottleneck for wide expressions,
+not evaluation), so the z-value computation lives inside whole-stage
+codegen; the layout write is a repartitionByRange on the z-value — one
+shuffle, globally range-partitioned output files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bucket_sql(col: str, lo: int, hi: int, bits: int = 16) -> str:
+    """SQL string bucketizing an integer column from [lo, hi] onto
+    [0, 2^bits) with exact BIGINT arithmetic (identical in any engine —
+    no float scaling): clamp, then (v - lo) * 2^bits DIV (hi - lo + 1)."""
+    return (
+        f"CAST((least(greatest(CAST({col} AS BIGINT), {lo}), {hi}) - {lo})"
+        f" * {1 << bits} DIV {hi - lo + 1} AS BIGINT)"
+    )
+
+
+def zorder_bucket(col: str, lo: int, hi: int, bits: int = 16) -> Column:
+    """Column form of :func:`bucket_sql`."""
+    return F.expr(bucket_sql(col, lo, hi, bits))
+
+
+def zorder_expr(x: str, y: str, bits: int = 16) -> Column:
+    """Morton interleave of two bucketized dimensions (x gets the even
+    bits, y the odd): sum over i of x_i<<2i | y_i<<(2i+1). ``x``/``y`` are
+    SQL expression strings already in [0, 2^bits); shift/mask builtins
+    only, so the whole key stays in codegen."""
+    terms = []
+    for i in range(bits):
+        terms.append(
+            f"shiftleft(shiftright(CAST({x} AS BIGINT), {i}) & 1, {2 * i})"
+        )
+        terms.append(
+            f"shiftleft(shiftright(CAST({y} AS BIGINT), {i}) & 1, {2 * i + 1})"
+        )
+    return F.expr(" | ".join(terms))
+
+
+def write_zorder_layout(
+    df: DataFrame,
+    path: str,
+    x: str,
+    y: str,
+    x_range: tuple[int, int],
+    y_range: tuple[int, int],
+    bits: int = 16,
+    num_files: int = 32,
+) -> None:
+    """Write ``df`` as ``num_files`` parquet files globally range-
+    partitioned by the z-value of (x, y) — each output file (and its row
+    groups) covers a tight rectangle in both dimensions, which is exactly
+    what file/row-group min/max pruning needs. The z column is dropped
+    before the write: the ORDER is the product; pruning reads the
+    original columns' statistics.
+
+    At cluster scale ``num_files`` is sized so each file lands near the
+    row-group/partition target (128 MiB); the one range shuffle replaces
+    the full-sort a global orderBy would need (range partitioning + local
+    sort gives the same file-level boxes without a total order)."""
+    z = zorder_expr(
+        bucket_sql(x, *x_range, bits), bucket_sql(y, *y_range, bits), bits
+    )
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def rowgroup_hit_fraction(path: str, box: dict[str, tuple]) -> float:
+    """Fraction of row groups whose min/max statistics intersect ``box``
+    (col -> (lo, hi)) — the physical pruning measurement: a scan with
+    those predicates must read exactly the intersecting row groups. Pure
+    parquet-footer metadata (pyarrow), no data pages touched."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    total = hit = 0
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        pf = pq.ParquetFile(f)
+        names = pf.schema_arrow.names
+        for rg in range(pf.metadata.num_row_groups):
+            meta = pf.metadata.row_group(rg)
+            total += 1
+            ok = True
+            for col, (lo, hi) in box.items():
+                st = meta.column(names.index(col)).statistics
+                if st is None or not st.has_min_max:
+                    continue  # no stats -> cannot prune -> counts as hit
+                if st.min > hi or st.max < lo:
+                    ok = False
+                    break
+            hit += ok
+    return hit / total if total else 1.0
