@@ -2609,6 +2609,39 @@ def q_bigram_logprob(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-shingle estimate per source (datapipe.sketch
+    .kmv_distinct; Beyer et al. SIGMOD 2007): k=128 smallest 60-bit
+    md5 hashes, est = (k-1)*2^60/h_k — the mergeable distinct sketch
+    that, unlike HLL, also supports intersection algebra."""
+    from rrdtool_1_x_spark.datapipe.dedup import _shingle_array
+    from rrdtool_1_x_spark.datapipe.sketch import kmv_distinct
+
+    d = _docs(spark, sf_dir)
+    sh = d.select(
+        "source", F.explode(_shingle_array(F.col("text"), 3)).alias("s")
+    )
+    return kmv_distinct(sh, F.col("s"), ["source"]).orderBy("source")
+
+
+def q_kmv_overlap(spark, sf_dir):
+    """Pairwise source overlap estimated from KMV synopses alone
+    (datapipe.sketch.kmv_source_overlap; Beyer et al. §4 rho estimator):
+    union/intersection/Jaccard per source pair from groups²·k synopsis
+    rows — constant in corpus size, the scalable companion of the exact
+    `source_overlap` shingle-join matrix."""
+    from rrdtool_1_x_spark.datapipe.dedup import _shingle_array
+    from rrdtool_1_x_spark.datapipe.sketch import kmv_source_overlap
+
+    d = _docs(spark, sf_dir)
+    sh = d.select(
+        "source", F.explode(_shingle_array(F.col("text"), 3)).alias("s")
+    )
+    return kmv_source_overlap(sh, F.col("s"), "source").orderBy(
+        "src_a", "src_b"
+    )
+
+
 def q_zorder_events(spark, sf_dir):
     """Z-order (Morton) clustering key (datapipe.layout.zorder_expr):
     bit-interleave of the bucketized (user_id, event-minute) pair — the
@@ -3001,6 +3034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_near_dup": q_edit_near_dup,
         "minhash_decontam": q_minhash_decontam,
         "zorder_events": q_zorder_events,
+        "kmv_distinct": q_kmv_distinct,
+        "kmv_overlap": q_kmv_overlap,
         "bm25_topk": q_bm25_topk,
         "rrf_fuse": q_rrf_fuse,
         "pmi_topk": q_pmi_topk,
@@ -5487,6 +5522,63 @@ z AS (SELECT event_id, user_id, (tus // 60000000) & 1023 AS minute_b,
              ({zo_terms}) AS zval FROM e)
 SELECT event_id, user_id, minute_b, CAST(zval AS BIGINT) AS zval
 FROM z ORDER BY zval, event_id LIMIT 50"""
+
+    # KMV distinct-value synopsis over per-source 3-shingles: 15 hex
+    # digits of md5('kmv:'||s) as a uint60, k=128 smallest per group,
+    # estimate 127 * 2^60 / h_k as one rounded float division
+    _hex15int = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1)"
+        f" * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    _kmv_ctes = rf"""
+t AS (SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      FROM documents),
+sh AS (SELECT source,
+         unnest(CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1),
+                                    i -> array_to_string(toks[i:i+2], ' '))
+                ELSE [array_to_string(toks, ' ')] END) AS s
+       FROM t),
+hh AS (SELECT DISTINCT source, md5('kmv:' || s) AS h FROM sh),
+hv AS (SELECT source, CAST(({_hex15int}) AS BIGINT) AS hi FROM hh),
+rk AS (SELECT source, hi,
+         row_number() OVER (PARTITION BY source ORDER BY hi) AS rn FROM hv),
+syn AS (SELECT source, hi FROM rk WHERE rn <= 128)"""
+    _p60 = repr(float(1 << 60))
+    sql["kmv_distinct"] = f"""
+WITH {_kmv_ctes},
+agg AS (SELECT source, count(*) AS n_syn, max(hi) AS hk FROM syn GROUP BY 1)
+SELECT source, CAST(n_syn AS BIGINT) AS n_syn,
+  CASE WHEN n_syn < 128 THEN CAST(n_syn AS BIGINT)
+       ELSE CAST(round(127.0 * ({_p60} / hk::DOUBLE)) AS BIGINT) END
+    AS kmv_est
+FROM agg ORDER BY source"""
+    sql["kmv_overlap"] = f"""
+WITH {_kmv_ctes},
+pairs AS (SELECT a.source AS src_a, b.source AS src_b
+          FROM (SELECT DISTINCT source FROM syn) a
+          JOIN (SELECT DISTINCT source FROM syn) b ON a.source < b.source),
+u AS (SELECT p.src_a, p.src_b, s.hi,
+        max(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END) AS ia,
+        max(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END) AS ib
+      FROM pairs p JOIN syn s ON s.source IN (p.src_a, p.src_b)
+      GROUP BY 1, 2, 3),
+tk AS (SELECT src_a, src_b, hi, ia, ib,
+         row_number() OVER (PARTITION BY src_a, src_b ORDER BY hi) AS rn
+       FROM u),
+agg AS (SELECT src_a, src_b, count(*) AS n_syn, max(hi) AS hk,
+          sum(ia * ib) AS rho
+        FROM tk WHERE rn <= 128 GROUP BY 1, 2),
+est AS (SELECT src_a, src_b,
+          CASE WHEN n_syn < 128 THEN CAST(n_syn AS BIGINT)
+               ELSE CAST(round(127.0 * ({_p60} / hk::DOUBLE)) AS BIGINT)
+          END AS union_est, rho
+        FROM agg)
+SELECT src_a, src_b, union_est,
+       CAST((rho * union_est) // 128 AS BIGINT) AS inter_est,
+       round(rho::DOUBLE / 128, 6) AS jaccard_est
+FROM est ORDER BY src_a, src_b"""
 
     # CCNet head/middle/tail terciles over the same score frame: two
     # interpolated-percentile scalars, broadcast compare

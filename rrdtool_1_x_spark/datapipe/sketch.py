@@ -292,3 +292,165 @@ def bloom_probe(
         " CAST(shiftright(p, 6) AS INT) + 1), CAST(p % 64 AS INT)) & 1)"
         " = 1))"
     )
+
+
+# ---------------------------------------------------------------- KMV synopsis
+
+_KMV_BITS = 60  # 15 hex digits of md5 -> uint60, exact in BIGINT both engines
+
+
+def _h60(col: Column, seed: str = "kmv") -> Column:
+    """First 15 hex digits of md5(seed:value) as a uint60 — same portable
+    hash convention as the HLL tier, wide enough that k-th-smallest ties
+    are collision-improbable and every value fits BIGINT exactly."""
+    h = F.md5(F.concat(F.lit(seed + ":"), col.cast("string")).cast("binary"))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
+def kmv_synopsis(
+    df: DataFrame,
+    value: Column,
+    group_cols: list[str] | None = None,
+    k: int = 128,
+    seed: str = "kmv",
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """K-Minimum-Values distinct-value synopsis (Beyer et al., SIGMOD
+    2007): per group, the ``k`` smallest distinct 60-bit hashes of
+    ``value``. Unlike HyperLogLog the synopsis supports MULTISET algebra
+    — union (k smallest of the merged synopses) and, critically,
+    intersection (the rho estimator in :func:`kmv_source_overlap`) —
+    which is why engines keep both sketches.
+
+    Returns long-format (group_cols..., h) rows, <= k per group — the
+    synopsis IS a tiny frame, joinable and unionable with other runs.
+
+    Shape at scale: duplicates collapse in the first map-side combine
+    (groupBy group+hash), then the k-smallest selection runs as a
+    two-level tournament — k per (group, salt-of-hash) partition first,
+    k of those <= salt_buckets*k survivors second — so no single sort
+    ever sees more than 1/salt_buckets of a group's distinct values (the
+    same bounded-window rule as the pack_sequences prefix-sum fix; a
+    plain per-group window would sort every distinct value of a hot
+    group in one task)."""
+    groups = group_cols or []
+    h = _h60(value, seed)
+    distinct = (
+        df.select(*groups, h.alias("h")).groupBy(*groups, "h").agg(F.lit(1))
+    ).select(*groups, "h")
+    salted = distinct.withColumn("_salt", F.col("h") % salt_buckets)
+    w1 = Window.partitionBy(*groups, "_salt").orderBy("h")
+    lvl1 = (
+        salted.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_salt")
+    )
+    w2 = Window.partitionBy(*groups).orderBy("h")
+    return (
+        lvl1.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def _kmv_est(k: int, n_col: str = "n_syn", hk_col: str = "_hk") -> Column:
+    """(k-1) * 2^60 / h_k rounded to BIGINT, or the exact synopsis size
+    when the group never filled the synopsis."""
+    return F.when(F.col(n_col) < k, F.col(n_col).cast("long")).otherwise(
+        F.round(
+            F.lit(float(k - 1))
+            * (F.lit(float(1 << _KMV_BITS)) / F.col(hk_col).cast("double"))
+        ).cast("long")
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value: Column,
+    group_cols: list[str] | None = None,
+    k: int = 128,
+    seed: str = "kmv",
+) -> DataFrame:
+    """Approximate COUNT(DISTINCT value) [GROUP BY group_cols] from the
+    KMV synopsis: est = (k-1) * 2^60 / h_(k) (unbiased, Beyer et al.
+    eq. 2) when the group carries >= k distinct values, and the EXACT
+    synopsis size below that (the synopsis holds every value — no
+    estimation error to pay). Same float discipline as the HLL tier:
+    the inputs are exact integers ((k-1) and 2^60 are exactly
+    representable doubles; h_k converts once), and the estimate is one
+    correctly-rounded division + multiplication + round — bit-portable
+    across engines.
+
+    Returns (*group_cols, n_syn, kmv_est)."""
+    syn = kmv_synopsis(df, value, group_cols, k, seed)
+    groups = group_cols or []
+    agg = syn.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n_syn"), F.max("h").alias("_hk")
+    )
+    return agg.select(*groups, "n_syn", _kmv_est(k).alias("kmv_est"))
+
+
+def kmv_source_overlap(
+    df: DataFrame,
+    value: Column,
+    group_col: str,
+    k: int = 128,
+    seed: str = "kmv",
+) -> DataFrame:
+    """Pairwise distinct-value overlap between groups, estimated ENTIRELY
+    from the per-group KMV synopses (Beyer et al. §4: the rho estimator):
+    for groups a, b take L = the k smallest hashes of synopsis(a) ∪
+    synopsis(b); K_v = max(L); then
+
+        union_est  = round((k-1) * 2^60 / K_v)  (or exact when |union| < k)
+        rho        = |{h in L : h in a AND b}|
+        inter_est  = rho * union_est DIV k
+        jaccard    = rho / k
+
+    The full pair grid costs |groups|^2 * k synopsis rows — constant in
+    corpus size; this is the scalable companion of ``source_overlap``'s
+    exact shingle-join matrix (which re-scans the corpus per audit).
+    Returns (src_a, src_b, union_est, inter_est, jaccard_est) for
+    src_a < src_b."""
+    syn = kmv_synopsis(df, value, [group_col], k, seed).select(
+        F.col(group_col).alias("_g"), "h"
+    )
+    a = syn.select(F.col("_g").alias("src_a"), F.col("h"))
+    b = syn.select(F.col("_g").alias("src_b"), F.col("h"))
+    # union of the two synopses, tagged with membership on both sides
+    both = (
+        a.crossJoin(b.select("src_b").distinct())
+        .filter(F.col("src_a") < F.col("src_b"))
+        .select("src_a", "src_b", "h", F.lit(1).alias("_in_a"), F.lit(0).alias("_in_b"))
+        .unionByName(
+            b.crossJoin(a.select("src_a").distinct())
+            .filter(F.col("src_a") < F.col("src_b"))
+            .select("src_a", "src_b", "h", F.lit(0).alias("_in_a"), F.lit(1).alias("_in_b"))
+        )
+    )
+    merged = both.groupBy("src_a", "src_b", "h").agg(
+        F.max("_in_a").alias("ia"), F.max("_in_b").alias("ib")
+    )
+    wk = Window.partitionBy("src_a", "src_b").orderBy("h")
+    top = merged.withColumn("_rn", F.row_number().over(wk)).filter(
+        F.col("_rn") <= k
+    )
+    agg = top.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("n_syn"),
+        F.max("h").alias("_hk"),
+        F.sum(F.col("ia") * F.col("ib")).alias("_rho"),
+    )
+    return agg.select(
+        "src_a",
+        "src_b",
+        _kmv_est(k).alias("union_est"),
+        F.col("_rho").cast("long").alias("_rho"),
+    ).select(
+        "src_a",
+        "src_b",
+        "union_est",
+        F.expr(f"CAST((_rho * union_est) DIV {k} AS BIGINT)").alias(
+            "inter_est"
+        ),
+        F.round(F.col("_rho").cast("double") / k, 6).alias("jaccard_est"),
+    )

@@ -545,3 +545,63 @@ def test_minhash_contamination_bucket_cap(spark):
     assert flooded.count() == 0
     ok = minhash_contamination_pairs(docs, bench, max_bucket_size=512)
     assert ok.count() == 6
+
+
+def test_kmv_exact_below_k(spark):
+    """A group with fewer than k distinct values gets its EXACT count
+    (the synopsis holds everything), duplicates notwithstanding."""
+    from rrdtool_1_x_spark.datapipe.sketch import kmv_distinct
+
+    rows = [("g", f"v{i % 40}") for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = kmv_distinct(df, F.col("v"), ["g"], k=128).first()
+    assert got["n_syn"] == 40 and got["kmv_est"] == 40
+
+
+def test_kmv_estimate_accuracy(spark):
+    """5000 distinct values, k=128: the (k-1)*2^60/h_k estimator lands
+    within the ~2/sqrt(k) relative-error band."""
+    from rrdtool_1_x_spark.datapipe.sketch import kmv_distinct
+
+    df = spark.range(5000).select(
+        F.lit("g").alias("g"), F.concat(F.lit("item"), "id").alias("v")
+    )
+    got = kmv_distinct(df, F.col("v"), ["g"], k=128).first()
+    assert got["n_syn"] == 128
+    assert abs(got["kmv_est"] - 5000) / 5000 < 0.25
+
+
+def test_kmv_synopsis_mergeable(spark):
+    """synopsis(A UNION B) == k-smallest of synopsis(A) UNION synopsis(B)
+    — the multiset-algebra property that justifies keeping KMV next to
+    HLL."""
+    from rrdtool_1_x_spark.datapipe.sketch import kmv_synopsis
+
+    a = spark.range(1000).select(F.concat(F.lit("a"), "id").alias("v"))
+    b = spark.range(1000).select(F.concat(F.lit("b"), "id").alias("v"))
+    k = 64
+    sab = sorted(
+        r["h"] for r in kmv_synopsis(a.union(b), F.col("v"), k=k).collect()
+    )
+    sa = [r["h"] for r in kmv_synopsis(a, F.col("v"), k=k).collect()]
+    sb = [r["h"] for r in kmv_synopsis(b, F.col("v"), k=k).collect()]
+    merged = sorted(set(sa) | set(sb))[:k]
+    assert sab == merged
+
+
+def test_kmv_overlap_identical_and_disjoint(spark):
+    """Identical groups estimate Jaccard 1.0 with inter == union;
+    disjoint groups estimate (near-)zero intersection."""
+    from rrdtool_1_x_spark.datapipe.sketch import kmv_source_overlap
+
+    same = spark.range(500).selectExpr(
+        "explode(array('x', 'y')) AS g", "concat('v', id) AS v"
+    )
+    got = kmv_source_overlap(same, F.col("v"), "g", k=64).first()
+    assert got["jaccard_est"] == 1.0
+    assert got["inter_est"] == got["union_est"]
+    disj = spark.range(500).selectExpr(
+        "if(id < 250, 'x', 'y') AS g", "concat('v', id) AS v"
+    )
+    got2 = kmv_source_overlap(disj, F.col("v"), "g", k=64).first()
+    assert got2["jaccard_est"] < 0.1
