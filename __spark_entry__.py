@@ -2609,6 +2609,70 @@ def q_bigram_logprob(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _rot_emb(spark, sf_dir):
+    """Hadamard-rotated embeddings (integer-exact), cached like the other
+    offline artifacts: rotate once per (session, dataset), query many."""
+    from rrdtool_1_x_spark.datapipe.similarity import hadamard_rotate
+
+    key = (spark.sparkContext.applicationId, sf_dir, "rotemb")
+    if key not in _TBL_CACHE:
+        r = hadamard_rotate(_emb(spark, sf_dir))
+        _TBL_CACHE[key] = r.select(
+            "vec_id", F.col("rvec").alias("embedding")
+        ).cache()
+    return _TBL_CACHE[key]
+
+
+def q_rot_pq_topk(spark, sf_dir):
+    """Rotated product quantization (datapipe.similarity.hadamard_rotate
+    + pq_topk): the deterministic structured-rotation member of the OPQ
+    family (Ge et al. CVPR 2013) — H·D over int8-quantized vectors mixes
+    every coordinate into every subspace before the 8x16 PQ; rotation is
+    integer-exact so the full ADC ranking hash-gates."""
+    from rrdtool_1_x_spark.datapipe.similarity import pq_codebook, pq_topk
+
+    rc = _rot_emb(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "rotpqbook")
+    if key not in _IVF_MODEL_CACHE:
+        _IVF_MODEL_CACHE[key] = pq_codebook(rc, m=8, codes=16)
+    q = rc.orderBy("vec_id").limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return pq_topk(
+        rc, q, k=10, m=8, codes=16, codebook=_IVF_MODEL_CACHE[key]
+    ).orderBy("query_id", "rank")
+
+
+def q_rot_pq_recall(spark, sf_dir):
+    """Recall@10 of the rotated-PQ ADC scan vs the int8 brute-force
+    baseline — both sides over the rotated frame (H·D preserves the
+    cosine ranking exactly: dots scale by dim, norms by sqrt(dim)).
+    Honest regime note (BASELINE.md): on these isotropic synthetic
+    embeddings raw PQ edges out the rotation; rotation wins 1.5x when
+    variance concentrates in few dimensions (pytest-pinned), the Ge et
+    al. precondition."""
+    from rrdtool_1_x_spark.datapipe.similarity import (
+        ann_recall,
+        pq_topk,
+        quantized_topk,
+    )
+
+    rc = _rot_emb(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "rotpqbook")
+    if key not in _IVF_MODEL_CACHE:
+        from rrdtool_1_x_spark.datapipe.similarity import pq_codebook
+
+        _IVF_MODEL_CACHE[key] = pq_codebook(rc, m=8, codes=16)
+    q = rc.orderBy("vec_id").limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    approx = pq_topk(
+        rc, q, k=10, m=8, codes=16, codebook=_IVF_MODEL_CACHE[key]
+    )
+    exact = quantized_topk(rc, q, k=10, query_id_col="query_id")
+    return ann_recall(approx, exact, k=10).orderBy("query_id")
+
+
 def q_kmv_distinct(spark, sf_dir):
     """KMV distinct-shingle estimate per source (datapipe.sketch
     .kmv_distinct; Beyer et al. SIGMOD 2007): k=128 smallest 60-bit
@@ -3036,6 +3100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_events": q_zorder_events,
         "kmv_distinct": q_kmv_distinct,
         "kmv_overlap": q_kmv_overlap,
+        "rot_pq_topk": q_rot_pq_topk,
+        "rot_pq_recall": q_rot_pq_recall,
         "bm25_topk": q_bm25_topk,
         "rrf_fuse": q_rrf_fuse,
         "pmi_topk": q_pmi_topk,
@@ -4520,6 +4586,43 @@ SELECT e.query_id, count(*) AS n_exact,
 FROM exv e LEFT JOIN apx a ON a.query_id = e.query_id
                           AND a.vec_id = e.vec_id
 GROUP BY e.query_id ORDER BY e.query_id"""
+
+    # rotated PQ: Hadamard x md5-sign-diagonal over the int8 vectors
+    # (integer-exact), then the identical PQ chain on the rotated frame —
+    # the ev CTE head is swapped for the rotation prefix
+    from rrdtool_1_x_spark.datapipe.similarity import _hadamard_signs
+
+    _rot_slist = "[" + ", ".join(str(s) for s in _hadamard_signs(64)) + "]"
+    # the sign diagonal rides in a one-row CTE: an inline list literal is
+    # re-materialized per lambda evaluation (measured 16 s vs 0.1 s at
+    # sf0.01 — the DuckDB twin of the Spark PQ literal-expression lesson)
+    _rot_prefix = f"""
+WITH sgn AS (SELECT {_rot_slist} AS dsg),
+ev0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings),
+qs0 AS (SELECT vec_id, v,
+          list_max(list_transform(v, x -> abs(x))) AS s FROM ev0),
+qv0 AS (SELECT vec_id,
+          CASE WHEN s > 0
+               THEN list_transform(v, x -> CAST(round(x / s * 127) AS BIGINT))
+               ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q0
+        FROM qs0),
+rot AS (SELECT vec_id,
+          list_transform(range(0, 64), i ->
+            list_sum(list_transform(range(0, 64), j ->
+              (CASE WHEN bit_count(i & j) % 2 = 0 THEN 1 ELSE -1 END)
+              * dsg[j + 1] * q0[j + 1]))) AS rvec
+        FROM qv0, sgn),
+ev AS (SELECT vec_id, list_transform(rvec, x -> x::DOUBLE) AS v FROM rot)"""
+    _rot_pq_cte = _rot_prefix + _pq_cte.split("FROM embeddings)", 1)[1]
+    sql["rot_pq_topk"] = _rot_pq_cte + """,
+r AS (SELECT query_id, vec_id, pq_dist,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY pq_dist ASC, vec_id ASC) AS rank
+      FROM sc)
+SELECT query_id, vec_id, pq_dist, rank FROM r WHERE rank <= 10
+ORDER BY query_id, rank"""
+    sql["rot_pq_recall"] = sql["pq_recall"].replace(_pq_cte, _rot_pq_cte)
 
     # int8-quantized ANN: same query/top-k shape as ann_cosine_top10 but
     # every score is integer-dot / sqrt(integer norms) — no float fold

@@ -2580,3 +2580,96 @@ def centroid_classify(
             .alias("correct"),
         )
     )
+
+
+def _hadamard_signs(dim: int, seed: str = "rot") -> list[int]:
+    """Deterministic ±1 diagonal from md5 parity — the engine-portable
+    sign flip of the structured rotation (both the Spark kernel and the
+    DuckDB oracle embed the same list)."""
+    import hashlib
+
+    return [
+        1
+        if int(hashlib.md5(f"{seed}:{j}".encode()).hexdigest()[0], 16) % 2 == 0
+        else -1
+        for j in range(dim)
+    ]
+
+
+def hadamard_rotate(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "rot",
+) -> DataFrame:
+    """Structured rotation for product quantization — the deterministic
+    member of the rotation family OPQ learns (Ge et al., "Optimized
+    Product Quantization", CVPR 2013; Jégou et al. TPAMI 2011 §V.A use a
+    random orthogonal as the baseline): r = H · D · q, with q the int8-
+    quantized vector, H the Walsh-Hadamard matrix H[i][j] =
+    (-1)^popcount(i AND j), and D a deterministic md5-derived ±1 diagonal
+    (without the sign flip H acts near-trivially on constant-ish
+    vectors). Every output coordinate mixes ALL input coordinates, which
+    balances per-subspace energy — the property PQ recall depends on when
+    the corpus concentrates variance in few dimensions.
+
+    All arithmetic is INTEGER (H·D entries are ±1, q is int8), so the
+    rotation is exact and order-independent — downstream PQ gates stay
+    hash-deterministic. The usual 1/sqrt(dim) normalization is omitted:
+    uniform scaling cannot change an L2 ranking. Requires a power-of-two
+    dimension (H exists for 2^k only).
+
+    Map-only: one numpy int64 GEMM per Arrow batch (integer matmul is
+    exact — no float summation order to pin), no shuffle. Returns
+    ``(id, rvec array<bigint>)``; feed it anywhere ``embedding`` goes —
+    the PQ tier re-quantizes per-vector as usual.
+    """
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    q = quantize_embeddings(df, id_col, vec_col).select(id_col, "qvec")
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType),
+            StructField("rvec", ArrayType(LongType())),
+        ]
+    )
+
+    def rotate(batches):
+        import pandas as pd
+
+        hd = {}  # dim -> H·D int64 matrix, built once per executor batch run
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(
+                [np.asarray(v, dtype=np.int64) for v in pdf["qvec"]],
+                dtype=np.int64,
+            )
+            dim = m.shape[1]
+            if dim & (dim - 1):
+                raise ValueError(
+                    f"hadamard_rotate: dim {dim} is not a power of two"
+                )
+            if dim not in hd:
+                idx = np.arange(dim)
+                # parity of popcount(i & j) via bit folding (dim <= 2^16)
+                v = idx[:, None] & idx[None, :]
+                p = np.zeros_like(v)
+                while v.any():
+                    p ^= v & 1
+                    v = v >> 1
+                h = 1 - 2 * p
+                d = np.array(_hadamard_signs(dim, seed), dtype=np.int64)
+                hd[dim] = h * d[None, :]  # (H·D)[i,j] = H[i,j] * d_j
+            r = m @ hd[dim].T
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "rvec": [row.tolist() for row in r],
+                }
+            )
+
+    return q.mapInPandas(rotate, out_schema)
