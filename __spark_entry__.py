@@ -2623,6 +2623,37 @@ def _rot_emb(spark, sf_dir):
     return _TBL_CACHE[key]
 
 
+def q_kmv_index_topup(spark, sf_dir):
+    """Persisted+incremental KMV synopsis (datapipe.sketch
+    .write_kmv_synopsis / append_kmv_synopsis / kmv_index_distinct):
+    index the low-id docs' shingles, append the high-id batch, query the
+    stored synopses — the KMV merge theorem makes index-then-append equal
+    the one-shot build, so the oracle is kmv_distinct's SQL verbatim."""
+    import tempfile
+
+    from rrdtool_1_x_spark.datapipe.dedup import _shingle_array
+    from rrdtool_1_x_spark.datapipe.sketch import (
+        append_kmv_synopsis,
+        kmv_index_distinct,
+        write_kmv_synopsis,
+    )
+
+    d = _docs(spark, sf_dir)
+    sh = d.select(
+        "doc_id", "source",
+        F.explode(_shingle_array(F.col("text"), 3)).alias("s"),
+    )
+    cut = int(d.agg(F.max("doc_id")).first()[0]) // 2
+    path = tempfile.mkdtemp(prefix="kmvidx_")
+    write_kmv_synopsis(
+        sh.filter(F.col("doc_id") <= cut), path, F.col("s"), ["source"]
+    )
+    append_kmv_synopsis(
+        sh.filter(F.col("doc_id") > cut), path, F.col("s"), ["source"]
+    )
+    return kmv_index_distinct(spark, path).orderBy("source")
+
+
 def q_rot_pq_topk(spark, sf_dir):
     """Rotated product quantization (datapipe.similarity.hadamard_rotate
     + pq_topk): the deterministic structured-rotation member of the OPQ
@@ -3102,6 +3133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": q_kmv_overlap,
         "rot_pq_topk": q_rot_pq_topk,
         "rot_pq_recall": q_rot_pq_recall,
+        "kmv_index_topup": q_kmv_index_topup,
         "bm25_topk": q_bm25_topk,
         "rrf_fuse": q_rrf_fuse,
         "pmi_topk": q_pmi_topk,
@@ -5657,6 +5689,8 @@ SELECT source, CAST(n_syn AS BIGINT) AS n_syn,
        ELSE CAST(round(127.0 * ({_p60} / hk::DOUBLE)) AS BIGINT) END
     AS kmv_est
 FROM agg ORDER BY source"""
+    # index-then-append == one-shot (KMV merge theorem): same SQL
+    sql["kmv_index_topup"] = sql["kmv_distinct"]
     sql["kmv_overlap"] = f"""
 WITH {_kmv_ctes},
 pairs AS (SELECT a.source AS src_a, b.source AS src_b

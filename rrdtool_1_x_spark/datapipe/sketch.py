@@ -454,3 +454,69 @@ def kmv_source_overlap(
         ),
         F.round(F.col("_rho").cast("double") / k, 6).alias("jaccard_est"),
     )
+
+
+def write_kmv_synopsis(
+    df: DataFrame,
+    path: str,
+    value: Column,
+    group_cols: list[str] | None = None,
+    k: int = 128,
+    seed: str = "kmv",
+) -> None:
+    """Persist the per-group KMV synopses — the incremental-maintenance
+    form of the distinct sketch: the stored state is <= k hashes per
+    group (KB-scale however large the corpus), and an append needs only
+    the NEW batch's synopsis plus a synopsis-sized merge, never a corpus
+    rescan. Plain parquet overwrite here; production writes go through a
+    transactional commit (see sources.store's manifest-snapshot
+    pattern)."""
+    kmv_synopsis(df, value, group_cols, k, seed).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def append_kmv_synopsis(
+    batch: DataFrame,
+    path: str,
+    value: Column,
+    group_cols: list[str] | None = None,
+    k: int = 128,
+    seed: str = "kmv",
+) -> None:
+    """Merge a new batch into the stored synopses: synopsis(batch), union
+    with the stored hashes, keep the k smallest distinct per group — by
+    the KMV merge theorem (Beyer et al. §3.2) the result EQUALS the
+    synopsis of the full concatenated corpus, so index-then-append is
+    exactly the one-shot build. State in, state out: both sides of the
+    merge are synopsis-sized."""
+    spark = batch.sparkSession
+    groups = group_cols or []
+    new = kmv_synopsis(batch, value, group_cols, k, seed)
+    old = spark.read.parquet(path)
+    merged = (
+        old.unionByName(new)
+        .groupBy(*groups, "h")
+        .agg(F.lit(1))
+        .select(*groups, "h")
+    )
+    w = Window.partitionBy(*groups).orderBy("h")
+    out = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .localCheckpoint(eager=True)  # sever lineage before the overwrite
+    )
+    out.write.mode("overwrite").parquet(path)
+
+
+def kmv_index_distinct(spark, path: str, k: int = 128) -> DataFrame:
+    """Distinct-count estimates straight off the stored synopses — no
+    corpus access at all (the read is the whole query cost). Same
+    estimator as :func:`kmv_distinct`."""
+    syn = spark.read.parquet(path)
+    groups = [c for c in syn.columns if c != "h"]
+    agg = syn.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n_syn"), F.max("h").alias("_hk")
+    )
+    return agg.select(*groups, "n_syn", _kmv_est(k).alias("kmv_est"))

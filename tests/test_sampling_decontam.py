@@ -605,3 +605,42 @@ def test_kmv_overlap_identical_and_disjoint(spark):
     )
     got2 = kmv_source_overlap(disj, F.col("v"), "g", k=64).first()
     assert got2["jaccard_est"] < 0.1
+
+
+def test_kmv_index_multi_append(spark, tmp_path):
+    """Two successive appends to a stored synopsis reproduce the one-shot
+    synopsis exactly (merge theorem, persisted form)."""
+    from rrdtool_1_x_spark.datapipe.sketch import (
+        append_kmv_synopsis,
+        kmv_index_distinct,
+        kmv_distinct,
+        kmv_synopsis,
+        write_kmv_synopsis,
+    )
+
+    full = spark.range(900).selectExpr(
+        "concat('g', id % 2) AS g", "concat('v', id) AS v"
+    )
+    p = str(tmp_path / "kmv")
+    write_kmv_synopsis(full.filter("id < 300"), p, F.col("v"), ["g"], k=64)
+    append_kmv_synopsis(
+        full.filter("id >= 300 AND id < 600"), p, F.col("v"), ["g"], k=64
+    )
+    append_kmv_synopsis(full.filter("id >= 600"), p, F.col("v"), ["g"], k=64)
+    stored = sorted(
+        (r["g"], r["h"])
+        for r in spark.read.parquet(p).collect()
+    )
+    oneshot = sorted(
+        (r["g"], r["h"]) for r in kmv_synopsis(full, F.col("v"), ["g"], k=64).collect()
+    )
+    assert stored == oneshot
+    got = {
+        r["g"]: r["kmv_est"]
+        for r in kmv_index_distinct(spark, p, k=64).collect()
+    }
+    want = {
+        r["g"]: r["kmv_est"]
+        for r in kmv_distinct(full, F.col("v"), ["g"], k=64).collect()
+    }
+    assert got == want
