@@ -2805,7 +2805,10 @@ def q_minhash_decontam(spark, sf_dir):
             ),
         ).alias("text"),
     )
-    return minhash_contamination_pairs(d, bench).orderBy("doc_id", "bench_id")
+    handle: list = []
+    out = minhash_contamination_pairs(d, bench, unpersist_handle=handle)
+    _hold_app_persist(spark, sf_dir, "mc_sigs", handle)
+    return out.orderBy("doc_id", "bench_id")
 
 
 def q_oov_rate(spark, sf_dir):
@@ -5576,8 +5579,11 @@ WITH enr AS (
   UNION ALL
   SELECT doc_id + 1000000, text || ' v' || CAST(doc_id % 3 AS VARCHAR)
   FROM documents WHERE doc_id % 5 = 0),
+reps AS (SELECT doc_id, text FROM enr
+         QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                    ORDER BY doc_id) = 1),
 base AS (SELECT doc_id AS id, lower(trim(text)) AS t,
-                substr(lower(trim(text)), 1, 24) AS k FROM enr),
+                substr(lower(trim(text)), 1, 24) AS k FROM reps),
 keep AS (SELECT k FROM base GROUP BY k HAVING count(*) <= 256),
 b2 AS (SELECT base.* FROM base JOIN keep USING (k)),
 cand AS (SELECT x.id AS id_a, y.id AS id_b, x.t AS ta, y.t AS tb

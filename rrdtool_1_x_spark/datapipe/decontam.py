@@ -348,6 +348,7 @@ def minhash_contamination_pairs(
     shingle_len: int = 3,
     est_threshold: float = 0.5,
     max_bucket_size: int | None = 512,
+    unpersist_handle: list | None = None,
 ) -> DataFrame:
     """FUZZY decontamination: MinHash-estimated Jaccard between training
     documents and benchmark items — the scalable companion to the exact
@@ -373,10 +374,21 @@ def minhash_contamination_pairs(
     corpus-sized. Run ``exact_dedup`` first if the corpus carries exact
     copies (same representative rule as the near-dup tier).
     """
+    from pyspark import StorageLevel
+
     from .dedup import minhash_signatures
 
     rows_per_band = num_hashes // bands
-    ds = minhash_signatures(docs, doc_id_col, doc_text_col, num_hashes, shingle_len)
+    # persist the CORPUS signature frame: it feeds the band explode, the
+    # bucket-cap count and the estimate join, and Spark re-runs the whole
+    # shingle+md5 lineage per consumer otherwise (measured 7.7 s -> one
+    # pass at sf0.1; at 100 TB the sig frame is ~100x slimmer than the
+    # text it summarizes). Callers pass unpersist_handle=[] to reclaim.
+    ds = minhash_signatures(
+        docs, doc_id_col, doc_text_col, num_hashes, shingle_len
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if unpersist_handle is not None:
+        unpersist_handle.append(ds)
     bs = minhash_signatures(
         benchmark, bench_id_col, bench_text_col, num_hashes, shingle_len
     )

@@ -1060,6 +1060,7 @@ def edit_near_duplicates(
     prefix_len: int = 24,
     block_cap: int = 256,
     threshold_cap: int | None = None,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Edit-distance near-duplicate pairs: prefix-blocked candidates, then
     Levenshtein with a length-proportional budget — the character-exact
@@ -1071,10 +1072,13 @@ def edit_near_duplicates(
 
     Emits (id_a, id_b, lev, edit_ratio).
 
-    Blocking: candidates share the first ``prefix_len`` characters of the
-    lower/trim-normalized text (template near-dups keep their head; a
-    diverging head means an edit budget the ratio test would reject
-    anyway for short prefixes of long docs). Blocks larger than
+    Blocking: exact-duplicate texts collapse to their min-id
+    representative first (``collapse_exact``; distance-0 pairs are
+    exact_dedup's job and k copies would otherwise pair k²/2 times inside
+    one block); then candidates share the first ``prefix_len`` characters
+    of the lower/trim-normalized text (template near-dups keep their
+    head; a diverging head means an edit budget the ratio test would
+    reject anyway for short prefixes of long docs). Blocks larger than
     ``block_cap`` are dropped whole — same skew rule as the MinHash
     bucket cap: a boilerplate prefix shared by millions of docs would
     otherwise form an O(k²) pair explosion on one shuffle key. At
@@ -1091,8 +1095,29 @@ def edit_near_duplicates(
     come back as -1 and are rejected, exactly what the ratio test would
     have done).
     """
+    src = df
+    if collapse_exact:
+        # identical texts pair quadratically inside their shared block
+        # (k copies -> k²/2 Levenshtein calls for distance-0 pairs that
+        # are exact_dedup's job) — the same scale-killer the MinHash tier
+        # collapses; keep the min-id representative per md5(text). The
+        # representative set is ids only (min(long) HASH-aggregates with
+        # map-side combine; carrying the text column through the agg
+        # forces SortAggregate — a full corpus sort per consumer, measured
+        # 8x on this gate) and rejoins as a semi join on the id. The 10x
+        # replicated-corpus probe measured 62 s without the collapse.
+        rep_ids = (
+            df.select(
+                F.col(id_col),
+                F.md5(F.col(text_col).cast("binary")).alias("_h"),
+            )
+            .groupBy("_h")
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col)
+        )
+        src = df.join(rep_ids, id_col, "left_semi")
     norm = F.lower(F.trim(F.col(text_col)))
-    base = df.select(
+    base = src.select(
         F.col(id_col).alias("_id"),
         norm.alias("_t"),
         F.substring(norm, 1, prefix_len).alias("_k"),

@@ -1580,6 +1580,14 @@ def test_edit_near_duplicates_blocking_and_budget(spark):
         threshold_cap=20,
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in fast} == {(1, 2)}
+    # exact copies collapse to one representative (distance-0 pairs are
+    # exact_dedup's job — and the 10x-replica quadratic scale-killer);
+    # the variant still pairs against the min-id representative only
+    dup_rows = rows + [(9, rows[0][1]), (10, rows[0][1])]
+    out2 = edit_near_duplicates(
+        spark.createDataFrame(dup_rows, "doc_id long, text string")
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out2} == {(1, 2)}
 
 
 def test_hadamard_rotate_properties(spark):
