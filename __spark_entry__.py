@@ -2623,6 +2623,42 @@ def _rot_emb(spark, sf_dir):
     return _TBL_CACHE[key]
 
 
+def q_hll_index_topup(spark, sf_dir):
+    """Persisted+incremental HLL registers (datapipe.sketch
+    .write_hll_registers / append_hll_registers / hll_index_distinct):
+    index the low-id docs' tokens, append the high-id batch, estimate
+    from the stored registers — register max-merge is idempotent and
+    associative, so index-then-append equals the one-shot sketch; the
+    oracle is hll_distinct's estimate SQL."""
+    import tempfile
+
+    from rrdtool_1_x_spark.datapipe.sketch import (
+        append_hll_registers,
+        hll_index_distinct,
+        write_hll_registers,
+    )
+
+    d = _docs(spark, sf_dir)
+    e = d.select(
+        "doc_id", "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("tok"),
+    )
+    cut = int(d.agg(F.max("doc_id")).first()[0]) // 2
+    path = tempfile.mkdtemp(prefix="hllidx_")
+    write_hll_registers(
+        e.filter(F.col("doc_id") <= cut), path, F.col("tok"), ["source"]
+    )
+    append_hll_registers(
+        e.filter(F.col("doc_id") > cut), path, F.col("tok"), ["source"]
+    )
+    return hll_index_distinct(spark, path).orderBy("source")
+
+
 def q_kmv_index_topup(spark, sf_dir):
     """Persisted+incremental KMV synopsis (datapipe.sketch
     .write_kmv_synopsis / append_kmv_synopsis / kmv_index_distinct):
@@ -3137,6 +3173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rot_pq_topk": q_rot_pq_topk,
         "rot_pq_recall": q_rot_pq_recall,
         "kmv_index_topup": q_kmv_index_topup,
+        "hll_index_topup": q_hll_index_topup,
         "bm25_topk": q_bm25_topk,
         "rrf_fuse": q_rrf_fuse,
         "pmi_topk": q_pmi_topk,
@@ -6118,6 +6155,13 @@ ex AS (SELECT source, count(DISTINCT tok) AS n_exact FROM e GROUP BY 1)
 SELECT est.source, n_exact, round(ev, 4) AS hll_est,
        round(abs(round(ev, 4) - n_exact) / n_exact::DOUBLE, 4) AS rel_err
 FROM est JOIN ex USING (source) ORDER BY source"""
+
+    # persisted-register variant: register max-merge == one-shot sketch,
+    # so the oracle is the same estimate chain without the exact audit
+    sql["hll_index_topup"] = (
+        sql["hll_distinct"].split(",\nex AS (SELECT source")[0]
+        + "\nSELECT source, round(ev, 4) AS hll_est FROM est ORDER BY source"
+    )
 
     # Count-Min heavy-hitter audit: the sketch is exact integer sums over
     # md5 buckets (order-free); estimates = min of each candidate's 4

@@ -90,6 +90,24 @@ def _hll_est_col() -> Column:
     )
 
 
+def _estimate_from_registers(regs: DataFrame, groups: list[str]) -> DataFrame:
+    """(*groups, hll_est) from a (groups..., bucket, mr) register frame —
+    the estimate tail shared by the inline ``hll_distinct`` and the
+    persisted-register ``hll_index_distinct``."""
+    w = Window.partitionBy(*groups) if groups else Window.partitionBy()
+    # exact dyadic harmonic sum: scale by 2^K (K = the group's max rho,
+    # <= 24 at p=9/32-bit hashes, so every shifted term fits a long)
+    regs = regs.withColumn("K", F.max("mr").over(w))
+    per = regs.groupBy(*groups).agg(
+        F.first("K").alias("K"),
+        F.count("*").alias("nb"),
+        # pyspark's shiftleft() helper takes a literal bit count; the SQL
+        # form accepts a column expression
+        F.sum(F.expr("shiftleft(1L, K - mr)")).alias("S"),
+    )
+    return per.select(*groups, F.round(_hll_est_col(), 4).alias("hll_est"))
+
+
 def hll_distinct(
     df: DataFrame,
     value: Column,
@@ -116,18 +134,7 @@ def hll_distinct(
         .groupBy(*groups, "bucket")
         .agg(F.max("rho").alias("mr"))
     )
-    w = Window.partitionBy(*groups) if groups else Window.partitionBy()
-    # exact dyadic harmonic sum: scale by 2^K (K = the group's max rho,
-    # <= 24 at p=9/32-bit hashes, so every shifted term fits a long)
-    regs = regs.withColumn("K", F.max("mr").over(w))
-    per = regs.groupBy(*groups).agg(
-        F.first("K").alias("K"),
-        F.count("*").alias("nb"),
-        # pyspark's shiftleft() helper takes a literal bit count; the SQL
-        # form accepts a column expression
-        F.sum(F.expr("shiftleft(1L, K - mr)")).alias("S"),
-    )
-    out = per.select(*groups, F.round(_hll_est_col(), 4).alias("hll_est"))
+    out = _estimate_from_registers(regs, groups)
     if exact:
         ex = df.select(*groups, value.alias("_v")).groupBy(*groups).agg(
             F.countDistinct("_v").alias("n_exact")
@@ -520,3 +527,64 @@ def kmv_index_distinct(spark, path: str, k: int = 128) -> DataFrame:
         F.count(F.lit(1)).alias("n_syn"), F.max("h").alias("_hk")
     )
     return agg.select(*groups, "n_syn", _kmv_est(k).alias("kmv_est"))
+
+
+def _hll_registers(
+    df: DataFrame, value: Column, groups: list[str], seed: str
+) -> DataFrame:
+    bucket, rho = hll_register_cols(value, seed)
+    return (
+        df.select(*groups, bucket, rho)
+        .groupBy(*groups, "bucket")
+        .agg(F.max("rho").alias("mr"))
+    )
+
+
+def write_hll_registers(
+    df: DataFrame,
+    path: str,
+    value: Column,
+    group_cols: list[str] | None = None,
+    seed: str = "hll",
+) -> None:
+    """Persist the HLL register frame (<= 512 integer rows per group) —
+    the incremental form of the distinct sketch: appends merge registers
+    by max, which is idempotent and associative, so ANY append order
+    (including replayed batches) converges to the one-shot registers.
+    Plain parquet overwrite here; production writes go through a
+    transactional commit (see sources.store's manifest-snapshot
+    pattern)."""
+    _hll_registers(df, value, group_cols or [], seed).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def append_hll_registers(
+    batch: DataFrame,
+    path: str,
+    value: Column,
+    group_cols: list[str] | None = None,
+    seed: str = "hll",
+) -> None:
+    """Fold a new batch into the stored registers: register(batch), union
+    with the stored frame, max per (group, bucket). Both merge sides are
+    register-sized; the batch scan is the only corpus-touching work."""
+    spark = batch.sparkSession
+    groups = group_cols or []
+    new = _hll_registers(batch, value, groups, seed)
+    old = spark.read.parquet(path)
+    merged = (
+        old.unionByName(new)
+        .groupBy(*groups, "bucket")
+        .agg(F.max("mr").alias("mr"))
+        .localCheckpoint(eager=True)  # sever lineage before the overwrite
+    )
+    merged.write.mode("overwrite").parquet(path)
+
+
+def hll_index_distinct(spark, path: str) -> DataFrame:
+    """Distinct-count estimates straight off the stored registers — no
+    corpus access (same contract as ``kmv_index_distinct``)."""
+    regs = spark.read.parquet(path)
+    groups = [c for c in regs.columns if c not in ("bucket", "mr")]
+    return _estimate_from_registers(regs, groups)

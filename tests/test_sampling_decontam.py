@@ -644,3 +644,32 @@ def test_kmv_index_multi_append(spark, tmp_path):
         for r in kmv_distinct(full, F.col("v"), ["g"], k=64).collect()
     }
     assert got == want
+
+
+def test_hll_register_multi_append(spark, tmp_path):
+    """Register max-merge is idempotent + associative: two appends (one a
+    REPLAY of already-indexed rows) reproduce the one-shot estimate
+    exactly."""
+    from rrdtool_1_x_spark.datapipe.sketch import (
+        append_hll_registers,
+        hll_distinct,
+        hll_index_distinct,
+        write_hll_registers,
+    )
+
+    full = spark.range(2000).selectExpr(
+        "concat('g', id % 2) AS g", "concat('v', id) AS v"
+    )
+    p = str(tmp_path / "hll")
+    write_hll_registers(full.filter("id < 800"), p, F.col("v"), ["g"])
+    append_hll_registers(full.filter("id >= 800"), p, F.col("v"), ["g"])
+    # replayed batch: max-merge must absorb it with no drift
+    append_hll_registers(full.filter("id < 400"), p, F.col("v"), ["g"])
+    got = {
+        r["g"]: r["hll_est"] for r in hll_index_distinct(spark, p).collect()
+    }
+    want = {
+        r["g"]: r["hll_est"]
+        for r in hll_distinct(full, F.col("v"), ["g"]).collect()
+    }
+    assert got == want
