@@ -2623,6 +2623,50 @@ def _rot_emb(spark, sf_dir):
     return _TBL_CACHE[key]
 
 
+def q_cms_index_topup(spark, sf_dir):
+    """Persisted+incremental Count-Min table (datapipe.sketch
+    .write_cms_table / append_cms_table / cms_index_estimate): counters
+    merge ADDITIVELY (the linearity the CM guarantee rests on), so
+    index-then-append equals the one-shot sketch and the oracle is
+    cms_topk's SQL verbatim."""
+    import tempfile
+
+    from rrdtool_1_x_spark.datapipe.sketch import (
+        append_cms_table,
+        cms_index_estimate,
+        write_cms_table,
+    )
+
+    d = _docs(spark, sf_dir)
+    toks = F.explode(
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda t: t != "",
+        )
+    ).alias("tok")
+    e = d.select("doc_id", toks)
+    cut = int(d.agg(F.max("doc_id")).first()[0]) // 2
+    path = tempfile.mkdtemp(prefix="cmsidx_")
+    write_cms_table(e.filter(F.col("doc_id") <= cut), path, F.col("tok"))
+    append_cms_table(e.filter(F.col("doc_id") > cut), path, F.col("tok"))
+    cand = (
+        e.groupBy("tok")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("tok"))
+        .limit(20)
+    )
+    return (
+        cms_index_estimate(spark, path, cand, "tok")
+        .select(
+            "tok",
+            "n_exact",
+            "cms_est",
+            (F.col("cms_est") - F.col("n_exact")).alias("overcount"),
+        )
+        .orderBy(F.desc("n_exact"), F.asc("tok"))
+    )
+
+
 def q_hll_index_topup(spark, sf_dir):
     """Persisted+incremental HLL registers (datapipe.sketch
     .write_hll_registers / append_hll_registers / hll_index_distinct):
@@ -3174,6 +3218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rot_pq_recall": q_rot_pq_recall,
         "kmv_index_topup": q_kmv_index_topup,
         "hll_index_topup": q_hll_index_topup,
+        "cms_index_topup": q_cms_index_topup,
         "bm25_topk": q_bm25_topk,
         "rrf_fuse": q_rrf_fuse,
         "pmi_topk": q_pmi_topk,
@@ -6185,6 +6230,8 @@ est AS (SELECT tok, c, min(coalesce(cnt, 0)) AS cms_est
 SELECT tok, c AS n_exact, CAST(cms_est AS BIGINT) AS cms_est,
        CAST(cms_est - c AS BIGINT) AS overcount
 FROM est ORDER BY n_exact DESC, tok"""
+    # additive counter merge == one-shot sketch: same SQL
+    sql["cms_index_topup"] = sql["cms_topk"]
 
     # exact nearest-rank quantiles from the token-count histogram: the
     # rank threshold ceil(q*n) is the only float math (same literal both

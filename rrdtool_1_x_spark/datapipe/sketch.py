@@ -588,3 +588,62 @@ def hll_index_distinct(spark, path: str) -> DataFrame:
     regs = spark.read.parquet(path)
     groups = [c for c in regs.columns if c not in ("bucket", "mr")]
     return _estimate_from_registers(regs, groups)
+
+
+def write_cms_table(
+    df: DataFrame,
+    path: str,
+    value: Column,
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "cms",
+    weight: Column | None = None,
+) -> None:
+    """Persist the CM counter table (depth x width integers). Counters
+    are exact integer SUMS, so appends merge additively — index-then-
+    append equals the one-shot sketch for any batch split (this is the
+    linearity the CM guarantee is built on). Completes the persisted
+    family: KMV merges by k-smallest-of-union, HLL by register max, CM
+    by counter sum."""
+    cms_table(df, value, depth, width, seed, weight).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def append_cms_table(
+    batch: DataFrame,
+    path: str,
+    value: Column,
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "cms",
+    weight: Column | None = None,
+) -> None:
+    """Add a new batch's counters into the stored table (sum per
+    (d, bucket)); both merge sides are sketch-sized."""
+    spark = batch.sparkSession
+    new = cms_table(batch, value, depth, width, seed, weight)
+    old = spark.read.parquet(path)
+    merged = (
+        old.unionByName(new)
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint(eager=True)  # sever lineage before the overwrite
+    )
+    merged.write.mode("overwrite").parquet(path)
+
+
+def cms_index_estimate(
+    spark,
+    path: str,
+    candidates: DataFrame,
+    value_col: str = "value",
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "cms",
+) -> DataFrame:
+    """Point-query the STORED counter table — same contract as
+    ``cms_estimate`` with the sketch read from disk."""
+    return cms_estimate(
+        spark.read.parquet(path), candidates, value_col, depth, width, seed
+    )

@@ -673,3 +673,30 @@ def test_hll_register_multi_append(spark, tmp_path):
         for r in hll_distinct(full, F.col("v"), ["g"]).collect()
     }
     assert got == want
+
+
+def test_cms_table_additive_append(spark, tmp_path):
+    """Counter linearity: two appends reproduce the one-shot CM table
+    cell-for-cell (and therefore every point estimate)."""
+    from rrdtool_1_x_spark.datapipe.sketch import (
+        append_cms_table,
+        cms_table,
+        write_cms_table,
+    )
+
+    full = spark.range(3000).selectExpr("concat('v', id % 200) AS v")
+    p = str(tmp_path / "cms")
+    write_cms_table(full.filter("id < 1000"), p, F.col("v"))
+    append_cms_table(
+        full.filter("id >= 1000 AND id < 2000"), p, F.col("v")
+    )
+    append_cms_table(full.filter("id >= 2000"), p, F.col("v"))
+    stored = sorted(
+        (r["d"], r["bucket"], r["cnt"])
+        for r in spark.read.parquet(p).collect()
+    )
+    oneshot = sorted(
+        (r["d"], r["bucket"], r["cnt"])
+        for r in cms_table(full, F.col("v")).collect()
+    )
+    assert stored == oneshot
