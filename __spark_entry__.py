@@ -2623,6 +2623,53 @@ def _rot_emb(spark, sf_dir):
     return _TBL_CACHE[key]
 
 
+def q_sketch_stream(spark, sf_dir):
+    """Streaming HLL maintenance (streaming.datapipe_stream
+    .start_sketch_stream): the documents table as a 3-batch file stream,
+    each micro-batch max-merging its register frame into the stored
+    sketch through foreachBatch — after the drain the stored registers
+    EQUAL the batch one-shot sketch (merge idempotence), so the oracle is
+    hll_index_topup's estimate SQL."""
+    import shutil
+    import tempfile
+
+    from rrdtool_1_x_spark.datapipe.sketch import hll_index_distinct
+    from rrdtool_1_x_spark.streaming.datapipe_stream import (
+        start_sketch_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="sketchstream_")
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    src = f"{work}/in"
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(2).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id bigint, source string, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .select(
+            "source",
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    lambda t: t != "",
+                )
+            ).alias("tok"),
+        )
+    )
+    q = start_sketch_stream(
+        stream, f"{work}/regs", f"{work}/ck", "tok", ["source"]
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("sketch_stream drain exceeded 600s")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(f"{work}/ck", ignore_errors=True)
+    return hll_index_distinct(spark, f"{work}/regs").orderBy("source")
+
+
 def q_cms_index_topup(spark, sf_dir):
     """Persisted+incremental Count-Min table (datapipe.sketch
     .write_cms_table / append_cms_table / cms_index_estimate): counters
@@ -3219,6 +3266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_index_topup": q_kmv_index_topup,
         "hll_index_topup": q_hll_index_topup,
         "cms_index_topup": q_cms_index_topup,
+        "sketch_stream": q_sketch_stream,
         "bm25_topk": q_bm25_topk,
         "rrf_fuse": q_rrf_fuse,
         "pmi_topk": q_pmi_topk,
@@ -6232,6 +6280,8 @@ SELECT tok, c AS n_exact, CAST(cms_est AS BIGINT) AS cms_est,
 FROM est ORDER BY n_exact DESC, tok"""
     # additive counter merge == one-shot sketch: same SQL
     sql["cms_index_topup"] = sql["cms_topk"]
+    # streamed register folds == one-shot sketch: same estimate SQL
+    sql["sketch_stream"] = sql["hll_index_topup"]
 
     # exact nearest-rank quantiles from the token-count histogram: the
     # rank threshold ceil(q*n) is the only float math (same literal both

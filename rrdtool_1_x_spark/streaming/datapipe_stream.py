@@ -286,3 +286,56 @@ def start_dedup_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_sketch_stream(
+    doc_stream: DataFrame,
+    registers_path: str,
+    checkpoint_path: str,
+    value_col: str = "tok",
+    group_cols: list[str] | None = None,
+    seed: str = "hll",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming HLL maintenance: each micro-batch folds its register
+    frame into the stored registers (``append_hll_registers``) through
+    foreachBatch. Register max-merge is idempotent AND associative, so
+    the stored sketch after any drain equals the batch one-shot sketch
+    over everything ingested — including after a crash/replay, because a
+    re-delivered batch merges to the same maxima (the property that makes
+    a sketch the natural streaming aggregate: no dedup state needed).
+
+    The stored state never exceeds 512 integer rows per group however
+    long the stream runs; each micro-batch's work is one batch scan plus
+    a register-sized merge.
+    """
+    from pyspark.sql import functions as F
+
+    from rrdtool_1_x_spark.datapipe.sketch import (
+        append_hll_registers,
+        write_hll_registers,
+    )
+
+    groups = list(group_cols or [])
+    state = {"initialized": False}
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        if state["initialized"] or os.path.exists(registers_path):
+            append_hll_registers(
+                batch_df, registers_path, F.col(value_col), groups, seed
+            )
+        else:
+            write_hll_registers(
+                batch_df, registers_path, F.col(value_col), groups, seed
+            )
+        state["initialized"] = True
+
+    writer = (
+        doc_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

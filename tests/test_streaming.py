@@ -849,3 +849,63 @@ def test_interval_join_stream_batch_equality_and_late_drop(spark, tmp_path):
     got2 = {(r["click_id"], r["view_id"])
             for r in spark.read.parquet(sink).collect()}
     assert got2 == got, f"late click must be dropped, got {got2 - got}"
+
+
+def test_sketch_stream_restart_and_replay_converge(spark, tmp_path):
+    """start_sketch_stream: the drained registers equal the batch
+    one-shot sketch; a restarted drain over new files (same checkpoint)
+    folds them in; and re-folding already-seen data cannot move any
+    estimate (register max-merge idempotence — the crash/replay story)."""
+    from pyspark.sql import functions as F
+
+    from rrdtool_1_x_spark.datapipe.sketch import (
+        append_hll_registers,
+        hll_distinct,
+        hll_index_distinct,
+    )
+    from rrdtool_1_x_spark.streaming.datapipe_stream import (
+        start_sketch_stream,
+    )
+
+    src = str(tmp_path / "in")
+    regs = str(tmp_path / "regs")
+    ck = str(tmp_path / "ck")
+    rows1 = [("a" if i % 2 else "b", f"tok{i % 37}") for i in range(300)]
+    rows2 = [("a", f"new{i % 11}") for i in range(50)]
+    spark.createDataFrame(rows1, "g string, tok string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    def drain():
+        stream = (
+            spark.readStream.schema("g string, tok string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_sketch_stream(stream, regs, ck, "tok", ["g"])
+        assert q.awaitTermination(300), "drain did not finish in 300s"
+
+    drain()
+    est1 = {r["g"]: r["hll_est"] for r in hll_index_distinct(spark, regs).collect()}
+    batch1 = spark.createDataFrame(rows1, "g string, tok string")
+    want1 = {
+        r["g"]: r["hll_est"]
+        for r in hll_distinct(batch1, F.col("tok"), ["g"]).collect()
+    }
+    assert est1 == want1
+    # restart over an appended file: folds in, still == one-shot batch
+    spark.createDataFrame(rows2, "g string, tok string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    drain()
+    est2 = {r["g"]: r["hll_est"] for r in hll_index_distinct(spark, regs).collect()}
+    full = spark.read.parquet(src)
+    want2 = {
+        r["g"]: r["hll_est"]
+        for r in hll_distinct(full, F.col("tok"), ["g"]).collect()
+    }
+    assert est2 == want2
+    # replay: re-folding batch 1 wholesale changes nothing
+    append_hll_registers(batch1, regs, F.col("tok"), ["g"])
+    est3 = {r["g"]: r["hll_est"] for r in hll_index_distinct(spark, regs).collect()}
+    assert est3 == est2
