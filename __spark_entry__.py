@@ -2938,6 +2938,38 @@ def q_minhash_decontam(spark, sf_dir):
     return out.orderBy("doc_id", "bench_id")
 
 
+def q_decontam_spans(spark, sf_dir):
+    """Span-level decontamination (datapipe.decontam
+    .remove_contaminated_spans): every 8-token window shared verbatim
+    with the truncated-copy benchmark is excised (coverage union), the
+    rest of the document survives — the surgical alternative to
+    decontaminate()'s whole-doc drop. Benchmark window hashes broadcast;
+    detection is a map-side semi join over the corpus scan."""
+    from rrdtool_1_x_spark.datapipe.decontam import remove_contaminated_spans
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    pre = d.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("bench_id"), toks.alias("_tk")
+    )
+    bench = pre.select(
+        "bench_id",
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("_tk"),
+                F.lit(1),
+                F.greatest(
+                    F.floor(F.size("_tk") * 2 / 3).cast("int"), F.lit(1)
+                ),
+            ),
+        ).alias("text"),
+    )
+    return remove_contaminated_spans(
+        d.select("doc_id", "text"), bench, n=8
+    ).orderBy("doc_id")
+
+
 def q_oov_rate(spark, sf_dir):
     """Common-word coverage filter (datapipe.textstats.oov_rate): share
     of token occurrences absent from the corpus's top-100 vocabulary —
@@ -3267,6 +3299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_index_topup": q_hll_index_topup,
         "cms_index_topup": q_cms_index_topup,
         "sketch_stream": q_sketch_stream,
+        "decontam_spans": q_decontam_spans,
         "bm25_topk": q_bm25_topk,
         "rrf_fuse": q_rrf_fuse,
         "pmi_topk": q_pmi_topk,
@@ -5778,6 +5811,49 @@ est AS (SELECT cand.doc_id, cand.bench_id, ({mc_match}) AS matches
 SELECT doc_id, bench_id, CAST(matches AS BIGINT) AS matches,
        round(matches::DOUBLE / 8, 6) AS est_jaccard
 FROM est WHERE matches >= 4 ORDER BY doc_id, bench_id"""
+
+    # span-level decontamination: the span_dedup coverage mechanics with
+    # removable = windows whose hash appears in the truncated-copy
+    # benchmark's window-hash set (identical bsrc derivation)
+    sql["decontam_spans"] = r"""
+WITH bsrc AS (
+  SELECT doc_id AS bench_id,
+         array_to_string(toks[1:greatest((2*len(toks))//3, 1)], ' ') AS text
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+')
+          AS toks
+        FROM documents WHERE doc_id % 17 = 0)),
+t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+')
+        AS toks FROM documents),
+w AS (SELECT doc_id, toks,
+        CASE WHEN len(toks) >= 8
+             THEN list_transform(range(1, len(toks) - 6),
+                                 i -> md5(array_to_string(toks[i:i+7], ' ')))
+             ELSE [md5(array_to_string(toks, ' '))] END AS ws
+      FROM t),
+bt AS (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+       FROM bsrc),
+bw AS (SELECT DISTINCT
+         unnest(CASE WHEN len(toks) >= 8
+                THEN list_transform(range(1, len(toks) - 6),
+                                    i -> md5(array_to_string(toks[i:i+7],
+                                                             ' ')))
+                ELSE [md5(array_to_string(toks, ' '))] END) AS h
+       FROM bt),
+o AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS p, unnest(ws) AS h
+      FROM w),
+r AS (SELECT o.doc_id, o.p FROM o JOIN bw USING (h)),
+cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + 8)) AS tp FROM r),
+cs AS (SELECT doc_id, list(tp) AS rm FROM cov GROUP BY 1),
+f AS (SELECT w.doc_id, toks, coalesce(cs.rm, []) AS rm
+      FROM w LEFT JOIN cs ON cs.doc_id = w.doc_id)
+SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+       len(list_filter(range(1, len(toks) + 1),
+                       p -> list_contains(rm, p)))::BIGINT AS removed_tokens,
+       coalesce(array_to_string(
+         list_transform(list_filter(range(1, len(toks) + 1),
+                                    p -> NOT list_contains(rm, p)),
+                        p -> toks[p]), ' '), '') AS text
+FROM f ORDER BY doc_id"""
 
     # Morton interleave of (user_id & 1023, event-minute & 1023): the same
     # shift/mask terms as layout.zorder_expr, first 50 events in z-order

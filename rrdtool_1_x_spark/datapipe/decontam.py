@@ -472,3 +472,91 @@ def minhash_contamination_pairs(
             "est_jaccard"
         ),
     )
+
+
+def remove_contaminated_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    doc_id_col: str = "doc_id",
+    doc_text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Span-level decontamination — the surgical counterpart of
+    ``decontaminate``'s whole-document drop: every n-token window of a
+    training document that appears VERBATIM in the benchmark is excised
+    (coverage union over overlapping windows, the Lee-et-al. span-removal
+    mechanics applied to eval overlap instead of corpus duplication).
+    Dropping a 10k-token page because one paragraph quotes a benchmark
+    question wastes the other 9.9k tokens; masking just the quoted span
+    keeps them while removing the leakage verbatim.
+
+    Returns ``(id, n_tokens, removed_tokens, text)`` with the cleaned
+    text — same contract as ``remove_duplicate_spans``.
+
+    Shape at scale: window hashing is map-only; the benchmark window-hash
+    set is eval-sized and broadcasts, so contamination detection is a
+    map-side semi join over the corpus scan (no corpus shuffle at all
+    until the per-document coverage aggregation, which is keyed by the
+    document and bounded by document length).
+    """
+    from .dedup import _shingle_array, _tokens
+
+    toks = _tokens(F.col(doc_text_col))
+    hasher = lambda s: F.md5(s.cast("binary"))  # noqa: E731
+    base = docs.select(
+        F.col(doc_id_col),
+        toks.alias("_t"),
+        F.transform(
+            _shingle_array(F.col(doc_text_col), n), hasher
+        ).alias("_w"),
+    )
+    bg = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        _shingle_array(F.col(bench_text_col), n), hasher
+                    )
+                )
+            ).alias("_h")
+        )
+        .distinct()
+    )
+    occ = base.select(
+        F.col(doc_id_col), F.posexplode("_w").alias("_p0", "_h")
+    ).select(doc_id_col, (F.col("_p0") + 1).alias("_p"), "_h")
+    removable = occ.join(F.broadcast(bg), "_h", "left_semi").select(
+        doc_id_col, "_p"
+    )
+    cover = (
+        removable.select(
+            F.col(doc_id_col),
+            F.explode(
+                F.sequence(F.col("_p"), F.col("_p") + F.lit(n - 1))
+            ).alias("_tp"),
+        )
+        .groupBy(doc_id_col)
+        .agg(F.collect_set("_tp").alias("_rm"))
+    )
+    joined = base.join(cover, doc_id_col, "left").select(
+        F.col(doc_id_col),
+        "_t",
+        F.coalesce(F.col("_rm"), F.array().cast("array<int>")).alias("_rm"),
+    )
+    kept = F.filter(
+        F.arrays_zip(F.col("_t"), F.sequence(F.lit(1), F.size("_t"))),
+        lambda x: ~F.array_contains(F.col("_rm"), x["1"]),
+    )
+    return joined.select(
+        F.col(doc_id_col),
+        F.size("_t").cast("long").alias("n_tokens"),
+        F.size(
+            F.array_intersect(F.col("_rm"), F.sequence(F.lit(1), F.size("_t")))
+        )
+        .cast("long")
+        .alias("removed_tokens"),
+        F.array_join(F.transform(kept, lambda x: x["_t"]), " ").alias(
+            doc_text_col
+        ),
+    )

@@ -700,3 +700,33 @@ def test_cms_table_additive_append(spark, tmp_path):
         for r in cms_table(full, F.col("v")).collect()
     )
     assert stored == oneshot
+
+
+def test_remove_contaminated_spans_surgical(spark):
+    """Only the benchmark-overlapping window is excised; the rest of the
+    document survives; clean documents pass through untouched; token
+    conservation holds (kept + removed == total)."""
+    from rrdtool_1_x_spark.datapipe.decontam import remove_contaminated_spans
+
+    quote = "what is the capital of freedonia answer rufus"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words here " + quote + " trailing commentary after"),
+            (2, "totally clean document with no benchmark overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(10, quote)], "bench_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in remove_contaminated_spans(docs, bench, n=8).collect()
+    }
+    assert out[1]["removed_tokens"] == 8
+    assert "freedonia" not in out[1]["text"]
+    assert out[1]["text"].startswith("intro words here")
+    assert out[1]["text"].endswith("trailing commentary after")
+    assert out[2]["removed_tokens"] == 0
+    assert out[2]["text"] == docs.collect()[1]["text"]
+    for r in out.values():
+        kept = len(r["text"].split()) if r["text"] else 0
+        assert kept + r["removed_tokens"] == r["n_tokens"]
