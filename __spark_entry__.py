@@ -2938,6 +2938,33 @@ def q_minhash_decontam(spark, sf_dir):
     return out.orderBy("doc_id", "bench_id")
 
 
+def q_cluster_keywords(spark, sf_dir):
+    """Cluster naming (datapipe.similarity.ivf_assign + datapipe.report
+    .cluster_keywords): hashed-embedding IVF cells over raw text, then
+    each cell's top-5 terms by cluster-level tf-idf — the profile a
+    curator reads to know what an unsupervised cluster IS. Shares the
+    cached model with text_semantic_dedup (same featurization, same
+    cells)."""
+    from rrdtool_1_x_spark.datapipe.report import cluster_keywords
+    from rrdtool_1_x_spark.datapipe.similarity import (
+        hashed_embedding,
+        ivf_assign,
+        ivf_centroid_model,
+    )
+
+    d = _docs(spark, sf_dir)
+    emb = hashed_embedding(d, dim=64).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    key = (spark.sparkContext.applicationId, sf_dir, "textsem")
+    if key not in _IVF_MODEL_CACHE:
+        _IVF_MODEL_CACHE[key] = ivf_centroid_model(emb, nlist=8)
+    assign = ivf_assign(emb, _IVF_MODEL_CACHE[key]).select(
+        F.col("vec_id").alias("doc_id"), "cell"
+    )
+    return cluster_keywords(d, assign, k=5).orderBy("cell", "rank")
+
+
 def q_decontam_spans(spark, sf_dir):
     """Span-level decontamination (datapipe.decontam
     .remove_contaminated_spans): every 8-token window shared verbatim
@@ -3300,6 +3327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_index_topup": q_cms_index_topup,
         "sketch_stream": q_sketch_stream,
         "decontam_spans": q_decontam_spans,
+        "cluster_keywords": q_cluster_keywords,
         "bm25_topk": q_bm25_topk,
         "rrf_fuse": q_rrf_fuse,
         "pmi_topk": q_pmi_topk,
@@ -5201,6 +5229,51 @@ emb AS (SELECT g.doc_id AS vec_id,
                JOIN nn ON nn.doc_id = g.doc_id
         GROUP BY 1),
 {_sem_chain('emb', 8, 0.8)}"""
+
+    # cluster naming: the same hashed-embedding + IVF assignment chain,
+    # then per-cell tf-idf top-5 (idf over cells, not docs)
+    sql["cluster_keywords"] = f"""
+WITH {_fh_ctes},
+emb AS (SELECT g.doc_id AS vec_id,
+          list(CASE WHEN nn.nrm2 > 0
+                    THEN coalesce(c.v, 0)::DOUBLE / sqrt(nn.nrm2)
+                    ELSE 0.0 END ORDER BY g.i) AS v
+        FROM g LEFT JOIN c ON c.doc_id = g.doc_id AND c.bucket = g.i
+               JOIN nn ON nn.doc_id = g.doc_id
+        GROUP BY 1),
+n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM emb),
+cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+sc AS (SELECT n.vec_id, cent.cid,
+              coalesce(CASE WHEN n.n2 > 0 AND cent.cn2 > 0
+                            THEN list_dot_product(n.v, cent.cv)
+                                 / (sqrt(n.n2) * sqrt(cent.cn2)) END,
+                       -2.0) AS s
+       FROM n CROSS JOIN cent),
+asg AS (SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY s DESC, cid ASC) AS rn
+          FROM sc) _ WHERE rn = 1),
+tt AS (SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                  '\\s+'),
+                            x -> x <> '')) AS term
+       FROM documents),
+tf AS (SELECT asg.cid AS cell, term, count(*) AS tf
+       FROM tt JOIN asg ON asg.vec_id = tt.doc_id GROUP BY 1, 2),
+cw AS (SELECT term, count(*) AS cw FROM tf GROUP BY 1),
+ncl AS (SELECT count(DISTINCT cell) AS nc FROM tf),
+sc2 AS (SELECT cell, term, tf,
+          tf * CAST(round(ln((nc + 1)::DOUBLE / (cw + 1)) * 1e6) AS BIGINT)
+            AS s
+        FROM tf JOIN cw USING (term) CROSS JOIN ncl),
+rk AS (SELECT cell, term, tf, s,
+         row_number() OVER (PARTITION BY cell
+                            ORDER BY s DESC, term ASC) AS rank
+       FROM sc2)
+SELECT cell, rank, term, tf, round(s / 1e6, 6) AS tfidf
+FROM rk WHERE rank <= 5 ORDER BY cell, rank"""
 
     # ExactSubstr span removal: same window construction as dup_spans;
     # an occurrence is removable iff its hash occurs >= 2 times in the

@@ -270,3 +270,74 @@ def source_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def cluster_keywords(
+    docs: DataFrame,
+    assignments: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Per-cluster keyword extraction: the top-``k`` terms of each
+    embedding-space cell by cluster-level tf-idf — what a corpus curator
+    reads to NAME the clusters a no-model pipeline discovers (domain
+    discovery, mixture design, targeted pruning all start from "what IS
+    cluster 7"). tf = term occurrences inside the cell's documents;
+    idf = ln((C+1)/(cells_containing_term+1)) over the C cells, so terms
+    shared by every cluster (stopwords, boilerplate) rank below terms
+    that single out this one.
+
+    Integer-quantized score (tf x 1e-6-snapped idf) with ties on the
+    term string — deterministic under any partitioning. Returns
+    (cell, rank, term, tf, tfidf).
+
+    Shape at scale: one (cell, term) aggregation after a doc-keyed join
+    of the token explode against the assignment frame (both map-side
+    combinable); the idf side is vocabulary-sized; the final top-k
+    window partitions by cell over vocabulary-sized input. No stage
+    touches a corpus-wide key.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    e = docs.select(F.col(id_col), F.explode(toks).alias("term")).join(
+        assignments.select(F.col(id_col), F.col(cell_col).alias("_cell")),
+        id_col,
+    )
+    tf = e.groupBy("_cell", "term").agg(F.count(F.lit(1)).alias("tf"))
+    cw = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_cw"))
+    nc = tf.select("_cell").distinct().agg(F.count(F.lit(1)).alias("_nc"))
+    scored = (
+        tf.join(cw, "term")
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "_cell",
+            "term",
+            "tf",
+            (
+                F.col("tf")
+                * F.round(
+                    F.log(
+                        (F.col("_nc") + 1).cast("double") / (F.col("_cw") + 1)
+                    )
+                    * 1e6
+                ).cast("long")
+            ).alias("_s"),
+        )
+    )
+    w = Window.partitionBy("_cell").orderBy(
+        F.desc("_s"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_cell").alias(cell_col),
+            "rank",
+            "term",
+            "tf",
+            F.round(F.col("_s") / 1e6, 6).alias("tfidf"),
+        )
+    )

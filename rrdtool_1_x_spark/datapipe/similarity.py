@@ -2673,3 +2673,18 @@ def hadamard_rotate(
             )
 
     return q.mapInPandas(rotate, out_schema)
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    model: list[tuple[int, list[float], float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Public (id, cell) IVF assignment — the clustering half of
+    ``semantic_deduplicate`` without its pair stage, for consumers that
+    want the cells themselves (cluster profiling, diversity sampling,
+    per-cluster keyword extraction). Map-only GEMM assignment."""
+    return _assign_cells_arrow(corpus, model, id_col, vec_col).select(
+        id_col, "cell"
+    )

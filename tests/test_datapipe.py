@@ -1667,3 +1667,37 @@ def test_rotated_pq_recall_regimes(spark):
     r_raw = ann_recall(raw, exact, k=10).agg(F.avg("recall_at_k")).first()[0]
     r_rot = ann_recall(rpq, exact, k=10).agg(F.avg("recall_at_k")).first()[0]
     assert r_rot > r_raw
+
+
+def test_cluster_keywords_discriminative(spark):
+    """Terms unique to one cluster outrank corpus-wide stopwords; ranks
+    are dense per cell and capped at k."""
+    from rrdtool_1_x_spark.datapipe.report import cluster_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quantum flux measures the entangled state"),
+            (2, "the quantum decoherence of the entangled qubit"),
+            (3, "the recipe needs the flour and the butter"),
+            (4, "the butter melts into the flour mixture"),
+        ],
+        "doc_id long, text string",
+    )
+    assign = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1)], "doc_id long, cell long"
+    )
+    out = cluster_keywords(docs, assign, k=3).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], []).append(r)
+    assert set(by_cell) == {0, 1}
+    top0 = [r["term"] for r in sorted(by_cell[0], key=lambda r: r["rank"])]
+    top1 = [r["term"] for r in sorted(by_cell[1], key=lambda r: r["rank"])]
+    # "the" appears in both cells -> idf ln(3/3)=0 -> score 0; cluster
+    # terms (cw=1 -> idf ln(3/2)>0) outrank it
+    assert "quantum" in top0 and "entangled" in top0
+    assert "the" not in top0[:2] and "the" not in top1[:2]
+    assert all(len(v) <= 3 for v in by_cell.values())
+    assert [r["rank"] for r in sorted(by_cell[0], key=lambda r: r["rank"])] == list(
+        range(1, len(by_cell[0]) + 1)
+    )
