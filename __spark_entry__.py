@@ -1808,6 +1808,26 @@ def q_centroid_classify(spark, sf_dir):
     )
 
 
+def q_kmeans_iter(spark, sf_dir):
+    """Lloyd k-means (datapipe.similarity.kmeans_model/kmeans_assign):
+    k=8, 3 assign+update rounds over int8-quantized vectors, every step
+    integer-exact (md5-rank init, integer-L2 argmin ties-to-lowest,
+    round(sum/count) centroid updates, emptied clusters keep their
+    centroid) — the full iterative algorithm hash-gates against 3
+    unrolled CTE layers. Each round is one map-only corpus scan feeding
+    a k*dim-row aggregate."""
+    from rrdtool_1_x_spark.datapipe.similarity import (
+        kmeans_assign,
+        kmeans_model,
+    )
+
+    e = _emb(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "kmeans8x3")
+    if key not in _IVF_MODEL_CACHE:
+        _IVF_MODEL_CACHE[key] = kmeans_model(e, k=8, n_iter=3)
+    return kmeans_assign(e, model=_IVF_MODEL_CACHE[key]).orderBy("vec_id")
+
+
 def q_ann_int8_topk(spark, sf_dir):
     """Int8-quantized cosine top-10 (datapipe.similarity.quantize_embeddings
     + quantized_topk) against the lowest-id embedding: integer dot
@@ -3313,6 +3333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # block at the top, never appended at the end.
     qs = {
         # -- priority: new this round (no driver row yet) ---------------
+        "kmeans_iter": q_kmeans_iter,
         "oov_rate": q_oov_rate,
         "kn_bigram": q_kn_bigram,
         "edit_near_dup": q_edit_near_dup,
@@ -4677,6 +4698,61 @@ pr AS (SELECT vec_id, lbl AS pred FROM (
 SELECT pr.vec_id, lb.label, pr.pred,
        CASE WHEN pr.pred = lb.label THEN 1 ELSE 0 END AS correct
 FROM pr JOIN lb USING (vec_id) ORDER BY vec_id"""
+
+    # Lloyd k-means, 3 unrolled assign+update rounds (mirrors
+    # similarity.kmeans_model exactly): md5-rank init, integer-L2 argmin
+    # with ties to the lowest cluster, round(sum/count) integer centroid
+    # updates, emptied clusters keep their previous centroid (the
+    # coalesce), final scoring pass emits (vec_id, cluster, dist)
+    _km_layers = []
+    for _i in range(1, 4):
+        _km_layers.append(f"""
+sc{_i} AS (SELECT qv.vec_id, cl.cluster,
+         list_sum(list_transform(range(1, 65),
+            j -> (qv.q[j] - cl.cv[j]) * (qv.q[j] - cl.cv[j]))) AS dd
+       FROM qv CROSS JOIN cl{_i - 1} cl),
+a{_i} AS (SELECT vec_id, cluster FROM (
+         SELECT vec_id, cluster,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dd ASC, cluster ASC) AS rn
+         FROM sc{_i}) _ WHERE rn = 1),
+up{_i} AS (SELECT a.cluster, ii.i AS pos,
+         CAST(round(CAST(sum(qv.q[ii.i]) AS DOUBLE) / count(*)) AS BIGINT)
+           AS c
+       FROM a{_i} a JOIN qv USING (vec_id)
+       CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii
+       GROUP BY 1, 2),
+ce{_i} AS (SELECT p.cluster, p.pos, coalesce(u.c, p.c) AS c
+       FROM ce{_i - 1} p LEFT JOIN up{_i} u USING (cluster, pos)),
+cl{_i} AS (SELECT cluster, list(c ORDER BY pos) AS cv FROM ce{_i}
+       GROUP BY 1)""")
+    sql["kmeans_iter"] = """
+WITH ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings),
+qs AS (SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS s FROM ev),
+qv AS (SELECT vec_id,
+         CASE WHEN s > 0
+              THEN list_transform(v, x -> CAST(round(x / s * 127) AS BIGINT))
+              ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+       FROM qs),
+c0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                 vec_id) - 1 AS cluster, q
+       FROM qv QUALIFY cluster < 8),
+ce0 AS (SELECT cluster, ii.i AS pos, q[ii.i] AS c
+        FROM c0 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii),
+cl0 AS (SELECT cluster, list(c ORDER BY pos) AS cv FROM ce0 GROUP BY 1),""" + ",".join(
+        _km_layers
+    ) + """,
+scF AS (SELECT qv.vec_id, cl.cluster,
+          list_sum(list_transform(range(1, 65),
+             j -> (qv.q[j] - cl.cv[j]) * (qv.q[j] - cl.cv[j]))) AS dd
+        FROM qv CROSS JOIN cl3 cl)
+SELECT vec_id, CAST(cluster AS INT) AS cluster, CAST(dd AS BIGINT) AS dist
+FROM (SELECT vec_id, cluster, dd,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dd ASC, cluster ASC) AS rn
+      FROM scF) _ WHERE rn = 1 ORDER BY vec_id"""
 
     # product quantization ADC: int8 quantize (same qv chain as
     # ann_int8_topk), codebook = 16 smallest-md5(id) vectors split into

@@ -2688,3 +2688,132 @@ def ivf_assign(
     return _assign_cells_arrow(corpus, model, id_col, vec_col).select(
         id_col, "cell"
     )
+
+
+def _kmeans_dists(model: list[list[int]]) -> str:
+    """The per-cluster integer squared-L2 distance array as ONE SQL expr
+    string over ``qvec`` (the centroid_classify construction — the model
+    inlines as a nested array literal parsed once JVM-side)."""
+    cents = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{int(v)}L" for v in c) + ")"
+            for c in model
+        )
+        + ")"
+    )
+    d = len(model[0])
+    return (
+        f"transform({cents}, cv -> aggregate(sequence(0, {d - 1}), 0L,"
+        " (acc, i) -> acc + (CAST(qvec[i] AS BIGINT) - cv[i])"
+        " * (CAST(qvec[i] AS BIGINT) - cv[i])))"
+    )
+
+
+def kmeans_model(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[int]]:
+    """Lloyd k-means over int8-quantized vectors, made cross-engine
+    EXACT by construction (the determinism recipe every quantizer in
+    this module shares, applied to the full iterative algorithm):
+
+    - init: the ``k`` smallest-md5(id) vectors' qvecs, cluster index =
+      md5 rank (the corpus-convention deterministic draw, same as
+      ``ivf_centroid_model`` / ``pq_codebook`` sampling);
+    - assign: integer squared-L2 argmin, ties to the lowest cluster
+      index (``array_position`` returns the first minimum);
+    - update: per-component ``round(sum/count)`` back to integers —
+      sums and counts are exact integers, the one division per
+      component is a single correctly-rounded float op (the
+      ``centroid_model`` rounding rule), so the next iteration starts
+      from identical centroids on every engine and partitioning;
+    - an emptied cluster keeps its previous centroid (documented rule).
+
+    ``n_iter`` assign+update rounds, then the caller scores with the
+    returned ``k x dim`` integer model. Each round is ONE corpus scan
+    (map-only argmin fused with the posexplode) feeding a
+    map-side-combinable (cluster, pos) aggregate of k*dim rows — the
+    driver holds only the model. At 100 TB: n_iter+1 linear passes over
+    a persisted quantized scan, no join, no corpus shuffle.
+    """
+    qc = quantize_embeddings(df, id_col, vec_col).select(id_col, "qvec")
+    qc = qc.persist()
+    try:
+        init = (
+            qc.select(
+                F.col(id_col),
+                "qvec",
+                F.row_number()
+                .over(
+                    Window.orderBy(
+                        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+                    )
+                )
+                .alias("_rk"),
+            )
+            .filter(F.col("_rk") <= k)
+            .collect()
+        )
+        model = [
+            [int(x) for x in r["qvec"]]
+            for r in sorted(init, key=lambda r: r["_rk"])
+        ]
+        for _ in range(n_iter):
+            dists = _kmeans_dists(model)
+            assigned = qc.select(
+                F.expr(
+                    f"array_position({dists}, array_min({dists})) - 1"
+                ).cast("int").alias("cluster"),
+                F.posexplode("qvec").alias("pos", "x"),
+            )
+            rows = (
+                assigned.groupBy("cluster", "pos")
+                .agg(
+                    F.round(F.sum("x").cast("double") / F.count("*"))
+                    .cast("int")
+                    .alias("c")
+                )
+                .collect()
+            )
+            upd: dict[tuple[int, int], int] = {
+                (r["cluster"], r["pos"]): int(r["c"]) for r in rows
+            }
+            model = [
+                [
+                    upd.get((ci, p), model[ci][p])
+                    for p in range(len(model[ci]))
+                ]
+                for ci in range(k)
+            ]
+        return model
+    finally:
+        qc.unpersist()
+
+
+def kmeans_assign(
+    df: DataFrame,
+    model: list[list[int]] | None = None,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Score every vector against a (trained or given) ``kmeans_model``:
+    returns ``(id, cluster, dist)`` with the integer squared-L2 to the
+    assigned centroid — all-integer, hash-exact. Map-only scan, no
+    shuffle (the model is an inlined literal)."""
+    if model is None:
+        model = kmeans_model(df, k, n_iter, id_col, vec_col)
+    qc = quantize_embeddings(df, id_col, vec_col)
+    dists = _kmeans_dists(model)
+    return qc.select(
+        F.col(id_col),
+        F.expr(f"array_position({dists}, array_min({dists})) - 1")
+        .cast("int")
+        .alias("cluster"),
+        F.expr(f"array_min({dists})").alias("dist"),
+    )

@@ -1701,3 +1701,44 @@ def test_cluster_keywords_discriminative(spark):
     assert [r["rank"] for r in sorted(by_cell[0], key=lambda r: r["rank"])] == list(
         range(1, len(by_cell[0]) + 1)
     )
+
+
+def test_kmeans_separates_clusters_and_is_deterministic(spark):
+    from rrdtool_1_x_spark.datapipe.similarity import (
+        kmeans_assign,
+        kmeans_model,
+    )
+
+    # two tight blobs in 8 dims — k=2 must put each blob in one cluster
+    rows = [(i, [10.0 + 0.1 * (i % 3)] * 8) for i in range(15)] + [
+        (100 + i, [-10.0 - 0.1 * (i % 3)] * 8) for i in range(15)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    m1 = kmeans_model(df, k=2, n_iter=3)
+    m2 = kmeans_model(df, k=2, n_iter=3)
+    assert m1 == m2  # md5 init + integer updates → fully deterministic
+    out = kmeans_assign(df, model=m1).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], set()).add(r["vec_id"])
+    assert len(by_cluster) == 2
+    blobs = sorted(frozenset(v) for v in by_cluster.values())
+    assert sorted(map(sorted, blobs)) == [
+        sorted(range(15)),
+        sorted(range(100, 115)),
+    ]
+    # dist is the exact integer squared-L2 to the assigned centroid
+    assert all(r["dist"] >= 0 for r in out)
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    from rrdtool_1_x_spark.datapipe.similarity import kmeans_model
+
+    # k=3 over two identical points: at most 2 distinct init centroids
+    # can win rows — the loser must keep its init centroid, not crash
+    df = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [1.0] * 8), (3, [-1.0] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    m = kmeans_model(df, k=3, n_iter=2)
+    assert len(m) == 3 and all(len(c) == 8 for c in m)
