@@ -3301,6 +3301,22 @@ def q_url_dedup(spark, sf_dir):
     )
 
 
+def q_pagerank(spark, sf_dir):
+    """Domain-authority PageRank (datapipe.graph.domain_link_edges +
+    pagerank): the citation graph document-source → linked domain over
+    the URL-enriched corpus, 5 integer-exact power iterations with
+    damping 85/100 and uniform dangling-mass redistribution — the
+    CCNet/RefinedWeb-style domain quality signal. Ranks are BIGINT
+    micro-units, so the full iterative algorithm hash-gates against 5
+    unrolled CTE layers."""
+    from rrdtool_1_x_spark.datapipe.graph import domain_link_edges, pagerank
+
+    edges = domain_link_edges(_docs_url_variants(spark, sf_dir))
+    return pagerank(edges, n_iter=5).orderBy(
+        F.desc("rank_micro"), F.asc("node")
+    )
+
+
 def q_bm25_index_topup(spark, sf_dir):
     """Persisted + incremental BM25 index (datapipe.retrieval.
     write_bm25_index / append_bm25_index / query_bm25_index): index the
@@ -3334,6 +3350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         # -- priority: new this round (no driver row yet) ---------------
         "kmeans_iter": q_kmeans_iter,
+        "pagerank": q_pagerank,
         "oov_rate": q_oov_rate,
         "kn_bigram": q_kn_bigram,
         "edit_near_dup": q_edit_near_dup,
@@ -3893,6 +3910,61 @@ cn AS (SELECT doc_id,
 SELECT canon_url, min(doc_id) AS keeper_id,
        count(DISTINCT doc_id) AS n_docs, count(*) AS n_urls
 FROM cn GROUP BY 1 ORDER BY canon_url"""
+
+    # domain-authority PageRank: the same enriched corpus, edges
+    # source → lower(host) sans www., 5 unrolled integer power
+    # iterations (mirrors datapipe.graph.pagerank exactly: micro-unit
+    # ranks, DIV out-degree normalization, 85/100 damping, uniform
+    # dangling redistribution). Every sum is cast back to BIGINT — the
+    # r6 HUGEINT lesson — and `//` on positive BIGINTs floors like
+    # Spark's DIV.
+    _pr_layers = []
+    for _i in range(1, 6):
+        _pr_layers.append(f"""
+inf{_i} AS (SELECT e.dst AS node,
+          CAST(sum((r.r * e.w) // o.wout) AS BIGINT) AS fin
+        FROM edges e JOIN r{_i - 1} r ON r.node = e.src
+        JOIN outdeg o ON o.src = e.src GROUP BY 1),
+dg{_i} AS (SELECT CAST(coalesce(sum(r.r), 0) AS BIGINT) AS dg
+        FROM r{_i - 1} r LEFT JOIN outdeg o ON o.src = r.node
+        WHERE o.src IS NULL),
+r{_i} AS (SELECT n.node,
+         CAST((15 * (1000000000000 // nn.n)) // 100
+              + (85 * coalesce(i.fin, 0)) // 100
+              + (85 * (d.dg // nn.n)) // 100 AS BIGINT) AS r
+       FROM r{_i - 1} n LEFT JOIN inf{_i} i ON i.node = n.node,
+            dg{_i} d, nn)""")
+    sql["pagerank"] = r"""
+WITH enr AS (SELECT doc_id, source,
+    text || ' ref ' || CASE doc_id % 4
+      WHEN 0 THEN 'https://SITE' || CAST(doc_id % 50 AS VARCHAR)
+        || '.example.org/page/' || CAST(doc_id % 50 AS VARCHAR) || '/'
+      WHEN 1 THEN 'http://www.site' || CAST(doc_id % 50 AS VARCHAR)
+        || '.example.org/page/' || CAST(doc_id % 50 AS VARCHAR)
+      WHEN 2 THEN 'https://site' || CAST(doc_id % 50 AS VARCHAR)
+        || '.example.org/page/' || CAST(doc_id % 50 AS VARCHAR)
+        || '?utm_source=feed&utm_campaign=x'
+      ELSE 'https://site' || CAST(doc_id % 50 AS VARCHAR)
+        || '.example.org/page/' || CAST(doc_id % 50 AS VARCHAR) || '#frag'
+    END AS text
+  FROM documents),
+hx AS (SELECT source AS src,
+         regexp_replace(lower(unnest(
+           regexp_extract_all(text, 'https?://([^/\s:]+)', 1))),
+           '^www\.', '') AS dst
+       FROM enr),
+edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+          FROM hx GROUP BY 1, 2),
+nodes AS (SELECT src AS node FROM edges
+          UNION SELECT dst FROM edges),
+outdeg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout
+           FROM edges GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+r0 AS (SELECT nodes.node,
+         CAST(1000000000000 // nn.n AS BIGINT) AS r
+       FROM nodes, nn),""" + ",".join(_pr_layers) + """
+SELECT node, r AS rank_micro FROM r5
+ORDER BY rank_micro DESC, node"""
 
     sql["bpe_train"] = _bpe_train_oracle(20)
     sql["bpe_encode"] = _bpe_encode_oracle(20)

@@ -1,0 +1,129 @@
+"""Link-graph analytics over corpus-derived edges.
+
+The web-pipeline quality signal this serves: CCNet/RefinedWeb-style
+corpora weight and filter documents by the authority of their host
+domain (CommonCrawl publishes harmonic centrality / PageRank for
+exactly this use). ``domain_link_edges`` derives the citation graph
+from the corpus itself — document source → every domain its text links
+to — and ``pagerank`` scores it.
+
+Determinism recipe (the module-wide convention): ranks are BIGINT
+micro-units and every step is integer arithmetic — ``DIV`` for the
+out-degree normalization and the damping factor 85/100 — so iteration
+``i``'s ranks are bit-identical on every engine and partitioning, and
+the full iterative algorithm hash-gates against unrolled SQL CTE
+layers. Floors lose a few micro-units of rank mass per step; that is a
+documented property of the quantization, identical everywhere.
+
+Shape at scale: edges aggregate to (src_domain, dst_domain, weight) —
+domain-pair-sized, orders of magnitude below the corpus. Each
+iteration is one join of the node-sized rank frame with the edge list
+(shuffle on src) plus one dst aggregation; dangling mass and N are
+one-row broadcast frames. Rank frames are localCheckpoint()ed per
+iteration (the ``duplicate_groups`` pattern) so the logical plan stays
+iteration-deep, not 3^n-wide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# host of every http(s) URL — identical string to pii.domain_stats, and
+# RE2-safe so the DuckDB oracle runs it verbatim
+HOST_PATTERN = r"https?://([^/\s:]+)"
+
+
+def domain_link_edges(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """The corpus citation graph: one weighted edge per (document
+    source, linked domain) pair, weight = number of links. Hosts are
+    lowercased with a leading ``www.`` stripped (the
+    ``url_canonical_dedup`` canonical form, host part).
+
+    Per-row extraction inside the scan, one explode, one combinable
+    aggregation — corpus-linear; hot domains are aggregate keys, never
+    join keys."""
+    hosts = F.regexp_extract_all(F.col(text_col), F.lit(HOST_PATTERN), 1)
+    dst = F.regexp_replace(F.lower(F.col("_h")), r"^www\.", "")
+    return (
+        df.select(F.col(source_col).alias("src"), F.explode(hosts).alias("_h"))
+        .select("src", dst.alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 5,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Weighted PageRank with damping 0.85 over ``(src, dst, w)`` edges,
+    all-integer: ranks are micro-units of ``scale``, a node passes
+    ``(r * w) DIV wout`` along each out-edge, dangling mass (nodes with
+    no out-edges) is redistributed uniformly, and the update is
+
+        r' = (15 * (scale DIV N)) DIV 100
+           + (85 * inflow) DIV 100 + (85 * (dang DIV N)) DIV 100
+
+    — every operand BIGINT, so the result is exact and hash-stable.
+    Returns ``(node, rank_micro)`` for every node.
+
+    At 100 TB the edge frame is domain-pair-sized and each iteration is
+    one shuffle on src plus one on dst; the two scalars (N, dangling
+    mass) broadcast. n_iter is typically <= 10 (power iteration
+    converges geometrically at rate 0.85)."""
+    edges = edges.select(
+        F.col("src"), F.col("dst"), F.col("w").cast("long")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out = (
+        edges.groupBy("src").agg(F.sum("w").alias("wout"))
+        .localCheckpoint(eager=True)
+    )
+    nn = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranks = (
+        nodes.crossJoin(F.broadcast(nn))
+        .select("node", F.expr(f"{scale}L DIV n").alias("r"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iter):
+        contrib = (
+            ranks.join(edges, ranks.node == edges.src)
+            .join(out, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(r * w) DIV wout").alias("c"),
+            )
+        )
+        inflow = contrib.groupBy("node").agg(F.sum("c").alias("fin"))
+        dang = (
+            ranks.join(out, ranks.node == out.src, "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dg"))
+        )
+        ranks = (
+            ranks.select("node")
+            .join(inflow, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                F.expr(
+                    f"(15 * ({scale}L DIV n)) DIV 100"
+                    " + (85 * coalesce(fin, 0L)) DIV 100"
+                    " + (85 * (dg DIV n)) DIV 100"
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("r").alias("rank_micro"))

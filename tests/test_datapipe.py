@@ -1742,3 +1742,49 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     )
     m = kmeans_model(df, k=3, n_iter=2)
     assert len(m) == 3 and all(len(c) == 8 for c in m)
+
+
+def test_pagerank_authority_ordering_and_mass(spark):
+    from rrdtool_1_x_spark.datapipe.graph import pagerank
+
+    # star: 3 sources all cite hub; hub is dangling
+    edges = spark.createDataFrame(
+        [("a", "hub", 1), ("b", "hub", 1), ("c", "hub", 2)],
+        "src string, dst string, w long",
+    )
+    out = {r["node"]: r["rank_micro"] for r in pagerank(edges, n_iter=5).collect()}
+    assert set(out) == {"a", "b", "c", "hub"}
+    # the cited hub must dominate every citer
+    assert out["hub"] > max(out["a"], out["b"], out["c"])
+    # citers receive only the base + dangling share → all equal
+    assert out["a"] == out["b"] == out["c"]
+    # integer floors lose a little mass but never create any
+    total = sum(out.values())
+    assert 0.9 * 10**12 < total <= 10**12
+
+
+def test_pagerank_weighted_edges_split_proportionally(spark):
+    from rrdtool_1_x_spark.datapipe.graph import pagerank
+
+    # s cites x with weight 3 and y with weight 1 → x outranks y
+    edges = spark.createDataFrame(
+        [("s", "x", 3), ("s", "y", 1)], "src string, dst string, w long"
+    )
+    out = {r["node"]: r["rank_micro"] for r in pagerank(edges, n_iter=3).collect()}
+    assert out["x"] > out["y"] > 0
+
+
+def test_domain_link_edges_canonicalizes_hosts(spark):
+    from rrdtool_1_x_spark.datapipe.graph import domain_link_edges
+
+    df = spark.createDataFrame(
+        [
+            (1, "srcA", "see https://WWW.Example.org/a and http://example.org/b"),
+            (2, "srcB", "none here"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = domain_link_edges(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["src"], r["dst"], r["w"]) == ("srcA", "example.org", 2)
