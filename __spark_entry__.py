@@ -2120,6 +2120,22 @@ def q_hash_split(spark, sf_dir):
     return out.select("doc_id", "split").orderBy("doc_id")
 
 
+def q_group_split(spark, sf_dir):
+    """Leakage-safe train/val/test split (datapipe.sampling.
+    leakage_safe_split): every near-dup connected component is keyed by
+    its representative (min id), so a whole dup group lands in one
+    split by construction — the assignment that makes the split_leak
+    audit come back empty for the exact/near-dup channel. Same md5
+    assignment rule as hash_split, keyed on the representative."""
+    from rrdtool_1_x_spark.datapipe.sampling import leakage_safe_split
+
+    d = _docs(spark, sf_dir)
+    out = leakage_safe_split(
+        d, _near_dup(spark, sf_dir), {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.orderBy("doc_id")
+
+
 def q_stratified_sample(spark, sf_dir):
     """Per-language stratified sample of 20 docs in deterministic hash order
     (datapipe.sampling.stratified_sample)."""
@@ -3351,6 +3367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- priority: new this round (no driver row yet) ---------------
         "kmeans_iter": q_kmeans_iter,
         "pagerank": q_pagerank,
+        "group_split": q_group_split,
         "oov_rate": q_oov_rate,
         "kn_bigram": q_kn_bigram,
         "edit_near_dup": q_edit_near_dup,
@@ -5728,6 +5745,18 @@ u AS (SELECT doc_id, {u01} AS u FROM t)
 SELECT doc_id,
   CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
 FROM u ORDER BY doc_id"""
+    # leakage-safe split: the SAME cc labels as dup_groups pick each
+    # component's representative; singletons use their own id; then the
+    # hash_split md5 rule keyed on the representative
+    sql["group_split"] = f"""WITH RECURSIVE {cc_cte},
+gs_rep AS (SELECT d.doc_id, coalesce(l.group_id, d.doc_id) AS rep
+        FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+gs_t AS (SELECT doc_id, rep, md5('split:' || CAST(rep AS VARCHAR)) AS h
+      FROM gs_rep),
+gs_u AS (SELECT doc_id, rep, {u01} AS u FROM gs_t)
+SELECT doc_id, rep,
+  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+FROM gs_u ORDER BY doc_id"""
     sql["stratified_sample"] = """
 WITH r AS (SELECT doc_id, lang,
              row_number() OVER (PARTITION BY lang

@@ -551,3 +551,38 @@ def chunk_documents(
         F.col("_c.n_tok").alias("n_tok"),
         F.col("_c.chunk_text").alias("chunk_text"),
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment that can never put two near-duplicates
+    in different splits — the fix for the contamination channel
+    ``split_leakage`` audits: instead of hashing each document's own id
+    (``hash_split``), every member of a near-dup connected component is
+    keyed by the component's representative (min id; singletons by their
+    own id), so a whole dup group lands in ONE split by construction.
+
+    ``pairs`` is any (id_a, id_b) near-dup edge list (MinHash-LSH,
+    SimHash, embedding — whatever the pipeline verified). Returns
+    ``(id, rep, split)``.
+
+    Shape at scale: label propagation over the pair-sized edge list
+    (O(component diameter) node-frame joins), one left join to attach
+    labels to the corpus, then the same map-only md5 assignment as
+    ``hash_split`` — deterministic in the edge list + ids alone, stable
+    under appends that don't add edges."""
+    from rrdtool_1_x_spark.datapipe.dedup import duplicate_groups
+
+    groups = duplicate_groups(pairs)
+    rep = docs.join(groups, docs[id_col] == groups["doc_id"], "left").select(
+        docs[id_col],
+        F.coalesce(groups["group_id"], docs[id_col]).alias("rep"),
+    )
+    return hash_split(rep, weights, id_col="rep", seed=seed).select(
+        id_col, "rep", "split"
+    )

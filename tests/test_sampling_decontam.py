@@ -730,3 +730,27 @@ def test_remove_contaminated_spans_surgical(spark):
     for r in out.values():
         kept = len(r["text"].split()) if r["text"] else 0
         assert kept + r["removed_tokens"] == r["n_tokens"]
+
+
+def test_leakage_safe_split_groups_never_straddle(spark):
+    from rrdtool_1_x_spark.datapipe.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    # components {0,1,2} and {10,11}; everything else singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    out = leakage_safe_split(
+        docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).collect()
+    assert len(out) == 40
+    by_id = {r["doc_id"]: r for r in out}
+    # whole component shares rep AND split
+    assert {by_id[i]["rep"] for i in (0, 1, 2)} == {0}
+    assert len({by_id[i]["split"] for i in (0, 1, 2)}) == 1
+    assert {by_id[i]["rep"] for i in (10, 11)} == {10}
+    assert by_id[10]["split"] == by_id[11]["split"]
+    # singletons keep their own id as rep
+    assert by_id[25]["rep"] == 25
