@@ -3127,6 +3127,31 @@ def q_bpe_encode(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_ngram_diversity(spark, sf_dir):
+    """Distinct-n diversity / type-token ratio per source
+    (datapipe.textstats.ngram_diversity; Li et al. 2016 distinct-n):
+    per (source, n<=3) total vs distinct n-gram positions — the
+    template/boilerplate detector. One explode, two combinable
+    aggregations."""
+    from rrdtool_1_x_spark.datapipe.textstats import ngram_diversity
+
+    return ngram_diversity(_docs(spark, sf_dir), max_n=3).orderBy(
+        "source", "n"
+    )
+
+
+def q_fertility(spark, sf_dir):
+    """Tokenizer fertility per source (datapipe.bpe.bpe_fertility):
+    pieces/word and chars/piece under the corpus-trained 20-merge BPE —
+    the tokenizer-fit metric that sizes vocabularies before a training
+    run. Oracle reuses the bpe_encode CTE chain aggregated per source."""
+    from rrdtool_1_x_spark.datapipe.bpe import bpe_fertility
+
+    return bpe_fertility(
+        _docs(spark, sf_dir), _bpe_merges(spark, sf_dir)
+    ).orderBy("source")
+
+
 def q_hash_embed(spark, sf_dir):
     """Feature-hashing document embeddings (datapipe.similarity.
     hashed_embedding; Weinberger et al. 2009): md5-bucketed +-1 token
@@ -3368,6 +3393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_iter": q_kmeans_iter,
         "pagerank": q_pagerank,
         "group_split": q_group_split,
+        "ngram_diversity": q_ngram_diversity,
+        "fertility": q_fertility,
         "oov_rate": q_oov_rate,
         "kn_bigram": q_kn_bigram,
         "edit_near_dup": q_edit_near_dup,
@@ -3683,6 +3710,31 @@ SELECT d.doc_id, CAST(coalesce(len(a.pieces), 0) AS BIGINT) AS n_pieces,
 FROM documents d LEFT JOIN dagg a USING (doc_id) ORDER BY doc_id"""
 
 
+def _bpe_fertility_oracle(n: int) -> str:
+    """The bpe_encode chain aggregated per source: pieces/word and
+    chars/piece — counts are exact integer sums (cast back to BIGINT,
+    the HUGEINT lesson), the two ratios one correctly-rounded division
+    each."""
+    return rf"""WITH {_bpe_chain_ctes(n)},
+dw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                  x -> x != '') AS ws FROM documents),
+dpos AS (SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS j FROM dw),
+dagg AS (SELECT doc_id, flatten(list(s ORDER BY j)) AS pieces
+         FROM dpos JOIN s{n} USING (w) GROUP BY doc_id),
+pd AS (SELECT d.doc_id, d.source,
+         CAST(coalesce(len(a.pieces), 0) AS BIGINT) AS np,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(d.text)), '\s+'),
+                              x -> x != '')) AS BIGINT) AS nw,
+         CAST(length(d.text) AS BIGINT) AS nc
+       FROM documents d LEFT JOIN dagg a USING (doc_id))
+SELECT source, CAST(sum(np) AS BIGINT) AS n_pieces,
+       CAST(sum(nw) AS BIGINT) AS n_words,
+       CAST(sum(nc) AS BIGINT) AS n_chars,
+       round(sum(np)::DOUBLE / sum(nw), 6) AS pieces_per_word,
+       round(sum(nc)::DOUBLE / sum(np), 6) AS chars_per_piece
+FROM pd GROUP BY 1 ORDER BY source"""
+
+
 _RESID_LIM = 32767
 
 
@@ -3985,6 +4037,29 @@ ORDER BY rank_micro DESC, node"""
 
     sql["bpe_train"] = _bpe_train_oracle(20)
     sql["bpe_encode"] = _bpe_encode_oracle(20)
+    sql["fertility"] = _bpe_fertility_oracle(20)
+
+    # distinct-n diversity: the gopher-style tagged n-gram explode
+    # rolled up to (source, n) totals vs distincts
+    sql["ngram_diversity"] = r"""
+WITH tk AS (SELECT source,
+              list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                          x -> x != '') AS t
+            FROM documents),
+g AS (
+  SELECT source, 1 AS n, unnest(t) AS gram FROM tk
+  UNION ALL
+  SELECT source, 2, unnest(list_transform(range(1, len(t)),
+           i -> t[i] || ' ' || t[i + 1])) FROM tk
+  UNION ALL
+  SELECT source, 3, unnest(list_transform(range(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) FROM tk
+),
+pg AS (SELECT source, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3)
+SELECT source, n, CAST(sum(c) AS BIGINT) AS total_ngrams,
+       CAST(count(*) AS BIGINT) AS distinct_ngrams,
+       round(count(*)::DOUBLE / sum(c), 6) AS ttr
+FROM pg GROUP BY 1, 2 ORDER BY source, n"""
     sql["dedup_stream"] = """
 SELECT DISTINCT md5(text) AS h FROM documents ORDER BY h"""
 

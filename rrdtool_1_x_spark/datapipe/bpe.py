@@ -202,3 +202,52 @@ def bpe_encode(
     return df.select(id_col, text_col).mapInPandas(
         encode, f"{id_col} {id_ddl}, n_pieces long, pieces array<string>"
     )
+
+
+def bpe_fertility(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Tokenizer fertility report — the standard tokenizer-fit metric
+    (pieces per word, chars per piece) per corpus group under a trained
+    merge list. High pieces-per-word on a source means the vocabulary
+    fits it badly (over-segmentation → more sequence positions per byte
+    of text); the number drives vocab-size and merge-count decisions
+    before a large training run.
+
+    Returns ``(group, n_pieces, n_words, n_chars, pieces_per_word,
+    chars_per_piece)``.
+
+    Shape at scale: one Arrow-batched encode scan (``bpe_encode``) plus
+    one map-only word/char count, joined on the doc id and rolled up to
+    group-sized output — corpus-linear, no corpus-wide key."""
+    enc = bpe_encode(df, merges, id_col, text_col).select(
+        id_col, F.col("n_pieces").cast("long").alias("_np")
+    )
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.size(toks).cast("long").alias("_nw"),
+        F.length(F.col(text_col)).cast("long").alias("_nc"),
+    )
+    return (
+        base.join(enc, id_col)
+        .groupBy(group_col)
+        .agg(
+            F.sum("_np").alias("n_pieces"),
+            F.sum("_nw").alias("n_words"),
+            F.sum("_nc").alias("n_chars"),
+            F.round(
+                F.sum("_np").cast("double") / F.sum("_nw"), 6
+            ).alias("pieces_per_word"),
+            F.round(
+                F.sum("_nc").cast("double") / F.sum("_np"), 6
+            ).alias("chars_per_piece"),
+        )
+    )

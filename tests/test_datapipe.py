@@ -1788,3 +1788,42 @@ def test_domain_link_edges_canonicalizes_hosts(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r["src"], r["dst"], r["w"]) == ("srcA", "example.org", 2)
+
+
+def test_ngram_diversity_hand_case(spark):
+    from rrdtool_1_x_spark.datapipe.textstats import ngram_diversity
+
+    df = spark.createDataFrame(
+        [(1, "a b a b", "s1"), (2, "a a a", "s1"), (3, "x y", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r["source"], r["n"]): r
+        for r in ngram_diversity(df, max_n=2).collect()
+    }
+    # s1 unigrams: positions a,b,a,b,a,a,a = 7 total, {a,b} = 2 distinct
+    assert out[("s1", 1)]["total_ngrams"] == 7
+    assert out[("s1", 1)]["distinct_ngrams"] == 2
+    # s1 bigrams: "a b","b a","a b" + "a a","a a" = 5 total, 3 distinct
+    assert out[("s1", 2)]["total_ngrams"] == 5
+    assert out[("s1", 2)]["distinct_ngrams"] == 3
+    # s2: 2 unigrams both distinct → ttr 1.0; one bigram
+    assert out[("s2", 1)]["ttr"] == 1.0
+    assert out[("s2", 2)]["total_ngrams"] == 1
+
+
+def test_bpe_fertility_counts(spark):
+    from rrdtool_1_x_spark.datapipe.bpe import bpe_fertility, train_bpe
+
+    df = spark.createDataFrame(
+        [(1, "low low lower", "s1"), (2, "newest widest", "s1")],
+        "doc_id long, text string, source string",
+    )
+    merges = train_bpe(df, num_merges=5)
+    out = bpe_fertility(df, merges).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_words"] == 5
+    assert r["n_chars"] == 13 + 13
+    assert r["n_pieces"] >= r["n_words"]  # subwords never merge across words
+    assert abs(r["pieces_per_word"] - r["n_pieces"] / 5) < 1e-9
