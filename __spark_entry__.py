@@ -1851,6 +1851,49 @@ def q_ann_int8_topk(spark, sf_dir):
     )
 
 
+def q_ann_int4_topk(spark, sf_dir):
+    """Int4-quantized cosine top-10 (quantize_embeddings qmax=7): the
+    8x-compression retrieval tier — 2 components/byte packed on disk,
+    integer dots so the ranking stays bit-deterministic. Same query
+    shape as ann_int8_topk."""
+    from rrdtool_1_x_spark.datapipe.similarity import quantized_topk
+
+    e = _emb(spark, sf_dir)
+    qv = e.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("qid"), F.col("embedding")
+    )
+    out = quantized_topk(
+        e, qv, k=11, query_id_col="qid", qmax=7
+    ).filter(F.col("vec_id") != F.col("qid"))
+    w = Window.orderBy(F.desc("qcos_sim"), F.asc("vec_id"))
+    return (
+        out.select("vec_id", F.round("qcos_sim", 6).alias("qcos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .orderBy("rank")
+    )
+
+
+def q_int4_recall(spark, sf_dir):
+    """Recall@10 of the int4 scan against the int8 baseline
+    (datapipe.similarity.ann_recall over two quantized_topk rankings,
+    both integer-deterministic): the measured quality cost of the
+    8x-compression tier — the number that decides whether int4 is
+    acceptable for a first-stage retrieval pass."""
+    from rrdtool_1_x_spark.datapipe.similarity import (
+        ann_recall,
+        quantized_topk,
+    )
+
+    e = _emb(spark, sf_dir)
+    q = e.orderBy("vec_id").limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    approx = quantized_topk(e, q, k=10, query_id_col="query_id", qmax=7)
+    exact = quantized_topk(e, q, k=10, query_id_col="query_id")
+    return ann_recall(approx, exact, k=10).orderBy("query_id")
+
+
 def q_dup_groups(spark, sf_dir):
     """Near-dup connected components via distributed label propagation
     (datapipe.dedup.duplicate_groups): (doc_id, group_id = min id in
@@ -3395,6 +3438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_split": q_group_split,
         "ngram_diversity": q_ngram_diversity,
         "fertility": q_fertility,
+        "ann_int4_topk": q_ann_int4_topk,
+        "int4_recall": q_int4_recall,
         "oov_rate": q_oov_rate,
         "kn_bigram": q_kn_bigram,
         "edit_near_dup": q_edit_near_dup,
@@ -5120,6 +5165,59 @@ ranked AS (SELECT vec_id, qcos_sim,
                     AS rank
            FROM sims)
 SELECT vec_id, qcos_sim, rank FROM ranked WHERE rank <= 10 ORDER BY rank"""
+
+    # int4 scan: the identical chain at 7 levels (qmax=7)
+    sql["ann_int4_topk"] = sql["ann_int8_topk"].replace("* 127", "* 7")
+
+    # recall@10 of the int4 ranking vs the int8 baseline — both sides
+    # integer-deterministic, both INCLUDE the query row (mirrors
+    # quantized_topk, which does not self-exclude)
+    sql["int4_recall"] = """
+WITH ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings),
+qs AS (SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS s FROM ev),
+q8 AS (SELECT vec_id,
+         CASE WHEN s > 0
+              THEN list_transform(v, x -> CAST(round(x / s * 127) AS BIGINT))
+              ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+       FROM qs),
+q4 AS (SELECT vec_id,
+         CASE WHEN s > 0
+              THEN list_transform(v, x -> CAST(round(x / s * 7) AS BIGINT))
+              ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+       FROM qs),
+qids AS (SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id LIMIT 2),
+p4 AS (SELECT qi.query_id, e.vec_id,
+         list_sum(list_transform(range(1, 65), i -> e.q[i] * qe.q[i])) AS dot,
+         list_sum(list_transform(range(1, 65), i -> e.q[i] * e.q[i])) AS na2,
+         list_sum(list_transform(range(1, 65), i -> qe.q[i] * qe.q[i])) AS nb2
+       FROM q4 e CROSS JOIN qids qi JOIN q4 qe ON qe.vec_id = qi.query_id),
+apx AS (SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY dot::DOUBLE / sqrt(na2::DOUBLE * nb2::DOUBLE)
+                            DESC, vec_id ASC) AS rank
+          FROM p4 WHERE na2 > 0 AND nb2 > 0) _ WHERE rank <= 10),
+p8 AS (SELECT qi.query_id, e.vec_id,
+         list_sum(list_transform(range(1, 65), i -> e.q[i] * qe.q[i])) AS dot,
+         list_sum(list_transform(range(1, 65), i -> e.q[i] * e.q[i])) AS na2,
+         list_sum(list_transform(range(1, 65), i -> qe.q[i] * qe.q[i])) AS nb2
+       FROM q8 e CROSS JOIN qids qi JOIN q8 qe ON qe.vec_id = qi.query_id),
+exv AS (SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY dot::DOUBLE / sqrt(na2::DOUBLE * nb2::DOUBLE)
+                            DESC, vec_id ASC) AS rank
+          FROM p8 WHERE na2 > 0 AND nb2 > 0) _ WHERE rank <= 10)
+SELECT e.query_id, count(*) AS n_exact,
+       CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS recall_at_k
+FROM exv e LEFT JOIN apx a ON a.query_id = e.query_id
+                          AND a.vec_id = e.vec_id
+GROUP BY e.query_id ORDER BY e.query_id"""
 
     # --- MinHash-LSH near-dup pipeline (mirrors datapipe.dedup exactly:
     # md5 minhashes with "mh{i}:" seeds, 4 bands of 2, candidates within

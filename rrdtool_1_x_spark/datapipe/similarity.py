@@ -1358,7 +1358,10 @@ def hashed_embedding(
 
 
 def quantize_embeddings(
-    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qmax: int = 127,
 ) -> DataFrame:
     """Symmetric per-vector int8 quantization — the standard memory/IO
     lever for corpus-scale vector search (4x smaller scans than float32,
@@ -1374,6 +1377,10 @@ def quantize_embeddings(
     the summation order to stay hash-stable.
 
     Map-only: per-row array arithmetic, no shuffle.
+
+    ``qmax`` selects the level count: 127 = int8 (default); 7 = int4,
+    the 8x-compression tier (2 components/byte packed on disk) whose
+    recall cost the ``int4_recall`` gate measures.
     """
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     staged = df.select(
@@ -1383,12 +1390,12 @@ def quantize_embeddings(
     )
     return staged.select(
         F.col(id_col),
-        _int8_qvec(F.col("_v"), F.col("scale")).alias("qvec"),
+        _int8_qvec(F.col("_v"), F.col("scale"), qmax).alias("qvec"),
         F.col("scale"),
     )
 
 
-def _int8_qvec(v: Column, scale: Column) -> Column:
+def _int8_qvec(v: Column, scale: Column, qmax: int = 127) -> Column:
     """The int8 quantization rule — ``round(x / scale * 127)`` with the
     zero-vector guard — as a Column, the single source of truth shared by
     ``quantize_embeddings`` and ``ivfpq_topk``'s fused (cell, codes)
@@ -1396,7 +1403,7 @@ def _int8_qvec(v: Column, scale: Column) -> Column:
     bit-for-bit or every ADC distance silently corrupts."""
     return F.when(
         scale > 0,
-        F.transform(v, lambda x: F.round(x / scale * 127).cast("int")),
+        F.transform(v, lambda x: F.round(x / scale * qmax).cast("int")),
     ).otherwise(F.transform(v, lambda x: F.lit(0).cast("int")))
 
 
@@ -2295,6 +2302,7 @@ def quantized_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    qmax: int = 127,
 ) -> DataFrame:
     """Top-k by cosine over int8-quantized vectors: the scan reads 4x
     fewer bytes than the float path and every score is an INTEGER dot /
@@ -2311,8 +2319,8 @@ def quantized_topk(
     quantized query frame, one corpus-linear scoring pass, per-query
     top-k windows (per-key state only).
     """
-    qc = quantize_embeddings(corpus, id_col, vec_col)
-    qq = quantize_embeddings(queries, query_id_col, vec_col).select(
+    qc = quantize_embeddings(corpus, id_col, vec_col, qmax=qmax)
+    qq = quantize_embeddings(queries, query_id_col, vec_col, qmax=qmax).select(
         F.col(query_id_col).alias("_qid"), F.col("qvec").alias("_qvec")
     )
     scored = (
