@@ -1874,6 +1874,23 @@ def q_ann_int4_topk(spark, sf_dir):
     )
 
 
+def q_trunc_rerank(spark, sf_dir):
+    """Two-stage truncated-dimension retrieval (datapipe.similarity.
+    truncated_rerank_topk; the Matryoshka adaptive-retrieval pattern):
+    corpus-wide ranking over the first 16 of 64 dims (4x less vector IO
+    in the only full pass), exact int8 re-rank of the 50 survivors —
+    both stages integer-deterministic, composition hash-gated."""
+    from rrdtool_1_x_spark.datapipe.similarity import truncated_rerank_topk
+
+    e = _emb(spark, sf_dir)
+    q = e.orderBy("vec_id").limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return truncated_rerank_topk(
+        e, q, k=10, prefix_dims=16, candidates=50
+    ).orderBy("query_id", "rank")
+
+
 def q_int4_recall(spark, sf_dir):
     """Recall@10 of the int4 scan against the int8 baseline
     (datapipe.similarity.ann_recall over two quantized_topk rankings,
@@ -3440,6 +3457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fertility": q_fertility,
         "ann_int4_topk": q_ann_int4_topk,
         "int4_recall": q_int4_recall,
+        "trunc_rerank": q_trunc_rerank,
         "oov_rate": q_oov_rate,
         "kn_bigram": q_kn_bigram,
         "edit_near_dup": q_edit_near_dup,
@@ -5168,6 +5186,51 @@ SELECT vec_id, qcos_sim, rank FROM ranked WHERE rank <= 10 ORDER BY rank"""
 
     # int4 scan: the identical chain at 7 levels (qmax=7)
     sql["ann_int4_topk"] = sql["ann_int8_topk"].replace("* 127", "* 7")
+
+    # two-stage truncated-dim retrieval: stage 1 ranks on the 16-dim
+    # prefix (candidates=50, ties to lowest id), stage 2 re-ranks the
+    # survivors with the full 64-dim int8 cosine
+    sql["trunc_rerank"] = """
+WITH ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings),
+qs AS (SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS s FROM ev),
+qv AS (SELECT vec_id,
+         CASE WHEN s > 0
+              THEN list_transform(v, x -> CAST(round(x / s * 127) AS BIGINT))
+              ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+       FROM qs),
+qids AS (SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id LIMIT 2),
+qqv AS (SELECT qi.query_id, q.q AS qe
+        FROM qv q JOIN qids qi ON q.vec_id = qi.query_id),
+s1 AS (SELECT qqv.query_id, e.vec_id, e.q AS eq, qqv.qe,
+         list_sum(list_transform(range(1, 17), i -> e.q[i] * qqv.qe[i]))
+           AS pdot,
+         list_sum(list_transform(range(1, 17), i -> e.q[i] * e.q[i]))
+           AS pna2,
+         list_sum(list_transform(range(1, 17), i -> qqv.qe[i] * qqv.qe[i]))
+           AS pnb2
+       FROM qv e CROSS JOIN qqv),
+c1 AS (SELECT query_id, vec_id, eq, qe FROM (
+         SELECT query_id, vec_id, eq, qe,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY pdot::DOUBLE / sqrt(pna2::DOUBLE * pnb2::DOUBLE)
+                           DESC, vec_id ASC) AS r1
+         FROM s1 WHERE pna2 > 0 AND pnb2 > 0) _ WHERE r1 <= 50),
+s2 AS (SELECT query_id, vec_id,
+         list_sum(list_transform(range(1, 65), i -> eq[i] * qe[i])) AS dot,
+         list_sum(list_transform(range(1, 65), i -> eq[i] * eq[i])) AS na2,
+         list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])) AS nb2
+       FROM c1)
+SELECT query_id, vec_id,
+       round(dot::DOUBLE / sqrt(na2::DOUBLE * nb2::DOUBLE), 6) AS qcos_sim,
+       rank
+FROM (SELECT query_id, vec_id, dot, na2, nb2,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY dot::DOUBLE / sqrt(na2::DOUBLE * nb2::DOUBLE)
+                        DESC, vec_id ASC) AS rank
+      FROM s2) _
+WHERE rank <= 10 ORDER BY query_id, rank"""
 
     # recall@10 of the int4 ranking vs the int8 baseline — both sides
     # integer-deterministic, both INCLUDE the query row (mirrors

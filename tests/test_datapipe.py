@@ -1827,3 +1827,22 @@ def test_bpe_fertility_counts(spark):
     assert r["n_chars"] == 13 + 13
     assert r["n_pieces"] >= r["n_words"]  # subwords never merge across words
     assert abs(r["pieces_per_word"] - r["n_pieces"] / 5) < 1e-9
+
+
+def test_truncated_rerank_finds_full_dim_neighbors(spark, emb):
+    from rrdtool_1_x_spark.datapipe.similarity import (
+        quantized_topk,
+        truncated_rerank_topk,
+    )
+
+    q = emb.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    two = truncated_rerank_topk(emb, q, k=10, prefix_dims=16, candidates=100)
+    exact = quantized_topk(emb, q, k=10, query_id_col="query_id")
+    got = {r["vec_id"] for r in two.collect()}
+    want = {r["vec_id"] for r in exact.collect()}
+    # with a wide candidate pool the two-stage result should recover
+    # most of the exact top-10 (and is deterministic)
+    assert len(got & want) >= 7
+    assert got == {r["vec_id"] for r in two.collect()}
