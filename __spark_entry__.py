@@ -1248,6 +1248,44 @@ def q_event_rollup(spark, sf_dir):
     )
 
 
+def q_mad_outlier(spark, sf_dir):
+    """Per-user robust outlier report (operators.sessions.
+    robust_outliers): nearest-rank median + MAD over exact integer
+    cents, outlier = |x - med| > 3*MAD — the heavy-tail-proof anomaly
+    screen. All-integer, so the full report hash-gates."""
+    from rrdtool_1_x_spark.operators.sessions import robust_outliers
+
+    ev = _events_us(spark, sf_dir)
+    return robust_outliers(ev, thresh=3).orderBy("user_id")
+
+
+def q_label_prop(spark, sf_dir):
+    """k-NN label propagation from a broadcastable seed set
+    (datapipe.similarity.knn_label_propagation): every embedding takes
+    the majority label of its 5 nearest labeled seeds (vec_id % 10 = 0)
+    by int8 cosine — the semi-supervised auto-labeling pass behind
+    curation classifiers. One corpus-linear scoring scan."""
+    from rrdtool_1_x_spark.datapipe.similarity import knn_label_propagation
+
+    e = _emb(spark, sf_dir)
+    seeds = e.filter(F.col("vec_id") % 10 == 0)
+    out = knn_label_propagation(e, seeds, k=5)
+    lab = e.select("vec_id", "label")
+    return (
+        out.join(lab, "vec_id")
+        .select(
+            "vec_id",
+            "pred_label",
+            "votes",
+            "label",
+            F.when(F.col("pred_label") == F.col("label"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("correct"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def q_hll_distinct(spark, sf_dir):
     """Per-source approximate distinct-token counts via a bit-exact
     HyperLogLog (datapipe.sketch.hll_distinct; Flajolet et al. 2007):
@@ -3458,6 +3496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_int4_topk": q_ann_int4_topk,
         "int4_recall": q_int4_recall,
         "trunc_rerank": q_trunc_rerank,
+        "label_prop": q_label_prop,
+        "mad_outlier": q_mad_outlier,
         "oov_rate": q_oov_rate,
         "kn_bigram": q_kn_bigram,
         "edit_near_dup": q_edit_near_dup,
@@ -6765,6 +6805,71 @@ SELECT event_type, user_bucket, count(*) AS n_events,
        round(CAST(sum(cents) AS BIGINT) / 100.0, 6) AS value_sum
 FROM e GROUP BY ROLLUP (event_type, user_bucket)
 ORDER BY event_type, user_bucket"""
+
+    # per-user median/MAD outlier report: nearest-rank LOWER medians
+    # ((n+1) DIV 2-th smallest) over exact integer cents — all-integer
+    sql["mad_outlier"] = """
+WITH b AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c
+           FROM events),
+r AS (SELECT user_id, c,
+        row_number() OVER (PARTITION BY user_id ORDER BY c ASC) AS rn,
+        count(*) OVER (PARTITION BY user_id) AS n
+      FROM b),
+m AS (SELECT user_id, c AS med FROM r WHERE rn = (n + 1) // 2),
+d AS (SELECT b.user_id, m.med, abs(b.c - m.med) AS dev
+      FROM b JOIN m USING (user_id)),
+dr AS (SELECT user_id, dev,
+         row_number() OVER (PARTITION BY user_id ORDER BY dev ASC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+       FROM d),
+md AS (SELECT user_id, dev AS mad FROM dr WHERE rn = (n + 1) // 2)
+SELECT d.user_id, CAST(count(*) AS BIGINT) AS n_events,
+       min(d.med) AS med_cents, min(md.mad) AS mad_cents,
+       CAST(sum(CASE WHEN d.dev > 3 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM d JOIN md USING (user_id) GROUP BY 1 ORDER BY user_id"""
+
+    # k-NN label propagation: int8 pairs corpus x labeled seeds
+    # (vec_id % 10 = 0), 5 nearest non-self seeds per vector (sim desc,
+    # seed id asc), majority vote (count desc, label asc)
+    sql["label_prop"] = """
+WITH ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings),
+qs AS (SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS s FROM ev),
+qv AS (SELECT vec_id,
+         CASE WHEN s > 0
+              THEN list_transform(v, x -> CAST(round(x / s * 127) AS BIGINT))
+              ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+       FROM qs),
+lb AS (SELECT vec_id, label FROM embeddings),
+sd AS (SELECT qv.vec_id AS sid, qv.q AS sq, lb.label AS slab
+       FROM qv JOIN lb USING (vec_id)
+       WHERE vec_id % 10 = 0 AND lb.label IS NOT NULL),
+pr AS (SELECT e.vec_id, sd.sid, sd.slab,
+         list_sum(list_transform(range(1, 65), i -> e.q[i] * sd.sq[i]))
+           AS dot,
+         list_sum(list_transform(range(1, 65), i -> e.q[i] * e.q[i]))
+           AS na2,
+         list_sum(list_transform(range(1, 65), i -> sd.sq[i] * sd.sq[i]))
+           AS nb2
+       FROM qv e CROSS JOIN sd WHERE e.vec_id != sd.sid),
+nn5 AS (SELECT vec_id, slab FROM (
+          SELECT vec_id, slab,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dot::DOUBLE / sqrt(na2::DOUBLE * nb2::DOUBLE)
+                            DESC, sid ASC) AS rn
+          FROM pr WHERE na2 > 0 AND nb2 > 0) _ WHERE rn <= 5),
+vt AS (SELECT vec_id, slab, count(*) AS votes FROM nn5 GROUP BY 1, 2),
+pd AS (SELECT vec_id, slab AS pred_label, votes FROM (
+         SELECT vec_id, slab, votes,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY votes DESC, slab ASC) AS rv
+         FROM vt) _ WHERE rv = 1)
+SELECT pd.vec_id, pd.pred_label, CAST(pd.votes AS BIGINT) AS votes,
+       lb.label,
+       CASE WHEN pd.pred_label = lb.label THEN 1 ELSE 0 END AS correct
+FROM pd JOIN lb USING (vec_id) ORDER BY pd.vec_id"""
 
     # bit-exact HyperLogLog: md5-derived 32-bit hashes, 512 integer-max
     # registers, harmonic sum as an exact dyadic rational (V*2^K + S)/2^K;

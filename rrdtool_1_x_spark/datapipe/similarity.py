@@ -2890,3 +2890,62 @@ def truncated_rerank_topk(
             "rank",
         )
     )
+
+
+def knn_label_propagation(
+    corpus: DataFrame,
+    seeds: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Propagate labels from a small labeled seed set to the whole
+    corpus by k-NN majority vote over the int8 cosine — the
+    semi-supervised auto-labeling step (classify every crawl document
+    into quality/domain classes from a few thousand human labels)
+    behind distillation-style curation classifiers.
+
+    Each corpus vector takes the majority label of its ``k`` nearest
+    NON-SELF seeds (vote-count ties to the lowest label; neighbor-rank
+    ties to the lowest seed id). Null-labeled seed rows are ignored.
+    Returns ``(id, pred_label, votes)``.
+
+    Shape at scale: the seed set is human-annotation-sized —
+    broadcastable by definition — so this is ONE corpus-linear scoring
+    scan (the quantized_topk shape) plus per-id windows; no corpus-wide
+    shuffle key, no quadratic term.
+    """
+    qc = quantize_embeddings(corpus, id_col, vec_col).select(id_col, "qvec")
+    qs = (
+        quantize_embeddings(
+            seeds.filter(F.col(label_col).isNotNull()), id_col, vec_col
+        )
+        .join(seeds.select(id_col, label_col), id_col)
+        .select(
+            F.col(id_col).alias("_sid"),
+            F.col("qvec").alias("_qvec"),
+            F.col(label_col).alias("_slab"),
+        )
+    )
+    scored = (
+        qc.crossJoin(F.broadcast(qs))
+        .filter(F.col(id_col) != F.col("_sid"))
+        .withColumn("_sim", _qcos_sim())
+        .filter(F.col("_sim").isNotNull())
+    )
+    wn = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("_sid"))
+    near = scored.withColumn("_rn", F.row_number().over(wn)).filter(
+        F.col("_rn") <= k
+    )
+    votes = near.groupBy(id_col, "_slab").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    wv = Window.partitionBy(id_col).orderBy(
+        F.desc("votes"), F.asc("_slab")
+    )
+    return (
+        votes.withColumn("_rv", F.row_number().over(wv))
+        .filter(F.col("_rv") == 1)
+        .select(id_col, F.col("_slab").alias("pred_label"), "votes")
+    )

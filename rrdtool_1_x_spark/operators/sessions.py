@@ -94,3 +94,64 @@ def cohort_retention(
             F.col("n_active") / F.col("cohort_size").cast("double"), 6
         ).alias("retention"),
     )
+
+
+def robust_outliers(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    thresh: int = 3,
+) -> DataFrame:
+    """Per-key robust outlier report: median / MAD (median absolute
+    deviation) over exact integer cents, flagging values with
+    ``|x - median| > thresh * MAD`` — the fraud/telemetry anomaly
+    screen that survives the heavy tails that break mean/stddev
+    z-scores (one whale purchase inflates sigma enough to hide real
+    anomalies; the median pair does not move).
+
+    Medians are the nearest-rank LOWER median ((n+1) DIV 2-th smallest)
+    over cents = round(value*100) — all-integer, so every engine and
+    partitioning agrees exactly. With MAD = 0 (over half the values
+    identical) any deviation counts as an outlier, the standard
+    degenerate-MAD convention. Returns
+    ``(key, n_events, med_cents, mad_cents, n_outliers)``.
+
+    Shape at scale: two rank windows and two aggregations all keyed by
+    ``key_col`` — per-key-linear state, no corpus-wide key; skew is
+    bounded by the busiest key's event count.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = events.select(F.col(key_col), cents.alias("_c"))
+    wr = Window.partitionBy(key_col).orderBy(F.asc("_c"))
+    ranked = base.withColumn("_rn", F.row_number().over(wr)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy(key_col))
+    )
+    med = (
+        ranked.filter(F.col("_rn") == F.expr("(_n + 1) DIV 2"))
+        .select(F.col(key_col), F.col("_c").alias("_med"))
+    )
+    dev = base.join(med, key_col).select(
+        F.col(key_col), "_c", "_med", F.abs(F.col("_c") - F.col("_med")).alias("_d")
+    )
+    wd = Window.partitionBy(key_col).orderBy(F.asc("_d"))
+    dranked = dev.withColumn("_rn", F.row_number().over(wd)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy(key_col))
+    )
+    mad = (
+        dranked.filter(F.col("_rn") == F.expr("(_n + 1) DIV 2"))
+        .select(F.col(key_col), F.col("_d").alias("_mad"))
+    )
+    return (
+        dev.join(mad, key_col)
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("_med").alias("med_cents"),
+            F.min("_mad").alias("mad_cents"),
+            F.sum(
+                F.when(
+                    F.col("_d") > F.lit(thresh) * F.col("_mad"), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("n_outliers"),
+        )
+    )

@@ -151,3 +151,34 @@ def test_cohort_retention_hand_case(spark):
     assert out[(0, 2)]["n_active"] == 1 and out[(0, 2)]["retention"] == 0.5
     assert out[(2, 0)]["cohort_size"] == 1 and out[(2, 1)]["retention"] == 1.0
     assert (0, 1) not in out  # nobody from cohort 0 active in period 1
+
+
+def test_robust_outliers_hand_case(spark):
+    from rrdtool_1_x_spark.operators.sessions import robust_outliers
+
+    # user 1: values 1..5 plus a whale at 1000 → med 3.00, MAD 1.00 cents
+    # scale: med=300, dev=[200,100,0,100,200,99700], mad over sorted devs
+    # [0,100,100,200,200,99700] lower-median ((6+1)//2=3rd)=100
+    rows = [(1, float(v)) for v in (1, 2, 3, 4, 5, 1000)] + [
+        (2, 10.0), (2, 10.0), (2, 10.0)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, value double")
+    out = {r["user_id"]: r for r in robust_outliers(df).collect()}
+    r1 = out[1]
+    assert (r1["n_events"], r1["med_cents"], r1["mad_cents"]) == (6, 300, 100)
+    # only the whale exceeds 3*MAD=300: dev 99700 (devs 200 are not > 300)
+    assert r1["n_outliers"] == 1
+    # constant user: MAD 0 → no deviation, no outliers
+    r2 = out[2]
+    assert (r2["med_cents"], r2["mad_cents"], r2["n_outliers"]) == (1000, 0, 0)
+
+
+def test_robust_outliers_mad_zero_flags_any_deviation(spark):
+    from rrdtool_1_x_spark.operators.sessions import robust_outliers
+
+    # >half identical → MAD 0; the single deviating value is an outlier
+    df = spark.createDataFrame(
+        [(1, 5.0), (1, 5.0), (1, 5.0), (1, 7.0)], "user_id long, value double"
+    )
+    r = robust_outliers(df).collect()[0]
+    assert r["mad_cents"] == 0 and r["n_outliers"] == 1

@@ -1846,3 +1846,24 @@ def test_truncated_rerank_finds_full_dim_neighbors(spark, emb):
     # most of the exact top-10 (and is deterministic)
     assert len(got & want) >= 7
     assert got == {r["vec_id"] for r in two.collect()}
+
+
+def test_knn_label_propagation_two_blobs(spark):
+    from rrdtool_1_x_spark.datapipe.similarity import knn_label_propagation
+
+    rows = [(i, [5.0 + 0.01 * i] * 8, 0 if i < 3 else None) for i in range(10)]
+    rows += [(100 + i, [-5.0 - 0.01 * i] * 8, 1 if i < 3 else None) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    seeds = df.filter("label is not null")
+    out = {r["vec_id"]: r for r in knn_label_propagation(df, seeds, k=3).collect()}
+    # every positive-blob vector (including unlabeled) votes label 0
+    assert all(out[i]["pred_label"] == 0 for i in range(10) if i in out)
+    assert all(out[100 + i]["pred_label"] == 1 for i in range(10) if 100 + i in out)
+    # unlabeled rows see 3 same-blob seeds (unanimous); a seed row
+    # excludes itself, so its majority is the 2 remaining blob-mates
+    seeds_ids = {0, 1, 2, 100, 101, 102}
+    assert all(
+        r["votes"] == (2 if i in seeds_ids else 3) for i, r in out.items()
+    )
