@@ -1248,6 +1248,18 @@ def q_event_rollup(spark, sf_dir):
     )
 
 
+def q_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve (datapipe.textstats.vocab_coverage):
+    the share of token positions the top-k words cover, k in
+    {10, 100, 1000} — the Zipf measurement behind vocabulary sizing.
+    Distributed TakeOrdered top-k; no global sort."""
+    from rrdtool_1_x_spark.datapipe.textstats import vocab_coverage
+
+    return vocab_coverage(_docs(spark, sf_dir), ks=(10, 100, 1000)).orderBy(
+        "k"
+    )
+
+
 def q_mad_outlier(spark, sf_dir):
     """Per-user robust outlier report (operators.sessions.
     robust_outliers): nearest-rank median + MAD over exact integer
@@ -3498,6 +3510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trunc_rerank": q_trunc_rerank,
         "label_prop": q_label_prop,
         "mad_outlier": q_mad_outlier,
+        "vocab_coverage": q_vocab_coverage,
         "oov_rate": q_oov_rate,
         "kn_bigram": q_kn_bigram,
         "edit_near_dup": q_edit_near_dup,
@@ -6805,6 +6818,26 @@ SELECT event_type, user_bucket, count(*) AS n_events,
        round(CAST(sum(cents) AS BIGINT) / 100.0, 6) AS value_sum
 FROM e GROUP BY ROLLUP (event_type, user_bucket)
 ORDER BY event_type, user_bucket"""
+
+    # vocabulary coverage curve: word counts, (count desc, word asc)
+    # rank, prefix sums at each candidate k
+    sql["vocab_coverage"] = r"""
+WITH tk AS (SELECT unnest(list_filter(
+              regexp_split_to_array(lower(trim(text)), '\s+'),
+              x -> x != '')) AS w
+            FROM documents),
+wc AS (SELECT w, count(*) AS c FROM tk GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM wc),
+rk AS (SELECT w, c, row_number() OVER (ORDER BY c DESC, w ASC) AS r
+       FROM wc),
+ks AS (SELECT unnest([10, 100, 1000]) AS k)
+SELECT ks.k,
+       CAST(sum(CASE WHEN rk.r <= ks.k THEN rk.c ELSE 0 END) AS BIGINT)
+         AS covered,
+       any_value(tot.total) AS total,
+       round(sum(CASE WHEN rk.r <= ks.k THEN rk.c ELSE 0 END)::DOUBLE
+             / any_value(tot.total), 6) AS coverage
+FROM ks CROSS JOIN rk CROSS JOIN tot GROUP BY ks.k ORDER BY ks.k"""
 
     # per-user median/MAD outlier report: nearest-rank LOWER medians
     # ((n+1) DIV 2-th smallest) over exact integer cents — all-integer

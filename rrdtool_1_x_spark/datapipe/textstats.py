@@ -956,3 +956,58 @@ def ngram_diversity(
             F.count(F.lit(1)).cast("double") / F.sum("_c"), 6
         ).alias("ttr"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    ks: tuple[int, ...] = (100, 1000, 10000),
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary coverage curve — what fraction of all token POSITIONS
+    the top-k most frequent words cover, for each candidate vocabulary
+    size: the Zipf-curve measurement that sizes word vocabularies and
+    predicts OOV rates before committing to a tokenizer (the corpus
+    companion to ``oov_rate``, which scores documents against a FIXED
+    vocabulary).
+
+    Rank is (count desc, word asc) — deterministic at every boundary.
+    Returns ``(k, covered, total, coverage)``.
+
+    Shape at scale: one token explode into a word-count aggregate
+    (map-side combinable, vocab-sized result ≪ corpus), then a
+    distributed top-max(k) (TakeOrdered — no global sort, no
+    single-partition window over the vocabulary) whose k-prefix sums
+    are a tiny broadcast-side frame.
+    """
+    toks = F.filter(_tokens(F.col(text_col)), lambda t: t != "")
+    counts = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = counts.agg(F.sum("c").cast("long").alias("total"))
+    top = counts.orderBy(F.desc("c"), F.asc("w")).limit(max(ks))
+    w = Window.orderBy(F.desc("c"), F.asc("w"))
+    ranked = top.withColumn("r", F.row_number().over(w))
+    spark = df.sparkSession
+    kf = spark.createDataFrame([(int(k),) for k in sorted(ks)], "k int")
+    return (
+        ranked.crossJoin(F.broadcast(kf))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(F.col("r") <= F.col("k"), F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("covered")
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            "covered",
+            "total",
+            F.round(
+                F.col("covered").cast("double") / F.col("total"), 6
+            ).alias("coverage"),
+        )
+    )

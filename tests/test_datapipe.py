@@ -1867,3 +1867,16 @@ def test_knn_label_propagation_two_blobs(spark):
     assert all(
         r["votes"] == (2 if i in seeds_ids else 3) for i, r in out.items()
     )
+
+
+def test_vocab_coverage_hand_case(spark):
+    from rrdtool_1_x_spark.datapipe.textstats import vocab_coverage
+
+    # a:4, b:2, c:1 positions → top-1 covers 4/7, top-2 covers 6/7
+    df = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a a b")], "doc_id long, text string"
+    )
+    out = {r["k"]: r for r in vocab_coverage(df, ks=(1, 2, 10)).collect()}
+    assert out[1]["covered"] == 4 and out[1]["total"] == 7
+    assert out[2]["covered"] == 6
+    assert out[10]["coverage"] == 1.0
