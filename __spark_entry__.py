@@ -3452,6 +3452,18 @@ def q_url_dedup(spark, sf_dir):
     )
 
 
+def q_hits(spark, sf_dir):
+    """HITS hubs/authorities (datapipe.graph.hits; Kleinberg 1999) on
+    the same citation graph as pagerank — the bipartite case: sources
+    score as hubs, domains as authorities. 3 alternating integer rounds
+    with DECIMAL(38,0)-carried L1 renormalization, hash-gated against
+    unrolled CTE layers."""
+    from rrdtool_1_x_spark.datapipe.graph import domain_link_edges, hits
+
+    edges = domain_link_edges(_docs_url_variants(spark, sf_dir))
+    return hits(edges, n_iter=3).orderBy("node")
+
+
 def q_pagerank(spark, sf_dir):
     """Domain-authority PageRank (datapipe.graph.domain_link_edges +
     pagerank): the citation graph document-source → linked domain over
@@ -3502,6 +3514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- priority: new this round (no driver row yet) ---------------
         "kmeans_iter": q_kmeans_iter,
         "pagerank": q_pagerank,
+        "hits": q_hits,
         "group_split": q_group_split,
         "ngram_diversity": q_ngram_diversity,
         "fertility": q_fertility,
@@ -4119,6 +4132,55 @@ r{_i} AS (SELECT n.node,
               + (85 * (d.dg // nn.n)) // 100 AS BIGINT) AS r
        FROM r{_i - 1} n LEFT JOIN inf{_i} i ON i.node = n.node,
             dg{_i} d, nn)""")
+    # HITS on the same edges: alternating hub/authority gathers with
+    # HUGEINT-carried sums (the oracle twin of Spark's DECIMAL(38,0))
+    # and x*scale//total L1 renormalization each round
+    _hits_layers = []
+    for _i in range(1, 4):
+        _hits_layers.append(f"""
+ar{_i} AS (SELECT e.dst AS node, sum(CAST(h.h AS HUGEINT) * e.w) AS a0
+        FROM edges e JOIN h{_i - 1} h ON h.node = e.src GROUP BY 1),
+at{_i} AS (SELECT sum(a0) AS t FROM ar{_i}),
+a{_i} AS (SELECT node, (a0 * 1000000000000) // t AS a
+       FROM ar{_i}, at{_i}),
+hr{_i} AS (SELECT e.src AS node, sum(CAST(a.a AS HUGEINT) * e.w) AS hh
+        FROM edges e JOIN a{_i} a ON a.node = e.dst GROUP BY 1),
+ht{_i} AS (SELECT sum(hh) AS t FROM hr{_i}),
+h{_i} AS (SELECT node, (hh * 1000000000000) // t AS h
+       FROM hr{_i}, ht{_i})""")
+    sql["hits"] = r"""
+WITH enr AS (SELECT doc_id, source,
+    text || ' ref ' || CASE doc_id % 4
+      WHEN 0 THEN 'https://SITE' || CAST(doc_id % 50 AS VARCHAR)
+        || '.example.org/page/' || CAST(doc_id % 50 AS VARCHAR) || '/'
+      WHEN 1 THEN 'http://www.site' || CAST(doc_id % 50 AS VARCHAR)
+        || '.example.org/page/' || CAST(doc_id % 50 AS VARCHAR)
+      WHEN 2 THEN 'https://site' || CAST(doc_id % 50 AS VARCHAR)
+        || '.example.org/page/' || CAST(doc_id % 50 AS VARCHAR)
+        || '?utm_source=feed&utm_campaign=x'
+      ELSE 'https://site' || CAST(doc_id % 50 AS VARCHAR)
+        || '.example.org/page/' || CAST(doc_id % 50 AS VARCHAR) || '#frag'
+    END AS text
+  FROM documents),
+hx AS (SELECT source AS src,
+         regexp_replace(lower(unnest(
+           regexp_extract_all(text, 'https?://([^/\s:]+)', 1))),
+           '^www\.', '') AS dst
+       FROM enr),
+edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+          FROM hx GROUP BY 1, 2),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+h0 AS (SELECT DISTINCT src AS node,
+         CAST(1000000000000 AS HUGEINT) AS h FROM edges),""" + ",".join(
+        _hits_layers
+    ) + """
+SELECT n.node,
+       CAST(coalesce(h3.h, 0) AS BIGINT) AS hub_micro,
+       CAST(coalesce(a3.a, 0) AS BIGINT) AS auth_micro
+FROM nodes n LEFT JOIN h3 ON h3.node = n.node
+             LEFT JOIN a3 ON a3.node = n.node
+ORDER BY n.node"""
+
     sql["pagerank"] = r"""
 WITH enr AS (SELECT doc_id, source,
     text || ' ref ' || CASE doc_id % 4

@@ -127,3 +127,88 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.col("r").alias("rank_micro"))
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = 3,
+    scale: int = 10**12,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over ``(src, dst, w)``
+    edges, all-integer: authority(v) = sum of hub scores over in-edges,
+    hub(u) = sum of authority scores over out-edges, each side L1-
+    renormalized to ``scale`` micro-units per round via
+    ``x * scale DIV total``, with the product carried in DECIMAL(38,0)
+    (the repo's big-counter convention — BIGINT would overflow at
+    micro-units x micro-units) — every step exact and hash-stable (the
+    PageRank determinism recipe applied to the alternating update).
+    Edge weights multiply contributions.
+
+    On the corpus citation graph (source → domain) this lands exactly
+    on Kleinberg's bipartite case: sources score as hubs (how well a
+    source's links cover authoritative domains), domains as
+    authorities. Returns ``(node, hub_micro, auth_micro)`` — a node
+    missing from a side scores 0 there.
+
+    Shape at scale: per round one shuffle keyed by dst (authority
+    gather) and one by src (hub gather) over the domain-pair-sized edge
+    frame, plus two one-row normalization broadcasts; score frames are
+    localCheckpoint()ed per round like ``pagerank``'s."""
+    edges = edges.select(
+        F.col("src"), F.col("dst"), F.col("w").cast("long")
+    ).localCheckpoint(eager=True)
+    srcs = edges.select(F.col("src").alias("node")).distinct()
+    dsts = edges.select(F.col("dst").alias("node")).distinct()
+    nodes = srcs.union(dsts).distinct().localCheckpoint(eager=True)
+    hubs = srcs.withColumn("h", F.lit(scale).cast("long")).localCheckpoint(
+        eager=True
+    )
+    auths = None
+    for _ in range(n_iter):
+        araw = (
+            edges.join(hubs, edges.src == hubs.node)
+            .select(
+                F.col("dst").alias("node"),
+                # decimal gather: micro-unit scores x unbounded link
+                # weights overflow BIGINT long before they overflow (38,0)
+                (F.col("h").cast("decimal(38,0)") * F.col("w")).alias("_a"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_a").cast("decimal(38,0)").alias("_a"))
+        )
+        atot = araw.agg(F.sum("_a").cast("decimal(38,0)").alias("_t"))
+        auths = (
+            araw.crossJoin(F.broadcast(atot))
+            .select(
+                "node",
+                F.expr(f"CAST((_a * {scale}) DIV _t AS BIGINT)").alias("a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        hraw = (
+            edges.join(auths, edges.dst == auths.node)
+            .select(
+                F.col("src").alias("node"),
+                (F.col("a").cast("decimal(38,0)") * F.col("w")).alias("_h"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_h").cast("decimal(38,0)").alias("_h"))
+        )
+        htot = hraw.agg(F.sum("_h").cast("decimal(38,0)").alias("_t"))
+        hubs = (
+            hraw.crossJoin(F.broadcast(htot))
+            .select(
+                "node",
+                F.expr(f"CAST((_h * {scale}) DIV _t AS BIGINT)").alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        nodes.join(hubs, "node", "left")
+        .join(auths, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hub_micro"),
+            F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("auth_micro"),
+        )
+    )

@@ -1880,3 +1880,36 @@ def test_vocab_coverage_hand_case(spark):
     assert out[1]["covered"] == 4 and out[1]["total"] == 7
     assert out[2]["covered"] == 6
     assert out[10]["coverage"] == 1.0
+
+
+def test_hits_bipartite_authority_ordering(spark):
+    from rrdtool_1_x_spark.datapipe.graph import hits
+
+    # hubs a,b,c all cite d1; only a cites d2 → d1 authority > d2;
+    # a links both authorities → best hub
+    edges = spark.createDataFrame(
+        [("a", "d1", 1), ("b", "d1", 1), ("c", "d1", 1), ("a", "d2", 1)],
+        "src string, dst string, w long",
+    )
+    out = {r["node"]: r for r in hits(edges, n_iter=3).collect()}
+    assert out["d1"]["auth_micro"] > out["d2"]["auth_micro"] > 0
+    assert out["a"]["hub_micro"] > out["b"]["hub_micro"]
+    assert out["b"]["hub_micro"] == out["c"]["hub_micro"]
+    # pure hubs have no authority, pure authorities no hub score
+    assert out["a"]["auth_micro"] == 0 and out["d1"]["hub_micro"] == 0
+    # L1 normalization: each side sums to ~scale (integer floors only)
+    assert 0.99 * 10**12 < sum(r["auth_micro"] for r in out.values()) <= 10**12
+
+
+def test_hits_huge_weights_no_overflow(spark):
+    from rrdtool_1_x_spark.datapipe.graph import hits
+
+    # weights far beyond what a BIGINT product of micro-units allows:
+    # the DECIMAL(38,0) carry must stay exact (no nulls, no negatives)
+    edges = spark.createDataFrame(
+        [("s1", "d1", 10**7), ("s2", "d1", 3 * 10**7), ("s2", "d2", 10**7)],
+        "src string, dst string, w long",
+    )
+    out = {r["node"]: r for r in hits(edges, n_iter=3).collect()}
+    assert all(r["hub_micro"] >= 0 and r["auth_micro"] >= 0 for r in out.values())
+    assert out["d1"]["auth_micro"] > out["d2"]["auth_micro"]
