@@ -1878,6 +1878,29 @@ def q_kmeans_iter(spark, sf_dir):
     return kmeans_assign(e, model=_IVF_MODEL_CACHE[key]).orderBy("vec_id")
 
 
+def q_kmeans_topup(spark, sf_dir):
+    """Persisted k-means model (datapipe.similarity.write_kmeans_model /
+    load_kmeans_model): centroids trained on vec_id % 5 != 0, frozen to
+    a JSON sidecar, then EVERY vector (old + new batch) assigned under
+    the frozen model — appends never relabel history. Oracle restricts
+    its training CTEs with the same predicate; scoring runs over
+    everything."""
+    import tempfile
+
+    from rrdtool_1_x_spark.datapipe.similarity import (
+        kmeans_assign,
+        kmeans_model,
+        load_kmeans_model,
+        write_kmeans_model,
+    )
+
+    e = _emb(spark, sf_dir)
+    first = e.filter(F.col("vec_id") % 5 != 0)
+    path = tempfile.mkdtemp(prefix="kmeans_")
+    write_kmeans_model(kmeans_model(first, k=8, n_iter=3), path)
+    return kmeans_assign(e, model=load_kmeans_model(path)).orderBy("vec_id")
+
+
 def q_ann_int8_topk(spark, sf_dir):
     """Int8-quantized cosine top-10 (datapipe.similarity.quantize_embeddings
     + quantized_topk) against the lowest-id embedding: integer dot
@@ -3513,6 +3536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         # -- priority: new this round (no driver row yet) ---------------
         "kmeans_iter": q_kmeans_iter,
+        "kmeans_topup": q_kmeans_topup,
         "pagerank": q_pagerank,
         "hits": q_hits,
         "group_split": q_group_split,
@@ -3837,6 +3861,69 @@ dagg AS (SELECT doc_id, flatten(list(s ORDER BY j)) AS pieces
 SELECT d.doc_id, CAST(coalesce(len(a.pieces), 0) AS BIGINT) AS n_pieces,
        md5(array_to_string(coalesce(a.pieces, [])::VARCHAR[], ' ')) AS pieces_sig
 FROM documents d LEFT JOIN dagg a USING (doc_id) ORDER BY doc_id"""
+
+
+def _kmeans_oracle(train_pred: str = "") -> str:
+    """Lloyd k-means oracle: md5-rank init, integer-L2 argmin (ties to
+    the lowest cluster), round(sum/count) integer centroid updates,
+    emptied clusters keep their previous centroid (the coalesce), final
+    scoring pass emits (vec_id, cluster, dist).
+
+    ``train_pred``: optional predicate restricting TRAINING (init +
+    the three update rounds) to a subset — the persisted-model gate
+    freezes centroids on the initially-modeled rows while scoring runs
+    over everything."""
+    tw = f"WHERE {train_pred}" if train_pred else ""
+    layers = []
+    for i in range(1, 4):
+        layers.append(f"""
+sc{i} AS (SELECT qt.vec_id, cl.cluster,
+         list_sum(list_transform(range(1, 65),
+            j -> (qt.q[j] - cl.cv[j]) * (qt.q[j] - cl.cv[j]))) AS dd
+       FROM qt CROSS JOIN cl{i - 1} cl),
+a{i} AS (SELECT vec_id, cluster FROM (
+         SELECT vec_id, cluster,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dd ASC, cluster ASC) AS rn
+         FROM sc{i}) _ WHERE rn = 1),
+up{i} AS (SELECT a.cluster, ii.i AS pos,
+         CAST(round(CAST(sum(qt.q[ii.i]) AS DOUBLE) / count(*)) AS BIGINT)
+           AS c
+       FROM a{i} a JOIN qt USING (vec_id)
+       CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii
+       GROUP BY 1, 2),
+ce{i} AS (SELECT p.cluster, p.pos, coalesce(u.c, p.c) AS c
+       FROM ce{i - 1} p LEFT JOIN up{i} u USING (cluster, pos)),
+cl{i} AS (SELECT cluster, list(c ORDER BY pos) AS cv FROM ce{i}
+       GROUP BY 1)""")
+    return ("""
+WITH ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings),
+qs AS (SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS s FROM ev),
+qv AS (SELECT vec_id,
+         CASE WHEN s > 0
+              THEN list_transform(v, x -> CAST(round(x / s * 127) AS BIGINT))
+              ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+       FROM qs),
+qt AS (SELECT vec_id, q FROM qv """ + tw + """),
+c0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                 vec_id) - 1 AS cluster, q
+       FROM qt QUALIFY cluster < 8),
+ce0 AS (SELECT cluster, ii.i AS pos, q[ii.i] AS c
+        FROM c0 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii),
+cl0 AS (SELECT cluster, list(c ORDER BY pos) AS cv FROM ce0 GROUP BY 1),"""
+        + ",".join(layers)
+        + """,
+scF AS (SELECT qv.vec_id, cl.cluster,
+          list_sum(list_transform(range(1, 65),
+             j -> (qv.q[j] - cl.cv[j]) * (qv.q[j] - cl.cv[j]))) AS dd
+        FROM qv CROSS JOIN cl3 cl)
+SELECT vec_id, CAST(cluster AS INT) AS cluster, CAST(dd AS BIGINT) AS dist
+FROM (SELECT vec_id, cluster, dd,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dd ASC, cluster ASC) AS rn
+      FROM scF) _ WHERE rn = 1 ORDER BY vec_id""")
 
 
 def _bpe_fertility_oracle(n: int) -> str:
@@ -5042,59 +5129,11 @@ SELECT pr.vec_id, lb.label, pr.pred,
 FROM pr JOIN lb USING (vec_id) ORDER BY vec_id"""
 
     # Lloyd k-means, 3 unrolled assign+update rounds (mirrors
-    # similarity.kmeans_model exactly): md5-rank init, integer-L2 argmin
-    # with ties to the lowest cluster, round(sum/count) integer centroid
-    # updates, emptied clusters keep their previous centroid (the
-    # coalesce), final scoring pass emits (vec_id, cluster, dist)
-    _km_layers = []
-    for _i in range(1, 4):
-        _km_layers.append(f"""
-sc{_i} AS (SELECT qv.vec_id, cl.cluster,
-         list_sum(list_transform(range(1, 65),
-            j -> (qv.q[j] - cl.cv[j]) * (qv.q[j] - cl.cv[j]))) AS dd
-       FROM qv CROSS JOIN cl{_i - 1} cl),
-a{_i} AS (SELECT vec_id, cluster FROM (
-         SELECT vec_id, cluster,
-                row_number() OVER (PARTITION BY vec_id
-                                   ORDER BY dd ASC, cluster ASC) AS rn
-         FROM sc{_i}) _ WHERE rn = 1),
-up{_i} AS (SELECT a.cluster, ii.i AS pos,
-         CAST(round(CAST(sum(qv.q[ii.i]) AS DOUBLE) / count(*)) AS BIGINT)
-           AS c
-       FROM a{_i} a JOIN qv USING (vec_id)
-       CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii
-       GROUP BY 1, 2),
-ce{_i} AS (SELECT p.cluster, p.pos, coalesce(u.c, p.c) AS c
-       FROM ce{_i - 1} p LEFT JOIN up{_i} u USING (cluster, pos)),
-cl{_i} AS (SELECT cluster, list(c ORDER BY pos) AS cv FROM ce{_i}
-       GROUP BY 1)""")
-    sql["kmeans_iter"] = """
-WITH ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-            FROM embeddings),
-qs AS (SELECT vec_id, v,
-         list_max(list_transform(v, x -> abs(x))) AS s FROM ev),
-qv AS (SELECT vec_id,
-         CASE WHEN s > 0
-              THEN list_transform(v, x -> CAST(round(x / s * 127) AS BIGINT))
-              ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
-       FROM qs),
-c0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
-                                 vec_id) - 1 AS cluster, q
-       FROM qv QUALIFY cluster < 8),
-ce0 AS (SELECT cluster, ii.i AS pos, q[ii.i] AS c
-        FROM c0 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii),
-cl0 AS (SELECT cluster, list(c ORDER BY pos) AS cv FROM ce0 GROUP BY 1),""" + ",".join(
-        _km_layers
-    ) + """,
-scF AS (SELECT qv.vec_id, cl.cluster,
-          list_sum(list_transform(range(1, 65),
-             j -> (qv.q[j] - cl.cv[j]) * (qv.q[j] - cl.cv[j]))) AS dd
-        FROM qv CROSS JOIN cl3 cl)
-SELECT vec_id, CAST(cluster AS INT) AS cluster, CAST(dd AS BIGINT) AS dist
-FROM (SELECT vec_id, cluster, dd,
-             row_number() OVER (PARTITION BY vec_id
-                                ORDER BY dd ASC, cluster ASC) AS rn
-      FROM scF) _ WHERE rn = 1 ORDER BY vec_id"""
+    # similarity.kmeans_model exactly); the topup variant freezes the
+    # trained centroids on a subset (same predicate as the Spark gate)
+    # while the final scoring pass runs over everything
+    sql["kmeans_iter"] = _kmeans_oracle()
+    sql["kmeans_topup"] = _kmeans_oracle(train_pred="vec_id % 5 != 0")
 
     # product quantization ADC: int8 quantize (same qv chain as
     # ann_int8_topk), codebook = 16 smallest-md5(id) vectors split into

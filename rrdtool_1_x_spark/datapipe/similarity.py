@@ -2949,3 +2949,24 @@ def knn_label_propagation(
         .filter(F.col("_rv") == 1)
         .select(id_col, F.col("_slab").alias("pred_label"), "votes")
     )
+
+
+def write_kmeans_model(model: list[list[int]], path: str) -> None:
+    """Persist a trained ``kmeans_model`` as a JSON sidecar — the
+    frozen-clustering artifact new corpus batches are assigned under
+    (retraining on every append would silently relabel history; the
+    persisted-model convention every index family here follows)."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "kmeans_model.json"), "w") as f:
+        json.dump(model, f)
+
+
+def load_kmeans_model(path: str) -> list[list[int]]:
+    import json
+    import os
+
+    with open(os.path.join(path, "kmeans_model.json")) as f:
+        return [[int(x) for x in c] for c in json.load(f)]
