@@ -1274,13 +1274,21 @@ def q_mad_outlier(spark, sf_dir):
 def q_label_prop(spark, sf_dir):
     """k-NN label propagation from a broadcastable seed set
     (datapipe.similarity.knn_label_propagation): every embedding takes
-    the majority label of its 5 nearest labeled seeds (vec_id % 10 = 0)
-    by int8 cosine — the semi-supervised auto-labeling pass behind
-    curation classifiers. One corpus-linear scoring scan."""
+    the majority label of its 5 nearest labeled seeds by int8 cosine —
+    the semi-supervised auto-labeling pass behind curation classifiers.
+    The seed set is FIXED-SIZE (the 50 smallest-md5 labeled vectors,
+    the corpus sampling convention) — seeds are human annotations, they
+    do not grow with the corpus, and a corpus-fraction seed set would
+    turn the scoring scan quadratic (measured 88x at 10x before this
+    was pinned). One corpus-linear scoring scan."""
     from rrdtool_1_x_spark.datapipe.similarity import knn_label_propagation
 
     e = _emb(spark, sf_dir)
-    seeds = e.filter(F.col("vec_id") % 10 == 0)
+    seeds = (
+        e.filter(F.col("label").isNotNull())
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(50)
+    )
     out = knn_label_propagation(e, seeds, k=5)
     lab = e.select("vec_id", "label")
     return (
@@ -6963,9 +6971,10 @@ SELECT d.user_id, CAST(count(*) AS BIGINT) AS n_events,
          AS n_outliers
 FROM d JOIN md USING (user_id) GROUP BY 1 ORDER BY user_id"""
 
-    # k-NN label propagation: int8 pairs corpus x labeled seeds
-    # (vec_id % 10 = 0), 5 nearest non-self seeds per vector (sim desc,
-    # seed id asc), majority vote (count desc, label asc)
+    # k-NN label propagation: int8 pairs corpus x the FIXED-SIZE seed
+    # sample (50 smallest-md5 labeled vectors), 5 nearest non-self seeds
+    # per vector (sim desc, seed id asc), majority vote (count desc,
+    # label asc)
     sql["label_prop"] = """
 WITH ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
             FROM embeddings),
@@ -6979,7 +6988,8 @@ qv AS (SELECT vec_id,
 lb AS (SELECT vec_id, label FROM embeddings),
 sd AS (SELECT qv.vec_id AS sid, qv.q AS sq, lb.label AS slab
        FROM qv JOIN lb USING (vec_id)
-       WHERE vec_id % 10 = 0 AND lb.label IS NOT NULL),
+       WHERE lb.label IS NOT NULL
+       ORDER BY md5(CAST(qv.vec_id AS VARCHAR)), qv.vec_id LIMIT 50),
 pr AS (SELECT e.vec_id, sd.sid, sd.slab,
          list_sum(list_transform(range(1, 65), i -> e.q[i] * sd.sq[i]))
            AS dot,
