@@ -1248,6 +1248,20 @@ def q_event_rollup(spark, sf_dir):
     )
 
 
+def q_json_props(spark, sf_dir):
+    """Schema-on-read JSON extraction (operators.sessions.
+    json_field_stats): typed $.k pulled out of the semi-structured
+    props column per event type — get_json_object stays JVM-side in
+    whole-stage codegen (no UDF), one combinable aggregation."""
+    from rrdtool_1_x_spark.operators.sessions import json_field_stats
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "props"
+    )
+    return json_field_stats(ev, field="k").orderBy("event_type")
+
+
 def q_vocab_coverage(spark, sf_dir):
     """Vocabulary coverage curve (datapipe.textstats.vocab_coverage):
     the share of token positions the top-k words cover, k in
@@ -3556,6 +3570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_prop": q_label_prop,
         "mad_outlier": q_mad_outlier,
         "vocab_coverage": q_vocab_coverage,
+        "json_props": q_json_props,
         "oov_rate": q_oov_rate,
         "kn_bigram": q_kn_bigram,
         "edit_near_dup": q_edit_near_dup,
@@ -6927,6 +6942,18 @@ SELECT event_type, user_bucket, count(*) AS n_events,
        round(CAST(sum(cents) AS BIGINT) / 100.0, 6) AS value_sum
 FROM e GROUP BY ROLLUP (event_type, user_bucket)
 ORDER BY event_type, user_bucket"""
+
+    # schema-on-read JSON: typed $.k per event type; missing/malformed
+    # fields are NULL (counted in n_events, not n_present) on both sides
+    sql["json_props"] = """
+WITH x AS (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
+           FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(v) AS BIGINT) AS n_present,
+       CAST(sum(v) AS BIGINT) AS val_sum,
+       min(v) AS val_min, max(v) AS val_max
+FROM x GROUP BY 1 ORDER BY event_type"""
 
     # vocabulary coverage curve: word counts, (count desc, word asc)
     # rank, prefix sums at each candidate k

@@ -155,3 +155,36 @@ def robust_outliers(
             ).alias("n_outliers"),
         )
     )
+
+
+def json_field_stats(
+    events: DataFrame,
+    field: str = "k",
+    group_col: str = "event_type",
+    props_col: str = "props",
+) -> DataFrame:
+    """Typed extraction over a semi-structured JSON properties column —
+    the schema-on-read step every event lake needs (properties vary by
+    event type, so they land as JSON strings; analytics pulls typed
+    fields back out): integer field ``$.field`` per row, aggregated per
+    group to ``(group, n_events, n_present, sum, min, max)``.
+
+    Rows whose JSON lacks the field (or is malformed) count in
+    ``n_events`` but not ``n_present`` — extraction yields NULL, never
+    an error, exactly like SQL JSON path semantics.
+
+    Shape at scale: ``get_json_object`` is a JVM-side scan expression
+    (inside whole-stage codegen, no UDF) feeding one map-side
+    combinable aggregation — corpus-linear."""
+    v = F.get_json_object(F.col(props_col), f"$.{field}").cast("long")
+    return (
+        events.select(F.col(group_col), v.alias("_v"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("_v").alias("n_present"),
+            F.sum("_v").alias("val_sum"),
+            F.min("_v").alias("val_min"),
+            F.max("_v").alias("val_max"),
+        )
+    )

@@ -182,3 +182,23 @@ def test_robust_outliers_mad_zero_flags_any_deviation(spark):
     )
     r = robust_outliers(df).collect()[0]
     assert r["mad_cents"] == 0 and r["n_outliers"] == 1
+
+
+def test_json_field_stats_missing_and_malformed(spark):
+    from rrdtool_1_x_spark.operators.sessions import json_field_stats
+
+    df = spark.createDataFrame(
+        [
+            ("a", '{"k": 3}'),
+            ("a", '{"k": 7}'),
+            ("a", '{"other": 1}'),   # missing field
+            ("b", "not json"),       # malformed
+            ("b", '{"k": -2}'),
+        ],
+        "event_type string, props string",
+    )
+    out = {r["event_type"]: r for r in json_field_stats(df).collect()}
+    a, b = out["a"], out["b"]
+    assert (a["n_events"], a["n_present"], a["val_sum"]) == (3, 2, 10)
+    assert (a["val_min"], a["val_max"]) == (3, 7)
+    assert (b["n_events"], b["n_present"], b["val_sum"]) == (2, 1, -2)
