@@ -6979,7 +6979,7 @@ FROM ks CROSS JOIN rk CROSS JOIN tot GROUP BY ks.k ORDER BY ks.k"""
     # ((n+1) DIV 2-th smallest) over exact integer cents — all-integer
     sql["mad_outlier"] = """
 WITH b AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c
-           FROM events),
+           FROM events WHERE value IS NOT NULL),
 r AS (SELECT user_id, c,
         row_number() OVER (PARTITION BY user_id ORDER BY c ASC) AS rn,
         count(*) OVER (PARTITION BY user_id) AS n

@@ -154,6 +154,8 @@ def hits(
     gather) and one by src (hub gather) over the domain-pair-sized edge
     frame, plus two one-row normalization broadcasts; score frames are
     localCheckpoint()ed per round like ``pagerank``'s."""
+    if n_iter < 1:
+        raise ValueError("hits: n_iter must be >= 1")
     edges = edges.select(
         F.col("src"), F.col("dst"), F.col("w").cast("long")
     ).localCheckpoint(eager=True)

@@ -121,7 +121,13 @@ def robust_outliers(
     bounded by the busiest key's event count.
     """
     cents = F.round(F.col(value_col) * 100).cast("long")
-    base = events.select(F.col(key_col), cents.alias("_c"))
+    # NULL values are excluded up front: they carry no magnitude to rank,
+    # and the engines disagree on NULL sort placement (Spark asc = nulls
+    # first, most SQL engines = nulls last), so letting them reach the
+    # rank windows would silently shift every median
+    base = events.select(F.col(key_col), cents.alias("_c")).filter(
+        F.col("_c").isNotNull()
+    )
     wr = Window.partitionBy(key_col).orderBy(F.asc("_c"))
     ranked = base.withColumn("_rn", F.row_number().over(wr)).withColumn(
         "_n", F.count(F.lit(1)).over(Window.partitionBy(key_col))

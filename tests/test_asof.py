@@ -202,3 +202,15 @@ def test_json_field_stats_missing_and_malformed(spark):
     assert (a["n_events"], a["n_present"], a["val_sum"]) == (3, 2, 10)
     assert (a["val_min"], a["val_max"]) == (3, 7)
     assert (b["n_events"], b["n_present"], b["val_sum"]) == (2, 1, -2)
+
+
+def test_robust_outliers_null_values_excluded(spark):
+    from rrdtool_1_x_spark.operators.sessions import robust_outliers
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, None), (1, 3.0), (1, 5.0)],
+        "user_id long, value double",
+    )
+    r = robust_outliers(df).collect()[0]
+    # the NULL row carries no magnitude: n=3, median of {100,300,500}
+    assert (r["n_events"], r["med_cents"]) == (3, 300)
