@@ -1248,6 +1248,19 @@ def q_event_rollup(spark, sf_dir):
     )
 
 
+def q_shard_epoch(spark, sf_dir):
+    """Deterministic epoch shuffle + fixed-size shards
+    (datapipe.sampling.shard_epoch): md5(seed:id) permutation ranked by
+    the exact distributed two-level prefix-count (the pack_sequences
+    machinery — never a single-partition global window), shard =
+    rank DIV 64."""
+    from rrdtool_1_x_spark.datapipe.sampling import shard_epoch
+
+    return shard_epoch(_docs(spark, sf_dir), shard_size=64).orderBy(
+        "doc_id"
+    )
+
+
 def q_json_props(spark, sf_dir):
     """Schema-on-read JSON extraction (operators.sessions.
     json_field_stats): typed $.k pulled out of the semi-structured
@@ -3571,6 +3584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outlier": q_mad_outlier,
         "vocab_coverage": q_vocab_coverage,
         "json_props": q_json_props,
+        "shard_epoch": q_shard_epoch,
         "oov_rate": q_oov_rate,
         "kn_bigram": q_kn_bigram,
         "edit_near_dup": q_edit_near_dup,
@@ -6942,6 +6956,18 @@ SELECT event_type, user_bucket, count(*) AS n_events,
        round(CAST(sum(cents) AS BIGINT) / 100.0, 6) AS value_sum
 FROM e GROUP BY ROLLUP (event_type, user_bucket)
 ORDER BY event_type, user_bucket"""
+
+    # deterministic epoch shuffle: md5(epoch0:id) permutation rank,
+    # shard = rank DIV 64 (ids make the key unique, so ties are moot)
+    sql["shard_epoch"] = """
+WITH r AS (SELECT doc_id,
+             row_number() OVER (
+               ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)),
+                        doc_id) - 1 AS rank0
+           FROM documents)
+SELECT doc_id, CAST(rank0 // 64 AS BIGINT) AS shard,
+       CAST(rank0 % 64 AS BIGINT) AS pos_in_shard
+FROM r ORDER BY doc_id"""
 
     # schema-on-read JSON: typed $.k per event type; missing/malformed
     # fields are NULL (counted in n_events, not n_present) on both sides

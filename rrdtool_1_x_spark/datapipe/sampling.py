@@ -586,3 +586,61 @@ def leakage_safe_split(
     return hash_split(rep, weights, id_col="rep", seed=seed).select(
         id_col, "rep", "split"
     )
+
+
+def shard_epoch(
+    df: DataFrame,
+    shard_size: int = 1024,
+    id_col: str = "doc_id",
+    seed: str = "epoch0",
+) -> DataFrame:
+    """Deterministic epoch shuffle + fixed-size shard assignment — the
+    training-data-loader layout step: documents are permuted by
+    ``md5(seed:id)`` (a new seed per epoch reshuffles reproducibly, the
+    corpus-convention deterministic draw) and cut into shards of
+    ``shard_size`` in permuted order, so every worker can seek its shard
+    without coordination and a re-run (or a resumed job) produces the
+    identical layout. Returns ``(id, shard, pos_in_shard)``.
+
+    Scale: the permutation rank is the SAME exact distributed two-level
+    prefix-count as ``pack_sequences`` — range-partition on the md5
+    key, row_number inside each partition in parallel, add the
+    broadcast predecessor totals — never a single-partition global
+    window over the corpus.
+    """
+    key = F.md5(
+        F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+    )
+    base = df.select(F.col(id_col), key.alias("_k"))
+    local_w = Window.partitionBy("_pid").orderBy("_k", id_col)
+    local = (
+        base.repartitionByRange("_k", id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_loc", F.row_number().over(local_w) - 1)
+        .localCheckpoint(eager=False)
+    )
+    totals = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_tot"))
+    prefix = (
+        totals.alias("a")
+        .join(
+            totals.select(
+                F.col("_pid").alias("_bpid"), F.col("_tot").alias("_btot")
+            ),
+            F.col("_bpid") < F.col("a._pid"),
+            "left",
+        )
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("_btot"), F.lit(0)).alias("_pre"))
+    )
+    rank0 = (F.col("_pre") + F.col("_loc")).cast("long")
+    return (
+        local.join(F.broadcast(prefix), "_pid")
+        .select(F.col(id_col), rank0.alias("_rank0"))
+        .select(
+            id_col,
+            F.expr(f"_rank0 DIV {int(shard_size)}")
+            .cast("long")
+            .alias("shard"),
+            (F.col("_rank0") % shard_size).cast("long").alias("pos_in_shard"),
+        )
+    )

@@ -754,3 +754,27 @@ def test_leakage_safe_split_groups_never_straddle(spark):
     assert by_id[10]["split"] == by_id[11]["split"]
     # singletons keep their own id as rep
     assert by_id[25]["rep"] == 25
+
+
+def test_shard_epoch_partition_and_reseed(spark):
+    from rrdtool_1_x_spark.datapipe.sampling import shard_epoch
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(100)], "doc_id long"
+    )
+    out = shard_epoch(docs, shard_size=16).collect()
+    assert len(out) == 100
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+    # 6 full shards of 16 + a final partial of 4, positions dense 0..n-1
+    sizes = {s: len(v) for s, v in by_shard.items()}
+    assert sorted(sizes.values()) == [4] + [16] * 6
+    assert all(sorted(v) == list(range(len(v))) for v in by_shard.values())
+    # deterministic under re-run; a different seed reshuffles
+    again = shard_epoch(docs, shard_size=16).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    other = shard_epoch(docs, shard_size=16, seed="epoch1").collect()
+    assert {(r["doc_id"], r["shard"]) for r in other} != {
+        (r["doc_id"], r["shard"]) for r in out
+    }
