@@ -2288,6 +2288,24 @@ def q_hash_split(spark, sf_dir):
     return out.select("doc_id", "split").orderBy("doc_id")
 
 
+def q_triangles(spark, sf_dir):
+    """Per-node triangle counts on the domain co-citation graph
+    (datapipe.graph.cocitation_edges + triangle_counts; Suri &
+    Vassilvitskii degree orientation): wedge build + wedge close as two
+    shuffle joins, every triangle counted once at its smallest-rank
+    vertex — the clustering-structure measurement for link graphs."""
+    from rrdtool_1_x_spark.datapipe.graph import (
+        cocitation_edges,
+        domain_link_edges,
+        triangle_counts,
+    )
+
+    edges = cocitation_edges(
+        domain_link_edges(_docs_url_variants(spark, sf_dir))
+    )
+    return triangle_counts(edges).orderBy("node")
+
+
 def q_group_split(spark, sf_dir):
     """Leakage-safe train/val/test split (datapipe.sampling.
     leakage_safe_split): every near-dup connected component is keyed by
@@ -3574,6 +3592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_topup": q_kmeans_topup,
         "pagerank": q_pagerank,
         "hits": q_hits,
+        "triangles": q_triangles,
         "group_split": q_group_split,
         "ngram_diversity": q_ngram_diversity,
         "fertility": q_fertility,
@@ -4304,6 +4323,49 @@ SELECT n.node,
 FROM nodes n LEFT JOIN h3 ON h3.node = n.node
              LEFT JOIN a3 ON a3.node = n.node
 ORDER BY n.node"""
+
+    # triangles on the co-citation graph: degree-oriented wedges closed
+    # against the oriented edge list; (degree, node) rank ties on the id
+    sql["triangles"] = r"""
+WITH enr AS (SELECT doc_id, source,
+    text || ' ref ' || CASE doc_id % 4
+      WHEN 0 THEN 'https://SITE' || CAST(doc_id % 50 AS VARCHAR)
+        || '.example.org/page/' || CAST(doc_id % 50 AS VARCHAR) || '/'
+      WHEN 1 THEN 'http://www.site' || CAST(doc_id % 50 AS VARCHAR)
+        || '.example.org/page/' || CAST(doc_id % 50 AS VARCHAR)
+      WHEN 2 THEN 'https://site' || CAST(doc_id % 50 AS VARCHAR)
+        || '.example.org/page/' || CAST(doc_id % 50 AS VARCHAR)
+        || '?utm_source=feed&utm_campaign=x'
+      ELSE 'https://site' || CAST(doc_id % 50 AS VARCHAR)
+        || '.example.org/page/' || CAST(doc_id % 50 AS VARCHAR) || '#frag'
+    END AS text
+  FROM documents),
+hx AS (SELECT source AS src,
+         regexp_replace(lower(unnest(
+           regexp_extract_all(text, 'https?://([^/\s:]+)', 1))),
+           '^www\.', '') AS dst
+       FROM enr),
+ed0 AS (SELECT DISTINCT src, dst FROM hx),
+cc AS (SELECT a.dst AS u, b.dst AS v
+       FROM ed0 a JOIN ed0 b ON a.src = b.src AND a.dst < b.dst
+       GROUP BY 1, 2),
+und AS (SELECT u AS x, v AS y FROM cc UNION SELECT v, u FROM cc),
+dg AS (SELECT x, count(*) AS d FROM und GROUP BY 1),
+e AS (SELECT und.x AS lo, und.y AS hi, dy.d AS hd
+      FROM und JOIN dg dx ON dx.x = und.x JOIN dg dy ON dy.x = und.y
+      WHERE dx.d < dy.d OR (dx.d = dy.d AND und.x < und.y)),
+wd AS (SELECT e1.lo, e1.hi AS h1, e2.hi AS h2
+       FROM e e1 JOIN e e2 ON e1.lo = e2.lo
+       WHERE e1.hd < e2.hd OR (e1.hd = e2.hd AND e1.hi < e2.hi)),
+tr AS (SELECT wd.lo, wd.h1, wd.h2
+       FROM wd JOIN e ON e.lo = wd.h1 AND e.hi = wd.h2),
+pn AS (SELECT node, count(*) AS t FROM (
+         SELECT lo AS node FROM tr
+         UNION ALL SELECT h1 FROM tr
+         UNION ALL SELECT h2 FROM tr) _ GROUP BY 1)
+SELECT dg.x AS node, CAST(dg.d AS BIGINT) AS degree,
+       CAST(coalesce(pn.t, 0) AS BIGINT) AS triangles
+FROM dg LEFT JOIN pn ON pn.node = dg.x ORDER BY node"""
 
     sql["pagerank"] = r"""
 WITH enr AS (SELECT doc_id, source,

@@ -214,3 +214,98 @@ def hits(
             F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("auth_micro"),
         )
     )
+
+
+def cocitation_edges(link_edges: DataFrame) -> DataFrame:
+    """Domain co-citation graph from the (src, dst, w) link edges: an
+    undirected edge between two domains whenever some source links
+    BOTH (the bibliometric co-citation coupling). Returns
+    ``(u, v, n_src)`` with u < v, weight = number of co-citing sources.
+
+    Shape at scale: self-join keyed on src — fan-out is (per-source
+    distinct domains)², the classic co-occurrence bound; cap a source's
+    domain list upstream if a pathological source links everything."""
+    d = link_edges.select("src", "dst").distinct()
+    a = d.alias("a")
+    b = d.alias("b")
+    return (
+        a.join(b, (F.col("a.src") == F.col("b.src"))
+               & (F.col("a.dst") < F.col("b.dst")))
+        .select(F.col("a.dst").alias("u"), F.col("b.dst").alias("v"),
+                F.col("a.src").alias("_s"))
+        .groupBy("u", "v")
+        .agg(F.count_distinct("_s").alias("n_src"))
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph
+    (``(u, v)`` rows, u != v, one row per edge either order) — the
+    clustering-structure measurement behind community/spam detection on
+    link graphs. Returns ``(node, degree, triangles)``.
+
+    Algorithm: degree orientation (Suri & Vassilvitskii WWW 2011 /
+    Cohen's MR-triangle): orient every edge from the (degree, node)-
+    smaller endpoint to the larger, enumerate wedges at each apex over
+    its oriented out-edges, close them against the oriented edge list.
+    Every triangle is counted exactly once at its smallest-rank vertex,
+    and the wedge fan-out per apex is bounded by its ORIENTED
+    out-degree ≤ O(sqrt(edges)) — the skew bound that makes the
+    classic algorithm scale where naive neighbor-set intersection
+    explodes on hubs. Ties break on the node id, so the orientation
+    (and the count) is deterministic on every engine.
+
+    Shape at scale: two shuffle joins over the edge frame (wedge build,
+    wedge close) + one explode of 3 node rows per triangle."""
+    und = (
+        edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
+        .union(edges.select(F.col("v").alias("x"), F.col("u").alias("y")))
+        .distinct()
+    )
+    deg = und.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+    # oriented edge (lo, hi): (d, node) of lo precedes hi's
+    e = (
+        und.join(deg.withColumnRenamed("x", "x1").withColumnRenamed("d", "dx"),
+                 F.col("x") == F.col("x1"))
+        .join(deg.withColumnRenamed("x", "y1").withColumnRenamed("d", "dy"),
+              F.col("y") == F.col("y1"))
+        .filter(
+            (F.col("dx") < F.col("dy"))
+            | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+        )
+        .select(
+            F.col("x").alias("lo"), F.col("y").alias("hi"),
+            F.col("dy").alias("hd"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w1 = e.select(
+        F.col("lo"), F.col("hi").alias("h1"), F.col("hd").alias("hd1")
+    )
+    w2 = e.select(
+        F.col("lo"), F.col("hi").alias("h2"), F.col("hd").alias("hd2")
+    )
+    wedges = w1.join(w2, "lo").filter(
+        (F.col("hd1") < F.col("hd2"))
+        | ((F.col("hd1") == F.col("hd2")) & (F.col("h1") < F.col("h2")))
+    )
+    tri = wedges.join(
+        e.select(F.col("lo").alias("h1"), F.col("hi").alias("h2")),
+        ["h1", "h2"],
+    ).select("lo", "h1", "h2")
+    per_node = (
+        tri.select(F.explode(F.array("lo", "h1", "h2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.select(F.col("x").alias("node"), F.col("d").alias("degree"))
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias(
+                "triangles"
+            ),
+        )
+    )

@@ -1913,3 +1913,37 @@ def test_hits_huge_weights_no_overflow(spark):
     out = {r["node"]: r for r in hits(edges, n_iter=3).collect()}
     assert all(r["hub_micro"] >= 0 and r["auth_micro"] >= 0 for r in out.values())
     assert out["d1"]["auth_micro"] > out["d2"]["auth_micro"]
+
+
+def test_triangle_counts_hand_graphs(spark):
+    from rrdtool_1_x_spark.datapipe.graph import triangle_counts
+
+    # K4: every node has degree 3 and sits in C(3,2)=3 triangles
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    out = {r["node"]: r for r in triangle_counts(
+        spark.createDataFrame(k4, "u string, v string")).collect()}
+    assert all((r["degree"], r["triangles"]) == (3, 3) for r in out.values())
+
+    # a path a-b-c has zero triangles; closing it (c-a) gives one each
+    path = spark.createDataFrame([("a", "b"), ("b", "c")], "u string, v string")
+    assert all(
+        r["triangles"] == 0 for r in triangle_counts(path).collect()
+    )
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "u string, v string"
+    )
+    assert all(
+        r["triangles"] == 1 for r in triangle_counts(cyc).collect()
+    )
+
+
+def test_cocitation_edges_shared_source_only(spark):
+    from rrdtool_1_x_spark.datapipe.graph import cocitation_edges
+
+    links = spark.createDataFrame(
+        [("s1", "d1", 1), ("s1", "d2", 1), ("s2", "d2", 1), ("s2", "d3", 1)],
+        "src string, dst string, w long",
+    )
+    out = {(r["u"], r["v"]): r["n_src"] for r in cocitation_edges(links).collect()}
+    # d1-d2 share s1; d2-d3 share s2; d1-d3 share nothing
+    assert out == {("d1", "d2"): 1, ("d2", "d3"): 1}
