@@ -3587,6 +3587,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-green row before any repeat. New entries go in the priority
     # block at the top, never appended at the end.
     qs = {
+        # -- priority 0: r6 RED rows (HUGEINT casts) + r6 no_oracle (BPE
+        # CTE oracles) — fixed this round, MUST re-sweep before anything
+        # else so the reds cannot survive into another round's window
+        "dsir_weight": q_dsir_weight,
+        "unigram_logprob": q_unigram_logprob,
+        "bigram_logprob": q_bigram_logprob,
+        "domain_stats": q_domain_stats,
+        "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
         # -- priority: new this round (no driver row yet) ---------------
         "kmeans_iter": q_kmeans_iter,
         "kmeans_topup": q_kmeans_topup,
@@ -3635,13 +3644,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "source_overlap": q_source_overlap,
         "diverse_sample": q_diverse_sample,
-        # -- priority: r6 red rows (oracle fixes this round) — must re-sweep
-        "bpe_train": q_bpe_train,
-        "bpe_encode": q_bpe_encode,
-        "dsir_weight": q_dsir_weight,
-        "unigram_logprob": q_unigram_logprob,
-        "bigram_logprob": q_bigram_logprob,
-        "domain_stats": q_domain_stats,
         # -- stalest: last driver row r4
         "band_index_topup": q_band_index_topup,
         "simhash_index_topup": q_simhash_index_topup,
