@@ -1947,3 +1947,71 @@ def test_cocitation_edges_shared_source_only(spark):
     out = {(r["u"], r["v"]): r["n_src"] for r in cocitation_edges(links).collect()}
     # d1-d2 share s1; d2-d3 share s2; d1-d3 share nothing
     assert out == {("d1", "d2"): 1, ("d2", "d3"): 1}
+
+
+def test_triangle_counts_matches_bruteforce_random(spark):
+    import itertools
+    import random
+
+    from rrdtool_1_x_spark.datapipe.graph import triangle_counts
+
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(12)]
+    edges = sorted(
+        {tuple(sorted(rng.sample(nodes, 2))) for _ in range(30)}
+    )
+    got = {
+        r["node"]: r["triangles"]
+        for r in triangle_counts(
+            spark.createDataFrame(edges, "u string, v string")
+        ).collect()
+    }
+    eset = set(edges)
+    want = {n: 0 for n in nodes}
+    for a, b, c in itertools.combinations(sorted(nodes), 3):
+        if (
+            tuple(sorted((a, b))) in eset
+            and tuple(sorted((b, c))) in eset
+            and tuple(sorted((a, c))) in eset
+        ):
+            for x in (a, b, c):
+                want[x] += 1
+    want = {n: t for n, t in want.items() if n in got}
+    assert got == want
+
+
+def test_pagerank_matches_pure_python_replay(spark):
+    import random
+
+    from rrdtool_1_x_spark.datapipe.graph import pagerank
+
+    rng = random.Random(3)
+    nodes = [f"n{i}" for i in range(10)]
+    raw = {(rng.choice(nodes), rng.choice(nodes)) for _ in range(25)}
+    edges = [(a, b, rng.randint(1, 5)) for a, b in raw if a != b]
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank(
+            spark.createDataFrame(edges, "src string, dst string, w long"),
+            n_iter=5,
+        ).collect()
+    }
+    # independent pure-python replay of the exact integer recurrence
+    ns = sorted({a for a, _, _ in edges} | {b for _, b, _ in edges})
+    N, SCALE = len(ns), 10**12
+    out = {}
+    for a, _, w in edges:
+        out[a] = out.get(a, 0) + w
+    r = {n: SCALE // N for n in ns}
+    for _ in range(5):
+        inflow = {n: 0 for n in ns}
+        for a, b, w in edges:
+            inflow[b] += (r[a] * w) // out[a]
+        dang = sum(r[n] for n in ns if n not in out)
+        r = {
+            n: (15 * (SCALE // N)) // 100
+            + (85 * inflow[n]) // 100
+            + (85 * (dang // N)) // 100
+            for n in ns
+        }
+    assert got == r
