@@ -3528,6 +3528,27 @@ def q_url_dedup(spark, sf_dir):
     )
 
 
+def q_pagerank_topup(spark, sf_dir):
+    """Incremental PageRank (datapipe.graph.pagerank with init_ranks):
+    5 cold rounds over the doc_id % 5 != 0 edge subset, ranks persisted
+    to parquet, then 2 resumed rounds over the FULL edge set seeded
+    from the stored state (new nodes at the uniform base) — the
+    edge-append maintenance path that absorbs appends in a couple of
+    rounds instead of a cold restart."""
+    import tempfile
+
+    from rrdtool_1_x_spark.datapipe.graph import domain_link_edges, pagerank
+
+    d = _docs_url_variants(spark, sf_dir)
+    old_edges = domain_link_edges(d.filter(F.col("doc_id") % 5 != 0))
+    path = tempfile.mkdtemp(prefix="pr_state_")
+    pagerank(old_edges, n_iter=5).write.mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path)
+    return pagerank(
+        domain_link_edges(d), n_iter=2, init_ranks=stored
+    ).orderBy(F.desc("rank_micro"), F.asc("node"))
+
+
 def q_hits(spark, sf_dir):
     """HITS hubs/authorities (datapipe.graph.hits; Kleinberg 1999) on
     the same citation graph as pagerank — the bipartite case: sources
@@ -3600,6 +3621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_iter": q_kmeans_iter,
         "kmeans_topup": q_kmeans_topup,
         "pagerank": q_pagerank,
+        "pagerank_topup": q_pagerank_topup,
         "hits": q_hits,
         "triangles": q_triangles,
         "group_split": q_group_split,
@@ -3919,6 +3941,90 @@ dagg AS (SELECT doc_id, flatten(list(s ORDER BY j)) AS pieces
 SELECT d.doc_id, CAST(coalesce(len(a.pieces), 0) AS BIGINT) AS n_pieces,
        md5(array_to_string(coalesce(a.pieces, [])::VARCHAR[], ' ')) AS pieces_sig
 FROM documents d LEFT JOIN dagg a USING (doc_id) ORDER BY doc_id"""
+
+
+def _pr_layer(name: str, prev: str, et: str, ot: str, nt: str) -> str:
+    """One integer PageRank power-iteration layer (mirrors
+    datapipe.graph.pagerank's update exactly) reading edge table ``et``,
+    out-degree table ``ot`` and node-count CTE ``nt``."""
+    return f"""
+{name}_in AS (SELECT e.dst AS node,
+          CAST(sum((r.r * e.w) // o.wout) AS BIGINT) AS fin
+        FROM {et} e JOIN {prev} r ON r.node = e.src
+        JOIN {ot} o ON o.src = e.src GROUP BY 1),
+{name}_dg AS (SELECT CAST(coalesce(sum(r.r), 0) AS BIGINT) AS dg
+        FROM {prev} r LEFT JOIN {ot} o ON o.src = r.node
+        WHERE o.src IS NULL),
+{name} AS (SELECT n.node,
+         CAST((15 * (1000000000000 // k.n)) // 100
+              + (85 * coalesce(i.fin, 0)) // 100
+              + (85 * (d.dg // k.n)) // 100 AS BIGINT) AS r
+       FROM {prev} n LEFT JOIN {name}_in i ON i.node = n.node,
+            {name}_dg d, {nt} k)"""
+
+
+_PR_ENR = r"""enr AS (SELECT doc_id, source,
+    text || ' ref ' || CASE doc_id % 4
+      WHEN 0 THEN 'https://SITE' || CAST(doc_id % 50 AS VARCHAR)
+        || '.example.org/page/' || CAST(doc_id % 50 AS VARCHAR) || '/'
+      WHEN 1 THEN 'http://www.site' || CAST(doc_id % 50 AS VARCHAR)
+        || '.example.org/page/' || CAST(doc_id % 50 AS VARCHAR)
+      WHEN 2 THEN 'https://site' || CAST(doc_id % 50 AS VARCHAR)
+        || '.example.org/page/' || CAST(doc_id % 50 AS VARCHAR)
+        || '?utm_source=feed&utm_campaign=x'
+      ELSE 'https://site' || CAST(doc_id % 50 AS VARCHAR)
+        || '.example.org/page/' || CAST(doc_id % 50 AS VARCHAR) || '#frag'
+    END AS text
+  FROM documents)"""
+
+
+def _pagerank_topup_oracle() -> str:
+    """Two-phase incremental PageRank: 5 cold rounds over the OLD edge
+    subset (doc_id % 5 != 0), persisted ranks seed 2 resumed rounds
+    over the FULL edge set (new nodes start at the uniform base over
+    the CURRENT node count) — mirrors pagerank(init_ranks=...)."""
+    old = "".join(
+        "," + _pr_layer(f"or{i}", f"or{i - 1}", "eo", "oo", "nno")
+        for i in range(1, 6)
+    )
+    new = "".join(
+        "," + _pr_layer(f"fr{i}", f"fr{i - 1}", "edges", "outdeg", "nn")
+        for i in range(1, 3)
+    )
+    return (rf"""
+WITH {_PR_ENR},
+hx AS (SELECT source AS src,
+         regexp_replace(lower(unnest(
+           regexp_extract_all(text, 'https?://([^/\s:]+)', 1))),
+           '^www\.', '') AS dst
+       FROM enr),
+hxo AS (SELECT source AS src,
+         regexp_replace(lower(unnest(
+           regexp_extract_all(text, 'https?://([^/\s:]+)', 1))),
+           '^www\.', '') AS dst
+       FROM enr WHERE doc_id % 5 != 0),
+edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+          FROM hx GROUP BY 1, 2),
+eo AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+       FROM hxo GROUP BY 1, 2),
+no AS (SELECT src AS node FROM eo UNION SELECT dst FROM eo),
+oo AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM eo GROUP BY 1),
+nno AS (SELECT CAST(count(*) AS BIGINT) AS n FROM no),
+or0 AS (SELECT no.node, CAST(1000000000000 // nno.n AS BIGINT) AS r
+        FROM no, nno)"""
+        + old
+        + """,
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+outdeg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout
+           FROM edges GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+fr0 AS (SELECT n.node,
+          coalesce(p.r, CAST(1000000000000 // nn.n AS BIGINT)) AS r
+        FROM nodes n LEFT JOIN or5 p ON p.node = n.node, nn)"""
+        + new
+        + """
+SELECT node, r AS rank_micro FROM fr2
+ORDER BY rank_micro DESC, node""")
 
 
 def _kmeans_oracle(train_pred: str = "") -> str:
@@ -4277,6 +4383,8 @@ r{_i} AS (SELECT n.node,
               + (85 * (d.dg // nn.n)) // 100 AS BIGINT) AS r
        FROM r{_i - 1} n LEFT JOIN inf{_i} i ON i.node = n.node,
             dg{_i} d, nn)""")
+    sql["pagerank_topup"] = _pagerank_topup_oracle()
+
     # HITS on the same edges: alternating hub/authority gathers with
     # HUGEINT-carried sums (the oracle twin of Spark's DECIMAL(38,0))
     # and x*scale//total L1 renormalization each round

@@ -62,6 +62,7 @@ def pagerank(
     edges: DataFrame,
     n_iter: int = 5,
     scale: int = 10**12,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Weighted PageRank with damping 0.85 over ``(src, dst, w)`` edges,
     all-integer: ranks are micro-units of ``scale``, a node passes
@@ -77,7 +78,15 @@ def pagerank(
     At 100 TB the edge frame is domain-pair-sized and each iteration is
     one shuffle on src plus one on dst; the two scalars (N, dangling
     mass) broadcast. n_iter is typically <= 10 (power iteration
-    converges geometrically at rate 0.85)."""
+    converges geometrically at rate 0.85).
+
+    ``init_ranks``: optional ``(node, rank_micro)`` frame (e.g. the
+    persisted output of a previous run) to resume from — the
+    incremental-maintenance path after edge appends: power iteration
+    restarted from last round's (nearly-converged) ranks needs only a
+    couple of rounds to absorb the new edges instead of starting cold.
+    Nodes absent from ``init_ranks`` (newly appeared) start at the
+    uniform base ``scale DIV N`` over the CURRENT node count."""
     edges = edges.select(
         F.col("src"), F.col("dst"), F.col("w").cast("long")
     ).localCheckpoint(eager=True)
@@ -92,11 +101,27 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     nn = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    ranks = (
-        nodes.crossJoin(F.broadcast(nn))
-        .select("node", F.expr(f"{scale}L DIV n").alias("r"))
-        .localCheckpoint(eager=True)
-    )
+    if init_ranks is None:
+        ranks = (
+            nodes.crossJoin(F.broadcast(nn))
+            .select("node", F.expr(f"{scale}L DIV n").alias("r"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        prev = init_ranks.select(
+            F.col("node"), F.col("rank_micro").cast("long").alias("_pr")
+        )
+        ranks = (
+            nodes.join(prev, "node", "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                F.coalesce(
+                    F.col("_pr"), F.expr(f"{scale}L DIV n")
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
     for _ in range(n_iter):
         contrib = (
             ranks.join(edges, ranks.node == edges.src)
