@@ -2015,3 +2015,31 @@ def test_pagerank_matches_pure_python_replay(spark):
             for n in ns
         }
     assert got == r
+
+
+def test_pagerank_resume_converges_to_cold_ranks(spark):
+    from rrdtool_1_x_spark.datapipe.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 2), ("c", "a", 1), ("a", "c", 3)],
+        "src string, dst string, w long",
+    )
+    # resume from a converged state: extra rounds barely move the ranks
+    cold = pagerank(edges, n_iter=12)
+    resumed = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank(edges, n_iter=2, init_ranks=cold).collect()
+    }
+    coldm = {r["node"]: r["rank_micro"] for r in cold.collect()}
+    for n in coldm:
+        assert abs(resumed[n] - coldm[n]) < 0.01 * coldm[n] + 1000
+    # a brand-new node (edge append) enters at the uniform base and
+    # picks up rank from its in-edges within the resumed rounds
+    grown = edges.union(
+        spark.createDataFrame([("a", "d", 5)], "src string, dst string, w long")
+    )
+    res2 = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank(grown, n_iter=2, init_ranks=cold).collect()
+    }
+    assert "d" in res2 and res2["d"] > 0
