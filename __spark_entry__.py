@@ -2288,6 +2288,22 @@ def q_hash_split(spark, sf_dir):
     return out.select("doc_id", "split").orderBy("doc_id")
 
 
+def q_harmonic(spark, sf_dir):
+    """HyperBall harmonic centrality (datapipe.graph.hyperball_harmonic;
+    Boldi & Vigna 2014 — the algorithm behind CommonCrawl's published
+    domain ranking) on the citation graph: one bit-exact HLL per node,
+    balls grown by register-max along in-edges for 3 rounds, harmonic =
+    Σ (|B_r|-|B_{r-1}|)/r over the deterministic estimates — the whole
+    approximation hash-gates."""
+    from rrdtool_1_x_spark.datapipe.graph import (
+        domain_link_edges,
+        hyperball_harmonic,
+    )
+
+    edges = domain_link_edges(_docs_url_variants(spark, sf_dir))
+    return hyperball_harmonic(edges, n_iter=3).orderBy("node")
+
+
 def q_triangles(spark, sf_dir):
     """Per-node triangle counts on the domain co-citation graph
     (datapipe.graph.cocitation_edges + triangle_counts; Suri &
@@ -3623,6 +3639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "pagerank_topup": q_pagerank_topup,
         "hits": q_hits,
+        "harmonic": q_harmonic,
         "triangles": q_triangles,
         "group_split": q_group_split,
         "ngram_diversity": q_ngram_diversity,
@@ -7291,6 +7308,67 @@ FROM est JOIN ex USING (source) ORDER BY source"""
         sql["hll_distinct"].split(",\nex AS (SELECT source")[0]
         + "\nSELECT source, round(ev, 4) AS hll_est FROM est ORDER BY source"
     )
+
+    # HyperBall harmonic centrality (Boldi & Vigna): one HLL per node,
+    # balls grown by register-max along in-edges, per-radius estimates
+    # through the SAME dyadic estimate chain as hll_distinct (rounded 4),
+    # harmonic = sum of (b_r - b_{r-1})/r rounded 6
+    _hb_est_case = f"""CASE WHEN ({_alpha_sql} * p2k / (V::DOUBLE * p2k + S::DOUBLE))
+                    <= 1280.0 AND V > 0
+               THEN 512.0 * ln(512.0 / V)
+               WHEN ({_alpha_sql} * p2k / (V::DOUBLE * p2k + S::DOUBLE))
+                    > (4294967296.0 / 30.0)
+                AND ({_alpha_sql} * p2k / (V::DOUBLE * p2k + S::DOUBLE))
+                    < 4294967296.0
+               THEN -4294967296.0
+                    * ln(1.0 - ({_alpha_sql} * p2k
+                                / (V::DOUBLE * p2k + S::DOUBLE))
+                          / 4294967296.0)
+               ELSE {_alpha_sql} * p2k / (V::DOUBLE * p2k + S::DOUBLE)
+          END"""
+    _hb_parts = []
+    for _r in range(0, 4):
+        if _r > 0:
+            _hb_parts.append(f"""
+hb_g{_r} AS (SELECT node, bucket, max(mr) AS mr FROM (
+    SELECT node, bucket, mr FROM hb_g{_r - 1}
+    UNION ALL
+    SELECT e.dst AS node, g.bucket, g.mr
+    FROM edges e JOIN hb_g{_r - 1} g ON g.node = e.src) _
+  GROUP BY 1, 2)""")
+        _hb_parts.append(f"""
+hb_k{_r} AS (SELECT node, max(mr) AS K FROM hb_g{_r} GROUP BY 1),
+hb_p{_r} AS (SELECT g.node, any_value(K) AS K, count(*) AS nb,
+            CAST(sum(CAST(1 AS BIGINT) << (K - mr)) AS BIGINT) AS S
+          FROM hb_g{_r} g JOIN hb_k{_r} USING (node) GROUP BY 1),
+hb_s{_r} AS (SELECT node, (512 - nb) AS V,
+            CAST(CAST(1 AS BIGINT) << K AS DOUBLE) AS p2k, S
+          FROM hb_p{_r}),
+hb_e{_r} AS (SELECT node, round({_hb_est_case}, 4) AS b{_r} FROM hb_s{_r})""")
+    sql["harmonic"] = (rf"""
+WITH {_PR_ENR},
+hx AS (SELECT source AS src,
+         regexp_replace(lower(unnest(
+           regexp_extract_all(text, 'https?://([^/\s:]+)', 1))),
+           '^www\.', '') AS dst
+       FROM enr),
+edges AS (SELECT DISTINCT src, dst FROM hx),
+hb_n AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+hb_h AS (SELECT node, md5('hb:' || node) AS h FROM hb_n),
+hb_v AS (SELECT node, CAST(({_hex8int}) AS BIGINT) AS h32 FROM hb_h),
+hb_g0 AS (SELECT node, h32 >> 23 AS bucket,
+            CASE WHEN h32 % 8388608 > 0
+                 THEN 23 - (length(bin(h32 % 8388608)) - 1)
+                 ELSE 24 END AS mr
+          FROM hb_v),"""
+        + ",".join(_hb_parts)
+        + """
+SELECT n.node, e3.b3 AS reach_est,
+       round((e1.b1 - e0.b0) / 1.0 + (e2.b2 - e1.b1) / 2.0
+             + (e3.b3 - e2.b2) / 3.0, 6) AS harmonic
+FROM hb_n n JOIN hb_e0 e0 USING (node) JOIN hb_e1 e1 USING (node)
+            JOIN hb_e2 e2 USING (node) JOIN hb_e3 e3 USING (node)
+ORDER BY n.node""")
 
     # Count-Min heavy-hitter audit: the sketch is exact integer sums over
     # md5 buckets (order-free); estimates = min of each candidate's 4

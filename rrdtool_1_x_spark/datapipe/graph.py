@@ -334,3 +334,81 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def hyperball_harmonic(
+    edges: DataFrame,
+    n_iter: int = 3,
+) -> DataFrame:
+    """Harmonic centrality by HyperBall (Boldi & Vigna WWW 2014) — the
+    EXACT algorithm behind CommonCrawl's public domain ranking, which is
+    what web-scale corpora weight domain quality by. True harmonic
+    centrality needs all-pairs distances (hopeless at 1e8 nodes);
+    HyperBall keeps ONE HLL counter per node whose registers are the
+    ball of nodes that can reach it, and grows all balls one hop per
+    round with the register-max merge:
+
+        B_r(v) = B_{r-1}(v) ∪ ⋃_{(u→v) ∈ E} B_{r-1}(u)
+
+    harmonic(v) = Σ_r (|B_r(v)| - |B_{r-1}(v)|) / r over estimated ball
+    sizes. This repo's HLL is bit-exact (md5 hashes, integer registers,
+    the dyadic estimate chain every hll gate pins), so the HyperBall
+    estimates — and therefore the centrality ranking — are deterministic
+    across engines and partitionings: the whole approximation hash-gates.
+    Per-radius estimates are rounded to 4dp (the hll_est convention)
+    before the delta sum; the result to 6dp.
+
+    Returns ``(node, reach_est, harmonic)`` — reach_est is the final
+    ball size (nodes that reach v within n_iter hops, self included).
+
+    Shape at scale: state is ≤512 integer register rows per node —
+    node-sized, never corpus- or pairs-sized; each round is one join of
+    the register frame with the edge list (shuffle on dst) and one
+    register-max combine. This is the 100 TB substitute for all-pairs
+    BFS, exactly as published."""
+    from rrdtool_1_x_spark.datapipe.sketch import (
+        _estimate_from_registers,
+        hll_register_cols,
+    )
+
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    bucket, rho = hll_register_cols(F.col("node"), seed="hb")
+    regs = (
+        nodes.select("node", bucket, rho)
+        .groupBy("node", "bucket")
+        .agg(F.max("rho").alias("mr"))
+        .localCheckpoint(eager=True)
+    )
+
+    def est(r, name):
+        return _estimate_from_registers(r, ["node"]).select(
+            "node", F.col("hll_est").alias(name)
+        )
+
+    balls = est(regs, "b0")
+    for r in range(1, n_iter + 1):
+        contrib = e.join(regs, regs.node == e.src).select(
+            F.col("dst").alias("node"), "bucket", "mr"
+        )
+        regs = (
+            regs.union(contrib)
+            .groupBy("node", "bucket")
+            .agg(F.max("mr").alias("mr"))
+            .localCheckpoint(eager=True)
+        )
+        balls = balls.join(est(regs, f"b{r}"), "node")
+    harm = None
+    for r in range(1, n_iter + 1):
+        term = (F.col(f"b{r}") - F.col(f"b{r - 1}")) / F.lit(float(r))
+        harm = term if harm is None else harm + term
+    return balls.select(
+        "node",
+        F.col(f"b{n_iter}").alias("reach_est"),
+        F.round(harm, 6).alias("harmonic"),
+    )

@@ -2043,3 +2043,27 @@ def test_pagerank_resume_converges_to_cold_ranks(spark):
         for r in pagerank(grown, n_iter=2, init_ranks=cold).collect()
     }
     assert "d" in res2 and res2["d"] > 0
+
+
+def test_hyperball_harmonic_star_and_chain(spark):
+    from rrdtool_1_x_spark.datapipe.graph import hyperball_harmonic
+
+    # star into hub: hub is reached by 3 nodes at distance 1 → its
+    # harmonic ≈ 3; leaves are reached by nobody → ≈ 0
+    star = spark.createDataFrame(
+        [("a", "hub", 1), ("b", "hub", 1), ("c", "hub", 1)],
+        "src string, dst string, w long",
+    )
+    out = {r["node"]: r for r in hyperball_harmonic(star, n_iter=3).collect()}
+    assert out["hub"]["harmonic"] > 2.0
+    assert all(abs(out[n]["harmonic"]) < 0.5 for n in "abc")
+    # reach includes self: leaves ≈ 1, hub ≈ 4 (HLL estimate, small-range)
+    assert out["hub"]["reach_est"] > out["a"]["reach_est"]
+
+    # chain a→b→c: c gets 1/1 (from b) + 1/2 (from a) ≈ 1.5
+    chain = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1)], "src string, dst string, w long"
+    )
+    oc = {r["node"]: r for r in hyperball_harmonic(chain, n_iter=3).collect()}
+    assert oc["c"]["harmonic"] > oc["b"]["harmonic"] > oc["a"]["harmonic"]
+    assert 1.0 < oc["c"]["harmonic"] < 2.1
