@@ -2322,6 +2322,17 @@ def q_triangles(spark, sf_dir):
     return triangle_counts(edges).orderBy("node")
 
 
+def q_cdc_dedup(spark, sf_dir):
+    """Content-defined-chunking storage dedup report
+    (datapipe.dedup.cdc_blocks / cdc_dedup_report; LBFS/FastCDC
+    family): boundaries where the 4-token window hash starts with a
+    zero nibble, block-hash dedup accounting — how much smaller the
+    corpus gets under content-addressed storage."""
+    from rrdtool_1_x_spark.datapipe.dedup import cdc_dedup_report
+
+    return cdc_dedup_report(_docs(spark, sf_dir))
+
+
 def q_group_split(spark, sf_dir):
     """Leakage-safe train/val/test split (datapipe.sampling.
     leakage_safe_split): every near-dup connected component is keyed by
@@ -3652,6 +3663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "json_props": q_json_props,
         "shard_epoch": q_shard_epoch,
+        "cdc_dedup": q_cdc_dedup,
         "oov_rate": q_oov_rate,
         "kn_bigram": q_kn_bigram,
         "edit_near_dup": q_edit_near_dup,
@@ -7145,6 +7157,46 @@ SELECT event_type, user_bucket, count(*) AS n_events,
        round(CAST(sum(cents) AS BIGINT) / 100.0, 6) AS value_sum
 FROM e GROUP BY ROLLUP (event_type, user_bucket)
 ORDER BY event_type, user_bucket"""
+
+    # CDC block dedup: boundary after token p where the md5 of the
+    # 4-token window ending at p starts with nibble '0'; exclusive
+    # prefix-sum of flags numbers the blocks; block md5 is the dedup key
+    sql["cdc_dedup"] = r"""
+WITH tk AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                          x -> x != '') AS t
+            FROM documents),
+wn AS (SELECT doc_id, t, len(t) AS n,
+         list_transform(range(1, greatest(len(t) - 3, 0) + 1),
+            j -> md5(t[j] || ' ' || t[j + 1] || ' ' || t[j + 2]
+                     || ' ' || t[j + 3])) AS wh
+       FROM tk),
+fl AS (SELECT doc_id, t, n,
+         list_concat(
+           list_transform(range(1, least(n, 3) + 1), j -> false),
+           list_transform(wh, h -> substr(h, 1, 1) = '0')) AS flags
+       FROM wn),
+ex AS (SELECT doc_id, unnest(range(1, n + 1)) AS pos, unnest(t) AS tok,
+         unnest(flags) AS bflag
+       FROM fl),
+bl AS (SELECT doc_id, pos, tok,
+         coalesce(sum(CASE WHEN bflag THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS block_id
+       FROM ex),
+bh AS (SELECT doc_id, block_id, count(*) AS n_tok,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS block_hash
+       FROM bl GROUP BY 1, 2),
+ph AS (SELECT block_hash, count(*) AS c, min(n_tok) AS nt
+       FROM bh GROUP BY 1)
+SELECT CAST(sum(c) AS BIGINT) AS total_blocks,
+       CAST(count(*) AS BIGINT) AS distinct_blocks,
+       CAST(sum(c * nt) AS BIGINT) AS tokens_total,
+       CAST(sum(nt) AS BIGINT) AS tokens_dedup,
+       round((sum(c * nt) - sum(nt))::DOUBLE / sum(c * nt), 6)
+         AS dup_token_share
+FROM ph"""
 
     # deterministic epoch shuffle: md5(epoch0:id) permutation rank,
     # shard = rank DIV 64 (ids make the key unique, so ties are moot)

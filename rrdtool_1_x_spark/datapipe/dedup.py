@@ -1146,3 +1146,114 @@ def edit_near_duplicates(
         F.col("lev").cast("long").alias("lev"),
         F.round(F.col("lev").cast("double") / F.col("_mx"), 6).alias("edit_ratio"),
     )
+
+
+def cdc_blocks(
+    df: DataFrame,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking over the token stream — the
+    storage-dedup primitive (LBFS/FastCDC family): a block boundary
+    falls AFTER token ``p`` wherever the md5 of the ``window``-token
+    span ending at ``p`` starts with a zero nibble (P = 1/16 → mean
+    block ≈ 16 tokens). Because boundaries depend only on local
+    CONTENT, an insertion early in a document shifts at most the block
+    it lands in — every later block re-aligns and deduplicates again,
+    which is exactly what fixed-size chunking cannot do.
+
+    Returns ``(id, block_id, n_tok, block_hash)`` — block_hash is the
+    md5 of the space-joined tokens, the cross-document dedup key.
+
+    Shape at scale: window hashes and boundary flags are per-row array
+    arithmetic inside the scan; the running block id is one
+    sum-of-flags window keyed BY DOCUMENT (skew bounded by document
+    length), and block assembly is a (doc, block) aggregation —
+    corpus-linear, no corpus-wide key before the final block-hash
+    count."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    w = window
+    zipped = F.arrays_zip(
+        *[F.slice(toks, i + 1, F.size(toks)).alias(f"t{i}") for i in range(w)]
+    )
+    n = F.size(toks)
+    full = F.transform(
+        F.slice(zipped, 1, F.greatest(n - (w - 1), F.lit(0))),
+        lambda x: F.concat_ws(" ", *[x[f"t{i}"] for i in range(w)]),
+    )
+    flags = F.concat(
+        F.array_repeat(F.lit(False), F.least(n, F.lit(w - 1))),
+        F.transform(
+            full,
+            lambda s: F.substring(F.md5(s.cast("binary")), 1, 1) == "0",
+        ),
+    )
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(F.arrays_zip(toks.alias("tok"), flags.alias("bnd"))),
+    ).select(
+        id_col,
+        F.col("pos"),
+        F.col("col.tok").alias("tok"),
+        F.col("col.bnd").cast("int").alias("bnd"),
+    )
+    wn = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    blocks = ex.withColumn(
+        "block_id", F.coalesce(F.sum("bnd").over(wn), F.lit(0)).cast("long")
+    )
+    return (
+        blocks.groupBy(id_col, "block_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("pos", "tok"))
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                ).cast("binary")
+            ).alias("block_hash"),
+        )
+    )
+
+
+def cdc_dedup_report(
+    df: DataFrame,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus storage-dedup accounting over CDC blocks: how many token
+    blocks exist, how many are distinct, and what share of tokens a
+    block-store would NOT have to keep twice — the measurement behind
+    'how much smaller does this corpus get under content-addressed
+    storage'. One row:
+    ``(total_blocks, distinct_blocks, tokens_total, tokens_dedup,
+    dup_token_share)`` where tokens_dedup keeps one copy per distinct
+    block."""
+    b = cdc_blocks(df, window, id_col, text_col)
+    per_hash = b.groupBy("block_hash").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.min("n_tok").alias("_nt"),
+    )
+    return per_hash.agg(
+        F.sum("_c").cast("long").alias("total_blocks"),
+        F.count(F.lit(1)).alias("distinct_blocks"),
+        F.sum(F.col("_c") * F.col("_nt")).cast("long").alias("tokens_total"),
+        F.sum("_nt").cast("long").alias("tokens_dedup"),
+        F.round(
+            (F.sum(F.col("_c") * F.col("_nt")) - F.sum("_nt")).cast("double")
+            / F.sum(F.col("_c") * F.col("_nt")),
+            6,
+        ).alias("dup_token_share"),
+    )

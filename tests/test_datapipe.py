@@ -2067,3 +2067,24 @@ def test_hyperball_harmonic_star_and_chain(spark):
     oc = {r["node"]: r for r in hyperball_harmonic(chain, n_iter=3).collect()}
     assert oc["c"]["harmonic"] > oc["b"]["harmonic"] > oc["a"]["harmonic"]
     assert 1.0 < oc["c"]["harmonic"] < 2.1
+
+
+def test_cdc_blocks_realign_after_insertion(spark):
+    from rrdtool_1_x_spark.datapipe.dedup import cdc_blocks, cdc_dedup_report
+
+    base = " ".join(f"w{i}" for i in range(120))
+    shifted = "XX " + base  # one token inserted at the front
+    df = spark.createDataFrame(
+        [(1, base), (2, shifted)], "doc_id long, text string"
+    )
+    b = cdc_blocks(df).collect()
+    h1 = {r["block_hash"] for r in b if r["doc_id"] == 1}
+    h2 = {r["block_hash"] for r in b if r["doc_id"] == 2}
+    # content-defined boundaries re-align: most of doc 1's blocks
+    # reappear verbatim in the shifted copy (fixed-size chunking shares 0)
+    assert len(h1 & h2) >= len(h1) // 2
+    rep = cdc_dedup_report(df).collect()[0]
+    assert rep["total_blocks"] > rep["distinct_blocks"]
+    assert 0 < rep["dup_token_share"] < 1
+    # token conservation: every token lands in exactly one block
+    assert sum(r["n_tok"] for r in b) == 120 + 121
