@@ -1197,6 +1197,33 @@ def q_sessionize(spark, sf_dir):
     ).orderBy("user_id", "session_idx")
 
 
+def q_event_paths(spark, sf_dir):
+    """Behavioral path mining (operators.sessions.session_paths): every
+    3-step event-type sequence inside a 30-minute session, counted
+    corpus-wide — funnel DISCOVERY (which paths actually happen) next
+    to `funnel`'s hypothesis check. Within-session order is (ts, event
+    id), deterministic under timestamp ties."""
+    from rrdtool_1_x_spark.operators.sessions import session_paths
+
+    ev = _events_us(spark, sf_dir)
+    return session_paths(
+        ev, n=3, ts_col="tus", by=["user_id"], gap=1_800_000_000
+    ).orderBy(F.desc("n_occurrences"), F.asc("path"))
+
+
+def q_phrase_search(spark, sf_dir):
+    """Positional-postings exact phrase search (datapipe.retrieval.
+    phrase_search): term postings carry positions, phrases resolve as
+    (doc, pos+i) join chains over term-filtered posting sets — the IR
+    surface bag-of-words BM25 cannot answer."""
+    from rrdtool_1_x_spark.datapipe.retrieval import phrase_search
+
+    return phrase_search(
+        _docs(spark, sf_dir),
+        ["slow hash batch", "table table key", "fast table value"],
+    ).orderBy("phrase", "doc_id")
+
+
 def q_funnel(spark, sf_dir):
     """Ordered funnel signup -> view -> click -> purchase within 7 days
     (operators.funnel.funnel): greedy-earliest stage matching as one
@@ -3664,6 +3691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "shard_epoch": q_shard_epoch,
         "cdc_dedup": q_cdc_dedup,
+        "event_paths": q_event_paths,
+        "phrase_search": q_phrase_search,
         "oov_rate": q_oov_rate,
         "kn_bigram": q_kn_bigram,
         "edit_near_dup": q_edit_near_dup,
@@ -7102,6 +7131,57 @@ s AS (SELECT user_id, tus,
 SELECT user_id, session_idx, min(tus) AS start_us, max(tus) AS end_us,
        count(*) AS n_events, max(tus) - min(tus) AS duration_us
 FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx"""
+
+    # path mining: the sessionize chain + two lead() steps over the
+    # (user, session) partition ordered (tus, event_id); complete
+    # 3-grams only
+    sql["event_paths"] = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
+           FROM events),
+l AS (SELECT user_id, event_id, tus, event_type,
+             CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id
+                                            ORDER BY tus) > 1800000000
+                  THEN 1 ELSE 0 END AS nw
+      FROM e),
+s AS (SELECT user_id, event_id, tus, event_type,
+             CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY tus
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sx
+      FROM l),
+p AS (SELECT user_id, sx, event_type AS e0,
+             lead(event_type, 1) OVER w AS e1,
+             lead(event_type, 2) OVER w AS e2
+      FROM s WINDOW w AS (PARTITION BY user_id, sx
+                          ORDER BY tus, event_id)),
+c AS (SELECT e0 || ' > ' || e1 || ' > ' || e2 AS path,
+             CAST(user_id AS VARCHAR) || '/' || CAST(sx AS VARCHAR) AS sk
+      FROM p WHERE e2 IS NOT NULL)
+SELECT path, CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT sk) AS BIGINT) AS n_sessions
+FROM c GROUP BY 1 ORDER BY n_occurrences DESC, path"""
+
+    # positional phrase search: postings with 1-based positions, phrase
+    # = join chain on (doc, pos + i) over term-filtered postings
+    sql["phrase_search"] = r"""
+WITH tk AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                          x -> x != '') AS t
+            FROM documents),
+post AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos,
+                unnest(t) AS term
+         FROM tk),
+ph AS (SELECT unnest(['slow hash batch', 'table table key',
+                      'fast table value']) AS phrase),
+pt AS (SELECT phrase, regexp_split_to_array(phrase, ' ') AS w FROM ph),
+m AS (SELECT pt.phrase, p0.doc_id, p0.pos AS p0
+      FROM pt
+      JOIN post p0 ON p0.term = pt.w[1]
+      JOIN post p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+                   AND p1.term = pt.w[2]
+      JOIN post p2 ON p2.doc_id = p0.doc_id AND p2.pos = p0.pos + 2
+                   AND p2.term = pt.w[3])
+SELECT phrase, doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(min(p0) AS BIGINT) AS first_pos
+FROM m GROUP BY 1, 2 ORDER BY phrase, doc_id"""
 
     # ordered funnel: one min-aggregate per stage, greedy-earliest with
     # the 7-day whole-funnel window anchored at ts_1

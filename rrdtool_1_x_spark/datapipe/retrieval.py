@@ -506,3 +506,58 @@ def query_bm25_index(
             F.round(F.col("s") / F.lit(1e12), 6).alias("bm25"),
         )
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrases: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase search over a POSITIONAL postings list — the IR
+    surface BM25's bag-of-words postings cannot answer (Lucene keeps
+    positions in its postings for exactly this): token n-grams must
+    match contiguously, so "slow hash batch" only hits documents where
+    the three terms are adjacent in order. Returns one row per
+    (phrase, matching doc): ``(phrase, id, n_hits, first_pos)``
+    (first_pos is the 1-based token position of the first occurrence).
+
+    Each phrase resolves as a chain of self-joins over the postings:
+    term_i's postings joined on (doc, pos = pos0 + i). Every join side
+    is first FILTERED to one term — term-posting-sized, not
+    corpus-sized — and the join keys are (doc, pos), so fan-out is
+    bounded by per-doc term frequency; AQE picks broadcast sides when a
+    term is rare. The postings build itself is the usual corpus-linear
+    explode."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    post = (
+        df.select(F.col(id_col), F.posexplode(toks).alias("_p", "term"))
+        .select(id_col, (F.col("_p") + 1).alias("pos"), "term")
+    )
+    out = None
+    for phrase in phrases:
+        terms = phrase.split()
+        cur = post.filter(F.col("term") == terms[0]).select(
+            F.col(id_col), F.col("pos").alias("p0")
+        )
+        for i, t in enumerate(terms[1:], start=1):
+            nxt = post.filter(F.col("term") == t).select(
+                F.col(id_col), F.col("pos").alias(f"p{i}")
+            )
+            cur = cur.join(
+                nxt,
+                (cur[id_col] == nxt[id_col])
+                & (nxt[f"p{i}"] == cur["p0"] + i),
+            ).select(cur[id_col], "p0")
+        hits = (
+            cur.groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_hits"),
+                F.min("p0").alias("first_pos"),
+            )
+            .select(F.lit(phrase).alias("phrase"), id_col, "n_hits", "first_pos")
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out

@@ -194,3 +194,46 @@ def json_field_stats(
             F.max("_v").alias("val_max"),
         )
     )
+
+
+def session_paths(
+    events: DataFrame,
+    n: int = 3,
+    ts_col: str = "tus",
+    by: list[str] | None = None,
+    gap: int = 1_800_000_000,
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Behavioral path mining — the funnel DISCOVERY op (``funnel``
+    checks a path you already hypothesized; this surfaces which paths
+    actually happen): every n-step sequence of consecutive event types
+    inside a session, counted corpus-wide. Returns
+    ``(path, n_occurrences, n_sessions)``.
+
+    Within-session order is (ts, event id) — the id tiebreak makes the
+    n-grams deterministic under timestamp ties, which raw sessionize
+    does not need but path extraction does.
+
+    Shape at scale: sessionize's key window, one lead() window per
+    extra step over the same partition (no extra shuffle — same key),
+    then a combinable path count; the hottest key holds an integer."""
+    by = list(by or ["user_id"])
+    s = sessionize(events, ts_col, by, gap)
+    w = Window.partitionBy(*by, "session_idx").orderBy(
+        F.asc(ts_col), F.asc(id_col)
+    )
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, n)
+    ]
+    path = F.concat_ws(" > ", *steps)
+    sess_key = F.concat_ws("/", *[F.col(c).cast("string") for c in by],
+                           F.col("session_idx").cast("string"))
+    complete = s.select(
+        path.alias("path"), sess_key.alias("_sk"),
+        *[c.alias(f"_s{i}") for i, c in enumerate(steps)],
+    ).filter(F.col(f"_s{n - 1}").isNotNull())
+    return complete.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct("_sk").alias("n_sessions"),
+    )

@@ -214,3 +214,42 @@ def test_robust_outliers_null_values_excluded(spark):
     r = robust_outliers(df).collect()[0]
     # the NULL row carries no magnitude: n=3, median of {100,300,500}
     assert (r["n_events"], r["med_cents"]) == (3, 300)
+
+
+def test_session_paths_hand_case(spark):
+    from rrdtool_1_x_spark.operators.sessions import session_paths
+
+    # user 1 session: a b c b c → 3-grams: "a b c","b c b","c b c";
+    # after a 1-hour gap: a b c again → "a b c" occurs twice overall
+    us = 1_000_000
+    rows = [
+        (1, 1, 0 * us, "a"), (1, 2, 1 * us, "b"), (1, 3, 2 * us, "c"),
+        (1, 4, 3 * us, "b"), (1, 5, 4 * us, "c"),
+        (1, 6, 7200 * us, "a"), (1, 7, 7201 * us, "b"), (1, 8, 7202 * us, "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, tus long, event_type string"
+    )
+    out = {r["path"]: r for r in session_paths(df, n=3, gap=1800 * us).collect()}
+    assert out["a > b > c"]["n_occurrences"] == 2
+    assert out["a > b > c"]["n_sessions"] == 2
+    assert out["b > c > b"]["n_occurrences"] == 1
+    # no path crosses the session boundary (e.g. "b > c > a" must not exist)
+    assert "b > c > a" not in out
+
+
+def test_phrase_search_adjacency_and_order(spark):
+    from rrdtool_1_x_spark.datapipe.retrieval import phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the quick brown cat"),
+            (2, "quick the brown"),           # words present, wrong order
+            (3, "the quick red brown"),       # not adjacent
+        ],
+        "doc_id long, text string",
+    )
+    out = phrase_search(df, ["the quick brown"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_id"], r["n_hits"], r["first_pos"]) == (1, 2, 1)
