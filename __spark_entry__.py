@@ -4004,16 +4004,23 @@ FROM documents d LEFT JOIN dagg a USING (doc_id) ORDER BY doc_id"""
 def _pr_layer(name: str, prev: str, et: str, ot: str, nt: str) -> str:
     """One integer PageRank power-iteration layer (mirrors
     datapipe.graph.pagerank's update exactly) reading edge table ``et``,
-    out-degree table ``ot`` and node-count CTE ``nt``."""
+    out-degree table ``ot`` and node-count CTE ``nt``.
+
+    Every rank CTE is MATERIALIZED: each layer references its
+    predecessor three times (inflow, dangling, carry), and DuckDB
+    inlines plain CTEs per reference — 3^layers copies of the whole
+    upstream chain (measured: the 7-layer topup oracle went from
+    minutes to sub-second). The SQL twin of the Spark
+    localCheckpoint-per-iteration rule."""
     return f"""
-{name}_in AS (SELECT e.dst AS node,
+{name}_in AS MATERIALIZED (SELECT e.dst AS node,
           CAST(sum((r.r * e.w) // o.wout) AS BIGINT) AS fin
         FROM {et} e JOIN {prev} r ON r.node = e.src
         JOIN {ot} o ON o.src = e.src GROUP BY 1),
-{name}_dg AS (SELECT CAST(coalesce(sum(r.r), 0) AS BIGINT) AS dg
+{name}_dg AS MATERIALIZED (SELECT CAST(coalesce(sum(r.r), 0) AS BIGINT) AS dg
         FROM {prev} r LEFT JOIN {ot} o ON o.src = r.node
         WHERE o.src IS NULL),
-{name} AS (SELECT n.node,
+{name} AS MATERIALIZED (SELECT n.node,
          CAST((15 * (1000000000000 // k.n)) // 100
               + (85 * coalesce(i.fin, 0)) // 100
               + (85 * (d.dg // k.n)) // 100 AS BIGINT) AS r
@@ -4061,19 +4068,19 @@ hxo AS (SELECT source AS src,
            regexp_extract_all(text, 'https?://([^/\s:]+)', 1))),
            '^www\.', '') AS dst
        FROM enr WHERE doc_id % 5 != 0),
-edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+edges AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
           FROM hx GROUP BY 1, 2),
-eo AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+eo AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
        FROM hxo GROUP BY 1, 2),
 no AS (SELECT src AS node FROM eo UNION SELECT dst FROM eo),
-oo AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM eo GROUP BY 1),
+oo AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM eo GROUP BY 1),
 nno AS (SELECT CAST(count(*) AS BIGINT) AS n FROM no),
 or0 AS (SELECT no.node, CAST(1000000000000 // nno.n AS BIGINT) AS r
         FROM no, nno)"""
         + old
         + """,
 nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-outdeg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout
+outdeg AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS wout
            FROM edges GROUP BY 1),
 nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
 fr0 AS (SELECT n.node,
@@ -4428,14 +4435,14 @@ FROM cn GROUP BY 1 ORDER BY canon_url"""
     _pr_layers = []
     for _i in range(1, 6):
         _pr_layers.append(f"""
-inf{_i} AS (SELECT e.dst AS node,
+inf{_i} AS MATERIALIZED (SELECT e.dst AS node,
           CAST(sum((r.r * e.w) // o.wout) AS BIGINT) AS fin
         FROM edges e JOIN r{_i - 1} r ON r.node = e.src
         JOIN outdeg o ON o.src = e.src GROUP BY 1),
-dg{_i} AS (SELECT CAST(coalesce(sum(r.r), 0) AS BIGINT) AS dg
+dg{_i} AS MATERIALIZED (SELECT CAST(coalesce(sum(r.r), 0) AS BIGINT) AS dg
         FROM r{_i - 1} r LEFT JOIN outdeg o ON o.src = r.node
         WHERE o.src IS NULL),
-r{_i} AS (SELECT n.node,
+r{_i} AS MATERIALIZED (SELECT n.node,
          CAST((15 * (1000000000000 // nn.n)) // 100
               + (85 * coalesce(i.fin, 0)) // 100
               + (85 * (d.dg // nn.n)) // 100 AS BIGINT) AS r
@@ -4449,15 +4456,15 @@ r{_i} AS (SELECT n.node,
     _hits_layers = []
     for _i in range(1, 4):
         _hits_layers.append(f"""
-ar{_i} AS (SELECT e.dst AS node, sum(CAST(h.h AS HUGEINT) * e.w) AS a0
+ar{_i} AS MATERIALIZED (SELECT e.dst AS node, sum(CAST(h.h AS HUGEINT) * e.w) AS a0
         FROM edges e JOIN h{_i - 1} h ON h.node = e.src GROUP BY 1),
 at{_i} AS (SELECT sum(a0) AS t FROM ar{_i}),
-a{_i} AS (SELECT node, (a0 * 1000000000000) // t AS a
+a{_i} AS MATERIALIZED (SELECT node, (a0 * 1000000000000) // t AS a
        FROM ar{_i}, at{_i}),
-hr{_i} AS (SELECT e.src AS node, sum(CAST(a.a AS HUGEINT) * e.w) AS hh
+hr{_i} AS MATERIALIZED (SELECT e.src AS node, sum(CAST(a.a AS HUGEINT) * e.w) AS hh
         FROM edges e JOIN a{_i} a ON a.node = e.dst GROUP BY 1),
 ht{_i} AS (SELECT sum(hh) AS t FROM hr{_i}),
-h{_i} AS (SELECT node, (hh * 1000000000000) // t AS h
+h{_i} AS MATERIALIZED (SELECT node, (hh * 1000000000000) // t AS h
        FROM hr{_i}, ht{_i})""")
     sql["hits"] = r"""
 WITH enr AS (SELECT doc_id, source,
@@ -4478,7 +4485,7 @@ hx AS (SELECT source AS src,
            regexp_extract_all(text, 'https?://([^/\s:]+)', 1))),
            '^www\.', '') AS dst
        FROM enr),
-edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+edges AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
           FROM hx GROUP BY 1, 2),
 nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
 h0 AS (SELECT DISTINCT src AS node,
@@ -4513,13 +4520,13 @@ hx AS (SELECT source AS src,
            regexp_extract_all(text, 'https?://([^/\s:]+)', 1))),
            '^www\.', '') AS dst
        FROM enr),
-ed0 AS (SELECT DISTINCT src, dst FROM hx),
+ed0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM hx),
 cc AS (SELECT a.dst AS u, b.dst AS v
        FROM ed0 a JOIN ed0 b ON a.src = b.src AND a.dst < b.dst
        GROUP BY 1, 2),
-und AS (SELECT u AS x, v AS y FROM cc UNION SELECT v, u FROM cc),
+und AS MATERIALIZED (SELECT u AS x, v AS y FROM cc UNION SELECT v, u FROM cc),
 dg AS (SELECT x, count(*) AS d FROM und GROUP BY 1),
-e AS (SELECT und.x AS lo, und.y AS hi, dy.d AS hd
+e AS MATERIALIZED (SELECT und.x AS lo, und.y AS hi, dy.d AS hd
       FROM und JOIN dg dx ON dx.x = und.x JOIN dg dy ON dy.x = und.y
       WHERE dx.d < dy.d OR (dx.d = dy.d AND und.x < und.y)),
 wd AS (SELECT e1.lo, e1.hi AS h1, e2.hi AS h2
@@ -4554,11 +4561,11 @@ hx AS (SELECT source AS src,
            regexp_extract_all(text, 'https?://([^/\s:]+)', 1))),
            '^www\.', '') AS dst
        FROM enr),
-edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+edges AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
           FROM hx GROUP BY 1, 2),
 nodes AS (SELECT src AS node FROM edges
           UNION SELECT dst FROM edges),
-outdeg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout
+outdeg AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS wout
            FROM edges GROUP BY 1),
 nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
 r0 AS (SELECT nodes.node,
@@ -7462,7 +7469,7 @@ FROM est JOIN ex USING (source) ORDER BY source"""
     for _r in range(0, 4):
         if _r > 0:
             _hb_parts.append(f"""
-hb_g{_r} AS (SELECT node, bucket, max(mr) AS mr FROM (
+hb_g{_r} AS MATERIALIZED (SELECT node, bucket, max(mr) AS mr FROM (
     SELECT node, bucket, mr FROM hb_g{_r - 1}
     UNION ALL
     SELECT e.dst AS node, g.bucket, g.mr
@@ -7484,11 +7491,11 @@ hx AS (SELECT source AS src,
            regexp_extract_all(text, 'https?://([^/\s:]+)', 1))),
            '^www\.', '') AS dst
        FROM enr),
-edges AS (SELECT DISTINCT src, dst FROM hx),
+edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM hx),
 hb_n AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
 hb_h AS (SELECT node, md5('hb:' || node) AS h FROM hb_n),
 hb_v AS (SELECT node, CAST(({_hex8int}) AS BIGINT) AS h32 FROM hb_h),
-hb_g0 AS (SELECT node, h32 >> 23 AS bucket,
+hb_g0 AS MATERIALIZED (SELECT node, h32 >> 23 AS bucket,
             CASE WHEN h32 % 8388608 > 0
                  THEN 23 - (length(bin(h32 % 8388608)) - 1)
                  ELSE 24 END AS mr
