@@ -1288,6 +1288,51 @@ def q_shard_epoch(spark, sf_dir):
     )
 
 
+def q_dq_checks(spark, sf_dir):
+    """Declarative data-quality report (datapipe.dq): predicate
+    expectations, key uniqueness, referential integrity over the star
+    schema + corpus — the dbt-test surface. Each check is one combinable
+    aggregate or an anti-join against a broadcastable key set."""
+    from rrdtool_1_x_spark.datapipe.dq import (
+        check_predicate,
+        check_ref,
+        check_unique,
+        dq_report,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    docs = _docs(spark, sf_dir)
+    return dq_report(
+        [
+            check_unique("orders_pk_unique", orders, ["o_orderkey"]),
+            check_unique("customer_pk_unique", cust, ["c_custkey"]),
+            check_ref(
+                "orders_custkey_fk", orders, "o_custkey", cust, "c_custkey"
+            ),
+            check_ref(
+                "lineitem_orderkey_fk", li, "l_orderkey", orders, "o_orderkey"
+            ),
+            check_predicate(
+                "lineitem_quantity_range",
+                li,
+                ~F.col("l_quantity").between(1, 50),
+            ),
+            check_predicate(
+                "orders_totalprice_positive",
+                orders,
+                F.col("o_totalprice") <= 0,
+            ),
+            check_predicate(
+                "documents_text_nonempty",
+                docs,
+                F.length(F.trim(F.col("text"))) == 0,
+            ),
+        ]
+    ).orderBy("check")
+
+
 def q_json_props(spark, sf_dir):
     """Schema-on-read JSON extraction (operators.sessions.
     json_field_stats): typed $.k pulled out of the semi-structured
@@ -3693,6 +3738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dedup": q_cdc_dedup,
         "event_paths": q_event_paths,
         "phrase_search": q_phrase_search,
+        "dq_checks": q_dq_checks,
         "oov_rate": q_oov_rate,
         "kn_bigram": q_kn_bigram,
         "edit_near_dup": q_edit_near_dup,
@@ -7296,6 +7342,50 @@ WITH r AS (SELECT doc_id,
 SELECT doc_id, CAST(rank0 // 64 AS BIGINT) AS shard,
        CAST(rank0 % 64 AS BIGINT) AS pos_in_shard
 FROM r ORDER BY doc_id"""
+
+    # data-quality report: each check one aggregate / anti-join count;
+    # NULL predicate results and NULL FK keys count as violations
+    sql["dq_checks"] = """
+WITH c1 AS (SELECT 'orders_pk_unique' AS check,
+              CAST(count(*) AS BIGINT) AS n_checked,
+              CAST(count(*) - count(DISTINCT CAST(o_orderkey AS VARCHAR))
+                   AS BIGINT) AS n_violations
+            FROM orders),
+c2 AS (SELECT 'customer_pk_unique',
+              CAST(count(*) AS BIGINT),
+              CAST(count(*) - count(DISTINCT CAST(c_custkey AS VARCHAR))
+                   AS BIGINT)
+       FROM customer),
+c3 AS (SELECT 'orders_custkey_fk', CAST(count(*) AS BIGINT),
+              CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT)
+       FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+         ON o.o_custkey = c.c_custkey),
+c4 AS (SELECT 'lineitem_orderkey_fk', CAST(count(*) AS BIGINT),
+              CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT)
+       FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+         ON l.l_orderkey = o.o_orderkey),
+c5 AS (SELECT 'lineitem_quantity_range', CAST(count(*) AS BIGINT),
+              CAST(sum(CASE WHEN coalesce(
+                     NOT (l_quantity BETWEEN 1 AND 50), TRUE)
+                   THEN 1 ELSE 0 END) AS BIGINT)
+       FROM lineitem),
+c6 AS (SELECT 'orders_totalprice_positive', CAST(count(*) AS BIGINT),
+              CAST(sum(CASE WHEN coalesce(o_totalprice <= 0, TRUE)
+                   THEN 1 ELSE 0 END) AS BIGINT)
+       FROM orders),
+c7 AS (SELECT 'documents_text_nonempty', CAST(count(*) AS BIGINT),
+              CAST(sum(CASE WHEN coalesce(length(trim(text)) = 0, TRUE)
+                   THEN 1 ELSE 0 END) AS BIGINT)
+       FROM documents),
+u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL
+      SELECT * FROM c3 UNION ALL SELECT * FROM c4 UNION ALL
+      SELECT * FROM c5 UNION ALL SELECT * FROM c6 UNION ALL
+      SELECT * FROM c7)
+SELECT "check", n_checked, n_violations,
+       CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS pass_flag
+FROM u ORDER BY "check" """
 
     # schema-on-read JSON: typed $.k per event type; missing/malformed
     # fields are NULL (counted in n_events, not n_present) on both sides

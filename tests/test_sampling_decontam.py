@@ -778,3 +778,35 @@ def test_shard_epoch_partition_and_reseed(spark):
     assert {(r["doc_id"], r["shard"]) for r in other} != {
         (r["doc_id"], r["shard"]) for r in out
     }
+
+
+def test_dq_checks_detect_injected_defects(spark):
+    from pyspark.sql import functions as F
+
+    from rrdtool_1_x_spark.datapipe.dq import (
+        check_predicate,
+        check_ref,
+        check_unique,
+        dq_report,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id long, fk int"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk int")
+    dup = spark.createDataFrame([(1,), (1,), (2,)], "k long")
+    rep = {
+        r["check"]: r
+        for r in dq_report(
+            [
+                check_ref("fk", child, "fk", parent, "pk"),
+                check_unique("uniq", dup, ["k"]),
+                check_predicate("pos", child, F.col("fk") <= 0),
+            ]
+        ).collect()
+    }
+    # orphans: fk=99 and the NULL fk (strict-FK convention)
+    assert (rep["fk"]["n_checked"], rep["fk"]["n_violations"]) == (4, 2)
+    assert rep["uniq"]["n_violations"] == 1 and rep["uniq"]["pass_flag"] == 0
+    # NULL predicate evaluates as violation (conservative convention)
+    assert rep["pos"]["n_violations"] == 1
