@@ -1288,6 +1288,50 @@ def q_shard_epoch(spark, sf_dir):
     )
 
 
+def q_scd2(spark, sf_dir):
+    """Type-2 slowly-changing-dimension merge (operators.scd.scd2_merge,
+    Kimball SCD2) over the customer dimension: one full-outer join of
+    the open slice with the update batch — changed rows close + reopen,
+    no-op updates pass through, brand-new keys insert. Exercises all
+    four paths: %7 keys change segment, %11 keys send a no-op update,
+    5 synthetic keys are brand-new."""
+    from rrdtool_1_x_spark.operators.scd import scd2_merge
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_nationkey",
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    upd_change = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.concat(F.col("c_mktsegment"), F.lit("_v2")).alias("c_mktsegment"),
+        "c_nationkey",
+        F.lit(1000).cast("long").alias("ts"),
+    )
+    upd_noop = cust.filter(
+        (F.col("c_custkey") % 7 != 0) & (F.col("c_custkey") % 11 == 0)
+    ).select(
+        "c_custkey", "c_mktsegment", "c_nationkey",
+        F.lit(1000).cast("long").alias("ts"),
+    )
+    upd_new = cust.orderBy("c_custkey").limit(5).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit("NEWSEG").alias("c_mktsegment"),
+        F.col("c_nationkey"),
+        F.lit(1000).cast("long").alias("ts"),
+    )
+    out = scd2_merge(
+        dim,
+        upd_change.unionByName(upd_noop).unionByName(upd_new),
+        key="c_custkey",
+        attrs=["c_mktsegment", "c_nationkey"],
+    )
+    return out.orderBy("c_custkey", "valid_from", "valid_to")
+
+
 def q_dq_checks(spark, sf_dir):
     """Declarative data-quality report (datapipe.dq): predicate
     expectations, key uniqueness, referential integrity over the star
@@ -3739,6 +3783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_paths": q_event_paths,
         "phrase_search": q_phrase_search,
         "dq_checks": q_dq_checks,
+        "scd2": q_scd2,
         "oov_rate": q_oov_rate,
         "kn_bigram": q_kn_bigram,
         "edit_near_dup": q_edit_near_dup,
@@ -7342,6 +7387,46 @@ WITH r AS (SELECT doc_id,
 SELECT doc_id, CAST(rank0 // 64 AS BIGINT) AS shard,
        CAST(rank0 % 64 AS BIGINT) AS pos_in_shard
 FROM r ORDER BY doc_id"""
+
+    # SCD2 merge: open slice full-outer-joined with the update batch;
+    # null-safe attr compare (IS NOT DISTINCT FROM = Spark's <=>)
+    sql["scd2"] = """
+WITH dim AS (SELECT c_custkey, c_mktsegment, c_nationkey,
+               CAST(0 AS BIGINT) AS valid_from,
+               CAST(NULL AS BIGINT) AS valid_to
+             FROM customer),
+upd AS (
+  SELECT c_custkey, c_mktsegment || '_v2' AS c_mktsegment, c_nationkey,
+         CAST(1000 AS BIGINT) AS ts
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, c_nationkey, 1000
+  FROM customer WHERE c_custkey % 7 != 0 AND c_custkey % 11 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEWSEG', c_nationkey, 1000
+  FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 5) _),
+j AS (SELECT d.c_custkey AS dk, d.c_mktsegment AS dm, d.c_nationkey AS dn,
+             d.valid_from AS vf, d.valid_to AS vt,
+             u.c_custkey AS uk, u.c_mktsegment AS um, u.c_nationkey AS un,
+             u.ts
+      FROM dim d FULL OUTER JOIN upd u ON d.c_custkey = u.c_custkey),
+same AS (SELECT *,
+           (dm IS NOT DISTINCT FROM um) AND (dn IS NOT DISTINCT FROM un)
+             AS eq
+         FROM j),
+keep_open AS (SELECT dk AS c_custkey, dm AS c_mktsegment,
+                     dn AS c_nationkey, vf AS valid_from, vt AS valid_to
+              FROM same WHERE uk IS NULL OR (dk IS NOT NULL AND eq)),
+now_closed AS (SELECT dk, dm, dn, vf, ts
+               FROM same
+               WHERE dk IS NOT NULL AND uk IS NOT NULL AND NOT eq),
+new_open AS (SELECT uk, um, un, ts, CAST(NULL AS BIGINT)
+             FROM same
+             WHERE uk IS NOT NULL AND (dk IS NULL OR NOT eq)),
+allr AS (SELECT * FROM keep_open UNION ALL SELECT * FROM now_closed
+         UNION ALL SELECT * FROM new_open)
+SELECT c_custkey, c_mktsegment, c_nationkey, valid_from, valid_to
+FROM allr ORDER BY c_custkey, valid_from, valid_to"""
 
     # data-quality report: each check one aggregate / anti-join count;
     # NULL predicate results and NULL FK keys count as violations

@@ -253,3 +253,33 @@ def test_phrase_search_adjacency_and_order(spark):
     assert len(out) == 1
     r = out[0]
     assert (r["doc_id"], r["n_hits"], r["first_pos"]) == (1, 2, 1)
+
+
+def test_scd2_merge_all_four_paths(spark):
+    from rrdtool_1_x_spark.operators.scd import scd2_merge
+
+    dim = spark.createDataFrame(
+        [
+            (1, "gold", 0, None),     # will change → close + reopen
+            (2, "silver", 0, None),   # no-op update
+            (3, "bronze", 0, None),   # no update at all
+            (4, "old", 0, 50),        # closed history — untouched
+            (4, "gold", 50, None),    # current open row for key 4
+        ],
+        "k long, seg string, valid_from long, valid_to long",
+    )
+    upd = spark.createDataFrame(
+        [(1, "platinum", 100), (2, "silver", 100), (9, "new", 100)],
+        "k long, seg string, ts long",
+    )
+    out = scd2_merge(dim, upd, key="k", attrs=["seg"]).collect()
+    rows = {(r["k"], r["seg"], r["valid_from"], r["valid_to"]) for r in out}
+    assert rows == {
+        (1, "gold", 0, 100),        # closed at change
+        (1, "platinum", 100, None), # reopened
+        (2, "silver", 0, None),     # no-op stays open
+        (3, "bronze", 0, None),     # untouched open
+        (4, "old", 0, 50),          # history verbatim
+        (4, "gold", 50, None),      # untouched open (no update)
+        (9, "new", 100, None),      # brand-new key
+    }
