@@ -3527,6 +3527,51 @@ def q_dup_spans(spark, sf_dir):
 _DF_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def _driver_rounds() -> dict[str, int]:
+    """Last driver round that recorded a CORRECTNESS row per query key.
+
+    The driver's correctness sweep windows the FIRST 50 keys of
+    ``queries()``; with a 160+ entry registry a full rotation takes 4
+    rounds, so ordering must be computed, not hand-maintained. This reads
+    the committed ``CORRECTNESS_r*.json`` artifacts next to this file and
+    returns {key: latest_round_checked}. Keys absent from every artifact
+    (brand-new gates) are simply missing and sort first."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _re
+
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for path in sorted(_glob.glob(_os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = _json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for k in rows:
+            last[k] = max(last.get(k, 0), rnd)
+    return last
+
+
+def _sweep_order(qs: dict) -> dict:
+    """Stalest-first rotation of the registry for the driver's 50-key
+    correctness window: never-checked keys first (registration order,
+    so new gates this round are verified the same round they land), then
+    ascending last-checked round. Deterministic given the committed
+    artifacts; STALENESS.md records the resulting table per round."""
+    last = _driver_rounds()
+    pos = {k: i for i, k in enumerate(qs)}
+    ordered = sorted(qs, key=lambda k: (last.get(k, -1), pos[k]))
+    return {k: qs[k] for k in ordered}
+
+
 def _memo(name: str, fn: Callable[[SparkSession, str], DataFrame]):
     """Memoize the constructed DataFrame per (query, session, sf_dir).
 
@@ -3746,10 +3791,13 @@ def q_bm25_index_topup(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness sweep windows the FIRST
-    # 50 keys. Entries with no driver CORRECTNESS row yet (never checked,
-    # or checked longest ago) are listed first so every gate earns a
-    # driver-green row before any repeat. New entries go in the priority
-    # block at the top, never appended at the end.
+    # 50 keys. Since r8 the exposed order is COMPUTED by _sweep_order():
+    # never-checked keys first (registration order), then ascending
+    # last-checked driver round — so new gates are driver-verified the
+    # round they land and no entry goes stale longer than the rotation
+    # period (ceil(registry/50) rounds). The literal order below is only
+    # the registration tiebreak; tools/staleness.py writes the resulting
+    # table to STALENESS.md.
     qs = {
         # -- priority 0: r6 RED rows (HUGEINT casts) + r6 no_oracle (BPE
         # CTE oracles) — fixed this round, MUST re-sweep before anything
@@ -3925,6 +3973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # would let repeat bench runs time only the slim disposition tail —
     # every invocation must rebuild so timings carry the full pipeline
     no_memo = {"curate"}
+    qs = _sweep_order(qs)
     return {
         k: (fn if k in no_memo else _memo(k, fn)) for k, fn in qs.items()
     }
