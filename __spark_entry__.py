@@ -7301,7 +7301,8 @@ p AS (SELECT user_id, sx, event_type AS e0,
                           ORDER BY tus, event_id)),
 c AS (SELECT e0 || ' > ' || e1 || ' > ' || e2 AS path,
              CAST(user_id AS VARCHAR) || '/' || CAST(sx AS VARCHAR) AS sk
-      FROM p WHERE e2 IS NOT NULL)
+      FROM p WHERE e0 IS NOT NULL AND e1 IS NOT NULL
+        AND e2 IS NOT NULL)
 SELECT path, CAST(count(*) AS BIGINT) AS n_occurrences,
        CAST(count(DISTINCT sk) AS BIGINT) AS n_sessions
 FROM c GROUP BY 1 ORDER BY n_occurrences DESC, path"""
@@ -7463,15 +7464,20 @@ same AS (SELECT *,
            (dm IS NOT DISTINCT FROM um) AND (dn IS NOT DISTINCT FROM un)
              AS eq
          FROM j),
+-- late guard (ts <= vf rejected as no-op) mirrored from scd2_merge;
+-- the fixture batch is one-row-per-key with ts > valid_from throughout
 keep_open AS (SELECT dk AS c_custkey, dm AS c_mktsegment,
                      dn AS c_nationkey, vf AS valid_from, vt AS valid_to
-              FROM same WHERE uk IS NULL OR (dk IS NOT NULL AND eq)),
+              FROM same WHERE uk IS NULL
+                OR (dk IS NOT NULL AND (eq OR ts <= vf))),
 now_closed AS (SELECT dk, dm, dn, vf, ts
                FROM same
-               WHERE dk IS NOT NULL AND uk IS NOT NULL AND NOT eq),
+               WHERE dk IS NOT NULL AND uk IS NOT NULL AND NOT eq
+                 AND ts > vf),
 new_open AS (SELECT uk, um, un, ts, CAST(NULL AS BIGINT)
              FROM same
-             WHERE uk IS NOT NULL AND (dk IS NULL OR NOT eq)),
+             WHERE uk IS NOT NULL
+               AND (dk IS NULL OR (NOT eq AND ts > vf))),
 allr AS (SELECT * FROM keep_open UNION ALL SELECT * FROM now_closed
          UNION ALL SELECT * FROM new_open)
 SELECT c_custkey, c_mktsegment, c_nationkey, valid_from, valid_to
@@ -7482,12 +7488,14 @@ FROM allr ORDER BY c_custkey, valid_from, valid_to"""
     sql["dq_checks"] = """
 WITH c1 AS (SELECT 'orders_pk_unique' AS check,
               CAST(count(*) AS BIGINT) AS n_checked,
-              CAST(count(*) - count(DISTINCT CAST(o_orderkey AS VARCHAR))
+              CAST(count(*) - (SELECT count(*) FROM
+                   (SELECT DISTINCT o_orderkey FROM orders))
                    AS BIGINT) AS n_violations
             FROM orders),
 c2 AS (SELECT 'customer_pk_unique',
               CAST(count(*) AS BIGINT),
-              CAST(count(*) - count(DISTINCT CAST(c_custkey AS VARCHAR))
+              CAST(count(*) - (SELECT count(*) FROM
+                   (SELECT DISTINCT c_custkey FROM customer))
                    AS BIGINT)
        FROM customer),
 c3 AS (SELECT 'orders_custkey_fk', CAST(count(*) AS BIGINT),

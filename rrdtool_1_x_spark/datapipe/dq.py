@@ -35,13 +35,22 @@ def check_predicate(name: str, df: DataFrame, violation: Column) -> DataFrame:
 
 def check_unique(name: str, df: DataFrame, cols: list[str]) -> DataFrame:
     """One-row report: n_violations = rows beyond the first per
-    duplicate key (count - count(distinct key)); NULL keys group
-    together like SQL GROUP BY, so duplicate NULLs are violations too."""
-    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
-    return df.agg(
+    duplicate key, computed as count(*) minus the number of distinct
+    key GROUPS. Grouping on the raw columns (not a string-encoded
+    concatenation) is injective — ('x', NULL), (NULL, 'x') and ('x', '')
+    are distinct keys — and follows SQL GROUP BY's NULL convention:
+    NULLs group together, so duplicate all-NULL keys are violations.
+    Plan shape: one partial-combined shuffle on the key columns, then a
+    scalar aggregate over group counts — no violator rows move."""
+    groups = df.groupBy(*[F.col(c) for c in cols]).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    return groups.agg(
         F.lit(name).alias("check"),
-        F.count(F.lit(1)).alias("n_checked"),
-        (F.count(F.lit(1)) - F.count_distinct(key)).alias("n_violations"),
+        F.coalesce(F.sum("_cnt"), F.lit(0)).alias("n_checked"),
+        (
+            F.coalesce(F.sum("_cnt"), F.lit(0)) - F.count(F.lit(1))
+        ).alias("n_violations"),
     )
 
 

@@ -2751,25 +2751,22 @@ def kmeans_model(
     qc = quantize_embeddings(df, id_col, vec_col).select(id_col, "qvec")
     qc = qc.persist()
     try:
+        # smallest-md5 draw via orderBy().limit() = TakeOrdered (per-
+        # partition top-k then a k-row merge on the driver), the same
+        # shape as ivf_centroid_model — an unpartitioned row_number
+        # window here would funnel the whole quantized corpus through
+        # one task. Ordering semantics are identical.
         init = (
             qc.select(
                 F.col(id_col),
                 "qvec",
-                F.row_number()
-                .over(
-                    Window.orderBy(
-                        F.md5(F.col(id_col).cast("string")), F.col(id_col)
-                    )
-                )
-                .alias("_rk"),
+                F.md5(F.col(id_col).cast("string")).alias("_h"),
             )
-            .filter(F.col("_rk") <= k)
+            .orderBy("_h", id_col)
+            .limit(k)
             .collect()
         )
-        model = [
-            [int(x) for x in r["qvec"]]
-            for r in sorted(init, key=lambda r: r["_rk"])
-        ]
+        model = [[int(x) for x in r["qvec"]] for r in init]
         for _ in range(n_iter):
             dists = _kmeans_dists(model)
             assigned = qc.select(

@@ -37,26 +37,49 @@ def scd2_merge(
     - a changed open row is closed at the update's ts AND a new open
       row starts there;
     - a brand-new key inserts an open row at its ts.
+
+    Guarded preconditions (both enforced here, not assumed):
+
+    - a batch with SEVERAL rows per key is reduced to the latest-ts row
+      first (ties broken by attribute values, descending) — duplicate
+      keys would otherwise fan out the full-outer join;
+    - a LATE update (``ts <= valid_from`` of the open row) is rejected
+      as a no-op: closing at that ts would emit an inverted validity
+      interval (``valid_to < valid_from``) that corrupts downstream
+      as-of joins. Out-of-order history must be replayed in ts order.
     """
     open_rows = dim.filter(F.col(to_col).isNull())
     closed = dim.filter(F.col(to_col).isNotNull())
-    u = updates.select(
-        F.col(key).alias("_uk"),
-        *[F.col(a).alias(f"_u_{a}") for a in attrs],
-        F.col(ts_col).alias("_uts"),
+    # latest-ts row per key (max over (ts, attrs...) struct: exact for
+    # the documented one-row-per-key batch, deterministic beyond it)
+    u = (
+        updates.groupBy(F.col(key).alias("_uk"))
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(ts_col).alias("_uts"),
+                    *[F.col(a).alias(f"_u_{a}") for a in attrs],
+                )
+            ).alias("_u")
+        )
+        .select("_uk", "_u.*")
     )
     j = open_rows.join(u, open_rows[key] == F.col("_uk"), "full_outer")
     same = None
     for a in attrs:
         eq = F.col(a).eqNullSafe(F.col(f"_u_{a}"))
         same = eq if same is None else same & eq
-    # open row survives unchanged: no update, or update equals it
+    # late/out-of-order update against the open row: rejected (no-op)
+    late = F.col("_uts") <= F.col(from_col)
+    # open row survives unchanged: no update, update equals it, or the
+    # update is late (guard against inverted validity intervals)
     keep_open = j.filter(
-        F.col("_uk").isNull() | (F.col(key).isNotNull() & same)
+        F.col("_uk").isNull()
+        | (F.col(key).isNotNull() & (same | late))
     ).select(key, *attrs, from_col, to_col)
     # changed open row → closed at the update ts
     changed = j.filter(
-        F.col(key).isNotNull() & F.col("_uk").isNotNull() & ~same
+        F.col(key).isNotNull() & F.col("_uk").isNotNull() & ~same & ~late
     )
     now_closed = changed.select(
         key, *attrs, from_col, F.col("_uts").alias(to_col)
@@ -65,7 +88,7 @@ def scd2_merge(
     new_open = (
         j.filter(
             F.col("_uk").isNotNull()
-            & (F.col(key).isNull() | ~same)
+            & (F.col(key).isNull() | (~same & ~late))
         )
         .select(
             F.col("_uk").alias(key),

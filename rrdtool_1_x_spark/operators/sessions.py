@@ -215,6 +215,13 @@ def session_paths(
     n-grams deterministic under timestamp ties, which raw sessionize
     does not need but path extraction does.
 
+    NULL event types: an n-gram containing ANY NULL step is dropped
+    (every step must be non-null, not just the last) — a NULL mid-
+    sequence must not collapse 'a > NULL > c' into the genuine shorter
+    path 'a > c'. The untyped event still occupies its position, so it
+    also breaks the overlapping n-grams around it (NULL-propagating
+    semantics, same as SQL ``||`` concatenation).
+
     Shape at scale: sessionize's key window, one lead() window per
     extra step over the same partition (no extra shuffle — same key),
     then a combinable path count; the hottest key holds an integer."""
@@ -229,10 +236,14 @@ def session_paths(
     path = F.concat_ws(" > ", *steps)
     sess_key = F.concat_ws("/", *[F.col(c).cast("string") for c in by],
                            F.col("session_idx").cast("string"))
+    all_present = None
+    for i in range(n):
+        nn = F.col(f"_s{i}").isNotNull()
+        all_present = nn if all_present is None else all_present & nn
     complete = s.select(
         path.alias("path"), sess_key.alias("_sk"),
         *[c.alias(f"_s{i}") for i, c in enumerate(steps)],
-    ).filter(F.col(f"_s{n - 1}").isNotNull())
+    ).filter(all_present)
     return complete.groupBy("path").agg(
         F.count(F.lit(1)).alias("n_occurrences"),
         F.count_distinct("_sk").alias("n_sessions"),

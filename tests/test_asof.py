@@ -238,6 +238,31 @@ def test_session_paths_hand_case(spark):
     assert "b > c > a" not in out
 
 
+def test_session_paths_null_step_drops_ngram(spark):
+    """A NULL event type mid-sequence must NOT collapse 'a > NULL > c'
+    into the genuine shorter path 'a > c' — every n-gram containing the
+    NULL position is dropped (NULL-propagating, like SQL '||')."""
+    from rrdtool_1_x_spark.operators.sessions import session_paths
+
+    us = 1_000_000
+    rows = [
+        # user 1: a, NULL, c, d  → only "NULL-free" 3-grams survive: none
+        # until (c? no: c d needs a third) — zero paths from user 1
+        (1, 1, 0 * us, "a"), (1, 2, 1 * us, None),
+        (1, 3, 2 * us, "c"), (1, 4, 3 * us, "d"),
+        # user 2: genuine a c d → exactly one path "a > c > d"
+        (2, 5, 0 * us, "a"), (2, 6, 1 * us, "c"), (2, 7, 2 * us, "d"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, tus long, event_type string"
+    )
+    out = {r["path"]: r for r in session_paths(df, n=3, gap=1800 * us).collect()}
+    # the NULL-step user contributes nothing; no 'a > c > d' collision
+    assert out["a > c > d"]["n_occurrences"] == 1
+    assert out["a > c > d"]["n_sessions"] == 1
+    assert "a > c" not in out and len(out) == 1
+
+
 def test_phrase_search_adjacency_and_order(spark):
     from rrdtool_1_x_spark.datapipe.retrieval import phrase_search
 
@@ -283,3 +308,35 @@ def test_scd2_merge_all_four_paths(spark):
         (4, "gold", 50, None),      # untouched open (no update)
         (9, "new", 100, None),      # brand-new key
     }
+
+
+def test_scd2_merge_guards_late_and_duplicate_updates(spark):
+    """Late updates (ts <= open row's valid_from) are rejected as no-ops
+    — never an inverted validity interval — and a batch with several
+    rows per key is reduced to its latest-ts row before the merge."""
+    from rrdtool_1_x_spark.operators.scd import scd2_merge
+
+    dim = spark.createDataFrame(
+        [(1, "gold", 100, None), (2, "silver", 100, None)],
+        "k long, seg string, valid_from long, valid_to long",
+    )
+    upd = spark.createDataFrame(
+        [
+            (1, "stale", 50),       # late: arrives before valid_from
+            (2, "bronze", 150),     # duplicate key: superseded ...
+            (2, "platinum", 200),   # ... by this latest-ts row
+        ],
+        "k long, seg string, ts long",
+    )
+    out = scd2_merge(dim, upd, key="k", attrs=["seg"]).collect()
+    rows = {(r["k"], r["seg"], r["valid_from"], r["valid_to"]) for r in out}
+    assert rows == {
+        (1, "gold", 100, None),       # late update ignored, still open
+        (2, "silver", 100, 200),      # closed at the LATEST ts only
+        (2, "platinum", 200, None),   # one reopen, from the 200 row
+    }
+    # no inverted intervals anywhere
+    assert all(
+        r["valid_to"] is None or r["valid_to"] >= r["valid_from"]
+        for r in out
+    )

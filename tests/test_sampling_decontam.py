@@ -810,3 +810,33 @@ def test_dq_checks_detect_injected_defects(spark):
     assert rep["uniq"]["n_violations"] == 1 and rep["uniq"]["pass_flag"] == 0
     # NULL predicate evaluates as violation (conservative convention)
     assert rep["pos"]["n_violations"] == 1
+
+
+def test_dq_check_unique_null_keys_are_injective(spark):
+    """Composite keys with NULL components must not collide: ('x', NULL),
+    (NULL, 'x') and ('x', '') are three distinct keys (zero violations),
+    while duplicate all-NULL keys DO violate (GROUP BY NULL convention)."""
+    from rrdtool_1_x_spark.datapipe.dq import check_unique, dq_report
+
+    distinct_nulls = spark.createDataFrame(
+        [("x", None), (None, "x"), ("x", "")], "a string, b string"
+    )
+    dup_nulls = spark.createDataFrame(
+        [(None, None), (None, None), ("v", None), ("v", None), ("w", "y")],
+        "a string, b string",
+    )
+    rep = {
+        r["check"]: r
+        for r in dq_report(
+            [
+                check_unique("inj", distinct_nulls, ["a", "b"]),
+                check_unique("nulldup", dup_nulls, ["a", "b"]),
+            ]
+        ).collect()
+    }
+    assert (rep["inj"]["n_violations"], rep["inj"]["pass_flag"]) == (0, 1)
+    # groups: (NULL,NULL)x2, ('v',NULL)x2, ('w','y') -> 5 rows, 3 groups
+    assert (rep["nulldup"]["n_checked"], rep["nulldup"]["n_violations"]) == (
+        5,
+        2,
+    )
