@@ -3196,6 +3196,79 @@ def q_rot_pq_recall(spark, sf_dir):
     return ann_recall(approx, exact, k=10).orderBy("query_id")
 
 
+def _opq_emb(spark, sf_dir):
+    """OPQ-allocated embeddings: the learned variance-balancing
+    permutation trained once per (session, dataset) — offline model
+    artifact like the IVF/PQ models — applied as a map-only gather."""
+    from rrdtool_1_x_spark.datapipe.similarity import (
+        opq_dim_allocation,
+        opq_permute,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "opqemb")
+    if key not in _TBL_CACHE:
+        e = _emb(spark, sf_dir)
+        mkey = (spark.sparkContext.applicationId, sf_dir, "opqperm")
+        if mkey not in _IVF_MODEL_CACHE:
+            _IVF_MODEL_CACHE[mkey] = opq_dim_allocation(e, m=8)
+        _TBL_CACHE[key] = opq_permute(e, _IVF_MODEL_CACHE[mkey]).cache()
+    return _TBL_CACHE[key]
+
+
+def q_opq_topk(spark, sf_dir):
+    """Optimized product quantization, learned-allocation member
+    (datapipe.similarity.opq_dim_allocation + opq_permute + pq_topk; Ge
+    et al. CVPR 2013 §4.2 eigenvalue allocation under a diagonal
+    covariance model): per-dimension exact integer corpus variances,
+    snake-dealt into subspaces so quantization error balances, then the
+    standard 8x16 ADC chain over the permuted frame. The permutation is
+    an orthogonal transform and all arithmetic stays integer, so the
+    full LEARNED pipeline — training statistics included — hash-gates
+    against the DuckDB oracle."""
+    from rrdtool_1_x_spark.datapipe.similarity import pq_codebook, pq_topk
+
+    pe = _opq_emb(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "opqbook")
+    if key not in _IVF_MODEL_CACHE:
+        _IVF_MODEL_CACHE[key] = pq_codebook(pe, m=8, codes=16)
+    q = pe.orderBy("vec_id").limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return pq_topk(
+        pe, q, k=10, m=8, codes=16, codebook=_IVF_MODEL_CACHE[key]
+    ).orderBy("query_id", "rank")
+
+
+def q_opq_recall(spark, sf_dir):
+    """Recall@10 of the OPQ-allocated ADC scan vs the int8 brute-force
+    baseline, both over the permuted frame (a permutation preserves the
+    cosine ranking exactly, so the exact side equals the unrotated
+    truth). Regime note (BASELINE.md): allocation is a no-op-cost win
+    when the corpus concentrates variance in adjacent dimensions (the
+    pytest-pinned regime); on isotropic synthetic embeddings it ties
+    raw PQ — it can never do worse than a random layout because the
+    layout is balanced BY the measured variances."""
+    from rrdtool_1_x_spark.datapipe.similarity import (
+        ann_recall,
+        pq_codebook,
+        pq_topk,
+        quantized_topk,
+    )
+
+    pe = _opq_emb(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "opqbook")
+    if key not in _IVF_MODEL_CACHE:
+        _IVF_MODEL_CACHE[key] = pq_codebook(pe, m=8, codes=16)
+    q = pe.orderBy("vec_id").limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    approx = pq_topk(
+        pe, q, k=10, m=8, codes=16, codebook=_IVF_MODEL_CACHE[key]
+    )
+    exact = quantized_topk(pe, q, k=10, query_id_col="query_id")
+    return ann_recall(approx, exact, k=10).orderBy("query_id")
+
+
 def q_kmv_distinct(spark, sf_dir):
     """KMV distinct-shingle estimate per source (datapipe.sketch
     .kmv_distinct; Beyer et al. SIGMOD 2007): k=128 smallest 60-bit
@@ -3841,6 +3914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": q_kmv_overlap,
         "rot_pq_topk": q_rot_pq_topk,
         "rot_pq_recall": q_rot_pq_recall,
+        "opq_topk": q_opq_topk,
+        "opq_recall": q_opq_recall,
         "kmv_index_topup": q_kmv_index_topup,
         "hll_index_topup": q_hll_index_topup,
         "cms_index_topup": q_cms_index_topup,
@@ -5720,6 +5795,51 @@ r AS (SELECT query_id, vec_id, pq_dist,
 SELECT query_id, vec_id, pq_dist, rank FROM r WHERE rank <= 10
 ORDER BY query_id, rank"""
     sql["rot_pq_recall"] = sql["pq_recall"].replace(_pq_cte, _rot_pq_cte)
+
+    # OPQ learned allocation (Ge et al. CVPR 2013 §4.2, diagonal-
+    # covariance member): per-dim exact integer variance of the int8
+    # corpus, (var DESC, dim ASC) rank snake-dealt into 8 subspaces —
+    # half = rank//8 is the slot, direction alternates per half — then
+    # the raw float vectors permute and the identical PQ chain runs.
+    # HUGEINT keeps n*Σx² − (Σx)² exact (the DECIMAL(38,0) twin of the
+    # Spark side); var is only an ORDER BY key, never an output.
+    _opq_prefix = """
+WITH ev0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+             FROM embeddings),
+qs0 AS (SELECT vec_id, v,
+          list_max(list_transform(v, x -> abs(x))) AS s FROM ev0),
+qv0 AS (SELECT vec_id, v,
+          CASE WHEN s > 0
+               THEN list_transform(v, x -> CAST(round(x / s * 127) AS BIGINT))
+               ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q0
+        FROM qs0),
+dv AS (SELECT di.di AS dim,
+         CAST(count(*) AS HUGEINT)
+           * CAST(sum(q0[di.di + 1] * q0[di.di + 1]) AS HUGEINT)
+         - CAST(sum(q0[di.di + 1]) AS HUGEINT)
+           * CAST(sum(q0[di.di + 1]) AS HUGEINT) AS var
+       FROM qv0 CROSS JOIN (SELECT unnest(range(0, 64)) AS di) di
+       GROUP BY 1),
+rk AS (SELECT dim,
+         CAST(row_number() OVER (ORDER BY var DESC, dim ASC) - 1 AS BIGINT)
+           AS r
+       FROM dv),
+al AS (SELECT dim,
+         (CASE WHEN (r // 8) % 2 = 0 THEN r % 8 ELSE 7 - (r % 8) END) * 8
+           + (r // 8) AS np
+       FROM rk),
+pm AS (SELECT list(dim ORDER BY np) AS p FROM al),
+ev AS (SELECT vec_id, list_transform(pm.p, d -> v[d + 1]) AS v
+       FROM ev0, pm)"""
+    _opq_pq_cte = _opq_prefix + _pq_cte.split("FROM embeddings)", 1)[1]
+    sql["opq_topk"] = _opq_pq_cte + """,
+r AS (SELECT query_id, vec_id, pq_dist,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY pq_dist ASC, vec_id ASC) AS rank
+      FROM sc)
+SELECT query_id, vec_id, pq_dist, rank FROM r WHERE rank <= 10
+ORDER BY query_id, rank"""
+    sql["opq_recall"] = sql["pq_recall"].replace(_pq_cte, _opq_pq_cte)
 
     # int8-quantized ANN: same query/top-k shape as ann_cosine_top10 but
     # every score is integer-dot / sqrt(integer norms) — no float fold

@@ -2683,6 +2683,102 @@ def hadamard_rotate(
     return q.mapInPandas(rotate, out_schema)
 
 
+def opq_dim_allocation(
+    df: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[int]:
+    """LEARNED dimension-to-subspace allocation for product quantization
+    — the signed-permutation member of the OPQ rotation family (Ge,
+    He, Ke & Sun, "Optimized Product Quantization", CVPR 2013 §4.2:
+    parametric OPQ balances per-subspace variance by REORDERING
+    principal dimensions; under a diagonal covariance model the
+    principal dimensions are the raw ones, and the learned orthogonal
+    transform reduces to exactly this permutation matrix).
+
+    Training: per-dimension exact integer variance of the int8-quantized
+    corpus (``n·Σx² − (Σx)²``, DECIMAL(38,0) so petabyte-row counts
+    cannot overflow), dimensions sorted by (variance DESC, dim ASC) and
+    snake-dealt into the ``m`` subspaces — pass p of the snake fills
+    slot 2p of every subspace left-to-right then slot 2p+1 right-to-
+    left, the closed-form balanced allocation (no iterative argmin, so
+    the whole model derivation is a window function + arithmetic and
+    the DuckDB oracle reproduces it verbatim). High-variance dimensions
+    spread one-per-subspace instead of bunching wherever the producer
+    happened to lay them out — the imbalance that ruins PQ recall on
+    variance-concentrated corpora (the measured regime in BASELINE.md;
+    same precondition as ``hadamard_rotate``, but data-ADAPTIVE).
+
+    Returns ``perm`` with ``perm[new_pos] = source_dim`` (length dim);
+    apply with ``opq_permute``. The model is dim ints — broadcast-sized.
+
+    Shape at scale: ONE corpus scan (posexplode fused into a partial
+    aggregate that holds dim counters per task), a dim-row shuffle, a
+    dim-row collect. No join, no corpus shuffle.
+    """
+    qc = quantize_embeddings(df, id_col, vec_col)
+    stats = (
+        qc.select(F.posexplode("qvec").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum(F.col("x").cast("decimal(19,0)")).alias("sx"),
+            F.sum(
+                (F.col("x") * F.col("x")).cast("decimal(19,0)")
+            ).alias("sxx"),
+        )
+        .select(
+            "dim",
+            (
+                F.col("n") * F.col("sxx").cast("decimal(38,0)")
+                - F.col("sx").cast("decimal(38,0)")
+                * F.col("sx").cast("decimal(38,0)")
+            ).alias("var"),
+        )
+        .collect()
+    )
+    if not stats:
+        raise ValueError("opq_dim_allocation: empty corpus")
+    dim = len(stats)
+    if dim % m:
+        raise ValueError(f"opq_dim_allocation: dim {dim} not divisible by {m}")
+    d = dim // m
+    ranked = sorted(stats, key=lambda r: (-int(r["var"]), int(r["dim"])))
+    perm = [0] * dim
+    for r, row in enumerate(ranked):
+        half, pos = divmod(r, m)
+        sub = pos if half % 2 == 0 else m - 1 - pos
+        slot = half
+        if slot >= d:
+            raise AssertionError("snake deal overflow")  # dim % m == 0 holds
+        perm[sub * d + slot] = int(row["dim"])
+    return perm
+
+
+def opq_permute(
+    df: DataFrame,
+    perm: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Apply an ``opq_dim_allocation`` permutation to the RAW float
+    vectors: ``out[j] = v[perm[j]]``. Permutation commutes with the
+    per-vector max-abs quantization (the scale is order-free), so
+    permute-then-quantize equals quantize-then-permute exactly and every
+    integer gate downstream stays bit-deterministic.
+
+    Map-only JVM-side array gather over the literal perm (no UDF, no
+    shuffle); returns ``(id, embedding)`` shaped for the PQ tier."""
+    lit = "array(" + ",".join(str(int(p)) for p in perm) + ")"
+    return df.select(
+        F.col(id_col),
+        F.expr(
+            f"transform({lit}, p -> {vec_col}[p])"
+        ).alias(vec_col),
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     model: list[tuple[int, list[float], float]],
