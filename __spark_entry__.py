@@ -3324,6 +3324,32 @@ def q_zorder_events(spark, sf_dir):
     )
 
 
+def q_hilbert_events(spark, sf_dir):
+    """Hilbert-curve clustering key (datapipe.layout.hilbert_expr): the
+    same (user_id, event-minute) bucket pair as zorder_events, indexed
+    along the order-10 Hilbert curve instead of Morton — no quadrant
+    jumps, so 2-D boxes splinter into fewer key intervals at the same
+    bit budget (rowgroup pruning measured in BASELINE.md). The per-level
+    rotate/flip recurrence is an integer aggregate fold; the oracle runs
+    the identical recurrence as a recursive CTE."""
+    from rrdtool_1_x_spark.datapipe.layout import hilbert_expr
+
+    ev = _events_us(spark, sf_dir)
+    h = hilbert_expr(
+        "(user_id & 1023)", "((tus DIV 60000000) & 1023)", bits=10
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.expr("(tus DIV 60000000) & 1023").alias("minute_b"),
+            h.alias("hval"),
+        )
+        .orderBy("hval", "event_id")
+        .limit(50)
+    )
+
+
 def q_edit_near_dup(spark, sf_dir):
     """Edit-distance near-duplicate pairs (datapipe.dedup
     .edit_near_duplicates): prefix-blocked candidates (24 chars, 256-cap)
@@ -3910,6 +3936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_near_dup": q_edit_near_dup,
         "minhash_decontam": q_minhash_decontam,
         "zorder_events": q_zorder_events,
+        "hilbert_events": q_hilbert_events,
         "kmv_distinct": q_kmv_distinct,
         "kmv_overlap": q_kmv_overlap,
         "rot_pq_topk": q_rot_pq_topk,
@@ -7043,6 +7070,38 @@ z AS (SELECT event_id, user_id, (tus // 60000000) & 1023 AS minute_b,
              ({zo_terms}) AS zval FROM e)
 SELECT event_id, user_id, minute_b, CAST(zval AS BIGINT) AS zval
 FROM z ORDER BY zval, event_id LIMIT 50"""
+
+    # Hilbert curve: the identical per-level rotate/flip recurrence the
+    # Spark aggregate fold runs (layout.hilbert_xy2d), as a recursive
+    # CTE over the 10 bit levels; 2^bits-1 = 1023 is the reflection
+    sql["hilbert_events"] = """
+WITH RECURSIVE e AS (SELECT event_id, user_id, epoch_us(ts) AS tus
+                     FROM events),
+pts AS (SELECT event_id, user_id, (tus // 60000000) & 1023 AS minute_b,
+               CAST(user_id & 1023 AS BIGINT) AS xb,
+               CAST((tus // 60000000) & 1023 AS BIGINT) AS yb
+        FROM e),
+h AS (
+  SELECT event_id, user_id, minute_b, xb AS hx, yb AS hy,
+         CAST(0 AS BIGINT) AS hd, CAST(9 AS BIGINT) AS i
+  FROM pts
+  UNION ALL
+  SELECT event_id, user_id, minute_b,
+    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 1023 - hy ELSE hy END)
+         ELSE hx END,
+    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 1023 - hx ELSE hx END)
+         ELSE hy END,
+    hd + s * s * xor(3 * rx, ry),
+    i - 1
+  FROM (SELECT *, (CAST(1 AS BIGINT) << i) AS s,
+          CASE WHEN (hx & (CAST(1 AS BIGINT) << i)) > 0
+               THEN 1 ELSE 0 END AS rx,
+          CASE WHEN (hy & (CAST(1 AS BIGINT) << i)) > 0
+               THEN 1 ELSE 0 END AS ry
+        FROM h WHERE i >= 0) t
+)
+SELECT event_id, user_id, minute_b, hd AS hval
+FROM h WHERE i = -1 ORDER BY hval, event_id LIMIT 50"""
 
     # KMV distinct-value synopsis over per-source 3-shingles: 15 hex
     # digits of md5('kmv:'||s) as a uint60, k=128 smallest per group,

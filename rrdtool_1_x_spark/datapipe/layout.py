@@ -55,6 +55,87 @@ def zorder_expr(x: str, y: str, bits: int = 16) -> Column:
     return F.expr(" | ".join(terms))
 
 
+def hilbert_xy2d(bits: int, x: int, y: int) -> int:
+    """Reference Python Hilbert index (order-``bits`` curve over the
+    2^bits x 2^bits grid) — the public-domain per-quadrant rotate/flip
+    walk (Hilbert 1891; iterative form as on the Wikipedia "Hilbert
+    curve" page). Used by tests and as the spec the SQL expression and
+    the DuckDB oracle both mirror."""
+    n = 1 << bits
+    d = 0
+    s = n >> 1
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:  # rotate quadrant (reflect when rx, then swap)
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def hilbert_expr(x: str, y: str, bits: int = 16) -> Column:
+    """Hilbert index of two bucketized dimensions as ONE SQL aggregate
+    fold over the bit levels — same locality budget as ``zorder_expr``
+    (2*bits key bits) but with the curve's no-jump adjacency: every
+    consecutive key step moves one grid cell, so range boxes splinter
+    into fewer key intervals than under Morton's quadrant jumps
+    (measured in BASELINE.md via ``rowgroup_hit_fraction``).
+
+    ``x``/``y`` are SQL expression strings already in [0, 2^bits). The
+    per-level rotate/flip state machine rides a named_struct accumulator
+    inside ``aggregate(sequence(...))`` — integer shift/mask/xor
+    builtins only, whole-stage codegen, engine-portable (the DuckDB
+    oracle runs the identical recurrence as a recursive CTE)."""
+    n = 1 << bits
+    fold = (
+        f"aggregate(sequence({bits - 1}, 0, -1),"
+        f" named_struct('x', CAST({x} AS BIGINT),"
+        f" 'y', CAST({y} AS BIGINT), 'd', CAST(0 AS BIGINT)),"
+        " (a, i) -> named_struct("
+        "'x', CASE WHEN (a.y & shiftleft(1L, i)) = 0 THEN"
+        f" (CASE WHEN (a.x & shiftleft(1L, i)) > 0 THEN {n - 1} - a.y"
+        " ELSE a.y END) ELSE a.x END,"
+        "'y', CASE WHEN (a.y & shiftleft(1L, i)) = 0 THEN"
+        f" (CASE WHEN (a.x & shiftleft(1L, i)) > 0 THEN {n - 1} - a.x"
+        " ELSE a.x END) ELSE a.y END,"
+        "'d', a.d + shiftleft(1L, i) * shiftleft(1L, i) *"
+        " ((3 * (CASE WHEN (a.x & shiftleft(1L, i)) > 0 THEN 1 ELSE 0 END))"
+        " ^ (CASE WHEN (a.y & shiftleft(1L, i)) > 0 THEN 1 ELSE 0 END))),"
+        " a -> a.d)"
+    )
+    return F.expr(fold)
+
+
+def write_hilbert_layout(
+    df: DataFrame,
+    path: str,
+    x: str,
+    y: str,
+    x_range: tuple[int, int],
+    y_range: tuple[int, int],
+    bits: int = 16,
+    num_files: int = 32,
+) -> None:
+    """``write_zorder_layout`` with the Hilbert key: one range shuffle on
+    the curve index, locally sorted, key dropped — the files are the
+    same tight 2-D boxes, packed along a curve with no quadrant jumps."""
+    h = hilbert_expr(
+        bucket_sql(x, *x_range, bits), bucket_sql(y, *y_range, bits), bits
+    )
+    (
+        df.withColumn("_h", h)
+        .repartitionByRange(num_files, "_h")
+        .sortWithinPartitions("_h")
+        .drop("_h")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def write_zorder_layout(
     df: DataFrame,
     path: str,

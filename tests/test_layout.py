@@ -106,3 +106,81 @@ def test_zorder_layout_prunes_2d_box(spark, tmp_path):
         "tus": (lo_t, lo_t + (hi_t - lo_t) // 4),
     }
     assert rowgroup_hit_fraction(zo, box2) <= frac_z
+
+
+def test_hilbert_reference_bijective_unit_step():
+    """The order-n Hilbert index is a bijection onto [0, 4^n) and every
+    consecutive index moves exactly ONE grid cell — the no-jump property
+    Morton lacks (z-order jumps across quadrant seams)."""
+    from rrdtool_1_x_spark.datapipe.layout import hilbert_xy2d
+
+    for bits in (1, 2, 3, 4):
+        n = 1 << bits
+        pos = {}
+        for x in range(n):
+            for y in range(n):
+                pos[hilbert_xy2d(bits, x, y)] = (x, y)
+        assert sorted(pos) == list(range(n * n))
+        for d in range(n * n - 1):
+            (x1, y1), (x2, y2) = pos[d], pos[d + 1]
+            assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_expr_matches_reference(spark):
+    """The SQL aggregate fold equals the Python reference on the full
+    16x16 grid (every rotate/flip branch exercised)."""
+    from rrdtool_1_x_spark.datapipe.layout import hilbert_expr, hilbert_xy2d
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x long, y long"
+    )
+    got = {
+        (r["x"], r["y"]): r["d"]
+        for r in df.select(
+            "x", "y", hilbert_expr("x", "y", 4).alias("d")
+        ).collect()
+    }
+    assert all(d == hilbert_xy2d(4, x, y) for (x, y), d in got.items())
+
+
+def test_hilbert_layout_prunes_like_zorder(spark, tmp_path):
+    """The Hilbert layout prunes the same 2-D boxes the z-order layout
+    does (both are tight-box layouts at the same bit budget) and returns
+    identical query results; BASELINE.md records the measured fractions
+    side by side."""
+    from rrdtool_1_x_spark.datapipe.layout import write_hilbert_layout
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("tus"),
+    )
+    lo_u, hi_u = ev.agg(F.min("user_id"), F.max("user_id")).first()
+    lo_t, hi_t = ev.agg(F.min("tus"), F.max("tus")).first()
+
+    nat = str(tmp_path / "natural")
+    (
+        ev.repartitionByRange(8, "tus")
+        .sortWithinPartitions("tus")
+        .write.parquet(nat)
+    )
+    hi = str(tmp_path / "hilbert")
+    write_hilbert_layout(
+        ev, hi, "user_id", "tus", (lo_u, hi_u), (lo_t, hi_t), bits=10,
+        num_files=8,
+    )
+    box = {"user_id": (lo_u, lo_u + max((hi_u - lo_u) // 8, 0))}
+    assert rowgroup_hit_fraction(nat, box) == 1.0
+    frac_h = rowgroup_hit_fraction(hi, box)
+    assert frac_h < 1.0
+    pred = (F.col("user_id") >= box["user_id"][0]) & (
+        F.col("user_id") <= box["user_id"][1]
+    )
+    a = sorted(
+        r["event_id"] for r in spark.read.parquet(nat).filter(pred).collect()
+    )
+    b = sorted(
+        r["event_id"] for r in spark.read.parquet(hi).filter(pred).collect()
+    )
+    assert a == b and len(a) > 0
