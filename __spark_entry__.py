@@ -1738,6 +1738,85 @@ def q_stream_join(spark, sf_dir):
     )
 
 
+def q_stream_join_ooo(spark, sf_dir):
+    """stream_join's multi-batch OUT-OF-ORDER drain: the same interval
+    join, but each side arrives as two waves with the LATER time half
+    FIRST (maxFilesPerTrigger=1, so the join state sees genuinely
+    shuffled arrival across micro-batches). The watermark is set beyond
+    the fixture span, so nothing is evicted and the drained sink must
+    equal the batch interval join EXACTLY — pinning arrival-order
+    independence of the stream-stream join state the way dedup_stream
+    pins it for dropDuplicates. (The watermark EVICTION of truly late
+    rows is pinned separately in tests/test_streaming.py — eviction
+    depends on batch boundaries, which no cross-engine oracle can see.)
+    """
+    import shutil
+    import tempfile
+
+    from rrdtool_1_x_spark.streaming.joins import start_interval_join_stream
+
+    work = tempfile.mkdtemp(prefix="streamjoinooo_")
+    ev = _events_us(spark, sf_dir)
+    lo, hi = ev.agg(F.min("tus"), F.max("tus")).first()
+    mid = (int(lo) + int(hi)) // 2
+    ts = F.timestamp_micros(F.col("tus"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        ts.alias("ts"),
+        F.col("tus").alias("cts_us"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        ts.alias("ts"),
+        F.col("tus").alias("vts_us"),
+    )
+    # wave 0 = later half of event time, wave 1 = earlier half: written
+    # in that order so the file source replays time BACKWARD across
+    # micro-batches
+    for name, df, tcol in (("c", clicks, "cts_us"), ("v", views, "vts_us")):
+        for wave, pred in enumerate(
+            (F.col(tcol) > mid, F.col(tcol) <= mid)
+        ):
+            df.filter(pred).coalesce(1).write.mode("append").parquet(
+                f"{work}/in_{name}"
+            )
+    cs = (
+        spark.readStream.schema(
+            "click_id bigint, user_id bigint, ts timestamp, cts_us bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/in_c")
+    )
+    vs = (
+        spark.readStream.schema(
+            "view_id bigint, user_id bigint, ts timestamp, vts_us bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/in_v")
+    )
+    q = start_interval_join_stream(
+        cs,
+        vs,
+        f"{work}/out",
+        f"{work}/ck",
+        interval="10 minutes",
+        watermark="3650 days",
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("stream_join_ooo drain exceeded 600s")
+    shutil.rmtree(f"{work}/in_c", ignore_errors=True)
+    shutil.rmtree(f"{work}/in_v", ignore_errors=True)
+    shutil.rmtree(f"{work}/ck", ignore_errors=True)
+    return (
+        spark.read.parquet(f"{work}/out")
+        .select("click_id", "view_id", "user_id", "cts_us", "vts_us")
+        .orderBy("click_id", "view_id")
+    )
+
+
 def q_diverse_sample(spark, sf_dir):
     """Cluster-balanced diversity sampling (datapipe.similarity.
     diverse_sample): 5 deterministic draws per IVF cell — the coverage
@@ -3961,6 +4040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classify": q_nb_classify,
         "dedup_stream": q_dedup_stream,
         "stream_join": q_stream_join,
+        "stream_join_ooo": q_stream_join_ooo,
         "resid_index_topup": q_resid_index_topup,
         "hard_negatives": q_hard_negatives,
         "source_overlap": q_source_overlap,
@@ -4857,6 +4937,10 @@ SELECT click_id, view_id, c.user_id, cts_us, vts_us
 FROM c JOIN v USING (user_id)
 WHERE vts_us >= cts_us - 600000000 AND vts_us <= cts_us
 ORDER BY click_id, view_id"""
+
+    # out-of-order drain: arrival order cannot change an inner interval
+    # join with a beyond-horizon watermark -> the SAME batch oracle
+    sql["stream_join_ooo"] = sql["stream_join"]
 
     # hashed NB language classifier: md5('nb:'||tok) buckets, Laplace
     # log-weights quantized 1e-6 (integer sums), argmax ties to smallest
