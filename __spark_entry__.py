@@ -3429,6 +3429,42 @@ def q_hilbert_events(spark, sf_dir):
     )
 
 
+def q_winnow_fp(spark, sf_dir):
+    """Winnowing fingerprints (datapipe.textstats.winnow_fingerprints;
+    Schleimer/Wilkerson/Aiken SIGMOD 2003, the MOSS algorithm): 4-token
+    gram hashes, window 4, rightmost-min selection. Gate output is the
+    per-document fingerprint-set digest (count, mod-p sum, min, max over
+    the 60-bit fps) — any deviation in the tie rule or window bounds
+    changes selected sets and breaks the digest."""
+    from rrdtool_1_x_spark.datapipe.textstats import winnow_fingerprints
+
+    fp = winnow_fingerprints(_docs(spark, sf_dir), k=4, w=4)
+    p = F.lit(1000000007)
+    return (
+        fp.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            (F.sum(F.col("fp") % p) % p).cast("long").alias("fp_mod_sum"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_winnow_overlap(spark, sf_dir):
+    """MOSS match report (datapipe.textstats.winnow_overlap): document
+    pairs sharing >= 3 winnowing fingerprints — local plagiarism
+    evidence the per-doc global-min fingerprint cannot give. Hot
+    fingerprints (> 64 docs) are dropped before the self-join (the LSH
+    hot-bucket cap discipline)."""
+    from rrdtool_1_x_spark.datapipe.textstats import winnow_overlap
+
+    return winnow_overlap(
+        _docs(spark, sf_dir), k=4, w=4, min_shared=3, max_fp_docs=64
+    ).orderBy("id_a", "id_b")
+
+
 def q_edit_near_dup(spark, sf_dir):
     """Edit-distance near-duplicate pairs (datapipe.dedup
     .edit_near_duplicates): prefix-blocked candidates (24 chars, 256-cap)
@@ -4016,6 +4052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_decontam": q_minhash_decontam,
         "zorder_events": q_zorder_events,
         "hilbert_events": q_hilbert_events,
+        "winnow_fp": q_winnow_fp,
+        "winnow_overlap": q_winnow_overlap,
         "kmv_distinct": q_kmv_distinct,
         "kmv_overlap": q_kmv_overlap,
         "rot_pq_topk": q_rot_pq_topk,
@@ -8117,4 +8155,46 @@ SELECT doc_id,
   CAST(sum(m) AS BIGINT) AS token_cnt
 FROM dt JOIN v USING (tok) CROSS JOIN n
 GROUP BY doc_id ORDER BY doc_id"""
+
+    # winnowing (MOSS): 4-gram 60-bit md5 hashes, window 4, rightmost-
+    # min selection expressed relationally — every window start joins
+    # its 4 gram rows, row_number(ORDER BY h ASC, pos DESC) = 1 picks
+    # the selection, DISTINCT collapses repeat picks; digest per doc
+    _h60gram = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hx, {j + 1}, 1)) - 1)"
+        f" * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    _winnow_fp_cte = rf"""
+WITH tl AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+')
+              AS t FROM documents),
+gr AS (SELECT doc_id,
+         unnest(range(0, greatest(len(t) - 3, 0))) AS pos, t FROM tl),
+gh0 AS (SELECT doc_id, pos,
+          md5(array_to_string(t[pos + 1 : pos + 4], ' ')) AS hx FROM gr),
+gh AS (SELECT doc_id, pos, CAST({_h60gram} AS BIGINT) AS h FROM gh0),
+ng AS (SELECT doc_id, count(*) AS n FROM gh GROUP BY 1),
+st AS (SELECT doc_id, unnest(range(0, n - 3)) AS s FROM ng WHERE n >= 4),
+win AS (SELECT gh.doc_id, st.s, gh.pos, gh.h
+        FROM gh JOIN st ON gh.doc_id = st.doc_id
+                       AND gh.pos >= st.s AND gh.pos < st.s + 4),
+fp AS (SELECT DISTINCT doc_id, pos, h FROM (
+         SELECT doc_id, s, pos, h,
+                row_number() OVER (PARTITION BY doc_id, s
+                                   ORDER BY h ASC, pos DESC) AS rn
+         FROM win) _ WHERE rn = 1)"""
+    sql["winnow_fp"] = _winnow_fp_cte + """
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+       CAST(sum(h % 1000000007) % 1000000007 AS BIGINT) AS fp_mod_sum,
+       min(h) AS min_fp, max(h) AS max_fp
+FROM fp GROUP BY doc_id ORDER BY doc_id"""
+    sql["winnow_overlap"] = _winnow_fp_cte + """,
+df AS (SELECT DISTINCT doc_id, h FROM fp),
+rare AS (SELECT h FROM df GROUP BY h HAVING count(*) <= 64),
+fr AS (SELECT doc_id, h FROM df JOIN rare USING (h))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fr a JOIN fr b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 3
+ORDER BY id_a, id_b"""
     return sql

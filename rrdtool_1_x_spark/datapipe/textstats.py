@@ -208,6 +208,116 @@ def rolling_fingerprint(
     return pre.select(id_col, F.array_min(hashed).alias("fingerprint"))
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003 — the MOSS algorithm): hash every ``k``-token gram, slide a
+    window of ``w`` consecutive gram hashes, and in each window select
+    the MINIMUM hash, ties to the RIGHTMOST position (the paper's
+    density rule). Guarantee (their Theorem): any token run shared
+    between two documents of length >= ``w + k - 1`` contributes at
+    least one IDENTICAL selected fingerprint to both — unlike the
+    per-document global min (``rolling_fingerprint``), matches are
+    LOCAL, so partial plagiarism/quotation is caught.
+
+    Returns ``(id, pos, fp)`` — distinct selected fingerprints with the
+    0-based gram position; ``fp`` is the engine-portable 60-bit integer
+    md5 prefix of the gram text.
+
+    Map-only: gram construction via the arrays_zip shift trick, the
+    per-window rightmost-min via an integer aggregate fold over the
+    in-row hash array (documents are row-sized), one distinct-explode.
+    Expected density is 2/(w+1) selections per gram (paper §4), so the
+    output is a constant fraction of the token stream at any corpus
+    size; no shuffle until the caller aggregates."""
+    toks = _tokens(F.col(text_col))
+    zipped = F.arrays_zip(
+        *[
+            F.slice(toks, i + 1, F.greatest(F.size(toks), F.lit(1))).alias(
+                f"t{i}"
+            )
+            for i in range(k)
+        ]
+    )
+    grams = F.slice(
+        F.transform(
+            zipped,
+            lambda x: F.concat_ws(" ", *[x[f"t{i}"] for i in range(k)]),
+        ),
+        1,
+        F.greatest(F.size(toks) - (k - 1), F.lit(0)),
+    )
+    hashed = F.transform(
+        grams,
+        lambda g: F.conv(
+            F.substring(F.md5(g.cast("binary")), 1, 15), 16, 10
+        ).cast("long"),
+    )
+    pre = df.select(F.col(id_col), hashed.alias("_hs"))
+    # rightmost-min per window: fold offsets 0..w-1 carrying the best
+    # (hash, pos); `<=` lets later (righter) positions win ties. 2^60 is
+    # above every 60-bit hash, so the seed always loses.
+    sel = F.expr(
+        f"CASE WHEN size(_hs) >= {w} THEN array_distinct(transform("
+        f" sequence(0, size(_hs) - {w}), i -> aggregate(sequence(0, {w - 1}),"
+        " named_struct('fp', 1152921504606846976L, 'pos', -1L),"
+        " (acc, j) -> CASE WHEN _hs[i + j] <= acc.fp"
+        " THEN named_struct('fp', _hs[i + j], 'pos', CAST(i + j AS BIGINT))"
+        " ELSE acc END))) ELSE array() END"
+    )
+    return (
+        pre.select(F.col(id_col), F.explode(sel).alias("_s"))
+        .select(id_col, F.col("_s.pos").alias("pos"), F.col("_s.fp").alias("fp"))
+    )
+
+
+def winnow_overlap(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 3,
+    max_fp_docs: int = 64,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints —
+    the MOSS match report. A fingerprint is evidence of a shared k-token
+    run; several of them, of local plagiarism (each survives only if
+    ALSO selected in the other document, so this under-counts relative
+    to raw k-gram intersection — that selectivity is the point).
+
+    Scale shape: fingerprints appearing in more than ``max_fp_docs``
+    documents are dropped BEFORE the self-join (boilerplate phrases — a
+    hot fingerprint would square; the same hot-bucket cap discipline as
+    the LSH band join), then one (fp)-keyed join and a combinable pair
+    count. Returns ``(id_a, id_b, n_shared)`` with id_a < id_b."""
+    fp = winnow_fingerprints(df, id_col, text_col, k, w).select(
+        F.col(id_col).alias("_id"), "fp"
+    ).distinct()
+    rare = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") <= max_fp_docs)
+        .select("fp")
+    )
+    fpr = fp.join(rare, "fp")
+    a = fpr.select(F.col("_id").alias("id_a"), "fp")
+    b = fpr.select(F.col("_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def unigram_logprob(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -2186,3 +2186,58 @@ def test_cdc_blocks_realign_after_insertion(spark):
     assert 0 < rep["dup_token_share"] < 1
     # token conservation: every token lands in exactly one block
     assert sum(r["n_tok"] for r in b) == 120 + 121
+
+
+def test_winnow_fingerprints_match_reference_and_guarantee(spark):
+    """The Spark winnowing equals a direct Python transcription of the
+    SIGMOD 2003 algorithm (rightmost-min per window), and the paper's
+    guarantee holds: an 11-token shared run (>= w + k - 1 = 7) yields a
+    shared fingerprint; an unrelated doc shares none; a doc shorter
+    than k + w - 1 grams' worth of tokens yields no fingerprints."""
+    import hashlib
+
+    from rrdtool_1_x_spark.datapipe.textstats import (
+        winnow_fingerprints,
+        winnow_overlap,
+    )
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def ref(text, k=4, w=4):
+        toks = text.lower().strip().split()
+        hs = [
+            h60(" ".join(toks[i : i + k]))
+            for i in range(len(toks) - k + 1)
+        ]
+        sel = set()
+        for i in range(len(hs) - w + 1):
+            best_h, best_p = 1 << 60, -1
+            for j in range(w):
+                if hs[i + j] <= best_h:
+                    best_h, best_p = hs[i + j], i + j
+            sel.add((best_p, best_h))
+        return sel
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog and runs far"
+            " away home"),
+        (2, "completely different words here but the quick brown fox"
+            " jumps over the lazy dog appears inside"),
+        (3, "nothing in common with anybody else at all whatsoever"
+            " truly unique content"),
+        (4, "tiny doc"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for did, text in texts:
+        assert got.get(did, set()) == ref(text), f"doc {did}"
+    assert 4 not in got  # below k+w-1 tokens -> no full window
+    ov = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in winnow_overlap(df, min_shared=1).collect()
+    }
+    assert (1, 2) in ov
+    assert not any(3 in p or 4 in p for p in ov)
