@@ -3429,6 +3429,86 @@ def q_hilbert_events(spark, sf_dir):
     )
 
 
+def q_rouge_pairs(spark, sf_dir):
+    """Clipped bigram P/R/F1 pair scoring (datapipe.textstats
+    .ngram_f1_pairs; ROUGE-2 / BLEU modified precision): every 13th doc
+    scored against its own first-2/3 truncated copy (high recall-side
+    overlap — the partial eval-copy shape) AND against the NEXT 13th
+    doc's truncated copy (the unrelated control). The neighbor pairing
+    rides a row_number over the ~40-row selection frame, never the
+    corpus."""
+    from rrdtool_1_x_spark.datapipe.textstats import ngram_f1_pairs
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    sel = d.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id",
+        F.lower(F.trim(F.col("text"))).alias("orig"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                toks,
+                1,
+                F.greatest(
+                    F.expr("(2 * size(split(lower(trim(text)), '\\\\s+')))"
+                           " DIV 3"),
+                    F.lit(1),
+                ),
+            ),
+        ).alias("cut"),
+    )
+    w = Window.orderBy("doc_id")
+    rk = sel.withColumn("_r", F.row_number().over(w))
+    nxt = rk.select(
+        (F.col("_r") - 1).alias("_r"),
+        F.col("doc_id").alias("_nid"),
+        F.col("cut").alias("_ncut"),
+    )
+    both = rk.join(nxt, "_r")  # row r paired with row r+1
+    pairs = (
+        sel.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("orig").alias("text_a"),
+            F.col("doc_id").alias("id_b"),
+            F.col("cut").alias("text_b"),
+        )
+        .unionByName(
+            both.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("orig").alias("text_a"),
+                F.col("_nid").alias("id_b"),
+                F.col("_ncut").alias("text_b"),
+            )
+        )
+    )
+    return ngram_f1_pairs(pairs, n=2).orderBy("id_a", "id_b")
+
+
+def q_priority_sample(spark, sf_dir):
+    """Priority sampling (datapipe.sampling.priority_sample; Duffield,
+    Lund & Thorup JACM 2007): per-source bottom-8 by floor-quantized
+    inverse priority (h+1) DIV n_tokens — the length-biased document
+    draw a token-budget mix samples with. All-BIGINT ranking, so the
+    learned sample hash-gates exactly."""
+    from rrdtool_1_x_spark.datapipe.sampling import priority_sample
+
+    d = _docs(spark, sf_dir)
+    wd = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return (
+        priority_sample(
+            wd, k=8, weight_col="n_tokens", strata_cols=["source"]
+        )
+        .select("source", "doc_id", "n_tokens", "prio_rank")
+        .orderBy("source", "prio_rank")
+    )
+
+
 def q_winnow_fp(spark, sf_dir):
     """Winnowing fingerprints (datapipe.textstats.winnow_fingerprints;
     Schleimer/Wilkerson/Aiken SIGMOD 2003, the MOSS algorithm): 4-token
@@ -4054,6 +4134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_events": q_hilbert_events,
         "winnow_fp": q_winnow_fp,
         "winnow_overlap": q_winnow_overlap,
+        "priority_sample": q_priority_sample,
+        "rouge_pairs": q_rouge_pairs,
         "kmv_distinct": q_kmv_distinct,
         "kmv_overlap": q_kmv_overlap,
         "rot_pq_topk": q_rot_pq_topk,
@@ -8197,4 +8279,88 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM fr a JOIN fr b ON a.h = b.h AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 3
 ORDER BY id_a, id_b"""
+
+    # priority sampling: per-source bottom-8 by exact-integer
+    # (h60+1) // n_tokens, tiebreak (h60, doc_id); n_tokens > 0 rows only
+    _h60p = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hx, {j + 1}, 1)) - 1)"
+        f" * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    sql["priority_sample"] = rf"""
+WITH d AS (SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                  AS BIGINT) AS n_tokens
+           FROM documents),
+h0 AS (SELECT doc_id, source, n_tokens,
+         md5('prio:' || CAST(doc_id AS VARCHAR)) AS hx
+       FROM d WHERE n_tokens > 0),
+h AS (SELECT doc_id, source, n_tokens,
+        CAST({_h60p} AS BIGINT) AS hv FROM h0),
+r AS (SELECT source, doc_id, n_tokens,
+        CAST(row_number() OVER (PARTITION BY source
+          ORDER BY (hv + 1) // n_tokens ASC, hv ASC, doc_id ASC)
+          AS INT) AS prio_rank
+      FROM h)
+SELECT source, doc_id, n_tokens, prio_rank FROM r
+WHERE prio_rank <= 8 ORDER BY source, prio_rank"""
+
+    # ROUGE-2 pair scoring: clipped bigram counts (inner join on gram,
+    # sum of least) over (doc, own-truncated-copy) and (doc, next-doc's
+    # truncated copy) pairs; zero-gram / zero-match sides score 0
+    sql["rouge_pairs"] = r"""
+WITH s AS (SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS t
+           FROM documents WHERE doc_id % 13 = 0),
+sc AS (SELECT doc_id, array_to_string(t, ' ') AS orig,
+         array_to_string(t[1 : greatest((2 * len(t)) // 3, 1)], ' ') AS cut
+       FROM s),
+rk AS (SELECT *, row_number() OVER (ORDER BY doc_id) AS r FROM sc),
+pr AS (SELECT doc_id AS id_a, orig AS text_a, doc_id AS id_b,
+              cut AS text_b FROM sc
+       UNION ALL
+       SELECT a.doc_id, a.orig, b.doc_id, b.cut
+       FROM rk a JOIN rk b ON b.r = a.r + 1),
+ga AS (SELECT id_a, id_b, g, count(*) AS ca FROM (
+         SELECT id_a, id_b,
+           unnest(list_transform(
+             range(1, len(regexp_split_to_array(text_a, '\s+')) - 2 + 2),
+             i -> array_to_string(
+               regexp_split_to_array(text_a, '\s+')[i:i+1], ' '))) AS g
+         FROM pr
+         WHERE len(regexp_split_to_array(text_a, '\s+')) >= 2) _
+       GROUP BY 1, 2, 3),
+gb AS (SELECT id_a, id_b, g, count(*) AS cb FROM (
+         SELECT id_a, id_b,
+           unnest(list_transform(
+             range(1, len(regexp_split_to_array(text_b, '\s+')) - 2 + 2),
+             i -> array_to_string(
+               regexp_split_to_array(text_b, '\s+')[i:i+1], ' '))) AS g
+         FROM pr
+         WHERE len(regexp_split_to_array(text_b, '\s+')) >= 2) _
+       GROUP BY 1, 2, 3),
+m AS (SELECT id_a, id_b, CAST(sum(least(ca, cb)) AS BIGINT) AS n_match
+      FROM ga JOIN gb USING (id_a, id_b, g) GROUP BY 1, 2),
+ta AS (SELECT id_a, id_b, CAST(sum(ca) AS BIGINT) AS ngrams_a
+       FROM ga GROUP BY 1, 2),
+tb AS (SELECT id_a, id_b, CAST(sum(cb) AS BIGINT) AS ngrams_b
+       FROM gb GROUP BY 1, 2),
+base AS (SELECT DISTINCT id_a, id_b FROM pr),
+o AS (SELECT base.id_a, base.id_b,
+        coalesce(ngrams_a, 0) AS ngrams_a,
+        coalesce(ngrams_b, 0) AS ngrams_b,
+        coalesce(n_match, 0) AS n_match
+      FROM base LEFT JOIN ta USING (id_a, id_b)
+                LEFT JOIN tb USING (id_a, id_b)
+                LEFT JOIN m USING (id_a, id_b))
+SELECT id_a, id_b, ngrams_a, ngrams_b, n_match,
+  round(CASE WHEN ngrams_a > 0
+             THEN n_match::DOUBLE / ngrams_a ELSE 0 END, 6) AS precision,
+  round(CASE WHEN ngrams_b > 0
+             THEN n_match::DOUBLE / ngrams_b ELSE 0 END, 6) AS recall,
+  round(CASE WHEN n_match > 0 THEN
+          2 * (n_match::DOUBLE / ngrams_a) * (n_match::DOUBLE / ngrams_b)
+          / ((n_match::DOUBLE / ngrams_a) + (n_match::DOUBLE / ngrams_b))
+        ELSE 0 END, 6) AS f1
+FROM o ORDER BY id_a, id_b"""
     return sql

@@ -102,6 +102,60 @@ def stratified_sample(
     )
 
 
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    strata_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    seed: str = "prio",
+) -> DataFrame:
+    """Weight-proportional bottom-k sampling — priority sampling
+    (Duffield, Lund & Thorup, "Priority Sampling for Estimation of
+    Arbitrary Subset Sums", JACM 2007): each row draws priority
+    ``q = w / u`` from a uniform ``u``; the ``k`` highest priorities are
+    the sample, so heavy rows (long documents, hot domains) enter with
+    probability ~proportional to weight while every row keeps a nonzero
+    chance — the length-biased draw a token-budget corpus mix needs
+    (``token_budget_sample`` CUTS at a budget; this SAMPLES toward one).
+
+    Engine-portable determinism: ``u`` is the 60-bit md5 draw, and the
+    rank key is the FLOOR-quantized inverse priority
+    ``(h + 1) DIV w`` ascending (h+1 so a zero hash cannot win every
+    draw), ties broken by (h, id). Floor quantization only reorders
+    rows whose true priorities agree to integer precision of h/w —
+    broken deterministically — and keeps every comparison exact BIGINT
+    (a float u would make cross-engine ranking drift in the last ulp).
+    Rows with weight <= 0 never enter the sample (documented: weights
+    are counts).
+
+    One shuffle on the strata key (global sample = one deterministic
+    stratum), rank via top-k window — map-side partial sort at scale,
+    same shape as ``stratified_sample``. Returns the sampled rows plus
+    ``prio_rank`` (1..k per stratum)."""
+    strata = list(strata_cols or [])
+    # 60-bit hash and the floor division BOTH stay in BIGINT expressions:
+    # a double intermediate would lose exactness above 2^53 and drift
+    # from the oracle's integer `//`
+    h_sql = (
+        "CAST(conv(substring(md5(CAST(concat("
+        f"'{seed}:', CAST({id_col} AS STRING)) AS BINARY)), 1, 15),"
+        " 16, 10) AS BIGINT)"
+    )
+    h = F.expr(h_sql)
+    inv_prio = F.expr(
+        f"({h_sql} + 1L) DIV CAST({weight_col} AS BIGINT)"
+    )
+    w = Window.partitionBy(
+        *(strata if strata else [F.lit(1)])
+    ).orderBy(inv_prio.asc(), h.asc(), F.col(id_col).asc())
+    return (
+        df.filter(F.col(weight_col).cast("long") > 0)
+        .withColumn("prio_rank", F.row_number().over(w))
+        .filter(F.col("prio_rank") <= k)
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     budgets: dict[str, int],

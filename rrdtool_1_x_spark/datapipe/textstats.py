@@ -318,6 +318,97 @@ def winnow_overlap(
     )
 
 
+def ngram_f1_pairs(
+    pairs: DataFrame,
+    n: int = 2,
+    id_a: str = "id_a",
+    text_a: str = "text_a",
+    id_b: str = "id_b",
+    text_b: str = "text_b",
+) -> DataFrame:
+    """Clipped n-gram overlap P/R/F1 per text pair — the ROUGE-n recall
+    / BLEU-n modified-precision mechanism (Lin 2004; Papineni et al.
+    2002): a shared gram counts min(count_a, count_b) times, so
+    repeating a phrase cannot inflate the score. The eval-similarity
+    metric curation uses to SCORE suspected near-dups and
+    benchmark-contamination candidates, where the dedup tier only
+    detects them.
+
+    precision = match / grams_a, recall = match / grams_b,
+    f1 = 2PR/(P+R); a side with no grams (or no overlap) scores 0 —
+    documented convention. All counts are exact integers; each final
+    division is one correctly-rounded float op, so the scores
+    hash-gate.
+
+    Shape at scale: per-side gram counts are map-side-combinable
+    aggregates keyed by (pair, gram); one inner join on that key
+    computes the clipped match. Nothing is quadratic in the corpus —
+    the caller supplies the pairs (from LSH/fingerprint candidates)."""
+    key = [F.col(id_a), F.col(id_b)]
+
+    def side_counts(text_col: str, alias: str) -> DataFrame:
+        toks = _tokens(F.col(text_col))
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array())
+        return (
+            pairs.select(*key, F.explode(grams).alias("_g"))
+            .groupBy(id_a, id_b, "_g")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    ca = side_counts(text_a, "_ca")
+    cb = side_counts(text_b, "_cb")
+    match = (
+        ca.join(cb, [id_a, id_b, "_g"])
+        .groupBy(id_a, id_b)
+        .agg(F.sum(F.least("_ca", "_cb")).alias("n_match"))
+    )
+    totals = (
+        ca.groupBy(id_a, id_b).agg(F.sum("_ca").alias("ngrams_a"))
+        .join(
+            cb.groupBy(id_a, id_b).agg(F.sum("_cb").alias("ngrams_b")),
+            [id_a, id_b],
+            "full_outer",
+        )
+    )
+    base = pairs.select(id_a, id_b).distinct()
+    out = (
+        base.join(totals, [id_a, id_b], "left")
+        .join(match, [id_a, id_b], "left")
+        .select(
+            id_a,
+            id_b,
+            F.coalesce("ngrams_a", F.lit(0)).cast("long").alias("ngrams_a"),
+            F.coalesce("ngrams_b", F.lit(0)).cast("long").alias("ngrams_b"),
+            F.coalesce("n_match", F.lit(0)).cast("long").alias("n_match"),
+        )
+    )
+    p = F.when(
+        F.col("ngrams_a") > 0, F.col("n_match") / F.col("ngrams_a")
+    ).otherwise(F.lit(0.0))
+    r = F.when(
+        F.col("ngrams_b") > 0, F.col("n_match") / F.col("ngrams_b")
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "*",
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(
+            F.when(F.col("n_match") > 0, 2 * p * r / (p + r)).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("f1"),
+    )
+
+
 def unigram_logprob(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -2241,3 +2241,34 @@ def test_winnow_fingerprints_match_reference_and_guarantee(spark):
     }
     assert (1, 2) in ov
     assert not any(3 in p or 4 in p for p in ov)
+
+
+def test_ngram_f1_pairs_clipping_and_edges(spark):
+    """Clipped counting: a phrase repeated 3x on one side matches at most
+    its count on the other; empty/short sides score 0; identical texts
+    score 1.0."""
+    from rrdtool_1_x_spark.datapipe.textstats import ngram_f1_pairs
+
+    pairs = spark.createDataFrame(
+        [
+            # identical: P = R = F1 = 1
+            (1, "a b c d", 1, "a b c d"),
+            # 'x y' 3x vs 1x -> clipped match 1 (+ 'y x' twice unmatched)
+            (2, "x y x y x y", 2, "x y z"),
+            # short side (1 token -> no bigram)
+            (3, "a b c", 3, "a"),
+            # no overlap at all
+            (4, "a b c", 4, "p q r"),
+        ],
+        "id_a long, text_a string, id_b long, text_b string",
+    )
+    got = {r["id_a"]: r for r in ngram_f1_pairs(pairs, n=2).collect()}
+    assert (got[1]["precision"], got[1]["recall"], got[1]["f1"]) == (
+        1.0, 1.0, 1.0,
+    )
+    r2 = got[2]
+    # side a bigrams: x y, y x, x y, y x, x y (5); side b: x y, y z (2)
+    assert (r2["ngrams_a"], r2["ngrams_b"], r2["n_match"]) == (5, 2, 1)
+    assert r2["precision"] == 0.2 and r2["recall"] == 0.5
+    assert (got[3]["ngrams_b"], got[3]["f1"]) == (0, 0.0)
+    assert (got[4]["n_match"], got[4]["f1"]) == (0, 0.0)

@@ -840,3 +840,42 @@ def test_dq_check_unique_null_keys_are_injective(spark):
         5,
         2,
     )
+
+
+def test_priority_sample_weight_biased_exact_and_guarded(spark):
+    """Priority sampling reproduces the exact Python recurrence (60-bit
+    md5 hash, floor-quantized inverse priority), is biased toward heavy
+    rows (a 1000x-weight row wins top-1 in most seeds), and excludes
+    non-positive weights."""
+    import hashlib
+
+    from rrdtool_1_x_spark.datapipe.sampling import priority_sample
+
+    rows = [(i, 1) for i in range(50)] + [(99, 1000), (100, 0), (101, -5)]
+    df = spark.createDataFrame(rows, "doc_id long, wt long")
+
+    def ref_rank(seed):
+        cand = []
+        for did, w in rows:
+            if w <= 0:
+                continue
+            h = int(
+                hashlib.md5(f"{seed}:{did}".encode()).hexdigest()[:15], 16
+            )
+            cand.append(((h + 1) // w, h, did))
+        return [d for _, _, d in sorted(cand)]
+
+    got = priority_sample(df, k=5, weight_col="wt", seed="prio").orderBy(
+        "prio_rank"
+    ).collect()
+    assert [r["doc_id"] for r in got] == ref_rank("prio")[:5]
+    assert all(r["doc_id"] not in (100, 101) for r in got)
+    # bias: across 20 seeds, the heavy row takes rank 1 most of the time
+    wins = sum(
+        1
+        for s in range(20)
+        if priority_sample(df, k=1, weight_col="wt", seed=f"s{s}")
+        .first()["doc_id"]
+        == 99
+    )
+    assert wins >= 15, wins
