@@ -3429,6 +3429,60 @@ def q_hilbert_events(spark, sf_dir):
     )
 
 
+def q_logq_quantiles(spark, sf_dir):
+    """Relative-error quantile sketch (datapipe.sketch.logq_sketch /
+    logq_quantiles; the binary-bucket member of the DDSketch family,
+    Masson et al. VLDB 2019): per-source p50/p90/p99 of document token
+    counts off a <= ~1k-bucket frame — 16 sub-buckets per octave, 1/16
+    one-sided relative error, bucket index from integer bit arithmetic
+    (length(bin(v))), never a float log. Completes the persisted sketch
+    algebra: distinct (HLL/KMV), frequency (CMS), quantiles (this)."""
+    from rrdtool_1_x_spark.datapipe.sketch import logq_quantiles, logq_sketch
+
+    d = _docs(spark, sf_dir)
+    wd = d.select(
+        "source",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .cast("long")
+        .alias("v"),
+    )
+    sk = logq_sketch(wd, F.col("v"), ["source"])
+    return logq_quantiles(sk, group_cols=["source"]).orderBy("source")
+
+
+def q_logq_index_topup(spark, sf_dir):
+    """Persisted quantile sketch + append (datapipe.sketch
+    .write_logq_sketch / append_logq_sketch / logq_index_quantiles):
+    build from docs with doc_id % 5 != 0, fold in the % 5 == 0 batch —
+    bucket-count ADDITION is exact linearity, so the topped-up index
+    answers identically to the one-shot sketch (oracle =
+    logq_quantiles' SQL verbatim)."""
+    import tempfile
+
+    from rrdtool_1_x_spark.datapipe.sketch import (
+        append_logq_sketch,
+        logq_index_quantiles,
+        write_logq_sketch,
+    )
+
+    d = _docs(spark, sf_dir)
+    wd = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .cast("long")
+        .alias("v"),
+    )
+    path = tempfile.mkdtemp(prefix="logqidx_")
+    write_logq_sketch(
+        wd.filter(F.col("doc_id") % 5 != 0), path, F.col("v"), ["source"]
+    )
+    append_logq_sketch(
+        wd.filter(F.col("doc_id") % 5 == 0), path, F.col("v"), ["source"]
+    )
+    return logq_index_quantiles(spark, path).orderBy("source")
+
+
 def q_rouge_pairs(spark, sf_dir):
     """Clipped bigram P/R/F1 pair scoring (datapipe.textstats
     .ngram_f1_pairs; ROUGE-2 / BLEU modified precision): every 13th doc
@@ -4136,6 +4190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap": q_winnow_overlap,
         "priority_sample": q_priority_sample,
         "rouge_pairs": q_rouge_pairs,
+        "logq_quantiles": q_logq_quantiles,
+        "logq_index_topup": q_logq_index_topup,
         "kmv_distinct": q_kmv_distinct,
         "kmv_overlap": q_kmv_overlap,
         "rot_pq_topk": q_rot_pq_topk,
@@ -8363,4 +8419,39 @@ SELECT id_a, id_b, ngrams_a, ngrams_b, n_match,
           / ((n_match::DOUBLE / ngrams_a) + (n_match::DOUBLE / ngrams_b))
         ELSE 0 END, 6) AS f1
 FROM o ORDER BY id_a, id_b"""
+
+    # log-histogram quantile sketch: bucket = top-5-bits binary bucket
+    # (exact below 32), rank = (n*num + den - 1) // den over cumulative
+    # counts, answer = bucket LOWER edge; bit arithmetic only (bin()
+    # length), same recurrence as datapipe.sketch.logq_bucket/logq_rep
+    _lq_rep = (
+        "CASE WHEN {b} < 32 THEN {b} ELSE ({b} - 16 * (({b} // 16) - 1))"
+        " << (({b} // 16) - 1) END"
+    )
+    sql["logq_quantiles"] = rf"""
+WITH d AS (SELECT source,
+             CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                  AS BIGINT) AS v
+           FROM documents),
+bk AS (SELECT source,
+         CASE WHEN v <= 0 THEN 0 WHEN v < 32 THEN v
+              ELSE 16 * (length(bin(v)) - 5)
+                   + (v >> (length(bin(v)) - 5)) END AS bucket
+       FROM d),
+sk AS (SELECT source, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2),
+cum AS (SELECT source, bucket, cnt,
+          sum(cnt) OVER (PARTITION BY source ORDER BY bucket) AS c,
+          sum(cnt) OVER (PARTITION BY source) AS n
+        FROM sk),
+sel AS (SELECT source, max(n) AS n,
+          min(CASE WHEN c >= (n * 50 + 99) // 100 THEN bucket END) AS b50,
+          min(CASE WHEN c >= (n * 90 + 99) // 100 THEN bucket END) AS b90,
+          min(CASE WHEN c >= (n * 99 + 99) // 100 THEN bucket END) AS b99
+        FROM cum GROUP BY source)
+SELECT source, CAST(n AS BIGINT) AS n,
+  CAST({_lq_rep.format(b="b50")} AS BIGINT) AS p50,
+  CAST({_lq_rep.format(b="b90")} AS BIGINT) AS p90,
+  CAST({_lq_rep.format(b="b99")} AS BIGINT) AS p99
+FROM sel ORDER BY source"""
+    sql["logq_index_topup"] = sql["logq_quantiles"]
     return sql

@@ -647,3 +647,157 @@ def cms_index_estimate(
     return cms_estimate(
         spark.read.parquet(path), candidates, value_col, depth, width, seed
     )
+
+
+# ---------------------------------------------------------------- quantiles
+
+
+def logq_bucket(value: Column) -> Column:
+    """Log-histogram bucket index for a non-negative integer value — the
+    binary-bucket member of the relative-error quantile-sketch family
+    (DDSketch, Masson/Lee/Law VLDB 2019; their gamma-log buckets made
+    ENGINE-PORTABLE by replacing float log with integer bit arithmetic):
+
+    - v <= 0      -> bucket 0 (documented floor for count-like values)
+    - 0 < v < 32  -> bucket v (exact: one bucket per value)
+    - v >= 32     -> with e = floor(log2 v) and s = e - 4, bucket =
+      16*s + (v >> s): the top 5 bits of v, so 16 sub-buckets per
+      octave and relative bucket width 1/16 (6.25%).
+
+    Buckets are contiguous and monotone in v, so rank selection over
+    cumulative counts is order-exact. ``e`` comes from the length of
+    the binary string (length(bin(v)) - 1), never a float log whose
+    last-ulp behaviour at powers of two differs across engines."""
+    v = value.cast("long")
+    e = F.length(F.bin(v)) - F.lit(1)
+    s = e - F.lit(4)
+    return (
+        F.when(v <= 0, F.lit(0))
+        .when(v < 32, v)
+        .otherwise(
+            F.lit(16) * s
+            + F.call_function("shiftright", v, s.cast("int"))
+        )
+        .cast("long")
+    )
+
+
+def logq_rep(bucket: Column) -> Column:
+    """The bucket's representative value — its exact LOWER edge
+    (deterministic convention; estimates are therefore one-sided: at
+    most 1/16 relative below the true quantile, never above)."""
+    b = bucket.cast("long")
+    s = (b / 16).cast("long") - F.lit(1)  # b DIV 16 - 1 (b >= 0)
+    m = b - s * 16
+    return F.when(b < 32, b).otherwise(
+        F.call_function("shiftleft", m, s.cast("int"))
+    ).cast("long")
+
+
+def logq_sketch(
+    df: DataFrame,
+    value: Column,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Build the quantile sketch: (groups..., bucket, cnt). At most
+    ~16 * 60 + 32 buckets per group regardless of corpus size; counts
+    are exact integer sums, so the merge law is bucket-wise ADDITION —
+    sketch(A ∪ B) == merge(sketch(A), sketch(B)) exactly, the same
+    closure the KMV / HLL / CMS tier pins (this completes the family:
+    distinct, frequency, and now quantiles). One map-side-combinable
+    aggregate; the sketch is broadcast-sized."""
+    groups = list(group_cols or [])
+    return (
+        df.select(*groups, logq_bucket(value).alias("bucket"))
+        .groupBy(*groups, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def logq_quantiles(
+    sketch: DataFrame,
+    qs: list[tuple[int, int]] = ((50, 100), (90, 100), (99, 100)),
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quantile estimates off the sketch alone: for q = num/den the
+    selected bucket is the first whose cumulative count reaches
+    ceil(q * n) (the lower-rank convention, computed as
+    (n*num + den - 1) DIV den — integer-exact, no float rank). Returns
+    one row per group: n plus p<num> columns holding the representative
+    (lower-edge) values. Window over the bucket-sized sketch, never the
+    corpus."""
+    groups = list(group_cols or [])
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sketch.select(
+        *groups,
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w).alias("_cum"),
+        F.sum("cnt").over(
+            Window.partitionBy(*groups).orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_n"),
+    )
+    aggs = [F.max("_n").cast("long").alias("n")]
+    for num, den in qs:
+        target = F.expr(f"(_n * {num} + {den} - 1) DIV {den}")
+        aggs.append(
+            F.min(
+                F.when(F.col("_cum") >= target, F.col("bucket"))
+            ).alias(f"_b{num}")
+        )
+    picked = cum.groupBy(*groups).agg(*aggs)
+    out_cols = [*groups, "n"] + [
+        logq_rep(F.col(f"_b{num}")).alias(f"p{num}") for num, _ in qs
+    ]
+    return picked.select(*out_cols)
+
+
+def write_logq_sketch(
+    df: DataFrame,
+    path: str,
+    value: Column,
+    group_cols: list[str] | None = None,
+) -> None:
+    """Persist the quantile sketch. Appends merge by bucket-wise count
+    ADDITION (exact linearity, like the CM table) — index-then-append
+    equals the one-shot sketch for any batch split."""
+    logq_sketch(df, value, group_cols).write.mode("overwrite").parquet(path)
+
+
+def append_logq_sketch(
+    batch: DataFrame,
+    path: str,
+    value: Column,
+    group_cols: list[str] | None = None,
+) -> None:
+    """Fold a batch into the stored sketch (sum per (group, bucket));
+    both merge sides are sketch-sized."""
+    spark = batch.sparkSession
+    groups = list(group_cols or [])
+    new = logq_sketch(batch, value, groups)
+    old = spark.read.parquet(path)
+    merged = (
+        old.unionByName(new)
+        .groupBy(*groups, "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint(eager=True)  # sever lineage before the overwrite
+    )
+    merged.write.mode("overwrite").parquet(path)
+
+
+def logq_index_quantiles(
+    spark,
+    path: str,
+    qs: list[tuple[int, int]] = ((50, 100), (90, 100), (99, 100)),
+) -> DataFrame:
+    """Quantiles straight off the STORED sketch — no corpus access
+    (same contract as the other *_index_* readers)."""
+    sk = spark.read.parquet(path)
+    groups = [c for c in sk.columns if c not in ("bucket", "cnt")]
+    return logq_quantiles(sk, qs, groups)

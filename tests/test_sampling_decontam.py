@@ -879,3 +879,83 @@ def test_priority_sample_weight_biased_exact_and_guarded(spark):
         == 99
     )
     assert wins >= 15, wins
+
+
+def test_logq_sketch_buckets_accuracy_and_merge_law(spark):
+    """The binary-bucket quantile sketch: bucket/rep equal the Python
+    recurrence on edge values (powers of two, boundaries, 0), every
+    estimate is the bucket lower edge within 1/16 one-sided relative
+    error of the exact quantile, and the merge law is exact — the
+    topped-up persisted sketch answers identically to the one-shot."""
+    import math
+    import random
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from rrdtool_1_x_spark.datapipe.sketch import (
+        append_logq_sketch,
+        logq_bucket,
+        logq_index_quantiles,
+        logq_quantiles,
+        logq_rep,
+        logq_sketch,
+        write_logq_sketch,
+    )
+
+    def ref_bucket(v):
+        if v <= 0:
+            return 0
+        if v < 32:
+            return v
+        s = v.bit_length() - 5
+        return 16 * s + (v >> s)
+
+    def ref_rep(b):
+        if b < 32:
+            return b
+        s = b // 16 - 1
+        return (b - 16 * s) << s
+
+    edges = (
+        list(range(0, 70))
+        + [2**k for k in range(5, 40)]
+        + [2**k - 1 for k in range(5, 40)]
+    )
+    df = spark.createDataFrame([(v,) for v in edges], "v long")
+    got = df.select(
+        "v",
+        logq_bucket(F.col("v")).alias("b"),
+        logq_rep(logq_bucket(F.col("v"))).alias("r"),
+    ).collect()
+    for r in got:
+        assert r["b"] == ref_bucket(r["v"]), r
+        assert r["r"] == ref_rep(r["b"]), r
+        if r["v"] >= 1:
+            assert r["r"] <= r["v"] <= r["r"] + max(r["r"] // 16, 1)
+
+    rnd = random.Random(7)
+    data = [int(rnd.lognormvariate(5, 2)) + 1 for _ in range(4000)]
+    d2 = spark.createDataFrame([(v,) for v in data], "v long")
+    q = logq_quantiles(logq_sketch(d2, F.col("v"))).first()
+    data.sort()
+    for num in (50, 90, 99):
+        exact = data[math.ceil(num / 100 * len(data)) - 1]
+        est = q[f"p{num}"]
+        assert est <= exact and (exact - est) / exact <= 1 / 16 + 1e-12
+
+    # merge law: write half, append half -> identical to one-shot
+    path = tempfile.mkdtemp(prefix="logqtest_")
+    ids = d2.withColumn("i", F.monotonically_increasing_id())
+    write_logq_sketch(ids.filter(F.col("i") % 2 == 0), path, F.col("v"))
+    append_logq_sketch(ids.filter(F.col("i") % 2 == 1), path, F.col("v"))
+    one = {
+        (r["bucket"], r["cnt"])
+        for r in logq_sketch(d2, F.col("v")).collect()
+    }
+    stored = {
+        (r["bucket"], r["cnt"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert one == stored
+    assert logq_index_quantiles(spark, path).first()["p90"] == q["p90"]
