@@ -3429,6 +3429,30 @@ def q_hilbert_events(spark, sf_dir):
     )
 
 
+def q_winnow_index_topup(spark, sf_dir):
+    """Persisted winnowing index + append (datapipe.textstats
+    .write_winnow_index / append_winnow_index / winnow_index_overlap):
+    fingerprints from docs with doc_id % 5 != 0, the % 5 == 0 batch
+    appended — winnowing is per-document so the merge law is set UNION
+    and the topped-up index's match report equals the one-shot
+    winnow_overlap verbatim (the oracle)."""
+    import tempfile
+
+    from rrdtool_1_x_spark.datapipe.textstats import (
+        append_winnow_index,
+        winnow_index_overlap,
+        write_winnow_index,
+    )
+
+    d = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="winnowidx_")
+    write_winnow_index(d.filter(F.col("doc_id") % 5 != 0), path, k=4, w=4)
+    append_winnow_index(d.filter(F.col("doc_id") % 5 == 0), path, k=4, w=4)
+    return winnow_index_overlap(
+        spark, path, min_shared=3, max_fp_docs=64
+    ).orderBy("id_a", "id_b")
+
+
 def q_logq_quantiles(spark, sf_dir):
     """Relative-error quantile sketch (datapipe.sketch.logq_sketch /
     logq_quantiles; the binary-bucket member of the DDSketch family,
@@ -4191,6 +4215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample": q_priority_sample,
         "rouge_pairs": q_rouge_pairs,
         "logq_quantiles": q_logq_quantiles,
+        "winnow_index_topup": q_winnow_index_topup,
         "logq_index_topup": q_logq_index_topup,
         "kmv_distinct": q_kmv_distinct,
         "kmv_overlap": q_kmv_overlap,
@@ -8454,4 +8479,6 @@ SELECT source, CAST(n AS BIGINT) AS n,
   CAST({_lq_rep.format(b="b99")} AS BIGINT) AS p99
 FROM sel ORDER BY source"""
     sql["logq_index_topup"] = sql["logq_quantiles"]
+    # per-document fingerprints + set-union appends == one-shot winnow
+    sql["winnow_index_topup"] = sql["winnow_overlap"]
     return sql

@@ -409,6 +409,71 @@ def ngram_f1_pairs(
     )
 
 
+def write_winnow_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+) -> None:
+    """Persist the winnowing fingerprint frame (distinct (id, fp)) for
+    append-only plagiarism/overlap maintenance. Winnowing is strictly
+    per-document, so the merge law is plain set UNION — an append
+    fingerprints ONLY the new batch (the point of the index: a batch
+    against a 100 TB corpus costs the batch's fingerprints plus one
+    fp-keyed join, never a corpus rescan). Plain parquet appends here;
+    production writes go through a transactional commit (see
+    sources.store's manifest-snapshot pattern)."""
+    winnow_fingerprints(docs, id_col, text_col, k, w).select(
+        F.col(id_col).alias("doc_id"), "fp"
+    ).distinct().write.mode("overwrite").parquet(f"{path}/fps")
+
+
+def append_winnow_index(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+) -> None:
+    """Fingerprint the batch only and append to the stored frame."""
+    winnow_fingerprints(batch, id_col, text_col, k, w).select(
+        F.col(id_col).alias("doc_id"), "fp"
+    ).distinct().write.mode("append").parquet(f"{path}/fps")
+
+
+def winnow_index_overlap(
+    spark,
+    path: str,
+    min_shared: int = 3,
+    max_fp_docs: int = 64,
+) -> DataFrame:
+    """MOSS match report straight off the STORED fingerprints — no
+    corpus access. Identical semantics (hot-fp cap included) to the
+    one-shot ``winnow_overlap``; because winnowing has no cross-document
+    state, index-then-append equals the one-shot EXACTLY for any batch
+    split (the set-union merge law)."""
+    fp = spark.read.parquet(f"{path}/fps").distinct()
+    rare = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") <= max_fp_docs)
+        .select("fp")
+    )
+    fpr = fp.join(rare, "fp")
+    a = fpr.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fpr.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def unigram_logprob(
     df: DataFrame,
     id_col: str = "doc_id",
