@@ -340,15 +340,18 @@ def ngram_f1_pairs(
     division is one correctly-rounded float op, so the scores
     hash-gate.
 
-    Shape at scale: per-side gram counts are map-side-combinable
-    aggregates keyed by (pair, gram); one inner join on that key
-    computes the clipped match. Nothing is quadratic in the corpus —
-    the caller supplies the pairs (from LSH/fingerprint candidates)."""
+    Shape at scale: ONE pass over the pairs frame — both sides' grams
+    explode tagged in a single projection, ONE map-side-combinable
+    (pair, gram) aggregate carries both counts, ONE (pair) aggregate
+    folds the clipped match and the totals together (no per-side
+    re-evaluation of the pairs DAG, no gram-keyed join). Nothing is
+    quadratic in the corpus — the caller supplies the pairs (from
+    LSH/fingerprint candidates)."""
     key = [F.col(id_a), F.col(id_b)]
 
-    def side_counts(text_col: str, alias: str) -> DataFrame:
+    def grams(text_col: str) -> Column:
         toks = _tokens(F.col(text_col))
-        grams = F.when(
+        return F.when(
             F.size(toks) >= n,
             F.transform(
                 F.sequence(F.lit(0), F.size(toks) - n),
@@ -357,38 +360,37 @@ def ngram_f1_pairs(
                 ),
             ),
         ).otherwise(F.array())
-        return (
-            pairs.select(*key, F.explode(grams).alias("_g"))
-            .groupBy(id_a, id_b, "_g")
-            .agg(F.count(F.lit(1)).alias(alias))
-        )
 
-    ca = side_counts(text_a, "_ca")
-    cb = side_counts(text_b, "_cb")
-    match = (
-        ca.join(cb, [id_a, id_b, "_g"])
-        .groupBy(id_a, id_b)
-        .agg(F.sum(F.least("_ca", "_cb")).alias("n_match"))
+    tagged = F.concat(
+        F.transform(
+            grams(text_a),
+            lambda g: F.struct(F.lit(1).alias("a"), g.alias("g")),
+        ),
+        F.transform(
+            grams(text_b),
+            lambda g: F.struct(F.lit(0).alias("a"), g.alias("g")),
+        ),
     )
-    totals = (
-        ca.groupBy(id_a, id_b).agg(F.sum("_ca").alias("ngrams_a"))
-        .join(
-            cb.groupBy(id_a, id_b).agg(F.sum("_cb").alias("ngrams_b")),
-            [id_a, id_b],
-            "full_outer",
+    gc = (
+        pairs.select(*key, F.explode(tagged).alias("_t"))
+        .groupBy(id_a, id_b, F.col("_t.g").alias("_g"))
+        .agg(
+            F.sum("_t.a").alias("_ca"),
+            F.sum(1 - F.col("_t.a")).alias("_cb"),
         )
+    )
+    totals = gc.groupBy(id_a, id_b).agg(
+        F.sum("_ca").cast("long").alias("ngrams_a"),
+        F.sum("_cb").cast("long").alias("ngrams_b"),
+        F.sum(F.least("_ca", "_cb")).cast("long").alias("n_match"),
     )
     base = pairs.select(id_a, id_b).distinct()
-    out = (
-        base.join(totals, [id_a, id_b], "left")
-        .join(match, [id_a, id_b], "left")
-        .select(
-            id_a,
-            id_b,
-            F.coalesce("ngrams_a", F.lit(0)).cast("long").alias("ngrams_a"),
-            F.coalesce("ngrams_b", F.lit(0)).cast("long").alias("ngrams_b"),
-            F.coalesce("n_match", F.lit(0)).cast("long").alias("n_match"),
-        )
+    out = base.join(totals, [id_a, id_b], "left").select(
+        id_a,
+        id_b,
+        F.coalesce("ngrams_a", F.lit(0)).cast("long").alias("ngrams_a"),
+        F.coalesce("ngrams_b", F.lit(0)).cast("long").alias("ngrams_b"),
+        F.coalesce("n_match", F.lit(0)).cast("long").alias("n_match"),
     )
     p = F.when(
         F.col("ngrams_a") > 0, F.col("n_match") / F.col("ngrams_a")
