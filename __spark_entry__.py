@@ -3429,6 +3429,34 @@ def q_hilbert_events(spark, sf_dir):
     )
 
 
+def q_shard_balance(spark, sf_dir):
+    """Weight-balanced shard packing (datapipe.sampling.balanced_shards;
+    LPT/snake-deal, Graham 1969): documents ranked by (token count
+    DESC, id) snake-dealt into 16 shards. Gate output is the per-shard
+    packing digest (n_docs, total/min/max tokens) — any assignment
+    deviation moves a shard total."""
+    from rrdtool_1_x_spark.datapipe.sampling import balanced_shards
+
+    d = _docs(spark, sf_dir)
+    wd = d.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    out = balanced_shards(wd, num_shards=16, weight_col="n_tokens")
+    return (
+        out.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("weight").cast("long").alias("total_tokens"),
+            F.min("weight").alias("min_tokens"),
+            F.max("weight").alias("max_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
 def q_winnow_index_topup(spark, sf_dir):
     """Persisted winnowing index + append (datapipe.textstats
     .write_winnow_index / append_winnow_index / winnow_index_overlap):
@@ -4216,6 +4244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rouge_pairs": q_rouge_pairs,
         "logq_quantiles": q_logq_quantiles,
         "winnow_index_topup": q_winnow_index_topup,
+        "shard_balance": q_shard_balance,
         "logq_index_topup": q_logq_index_topup,
         "kmv_distinct": q_kmv_distinct,
         "kmv_overlap": q_kmv_overlap,
@@ -8481,4 +8510,24 @@ FROM sel ORDER BY source"""
     sql["logq_index_topup"] = sql["logq_quantiles"]
     # per-document fingerprints + set-union appends == one-shot winnow
     sql["winnow_index_topup"] = sql["winnow_overlap"]
+
+    # LPT snake-deal shard packing: global (tokens DESC, id) rank,
+    # shard = pos or mirror by pass parity; digest per shard
+    sql["shard_balance"] = r"""
+WITH d AS (SELECT doc_id,
+             CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                  AS BIGINT) AS w
+           FROM documents),
+r AS (SELECT doc_id, w,
+        CAST(row_number() OVER (ORDER BY w DESC, doc_id ASC) - 1
+             AS BIGINT) AS rk
+      FROM d),
+a AS (SELECT doc_id, w,
+        CASE WHEN (rk // 16) % 2 = 0 THEN rk % 16
+             ELSE 15 - (rk % 16) END AS shard
+      FROM r)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(w) AS BIGINT) AS total_tokens,
+       min(w) AS min_tokens, max(w) AS max_tokens
+FROM a GROUP BY shard ORDER BY shard"""
     return sql

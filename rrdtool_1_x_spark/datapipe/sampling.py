@@ -102,6 +102,75 @@ def stratified_sample(
     )
 
 
+def balanced_shards(
+    df: DataFrame,
+    num_shards: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weight-balanced shard assignment — the training-shard packing
+    step (equal-token shards so no data-parallel worker starves): rank
+    all rows by (weight DESC, id ASC) and snake-deal into
+    ``num_shards`` — rank pass p fills every shard once, direction
+    alternating, the closed-form counterpart of first-fit-decreasing
+    (same longest-processing-time family, Graham 1969; identical
+    balance law to ``opq_dim_allocation``'s variance deal). Guarantee
+    (telescoping over passes — each pass deals one row per shard from a
+    descending run): max shard total − min shard total <=
+    w_max − w_min, i.e. absolute imbalance is bounded by ONE document,
+    with no sequential state; true LPT tightens the constant but needs
+    a running argmin no closed form gives.
+
+    Scale: the global (weight, id) rank is the SAME exact two-level
+    distributed prefix-count as ``shard_epoch`` / ``pack_sequences`` —
+    range-partition on the sort key, local row_number, broadcast
+    predecessor totals; never a single-partition window. Returns
+    ``(id, weight, shard)``."""
+    m = int(num_shards)
+    base = df.select(
+        F.col(id_col),
+        F.col(weight_col).cast("long").alias("_w"),
+        (-F.col(weight_col).cast("long")).alias("_nw"),
+    )
+    local_w = Window.partitionBy("_pid").orderBy("_nw", id_col)
+    local = (
+        base.repartitionByRange("_nw", id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_loc", F.row_number().over(local_w) - 1)
+        .localCheckpoint(eager=False)
+    )
+    totals = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_tot"))
+    prefix = (
+        totals.alias("a")
+        .join(
+            totals.select(
+                F.col("_pid").alias("_bpid"), F.col("_tot").alias("_btot")
+            ),
+            F.col("_bpid") < F.col("a._pid"),
+            "left",
+        )
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("_btot"), F.lit(0)).alias("_pre"))
+    )
+    rank0 = (F.col("_pre") + F.col("_loc")).cast("long")
+    return (
+        local.join(F.broadcast(prefix), "_pid")
+        .select(
+            F.col(id_col),
+            F.col("_w").alias("weight"),
+            rank0.alias("_r"),
+        )
+        .select(
+            id_col,
+            "weight",
+            F.expr(
+                f"CAST(CASE WHEN (_r DIV {m}) % 2 = 0 THEN _r % {m}"
+                f" ELSE {m - 1} - (_r % {m}) END AS BIGINT)"
+            ).alias("shard"),
+        )
+    )
+
+
 def priority_sample(
     df: DataFrame,
     k: int,

@@ -959,3 +959,50 @@ def test_logq_sketch_buckets_accuracy_and_merge_law(spark):
     }
     assert one == stored
     assert logq_index_quantiles(spark, path).first()["p90"] == q["p90"]
+
+
+def test_balanced_shards_snake_and_balance(spark):
+    """Snake dealing: hand-case assignment matches LPT order; on a
+    heavy-tailed corpus the max/min shard-token ratio stays tight; the
+    output is a total partition of the input."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from rrdtool_1_x_spark.datapipe.sampling import balanced_shards
+
+    # hand case: weights 10..1 into 3 shards; rank = weight order
+    hand = spark.createDataFrame(
+        [(i, 10 - i) for i in range(10)], "doc_id long, wt long"
+    )
+    got = {
+        r["doc_id"]: r["shard"]
+        for r in balanced_shards(hand, 3, "wt").collect()
+    }
+    # ranks 0..9 -> snake shards 0,1,2, 2,1,0, 0,1,2, 2
+    assert [got[i] for i in range(10)] == [0, 1, 2, 2, 1, 0, 0, 1, 2, 2]
+
+    rnd = random.Random(5)
+    rows = [(i, int(rnd.lognormvariate(5, 1.5)) + 1) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, wt long")
+    out = balanced_shards(df, 16, "wt")
+    assert out.count() == 2000
+    tot = {
+        r["shard"]: r["t"]
+        for r in out.groupBy("shard").agg(F.sum("weight").alias("t")).collect()
+    }
+    assert set(tot) == set(range(16))
+    # the snake theorem: absolute imbalance bounded by ONE document
+    wts = [w for _, w in rows]
+    assert max(tot.values()) - min(tot.values()) <= max(wts) - min(wts)
+    # moderate-tail regime: near-perfect balance
+    rows2 = [(i, 50 + rnd.randrange(100)) for i in range(2000)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, wt long")
+    tot2 = {
+        r["shard"]: r["t"]
+        for r in balanced_shards(df2, 16, "wt")
+        .groupBy("shard")
+        .agg(F.sum("weight").alias("t"))
+        .collect()
+    }
+    assert max(tot2.values()) / min(tot2.values()) < 1.02
