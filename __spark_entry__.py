@@ -3429,6 +3429,19 @@ def q_hilbert_events(spark, sf_dir):
     )
 
 
+def q_source_kl(spark, sf_dir):
+    """Per-source unigram KL divergence from the corpus (datapipe
+    .textstats.source_kl_divergence) — the domain-drift monitor DoReMi-
+    style reweighting reads. Laplace-smoothed over the corpus vocab,
+    micro-nat integer logs (the unigram_logprob convention), absent-
+    token mass in closed form so groups only pay for tokens they
+    contain; the exact integer numerator kl_micro rides along so the
+    gate pins arithmetic, not float folding."""
+    from rrdtool_1_x_spark.datapipe.textstats import source_kl_divergence
+
+    return source_kl_divergence(_docs(spark, sf_dir)).orderBy("source")
+
+
 def q_shard_balance(spark, sf_dir):
     """Weight-balanced shard packing (datapipe.sampling.balanced_shards;
     LPT/snake-deal, Graham 1969): documents ranked by (token count
@@ -4245,6 +4258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logq_quantiles": q_logq_quantiles,
         "winnow_index_topup": q_winnow_index_topup,
         "shard_balance": q_shard_balance,
+        "source_kl": q_source_kl,
         "logq_index_topup": q_logq_index_topup,
         "kmv_distinct": q_kmv_distinct,
         "kmv_overlap": q_kmv_overlap,
@@ -8530,4 +8544,43 @@ SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(w) AS BIGINT) AS total_tokens,
        min(w) AS min_tokens, max(w) AS max_tokens
 FROM a GROUP BY shard ORDER BY shard"""
+
+    # per-source unigram KL from the corpus: micro-nat integer logs
+    # L(x) = round(ln(x)*1e6) of integer args, absent-token mass closed
+    # form -- (n_g+V)*KL*1e6 stays an exact integer (kl_micro)
+    sql["source_kl"] = r"""
+WITH tok AS (SELECT source AS grp,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+             FROM documents),
+gcnt AS (SELECT grp, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+ccnt AS (SELECT tok, count(*) AS cc FROM tok GROUP BY 1),
+consts AS (SELECT count(*) AS v, sum(cc) AS n_corpus,
+             sum(CAST(round(ln((cc + 1)::DOUBLE) * 1e6) AS BIGINT)) AS t_all
+           FROM ccnt),
+gtot AS (SELECT grp, sum(c) AS n_g, count(*) AS g_vocab
+         FROM gcnt GROUP BY 1),
+j AS (SELECT g.grp, g.c, c2.cc, t.n_g, t.g_vocab, k.v, k.n_corpus, k.t_all
+      FROM gcnt g JOIN ccnt c2 USING (tok)
+      JOIN gtot t ON g.grp = t.grp CROSS JOIN consts k),
+pres AS (SELECT grp, n_g, g_vocab, v, n_corpus, t_all,
+           sum((c + 1) * (CAST(round(ln((c + 1)::DOUBLE) * 1e6) AS BIGINT)
+               - CAST(round(ln((n_g + v)::DOUBLE) * 1e6) AS BIGINT)
+               - CAST(round(ln((cc + 1)::DOUBLE) * 1e6) AS BIGINT)
+               + CAST(round(ln((n_corpus + v)::DOUBLE) * 1e6) AS BIGINT)))
+             AS p,
+           sum(CAST(round(ln((cc + 1)::DOUBLE) * 1e6) AS BIGINT))
+             AS lc_present
+         FROM j GROUP BY 1, 2, 3, 4, 5, 6),
+fin AS (SELECT grp, n_g, g_vocab,
+          p + (v - g_vocab)
+              * (CAST(round(ln((n_corpus + v)::DOUBLE) * 1e6) AS BIGINT)
+                 - CAST(round(ln((n_g + v)::DOUBLE) * 1e6) AS BIGINT))
+            - (t_all - lc_present) AS kl_micro,
+          v
+        FROM pres)
+SELECT grp AS source, CAST(n_g AS BIGINT) AS n_tokens,
+       CAST(g_vocab AS BIGINT) AS vocab_overlap,
+       CAST(kl_micro AS BIGINT) AS kl_micro,
+       round(kl_micro::DOUBLE / 1e6 / (n_g + v), 6) AS kl
+FROM fin ORDER BY source"""
     return sql

@@ -411,6 +411,90 @@ def ngram_f1_pairs(
     )
 
 
+def source_kl_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quantize: int = 6,
+) -> DataFrame:
+    """Per-group unigram KL divergence from the whole corpus,
+    KL(P_group || P_corpus) — the domain-drift / mixture-shift monitor
+    (the quantity DoReMi-style reweighting and CCNet's domain filters
+    read): 0 for a group distributed like the corpus, growing as its
+    vocabulary usage departs.
+
+    Laplace-smoothed over the CORPUS vocabulary V on both sides:
+    p_g(t) = (c_t+1)/(n_g+|V|), p_c(t) = (C_t+1)/(N+|V|). Every log is
+    the corpus integer-log convention L(x) = round(ln(x)*10^q) of an
+    exact INTEGER argument (the same micro-nat quantization as
+    ``unigram_logprob`` — summation stays integer, hence
+    order-independent), and the sum over tokens ABSENT from the group
+    collapses in closed form (c_t = 0 ⇒ weight 1, L(1) = 0):
+
+      (n_g+|V|) * KL * 10^q =
+          Σ_{t∈G} (c_t+1)(L(c_t+1) − B_g − L(C_t+1) + B_c)
+        + (|V|−|G|)(B_c − B_g) + (T − Σ_{t∈G} L(C_t+1) ) * (−1)
+
+    with B_g = L(n_g+|V|), B_c = L(N+|V|), T = Σ_{t∈V} L(C_t+1) — two
+    scalar broadcasts plus one (group, token)-keyed join against the
+    vocabulary. No |V| × groups blow-up: groups only pay for tokens
+    they actually contain.
+
+    Returns ``(group, n_tokens, vocab_overlap, kl_micro, kl)`` with
+    ``kl_micro`` the exact integer numerator (micro-nats scaled by
+    (n_g+|V|)) and ``kl`` the rounded double."""
+    q = 10**quantize
+    tok = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(_tokens(F.col(text_col))).alias("tok"),
+    )
+    gcnt = tok.groupBy("grp", "tok").agg(F.count(F.lit(1)).alias("c"))
+    ccnt = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cc"))
+
+    def L(x):
+        return F.round(F.log(x.cast("double")) * q).cast("long")
+
+    consts = ccnt.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("cc").alias("n_corpus"),
+        F.sum(L(F.col("cc") + 1)).alias("t_all"),
+    )
+    gtot = gcnt.groupBy("grp").agg(
+        F.sum("c").alias("n_g"), F.count(F.lit(1)).alias("g_vocab")
+    )
+    joined = (
+        gcnt.join(ccnt, "tok")
+        .join(F.broadcast(gtot), "grp")
+        .join(F.broadcast(consts))
+    )
+    bg = L(F.col("n_g") + F.col("v"))
+    bc = L(F.col("n_corpus") + F.col("v"))
+    present = joined.groupBy(
+        "grp", "n_g", "g_vocab", "v", "n_corpus", "t_all"
+    ).agg(
+        F.sum(
+            (F.col("c") + 1)
+            * (L(F.col("c") + 1) - bg - L(F.col("cc") + 1) + bc)
+        ).alias("_p"),
+        F.sum(L(F.col("cc") + 1)).alias("_lc_present"),
+    )
+    kl_micro = (
+        F.col("_p")
+        + (F.col("v") - F.col("g_vocab")) * (bc - bg)
+        - (F.col("t_all") - F.col("_lc_present"))
+    )
+    return present.select(
+        F.col("grp").alias(group_col),
+        F.col("n_g").cast("long").alias("n_tokens"),
+        F.col("g_vocab").cast("long").alias("vocab_overlap"),
+        kl_micro.cast("long").alias("kl_micro"),
+        F.round(
+            kl_micro.cast("double") / q / (F.col("n_g") + F.col("v")), 6
+        ).alias("kl"),
+    )
+
+
 def write_winnow_index(
     docs: DataFrame,
     path: str,

@@ -2272,3 +2272,46 @@ def test_ngram_f1_pairs_clipping_and_edges(spark):
     assert r2["precision"] == 0.2 and r2["recall"] == 0.5
     assert (got[3]["ngrams_b"], got[3]["f1"]) == (0, 0.0)
     assert (got[4]["n_match"], got[4]["f1"]) == (0, 0.0)
+
+
+def test_source_kl_closed_form_matches_brute_force(spark):
+    """The absent-token closed form equals the brute-force sum over the
+    FULL corpus vocabulary (computed in Python with the same micro-nat
+    quantized logs), a corpus-like group scores near zero, and a
+    vocabulary-disjoint group scores far higher."""
+    import math
+    from collections import Counter
+
+    from rrdtool_1_x_spark.datapipe.textstats import source_kl_divergence
+
+    rows = [
+        (1, "mix", "alpha beta gamma delta alpha beta"),
+        (2, "mix", "gamma delta epsilon zeta alpha beta"),
+        (3, "same", "alpha beta gamma delta epsilon zeta"),
+        (4, "skew", "omega omega omega psi psi chi"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r for r in source_kl_divergence(df).collect()}
+
+    # brute force with identical conventions
+    toks = {s: [] for _, s, _ in rows}
+    for _, s, t in rows:
+        toks[s] += t.split()
+    corpus = Counter(sum(toks.values(), []))
+    V = len(corpus)
+    N = sum(corpus.values())
+    L = lambda x: round(math.log(x) * 1e6)
+    for src_name, tk in toks.items():
+        g = Counter(tk)
+        ng = sum(g.values())
+        micro = 0
+        for t in corpus:
+            c = g.get(t, 0)
+            micro += (c + 1) * (
+                L(c + 1) - L(ng + V) - L(corpus[t] + 1) + L(N + V)
+            )
+        r = got[src_name]
+        assert r["kl_micro"] == micro, (src_name, r["kl_micro"], micro)
+        assert r["n_tokens"] == ng and r["vocab_overlap"] == len(g)
+    assert got["skew"]["kl"] > got["same"]["kl"]
+    assert abs(got["same"]["kl"]) < 0.2
