@@ -3114,6 +3114,51 @@ def q_sketch_stream(spark, sf_dir):
     return hll_index_distinct(spark, f"{work}/regs").orderBy("source")
 
 
+def q_logq_stream(spark, sf_dir):
+    """Streaming quantile-sketch maintenance (streaming.datapipe_stream
+    .start_quantile_stream): per-doc token counts as a 3-batch file
+    stream, each micro-batch summing its bucket counts into the stored
+    sketch through foreachBatch — bucket addition is associative, so
+    the drained sketch EQUALS the batch one-shot and the oracle is
+    logq_quantiles' SQL verbatim. Closes the quantile member under
+    streams the way sketch_stream closes HLL."""
+    import shutil
+    import tempfile
+
+    from rrdtool_1_x_spark.datapipe.sketch import logq_index_quantiles
+    from rrdtool_1_x_spark.streaming.datapipe_stream import (
+        start_quantile_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="logqstream_")
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    src = f"{work}/in"
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(2).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id bigint, source string, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .select(
+            "source",
+            F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+            .cast("long")
+            .alias("v"),
+        )
+    )
+    q = start_quantile_stream(
+        stream, f"{work}/sk", f"{work}/ck", "v", ["source"]
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("logq_stream drain exceeded 600s")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(f"{work}/ck", ignore_errors=True)
+    return logq_index_quantiles(spark, f"{work}/sk").orderBy("source")
+
+
 def q_cms_index_topup(spark, sf_dir):
     """Persisted+incremental Count-Min table (datapipe.sketch
     .write_cms_table / append_cms_table / cms_index_estimate): counters
@@ -3346,6 +3391,38 @@ def q_opq_recall(spark, sf_dir):
     )
     exact = quantized_topk(pe, q, k=10, query_id_col="query_id")
     return ann_recall(approx, exact, k=10).orderBy("query_id")
+
+
+def q_opq_index_topup(spark, sf_dir):
+    """Frozen OPQ model + append (the pq_index_topup discipline applied
+    to the LEARNED member): allocation AND codebook train only on the
+    initially-indexed subset (vec_id % 5 != 0); appended vectors are
+    permuted and encoded under that frozen model, so the topped-up scan
+    equals the oracle that re-derives training from the same subset.
+    Pins the offline-train / online-append contract for learned
+    quantizers."""
+    from rrdtool_1_x_spark.datapipe.similarity import (
+        opq_dim_allocation,
+        opq_permute,
+        pq_codebook,
+        pq_topk,
+    )
+
+    e = _emb(spark, sf_dir)
+    mkey = (spark.sparkContext.applicationId, sf_dir, "opqsubmodel")
+    if mkey not in _IVF_MODEL_CACHE:
+        base = e.filter(F.col("vec_id") % 5 != 0)
+        perm = opq_dim_allocation(base, m=8)
+        book = pq_codebook(opq_permute(base, perm), m=8, codes=16)
+        _IVF_MODEL_CACHE[mkey] = (perm, book)
+    perm, book = _IVF_MODEL_CACHE[mkey]
+    pe = opq_permute(e, perm)
+    q = pe.orderBy("vec_id").limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return pq_topk(pe, q, k=10, m=8, codes=16, codebook=book).orderBy(
+        "query_id", "rank"
+    )
 
 
 def q_kmv_distinct(spark, sf_dir):
@@ -4266,6 +4343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rot_pq_recall": q_rot_pq_recall,
         "opq_topk": q_opq_topk,
         "opq_recall": q_opq_recall,
+        "opq_index_topup": q_opq_index_topup,
+        "logq_stream": q_logq_stream,
         "kmv_index_topup": q_kmv_index_topup,
         "hll_index_topup": q_hll_index_topup,
         "cms_index_topup": q_cms_index_topup,
@@ -6195,6 +6274,30 @@ r AS (SELECT query_id, vec_id, pq_dist,
 SELECT query_id, vec_id, pq_dist, rank FROM r WHERE rank <= 10
 ORDER BY query_id, rank"""
     sql["opq_recall"] = sql["pq_recall"].replace(_pq_cte, _opq_pq_cte)
+    # frozen-subset OPQ model: allocation variances AND codebook sample
+    # only vec_id % 5 != 0; appends encode under that model
+    sql["opq_index_topup"] = (
+        _opq_pq_cte.replace(
+            """FROM qv0 CROSS JOIN (SELECT unnest(range(0, 64)) AS di) di
+       GROUP BY 1),""",
+            """FROM qv0 CROSS JOIN (SELECT unnest(range(0, 64)) AS di) di
+       WHERE vec_id % 5 != 0 GROUP BY 1),""",
+        ).replace(
+            """cb AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                 vec_id) - 1 AS code, q
+       FROM qv QUALIFY code < 16)""",
+            """cb AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                 vec_id) - 1 AS code, q
+       FROM qv WHERE vec_id % 5 != 0 QUALIFY code < 16)""",
+        )
+        + """,
+r AS (SELECT query_id, vec_id, pq_dist,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY pq_dist ASC, vec_id ASC) AS rank
+      FROM sc)
+SELECT query_id, vec_id, pq_dist, rank FROM r WHERE rank <= 10
+ORDER BY query_id, rank"""
+    )
 
     # int8-quantized ANN: same query/top-k shape as ann_cosine_top10 but
     # every score is integer-dot / sqrt(integer norms) — no float fold
@@ -8522,6 +8625,7 @@ SELECT source, CAST(n AS BIGINT) AS n,
   CAST({_lq_rep.format(b="b99")} AS BIGINT) AS p99
 FROM sel ORDER BY source"""
     sql["logq_index_topup"] = sql["logq_quantiles"]
+    sql["logq_stream"] = sql["logq_quantiles"]
     # per-document fingerprints + set-union appends == one-shot winnow
     sql["winnow_index_topup"] = sql["winnow_overlap"]
 

@@ -339,3 +339,56 @@ def start_sketch_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_quantile_stream(
+    stream: DataFrame,
+    sketch_path: str,
+    checkpoint_path: str,
+    value_col: str = "v",
+    group_cols: list[str] | None = None,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming quantile-sketch maintenance: each micro-batch folds its
+    log-histogram bucket counts into the stored sketch
+    (``append_logq_sketch``) through foreachBatch. Bucket-count ADDITION
+    is associative and commutative, so the stored sketch after any drain
+    equals the batch one-shot sketch over everything ingested — the same
+    merge-law closure the HLL/CMS/KMV streams pin, extended to the
+    quantile member (note: addition is NOT idempotent, so exactly-once
+    delivery comes from the checkpoint, not the merge — the same
+    contract as the CM counter stream).
+
+    Stored state stays bucket-sized (~1k rows per group) however long
+    the stream runs; per micro-batch: one batch scan + a sketch-sized
+    merge."""
+    from pyspark.sql import functions as F
+
+    from rrdtool_1_x_spark.datapipe.sketch import (
+        append_logq_sketch,
+        write_logq_sketch,
+    )
+
+    groups = list(group_cols or [])
+    state = {"initialized": False}
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        if state["initialized"] or os.path.exists(sketch_path):
+            append_logq_sketch(
+                batch_df, sketch_path, F.col(value_col), groups
+            )
+        else:
+            write_logq_sketch(
+                batch_df, sketch_path, F.col(value_col), groups
+            )
+        state["initialized"] = True
+
+    writer = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
