@@ -1197,6 +1197,19 @@ def q_sessionize(spark, sf_dir):
     ).orderBy("user_id", "session_idx")
 
 
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix (operators.sessions
+    .event_transitions): within-session consecutive event-type pairs,
+    (from, to, n, p) with p an exact integer ratio — the one-step
+    conditional view session_paths unrolls into n-step sequences."""
+    from rrdtool_1_x_spark.operators.sessions import event_transitions
+
+    ev = _events_us(spark, sf_dir)
+    return event_transitions(
+        ev, ts_col="tus", by=["user_id"], gap=1_800_000_000
+    ).orderBy("from_type", "to_type")
+
+
 def q_event_paths(spark, sf_dir):
     """Behavioral path mining (operators.sessions.session_paths): every
     3-step event-type sequence inside a 30-minute session, counted
@@ -3393,6 +3406,30 @@ def q_opq_recall(spark, sf_dir):
     return ann_recall(approx, exact, k=10).orderBy("query_id")
 
 
+def q_rank_metrics(spark, sf_dir):
+    """Ranked-retrieval eval triple (datapipe.similarity.ranking_metrics;
+    Järvelin & Kekäläinen TOIS 2002): recall@10 / MRR@10 / NDCG@10 of
+    the PQ ADC ranking against the int8 brute-force baseline. Position
+    discounts are Python-precomputed micro-unit integers inlined in
+    BOTH plans, so the DCG sums are exact and each metric is one
+    correctly-rounded division."""
+    from rrdtool_1_x_spark.datapipe.similarity import (
+        pq_topk,
+        quantized_topk,
+        ranking_metrics,
+    )
+
+    e = _emb(spark, sf_dir)
+    q = e.orderBy("vec_id").limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    approx = pq_topk(
+        e, q, k=10, m=8, codes=16, codebook=_pq_book(spark, sf_dir, e)
+    )
+    exact = quantized_topk(e, q, k=10, query_id_col="query_id")
+    return ranking_metrics(approx, exact, k=10).orderBy("query_id")
+
+
 def q_opq_index_topup(spark, sf_dir):
     """Frozen OPQ model + append (the pq_index_topup discipline applied
     to the LEARNED member): allocation AND codebook train only on the
@@ -4344,6 +4381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "opq_topk": q_opq_topk,
         "opq_recall": q_opq_recall,
         "opq_index_topup": q_opq_index_topup,
+        "rank_metrics": q_rank_metrics,
+        "event_transitions": q_event_transitions,
         "logq_stream": q_logq_stream,
         "kmv_index_topup": q_kmv_index_topup,
         "hll_index_topup": q_hll_index_topup,
@@ -6230,6 +6269,64 @@ SELECT query_id, vec_id, pq_dist, rank FROM r WHERE rank <= 10
 ORDER BY query_id, rank"""
     sql["rot_pq_recall"] = sql["pq_recall"].replace(_pq_cte, _rot_pq_cte)
 
+    # IR eval triple over the same pq-vs-exact frames: discounts are the
+    # SAME Python-precomputed micro-unit integers the Spark plan inlines
+    from rrdtool_1_x_spark.datapipe.similarity import _ndcg_discounts
+
+    _d10 = _ndcg_discounts(10)
+    _pref10 = [0]
+    for _x in _d10:
+        _pref10.append(_pref10[-1] + _x)
+    _dcase_sql = (
+        "CASE a.rank "
+        + " ".join(f"WHEN {i + 1} THEN {_d10[i]}" for i in range(10))
+        + " ELSE 0 END"
+    )
+    _icase_sql = (
+        "CASE least(n_exact, 10) "
+        + " ".join(f"WHEN {n} THEN {_pref10[n]}" for n in range(1, 11))
+        + " ELSE 0 END"
+    )
+    sql["rank_metrics"] = _pq_cte + f""",
+apx AS (SELECT query_id, vec_id, rank FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY pq_dist ASC, vec_id ASC) AS rank
+          FROM sc) _ WHERE rank <= 10),
+qqv AS (SELECT qids.query_id, qq.q AS qe
+        FROM qv qq JOIN qids ON qq.vec_id = qids.query_id),
+pairs AS (SELECT qqv.query_id, e.vec_id,
+            list_sum(list_transform(range(1,65), i -> e.q[i] * qqv.qe[i]))
+              AS dot,
+            list_sum(list_transform(range(1,65), i -> e.q[i] * e.q[i]))
+              AS na2,
+            list_sum(list_transform(range(1,65), i -> qqv.qe[i] * qqv.qe[i]))
+              AS nb2
+          FROM qv e CROSS JOIN qqv),
+exv AS (SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY dot::DOUBLE / sqrt(na2::DOUBLE * nb2::DOUBLE)
+                            DESC, vec_id ASC) AS rank
+          FROM pairs WHERE na2 > 0 AND nb2 > 0) _ WHERE rank <= 10),
+per AS (SELECT e.query_id,
+          count(*) AS n_exact,
+          CAST(sum(CASE WHEN a.rank IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hit,
+          min(a.rank) AS first_rank,
+          CAST(sum(CASE WHEN a.rank IS NOT NULL THEN {_dcase_sql}
+                        ELSE 0 END) AS BIGINT) AS dcg
+        FROM exv e LEFT JOIN apx a ON a.query_id = e.query_id
+                                  AND a.vec_id = e.vec_id
+        GROUP BY e.query_id)
+SELECT query_id, CAST(n_exact AS BIGINT) AS n_exact, n_hit,
+  round(n_hit::DOUBLE / n_exact, 6) AS recall_at_k,
+  round(CASE WHEN first_rank IS NOT NULL
+             THEN 1.0 / first_rank ELSE 0 END, 6) AS mrr_at_k,
+  round(CASE WHEN ({_icase_sql}) > 0
+             THEN dcg::DOUBLE / ({_icase_sql}) ELSE 0 END, 6) AS ndcg_at_k
+FROM per ORDER BY query_id"""
+
     # OPQ learned allocation (Ge et al. CVPR 2013 §4.2, diagonal-
     # covariance member): per-dim exact integer variance of the int8
     # corpus, (var DESC, dim ASC) rank snake-dealt into 8 subspaces —
@@ -7916,6 +8013,31 @@ c AS (SELECT e0 || ' > ' || e1 || ' > ' || e2 AS path,
 SELECT path, CAST(count(*) AS BIGINT) AS n_occurrences,
        CAST(count(DISTINCT sk) AS BIGINT) AS n_sessions
 FROM c GROUP BY 1 ORDER BY n_occurrences DESC, path"""
+
+    # one-step transition matrix: same sessionize CTEs as event_paths,
+    # lead(1), NULL-propagating drop, exact integer probability
+    sql["event_transitions"] = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
+           FROM events),
+l AS (SELECT user_id, event_id, tus, event_type,
+             CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id
+                                            ORDER BY tus) > 1800000000
+                  THEN 1 ELSE 0 END AS nw
+      FROM e),
+s AS (SELECT user_id, event_id, tus, event_type,
+             CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY tus
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sx
+      FROM l),
+p AS (SELECT event_type AS from_type,
+             lead(event_type, 1) OVER (PARTITION BY user_id, sx
+                                       ORDER BY tus, event_id) AS to_type
+      FROM s),
+c AS (SELECT from_type, to_type, count(*) AS n FROM p
+      WHERE from_type IS NOT NULL AND to_type IS NOT NULL
+      GROUP BY 1, 2)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 6) AS p
+FROM c ORDER BY from_type, to_type"""
 
     # positional phrase search: postings with 1-based positions, phrase
     # = join chain on (doc, pos + i) over term-filtered postings

@@ -2295,6 +2295,107 @@ def ann_recall(
     )
 
 
+def _ndcg_discounts(k: int, quantize: int = 6) -> list[int]:
+    """Micro-unit NDCG position discounts round(10^q / log2(i+1)) for
+    ranks 1..k, computed ONCE in Python and inlined as literals on both
+    engines — a runtime log2 would hang cross-engine exactness on each
+    libm's last ulp."""
+    import math
+
+    return [round(10**quantize / math.log2(i + 1)) for i in range(1, k + 1)]
+
+
+def ranking_metrics(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The full ranked-retrieval quality row per query — recall@k,
+    MRR@k, NDCG@k (binary gains) — for an approximate ranking judged
+    against an exact baseline; the standard IR eval triple
+    (Järvelin & Kekäläinen TOIS 2002 for (N)DCG) next to the plain
+    recall dial of ``ann_recall``:
+
+    - relevant = the exact top-k set (binary gain);
+    - MRR = 1 / rank of the FIRST relevant item in the approx list
+      (0 when none);
+    - NDCG = DCG / IDCG with DCG = Σ_{relevant i} 1/log2(i+1) over
+      approx positions, IDCG = the best achievable with n_rel items.
+      Discounts are Python-precomputed micro-unit INTEGERS inlined in
+      the plan (see ``_ndcg_discounts``) so both sums are exact; each
+      final metric is one correctly-rounded division.
+
+    Shape at scale: query-batch x k frames, one (query, id) join, one
+    per-query aggregate — broadcastable by construction.
+    """
+    d = _ndcg_discounts(k)
+    dcase = (
+        "CASE _rk "
+        + " ".join(f"WHEN {i + 1} THEN {d[i]}L" for i in range(k))
+        + " ELSE 0L END"
+    )
+    # IDCG prefix sums: best DCG with n relevant items = sum of the
+    # first n discounts
+    pref = [0]
+    for x in d:
+        pref.append(pref[-1] + x)
+    icase = (
+        "CASE least(_nrel, " + str(k) + ") "
+        + " ".join(f"WHEN {n} THEN {pref[n]}L" for n in range(1, k + 1))
+        + " ELSE 0L END"
+    )
+    a = approx.filter(F.col("rank") <= k).select(
+        F.col(query_id_col), F.col(id_col), F.col("rank").alias("_rk")
+    )
+    e = exact.filter(F.col("rank") <= k).select(
+        F.col(query_id_col), F.col(id_col), F.lit(1).alias("_rel")
+    )
+    j = a.join(e, [query_id_col, id_col], "full_outer")
+    per = j.groupBy(query_id_col).agg(
+        F.sum(F.coalesce("_rel", F.lit(0))).alias("_nrel"),
+        F.sum(
+            F.when(F.col("_rel").isNotNull() & F.col("_rk").isNotNull(), 1)
+            .otherwise(0)
+        ).alias("n_hit"),
+        F.min(
+            F.when(
+                F.col("_rel").isNotNull() & F.col("_rk").isNotNull(),
+                F.col("_rk"),
+            )
+        ).alias("_first"),
+        F.sum(
+            F.when(
+                F.col("_rel").isNotNull() & F.col("_rk").isNotNull(),
+                F.expr(dcase),
+            ).otherwise(F.lit(0))
+        ).alias("_dcg"),
+    )
+    return per.select(
+        query_id_col,
+        F.col("_nrel").cast("long").alias("n_exact"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        F.round(
+            F.col("n_hit") / F.col("_nrel").cast("double"), 6
+        ).alias("recall_at_k"),
+        F.round(
+            F.when(
+                F.col("_first").isNotNull(),
+                F.lit(1.0) / F.col("_first"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("mrr_at_k"),
+        F.round(
+            F.when(
+                F.expr(icase) > 0,
+                F.col("_dcg").cast("double") / F.expr(icase),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("ndcg_at_k"),
+    )
+
+
 def quantized_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -248,3 +248,49 @@ def session_paths(
         F.count(F.lit(1)).alias("n_occurrences"),
         F.count_distinct("_sk").alias("n_sessions"),
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    ts_col: str = "tus",
+    by: list[str] | None = None,
+    gap: int = 1_800_000_000,
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    quantize: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix of within-session behavior —
+    the aggregate view ``session_paths`` unrolls (paths enumerate
+    n-step sequences; this gives the one-step conditional
+    P(next | current) the journey models and anomaly screens read).
+    Returns ``(from_type, to_type, n, p)`` with ``p = n / Σ_to n``
+    rounded to ``quantize`` decimals (one exact integer division per
+    row — counts are integers, so p is engine-exact).
+
+    Within-session order is (ts, event id) — the session_paths tiebreak
+    — and a transition is dropped when EITHER side is a NULL event type
+    (the NULL-propagating convention shared with paths). Shape at
+    scale: sessionize's key window, one lead() on the same partition
+    (no extra shuffle), then a combinable (from, to) count — the matrix
+    is |types|² rows."""
+    by = list(by or ["user_id"])
+    s = sessionize(events, ts_col, by, gap)
+    w = Window.partitionBy(*by, "session_idx").orderBy(
+        F.asc(ts_col), F.asc(id_col)
+    )
+    pairs = s.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col, 1).over(w).alias("to_type"),
+    ).filter(F.col("from_type").isNotNull() & F.col("to_type").isNotNull())
+    counted = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("from_type")
+    return counted.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("n") / F.sum("n").over(tot).cast("double"), quantize
+        ).alias("p"),
+    )

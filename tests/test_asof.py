@@ -340,3 +340,34 @@ def test_scd2_merge_guards_late_and_duplicate_updates(spark):
         r["valid_to"] is None or r["valid_to"] >= r["valid_from"]
         for r in out
     )
+
+
+def test_event_transitions_hand_case(spark):
+    """Session boundaries break transitions; probabilities are exact
+    per-from ratios; NULL event types drop the adjacent transitions."""
+    from rrdtool_1_x_spark.operators.sessions import event_transitions
+
+    us = 1_000_000
+    rows = [
+        (1, 1, 0 * us, "a"), (1, 2, 1 * us, "b"), (1, 3, 2 * us, "a"),
+        (1, 4, 3 * us, "c"),
+        # new session after 1h: a->b again, NOT c->a across the gap
+        (1, 5, 7200 * us, "a"), (1, 6, 7201 * us, "b"),
+        # NULL mid-stream: b->NULL and NULL->c both dropped
+        (2, 7, 0 * us, "b"), (2, 8, 1 * us, None), (2, 9, 2 * us, "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, tus long, event_type string"
+    )
+    got = {
+        (r["from_type"], r["to_type"]): r
+        for r in event_transitions(df, gap=1800 * us).collect()
+    }
+    assert got[("a", "b")]["n"] == 2
+    assert got[("a", "c")]["n"] == 1
+    assert got[("b", "a")]["n"] == 1
+    assert ("c", "a") not in got  # session boundary
+    assert not any(f is None or t is None for f, t in got)
+    # P(b|a) = 2/3, P(c|a) = 1/3 exactly
+    assert got[("a", "b")]["p"] == round(2 / 3, 6)
+    assert got[("a", "c")]["p"] == round(1 / 3, 6)

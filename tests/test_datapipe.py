@@ -2315,3 +2315,35 @@ def test_source_kl_closed_form_matches_brute_force(spark):
         assert r["n_tokens"] == ng and r["vocab_overlap"] == len(g)
     assert got["skew"]["kl"] > got["same"]["kl"]
     assert abs(got["same"]["kl"]) < 0.2
+
+
+def test_ranking_metrics_hand_case(spark):
+    """Hand-checked MRR/NDCG: approx list with relevant items at ranks
+    2 and 5 of an exact top-3 -> recall 2/3, MRR 1/2, NDCG =
+    (d2 + d5) / (d1 + d2 + d3) with the inlined micro-unit discounts;
+    a query with no hits scores 0/0.0/0.0."""
+    from rrdtool_1_x_spark.datapipe.similarity import (
+        _ndcg_discounts,
+        ranking_metrics,
+    )
+
+    d = _ndcg_discounts(10)
+    approx = spark.createDataFrame(
+        [(1, 100 + r, r) for r in range(1, 11)]
+        + [(2, 300 + r, r) for r in range(1, 11)],
+        "query_id long, vec_id long, rank int",
+    )
+    # exact top-3 for q1: 102 (approx rank 2), 105 (rank 5), 999 (missed)
+    exact = spark.createDataFrame(
+        [(1, 102, 1), (1, 105, 2), (1, 999, 3),
+         (2, 900, 1), (2, 901, 2)],
+        "query_id long, vec_id long, rank int",
+    )
+    got = {r["query_id"]: r for r in ranking_metrics(approx, exact).collect()}
+    r1 = got[1]
+    assert (r1["n_exact"], r1["n_hit"]) == (3, 2)
+    assert r1["recall_at_k"] == round(2 / 3, 6)
+    assert r1["mrr_at_k"] == 0.5
+    assert r1["ndcg_at_k"] == round((d[1] + d[4]) / (d[0] + d[1] + d[2]), 6)
+    r2 = got[2]
+    assert (r2["n_hit"], r2["mrr_at_k"], r2["ndcg_at_k"]) == (0, 0.0, 0.0)
