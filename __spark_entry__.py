@@ -1785,9 +1785,17 @@ def q_stream_join_ooo(spark, sf_dir):
         ts.alias("ts"),
         F.col("tus").alias("vts_us"),
     )
-    # wave 0 = later half of event time, wave 1 = earlier half: written
-    # in that order so the file source replays time BACKWARD across
-    # micro-batches
+    # wave 0 = later half of event time, wave 1 = earlier half. The
+    # file source orders candidates by MODIFICATION TIME, and two
+    # back-to-back writes can tie on coarse-mtime filesystems (falling
+    # back to arbitrary part-file-name order) — so each wave's files
+    # get an explicit utime: wave 0 strictly older, guaranteeing the
+    # backward-in-time replay this gate exists to exercise.
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    now = _time.time()
     for name, df, tcol in (("c", clicks, "cts_us"), ("v", views, "vts_us")):
         for wave, pred in enumerate(
             (F.col(tcol) > mid, F.col(tcol) <= mid)
@@ -1795,6 +1803,10 @@ def q_stream_join_ooo(spark, sf_dir):
             df.filter(pred).coalesce(1).write.mode("append").parquet(
                 f"{work}/in_{name}"
             )
+            stamp = now - 600 + wave * 120
+            for f in _glob.glob(f"{work}/in_{name}/*.parquet"):
+                if _os.stat(f).st_mtime > stamp:
+                    _os.utime(f, (stamp, stamp))
     cs = (
         spark.readStream.schema(
             "click_id bigint, user_id bigint, ts timestamp, cts_us bigint"
@@ -3131,15 +3143,17 @@ def q_logq_stream(spark, sf_dir):
     """Streaming quantile-sketch maintenance (streaming.datapipe_stream
     .start_quantile_stream): per-doc token counts as a 3-batch file
     stream, each micro-batch summing its bucket counts into the stored
-    sketch through foreachBatch — bucket addition is associative, so
-    the drained sketch EQUALS the batch one-shot and the oracle is
-    logq_quantiles' SQL verbatim. Closes the quantile member under
-    streams the way sketch_stream closes HLL."""
+    sketch through foreachBatch snapshot commits (snap_<batch_id>
+    recomputed from its predecessor — idempotent under at-least-once
+    replay, unlike a naive read-add-overwrite). The drained sketch
+    EQUALS the batch one-shot and the oracle is logq_quantiles' SQL
+    verbatim. Closes the quantile member under streams the way
+    sketch_stream closes HLL."""
     import shutil
     import tempfile
 
-    from rrdtool_1_x_spark.datapipe.sketch import logq_index_quantiles
     from rrdtool_1_x_spark.streaming.datapipe_stream import (
+        quantile_stream_quantiles,
         start_quantile_stream,
     )
 
@@ -3169,7 +3183,7 @@ def q_logq_stream(spark, sf_dir):
         raise TimeoutError("logq_stream drain exceeded 600s")
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(f"{work}/ck", ignore_errors=True)
-    return logq_index_quantiles(spark, f"{work}/sk").orderBy("source")
+    return quantile_stream_quantiles(spark, f"{work}/sk").orderBy("source")
 
 
 def q_cms_index_topup(spark, sf_dir):

@@ -102,6 +102,47 @@ def stratified_sample(
     )
 
 
+def _global_rank(df: DataFrame, order_cols: list[str], id_col: str) -> DataFrame:
+    """Exact DISTRIBUTED global 0-based rank by (order_cols..., id) —
+    the two-level prefix-count shared by ``shard_epoch`` and
+    ``balanced_shards`` (and, in weighted form, ``pack_sequences``):
+    range-partition on the sort key, row_number inside each partition
+    in parallel, add the broadcast predecessor totals. Never a
+    single-partition window over the corpus. The lazy localCheckpoint
+    pins ONE materialization so the totals and the rows they prefix
+    agree on partition boundaries. Returns the input columns plus
+    ``_rank0``."""
+    local_w = Window.partitionBy("_pid").orderBy(
+        *[F.asc(c) for c in order_cols], F.asc(id_col)
+    )
+    local = (
+        df.repartitionByRange(*order_cols, id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_loc", F.row_number().over(local_w) - 1)
+        .localCheckpoint(eager=False)
+    )
+    totals = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_tot"))
+    prefix = (
+        totals.alias("a")
+        .join(
+            totals.select(
+                F.col("_pid").alias("_bpid"), F.col("_tot").alias("_btot")
+            ),
+            F.col("_bpid") < F.col("a._pid"),
+            "left",
+        )
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("_btot"), F.lit(0)).alias("_pre"))
+    )
+    return (
+        local.join(F.broadcast(prefix), "_pid")
+        .withColumn(
+            "_rank0", (F.col("_pre") + F.col("_loc")).cast("long")
+        )
+        .drop("_pid", "_loc", "_pre")
+    )
+
+
 def balanced_shards(
     df: DataFrame,
     num_shards: int,
@@ -132,42 +173,14 @@ def balanced_shards(
         F.col(weight_col).cast("long").alias("_w"),
         (-F.col(weight_col).cast("long")).alias("_nw"),
     )
-    local_w = Window.partitionBy("_pid").orderBy("_nw", id_col)
-    local = (
-        base.repartitionByRange("_nw", id_col)
-        .withColumn("_pid", F.spark_partition_id())
-        .withColumn("_loc", F.row_number().over(local_w) - 1)
-        .localCheckpoint(eager=False)
-    )
-    totals = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_tot"))
-    prefix = (
-        totals.alias("a")
-        .join(
-            totals.select(
-                F.col("_pid").alias("_bpid"), F.col("_tot").alias("_btot")
-            ),
-            F.col("_bpid") < F.col("a._pid"),
-            "left",
-        )
-        .groupBy(F.col("a._pid").alias("_pid"))
-        .agg(F.coalesce(F.sum("_btot"), F.lit(0)).alias("_pre"))
-    )
-    rank0 = (F.col("_pre") + F.col("_loc")).cast("long")
-    return (
-        local.join(F.broadcast(prefix), "_pid")
-        .select(
-            F.col(id_col),
-            F.col("_w").alias("weight"),
-            rank0.alias("_r"),
-        )
-        .select(
-            id_col,
-            "weight",
-            F.expr(
-                f"CAST(CASE WHEN (_r DIV {m}) % 2 = 0 THEN _r % {m}"
-                f" ELSE {m - 1} - (_r % {m}) END AS BIGINT)"
-            ).alias("shard"),
-        )
+    ranked = _global_rank(base, ["_nw"], id_col)
+    return ranked.select(
+        F.col(id_col),
+        F.col("_w").alias("weight"),
+        F.expr(
+            f"CAST(CASE WHEN (_rank0 DIV {m}) % 2 = 0 THEN _rank0 % {m}"
+            f" ELSE {m - 1} - (_rank0 % {m}) END AS BIGINT)"
+        ).alias("shard"),
     )
 
 
@@ -725,45 +738,18 @@ def shard_epoch(
     without coordination and a re-run (or a resumed job) produces the
     identical layout. Returns ``(id, shard, pos_in_shard)``.
 
-    Scale: the permutation rank is the SAME exact distributed two-level
-    prefix-count as ``pack_sequences`` — range-partition on the md5
-    key, row_number inside each partition in parallel, add the
-    broadcast predecessor totals — never a single-partition global
+    Scale: the permutation rank is the shared ``_global_rank``
+    two-level prefix-count (also under ``balanced_shards``; weighted
+    form in ``pack_sequences``) — never a single-partition global
     window over the corpus.
     """
     key = F.md5(
         F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
     )
     base = df.select(F.col(id_col), key.alias("_k"))
-    local_w = Window.partitionBy("_pid").orderBy("_k", id_col)
-    local = (
-        base.repartitionByRange("_k", id_col)
-        .withColumn("_pid", F.spark_partition_id())
-        .withColumn("_loc", F.row_number().over(local_w) - 1)
-        .localCheckpoint(eager=False)
-    )
-    totals = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_tot"))
-    prefix = (
-        totals.alias("a")
-        .join(
-            totals.select(
-                F.col("_pid").alias("_bpid"), F.col("_tot").alias("_btot")
-            ),
-            F.col("_bpid") < F.col("a._pid"),
-            "left",
-        )
-        .groupBy(F.col("a._pid").alias("_pid"))
-        .agg(F.coalesce(F.sum("_btot"), F.lit(0)).alias("_pre"))
-    )
-    rank0 = (F.col("_pre") + F.col("_loc")).cast("long")
-    return (
-        local.join(F.broadcast(prefix), "_pid")
-        .select(F.col(id_col), rank0.alias("_rank0"))
-        .select(
-            id_col,
-            F.expr(f"_rank0 DIV {int(shard_size)}")
-            .cast("long")
-            .alias("shard"),
-            (F.col("_rank0") % shard_size).cast("long").alias("pos_in_shard"),
-        )
+    ranked = _global_rank(base, ["_k"], id_col)
+    return ranked.select(
+        id_col,
+        F.expr(f"_rank0 DIV {int(shard_size)}").cast("long").alias("shard"),
+        (F.col("_rank0") % shard_size).cast("long").alias("pos_in_shard"),
     )

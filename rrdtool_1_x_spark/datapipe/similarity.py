@@ -2350,26 +2350,23 @@ def ranking_metrics(
         F.col(query_id_col), F.col(id_col), F.col("rank").alias("_rk")
     )
     e = exact.filter(F.col("rank") <= k).select(
-        F.col(query_id_col), F.col(id_col), F.lit(1).alias("_rel")
+        F.col(query_id_col), F.col(id_col)
     )
-    j = a.join(e, [query_id_col, id_col], "full_outer")
+    # EXACT-driven left join: the relevant set defines which queries
+    # exist (a query with no baseline has no metrics — a full-outer
+    # here would emit a spurious n_exact=0 row with NULL recall for
+    # any approx-only query, which the oracle never produces)
+    j = e.join(a, [query_id_col, id_col], "left")
     per = j.groupBy(query_id_col).agg(
-        F.sum(F.coalesce("_rel", F.lit(0))).alias("_nrel"),
+        F.count(F.lit(1)).alias("_nrel"),
         F.sum(
-            F.when(F.col("_rel").isNotNull() & F.col("_rk").isNotNull(), 1)
-            .otherwise(0)
+            F.when(F.col("_rk").isNotNull(), 1).otherwise(0)
         ).alias("n_hit"),
-        F.min(
-            F.when(
-                F.col("_rel").isNotNull() & F.col("_rk").isNotNull(),
-                F.col("_rk"),
-            )
-        ).alias("_first"),
+        F.min(F.col("_rk")).alias("_first"),
         F.sum(
-            F.when(
-                F.col("_rel").isNotNull() & F.col("_rk").isNotNull(),
-                F.expr(dcase),
-            ).otherwise(F.lit(0))
+            F.when(F.col("_rk").isNotNull(), F.expr(dcase)).otherwise(
+                F.lit(0)
+            )
         ).alias("_dcg"),
     )
     return per.select(

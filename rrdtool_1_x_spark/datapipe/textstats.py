@@ -277,6 +277,34 @@ def winnow_fingerprints(
     )
 
 
+def _fp_overlap_pairs(
+    fp: DataFrame, min_shared: int, max_fp_docs: int
+) -> DataFrame:
+    """MOSS match report over a distinct ``(doc_id, fp)`` frame — the
+    ONE implementation behind ``winnow_overlap`` (in-memory) and
+    ``winnow_index_overlap`` (stored), so the cap/tie semantics cannot
+    drift between them: fingerprints in more than ``max_fp_docs``
+    documents are dropped BEFORE the self-join (boilerplate phrases —
+    a hot fingerprint would square; the LSH hot-bucket cap discipline),
+    then one (fp)-keyed join and a combinable pair count."""
+    rare = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") <= max_fp_docs)
+        .select("fp")
+    )
+    fpr = fp.join(rare, "fp")
+    a = fpr.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fpr.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def winnow_overlap(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -291,31 +319,12 @@ def winnow_overlap(
     run; several of them, of local plagiarism (each survives only if
     ALSO selected in the other document, so this under-counts relative
     to raw k-gram intersection — that selectivity is the point).
-
-    Scale shape: fingerprints appearing in more than ``max_fp_docs``
-    documents are dropped BEFORE the self-join (boilerplate phrases — a
-    hot fingerprint would square; the same hot-bucket cap discipline as
-    the LSH band join), then one (fp)-keyed join and a combinable pair
-    count. Returns ``(id_a, id_b, n_shared)`` with id_a < id_b."""
+    Returns ``(id_a, id_b, n_shared)`` with id_a < id_b; cap/join shape
+    in ``_fp_overlap_pairs``."""
     fp = winnow_fingerprints(df, id_col, text_col, k, w).select(
-        F.col(id_col).alias("_id"), "fp"
+        F.col(id_col).alias("doc_id"), "fp"
     ).distinct()
-    rare = (
-        fp.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("_nd"))
-        .filter(F.col("_nd") <= max_fp_docs)
-        .select("fp")
-    )
-    fpr = fp.join(rare, "fp")
-    a = fpr.select(F.col("_id").alias("id_a"), "fp")
-    b = fpr.select(F.col("_id").alias("id_b"), "fp")
-    return (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
-    )
+    return _fp_overlap_pairs(fp, min_shared, max_fp_docs)
 
 
 def ngram_f1_pairs(
@@ -340,12 +349,19 @@ def ngram_f1_pairs(
     division is one correctly-rounded float op, so the scores
     hash-gate.
 
-    Shape at scale: ONE pass over the pairs frame — both sides' grams
-    explode tagged in a single projection, ONE map-side-combinable
-    (pair, gram) aggregate carries both counts, ONE (pair) aggregate
-    folds the clipped match and the totals together (no per-side
-    re-evaluation of the pairs DAG, no gram-keyed join). Nothing is
-    quadratic in the corpus — the caller supplies the pairs (from
+    PRECONDITION: one row per (id_a, id_b) — gram counts key on the id
+    pair, so two rows sharing ids (several candidate spans for the same
+    doc pair) would merge their gram multisets into a score for a pair
+    of texts that exists nowhere; dedup (or re-key with a span id)
+    before calling.
+
+    Shape at scale: one gram pass over the pairs frame — both sides'
+    grams explode tagged in a single projection, ONE map-side-
+    combinable (pair, gram) aggregate carries both counts, ONE (pair)
+    aggregate folds the clipped match and totals together (no per-side
+    re-evaluation, no gram-keyed join; the id-only `base` projection
+    re-reads the pairs source once more for zero-gram pairs). Nothing
+    is quadratic in the corpus — the caller supplies the pairs (from
     LSH/fingerprint candidates)."""
     key = [F.col(id_a), F.col(id_b)]
 
@@ -450,9 +466,15 @@ def source_kl_divergence(
         F.explode(_tokens(F.col(text_col))).alias("tok"),
     )
     gcnt = tok.groupBy("grp", "tok").agg(F.count(F.lit(1)).alias("c"))
-    ccnt = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cc"))
+    # every occurrence belongs to exactly one group, so the corpus
+    # counts are a token-level rollup of gcnt — ONE corpus tokenize
+    # pass, not two
+    ccnt = gcnt.groupBy("tok").agg(F.sum("c").alias("cc"))
 
     def L(x):
+        # the corpus micro-nat convention (runtime ln of an exact
+        # integer, like unigram_logprob/dsir) — data-dependent args, so
+        # the _ndcg_discounts precompute trick does not apply here
         return F.round(F.log(x.cast("double")) * q).cast("long")
 
     consts = ccnt.agg(
@@ -470,19 +492,30 @@ def source_kl_divergence(
     )
     bg = L(F.col("n_g") + F.col("v"))
     bc = L(F.col("n_corpus") + F.col("v"))
+    # DECIMAL(38,0) through the sum: a group of ~3e11+ tokens would wrap
+    # the int64 term product ((c+1) ~ 1e12 times ~3e7 micro-nats) — the
+    # same overflow discipline as opq_dim_allocation's variances. The
+    # exposed kl_micro stays BIGINT (exact for any group whose value
+    # fits; `kl` is the scale-stable output).
     present = joined.groupBy(
         "grp", "n_g", "g_vocab", "v", "n_corpus", "t_all"
     ).agg(
         F.sum(
-            (F.col("c") + 1)
-            * (L(F.col("c") + 1) - bg - L(F.col("cc") + 1) + bc)
+            (F.col("c") + 1).cast("decimal(38,0)")
+            * (
+                L(F.col("c") + 1) - bg - L(F.col("cc") + 1) + bc
+            ).cast("decimal(38,0)")
         ).alias("_p"),
-        F.sum(L(F.col("cc") + 1)).alias("_lc_present"),
+        F.sum(L(F.col("cc") + 1).cast("decimal(38,0)")).alias(
+            "_lc_present"
+        ),
     )
     kl_micro = (
         F.col("_p")
-        + (F.col("v") - F.col("g_vocab")) * (bc - bg)
-        - (F.col("t_all") - F.col("_lc_present"))
+        + (
+            (F.col("v") - F.col("g_vocab")) * (bc - bg)
+        ).cast("decimal(38,0)")
+        - (F.col("t_all").cast("decimal(38,0)") - F.col("_lc_present"))
     )
     return present.select(
         F.col("grp").alias(group_col),
@@ -537,27 +570,13 @@ def winnow_index_overlap(
     max_fp_docs: int = 64,
 ) -> DataFrame:
     """MOSS match report straight off the STORED fingerprints — no
-    corpus access. Identical semantics (hot-fp cap included) to the
-    one-shot ``winnow_overlap``; because winnowing has no cross-document
+    corpus access. Identical semantics to the one-shot
+    ``winnow_overlap`` BY CONSTRUCTION (both call
+    ``_fp_overlap_pairs``); because winnowing has no cross-document
     state, index-then-append equals the one-shot EXACTLY for any batch
     split (the set-union merge law)."""
     fp = spark.read.parquet(f"{path}/fps").distinct()
-    rare = (
-        fp.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("_nd"))
-        .filter(F.col("_nd") <= max_fp_docs)
-        .select("fp")
-    )
-    fpr = fp.join(rare, "fp")
-    a = fpr.select(F.col("doc_id").alias("id_a"), "fp")
-    b = fpr.select(F.col("doc_id").alias("id_b"), "fp")
-    return (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
-    )
+    return _fp_overlap_pairs(fp, min_shared, max_fp_docs)
 
 
 def unigram_logprob(

@@ -349,41 +349,69 @@ def start_quantile_stream(
     group_cols: list[str] | None = None,
     trigger_available_now: bool = True,
 ) -> StreamingQuery:
-    """Streaming quantile-sketch maintenance: each micro-batch folds its
-    log-histogram bucket counts into the stored sketch
-    (``append_logq_sketch``) through foreachBatch. Bucket-count ADDITION
-    is associative and commutative, so the stored sketch after any drain
-    equals the batch one-shot sketch over everything ingested — the same
-    merge-law closure the HLL/CMS/KMV streams pin, extended to the
-    quantile member (note: addition is NOT idempotent, so exactly-once
-    delivery comes from the checkpoint, not the merge — the same
-    contract as the CM counter stream).
+    """Streaming quantile-sketch maintenance with REPLAY-SAFE commits:
+    bucket-count addition is associative but NOT idempotent (unlike the
+    HLL register max), and foreachBatch delivery is at-least-once — a
+    naive read-add-overwrite would double-apply a replayed batch. Each
+    micro-batch therefore writes a NEW snapshot ``snap_<batch_id>``
+    computed from the latest PREDECESSOR snapshot (id < batch_id) plus
+    the batch's bucket counts: a re-delivered batch recomputes from the
+    same predecessor and overwrites its own snapshot — idempotent by
+    construction, including a crash that left a partial snapshot (the
+    partial dir never feeds itself). Snapshot discovery goes through
+    the Hadoop FileSystem API, so the state may live on any scheme and
+    survives driver restarts (no driver-local flags).
+
+    ``sketch_path`` and ``checkpoint_path`` form ONE unit: reusing a
+    sketch dir with a fresh checkpoint restarts batch ids at 0 and
+    therefore restarts the sketch. Read the result with
+    ``quantile_stream_sketch`` / ``quantile_stream_quantiles`` (max
+    snapshot). Old snapshots are retained (they are sketch-sized);
+    production compacts with the sources.store manifest pattern.
 
     Stored state stays bucket-sized (~1k rows per group) however long
     the stream runs; per micro-batch: one batch scan + a sketch-sized
     merge."""
     from pyspark.sql import functions as F
 
-    from rrdtool_1_x_spark.datapipe.sketch import (
-        append_logq_sketch,
-        write_logq_sketch,
-    )
+    from rrdtool_1_x_spark.datapipe.sketch import logq_sketch
 
     groups = list(group_cols or [])
-    state = {"initialized": False}
+
+    def _snapshots(spark):
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(sketch_path)
+        fs = p.getFileSystem(conf)
+        if not fs.exists(p):
+            return []
+        out = []
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith("snap_"):
+                try:
+                    out.append(int(name[5:]))
+                except ValueError:
+                    continue
+        return sorted(out)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
-        if state["initialized"] or os.path.exists(sketch_path):
-            append_logq_sketch(
-                batch_df, sketch_path, F.col(value_col), groups
+        spark = batch_df.sparkSession
+        new = logq_sketch(batch_df, F.col(value_col), groups)
+        prev = [s for s in _snapshots(spark) if s < batch_id]
+        if prev:
+            old = spark.read.parquet(f"{sketch_path}/snap_{prev[-1]}")
+            merged = (
+                old.unionByName(new)
+                .groupBy(*groups, "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
             )
         else:
-            write_logq_sketch(
-                batch_df, sketch_path, F.col(value_col), groups
-            )
-        state["initialized"] = True
+            merged = new
+        # sever lineage before the overwrite (replay reads prev, not this)
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            f"{sketch_path}/snap_{batch_id}"
+        )
 
     writer = (
         stream.writeStream.foreachBatch(fold)
@@ -392,3 +420,34 @@ def start_quantile_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def quantile_stream_sketch(spark, sketch_path: str) -> DataFrame:
+    """The latest committed sketch snapshot (max batch id) written by
+    ``start_quantile_stream`` — no corpus access."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(sketch_path)
+    fs = p.getFileSystem(conf)
+    snaps = sorted(
+        int(st.getPath().getName()[5:])
+        for st in fs.listStatus(p)
+        if st.getPath().getName().startswith("snap_")
+    )
+    if not snaps:
+        raise FileNotFoundError(f"no snapshots under {sketch_path}")
+    return spark.read.parquet(f"{sketch_path}/snap_{snaps[-1]}")
+
+
+def quantile_stream_quantiles(
+    spark,
+    sketch_path: str,
+    qs: list[tuple[int, int]] = ((50, 100), (90, 100), (99, 100)),
+) -> DataFrame:
+    """Quantiles off the latest stream snapshot (the
+    ``logq_index_quantiles`` contract for streamed state)."""
+    from rrdtool_1_x_spark.datapipe.sketch import logq_quantiles
+
+    sk = quantile_stream_sketch(spark, sketch_path)
+    groups = [c for c in sk.columns if c not in ("bucket", "cnt")]
+    return logq_quantiles(sk, qs, groups)

@@ -909,3 +909,65 @@ def test_sketch_stream_restart_and_replay_converge(spark, tmp_path):
     append_hll_registers(batch1, regs, F.col("tok"), ["g"])
     est3 = {r["g"]: r["hll_est"] for r in hll_index_distinct(spark, regs).collect()}
     assert est3 == est2
+
+
+def test_quantile_stream_snapshot_commits_replay_safe(spark, tmp_path):
+    """start_quantile_stream: the drained sketch equals the batch
+    one-shot; a restarted drain over an appended file (same checkpoint)
+    folds it in; and a batch-id COLLISION (fresh checkpoint over the
+    same sketch dir — the harshest replay shape for a non-idempotent
+    addition merge) recomputes snapshots from their predecessors
+    instead of double-applying."""
+    from pyspark.sql import functions as F
+
+    from rrdtool_1_x_spark.datapipe.sketch import logq_sketch
+    from rrdtool_1_x_spark.streaming.datapipe_stream import (
+        quantile_stream_sketch,
+        start_quantile_stream,
+    )
+
+    src = str(tmp_path / "in")
+    sk = str(tmp_path / "sk")
+    rows1 = [("a" if i % 2 else "b", 10 + (i * 7) % 900) for i in range(300)]
+    rows2 = [("a", 5000 + i) for i in range(50)]
+    spark.createDataFrame(rows1, "g string, v long").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def drain(ck):
+        stream = (
+            spark.readStream.schema("g string, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_quantile_stream(stream, sk, ck, "v", ["g"])
+        assert q.awaitTermination(300), "drain did not finish in 300s"
+
+    def stored():
+        return {
+            (r["g"], r["bucket"]): r["cnt"]
+            for r in quantile_stream_sketch(spark, sk).collect()
+        }
+
+    def oneshot(df):
+        return {
+            (r["g"], r["bucket"]): r["cnt"]
+            for r in logq_sketch(df, F.col("v"), ["g"]).collect()
+        }
+
+    ck1 = str(tmp_path / "ck1")
+    drain(ck1)
+    b1 = spark.createDataFrame(rows1, "g string, v long")
+    assert stored() == oneshot(b1)
+    # restart, appended file, SAME checkpoint: folds in exactly once
+    spark.createDataFrame(rows2, "g string, v long").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain(ck1)
+    assert stored() == oneshot(spark.read.parquet(src))
+    # fresh checkpoint, same sketch dir: batch ids restart at 0 and
+    # every snapshot recomputes from its predecessor — the final state
+    # equals the one-shot again (NOT doubled), per the documented
+    # sketch_path+checkpoint_path unit contract
+    drain(str(tmp_path / "ck2"))
+    assert stored() == oneshot(spark.read.parquet(src))
