@@ -1197,6 +1197,30 @@ def q_sessionize(spark, sf_dir):
     ).orderBy("user_id", "session_idx")
 
 
+def q_kn_heldout(spark, sf_dir):
+    """HELD-OUT Kneser-Ney scoring (datapipe.textstats.kneser_ney_bigram
+    with train_df): the model trains on the hash-split train docs
+    (u01 < 0.8) and scores the val docs — the fixed-scorer deployment
+    shape of CCNet-style LM filtering (self-trained scoring leaks the
+    scored text into its own model). Unseen-pair bigrams score through
+    KN's backoff mass; bigrams whose w1/w2 the model never saw are
+    counted in oov_bigrams instead of the mean."""
+    from rrdtool_1_x_spark.datapipe.sampling import hash_u01
+    from rrdtool_1_x_spark.datapipe.textstats import kneser_ney_bigram
+
+    d = _docs(spark, sf_dir)
+    u = hash_u01(F.col("doc_id"), "split")
+    train = d.filter(u < 0.8)
+    val = d.filter(~(u < 0.8))
+    out = kneser_ney_bigram(val, train_df=train)
+    return out.select(
+        "doc_id",
+        F.round("kn_logprob", 6).alias("kn_logprob"),
+        "bigram_cnt",
+        "oov_bigrams",
+    ).orderBy("doc_id")
+
+
 def q_event_transitions(spark, sf_dir):
     """First-order Markov transition matrix (operators.sessions
     .event_transitions): within-session consecutive event-type pairs,
@@ -4397,6 +4421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "opq_index_topup": q_opq_index_topup,
         "rank_metrics": q_rank_metrics,
         "event_transitions": q_event_transitions,
+        "kn_heldout": q_kn_heldout,
         "logq_stream": q_logq_stream,
         "kmv_index_topup": q_kmv_index_topup,
         "hll_index_topup": q_hll_index_topup,
@@ -7238,6 +7263,41 @@ u AS (SELECT doc_id, {u01} AS u FROM t)
 SELECT doc_id,
   CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
 FROM u ORDER BY doc_id"""
+    # held-out KN: model counts from u01<0.8 train docs, val docs
+    # scored; unseen pairs -> backoff mass (cb=0), unseen w1/w2 -> oov
+    sql["kn_heldout"] = rf"""
+WITH t AS (SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+             md5('split:' || CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+f AS (SELECT doc_id, toks, ({u01}) < 0.8 AS is_train FROM t),
+bg AS (SELECT doc_id, is_train, unnest(toks[1:len(toks)-1]) AS w1,
+              unnest(toks[2:len(toks)]) AS w2 FROM f),
+db AS (SELECT doc_id, is_train, w1, w2, count(*) AS m
+       FROM bg GROUP BY 1, 2, 3, 4),
+tb AS (SELECT w1, w2, sum(m) AS cb FROM db WHERE is_train GROUP BY 1, 2),
+lft AS (SELECT w1, sum(cb) AS c1, count(*) AS fanout FROM tb GROUP BY 1),
+rgt AS (SELECT w2, count(*) AS fanin FROM tb GROUP BY 1),
+bt AS (SELECT count(*) AS btypes FROM tb),
+sc AS (SELECT doc_id,
+         round(sum(m * CAST(round(ln(greatest(coalesce(cb, 0) - 0.75, 0)
+                                       / c1
+                                     + (0.75 * fanout / c1)
+                                       * (fanin::DOUBLE / btypes)) * 1e6)
+                            AS BIGINT)) / sum(m) / 1e6, 6) AS kn_logprob,
+         CAST(sum(m) AS BIGINT) AS bigram_cnt
+       FROM db LEFT JOIN tb USING (w1, w2)
+               JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN bt
+       WHERE NOT db.is_train
+       GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS tot
+        FROM db WHERE NOT is_train GROUP BY 1)
+SELECT tot.doc_id, kn_logprob,
+       coalesce(bigram_cnt, 0) AS bigram_cnt,
+       tot - coalesce(bigram_cnt, 0) AS oov_bigrams
+FROM tot LEFT JOIN sc ON sc.doc_id = tot.doc_id
+ORDER BY tot.doc_id"""
+
     # leakage-safe split: the SAME cc labels as dup_groups pick each
     # component's representative; singletons use their own id; then the
     # hash_split md5 rule keyed on the representative

@@ -1199,6 +1199,7 @@ def kneser_ney_bigram(
     id_col: str = "doc_id",
     text_col: str = "text",
     quantize: int | None = 6,
+    train_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document mean bigram log-probability under INTERPOLATED
     Kneser-Ney smoothing (Kneser & Ney 1995; Chen & Goodman 1999 eq. 4.26)
@@ -1223,35 +1224,62 @@ def kneser_ney_bigram(
     fan-out, fan-in) joined back on vocabulary keys plus one broadcast
     scalar (B). Every aggregation is map-side combinable; no corpus-wide
     hot key ever forms.
+
+    ``train_df``: HELD-OUT scoring — the model counts (bc/c1/fanout/
+    fanin/B) come from ``train_df`` while ``df``'s documents are
+    scored, the fixed-scorer shape CCNet-style LM filtering deploys
+    (self-trained scoring leaks the scored text into its own model).
+    Held-out conventions: a bigram UNSEEN in training but whose w1 and
+    w2 both occur in the training model scores through the pure
+    continuation (backoff) term — exactly KN's smoothing mass,
+    c(w1 w2) = 0 — while a bigram whose w1 has no training
+    continuations or whose w2 has no training left-contexts cannot be
+    assigned mass and is counted in the extra ``oov_bigrams`` column
+    instead of the mean (added only in held-out mode, so the
+    self-trained output schema is unchanged).
     """
-    toks = _tokens(F.col(text_col))
-    pairs = F.filter(
-        F.zip_with(
-            toks,
-            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))),
-            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-        ),
-        lambda x: x["w2"].isNotNull(),
-    )
-    bg = df.select(F.col(id_col), F.explode(pairs).alias("_p")).select(
-        id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
-    )
-    db = bg.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("m"))
-    bc = db.groupBy("w1", "w2").agg(F.sum("m").alias("cb"))
+
+    def doc_bigrams(frame: DataFrame) -> DataFrame:
+        toks = _tokens(F.col(text_col))
+        pairs = F.filter(
+            F.zip_with(
+                toks,
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            ),
+            lambda x: x["w2"].isNotNull(),
+        )
+        bg = frame.select(
+            F.col(id_col), F.explode(pairs).alias("_p")
+        ).select(
+            id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
+        )
+        return bg.groupBy(id_col, "w1", "w2").agg(
+            F.count(F.lit(1)).alias("m")
+        )
+
+    db = doc_bigrams(df)
+    tb = db if train_df is None else doc_bigrams(train_df)
+    bc = tb.groupBy("w1", "w2").agg(F.sum("m").alias("cb"))
     left = bc.groupBy("w1").agg(
         F.sum("cb").alias("c1"), F.count(F.lit(1)).alias("fanout")
     )
     right = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("fanin"))
     btypes = bc.agg(F.count(F.lit(1)).alias("btypes"))
+    heldout = train_df is not None
     joined = (
-        db.join(bc, ["w1", "w2"])
+        # held-out: unseen (w1, w2) pairs keep cb = 0 and score through
+        # the backoff term; self-trained: every scored pair exists in bc
+        (db.join(bc, ["w1", "w2"], "left") if heldout
+         else db.join(bc, ["w1", "w2"]))
         .join(left, "w1")
         .join(right, "w2")
         .crossJoin(F.broadcast(btypes))
     )
+    cb0 = F.coalesce(F.col("cb"), F.lit(0)) if heldout else F.col("cb")
     d = F.lit(discount)
     prob = (
-        F.greatest(F.col("cb") - d, F.lit(0.0)) / F.col("c1")
+        F.greatest(cb0 - d, F.lit(0.0)) / F.col("c1")
         + (d * F.col("fanout") / F.col("c1"))
         * (F.col("fanin").cast("double") / F.col("btypes"))
     )
@@ -1262,9 +1290,25 @@ def kneser_ney_bigram(
         mean = (F.sum(F.col("m") * lpq) / F.sum("m")) / F.lit(scale)
     else:
         mean = F.sum(F.col("m") * lp) / F.sum("m")
-    return joined.groupBy(id_col).agg(
+    scored = joined.groupBy(id_col).agg(
         mean.alias("kn_logprob"),
         F.sum("m").alias("bigram_cnt"),
+    )
+    if not heldout:
+        return scored
+    totals = db.groupBy(id_col).agg(F.sum("m").alias("_tot"))
+    return (
+        totals.join(scored, id_col, "left")
+        .select(
+            id_col,
+            "kn_logprob",
+            F.coalesce("bigram_cnt", F.lit(0))
+            .cast("long")
+            .alias("bigram_cnt"),
+            (F.col("_tot") - F.coalesce(F.col("bigram_cnt"), F.lit(0)))
+            .cast("long")
+            .alias("oov_bigrams"),
+        )
     )
 
 

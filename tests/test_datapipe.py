@@ -2347,3 +2347,52 @@ def test_ranking_metrics_hand_case(spark):
     assert r1["ndcg_at_k"] == round((d[1] + d[4]) / (d[0] + d[1] + d[2]), 6)
     r2 = got[2]
     assert (r2["n_hit"], r2["mrr_at_k"], r2["ndcg_at_k"]) == (0, 0.0, 0.0)
+
+
+def test_kn_heldout_backoff_and_oov(spark):
+    """Held-out KN: an unseen (w1,w2) pair whose words the model knows
+    scores through the pure backoff term; a bigram with an unknown word
+    lands in oov_bigrams, not the mean; self-trained output schema is
+    unchanged."""
+    import math
+
+    from rrdtool_1_x_spark.datapipe.textstats import kneser_ney_bigram
+
+    train = spark.createDataFrame(
+        [(1, "a b a c b c"), (2, "a b c a")], "doc_id long, text string"
+    )
+    # val doc: "b a" unseen as a pair (train has a-b, b-a? train pairs:
+    # a-b, b-a(no: 'a b a c b c' -> a-b, b-a, a-c, c-b, b-c; 'a b c a'
+    # -> a-b, b-c, c-a). So b-a IS seen. Use "c c": unseen pair, both
+    # words known. "a z": z unknown -> oov.
+    val = spark.createDataFrame(
+        [(10, "c c a z")], "doc_id long, text string"
+    )
+    out = kneser_ney_bigram(val, train_df=train).collect()[0]
+    # pairs of val doc: (c,c) unseen-pair backoff, (c,a) seen, (a,z) oov
+    assert out["bigram_cnt"] == 2 and out["oov_bigrams"] == 1
+    # recompute expected: model from train pairs
+    from collections import Counter
+
+    tp = Counter()
+    for t in ["a b a c b c", "a b c a"]:
+        w = t.split()
+        for x, y in zip(w, w[1:]):
+            tp[(x, y)] += 1
+    c1 = Counter(); fanout = Counter(); fanin = Counter()
+    for (x, y), c in tp.items():
+        c1[x] += c; fanout[x] += 1; fanin[y] += 1
+    B = len(tp)
+    D = 0.75
+
+    def lp(x, y):
+        p = max(tp.get((x, y), 0) - D, 0) / c1[x] + (
+            D * fanout[x] / c1[x]
+        ) * (fanin[y] / B)
+        return round(math.log(p) * 1e6)
+
+    want = round((lp("c", "c") + lp("c", "a")) / 2 / 1e6, 6)
+    assert round(out["kn_logprob"], 6) == want
+    # self-trained schema untouched
+    st = kneser_ney_bigram(train).columns
+    assert st == ["doc_id", "kn_logprob", "bigram_cnt"]
