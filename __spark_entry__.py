@@ -1197,6 +1197,44 @@ def q_sessionize(spark, sf_dir):
     ).orderBy("user_id", "session_idx")
 
 
+def q_winnow_stream(spark, sf_dir):
+    """Streaming winnow-index maintenance (streaming.datapipe_stream
+    .start_winnow_stream): the documents table as a 3-batch file
+    stream, each micro-batch fingerprinting only itself and appending
+    to the stored (doc, fp) frame — set-union merge, replay absorbed by
+    the read-side distinct. The drained index's match report must equal
+    the one-shot winnow_overlap (the oracle, verbatim)."""
+    import shutil
+    import tempfile
+
+    from rrdtool_1_x_spark.datapipe.textstats import winnow_index_overlap
+    from rrdtool_1_x_spark.streaming.datapipe_stream import (
+        start_winnow_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="winnowstream_")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    src = f"{work}/in"
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(2).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = start_winnow_stream(stream, f"{work}/idx", f"{work}/ck", k=4, w=4)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("winnow_stream drain exceeded 600s")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(f"{work}/ck", ignore_errors=True)
+    return winnow_index_overlap(
+        spark, f"{work}/idx", min_shared=3, max_fp_docs=64
+    ).orderBy("id_a", "id_b")
+
+
 def q_kn_heldout(spark, sf_dir):
     """HELD-OUT Kneser-Ney scoring (datapipe.textstats.kneser_ney_bigram
     with train_df): the model trains on the hash-split train docs
@@ -4422,6 +4460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_metrics": q_rank_metrics,
         "event_transitions": q_event_transitions,
         "kn_heldout": q_kn_heldout,
+        "winnow_stream": q_winnow_stream,
         "logq_stream": q_logq_stream,
         "kmv_index_topup": q_kmv_index_topup,
         "hll_index_topup": q_hll_index_topup,
@@ -8824,6 +8863,7 @@ FROM sel ORDER BY source"""
     sql["logq_stream"] = sql["logq_quantiles"]
     # per-document fingerprints + set-union appends == one-shot winnow
     sql["winnow_index_topup"] = sql["winnow_overlap"]
+    sql["winnow_stream"] = sql["winnow_overlap"]
 
     # LPT snake-deal shard packing: global (tokens DESC, id) rank,
     # shard = pos or mirror by pass parity; digest per shard

@@ -451,3 +451,35 @@ def quantile_stream_quantiles(
     sk = quantile_stream_sketch(spark, sketch_path)
     groups = [c for c in sk.columns if c not in ("bucket", "cnt")]
     return logq_quantiles(sk, qs, groups)
+
+
+def start_winnow_stream(
+    doc_stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming winnowing-index maintenance: each micro-batch
+    fingerprints ONLY its own documents and parquet-appends them to the
+    stored (doc_id, fp) frame. Winnowing is per-document, so the merge
+    law is set UNION — and because ``winnow_index_overlap`` reads
+    through a distinct(), a replayed batch's duplicate appends are
+    absorbed at read time (idempotent like the HLL register stream,
+    without snapshot machinery). Per micro-batch: one batch
+    fingerprint pass + an append of a batch-sized frame."""
+    from rrdtool_1_x_spark.datapipe.textstats import append_winnow_index
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        append_winnow_index(batch_df, index_path, id_col, text_col, k, w)
+
+    writer = (
+        doc_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
