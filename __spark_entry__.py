@@ -1235,6 +1235,53 @@ def q_winnow_stream(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+_UNIGRAM_MODEL_CACHE: dict = {}
+
+
+def _unigram_model(spark, sf_dir):
+    """Train-once-per-(session, dataset) unigram-LM tokenizer model —
+    the offline artifact discipline of the PQ/IVF caches."""
+    key = (spark.sparkContext.applicationId, sf_dir, "unitok")
+    if key not in _UNIGRAM_MODEL_CACHE:
+        from rrdtool_1_x_spark.datapipe.unigram_tok import train_unigram
+
+        _UNIGRAM_MODEL_CACHE[key] = train_unigram(
+            _docs(spark, sf_dir),
+            max_piece=4,
+            seed_size=128,
+            vocab_size=48,
+            n_iter=2,
+            max_word_len=16,
+        )
+    return _UNIGRAM_MODEL_CACHE[key]
+
+
+def q_unigram_vocab(spark, sf_dir):
+    """Unigram-LM subword tokenizer training (datapipe.unigram_tok
+    .train_unigram; Kudo ACL 2018, the SentencePiece unigram model as
+    hard-EM): substring seed vocab -> 2 Viterbi-EM rounds with integer
+    micro-nat scores and the (score DESC, segmentation ASC) tiebreak ->
+    prune to 48 pieces (single chars never drop — the character
+    fallback enforced structurally). The ENTIRE training run is
+    hash-gated: the oracle re-derives seed, both EM rounds (16 DP
+    layers each as materialized CTEs) and the prune in SQL."""
+    model = _unigram_model(spark, sf_dir)
+    return spark.createDataFrame(
+        model, "piece string, cnt long, logp_micro long"
+    ).orderBy(F.desc("cnt"), F.asc("piece"))
+
+
+def q_unigram_segment(spark, sf_dir):
+    """Per-document stats under the trained unigram tokenizer
+    (datapipe.unigram_tok.unigram_doc_stats): words, pieces (the
+    fertility analogue) and the exact integer document log-likelihood —
+    each DISTINCT word segments once, documents join that frame."""
+    from rrdtool_1_x_spark.datapipe.unigram_tok import unigram_doc_stats
+
+    model = _unigram_model(spark, sf_dir)
+    return unigram_doc_stats(_docs(spark, sf_dir), model).orderBy("doc_id")
+
+
 def q_kn_heldout(spark, sf_dir):
     """HELD-OUT Kneser-Ney scoring (datapipe.textstats.kneser_ney_bigram
     with train_df): the model trains on the hash-split train docs
@@ -4460,6 +4507,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_metrics": q_rank_metrics,
         "event_transitions": q_event_transitions,
         "kn_heldout": q_kn_heldout,
+        "unigram_vocab": q_unigram_vocab,
+        "unigram_segment": q_unigram_segment,
         "winnow_stream": q_winnow_stream,
         "logq_stream": q_logq_stream,
         "kmv_index_topup": q_kmv_index_topup,
@@ -5025,6 +5074,138 @@ rscq AS (SELECT l.query_id, en.vec_id,
          JOIN rlut l ON l.cid = en.cid AND l.s = en.s AND l.code = en.code
          JOIN cs ON cs.cid = en.cid
          GROUP BY 1, 2)"""
+
+
+# ---------------------------------------------------- unigram-LM oracle
+
+
+def _unigram_dp_chain(tag: str, score_cte: str, maxw: int, maxp: int) -> str:
+    """Viterbi DP over positions 1..maxw as materialized CTE layers —
+    the SQL twin of unigram_tok.viterbi_segment: dp{tag}_{i} = best
+    (score, seg) per word prefix, picked by (score DESC, seg ASC)."""
+    ctes = [
+        f"dp{tag}_0 AS MATERIALIZED (SELECT word, freq,"
+        f" CAST(0 AS BIGINT) AS score, '' AS seg FROM words)"
+    ]
+    for i in range(1, maxw + 1):
+        cands = []
+        for l in range(1, min(maxp, i) + 1):
+            j = i - l
+            cands.append(
+                f"SELECT d.word, d.freq, d.score + p.logp AS score,\n"
+                f"  CASE WHEN d.seg = '' THEN p.piece"
+                f" ELSE d.seg || ' ' || p.piece END AS seg\n"
+                f"FROM dp{tag}_{j} d JOIN {score_cte} p\n"
+                f"  ON len(d.word) >= {i}"
+                f" AND p.piece = substr(d.word, {j + 1}, {l})"
+            )
+        union = "\nUNION ALL\n".join(cands)
+        ctes.append(
+            f"dp{tag}_{i} AS MATERIALIZED (SELECT word, freq, score, seg"
+            f" FROM (\n  SELECT *, row_number() OVER (PARTITION BY word"
+            f" ORDER BY score DESC, seg ASC) AS rn FROM (\n{union}\n) _\n)"
+            f" __ WHERE rn = 1)"
+        )
+    fins = "\nUNION ALL\n".join(
+        f"SELECT word, freq, seg, score FROM dp{tag}_{i}"
+        f" WHERE len(word) = {i}"
+        for i in range(1, maxw + 1)
+    )
+    ctes.append(f"fin{tag} AS MATERIALIZED (\n{fins}\n)")
+    return ",\n".join(ctes)
+
+
+def _unigram_mstep(tag: str, prev_vocab: str, fin: str, out: str,
+                   vsize: int) -> str:
+    """SQL twin of the trainer's M-step: recount from fin{tag}, chars
+    always survive, prune multis by (cnt DESC, piece ASC) to the
+    budget, floor counts at 1, re-score micro-nat logs."""
+    return f"""
+cnt{tag} AS MATERIALIZED (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq, unnest(string_split(seg, ' ')) AS piece FROM {fin}
+  ) _ GROUP BY piece),
+mg{tag} AS (
+  SELECT v.piece, coalesce(c.cnt, 0) AS cnt, len(v.piece) AS pl
+  FROM {prev_vocab} v LEFT JOIN cnt{tag} c USING (piece)
+  WHERE len(v.piece) = 1 OR coalesce(c.cnt, 0) > 0),
+nch{tag} AS (SELECT count(*) AS n FROM mg{tag} WHERE pl = 1),
+kept{tag} AS (
+  SELECT piece, greatest(cnt, 1) AS cnt FROM (
+    SELECT m.piece, m.cnt, m.pl,
+           row_number() OVER (ORDER BY m.cnt DESC, m.piece ASC) AS rm
+    FROM mg{tag} m WHERE m.pl > 1) _, nch{tag}
+  WHERE rm <= {vsize} - nch{tag}.n
+  UNION ALL
+  SELECT piece, greatest(cnt, 1) AS cnt FROM mg{tag} WHERE pl = 1),
+tot{tag} AS (SELECT sum(cnt) AS t FROM kept{tag}),
+{out} AS MATERIALIZED (
+  SELECT piece, cnt,
+         CAST(round(ln(cnt::DOUBLE / t) * 1e6) AS BIGINT) AS logp
+  FROM kept{tag}, tot{tag})"""
+
+
+def _unigram_oracle(maxw: int = 16, maxp: int = 4, seed: int = 128,
+                    vsize: int = 48) -> tuple[str, str]:
+    """(vocab_sql, segment_sql) for the unigram_vocab /
+    unigram_segment gates — seed vocab, two Viterbi-EM rounds, prune,
+    then a third DP under the final model for per-doc stats."""
+    head = rf"""
+WITH words AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+    FROM documents) _
+  WHERE word <> '' AND len(word) <= {maxw} GROUP BY word),
+subs AS (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq, unnest(flatten(list_transform(range(1, len(word) + 1),
+      i -> list_transform(range(1, least({maxp}, len(word) - i + 1) + 1),
+                          l -> substr(word, i, l))))) AS piece
+    FROM words) _ GROUP BY piece),
+sv0 AS (SELECT piece, cnt FROM subs
+        ORDER BY cnt DESC, piece ASC LIMIT {seed}),
+seed AS MATERIALIZED (
+  SELECT piece, cnt FROM sv0
+  UNION ALL
+  SELECT s.piece, s.cnt FROM subs s
+  WHERE len(s.piece) = 1 AND s.piece NOT IN (SELECT piece FROM sv0)),
+tot0 AS (SELECT sum(cnt) AS t FROM seed),
+sc0 AS MATERIALIZED (
+  SELECT piece, CAST(round(ln(cnt::DOUBLE / t) * 1e6) AS BIGINT) AS logp
+  FROM seed, tot0)"""
+    core = ",\n".join(
+        [
+            head,
+            _unigram_dp_chain("a", "sc0", maxw, maxp),
+            _unigram_mstep("a", "seed", "fina", "sc1", vsize),
+            _unigram_dp_chain("b", "sc1", maxw, maxp),
+            _unigram_mstep("b", "sc1", "finb", "sc2", vsize),
+        ]
+    )
+    vocab_sql = core + """
+SELECT piece, cnt, logp AS logp_micro FROM sc2
+ORDER BY cnt DESC, piece ASC"""
+    docw = r""",
+docw AS MATERIALIZED (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS m FROM (
+    SELECT doc_id,
+      unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+    FROM documents) _
+  WHERE word <> '' AND len(word) <= """ + str(maxw) + """ GROUP BY 1, 2)"""
+    seg_sql = (
+        core
+        + docw
+        + ",\n"
+        + _unigram_dp_chain("c", "sc2", maxw, maxp)
+        + """
+SELECT d.doc_id, CAST(sum(d.m) AS BIGINT) AS n_words,
+       CAST(sum(d.m * (len(string_split(f.seg, ' ')))) AS BIGINT)
+         AS n_pieces,
+       CAST(sum(d.m * f.score) AS BIGINT) AS logp_micro_sum
+FROM docw d JOIN finc f USING (word)
+GROUP BY d.doc_id ORDER BY d.doc_id"""
+    )
+    return vocab_sql, seg_sql
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8864,6 +9045,7 @@ FROM sel ORDER BY source"""
     # per-document fingerprints + set-union appends == one-shot winnow
     sql["winnow_index_topup"] = sql["winnow_overlap"]
     sql["winnow_stream"] = sql["winnow_overlap"]
+    sql["unigram_vocab"], sql["unigram_segment"] = _unigram_oracle()
 
     # LPT snake-deal shard packing: global (tokens DESC, id) rank,
     # shard = pos or mirror by pass parity; digest per shard

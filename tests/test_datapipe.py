@@ -2396,3 +2396,61 @@ def test_kn_heldout_backoff_and_oov(spark):
     # self-trained schema untouched
     st = kneser_ney_bigram(train).columns
     assert st == ["doc_id", "kn_logprob", "bigram_cnt"]
+
+
+def test_unigram_tokenizer_trains_merges_and_segments(spark):
+    """Viterbi-EM unigram tokenizer: on an 'ab'-dominated corpus the
+    piece 'ab' survives training and wins segmentation over single
+    chars; every word stays segmentable (char fallback, incl. rare
+    chars); EM cannot decrease the corpus Viterbi likelihood; the doc
+    stats are consistent."""
+    from pyspark.sql import functions as F
+
+    from rrdtool_1_x_spark.datapipe.unigram_tok import (
+        train_unigram,
+        unigram_doc_stats,
+        viterbi_segment,
+        word_frame,
+        _scores,
+        seed_vocab,
+    )
+
+    rows = [(i, "ababab abab xyz q") for i in range(30)] + [
+        (100, "zz")  # rare chars: must stay segmentable
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    model = train_unigram(
+        docs, max_piece=3, seed_size=64, vocab_size=16, n_iter=2
+    )
+    pieces = {p for p, _, _ in model}
+    assert "ab" in pieces
+    # char fallback: every char of the corpus present
+    for ch in "abxyzq":
+        assert ch in pieces
+    # best segmentation of 'ababab' uses 'ab' (or larger), not 6 chars
+    scores = {p: s for p, _, s in model}
+    words = word_frame(docs)
+    seg = {
+        r["word"]: r
+        for r in viterbi_segment(words, scores, max_piece=3).collect()
+    }
+    assert seg["ababab"]["n_pieces"] <= 3
+    assert "ab" in seg["ababab"]["seg"].split(" ")
+    assert seg["zz"]["seg"] is not None  # rare word segmentable
+    # EM monotonicity on corpus likelihood: score under iter-2 model >=
+    # score under seed scores (both over the same words, freq-weighted)
+    s0 = _scores(seed_vocab(words, 3, 64))
+    lik0 = sum(
+        r["score"] * r["freq"]
+        for r in viterbi_segment(words, s0, 3).collect()
+    )
+    lik2 = sum(
+        r["score"] * r["freq"]
+        for r in viterbi_segment(words, scores, 3).collect()
+    )
+    assert lik2 >= lik0
+    st = {r["doc_id"]: r for r in unigram_doc_stats(docs, model).collect()}
+    r0 = st[0]
+    assert r0["n_words"] == 4 and r0["n_pieces"] >= r0["n_words"]
+    assert r0["logp_micro_sum"] < 0
+    assert st[100]["n_words"] == 1
