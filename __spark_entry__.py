@@ -1256,6 +1256,25 @@ def _unigram_model(spark, sf_dir):
     return _UNIGRAM_MODEL_CACHE[key]
 
 
+def q_lsh_pr(spark, sf_dir):
+    """LSH banding quality audit (datapipe.dedup.lsh_precision_recall):
+    measured precision/recall of the 8-hash/4-band candidate set
+    against the EXACT-Jaccard >= 0.5 ground truth (sparse shared-
+    shingle all-pairs — the source_overlap-style audit tier), with the
+    S-curve theoretical collision probability at the threshold beside
+    the measured numbers. Same banding parameters as near_dup_pairs."""
+    from rrdtool_1_x_spark.datapipe.dedup import lsh_precision_recall
+
+    return lsh_precision_recall(
+        _docs(spark, sf_dir),
+        num_hashes=8,
+        bands=4,
+        shingle_len=3,
+        jaccard_threshold=0.5,
+        max_bucket_size=512,
+    )
+
+
 def q_unigram_vocab(spark, sf_dir):
     """Unigram-LM subword tokenizer training (datapipe.unigram_tok
     .train_unigram; Kudo ACL 2018, the SentencePiece unigram model as
@@ -4507,6 +4526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_metrics": q_rank_metrics,
         "event_transitions": q_event_transitions,
         "kn_heldout": q_kn_heldout,
+        "lsh_pr": q_lsh_pr,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
         "winnow_stream": q_winnow_stream,
@@ -6829,6 +6849,33 @@ nd_pairs AS (SELECT id_a, id_b, j FROM ver WHERE j >= 0.5)"""
     nd_cte = _nd_cte_from("documents")
     sql["near_dup_pairs"] = f"""WITH {nd_cte}
 SELECT id_a, id_b, round(j, 6) AS jaccard FROM nd_pairs ORDER BY id_a, id_b"""
+    # banding audit: exact-Jaccard truth via the sparse shared-shingle
+    # all-pairs join; candidates straight from the capped band join;
+    # theory literal = 1-(1-t^r)^b at the threshold
+    sql["lsh_pr"] = f"""WITH {nd_cte},
+allsh2 AS (SELECT doc_id, unnest(s) AS sh2 FROM ds),
+pi2 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM allsh2 a JOIN allsh2 b
+          ON a.sh2 = b.sh2 AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+sz2 AS (SELECT doc_id, len(s) AS n FROM ds),
+truth AS (SELECT id_a, id_b FROM pi2
+          JOIN sz2 x ON x.doc_id = pi2.id_a
+          JOIN sz2 y ON y.doc_id = pi2.id_b
+          WHERE i >= 0.5 * (x.n + y.n - i)),
+nt AS (SELECT count(*) AS n_truth FROM truth),
+ncd AS (SELECT count(*) AS n_candidates FROM cand),
+nh AS (SELECT count(*) AS n_hit FROM truth JOIN cand USING (id_a, id_b))
+SELECT CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       round(CASE WHEN n_candidates > 0
+                  THEN n_hit::DOUBLE / n_candidates ELSE 0 END, 6)
+         AS precision,
+       round(CASE WHEN n_truth > 0
+                  THEN n_hit::DOUBLE / n_truth ELSE 1 END, 6) AS recall,
+       {round(1.0 - (1.0 - 0.5 ** 2) ** 4, 6)} AS theory_recall_at_t
+FROM nt, ncd, nh"""
     # connected components: recursive reachability, label = min reachable id
     cc_tail = """
 edges AS (SELECT id_a AS u, id_b AS v FROM nd_pairs

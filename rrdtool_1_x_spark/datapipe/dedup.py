@@ -1257,3 +1257,142 @@ def cdc_dedup_report(
             6,
         ).alias("dup_token_share"),
     )
+
+
+def lsh_precision_recall(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_len: int = 3,
+    jaccard_threshold: float = 0.7,
+    max_bucket_size: int | None = 512,
+) -> DataFrame:
+    """Banding-quality AUDIT: measured precision/recall of the LSH
+    candidate set against the EXACT-Jaccard ground truth — the honest
+    answer to "what does the banding actually miss" next to the
+    S-curve's theoretical collision probability 1-(1-j^r)^b (standard
+    MinHash-LSH analysis; reported at the threshold as
+    ``theory_recall_at_t``).
+
+    Ground truth = all pairs of exact-collapsed representatives with
+    true Jaccard >= threshold, computed through the sparse
+    shared-shingle join (only pairs sharing a shingle are scored — a
+    pair at j >= t > 0 always shares one). This is the all-pairs audit
+    tier, like ``source_overlap``'s exact matrix: run it on samples at
+    100 TB (the KMV/banded paths are the scale estimators it
+    calibrates).
+
+    Returns ONE row: (n_truth, n_candidates, n_hit, precision, recall,
+    theory_recall_at_t). precision = hit/candidates (0 when no
+    candidates); recall = hit/truth (1 when no truth pairs)."""
+    import math
+
+    w = Window.partitionBy(F.md5(F.col(text_col).cast("binary"))).orderBy(
+        F.col(id_col)
+    )
+    reps = (
+        df.select(id_col, text_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    ds = reps.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(
+            _shingle_array(F.col(text_col), shingle_len)
+        ).alias("_s"),
+    ).localCheckpoint(eager=True)
+    sizes = ds.select("_id", F.size("_s").alias("_n"))
+    ex = ds.select("_id", F.explode("_s").alias("_sh"))
+    inter = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a._sh") == F.col("b._sh"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    truth = (
+        inter.join(
+            sizes.select(
+                F.col("_id").alias("id_a"), F.col("_n").alias("_na")
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.select(
+                F.col("_id").alias("id_b"), F.col("_n").alias("_nb")
+            ),
+            "id_b",
+        )
+        .filter(
+            F.col("_i")
+            >= F.lit(float(jaccard_threshold))
+            * (F.col("_na") + F.col("_nb") - F.col("_i"))
+        )
+        .select("id_a", "id_b")
+    )
+    melted = minhash_band_buckets(
+        reps, id_col, text_col, num_hashes, bands, shingle_len,
+        collapse_exact=False,
+    )
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band_idx", "bucket")
+        melted = (
+            melted.withColumn("_sz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_sz") <= max_bucket_size)
+            .drop("_sz")
+        )
+    cand = (
+        melted.alias("x")
+        .join(
+            melted.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    hit = truth.join(cand, ["id_a", "id_b"])
+    r = num_hashes // bands
+    theory = round(
+        1.0 - (1.0 - float(jaccard_threshold) ** r) ** bands, 6
+    )
+    nt = truth.agg(F.count(F.lit(1)).alias("n")).withColumn("_k", F.lit(1))
+    nc = cand.agg(F.count(F.lit(1)).alias("n")).withColumn("_k", F.lit(1))
+    nh = hit.agg(F.count(F.lit(1)).alias("n")).withColumn("_k", F.lit(1))
+    return (
+        nt.select(F.col("n").alias("n_truth"), "_k")
+        .join(nc.select(F.col("n").alias("n_candidates"), "_k"), "_k")
+        .join(nh.select(F.col("n").alias("n_hit"), "_k"), "_k")
+        .select(
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.round(
+                F.when(
+                    F.col("n_candidates") > 0,
+                    F.col("n_hit") / F.col("n_candidates").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("precision"),
+            F.round(
+                F.when(
+                    F.col("n_truth") > 0,
+                    F.col("n_hit") / F.col("n_truth").cast("double"),
+                ).otherwise(F.lit(1.0)),
+                6,
+            ).alias("recall"),
+            F.lit(theory).alias("theory_recall_at_t"),
+        )
+    )

@@ -2454,3 +2454,31 @@ def test_unigram_tokenizer_trains_merges_and_segments(spark):
     assert r0["n_words"] == 4 and r0["n_pieces"] >= r0["n_words"]
     assert r0["logp_micro_sum"] < 0
     assert st[100]["n_words"] == 1
+
+
+def test_lsh_precision_recall_planted_corpus(spark):
+    """Banding audit on a planted corpus: near-identical pairs land in
+    the truth set AND the candidate set (recall 1 here — tiny corpus,
+    identical 2/3 of shingles); unrelated docs produce no false truth;
+    exact copies are collapsed out of both sides."""
+    from rrdtool_1_x_spark.datapipe.dedup import lsh_precision_recall
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base + " extra"),          # near-dup of 1
+        (3, base),                     # exact copy of 1 -> collapsed
+        (4, "one two three four five six seven eight nine ten"),
+        (5, "completely different words without any overlap here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = lsh_precision_recall(
+        df, num_hashes=8, bands=4, shingle_len=3,
+        jaccard_threshold=0.5,
+    ).collect()[0]
+    # truth: only (1,2); doc 3 collapsed into 1
+    assert r["n_truth"] == 1
+    assert r["n_hit"] == 1 and r["recall"] == 1.0
+    assert r["n_candidates"] >= 1
+    assert 0.0 < r["precision"] <= 1.0
+    assert r["theory_recall_at_t"] == round(1 - (1 - 0.5**2) ** 4, 6)
