@@ -1265,8 +1265,11 @@ def q_lsh_pr(spark, sf_dir):
     the measured numbers. Same banding parameters as near_dup_pairs."""
     from rrdtool_1_x_spark.datapipe.dedup import lsh_precision_recall
 
+    # the audit runs on a deterministic 1/3 slice — its own doctrine
+    # ("all-pairs truth on samples at scale"): the mechanism is fully
+    # exercised, the quadratic truth join stays sample-sized
     return lsh_precision_recall(
-        _docs(spark, sf_dir),
+        _docs(spark, sf_dir).filter(F.col("doc_id") % 3 == 0),
         num_hashes=8,
         bands=4,
         shingle_len=3,
@@ -6852,7 +6855,10 @@ SELECT id_a, id_b, round(j, 6) AS jaccard FROM nd_pairs ORDER BY id_a, id_b"""
     # banding audit: exact-Jaccard truth via the sparse shared-shingle
     # all-pairs join; candidates straight from the capped band join;
     # theory literal = 1-(1-t^r)^b at the threshold
-    sql["lsh_pr"] = f"""WITH {nd_cte},
+    nd_cte3 = _nd_cte_from(
+        "(SELECT * FROM documents WHERE doc_id % 3 = 0)"
+    )
+    sql["lsh_pr"] = f"""WITH {nd_cte3},
 allsh2 AS (SELECT doc_id, unnest(s) AS sh2 FROM ds),
 pi2 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
         FROM allsh2 a JOIN allsh2 b
