@@ -1256,6 +1256,33 @@ def _unigram_model(spark, sf_dir):
     return _UNIGRAM_MODEL_CACHE[key]
 
 
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot delta report (datapipe.report.corpus_diff): the NEW
+    snapshot is derived deterministically from documents — %11 docs
+    removed, %13 texts mutated, 5 shifted-id docs added — and the diff
+    must classify every id exactly. Text never shuffles (content-hash
+    projection in the scan); one full-outer join on the id."""
+    from rrdtool_1_x_spark.datapipe.report import corpus_diff
+
+    d = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    kept = d.filter(F.col("doc_id") % 11 != 0)
+    mutated = kept.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.col("text"), F.lit(" v2")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    added = d.orderBy("doc_id").limit(5).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.lit("newsrc").alias("source"),
+        F.col("text"),
+    )
+    new = mutated.unionByName(added)
+    return corpus_diff(d, new).orderBy("source")
+
+
 def q_lsh_pr(spark, sf_dir):
     """LSH banding quality audit (datapipe.dedup.lsh_precision_recall):
     measured precision/recall of the 8-hash/4-band candidate set
@@ -4530,6 +4557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "kn_heldout": q_kn_heldout,
         "lsh_pr": q_lsh_pr,
+        "corpus_diff": q_corpus_diff,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
         "winnow_stream": q_winnow_stream,
@@ -9099,6 +9127,37 @@ FROM sel ORDER BY source"""
     sql["winnow_index_topup"] = sql["winnow_overlap"]
     sql["winnow_stream"] = sql["winnow_overlap"]
     sql["unigram_vocab"], sql["unigram_segment"] = _unigram_oracle()
+
+    # snapshot diff: derived new snapshot (%11 removed, %13 mutated,
+    # 5 added under 'newsrc'), full-outer on id, md5 content compare;
+    # changed/unchanged count under the NEW group, removed under the old
+    sql["corpus_diff"] = """
+WITH o AS (SELECT doc_id AS id, source AS go, md5(text) AS ho
+           FROM documents),
+base AS (SELECT doc_id, source, text FROM documents),
+mut AS (SELECT doc_id, source,
+          CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+        FROM base WHERE doc_id % 11 != 0),
+add_ AS (SELECT doc_id + 2000000 AS doc_id, 'newsrc' AS source, text
+         FROM (SELECT * FROM base ORDER BY doc_id LIMIT 5) _),
+n AS (SELECT doc_id AS id, source AS gn, md5(text) AS hn FROM mut
+      UNION ALL SELECT doc_id, source, md5(text) FROM add_),
+j AS (SELECT coalesce(n.gn, o.go) AS source,
+        CASE WHEN o.ho IS NULL THEN 'added'
+             WHEN n.hn IS NULL THEN 'removed'
+             WHEN o.ho = n.hn THEN 'unchanged'
+             ELSE 'changed' END AS st
+      FROM o FULL OUTER JOIN n ON o.id = n.id)
+SELECT source,
+  CAST(sum(CASE WHEN st = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_added,
+  CAST(sum(CASE WHEN st = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_removed,
+  CAST(sum(CASE WHEN st = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_changed,
+  CAST(sum(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_unchanged
+FROM j GROUP BY source ORDER BY source"""
 
     # LPT snake-deal shard packing: global (tokens DESC, id) rank,
     # shard = pos or mirror by pass parity; digest per shard

@@ -341,3 +341,60 @@ def cluster_keywords(
             F.round(F.col("_s") / 1e6, 6).alias("tfidf"),
         )
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Snapshot delta report — the pipeline-ops answer to "what changed
+    between yesterday's corpus and today's": per group, counts of
+    documents ADDED (id only in new), REMOVED (id only in old),
+    CHANGED (same id, different content hash) and UNCHANGED. The change
+    test is md5(text) equality, so a reordered or re-partitioned
+    delivery of identical content diffs as unchanged.
+
+    Shape at scale: both sides project to (id, group, content-hash) in
+    the scan — text never shuffles — then ONE full-outer join on the id
+    and a per-group combinable count. Group attribution: a changed or
+    unchanged doc counts under the NEW snapshot's group (re-sourcing a
+    doc shows as its new home); removed docs count under the old one."""
+    o = old.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_go"),
+        F.md5(F.col(text_col).cast("binary")).alias("_ho"),
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_gn"),
+        F.md5(F.col(text_col).cast("binary")).alias("_hn"),
+    )
+    j = o.join(n, "_id", "full_outer")
+    grp = F.coalesce(F.col("_gn"), F.col("_go"))
+    status = (
+        F.when(F.col("_ho").isNull(), F.lit("added"))
+        .when(F.col("_hn").isNull(), F.lit("removed"))
+        .when(F.col("_ho") == F.col("_hn"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.select(grp.alias(group_col), status.alias("_st"))
+        .groupBy(group_col)
+        .agg(
+            F.sum(F.when(F.col("_st") == "added", 1).otherwise(0))
+            .cast("long")
+            .alias("n_added"),
+            F.sum(F.when(F.col("_st") == "removed", 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.sum(F.when(F.col("_st") == "changed", 1).otherwise(0))
+            .cast("long")
+            .alias("n_changed"),
+            F.sum(F.when(F.col("_st") == "unchanged", 1).otherwise(0))
+            .cast("long")
+            .alias("n_unchanged"),
+        )
+    )

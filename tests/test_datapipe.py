@@ -2482,3 +2482,25 @@ def test_lsh_precision_recall_planted_corpus(spark):
     assert r["n_candidates"] >= 1
     assert 0.0 < r["precision"] <= 1.0
     assert r["theory_recall_at_t"] == round(1 - (1 - 0.5**2) ** 4, 6)
+
+
+def test_corpus_diff_hand_case(spark):
+    from rrdtool_1_x_spark.datapipe.report import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "one"), (2, "a", "two"), (3, "b", "three")],
+        "doc_id long, source string, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", "one"),        # unchanged
+            (2, "b", "two CHANGED"),  # changed AND re-sourced -> new group
+            (4, "b", "four"),       # added
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {r["source"]: r for r in corpus_diff(old, new).collect()}
+    assert got["a"]["n_unchanged"] == 1 and got["a"]["n_removed"] == 0
+    # changed doc counts under its NEW source; removed under the old
+    assert got["b"]["n_changed"] == 1 and got["b"]["n_added"] == 1
+    assert got["b"]["n_removed"] == 1  # doc 3
