@@ -1256,6 +1256,25 @@ def _unigram_model(spark, sf_dir):
     return _UNIGRAM_MODEL_CACHE[key]
 
 
+def q_script_mix(spark, sf_dir):
+    """Unicode-script composition screen (datapipe.textstats
+    .script_mix): the ASCII corpus is deterministically enriched —
+    every 17th doc gets its 'o's replaced by Cyrillic 'о' (the
+    homoglyph-stuffing shape) — and the per-doc script counts, dominant
+    script and mixed flag must classify them exactly."""
+    from rrdtool_1_x_spark.datapipe.textstats import script_mix
+
+    d = _docs(spark, sf_dir)
+    enriched = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.regexp_replace(F.col("text"), "o", "о"),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return script_mix(enriched).orderBy("doc_id")
+
+
 def q_corpus_diff(spark, sf_dir):
     """Snapshot delta report (datapipe.report.corpus_diff): the NEW
     snapshot is derived deterministically from documents — %11 docs
@@ -4558,6 +4577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_heldout": q_kn_heldout,
         "lsh_pr": q_lsh_pr,
         "corpus_diff": q_corpus_diff,
+        "script_mix": q_script_mix,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
         "winnow_stream": q_winnow_stream,
@@ -9158,6 +9178,46 @@ SELECT source,
   CAST(sum(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
     AS n_unchanged
 FROM j GROUP BY source ORDER BY source"""
+
+    # script composition: RE2 code-point classes; dominant = argmax with
+    # the fixed script-order tiebreak; mixed = runner-up > 50 per-mille
+    _scr = [
+        ("latin", "[A-Za-z]"),
+        ("cyrillic", r"[\x{0400}-\x{04FF}]"),
+        ("greek", r"[\x{0370}-\x{03FF}]"),
+        ("arabic", r"[\x{0600}-\x{06FF}]"),
+        ("cjk", r"[\x{4E00}-\x{9FFF}]"),
+    ]
+    _cnt_cols = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(text, '{cls}')) AS BIGINT)"
+        f" AS {n}_cnt"
+        for n, cls in _scr
+    )
+    _tot = " + ".join(f"{n}_cnt" for n, _ in _scr)
+    _best = "greatest(" + ", ".join(f"{n}_cnt" for n, _ in _scr) + ")"
+    _dom = "CASE "
+    for n, _ in _scr:
+        _dom += f"WHEN {n}_cnt = {_best} AND {_best} > 0 THEN '{n}' "
+    _dom += "ELSE NULL END"
+    _second = "greatest(" + ", ".join(
+        f"CASE WHEN ({_dom}) = '{n}' THEN 0 ELSE {n}_cnt END"
+        for n, _ in _scr
+    ) + ")"
+    sql["script_mix"] = f"""
+WITH e AS (SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0
+                  THEN replace(text, 'o', '\u043e') ELSE text END AS text
+           FROM documents),
+c AS (SELECT doc_id,
+  {_cnt_cols}
+  FROM e)
+SELECT doc_id, latin_cnt, cyrillic_cnt, greek_cnt, arabic_cnt, cjk_cnt,
+       CAST({_tot} AS BIGINT) AS scripted_cnt,
+       {_dom} AS dominant_script,
+       CASE WHEN ({_tot}) > 0
+             AND ({_second}) * 1000 > 50 * ({_tot})
+            THEN 1 ELSE 0 END AS mixed_flag
+FROM c ORDER BY doc_id"""
 
     # LPT snake-deal shard packing: global (tokens DESC, id) rank,
     # shard = pos or mirror by pass parity; digest per shard

@@ -1426,3 +1426,69 @@ def vocab_coverage(
             ).alias("coverage"),
         )
     )
+
+
+_SCRIPTS = (
+    # (name, Java-regex class) — order is the deterministic tiebreak
+    ("latin", "[A-Za-z]"),
+    ("cyrillic", "[\\u0400-\\u04FF]"),
+    ("greek", "[\\u0370-\\u03FF]"),
+    ("arabic", "[\\u0600-\\u06FF]"),
+    ("cjk", "[\\u4E00-\\u9FFF]"),
+)
+
+
+def script_mix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mixed_threshold_millis: int = 50,
+) -> DataFrame:
+    """Unicode-script composition per document — the mixed-script spam
+    / wrong-corpus screen (homoglyph keyword stuffing shows up as a
+    second script riding a dominant one long before language ID moves):
+    per-script character counts (Latin, Cyrillic, Greek, Arabic, CJK),
+    the dominant script (most chars; ties to the _SCRIPTS order), and a
+    mixed flag when the runner-up script holds more than
+    ``mixed_threshold_millis`` per-mille of scripted characters.
+
+    Counts are regexp_count over explicit code-point classes (JVM-side,
+    whole-stage codegen — a handful of regex scans per row, the
+    documented exception to the translate() rule because these classes
+    span thousands of code points); the flag arithmetic is exact
+    integer per-mille. Map-only."""
+    text = F.col(text_col)
+    counts = {
+        name: F.regexp_count(text, F.lit(cls)).alias(f"{name}_cnt")
+        for name, cls in _SCRIPTS
+    }
+    base = df.select(F.col(id_col), *counts.values())
+    total = None
+    for name, _ in _SCRIPTS:
+        c = F.col(f"{name}_cnt")
+        total = c if total is None else total + c
+    dom = F.lit(None).cast("string")
+    best = F.greatest(*[F.col(f"{n}_cnt") for n, _ in _SCRIPTS])
+    for name, _ in reversed(_SCRIPTS):
+        dom = F.when(
+            (F.col(f"{name}_cnt") == best) & (best > 0), F.lit(name)
+        ).otherwise(dom)
+    second = None
+    for name, _ in _SCRIPTS:
+        c = F.when(F.lit(name) != dom, F.col(f"{name}_cnt")).otherwise(
+            F.lit(0)
+        )
+        second = c if second is None else F.greatest(second, c)
+    return base.select(
+        id_col,
+        *[F.col(f"{n}_cnt").cast("long").alias(f"{n}_cnt") for n, _ in _SCRIPTS],
+        total.cast("long").alias("scripted_cnt"),
+        dom.alias("dominant_script"),
+        F.when(
+            (total > 0)
+            & (second * 1000 > F.lit(int(mixed_threshold_millis)) * total),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("mixed_flag"),
+    )

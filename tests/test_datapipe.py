@@ -2504,3 +2504,24 @@ def test_corpus_diff_hand_case(spark):
     # changed doc counts under its NEW source; removed under the old
     assert got["b"]["n_changed"] == 1 and got["b"]["n_added"] == 1
     assert got["b"]["n_removed"] == 1  # doc 3
+
+
+def test_script_mix_homoglyph_and_dominance(spark):
+    from rrdtool_1_x_spark.datapipe.textstats import script_mix
+
+    rows = [
+        (1, "hello world plain latin"),
+        (2, "привет мир"),
+        (3, "hellо wоrld"),   # Cyrillic о homoglyphs
+        (4, "12345 .,!"),                # no scripted chars
+        (5, "你好世界"),  # CJK
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in script_mix(df).collect()}
+    assert got[1]["dominant_script"] == "latin" and got[1]["mixed_flag"] == 0
+    assert got[2]["dominant_script"] == "cyrillic"
+    r3 = got[3]
+    assert (r3["dominant_script"], r3["mixed_flag"]) == ("latin", 1)
+    assert r3["cyrillic_cnt"] == 2
+    assert got[4]["dominant_script"] is None and got[4]["scripted_cnt"] == 0
+    assert got[5]["dominant_script"] == "cjk"
