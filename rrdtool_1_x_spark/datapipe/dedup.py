@@ -118,6 +118,25 @@ def minhash_signatures(
     return pre.select(id_col, *sigs)
 
 
+def _collapse_exact_reps(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """One representative (smallest id) per exact text — the shared
+    pre-LSH skew guard: identical texts have identical signatures, so a
+    10k-copy document would alone put k^2/2 candidate rows on one
+    shuffle key. Every banding/audit entry point collapses through THIS
+    helper so the rule (md5 text partition, min id) cannot drift."""
+    w = Window.partitionBy(F.md5(F.col(text_col).cast("binary"))).orderBy(
+        F.col(id_col)
+    )
+    return (
+        df.select(id_col, text_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def minhash_band_buckets(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -136,19 +155,8 @@ def minhash_band_buckets(
     a capped run drops."""
     base = df
     if collapse_exact:
-        # identical texts have identical signatures: a 10k-copy document
-        # would alone put 10k rows in one bucket per band (k²/2 candidate
-        # rows on one shuffle key — the classic dedup scale-killer). Exact
-        # duplicates are exact_dedup's job; keep one representative here.
-        w = Window.partitionBy(F.md5(F.col(text_col).cast("binary"))).orderBy(
-            F.col(id_col)
-        )
-        base = (
-            df.select(id_col, text_col)
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        # see _collapse_exact_reps — the shared pre-LSH skew guard
+        base = _collapse_exact_reps(df, id_col, text_col)
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(base, id_col, text_col, num_hashes, shingle_len)
     band_structs = F.array(
@@ -207,15 +215,7 @@ def minhash_near_duplicates(
     """
     base = df
     if collapse_exact:
-        w = Window.partitionBy(F.md5(F.col(text_col).cast("binary"))).orderBy(
-            F.col(id_col)
-        )
-        base = (
-            df.select(id_col, text_col)
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        base = _collapse_exact_reps(df, id_col, text_col)
     melted = minhash_band_buckets(
         base, id_col, text_col, num_hashes, bands, shingle_len, collapse_exact=False
     ).localCheckpoint(eager=True)  # feeds size count + both join sides
@@ -1287,17 +1287,7 @@ def lsh_precision_recall(
     Returns ONE row: (n_truth, n_candidates, n_hit, precision, recall,
     theory_recall_at_t). precision = hit/candidates (0 when no
     candidates); recall = hit/truth (1 when no truth pairs)."""
-    import math
-
-    w = Window.partitionBy(F.md5(F.col(text_col).cast("binary"))).orderBy(
-        F.col(id_col)
-    )
-    reps = (
-        df.select(id_col, text_col)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    reps = _collapse_exact_reps(df, id_col, text_col)
     ds = reps.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(

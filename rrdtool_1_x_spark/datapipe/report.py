@@ -362,22 +362,27 @@ def corpus_diff(
     and a per-group combinable count. Group attribution: a changed or
     unchanged doc counts under the NEW snapshot's group (re-sourcing a
     doc shows as its new home); removed docs count under the old one."""
+    # presence markers are explicit per-side flags, NOT hash nullability:
+    # a row whose text is NULL still EXISTS in its snapshot (it must
+    # classify as changed/unchanged, never as added/removed)
     o = old.select(
         F.col(id_col).alias("_id"),
         F.col(group_col).alias("_go"),
         F.md5(F.col(text_col).cast("binary")).alias("_ho"),
+        F.lit(1).alias("_po"),
     )
     n = new.select(
         F.col(id_col).alias("_id"),
         F.col(group_col).alias("_gn"),
         F.md5(F.col(text_col).cast("binary")).alias("_hn"),
+        F.lit(1).alias("_pn"),
     )
     j = o.join(n, "_id", "full_outer")
     grp = F.coalesce(F.col("_gn"), F.col("_go"))
     status = (
-        F.when(F.col("_ho").isNull(), F.lit("added"))
-        .when(F.col("_hn").isNull(), F.lit("removed"))
-        .when(F.col("_ho") == F.col("_hn"), F.lit("unchanged"))
+        F.when(F.col("_po").isNull(), F.lit("added"))
+        .when(F.col("_pn").isNull(), F.lit("removed"))
+        .when(F.col("_ho").eqNullSafe(F.col("_hn")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return (

@@ -1458,8 +1458,13 @@ def script_mix(
     span thousands of code points); the flag arithmetic is exact
     integer per-mille. Map-only."""
     text = F.col(text_col)
+    # cast to long at the source: regexp_count is int32 and the
+    # per-mille products below would overflow it on multi-MB documents
+    # (ANSI mode throws; legacy mode silently wraps)
     counts = {
-        name: F.regexp_count(text, F.lit(cls)).alias(f"{name}_cnt")
+        name: F.regexp_count(text, F.lit(cls))
+        .cast("long")
+        .alias(f"{name}_cnt")
         for name, cls in _SCRIPTS
     }
     base = df.select(F.col(id_col), *counts.values())

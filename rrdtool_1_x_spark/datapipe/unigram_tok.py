@@ -98,13 +98,23 @@ def seed_vocab(
     return sorted(top, key=lambda pc: (-pc[1], pc[0]))
 
 
+def _round_half_away(v: float) -> int:
+    """Half-away-from-zero — the rounding BOTH engines' round() uses
+    (Spark HALF_UP, DuckDB round); Python's builtin round() is
+    half-to-even and would diverge on exact .5 ties."""
+    return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+
 def _scores(vocab_counts: list[tuple[str, int]]) -> dict[str, int]:
-    """Integer micro-nat log-probs from counts: round(ln(c/T)*1e6) —
-    each one correctly-rounded double op of exact integers, the same
-    convention as unigram_logprob so the oracle reproduces it."""
+    """Integer micro-nat log-probs from counts: round(ln(c/T)*1e6) with
+    half-away-from-zero rounding — each one correctly-rounded double op
+    of exact integers, the same convention as unigram_logprob so the
+    oracle reproduces it."""
     total = sum(c for _, c in vocab_counts)
     return {
-        p: round(math.log(c / total) * 1e6) for p, c in vocab_counts if c > 0
+        p: _round_half_away(math.log(c / total) * 1e6)
+        for p, c in vocab_counts
+        if c > 0
     }
 
 
@@ -271,9 +281,13 @@ def unigram_doc_stats(
     words = doc_words.groupBy("word").agg(
         F.sum("m").alias("freq")
     )
-    seg = viterbi_segment(words, scores, max_piece).select(
-        "word", "n_pieces", "score"
-    )
+    # unsegmentable words (possible only when the supplied model does
+    # not cover a character — a model trained elsewhere) are DROPPED,
+    # matching the oracle's DP which never emits them; including them
+    # at score 0 would silently inflate the log-likelihood
+    seg = viterbi_segment(words, scores, max_piece).filter(
+        F.col("seg").isNotNull()
+    ).select("word", "n_pieces", "score")
     return (
         doc_words.join(seg, "word")
         .groupBy(id_col)

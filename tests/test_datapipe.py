@@ -2525,3 +2525,22 @@ def test_script_mix_homoglyph_and_dominance(spark):
     assert r3["cyrillic_cnt"] == 2
     assert got[4]["dominant_script"] is None and got[4]["scripted_cnt"] == 0
     assert got[5]["dominant_script"] == "cjk"
+
+
+def test_corpus_diff_null_text_is_presence_not_hash(spark):
+    """A NULL text still EXISTS in its snapshot: NULL->value and
+    value->NULL classify as changed (never added/removed); NULL->NULL
+    is unchanged (null-safe compare)."""
+    from rrdtool_1_x_spark.datapipe.report import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, "a", "two"), (3, "a", None)],
+        "doc_id long, source string, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "now set"), (2, "a", None), (3, "a", None)],
+        "doc_id long, source string, text string",
+    )
+    r = corpus_diff(old, new).collect()[0]
+    assert (r["n_added"], r["n_removed"]) == (0, 0)
+    assert r["n_changed"] == 2 and r["n_unchanged"] == 1
