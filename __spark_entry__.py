@@ -3597,6 +3597,30 @@ def q_opq_recall(spark, sf_dir):
     return ann_recall(approx, exact, k=10).orderBy("query_id")
 
 
+def q_opq_ivfpq_topk(spark, sf_dir):
+    """The composed retrieval stack: OPQ learned allocation -> IVF cell
+    probe -> PQ ADC scoring (datapipe.similarity.opq_permute +
+    ivfpq_topk) — the full FAISS-style OPQ,IVF,PQ index expressed as
+    dataflow, every stage integer-exact so the composition hash-gates
+    end-to-end. Pins that the learned layout composes with cell pruning
+    (at 100 TB: permute once at ingest, then IVFADC scans only probed
+    cells' 4-byte codes)."""
+    from rrdtool_1_x_spark.datapipe.similarity import ivfpq_topk
+
+    pe = _opq_emb(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "opqbook")
+    if key not in _IVF_MODEL_CACHE:
+        from rrdtool_1_x_spark.datapipe.similarity import pq_codebook
+
+        _IVF_MODEL_CACHE[key] = pq_codebook(pe, m=8, codes=16)
+    q = pe.orderBy("vec_id").limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ivfpq_topk(
+        pe, q, k=10, m=8, codes=16, codebook=_IVF_MODEL_CACHE[key]
+    ).orderBy("query_id", "rank")
+
+
 def q_rank_metrics(spark, sf_dir):
     """Ranked-retrieval eval triple (datapipe.similarity.ranking_metrics;
     Järvelin & Kekäläinen TOIS 2002): recall@10 / MRR@10 / NDCG@10 of
@@ -4573,6 +4597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "opq_recall": q_opq_recall,
         "opq_index_topup": q_opq_index_topup,
         "rank_metrics": q_rank_metrics,
+        "opq_ivfpq_topk": q_opq_ivfpq_topk,
         "event_transitions": q_event_transitions,
         "kn_heldout": q_kn_heldout,
         "lsh_pr": q_lsh_pr,
@@ -6701,6 +6726,8 @@ r AS (SELECT query_id, vec_id, pq_dist,
 SELECT query_id, vec_id, pq_dist, rank FROM r WHERE rank <= 10
 ORDER BY query_id, rank"""
     sql["opq_recall"] = sql["pq_recall"].replace(_pq_cte, _opq_pq_cte)
+    # composed stack: OPQ prefix + the IVFADC chain verbatim
+    sql["opq_ivfpq_topk"] = sql["ivfpq_topk"].replace(_pq_cte, _opq_pq_cte)
     # frozen-subset OPQ model: allocation variances AND codebook sample
     # only vec_id % 5 != 0; appends encode under that model
     sql["opq_index_topup"] = (
