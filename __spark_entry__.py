@@ -1256,6 +1256,18 @@ def _unigram_model(spark, sf_dir):
     return _UNIGRAM_MODEL_CACHE[key]
 
 
+def q_span_corrupt(spark, sf_dir):
+    """T5-style span corruption (datapipe.sampling.span_corrupt; Raffel
+    et al. JMLR 2020 §3.1.4): deterministic hash-drawn mask spans
+    (~15% of tokens), sentinel-substituted inputs and sentinel-prefixed
+    targets — the denoising-objective constructor, reproducible across
+    runs/engines/retries. Gate hash-checks the full corrupted/target
+    strings per document."""
+    from rrdtool_1_x_spark.datapipe.sampling import span_corrupt
+
+    return span_corrupt(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_script_mix(spark, sf_dir):
     """Unicode-script composition screen (datapipe.textstats
     .script_mix): the ASCII corpus is deterministically enriched —
@@ -4603,6 +4615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pr": q_lsh_pr,
         "corpus_diff": q_corpus_diff,
         "script_mix": q_script_mix,
+        "span_corrupt": q_span_corrupt,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
         "winnow_stream": q_winnow_stream,
@@ -9304,4 +9317,56 @@ SELECT grp AS source, CAST(n_g AS BIGINT) AS n_tokens,
        CAST(kl_micro AS BIGINT) AS kl_micro,
        round(kl_micro::DOUBLE / 1e6 / (n_g + v), 6) AS kl
 FROM fin ORDER BY source"""
+    # T5 span corruption: same hash draw, running-max island merge,
+    # sentinel pieces assembled with ORDER BY p string_agg
+    sql["span_corrupt"] = rf"""
+WITH t AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS toks
+           FROM documents),
+tk AS (SELECT doc_id, i - 1 AS p, toks[i] AS w
+       FROM t, unnest(range(1, len(toks) + 1)) AS r(i)),
+hh AS (SELECT doc_id, p, w,
+         md5('corrupt:' || CAST(doc_id AS VARCHAR) || ':'
+             || CAST(p AS VARCHAR)) AS hx
+       FROM tk),
+hv AS (SELECT doc_id, p, w, CAST((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 72057594037927936 + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 4503599627370496 + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 281474976710656 + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substr(hx, 7, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substr(hx, 8, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(hx, 9, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(hx, 10, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(hx, 11, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(hx, 12, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(hx, 13, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(hx, 14, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(hx, 15, 1)) - 1) * 1 AS BIGINT) AS h FROM hh),
+se AS (SELECT doc_id, p, w,
+         CASE WHEN h % 100 < 5
+              THEN p + (2 + (h // 100) % 3) - 1 END AS e
+       FROM hv),
+cu AS (SELECT doc_id, p, w,
+         max(e) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         max(e) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS pcum
+       FROM se),
+fl AS (SELECT doc_id, p, w,
+         (cum IS NOT NULL AND cum >= p) AS masked,
+         (cum IS NOT NULL AND cum >= p
+          AND (pcum IS NULL OR pcum < p)) AS isl_start
+       FROM cu),
+il AS (SELECT doc_id, p, w, masked, isl_start,
+         sum(CASE WHEN isl_start THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS UNBOUNDED PRECEDING) - 1 AS isl
+       FROM fl),
+pc AS (SELECT doc_id, p, masked, isl_start,
+         CASE WHEN NOT masked THEN w
+              WHEN isl_start
+              THEN '<extra_id_' || CAST(isl AS VARCHAR) || '>' END AS cp,
+         CASE WHEN masked THEN
+           CASE WHEN isl_start
+                THEN '<extra_id_' || CAST(isl AS VARCHAR) || '> ' || w
+                ELSE w END END AS tp
+       FROM il)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(CASE WHEN isl_start THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+  CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+  coalesce(string_agg(cp, ' ' ORDER BY p) FILTER (cp IS NOT NULL), '')
+    AS corrupted,
+  coalesce(string_agg(tp, ' ' ORDER BY p) FILTER (tp IS NOT NULL), '')
+    AS target
+FROM pc GROUP BY doc_id ORDER BY doc_id"""
     return sql

@@ -753,3 +753,127 @@ def shard_epoch(
         F.expr(f"_rank0 DIV {int(shard_size)}").cast("long").alias("shard"),
         (F.col("_rank0") % shard_size).cast("long").alias("pos_in_shard"),
     )
+
+
+def span_corrupt(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    start_pct: int = 5,
+    seed: str = "corrupt",
+) -> DataFrame:
+    """T5-style span corruption (Raffel et al. JMLR 2020 §3.1.4, the
+    denoising pre-training objective): mask token spans, replace each
+    contiguous masked run with ONE sentinel ``<extra_id_k>`` in the
+    input, and emit the target as the sentinel-prefixed masked spans —
+    made DETERMINISTIC (reproducible across runs/engines/retries, the
+    corpus-convention hash draw): position p starts a span when
+    ``h60(seed:id:p) % 100 < start_pct``, with span length
+    ``2 + (h DIV 100) % 3`` (2-4 tokens, mean 3 — start_pct=5 yields
+    the paper's ~15% corruption rate). Overlapping draws merge into one
+    island (running-max end), so sentinel numbering is stable.
+
+    Returns ``(id, n_tokens, n_spans, n_masked, corrupted, target)``;
+    a doc with no spans keeps its token stream verbatim with an empty
+    target.
+
+    Shape at scale: one shuffle on the doc key (the position windows:
+    running max end, island numbering), then one per-doc aggregate
+    whose collect_list is array_sort-ed before joining — order is
+    imposed, never assumed. Row width stays one document."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: t != "",
+    )
+    tok = df.select(
+        F.col(id_col), F.posexplode(toks).alias("p", "w")
+    )
+    h_sql = (
+        "CAST(conv(substring(md5(CAST(concat("
+        f"'{seed}:', CAST({id_col} AS STRING), ':', CAST(p AS STRING))"
+        " AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+    )
+    h = F.expr(h_sql)
+    # span length stays in BIGINT arithmetic: h/100 as a double rounds
+    # in the 53rd bit for 60-bit hashes and shifts every third span
+    slen = F.expr(f"2 + (({h_sql}) DIV 100) % 3")
+    send = F.when(
+        (h % 100) < F.lit(int(start_pct)),
+        F.col("p") + slen - 1,
+    )
+    wp = Window.partitionBy(id_col).orderBy("p")
+    run = Window.partitionBy(id_col).orderBy("p").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    prev = Window.partitionBy(id_col).orderBy("p").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    staged = (
+        tok.withColumn("_e", send)
+        .withColumn("_cum", F.max("_e").over(run))
+        .withColumn("_pcum", F.max("_e").over(prev))
+        .withColumn(
+            "_masked",
+            F.col("_cum").isNotNull() & (F.col("_cum") >= F.col("p")),
+        )
+        .withColumn(
+            "_isl_start",
+            F.col("_masked")
+            & (
+                F.col("_pcum").isNull()
+                | (F.col("_pcum") < F.col("p"))
+            ),
+        )
+        .withColumn(
+            "_isl",
+            F.sum(F.col("_isl_start").cast("int")).over(run) - 1,
+        )
+    )
+    sent = F.concat(
+        F.lit("<extra_id_"), F.col("_isl").cast("string"), F.lit(">")
+    )
+    corrupted_piece = F.when(~F.col("_masked"), F.col("w")).when(
+        F.col("_isl_start"), sent
+    )
+    target_piece = F.when(
+        F.col("_masked"),
+        F.when(
+            F.col("_isl_start"), F.concat(sent, F.lit(" "), F.col("w"))
+        ).otherwise(F.col("w")),
+    )
+    agg = staged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.col("_isl_start").cast("long")).alias("n_spans"),
+        F.sum(F.col("_masked").cast("long")).alias("n_masked"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            corrupted_piece.isNotNull(),
+                            F.struct(F.col("p"), corrupted_piece.alias("x")),
+                        )
+                    )
+                ),
+                lambda s: s["x"],
+            ),
+        ).alias("corrupted"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            target_piece.isNotNull(),
+                            F.struct(F.col("p"), target_piece.alias("x")),
+                        )
+                    )
+                ),
+                lambda s: s["x"],
+            ),
+        ).alias("target"),
+    )
+    return agg.select(
+        id_col, "n_tokens", "n_spans", "n_masked", "corrupted", "target"
+    )

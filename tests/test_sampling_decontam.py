@@ -1006,3 +1006,68 @@ def test_balanced_shards_snake_and_balance(spark):
         .collect()
     }
     assert max(tot2.values()) / min(tot2.values()) < 1.02
+
+
+def test_span_corrupt_reference_and_invariants(spark):
+    """span_corrupt equals a direct Python transcription of the hash
+    draw / running-max island merge on hand docs, sentinels number in
+    order, reconstruction works (corrupted+target hold every token),
+    and the empty doc vanishes."""
+    import hashlib
+
+    from rrdtool_1_x_spark.datapipe.sampling import span_corrupt
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def ref(doc_id, text, start_pct=30):
+        toks = [t for t in text.lower().strip().split() if t]
+        cum = None
+        k = -1
+        corrupted, target, n_masked, n_spans = [], [], 0, 0
+        for p, w in enumerate(toks):
+            h = h60(f"corrupt:{doc_id}:{p}")
+            prev_cum = cum
+            if h % 100 < start_pct:
+                e = p + (2 + (h // 100) % 3) - 1
+                cum = e if cum is None else max(cum, e)
+            m = cum is not None and cum >= p
+            if m:
+                n_masked += 1
+                if prev_cum is None or prev_cum < p:
+                    k += 1
+                    n_spans += 1
+                    corrupted.append(f"<extra_id_{k}>")
+                    target.append(f"<extra_id_{k}> {w}")
+                else:
+                    target.append(w)
+            else:
+                corrupted.append(w)
+        return (
+            len(toks), n_spans, n_masked,
+            " ".join(corrupted), " ".join(target),
+        )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "one two three four five six seven eight nine ten"),
+        (3, "   "),  # whitespace-only -> zero tokens -> no output row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_spans"], r["n_masked"],
+            r["corrupted"], r["target"],
+        )
+        for r in span_corrupt(df, start_pct=30).collect()
+    }
+    assert 3 not in got
+    for did, text in rows[:2]:
+        assert got[did] == ref(did, text), did
+    # reconstruction: token multiset of corrupted+target minus sentinels
+    # equals the original tokens
+    for did, text in rows[:2]:
+        toks = sorted(text.lower().split())
+        pieces = (got[did][3] + " " + got[did][4]).split()
+        rebuilt = sorted(t for t in pieces if not t.startswith("<extra_id_"))
+        assert rebuilt == toks
