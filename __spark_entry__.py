@@ -1314,6 +1314,25 @@ def q_corpus_diff(spark, sf_dir):
     return corpus_diff(d, new).orderBy("source")
 
 
+def q_unigram_nbest(spark, sf_dir):
+    """Deterministic 2-best Viterbi segmentations per word under the
+    trained unigram model (datapipe.unigram_tok.viterbi_nbest) — the
+    n-best machinery subword regularization samples from (Kudo 2018
+    §4); beam truncation mirrored layer-by-layer in the oracle so even
+    pathological score ties agree cross-engine."""
+    from rrdtool_1_x_spark.datapipe.unigram_tok import (
+        viterbi_nbest,
+        word_frame,
+    )
+
+    model = _unigram_model(spark, sf_dir)
+    scores = {p: s for p, _, s in model}
+    words = word_frame(_docs(spark, sf_dir))
+    return viterbi_nbest(words, scores, max_piece=4, nbest=2).orderBy(
+        "word", "rank"
+    )
+
+
 def q_lsh_pr(spark, sf_dir):
     """LSH banding quality audit (datapipe.dedup.lsh_precision_recall):
     measured precision/recall of the 8-hash/4-band candidate set
@@ -4618,6 +4637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corrupt": q_span_corrupt,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
+        "unigram_nbest": q_unigram_nbest,
         "winnow_stream": q_winnow_stream,
         "logq_stream": q_logq_stream,
         "kmv_index_topup": q_kmv_index_topup,
@@ -5188,10 +5208,12 @@ rscq AS (SELECT l.query_id, en.vec_id,
 # ---------------------------------------------------- unigram-LM oracle
 
 
-def _unigram_dp_chain(tag: str, score_cte: str, maxw: int, maxp: int) -> str:
+def _unigram_dp_chain(tag: str, score_cte: str, maxw: int, maxp: int,
+                      nbest: int = 1) -> str:
     """Viterbi DP over positions 1..maxw as materialized CTE layers —
-    the SQL twin of unigram_tok.viterbi_segment: dp{tag}_{i} = best
-    (score, seg) per word prefix, picked by (score DESC, seg ASC)."""
+    the SQL twin of unigram_tok.viterbi_segment / viterbi_nbest:
+    dp{tag}_{i} = the ``nbest`` best (score DESC, seg ASC) partials per
+    word prefix (beam truncation mirrored layer-by-layer)."""
     ctes = [
         f"dp{tag}_0 AS MATERIALIZED (SELECT word, freq,"
         f" CAST(0 AS BIGINT) AS score, '' AS seg FROM words)"
@@ -5213,7 +5235,7 @@ def _unigram_dp_chain(tag: str, score_cte: str, maxw: int, maxp: int) -> str:
             f"dp{tag}_{i} AS MATERIALIZED (SELECT word, freq, score, seg"
             f" FROM (\n  SELECT *, row_number() OVER (PARTITION BY word"
             f" ORDER BY score DESC, seg ASC) AS rn FROM (\n{union}\n) _\n)"
-            f" __ WHERE rn = 1)"
+            f" __ WHERE rn <= {nbest})"
         )
     fins = "\nUNION ALL\n".join(
         f"SELECT word, freq, seg, score FROM dp{tag}_{i}"
@@ -5255,10 +5277,11 @@ tot{tag} AS (SELECT sum(cnt) AS t FROM kept{tag}),
 
 
 def _unigram_oracle(maxw: int = 16, maxp: int = 4, seed: int = 128,
-                    vsize: int = 48) -> tuple[str, str]:
-    """(vocab_sql, segment_sql) for the unigram_vocab /
-    unigram_segment gates — seed vocab, two Viterbi-EM rounds, prune,
-    then a third DP under the final model for per-doc stats."""
+                    vsize: int = 48) -> tuple[str, str, str]:
+    """(vocab_sql, segment_sql, nbest_sql) for the unigram_vocab /
+    unigram_segment / unigram_nbest gates — seed vocab, two Viterbi-EM
+    rounds, prune, then further DP chains under the final model (1-best
+    per-doc stats; beam-2 n-best per word)."""
     head = rf"""
 WITH words AS MATERIALIZED (
   SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
@@ -5294,6 +5317,17 @@ sc0 AS MATERIALIZED (
     vocab_sql = core + """
 SELECT piece, cnt, logp AS logp_micro FROM sc2
 ORDER BY cnt DESC, piece ASC"""
+    nbest_sql = (
+        core
+        + ",\n"
+        + _unigram_dp_chain("d", "sc2", maxw, maxp, nbest=2)
+        + """
+SELECT word, freq,
+       CAST(row_number() OVER (PARTITION BY word
+            ORDER BY score DESC, seg ASC) AS BIGINT) AS rank,
+       seg, score
+FROM find ORDER BY word, rank"""
+    )
     docw = r""",
 docw AS MATERIALIZED (
   SELECT doc_id, word, CAST(count(*) AS BIGINT) AS m FROM (
@@ -5314,7 +5348,7 @@ SELECT d.doc_id, CAST(sum(d.m) AS BIGINT) AS n_words,
 FROM docw d JOIN finc f USING (word)
 GROUP BY d.doc_id ORDER BY d.doc_id"""
     )
-    return vocab_sql, seg_sql
+    return vocab_sql, seg_sql, nbest_sql
 
 
 def oracle_sql() -> dict[str, str]:
@@ -9186,7 +9220,11 @@ FROM sel ORDER BY source"""
     # per-document fingerprints + set-union appends == one-shot winnow
     sql["winnow_index_topup"] = sql["winnow_overlap"]
     sql["winnow_stream"] = sql["winnow_overlap"]
-    sql["unigram_vocab"], sql["unigram_segment"] = _unigram_oracle()
+    (
+        sql["unigram_vocab"],
+        sql["unigram_segment"],
+        sql["unigram_nbest"],
+    ) = _unigram_oracle()
 
     # snapshot diff: derived new snapshot (%11 removed, %13 mutated,
     # 5 added under 'newsrc'), full-outer on id, md5 content compare;

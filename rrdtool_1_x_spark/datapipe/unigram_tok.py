@@ -301,3 +301,69 @@ def unigram_doc_stats(
             ),
         )
     )
+
+
+_NBEST_SCHEMA = StructType(
+    [
+        StructField("word", StringType()),
+        StructField("freq", LongType()),
+        StructField("rank", LongType()),
+        StructField("seg", StringType()),
+        StructField("score", LongType()),
+    ]
+)
+
+
+def viterbi_nbest(
+    words: DataFrame,
+    scores: dict[str, int],
+    max_piece: int = 4,
+    nbest: int = 2,
+) -> DataFrame:
+    """N-best segmentations per word — the machinery subword
+    regularization (Kudo 2018 §4) samples from, deterministic: each
+    prefix keeps its ``nbest`` best (score DESC, seg ASC) partials and
+    extends them (a segmentation string encodes its path uniquely, so
+    beam entries never collide). Ties beyond the beam width resolve by
+    the beam rule itself — the oracle mirrors the truncation layer by
+    layer, so the result is engine-exact even in pathological
+    equal-score ties. Returns (word, freq, rank, seg, score) with
+    rank 1..nbest (fewer when a word has fewer segmentations)."""
+    spark = words.sparkSession
+    b = spark.sparkContext.broadcast(dict(scores))
+    mp, nb = int(max_piece), int(nbest)
+
+    def run(batches):
+        import pandas as pd
+
+        sc = b.value
+        for pdf in batches:
+            out = {"word": [], "freq": [], "rank": [], "seg": [],
+                   "score": []}
+            for word, freq in zip(pdf["word"], pdf["freq"]):
+                n = len(word)
+                dp: list[list[tuple[int, str]]] = [[] for _ in range(n + 1)]
+                dp[0] = [(0, "")]
+                for i in range(1, n + 1):
+                    cands = []
+                    for l in range(1, min(mp, i) + 1):
+                        j = i - l
+                        s = sc.get(word[j:i])
+                        if s is None:
+                            continue
+                        for ps, pseg in dp[j]:
+                            seg = (
+                                pseg + " " + word[j:i] if pseg else word[j:i]
+                            )
+                            cands.append((ps + s, seg))
+                    cands.sort(key=lambda t: (-t[0], t[1]))
+                    dp[i] = cands[:nb]
+                for r, (s, seg) in enumerate(dp[n], start=1):
+                    out["word"].append(word)
+                    out["freq"].append(int(freq))
+                    out["rank"].append(r)
+                    out["seg"].append(seg)
+                    out["score"].append(int(s))
+            yield pd.DataFrame(out)
+
+    return words.select("word", "freq").mapInPandas(run, _NBEST_SCHEMA)

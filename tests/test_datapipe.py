@@ -2544,3 +2544,37 @@ def test_corpus_diff_null_text_is_presence_not_hash(spark):
     r = corpus_diff(old, new).collect()[0]
     assert (r["n_added"], r["n_removed"]) == (0, 0)
     assert r["n_changed"] == 2 and r["n_unchanged"] == 1
+
+
+def test_viterbi_nbest_order_and_distinctness(spark):
+    """2-best segmentations: rank 1 equals the 1-best Viterbi result,
+    rank 2 is a strictly different segmentation with score <= rank 1,
+    and a single-char-only word has exactly one segmentation."""
+    from rrdtool_1_x_spark.datapipe.unigram_tok import (
+        viterbi_nbest,
+        viterbi_segment,
+    )
+
+    words = spark.createDataFrame(
+        [("abab", 3), ("q", 1)], "word string, freq long"
+    )
+    scores = {"a": -100, "b": -120, "ab": -150, "q": -50}
+    nb = {}
+    for r in viterbi_nbest(words, scores, max_piece=2, nbest=2).collect():
+        nb.setdefault(r["word"], []).append((r["rank"], r["seg"], r["score"]))
+    one = {
+        r["word"]: (r["seg"], r["score"])
+        for r in viterbi_segment(words, scores, max_piece=2).collect()
+    }
+    for w, rows in nb.items():
+        rows.sort()
+        assert (rows[0][1], rows[0][2]) == one[w]
+        if len(rows) > 1:
+            assert rows[1][1] != rows[0][1]
+            assert rows[1][2] <= rows[0][2]
+    # abab best: 'ab ab' (-300) beats 'a b a b' (-440) etc.
+    assert nb["abab"][0][1] == "ab ab" and nb["abab"][0][2] == -300
+    # second best: replace one 'ab' with 'a b': score -370; tie between
+    # 'a b ab' and 'ab a b' -> lexicographic smaller wins rank 2
+    assert nb["abab"][1] == (2, "a b ab", -370)
+    assert len(nb["q"]) == 1 and nb["q"][0][1] == "q"
