@@ -228,14 +228,24 @@ def priority_sample(
     inv_prio = F.expr(
         f"({h_sql} + 1L) DIV CAST({weight_col} AS BIGINT)"
     )
-    w = Window.partitionBy(
-        *(strata if strata else [F.lit(1)])
-    ).orderBy(inv_prio.asc(), h.asc(), F.col(id_col).asc())
-    return (
-        df.filter(F.col(weight_col).cast("long") > 0)
-        .withColumn("prio_rank", F.row_number().over(w))
-        .filter(F.col("prio_rank") <= k)
-    )
+    base = df.filter(F.col(weight_col).cast("long") > 0)
+    if strata:
+        w = Window.partitionBy(*strata).orderBy(
+            inv_prio.asc(), h.asc(), F.col(id_col).asc()
+        )
+        return (
+            base.withColumn("prio_rank", F.row_number().over(w))
+            .filter(F.col("prio_rank") <= k)
+        )
+    # global sample: orderBy().limit() = TakeOrdered (per-partition
+    # top-k, k-row driver merge) — an unpartitioned rank window would
+    # funnel the whole corpus through one task (the kmeans-init lesson);
+    # the rank re-derives on the K-ROW survivor frame
+    top = base.orderBy(
+        inv_prio.asc(), h.asc(), F.col(id_col).asc()
+    ).limit(int(k))
+    wk = Window.orderBy(inv_prio.asc(), h.asc(), F.col(id_col).asc())
+    return top.withColumn("prio_rank", F.row_number().over(wk))
 
 
 def token_budget_sample(
