@@ -9099,7 +9099,8 @@ GROUP BY 1, 2 HAVING count(*) >= 3
 ORDER BY id_a, id_b"""
 
     # priority sampling: per-source bottom-8 by exact-integer
-    # (h60+1) // n_tokens, tiebreak (h60, doc_id); n_tokens > 0 rows only
+    # (h60+1) // n_tokens, tiebreak (n_tokens DESC, h60, doc_id) so
+    # heavier rows win within a quantization bucket; n_tokens > 0 only
     _h60p = " + ".join(
         f"(strpos('0123456789abcdef', substr(hx, {j + 1}, 1)) - 1)"
         f" * {16 ** (14 - j)}"
@@ -9117,7 +9118,8 @@ h AS (SELECT doc_id, source, n_tokens,
         CAST({_h60p} AS BIGINT) AS hv FROM h0),
 r AS (SELECT source, doc_id, n_tokens,
         CAST(row_number() OVER (PARTITION BY source
-          ORDER BY (hv + 1) // n_tokens ASC, hv ASC, doc_id ASC)
+          ORDER BY (hv + 1) // n_tokens ASC, n_tokens DESC,
+                   hv ASC, doc_id ASC)
           AS INT) AS prio_rank
       FROM h)
 SELECT source, doc_id, n_tokens, prio_rank FROM r
@@ -9230,7 +9232,8 @@ FROM sel ORDER BY source"""
     # 5 added under 'newsrc'), full-outer on id, md5 content compare;
     # changed/unchanged count under the NEW group, removed under the old
     sql["corpus_diff"] = """
-WITH o AS (SELECT doc_id AS id, source AS go, md5(text) AS ho
+WITH o AS (SELECT doc_id AS id, source AS go, md5(text) AS ho,
+                  1 AS po
            FROM documents),
 base AS (SELECT doc_id, source, text FROM documents),
 mut AS (SELECT doc_id, source,
@@ -9238,12 +9241,13 @@ mut AS (SELECT doc_id, source,
         FROM base WHERE doc_id % 11 != 0),
 add_ AS (SELECT doc_id + 2000000 AS doc_id, 'newsrc' AS source, text
          FROM (SELECT * FROM base ORDER BY doc_id LIMIT 5) _),
-n AS (SELECT doc_id AS id, source AS gn, md5(text) AS hn FROM mut
-      UNION ALL SELECT doc_id, source, md5(text) FROM add_),
+n AS (SELECT doc_id AS id, source AS gn, md5(text) AS hn, 1 AS pn
+      FROM mut
+      UNION ALL SELECT doc_id, source, md5(text), 1 FROM add_),
 j AS (SELECT coalesce(n.gn, o.go) AS source,
-        CASE WHEN o.ho IS NULL THEN 'added'
-             WHEN n.hn IS NULL THEN 'removed'
-             WHEN o.ho = n.hn THEN 'unchanged'
+        CASE WHEN o.po IS NULL THEN 'added'
+             WHEN n.pn IS NULL THEN 'removed'
+             WHEN o.ho IS NOT DISTINCT FROM n.hn THEN 'unchanged'
              ELSE 'changed' END AS st
       FROM o FULL OUTER JOIN n ON o.id = n.id)
 SELECT source,

@@ -204,12 +204,15 @@ def priority_sample(
     Engine-portable determinism: ``u`` is the 60-bit md5 draw, and the
     rank key is the FLOOR-quantized inverse priority
     ``(h + 1) DIV w`` ascending (h+1 so a zero hash cannot win every
-    draw), ties broken by (h, id). Floor quantization only reorders
-    rows whose true priorities agree to integer precision of h/w —
-    broken deterministically — and keeps every comparison exact BIGINT
-    (a float u would make cross-engine ranking drift in the last ulp).
-    Rows with weight <= 0 never enter the sample (documented: weights
-    are counts).
+    draw), ties broken by (weight DESC, h, id). Floor quantization only
+    merges rows whose true priorities agree to integer precision of
+    h/w — in particular every row with ``w >= h+1`` quantizes to
+    inv_prio 0 — and the weight-DESC tie-break keeps the selection
+    *within* a quantization bucket ordered the way Duffield et al.'s
+    exact priorities would lean (heavier first) instead of uniformly by
+    hash. Every comparison stays exact BIGINT (a float u would make
+    cross-engine ranking drift in the last ulp). Rows with weight <= 0
+    never enter the sample (documented: weights are counts).
 
     One shuffle on the strata key (global sample = one deterministic
     stratum), rank via top-k window — map-side partial sort at scale,
@@ -229,10 +232,10 @@ def priority_sample(
         f"({h_sql} + 1L) DIV CAST({weight_col} AS BIGINT)"
     )
     base = df.filter(F.col(weight_col).cast("long") > 0)
+    wdesc = F.col(weight_col).cast("long").desc()
+    order = [inv_prio.asc(), wdesc, h.asc(), F.col(id_col).asc()]
     if strata:
-        w = Window.partitionBy(*strata).orderBy(
-            inv_prio.asc(), h.asc(), F.col(id_col).asc()
-        )
+        w = Window.partitionBy(*strata).orderBy(*order)
         return (
             base.withColumn("prio_rank", F.row_number().over(w))
             .filter(F.col("prio_rank") <= k)
@@ -241,10 +244,8 @@ def priority_sample(
     # top-k, k-row driver merge) — an unpartitioned rank window would
     # funnel the whole corpus through one task (the kmeans-init lesson);
     # the rank re-derives on the K-ROW survivor frame
-    top = base.orderBy(
-        inv_prio.asc(), h.asc(), F.col(id_col).asc()
-    ).limit(int(k))
-    wk = Window.orderBy(inv_prio.asc(), h.asc(), F.col(id_col).asc())
+    top = base.orderBy(*order).limit(int(k))
+    wk = Window.orderBy(*order)
     return top.withColumn("prio_rank", F.row_number().over(wk))
 
 

@@ -364,10 +364,16 @@ def start_quantile_stream(
 
     ``sketch_path`` and ``checkpoint_path`` form ONE unit: reusing a
     sketch dir with a fresh checkpoint restarts batch ids at 0 and
-    therefore restarts the sketch. Read the result with
-    ``quantile_stream_sketch`` / ``quantile_stream_quantiles`` (max
-    snapshot). Old snapshots are retained (they are sketch-sized);
-    production compacts with the sources.store manifest pattern.
+    therefore restarts the sketch — and because the reader keys on the
+    MAX snapshot id, a batch with no predecessor (a fresh generation's
+    batch 0) first DELETES any stale ``snap_<id>`` with id >= its own
+    batch id so the previous generation cannot shadow the new state.
+    The delete is replay-safe: a replayed batch 0 hits the same no-
+    predecessor branch and recomputes from its own batch data. Read the
+    result with ``quantile_stream_sketch`` / ``quantile_stream_quantiles``
+    (max snapshot). Within a generation old snapshots are retained (they
+    are sketch-sized); production compacts with the sources.store
+    manifest pattern.
 
     Stored state stays bucket-sized (~1k rows per group) however long
     the stream runs; per micro-batch: one batch scan + a sketch-sized
@@ -398,7 +404,20 @@ def start_quantile_stream(
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         new = logq_sketch(batch_df, F.col(value_col), groups)
-        prev = [s for s in _snapshots(spark) if s < batch_id]
+        snaps = _snapshots(spark)
+        prev = [s for s in snaps if s < batch_id]
+        if not prev:
+            # fresh generation (checkpoint restarted batch ids): stale
+            # higher-id snapshots from a prior generation would shadow
+            # this run at read time — drop them before writing
+            jvm = spark._jvm
+            conf = spark._jsc.hadoopConfiguration()
+            for s in snaps:
+                if s >= batch_id:
+                    sp = jvm.org.apache.hadoop.fs.Path(
+                        f"{sketch_path}/snap_{s}"
+                    )
+                    sp.getFileSystem(conf).delete(sp, True)
         if prev:
             old = spark.read.parquet(f"{sketch_path}/snap_{prev[-1]}")
             merged = (

@@ -862,8 +862,8 @@ def test_priority_sample_weight_biased_exact_and_guarded(spark):
             h = int(
                 hashlib.md5(f"{seed}:{did}".encode()).hexdigest()[:15], 16
             )
-            cand.append(((h + 1) // w, h, did))
-        return [d for _, _, d in sorted(cand)]
+            cand.append(((h + 1) // w, -w, h, did))
+        return [d for _, _, _, d in sorted(cand)]
 
     got = priority_sample(df, k=5, weight_col="wt", seed="prio").orderBy(
         "prio_rank"
@@ -879,6 +879,28 @@ def test_priority_sample_weight_biased_exact_and_guarded(spark):
         == 99
     )
     assert wins >= 15, wins
+
+
+def test_priority_sample_heavy_bucket_tiebreak(spark):
+    """Rows whose weight exceeds h+1 all floor-quantize to inverse
+    priority 0; within that bucket the tie-break is weight DESC (then
+    hash, id), so the heaviest row ranks first — the Duffield-order
+    lean, not a uniform hash draw."""
+    from rrdtool_1_x_spark.datapipe.sampling import priority_sample
+
+    big = 1 << 61  # >= any 60-bit hash + 1 -> inv_prio 0 for all
+    rows = [(1, big), (2, big * 2), (3, big), (4, 7)]
+    df = spark.createDataFrame(rows, "doc_id long, wt long")
+    got = (
+        priority_sample(df, k=4, weight_col="wt", seed="prio")
+        .orderBy("prio_rank")
+        .collect()
+    )
+    # rank 1 = the strictly heaviest zero-bucket row; the two equal-BIG
+    # rows follow in (hash, id) order; the light row is last
+    assert got[0]["doc_id"] == 2
+    assert {got[1]["doc_id"], got[2]["doc_id"]} == {1, 3}
+    assert got[3]["doc_id"] == 4
 
 
 def test_logq_sketch_buckets_accuracy_and_merge_law(spark):

@@ -971,3 +971,56 @@ def test_quantile_stream_snapshot_commits_replay_safe(spark, tmp_path):
     # sketch_path+checkpoint_path unit contract
     drain(str(tmp_path / "ck2"))
     assert stored() == oneshot(spark.read.parquet(src))
+
+
+def test_quantile_stream_fresh_generation_clears_stale_snapshots(
+    spark, tmp_path
+):
+    """A fresh checkpoint over an existing sketch dir restarts batch ids
+    at 0; if the new generation runs FEWER batches than the old one, the
+    old generation's higher-id snapshots must not shadow the new state
+    at read time (the reader keys on max snapshot id). The first batch
+    of a generation deletes snapshots with id >= its own."""
+    from pyspark.sql import functions as F
+
+    from rrdtool_1_x_spark.datapipe.sketch import logq_sketch
+    from rrdtool_1_x_spark.streaming.datapipe_stream import (
+        quantile_stream_sketch,
+        start_quantile_stream,
+    )
+
+    sk = str(tmp_path / "sk")
+
+    def drain(src, ck, per_trigger):
+        reader = spark.readStream.schema("g string, v long")
+        if per_trigger:
+            reader = reader.option("maxFilesPerTrigger", 1)
+        q = start_quantile_stream(reader.parquet(src), sk, ck, "v", ["g"])
+        assert q.awaitTermination(300), "drain did not finish in 300s"
+
+    def stored():
+        return {
+            (r["g"], r["bucket"]): r["cnt"]
+            for r in quantile_stream_sketch(spark, sk).collect()
+        }
+
+    # generation 1: three files, one per micro-batch -> snaps 0,1,2
+    src1 = str(tmp_path / "in1")
+    for lo in (0, 300, 600):
+        spark.createDataFrame(
+            [("a", 10 + i) for i in range(lo, lo + 300)], "g string, v long"
+        ).coalesce(1).write.mode("append").parquet(src1)
+    drain(src1, str(tmp_path / "ck1"), per_trigger=True)
+    # generation 2: different (smaller) input, fresh checkpoint, ONE
+    # batch -> writes only snap_0; stale snaps 1,2 must be gone
+    src2 = str(tmp_path / "in2")
+    gen2 = spark.createDataFrame(
+        [("b", 7), ("b", 9), ("a", 5)], "g string, v long"
+    )
+    gen2.coalesce(1).write.parquet(src2)
+    drain(src2, str(tmp_path / "ck2"), per_trigger=False)
+    want = {
+        (r["g"], r["bucket"]): r["cnt"]
+        for r in logq_sketch(gen2, F.col("v"), ["g"]).collect()
+    }
+    assert stored() == want
