@@ -4297,6 +4297,74 @@ def q_dup_spans(spark, sf_dir):
     return duplicated_ngram_spans(_docs(spark, sf_dir), n=8).orderBy("doc_id")
 
 
+def _langid_planted(spark, sf_dir):
+    """Planted 3-way multilingual corpus: one shared vocabulary, a
+    per-language deterministic character mapping (transliteration-style
+    pseudo-languages — whitespace tokenization is identical, only char
+    n-grams separate them). Mirrored verbatim in the langid oracle."""
+    s = F.lower(F.trim(F.col("text")))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, s)
+        .when(F.col("doc_id") % 3 == 1, F.translate(s, "aeiou", "äëïöü"))
+        .otherwise(F.translate(s, "aeiount", "аеиоунт"))
+        .alias("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("lat"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("uml"))
+        .otherwise(F.lit("cyr"))
+        .alias("lang"),
+    )
+
+
+def q_langid(spark, sf_dir):
+    """Trained language ID (datapipe.textstats.langid_nb): hashed
+    char-trigram multinomial NB with a train/apply split — the fasttext
+    lid.176 shape the CCNet-style curation stack gates on, where
+    lang_guess is only the stopword heuristic tier. Trained on the
+    doc_id%7==0 seed slice of a planted transliteration corpus and
+    applied to the held-out rest; integer micro-nat weights make the
+    argmax bit-exact (accuracy vs the heuristic is pinned by pytest)."""
+    from rrdtool_1_x_spark.datapipe.textstats import langid_nb
+
+    planted = _langid_planted(spark, sf_dir)
+    train = planted.filter(F.col("doc_id") % 7 == 0)
+    test = planted.filter(F.col("doc_id") % 7 != 0)
+    return langid_nb(train, test, n=3, n_buckets=4096).orderBy("doc_id")
+
+
+def q_suffix_dedup(spark, sf_dir):
+    """Variable-length exact-substring duplicate extents
+    (datapipe.dedup.exact_substring_spans) — the suffix-array tier of
+    Lee et al. 2022's ExactSubstr dedup: sorted 12-token anchors, a
+    window is covered iff its gram repeats corpus-wide (across or
+    within docs), consecutive covered anchors merge into maximal
+    (span_start, span_len) extents. Planted: doc_id%21==0 docs repeat
+    themselves (within-doc tier), other doc_id%9==0 docs share an
+    18-token boilerplate tail (cross-doc tier)."""
+    from rrdtool_1_x_spark.datapipe.dedup import exact_substring_spans
+
+    boiler = (
+        "all rights reserved this corpus is distributed under the open"
+        " data license terms apply to every derived work"
+    )
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 21 == 0,
+            F.concat(F.col("text"), F.lit(" "), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(F.col("text"), F.lit(" " + boiler)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return exact_substring_spans(planted, n=12).orderBy(
+        "doc_id", "span_start"
+    )
+
+
 _DF_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
 
@@ -4767,6 +4835,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "token_budget": q_token_budget,
         "vocab_top": q_vocab_top,
+        "langid": q_langid,
+        "suffix_dedup": q_suffix_dedup,
     }
     # curate materializes its stage results eagerly at construction
     # (localCheckpoint inside curate_corpus): memoizing the DataFrame
@@ -5749,6 +5819,104 @@ pred AS (SELECT doc_id, l AS pred FROM (
 SELECT d.doc_id, d.lang AS label, pred.pred,
        CASE WHEN pred.pred = d.lang THEN 1 ELSE 0 END AS correct
 FROM documents d LEFT JOIN pred USING (doc_id) ORDER BY d.doc_id"""
+
+    # trained language ID: planted transliteration corpus (q_langid's
+    # _langid_planted mirrored), char-trigram md5('lid:'||g) buckets %
+    # 4096, NB trained on the doc_id%7==0 slice, applied to the rest;
+    # same micro-nat quantization + smallest-label tiebreak as
+    # nb_classify. Shared CTEs MATERIALIZED (DuckDB re-inlines plain
+    # CTEs per reference).
+    sql["langid"] = rf"""
+WITH src AS MATERIALIZED (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN lower(trim(text))
+         WHEN doc_id % 3 = 1
+           THEN translate(lower(trim(text)), 'aeiou', 'äëïöü')
+         ELSE translate(lower(trim(text)), 'aeiount', 'аеиоунт')
+    END AS s,
+    CASE WHEN doc_id % 3 = 0 THEN 'lat'
+         WHEN doc_id % 3 = 1 THEN 'uml' ELSE 'cyr' END AS lang
+  FROM documents),
+g AS (SELECT doc_id,
+        unnest(CASE WHEN len(s) >= 3
+               THEN list_transform(range(1, len(s) - 1),
+                                   i -> substr(s, i, 3))
+               ELSE [s] END) AS gr
+      FROM src),
+hb AS (SELECT doc_id,
+         CAST(({_nb_hex.replace("substr(h,", "substr(hh,")}) % 4096
+              AS BIGINT) AS b
+       FROM (SELECT doc_id, md5('lid:' || gr) AS hh FROM g
+             WHERE gr != '') _),
+db AS MATERIALIZED (
+  SELECT doc_id, b, count(*) AS m FROM hb GROUP BY 1, 2),
+lab AS MATERIALIZED (
+  SELECT doc_id, lang AS l FROM src WHERE doc_id % 7 = 0),
+lb AS (SELECT lab.l, db.b, sum(m) AS c
+       FROM db JOIN lab USING (doc_id) GROUP BY 1, 2),
+tl AS MATERIALIZED (
+  SELECT l, CAST(sum(c) AS BIGINT) AS tl FROM lb GROUP BY 1),
+model AS (SELECT l, b,
+            CAST(round(ln((c + 1)::DOUBLE / (tl + 4096)) * 1e6) AS BIGINT)
+              AS lq
+          FROM lb JOIN tl USING (l)),
+nd AS (SELECT count(*) AS n FROM lab),
+prior AS (SELECT l,
+            CAST(round(ln(nl::DOUBLE / n) * 1e6) AS BIGINT) AS pq,
+            CAST(round(ln(1.0 / (tl + 4096)) * 1e6) AS BIGINT) AS missq
+          FROM (SELECT l, count(*) AS nl FROM lab GROUP BY 1) p
+          JOIN tl USING (l) CROSS JOIN nd),
+sc AS (SELECT db.doc_id, pr.l,
+         any_value(pr.pq) + sum(db.m * coalesce(model.lq, pr.missq))
+           AS score
+       FROM db CROSS JOIN prior pr
+       LEFT JOIN model ON model.l = pr.l AND model.b = db.b
+       WHERE db.doc_id % 7 != 0
+       GROUP BY 1, 2),
+pred AS (SELECT doc_id, l AS pred FROM (
+           SELECT doc_id, l,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, l ASC) AS rn
+           FROM sc) _ WHERE rn = 1)
+SELECT s.doc_id, s.lang AS label, pred.pred,
+       CASE WHEN pred.pred = s.lang THEN 1 ELSE 0 END AS correct
+FROM src s LEFT JOIN pred USING (doc_id)
+WHERE s.doc_id % 7 != 0 ORDER BY s.doc_id"""
+
+    # variable-length exact-substring extents: planted self-repeats
+    # (%21) and shared boilerplate tails (%9), 12-token anchor windows,
+    # covered iff the gram occurs >= 2x corpus-wide, consecutive covered
+    # positions merge via the lag/run-id window into maximal spans
+    sql["suffix_dedup"] = r"""
+WITH src AS MATERIALIZED (
+  SELECT doc_id,
+    CASE WHEN doc_id % 21 = 0 THEN text || ' ' || text
+         WHEN doc_id % 9 = 0 THEN text
+           || ' all rights reserved this corpus is distributed under'
+           || ' the open data license terms apply to every derived work'
+         ELSE text END AS text
+  FROM documents),
+t AS (SELECT doc_id,
+        regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      FROM src),
+pos AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 10)) AS p
+        FROM t WHERE len(toks) >= 12),
+w AS (SELECT doc_id, p,
+        md5(array_to_string(toks[p : p + 11], ' ')) AS h
+      FROM pos),
+cov AS (SELECT doc_id, p FROM (
+          SELECT doc_id, p, count(*) OVER (PARTITION BY h) AS cnt
+          FROM w) _ WHERE cnt >= 2),
+runs AS (SELECT doc_id, p,
+           CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) = 1
+                THEN 0 ELSE 1 END AS nw
+         FROM cov),
+rid AS (SELECT doc_id, p,
+          sum(nw) OVER (PARTITION BY doc_id ORDER BY p) AS run
+        FROM runs)
+SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+       CAST(max(p) - min(p) + 12 AS BIGINT) AS span_len
+FROM rid GROUP BY doc_id, run ORDER BY doc_id, span_start"""
 
     # cluster-balanced diversity sample: ivf_topk's cell-assignment chain
     # (cosine argmax, ties to lowest cid) + per-cell smallest-md5 quota

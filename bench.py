@@ -164,6 +164,8 @@ NAMES = [
     "kmv_index_topup",
     "hll_index_topup",
     "cms_index_topup",
+    "langid",
+    "suffix_dedup",
     # dedup_stream / stream_join / sketch_stream / logq_stream are one-shot drains (memoized
     # construction) — their throughput story lives with the dedicated
     # stream rows (curation_stream, windows_stream), not the timing loop
@@ -188,6 +190,13 @@ def write_plans(sf_dir: str) -> None:
     # what every executor starts from and shows the full codegen layout
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     queries = entry_mod.queries()
+    # full registry, timed headliners first: every driver-gated query
+    # gets a recorded plan. For one-shot drains (streams, daemon/xport
+    # sinks) the construction side effect runs once here and the
+    # recorded plan is the post-drain sink read — the batch plan that
+    # actually serves the result (the drain itself is a streaming
+    # query; its per-batch dataflow is pinned by the stream pytests).
+    all_names = list(NAMES) + [k for k in queries if k not in set(NAMES)]
     lines = [
         "# PLANS — physical plans of the headline queries",
         "",
@@ -195,9 +204,11 @@ def write_plans(sf_dir: str) -> None:
         "disabled (production sessions enable it; it only re-plans at",
         "runtime). Per query: exchange (shuffle) count, WholeStageCodegen",
         "span count, parquet PushedFilters, then the formatted plan.",
+        "Covers the FULL driver registry (timed headliners first); for",
+        "one-shot drain gates the plan shown is the post-drain sink read.",
         "",
     ]
-    for name in NAMES:
+    for name in all_names:
         df = queries[name](spark, sf_dir)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
@@ -224,7 +235,7 @@ def write_plans(sf_dir: str) -> None:
         ]
     with open(os.path.join(os.path.dirname(__file__) or ".", "PLANS.md"), "w") as f:
         f.write("\n".join(lines))
-    print(f"PLANS.md written ({len(NAMES)} queries)")
+    print(f"PLANS.md written ({len(all_names)} queries)")
     spark.stop()
 
 
@@ -456,12 +467,16 @@ def main() -> None:
     # (GC/IO interference), the minimum is the stable estimator of the
     # query's actual cost, and the recorded spread separates real
     # round-over-round regressions from host noise.
+    # SPARK_GRAFT_RUNS bumps the warmed best-of-N (default 3) — the
+    # isolated re-pin knob for queries whose shared-session timing
+    # drifted beyond their noise band with an unchanged plan
+    n_runs = int(os.environ.get("SPARK_GRAFT_RUNS", "3"))
     times: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name in names:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs = []
-        for _ in range(3):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
@@ -480,27 +495,27 @@ def main() -> None:
         assert n1 == n2, f"stream drain row count moved: {n1} != {n2}"
         return round(min(t1, t2), 3), n1, round(max(t1, t2) / min(t1, t2), 2)
 
-    # streaming curation: throughput row next to the batch `curate` twin
-    if only and "curation_stream" not in only:
-        n_stream, times["curation_stream"] = 0, 0.0
-        spread["curation_stream"] = 1.0
-    else:
-        (
-            times["curation_stream"],
-            n_stream,
-            spread["curation_stream"],
-        ) = _best_of_2(bench_curation_stream)
-
-    # watermarked event-time windows: same drain protocol
-    if only and "windows_stream" not in only:
-        n_winev, times["windows_stream"] = 0, 0.0
-        spread["windows_stream"] = 1.0
-    else:
-        (
-            times["windows_stream"],
-            n_winev,
-            spread["windows_stream"],
-        ) = _best_of_2(bench_windows_stream)
+    # streaming drains live in their OWN artifact sub-object ("streams"):
+    # curation_stream is ~15% wall-clock of trigger/checkpoint overhead,
+    # not query dataflow — keeping it out of the headline total makes the
+    # total track query regressions only (drains keep their own bands)
+    streams: dict[str, dict] = {}
+    if not (only and "curation_stream" not in only):
+        sec, n_stream, band = _best_of_2(bench_curation_stream)
+        streams["curation_stream"] = {
+            "sec": sec,
+            "band_worst_over_best": band,
+            "batches": 3,
+            "docs_per_sec": round(n_stream / sec, 1) if sec else 0.0,
+        }
+    if not (only and "windows_stream" not in only):
+        sec, n_winev, band = _best_of_2(bench_windows_stream)
+        streams["windows_stream"] = {
+            "sec": sec,
+            "band_worst_over_best": band,
+            "batches": 3,
+            "events_per_sec": round(n_winev / sec, 1) if sec else 0.0,
+        }
 
     total = round(sum(times.values()), 3)
     print(
@@ -511,12 +526,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "noise_worst_over_best": spread,
-                "stream_docs_per_sec": round(
-                    n_stream / times["curation_stream"], 1
-                ) if times["curation_stream"] else 0.0,
-                "windows_stream_events_per_sec": round(
-                    n_winev / times["windows_stream"], 1
-                ) if times["windows_stream"] else 0.0,
+                "streams": streams,
+                "stream_docs_per_sec": streams.get(
+                    "curation_stream", {}
+                ).get("docs_per_sec", 0.0),
+                "windows_stream_events_per_sec": streams.get(
+                    "windows_stream", {}
+                ).get("events_per_sec", 0.0),
                 "sf": sf,
             }
         )

@@ -1386,3 +1386,84 @@ def lsh_precision_recall(
             F.lit(theory).alias("theory_recall_at_t"),
         )
     )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    n: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Variable-length exact-substring duplicate EXTENTS — the
+    suffix-array tier of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better", arXiv:2107.06499): their ExactSubstr
+    pass removes every maximal exact repeat of >= ``n`` tokens
+    (the paper uses 50), not just fixed-``n`` windows. The suffix-array
+    adjacent-prefix query distributes as sorted ``n``-token ANCHORS plus
+    RUN EXTENSION: a token window is *covered* iff its ``n``-gram occurs
+    at least twice in the corpus (across OR within documents — the
+    paper counts both), and because an exact repeat of length
+    ``m >= n`` covers all of its ``m - n + 1`` anchors, merging
+    CONSECUTIVE covered anchor positions reconstructs the maximal
+    duplicated extents (overlapping repeats merge into their coverage
+    union, exactly as the paper's excision does).
+
+    Returns one row per maximal duplicated span:
+    ``(id, span_start, span_len)`` — 1-based token position and length
+    in tokens (``span_len >= n``, variable). Documents shorter than
+    ``n`` tokens yield no spans (whole-document dedup's job — this is
+    the within-document tier; ``duplicated_ngram_spans`` reports the
+    fixed-window fractions, ``remove_duplicate_spans`` excises).
+
+    ``hash_fn``: "md5" (engine-portable, the oracle-gated default) or
+    "xxhash64" (JVM-native long keys, a quarter of the shuffled bytes —
+    prefer at corpus scale; collisions negligible at either width).
+
+    Shape at scale: anchor hashing is map-only inside the scan
+    (``_shingle_array`` shifted-slice zip); occurrences shuffle ONCE on
+    the hash (each hash partition is a handful of rows — the occurrence
+    count is a per-hash window, never a join-back); covered positions
+    shuffle ONCE on the document for the lag/run-id window (per-doc
+    partitions, bounded by document length); the span aggregate reuses
+    that partitioning. No global window, nothing corpus-quadratic."""
+    hasher = (
+        (lambda s: F.md5(s.cast("binary")))
+        if hash_fn == "md5"
+        else (lambda s: F.xxhash64(s))
+    )
+    toks = _tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("_L"),
+        F.transform(_shingle_array(F.col(text_col), n), hasher).alias("_w"),
+    ).filter(F.col("_L") >= n)
+    occ = base.select(
+        F.col(id_col), F.posexplode("_w").alias("_p0", "_h")
+    ).select(F.col(id_col), (F.col("_p0") + 1).alias("_p"), "_h")
+    wh = Window.partitionBy("_h")
+    cov = (
+        occ.withColumn("_cnt", F.count(F.lit(1)).over(wh))
+        .filter(F.col("_cnt") >= 2)
+        .select(F.col(id_col), "_p")
+    )
+    wd = Window.partitionBy(id_col).orderBy(F.col("_p").asc())
+    runs = cov.withColumn(
+        "_new",
+        F.when(F.col("_p") - F.lag("_p").over(wd) == 1, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn(
+        "_run",
+        F.sum("_new").over(
+            wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        runs.groupBy(F.col(id_col), F.col("_run"))
+        .agg(
+            F.min("_p").cast("long").alias("span_start"),
+            (F.max("_p") - F.min("_p") + n).cast("long").alias("span_len"),
+        )
+        .select(F.col(id_col), "span_start", "span_len")
+    )

@@ -1497,3 +1497,141 @@ def script_mix(
         .otherwise(F.lit(0))
         .alias("mixed_flag"),
     )
+
+
+def langid_nb(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 3,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Trained language identification — hashed char-n-gram multinomial
+    Naive Bayes with an explicit train/apply split (the fasttext-style
+    lid.176 shape: character n-grams hashed into a fixed table, linear
+    per-class scores, argmax). ``language_scores`` is the stopword
+    HEURISTIC tier; this is the trained tier a CCNet-style curation
+    stack actually gates on — char n-grams separate languages (and
+    transliteration schemes) that share whitespace tokenization.
+
+    Features are character ``n``-grams of ``lower(trim(text))`` hashed
+    with the 32-bit md5 convention (``'lid:'`` salt keeps the table
+    independent of the ``hashed_nb_classify`` token space); texts
+    shorter than ``n`` chars contribute the whole text as one gram
+    (``_shingle_array`` convention). Class-conditional weights are
+    Laplace-smoothed log-probabilities quantized to 1e-6 micro-nats
+    (BIGINT), scores are integer sums of weights plus the equally
+    quantized class prior — bit-deterministic across engines — and ties
+    break to the lexicographically smallest label. Test documents with
+    zero grams (empty text) predict NULL.
+
+    Returns ``(id, label, pred, correct)`` per TEST document (label is
+    the test frame's ground-truth column, for accuracy audits).
+
+    Shape at scale: gram explode is map-only inside each scan; ONE
+    (doc, bucket) count shuffle per side (map-side combined, <=
+    min(chars, n_buckets) rows/doc); the model is a (labels x
+    n_buckets)-bounded frame, explicitly broadcast; scoring is one
+    per-doc aggregate over labels x doc-buckets and a |labels|-row
+    argmax window per doc. Nothing corpus-quadratic; train and test are
+    each scanned once."""
+
+    def _grams(df: DataFrame) -> DataFrame:
+        s = F.lower(F.trim(F.col(text_col)))
+        base = df.select(F.col(id_col), s.alias("_s"))
+        full = F.expr(
+            f"transform(sequence(1, length(_s) - {n - 1}),"
+            f" i -> substring(_s, i, {n}))"
+        )
+        grams = F.when(F.length("_s") >= n, full).otherwise(
+            F.array(F.col("_s"))
+        )
+        bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("lid:"), F.col("_g")).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n_buckets
+        )
+        return (
+            base.select(F.col(id_col), F.explode(grams).alias("_g"))
+            .filter(F.col("_g") != "")
+            .select(F.col(id_col), bucket.alias("_b"))
+            .groupBy(id_col, "_b")
+            .agg(F.count(F.lit(1)).alias("_m"))
+        )
+
+    tr = _grams(train)
+    lab = train.select(F.col(id_col), F.col(label_col).alias("_lab"))
+    lb = tr.join(lab, id_col).groupBy("_lab", "_b").agg(
+        F.sum("_m").alias("_c")
+    )
+    tl = lb.groupBy("_lab").agg(F.sum("_c").alias("_tl"))
+    model = lb.join(tl, "_lab").select(
+        "_lab",
+        "_b",
+        F.round(
+            F.log(
+                (F.col("_c") + 1).cast("double") / (F.col("_tl") + n_buckets)
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("_lq"),
+    )
+    labcnt = lab.groupBy("_lab").agg(F.count(F.lit(1)).alias("_nl"))
+    total = labcnt.agg(F.sum("_nl").alias("_n"))
+    prior = (
+        labcnt.crossJoin(F.broadcast(total))
+        .join(tl, "_lab")
+        .select(
+            "_lab",
+            F.round(F.log(F.col("_nl").cast("double") / F.col("_n")) * 1e6)
+            .cast("long")
+            .alias("_pq"),
+            F.round(F.log(F.lit(1.0) / (F.col("_tl") + n_buckets)) * 1e6)
+            .cast("long")
+            .alias("_missq"),
+        )
+    )
+    te = _grams(test)
+    scored = (
+        te.crossJoin(F.broadcast(prior))
+        .join(F.broadcast(model), ["_lab", "_b"], "left")
+        .groupBy(id_col, "_lab")
+        .agg(
+            (
+                F.first("_pq")
+                + F.sum(
+                    F.col("_m") * F.coalesce(F.col("_lq"), F.col("_missq"))
+                )
+            ).alias("_score")
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_score"), F.asc("_lab"))
+    pred = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col("_lab").alias("pred"))
+    )
+    return (
+        test.select(F.col(id_col), F.col(label_col).alias("label"))
+        .join(pred, id_col, "left")
+        .select(
+            F.col(id_col),
+            "label",
+            "pred",
+            F.when(F.col("pred") == F.col("label"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("correct"),
+        )
+    )

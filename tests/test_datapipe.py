@@ -2578,3 +2578,102 @@ def test_viterbi_nbest_order_and_distinctness(spark):
     # 'a b ab' and 'ab a b' -> lexicographic smaller wins rank 2
     assert nb["abab"][1] == (2, "a b ab", -370)
     assert len(nb["q"]) == 1 and nb["q"][0][1] == "q"
+
+
+def test_exact_substring_spans_extents_and_merge(spark):
+    """Variable-length exact-repeat extents (Lee et al. 2022 ExactSubstr
+    tier): a 15-token passage shared by two documents reports as ONE
+    maximal span per document at its exact (start, len); a longer shared
+    passage merges into one extent (never fixed-n fragments); a within-
+    document self-repeat reports both copies; sub-n docs and sub-n
+    repeats report nothing."""
+    from rrdtool_1_x_spark.datapipe.dedup import exact_substring_spans
+
+    p = " ".join(f"p{i}" for i in range(15))
+    rows = [
+        (1, "u1 u2 u3 " + p + " s1 s2"),
+        (2, "v1 " + p + " w1 w2 w3 w4"),
+        # 10-token text repeated within one doc: anchors 1 and 11 only
+        (3, "a b c d e f g h i j a b c d e f g h i j"),
+        # shares only a 9-token (sub-n) prefix of p with docs 1/2
+        (4, " ".join(f"p{i}" for i in range(9)) + " x1 x2 x3 x4 x5"),
+        (5, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in exact_substring_spans(df, n=10).collect()
+    }
+    assert got == {(1, 4, 15), (2, 2, 15), (3, 1, 10), (3, 11, 10)}
+    # adjacent DISTINCT repeats do NOT fuse: doc 6 chains p's copy with
+    # doc 7's 12-token passage q back-to-back, but the windows straddling
+    # the p|q seam occur nowhere else, so each passage keeps its own
+    # exact extent (fusion needs the combined string itself to repeat)
+    q = " ".join(f"q{i}" for i in range(12))
+    df2 = spark.createDataFrame(
+        rows + [(6, p + " " + q), (7, "z1 z2 " + q + " z3")],
+        "doc_id long, text string",
+    )
+    got2 = {
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in exact_substring_spans(df2, n=10).collect()
+    }
+    assert (6, 1, 15) in got2 and (6, 16, 12) in got2
+    assert (7, 3, 12) in got2
+    # hash_fn variants agree on the span set
+    got_xx = {
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in exact_substring_spans(df2, n=10, hash_fn="xxhash64").collect()
+    }
+    assert got_xx == got2
+
+
+def test_langid_nb_beats_stopword_heuristic(spark):
+    """Trained char-trigram NB language ID separates planted
+    transliteration-style pseudo-languages (shared whitespace
+    vocabulary, per-language char mapping) with >= 0.95 accuracy, while
+    the stopword heuristic tier cannot (no stopword list matches the
+    translated scripts) — the pin that the trained tier actually learns
+    from characters rather than riding the heuristic's signal."""
+    from pyspark.sql import functions as F
+
+    from rrdtool_1_x_spark.datapipe.textstats import (
+        langid_nb,
+        language_scores,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    s = F.lower(F.trim(F.col("text")))
+    planted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, s)
+        .when(F.col("doc_id") % 3 == 1, F.translate(s, "aeiou", "äëïöü"))
+        .otherwise(F.translate(s, "aeiount", "аеиоунт"))
+        .alias("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("lat"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("uml"))
+        .otherwise(F.lit("cyr"))
+        .alias("lang"),
+    )
+    train = planted.filter(F.col("doc_id") % 7 == 0)
+    test = planted.filter(F.col("doc_id") % 7 != 0)
+    res = langid_nb(train, test).collect()
+    acc = sum(r["correct"] for r in res) / len(res)
+    assert acc >= 0.95, acc
+    # heuristic tier: en stopwords survive only in the identity-mapped
+    # class; treat a correct call as guessing SOME language for 'lat'
+    # rows only (the most charitable mapping) — still far below NB
+    heur = language_scores(
+        test.select("doc_id", "text", "lang")
+    ).select("lang", "lang_guess").collect()
+    heur_acc = sum(
+        1 for r in heur if r["lang"] == "lat" and r["lang_guess"] is not None
+    ) / len(heur)
+    assert heur_acc <= 0.5, heur_acc
+    assert acc > heur_acc + 0.4
+    # empty-text doc predicts NULL, never crashes
+    one = spark.createDataFrame(
+        [(1000000, "", "lat")], "doc_id long, text string, lang string"
+    )
+    r = langid_nb(train, one).collect()[0]
+    assert r["pred"] is None and r["correct"] == 0
