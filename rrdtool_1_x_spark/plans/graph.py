@@ -233,10 +233,21 @@ class Query:
 
     # -- execution ----------------------------------------------------------
     def _fetch_defs(self) -> tuple[dict[str, DataFrame], dict[str, int]]:
-        """Fetch every DEF at its own archive resolution (unpadded)."""
+        """Fetch every DEF at its own archive resolution (unpadded).
+
+        Side effect: ``self._def_ranges[vname] = (fetch_start, fetch_end)``
+        — each DEF's ALIGNED fetch universe (src/rrd_fetch.c:447-448:
+        ``*start -= *start %% *step; *end += *step - *end %% *step`` — the
+        end alignment is STRICT, so an on-grid end still gains one
+        trailing row). VDEFs evaluate over this padded universe, exactly
+        like vdef_calc's ``steps = (src->end - src->start) / src->step``
+        (src/rrd_graph.c:5875) counts fetched rows including NaN padding;
+        the xport/plot grid stays trimmed to (start, end] as the
+        reference's output loop is."""
         frames: dict[str, DataFrame] = {}
         steps: dict[str, int] = {}
-        memo: dict[tuple, tuple[DataFrame, int]] = {}
+        self._def_ranges: dict[str, tuple[int, int]] = {}
+        memo: dict[tuple, tuple[DataFrame, int, int, int]] = {}
         min_step = None
         if self.maxrows:
             min_step = math.ceil((self.end - self.start) / self.maxrows)
@@ -265,13 +276,18 @@ class Query:
                     src = src.filter(F.col("series_id") == d.series_id)
                 scan = fetch(src, plan, pad=False, keys=())
                 step = plan.step
+                fstart, fend = plan.start, plan.end
                 if wish and wish > step:
                     scan = reduce_data(
                         scan, step, wish, d.reduce_cf or d.cf, keys=()
                     )
                     step = step * math.ceil(wish / step)
-                memo[key] = (scan.select("ts", "value"), step)
-            frames[d.vname], steps[d.vname] = memo[key]
+                    # re-consolidated range re-aligns to the coarser step
+                    fstart = fstart - fstart % step
+                    fend = fend + ((step - fend % step) % step)
+                memo[key] = (scan.select("ts", "value"), step, fstart, fend)
+            frames[d.vname], steps[d.vname], fs, fe = memo[key]
+            self._def_ranges[d.vname] = (fs, fe)
         for vname, frame, step in self._frame_defs:
             frames[vname], steps[vname] = frame, step
         return frames, steps
@@ -410,15 +426,32 @@ class Query:
             vd = next((v for v in self._vdefs if v.vname == name), None)
             if vd is not None:
                 ensure_cdef(vd.source)
-                src_df = (
-                    frames[vd.source]
-                    if vd.source in frames
-                    else wide.select("ts", F.col(vd.source).alias("value"))
-                )
                 if vd.source in frames:
                     vstep = steps[vd.source]
+                    src_df = frames[vd.source]
+                    rng = self._def_ranges.get(vd.source)
+                    if rng is not None:
+                        # pad to the DEF's full fetch universe: vdef_calc
+                        # iterates every fetched slot incl. NaN padding
+                        # (the strict end alignment adds a trailing NaN
+                        # row even for an on-grid end) — rank-sensitive
+                        # ops (PERCENT: unknown sorts lowest) see it
+                        fs, fe = rng
+                        uni = src_df.sparkSession.range(
+                            fs // vstep + 1, fe // vstep + 1
+                        ).select(
+                            (F.col("id") * vstep).cast("double").alias("ts")
+                        )
+                        src_df = uni.join(
+                            F.broadcast(
+                                src_df.select("ts", "value")
+                            ),
+                            "ts",
+                            "left",
+                        )
                 else:
                     vstep = step
+                    src_df = wide.select("ts", F.col(vd.source).alias("value"))
                 pending_vdefs.append(
                     (
                         name,

@@ -1,0 +1,441 @@
+"""Driver-local query tier — the interactive-latency twin of plans.graph.Query.
+
+The reference engine answers an xport/graphv query in one process over one
+mmap'd file (src/rrd_xport.c, src/rrd_graph.c); the engine's distributed
+``Query`` pays a Spark job per query, which is the right trade at cluster
+scale and the wrong one for a human asking about one series. This module
+is the ``fetch_local`` pattern (sources/store.py:424) extended to the full
+xport pipeline: pyarrow read → numpy RPN → numpy VDEF → pandas frame, no
+Spark job anywhere. Semantics mirror the distributed path operator for
+operator (the differential suite drives both against the reference build):
+
+- unknown is IEEE NaN here, exactly like the reference (the distributed
+  path's NULL encoding is a Spark-ism; see functions/nanops.py) — the
+  NaN-propagation tables of src/rrd_rpncalc.c:745-1446 fall out of IEEE
+  arithmetic plus explicit rules for ADDNAN/UN/IF/LIMIT/cmp.
+- DEF fetch = ``DatasetStore.fetch_local`` (strict end alignment,
+  src/rrd_fetch.c:447-448), reduce = rrd_reduce_data's NaN-skipping CFs
+  (src/rrd_graph.c:786-956), VDEFs over the DEF's padded fetch universe
+  (src/rrd_graph.c:5875), output trimmed to (start, end].
+
+Unsupported RPN tokens raise ValueError — callers fall back to the
+distributed ``Query``, which compiles the full op set.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from rrdtool_1_x_spark.plans.graph import _format_print, rrd_lcd
+
+_REDUCE_CFS = {
+    "AVERAGE", "HWPREDICT", "MHWPREDICT", "SEASONAL", "DEVSEASONAL",
+    "DEVPREDICT", "MIN", "MAX", "FAILURES", "LAST",
+}
+
+
+def _c_round(x: float) -> int:
+    """C round(): half away from zero (np.round is half-even)."""
+    return int(math.floor(abs(x) + 0.5) * (1 if x >= 0 else -1))
+
+
+def reduce_local(
+    ts: np.ndarray, vals: np.ndarray, cur_step: int, wish_step: int, cf: str
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """rrd_reduce_data (src/rrd_graph.c:786-956) over numpy arrays:
+    NaN-skipping CFs, destination windows aligned to the new step on the
+    window-END grid. Mirrors operators.fetch.reduce_data row for row."""
+    factor = math.ceil(wish_step / cur_step)
+    if factor <= 1:
+        return ts, vals, cur_step
+    new_step = cur_step * factor
+    win_end = np.ceil(ts / new_step) * new_step
+    cf = cf.upper()
+    if cf not in _REDUCE_CFS:
+        raise ValueError(f"unknown CF {cf!r}")
+    s = pd.Series(vals, index=win_end)
+    g = s.groupby(level=0)
+    if cf == "MIN":
+        red = g.min()
+    elif cf in ("MAX", "FAILURES"):
+        red = g.max()
+    elif cf == "LAST":
+        red = g.last()  # pandas: last non-NaN in window order
+    else:
+        red = g.mean()
+    red = red.dropna()
+    return red.index.to_numpy(float), red.to_numpy(float), new_step
+
+
+_CMP = {"LT": np.less, "LE": np.less_equal, "GT": np.greater,
+        "GE": np.greater_equal, "EQ": np.equal, "NE": np.not_equal}
+_UNARY = {"SIN": np.sin, "COS": np.cos, "LOG": np.log, "EXP": np.exp,
+          "SQRT": np.sqrt, "ABS": np.abs, "FLOOR": np.floor,
+          "CEIL": np.ceil, "ATAN": np.arctan,
+          "DEG2RAD": np.deg2rad, "RAD2DEG": np.rad2deg}
+
+
+def rpn_eval_local(
+    rpn: str,
+    env: dict[str, np.ndarray],
+    ts: np.ndarray,
+    step: float,
+) -> np.ndarray:
+    """Evaluate one CDEF RPN over numpy arrays (NaN = unknown).
+
+    Supports the mainstream scalar op set (arithmetic, comparisons with
+    the unknown-propagation rules of src/rrd_rpncalc.c:860-919, IF/UN/
+    LIMIT/MIN/MAX/MINNAN/MAXNAN, math functions, TIME/STEPWIDTH/COUNT,
+    DUP/POP/EXC). Anything else raises ValueError — use the distributed
+    Query for PREV/TREND/windowed ops."""
+    n = len(ts)
+    stack: list[np.ndarray] = []
+
+    def pop(k):
+        if len(stack) < k:
+            raise ValueError(f"RPN stack underflow in {rpn!r}")
+        out = stack[-k:]
+        del stack[-k:]
+        return out
+
+    with np.errstate(all="ignore"):
+        for tok in rpn.split(","):
+            up = tok.upper()
+            if tok in env:
+                stack.append(np.asarray(env[tok], float))
+            elif up in ("+", "-", "*", "/", "%"):
+                a, b = pop(2)
+                f = {"+": np.add, "-": np.subtract, "*": np.multiply,
+                     "/": np.divide, "%": np.fmod}[up]
+                stack.append(f(a, b))
+            elif up == "ADDNAN":
+                a, b = pop(2)
+                both = np.isnan(a) & np.isnan(b)
+                r = np.nan_to_num(a, nan=0.0) + np.nan_to_num(b, nan=0.0)
+                stack.append(np.where(both, np.nan, r))
+            elif up == "POW":
+                a, b = pop(2)
+                stack.append(np.power(a, b))
+            elif up == "ATAN2":
+                a, b = pop(2)
+                stack.append(np.arctan2(a, b))
+            elif up in _UNARY:
+                (a,) = pop(1)
+                stack.append(_UNARY[up](a))
+            elif up in _CMP:
+                a, b = pop(2)
+                unk = np.isnan(a) | np.isnan(b)
+                stack.append(
+                    np.where(unk, np.nan, _CMP[up](a, b).astype(float))
+                )
+            elif up == "UN":
+                (a,) = pop(1)
+                stack.append(np.isnan(a).astype(float))
+            elif up == "ISINF":
+                (a,) = pop(1)
+                stack.append(
+                    np.where(np.isnan(a), np.nan,
+                             np.isinf(a).astype(float))
+                )
+            elif up == "IF":
+                c, t, f = pop(3)
+                cond = ~np.isnan(c) & (c != 0.0)
+                stack.append(np.where(cond, t, f))
+            elif up == "LIMIT":
+                v, lo, hi = pop(3)
+                ok = (~np.isnan(v) & ~np.isnan(lo) & ~np.isnan(hi)
+                      & (v >= lo) & (v <= hi))
+                stack.append(np.where(ok, v, np.nan))
+            elif up in ("MIN", "MAX"):
+                a, b = pop(2)
+                f = np.minimum if up == "MIN" else np.maximum
+                stack.append(f(a, b))  # IEEE: NaN contaminates
+            elif up in ("MINNAN", "MAXNAN"):
+                a, b = pop(2)
+                f = np.fmin if up == "MINNAN" else np.fmax
+                stack.append(f(a, b))
+            elif up == "UNKN":
+                stack.append(np.full(n, np.nan))
+            elif up == "INF":
+                stack.append(np.full(n, np.inf))
+            elif up == "NEGINF":
+                stack.append(np.full(n, -np.inf))
+            elif up == "TIME":
+                stack.append(ts.astype(float))
+            elif up == "STEPWIDTH":
+                stack.append(np.full(n, float(step)))
+            elif up == "COUNT":
+                stack.append(np.arange(1, n + 1, dtype=float))
+            elif up == "DUP":
+                (a,) = pop(1)
+                stack += [a, a.copy()]
+            elif up == "POP":
+                pop(1)
+            elif up == "EXC":
+                a, b = pop(2)
+                stack += [b, a]
+            else:
+                try:
+                    stack.append(np.full(n, float(tok)))
+                except ValueError:
+                    raise ValueError(
+                        f"RPN op {tok!r} unsupported in the local tier"
+                        " — use the distributed Query"
+                    ) from None
+    if len(stack) != 1:
+        raise ValueError(f"RPN {rpn!r} leaves {len(stack)} stack entries")
+    return stack[0]
+
+
+def vdef_local(
+    vals: np.ndarray, ts: np.ndarray, op: str,
+    param: float | None, step: float,
+) -> tuple[float, float | None]:
+    """One VDEF over (ts, vals) — numpy mirror of operators.vdef.vdef
+    (itself pinned to src/rrd_graph.c:5863-6060 by goldens). Returns
+    (value, when); NaN value means unknown."""
+    op = op.upper()
+    known = ~np.isnan(vals)
+    m = int(known.sum())
+    if op == "MAXIMUM":
+        if m == 0:
+            return float("nan"), None
+        i = int(np.nanargmax(vals))
+        return float(vals[i]), float(ts[i])
+    if op == "MINIMUM":
+        if m == 0:
+            return float("nan"), None
+        i = int(np.nanargmin(vals))
+        return float(vals[i]), float(ts[i])
+    if op == "FIRST":
+        if m == 0:
+            return float("nan"), None
+        i = int(np.argmax(known))
+        return float(vals[i]), float(ts[i] - step)
+    if op == "LAST":
+        if m == 0:
+            return float("nan"), None
+        i = len(vals) - 1 - int(np.argmax(known[::-1]))
+        return float(vals[i]), float(ts[i])
+    if op == "AVERAGE":
+        return (float(np.mean(vals[known])) if m else float("nan")), None
+    if op == "STDEV":
+        return (float(np.std(vals[known])) if m else float("nan")), None
+    if op == "TOTAL":
+        return (float(np.sum(vals[known]) * step) if m else float("nan")), None
+    if op in ("PERCENT", "PERCENTNAN"):
+        if param is None:
+            raise ValueError(f"{op} needs a percentile parameter")
+        kn = np.sort(vals[known])
+        n = len(vals)
+        if op == "PERCENT":
+            idx0 = _c_round(param * (n - 1) / 100.0)
+            if idx0 < n - m:  # target rank falls among the unknowns
+                return float("nan"), None
+            return float(kn[idx0 - (n - m)]), None
+        if m == 0:
+            return float("nan"), None
+        return float(kn[_c_round(param * (m - 1) / 100.0)]), None
+    if op in ("LSLSLOPE", "LSLINT", "LSLCORREL"):
+        if m == 0:
+            return float("nan"), None
+        x = np.arange(len(vals), dtype=float)[known]
+        y = vals[known]
+        cnt, sx, sy = float(m), x.sum(), y.sum()
+        sxx, sxy, syy = (x * x).sum(), (x * y).sum(), (y * y).sum()
+        with np.errstate(all="ignore"):
+            slope = (sx * sy - cnt * sxy) / (sx * sx - cnt * sxx)
+            if op == "LSLSLOPE":
+                return float(slope), None
+            if op == "LSLINT":
+                return float((sy - slope * sx) / cnt), None
+            correl = (sxy - sx * sy / cnt) / math.sqrt(
+                (sxx - sx * sx / cnt) * (syy - sy * sy / cnt)
+            ) if (sxx - sx * sx / cnt) * (syy - sy * sy / cnt) > 0 else float("nan")
+        return float(correl), None
+    raise ValueError(f"unknown VDEF {op!r}")
+
+
+@dataclass
+class LocalResult:
+    frame: pd.DataFrame  # ts + one column per xport vname
+    legends: list[str]
+    scalars: dict[str, dict]
+    prints: list[str]
+    start: int
+    end: int
+    step: int
+
+
+@dataclass
+class _LDef:
+    vname: str
+    ds_name: str
+    cf: str
+    step_wish: int | None
+    reduce_cf: str | None
+    series_id: str | None
+
+
+class LocalQuery:
+    """xport/PRINT query over ONE DatasetStore, executed on the driver.
+
+    Same builder surface as plans.graph.Query (def_/cdef/vdef/xport/
+    print_) minus graph elements; ``execute()`` touches no Spark session.
+    The per-query cost is a pyarrow scan + numpy passes — the engine's
+    answer to the reference's single-process rrd_xport latency."""
+
+    def __init__(self, store, start: int, end: int, step: int | None = None):
+        self.store = store
+        self.start = int(start)
+        self.end = int(end)
+        self.step_wish = int(step) if step else None
+        self._defs: list[_LDef] = []
+        self._cdefs: list[tuple[str, str]] = []
+        self._vdefs: list[tuple[str, str, str, float | None]] = []
+        self._xports: list[tuple[str, str]] = []
+        self._prints: list[tuple[str, str, str | None]] = []
+
+    def def_(self, vname, ds_name, cf="AVERAGE", step=None,
+             reduce_cf=None, series_id=None):
+        self._defs.append(_LDef(vname, ds_name, cf.upper(),
+                                int(step) if step else None,
+                                reduce_cf and reduce_cf.upper(), series_id))
+        return self
+
+    def cdef(self, vname, rpn):
+        self._cdefs.append((vname, rpn))
+        return self
+
+    def vdef(self, vname, rpn):
+        # VDEF:v=source,OP | source,p,PERCENT (vdef_parse,
+        # src/rrd_graph.c:5760-5860)
+        toks = rpn.split(",")
+        if len(toks) == 2:
+            src, op, param = toks[0], toks[1], None
+        elif len(toks) == 3:
+            src, param, op = toks[0], float(toks[1]), toks[2]
+        else:
+            raise ValueError(f"bad VDEF {rpn!r}")
+        self._vdefs.append((vname, src, op.upper(), param))
+        return self
+
+    def xport(self, vname, legend=""):
+        self._xports.append((vname, legend))
+        return self
+
+    def print_(self, vname, fmt="%lf", mode=None):
+        self._prints.append((vname, fmt, mode))
+        return self
+
+    def execute(self) -> LocalResult:
+        frames: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
+        for d in self._defs:
+            wish = max(d.step_wish or 0, self.step_wish or 0) or None
+            ts, vals, plan = self.store._fetch_arrays(
+                d.cf, self.start, self.end, wish,
+                series_id=d.series_id, ds_name=d.ds_name,
+            )
+            step = plan.step
+            if wish and wish > step:
+                ts, vals, step = reduce_local(
+                    ts, vals, step, wish, d.reduce_cf or d.cf
+                )
+                # re-pad the reduced rows onto their aligned universe
+                fstart = plan.start - plan.start % step
+                fend = plan.end + ((step - plan.end % step) % step)
+                grid = np.arange(fstart + step, fend + step, step, float)
+                full = np.full(len(grid), np.nan)
+                idx = ((ts - fstart) / step - 1).astype(int)
+                ok = (idx >= 0) & (idx < len(grid))
+                full[idx[ok]] = vals[ok]
+                ts, vals = grid, full
+            frames[d.vname] = (ts, vals, int(step))
+
+        step = self.step_wish or min(s for _, _, s in frames.values())
+        step = rrd_lcd([*[s for _, _, s in frames.values()], step])
+        a_start = self.start - self.start % step
+        a_end = self.end + ((step - self.end % step) % step)
+        grid = np.arange(a_start + step, a_end + step, step, dtype=float)
+
+        env: dict[str, np.ndarray] = {}
+        for vname, (fts, fvals, fstep) in frames.items():
+            # sample-and-hold onto the grid: fine ts -> owning coarse
+            # interval end (src/rrd_rpncalc.c:650-677)
+            src_ts = np.ceil(grid / fstep) * fstep
+            f0 = fts[0] - fstep if len(fts) else 0.0
+            idx = ((src_ts - f0) / fstep - 1).astype(int)
+            ok = (idx >= 0) & (idx < len(fts))
+            col = np.full(len(grid), np.nan)
+            col[ok] = fvals[idx[ok]]
+            env[vname] = col
+
+        scalars: dict[str, dict] = {}
+        vdef_by_name = {v[0]: v for v in self._vdefs}
+        cdef_by_name = dict(self._cdefs)
+        done: set[str] = set()
+
+        def ensure(name: str) -> None:
+            if name in env or name in done:
+                return
+            if name in cdef_by_name:
+                # resolve upstream CDEFs and VDEF-scalar refs first
+                toks = cdef_by_name[name].split(",")
+                for t in toks:
+                    if t != name and t in cdef_by_name:
+                        ensure(t)
+                    if t in vdef_by_name and t not in scalars:
+                        eval_vdef(t)
+                senv = dict(env)
+                for v, sc in scalars.items():
+                    senv[v] = np.full(len(grid), sc["value"])
+                env[name] = rpn_eval_local(
+                    cdef_by_name[name], senv, grid, float(step)
+                )
+                done.add(name)
+
+        def eval_vdef(name: str) -> None:
+            _, src, op, param = vdef_by_name[name]
+            if src in frames:
+                fts, fvals, fstep = frames[src]
+                val, when = vdef_local(fvals, fts, op, param, float(fstep))
+            else:
+                ensure(src)
+                val, when = vdef_local(env[src], grid, op, param, float(step))
+            scalars[name] = {"value": val, "when": when}
+
+        for name, _, _, _ in self._vdefs:
+            ensure(vdef_by_name[name][1])
+            eval_vdef(name)
+
+        cols = {"ts": grid}
+        legends = []
+        for vname, legend in self._xports:
+            ensure(vname)
+            cols[vname] = env[vname]
+            legends.append(legend or vname)
+        frame = pd.DataFrame(cols)
+        frame = frame[(frame["ts"] > self.start) & (frame["ts"] <= a_end)]
+        prints = [
+            _format_print(
+                fmt,
+                None if scalars[v]["value"] != scalars[v]["value"]
+                else scalars[v]["value"],
+                scalars[v]["when"],
+                mode,
+            )
+            for v, fmt, mode in self._prints
+        ]
+        return LocalResult(
+            frame=frame.reset_index(drop=True),
+            legends=legends,
+            scalars=scalars,
+            prints=prints,
+            start=a_start + step,
+            end=a_end,
+            step=step,
+        )

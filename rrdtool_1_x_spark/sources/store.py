@@ -430,6 +430,7 @@ class DatasetStore:
         pad: bool = True,
         align_start: bool = False,
         series_id: str | None = None,
+        ds_name: str | None = None,
     ):
         """Interactive latency path ≙ the reference's single-process fetch
         (src/rrd_fetch.c: one sequential read of a small file). Plans
@@ -489,24 +490,130 @@ class DatasetStore:
             )
         if series_id is not None:
             flt &= pads.field("series_id") == series_id
-        tbl = dset.to_table(filter=flt)
+        if ds_name is not None:
+            # DEF-style single-DS reads (plans.local) prune the scan to
+            # one channel — the reference analogue reads whole rows but
+            # per-file; here the column-partitioned read is the win
+            flt &= pads.field("ds_name") == ds_name
         keys = ["series_id", "ds_name"]
         cols = keys + ["ts", "value"]
-        pdf = tbl.to_pandas()[cols]
+        # column pruning: a filter that pins a key to one value makes its
+        # column constant — skip decoding it (the two 200k-row string
+        # columns cost more to decode than ts+value combined; the
+        # reference reads raw doubles and pays no analogous cost)
+        fixed: dict[str, str] = {}
+        if series_id is not None:
+            fixed["series_id"] = series_id
+        if ds_name is not None:
+            fixed["ds_name"] = ds_name
+        read_cols = [c for c in cols if c not in fixed]
+        tbl = dset.to_table(filter=flt, columns=read_cols)
+        pdf = tbl.to_pandas()
+        for k, v in fixed.items():
+            pdf[k] = v
+        pdf = pdf[cols]
         if not pad:
             return pdf, plan
         s = plan.step
         grid = np.arange(plan.start + s, plan.end + s, s, dtype=np.float64)
-        out = []
-        for kv, grp in pdf.groupby(keys, sort=False):
-            vals = grp.set_index("ts")["value"].reindex(grid)
-            o = pd.DataFrame({"ts": grid, "value": vals.to_numpy()})
-            kv = kv if isinstance(kv, tuple) else (kv,)
-            for k, v in zip(keys, kv):
-                o[k] = v
-            out.append(o[cols])
-        res = pd.concat(out, ignore_index=True) if out else pdf.iloc[0:0]
-        return res, plan
+        if len(pdf) == 0:
+            return pdf.iloc[0:0], plan
+        # vectorized pad: ts -> slot index is pure arithmetic, so scatter
+        # values into a (group x slot) NaN matrix instead of a per-group
+        # pandas reindex (the reindex path was ~3x the pyarrow read cost
+        # at 200k rows; this is one fused numpy pass)
+        free = [k for k in keys if k not in fixed]
+        if free:
+            kc = pdf[free[0]].astype(str)
+            for k in free[1:]:
+                kc = kc + "\x1f" + pdf[k].astype(str)
+            codes, uniq = pd.factorize(kc, sort=False)
+            parts = [u.split("\x1f", len(free) - 1) for u in uniq]
+        else:
+            codes = np.zeros(len(pdf), dtype=np.int64)
+            uniq, parts = [None], [[]]
+        slot = ((pdf["ts"].to_numpy(np.float64) - plan.start) / s - 1).astype(
+            np.int64
+        )
+        ok = (slot >= 0) & (slot < len(grid))
+        mat = np.full((len(uniq), len(grid)), np.nan)
+        mat[codes[ok], slot[ok]] = pdf["value"].to_numpy(np.float64)[ok]
+        data = {
+            "ts": np.tile(grid, len(uniq)),
+            "value": mat.ravel(),
+        }
+        for j, k in enumerate(free):
+            data[k] = np.repeat(
+                np.asarray([p[j] for p in parts], object), len(grid)
+            )
+        res = pd.DataFrame(data)
+        for k, v in fixed.items():
+            res[k] = v
+        return res[cols], plan
+
+    def _fetch_arrays(
+        self,
+        cf: str,
+        start: int,
+        end: int,
+        resolution: int | None = None,
+        series_id: str | None = None,
+        ds_name: str | None = None,
+    ):
+        """(grid_ts, values, plan) numpy arrays for ONE (series, ds) — the
+        plans.local hot path. Skips every pandas frame-assembly cost of
+        ``fetch_local`` (same plan, same rows: the LocalQuery differential
+        suite pins equality with the distributed path). Contract: the read
+        must resolve to a single series — pass ``series_id`` on
+        multi-series stores; a collision (more rows than grid slots) is
+        detected and raised."""
+        import numpy as np
+        import pyarrow.dataset as pads
+
+        last_up = self.last()
+        plan = select_rra(self.dataset, cf, start, end, resolution, last_up)
+        lo = (last_up - last_up % plan.step) - self.dataset.retention(plan.rra_index)
+        cut = max(float(lo), float(plan.start))
+        s = plan.step
+        grid = np.arange(plan.start + s, plan.end + s, s, dtype=np.float64)
+        out = np.full(len(grid), np.nan)
+        _, data_dir = self._current(f"rra_{plan.rra_index}")
+        if not os.path.isdir(data_dir):
+            return grid, out, plan
+        dset = pads.dataset(
+            data_dir,
+            format="parquet",
+            partitioning="hive" if self._partition_cols() else None,
+        )
+        flt = (pads.field("ts") > cut) & (pads.field("ts") <= float(plan.end))
+        if self.partition_by_day:
+            flt &= (pads.field("pday") >= int(cut // 86400)) & (
+                pads.field("pday") <= int(plan.end // 86400)
+            )
+        if self.series_buckets and series_id is not None:
+            import zlib
+
+            flt &= pads.field("pbucket") == (
+                zlib.crc32(series_id.encode()) % self.series_buckets
+            )
+        if series_id is not None:
+            flt &= pads.field("series_id") == series_id
+        if ds_name is not None:
+            flt &= pads.field("ds_name") == ds_name
+        tbl = dset.to_table(filter=flt, columns=["ts", "value"])
+        ts = tbl.column("ts").to_numpy(zero_copy_only=False).astype(np.float64)
+        vals = tbl.column("value").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        if len(ts) > len(grid):
+            raise ValueError(
+                f"_fetch_arrays read {len(ts)} rows for {len(grid)} slots —"
+                " multiple series match; pass series_id"
+            )
+        idx = ((ts - plan.start) / s - 1).astype(np.int64)
+        ok = (idx >= 0) & (idx < len(grid))
+        out[idx[ok]] = vals[ok]
+        return grid, out, plan
 
     def first(self, rra_index: int = 0) -> int:
         """≙ rrd_first (src/rrd_first.c:84-150): oldest retained slot."""

@@ -204,3 +204,272 @@ def ensure_binary() -> str | None:
         return BIN
     except Exception:
         return None
+
+
+# ---------------------------------------------------------------- xport/graphv
+# W4/W5 baseline subset: the reference's rrd_xport/rrd_graph_v pull the
+# cairo/pango stack only through rrd_graph.c's RENDER path; the xport and
+# PRINT-only graphv flows never draw (graph_paint returns before painting
+# when there are no drawable elements, src/rrd_graph.c:3901-3909). These
+# stub headers satisfy compile+link for the never-taken render calls.
+
+XBIN = "/tmp/rrdminix"
+
+_CAIRO_STUB = """
+#ifndef MINI_CAIRO_H
+#define MINI_CAIRO_H
+#include <stddef.h>
+typedef struct _mini_opaque { int _x; } cairo_t;
+typedef struct _mini_opaque2 { int _x; } cairo_surface_t;
+typedef struct _mini_opaque3 { int _x; } cairo_font_options_t;
+typedef struct _mini_opaque4 { int _x; } cairo_pattern_t;
+typedef int cairo_status_t;
+typedef int cairo_format_t;
+typedef int cairo_antialias_t;
+typedef cairo_status_t (*cairo_write_func_t)(void *, const unsigned char *, unsigned int);
+#define CAIRO_STATUS_SUCCESS 0
+#define CAIRO_STATUS_WRITE_ERROR 11
+#define CAIRO_FORMAT_ARGB32 0
+#define CAIRO_HINT_STYLE_FULL 3
+#define CAIRO_HINT_STYLE_SLIGHT 1
+#define CAIRO_HINT_METRICS_ON 2
+#define CAIRO_ANTIALIAS_NONE 1
+#define CAIRO_ANTIALIAS_GRAY 2
+#define CAIRO_LINE_CAP_ROUND 1
+#define CAIRO_LINE_JOIN_ROUND 1
+#define CAIRO_SVG_VERSION_1_1 0
+#define CAIRO_HAS_PDF_SURFACE 1
+#define CAIRO_HAS_PS_SURFACE 1
+#define CAIRO_HAS_SVG_SURFACE 1
+static cairo_t _mini_cr; static cairo_surface_t _mini_surf;
+static cairo_font_options_t _mini_fo; static cairo_pattern_t _mini_pat;
+#define MINI_UNUSED __attribute__((unused))
+static MINI_UNUSED cairo_t *cairo_create(cairo_surface_t *s) { (void)s; return &_mini_cr; }
+static MINI_UNUSED void cairo_destroy(cairo_t *c) { (void)c; }
+static MINI_UNUSED cairo_surface_t *cairo_image_surface_create(cairo_format_t f, int w, int h) { (void)f;(void)w;(void)h; return &_mini_surf; }
+static MINI_UNUSED cairo_surface_t *cairo_pdf_surface_create(const char *f, double w, double h) { (void)f;(void)w;(void)h; return &_mini_surf; }
+static MINI_UNUSED cairo_surface_t *cairo_ps_surface_create(const char *f, double w, double h) { (void)f;(void)w;(void)h; return &_mini_surf; }
+static MINI_UNUSED cairo_surface_t *cairo_svg_surface_create(const char *f, double w, double h) { (void)f;(void)w;(void)h; return &_mini_surf; }
+static MINI_UNUSED cairo_surface_t *cairo_pdf_surface_create_for_stream(cairo_write_func_t w, void *u, double x, double y) { (void)w;(void)u;(void)x;(void)y; return &_mini_surf; }
+static MINI_UNUSED cairo_surface_t *cairo_ps_surface_create_for_stream(cairo_write_func_t w, void *u, double x, double y) { (void)w;(void)u;(void)x;(void)y; return &_mini_surf; }
+static MINI_UNUSED cairo_surface_t *cairo_svg_surface_create_for_stream(cairo_write_func_t w, void *u, double x, double y) { (void)w;(void)u;(void)x;(void)y; return &_mini_surf; }
+static MINI_UNUSED void cairo_svg_surface_restrict_to_version(cairo_surface_t *s, int v) { (void)s;(void)v; }
+static MINI_UNUSED void cairo_surface_destroy(cairo_surface_t *s) { (void)s; }
+static MINI_UNUSED void cairo_surface_finish(cairo_surface_t *s) { (void)s; }
+static MINI_UNUSED cairo_status_t cairo_surface_write_to_png(cairo_surface_t *s, const char *f) { (void)s;(void)f; return 0; }
+static MINI_UNUSED cairo_status_t cairo_surface_write_to_png_stream(cairo_surface_t *s, cairo_write_func_t w, void *u) { (void)s;(void)w;(void)u; return 0; }
+static MINI_UNUSED cairo_status_t cairo_status(cairo_t *c) { (void)c; return 0; }
+static MINI_UNUSED const char *cairo_status_to_string(cairo_status_t s) { (void)s; return "stub"; }
+static MINI_UNUSED cairo_font_options_t *cairo_font_options_create(void) { return &_mini_fo; }
+static MINI_UNUSED void cairo_font_options_destroy(cairo_font_options_t *o) { (void)o; }
+static MINI_UNUSED void cairo_font_options_set_antialias(cairo_font_options_t *o, int a) { (void)o;(void)a; }
+static MINI_UNUSED void cairo_font_options_set_hint_style(cairo_font_options_t *o, int a) { (void)o;(void)a; }
+static MINI_UNUSED void cairo_font_options_set_hint_metrics(cairo_font_options_t *o, int a) { (void)o;(void)a; }
+static MINI_UNUSED cairo_pattern_t *cairo_pattern_create_linear(double a, double b, double c, double d) { (void)a;(void)b;(void)c;(void)d; return &_mini_pat; }
+static MINI_UNUSED void cairo_pattern_add_color_stop_rgba(cairo_pattern_t *p, double o, double r, double g, double b, double a) { (void)p;(void)o;(void)r;(void)g;(void)b;(void)a; }
+static MINI_UNUSED void cairo_pattern_destroy(cairo_pattern_t *p) { (void)p; }
+static MINI_UNUSED void cairo_set_source(cairo_t *c, cairo_pattern_t *p) { (void)c;(void)p; }
+static MINI_UNUSED void cairo_set_source_rgba(cairo_t *c, double r, double g, double b, double a) { (void)c;(void)r;(void)g;(void)b;(void)a; }
+static MINI_UNUSED void cairo_move_to(cairo_t *c, double x, double y) { (void)c;(void)x;(void)y; }
+static MINI_UNUSED void cairo_line_to(cairo_t *c, double x, double y) { (void)c;(void)x;(void)y; }
+static MINI_UNUSED void cairo_rectangle(cairo_t *c, double x, double y, double w, double h) { (void)c;(void)x;(void)y;(void)w;(void)h; }
+static MINI_UNUSED void cairo_new_path(cairo_t *c) { (void)c; }
+static MINI_UNUSED void cairo_close_path(cairo_t *c) { (void)c; }
+static MINI_UNUSED void cairo_fill(cairo_t *c) { (void)c; }
+static MINI_UNUSED void cairo_stroke(cairo_t *c) { (void)c; }
+static MINI_UNUSED void cairo_clip(cairo_t *c) { (void)c; }
+static MINI_UNUSED void cairo_reset_clip(cairo_t *c) { (void)c; }
+static MINI_UNUSED void cairo_save(cairo_t *c) { (void)c; }
+static MINI_UNUSED void cairo_restore(cairo_t *c) { (void)c; }
+static MINI_UNUSED void cairo_scale(cairo_t *c, double x, double y) { (void)c;(void)x;(void)y; }
+static MINI_UNUSED void cairo_rotate(cairo_t *c, double a) { (void)c;(void)a; }
+static MINI_UNUSED void cairo_translate(cairo_t *c, double x, double y) { (void)c;(void)x;(void)y; }
+static MINI_UNUSED void cairo_set_line_width(cairo_t *c, double w) { (void)c;(void)w; }
+static MINI_UNUSED double cairo_get_line_width(cairo_t *c) { (void)c; return 1.0; }
+static MINI_UNUSED void cairo_set_line_cap(cairo_t *c, int v) { (void)c;(void)v; }
+static MINI_UNUSED void cairo_set_line_join(cairo_t *c, int v) { (void)c;(void)v; }
+static MINI_UNUSED void cairo_set_dash(cairo_t *c, const double *d, int n, double o) { (void)c;(void)d;(void)n;(void)o; }
+static MINI_UNUSED void cairo_set_antialias(cairo_t *c, int a) { (void)c;(void)a; }
+static MINI_UNUSED void cairo_show_page(cairo_t *c) { (void)c; }
+static MINI_UNUSED void cairo_user_to_device(cairo_t *c, double *x, double *y) { (void)c;(void)x;(void)y; }
+static MINI_UNUSED void cairo_user_to_device_distance(cairo_t *c, double *x, double *y) { (void)c;(void)x;(void)y; }
+static MINI_UNUSED void cairo_device_to_user(cairo_t *c, double *x, double *y) { (void)c;(void)x;(void)y; }
+#endif
+"""
+
+_PANGO_STUB = """
+#ifndef MINI_PANGO_H
+#define MINI_PANGO_H
+#include <cairo.h>
+#define PANGO_SCALE 1024
+#define PANGO_TAB_LEFT 0
+typedef struct _mini_pl { int _x; } PangoLayout;
+typedef struct _mini_pfd { int _x; } PangoFontDescription;
+typedef struct _mini_pfm { int _x; } PangoFontMap;
+typedef PangoFontMap PangoCairoFontMap;
+typedef struct _mini_pc { int _x; } PangoContext;
+typedef struct _mini_pta { int _x; } PangoTabArray;
+typedef struct { int x, y, width, height; } PangoRectangle;
+#define PANGO_CAIRO_FONT_MAP(x) ((PangoCairoFontMap*)(x))
+static PangoLayout _mini_pl; static PangoFontDescription _mini_pfd;
+static PangoFontMap _mini_pfm; static PangoContext _mini_pc;
+static PangoTabArray _mini_pta;
+static MINI_UNUSED PangoFontMap *pango_cairo_font_map_get_default(void) { return &_mini_pfm; }
+static MINI_UNUSED void pango_cairo_font_map_set_resolution(PangoCairoFontMap *m, double d) { (void)m;(void)d; }
+static MINI_UNUSED PangoContext *pango_font_map_create_context(PangoFontMap *m) { (void)m; return &_mini_pc; }
+static MINI_UNUSED PangoContext *pango_cairo_font_map_create_context(PangoCairoFontMap *m) { (void)m; return &_mini_pc; }
+static MINI_UNUSED void pango_cairo_context_set_font_options(PangoContext *c, const cairo_font_options_t *o) { (void)c;(void)o; }
+static MINI_UNUSED void pango_cairo_context_set_resolution(PangoContext *c, double r) { (void)c;(void)r; }
+static MINI_UNUSED void pango_cairo_update_context(cairo_t *cr, PangoContext *c) { (void)cr;(void)c; }
+static MINI_UNUSED PangoLayout *pango_layout_new(PangoContext *c) { (void)c; return &_mini_pl; }
+static MINI_UNUSED PangoLayout *pango_cairo_create_layout(cairo_t *cr) { (void)cr; return &_mini_pl; }
+static MINI_UNUSED PangoContext *pango_layout_get_context(PangoLayout *l) { (void)l; return &_mini_pc; }
+static MINI_UNUSED void pango_layout_context_changed(PangoLayout *l) { (void)l; }
+static MINI_UNUSED void pango_cairo_update_layout(cairo_t *cr, PangoLayout *l) { (void)cr;(void)l; }
+static MINI_UNUSED void pango_cairo_show_layout(cairo_t *cr, PangoLayout *l) { (void)cr;(void)l; }
+static MINI_UNUSED PangoFontDescription *pango_font_description_from_string(const char *s) { (void)s; return &_mini_pfd; }
+static MINI_UNUSED char *pango_font_description_to_string(const PangoFontDescription *d) { (void)d; return (char*)"stub 10"; }
+static MINI_UNUSED void pango_font_description_set_size(PangoFontDescription *d, int s) { (void)d;(void)s; }
+static MINI_UNUSED int pango_font_description_get_size(const PangoFontDescription *d) { (void)d; return 10 * PANGO_SCALE; }
+static MINI_UNUSED int pango_font_description_equal(const PangoFontDescription *a, const PangoFontDescription *b) { (void)a;(void)b; return 1; }
+static MINI_UNUSED void pango_font_description_free(PangoFontDescription *d) { (void)d; }
+static MINI_UNUSED const PangoFontDescription *pango_layout_get_font_description(PangoLayout *l) { (void)l; return &_mini_pfd; }
+static MINI_UNUSED void pango_layout_set_font_description(PangoLayout *l, const PangoFontDescription *d) { (void)l;(void)d; }
+static MINI_UNUSED void pango_layout_set_text(PangoLayout *l, const char *t, int n) { (void)l;(void)t;(void)n; }
+static MINI_UNUSED void pango_layout_set_markup(PangoLayout *l, const char *t, int n) { (void)l;(void)t;(void)n; }
+static MINI_UNUSED void pango_layout_get_pixel_extents(PangoLayout *l, PangoRectangle *ink, PangoRectangle *log) {
+    (void)l; if (ink) { ink->x = ink->y = 0; ink->width = 10; ink->height = 10; }
+    if (log) { log->x = log->y = 0; log->width = 10; log->height = 10; } }
+static MINI_UNUSED PangoTabArray *pango_tab_array_new(int n, int p) { (void)n;(void)p; return &_mini_pta; }
+static MINI_UNUSED void pango_tab_array_set_tab(PangoTabArray *a, int i, int align, int loc) { (void)a;(void)i;(void)align;(void)loc; }
+static MINI_UNUSED void pango_layout_set_tabs(PangoLayout *l, PangoTabArray *a) { (void)l;(void)a; }
+static MINI_UNUSED void pango_tab_array_free(PangoTabArray *a) { (void)a; }
+static MINI_UNUSED void g_object_unref(void *o) { (void)o; }
+#endif
+"""
+
+_MINI2_C = r"""
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include "rrd.h"
+#include "rrd_xport.h"
+
+int main(int argc, char **argv) {
+    if (argc < 2) { fprintf(stderr, "usage: minix xport|graphv ...\n"); return 1; }
+    optind = 0; opterr = 0;
+    if (!strcmp(argv[1], "xport")) {
+        time_t start, end; unsigned long step, col_cnt, i, ii;
+        char **legend_v; rrd_value_t *data;
+        if (rrd_xport(argc - 1, (char **)(argv + 1), NULL, &start, &end,
+                      &step, &col_cnt, &legend_v, &data)) {
+            fprintf(stderr, "ERR %s\n", rrd_get_error()); return 1; }
+        /* the library already streamed the XML (the rrdtool-xport
+         * user-visible output); consume the array and summarize so the
+         * subset binary does the same total work without double-printing */
+        rrd_value_t *p = data; double acc = 0; long rows = 0;
+        for (time_t ti = start + step; ti <= end; ti += step, rows++)
+            for (ii = 0; ii < col_cnt; ii++) { double v = *(p++); if (v == v) acc += v; }
+        fprintf(stderr, "rows=%ld cols=%lu sum=%.10e\n", rows, col_cnt, acc);
+        for (i = 0; i < col_cnt; i++) free(legend_v[i]);
+        free(legend_v); free(data);
+    } else if (!strcmp(argv[1], "graphv")) {
+        rrd_info_t *info = rrd_graph_v(argc - 1, (const char **)(argv + 1));
+        if (!info) { fprintf(stderr, "ERR %s\n", rrd_get_error()); return 1; }
+        for (rrd_info_t *w = info; w; w = w->next) {
+            if (w->type == RD_I_STR)
+                printf("%s = %s\n", w->key, w->value.u_str);
+            else if (w->type == RD_I_VAL)
+                printf("%s = %.10e\n", w->key, w->value.u_val);
+            else if (w->type == RD_I_CNT)
+                printf("%s = %lu\n", w->key, w->value.u_cnt);
+        }
+        rrd_info_free(info);
+    } else { fprintf(stderr, "unknown cmd\n"); return 1; }
+    return 0;
+}
+"""
+
+_GLIB_SHIM_EXTRA = """
+#define GINT_TO_POINTER(i) ((gpointer)(long)(i))
+#define GPOINTER_TO_INT(p) ((gint)(long)(p))
+typedef struct _GHashTable GHashTable;
+typedef guint (*GHashFunc)(gconstpointer);
+typedef gboolean (*GEqualFunc)(gconstpointer, gconstpointer);
+GHashTable *g_hash_table_new_full(GHashFunc hash_func, GEqualFunc key_equal_func,
+                                  GDestroyNotify key_destroy_func,
+                                  GDestroyNotify value_destroy_func);
+void g_hash_table_destroy(GHashTable *hash_table);
+gboolean g_hash_table_insert(GHashTable *hash_table, gpointer key, gpointer value);
+gboolean g_hash_table_lookup_extended(GHashTable *hash_table, gconstpointer lookup_key,
+                                      gpointer *orig_key, gpointer *value);
+guint g_str_hash(gconstpointer v);
+gboolean g_str_equal(gconstpointer v1, gconstpointer v2);
+gchar *g_strdup(const gchar *str);
+gchar *g_locale_to_utf8(const gchar *opsysstring, long len,
+                        gpointer bytes_read, gpointer bytes_written, GError **error);
+"""
+
+_XSOURCES = _SOURCES + [
+    "rrd_graph", "rrd_graph_helper", "rrd_gfx", "rrd_xport", "strftime",
+    "pngsize",
+]
+
+
+def ensure_xport_binary() -> str | None:
+    """Build/locate the xport+graphv subset binary (W4/W5 baseline rows).
+
+    Reuses the rrdmini source tree and shims, adds no-op cairo/pango stub
+    headers (compile+link only: the xport path runs IMAGE_INIT_NO_CAIRO,
+    src/rrd_xport.c:110, and a PRINT-only graphv returns from graph_paint
+    before any drawing, src/rrd_graph.c:3901-3909, so the stubs are never
+    semantically exercised). None if the toolchain is unavailable."""
+    if os.path.exists(XBIN):
+        return XBIN
+    if ensure_binary() is None:  # materializes SRC + shims
+        return None
+    try:
+        with open(f"{SRC}/src/glib.h") as f:
+            shim = f.read()
+        if "GINT_TO_POINTER" not in shim:
+            shim = shim.replace("#endif\n", _GLIB_SHIM_EXTRA + "#endif\n")
+            with open(f"{SRC}/src/glib.h", "w") as f:
+                f.write(shim)
+        with open(f"{SRC}/src/cairo.h", "w") as f:
+            f.write(_CAIRO_STUB)
+        for alias in ("cairo-pdf.h", "cairo-svg.h", "cairo-ps.h"):
+            with open(f"{SRC}/src/{alias}", "w") as f:
+                f.write('#include "cairo.h"\n')
+        os.makedirs(f"{SRC}/src/pango", exist_ok=True)
+        with open(f"{SRC}/src/pango/pangocairo.h", "w") as f:
+            f.write(_PANGO_STUB)
+        with open(f"{SRC}/mini2.c", "w") as f:
+            f.write(_MINI2_C)
+        xml = subprocess.run(
+            ["pkg-config", "--cflags", "--libs", "libxml-2.0"],
+            capture_output=True, text=True, check=True,
+        ).stdout.split()
+        cmd = (
+            ["gcc", "-O1", f"-I{SRC}/src",
+             # configure-provided knobs the fake config header lacks, and
+             # stdlib for translation units that rely on configure's
+             # prelude; G_PI comes from real glib's gmacros
+             "-DRRDGRAPH_YLEGEND_ANGLE=90.0",
+             "-DG_PI=3.14159265358979323846",
+             # without these the rrd_snprintf fallback emulates va_copy
+             # with a sizeof-based memcpy that overflows on x86-64
+             # (ASan-caught); glibc has the real functions
+             "-DHAVE_VA_COPY=1", "-DHAVE_VASPRINTF=1", "-DHAVE_ASPRINTF=1",
+             "-include", "stdlib.h",
+             "-o", XBIN, f"{SRC}/mini2.c"]
+            + [f"{SRC}/src/{s}.c" for s in _XSOURCES]
+            + ["-lm", "-lpthread", "-lpng",
+               "/usr/lib/x86_64-linux-gnu/libglib-2.0.so.0"]
+            + xml
+        )
+        r = subprocess.run(cmd, capture_output=True, text=True)
+        if r.returncode != 0:
+            return None
+        return XBIN
+    except Exception:
+        return None

@@ -173,6 +173,69 @@ def main() -> None:
         out["w4_xport_cdef_sec"] = _median(w4)
         out["w5_vdef_print_sec"] = _median(w5)
 
+        # w5 graph-equivalent: rrdtool graphv coarsens every DEF to the
+        # pixel grid (im->step = max(step, (end-start)/xsize), xsize
+        # default 400, src/rrd_graph.c:4954) and computes VDEFs over the
+        # coarsened rows — the directly-comparable twin of ref_w5. The
+        # full-resolution w5 row above is an engine capability the
+        # reference graph path cannot express; kept for tracking.
+        def w5_graphequiv():
+            q = (
+                Query(
+                    start=T0, end=end,
+                    step=max(STEP, (end - T0) // 400),
+                )
+                .def_("v", rollups, store.dataset, "a", "AVERAGE", last_up=end)
+                .vdef("vmax", "v,MAXIMUM")
+                .vdef("vavg", "v,AVERAGE")
+                .vdef("vp95", "v,95,PERCENT")
+                .print_("vmax", "%lf")
+                .print_("vavg", "%lf")
+                .print_("vp95", "%lf")
+            )
+            return q.execute(spark).prints
+
+        out["w5_graphequiv_sec"] = _median(w5_graphequiv)
+
+        # w4/w5 LOCAL: plans.local.LocalQuery — the driver-side pyarrow+
+        # numpy tier (same pattern as fetch_local vs fetch: the reference
+        # is a single process over one file; the engine's comparable row
+        # is the no-Spark-job path, while the distributed rows above are
+        # the cluster-scale path). Values are asserted equal to the
+        # distributed Query before timing.
+        from rrdtool_1_x_spark.plans.local import LocalQuery
+
+        def w4_local():
+            q = LocalQuery(store, T0, end, step=STEP).def_(
+                "v", "a", "AVERAGE", series_id="s0"
+            )
+            for n_, r_ in [("c1", "v,UN,0,v,IF"), ("c2", "c1,1.1,*"),
+                           ("c3", "c2,100,GT,100,c2,IF"),
+                           ("c4", "c3,c1,+"), ("c5", "c4,2,/")]:
+                q = q.cdef(n_, r_)
+            return q.xport("c5", "out").execute()
+
+        def w5_local():
+            return (
+                LocalQuery(store, T0, end)
+                .def_("v", "a", "AVERAGE", series_id="s0")
+                .vdef("vmax", "v,MAXIMUM")
+                .vdef("vavg", "v,AVERAGE")
+                .vdef("vp95", "v,95,PERCENT")
+                .print_("vmax", "%lf")
+                .print_("vavg", "%lf")
+                .print_("vp95", "%lf")
+                .execute()
+            )
+
+        lw4, dw4 = w4_local().frame, w4()
+        assert len(lw4) == len(dw4) and np.allclose(
+            lw4["c5"].to_numpy(), dw4["c5"].to_numpy(), equal_nan=True
+        ), "local/distributed w4 mismatch"
+        assert w5_local().prints == w5(), "local/distributed w5 mismatch"
+        out["w4_local_sec"] = _median(w4_local)
+        out["w5_local_sec"] = _median(w5_local)
+
         # W6: Holt-Winters family pass (HWPREDICT/SEASONAL/DEVSEASONAL/
         # DEVPREDICT/FAILURES state machine) over one series' full sample
         # run — samples/s through the applyInPandas recurrence.
@@ -327,6 +390,59 @@ def bench_reference() -> dict:
         if batch:
             subprocess.run([binary, "update", hw_rrd, *batch], check=True)
         out["ref_w6_hw_samples_per_s"] = round(n_ts / (time.perf_counter() - t0))
+
+        # W4/W5: the graph-less xport/graphv subset binary (stub-cairo
+        # build, tests/rrdmini.ensure_xport_binary) fills the two rows the
+        # full reference build can't provide in this container. Same
+        # queries as the engine's w4()/w5(); stdout (the XML stream
+        # rrd_xport itself emits) goes to /dev/null like the engine's
+        # noop sink.
+        from tests.rrdmini import ensure_xport_binary
+
+        xbin = ensure_xport_binary()
+        if xbin:
+            devnull = subprocess.DEVNULL
+
+            def run_w4():
+                # -m (maxrows) lifts xport's default 400-row pixel
+                # coarsening so the reference processes the same 200k
+                # rows the engine's w4 does (full-resolution export)
+                subprocess.run(
+                    [xbin, "xport", "-s", str(T0), "-e", str(end),
+                     "-m", "250000",
+                     "--step", str(STEP),
+                     f"DEF:v={rrd}:a:AVERAGE",
+                     "CDEF:c1=v,UN,0,v,IF",
+                     "CDEF:c2=c1,1.1,*",
+                     "CDEF:c3=c2,100,GT,100,c2,IF",
+                     "CDEF:c4=c3,c1,+",
+                     "CDEF:c5=c4,2,/",
+                     "XPORT:c5:out"],
+                    check=True, stdout=devnull, stderr=devnull,
+                )
+
+            def run_w5():
+                # -w lifts graphv's default 400-pixel DEF coarsening so
+                # the reference VDEFs run over the same 200k rows the
+                # engine's w5/w5_local rows process (full resolution)
+                subprocess.run(
+                    [xbin, "graphv", "/dev/null",
+                     "-w", "250000",
+                     "-s", str(T0), "-e", str(end),
+                     f"DEF:v={rrd}:a:AVERAGE",
+                     "VDEF:vmax=v,MAXIMUM",
+                     "VDEF:vavg=v,AVERAGE",
+                     "VDEF:vp95=v,95,PERCENT",
+                     "PRINT:vmax:%lf", "PRINT:vavg:%lf",
+                     "PRINT:vp95:%lf"],
+                    check=True, stdout=devnull, stderr=devnull,
+                )
+
+            out["ref_w4_xport_cdef_sec"] = _median(run_w4)
+            out["ref_w5_vdef_print_sec"] = _median(run_w5)
+        else:
+            out["ref_w4_xport_cdef_sec"] = None
+            out["ref_w5_vdef_print_sec"] = None
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out
