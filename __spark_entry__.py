@@ -4365,6 +4365,120 @@ def q_suffix_dedup(spark, sf_dir):
     )
 
 
+def _suffix_planted(spark, sf_dir):
+    """The suffix-dedup planted corpus (q_suffix_dedup's plant, shared
+    by the index/stream closures; mirrored in the oracle)."""
+    boiler = (
+        "all rights reserved this corpus is distributed under the open"
+        " data license terms apply to every derived work"
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 21 == 0,
+            F.concat(F.col("text"), F.lit(" "), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(F.col("text"), F.lit(" " + boiler)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def q_suffix_index_topup(spark, sf_dir):
+    """Persisted suffix-dedup anchor index + top-up
+    (datapipe.dedup.write_anchor_index / append_anchor_index /
+    anchor_index_spans): anchors are per-document, so the merge law is
+    set UNION and index-then-append equals the one-shot
+    exact_substring_spans EXACTLY for any batch split — the gate
+    builds from the doc_id%3!=0 slice, appends the rest, and must
+    hash-match the one-shot oracle."""
+    import tempfile
+
+    from rrdtool_1_x_spark.datapipe.dedup import (
+        anchor_index_spans,
+        append_anchor_index,
+        write_anchor_index,
+    )
+
+    planted = _suffix_planted(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="anchoridx_")
+    write_anchor_index(planted.filter(F.col("doc_id") % 3 != 0), work, n=12)
+    append_anchor_index(planted.filter(F.col("doc_id") % 3 == 0), work, n=12)
+    return anchor_index_spans(spark, work, n=12).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+def q_suffix_stream(spark, sf_dir):
+    """Streaming anchor-index maintenance
+    (streaming.datapipe_stream.start_anchor_stream): the planted corpus
+    split into 3 micro-batches, each batch anchored and appended
+    (set-union merge, replay absorbed by read-side distinct); the
+    drained index's extents must equal the one-shot batch oracle."""
+    import shutil
+    import tempfile
+
+    from rrdtool_1_x_spark.datapipe.dedup import anchor_index_spans
+    from rrdtool_1_x_spark.streaming.datapipe_stream import (
+        start_anchor_stream,
+    )
+
+    planted = _suffix_planted(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="anchorstream_")
+    src = f"{work}/in"
+    for i in range(3):
+        planted.filter(F.col("doc_id") % 3 == i).coalesce(2).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = start_anchor_stream(stream, f"{work}/idx", f"{work}/ck", n=12)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("suffix anchor stream drain exceeded 600s")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(f"{work}/ck", ignore_errors=True)
+    return anchor_index_spans(spark, f"{work}/idx", n=12).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+_CANARIES = ("canary-7fa2bd1e-marker", "canary-d41d8cd9-marker")
+
+
+def q_canary_scan(spark, sf_dir):
+    """Benchmark canary detection (datapipe.decontam.canary_scan):
+    exact-substring screen for planted eval-set marker GUIDs (the
+    BIG-bench canary convention). Plant: doc_id%23 docs carry canary 1
+    once, doc_id%29 docs carry canary 2 twice (doc 0 carries both);
+    occurrence counts via the length-difference identity, one corpus
+    scan."""
+    from rrdtool_1_x_spark.datapipe.decontam import canary_scan
+
+    c1, c2 = _CANARIES
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 23 == 0, F.lit(" " + c1)).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 29 == 0, F.lit(f" {c2} xyz {c2}")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return canary_scan(planted, list(_CANARIES)).orderBy(
+        "doc_id", "canary"
+    )
+
+
 _DF_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
 
@@ -4837,6 +4951,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top": q_vocab_top,
         "langid": q_langid,
         "suffix_dedup": q_suffix_dedup,
+        "suffix_index_topup": q_suffix_index_topup,
+        "suffix_stream": q_suffix_stream,
+        "canary_scan": q_canary_scan,
     }
     # curate materializes its stage results eagerly at construction
     # (localCheckpoint inside curate_corpus): memoizing the DataFrame
@@ -5917,6 +6034,31 @@ rid AS (SELECT doc_id, p,
 SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
        CAST(max(p) - min(p) + 12 AS BIGINT) AS span_len
 FROM rid GROUP BY doc_id, run ORDER BY doc_id, span_start"""
+    # per-document anchoring + set-union appends == one-shot extents
+    sql["suffix_index_topup"] = sql["suffix_dedup"]
+    sql["suffix_stream"] = sql["suffix_dedup"]
+
+    # canary GUID screen: %23 docs carry canary 1 once, %29 docs carry
+    # canary 2 twice; occurrence count = length-difference identity
+    sql["canary_scan"] = """
+WITH src AS (
+  SELECT doc_id,
+    text
+      || CASE WHEN doc_id % 23 = 0
+              THEN ' canary-7fa2bd1e-marker' ELSE '' END
+      || CASE WHEN doc_id % 29 = 0
+              THEN ' canary-d41d8cd9-marker xyz canary-d41d8cd9-marker'
+              ELSE '' END AS text
+  FROM documents),
+grid AS (SELECT doc_id, text, unnest([
+           'canary-7fa2bd1e-marker', 'canary-d41d8cd9-marker']) AS canary
+         FROM src),
+hits AS (SELECT doc_id, canary,
+           CAST((len(text) - len(replace(text, canary, '')))
+                // len(canary) AS BIGINT) AS n_hits
+         FROM grid)
+SELECT doc_id, canary, n_hits FROM hits
+WHERE n_hits > 0 ORDER BY doc_id, canary"""
 
     # cluster-balanced diversity sample: ivf_topk's cell-assignment chain
     # (cosine argmax, ties to lowest cid) + per-cell smallest-md5 quota

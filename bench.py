@@ -166,6 +166,10 @@ NAMES = [
     "cms_index_topup",
     "langid",
     "suffix_dedup",
+    "suffix_index_topup",
+    "canary_scan",
+    # suffix_stream is a one-shot drain (memoized construction) — its
+    # throughput story lives with the dedicated stream rows
     # dedup_stream / stream_join / sketch_stream / logq_stream are one-shot drains (memoized
     # construction) — their throughput story lives with the dedicated
     # stream rows (curation_stream, windows_stream), not the timing loop

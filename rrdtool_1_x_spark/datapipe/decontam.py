@@ -560,3 +560,49 @@ def remove_contaminated_spans(
             doc_text_col
         ),
     )
+
+
+def canary_scan(
+    df: DataFrame,
+    canaries: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark canary detection — the exact-substring screen for
+    planted eval-set markers (the BIG-bench "canary GUID" convention:
+    eval suites embed a unique string; any training document containing
+    it is contaminated by construction, no fuzzy matching needed).
+    Returns one row per (document, canary) HIT:
+    ``(id, canary, n_hits)`` with the exact occurrence count
+    (substring count, case-sensitive — canaries are opaque tokens).
+
+    Shape at scale: the canary list is a literal array in the plan
+    (broadcast by construction, eval suites have dozens of canaries,
+    not millions); one corpus scan, occurrence counting via the
+    length-difference identity (no regex compilation, no explode of
+    text); map-only until the final determinism sort. For canary lists
+    too large for a literal array, join against a broadcast frame —
+    same one-scan shape."""
+    if not canaries:
+        raise ValueError("canary_scan needs at least one canary string")
+    if any(not c for c in canaries):
+        raise ValueError("empty canary string")
+    # ONE corpus scan: explode the literal canary array per row (k-way
+    # map-side amplification, never k scans), count via length identity
+    text = F.col(text_col)
+    exploded = df.select(
+        F.col(id_col),
+        text.alias("_t"),
+        F.explode(F.array(*[F.lit(c) for c in canaries])).alias("canary"),
+    )
+    hits = (
+        (
+            F.length(F.col("_t"))
+            - F.length(F.replace(F.col("_t"), F.col("canary"), F.lit("")))
+        )
+        / F.length(F.col("canary"))
+    ).cast("long")
+    return (
+        exploded.select(F.col(id_col), "canary", hits.alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
+    )

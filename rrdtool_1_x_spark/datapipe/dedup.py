@@ -1427,6 +1427,19 @@ def exact_substring_spans(
     shuffle ONCE on the document for the lag/run-id window (per-doc
     partitions, bounded by document length); the span aggregate reuses
     that partitioning. No global window, nothing corpus-quadratic."""
+    occ = _anchor_occurrences(df, n, id_col, text_col, hash_fn)
+    return _extents_from_occurrences(occ, n, id_col)
+
+
+def _anchor_occurrences(
+    df: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(id, p, h): every n-token anchor window position of every document
+    with >= n tokens (the suffix-dedup occurrence frame; map-only)."""
     hasher = (
         (lambda s: F.md5(s.cast("binary")))
         if hash_fn == "md5"
@@ -1438,9 +1451,17 @@ def exact_substring_spans(
         F.size(toks).alias("_L"),
         F.transform(_shingle_array(F.col(text_col), n), hasher).alias("_w"),
     ).filter(F.col("_L") >= n)
-    occ = base.select(
+    return base.select(
         F.col(id_col), F.posexplode("_w").alias("_p0", "_h")
     ).select(F.col(id_col), (F.col("_p0") + 1).alias("_p"), "_h")
+
+
+def _extents_from_occurrences(
+    occ: DataFrame, n: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Covered anchors (corpus count >= 2) -> consecutive-run merge ->
+    maximal (span_start, span_len) extents. The reduce tail shared by
+    ``exact_substring_spans`` and ``anchor_index_spans``."""
     wh = Window.partitionBy("_h")
     cov = (
         occ.withColumn("_cnt", F.count(F.lit(1)).over(wh))
@@ -1467,3 +1488,47 @@ def exact_substring_spans(
         )
         .select(F.col(id_col), "span_start", "span_len")
     )
+
+
+def write_anchor_index(
+    docs: DataFrame,
+    path: str,
+    n: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "md5",
+) -> None:
+    """Persist the suffix-dedup ANCHOR index: distinct (doc_id, p, h)
+    n-token window occurrences. Anchoring is strictly per-document, so
+    the merge law is plain set UNION (the winnow-index pattern): an
+    append anchors ONLY the new batch, and index-then-append equals the
+    one-shot ``exact_substring_spans`` EXACTLY for any batch split —
+    coverage counts aggregate over the stored union at read time. The
+    same ``n``/``hash_fn`` must be used for every write to one index.
+    Plain parquet appends here; production writes go through a
+    transactional commit (sources.store's manifest-snapshot pattern)."""
+    _anchor_occurrences(docs, n, id_col, text_col, hash_fn).distinct() \
+        .write.mode("overwrite").parquet(f"{path}/anchors")
+
+
+def append_anchor_index(
+    batch: DataFrame,
+    path: str,
+    n: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "md5",
+) -> None:
+    """Anchor the batch only and append (set union; a replayed batch's
+    duplicate rows are absorbed by the read-side distinct)."""
+    _anchor_occurrences(batch, n, id_col, text_col, hash_fn).distinct() \
+        .write.mode("append").parquet(f"{path}/anchors")
+
+
+def anchor_index_spans(spark, path: str, n: int = 50) -> DataFrame:
+    """Maximal duplicated extents straight off the STORED anchors — no
+    corpus access (a 100 TB corpus grows by anchoring each new batch,
+    never re-anchoring). Semantics identical to
+    ``exact_substring_spans`` by construction (shared reduce tail)."""
+    occ = spark.read.parquet(f"{path}/anchors").distinct()
+    return _extents_from_occurrences(occ, n)

@@ -502,3 +502,34 @@ def start_winnow_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_anchor_stream(
+    doc_stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    n: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming suffix-dedup anchor-index maintenance: each micro-batch
+    anchors ONLY its own documents (n-token window occurrences) and
+    parquet-appends them to the stored (doc_id, p, h) frame. Anchoring
+    is per-document, so the merge law is set UNION — a replayed batch's
+    duplicate appends are absorbed by ``anchor_index_spans``'s read-side
+    distinct (idempotent like the winnow stream, no snapshot machinery).
+    Per micro-batch: one batch anchoring pass + a batch-sized append;
+    extents recompute lazily at read time over the stored union."""
+    from rrdtool_1_x_spark.datapipe.dedup import append_anchor_index
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        append_anchor_index(batch_df, index_path, n, id_col, text_col)
+
+    writer = (
+        doc_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -2677,3 +2677,66 @@ def test_langid_nb_beats_stopword_heuristic(spark):
     )
     r = langid_nb(train, one).collect()[0]
     assert r["pred"] is None and r["correct"] == 0
+
+
+def test_anchor_index_union_merge_law(spark, tmp_path):
+    """Suffix-dedup anchor index: index-then-append equals the one-shot
+    extents EXACTLY for any batch split (set-union merge law), replayed
+    appends are absorbed by the read-side distinct, and cross-batch
+    repeats are discovered (a passage indexed in batch 1 whose twin
+    arrives in batch 2 reports in BOTH docs)."""
+    from rrdtool_1_x_spark.datapipe.dedup import (
+        anchor_index_spans,
+        append_anchor_index,
+        exact_substring_spans,
+        write_anchor_index,
+    )
+
+    p = " ".join(f"p{i}" for i in range(15))
+    rows = [
+        (1, "u1 u2 u3 " + p + " s1 s2"),
+        (2, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+        (3, "v1 " + p + " x1 x2 x3 x4"),
+        (4, "a b c d e f g h i j a b c d e f g h i j"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {
+        tuple(r) for r in exact_substring_spans(df, n=10).collect()
+    }
+    idx = str(tmp_path / "idx")
+    # batch 1 holds one copy of p, batch 2 brings its twin
+    write_anchor_index(df.filter("doc_id <= 2"), idx, n=10)
+    append_anchor_index(df.filter("doc_id > 2"), idx, n=10)
+    got = {tuple(r) for r in anchor_index_spans(spark, idx, n=10).collect()}
+    assert got == want and (1, 4, 15) in got and (3, 2, 15) in got
+    # replayed append: duplicates absorbed, extents unchanged
+    append_anchor_index(df.filter("doc_id > 2"), idx, n=10)
+    got2 = {tuple(r) for r in anchor_index_spans(spark, idx, n=10).collect()}
+    assert got2 == want
+
+
+def test_canary_scan_counts_and_shape(spark):
+    """Exact canary screen: per-(doc, canary) hit rows with exact
+    occurrence counts; overlapping canaries count independently; docs
+    without canaries emit nothing; empty canary rejected."""
+    import pytest as _pytest
+
+    from rrdtool_1_x_spark.datapipe.decontam import canary_scan
+
+    c1, c2 = "canary-aaa", "canary-bbb"
+    rows = [
+        (1, f"text with {c1} inside"),
+        (2, f"{c2} twice {c2} here"),
+        (3, "clean document"),
+        (4, f"{c1} and {c2} both"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["canary"]): r["n_hits"]
+        for r in canary_scan(df, [c1, c2]).collect()
+    }
+    assert got == {(1, c1): 1, (2, c2): 2, (4, c1): 1, (4, c2): 1}
+    with _pytest.raises(ValueError):
+        canary_scan(df, [])
+    with _pytest.raises(ValueError):
+        canary_scan(df, [c1, ""])
