@@ -115,7 +115,10 @@ def rpn_eval_local(
             elif up == "ADDNAN":
                 a, b = pop(2)
                 both = np.isnan(a) & np.isnan(b)
-                r = np.nan_to_num(a, nan=0.0) + np.nan_to_num(b, nan=0.0)
+                # NOT nan_to_num: it would also clobber ±inf to DBL_MAX
+                r = np.where(np.isnan(a), 0.0, a) + np.where(
+                    np.isnan(b), 0.0, b
+                )
                 stack.append(np.where(both, np.nan, r))
             elif up == "POW":
                 a, b = pop(2)

@@ -228,11 +228,25 @@ def compile_rpn(
             push(_binop_nan(a, b, lambda x, y: F.pow(x, y)))
         elif up in ("SIN", "COS", "LOG", "EXP", "SQRT", "ATAN", "FLOOR", "CEIL", "ABS", "ROUND"):
             a, = pop(1)  # noqa: E702
+            _inf = float("inf")
             fn = {
-                "SIN": F.sin, "COS": F.cos, "LOG": F.log, "EXP": F.exp,
+                "SIN": F.sin, "COS": F.cos,
+                # C log semantics (src/rrd_rpncalc.c:833-836): log(0) is
+                # -inf (a first-class value), log(<0) is NaN -> unknown;
+                # Spark's log returns NULL for BOTH non-positive cases
+                "LOG": lambda c: F.when(c == 0.0, F.lit(-_inf)).otherwise(
+                    F.log(c)
+                ),
+                "EXP": F.exp,
                 "SQRT": F.sqrt, "ATAN": F.atan,
-                "FLOOR": lambda c: F.floor(c).cast("double"),
-                "CEIL": lambda c: F.ceil(c).cast("double"),
+                # floor/ceil(±inf) = ±inf in C (src/rrd_rpncalc.c:829-832);
+                # Spark's floor/ceil go through LONG and saturate
+                "FLOOR": lambda c: F.when(
+                    F.abs(c) == _inf, c
+                ).otherwise(F.floor(c).cast("double")),
+                "CEIL": lambda c: F.when(
+                    F.abs(c) == _inf, c
+                ).otherwise(F.ceil(c).cast("double")),
                 "ABS": F.abs,
                 "ROUND": lambda c: F.round(c, 0),
             }[up]

@@ -1,0 +1,138 @@
+"""plans.local parity: the numpy RPN evaluator and numpy VDEFs must
+agree with the distributed (gated, reference-differential-tested)
+implementations on every supported op, including the unknown (NaN/NULL)
+and ±Inf edge rows the rrdtool semantics hinge on."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rrdtool_1_x_spark.plans.local import (
+    reduce_local,
+    rpn_eval_local,
+    vdef_local,
+)
+from rrdtool_1_x_spark.rpn import RpnContext, compile_rpn
+
+INF = float("inf")
+# value rows exercising unknown, zero, negatives, ±inf
+VALS_A = [1.5, None, 0.0, -2.0, INF, -INF, 100.0, None]
+VALS_B = [None, 3.0, 0.0, 7.0, 2.0, None, -1.0, None]
+STEP = 300.0
+TS = [300.0 * (i + 1) for i in range(len(VALS_A))]
+
+
+@pytest.fixture(scope="module")
+def wide(spark):
+    rows = [
+        (TS[i], VALS_A[i], VALS_B[i]) for i in range(len(VALS_A))
+    ]
+    return spark.createDataFrame(rows, "ts double, a double, b double")
+
+
+EXPRS = [
+    "a,b,+", "a,b,-", "a,b,*", "a,b,/", "a,b,%", "a,b,ADDNAN",
+    "a,2,POW", "a,b,ATAN2",
+    "a,SIN", "a,COS", "a,EXP", "a,LOG", "a,ABS", "a,FLOOR", "a,CEIL",
+    "a,ATAN", "a,DEG2RAD", "a,RAD2DEG",
+    "a,b,LT", "a,b,LE", "a,b,GT", "a,b,GE", "a,b,EQ", "a,b,NE",
+    "a,UN", "a,ISINF",
+    "a,1,0,IF", "a,UN,0,a,IF", "a,0,10,LIMIT",
+    "a,b,MIN", "a,b,MAX", "a,b,MINNAN", "a,b,MAXNAN",
+    "UNKN", "INF", "NEGINF", "TIME", "STEPWIDTH", "COUNT",
+    "a,DUP,+", "a,b,POP", "a,b,EXC,-",
+    "a,SQRT",
+]
+
+
+@pytest.mark.parametrize("rpn", EXPRS)
+def test_rpn_local_matches_distributed(spark, wide, rpn):
+    env = {"a": F.col("a"), "b": F.col("b")}
+    ctx = RpnContext(ts=F.col("ts"), step=STEP, keys=())
+    dist = [
+        r["r"]
+        for r in wide.withColumn("r", compile_rpn(rpn, env, ctx))
+        .orderBy("ts")
+        .select("r")
+        .collect()
+    ]
+    a = np.array([np.nan if v is None else v for v in VALS_A])
+    b = np.array([np.nan if v is None else v for v in VALS_B])
+    loc = rpn_eval_local(rpn, {"a": a, "b": b}, np.array(TS), STEP)
+    assert len(dist) == len(loc)
+    for i, (d, l) in enumerate(zip(dist, loc)):
+        d = float("nan") if d is None else d
+        same = (
+            (d != d and l != l)
+            or d == l
+            or (math.isfinite(d) and math.isfinite(l)
+                and abs(d - l) < 1e-9 * max(1.0, abs(d)))
+        )
+        assert same, f"{rpn} row {i}: distributed {d}, local {l}"
+
+
+def test_rpn_local_rejects_unsupported():
+    with pytest.raises(ValueError, match="unsupported in the local tier"):
+        rpn_eval_local("a,PREV", {"a": np.zeros(3)}, np.arange(3.0), STEP)
+    with pytest.raises(ValueError, match="stack"):
+        rpn_eval_local("a,b", {"a": np.zeros(3), "b": np.zeros(3)},
+                       np.arange(3.0), STEP)
+
+
+VDEF_OPS = [
+    ("MAXIMUM", None), ("MINIMUM", None), ("AVERAGE", None),
+    ("STDEV", None), ("TOTAL", None), ("FIRST", None), ("LAST", None),
+    ("PERCENT", 95.0), ("PERCENT", 10.0), ("PERCENTNAN", 95.0),
+    ("LSLSLOPE", None), ("LSLINT", None), ("LSLCORREL", None),
+]
+
+
+@pytest.mark.parametrize("op,param", VDEF_OPS)
+def test_vdef_local_matches_distributed(spark, op, param):
+    from rrdtool_1_x_spark.operators.vdef import vdef
+
+    vals = [2.0, None, 8.0, 4.0, None, 16.0, 1.0, None, 32.0, 5.5]
+    ts = [300.0 * (i + 1) for i in range(len(vals))]
+    df = spark.createDataFrame(
+        list(zip(ts, vals)), "ts double, value double"
+    )
+    d = vdef(df, op, param=param, step=STEP).collect()[0]
+    lv, lw = vdef_local(
+        np.array([np.nan if v is None else v for v in vals]),
+        np.array(ts), op, param, STEP,
+    )
+    dv = float("nan") if d["value"] is None else d["value"]
+    assert (dv != dv and lv != lv) or abs(dv - lv) < 1e-9 * max(1.0, abs(dv)), (
+        op, dv, lv
+    )
+    dw = d["when"]
+    assert (dw is None and lw is None) or dw == lw, (op, dw, lw)
+
+
+def test_reduce_local_matches_distributed(spark):
+    from rrdtool_1_x_spark.operators.fetch import reduce_data
+
+    vals = [2.0, None, 8.0, 4.0, None, 16.0, 1.0, None, 32.0, 5.5, 7.0]
+    ts = [300.0 * (i + 1) for i in range(len(vals))]
+    df = spark.createDataFrame(
+        list(zip(ts, vals)), "ts double, value double"
+    )
+    for cf in ("AVERAGE", "MIN", "MAX", "LAST"):
+        dist = {
+            r["ts"]: r["value"]
+            for r in reduce_data(df, 300, 900, cf, keys=()).collect()
+        }
+        lt, lv, lstep = reduce_local(
+            np.array(ts),
+            np.array([np.nan if v is None else v for v in vals]),
+            300, 900, cf,
+        )
+        assert lstep == 900
+        loc = dict(zip(lt, lv))
+        assert set(dist) == set(loc), (cf, dist, loc)
+        for k in dist:
+            assert abs(dist[k] - loc[k]) < 1e-12, (cf, k)
