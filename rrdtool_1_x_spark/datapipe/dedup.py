@@ -1490,6 +1490,40 @@ def _extents_from_occurrences(
     )
 
 
+def _anchor_meta_check(path: str, n: int, id_col: str, hash_fn: str,
+                       overwrite: bool = False) -> None:
+    """Pin (n, id_col, hash_fn) in ``{path}/anchor_meta.json``: an index
+    is only meaningful under ONE anchoring config — a mismatched write
+    would silently produce wrong span lengths (span_len = run + n) or
+    mixed hash types, so mismatches raise instead. ``overwrite`` (the
+    full-rewrite path only) replaces the pin along with the anchors;
+    append paths create-if-missing and otherwise validate."""
+    import json
+    import os
+
+    meta = {"n": int(n), "id_col": id_col, "hash_fn": hash_fn}
+    fp = f"{path}/anchor_meta.json"
+    if os.path.exists(fp) and not overwrite:
+        with open(fp) as f:
+            stored = json.load(f)
+        if stored != meta:
+            raise ValueError(
+                f"anchor index at {path} was written with {stored};"
+                f" this call uses {meta}"
+            )
+        return
+    os.makedirs(path, exist_ok=True)
+    with open(fp, "w") as f:
+        json.dump(meta, f)
+
+
+def _anchor_meta_read(path: str) -> dict:
+    import json
+
+    with open(f"{path}/anchor_meta.json") as f:
+        return json.load(f)
+
+
 def write_anchor_index(
     docs: DataFrame,
     path: str,
@@ -1503,10 +1537,12 @@ def write_anchor_index(
     the merge law is plain set UNION (the winnow-index pattern): an
     append anchors ONLY the new batch, and index-then-append equals the
     one-shot ``exact_substring_spans`` EXACTLY for any batch split —
-    coverage counts aggregate over the stored union at read time. The
-    same ``n``/``hash_fn`` must be used for every write to one index.
+    coverage counts aggregate over the stored union at read time.
+    The anchoring config (n, id_col, hash_fn) is pinned in
+    ``anchor_meta.json``; appends and reads validate against it.
     Plain parquet appends here; production writes go through a
     transactional commit (sources.store's manifest-snapshot pattern)."""
+    _anchor_meta_check(path, n, id_col, hash_fn, overwrite=True)
     _anchor_occurrences(docs, n, id_col, text_col, hash_fn).distinct() \
         .write.mode("overwrite").parquet(f"{path}/anchors")
 
@@ -1520,15 +1556,25 @@ def append_anchor_index(
     hash_fn: str = "md5",
 ) -> None:
     """Anchor the batch only and append (set union; a replayed batch's
-    duplicate rows are absorbed by the read-side distinct)."""
+    duplicate rows are absorbed by the read-side distinct). Raises if
+    (n, id_col, hash_fn) differ from the index's pinned config."""
+    _anchor_meta_check(path, n, id_col, hash_fn)
     _anchor_occurrences(batch, n, id_col, text_col, hash_fn).distinct() \
         .write.mode("append").parquet(f"{path}/anchors")
 
 
-def anchor_index_spans(spark, path: str, n: int = 50) -> DataFrame:
+def anchor_index_spans(spark, path: str, n: int | None = None) -> DataFrame:
     """Maximal duplicated extents straight off the STORED anchors — no
     corpus access (a 100 TB corpus grows by anchoring each new batch,
     never re-anchoring). Semantics identical to
-    ``exact_substring_spans`` by construction (shared reduce tail)."""
+    ``exact_substring_spans`` by construction (shared reduce tail).
+    ``n`` defaults to the index's pinned config; passing a different
+    value raises (span_len arithmetic depends on it)."""
+    meta = _anchor_meta_read(path)
+    if n is not None and int(n) != meta["n"]:
+        raise ValueError(
+            f"anchor index at {path} was written with n={meta['n']},"
+            f" read requested n={n}"
+        )
     occ = spark.read.parquet(f"{path}/anchors").distinct()
-    return _extents_from_occurrences(occ, n)
+    return _extents_from_occurrences(occ, meta["n"], meta["id_col"])

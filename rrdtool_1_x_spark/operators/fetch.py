@@ -185,19 +185,29 @@ def reduce_data(
     wish_step: int,
     cf: str = "AVERAGE",
     keys: tuple[str, ...] = SERIES_KEYS,
+    start: int | None = None,
+    end: int | None = None,
 ) -> DataFrame:
     """Re-consolidate fetched rows to a coarser step.
 
     Reference: rrd_reduce_data (src/rrd_graph.c:786-956). NaN-skipping for
     every CF (LAST here means last *known* in the window — unlike write-time
     CDP LAST); destination windows are aligned to the new step on the
-    window-END grid; windows only partially inside [start,end] of the input
-    are unknown in the reference (they simply lack rows here, and callers
-    padding via ``fetch`` see NULL).
+    window-END grid.
+
+    Boundary rule (src/rrd_graph.c:840-861): a destination window only
+    PARTIALLY inside the source's fetched range (start, end] is forced
+    unknown — the reference writes DNAN for it and DISCARDS its partial
+    source rows rather than consolidating them. Pass ``start``/``end``
+    (the source's aligned fetch range, e.g. FetchPlan.start/.end) to get
+    that rule; rows whose destination window is partial are dropped, so
+    the boundary windows simply lack rows here (absent = unknown) and
+    callers padding onto the reduced universe see NULL. Without
+    ``start``/``end`` every source row consolidates (legacy behavior —
+    only correct when the range is aligned to the new step).
 
     Input must be an UNPADDED step table (absent row = unknown); reduce of a
-    padded frame also works since NULL values are skipped, but partial
-    boundary windows then surface as NULL-valued rows.
+    padded frame also works since NULL values are skipped.
     """
     import math
 
@@ -205,7 +215,12 @@ def reduce_data(
     if factor <= 1:
         return df
     new_step = float(cur_step * factor)
-    win_end = (F.ceil(F.col("ts") / F.lit(new_step)) * F.lit(new_step)).alias("ts")
+    win_end_c = F.ceil(F.col("ts") / F.lit(new_step)) * F.lit(new_step)
+    if start is not None:
+        df = df.filter(win_end_c - F.lit(new_step) >= F.lit(float(start)))
+    if end is not None:
+        df = df.filter(win_end_c <= F.lit(float(end)))
+    win_end = win_end_c.alias("ts")
     cf = cf.upper()
     val = F.col("value")
     if cf in ("AVERAGE", "HWPREDICT", "MHWPREDICT", "SEASONAL", "DEVSEASONAL", "DEVPREDICT"):

@@ -278,8 +278,11 @@ class Query:
                 step = plan.step
                 fstart, fend = plan.start, plan.end
                 if wish and wish > step:
+                    # boundary rule: partial edge windows are forced
+                    # unknown (rrd_reduce_data discards their rows)
                     scan = reduce_data(
-                        scan, step, wish, d.reduce_cf or d.cf, keys=()
+                        scan, step, wish, d.reduce_cf or d.cf, keys=(),
+                        start=fstart, end=fend,
                     )
                     step = step * math.ceil(wish / step)
                     # re-consolidated range re-aligns to the coarser step

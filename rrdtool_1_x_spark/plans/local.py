@@ -44,16 +44,26 @@ def _c_round(x: float) -> int:
 
 
 def reduce_local(
-    ts: np.ndarray, vals: np.ndarray, cur_step: int, wish_step: int, cf: str
+    ts: np.ndarray, vals: np.ndarray, cur_step: int, wish_step: int,
+    cf: str, start: int | None = None, end: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """rrd_reduce_data (src/rrd_graph.c:786-956) over numpy arrays:
     NaN-skipping CFs, destination windows aligned to the new step on the
-    window-END grid. Mirrors operators.fetch.reduce_data row for row."""
+    window-END grid, and the boundary rule of src/rrd_graph.c:840-861 —
+    destination windows only partially inside the source fetch range
+    (start, end] are forced unknown and their partial source rows
+    DISCARDED. Mirrors operators.fetch.reduce_data row for row."""
     factor = math.ceil(wish_step / cur_step)
     if factor <= 1:
         return ts, vals, cur_step
     new_step = cur_step * factor
     win_end = np.ceil(ts / new_step) * new_step
+    keep = np.ones(len(ts), dtype=bool)
+    if start is not None:
+        keep &= win_end - new_step >= start
+    if end is not None:
+        keep &= win_end <= end
+    ts, vals, win_end = ts[keep], vals[keep], win_end[keep]
     cf = cf.upper()
     if cf not in _REDUCE_CFS:
         raise ValueError(f"unknown CF {cf!r}")
@@ -346,7 +356,8 @@ class LocalQuery:
             step = plan.step
             if wish and wish > step:
                 ts, vals, step = reduce_local(
-                    ts, vals, step, wish, d.reduce_cf or d.cf
+                    ts, vals, step, wish, d.reduce_cf or d.cf,
+                    start=plan.start, end=plan.end,
                 )
                 # re-pad the reduced rows onto their aligned universe
                 fstart = plan.start - plan.start % step

@@ -225,7 +225,18 @@ def compile_rpn(
             push(addnan(a, b))
         elif up == "POW":
             b, = pop(1); a, = pop(1)  # noqa: E702
-            push(_binop_nan(a, b, lambda x, y: F.pow(x, y)))
+            # plain C pow (src/rrd_rpncalc.c:789-794): IEEE pow(NaN,0)=1
+            # and pow(1,NaN)=1 produce KNOWN results from unknown inputs
+            # — substitute NaN for NULL, compute, normalize NaN back.
+            # Java's Math.pow deviates from C99 on pow(1, NaN) (returns
+            # NaN), so the base==1 case is pinned explicitly
+            _nan = F.lit(float("nan"))
+            _base = F.coalesce(a, _nan)
+            push(
+                F.when(_base == 1.0, F.lit(1.0)).otherwise(
+                    _nn(F.pow(_base, F.coalesce(b, _nan)))
+                )
+            )
         elif up in ("SIN", "COS", "LOG", "EXP", "SQRT", "ATAN", "FLOOR", "CEIL", "ABS", "ROUND"):
             a, = pop(1)  # noqa: E702
             _inf = float("inf")

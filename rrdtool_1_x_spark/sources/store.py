@@ -536,6 +536,18 @@ class DatasetStore:
             np.int64
         )
         ok = (slot >= 0) & (slot < len(grid))
+        # duplicate-ts guard: the reindex this replaced raised on a
+        # duplicate axis; keep surfacing archive corruption instead of a
+        # silent nondeterministic last-write-wins (bincount: O(n), no
+        # sort — the count buffer is the same size as the value matrix)
+        cell = codes[ok].astype(np.int64) * len(grid) + slot[ok]
+        if len(cell) and np.bincount(
+            cell, minlength=len(uniq) * len(grid)
+        ).max() > 1:
+            raise ValueError(
+                "fetch_local: duplicate (series, ds, ts) rows in the"
+                " archive — cannot reindex from a duplicate axis"
+            )
         mat = np.full((len(uniq), len(grid)), np.nan)
         mat[codes[ok], slot[ok]] = pdf["value"].to_numpy(np.float64)[ok]
         data = {
@@ -605,13 +617,22 @@ class DatasetStore:
         vals = tbl.column("value").to_numpy(zero_copy_only=False).astype(
             np.float64
         )
-        if len(ts) > len(grid):
-            raise ValueError(
-                f"_fetch_arrays read {len(ts)} rows for {len(grid)} slots —"
-                " multiple series match; pass series_id"
-            )
         idx = ((ts - plan.start) / s - 1).astype(np.int64)
         ok = (idx >= 0) & (idx < len(grid))
+        # collision guard: a slot written twice means either several
+        # series matched (pass series_id) or the archive holds duplicate
+        # ts rows (corruption) — either way a silent last-write-wins
+        # would return nondeterministic values; refuse instead. (Fully
+        # disjoint multi-series rows remain undetectable here — the
+        # documented single-series contract.)
+        if ok.any():
+            counts = np.bincount(idx[ok], minlength=len(grid))
+            if counts.max() > 1:
+                raise ValueError(
+                    "_fetch_arrays: slot written twice — multiple series"
+                    " match (pass series_id) or duplicate ts rows in the"
+                    " archive"
+                )
         out[idx[ok]] = vals[ok]
         return grid, out, plan
 

@@ -511,6 +511,7 @@ def start_anchor_stream(
     n: int = 50,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "md5",
     trigger_available_now: bool = True,
 ) -> StreamingQuery:
     """Streaming suffix-dedup anchor-index maintenance: each micro-batch
@@ -521,10 +522,20 @@ def start_anchor_stream(
     distinct (idempotent like the winnow stream, no snapshot machinery).
     Per micro-batch: one batch anchoring pass + a batch-sized append;
     extents recompute lazily at read time over the stored union."""
-    from rrdtool_1_x_spark.datapipe.dedup import append_anchor_index
+    from rrdtool_1_x_spark.datapipe.dedup import (
+        _anchor_meta_check,
+        append_anchor_index,
+    )
+
+    # pin the anchoring config up front: a new index gets its
+    # anchor_meta.json here; an EXISTING index with a different config
+    # raises before the stream starts (never silently re-pinned)
+    _anchor_meta_check(index_path, n, id_col, hash_fn)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        append_anchor_index(batch_df, index_path, n, id_col, text_col)
+        append_anchor_index(
+            batch_df, index_path, n, id_col, text_col, hash_fn
+        )
 
     writer = (
         doc_stream.writeStream.foreachBatch(fold)

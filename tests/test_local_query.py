@@ -36,7 +36,7 @@ def wide(spark):
 
 EXPRS = [
     "a,b,+", "a,b,-", "a,b,*", "a,b,/", "a,b,%", "a,b,ADDNAN",
-    "a,2,POW", "a,b,ATAN2",
+    "a,2,POW", "a,0,POW", "1,b,POW", "a,b,POW", "a,b,ATAN2",
     "a,SIN", "a,COS", "a,EXP", "a,LOG", "a,ABS", "a,FLOOR", "a,CEIL",
     "a,ATAN", "a,DEG2RAD", "a,RAD2DEG",
     "a,b,LT", "a,b,LE", "a,b,GT", "a,b,GE", "a,b,EQ", "a,b,NE",

@@ -219,3 +219,78 @@ def test_local_query_matches_reference_w4_w5(spark, rrd, lstore):
         .prints
     )
     assert gotp == wantp
+
+
+def test_reduce_boundary_rule_matches_reference(spark, rrd, engine, lstore):
+    """rrd_reduce_data's boundary rule (src/rrd_graph.c:840-861): with
+    --step 2x the archive step and a range whose start/end are NOT
+    aligned to the new step, the partial edge windows are forced
+    unknown and their source rows discarded. START/END here are odd
+    multiples of 300, so both offsets are nonzero — the exact case the
+    ceil-grouping consolidation used to get wrong. Checked row-for-row
+    on the distributed Query AND LocalQuery, plus a VDEF AVERAGE over
+    the reduced frame (the boundary rows must not leak into scalars)."""
+    from rrdtool_1_x_spark.plans.local import LocalQuery
+
+    ref = subprocess.run(
+        [XBIN, "xport", "-s", str(START), "-e", str(END),
+         "-m", "100000", "--step", "600", f"DEF:v={rrd}:a:AVERAGE",
+         "XPORT:v:out"],
+        check=True, capture_output=True, text=True,
+    )
+    want = [float(m) for m in re.findall(r"<v>([^<]+)</v>", ref.stdout)]
+    ds, rollups = engine
+    q = (
+        Query(start=START, end=END, step=600)
+        .def_("v", rollups, ds, "a", "AVERAGE", last_up=END)
+        .xport("v", "out")
+    )
+    got = [
+        r["v"] for r in q.execute(spark).frame.orderBy("ts").collect()
+    ]
+    assert len(got) == len(want), (len(got), len(want))
+    for i, (g, w) in enumerate(zip(got, want)):
+        w = None if w != w else w
+        assert close(g, w), f"dist row {i}: got {g}, want {w}"
+    lq = (
+        LocalQuery(lstore, START, END, step=600)
+        .def_("v", "a", "AVERAGE", series_id="s")
+        .xport("v", "out")
+    )
+    lgot = lq.execute().frame["v"].to_numpy()
+    assert len(lgot) == len(want)
+    for i, (g, w) in enumerate(zip(lgot, want)):
+        g = None if g != g else g
+        w = None if w != w else w
+        assert close(g, w), f"local row {i}: got {g}, want {w}"
+
+    # VDEF over the reduced DEF: reference graphv with --step 600
+    refp = subprocess.run(
+        [XBIN, "graphv", "/dev/null", "-s", str(START), "-e", str(END),
+         "-w", "100000", "--step", "600",
+         f"DEF:v={rrd}:a:AVERAGE",
+         "VDEF:vavg=v,AVERAGE", "VDEF:vp90=v,90,PERCENT",
+         "PRINT:vavg:%lf", "PRINT:vp90:%lf"],
+        check=True, capture_output=True, text=True,
+    )
+    wantp = re.findall(r"print\[\d+\] = (\S+)", refp.stdout)
+    res = (
+        Query(start=START, end=END, step=600)
+        .def_("v", rollups, ds, "a", "AVERAGE", last_up=END)
+        .vdef("vavg", "v,AVERAGE")
+        .vdef("vp90", "v,90,PERCENT")
+        .print_("vavg", "%lf")
+        .print_("vp90", "%lf")
+        .execute(spark)
+    )
+    assert res.prints == wantp
+    lres = (
+        LocalQuery(lstore, START, END, step=600)
+        .def_("v", "a", "AVERAGE", series_id="s")
+        .vdef("vavg", "v,AVERAGE")
+        .vdef("vp90", "v,90,PERCENT")
+        .print_("vavg", "%lf")
+        .print_("vp90", "%lf")
+        .execute()
+    )
+    assert lres.prints == wantp

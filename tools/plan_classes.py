@@ -16,9 +16,11 @@ Every driver-registry gate is classified by the physical-plan invariants
 
 Run from the repo root after adding gates: ``python tools/plan_classes.py``
 (constructs every gate at sf0.001, ~2-4 min). The test fails on any gate
-missing from the ledger, so new gates must be classified the round they
-land — and on any gate whose LIVE class is stronger than the recorded one
-(map_only recorded as keyed, etc.), so the ledger cannot silently rot.
+missing from the ledger (new gates must be classified the round they
+land) and on any gate whose live class is WEAKER than the recorded one
+(the regression direction). A live class STRONGER than recorded passes —
+the ledger then understates the gate until the next regen, which is the
+acceptable direction (regenerate to tighten the pin).
 """
 
 from __future__ import annotations
