@@ -100,28 +100,45 @@ def rpn_eval_local(
     Supports the mainstream scalar op set (arithmetic, comparisons with
     the unknown-propagation rules of src/rrd_rpncalc.c:860-919, IF/UN/
     LIMIT/MIN/MAX/MINNAN/MAXNAN, math functions, TIME/STEPWIDTH/COUNT,
-    DUP/POP/EXC). Anything else raises ValueError — use the distributed
-    Query for PREV/TREND/windowed ops."""
+    DUP/POP/EXC) plus the TREND/TRENDNAN sliding means (cumsum-based,
+    one pass). Anything else raises ValueError — use the distributed
+    Query for PREV/PREDICT ops."""
     n = len(ts)
     stack: list[np.ndarray] = []
+    # parallel literal-provenance stack: float when the entry came from a
+    # bare numeric token (TREND's duration operand must be a constant,
+    # same validation as the compiled path), else None
+    consts: list[float | None] = []
 
     def pop(k):
         if len(stack) < k:
             raise ValueError(f"RPN stack underflow in {rpn!r}")
         out = stack[-k:]
         del stack[-k:]
+        del consts[-k:]
         return out
+
+    def pop_const(opname):
+        if not consts or consts[-1] is None:
+            raise ValueError(f"{opname} needs a literal constant operand")
+        c = consts[-1]
+        pop(1)
+        return c
+
+    def push(arr, const=None):
+        stack.append(arr)
+        consts.append(const)
 
     with np.errstate(all="ignore"):
         for tok in rpn.split(","):
             up = tok.upper()
             if tok in env:
-                stack.append(np.asarray(env[tok], float))
+                push(np.asarray(env[tok], float))
             elif up in ("+", "-", "*", "/", "%"):
                 a, b = pop(2)
                 f = {"+": np.add, "-": np.subtract, "*": np.multiply,
                      "/": np.divide, "%": np.fmod}[up]
-                stack.append(f(a, b))
+                push(f(a, b))
             elif up == "ADDNAN":
                 a, b = pop(2)
                 both = np.isnan(a) & np.isnan(b)
@@ -129,71 +146,91 @@ def rpn_eval_local(
                 r = np.where(np.isnan(a), 0.0, a) + np.where(
                     np.isnan(b), 0.0, b
                 )
-                stack.append(np.where(both, np.nan, r))
+                push(np.where(both, np.nan, r))
             elif up == "POW":
                 a, b = pop(2)
-                stack.append(np.power(a, b))
+                push(np.power(a, b))
             elif up == "ATAN2":
                 a, b = pop(2)
-                stack.append(np.arctan2(a, b))
+                push(np.arctan2(a, b))
             elif up in _UNARY:
                 (a,) = pop(1)
-                stack.append(_UNARY[up](a))
+                push(_UNARY[up](a))
             elif up in _CMP:
                 a, b = pop(2)
                 unk = np.isnan(a) | np.isnan(b)
-                stack.append(
+                push(
                     np.where(unk, np.nan, _CMP[up](a, b).astype(float))
                 )
             elif up == "UN":
                 (a,) = pop(1)
-                stack.append(np.isnan(a).astype(float))
+                push(np.isnan(a).astype(float))
             elif up == "ISINF":
                 (a,) = pop(1)
-                stack.append(
+                push(
                     np.where(np.isnan(a), np.nan,
                              np.isinf(a).astype(float))
                 )
             elif up == "IF":
                 c, t, f = pop(3)
                 cond = ~np.isnan(c) & (c != 0.0)
-                stack.append(np.where(cond, t, f))
+                push(np.where(cond, t, f))
             elif up == "LIMIT":
                 v, lo, hi = pop(3)
                 ok = (~np.isnan(v) & ~np.isnan(lo) & ~np.isnan(hi)
                       & (v >= lo) & (v <= hi))
-                stack.append(np.where(ok, v, np.nan))
+                push(np.where(ok, v, np.nan))
             elif up in ("MIN", "MAX"):
                 a, b = pop(2)
                 f = np.minimum if up == "MIN" else np.maximum
-                stack.append(f(a, b))  # IEEE: NaN contaminates
+                push(f(a, b))  # IEEE: NaN contaminates
             elif up in ("MINNAN", "MAXNAN"):
                 a, b = pop(2)
                 f = np.fmin if up == "MINNAN" else np.fmax
-                stack.append(f(a, b))
+                push(f(a, b))
             elif up == "UNKN":
-                stack.append(np.full(n, np.nan))
+                push(np.full(n, np.nan))
             elif up == "INF":
-                stack.append(np.full(n, np.inf))
+                push(np.full(n, np.inf))
             elif up == "NEGINF":
-                stack.append(np.full(n, -np.inf))
+                push(np.full(n, -np.inf))
             elif up == "TIME":
-                stack.append(ts.astype(float))
+                push(ts.astype(float))
             elif up == "STEPWIDTH":
-                stack.append(np.full(n, float(step)))
+                push(np.full(n, float(step)))
             elif up == "COUNT":
-                stack.append(np.arange(1, n + 1, dtype=float))
+                push(np.arange(1, n + 1, dtype=float))
             elif up == "DUP":
                 (a,) = pop(1)
-                stack += [a, a.copy()]
+                push(a); push(a.copy())
             elif up == "POP":
                 pop(1)
             elif up == "EXC":
                 a, b = pop(2)
-                stack += [b, a]
+                push(b); push(a)
+            elif up in ("TREND", "TRENDNAN"):
+                # sliding mean over ceil(dur/step) trailing rows; NULL
+                # until the window is full; TREND contaminates on any
+                # unknown in the window (rpn.py:360-373 twin)
+                dur = pop_const(up)
+                (v,) = pop(1)
+                k = int(math.ceil(dur / float(step)))
+                known = ~np.isnan(v)
+                csum = np.cumsum(np.where(known, v, 0.0))
+                ccnt = np.cumsum(known.astype(np.int64))
+                wsum = csum.copy()
+                wcnt = ccnt.copy()
+                wsum[k:] = csum[k:] - csum[:-k]
+                wcnt[k:] = ccnt[k:] - ccnt[:-k]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    mean = np.where(wcnt > 0, wsum / wcnt, np.nan)
+                full = np.arange(1, n + 1) >= k
+                if up == "TREND":
+                    mean = np.where(wcnt == k, mean, np.nan)
+                push(np.where(full, mean, np.nan))
             else:
                 try:
-                    stack.append(np.full(n, float(tok)))
+                    push(np.full(n, float(tok)), const=float(tok))
                 except ValueError:
                     raise ValueError(
                         f"RPN op {tok!r} unsupported in the local tier"

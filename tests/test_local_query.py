@@ -46,6 +46,7 @@ EXPRS = [
     "UNKN", "INF", "NEGINF", "TIME", "STEPWIDTH", "COUNT",
     "a,DUP,+", "a,b,POP", "a,b,EXC,-",
     "a,SQRT",
+    "b,600,TREND", "b,600,TRENDNAN", "b,900,TREND", "b,900,TRENDNAN",
 ]
 
 
