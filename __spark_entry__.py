@@ -2456,6 +2456,20 @@ def q_dup_groups(spark, sf_dir):
     return duplicate_groups(_near_dup(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_softdedup_weights(spark, sf_dir):
+    """SoftDeDup reweighting (datapipe.dedup.soft_dedup_weights; He et
+    al. 2024, arXiv:2407.06654): keep every near-duplicate but weight
+    each component's members by 1000000 DIV size — the
+    keep-information-drop-redundancy alternative to hard removal, with
+    integer weights that feed priority_sample directly. Rides the same
+    verified LSH-pair + label-propagation chain as dup_groups."""
+    from rrdtool_1_x_spark.datapipe.dedup import soft_dedup_weights
+
+    return soft_dedup_weights(
+        _docs(spark, sf_dir), _near_dup(spark, sf_dir)
+    ).orderBy("doc_id")
+
+
 def q_dedup_report(spark, sf_dir):
     """Corpus dedup-rate report: one row of keep-one-per-group accounting."""
     from rrdtool_1_x_spark.datapipe.dedup import duplicate_groups
@@ -4954,6 +4968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suffix_index_topup": q_suffix_index_topup,
         "suffix_stream": q_suffix_stream,
         "canary_scan": q_canary_scan,
+        "softdedup_weights": q_softdedup_weights,
     }
     # curate materializes its stage results eagerly at construction
     # (localCheckpoint inside curate_corpus): memoizing the DataFrame
@@ -7326,6 +7341,17 @@ labels AS (SELECT node AS doc_id, least(node, min(r)) AS group_id
     cc_cte = f"{nd_cte},{cc_tail}"
     sql["dup_groups"] = f"""WITH RECURSIVE {cc_cte}
 SELECT doc_id, group_id FROM labels ORDER BY doc_id"""
+    # SoftDeDup: same component labels, singletons self-grouped,
+    # weight = 1000000 DIV component size (exact integer)
+    sql["softdedup_weights"] = f"""WITH RECURSIVE {cc_cte},
+alldocs AS (SELECT d.doc_id,
+              coalesce(l.group_id, d.doc_id) AS group_id
+            FROM documents d LEFT JOIN labels l USING (doc_id)),
+sizes AS (SELECT group_id, CAST(count(*) AS BIGINT) AS group_size
+          FROM alldocs GROUP BY 1)
+SELECT a.doc_id, a.group_id, s.group_size,
+       CAST(1000000 // s.group_size AS BIGINT) AS weight
+FROM alldocs a JOIN sizes s USING (group_id) ORDER BY a.doc_id"""
     # DF-weighted Jaccard over the near-dup pairs: w(s) = floor(1e6/df(s)),
     # integer sums (associative → engine-independent), ratio rounded last
     sql["weighted_jaccard"] = f"""WITH {nd_cte},

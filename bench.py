@@ -168,6 +168,7 @@ NAMES = [
     "suffix_dedup",
     "suffix_index_topup",
     "canary_scan",
+    "softdedup_weights",
     # suffix_stream is a one-shot drain (memoized construction) — its
     # throughput story lives with the dedicated stream rows
     # dedup_stream / stream_join / sketch_stream / logq_stream are one-shot drains (memoized

@@ -1578,3 +1578,43 @@ def anchor_index_spans(spark, path: str, n: int | None = None) -> DataFrame:
         )
     occ = spark.read.parquet(f"{path}/anchors").distinct()
     return _extents_from_occurrences(occ, meta["n"], meta["id_col"])
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SoftDeDup — reweight instead of remove (He et al. 2024,
+    "SoftDedup: an Efficient Data Reweighting Method for Speeding Up
+    Language Model Pretraining", arXiv:2407.06654): hard dedup throws
+    away every non-canonical duplicate; the soft variant keeps all
+    copies but downweights each near-duplicate COMPONENT's members by
+    its size, so the component contributes ~one document's worth of
+    gradient. Returns per document: ``(id, group_id, group_size,
+    weight)`` with ``weight = 1000000 DIV group_size`` (per-million
+    integer — exact BIGINT arithmetic keeps the frame hash-gateable and
+    the weights directly usable by ``priority_sample``'s integer
+    ranking); singletons (docs in no pair) form their own group with
+    weight 1000000.
+
+    Shape at scale: rides ``duplicate_groups``'s label propagation
+    (component-sized frames, hot-bucket-capped pairs); one doc-keyed
+    left join + one group-sized count aggregate. Nothing
+    corpus-quadratic; the corpus scans once."""
+    groups = duplicate_groups(pairs)
+    if id_col != "doc_id":
+        groups = groups.withColumnRenamed("doc_id", id_col)
+    base = docs.select(F.col(id_col)).join(groups, id_col, "left")
+    base = base.withColumn(
+        "group_id", F.coalesce(F.col("group_id"), F.col(id_col))
+    )
+    sizes = base.groupBy("group_id").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size")
+    )
+    return base.join(sizes, "group_id").select(
+        F.col(id_col),
+        "group_id",
+        "group_size",
+        F.expr("1000000L DIV group_size").alias("weight"),
+    )

@@ -2740,3 +2740,26 @@ def test_canary_scan_counts_and_shape(spark):
         canary_scan(df, [])
     with _pytest.raises(ValueError):
         canary_scan(df, [c1, ""])
+
+
+def test_soft_dedup_weights_component_math(spark):
+    """SoftDeDup: component members share weight = 1000000 DIV size,
+    singletons (no pair) get their own group at full weight, and the
+    per-component weight mass sums to ~1e6 (the keep-information
+    invariant hard dedup lacks)."""
+    from rrdtool_1_x_spark.datapipe.dedup import soft_dedup_weights
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: (r["group_id"], r["group_size"], r["weight"])
+        for r in soft_dedup_weights(docs, pairs).collect()
+    }
+    assert got[0] == (0, 3, 333333)
+    assert got[1] == (0, 3, 333333) and got[2] == (0, 3, 333333)
+    assert got[3] == (3, 1, 1000000)
+    assert got[4] == (4, 2, 500000) and got[5] == (4, 2, 500000)
