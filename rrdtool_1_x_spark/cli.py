@@ -628,10 +628,83 @@ def _build_query(args: list[str], allow_missing_ds: bool = False):
     return q
 
 
+def _build_local_query(args: list[str]):
+    """The LocalQuery twin of ``_build_query`` for ``xport --local``:
+    same DEF/CDEF/VDEF grammar over DatasetStore files, executed
+    driver-side (plans.local — pyarrow + numpy, no Spark job). Scope of
+    the local tier: store paths only (``sql//``/``cb//`` pseudo sources
+    and ``--daemon`` flushing need the distributed path)."""
+    from rrdtool_1_x_spark.plans.local import LocalQuery
+    from rrdtool_1_x_spark.sources.external import is_pseudo_path
+
+    step = _opt(args, "--step")
+    maxrows = _opt(args, "--maxrows", "-m")
+    end_s = _opt(args, "-e", "--end")
+    start_s = _opt(args, "-s", "--start")
+    if _daemon_addr(args) is not None:
+        raise ValueError("--local does not support --daemon (use the"
+                         " distributed path)")
+    defs = [a for a in args if a.startswith("DEF:")]
+    if not defs:
+        raise ValueError("need at least one DEF")
+    stores = {}
+    parsed = []
+    for d in defs:
+        head, rest = d[4:].split("=", 1)
+        if is_pseudo_path(rest):
+            raise ValueError(
+                "--local does not support sql///cb// pseudo sources"
+            )
+        parts = rest.split(":")
+        spath, ds_name, cf = parts[0], parts[1], parts[2].upper()
+        opts = dict(p.split("=", 1) for p in parts[3:] if "=" in p)
+        if spath not in stores:
+            stores[spath] = _store(spath)
+        parsed.append((head, spath, ds_name, cf, opts))
+    last = max(s.last() for s in stores.values())
+    start, end = _at_pair(start_s, end_s, last)
+    first_store = stores[parsed[0][1]]
+    q = LocalQuery(
+        first_store, start, end,
+        step=None if step is None else _duration(step),
+        maxrows=None if maxrows is None else int(maxrows),
+    )
+    for vname, spath, ds_name, cf, opts in parsed:
+        store = stores[spath]
+        if ds_name not in [x.name for x in store.dataset.ds]:
+            raise ValueError(f"No DS called '{ds_name}' in '{spath}'")
+        q.def_(
+            vname, ds_name, cf,
+            step=int(opts["step"]) if "step" in opts else None,
+            reduce_cf=opts.get("reduce"),
+            series_id=opts.get("series"),
+            store=store,
+        )
+    for a in args:
+        if a.startswith(("CDEF:", "VDEF:")):
+            if "=" not in a[5:]:
+                raise ValueError(f"can't parse argument '{a}'")
+            name, rpn = a[5:].split("=", 1)
+            (q.cdef if a.startswith("CDEF:") else q.vdef)(name, rpn)
+    return q
+
+
 def xport_result(args: list[str]):
     """The structured core of ``rrdtool xport`` — query build + XPORT
     statement parse + execute; shared by the CLI formatter below and by
-    ``binding.xport`` (≙ rrd_xport's argv core)."""
+    ``binding.xport`` (≙ rrd_xport's argv core).
+
+    ``--local`` routes through plans.local.LocalQuery: identical rows
+    and formatting (the formatters accept both result kinds), no Spark
+    job — the reference's single-process xport latency for interactive
+    windows over store files."""
+    if _opt(args, "--local", flag=True):
+        q = _build_local_query(args)
+        for a in args:
+            if a.startswith("XPORT:"):
+                parts = a[6:].split(":", 1)
+                q.xport(parts[0], parts[1] if len(parts) > 1 else "")
+        return q.execute()
     q = _build_query(args)
     for a in args:
         if a.startswith("XPORT:"):
@@ -649,6 +722,11 @@ def cmd_xport(args: list[str]) -> int:
     timefmt = _opt(args, "--timefmt")
     out_dir = _opt(args, "--output")
     res = xport_result(args)
+    if out_dir is not None and not hasattr(res.frame, "sparkSession"):
+        raise ValueError(
+            "--output (distributed CSV sink) needs the distributed path"
+            " — drop --local"
+        )
     if out_dir is not None:
         # cluster-scale sink: ordered CSV parts written by executors
         # (xport.write_csv) — the in-memory formatters below collect the

@@ -329,21 +329,28 @@ class _LDef:
     step_wish: int | None
     reduce_cf: str | None
     series_id: str | None
+    store: object | None = None
 
 
 class LocalQuery:
-    """xport/PRINT query over ONE DatasetStore, executed on the driver.
+    """xport/PRINT query over DatasetStores, executed on the driver.
 
     Same builder surface as plans.graph.Query (def_/cdef/vdef/xport/
     print_) minus graph elements; ``execute()`` touches no Spark session.
     The per-query cost is a pyarrow scan + numpy passes — the engine's
-    answer to the reference's single-process rrd_xport latency."""
+    answer to the reference's single-process rrd_xport latency.
+    ``store`` is the default for every DEF; a per-DEF ``store=``
+    override reads additional files (multi-file xport, like the CLI).
+    ``maxrows`` floors each DEF's fetch wish at
+    ceil((end-start)/maxrows), the Query/-m semantics."""
 
-    def __init__(self, store, start: int, end: int, step: int | None = None):
+    def __init__(self, store, start: int, end: int, step: int | None = None,
+                 maxrows: int | None = None):
         self.store = store
         self.start = int(start)
         self.end = int(end)
         self.step_wish = int(step) if step else None
+        self.maxrows = int(maxrows) if maxrows else None
         self._defs: list[_LDef] = []
         self._cdefs: list[tuple[str, str]] = []
         self._vdefs: list[tuple[str, str, str, float | None]] = []
@@ -351,10 +358,11 @@ class LocalQuery:
         self._prints: list[tuple[str, str, str | None]] = []
 
     def def_(self, vname, ds_name, cf="AVERAGE", step=None,
-             reduce_cf=None, series_id=None):
+             reduce_cf=None, series_id=None, store=None):
         self._defs.append(_LDef(vname, ds_name, cf.upper(),
                                 int(step) if step else None,
-                                reduce_cf and reduce_cf.upper(), series_id))
+                                reduce_cf and reduce_cf.upper(), series_id,
+                                store))
         return self
 
     def cdef(self, vname, rpn):
@@ -384,9 +392,14 @@ class LocalQuery:
 
     def execute(self) -> LocalResult:
         frames: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
+        min_step = None
+        if self.maxrows:
+            min_step = math.ceil((self.end - self.start) / self.maxrows)
         for d in self._defs:
             wish = max(d.step_wish or 0, self.step_wish or 0) or None
-            ts, vals, plan = self.store._fetch_arrays(
+            if min_step is not None:
+                wish = max(wish or 0, min_step)
+            ts, vals, plan = (d.store or self.store)._fetch_arrays(
                 d.cf, self.start, self.end, wish,
                 series_id=d.series_id, ds_name=d.ds_name,
             )

@@ -1004,3 +1004,32 @@ def test_graphv_rigid_allow_shrink_snaps_to_grid(ds_path, capsys):
     auto = bounds([])
     shrunk = bounds(["-l", "-10", "-u", "20", "--rigid", "--allow-shrink"])
     assert auto == shrunk
+
+
+def test_xport_local_byte_identical_to_distributed(spark, tmp_path, capsys):
+    """`xport --local` (plans.local driver tier, no Spark job) must emit
+    byte-identical XML and JSON to the distributed path for the same
+    query — DEF + CDEF chain + a reduced --step, over a store built
+    through the normal CLI create/update flow."""
+    from rrdtool_1_x_spark.cli import main
+
+    rrd = str(tmp_path / "l.rrd")
+    base = 1300000200
+    assert main(["create", rrd, "--start", str(base), "--step", "300",
+                 "DS:a:GAUGE:600:U:U", "RRA:AVERAGE:0.5:1:200"]) == 0
+    ups = [f"{base + 300 * i}:{(i * 7) % 53}" for i in range(1, 101)
+           if i % 17 != 3]
+    assert main(["update", rrd, *ups]) == 0
+    q = ["-s", str(base), "-e", str(base + 300 * 100),
+         f"DEF:v={rrd}:a:AVERAGE",
+         "CDEF:c=v,UN,0,v,IF,2,*", "XPORT:c:out"]
+    for extra in ([], ["--step", "600"], ["--json"]):
+        assert main(["xport", *extra, *q]) == 0
+        dist = capsys.readouterr().out
+        assert main(["xport", "--local", *extra, *q]) == 0
+        loc = capsys.readouterr().out
+        assert loc == dist, f"--local output differs for {extra}"
+    # guard: --output (distributed CSV sink) refuses the local tier
+    rc = main(["xport", "--local", "--output", str(tmp_path / "o"), *q])
+    err = capsys.readouterr().err
+    assert rc != 0 and "drop --local" in err
