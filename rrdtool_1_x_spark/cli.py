@@ -512,26 +512,21 @@ def cmd_fetch(args: list[str]) -> int:
     return 0
 
 
-def _build_query(args: list[str], allow_missing_ds: bool = False):
-    """Shared DEF/CDEF/VDEF parser for xport and graphv.
-
-    ``allow_missing_ds`` (-Z/--use-nan-for-all-missing-data,
-    ALLOW_MISSING_DS at src/rrd_graph.c:1079): a DEF naming a DS the
-    archive doesn't carry becomes an all-NaN series instead of the
-    "No DS called ..." error."""
-    from rrdtool_1_x_spark.plans.graph import Query
+def _parse_query_argv(args: list[str]):
+    """Shared argv core of ``_build_query``/``_build_local_query``: pops
+    the time/step/maxrows options and splits DEF statements into
+    store-backed and pseudo (``sql//``/``cb//``) groups, resolving the
+    stores. Range resolution stays with the callers (the distributed
+    path flushes the daemon BEFORE reading ``last()``)."""
+    from rrdtool_1_x_spark.sources.external import is_pseudo_path
 
     step = _opt(args, "--step")
     maxrows = _opt(args, "--maxrows", "-m")
     end_s = _opt(args, "-e", "--end")
     start_s = _opt(args, "-s", "--start")
-    daemon = _daemon_addr(args)
     defs = [a for a in args if a.startswith("DEF:")]
     if not defs:
         raise ValueError("need at least one DEF")
-    # resolve stores first so the default time range can come from the data
-    from rrdtool_1_x_spark.sources.external import fetch_pseudo, is_pseudo_path
-
     stores = {}
     parsed_defs = []
     pseudo_defs = []
@@ -551,6 +546,36 @@ def _build_query(args: list[str], allow_missing_ds: bool = False):
         if spath not in stores:
             stores[spath] = _store(spath)
         parsed_defs.append((head, spath, ds_name, cf, opts))
+    return step, maxrows, start_s, end_s, parsed_defs, pseudo_defs, stores
+
+
+def _apply_cdefs_vdefs(q, args: list[str]):
+    """Shared CDEF:/VDEF: statement application (identical grammar on
+    both query tiers)."""
+    for a in args:
+        if a.startswith(("CDEF:", "VDEF:")):
+            if "=" not in a[5:]:
+                # ≙ rrd_graph_helper's "can't parse argument" diagnostic
+                # (the grammar is CDEF:vname=RPN, not CDEF:vname,RPN)
+                raise ValueError(f"can't parse argument '{a}'")
+            name, rpn = a[5:].split("=", 1)
+            (q.cdef if a.startswith("CDEF:") else q.vdef)(name, rpn)
+    return q
+
+
+def _build_query(args: list[str], allow_missing_ds: bool = False):
+    """Shared DEF/CDEF/VDEF parser for xport and graphv.
+
+    ``allow_missing_ds`` (-Z/--use-nan-for-all-missing-data,
+    ALLOW_MISSING_DS at src/rrd_graph.c:1079): a DEF naming a DS the
+    archive doesn't carry becomes an all-NaN series instead of the
+    "No DS called ..." error."""
+    from rrdtool_1_x_spark.plans.graph import Query
+    from rrdtool_1_x_spark.sources.external import fetch_pseudo
+
+    daemon = _daemon_addr(args)
+    (step, maxrows, start_s, end_s,
+     parsed_defs, pseudo_defs, stores) = _parse_query_argv(args)
     if daemon is not None and stores:
         # ≙ rrd_graph/rrd_xport --daemon: flush every referenced file's
         # pending values before reading (rrdc_flush_if_daemon,
@@ -617,76 +642,90 @@ def _build_query(args: list[str], allow_missing_ds: bool = False):
             None if step is None else int(step),
         )
         q.def_frame(vname, frame, astep)
-    for a in args:
-        if a.startswith(("CDEF:", "VDEF:")):
-            if "=" not in a[5:]:
-                # ≙ rrd_graph_helper's "can't parse argument" diagnostic
-                # (the grammar is CDEF:vname=RPN, not CDEF:vname,RPN)
-                raise ValueError(f"can't parse argument '{a}'")
-            name, rpn = a[5:].split("=", 1)
-            (q.cdef if a.startswith("CDEF:") else q.vdef)(name, rpn)
-    return q
+    return _apply_cdefs_vdefs(q, args)
+
+
+def _local_series_ids(store, limit: int = 2) -> list[str]:
+    """Distinct series ids of a store's first archive, read driver-side
+    (pyarrow, no Spark job) — the local tier's input to the same
+    multi-series ambiguity guard the distributed builder applies."""
+    import os as _os
+
+    import pyarrow.dataset as pads
+
+    _, data_dir = store._current("rra_0")
+    if not _os.path.isdir(data_dir):
+        return []
+    dset = pads.dataset(
+        data_dir, format="parquet",
+        partitioning="hive" if store._partition_cols() else None,
+    )
+    seen: list[str] = []
+    for batch in dset.to_batches(columns=["series_id"]):
+        for s in batch.column(0).unique().to_pylist():
+            if s not in seen:
+                seen.append(s)
+                if len(seen) >= limit:
+                    return seen
+    return seen
 
 
 def _build_local_query(args: list[str]):
     """The LocalQuery twin of ``_build_query`` for ``xport --local``:
     same DEF/CDEF/VDEF grammar over DatasetStore files, executed
     driver-side (plans.local — pyarrow + numpy, no Spark job). Scope of
-    the local tier: store paths only (``sql//``/``cb//`` pseudo sources
-    and ``--daemon`` flushing need the distributed path)."""
+    the local tier: store paths only; ``sql//``/``cb//`` pseudo sources
+    and an EXPLICIT -d/--daemon refuse (a daemon address inherited from
+    RRDCACHED_ADDRESS is ignored — the local tier reads the store
+    directly, so daemon-buffered values not yet flushed are not
+    visible; flush first or use the distributed path)."""
     from rrdtool_1_x_spark.plans.local import LocalQuery
-    from rrdtool_1_x_spark.sources.external import is_pseudo_path
 
-    step = _opt(args, "--step")
-    maxrows = _opt(args, "--maxrows", "-m")
-    end_s = _opt(args, "-e", "--end")
-    start_s = _opt(args, "-s", "--start")
-    if _daemon_addr(args) is not None:
+    if any(
+        a in ("-d", "--daemon") or a.startswith("--daemon=") for a in args
+    ):
         raise ValueError("--local does not support --daemon (use the"
                          " distributed path)")
-    defs = [a for a in args if a.startswith("DEF:")]
-    if not defs:
-        raise ValueError("need at least one DEF")
-    stores = {}
-    parsed = []
-    for d in defs:
-        head, rest = d[4:].split("=", 1)
-        if is_pseudo_path(rest):
-            raise ValueError(
-                "--local does not support sql///cb// pseudo sources"
-            )
-        parts = rest.split(":")
-        spath, ds_name, cf = parts[0], parts[1], parts[2].upper()
-        opts = dict(p.split("=", 1) for p in parts[3:] if "=" in p)
-        if spath not in stores:
-            stores[spath] = _store(spath)
-        parsed.append((head, spath, ds_name, cf, opts))
+    (step, maxrows, start_s, end_s,
+     parsed_defs, pseudo_defs, stores) = _parse_query_argv(args)
+    if pseudo_defs:
+        raise ValueError(
+            "--local does not support sql///cb// pseudo sources"
+        )
     last = max(s.last() for s in stores.values())
     start, end = _at_pair(start_s, end_s, last)
-    first_store = stores[parsed[0][1]]
+    first_store = stores[parsed_defs[0][1]]
     q = LocalQuery(
         first_store, start, end,
         step=None if step is None else _duration(step),
         maxrows=None if maxrows is None else int(maxrows),
     )
-    for vname, spath, ds_name, cf, opts in parsed:
+    series_cache: dict[str, list[str]] = {}
+    for vname, spath, ds_name, cf, opts in parsed_defs:
         store = stores[spath]
         if ds_name not in [x.name for x in store.dataset.ds]:
             raise ValueError(f"No DS called '{ds_name}' in '{spath}'")
+        # same ambiguity guard as the distributed builder: a DEF
+        # addresses one file-like series
+        series = opts.get("series")
+        if series is None:
+            if spath not in series_cache:
+                series_cache[spath] = _local_series_ids(store)
+            sids = series_cache[spath]
+            if len(sids) > 1:
+                raise ValueError(
+                    f"{spath} holds multiple series; add :series=<id>"
+                    " to the DEF"
+                )
+            series = sids[0] if sids else None
         q.def_(
             vname, ds_name, cf,
             step=int(opts["step"]) if "step" in opts else None,
             reduce_cf=opts.get("reduce"),
-            series_id=opts.get("series"),
+            series_id=series,
             store=store,
         )
-    for a in args:
-        if a.startswith(("CDEF:", "VDEF:")):
-            if "=" not in a[5:]:
-                raise ValueError(f"can't parse argument '{a}'")
-            name, rpn = a[5:].split("=", 1)
-            (q.cdef if a.startswith("CDEF:") else q.vdef)(name, rpn)
-    return q
+    return _apply_cdefs_vdefs(q, args)
 
 
 def xport_result(args: list[str]):
@@ -698,19 +737,13 @@ def xport_result(args: list[str]):
     and formatting (the formatters accept both result kinds), no Spark
     job — the reference's single-process xport latency for interactive
     windows over store files."""
-    if _opt(args, "--local", flag=True):
-        q = _build_local_query(args)
-        for a in args:
-            if a.startswith("XPORT:"):
-                parts = a[6:].split(":", 1)
-                q.xport(parts[0], parts[1] if len(parts) > 1 else "")
-        return q.execute()
-    q = _build_query(args)
+    local = _opt(args, "--local", flag=True)
+    q = _build_local_query(args) if local else _build_query(args)
     for a in args:
         if a.startswith("XPORT:"):
             parts = a[6:].split(":", 1)
             q.xport(parts[0], parts[1] if len(parts) > 1 else "")
-    return q.execute(_spark())
+    return q.execute() if local else q.execute(_spark())
 
 
 def cmd_xport(args: list[str]) -> int:
@@ -721,12 +754,15 @@ def cmd_xport(args: list[str]) -> int:
     showtime = _opt(args, "--showtime", "-t", flag=True)
     timefmt = _opt(args, "--timefmt")
     out_dir = _opt(args, "--output")
-    res = xport_result(args)
-    if out_dir is not None and not hasattr(res.frame, "sparkSession"):
+    # incompatible-flag check BEFORE any query executes (and by flag,
+    # not frame duck-typing — a pandas frame answers hasattr for any
+    # column name)
+    if out_dir is not None and "--local" in args:
         raise ValueError(
             "--output (distributed CSV sink) needs the distributed path"
             " — drop --local"
         )
+    res = xport_result(args)
     if out_dir is not None:
         # cluster-scale sink: ordered CSV parts written by executors
         # (xport.write_csv) — the in-memory formatters below collect the

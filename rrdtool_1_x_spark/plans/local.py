@@ -201,13 +201,17 @@ def rpn_eval_local(
             elif up == "COUNT":
                 push(np.arange(1, n + 1, dtype=float))
             elif up == "DUP":
+                # provenance survives DUP/EXC, as in the compiled path
+                # (a TREND duration may legally pass through them)
+                c = consts[-1] if consts else None
                 (a,) = pop(1)
-                push(a); push(a.copy())
+                push(a, c); push(a.copy(), c)
             elif up == "POP":
                 pop(1)
             elif up == "EXC":
+                ca, cb = (consts[-2], consts[-1]) if len(consts) >= 2 else (None, None)
                 a, b = pop(2)
-                push(b); push(a)
+                push(b, cb); push(a, ca)
             elif up in ("TREND", "TRENDNAN"):
                 # sliding mean over ceil(dur/step) trailing rows; NULL
                 # until the window is full; TREND contaminates on any
@@ -215,13 +219,34 @@ def rpn_eval_local(
                 dur = pop_const(up)
                 (v,) = pop(1)
                 k = int(math.ceil(dur / float(step)))
+                if k <= 0:
+                    raise ValueError(
+                        f"{up} duration must cover at least one step"
+                        f" (got {dur} at step {step})"
+                    )
+                if n == 0:
+                    push(v)
+                    continue
                 known = ~np.isnan(v)
-                csum = np.cumsum(np.where(known, v, 0.0))
-                ccnt = np.cumsum(known.astype(np.int64))
-                wsum = csum.copy()
-                wcnt = ccnt.copy()
-                wsum[k:] = csum[k:] - csum[:-k]
-                wcnt[k:] = ccnt[k:] - ccnt[:-k]
+                vz = np.where(known, v, 0.0)
+                # per-window LEFT-TO-RIGHT accumulation — float-identical
+                # to the distributed window aggregate's sequential buffer
+                # (a cumsum difference cancels differently in the last
+                # ulp and would break `xport --local` byte-identity)
+                k_eff = min(k, n)
+                sw = np.lib.stride_tricks.sliding_window_view(vz, k_eff)
+                wsum_full = np.zeros(len(sw))
+                for j in range(k_eff):
+                    wsum_full = wsum_full + sw[:, j]
+                wcnt_full = (
+                    np.lib.stride_tricks.sliding_window_view(
+                        known.astype(np.int64), k_eff
+                    ).sum(axis=1)
+                )
+                wsum = np.full(n, np.nan)
+                wcnt = np.zeros(n, dtype=np.int64)
+                wsum[k_eff - 1:] = wsum_full
+                wcnt[k_eff - 1:] = wcnt_full
                 with np.errstate(invalid="ignore", divide="ignore"):
                     mean = np.where(wcnt > 0, wsum / wcnt, np.nan)
                 full = np.arange(1, n + 1) >= k
@@ -395,11 +420,21 @@ class LocalQuery:
         min_step = None
         if self.maxrows:
             min_step = math.ceil((self.end - self.start) / self.maxrows)
+        # fetch memo, the Query._fetch_defs twin: several DEFs over the
+        # same (store, ds, cf, wish, series) — comparing CFs, feeding
+        # multiple CDEFs — cost ONE pyarrow scan on this hot path
+        memo: dict[tuple, tuple] = {}
         for d in self._defs:
             wish = max(d.step_wish or 0, self.step_wish or 0) or None
             if min_step is not None:
                 wish = max(wish or 0, min_step)
-            ts, vals, plan = (d.store or self.store)._fetch_arrays(
+            store = d.store or self.store
+            key = (id(store), d.cf, wish, d.reduce_cf, d.series_id,
+                   d.ds_name)
+            if key in memo:
+                frames[d.vname] = memo[key]
+                continue
+            ts, vals, plan = store._fetch_arrays(
                 d.cf, self.start, self.end, wish,
                 series_id=d.series_id, ds_name=d.ds_name,
             )
@@ -418,7 +453,7 @@ class LocalQuery:
                 ok = (idx >= 0) & (idx < len(grid))
                 full[idx[ok]] = vals[ok]
                 ts, vals = grid, full
-            frames[d.vname] = (ts, vals, int(step))
+            frames[d.vname] = memo[key] = (ts, vals, int(step))
 
         step = self.step_wish or min(s for _, _, s in frames.values())
         step = rrd_lcd([*[s for _, _, s in frames.values()], step])

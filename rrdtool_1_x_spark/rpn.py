@@ -363,6 +363,11 @@ def compile_rpn(
             if ctx.step is None:
                 raise RpnError(f"{up} needs a time context with step")
             n = int(math.ceil(dur / float(ctx.step)))
+            if n <= 0:
+                raise RpnError(
+                    f"{up} duration must cover at least one step"
+                    f" (got {dur} at step {ctx.step})"
+                )
             w = ctx.window().rowsBetween(-(n - 1), 0)
             avg = F.avg(v).over(w)
             full = ctx.rownum() >= F.lit(n)

@@ -1033,3 +1033,49 @@ def test_xport_local_byte_identical_to_distributed(spark, tmp_path, capsys):
     rc = main(["xport", "--local", "--output", str(tmp_path / "o"), *q])
     err = capsys.readouterr().err
     assert rc != 0 and "drop --local" in err
+
+
+def test_xport_local_guards(spark, tmp_path, capsys, monkeypatch):
+    """--local guard behavior: a multi-series store without :series=
+    gets the same actionable error as the distributed path; an
+    RRDCACHED_ADDRESS inherited from the environment is IGNORED (the
+    local tier reads the store directly) while an explicit -d refuses."""
+    import pandas as pd
+
+    from rrdtool_1_x_spark.catalog import DatasetDef, DSDef, RRADef
+    from rrdtool_1_x_spark.cli import main
+    from rrdtool_1_x_spark.sources.store import DatasetStore
+
+    base = 1310000100
+    ds = DatasetDef(
+        name="m", step=300, ds=[DSDef(name="a", dst="GAUGE", heartbeat=600)],
+        rra=[RRADef(cf="AVERAGE", xff=0.5, pdp_cnt=1, row_cnt=100)],
+        start=base,
+    )
+    path = str(tmp_path / "multi")
+    store = DatasetStore.create(spark, path, ds)
+    rows = [
+        (sid, "a", float(base + 300 * i), float(i))
+        for sid in ("s1", "s2") for i in range(1, 20)
+    ]
+    store.update(spark.createDataFrame(
+        rows, "series_id string, ds_name string, ts double, value double"
+    ))
+    q = ["-s", str(base), "-e", str(base + 300 * 19),
+         f"DEF:v={path}:a:AVERAGE", "XPORT:v:out"]
+    rc = main(["xport", "--local", *q])
+    err = capsys.readouterr().err
+    assert rc != 0 and "holds multiple series" in err
+    # :series= resolves it
+    q2 = ["-s", str(base), "-e", str(base + 300 * 19),
+          f"DEF:v={path}:a:AVERAGE:series=s2", "XPORT:v:out"]
+    assert main(["xport", "--local", *q2]) == 0
+    out = capsys.readouterr().out
+    assert "<xport>" in out
+    # env daemon address must not poison --local; explicit -d refuses
+    monkeypatch.setenv("RRDCACHED_ADDRESS", "127.0.0.1:42217")
+    assert main(["xport", "--local", *q2]) == 0
+    capsys.readouterr()
+    rc = main(["xport", "--local", "-d", "127.0.0.1:42217", *q2])
+    err = capsys.readouterr().err
+    assert rc != 0 and "does not support --daemon" in err

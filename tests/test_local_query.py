@@ -137,3 +137,49 @@ def test_reduce_local_matches_distributed(spark):
         assert set(dist) == set(loc), (cf, dist, loc)
         for k in dist:
             assert abs(dist[k] - loc[k]) < 1e-12, (cf, k)
+
+
+def test_trend_local_float_identical_and_guarded(spark):
+    """TREND/TRENDNAN local means must be FLOAT-IDENTICAL to the
+    distributed window aggregate (ordered per-window accumulation, not
+    cumsum differencing — cancellation in the last ulp would break
+    `xport --local` byte-identity); duration constants survive DUP/EXC;
+    non-positive durations raise a named error."""
+    import random
+
+    from rrdtool_1_x_spark.rpn import RpnContext, compile_rpn
+
+    random.seed(11)
+    n = 997
+    vals = [
+        random.uniform(-1e6, 1e6) if random.random() > 0.08 else None
+        for _ in range(n)
+    ]
+    ts = [300.0 * (i + 1) for i in range(n)]
+    df = spark.createDataFrame(list(zip(ts, vals)), "ts double, a double")
+    a = np.array([np.nan if v is None else v for v in vals])
+    for rpn in ("a,1800,TREND", "a,1800,TRENDNAN", "a,60000,TRENDNAN"):
+        dist = [
+            r["r"]
+            for r in df.withColumn(
+                "r",
+                compile_rpn(
+                    rpn, {"a": F.col("a")},
+                    RpnContext(ts=F.col("ts"), step=300.0, keys=()),
+                ),
+            ).orderBy("ts").select("r").collect()
+        ]
+        loc = rpn_eval_local(rpn, {"a": a}, np.array(ts), 300.0)
+        for i, (d, l) in enumerate(zip(dist, loc)):
+            d = float("nan") if d is None else d
+            assert (d != d and l != l) or d == l, (rpn, i, d, l)
+    # duration through DUP: provenance preserved, both layers agree
+    loc2 = rpn_eval_local(
+        "a,1800,DUP,POP,TREND", {"a": a}, np.array(ts), 300.0
+    )
+    base = rpn_eval_local("a,1800,TREND", {"a": a}, np.array(ts), 300.0)
+    assert np.array_equal(loc2, base, equal_nan=True)
+    with pytest.raises(ValueError, match="at least one step"):
+        rpn_eval_local("a,0,TREND", {"a": a}, np.array(ts), 300.0)
+    with pytest.raises(ValueError, match="at least one step"):
+        rpn_eval_local("a,-300,TRENDNAN", {"a": a}, np.array(ts), 300.0)
