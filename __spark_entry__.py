@@ -4463,6 +4463,21 @@ def q_suffix_stream(spark, sf_dir):
     )
 
 
+def q_suffix_excise(spark, sf_dir):
+    """Variable-length exact-substring EXCISION
+    (datapipe.dedup.excise_duplicate_extents) — the removal half of Lee
+    et al. 2022's ExactSubstr pass: the planted corpus's maximal
+    duplicated extents (self-repeats %21, shared boilerplate tails %9)
+    are cut from EVERY occurrence, surviving tokens re-join, and the
+    full rebuilt strings are hash-gated against a window-SQL oracle.
+    Token conservation (n_tokens - removed_tokens survive) is pinned by
+    pytest."""
+    from rrdtool_1_x_spark.datapipe.dedup import excise_duplicate_extents
+
+    planted = _suffix_planted(spark, sf_dir)
+    return excise_duplicate_extents(planted, n=12).orderBy("doc_id")
+
+
 _CANARIES = ("canary-7fa2bd1e-marker", "canary-d41d8cd9-marker")
 
 
@@ -4967,6 +4982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suffix_dedup": q_suffix_dedup,
         "suffix_index_topup": q_suffix_index_topup,
         "suffix_stream": q_suffix_stream,
+        "suffix_excise": q_suffix_excise,
         "canary_scan": q_canary_scan,
         "softdedup_weights": q_softdedup_weights,
     }
@@ -6052,6 +6068,52 @@ FROM rid GROUP BY doc_id, run ORDER BY doc_id, span_start"""
     # per-document anchoring + set-union appends == one-shot extents
     sql["suffix_index_topup"] = sql["suffix_dedup"]
     sql["suffix_stream"] = sql["suffix_dedup"]
+
+    # ExactSubstr EXCISION: the suffix_dedup extents -> per-token
+    # coverage union -> rebuilt text (every occurrence removed, tokens
+    # re-joined with single spaces, lowercased — _tokens convention);
+    # full rebuilt strings + token counts are value-hashed
+    sql["suffix_excise"] = r"""
+WITH src AS MATERIALIZED (
+  SELECT doc_id,
+    CASE WHEN doc_id % 21 = 0 THEN text || ' ' || text
+         WHEN doc_id % 9 = 0 THEN text
+           || ' all rights reserved this corpus is distributed under'
+           || ' the open data license terms apply to every derived work'
+         ELSE text END AS text
+  FROM documents),
+t AS MATERIALIZED (SELECT doc_id,
+        regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      FROM src),
+pos AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 10)) AS p
+        FROM t WHERE len(toks) >= 12),
+w AS (SELECT doc_id, p,
+        md5(array_to_string(toks[p : p + 11], ' ')) AS h
+      FROM pos),
+cov AS (SELECT doc_id, p FROM (
+          SELECT doc_id, p, count(*) OVER (PARTITION BY h) AS cnt
+          FROM w) _ WHERE cnt >= 2),
+runs AS (SELECT doc_id, p,
+           CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) = 1
+                THEN 0 ELSE 1 END AS nw
+         FROM cov),
+rid AS (SELECT doc_id, p,
+          sum(nw) OVER (PARTITION BY doc_id ORDER BY p) AS run
+        FROM runs),
+spans AS (SELECT doc_id, min(p) AS s, max(p) + 11 AS e
+          FROM rid GROUP BY doc_id, run),
+rm AS (SELECT DISTINCT doc_id, unnest(range(s, e + 1)) AS tp FROM spans),
+u AS (SELECT doc_id, unnest(toks) AS tok,
+             unnest(range(1, len(toks) + 1)) AS i
+      FROM t)
+SELECT u.doc_id,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(count(rm.tp) AS BIGINT) AS removed_tokens,
+  coalesce(array_to_string(
+    list(u.tok ORDER BY u.i) FILTER (WHERE rm.tp IS NULL), ' '), '')
+    AS text
+FROM u LEFT JOIN rm ON u.doc_id = rm.doc_id AND u.i = rm.tp
+GROUP BY u.doc_id ORDER BY u.doc_id"""
 
     # canary GUID screen: %23 docs carry canary 1 once, %29 docs carry
     # canary 2 twice; occurrence count = length-difference identity

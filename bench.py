@@ -167,6 +167,7 @@ NAMES = [
     "langid",
     "suffix_dedup",
     "suffix_index_topup",
+    "suffix_excise",
     "canary_scan",
     "softdedup_weights",
     # suffix_stream is a one-shot drain (memoized construction) — its
@@ -523,6 +524,16 @@ def main() -> None:
         }
 
     total = round(sum(times.values()), 3)
+    # committed per-query ISOLATED best-of-5 bands (tools/isolated_bands.py):
+    # micro-queries whose shared-session timing drifts with an unchanged
+    # plan get their isolated envelope embedded in the artifact, so
+    # tools/bench_diff.py consults it before flagging a regression
+    iso_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "ISOLATED_BANDS.json")
+    isolated = {}
+    if os.path.exists(iso_path):
+        with open(iso_path) as f:
+            isolated = json.load(f).get("queries", {})
     print(
         json.dumps(
             {
@@ -531,6 +542,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "noise_worst_over_best": spread,
+                "isolated_bands": isolated,
                 "streams": streams,
                 "stream_docs_per_sec": streams.get(
                     "curation_stream", {}

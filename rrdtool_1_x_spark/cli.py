@@ -736,14 +736,30 @@ def xport_result(args: list[str]):
     ``--local`` routes through plans.local.LocalQuery: identical rows
     and formatting (the formatters accept both result kinds), no Spark
     job — the reference's single-process xport latency for interactive
-    windows over store files."""
+    windows over store files. An RPN token outside the local tier's op
+    set (PREV/PREDICT…) raises ``LocalUnsupported`` at execute time;
+    the query is rebuilt on the distributed path, so ``--local`` is a
+    latency hint, never a capability restriction (byte-identical output
+    either way — pinned by tests/test_xport_differential.py)."""
     local = _opt(args, "--local", flag=True)
-    q = _build_local_query(args) if local else _build_query(args)
-    for a in args:
-        if a.startswith("XPORT:"):
-            parts = a[6:].split(":", 1)
-            q.xport(parts[0], parts[1] if len(parts) > 1 else "")
-    return q.execute() if local else q.execute(_spark())
+
+    def apply_xports(q, argv):
+        for a in argv:
+            if a.startswith("XPORT:"):
+                parts = a[6:].split(":", 1)
+                q.xport(parts[0], parts[1] if len(parts) > 1 else "")
+        return q
+
+    if local:
+        from rrdtool_1_x_spark.plans.local import LocalUnsupported
+
+        largs = list(args)  # option pops must not consume the
+        # distributed rebuild's view of the argv
+        try:
+            return apply_xports(_build_local_query(largs), largs).execute()
+        except LocalUnsupported:
+            pass
+    return apply_xports(_build_query(args), args).execute(_spark())
 
 
 def cmd_xport(args: list[str]) -> int:
@@ -1125,10 +1141,16 @@ def _graph_options(args: list[str]) -> dict:
             raise _GraphOptError("ERROR: expected grid-dash format float:float")
     o["dynamic_labels"] = _opt(args, "--dynamic-labels", flag=True)
     o["pango_markup"] = _opt(args, "-P", "--pango-markup", flag=True)
-    # --font FONTTAG:size[:font] (repeated): the bitmap face has one cell
-    # size, so DEFAULT's size sets an integer glyph scale (size/8 rounded,
-    # min 1); other tags are accepted for CLI compatibility
+    # --font FONTTAG:size[:font] (repeated): without a face name the
+    # bitmap default keeps one cell size, so DEFAULT's size sets an
+    # integer glyph scale (size/8 rounded, min 1) — pixel-golden stable.
+    # Naming a face (the reference resolves it through pango; we have no
+    # font files) switches DEFAULT to the antialiased COVERAGE tier
+    # (render.glyph_coverage) at the exact requested pixel size, where
+    # --font-render-mode and --font-smoothing-threshold gain raster
+    # effect. Other tags are accepted for CLI compatibility.
     o["font_scale"] = 1
+    o["font_px"] = None
     while True:
         fspec = _opt(args, "-n", "--font")
         if fspec is None:
@@ -1138,6 +1160,12 @@ def _graph_options(args: list[str]) -> dict:
             raise _GraphOptError("ERROR: font invalid, expected FONTTAG:size[:font]")
         if parts[0].upper() == "DEFAULT" and float(parts[1]) > 0:
             o["font_scale"] = max(1, round(float(parts[1]) / 8))
+        if (
+            parts[0].upper() == "DEFAULT"
+            and len(parts) >= 3
+            and parts[2].strip()
+        ):
+            o["font_px"] = float(parts[1]) if float(parts[1]) > 0 else 8.0
     # --left-axis-format/-formatter + --right-axis-formatter
     # (src/rrd_graph.c:5288-5319 cases 1012-1014): printf format for the
     # left labels; numeric/timestamp/duration formatter switch per axis
@@ -1190,9 +1218,11 @@ def _graph_options(args: list[str]) -> dict:
     # old apps from crashing" (src/rrd_graph.c:5020), --interlaced is
     # "not supported at the moment" (case 'i', :5367), and --no-gridfit
     # toggles a flag whose only consumer — the apply_gridfit call at
-    # :3981 — is commented out. Only the font/graph render modes and
-    # --font-smoothing-threshold genuinely tune cairo/pango antialiasing
-    # the bitmap-font renderer deliberately simplifies away.
+    # :3981 — is commented out. --font-render-mode and
+    # --font-smoothing-threshold tune cairo/pango antialiasing in the
+    # reference; here they take raster effect in the coverage-AA text
+    # tier (--font with a face name) and are accepted no-ops under the
+    # pixel-golden bitmap default.
     _opt(args, "--alt-y-mrtg", flag=True)
     _opt(args, "-i", "--interlaced", flag=True)
     _opt(args, "-N", "--no-gridfit", flag=True)
@@ -1202,14 +1232,14 @@ def _graph_options(args: list[str]) -> dict:
         raise _GraphOptError(
             f"ERROR: unknown font-render-mode '{frm}'"
         )
+    o["font_render_mode"] = frm
     grm = _opt(args, "-G", "--graph-render-mode", default="normal")
     if grm not in ("normal", "mono"):
         raise _GraphOptError(
             f"ERROR: unknown graph-render-mode '{grm}'"
         )
     fst = _opt(args, "-B", "--font-smoothing-threshold")
-    if fst is not None:
-        float(fst)
+    o["font_smoothing_threshold"] = float(fst) if fst is not None else None
     o["alt_autoscale"] = _opt(args, "-A", "--alt-autoscale", flag=True)
     o["alt_as_min"] = _opt(args, "-J", "--alt-autoscale-min", flag=True)
     o["alt_as_max"] = _opt(args, "-M", "--alt-autoscale-max", flag=True)
@@ -1300,6 +1330,9 @@ def _paint(res, o: dict, legend_lines, rules):
         legend_direction=o["legend_direction"],
         tabwidth=o["tabwidth"],
         font_scale=o["font_scale"],
+        font_px=o["font_px"],
+        font_render_mode=o["font_render_mode"],
+        font_smoothing_threshold=o["font_smoothing_threshold"],
         grid_dash=o["grid_dash"],
         dynamic_labels=o["dynamic_labels"],
         pango_markup=o["pango_markup"],

@@ -1421,12 +1421,15 @@ def exact_substring_spans(
     prefer at corpus scale; collisions negligible at either width).
 
     Shape at scale: anchor hashing is map-only inside the scan
-    (``_shingle_array`` shifted-slice zip); occurrences shuffle ONCE on
-    the hash (each hash partition is a handful of rows — the occurrence
-    count is a per-hash window, never a join-back); covered positions
-    shuffle ONCE on the document for the lag/run-id window (per-doc
-    partitions, bounded by document length); the span aggregate reuses
-    that partitioning. No global window, nothing corpus-quadratic."""
+    (``_shingle_array`` shifted-slice zip); the coverage count is a
+    map-side partial ``groupBy("_h")`` plus a leftsemi join back on the
+    duplicated hashes (skew-safe: a 10^8-occurrence boilerplate hash is
+    one aggregate row, and the join is AQE-skew-splittable — never a
+    per-hash window, which would pin all occurrences of one hash to a
+    single task); covered positions shuffle ONCE on the document for
+    the lag/run-id window (per-doc partitions, bounded by document
+    length); the span aggregate reuses that partitioning. No global
+    window, nothing corpus-quadratic."""
     occ = _anchor_occurrences(df, n, id_col, text_col, hash_fn)
     return _extents_from_occurrences(occ, n, id_col)
 
@@ -1461,13 +1464,25 @@ def _extents_from_occurrences(
 ) -> DataFrame:
     """Covered anchors (corpus count >= 2) -> consecutive-run merge ->
     maximal (span_start, span_len) extents. The reduce tail shared by
-    ``exact_substring_spans`` and ``anchor_index_spans``."""
-    wh = Window.partitionBy("_h")
-    cov = (
-        occ.withColumn("_cnt", F.count(F.lit(1)).over(wh))
+    ``exact_substring_spans`` and ``anchor_index_spans``.
+
+    The coverage count is a groupBy + semi-join, NOT a per-hash window:
+    a window forces every occurrence of one hash into a single task, and
+    the data this operator targets is exactly where one hash explodes —
+    a boilerplate 50-token run (license header, templated footer) can
+    repeat 10^8+ times at corpus scale, a straggler partition AQE cannot
+    split (windows, unlike joins, get no skew handling). groupBy gets
+    map-side partial aggregation (each task emits one row per local
+    hash), the duplicated-hash frame it yields is a small fraction of
+    the occurrences, and the semi-join back is AQE-skew-splittable and
+    broadcastable when the dup set is small."""
+    dup_hashes = (
+        occ.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
         .filter(F.col("_cnt") >= 2)
-        .select(F.col(id_col), "_p")
+        .select("_h")
     )
+    cov = occ.join(dup_hashes, "_h", "leftsemi").select(F.col(id_col), "_p")
     wd = Window.partitionBy(id_col).orderBy(F.col("_p").asc())
     runs = cov.withColumn(
         "_new",
@@ -1490,38 +1505,63 @@ def _extents_from_occurrences(
     )
 
 
-def _anchor_meta_check(path: str, n: int, id_col: str, hash_fn: str,
-                       overwrite: bool = False) -> None:
-    """Pin (n, id_col, hash_fn) in ``{path}/anchor_meta.json``: an index
-    is only meaningful under ONE anchoring config — a mismatched write
-    would silently produce wrong span lengths (span_len = run + n) or
-    mixed hash types, so mismatches raise instead. ``overwrite`` (the
-    full-rewrite path only) replaces the pin along with the anchors;
-    append paths create-if-missing and otherwise validate."""
-    import json
-    import os
+def _anchor_fs(spark, path: str):
+    """(FileSystem, Path) for ``{path}/anchor_meta.json`` via the Hadoop
+    FileSystem API — the meta pin must live on the SAME filesystem as
+    the parquet anchors (hdfs://, s3a://, file://…), not the driver's
+    local disk (the start_quantile_stream snapshot-delete pattern)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/anchor_meta.json")
+    return p.getFileSystem(conf), p
 
+
+def _anchor_meta_write(spark, path: str, meta: dict) -> None:
+    import json
+
+    fs, p = _anchor_fs(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(meta).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _anchor_meta_check(
+    spark, path: str, n: int, id_col: str, hash_fn: str
+) -> bool:
+    """Validate (n, id_col, hash_fn) against ``{path}/anchor_meta.json``:
+    an index is only meaningful under ONE anchoring config — a
+    mismatched write would silently produce wrong span lengths
+    (span_len = run + n) or mixed hash types, so mismatches raise.
+    Returns True when a pin exists (and matches), False when the index
+    is new — callers write the pin AFTER a successful anchors write so
+    a failed first write never leaves a meta file with no anchors."""
     meta = {"n": int(n), "id_col": id_col, "hash_fn": hash_fn}
-    fp = f"{path}/anchor_meta.json"
-    if os.path.exists(fp) and not overwrite:
-        with open(fp) as f:
-            stored = json.load(f)
-        if stored != meta:
-            raise ValueError(
-                f"anchor index at {path} was written with {stored};"
-                f" this call uses {meta}"
-            )
-        return
-    os.makedirs(path, exist_ok=True)
-    with open(fp, "w") as f:
-        json.dump(meta, f)
+    fs, p = _anchor_fs(spark, path)
+    if not fs.exists(p):
+        return False
+    stored = _anchor_meta_read(spark, path)
+    if stored != meta:
+        raise ValueError(
+            f"anchor index at {path} was written with {stored};"
+            f" this call uses {meta}"
+        )
+    return True
 
 
-def _anchor_meta_read(path: str) -> dict:
+def _anchor_meta_read(spark, path: str) -> dict:
     import json
 
-    with open(f"{path}/anchor_meta.json") as f:
-        return json.load(f)
+    fs, p = _anchor_fs(spark, path)
+    stream = fs.open(p)
+    try:
+        raw = bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return json.loads(raw.decode("utf-8"))
 
 
 def write_anchor_index(
@@ -1539,12 +1579,16 @@ def write_anchor_index(
     one-shot ``exact_substring_spans`` EXACTLY for any batch split —
     coverage counts aggregate over the stored union at read time.
     The anchoring config (n, id_col, hash_fn) is pinned in
-    ``anchor_meta.json``; appends and reads validate against it.
+    ``anchor_meta.json`` (same filesystem as the anchors, written AFTER
+    a successful anchors write); appends and reads validate against it.
     Plain parquet appends here; production writes go through a
     transactional commit (sources.store's manifest-snapshot pattern)."""
-    _anchor_meta_check(path, n, id_col, hash_fn, overwrite=True)
     _anchor_occurrences(docs, n, id_col, text_col, hash_fn).distinct() \
         .write.mode("overwrite").parquet(f"{path}/anchors")
+    _anchor_meta_write(
+        docs.sparkSession, path,
+        {"n": int(n), "id_col": id_col, "hash_fn": hash_fn},
+    )
 
 
 def append_anchor_index(
@@ -1557,10 +1601,17 @@ def append_anchor_index(
 ) -> None:
     """Anchor the batch only and append (set union; a replayed batch's
     duplicate rows are absorbed by the read-side distinct). Raises if
-    (n, id_col, hash_fn) differ from the index's pinned config."""
-    _anchor_meta_check(path, n, id_col, hash_fn)
+    (n, id_col, hash_fn) differ from the index's pinned config; a fresh
+    index gets its pin after the first successful append."""
+    spark = batch.sparkSession
+    pinned = _anchor_meta_check(spark, path, n, id_col, hash_fn)
     _anchor_occurrences(batch, n, id_col, text_col, hash_fn).distinct() \
         .write.mode("append").parquet(f"{path}/anchors")
+    if not pinned:
+        _anchor_meta_write(
+            spark, path,
+            {"n": int(n), "id_col": id_col, "hash_fn": hash_fn},
+        )
 
 
 def anchor_index_spans(spark, path: str, n: int | None = None) -> DataFrame:
@@ -1570,7 +1621,7 @@ def anchor_index_spans(spark, path: str, n: int | None = None) -> DataFrame:
     ``exact_substring_spans`` by construction (shared reduce tail).
     ``n`` defaults to the index's pinned config; passing a different
     value raises (span_len arithmetic depends on it)."""
-    meta = _anchor_meta_read(path)
+    meta = _anchor_meta_read(spark, path)
     if n is not None and int(n) != meta["n"]:
         raise ValueError(
             f"anchor index at {path} was written with n={meta['n']},"
@@ -1578,6 +1629,79 @@ def anchor_index_spans(spark, path: str, n: int | None = None) -> DataFrame:
         )
     occ = spark.read.parquet(f"{path}/anchors").distinct()
     return _extents_from_occurrences(occ, meta["n"], meta["id_col"])
+
+
+def excise_duplicate_extents(
+    df: DataFrame,
+    n: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "md5",
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """Variable-length exact-substring EXCISION — the removal half of
+    Lee et al. 2022's ExactSubstr pass (arXiv:2107.06499 §3.1): every
+    maximal exact repeat of >= ``n`` tokens (the paper uses 50) is cut
+    from EVERY occurrence and the surviving tokens re-joined.
+    ``exact_substring_spans`` reports the maximal duplicated extents;
+    this composes extents -> token-coverage union -> rebuilt text
+    (the ``remove_contaminated_spans`` mechanics over variable-length
+    spans instead of fixed-``n`` windows — ``remove_duplicate_spans``
+    keeps a canonical copy of fixed windows; the suffix tier removes
+    all copies, as the paper's implementation does).
+
+    ``spans``: a precomputed extents frame ``(id, span_start,
+    span_len)`` — pass ``anchor_index_spans(...)`` output to excise
+    against a persisted anchor index without re-anchoring the corpus;
+    defaults to the one-shot ``exact_substring_spans`` over ``df``.
+
+    Returns one row per corpus document (untouched documents included):
+    ``(id, n_tokens, removed_tokens, text)`` — token counts before
+    excision and removed, and the rebuilt text (possibly empty when a
+    document is one big duplicate). Token conservation holds by
+    construction: ``n_tokens - removed_tokens`` tokens survive.
+
+    Shape at scale: extents come from the skew-hardened suffix tier
+    (see ``exact_substring_spans``); coverage positions explode per
+    span and aggregate per document (bounded by document length, like
+    the duplicated extents themselves); the final mask is one
+    doc-keyed left join + a per-document array filter inside the scan
+    task. No driver work, nothing corpus-quadratic."""
+    if spans is None:
+        spans = exact_substring_spans(df, n, id_col, text_col, hash_fn)
+    cover = (
+        spans.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(
+                    F.col("span_start").cast("int"),
+                    (F.col("span_start") + F.col("span_len") - 1).cast(
+                        "int"
+                    ),
+                )
+            ).alias("_tp"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("_tp").alias("_rm"))
+    )
+    base = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("_t"))
+    joined = base.join(cover, id_col, "left").select(
+        F.col(id_col),
+        "_t",
+        F.coalesce(F.col("_rm"), F.array().cast("array<int>")).alias("_rm"),
+    )
+    kept = F.filter(
+        F.arrays_zip(F.col("_t"), F.sequence(F.lit(1), F.size("_t"))),
+        lambda x: ~F.array_contains(F.col("_rm"), x["1"]),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("_t").cast("long").alias("n_tokens"),
+        F.size("_rm").cast("long").alias("removed_tokens"),
+        F.array_join(F.transform(kept, lambda x: x["_t"]), " ").alias(
+            text_col
+        ),
+    )
 
 
 def soft_dedup_weights(

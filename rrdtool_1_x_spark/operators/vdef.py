@@ -16,6 +16,10 @@ Semantics notes carried over exactly:
 * LSLSLOPE/LSLINT/LSLCORREL regress value against the 0-based step index,
   skipping unknown rows but keeping their x positions
   (src/rrd_graph.c:6065-6115).
+* AVERAGE/STDEV/TOTAL and the LSL family skip NON-FINITE slots (finite()
+  in the reference's scan loops, src/rrd_graph.c:5971,6079): ±inf is
+  excluded like NaN. MIN/MAX/FIRST/LAST/PERCENT use isnan-only rules, so
+  ±inf participates there (PERCENT's compar: NaN < -INF < finite < INF).
 
 The input is expected to be a complete padded step grid per series (what
 ``fetch`` returns), so row positions match the reference's array indexing.
@@ -69,17 +73,41 @@ def vdef(
     none_when = F.lit(None).cast("double")
 
     if op in ("MAXIMUM", "MINIMUM", "FIRST", "LAST"):
-        if op == "MAXIMUM":
-            # earliest argmax: order by (value, -ts) and take max
-            s = F.max(F.when(val.isNotNull(), F.struct(val.alias("v"), (-ts).alias("nts"))))
-            agg = df.groupBy(*gb).agg(s.alias("_s"))
+        # MAXIMUM/MINIMUM seed with the FIRST known slot (which may be
+        # ±inf — the isnan-only prefix scan), then improve over FINITE
+        # slots only (the finite() gate inside the comparison loop,
+        # src/rrd_graph.c:5940-5963, 6005-6028): a ±inf that is not the
+        # seed never wins. Result = extremum of {seed} ∪ {finite}.
+        known = val.isNotNull() & ~F.isnan(val)
+        fin_cond = known & (F.abs(val) != F.lit(float("inf")))
+        if op in ("MAXIMUM", "MINIMUM"):
+            seed = F.min(F.when(known, F.struct(ts.alias("t"), val.alias("v"))))
+            if op == "MAXIMUM":
+                # earliest argmax among finite: order by (value, -ts), max
+                best = F.max(
+                    F.when(fin_cond, F.struct(val.alias("v"), (-ts).alias("nts")))
+                )
+                agg = df.groupBy(*gb).agg(seed.alias("_s"), best.alias("_f"))
+                win = F.col("_f").isNotNull() & (
+                    F.col("_f.v") > F.col("_s.v")
+                )
+                return agg.select(
+                    *gb,
+                    F.when(win, F.col("_f.v"))
+                    .otherwise(F.col("_s.v"))
+                    .alias("value"),
+                    F.when(win, -F.col("_f.nts"))
+                    .otherwise(F.col("_s.t"))
+                    .alias("when"),
+                )
+            best = F.min(F.when(fin_cond, F.struct(val.alias("v"), ts.alias("t"))))
+            agg = df.groupBy(*gb).agg(seed.alias("_s"), best.alias("_f"))
+            win = F.col("_f").isNotNull() & (F.col("_f.v") < F.col("_s.v"))
             return agg.select(
-                *gb, F.col("_s.v").alias("value"), (-F.col("_s.nts")).alias("when")
+                *gb,
+                F.when(win, F.col("_f.v")).otherwise(F.col("_s.v")).alias("value"),
+                F.when(win, F.col("_f.t")).otherwise(F.col("_s.t")).alias("when"),
             )
-        if op == "MINIMUM":
-            s = F.min(F.when(val.isNotNull(), F.struct(val.alias("v"), ts.alias("t"))))
-            agg = df.groupBy(*gb).agg(s.alias("_s"))
-            return agg.select(*gb, F.col("_s.v").alias("value"), F.col("_s.t").alias("when"))
         if op == "FIRST":
             if step is None:
                 raise ValueError("FIRST needs step (reports interval start)")
@@ -94,15 +122,24 @@ def vdef(
         agg = df.groupBy(*gb).agg(s.alias("_s"))
         return agg.select(*gb, F.col("_s.v").alias("value"), F.col("_s.t").alias("when"))
 
+    # vdef_calc gates AVERAGE/STDEV/TOTAL and the least-squares family on
+    # finite(), not just !isnan (src/rrd_graph.c:5971-5976, 6079): a ±inf
+    # slot (reachable via CDEF LOG over a 0) is skipped, not propagated.
+    # MIN/MAX/FIRST/LAST/PERCENT keep their isnan-only rules above.
+    finite = (
+        val.isNotNull() & ~F.isnan(val) & (F.abs(val) != F.lit(float("inf")))
+    )
+    fin = F.when(finite, val)
+
     if op in ("AVERAGE", "STDEV", "TOTAL"):
         if op == "AVERAGE":
-            expr = F.avg(val)
+            expr = F.avg(fin)
         elif op == "STDEV":
-            expr = F.stddev_pop(val)
+            expr = F.stddev_pop(fin)
         else:
             if step is None:
                 raise ValueError("TOTAL needs step")
-            expr = F.sum(val) * F.lit(float(step))
+            expr = F.sum(fin) * F.lit(float(step))
         return df.groupBy(*gb).agg(expr.alias("value")).select(
             *gb, "value", none_when.alias("when")
         )
@@ -151,10 +188,12 @@ def vdef(
         out = ranked.groupBy(*g).agg(F.max(F.when(pick, F.col("_v"))).alias("value"))
         return out.select(*gb, "value", none_when.alias("when"))
 
-    # least-squares family: x = 0-based step index over the padded grid
+    # least-squares family: x = 0-based step index over the padded grid;
+    # non-finite rows are skipped but keep their x positions (finite()
+    # filter inside the scan loop, src/rrd_graph.c:6079).
     w = Window.partitionBy(*gb).orderBy(ts)
     x = (F.row_number().over(w) - 1).cast("double")
-    d = df.withColumn("_x", x).filter(val.isNotNull())
+    d = df.withColumn("_x", x).filter(finite)
     agg = d.groupBy(*gb).agg(
         F.count(val).alias("cnt"),
         F.sum("_x").alias("sx"),

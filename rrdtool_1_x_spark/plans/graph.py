@@ -406,9 +406,14 @@ class Query:
             )
             wide = wide.join(res, "ts", "left")
 
+        resolving_cdefs: set[str] = set()
+
         def ensure_cdef(name: str) -> None:
             if name in frames or name in done_cdefs or name not in cdef_by_name:
                 return
+            if name in resolving_cdefs:
+                raise ValueError(f"circular CDEF reference involving {name!r}")
+            resolving_cdefs.add(name)
             nonlocal wide
             c = cdef_by_name[name]
             toks = c.rpn.split(",")
@@ -421,6 +426,7 @@ class Query:
             else:
                 wide = wide.withColumn(c.vname, compile_rpn(c.rpn, env, ctx))
             env[c.vname] = F.col(c.vname)
+            resolving_cdefs.discard(c.vname)
             done_cdefs.add(c.vname)
 
         for name in self._order:
@@ -445,13 +451,15 @@ class Query:
                         ).select(
                             (F.col("id") * vstep).cast("double").alias("ts")
                         )
-                        src_df = uni.join(
-                            F.broadcast(
-                                src_df.select("ts", "value")
-                            ),
-                            "ts",
-                            "left",
-                        )
+                        # no broadcast hint: the fetched series can be
+                        # arbitrarily long (fine-step, long-range DEF), so
+                        # forcing it driver-side would strain the cluster.
+                        # The slot count is known here — hint only when the
+                        # universe is provably small, else let AQE choose.
+                        rhs = src_df.select("ts", "value")
+                        if (fe - fs) // vstep <= 100_000:
+                            rhs = F.broadcast(rhs)
+                        src_df = uni.join(rhs, "ts", "left")
                 else:
                     vstep = step
                     src_df = wide.select("ts", F.col(vd.source).alias("value"))

@@ -18,8 +18,9 @@ operator (the differential suite drives both against the reference build):
   (src/rrd_graph.c:786-956), VDEFs over the DEF's padded fetch universe
   (src/rrd_graph.c:5875), output trimmed to (start, end].
 
-Unsupported RPN tokens raise ValueError — callers fall back to the
-distributed ``Query``, which compiles the full op set.
+Unsupported RPN tokens raise ``LocalUnsupported`` (a ValueError) —
+callers fall back to the distributed ``Query``, which compiles the full
+op set (``cli.xport_result`` does exactly that for ``xport --local``).
 """
 
 from __future__ import annotations
@@ -36,6 +37,13 @@ _REDUCE_CFS = {
     "AVERAGE", "HWPREDICT", "MHWPREDICT", "SEASONAL", "DEVSEASONAL",
     "DEVPREDICT", "MIN", "MAX", "FAILURES", "LAST",
 }
+
+
+class LocalUnsupported(ValueError):
+    """An RPN token (or construct) outside the local tier's op set —
+    the query itself is valid, so callers rebuild on the distributed
+    ``Query`` instead of surfacing an error (genuine user errors stay
+    plain ValueError and are never retried)."""
 
 
 def _c_round(x: float) -> int:
@@ -257,7 +265,7 @@ def rpn_eval_local(
                 try:
                     push(np.full(n, float(tok)), const=float(tok))
                 except ValueError:
-                    raise ValueError(
+                    raise LocalUnsupported(
                         f"RPN op {tok!r} unsupported in the local tier"
                         " — use the distributed Query"
                     ) from None
@@ -276,16 +284,22 @@ def vdef_local(
     op = op.upper()
     known = ~np.isnan(vals)
     m = int(known.sum())
-    if op == "MAXIMUM":
+    if op in ("MAXIMUM", "MINIMUM"):
+        # seed = FIRST known slot (may be ±inf: isnan-only prefix scan);
+        # improvements are FINITE-gated (src/rrd_graph.c:5940-5963,
+        # 6005-6028) — result = extremum of {seed} ∪ {finite slots}
         if m == 0:
             return float("nan"), None
-        i = int(np.nanargmax(vals))
-        return float(vals[i]), float(ts[i])
-    if op == "MINIMUM":
-        if m == 0:
-            return float("nan"), None
-        i = int(np.nanargmin(vals))
-        return float(vals[i]), float(ts[i])
+        i = int(np.argmax(known))
+        best = float(vals[i])
+        fmask = np.isfinite(vals)
+        if fmask.any():
+            fv = vals[fmask]
+            cand = float(np.max(fv) if op == "MAXIMUM" else np.min(fv))
+            if (cand > best) if op == "MAXIMUM" else (cand < best):
+                best = cand
+                i = int(np.nonzero(fmask & (vals == cand))[0][0])
+        return best, float(ts[i])
     if op == "FIRST":
         if m == 0:
             return float("nan"), None
@@ -296,12 +310,16 @@ def vdef_local(
             return float("nan"), None
         i = len(vals) - 1 - int(np.argmax(known[::-1]))
         return float(vals[i]), float(ts[i])
+    # AVERAGE/STDEV/TOTAL/LSL* skip NON-finite slots (±inf too): the
+    # reference scans with finite(), not isnan (src/rrd_graph.c:5971,6079)
+    fin = np.isfinite(vals)
+    mf = int(fin.sum())
     if op == "AVERAGE":
-        return (float(np.mean(vals[known])) if m else float("nan")), None
+        return (float(np.mean(vals[fin])) if mf else float("nan")), None
     if op == "STDEV":
-        return (float(np.std(vals[known])) if m else float("nan")), None
+        return (float(np.std(vals[fin])) if mf else float("nan")), None
     if op == "TOTAL":
-        return (float(np.sum(vals[known]) * step) if m else float("nan")), None
+        return (float(np.sum(vals[fin]) * step) if mf else float("nan")), None
     if op in ("PERCENT", "PERCENTNAN"):
         if param is None:
             raise ValueError(f"{op} needs a percentile parameter")
@@ -316,11 +334,11 @@ def vdef_local(
             return float("nan"), None
         return float(kn[_c_round(param * (m - 1) / 100.0)]), None
     if op in ("LSLSLOPE", "LSLINT", "LSLCORREL"):
-        if m == 0:
+        if mf == 0:
             return float("nan"), None
-        x = np.arange(len(vals), dtype=float)[known]
-        y = vals[known]
-        cnt, sx, sy = float(m), x.sum(), y.sum()
+        x = np.arange(len(vals), dtype=float)[fin]
+        y = vals[fin]
+        cnt, sx, sy = float(mf), x.sum(), y.sum()
         sxx, sxy, syy = (x * x).sum(), (x * y).sum(), (y * y).sum()
         with np.errstate(all="ignore"):
             slope = (sx * sy - cnt * sxy) / (sx * sx - cnt * sxx)
@@ -477,11 +495,20 @@ class LocalQuery:
         vdef_by_name = {v[0]: v for v in self._vdefs}
         cdef_by_name = dict(self._cdefs)
         done: set[str] = set()
+        resolving: set[str] = set()
 
         def ensure(name: str) -> None:
             if name in env or name in done:
                 return
             if name in cdef_by_name:
+                # 'done' is only set after evaluation completes, so a
+                # mutually-referencing pair (A=B,..., B=A,...) would
+                # re-enter here forever — fail with a clean diagnostic
+                if name in resolving:
+                    raise ValueError(
+                        f"circular CDEF reference involving {name!r}"
+                    )
+                resolving.add(name)
                 # resolve upstream CDEFs and VDEF-scalar refs first
                 toks = cdef_by_name[name].split(",")
                 for t in toks:
@@ -495,6 +522,7 @@ class LocalQuery:
                 env[name] = rpn_eval_local(
                     cdef_by_name[name], senv, grid, float(step)
                 )
+                resolving.discard(name)
                 done.add(name)
 
         def eval_vdef(name: str) -> None:

@@ -148,6 +148,55 @@ def text_size(s: str) -> tuple[int, int]:
     return CHAR_H, CHAR_W * len(s)
 
 
+# -- anti-aliased text tier (behind --font) ---------------------------------
+#
+# The reference draws text through cairo/pango with grayscale
+# antialiasing (rrd_graph_helper/gfx text path, src/rrd_graph.c:4691+);
+# the default renderer here is the pixel-golden-stable 5x7 bitmap face.
+# When the user asks for a font (--font FONTTAG:size:name), text routes
+# through a from-scratch COVERAGE rasterizer instead: each glyph's 8x6
+# ink grid is box-filtered onto the requested cell size, so edge pixels
+# carry fractional coverage that multiplies the paint alpha — true
+# area-sampled antialiasing, no library. --font-render-mode and
+# --font-smoothing-threshold gain raster effect in this tier (mono =
+# bilevel threshold at 0.5 coverage, the cairo ANTIALIAS_NONE analogue;
+# light = lighter gamma; sizes at/below the smoothing threshold render
+# bilevel, matching the reference knob's meaning). The 5x7 default path
+# is untouched, keeping every existing pixel golden byte-identical.
+
+_COV_CACHE: dict = {}
+
+
+def _box_matrix(n_out: int, n_in: int) -> np.ndarray:
+    """(n_out, n_in) area-overlap weights: row o holds the fraction of
+    output pixel o covered by each input cell under uniform rescale —
+    rows sum to 1, so M @ g @ M'.T is exact box-filter coverage."""
+    s = n_in / n_out  # input units per output pixel
+    m = np.zeros((n_out, n_in))
+    for o in range(n_out):
+        a, b = o * s, (o + 1) * s
+        for k in range(int(np.floor(a)), min(int(np.ceil(b)), n_in)):
+            m[o, k] = max(0.0, min(b, k + 1) - max(a, k))
+    return m / s
+
+
+def glyph_coverage(ch: str, cell_h: int, cell_w: int) -> np.ndarray:
+    """(cell_h, cell_w) float coverage in [0,1] of one glyph, the 8x6
+    ink grid (5x7 face + its spacing row/col) area-resampled to the
+    requested cell — cached per (char, cell)."""
+    key = (ch, cell_h, cell_w)
+    hit = _COV_CACHE.get(key)
+    if hit is not None:
+        return hit
+    g = np.zeros((8, 6))
+    g[:7, :5] = glyph(ch)
+    cov = _box_matrix(cell_h, 8) @ g @ _box_matrix(cell_w, 6).T
+    cov = np.clip(cov, 0.0, 1.0)
+    cov.setflags(write=False)
+    _COV_CACHE[key] = cov
+    return cov
+
+
 # ---------------------------------------------------------------------------
 # Canvas
 # ---------------------------------------------------------------------------
@@ -280,12 +329,53 @@ class Canvas:
                 y += sy
 
     font_scale: int = 1  # --font DEFAULT:size → integer glyph upscale
+    # AA text tier (glyph_coverage): {"cell_h", "cell_w", "mode",
+    # "threshold", "px"} — set by graph() when --font names a face
+    aa_font: dict | None = None
+
+    def _blend_cov(self, y0: int, x0: int, cov: np.ndarray, color: str) -> None:
+        """Alpha-blend a coverage patch: per-pixel alpha = paint alpha x
+        fractional coverage (the rasterized-text compositing rule)."""
+        rgb, a = parse_color(color)
+        gh, gw = cov.shape
+        ys, xs = max(0, -y0), max(0, -x0)
+        ye, xe = min(gh, self.h - y0), min(gw, self.w - x0)
+        if ye <= ys or xe <= xs:
+            return
+        alpha = (a * cov[ys:ye, xs:xe])[..., None]
+        region = self.img[y0 + ys : y0 + ye, x0 + xs : x0 + xe]
+        self.img[y0 + ys : y0 + ye, x0 + xs : x0 + xe] = (
+            (1 - alpha) * region + alpha * rgb
+        )
+
+    def _text_aa(self, x: int, y: int, s: str, color: str, rotate: bool) -> None:
+        f = self.aa_font
+        ch_h, ch_w = f["cell_h"], f["cell_w"]
+        mono = f["mode"] == "mono" or (
+            f.get("threshold") is not None and f["px"] <= f["threshold"]
+        )
+        for i, c in enumerate(s):
+            cov = glyph_coverage(c, ch_h, ch_w)
+            if mono:
+                cov = (cov >= 0.5).astype(float)
+            elif f["mode"] == "light":
+                # lighter rendering: push partial coverage down (gamma
+                # > 1) — thinner-looking stems, the cairo "light" hint
+                cov = cov ** 1.6
+            if rotate:
+                self._blend_cov(y - i * ch_w, x, np.rot90(cov, 1), color)
+            else:
+                self._blend_cov(y, x + i * ch_w, cov, color)
 
     def text(self, x: int, y: int, s: str, color: str = "#000000", rotate: bool = False) -> None:
         """Draw ``s`` with its top-left at (x, y); ``rotate`` turns the
         string 90° counter-clockwise (vertical label). ``font_scale``
         nearest-neighbor-upscales the 5x7 glyphs (the bitmap stand-in for
-        the reference's --font size handling)."""
+        the reference's --font size handling); when ``aa_font`` is set
+        the coverage rasterizer paints antialiased glyphs instead."""
+        if self.aa_font is not None:
+            self._text_aa(x, y, s, color, rotate)
+            return
         fs = max(1, int(self.font_scale))
         for i, ch in enumerate(s):
             g = glyph(ch)
@@ -410,11 +500,13 @@ class SVGCanvas:
         import html as _html
 
         fs = max(1, int(self.font_scale))
+        # AA tier: --font size passes through as the exact pixel size
+        px = getattr(self, "font_px", None) or CHAR_H * fs
         esc = _html.escape(s)
         tr = f' transform="rotate(-90 {x} {y})"' if rotate else ""
         self.el.append(
-            f'<text x="{x}" y="{y + CHAR_H * fs - 2}" font-family="monospace" '
-            f'font-size="{CHAR_H * fs}px" fill="{self._fill(color)}"{tr}>{esc}</text>'
+            f'<text x="{x}" y="{y + px - 2:g}" font-family="monospace" '
+            f'font-size="{px:g}px" fill="{self._fill(color)}"{tr}>{esc}</text>'
         )
 
     def zoom(self, factor: float) -> None:
@@ -511,7 +603,8 @@ class DocCanvas:
             f"%%BoundingBox: 0 0 {self.w} {self.h}",
             "%%Pages: 1",
             "%%EndComments",
-            f"/Courier findfont {CHAR_H * max(1, int(self.font_scale))} "
+            f"/Courier findfont "
+            f"{getattr(self, 'font_px', None) or CHAR_H * max(1, int(self.font_scale)):g} "
             "scalefont setfont",
         ]
         if self._zoom != 1.0:
@@ -628,8 +721,10 @@ class DocCanvas:
                     tm = f"0 1 -1 0 {x} {Y(y):.0f} Tm"
                 else:
                     tm = f"1 0 0 1 {x} {Y(y + CHAR_H - 2):.0f} Tm"
+                fpx = getattr(self, "font_px", None) or CHAR_H * max(
+                    1, int(self.font_scale))
                 body.append(
-                    f"BT /F1 {CHAR_H * max(1, int(self.font_scale))} Tf "
+                    f"BT /F1 {fpx:g} Tf "
                     f"{r:.3f} {g:.3f} {b:.3f} rg {tm} "
                     f"({esc}) Tj ET"
                 )
@@ -827,6 +922,9 @@ def render_graph(
     legend_direction: str = "topdown",
     tabwidth: float = 40.0,
     font_scale: int = 1,
+    font_px: float | None = None,
+    font_render_mode: str = "normal",
+    font_smoothing_threshold: float | None = None,
     grid_dash: tuple[float, float] | None = None,
     dynamic_labels: bool = False,
     pango_markup: bool = False,
@@ -876,6 +974,17 @@ def render_graph(
     # shadow the module char metrics with the scaled cell size — every
     # margin/label offset below derives from these
     CHAR_W, CHAR_H = 6 * font_scale, 8 * font_scale
+    if font_px is not None:
+        # AA tier (--font FONTTAG:size:name): the char cell follows the
+        # requested pixel size exactly — fractional sizes move the
+        # layout, unlike the integer-upscale default — and raster text
+        # routes through the coverage rasterizer (Canvas.aa_font below)
+        font_px = float(font_px)
+        if font_px <= 0:
+            font_px = 8.0
+        CHAR_H = max(3, int(round(font_px)))
+        CHAR_W = max(2, int(round(font_px * 6.0 / 8.0)))
+        font_scale = max(1, int(round(font_px / 8.0)))
 
     if pango_markup:
         # --pango-markup: the bitmap face has no styled variants, so
@@ -994,6 +1103,19 @@ def render_graph(
         backend.lower(), Canvas)
     cv = canvas_cls(W, H, background=col["BACK"])
     cv.font_scale = font_scale
+    if font_px is not None:
+        if isinstance(cv, Canvas):
+            cv.aa_font = {
+                "px": font_px,
+                "cell_h": CHAR_H,
+                "cell_w": CHAR_W,
+                "mode": font_render_mode,
+                "threshold": font_smoothing_threshold,
+            }
+        else:
+            # vector backends: text is the viewer's face — the size knob
+            # passes through as the exact pixel size
+            cv.font_px = font_px
 
     # beveled border (SHADEA top/left, SHADEB bottom/right, --border px)
     if border > 0:

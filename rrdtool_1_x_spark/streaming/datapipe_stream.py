@@ -527,10 +527,13 @@ def start_anchor_stream(
         append_anchor_index,
     )
 
-    # pin the anchoring config up front: a new index gets its
-    # anchor_meta.json here; an EXISTING index with a different config
-    # raises before the stream starts (never silently re-pinned)
-    _anchor_meta_check(index_path, n, id_col, hash_fn)
+    # validate the anchoring config up front: an EXISTING index with a
+    # different config raises before the stream starts (never silently
+    # re-pinned); a NEW index gets its anchor_meta.json from the first
+    # successful micro-batch append (meta never precedes anchors)
+    _anchor_meta_check(
+        doc_stream.sparkSession, index_path, n, id_col, hash_fn
+    )
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         append_anchor_index(

@@ -308,12 +308,12 @@ def test_cli_updatev(spark, tmp_path, capsys):
     assert "cannot be used" in capsys.readouterr().err
 
 
-def test_cli_graphv_elements_bounds(ds_path, capsys):
+def test_cli_graphv_elements_bounds(ds_path, capsys, tmp_path):
     """graphv LINE/AREA/STACK elements resolve through data_proc and the
     info list carries the autoscale bounds (rrd_graph_v value_min/max);
     stacked areas raise the max, skipscale lines don't."""
     base = [
-        "g.png", "-s", str(START), "-e", str(UPDATES[-1][0]),
+        str(tmp_path / "g.png"), "-s", str(START), "-e", str(UPDATES[-1][0]),
         f"DEF:v={ds_path}:speed:AVERAGE", "CDEF:kmh=v,3600,*",
     ]
     assert main(["graphv"] + base + ["AREA:kmh#ff0000:rate",
@@ -408,7 +408,8 @@ def test_cli_multi_ds_defs(spark, tmp_path, capsys):
                  f"{START + 300}:3000:1500", f"{START + 600}:6000:3000",
                  f"{START + 900}:12000:4500", f"{START + 1200}:15000:7500"]) == 0
     assert main([
-        "graphv", "g.png", "-s", str(START), "-e", str(START + 1200),
+        "graphv", str(tmp_path / "g.png"), "-s", str(START),
+        "-e", str(START + 1200),
         f"DEF:i={p}:inb:AVERAGE", f"DEF:o={p}:outb:AVERAGE",
         "CDEF:io=i,o,+", "AREA:i#00ff00:in", "STACK:o:out",
         "VDEF:m=io,MAXIMUM", "PRINT:m:peak %.1lf",
@@ -688,7 +689,8 @@ def test_graph1_golden_print(spark, tmp_path, capsys):
         f"{920804400 + 300 * (i + 1)}:{v}" for i, v in enumerate(vals)
     ]) == 0
     assert main([
-        "graphv", "g.out", "--start", "920804400", "--end", "920808000",
+        "graphv", str(tmp_path / "g.out"),
+        "--start", "920804400", "--end", "920808000",
         f"DEF:my-speed={p}:speed:AVERAGE",
         "VDEF:o=my-speed,MAXIMUM", "PRINT:o:%lf",
     ]) == 0

@@ -2763,3 +2763,125 @@ def test_soft_dedup_weights_component_math(spark):
     assert got[1] == (0, 3, 333333) and got[2] == (0, 3, 333333)
     assert got[3] == (3, 1, 1000000)
     assert got[4] == (4, 2, 500000) and got[5] == (4, 2, 500000)
+
+
+def test_excise_duplicate_extents_removes_all_copies(spark):
+    """Lee et al. ExactSubstr EXCISION: every maximal >= n-token repeat
+    is cut from EVERY occurrence (no canonical copy, unlike the
+    fixed-window remove_duplicate_spans), surviving tokens re-join, and
+    token conservation holds: n_tokens - removed_tokens tokens remain.
+    Untouched and too-short documents pass through unchanged."""
+    from rrdtool_1_x_spark.datapipe.dedup import (
+        exact_substring_spans,
+        excise_duplicate_extents,
+    )
+
+    p = " ".join(f"p{i}" for i in range(12))
+    rows = [
+        (1, "u1 u2 " + p + " t1 t2"),        # copy 1 of p
+        (2, "w1 " + p + " w2 w3"),           # copy 2 of p
+        (3, "clean c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11"),
+        (4, "a b c d e f g h i j a b c d e f g h i j"),  # self-repeat
+        (5, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in excise_duplicate_extents(df, n=10).collect()
+    }
+    # both copies of p excised; neighbours survive
+    assert out[1]["text"] == "u1 u2 t1 t2"
+    assert out[2]["text"] == "w1 w2 w3"
+    assert out[1]["removed_tokens"] == 12 and out[2]["removed_tokens"] == 12
+    # the self-repeat doc is one maximal duplicated extent -> empty
+    assert out[4]["text"] == "" and out[4]["removed_tokens"] == 20
+    # untouched docs pass through (lowercased token join)
+    assert out[3]["text"].startswith("clean c1") and out[3]["removed_tokens"] == 0
+    assert out[5]["text"] == "short doc"
+    # token conservation on every row
+    for r in out.values():
+        survivors = len(r["text"].split()) if r["text"] else 0
+        assert r["n_tokens"] - r["removed_tokens"] == survivors, r
+    # precomputed-spans path (the anchor-index composition) is identical
+    spans = exact_substring_spans(df, n=10)
+    out2 = {
+        r["doc_id"]: tuple(r)
+        for r in excise_duplicate_extents(df, n=10, spans=spans).collect()
+    }
+    assert out2 == {k: tuple(v) for k, v in out.items()}
+
+
+def test_suffix_coverage_count_skew_hardened(spark):
+    """The suffix-tier coverage count must be a groupBy + semi-join,
+    never a per-hash window: a planted mega-boilerplate run (one
+    12-gram shared by every document) makes one hash carry every
+    occurrence — a window would pin them all to a single task that AQE
+    cannot split. Plan-asserted (no window over _h) and value-checked
+    on the planted corpus."""
+    from rrdtool_1_x_spark.datapipe.dedup import (
+        _anchor_occurrences,
+        _extents_from_occurrences,
+        exact_substring_spans,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(12))
+    n_docs = 3000
+    df = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("u"), F.col("id").cast("string"),
+            F.lit(" " + boiler + " v"), F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    spans = exact_substring_spans(df, n=12)
+    plan = spans._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(_h" not in plan.lower().replace(" ", "")
+    # every doc reports exactly the boilerplate extent (positions 2..13)
+    got = spans.collect()
+    assert len(got) == n_docs
+    assert all(r["span_start"] == 2 and r["span_len"] == 12 for r in got)
+    # the shared reduce tail behaves the same off a stored occurrence set
+    occ = _anchor_occurrences(df, 12, "doc_id", "text", "md5")
+    got2 = _extents_from_occurrences(occ, 12).count()
+    assert got2 == n_docs
+
+
+def test_anchor_meta_pin_fs_and_ordering(spark, tmp_path):
+    """anchor_meta.json: lives on the index's own filesystem (Hadoop
+    FileSystem API — same scheme as the parquet anchors), is written
+    AFTER a successful anchors write (a fresh append pins it too), and
+    a mismatched (n, id_col, hash_fn) config raises instead of silently
+    mixing anchor widths."""
+    import os
+
+    import pytest as _pytest
+
+    from rrdtool_1_x_spark.datapipe.dedup import (
+        _anchor_meta_read,
+        anchor_index_spans,
+        append_anchor_index,
+        write_anchor_index,
+    )
+
+    rows = [(1, " ".join(f"t{i}" for i in range(14)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # fresh APPEND (no prior write) pins the config after the append
+    idx1 = str(tmp_path / "idx1")
+    append_anchor_index(df, idx1, n=10)
+    assert os.path.exists(f"{idx1}/anchor_meta.json")
+    assert _anchor_meta_read(spark, idx1) == {
+        "n": 10, "id_col": "doc_id", "hash_fn": "md5"
+    }
+    # mismatched config refused on append AND on read
+    with _pytest.raises(ValueError, match="written with"):
+        append_anchor_index(df, idx1, n=12)
+    with _pytest.raises(ValueError, match="written with"):
+        append_anchor_index(df, idx1, n=10, hash_fn="xxhash64")
+    with _pytest.raises(ValueError, match="written with"):
+        anchor_index_spans(spark, idx1, n=12)
+
+    # full rewrite replaces the pin along with the anchors
+    write_anchor_index(df, idx1, n=12)
+    assert _anchor_meta_read(spark, idx1)["n"] == 12
+    assert anchor_index_spans(spark, idx1).count() == 0  # no repeats

@@ -183,3 +183,73 @@ def test_trend_local_float_identical_and_guarded(spark):
         rpn_eval_local("a,0,TREND", {"a": a}, np.array(ts), 300.0)
     with pytest.raises(ValueError, match="at least one step"):
         rpn_eval_local("a,-300,TRENDNAN", {"a": a}, np.array(ts), 300.0)
+
+
+INF_VALS = [1.0, None, INF, 3.0, -INF, None, 5.0]
+INF_TS = [300.0 * (i + 1) for i in range(len(INF_VALS))]
+
+
+@pytest.mark.parametrize("op,param", VDEF_OPS)
+def test_vdef_finite_rule_parity_with_inf(spark, op, param):
+    """±inf rows (reachable via CDEF LOG over a 0): AVERAGE/STDEV/TOTAL
+    and the LSL family skip NON-finite slots (finite() in vdef_calc's
+    scan loops, src/rrd_graph.c:5971,6079); MIN/MAX/FIRST/LAST/PERCENT
+    keep isnan-only rules so ±inf participates there. Both tiers must
+    agree on every op over an inf-bearing series."""
+    from rrdtool_1_x_spark.operators.vdef import vdef
+
+    df = spark.createDataFrame(
+        list(zip(INF_TS, INF_VALS)), "ts double, value double"
+    )
+    d = vdef(df, op, param=param, step=STEP).collect()[0]
+    lv, lw = vdef_local(
+        np.array([np.nan if v is None else v for v in INF_VALS]),
+        np.array(INF_TS), op, param, STEP,
+    )
+    dv = float("nan") if d["value"] is None else d["value"]
+    assert (dv != dv and lv != lv) or dv == lv, (op, dv, lv)
+    dw = d["when"]
+    assert (dw is None and lw is None) or dw == lw, (op, dw, lw)
+
+
+def test_vdef_finite_rule_values(spark):
+    """Pin the finite-rule numbers themselves: over [1, U, inf, 3,
+    -inf, U, 5] AVERAGE=3, STDEV=population std of {1,3,5}, TOTAL=
+    9*step, LSLSLOPE regresses only the finite rows (x=0,3,6 kept);
+    MAXIMUM/MINIMUM seed with the FIRST known slot and improve over
+    finite slots only, so the mid-series ±inf never wins — the exact
+    vdef_calc loops (reference-differential-pinned in /tmp drive)."""
+    from rrdtool_1_x_spark.operators.vdef import vdef
+
+    df = spark.createDataFrame(
+        list(zip(INF_TS, INF_VALS)), "ts double, value double"
+    )
+    get = lambda op: vdef(df, op, step=STEP).collect()[0]
+    assert get("AVERAGE")["value"] == pytest.approx(3.0)
+    assert get("STDEV")["value"] == pytest.approx(
+        float(np.std([1.0, 3.0, 5.0]))
+    )
+    assert get("TOTAL")["value"] == pytest.approx(9.0 * STEP)
+    # finite rows keep their x positions: x={0,3,6}, y={1,3,5} -> slope 2/3
+    assert get("LSLSLOPE")["value"] == pytest.approx(2.0 / 3.0)
+    # seed 1.0@ts0; finite improvements beat it for MAX (5.0), not MIN
+    mx, mn = get("MAXIMUM"), get("MINIMUM")
+    assert mx["value"] == 5.0 and mx["when"] == INF_TS[6]
+    assert mn["value"] == 1.0 and mn["when"] == INF_TS[0]
+    # a ±inf SEED survives (nothing finite beats -inf for MIN; and with
+    # no finite slot at all the seed is the result even for the "wrong"
+    # extremum — MINIMUM over [+inf, U, -inf] is +inf in the reference)
+    df2 = spark.createDataFrame(
+        [(300.0, INF), (600.0, None), (900.0, -INF)],
+        "ts double, value double",
+    )
+    get2 = lambda op: vdef(df2, op, step=STEP).collect()[0]
+    assert get2("MAXIMUM")["value"] == INF and get2("MAXIMUM")["when"] == 300.0
+    assert get2("MINIMUM")["value"] == INF and get2("MINIMUM")["when"] == 300.0
+    for op in ("AVERAGE", "STDEV", "TOTAL", "LSLSLOPE"):
+        assert get2(op)["value"] is None, op
+        lv, _ = vdef_local(
+            np.array([INF, np.nan, -INF]),
+            np.array([300.0, 600.0, 900.0]), op, None, STEP,
+        )
+        assert lv != lv, op

@@ -1068,3 +1068,115 @@ def test_force_rules_legend():
     blue = lambda img: ((img == [0, 0, 255]).all(axis=2)).sum()
     assert blue(_img(cv)) == 0
     assert blue(_img(cvf)) > 0
+
+
+def test_glyph_coverage_area_exact_and_cached():
+    """The AA tier's box-filter resampler is EXACT area sampling: total
+    coverage times the output pixel's input-space area equals the
+    glyph's ink area at every cell size (no ink gained or lost), values
+    stay in [0,1], and the cache returns the same (read-only) array."""
+    from rrdtool_1_x_spark.render import glyph_coverage
+
+    ink = float(glyph("A").sum())
+    for hh, ww in ((8, 6), (12, 9), (11, 7), (24, 18), (5, 4)):
+        cov = glyph_coverage("A", hh, ww)
+        assert cov.shape == (hh, ww)
+        assert cov.min() >= 0.0 and cov.max() <= 1.0
+        area = cov.sum() * (8.0 * 6.0) / (hh * ww)
+        assert abs(area - ink) < 1e-9, (hh, ww, area, ink)
+    assert glyph_coverage("A", 12, 9) is glyph_coverage("A", 12, 9)
+    assert not glyph_coverage("A", 12, 9).flags.writeable
+
+
+def test_aa_text_modes_have_raster_effect():
+    """Canvas AA text: normal mode paints FRACTIONAL edge pixels
+    (grayscale AA), mono is bilevel (only full-on/off), light is
+    strictly lighter than normal, and a smoothing threshold at/above
+    the size forces bilevel — every --font knob changes the raster."""
+    def draw(mode, px=11.0, threshold=None):
+        cv = Canvas(80, 20, background="#ffffff")
+        cv.aa_font = {"px": px, "cell_h": 11, "cell_w": 8,
+                      "mode": mode, "threshold": threshold}
+        cv.text(2, 2, "Ag", "#000000")
+        return _img(cv)[:, :, 0].astype(float)
+
+    normal = draw("normal")
+    frac = (normal > 0) & (normal < 255)
+    assert frac.any(), "normal AA must produce fractional edge pixels"
+    mono = draw("mono")
+    assert set(np.unique(mono)) <= {0.0, 255.0}
+    light = draw("light")
+    assert light.sum() > normal.sum()  # lighter = less ink
+    assert (light != normal).any()
+    forced = draw("normal", threshold=12.0)  # px 11 <= threshold -> mono
+    assert set(np.unique(forced)) <= {0.0, 255.0}
+    assert (forced == mono).all()
+
+
+def test_render_graph_font_knobs(tmp_path):
+    """render_graph: --font with a face name (font_px) activates the AA
+    tier — output differs from the bitmap default, carries gray
+    antialiased text pixels, and fractional sizes move the layout; the
+    default path stays byte-identical to a run with no font args
+    (pixel-golden stability)."""
+    el = GraphElement("LINE", "v", color="#ff0000", legend="load")
+    rows = _rows([5.0] * 50)
+    base = render_graph(rows, [el], (0.0, 10.0), 1000, 1500,
+                        title="AA title")
+    again = render_graph(rows, [el], (0.0, 10.0), 1000, 1500,
+                         title="AA title")
+    assert (_img(base) == _img(again)).all()
+    # at exactly 8px the box filter is the identity resample — the AA
+    # tier reproduces the bitmap face pixel-for-pixel (tier-consistency
+    # invariant: AA is a strict generalization of the default)
+    aa8 = render_graph(rows, [el], (0.0, 10.0), 1000, 1500,
+                       title="AA title", font_px=8.0)
+    assert (_img(aa8) == _img(base)).all()
+    aa_big = render_graph(rows, [el], (0.0, 10.0), 1000, 1500,
+                          title="AA title", font_px=13.0)
+    assert _img(aa_big).shape != _img(base).shape  # layout follows size
+    mono = render_graph(rows, [el], (0.0, 10.0), 1000, 1500,
+                        title="AA title", font_px=13.0,
+                        font_render_mode="mono")
+    assert _img(mono).shape == _img(aa_big).shape
+    assert (_img(mono) != _img(aa_big)).any()
+
+
+def test_cli_graph_font_face_aa(spark, tmp_path, capsys):
+    """CLI: --font DEFAULT:12:SomeFace activates the AA tier (output
+    differs from the default bitmap run), --font-render-mode mono
+    changes the AA raster, --font-smoothing-threshold forces bilevel,
+    and size-only --font keeps the golden-stable bitmap tier."""
+    from rrdtool_1_x_spark.cli import main
+
+    ds_path = str(tmp_path / "t.rrd")
+    base = 999_999_900
+    assert main(["create", ds_path, "--start", str(base - 10), "--step",
+                 "300", "DS:speed:GAUGE:600:U:U",
+                 "RRA:AVERAGE:0.5:1:100"]) == 0
+    assert main(["update", ds_path, f"{base + 300}:5",
+                 f"{base + 600}:7"]) == 0
+
+    def png(extra):
+        out = str(tmp_path / f"f{len(extra)}_{abs(hash(tuple(extra)))}.png")
+        assert main([
+            "graph", out, "-s", str(base), "-e", str(base + 600),
+            "-w", "120", "-h", "40",
+            f"DEF:v={ds_path}:speed:AVERAGE", "LINE2:v#ff0000:speed",
+            "--title", "aa knobs",
+        ] + extra) == 0
+        capsys.readouterr()
+        return open(out, "rb").read()
+
+    plain = png([])
+    named = png(["--font", "DEFAULT:12:DejaVu Sans"])
+    assert named != plain
+    mono = png(["--font", "DEFAULT:12:DejaVu Sans",
+                "--font-render-mode", "mono"])
+    assert mono != named
+    thr = png(["--font", "DEFAULT:12:DejaVu Sans",
+               "--font-smoothing-threshold", "14"])
+    assert thr == mono  # 12px under a 14px threshold renders bilevel
+    # size-only --font keeps the bitmap tier (golden-stable scale path)
+    scaled = png(["--font", "DEFAULT:16"])
+    assert scaled != plain and scaled != named

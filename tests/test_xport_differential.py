@@ -294,3 +294,79 @@ def test_reduce_boundary_rule_matches_reference(spark, rrd, engine, lstore):
         .execute()
     )
     assert lres.prints == wantp
+
+
+def test_local_fallback_predict_byte_identical(spark, lstore, capsys):
+    """The LocalQuery fallback contract (cli.xport_result): an RPN token
+    outside the local tier's op set (PREDICT here) raises
+    LocalUnsupported at execute time and the CLI rebuilds the same query
+    on the distributed path — ``--local`` is a latency hint, never a
+    capability restriction. Byte-identical xport output either way, for
+    both the fallback chain and (control) a local-supported chain."""
+    from rrdtool_1_x_spark.cli import main
+    from rrdtool_1_x_spark.plans.local import LocalQuery, LocalUnsupported
+
+    base = [
+        "-s", str(START), "-e", str(START + STEP * 50),
+        "--step", str(STEP),
+        f"DEF:v={lstore.path}:a:AVERAGE",
+    ]
+    pred = ["CDEF:p=1800,1,1800,v,PREDICT", "XPORT:p:pred"]
+    supp = ["CDEF:c=v,UN,0,v,IF,2,*", "XPORT:c:twice"]
+
+    # the local tier itself must refuse PREDICT (the contract the CLI
+    # fallback rests on), and accept the control chain
+    lq = (
+        LocalQuery(lstore, START, START + STEP * 50, step=STEP)
+        .def_("v", "a", "AVERAGE", series_id="s")
+        .cdef("p", "1800,1,1800,v,PREDICT")
+        .xport("p", "pred")
+    )
+    with pytest.raises(LocalUnsupported):
+        lq.execute()
+
+    for extra in (pred, supp):
+        assert main(["xport"] + base + extra) == 0
+        dist_out = capsys.readouterr().out
+        assert main(["xport", "--local"] + base + extra) == 0
+        local_out = capsys.readouterr().out
+        assert local_out == dist_out
+        assert "<v>" in dist_out
+
+
+def test_circular_cdef_clean_diagnostic(spark, engine, lstore):
+    """Mutually-referencing CDEFs (a=b,…, b=a,…) must fail with a clean
+    ValueError in BOTH tiers, not recurse to RecursionError ('done' is
+    only recorded after evaluation completes, so without an in-progress
+    guard the resolvers re-enter forever). Self-reference too."""
+    from rrdtool_1_x_spark.plans.local import LocalQuery
+
+    lq = (
+        LocalQuery(lstore, START, START + STEP * 10, step=STEP)
+        .def_("v", "a", "AVERAGE", series_id="s")
+        .cdef("x", "y,1,+")
+        .cdef("y", "x,1,+")
+        .xport("x", "loop")
+    )
+    with pytest.raises(ValueError, match="circular CDEF"):
+        lq.execute()
+
+    ds, rollups = engine
+    q = (
+        Query(start=START, end=START + STEP * 10, step=STEP)
+        .def_("v", rollups, ds, "a", "AVERAGE", last_up=END)
+        .cdef("x", "y,1,+")
+        .cdef("y", "x,1,+")
+        .xport("x", "loop")
+    )
+    with pytest.raises(ValueError, match="circular CDEF"):
+        q.execute(spark)
+
+    q2 = (
+        Query(start=START, end=START + STEP * 10, step=STEP)
+        .def_("v", rollups, ds, "a", "AVERAGE", last_up=END)
+        .cdef("x", "x,1,+")
+        .xport("x", "loop")
+    )
+    with pytest.raises(ValueError, match="circular CDEF"):
+        q2.execute(spark)

@@ -8,6 +8,13 @@ rule every round's close-out applies (sub-second rows on this host
 swing 1.5-2x under contention; the bands make deltas attributable to
 code vs host noise, see bench.py's warm-run protocol comment).
 
+Micro-queries with a COMMITTED isolated band (ISOLATED_BANDS.json via
+tools/isolated_bands.py, embedded in the artifacts as
+"isolated_bands") use the widest of the shared-session and isolated
+envelopes — an isolated best-of-5 re-pin that showed the plan
+unchanged and the drift inside its own band stays un-flagged in later
+rounds instead of re-triaging every diff.
+
 Usage: python tools/bench_diff.py [OLD.json NEW.json]
 (defaults to the two most recent BENCH_local_r*.json by round number).
 Exit code 1 when regressions are flagged — usable as a pre-commit
@@ -47,6 +54,11 @@ def main() -> int:
     qo, qn = old["queries"], new["queries"]
     no = old.get("noise_worst_over_best", {})
     nn = new.get("noise_worst_over_best", {})
+    iso = dict(old.get("isolated_bands", {}))
+    iso.update(new.get("isolated_bands", {}))
+    iso_path = os.path.join(REPO, "ISOLATED_BANDS.json")
+    if os.path.exists(iso_path):
+        iso.update(json.load(open(iso_path)).get("queries", {}))
     print(f"{os.path.basename(old_p)} -> {os.path.basename(new_p)}")
     print(f"totals: {old['value']} s ({len(qo)} rows) -> "
           f"{new['value']} s ({len(qn)} rows)")
@@ -55,7 +67,11 @@ def main() -> int:
         if k not in qo or qo[k] <= 0.05:
             continue
         ratio = qn[k] / qo[k]
-        band = max(no.get(k, 1.0), nn.get(k, 1.0))
+        band = max(
+            no.get(k, 1.0),
+            nn.get(k, 1.0),
+            iso.get(k, {}).get("band_worst_over_best", 1.0),
+        )
         if ratio > max(1.5, band * 1.1):
             regs.append((ratio, k, qo[k], qn[k], band))
         elif ratio < 1 / 1.5 and qo[k] > 0.3:
