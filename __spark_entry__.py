@@ -4277,8 +4277,15 @@ def q_hash_embed(spark, sf_dir):
     from rrdtool_1_x_spark.datapipe.similarity import hashed_embedding
 
     e = hashed_embedding(_docs(spark, sf_dir), dim=64)
+    # posexplode_outer, not posexplode: the embedding array is always
+    # exactly dim elements (a transform over sequence(0, dim-1)), so the
+    # outer variant is row-identical — but plain posexplode makes the
+    # optimizer infer a `size(embedding) > 0` filter below the Generate
+    # that INLINES the whole dense-assembly expression (with the L2-norm
+    # fold re-evaluated per element twice) just to test a constant-true
+    # predicate; measured 4.3 s -> sub-second at sf0.1
     return (
-        e.select("doc_id", F.posexplode("embedding").alias("i", "v"))
+        e.select("doc_id", F.posexplode_outer("embedding").alias("i", "v"))
         .select(
             "doc_id",
             F.col("i").cast("long").alias("i"),

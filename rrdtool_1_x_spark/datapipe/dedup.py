@@ -882,9 +882,21 @@ def duplicated_ngram_spans(
     )
     exploded = wins.select(F.col(id_col), F.explode("_w").alias("_h"))
     per_doc = exploded.groupBy(id_col, "_h").agg(F.count(F.lit(1)).alias("_c"))
-    wh = Window.partitionBy("_h")
-    flagged = per_doc.withColumn("_df", F.count(F.lit(1)).over(wh))
-    dup_c = F.sum(F.when(F.col("_df") >= 2, F.col("_c")).otherwise(F.lit(0)))
+    # document frequency via groupBy + join back, NOT a per-hash window:
+    # per_doc rows are unique per (doc, hash), so count(*) per hash IS the
+    # doc frequency, and the aggregate gets map-side partial aggregation.
+    # A window partitioned by _h pins every (doc, "the boilerplate gram")
+    # row of the corpus to ONE task — the exact straggler the suffix tier
+    # was hardened against (windows get no AQE skew handling; joins do,
+    # and the duplicated-hash side is small enough to broadcast).
+    dup_hashes = (
+        per_doc.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= 2)
+        .select("_h", F.lit(1).alias("_dup"))
+    )
+    flagged = per_doc.join(dup_hashes, "_h", "left")
+    dup_c = F.sum(F.when(F.col("_dup") == 1, F.col("_c")).otherwise(F.lit(0)))
     return (
         flagged.groupBy(id_col)
         .agg(
@@ -948,39 +960,68 @@ def remove_duplicate_spans(
     occ = base.select(
         F.col(id_col), F.posexplode("_w").alias("_p0", "_h")
     ).select(id_col, (F.col("_p0") + 1).alias("_p"), "_h")
-    wh = Window.partitionBy("_h")
-    wk = Window.partitionBy("_h").orderBy(F.col(id_col).asc(), F.col("_p").asc())
+    # canonical occurrence per duplicated hash via groupBy + join back,
+    # NOT a pair of per-hash windows: min(struct(id, p)) IS the (lowest
+    # doc, lowest position) rule, the aggregate gets map-side partial
+    # aggregation, and the join back is AQE-skew-splittable — a window
+    # partitioned by _h pins every occurrence of a boilerplate window
+    # hash to one task (same hardening as the suffix tier).
+    dup = (
+        occ.groupBy("_h")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.min(
+                F.struct(F.col(id_col).alias("_ki"), F.col("_p").alias("_kp"))
+            ).alias("_keep"),
+        )
+        .filter(F.col("_cnt") >= 2)
+        .select("_h", "_keep")
+    )
     removable = (
-        occ.withColumn("_cnt", F.count(F.lit(1)).over(wh))
-        .withColumn("_rk", F.row_number().over(wk))
-        .filter((F.col("_cnt") >= 2) & (F.col("_rk") >= 2))
+        occ.join(dup, "_h")
+        .filter(
+            (F.col(id_col) != F.col("_keep._ki"))
+            | (F.col("_p") != F.col("_keep._kp"))
+        )
         .select(id_col, "_p")
     )
-    # coverage union: token positions under any removable window
+    # coverage union: aggregate window START positions per document first,
+    # then expand to covered token positions inside the array — the
+    # doc-keyed shuffle carries one row per removable window instead of n
+    # (the expansion is per-document array math on the reduce side)
     cover = (
-        removable.select(
+        removable.groupBy(id_col)
+        .agg(F.collect_set("_p").alias("_ps"))
+        .select(
             F.col(id_col),
-            F.explode(F.sequence(F.col("_p"), F.col("_p") + F.lit(n - 1))).alias("_tp"),
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        "_ps", lambda p: F.sequence(p, p + F.lit(n - 1))
+                    )
+                )
+            ).alias("_rm"),
         )
-        .groupBy(id_col)
-        .agg(F.collect_set("_tp").alias("_rm"))
     )
     joined = base.join(cover, id_col, "left").select(
         F.col(id_col),
         "_t",
         F.coalesce(F.col("_rm"), F.array().cast("array<int>")).alias("_rm"),
     )
-    kept = F.filter(
-        F.arrays_zip(F.col("_t"), F.sequence(F.lit(1), F.size("_t"))),
-        lambda x: ~F.array_contains(F.col("_rm"), x["1"]),
-    )
-    return joined.select(
+    # kept positions via array_except (hash-set difference, O(L + |rm|)
+    # per document and order-preserving over the 1..L sequence) — the
+    # per-token array_contains scan this replaces was O(L * |rm|).
+    # Positions past L (a short document's partial window) drop out of
+    # the except naturally, preserving the old array_intersect clamp.
+    kept_pos = F.array_except(F.sequence(F.lit(1), F.size("_t")), F.col("_rm"))
+    pre = joined.select(F.col(id_col), "_t", kept_pos.alias("_kp"))
+    return pre.select(
         F.col(id_col),
         F.size("_t").cast("long").alias("n_tokens"),
-        F.size(F.array_intersect(F.col("_rm"), F.sequence(F.lit(1), F.size("_t"))))
-        .cast("long")
-        .alias("removed_tokens"),
-        F.array_join(F.transform(kept, lambda x: x["_t"]), " ").alias(text_col),
+        (F.size("_t") - F.size("_kp")).cast("long").alias("removed_tokens"),
+        F.array_join(
+            F.transform("_kp", lambda p: F.element_at(F.col("_t"), p)), " "
+        ).alias(text_col),
     )
 
 
@@ -1669,20 +1710,31 @@ def excise_duplicate_extents(
     task. No driver work, nothing corpus-quadratic."""
     if spans is None:
         spans = exact_substring_spans(df, n, id_col, text_col, hash_fn)
+    # aggregate the (start, end) extents per document FIRST, then expand
+    # to covered token positions inside the array — the doc-keyed shuffle
+    # carries one row per extent instead of span_len rows (the expansion
+    # is per-document array math on the reduce side; array_distinct keeps
+    # collect_set's overlap-union semantics for caller-provided spans)
     cover = (
-        spans.select(
-            F.col(id_col),
-            F.explode(
-                F.sequence(
-                    F.col("span_start").cast("int"),
-                    (F.col("span_start") + F.col("span_len") - 1).cast(
-                        "int"
-                    ),
+        spans.groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").cast("int").alias("_a"),
+                    (F.col("span_start") + F.col("span_len") - 1)
+                    .cast("int")
+                    .alias("_b"),
                 )
-            ).alias("_tp"),
+            ).alias("_sp")
         )
-        .groupBy(id_col)
-        .agg(F.collect_set("_tp").alias("_rm"))
+        .select(
+            F.col(id_col),
+            F.array_distinct(
+                F.flatten(
+                    F.transform("_sp", lambda s: F.sequence(s["_a"], s["_b"]))
+                )
+            ).alias("_rm"),
+        )
     )
     base = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("_t"))
     joined = base.join(cover, id_col, "left").select(
@@ -1690,17 +1742,18 @@ def excise_duplicate_extents(
         "_t",
         F.coalesce(F.col("_rm"), F.array().cast("array<int>")).alias("_rm"),
     )
-    kept = F.filter(
-        F.arrays_zip(F.col("_t"), F.sequence(F.lit(1), F.size("_t"))),
-        lambda x: ~F.array_contains(F.col("_rm"), x["1"]),
-    )
-    return joined.select(
+    # kept positions via array_except (hash-set difference, O(L + |rm|)
+    # per document, order-preserving) — replaces the O(L * |rm|)
+    # per-token array_contains scan
+    kept_pos = F.array_except(F.sequence(F.lit(1), F.size("_t")), F.col("_rm"))
+    pre = joined.select(F.col(id_col), "_t", F.col("_rm"), kept_pos.alias("_kp"))
+    return pre.select(
         F.col(id_col),
         F.size("_t").cast("long").alias("n_tokens"),
         F.size("_rm").cast("long").alias("removed_tokens"),
-        F.array_join(F.transform(kept, lambda x: x["_t"]), " ").alias(
-            text_col
-        ),
+        F.array_join(
+            F.transform("_kp", lambda p: F.element_at(F.col("_t"), p)), " "
+        ).alias(text_col),
     )
 
 
