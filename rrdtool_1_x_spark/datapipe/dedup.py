@@ -784,6 +784,11 @@ def duplicate_groups(
             .groupBy("u")
             .agg(F.min("label").alias("nlabel"))
         )
+        # the fixpoint flag is computed INSIDE the label update (labels
+        # only ever decrease, so changed == some neighbor min undercut
+        # the old label) — the old/new join the check used to run was a
+        # full extra join job per iteration; the limit(1).count() below
+        # reads the just-materialized checkpoint only
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
             .select(
@@ -791,17 +796,14 @@ def duplicate_groups(
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
                     "label"
                 ),
+                (F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label")).alias(
+                    "_chg"
+                ),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("_chg").limit(1).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("group_id"))
@@ -881,7 +883,15 @@ def duplicated_ngram_spans(
         F.transform(_shingle_array(F.col(text_col), n), hasher).alias("_w"),
     )
     exploded = wins.select(F.col(id_col), F.explode("_w").alias("_h"))
-    per_doc = exploded.groupBy(id_col, "_h").agg(F.count(F.lit(1)).alias("_c"))
+    # per_doc feeds BOTH the doc-frequency aggregate and the join back —
+    # materialize it once so the window hashing does not run twice
+    # (ReusedExchange covers only the exchange, not AQE's independently
+    # compiled broadcast-side query stage)
+    per_doc = (
+        exploded.groupBy(id_col, "_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=True)
+    )
     # document frequency via groupBy + join back, NOT a per-hash window:
     # per_doc rows are unique per (doc, hash), so count(*) per hash IS the
     # doc frequency, and the aggregate gets map-side partial aggregation.
@@ -957,9 +967,14 @@ def remove_duplicate_spans(
         toks.alias("_t"),
         F.transform(_shingle_array(F.col(text_col), n), hasher).alias("_w"),
     )
+    # occ feeds BOTH the canonical-occurrence aggregate and the join
+    # back — materialize it once so the window hashing (md5 per n-token
+    # window, the dominant map cost) does not run twice
     occ = base.select(
         F.col(id_col), F.posexplode("_w").alias("_p0", "_h")
-    ).select(id_col, (F.col("_p0") + 1).alias("_p"), "_h")
+    ).select(id_col, (F.col("_p0") + 1).alias("_p"), "_h").localCheckpoint(
+        eager=True
+    )
     # canonical occurrence per duplicated hash via groupBy + join back,
     # NOT a pair of per-hash windows: min(struct(id, p)) IS the (lowest
     # doc, lowest position) rule, the aggregate gets map-side partial
@@ -1369,10 +1384,16 @@ def lsh_precision_recall(
         )
         .select("id_a", "id_b")
     )
+    # materialized ONCE for the same reason minhash_near_duplicates
+    # checkpoints its melted frame: the band assignments feed BOTH sides
+    # of the candidate self-join, and without the checkpoint the whole
+    # interpreted-HOF signature computation (and the exact-collapse
+    # window upstream) re-executes per side — measured 5.7 s -> 1.5 s
+    # for the candidate stage at sf0.1
     melted = minhash_band_buckets(
         reps, id_col, text_col, num_hashes, bands, shingle_len,
         collapse_exact=False,
-    )
+    ).localCheckpoint(eager=True)
     if max_bucket_size is not None:
         wb = Window.partitionBy("band_idx", "bucket")
         melted = (
@@ -1471,7 +1492,16 @@ def exact_substring_spans(
     the lag/run-id window (per-doc partitions, bounded by document
     length); the span aggregate reuses that partitioning. No global
     window, nothing corpus-quadratic."""
-    occ = _anchor_occurrences(df, n, id_col, text_col, hash_fn)
+    # the occurrence frame feeds BOTH the duplicated-hash aggregate and
+    # the join back — materialize it once so the anchor hashing (md5 of
+    # every n-token window, the dominant map cost) does not run twice.
+    # This is the distributed analogue of Lee et al. writing the suffix
+    # array to disk before querying it; the persisted-index path
+    # (write_anchor_index / anchor_index_spans) reads its occurrences
+    # from parquet instead and needs no checkpoint.
+    occ = _anchor_occurrences(df, n, id_col, text_col, hash_fn).localCheckpoint(
+        eager=True
+    )
     return _extents_from_occurrences(occ, n, id_col)
 
 
