@@ -197,13 +197,19 @@ def split_leakage(
     labeled = hash_split(
         df.select(id_col, text_col), weights, id_col=id_col, seed=seed
     ).withColumn("_h", F.md5(F.col(text_col).cast("binary")))
+    # the SLIM (id, split, text-hash) projection feeds six consumers
+    # below (srep, both exact sides, both group maps, the label attach);
+    # materialize it once — ids and hashes only, never the text, so the
+    # checkpoint stays corpus-slim at scale. The near-dup detector gets
+    # the lazy text-bearing frame and materializes its own internals.
+    slim = labeled.select(id_col, "split", "_h").localCheckpoint(eager=True)
     # per-(group, split) representative: the witness anchor
-    srep = labeled.groupBy("_h", "split").agg(
+    srep = slim.groupBy("_h", "split").agg(
         F.min(id_col).alias("_rid")
     )
     # exact: every member x every OTHER split's representative of its group
     exact = (
-        labeled.select(id_col, "split", "_h")
+        slim
         .join(srep.withColumnRenamed("split", "_osplit"), "_h")
         .filter(F.col("split") != F.col("_osplit"))
         .select(
@@ -224,7 +230,7 @@ def split_leakage(
         max_bucket_size,
     ).select("id_a", "id_b", F.col("jaccard"))
     # expand each rep-level near pair to both groups' per-split reps
-    gmap = labeled.select(F.col(id_col).alias("_gid"), F.col("_h"))
+    gmap = slim.select(F.col(id_col).alias("_gid"), F.col("_h"))
     near = (
         near_rep.join(
             gmap.withColumnRenamed("_h", "_ha"),
@@ -260,7 +266,7 @@ def split_leakage(
         )
         .distinct()
     )
-    lab = labeled.select(id_col, "split")
+    lab = slim.select(id_col, "split")
     return (
         exact.unionByName(near)
         .join(
@@ -389,11 +395,22 @@ def minhash_contamination_pairs(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     if unpersist_handle is not None:
         unpersist_handle.append(ds)
+    # the benchmark signature frame is eval-sized (small by doctrine) and
+    # feeds the cap count, the semi join and the estimate join; it is
+    # ALSO referenced as explode siblings in _bands below, and generator
+    # siblings re-evaluate per generated row — materialize it once so the
+    # sibling references read stored columns instead of re-running the
+    # interpreted signature chain x bands (measured 1.3 s/pass at sf0.1)
     bs = minhash_signatures(
         benchmark, bench_id_col, bench_text_col, num_hashes, shingle_len
-    )
+    ).localCheckpoint(eager=True)
 
-    def _bands(sigs: DataFrame, id_col: str) -> DataFrame:
+    def _bands(sigs: DataFrame, id_col: str, tag: str) -> DataFrame:
+        # the band rows CARRY the signature vector (tagged columns), so
+        # the estimate below needs no join back to either signature
+        # frame — two joins (and a benchmark-side recompute) fewer for
+        # ~bands x num_hashes extra hex columns per shuffled row; the
+        # slim (band, bucket) projections still feed the cap count
         structs = F.array(
             *[
                 F.struct(
@@ -411,14 +428,26 @@ def minhash_contamination_pairs(
                 for b in range(bands)
             ]
         )
+        sig_aliases = [
+            F.col(f"sig{i}").alias(f"_{tag}{i}") for i in range(num_hashes)
+        ]
         return (
-            sigs.select(F.col(id_col), structs.alias("_ba"))
-            .select(id_col, F.explode("_ba").alias("_bb"))
-            .select(id_col, "_bb.band_idx", "_bb.bucket")
+            sigs.select(F.col(id_col), structs.alias("_ba"), *sig_aliases)
+            .select(
+                id_col,
+                F.explode("_ba").alias("_bb"),
+                *[f"_{tag}{i}" for i in range(num_hashes)],
+            )
+            .select(
+                id_col,
+                "_bb.band_idx",
+                "_bb.bucket",
+                *[f"_{tag}{i}" for i in range(num_hashes)],
+            )
         )
 
-    db = _bands(ds, doc_id_col)
-    bb = _bands(bs, bench_id_col)
+    db = _bands(ds, doc_id_col, "d")
+    bb = _bands(bs, bench_id_col, "b")
     if max_bucket_size is not None:
         keep = (
             db.select("band_idx", "bucket")
@@ -430,37 +459,18 @@ def minhash_contamination_pairs(
         )
         db = db.join(keep, ["band_idx", "bucket"], "left_semi")
         bb = bb.join(keep, ["band_idx", "bucket"], "left_semi")
-    cand = (
-        db.join(F.broadcast(bb), ["band_idx", "bucket"])
-        .select(doc_id_col, bench_id_col)
-        .distinct()
-    )
     matches = sum(
         F.when(F.col(f"_d{i}") == F.col(f"_b{i}"), 1).otherwise(0)
         for i in range(num_hashes)
     )
     est = (
-        cand.join(
-            ds.select(
-                F.col(doc_id_col),
-                *[F.col(f"sig{i}").alias(f"_d{i}") for i in range(num_hashes)],
-            ),
-            doc_id_col,
-        )
-        .join(
-            F.broadcast(
-                bs.select(
-                    F.col(bench_id_col),
-                    *[F.col(f"sig{i}").alias(f"_b{i}") for i in range(num_hashes)],
-                )
-            ),
-            bench_id_col,
-        )
+        db.join(F.broadcast(bb), ["band_idx", "bucket"])
         .select(
             doc_id_col,
             bench_id_col,
             matches.cast("long").alias("matches"),
         )
+        .distinct()
     )
     return est.filter(
         F.col("matches") >= F.lit(est_threshold) * num_hashes
@@ -529,36 +539,42 @@ def remove_contaminated_spans(
     removable = occ.join(F.broadcast(bg), "_h", "left_semi").select(
         doc_id_col, "_p"
     )
+    # coverage union: aggregate window START positions per document, then
+    # expand to covered token positions inside the array — the doc-keyed
+    # shuffle carries one row per contaminated window instead of n (same
+    # rewrite as remove_duplicate_spans)
     cover = (
-        removable.select(
+        removable.groupBy(doc_id_col)
+        .agg(F.collect_set("_p").alias("_ps"))
+        .select(
             F.col(doc_id_col),
-            F.explode(
-                F.sequence(F.col("_p"), F.col("_p") + F.lit(n - 1))
-            ).alias("_tp"),
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        "_ps", lambda p: F.sequence(p, p + F.lit(n - 1))
+                    )
+                )
+            ).alias("_rm"),
         )
-        .groupBy(doc_id_col)
-        .agg(F.collect_set("_tp").alias("_rm"))
     )
     joined = base.join(cover, doc_id_col, "left").select(
         F.col(doc_id_col),
         "_t",
         F.coalesce(F.col("_rm"), F.array().cast("array<int>")).alias("_rm"),
     )
-    kept = F.filter(
-        F.arrays_zip(F.col("_t"), F.sequence(F.lit(1), F.size("_t"))),
-        lambda x: ~F.array_contains(F.col("_rm"), x["1"]),
-    )
-    return joined.select(
+    # kept positions via array_except (hash-set difference, O(L + |rm|)
+    # per document, order-preserving; out-of-range positions of a short
+    # document's partial window drop out naturally) — replaces the
+    # O(L * |rm|) per-token array_contains scan
+    kept_pos = F.array_except(F.sequence(F.lit(1), F.size("_t")), F.col("_rm"))
+    pre = joined.select(F.col(doc_id_col), "_t", kept_pos.alias("_kp"))
+    return pre.select(
         F.col(doc_id_col),
         F.size("_t").cast("long").alias("n_tokens"),
-        F.size(
-            F.array_intersect(F.col("_rm"), F.sequence(F.lit(1), F.size("_t")))
-        )
-        .cast("long")
-        .alias("removed_tokens"),
-        F.array_join(F.transform(kept, lambda x: x["_t"]), " ").alias(
-            doc_text_col
-        ),
+        (F.size("_t") - F.size("_kp")).cast("long").alias("removed_tokens"),
+        F.array_join(
+            F.transform("_kp", lambda p: F.element_at(F.col("_t"), p)), " "
+        ).alias(doc_text_col),
     )
 
 
