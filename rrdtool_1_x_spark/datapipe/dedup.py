@@ -220,14 +220,18 @@ def minhash_near_duplicates(
         base, id_col, text_col, num_hashes, bands, shingle_len, collapse_exact=False
     ).localCheckpoint(eager=True)  # feeds size count + both join sides
     if max_bucket_size is not None:
-        # window count, not aggregate+join: shuffles on the same
-        # (band, bucket) key the self-join needs → the exchange is reused
-        wb = Window.partitionBy("band_idx", "bucket")
-        melted = (
-            melted.withColumn("_sz", F.count(F.lit(1)).over(wb))
+        # bucket sizes via groupBy + semi join against the checkpointed
+        # frame, NOT a per-bucket count window: the window pinned every row
+        # of a hot boilerplate bucket to one task (the very buckets the
+        # cap exists to drop), and the aggregate gets map-side partial
+        # aggregation + an AQE-splittable/broadcastable join
+        small = (
+            melted.groupBy("band_idx", "bucket")
+            .agg(F.count(F.lit(1)).alias("_sz"))
             .filter(F.col("_sz") <= max_bucket_size)
-            .drop("_sz")
+            .select("band_idx", "bucket")
         )
+        melted = melted.join(small, ["band_idx", "bucket"], "left_semi")
     left = melted.select(F.col(id_col).alias("id_a"), "band_idx", "bucket")
     right = melted.select(F.col(id_col).alias("id_b"), "band_idx", "bucket")
     pairs = (
@@ -1395,12 +1399,15 @@ def lsh_precision_recall(
         collapse_exact=False,
     ).localCheckpoint(eager=True)
     if max_bucket_size is not None:
-        wb = Window.partitionBy("band_idx", "bucket")
-        melted = (
-            melted.withColumn("_sz", F.count(F.lit(1)).over(wb))
+        # groupBy + semi join, not a per-bucket count window — same skew
+        # rationale as minhash_near_duplicates' cap
+        small = (
+            melted.groupBy("band_idx", "bucket")
+            .agg(F.count(F.lit(1)).alias("_sz"))
             .filter(F.col("_sz") <= max_bucket_size)
-            .drop("_sz")
+            .select("band_idx", "bucket")
         )
+        melted = melted.join(small, ["band_idx", "bucket"], "left_semi")
     cand = (
         melted.alias("x")
         .join(
