@@ -615,7 +615,14 @@ def unigram_logprob(
     # unbounded skew at corpus scale — while the join side lets AQE
     # broadcast the vocabulary. The scalar total needs no explode at all —
     # a map-only size(tokens) sum over the raw text column.
-    doc_tok = tok.groupBy(id_col, "tok").agg(F.count("*").alias("m"))
+    # doc_tok feeds the vocabulary aggregate AND the scoring join —
+    # materialize it once (it is the frame the aggregation shuffle
+    # already moves) so the token explode does not run per consumer
+    doc_tok = (
+        tok.groupBy(id_col, "tok")
+        .agg(F.count("*").alias("m"))
+        .localCheckpoint(eager=True)
+    )
     vocab = doc_tok.groupBy("tok").agg(F.sum("m").alias("cnt"))
     total = df.agg(
         F.sum(F.size(_tokens(F.col(text_col)))).alias("n_total")
@@ -712,10 +719,20 @@ def bigram_logprob(
     bg = df.select(F.col(id_col), F.explode(pairs).alias("_p")).select(
         id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
     )
-    db = bg.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("m"))
+    # db feeds the bigram-count aggregate AND the scoring join; uc feeds
+    # both unigram join sides — materialize each once (see kneser_ney)
+    db = (
+        bg.groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .localCheckpoint(eager=True)
+    )
     bc = db.groupBy("w1", "w2").agg(F.sum("m").alias("cb"))
     tok = df.select(F.explode(toks).alias("tok"))
-    uc = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cu"))
+    uc = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cu"))
+        .localCheckpoint(eager=True)
+    )
     total = df.agg(F.sum(F.size(toks)).alias("n_total"))
     u1 = uc.select(F.col("tok").alias("w1"), F.col("cu").alias("cu1"))
     u2 = uc.select(F.col("tok").alias("w2"), F.col("cu").alias("cu2"))
@@ -975,11 +992,15 @@ def hashed_nb_classify(
         if unpersist_handle is not None:
             unpersist_handle.append(db)
     lab = df.select(F.col(id_col), F.col(label_col).alias("_lab"))
-    # class-conditional token counts and totals (labels x buckets bounded)
+    # class-conditional token counts and totals (labels x buckets
+    # bounded — KB-sized): materialized once because it feeds tl, model
+    # and (via tl) prior, and each consumer otherwise re-runs the
+    # corpus-sized db-join + aggregation
     lb = (
         db.join(lab, id_col)
         .groupBy("_lab", "_b")
         .agg(F.sum("_m").alias("_c"))
+        .localCheckpoint(eager=True)
     )
     tl = lb.groupBy("_lab").agg(F.sum("_c").alias("_tl"))
     model = (
@@ -1258,9 +1279,18 @@ def kneser_ney_bigram(
             F.count(F.lit(1)).alias("m")
         )
 
-    db = doc_bigrams(df)
+    # db feeds the scoring join AND (self-trained) the model counts; bc
+    # feeds left/right/btypes AND the join — materialize both once, or
+    # every consumer re-runs the corpus bigram explode + aggregation.
+    # Both frames are the size the aggregation shuffle already moves
+    # ((doc, bigram) multiplicities / distinct-bigram counts).
+    db = doc_bigrams(df).localCheckpoint(eager=True)
     tb = db if train_df is None else doc_bigrams(train_df)
-    bc = tb.groupBy("w1", "w2").agg(F.sum("m").alias("cb"))
+    bc = (
+        tb.groupBy("w1", "w2")
+        .agg(F.sum("m").alias("cb"))
+        .localCheckpoint(eager=True)
+    )
     left = bc.groupBy("w1").agg(
         F.sum("cb").alias("c1"), F.count(F.lit(1)).alias("fanout")
     )
@@ -1572,8 +1602,14 @@ def langid_nb(
 
     tr = _grams(train)
     lab = train.select(F.col(id_col), F.col(label_col).alias("_lab"))
-    lb = tr.join(lab, id_col).groupBy("_lab", "_b").agg(
-        F.sum("_m").alias("_c")
+    # the (label, bucket) count table is <= labels x n_buckets rows and
+    # feeds tl, model AND (via tl) prior — materialize it once so the
+    # train-side char-gram md5 pass does not re-run per consumer
+    lb = (
+        tr.join(lab, id_col)
+        .groupBy("_lab", "_b")
+        .agg(F.sum("_m").alias("_c"))
+        .localCheckpoint(eager=True)
     )
     tl = lb.groupBy("_lab").agg(F.sum("_c").alias("_tl"))
     model = lb.join(tl, "_lab").select(
