@@ -122,14 +122,17 @@ def curate_corpus(
         reps, **{"collapse_exact": False, **(nd_kwargs or {})}
     )
     groups = duplicate_groups(pairs)
-    near_dup = (
-        groups.filter(F.col("doc_id") != F.col("group_id"))
-        .select("doc_id")
-        .localCheckpoint(eager=True)
+    # no checkpoint here: duplicate_groups already returns a projection
+    # over ITS final materialized label frame, so the two consumers
+    # (surv_ids and the disposition join) re-run only a cheap filter —
+    # an extra eager barrier was one more job for no saved work
+    near_dup = groups.filter(F.col("doc_id") != F.col("group_id")).select(
+        "doc_id"
     )
     surv_ids = keepers.join(near_dup, "doc_id", "left_anti")
 
-    # 4. decontamination of the remaining set
+    # 4. decontamination of the remaining set (single consumer — the
+    # disposition join below computes it exactly once; no barrier needed)
     if benchmark is not None:
         contam = (
             contamination_pairs(
@@ -139,7 +142,6 @@ def curate_corpus(
             .filter(F.col("doc_id") != F.col("bench_id"))
             .select("doc_id")
             .distinct()
-            .localCheckpoint(eager=True)
         )
     else:
         contam = surv_ids.select("doc_id").limit(0)
