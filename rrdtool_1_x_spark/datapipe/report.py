@@ -306,7 +306,15 @@ def cluster_keywords(
         assignments.select(F.col(id_col), F.col(cell_col).alias("_cell")),
         id_col,
     )
-    tf = e.groupBy("_cell", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # materialized once: tf feeds the cell-width aggregate, the cell
+    # count AND the scoring join — each consumer otherwise re-runs the
+    # token explode + assignment join (which itself re-runs the
+    # embedding-space cell assignment upstream)
+    tf = (
+        e.groupBy("_cell", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     cw = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_cw"))
     nc = tf.select("_cell").distinct().agg(F.count(F.lit(1)).alias("_nc"))
     scored = (

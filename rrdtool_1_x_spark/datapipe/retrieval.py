@@ -53,9 +53,13 @@ def _term_stats(df: DataFrame, id_col: str, text_col: str):
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    # materialized once: tf feeds the df-count aggregate, the avgdl
+    # aggregate and the scoring join in every caller, and each consumer
+    # otherwise re-runs the corpus explode + aggregation + dl window
+    # (the frame is the size of its own aggregation shuffle)
     tf = tf.withColumn(
         "dl", F.sum("tf").over(Window.partitionBy(id_col))
-    )
+    ).localCheckpoint(eager=True)
     dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
     nd = df.agg(F.count(F.lit(1)).alias("n_docs"))
     return tf, dfc, nd

@@ -892,10 +892,13 @@ def tfidf_top_terms(
     window for the top-k (per-key state only).
     """
     toks = F.filter(_tokens(F.col(text_col)), lambda t: t != "")
+    # materialized once: tf feeds both the df-count aggregate and the
+    # scoring join (each consumer otherwise re-runs the corpus explode)
     tf = (
         df.select(F.col(id_col), F.explode(toks).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
     )
     dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
