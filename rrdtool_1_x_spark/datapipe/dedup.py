@@ -1185,7 +1185,10 @@ def edit_near_duplicates(
     keep = (
         base.groupBy("_k").count().filter(F.col("count") <= block_cap).select("_k")
     )
-    blocked = base.join(keep, "_k", "left_semi")
+    # materialized once: both candidate self-join sides read the blocked
+    # frame, and each otherwise re-runs the exact-collapse semi join +
+    # normalization upstream (AQE stages do not share the subplan)
+    blocked = base.join(keep, "_k", "left_semi").localCheckpoint(eager=True)
     a = blocked.select(
         F.col("_k"), F.col("_id").alias("id_a"), F.col("_t").alias("_ta")
     )

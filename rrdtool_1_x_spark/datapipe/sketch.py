@@ -419,9 +419,13 @@ def kmv_source_overlap(
     exact shingle-join matrix (which re-scans the corpus per audit).
     Returns (src_a, src_b, union_est, inter_est, jaccard_est) for
     src_a < src_b."""
+    # the synopsis is |groups| x k rows and feeds both pair-grid sides
+    # (plus their distinct group lists) — materialize it once so the
+    # corpus-sized hash + bottom-k pass behind it runs once, not four
+    # times
     syn = kmv_synopsis(df, value, [group_col], k, seed).select(
         F.col(group_col).alias("_g"), "h"
-    )
+    ).localCheckpoint(eager=True)
     a = syn.select(F.col("_g").alias("src_a"), F.col("h"))
     b = syn.select(F.col("_g").alias("src_b"), F.col("h"))
     # union of the two synopses, tagged with membership on both sides

@@ -364,9 +364,19 @@ def ngram_f1_pairs(
     is quadratic in the corpus — the caller supplies the pairs (from
     LSH/fingerprint candidates)."""
     key = [F.col(id_a), F.col(id_b)]
+    # token arrays are PROJECTED once per side before the gram transform:
+    # an interpreted HOF re-runs its lambda per element, so a split()
+    # expression referenced inside the lambda would re-tokenize the text
+    # once per gram position — O(tokens²) per document (the same rule
+    # _shingle_array documents)
+    pre = pairs.select(
+        *key,
+        _tokens(F.col(text_a)).alias("_tka"),
+        _tokens(F.col(text_b)).alias("_tkb"),
+    )
 
-    def grams(text_col: str) -> Column:
-        toks = _tokens(F.col(text_col))
+    def grams(tok_col: str) -> Column:
+        toks = F.col(tok_col)
         return F.when(
             F.size(toks) >= n,
             F.transform(
@@ -379,16 +389,16 @@ def ngram_f1_pairs(
 
     tagged = F.concat(
         F.transform(
-            grams(text_a),
+            grams("_tka"),
             lambda g: F.struct(F.lit(1).alias("a"), g.alias("g")),
         ),
         F.transform(
-            grams(text_b),
+            grams("_tkb"),
             lambda g: F.struct(F.lit(0).alias("a"), g.alias("g")),
         ),
     )
     gc = (
-        pairs.select(*key, F.explode(tagged).alias("_t"))
+        pre.select(*key, F.explode(tagged).alias("_t"))
         .groupBy(id_a, id_b, F.col("_t.g").alias("_g"))
         .agg(
             F.sum("_t.a").alias("_ca"),
@@ -776,7 +786,12 @@ def gopher_repetition(
     combinable aggregations keyed by the document; no corpus-wide key
     ever forms, so skew is bounded by document length.
     """
-    toks = _tokens(F.col(text_col))
+    # tokenize ONCE into a projected column: the nine gram families
+    # reference the token array ~60 times (arrays_zip args, slice
+    # bounds), and an inline split() expression would re-tokenize the
+    # document at every reference — a column ref is a plain array read
+    pre = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("_tk"))
+    toks = F.col("_tk")
 
     def grams(n: int):
         zipped = F.arrays_zip(
@@ -789,7 +804,7 @@ def gopher_repetition(
         return F.transform(full, lambda g: F.concat(F.lit(f"{n}:"), g))
 
     all_grams = F.concat(*[grams(n) for n in range(2, 11)])
-    exploded = df.select(F.col(id_col), F.explode(all_grams).alias("_g")).select(
+    exploded = pre.select(F.col(id_col), F.explode(all_grams).alias("_g")).select(
         id_col,
         F.substring_index("_g", ":", 1).cast("int").alias("_n"),
         F.col("_g").alias("_gram"),
