@@ -321,9 +321,13 @@ def winnow_overlap(
     to raw k-gram intersection — that selectivity is the point).
     Returns ``(id_a, id_b, n_shared)`` with id_a < id_b; cap/join shape
     in ``_fp_overlap_pairs``."""
+    # materialized once: the overlap core consumes the fingerprint frame
+    # three times (rarity count + both self-join sides), and each would
+    # re-run the rolling-hash winnowing pass; the index-backed variant
+    # (winnow_index_overlap) reads parquet instead and needs no barrier
     fp = winnow_fingerprints(df, id_col, text_col, k, w).select(
         F.col(id_col).alias("doc_id"), "fp"
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     return _fp_overlap_pairs(fp, min_shared, max_fp_docs)
 
 
