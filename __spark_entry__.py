@@ -3778,26 +3778,23 @@ def q_zorder_events(spark, sf_dir):
 
 
 def q_hilbert_events(spark, sf_dir):
-    """Hilbert-curve clustering key (datapipe.layout.hilbert_expr): the
+    """Hilbert-curve clustering key (datapipe.layout.with_hilbert): the
     same (user_id, event-minute) bucket pair as zorder_events, indexed
     along the order-10 Hilbert curve instead of Morton — no quadrant
     jumps, so 2-D boxes splinter into fewer key intervals at the same
     bit budget (rowgroup pruning measured in BASELINE.md). The per-level
-    rotate/flip recurrence is an integer aggregate fold; the oracle runs
-    the identical recurrence as a recursive CTE."""
-    from rrdtool_1_x_spark.datapipe.layout import hilbert_expr
+    rotate/flip recurrence is unrolled into codegen projections (one per
+    curve level); the oracle runs the identical recurrence as a
+    recursive CTE."""
+    from rrdtool_1_x_spark.datapipe.layout import with_hilbert
 
-    ev = _events_us(spark, sf_dir)
-    h = hilbert_expr(
-        "(user_id & 1023)", "((tus DIV 60000000) & 1023)", bits=10
+    ev = _events_us(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.expr("(tus DIV 60000000) & 1023").alias("minute_b"),
     )
     return (
-        ev.select(
-            "event_id",
-            "user_id",
-            F.expr("(tus DIV 60000000) & 1023").alias("minute_b"),
-            h.alias("hval"),
-        )
+        with_hilbert(ev, "(user_id & 1023)", "minute_b", 10, "hval")
         .orderBy("hval", "event_id")
         .limit(50)
     )

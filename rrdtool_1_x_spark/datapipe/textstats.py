@@ -479,7 +479,15 @@ def source_kl_divergence(
         F.col(group_col).alias("grp"),
         F.explode(_tokens(F.col(text_col))).alias("tok"),
     )
-    gcnt = tok.groupBy("grp", "tok").agg(F.count(F.lit(1)).alias("c"))
+    # gcnt feeds the corpus rollup (ccnt), the per-group totals (gtot)
+    # AND the scoring join side — materialize it once (it is exactly the
+    # frame the (grp, tok) aggregation shuffle already moves) so the
+    # corpus tokenize+explode pass does not re-run per consumer
+    gcnt = (
+        tok.groupBy("grp", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     # every occurrence belongs to exactly one group, so the corpus
     # counts are a token-level rollup of gcnt — ONE corpus tokenize
     # pass, not two

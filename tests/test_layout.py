@@ -143,6 +143,29 @@ def test_hilbert_expr_matches_reference(spark):
     assert all(d == hilbert_xy2d(4, x, y) for (x, y), d in got.items())
 
 
+def test_with_hilbert_matches_expr(spark):
+    """The unrolled per-level projection chain (with_hilbert — the
+    codegen form the queries use) is bit-identical to the aggregate-fold
+    Column AND the Python reference on the full 16x16 grid."""
+    from rrdtool_1_x_spark.datapipe.layout import (
+        hilbert_expr,
+        hilbert_xy2d,
+        with_hilbert,
+    )
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x long, y long"
+    )
+    rows = (
+        with_hilbert(df, "x", "y", 4, "d_new")
+        .withColumn("d_old", hilbert_expr("x", "y", 4))
+        .collect()
+    )
+    assert len(rows) == 256
+    for r in rows:
+        assert r["d_new"] == r["d_old"] == hilbert_xy2d(4, r["x"], r["y"])
+
+
 def test_hilbert_layout_prunes_like_zorder(spark, tmp_path):
     """The Hilbert layout prunes the same 2-D boxes the z-order layout
     does (both are tight-box layouts at the same bit budget) and returns
