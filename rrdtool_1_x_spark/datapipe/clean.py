@@ -30,7 +30,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # C4's terminal-punctuation set: a line must end in one of these to be a
@@ -100,16 +100,24 @@ def line_dedup(
     ``removed_lines``, and ``clean_text`` (surviving lines rejoined in
     original order; empty string when every line was a later duplicate).
 
-    Shape at scale: posexplode → rank within each line-hash partition
-    (``Window.partitionBy(hash)`` — per-key state only, no global
-    ordering) → doc-keyed reassembly with map-side-combinable aggregates.
-    The shuffle key is md5 of the line, so data spreads uniformly; the
-    only hot keys are genuinely viral boilerplate lines, and those carry
-    one surviving row each.
+    Shape at scale: posexplode → per-line-hash min((id, pos)) aggregate
+    (map-side combinable: one candidate row per hash per map task crosses
+    the shuffle) → join back to mark keepers → doc-keyed reassembly with
+    map-side-combinable aggregates. A row_number window on the line hash
+    would pin every occurrence of a viral boilerplate line ("Thank you
+    for reading", cookie banners — 10^8+ repeats at corpus scale) to ONE
+    task; the aggregate+join shape gets partial aggregation and AQE skew
+    splitting instead (guide §2.5 — windows get neither).
     """
     ex = _line_occurrences(df, id_col, text_col)
-    w = Window.partitionBy("_h").orderBy(F.col(id_col), F.col("_pos"))
-    flagged = ex.withColumn("_keep", F.row_number().over(w) == 1)
+    firsts = ex.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col), F.col("_pos"))).alias("_f")
+    )
+    flagged = ex.join(firsts, "_h").withColumn(
+        "_keep",
+        (F.col(id_col) == F.col(f"_f.{id_col}"))
+        & (F.col("_pos") == F.col("_f._pos")),
+    )
     return (
         flagged.groupBy(id_col)
         .agg(
@@ -160,14 +168,15 @@ def write_line_index(
     (sources.store's manifest-snapshot pattern).
     """
     ex = _line_occurrences(df, id_col, text_col)
-    w = Window.partitionBy("_h").orderBy(F.col(id_col), F.col("_pos"))
+    # min((id, pos)) per line hash — one map-side-combinable aggregate,
+    # no window and no join at all (only the canonical rows are needed)
     (
-        ex.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        ex.groupBy("_h")
+        .agg(F.min(F.struct(F.col(id_col), F.col("_pos"))).alias("_f"))
         .select(
             F.col("_h").alias("line_hash"),
-            F.col(id_col),
-            F.col("_pos").alias("pos"),
+            F.col(f"_f.{id_col}").alias(id_col),
+            F.col("_f._pos").alias("pos"),
         )
         .write.mode("overwrite")
         .parquet(f"{path}/lines")
@@ -197,10 +206,12 @@ def append_line_dedup(
     cleaned rows and inserts nothing (the insert is anti-joined against
     the index), the streaming-sink requirement.
 
-    Shape at scale: the batch explode + one hash-keyed join against the
-    index (line-hash-partitioned on both sides; the index side prunes to
-    matching hash partitions under AQE) + the batch-sized first-occurrence
-    window. The batch's novel first occurrences are localCheckpoint-pinned
+    Shape at scale: the batch explode + a per-hash min((id, pos))
+    aggregate over the batch (map-side combinable) joined with the index
+    into ONE one-row-per-hash meta frame, then a single hash-keyed join
+    back to the batch rows (AQE-skew-splittable — a row_number window on
+    the line hash would pin a viral line's occurrences to one task).
+    The batch's novel first occurrences are localCheckpoint-pinned
     before the index append so the returned frame never re-reads its own
     write.
     """
@@ -211,18 +222,27 @@ def append_line_dedup(
         F.col(id_col).alias("_idx_id"),
         F.col("pos").alias("_idx_pos"),
     )
-    w = Window.partitionBy("_h").orderBy(F.col(id_col), F.col("_pos"))
+    # one row per batch-distinct hash: the batch's first (id, pos) plus
+    # the index's canonical occurrence when the line is already indexed
+    meta = (
+        ex.groupBy("_h")
+        .agg(F.min(F.struct(F.col(id_col), F.col("_pos"))).alias("_f"))
+        .join(idx, "_h", "left")
+    )
     flagged = (
-        ex.join(idx, "_h", "left")
+        ex.join(meta, "_h")
         .withColumn(
             "_keep",
             F.when(
-                F.col("_idx_id").isNull(), F.row_number().over(w) == 1
+                F.col("_idx_id").isNull(),
+                (F.col(id_col) == F.col(f"_f.{id_col}"))
+                & (F.col("_pos") == F.col("_f._pos")),
             ).otherwise(
                 (F.col("_idx_id") == F.col(id_col))
                 & (F.col("_idx_pos") == F.col("_pos"))
             ),
         )
+        .drop("_f")
         .localCheckpoint(eager=True)
     )
     novel = flagged.filter(

@@ -118,6 +118,29 @@ def minhash_signatures(
     return pre.select(id_col, *sigs)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Re-spread a MATERIALIZED (checkpointed) frame whose small byte
+    size let AQE coalesce it below the session's parallelism. The frames
+    this guards feed interpreted-HOF hash projections (minhash/shingle
+    md5 chains) whose cost is per-ROW CPU, not bytes — AQE's byte-based
+    coalescing otherwise computes a 10 MB batch's 16 md5 minhashes on
+    ONE core (measured 18.7 s -> 1.5 s for a 5k-doc batch at sf0.1 on
+    local[32]). No-op when the frame already has enough partitions, so
+    a corpus-sized input is never collapsed DOWN to the core count.
+
+    The spread frame is MATERIALIZED (it is batch/representative-sized
+    by contract — never the raw corpus): a bare ``repartition`` does not
+    work because Catalyst pushes the consumer's projection below the
+    round-robin exchange, so the expensive expressions still evaluate on
+    the pre-spread partitions (measured 14.6 s lazy vs 1.5 s
+    materialized). Only call on materialized frames: getNumPartitions on
+    a lazy AQE plan would force planning early."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p).localCheckpoint(eager=True)
+
+
 def _collapse_exact_reps(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
@@ -125,15 +148,23 @@ def _collapse_exact_reps(
     pre-LSH skew guard: identical texts have identical signatures, so a
     10k-copy document would alone put k^2/2 candidate rows on one
     shuffle key. Every banding/audit entry point collapses through THIS
-    helper so the rule (md5 text partition, min id) cannot drift."""
-    w = Window.partitionBy(F.md5(F.col(text_col).cast("binary"))).orderBy(
-        F.col(id_col)
-    )
+    helper so the rule (md5 text group, min id) cannot drift.
+
+    groupBy + min(struct(id, text)), NOT a row_number window: ids are
+    unique so min(struct) picks exactly the window's rank-1 row, but the
+    aggregate gets map-side partial aggregation (one candidate row per
+    key per map task crosses the shuffle instead of every copy of a
+    viral document) and hot keys cannot pin a whole task the way a
+    window partition does (guide §2.5 — windows get no AQE skew
+    handling)."""
     return (
         df.select(id_col, text_col)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .groupBy(F.md5(F.col(text_col).cast("binary")).alias("_ch"))
+        .agg(F.min(F.struct(F.col(id_col), F.col(text_col))).alias("_f"))
+        .select(
+            F.col(f"_f.{id_col}").alias(id_col),
+            F.col(f"_f.{text_col}").alias(text_col),
+        )
     )
 
 
@@ -271,11 +302,16 @@ def write_band_index(
         F.col(text_col),
         F.md5(F.col(text_col).cast("binary")).alias("text_hash"),
     )
-    w = Window.partitionBy("text_hash").orderBy(id_col)
+    # min(struct) keep-smallest-id, not a row_number window — same rule,
+    # map-side combinable and skew-safe (see _collapse_exact_reps)
     reps = (
-        hashed.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        hashed.groupBy("text_hash")
+        .agg(F.min(F.struct(F.col(id_col), F.col(text_col))).alias("_f"))
+        .select(
+            F.col(f"_f.{id_col}").alias(id_col),
+            F.col(f"_f.{text_col}").alias(text_col),
+            "text_hash",
+        )
     )
     reps.select(id_col, text_col).write.mode("overwrite").parquet(f"{path}/docs")
     reps.select("text_hash", F.col(id_col).alias("rep_id")).write.mode(
@@ -296,6 +332,7 @@ def append_band_index(
     shingle_len: int = 3,
     jaccard_threshold: float = 0.7,
     max_bucket_size: int | None = 512,
+    precollapsed_fresh: bool = False,
 ) -> DataFrame:
     """Append a batch to a ``write_band_index`` index and return the new
     verified near-dup pairs (new↔old and new↔new; id_a < id_b).
@@ -308,22 +345,42 @@ def append_band_index(
     evaluated on post-append bucket sizes, so a bucket that crosses the
     cap stops generating NEW candidates; pairs it produced earlier stand
     (no retraction — matching the cap's drop-and-log semantics).
+
+    ``precollapsed_fresh``: the caller asserts ``new_docs`` is ALREADY
+    exact-collapsed (one min-id representative per distinct text),
+    anti-joined against the index's hash registry, materialized, and
+    carries a ``text_hash`` column — the streaming curation sink does
+    all of that itself, and without the flag this function repeated the
+    collapse window, the registry read and an extra checkpoint per
+    micro-batch for no change in result.
     """
     spark = new_docs.sparkSession
-    hashed = new_docs.select(
-        F.col(id_col),
-        F.col(text_col),
-        F.md5(F.col(text_col).cast("binary")).alias("text_hash"),
-    )
-    w = Window.partitionBy("text_hash").orderBy(id_col)
-    batch_reps = (
-        hashed.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-    fresh = batch_reps.join(
-        spark.read.parquet(f"{path}/reps"), "text_hash", "left_anti"
-    ).localCheckpoint(eager=True)
+    if precollapsed_fresh:
+        fresh = new_docs.select(id_col, text_col, "text_hash")
+    else:
+        hashed = new_docs.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.md5(F.col(text_col).cast("binary")).alias("text_hash"),
+        )
+        # min(struct) keep-smallest-id, not a row_number window — same
+        # rule, map-side combinable and skew-safe (_collapse_exact_reps)
+        batch_reps = (
+            hashed.groupBy("text_hash")
+            .agg(F.min(F.struct(F.col(id_col), F.col(text_col))).alias("_f"))
+            .select(
+                F.col(f"_f.{id_col}").alias(id_col),
+                F.col(f"_f.{text_col}").alias(text_col),
+                "text_hash",
+            )
+        )
+        fresh = batch_reps.join(
+            spark.read.parquet(f"{path}/reps"), "text_hash", "left_anti"
+        ).localCheckpoint(eager=True)
+    # _spread: AQE coalesces the small-bytes batch to ~1 partition and the
+    # interpreted minhash/shingle projections below are per-row CPU —
+    # without this the signature pass runs on one core (guide §2.5)
+    fresh = _spread(fresh)
     new_bands = minhash_band_buckets(
         fresh, id_col, text_col, num_hashes, bands, shingle_len, collapse_exact=False
     ).localCheckpoint(eager=True)  # feeds the join AND the index append
@@ -608,12 +665,18 @@ def signature_near_duplicates(
         .localCheckpoint(eager=True)  # feeds the size count and both sides
     )
     if max_bucket_size is not None:
-        wb = Window.partitionBy("block_idx", "block_val")
-        melted = (
-            melted.withColumn("_sz", F.count(F.lit(1)).over(wb))
+        # block sizes via groupBy + semi join, NOT a count window: the
+        # window materialized every row of a hot block in one task BEFORE
+        # the cap filter could drop it — the very blocks the cap exists
+        # for. The aggregate gets map-side partial aggregation and the
+        # semi join AQE skew splitting (guide §2.5).
+        small = (
+            melted.groupBy("block_idx", "block_val")
+            .agg(F.count(F.lit(1)).alias("_sz"))
             .filter(F.col("_sz") <= max_bucket_size)
-            .drop("_sz")
+            .select("block_idx", "block_val")
         )
+        melted = melted.join(small, ["block_idx", "block_val"], "left_semi")
     left = melted.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("_fa"), "block_idx", "block_val"
     )

@@ -114,7 +114,12 @@ def curate_corpus(
     # against joined rows instead of a clean columnar batch). This is the
     # same contract write_band_index and the streaming curation sink use:
     # the deduped text set is materialized once, linear in the corpus.
-    reps = base.join(keepers, "doc_id").localCheckpoint(eager=True)
+    # _spread: AQE coalesces the small-bytes materialized frame to ~1
+    # partition, and the interpreted minhash projection downstream is
+    # per-row CPU — without it the signature pass runs on one core
+    from rrdtool_1_x_spark.datapipe.dedup import _spread
+
+    reps = _spread(base.join(keepers, "doc_id").localCheckpoint(eager=True))
     # stage 2 already collapsed exact duplicates and reps is materialized,
     # so the generic entrypoint's internal collapse window (another
     # corpus shuffle) is skipped

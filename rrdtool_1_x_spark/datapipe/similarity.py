@@ -531,17 +531,19 @@ def embedding_near_duplicates(
     if max_bucket_size is not None:
         # a k-vector bucket emits k²/2 candidate rows on one shuffle key;
         # oversized buckets (near-identical boilerplate embeddings, zero
-        # vectors) are dropped from candidate generation. A window count
-        # instead of an aggregate+join: it shuffles on the same (table,
-        # bucket) key the self-join needs, so the exchange is reused.
-        from pyspark.sql import Window
-
-        wb = Window.partitionBy("_bi", "_bh")
-        melted = (
-            melted.withColumn("_sz", F.count(F.lit(1)).over(wb))
+        # vectors) are dropped from candidate generation. Sizes via
+        # groupBy + semi join, NOT a count window: the window reused the
+        # self-join's exchange but still materialized every row of a hot
+        # bucket in one task BEFORE the cap filter dropped it — the very
+        # buckets the cap exists for. The aggregate gets map-side partial
+        # aggregation and the semi join AQE skew splitting (guide §2.5).
+        small = (
+            melted.groupBy("_bi", "_bh")
+            .agg(F.count(F.lit(1)).alias("_sz"))
             .filter(F.col("_sz") <= max_bucket_size)
-            .drop("_sz")
+            .select("_bi", "_bh")
         )
+        melted = melted.join(small, ["_bi", "_bh"], "left_semi")
     left = melted.select(F.col(id_col).alias("id_a"), "_bi", "_bh")
     right = melted.select(F.col(id_col).alias("id_b"), "_bi", "_bh")
     cand = (

@@ -168,34 +168,47 @@ def start_curation_stream(
             | F.col("q").isNull()
             | (F.col("tc") < min_tokens)
         )
-        low = q.filter(bad).select("doc_id")
-        qk = q.filter(~bad).select("doc_id", "text")
+        # ONE materialized slim (id, hash, bad) pass: the five-way verdict
+        # union below otherwise re-runs the quality regex pass per branch
+        # (low / batch_dup / reg_dup each re-derived it — 3 extra passes
+        # per micro-batch; the batch curate_corpus pipeline materializes
+        # the same frame for the same reason)
+        marked = q.select(
+            "doc_id",
+            F.md5(F.col("text").cast("binary")).alias("h"),
+            bad.alias("bad"),
+        ).localCheckpoint(eager=True)
+        low = marked.filter("bad").select("doc_id")
+        qk = marked.filter(~F.col("bad")).select("doc_id", "h")
 
-        # exact: in-batch keep-min per text hash, plus the index registry
-        hashed = qk.withColumn("h", F.md5(F.col("text").cast("binary")))
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("h").orderBy("doc_id")
-        hashed = hashed.withColumn("_rn", F.row_number().over(w))
+        # exact: in-batch keep-min per text hash (min-per-group aggregate,
+        # not a row_number window — map-side combinable, skew-safe), plus
+        # the index registry
+        firsts = qk.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+        batch_dup = qk.join(firsts, ["h", "doc_id"], "left_anti").select(
+            "doc_id"
+        )
         seen = spark.read.parquet(f"{state_path}/lsh/reps").select(
             F.col("text_hash").alias("h")
         )
-        batch_dup = hashed.filter(F.col("_rn") > 1).select("doc_id")
-        reg_dup = (
-            hashed.filter(F.col("_rn") == 1)
-            .join(F.broadcast(seen), "h", "left_semi")
-            .select("doc_id")
+        reg_dup = firsts.join(F.broadcast(seen), "h", "left_semi").select(
+            "doc_id"
         )
         exact_dup = batch_dup.unionByName(reg_dup)
+        fresh_ids = firsts.join(F.broadcast(seen), "h", "left_anti")
         reps = (
-            hashed.filter(F.col("_rn") == 1)
-            .join(F.broadcast(seen), "h", "left_anti")
-            .select("doc_id", "text")
+            base.join(fresh_ids, "doc_id")
+            .select("doc_id", "text", F.col("h").alias("text_hash"))
             .localCheckpoint(eager=True)
         )
 
-        # near-dup: fresh reps against the persisted index + each other
-        pairs = append_band_index(reps, f"{state_path}/lsh", **nd_kwargs)
+        # near-dup: fresh reps against the persisted index + each other.
+        # reps is already exact-collapsed + registry-anti-joined +
+        # materialized above — precollapsed_fresh skips the repeat
+        # collapse/registry-read/checkpoint inside the append
+        pairs = append_band_index(
+            reps, f"{state_path}/lsh", precollapsed_fresh=True, **nd_kwargs
+        )
         batch_ids = reps.select(F.col("doc_id").alias("_bid"))
         sides = pairs.select(
             F.col("id_a").alias("doc"), F.col("id_b").alias("other")
@@ -214,7 +227,9 @@ def start_curation_stream(
             .select(F.col("doc").alias("doc_id"))
             .distinct()
         )
-        surv = reps.join(flagged, "doc_id", "left_anti")
+        surv = reps.select("doc_id", "text").join(
+            flagged, "doc_id", "left_anti"
+        )
 
         if benchmark is not None:
             contam = (

@@ -83,6 +83,35 @@ def test_line_dedup_fully_removed_doc(spark):
     assert got[2].clean_text == "" and got[2].removed_lines == 1
 
 
+def test_line_dedup_viral_line_hot_key(spark):
+    """One viral boilerplate line repeated across 20k documents — the
+    planted hot key the min((id,pos))-aggregate rewrite must survive.
+    The old row_number window pinned every occurrence of the viral hash
+    to ONE task; the aggregate+join shape is map-side combinable and
+    AQE-skew-splittable, and the RESULT must be identical: the line
+    survives only in the smallest (doc_id, pos)."""
+    n = 20_000
+    viral = "thank you for reading"
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(viral + "\n"), F.format_string("unique line %d", F.col("id"))
+        ).alias("text"),
+    )
+    out = line_dedup(docs, "doc_id", "text")
+    agg = out.agg(
+        F.sum("removed_lines").alias("rm"),
+        F.sum(
+            (F.col("clean_text").contains(viral)).cast("long")
+        ).alias("keepers"),
+        F.count("*").alias("docs"),
+    ).collect()[0]
+    # exactly one survivor of the viral line, every other doc loses it
+    assert agg.docs == n and agg.keepers == 1 and agg.rm == n - 1
+    first = out.filter(F.col("doc_id") == 0).collect()[0]
+    assert first.clean_text.split("\n")[0] == viral
+
+
 # ---------------------------------------------------------------- DSIR
 
 def test_dsir_logweights_matches_reference_formula(spark):
