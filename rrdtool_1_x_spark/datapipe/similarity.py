@@ -2419,16 +2419,22 @@ def quantized_topk(
     quantized query frame, one corpus-linear scoring pass, per-query
     top-k windows (per-key state only).
     """
-    qc = quantize_embeddings(corpus, id_col, vec_col, qmax=qmax)
+    # norms hoisted per vector (one fold each side) so the n_corpus x
+    # n_queries scoring rows pay one dot fold instead of five (_qnorm2)
+    qc = quantize_embeddings(corpus, id_col, vec_col, qmax=qmax).withColumn(
+        "_na2", _qnorm2("qvec")
+    )
     qq = quantize_embeddings(queries, query_id_col, vec_col, qmax=qmax).select(
-        F.col(query_id_col).alias("_qid"), F.col("qvec").alias("_qvec")
+        F.col(query_id_col).alias("_qid"),
+        F.col("qvec").alias("_qvec"),
+        _qnorm2("qvec").alias("_nb2"),
     )
     scored = (
         qc.crossJoin(F.broadcast(qq))
         .select(
             F.col("_qid").alias(query_id_col),
             F.col(id_col),
-            _qcos_sim().alias("qcos_sim"),
+            _qcos_sim(na2=F.col("_na2"), nb2=F.col("_nb2")).alias("qcos_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -2440,12 +2446,33 @@ def quantized_topk(
     )
 
 
-def _qcos_sim(a: str = "qvec", b: str = "_qvec") -> Column:
+def _qnorm2(c: str) -> Column:
+    """Exact integer squared norm of a quantized vector — per-VECTOR, so
+    the scoring scans hoist it out of the per-PAIR cosine (guide §4: the
+    interpreted HOF folds are the per-row cost; without hoisting every
+    pair paid five dim-length folds — dot + both norms in the null guard
+    + both again under the sqrt — instead of one dot fold). The norms
+    are exact longs, so precomputing them is bit-identical."""
+    return F.aggregate(
+        F.transform(F.col(c), lambda x: x.cast("long") * x.cast("long")),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+
+
+def _qcos_sim(
+    a: str = "qvec",
+    b: str = "_qvec",
+    na2: Column | None = None,
+    nb2: Column | None = None,
+) -> Column:
     """The int8-quantized cosine — integer dot / sqrt(product of integer
     norms), NULL for a zero-norm side. The single source of truth for the
     quantized scoring rule: ``quantized_topk`` and ``hard_negative_topk``
     both rank by this column and both carry oracle gates pinned to it, so
-    the convention must never fork between them."""
+    the convention must never fork between them. ``na2``/``nb2``: the
+    sides' precomputed ``_qnorm2`` columns (exact integers — hoisting
+    them is bit-identical, see _qnorm2)."""
     dot = F.aggregate(
         F.zip_with(
             F.col(a), F.col(b), lambda x, y: x.cast("long") * y.cast("long")
@@ -2453,14 +2480,11 @@ def _qcos_sim(a: str = "qvec", b: str = "_qvec") -> Column:
         F.lit(0).cast("long"),
         lambda s, x: s + x,
     )
-    n2 = lambda c: F.aggregate(
-        F.transform(F.col(c), lambda x: x.cast("long") * x.cast("long")),
-        F.lit(0).cast("long"),
-        lambda s, x: s + x,
-    )
+    na = na2 if na2 is not None else _qnorm2(a)
+    nb = nb2 if nb2 is not None else _qnorm2(b)
     return F.when(
-        (n2(a) > 0) & (n2(b) > 0),
-        dot / F.sqrt(n2(a).cast("double") * n2(b).cast("double")),
+        (na > 0) & (nb > 0),
+        dot / F.sqrt(na.cast("double") * nb.cast("double")),
     )
 
 
@@ -2550,9 +2574,14 @@ def hard_negative_topk(
             _int8_qvec(F.col("_v"), F.col("_s")).alias(qvec_alias),
         )
 
-    qc = _fused(corpus, id_col, label_col, "_lab", "qvec")
+    # norms hoisted per vector (one fold per side, exact integers) so the
+    # per-pair scoring pays one dot fold instead of five (_qnorm2)
+    qc = _fused(corpus, id_col, label_col, "_lab", "qvec").withColumn(
+        "_na2", _qnorm2("qvec")
+    )
     qq = _fused(queries, query_id_col, query_label_col, "_qlab", "_qvec").select(
-        F.col(query_id_col).alias("_qid"), "_qlab", "_qvec"
+        F.col(query_id_col).alias("_qid"), "_qlab", "_qvec",
+        _qnorm2("_qvec").alias("_nb2"),
     )
     scored = (
         qc.crossJoin(F.broadcast(qq))
@@ -2564,7 +2593,7 @@ def hard_negative_topk(
             F.col("_qlab").alias(query_label_col),
             F.col(id_col),
             F.col("_lab").alias("neg_label"),
-            _qcos_sim().alias("qcos_sim"),
+            _qcos_sim(na2=F.col("_na2"), nb2=F.col("_nb2")).alias("qcos_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -3047,24 +3076,32 @@ def truncated_rerank_topk(
 
     Returns ``(query_id, vec_id, qcos_sim, rank)``.
     """
-    qc = quantize_embeddings(corpus, id_col, vec_col).select(id_col, "qvec")
-    qq = quantize_embeddings(queries, query_id_col, vec_col).select(
-        F.col(query_id_col).alias("_qid"), F.col("qvec").alias("_qvec")
+    # prefix slices AND norms hoisted per SIDE (the crossJoin otherwise
+    # re-sliced the corpus vector and re-folded both norms per pair;
+    # norms are exact integers — bit-identical, see _qnorm2)
+    qc = (
+        quantize_embeddings(corpus, id_col, vec_col)
+        .select(id_col, "qvec", F.slice("qvec", 1, prefix_dims).alias("pvec"))
+        .withColumns({"_na2": _qnorm2("qvec"), "_pna2": _qnorm2("pvec")})
+    )
+    qq = (
+        quantize_embeddings(queries, query_id_col, vec_col)
+        .select(
+            F.col(query_id_col).alias("_qid"),
+            F.col("qvec").alias("_qvec"),
+            F.slice("qvec", 1, prefix_dims).alias("_pvec"),
+        )
+        .withColumns({"_nb2": _qnorm2("_qvec"), "_pnb2": _qnorm2("_pvec")})
     )
     paired = qc.crossJoin(F.broadcast(qq))
-    sliced = paired.select(
-        "_qid",
-        F.col(id_col),
-        "qvec",
-        "_qvec",
-        F.slice("qvec", 1, prefix_dims).alias("pvec"),
-        F.slice("_qvec", 1, prefix_dims).alias("_pvec"),
-    )
     w1 = Window.partitionBy("_qid").orderBy(
         F.desc("_ps"), F.asc(id_col)
     )
     stage1 = (
-        sliced.withColumn("_ps", _qcos_sim("pvec", "_pvec"))
+        paired.withColumn(
+            "_ps",
+            _qcos_sim("pvec", "_pvec", na2=F.col("_pna2"), nb2=F.col("_pnb2")),
+        )
         .filter(F.col("_ps").isNotNull())
         .withColumn("_r1", F.row_number().over(w1))
         .filter(F.col("_r1") <= candidates)
@@ -3073,7 +3110,9 @@ def truncated_rerank_topk(
         F.desc("qcos_sim"), F.asc(id_col)
     )
     return (
-        stage1.withColumn("qcos_sim", _qcos_sim())
+        stage1.withColumn(
+            "qcos_sim", _qcos_sim(na2=F.col("_na2"), nb2=F.col("_nb2"))
+        )
         .withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select(
@@ -3109,7 +3148,14 @@ def knn_label_propagation(
     scan (the quantized_topk shape) plus per-id windows; no corpus-wide
     shuffle key, no quadratic term.
     """
-    qc = quantize_embeddings(corpus, id_col, vec_col).select(id_col, "qvec")
+    # norms hoisted per vector (one fold each side, exact integers) so
+    # the n_corpus x n_seeds scoring rows pay one dot fold instead of
+    # five (_qnorm2)
+    qc = (
+        quantize_embeddings(corpus, id_col, vec_col)
+        .select(id_col, "qvec")
+        .withColumn("_na2", _qnorm2("qvec"))
+    )
     qs = (
         quantize_embeddings(
             seeds.filter(F.col(label_col).isNotNull()), id_col, vec_col
@@ -3119,12 +3165,15 @@ def knn_label_propagation(
             F.col(id_col).alias("_sid"),
             F.col("qvec").alias("_qvec"),
             F.col(label_col).alias("_slab"),
+            _qnorm2("qvec").alias("_nb2"),
         )
     )
     scored = (
         qc.crossJoin(F.broadcast(qs))
         .filter(F.col(id_col) != F.col("_sid"))
-        .withColumn("_sim", _qcos_sim())
+        .withColumn(
+            "_sim", _qcos_sim(na2=F.col("_na2"), nb2=F.col("_nb2"))
+        )
         .filter(F.col("_sim").isNotNull())
     )
     wn = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("_sid"))
