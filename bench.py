@@ -534,26 +534,39 @@ def main() -> None:
     if os.path.exists(iso_path):
         with open(iso_path) as f:
             isolated = json.load(f).get("queries", {})
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "noise_worst_over_best": spread,
-                "isolated_bands": isolated,
-                "streams": streams,
-                "stream_docs_per_sec": streams.get(
-                    "curation_stream", {}
-                ).get("docs_per_sec", 0.0),
-                "windows_stream_events_per_sec": streams.get(
-                    "windows_stream", {}
-                ).get("events_per_sec", 0.0),
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "noise_worst_over_best": spread,
+            "isolated_bands": isolated,
+            "streams": streams,
+            "stream_docs_per_sec": streams.get(
+                "curation_stream", {}
+            ).get("docs_per_sec", 0.0),
+            "windows_stream_events_per_sec": streams.get(
+                "windows_stream", {}
+            ).get("events_per_sec", 0.0),
+            "sf": sf,
+        }
     )
+    print(line)
+    # also write the artifact to a file directly: round 9's one-line JSON
+    # outgrew the driver's 2000-char stdout tail capture and the round
+    # lost its comparability baseline. SPARK_GRAFT_BENCH_OUT overrides
+    # the destination; only full (non-subset, non-scaled) runs are
+    # written by default so probe runs never clobber the round artifact.
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out_path is None and not only and "--scale" not in sys.argv:
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_local_last.json",
+        )
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
     spark.stop()
 
 

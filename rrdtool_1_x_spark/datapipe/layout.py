@@ -126,6 +126,13 @@ def with_hilbert(df: DataFrame, x: str, y: str, bits: int, out: str) -> DataFram
     """
     n1 = (1 << bits) - 1
     keep = df.columns
+    if out in keep:
+        raise ValueError(f"with_hilbert: output column {out!r} already exists")
+    clash = sorted({"_hx", "_hy", "_hd"} & set(keep))
+    if clash:
+        # the chained projections reference the temps by name; a same-named
+        # input column would be silently shadowed and break level refs
+        raise ValueError(f"with_hilbert: input columns collide with temps {clash}")
     cur = df.select(
         "*",
         F.expr(f"CAST({x} AS BIGINT)").alias("_hx"),

@@ -93,16 +93,19 @@ def curate_corpus(
         bad = bad | (F.col("tc") > max_tokens)
     # one quality pass feeds both the low set and the survivors' hashes
     marked = q.select("doc_id", "h", bad.alias("bad")).localCheckpoint(eager=True)
-    low = marked.filter("bad").select("doc_id")
-    qk_hashed = marked.filter(~F.col("bad")).select("doc_id", "h")
 
-    # 2. exact dedup among quality survivors (hash groups keep the min id)
-    keepers = (
-        qk_hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    # 2. exact dedup among quality survivors, FUSED: one per-hash
+    # aggregate produces (h, keeper id); the disposition join below reads
+    # the exact_dup verdict straight off it (doc_id != _keep), so the old
+    # separate anti-join + low/exact flag-join branches are gone — two
+    # joins and one corpus id scan fewer per run.
+    kmin = (
+        marked.filter(~F.col("bad"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("_keep"))
         .localCheckpoint(eager=True)
     )
-    exact_dup = qk_hashed.join(keepers, "doc_id", "left_anti").select("doc_id")
+    keepers = kmin.select(F.col("_keep").alias("doc_id"))
 
     # 3. near-dup on representatives; drop non-minimal group members.
     # reps re-reads the raw text by keeper id — a plain column scan, NOT
@@ -151,18 +154,24 @@ def curate_corpus(
     else:
         contam = surv_ids.select("doc_id").limit(0)
 
-    # disposition: one pass over doc ids, verdict by stage precedence
+    # disposition: marked already carries every doc id, its text hash and
+    # the quality flag — ONE hash-keyed left join attaches the exact-stage
+    # keeper (AQE-skew-splittable; a viral hash is one kmin row) and two
+    # id-keyed joins attach the near-dup/contam sets. Precedence is
+    # unchanged: bad wins first (a null-text doc has a null h that never
+    # matches kmin, but tc < 0 already made it bad); exact_dup ⟺ survivor
+    # whose id is not its hash group's keeper (kmin always matches a
+    # survivor's h, so _keep is non-null there); near_dup ⊆ keepers and
+    # contam ⊆ survivors, both disjoint from the earlier verdicts.
     flag = lambda s, name: s.select("doc_id", F.lit(True).alias(name))
     out = (
-        base.select("doc_id")
-        .join(flag(low, "_lq"), "doc_id", "left")
-        .join(flag(exact_dup, "_ed"), "doc_id", "left")
+        marked.join(kmin, "h", "left")
         .join(flag(near_dup, "_nd"), "doc_id", "left")
         .join(flag(contam, "_ct"), "doc_id", "left")
     )
     verdict = (
-        F.when(F.col("_lq"), "low_quality")
-        .when(F.col("_ed"), "exact_dup")
+        F.when(F.col("bad"), "low_quality")
+        .when(F.col("doc_id") != F.col("_keep"), "exact_dup")
         .when(F.col("_nd"), "near_dup")
         .when(F.col("_ct"), "contaminated")
         .otherwise("kept")

@@ -166,6 +166,19 @@ def test_with_hilbert_matches_expr(spark):
         assert r["d_new"] == r["d_old"] == hilbert_xy2d(4, r["x"], r["y"])
 
 
+def test_with_hilbert_rejects_column_collisions(spark):
+    """A clear error (not a silent shadow) when the input frame already
+    carries the output name or one of the _hx/_hy/_hd temps the chained
+    projections reference by name."""
+    from rrdtool_1_x_spark.datapipe.layout import with_hilbert
+
+    df = spark.createDataFrame([(1, 2)], "x long, y long")
+    with pytest.raises(ValueError, match="already exists"):
+        with_hilbert(df.withColumn("d", F.lit(0)), "x", "y", 4, "d")
+    with pytest.raises(ValueError, match="collide"):
+        with_hilbert(df.withColumn("_hx", F.lit(0)), "x", "y", 4, "d")
+
+
 def test_hilbert_layout_prunes_like_zorder(spark, tmp_path):
     """The Hilbert layout prunes the same 2-D boxes the z-order layout
     does (both are tight-box layouts at the same bit budget) and returns
