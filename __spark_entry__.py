@@ -2187,10 +2187,11 @@ def q_residual_recall(spark, sf_dir):
     energy — pinned on a tightly-clustered corpus in
     tests/test_datapipe_similarity.py."""
     from rrdtool_1_x_spark.datapipe.similarity import (
+        _ivfraw_adc_topk,
+        _qcos_topk,
+        _resid_adc_topk,
         ann_recall,
-        ivfpq_residual_topk,
-        ivfpq_topk,
-        quantized_topk,
+        multi_method_encode,
     )
 
     e = _emb(spark, sf_dir)
@@ -2198,14 +2199,29 @@ def q_residual_recall(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     model, scales, book = _resid_artifacts(spark, sf_dir, e)
-    resid = ivfpq_residual_topk(
-        e, q, k=10, nprobe=4, model=model, scales=scales, codebook=book
+    raw_book = _pq_book(spark, sf_dir, e)
+    # ONE corpus scan for all three compared methods (was one scan per
+    # method, each repeating the centroid-assignment fold and the int8
+    # quantization); the per-method scorers read the compact codes off
+    # the materialized encode frame. Same expressions per method — the
+    # gate's values cannot move.
+    enc = multi_method_encode(
+        e, model, scales, raw_book, book
+    ).localCheckpoint(eager=True)
+    resid = _resid_adc_topk(
+        enc.select("vec_id", "_cell", F.col("codes_res").alias("codes")),
+        q, model, scales, book, k=10, nprobe=4, lim=32767,
+        id_col="vec_id", vec_col="embedding", query_id_col="query_id",
     )
-    raw = ivfpq_topk(
-        e, q, k=10, nlist=16, nprobe=4, m=8, codes=16,
-        model=model, codebook=_pq_book(spark, sf_dir, e),
+    raw = _ivfraw_adc_topk(
+        enc.select("vec_id", "_cell", F.col("codes_raw").alias("codes")),
+        q, model, raw_book, k=10, nprobe=4,
+        id_col="vec_id", vec_col="embedding", query_id_col="query_id",
     )
-    exact = quantized_topk(e, q, k=10, query_id_col="query_id")
+    exact = _qcos_topk(
+        enc.select("vec_id", "qvec", "_na2"), q, k=10,
+        id_col="vec_id", vec_col="embedding", query_id_col="query_id",
+    )
     rr = ann_recall(resid, exact, k=10).select(
         "query_id", "n_exact",
         F.col("n_hit").alias("hit_residual"),

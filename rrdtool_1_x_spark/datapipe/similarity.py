@@ -1476,8 +1476,8 @@ def pq_encode(
     )
 
 
-def _pq_codes_col(codebook: list[list[list[int]]]) -> Column:
-    """``array<int>`` of per-subspace PQ codes over a ``qvec`` column:
+def _pq_codes_col(codebook: list[list[list[int]]], qcol: str = "qvec") -> Column:
+    """``array<int>`` of per-subspace PQ codes over the ``qcol`` column:
     integer squared-difference folds + first-min ``array_position`` (ties
     to the lowest code, matching the oracle's ORDER BY d, code).
 
@@ -1504,8 +1504,8 @@ def _pq_codes_col(codebook: list[list[list[int]]]) -> Column:
         f"transform(sequence(0, {m - 1}), s -> "
         f"transform({cb}[s], cv -> "
         f"aggregate(sequence(0, {d - 1}), 0L, (acc, i) -> "
-        f"acc + (CAST(qvec[s * {d} + i] AS BIGINT) - cv[i])"
-        f" * (CAST(qvec[s * {d} + i] AS BIGINT) - cv[i]))))"
+        f"acc + (CAST({qcol}[s * {d} + i] AS BIGINT) - cv[i])"
+        f" * (CAST({qcol}[s * {d} + i] AS BIGINT) - cv[i]))))"
     )
     return F.expr(
         f"transform({dists}, ds ->"
@@ -1746,8 +1746,23 @@ def ivfpq_topk(
         model = ivf_centroid_model(corpus, nlist=nlist, id_col=id_col, vec_col=vec_col)
     if codebook is None:
         codebook = pq_codebook(corpus, m, codes, id_col, vec_col)
-    m = len(codebook)
-    d = len(codebook[0][0])
+    enc = _ivfraw_encode(corpus, model, codebook, id_col, vec_col)
+    return _ivfraw_adc_topk(
+        enc, queries, model, codebook, k, nprobe, id_col, vec_col,
+        query_id_col,
+    )
+
+
+def _ivfraw_encode(
+    corpus: DataFrame,
+    model: list[tuple[int, list[float], float]],
+    codebook: list[list[list[int]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Map-only (id, cell, codes) projection for the raw-code IVFADC —
+    the encode half of ``ivfpq_topk``, split out so composition gates
+    can share ONE corpus scan across compared methods."""
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     staged = corpus.select(
         F.col(id_col),
@@ -1757,12 +1772,28 @@ def ivfpq_topk(
             "_cell"
         ),
     )
-    enc = staged.select(
+    return staged.select(
         F.col(id_col),
         F.col("_cell"),
         _int8_qvec(F.col("_v"), F.col("_scale")).alias("qvec"),
     ).select(F.col(id_col), "_cell", _pq_codes_col(codebook).alias("codes"))
 
+
+def _ivfraw_adc_topk(
+    enc: DataFrame,
+    queries: DataFrame,
+    model: list[tuple[int, list[float], float]],
+    codebook: list[list[list[int]]],
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Raw-code ADC scoring over an already-encoded (id, _cell, codes)
+    frame — the scoring half of ``ivfpq_topk``."""
+    m = len(codebook)
+    d = len(codebook[0][0])
     # two tiny collects of the query frame: raw vectors for the float
     # probe-list fold (Python doubles == JVM doubles), int8 vectors for
     # the integer LUTs (quantized Spark-side so the rounding rule is the
@@ -1798,8 +1829,8 @@ def ivfpq_topk(
         )
     if not per_query:
         qid_ddl = queries.schema[query_id_col].dataType.simpleString()
-        id_ddl = corpus.schema[id_col].dataType.simpleString()
-        return corpus.sparkSession.createDataFrame(
+        id_ddl = enc.schema[id_col].dataType.simpleString()
+        return enc.sparkSession.createDataFrame(
             [],
             f"{query_id_col} {qid_ddl}, {id_col} {id_ddl},"
             " pq_dist bigint, rank int",
@@ -1886,12 +1917,22 @@ def residual_cell_scales(
     return {int(r["_cell"]): float(r["_s"]) for r in rows}
 
 
-def _resid_col(vec: Column, model: list[tuple[int, list[float], float]]) -> Column:
+def _resid_col(
+    vec: Column,
+    model: list[tuple[int, list[float], float]],
+    cell: Column | None = None,
+) -> Column:
     """Residual of a vector vs its assigned IVF centroid, as a map-only
     Column: cell id from the shared cosine-assignment fold, centroid
     looked up in a cid -> array<double> map literal, elementwise double
-    subtraction (single IEEE op per component — exact on both engines)."""
-    cell = -F.array_max(_centroid_scores(vec, model))["nc"]
+    subtraction (single IEEE op per component — exact on both engines).
+
+    ``cell``: the already-computed assignment column — pass it when the
+    caller projects the cell anyway, so the nlist x dim centroid fold
+    (the dominant per-row cost of every IVF encode) runs once per row,
+    not twice."""
+    if cell is None:
+        cell = -F.array_max(_centroid_scores(vec, model))["nc"]
     entries = ", ".join(
         f"{cid}L, array({','.join(f'{v!r}D' for v in cv)})"
         for cid, cv, _ in model
@@ -2041,13 +2082,23 @@ def _resid_encode(
 ) -> DataFrame:
     """Map-only (id, cell, codes) projection under frozen residual
     artifacts — the ingest-time compression pass; at cluster scale cell
-    is the partition key and codes the stored payload."""
+    is the partition key and codes the stored payload.
+
+    The cell assignment is projected FIRST and the residual subtraction
+    reads it (``_resid_col(cell=...)``): one nlist x dim centroid fold
+    per row instead of two (the fold is the dominant per-row cost; the
+    two-stage select keeps the expensive alias out of CollapseProject's
+    reach because it is referenced more than once)."""
     staged = corpus.select(
         F.col(id_col),
-        _resid_col(F.col(vec_col), model).alias("_rv"),
+        F.col(vec_col),
         (-F.array_max(_centroid_scores(F.col(vec_col), model))["nc"]).alias(
             "_cell"
         ),
+    ).select(
+        F.col(id_col),
+        F.col("_cell"),
+        _resid_col(F.col(vec_col), model, cell=F.col("_cell")).alias("_rv"),
     )
     return staged.select(
         F.col(id_col),
@@ -2257,6 +2308,65 @@ def residual_index_topk(
     )
 
 
+def multi_method_encode(
+    corpus: DataFrame,
+    model: list[tuple[int, list[float], float]],
+    scales: dict[int, float],
+    raw_codebook: list[list[list[int]]],
+    resid_codebook: list[list[list[int]]],
+    lim: int = 32767,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ONE corpus scan producing every per-row artifact the three
+    compared ANN methods read — IVF cell, raw-PQ codes, residual-PQ
+    codes, int8 qvec + its exact norm:
+
+    ``(id, _cell, codes_raw, codes_res, qvec, _na2)``
+
+    The recall composition gates (``residual_recall``-style audits)
+    previously ran one full corpus scan per compared method, each
+    repeating the nlist x dim centroid-assignment fold and the int8
+    quantization; sharing a single materialized encode frame pays those
+    folds once and the per-method scorers read only the compact codes.
+    Every expression here is byte-identical to the per-method encodes
+    (``_ivfraw_encode`` / ``_resid_encode`` / ``quantize_embeddings``),
+    so the downstream rankings cannot drift.
+
+    Staged selects keep the multi-consumer expensive aliases (_cell,
+    _v/_scale, qvec) out of CollapseProject's reach so each fold is
+    evaluated once per row."""
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    s0 = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        vd.alias("_v"),
+        F.array_max(F.transform(vd, lambda x: F.abs(x))).alias("_scale"),
+        (-F.array_max(_centroid_scores(F.col(vec_col), model))["nc"]).alias(
+            "_cell"
+        ),
+    )
+    s1 = s0.select(
+        F.col(id_col),
+        F.col("_cell"),
+        _int8_qvec(F.col("_v"), F.col("_scale")).alias("qvec"),
+        _q_resid_col(
+            _resid_col(F.col(vec_col), model, cell=F.col("_cell")),
+            F.col("_cell"),
+            scales,
+            lim,
+        ).alias("_rq"),
+    )
+    return s1.select(
+        F.col(id_col),
+        F.col("_cell"),
+        _pq_codes_col(raw_codebook, "qvec").alias("codes_raw"),
+        _pq_codes_col(resid_codebook, "_rq").alias("codes_res"),
+        F.col("qvec"),
+        _qnorm2("qvec").alias("_na2"),
+    )
+
+
 def ann_recall(
     approx: DataFrame,
     exact: DataFrame,
@@ -2424,6 +2534,22 @@ def quantized_topk(
     qc = quantize_embeddings(corpus, id_col, vec_col, qmax=qmax).withColumn(
         "_na2", _qnorm2("qvec")
     )
+    return _qcos_topk(qc, queries, k, id_col, vec_col, query_id_col, qmax)
+
+
+def _qcos_topk(
+    qc: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    qmax: int = 127,
+) -> DataFrame:
+    """Exact quantized-cosine top-k over an already-quantized corpus
+    frame ``qc`` = (id, qvec, _na2) — the scoring half of
+    ``quantized_topk``, split out so composition gates can share ONE
+    corpus scan across compared methods."""
     qq = quantize_embeddings(queries, query_id_col, vec_col, qmax=qmax).select(
         F.col(query_id_col).alias("_qid"),
         F.col("qvec").alias("_qvec"),
@@ -3144,19 +3270,46 @@ def knn_label_propagation(
     Returns ``(id, pred_label, votes)``.
 
     Shape at scale: the seed set is human-annotation-sized —
-    broadcastable by definition — so this is ONE corpus-linear scoring
-    scan (the quantized_topk shape) plus per-id windows; no corpus-wide
-    shuffle key, no quadratic term.
+    broadcastable by definition — so the whole pass is ONE map-only
+    corpus scan with ZERO shuffles: the quantized seed matrix rides to
+    the executors inside an Arrow kernel closure (the
+    ``_brute_force_scores_arrow`` GEMM convention), and each batch
+    scores, ranks and majority-votes its rows in numpy. The previous
+    shape exploded corpus x n_seeds rows through TWO hash shuffles
+    (top-k window + vote window) — at 100 TB that is 50 corpus copies
+    shuffled twice for a result that is per-row local.
+
+    Exactness: every score is the same integer dot / sqrt(product of
+    exact integer norms) as ``_qcos_sim`` — int64 dots and norms are
+    exact (|q| <= 127, so dot <= dim * 127^2 << 2^53), the two casts,
+    multiply, sqrt and divide are single-rounded IEEE float64 ops in
+    both engines, so the scores (and therefore every rank and tie) are
+    bit-identical to the window form. Tie rules: np.lexsort on
+    (-sim, seed id) == the old window's (desc sim, asc sid); for votes,
+    np.unique returns labels sorted ascending and argmax takes the
+    FIRST maximum == (desc votes, asc label).
     """
-    # norms hoisted per vector (one fold each side, exact integers) so
-    # the n_corpus x n_seeds scoring rows pay one dot fold instead of
-    # five (_qnorm2)
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
     qc = (
         quantize_embeddings(corpus, id_col, vec_col)
         .select(id_col, "qvec")
-        .withColumn("_na2", _qnorm2("qvec"))
     )
-    qs = (
+    id_field = corpus.schema[id_col]
+    lab_field = seeds.schema[label_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType),
+            StructField("pred_label", lab_field.dataType),
+            StructField("votes", LongType()),
+        ]
+    )
+    # quantize the seed side ENGINE-side (identical rounding rule), then
+    # one tiny collect — the broadcast-codebook convention every index
+    # family here uses. Zero-norm seeds score NULL against everything
+    # (the _qcos_sim guard), so dropping them up front is bit-identical.
+    qs_rows = (
         quantize_embeddings(
             seeds.filter(F.col(label_col).isNotNull()), id_col, vec_col
         )
@@ -3167,30 +3320,68 @@ def knn_label_propagation(
             F.col(label_col).alias("_slab"),
             _qnorm2("qvec").alias("_nb2"),
         )
+        .collect()
     )
-    scored = (
-        qc.crossJoin(F.broadcast(qs))
-        .filter(F.col(id_col) != F.col("_sid"))
-        .withColumn(
-            "_sim", _qcos_sim(na2=F.col("_na2"), nb2=F.col("_nb2"))
-        )
-        .filter(F.col("_sim").isNotNull())
-    )
-    wn = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("_sid"))
-    near = scored.withColumn("_rn", F.row_number().over(wn)).filter(
-        F.col("_rn") <= k
-    )
-    votes = near.groupBy(id_col, "_slab").agg(
-        F.count(F.lit(1)).alias("votes")
-    )
-    wv = Window.partitionBy(id_col).orderBy(
-        F.desc("votes"), F.asc("_slab")
-    )
-    return (
-        votes.withColumn("_rv", F.row_number().over(wv))
-        .filter(F.col("_rv") == 1)
-        .select(id_col, F.col("_slab").alias("pred_label"), "votes")
-    )
+    qs_rows = [r for r in qs_rows if int(r["_nb2"]) > 0]
+    if not qs_rows:
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    smat = np.array([[int(x) for x in r["_qvec"]] for r in qs_rows],
+                    dtype=np.int64)
+    sids = np.array([r["_sid"] for r in qs_rows])
+    slabs = np.array([r["_slab"] for r in qs_rows])
+    snb2 = np.array([int(r["_nb2"]) for r in qs_rows], dtype=np.int64)
+    kk = int(k)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(
+                [np.asarray(v, dtype=np.int64) for v in pdf["qvec"]],
+                dtype=np.int64,
+            )
+            ids = pdf[id_col].to_numpy()
+            na2 = (m * m).sum(axis=1)  # exact int64 norms
+            dots = m @ smat.T  # exact int64 dots, n x s
+            # same op order as _qcos_sim: double(na2) * double(nb2),
+            # sqrt, divide — each single-rounded IEEE float64
+            denom = np.sqrt(na2.astype(np.float64)[:, None]
+                            * snb2.astype(np.float64)[None, :])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = dots.astype(np.float64) / denom
+            # excluded candidates (self seed, zero-norm corpus row)
+            # drop below every real cosine (>= -1)
+            sims = np.where(
+                (na2[:, None] > 0) & (ids[:, None] != sids[None, :]),
+                sims,
+                -np.inf,
+            )
+            out_ids, out_labs, out_votes = [], [], []
+            for i in range(len(ids)):
+                row = sims[i]
+                valid = row > -np.inf
+                nv = int(valid.sum())
+                if nv == 0:
+                    continue
+                order = np.lexsort((sids, -row))[: min(kk, nv)]
+                labs = slabs[order]
+                uniq, counts = np.unique(labs, return_counts=True)
+                w = int(np.argmax(counts))  # first max == lowest label
+                out_ids.append(ids[i])
+                out_labs.append(uniq[w])
+                out_votes.append(int(counts[w]))
+            yield pd.DataFrame(
+                {
+                    id_col: np.asarray(out_ids, dtype=ids.dtype)
+                    if out_ids else np.array([], dtype=ids.dtype),
+                    "pred_label": out_labs,
+                    "votes": np.asarray(out_votes, dtype=np.int64),
+                }
+            )
+
+    return qc.mapInPandas(score, out_schema)
 
 
 def write_kmeans_model(model: list[list[int]], path: str) -> None:

@@ -1967,6 +1967,46 @@ def test_knn_label_propagation_two_blobs(spark):
     )
 
 
+def test_knn_label_propagation_tie_rules(spark):
+    """Pins the Arrow kernel's tie rules against the documented window
+    semantics: neighbor-rank ties go to the LOWEST seed id, vote-count
+    ties to the LOWEST label, zero-norm rows/seeds drop out."""
+    from rrdtool_1_x_spark.datapipe.similarity import knn_label_propagation
+
+    # four seeds: 10/11 identical (sim tie -> sid decides which fills
+    # the k=3 cut), 12 orthogonal-ish, 13 zero-norm (ignored)
+    seeds = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0, 0.0], 7),
+            (11, [1.0, 0.0, 0.0, 0.0], 3),
+            (12, [0.9, 0.1, 0.0, 0.0], 3),
+            (13, [0.0, 0.0, 0.0, 0.0], 1),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in
+           knn_label_propagation(corpus, seeds, k=3).collect()}
+    # row 1: top-3 = seeds 10, 11 (sim tie, both enter), 12 ->
+    # votes 7:1, 3:2 -> label 3 wins with 2 votes
+    assert out[1]["pred_label"] == 3 and out[1]["votes"] == 2
+    # zero-norm corpus row has no valid candidates -> absent
+    assert 2 not in out
+    # vote tie: k=2 keeps seeds 10 (label 7) and 11 (label 3) -> 1:1
+    # tie -> lowest label wins
+    out2 = {r["vec_id"]: r for r in
+            knn_label_propagation(corpus, seeds, k=2).collect()}
+    assert out2[1]["pred_label"] == 3 and out2[1]["votes"] == 1
+    # neighbor-rank tie at the cut: k=1, seeds 10/11 tie on sim ->
+    # lowest seed id (10, label 7) takes the single slot
+    out1 = {r["vec_id"]: r for r in
+            knn_label_propagation(corpus, seeds, k=1).collect()}
+    assert out1[1]["pred_label"] == 7 and out1[1]["votes"] == 1
+
+
 def test_vocab_coverage_hand_case(spark):
     from rrdtool_1_x_spark.datapipe.textstats import vocab_coverage
 
