@@ -243,6 +243,9 @@ def append_line_dedup(
             ),
         )
         .drop("_f")
+        # BATCH-sized (one row per line of the appended batch), and the
+        # appends below rewrite the index files this plan reads —
+        # lineage must be severed, so localCheckpoint, not materialize()
         .localCheckpoint(eager=True)
     )
     novel = flagged.filter(

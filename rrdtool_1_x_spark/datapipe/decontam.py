@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from rrdtool_1_x_spark.datapipe.mat import materialize
+
 
 def _ngram_frame(df: DataFrame, id_col: str, text_col: str, n: int, out_id: str) -> DataFrame:
     """(out_id, ngram) distinct word n-grams, built from the token array
@@ -202,7 +204,7 @@ def split_leakage(
     # materialize it once — ids and hashes only, never the text, so the
     # checkpoint stays corpus-slim at scale. The near-dup detector gets
     # the lazy text-bearing frame and materializes its own internals.
-    slim = labeled.select(id_col, "split", "_h").localCheckpoint(eager=True)
+    slim = labeled.select(id_col, "split", "_h").transform(materialize)
     # per-(group, split) representative: the witness anchor
     srep = slim.groupBy("_h", "split").agg(
         F.min(id_col).alias("_rid")

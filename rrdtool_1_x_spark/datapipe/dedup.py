@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from rrdtool_1_x_spark.datapipe.mat import materialize
+
 
 def _tokens(text: Column) -> Column:
     return F.split(F.lower(F.trim(text)), r"\s+")
@@ -138,7 +140,7 @@ def _spread(df: DataFrame) -> DataFrame:
     p = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= p:
         return df
-    return df.repartition(p).localCheckpoint(eager=True)
+    return df.repartition(p).transform(materialize)
 
 
 def _collapse_exact_reps(
@@ -249,7 +251,7 @@ def minhash_near_duplicates(
         base = _collapse_exact_reps(df, id_col, text_col)
     melted = minhash_band_buckets(
         base, id_col, text_col, num_hashes, bands, shingle_len, collapse_exact=False
-    ).localCheckpoint(eager=True)  # feeds size count + both join sides
+    ).transform(materialize)  # feeds size count + both join sides
     if max_bucket_size is not None:
         # bucket sizes via groupBy + semi join against the checkpointed
         # frame, NOT a per-bucket count window: the window pinned every row
@@ -662,7 +664,7 @@ def signature_near_duplicates(
             F.col("_bb.block_idx").alias("block_idx"),
             F.col("_bb.block_val").alias("block_val"),
         )
-        .localCheckpoint(eager=True)  # feeds the size count and both sides
+        .transform(materialize)  # feeds the size count and both sides
     )
     if max_bucket_size is not None:
         # block sizes via groupBy + semi join, NOT a count window: the
@@ -833,6 +835,11 @@ def duplicate_groups(
     # LSH→verify pipeline, and the propagation loop references edges in
     # every iteration join AND the fixpoint check — without this the
     # upstream pipeline re-executes O(iterations) times
+    # duplicate-PAIR-sized frames (only docs in near-dup relations),
+    # consumed once per propagation round: the loop below NEEDS
+    # lineage-truncating localCheckpoint (not materialize()/persist) —
+    # a lineage-keeping persist grows the logical plan by one join per
+    # iteration and the analyzer cost compounds
     edges = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
@@ -957,7 +964,7 @@ def duplicated_ngram_spans(
     per_doc = (
         exploded.groupBy(id_col, "_h")
         .agg(F.count(F.lit(1)).alias("_c"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     # document frequency via groupBy + join back, NOT a per-hash window:
     # per_doc rows are unique per (doc, hash), so count(*) per hash IS the
@@ -1039,9 +1046,7 @@ def remove_duplicate_spans(
     # window, the dominant map cost) does not run twice
     occ = base.select(
         F.col(id_col), F.posexplode("_w").alias("_p0", "_h")
-    ).select(id_col, (F.col("_p0") + 1).alias("_p"), "_h").localCheckpoint(
-        eager=True
-    )
+    ).select(id_col, (F.col("_p0") + 1).alias("_p"), "_h").transform(materialize)
     # canonical occurrence per duplicated hash via groupBy + join back,
     # NOT a pair of per-hash windows: min(struct(id, p)) IS the (lowest
     # doc, lowest position) rule, the aggregate gets map-side partial
@@ -1251,7 +1256,7 @@ def edit_near_duplicates(
     # materialized once: both candidate self-join sides read the blocked
     # frame, and each otherwise re-runs the exact-collapse semi join +
     # normalization upstream (AQE stages do not share the subplan)
-    blocked = base.join(keep, "_k", "left_semi").localCheckpoint(eager=True)
+    blocked = base.join(keep, "_k", "left_semi").transform(materialize)
     a = blocked.select(
         F.col("_k"), F.col("_id").alias("id_a"), F.col("_t").alias("_ta")
     )
@@ -1419,7 +1424,7 @@ def lsh_precision_recall(
         F.array_distinct(
             _shingle_array(F.col(text_col), shingle_len)
         ).alias("_s"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     sizes = ds.select("_id", F.size("_s").alias("_n"))
     ex = ds.select("_id", F.explode("_s").alias("_sh"))
     inter = (
@@ -1463,7 +1468,7 @@ def lsh_precision_recall(
     melted = minhash_band_buckets(
         reps, id_col, text_col, num_hashes, bands, shingle_len,
         collapse_exact=False,
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     if max_bucket_size is not None:
         # groupBy + semi join, not a per-bucket count window — same skew
         # rationale as minhash_near_duplicates' cap
@@ -1572,9 +1577,7 @@ def exact_substring_spans(
     # array to disk before querying it; the persisted-index path
     # (write_anchor_index / anchor_index_spans) reads its occurrences
     # from parquet instead and needs no checkpoint.
-    occ = _anchor_occurrences(df, n, id_col, text_col, hash_fn).localCheckpoint(
-        eager=True
-    )
+    occ = _anchor_occurrences(df, n, id_col, text_col, hash_fn).transform(materialize)
     return _extents_from_occurrences(occ, n, id_col)
 
 

@@ -43,6 +43,8 @@ from rrdtool_1_x_spark.datapipe.dedup import (
 from rrdtool_1_x_spark.datapipe.decontam import contamination_pairs
 from rrdtool_1_x_spark.datapipe.textstats import quality_metrics
 
+from rrdtool_1_x_spark.datapipe.mat import materialize
+
 
 def curate_corpus(
     docs: DataFrame,
@@ -92,7 +94,7 @@ def curate_corpus(
     if max_tokens is not None:
         bad = bad | (F.col("tc") > max_tokens)
     # one quality pass feeds both the low set and the survivors' hashes
-    marked = q.select("doc_id", "h", bad.alias("bad")).localCheckpoint(eager=True)
+    marked = q.select("doc_id", "h", bad.alias("bad")).transform(materialize)
 
     # 2. exact dedup among quality survivors, FUSED: one per-hash
     # aggregate produces (h, keeper id); the disposition join below reads
@@ -103,7 +105,7 @@ def curate_corpus(
         marked.filter(~F.col("bad"))
         .groupBy("h")
         .agg(F.min("doc_id").alias("_keep"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     keepers = kmin.select(F.col("_keep").alias("doc_id"))
 
@@ -122,7 +124,7 @@ def curate_corpus(
     # per-row CPU — without it the signature pass runs on one core
     from rrdtool_1_x_spark.datapipe.dedup import _spread
 
-    reps = _spread(base.join(keepers, "doc_id").localCheckpoint(eager=True))
+    reps = _spread(base.join(keepers, "doc_id").transform(materialize))
     # stage 2 already collapsed exact duplicates and reps is materialized,
     # so the generic entrypoint's internal collapse window (another
     # corpus shuffle) is skipped

@@ -15,6 +15,8 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from rrdtool_1_x_spark.datapipe.mat import materialize
+
 
 def corpus_datacard(
     df: DataFrame,
@@ -313,7 +315,7 @@ def cluster_keywords(
     tf = (
         e.groupBy("_cell", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     cw = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_cw"))
     nc = tf.select("_cell").distinct().agg(F.count(F.lit(1)).alias("_nc"))

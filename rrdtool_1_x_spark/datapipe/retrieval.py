@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from rrdtool_1_x_spark.datapipe.mat import materialize
+
 from .textstats import _tokens
 
 # BM25 constants (Robertson-Walker Okapi defaults). Written as the
@@ -59,7 +61,7 @@ def _term_stats(df: DataFrame, id_col: str, text_col: str):
     # (the frame is the size of its own aggregation shuffle)
     tf = tf.withColumn(
         "dl", F.sum("tf").over(Window.partitionBy(id_col))
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
     nd = df.agg(F.count(F.lit(1)).alias("n_docs"))
     return tf, dfc, nd

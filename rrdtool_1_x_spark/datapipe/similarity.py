@@ -32,6 +32,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from rrdtool_1_x_spark.datapipe.mat import materialize
+
 
 def cosine_similarity_col(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<numeric> columns (double math)."""
@@ -526,7 +528,7 @@ def embedding_near_duplicates(
         # materialize once: the hyperplane folds are the expensive part and
         # this frame feeds the size count AND both join sides (3 re-evals
         # otherwise); rows are (id, int, bucket-string) — tiny
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     if max_bucket_size is not None:
         # a k-vector bucket emits k²/2 candidate rows on one shuffle key;

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from rrdtool_1_x_spark.datapipe.mat import materialize
+
 # tiny per-language stopword lists for the n-gram/stopword-density heuristic
 STOPWORDS = {
     "en": ("the", "and", "of", "to", "in", "a", "is", "that", "it", "for"),
@@ -327,7 +329,7 @@ def winnow_overlap(
     # (winnow_index_overlap) reads parquet instead and needs no barrier
     fp = winnow_fingerprints(df, id_col, text_col, k, w).select(
         F.col(id_col).alias("doc_id"), "fp"
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().transform(materialize)
     return _fp_overlap_pairs(fp, min_shared, max_fp_docs)
 
 
@@ -486,7 +488,7 @@ def source_kl_divergence(
     gcnt = (
         tok.groupBy("grp", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     # every occurrence belongs to exactly one group, so the corpus
     # counts are a token-level rollup of gcnt — ONE corpus tokenize
@@ -643,7 +645,7 @@ def unigram_logprob(
     doc_tok = (
         tok.groupBy(id_col, "tok")
         .agg(F.count("*").alias("m"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     vocab = doc_tok.groupBy("tok").agg(F.sum("m").alias("cnt"))
     total = df.agg(
@@ -746,14 +748,14 @@ def bigram_logprob(
     db = (
         bg.groupBy(id_col, "w1", "w2")
         .agg(F.count(F.lit(1)).alias("m"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     bc = db.groupBy("w1", "w2").agg(F.sum("m").alias("cb"))
     tok = df.select(F.explode(toks).alias("tok"))
     uc = (
         tok.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cu"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     total = df.agg(F.sum(F.size(toks)).alias("n_total"))
     u1 = uc.select(F.col("tok").alias("w1"), F.col("cu").alias("cu1"))
@@ -925,7 +927,7 @@ def tfidf_top_terms(
         df.select(F.col(id_col), F.explode(toks).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
@@ -1030,7 +1032,7 @@ def hashed_nb_classify(
         db.join(lab, id_col)
         .groupBy("_lab", "_b")
         .agg(F.sum("_m").alias("_c"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     tl = lb.groupBy("_lab").agg(F.sum("_c").alias("_tl"))
     model = (
@@ -1314,12 +1316,12 @@ def kneser_ney_bigram(
     # every consumer re-runs the corpus bigram explode + aggregation.
     # Both frames are the size the aggregation shuffle already moves
     # ((doc, bigram) multiplicities / distinct-bigram counts).
-    db = doc_bigrams(df).localCheckpoint(eager=True)
+    db = doc_bigrams(df).transform(materialize)
     tb = db if train_df is None else doc_bigrams(train_df)
     bc = (
         tb.groupBy("w1", "w2")
         .agg(F.sum("m").alias("cb"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     left = bc.groupBy("w1").agg(
         F.sum("cb").alias("c1"), F.count(F.lit(1)).alias("fanout")
@@ -1639,7 +1641,7 @@ def langid_nb(
         tr.join(lab, id_col)
         .groupBy("_lab", "_b")
         .agg(F.sum("_m").alias("_c"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     tl = lb.groupBy("_lab").agg(F.sum("_c").alias("_tl"))
     model = lb.join(tl, "_lab").select(

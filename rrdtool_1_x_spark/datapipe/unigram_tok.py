@@ -39,6 +39,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from rrdtool_1_x_spark.datapipe.mat import materialize
+
 
 def word_frame(
     df: DataFrame,
@@ -210,9 +212,7 @@ def train_unigram(
     counts are the last E-step's Viterbi piece counts, logp the
     resulting scores. Driver holds only the vocab list; each round is
     one word-frame scan."""
-    words = word_frame(df, text_col, max_word_len).localCheckpoint(
-        eager=True
-    )
+    words = word_frame(df, text_col, max_word_len).transform(materialize)
     vocab = seed_vocab(words, max_piece, seed_size)
     for it in range(int(n_iter)):
         scores = _scores(vocab)

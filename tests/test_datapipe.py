@@ -2007,6 +2007,29 @@ def test_knn_label_propagation_tie_rules(spark):
     assert out1[1]["pred_label"] == 7 and out1[1]["votes"] == 1
 
 
+def test_materialize_persist_mode_equivalence(spark, monkeypatch):
+    """SPARK_GRAFT_MATERIALIZE=persist (the lineage-keeping production
+    mode of datapipe.mat.materialize) must produce byte-identical
+    results to the default checkpoint mode — exercised through
+    curate_corpus, which routes marked/kmin/reps through materialize."""
+    from rrdtool_1_x_spark.datapipe.pipeline import curate_corpus
+
+    rows = [(i, f"doc body number {i} with enough words to pass") for i in range(30)]
+    rows += [(100 + i, "an exact duplicate body repeated verbatim") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run():
+        return sorted(
+            (r["doc_id"], r["verdict"])
+            for r in curate_corpus(docs, min_tokens=3).collect()
+        )
+
+    monkeypatch.delenv("SPARK_GRAFT_MATERIALIZE", raising=False)
+    base = run()
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "persist")
+    assert run() == base
+
+
 def test_vocab_coverage_hand_case(spark):
     from rrdtool_1_x_spark.datapipe.textstats import vocab_coverage
 
