@@ -786,105 +786,87 @@ def span_corrupt(
 
     Returns ``(id, n_tokens, n_spans, n_masked, corrupted, target)``;
     a doc with no spans keeps its token stream verbatim with an empty
-    target.
+    target. Documents with zero tokens produce no row (they had no
+    exploded positions in the original formulation).
 
-    Shape at scale: one shuffle on the doc key (the position windows:
-    running max end, island numbering), then one per-doc aggregate
-    whose collect_list is array_sort-ed before joining — order is
-    imposed, never assumed. Row width stays one document."""
+    Shape at scale: MAP-ONLY. Tokenization stays an engine expression
+    (so the split/lower semantics cannot fork from the other text
+    operators), and the whole draw/island/sentinel pass runs per
+    document inside one Arrow kernel — the previous formulation
+    exploded every token position and pushed the corpus's token rows
+    through a doc-keyed shuffle for three running-max windows plus a
+    collect_list aggregate, and evaluated the md5 draw expression twice
+    per position (h and the span length each inlined the hash). The
+    60-bit draw is ``int(md5[:15], 16)`` — identical to the engine's
+    ``conv(substring(md5(..),1,15),16,10)`` convention, pinned by the
+    transcription test."""
+    import hashlib
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
         lambda t: t != "",
     )
-    tok = df.select(
-        F.col(id_col), F.posexplode(toks).alias("p", "w")
+    tokd = df.select(F.col(id_col), toks.alias("_t"))
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("n_tokens", LongType()),
+            StructField("n_spans", LongType()),
+            StructField("n_masked", LongType()),
+            StructField("corrupted", StringType()),
+            StructField("target", StringType()),
+        ]
     )
-    h_sql = (
-        "CAST(conv(substring(md5(CAST(concat("
-        f"'{seed}:', CAST({id_col} AS STRING), ':', CAST(p AS STRING))"
-        " AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
-    )
-    h = F.expr(h_sql)
-    # span length stays in BIGINT arithmetic: h/100 as a double rounds
-    # in the 53rd bit for 60-bit hashes and shifts every third span
-    slen = F.expr(f"2 + (({h_sql}) DIV 100) % 3")
-    send = F.when(
-        (h % 100) < F.lit(int(start_pct)),
-        F.col("p") + slen - 1,
-    )
-    wp = Window.partitionBy(id_col).orderBy("p")
-    run = Window.partitionBy(id_col).orderBy("p").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    prev = Window.partitionBy(id_col).orderBy("p").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    staged = (
-        tok.withColumn("_e", send)
-        .withColumn("_cum", F.max("_e").over(run))
-        .withColumn("_pcum", F.max("_e").over(prev))
-        .withColumn(
-            "_masked",
-            F.col("_cum").isNotNull() & (F.col("_cum") >= F.col("p")),
-        )
-        .withColumn(
-            "_isl_start",
-            F.col("_masked")
-            & (
-                F.col("_pcum").isNull()
-                | (F.col("_pcum") < F.col("p"))
-            ),
-        )
-        .withColumn(
-            "_isl",
-            F.sum(F.col("_isl_start").cast("int")).over(run) - 1,
-        )
-    )
-    sent = F.concat(
-        F.lit("<extra_id_"), F.col("_isl").cast("string"), F.lit(">")
-    )
-    corrupted_piece = F.when(~F.col("_masked"), F.col("w")).when(
-        F.col("_isl_start"), sent
-    )
-    target_piece = F.when(
-        F.col("_masked"),
-        F.when(
-            F.col("_isl_start"), F.concat(sent, F.lit(" "), F.col("w"))
-        ).otherwise(F.col("w")),
-    )
-    agg = staged.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.sum(F.col("_isl_start").cast("long")).alias("n_spans"),
-        F.sum(F.col("_masked").cast("long")).alias("n_masked"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(
-                            corrupted_piece.isNotNull(),
-                            F.struct(F.col("p"), corrupted_piece.alias("x")),
-                        )
+    pct = int(start_pct)
+
+    def corrupt(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   (id_col, "n_tokens", "n_spans", "n_masked",
+                    "corrupted", "target")}
+            for did, tlist in zip(pdf[id_col], pdf["_t"]):
+                tl = list(tlist)
+                n = len(tl)
+                if n == 0:
+                    continue  # zero-token docs emit no row
+                cum = None
+                k = -1
+                n_masked = 0
+                n_spans = 0
+                corrupted: list = []
+                target: list = []
+                for p, w in enumerate(tl):
+                    h = int(
+                        hashlib.md5(
+                            f"{seed}:{did}:{p}".encode()
+                        ).hexdigest()[:15],
+                        16,
                     )
-                ),
-                lambda s: s["x"],
-            ),
-        ).alias("corrupted"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(
-                            target_piece.isNotNull(),
-                            F.struct(F.col("p"), target_piece.alias("x")),
-                        )
-                    )
-                ),
-                lambda s: s["x"],
-            ),
-        ).alias("target"),
-    )
-    return agg.select(
-        id_col, "n_tokens", "n_spans", "n_masked", "corrupted", "target"
-    )
+                    prev_cum = cum
+                    if h % 100 < pct:
+                        e = p + (2 + (h // 100) % 3) - 1
+                        cum = e if cum is None else max(cum, e)
+                    if cum is not None and cum >= p:
+                        n_masked += 1
+                        if prev_cum is None or prev_cum < p:
+                            k += 1
+                            n_spans += 1
+                            corrupted.append(f"<extra_id_{k}>")
+                            target.append(f"<extra_id_{k}> {w}")
+                        else:
+                            target.append(w)
+                    else:
+                        corrupted.append(w)
+                out[id_col].append(did)
+                out["n_tokens"].append(n)
+                out["n_spans"].append(n_spans)
+                out["n_masked"].append(n_masked)
+                out["corrupted"].append(" ".join(corrupted))
+                out["target"].append(" ".join(target))
+            yield pd.DataFrame(out)
+
+    return tokd.mapInPandas(corrupt, out_schema)
