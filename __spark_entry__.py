@@ -2205,9 +2205,11 @@ def q_residual_recall(spark, sf_dir):
     # quantization); the per-method scorers read the compact codes off
     # the materialized encode frame. Same expressions per method — the
     # gate's values cannot move.
-    enc = multi_method_encode(
-        e, model, scales, raw_book, book
-    ).localCheckpoint(eager=True)
+    from rrdtool_1_x_spark.datapipe.mat import materialize
+
+    enc = multi_method_encode(e, model, scales, raw_book, book).transform(
+        materialize
+    )
     resid = _resid_adc_topk(
         enc.select("vec_id", "_cell", F.col("codes_res").alias("codes")),
         q, model, scales, book, k=10, nprobe=4, lim=32767,
@@ -2295,25 +2297,58 @@ def q_pq_index_topup(spark, sf_dir):
     return pq_index_topk(spark, path, q, k=10).orderBy("query_id", "rank")
 
 
+def _pq_exact_encode(e, book):
+    """(id, qvec, _na2, codes) in ONE corpus scan — the shared encode of
+    the pq-vs-exact comparison gates (pq_recall, rank_metrics): the PQ
+    codes derive from the int8 qvec the exact baseline ranks over, so
+    one materialized quantization pass feeds both methods (the
+    residual_recall multi-method-encode pattern). Expressions identical
+    to pq_encode / quantized_topk's corpus side."""
+    from rrdtool_1_x_spark.datapipe.similarity import (
+        _pq_codes_col,
+        _qnorm2,
+        quantize_embeddings,
+    )
+
+    from rrdtool_1_x_spark.datapipe.mat import materialize
+
+    qc = quantize_embeddings(e, "vec_id", "embedding")
+    return qc.select(
+        "vec_id",
+        "qvec",
+        _qnorm2("qvec").alias("_na2"),
+        _pq_codes_col(book).alias("codes"),
+    ).transform(materialize)
+
+
 def q_pq_recall(spark, sf_dir):
     """Recall@10 of the PQ ADC scan against the int8 brute-force baseline
     (datapipe.similarity.ann_recall) — the quality dial every compressed
     retrieval path is tuned with. Both rankings are integer-exact, so the
     recall number is deterministic across engines."""
     from rrdtool_1_x_spark.datapipe.similarity import (
+        _pq_adc_topk,
+        _qcos_topk,
         ann_recall,
-        pq_topk,
-        quantized_topk,
     )
 
     e = _emb(spark, sf_dir)
     q = e.orderBy("vec_id").limit(2).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    approx = pq_topk(
-        e, q, k=10, m=8, codes=16, codebook=_pq_book(spark, sf_dir, e)
+    # ONE corpus scan feeds both compared methods: the int8 qvec (+ its
+    # exact norm) is what the PQ codes derive from anyway, so the codes
+    # and the exact ranking read one materialized quantization pass
+    # (the residual_recall multi-method-encode pattern).
+    enc = _pq_exact_encode(e, _pq_book(spark, sf_dir, e))
+    approx = _pq_adc_topk(
+        enc.select("vec_id", "codes"), q, _pq_book(spark, sf_dir, e),
+        10, "vec_id", "embedding", "query_id",
     )
-    exact = quantized_topk(e, q, k=10, query_id_col="query_id")
+    exact = _qcos_topk(
+        enc.select("vec_id", "qvec", "_na2"), q, k=10,
+        id_col="vec_id", vec_col="embedding", query_id_col="query_id",
+    )
     return ann_recall(approx, exact, k=10).orderBy("query_id")
 
 
@@ -2449,17 +2484,48 @@ def q_int4_recall(spark, sf_dir):
     both integer-deterministic): the measured quality cost of the
     8x-compression tier — the number that decides whether int4 is
     acceptable for a first-stage retrieval pass."""
+    from rrdtool_1_x_spark.datapipe.mat import materialize
     from rrdtool_1_x_spark.datapipe.similarity import (
+        _int8_qvec,
+        _qcos_topk,
+        _qnorm2,
         ann_recall,
-        quantized_topk,
     )
 
     e = _emb(spark, sf_dir)
     q = e.orderBy("vec_id").limit(2).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    approx = quantized_topk(e, q, k=10, query_id_col="query_id", qmax=7)
-    exact = quantized_topk(e, q, k=10, query_id_col="query_id")
+    # ONE corpus scan quantizes BOTH tiers (the per-vector scale is
+    # qmax-independent, so q4/q8 share the _v/_scale projection); the
+    # two rankings read the materialized frame. Expressions identical
+    # to quantize_embeddings at each qmax — the recall cannot move.
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    staged = e.select(
+        F.col("vec_id"),
+        vd.alias("_v"),
+        F.array_max(F.transform(vd, lambda x: F.abs(x))).alias("_scale"),
+    )
+    enc = staged.select(
+        "vec_id",
+        _int8_qvec(F.col("_v"), F.col("_scale"), 7).alias("_q4"),
+        _int8_qvec(F.col("_v"), F.col("_scale"), 127).alias("_q8"),
+    ).select(
+        "vec_id", "_q4", "_q8",
+        _qnorm2("_q4").alias("_n4"), _qnorm2("_q8").alias("_n8"),
+    ).transform(materialize)
+    approx = _qcos_topk(
+        enc.select("vec_id", F.col("_q4").alias("qvec"),
+                   F.col("_n4").alias("_na2")),
+        q, k=10, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id", qmax=7,
+    )
+    exact = _qcos_topk(
+        enc.select("vec_id", F.col("_q8").alias("qvec"),
+                   F.col("_n8").alias("_na2")),
+        q, k=10, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id",
+    )
     return ann_recall(approx, exact, k=10).orderBy("query_id")
 
 
@@ -3690,8 +3756,8 @@ def q_rank_metrics(spark, sf_dir):
     BOTH plans, so the DCG sums are exact and each metric is one
     correctly-rounded division."""
     from rrdtool_1_x_spark.datapipe.similarity import (
-        pq_topk,
-        quantized_topk,
+        _pq_adc_topk,
+        _qcos_topk,
         ranking_metrics,
     )
 
@@ -3699,10 +3765,17 @@ def q_rank_metrics(spark, sf_dir):
     q = e.orderBy("vec_id").limit(2).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    approx = pq_topk(
-        e, q, k=10, m=8, codes=16, codebook=_pq_book(spark, sf_dir, e)
+    # one shared corpus quantization pass for both methods — see
+    # _pq_exact_encode
+    enc = _pq_exact_encode(e, _pq_book(spark, sf_dir, e))
+    approx = _pq_adc_topk(
+        enc.select("vec_id", "codes"), q, _pq_book(spark, sf_dir, e),
+        10, "vec_id", "embedding", "query_id",
     )
-    exact = quantized_topk(e, q, k=10, query_id_col="query_id")
+    exact = _qcos_topk(
+        enc.select("vec_id", "qvec", "_na2"), q, k=10,
+        id_col="vec_id", vec_col="embedding", query_id_col="query_id",
+    )
     return ranking_metrics(approx, exact, k=10).orderBy("query_id")
 
 
